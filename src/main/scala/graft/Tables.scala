@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All reads go through here so every query benefits from the same
+  * conventions: explicit paths, no schema inference surprises, and the
+  * nanosecond-precision `events.ts` normalization (see [[events]]).
+  */
+object Tables {
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def region(s: SparkSession, d: String): DataFrame    = s.read.parquet(path(d, "region"))
+  def nation(s: SparkSession, d: String): DataFrame    = s.read.parquet(path(d, "nation"))
+  def customer(s: SparkSession, d: String): DataFrame  = s.read.parquet(path(d, "customer"))
+  def supplier(s: SparkSession, d: String): DataFrame  = s.read.parquet(path(d, "supplier"))
+  def part(s: SparkSession, d: String): DataFrame      = s.read.parquet(path(d, "part"))
+  def orders(s: SparkSession, d: String): DataFrame    = s.read.parquet(path(d, "orders"))
+  def lineitem(s: SparkSession, d: String): DataFrame  = s.read.parquet(path(d, "lineitem"))
+  def documents(s: SparkSession, d: String): DataFrame = s.read.parquet(path(d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = s.read.parquet(path(d, "embeddings"))
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet. Spark truncates (or, with
+    * the legacy flag, surfaces as long) — we normalize to microsecond
+    * TimestampType here so downstream operators and the DuckDB oracle
+    * (which also truncates ns → µs on cast) agree exactly.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(path(d, "events"))
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case TimestampType => raw
+      // integer `div`, not `/`: epoch-nanos (~1.7e18) overflow double precision
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other         => throw new IllegalStateException(s"unexpected ts type $other")
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.config
+
+import java.net.URI
+
+/** A17 config_parse — engine configuration mirroring the reference's
+  * export-client properties surface.
+  *
+  * Ref: hive/HiveExportClient.java:48-56,66-112 (property names, parsing,
+  * upper-casing), hive/HiveEndPointFactory.java:42-63 (thrift-only URI),
+  * README.md:104-110 (`hive.partition.columns` = `TBL:C1|C2,TBL2:...`).
+  *
+  * Two reference validations are implemented with their INTENDED semantics
+  * rather than the reference's buggy ones (SURVEY.md §4.4.1-2): the
+  * partition-column arity check compares per-table counts (the reference
+  * compares the multimap's total size against one table's count, wrong for
+  * ≥2 tables), and the "table must be listed" guard actually fires.
+  */
+final case class ExportConfig(
+    metastoreUri: String = "thrift://localhost:9083",
+    db: String = "default",
+    timezone: String = "UTC",
+    /** upper-cased table → partition columns, declaration order preserved */
+    partitionColumns: Map[String, Seq[String]] = Map.empty) {
+
+  def partitionColsFor(table: String): Seq[String] =
+    partitionColumns.getOrElse(table.toUpperCase,
+      throw new IllegalArgumentException(
+        s"table ${table.toUpperCase} not listed in partition-columns config"))
+}
+
+object ExportConfig {
+
+  /** Parse `TBL:COL1|COL2,TBL2:COL3,...` (upper-casing both sides, trimming
+    * whitespace, ignoring empty fragments) into table → ordered columns.
+    * Ref: hive/HiveExportClient.java:79-96. */
+  def parsePartitionColumns(spec: String): Map[String, Seq[String]] = {
+    val entries = spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(":") match {
+        case Array(table, cols) =>
+          val colSeq = cols.split("\\|").iterator.map(_.trim.toUpperCase)
+            .filter(_.nonEmpty).toIndexedSeq
+          if (colSeq.isEmpty)
+            throw new IllegalArgumentException(s"no partition columns in '$entry'")
+          table.trim.toUpperCase -> colSeq
+        case _ =>
+          throw new IllegalArgumentException(
+            s"malformed hive.partition.columns entry '$entry' (want TBL:C1|C2)")
+      }
+    }
+    entries.toMap
+  }
+
+  /** All configured tables must declare the same number of partition
+    * columns — per-table counts compared pairwise (intended semantics of
+    * hive/HiveExportClient.java:97-111; see SURVEY.md §4.4.1). */
+  def validateArity(pc: Map[String, Seq[String]]): Unit = {
+    val arities = pc.values.map(_.size).toSet
+    if (arities.size > 1)
+      throw new IllegalArgumentException(
+        s"all tables must declare the same partition-column count; got " +
+          pc.map { case (t, c) => s"$t=${c.size}" }.mkString(", "))
+  }
+
+  /** Metastore URI must use the thrift scheme.
+    * Ref: hive/HiveEndPointFactory.java:56-59. */
+  def validateUri(uri: String): Unit = {
+    val scheme = Option(new URI(uri).getScheme).getOrElse("")
+    if (scheme != "thrift")
+      throw new IllegalArgumentException(s"expected thrift metastore URI, got '$uri'")
+  }
+
+  def fromProperties(props: Map[String, String]): ExportConfig = {
+    val uri = props.getOrElse("hive.uri", "thrift://localhost:9083")
+    validateUri(uri)
+    val pc = props.get("hive.partition.columns")
+      .map(parsePartitionColumns).getOrElse(Map.empty)
+    validateArity(pc)
+    ExportConfig(
+      metastoreUri = uri,
+      db = props.getOrElse("hive.db", "default"),
+      timezone = props.getOrElse("timezone", "UTC"),
+      partitionColumns = pc)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** B6/B7 — the real aggregation and join paths of the engine
+  * (SURVEY.md §2 Group B; the reference itself has neither, §2 "Categories
+  * with NO implementation").
+  *
+  * Determinism-by-construction: every money aggregate is summed as an
+  * exact DECIMAL (the inputs are 2-decimal doubles) and only cast to
+  * double at the very end. Double sums are order-sensitive; decimal sums
+  * are exact, so Spark's partial-aggregate tree and DuckDB's sequential
+  * sum produce the same value bit-for-bit, and the final decimal→double
+  * cast is a single correctly-rounded conversion in both engines.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** TPC-H Q1 shape on lineitem: pricing summary by returnflag/linestatus.
+    * Partial (map-side) aggregation makes this one shuffle of ~|groups|
+    * rows per task at any scale. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val disc1 = lit(1).cast(DecimalType(3, 2)) - dec2(col("l_discount"))
+    val tax1  = lit(1).cast(DecimalType(3, 2)) + dec2(col("l_tax"))
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * disc1).cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * disc1 * tax1).cast("double").as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Orders enriched with customer → nation → region. The dimension side
+    * (customer/nation/region) is broadcast, so the fact side (orders, the
+    * 100 TB table) never shuffles — the whole join tree is one codegen
+    * stage over the orders scan. */
+  def enrichOrders(orders: DataFrame, customer: DataFrame,
+                   nation: DataFrame, region: DataFrame): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name").as("nation"), col("r_name").as("region"))
+    orders.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("c_name"), col("c_mktsegment"),
+        col("nation"), col("region"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** B1 dedup_exact — deterministic exact dedup: keep the lowest-key row
+    * per duplicate group. One shuffle on the dedup key; at scale prefer
+    * this row_number form over dropDuplicates for a deterministic winner. */
+  def dedupExact(df: DataFrame, key: Seq[String], tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col(tiebreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
