@@ -175,7 +175,106 @@ object SparkEntry {
     // B1 dedup_exact: deterministic exact dedup of documents on text.
     "dedup_exact" -> ((s, d) =>
       Relational.dedupExact(Tables.documents(s, d), Seq("text"), "doc_id")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- Group A: sink-side machinery -----------------------------------
+
+    // A12 batch_barrier: micro-batch block assembly + per-block summary.
+    "batch_barrier" -> ((s, d) =>
+      SinkOps.batchBarrier(Tables.events(s, d))),
+
+    // A13 parallel_sink_write: hashed writer-lane assignment (md5-portable).
+    "parallel_sink_write" -> ((s, d) =>
+      SinkOps.writerAssignment(routedEvents(s, d), "event_type")),
+
+    // A14 sink_txn_batch: real partitioned committed write + read-back.
+    "sink_txn_batch" -> ((s, d) =>
+      SinkOps.txnBatchRoundTrip(s, Tables.events(s, d))),
+
+    // A15 conn_pool: LRU+TTL endpoint-cache state.
+    "conn_pool" -> ((s, d) =>
+      SinkOps.connPoolState(Tables.events(s, d), "event_type")),
+
+    // A16 retry_reconnect: the bounded-retry envelope.
+    "retry_reconnect" -> ((s, d) => SinkOps.retryPolicy(s)),
+
+    // A18 rate_limited_log: 10 s suppression windows per message key.
+    "rate_limited_log" -> ((s, d) =>
+      SinkOps.rateLimitedLog(Tables.events(s, d))),
+
+    // ---- Group B: text analysis -----------------------------------------
+
+    "text_stats" -> ((s, d) =>
+      TextAnalysis.textStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // ---- Group B: event-time windowing ----------------------------------
+
+    "event_window_tumbling" -> ((s, d) =>
+      Sessionize.tumbling(Tables.events(s, d))),
+
+    "event_sessionize" -> ((s, d) =>
+      Sessionize.sessions(Tables.events(s, d))),
+
+    // ---- Group B: dedup family ------------------------------------------
+
+    // B2 dedup_fuzzy: exact n-gram Jaccard, shared-shingle blocking
+    // (recall 1 — any pair with J>0 shares a shingle).
+    "dedup_fuzzy" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5)),
+
+    // MinHash-LSH banding + exact verify: the 100 TB scale path for
+    // dedup_fuzzy (approximate recall — no SQL oracle; spec-tested
+    // against dedup_fuzzy instead).
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minHashNearDupPairs(Tables.documents(s, d), threshold = 0.5)),
+
+    // SimHash fingerprint + banded Hamming near-dup pairs (hash-based —
+    // no SQL oracle; spec-tested).
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simHashNearDupPairs(Tables.documents(s, d))),
+
+    // Embedding near-dup: all-pairs cosine ≥ 0.4 over integer-quantized
+    // vectors (bit-deterministic — full oracle).
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+
+    // ---- Group B: similarity search -------------------------------------
+
+    // B3 sim_topk: brute-force cosine top-k, quantized (full oracle).
+    "sim_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+
+    // LSH-bucketed ANN top-k: the scale path (approximate — recall
+    // spec-tested against sim_topk; no SQL oracle).
+    "sim_ann_lsh" -> ((s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d))),
+
+    // ---- Group B: multimodal columns ------------------------------------
+
+    // Binary media payload + typed metadata + (stub) feature extraction.
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.ingest(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // Frame-index fan-out (explode over a media-derived sequence).
+    "multimodal_framesample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.ingest(Tables.documents(s, d)))),
+
+    // mapPartitions decode harness (stubbed codec — rows-only check).
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.decodePartitions(s, Multimodal.ingest(Tables.documents(s, d))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -253,6 +352,162 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT doc_id, text, lang, source, n_chars FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
-        "WHERE rn = 1 ORDER BY doc_id")
+        "WHERE rn = 1 ORDER BY doc_id"),
+
+    "batch_barrier" ->
+      ("SELECT event_id // 1000 AS batch_id, COUNT(*) AS n_rows, " +
+        "MIN(event_id) AS first_row, MAX(event_id) AS last_row " +
+        "FROM events GROUP BY 1 ORDER BY batch_id"),
+
+    "parallel_sink_write" ->
+      (s"SELECT (ascii(substring(md5(ep),1,1)) % 4) AS writer_id, " +
+        "COUNT(DISTINCT ep) AS n_endpoints, COUNT(*) AS n_rows " +
+        s"FROM (SELECT ${sqlSentinel("event_type")} AS ep FROM events) " +
+        "GROUP BY 1 ORDER BY writer_id"),
+
+    "sink_txn_batch" ->
+      (s"SELECT event_type, COUNT(*) AS n_rows, MIN(j) AS first_payload " +
+        s"FROM (SELECT ${sqlSentinel("event_type")} AS event_type, $sqlEventsPayload AS j FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    "conn_pool" ->
+      (s"WITH ls AS (SELECT ${sqlSentinel("event_type")} AS endpoint, " +
+        "MAX(CAST(ts AS TIMESTAMP)) AS last_seen, COUNT(*) AS n_uses FROM events GROUP BY 1), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY last_seen DESC, endpoint) AS lru_rank, " +
+        "CAST(floor(epoch(MAX(last_seen) OVER ())) AS BIGINT) - CAST(floor(epoch(last_seen)) AS BIGINT) AS idle_sec FROM ls) " +
+        "SELECT endpoint, last_seen, n_uses, lru_rank, idle_sec, " +
+        "(lru_rank <= 64 AND idle_sec < 1800) AS cached FROM r ORDER BY endpoint"),
+
+    "retry_reconnect" ->
+      ("SELECT * FROM (VALUES " +
+        "('txn_batch_fetch',1,30,'retry'),('txn_batch_fetch',2,30,'retry')," +
+        "('txn_batch_fetch',3,30,'retry'),('txn_batch_fetch',4,0,'reconnect')," +
+        "('write',1,0,'reconnect_and_retry'),('write',2,0,'reconnect_and_retry')," +
+        "('write',3,0,'restart_block')) " +
+        "AS t(operation, attempt, backoff_ms, on_failure) ORDER BY operation, attempt"),
+
+    "rate_limited_log" ->
+      ("SELECT event_type, time_bucket(INTERVAL 10 SECOND, CAST(ts AS TIMESTAMP)) AS win_start, " +
+        "MIN(CAST(ts AS TIMESTAMP)) AS emitted_ts, COUNT(*) - 1 AS n_suppressed " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, win_start"),
+
+    "text_stats" ->
+      (s"SELECT doc_id, length(text) AS n_chars_m, len(string_split(text,' ')) AS n_tokens, " +
+        "len(list_distinct(string_split(text,' '))) AS n_distinct_tokens, " +
+        "length(replace(text,' ','')) AS n_nonspace_chars, " +
+        s"len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS n_stopwords, " +
+        "CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr, " +
+        "CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' ')) AS avg_token_len " +
+        "FROM documents ORDER BY doc_id"),
+
+    "token_count" ->
+      ("SELECT doc_id, len(string_split(text,' ')) AS ws_tokens, " +
+        "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_langid" -> sqlLangId,
+
+    "text_quality" ->
+      (s"SELECT doc_id, " +
+        "(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.25 + " +
+        "(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) * 0.25) + " +
+        "((CASE WHEN (CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' '))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25 + " +
+        s"(CASE WHEN (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) > 0.0 " +
+        s"AND (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) < 0.5 THEN 1.0 ELSE 0.0 END) * 0.25)) AS quality " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS content_fp, " +
+        "md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS bag_fp " +
+        "FROM documents ORDER BY doc_id"),
+
+    "event_window_tumbling" ->
+      ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, " +
+        "time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end, " +
+        "event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
+
+    "event_sessionize" ->
+      ("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM o " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS grp FROM d) " +
+        "SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
+        "COUNT(*) AS n_events FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start"),
+
+    "dedup_fuzzy" ->
+      (s"WITH $sqlShingleCte, " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, n_common, sa.sz + sb.sz - n_common AS n_union, " +
+        "CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard " +
+        "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
+        "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5 " +
+        "ORDER BY doc_a, doc_b"),
+
+    "dedup_embedding" ->
+      (s"WITH $sqlQuantCte " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos " +
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
+        "WHERE cos >= 0.4 ORDER BY vec_a, vec_b"),
+
+    "sim_topk" ->
+      (s"WITH $sqlQuantCte, " +
+        "s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        "CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos " +
+        "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM s) " +
+        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    "multimodal_meta" ->
+      ("SELECT doc_id, md5(text) AS content_digest, length(text) AS n_bytes, " +
+        "(n_chars % 64 + 16) AS width, (n_chars % 48 + 16) AS height, " +
+        "(n_chars % 64 + 16) * (n_chars % 48 + 16) AS n_pixels " +
+        "FROM documents ORDER BY doc_id"),
+
+    "multimodal_framesample" ->
+      ("SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx " +
+        "FROM (SELECT doc_id, length(text) // 100 + 1 AS n_frames FROM documents) " +
+        "ORDER BY doc_id, frame_idx")
   )
+
+  /** Stopword list literal shared by text oracles. */
+  private def sqlStopwords: String =
+    graft.operators.TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Word-3-gram distinct shingles CTE (mirrors Dedup.shingles, n=3). */
+  private val sqlShingleCte: String =
+    "toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(t)-1, 1)), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks)"
+
+  /** Integer-quantized embeddings + squared norms CTE (mirrors
+    * Similarity.prepared). */
+  private val sqlQuantCte: String =
+    "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS nrm FROM q)"
+
+  /** Language-ID oracle: same marker lists, same alphabetical-first
+    * tie-break as TextAnalysis.langId. */
+  private def sqlLangId: String = {
+    val markers = graft.operators.TextAnalysis.LangMarkers
+    val scores = markers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text,' '), t -> t IN ($lst))) AS s_$lang"
+    }.mkString(", ")
+    val langs = markers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+    s"WITH sc AS (SELECT doc_id, $scores FROM documents) " +
+      s"SELECT doc_id, CAST($best AS BIGINT) AS best_score, " +
+      s"CASE $pred ELSE 'unknown' END AS pred_lang FROM sc ORDER BY doc_id"
+  }
 }

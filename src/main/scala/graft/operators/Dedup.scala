@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** B2 dedup_fuzzy family — near-duplicate text detection at
+  * training-data-pipeline scale: exact n-gram Jaccard with shared-shingle
+  * blocking (oracle-checkable), MinHash-LSH banding (the 100 TB scale
+  * path) and SimHash fingerprinting.
+  *
+  * Blocking math: a pair with Jaccard ≥ t > 0 shares at least one shingle,
+  * so shared-shingle blocking has recall 1 — the exact-Jaccard output is
+  * deterministic and DuckDB-replicable. MinHash-LSH (b bands × r rows)
+  * trades that guarantee for near-linear scale; its candidates are
+  * verified with the same exact Jaccard, so precision stays 1 and the
+  * only approximation is banding recall (≈1-(1-t^r)^b, >0.9999 for the
+  * J≥0.9 near-dup regime with b=16, r=4).
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of single-space-separated text.
+    * Guarded: fewer than n tokens → empty set (sequence() would otherwise
+    * produce a descending range). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    val idx = sequence(lit(0), size(toks) - n)
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => get(toks, i + lit(o))): _*))
+    array_distinct(when(size(toks) < n, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** (doc_id, shingle) pairs, distinct per doc — the blocking relation.
+    * `maxDf` drops shingles appearing in more than that many docs: at
+    * 100 TB the df-cap is what keeps the per-shingle self-join from going
+    * quadratic on stop-shingles. None = exact recall (the oracle form). */
+  def shingleTable(docs: DataFrame, n: Int = 3,
+                   maxDf: Option[Int] = None): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    maxDf match {
+      case None => sh
+      case Some(cap) =>
+        val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        sh.join(broadcast(df.filter(col("df") <= cap)), "shingle")
+          .select(col("doc_id"), col("shingle"))
+    }
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via shared-shingle blocking.
+    * Output: (doc_a, doc_b, n_common, n_union, jaccard) for jaccard ≥
+    * threshold, doc_a < doc_b. Two shuffles (per-shingle join + per-pair
+    * count); partial aggregation keeps the shuffle narrow. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingleTable(docs, n, maxDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("n_common"))
+    inter
+      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("sa.sz") + col("sb.sz") - col("n_common")).as("n_union"),
+        jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signature matrix: numHashes independent min-hashes per doc.
+    * hash_h(s) = xxhash64(h, s) — evaluated per exploded shingle, min per
+    * (doc, h); one shuffle, partial-aggregated. */
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("h")
+    sh.select(col("doc_id"), seeds, col("shingle"))
+      .withColumn("hv", xxhash64(col("h"), col("shingle")))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(col("hv")).as("mh"))
+  }
+
+  /** LSH band keys: bands of `rowsPerBand` signature rows, band bucket =
+    * hash of the band's minhashes. */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    sigs
+      .withColumn("band", expr(s"h div $rowsPerBand"))
+      .groupBy(col("doc_id"), col("band"))
+      // sort_array over (h, mh) structs fixes fold order inside the band
+      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("h"), col("mh"))))))
+        .as("bucket"))
+
+  /** Candidate pairs: docs sharing any (band, bucket); then verified with
+    * exact Jaccard and thresholded — the scale path for dedup_fuzzy.
+    * Output schema matches [[ngramJaccardPairs]]. */
+  def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.5,
+                          n: Int = 3, numHashes: Int = 64,
+                          rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingleTable(docs, n)
+    val bands = lshBands(minHashSignatures(sh, numHashes), rowsPerBand)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-verify candidates only: join back their shingle sets
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("n_common"))
+    inter
+      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("sa.sz") + col("sb.sz") - col("n_common")).as("n_union"),
+        jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash fingerprints: per-token xxhash64, each bit votes
+    * +1/-1 weighted by term frequency; bit b of the fingerprint is the
+    * sign of the vote sum. One explode + one grouped aggregation. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .withColumn("hv", xxhash64(col("token")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$b")
+    }
+    val fp = (0 until 64).map { b =>
+      when(col(s"v$b") >= 0, expr(s"cast(1 as bigint) << $b")).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit bands of the fingerprint
+    * (Hamming distance ≤ 3 ⇒ at least one of 4 bands identical), verify
+    * with exact Hamming distance. */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fps = simHash(docs)
+    val banded = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

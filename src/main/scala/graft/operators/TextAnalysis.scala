@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** B4 + training-data-pipeline text operators (SURVEY.md §2 Group B):
+  * per-document stats, token counting, language ID, quality scoring and
+  * fingerprinting over the `documents` table.
+  *
+  * All pure narrow column expressions (one codegen stage over the scan —
+  * no shuffle, embarrassingly parallel at 100 TB). Every formula is written
+  * to be bit-deterministic across engines: integer counts, fixed-order
+  * double arithmetic, md5 (portable) instead of JVM-specific hashes.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text` (documents are single-space separated). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Language marker words, alphabetical by language code; ties in the
+    * argmax resolve in this order (first match wins). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "en" -> Seq("the", "and", "of", "with", "for"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4"))
+
+  private def inList(t: Column, words: Seq[String]): Column =
+    words.map(t === _).reduce(_ || _)
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => inList(t, Stopwords)))
+
+  /** Per-document statistics: lengths, token counts, diversity,
+    * whitespace-free char count, stopword hits. All integers or
+    * fixed-order double divisions. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace_chars"),
+      stopwordCount(toks).cast("long").as("n_stopwords"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
+        .as("avg_token_len"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish sub-word proxy —
+    * runs of lowercase letters, runs of digits, and single "other"
+    * non-space characters (the classic pre-tokenizer split). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+        .as("bpe_ish_tokens"))
+
+  /** N-gram-heuristic language ID: count marker-word hits per language,
+    * argmax with alphabetical tie-break, 'unknown' when no marker hits. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +:
+        LangMarkers.map { case (lang, words) =>
+          size(filter(toks, t => inList(t, words))).as(s"s_$lang")
+        }): _*)
+    val langs = LangMarkers.map(_._1)
+    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    // foldRight chains when(...).otherwise(...) in de,en,es,fr,zh order, so
+    // the alphabetically-first language wins score ties.
+    val pred = langs.foldRight(lit("unknown")) { (l, els) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    scored.select(col("doc_id"), best.cast("long").as("best_score"),
+      pred.as("pred_lang"))
+  }
+
+  /** Quality score in [0,1]: fixed-order weighted sum of length fitness,
+    * type-token diversity, mean-token-length fitness and stopword rate.
+    * Weights and clamps written identically in the DuckDB oracle. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val lenOk = when(length(col("text")).between(50, 5000), lit(1.0)).otherwise(lit(0.0))
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val avgLenOk = when(avgLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0))
+    val stopRate = stopwordCount(toks).cast("double") / nTok
+    val stopOk = when(stopRate > 0.0 && stopRate < 0.5, lit(1.0)).otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      (((lenOk * 0.25) + (ttr * 0.25)) + ((avgLenOk * 0.25) + (stopOk * 0.25)))
+        .as("quality"))
+  }
+
+  /** Document fingerprints: md5 of the normalized text (exact-dup key) and
+    * md5 of the sorted distinct token set (bag-of-words near-dup key). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val bag = array_join(array_sort(array_distinct(tokens(col("text")))), " ")
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("content_fp"),
+      md5(bag).as("bag_fp"))
+  }
+}
