@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** DuckDB-portable sentinel expression (mirrors ExportOps.nullSentinel). */
   private def sqlSentinel(c: String): String =
-    s"CASE WHEN $c IS NULL OR trim($c) = '' THEN '$Sentinel' ELSE $c END"
+    s"CASE WHEN $c IS NULL OR regexp_matches($c, '^\\s*$$') THEN '$Sentinel' ELSE $c END"
 
   /** DuckDB strftime equivalent of ExportOps.OdbcTsFormat. */
   private val sqlTsFmt = "'%Y-%m-%d %H:%M:%S.%g'"

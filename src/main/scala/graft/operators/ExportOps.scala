@@ -41,10 +41,13 @@ object ExportOps {
   /** A8 null_sentinel — partition-value normalization: null or
     * blank/whitespace-only → sentinel; everything else passes through
     * UNMODIFIED (the reference does not trim non-blank values).
-    * Ref: hive/PartitionedJsonDecoder.java:221-227 (isNullOrEmpty check
-    * via trim), hive/HiveEndPointFactory.java:88-93. */
+    * Whitespace-only is `\s*` — Spark's `trim` strips only ASCII spaces,
+    * while the reference's Java trim treats tabs/newlines as blank too,
+    * so a regex blank-test is the faithful (and DuckDB-portable) form.
+    * Ref: hive/PartitionedJsonDecoder.java:221-227 (isNullOrEmpty check),
+    * hive/HiveEndPointFactory.java:88-93. */
   def nullSentinel(c: Column): Column =
-    when(c.isNull || trim(c) === "", lit(Sentinel)).otherwise(c)
+    when(c.isNull || c.rlike("^\\s*$"), lit(Sentinel)).otherwise(c)
 
   /** A5 type_dispatch — per-column wire encoding, dispatched on the Spark
     * type exactly as the reference's DecodeType visitor dispatches on

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for the approximate (no-SQL-oracle) dedup/similarity
+  * paths against their exact counterparts — the guarantees SURVEY.md §5.3
+  * asks for: LSH candidates must cover the true near-dup pairs, verified
+  * outputs must carry exact scores. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0)
+  private lazy val emb = Tables.embeddings(spark, sf0)
+
+  test("minhash-LSH near-dup pairs equal the exact ngram-Jaccard pairs here") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect().toSet
+    val lsh = Dedup.minHashNearDupPairs(docs, threshold = 0.5).collect().toSet
+    // precision 1 always (LSH output is exact-verified); recall 1 expected
+    // at J≥0.9 with 16 bands × 4 rows (miss prob < 1e-7 per pair)
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide at hamming 0; pairs are near-dups") {
+    val fps = Dedup.simHash(docs)
+    val dupTexts = docs.groupBy("text").count().filter(col("count") > 1)
+    val nDupGroups = dupTexts.count()
+    if (nDupGroups > 0) {
+      // docs with identical text must have identical simhash
+      val joined = docs.join(fps, "doc_id")
+        .groupBy("text").agg(countDistinct("simhash").as("n"))
+        .filter(col("n") > 1).count()
+      assert(joined == 0)
+    }
+    val pairs = Dedup.simHashNearDupPairs(docs).collect()
+    assert(pairs.forall(_.getAs[Number]("hamming").intValue <= 3))
+  }
+
+  test("quantized cosine is symmetric, bounded and exact on unit cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(2.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.nearDupPairs(df, threshold = -2.0)
+      .as[(Long, Long, Double)].collect()
+    val pairs = rows.map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(math.abs(pairs((1L, 3L)) - 1.0) < 1e-12) // parallel vectors
+    assert(math.abs(pairs((1L, 2L))) < 1e-12)       // orthogonal
+  }
+
+  test("ANN top-k recall ≥ 0.5 vs brute force on random embeddings") {
+    val bf = Similarity.bruteForceTopK(emb).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    // random vectors are the worst case for sign-LSH; ≥0.5 demonstrates
+    // the multi-table union works (clustered real data recalls higher)
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("exact dedup keeps lowest doc_id per duplicate text group") {
+    val deduped = graft.operators.Relational
+      .dedupExact(docs, Seq("text"), "doc_id")
+    val winners = deduped.groupBy("text").count().filter(col("count") > 1).count()
+    assert(winners == 0)
+    val expected = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    assert(deduped.select("doc_id").except(expected.select("doc_id")).count() == 0)
+  }
+}

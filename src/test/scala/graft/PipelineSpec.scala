@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.ExportPipeline
+import graft.streaming.StreamingExport
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** Golden write-layout + streaming exactly-once tests (SURVEY.md §5.2
+  * items 3-4): partition directory layout with sentinel directories, and
+  * replay-idempotent micro-batch commits. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write: golden directory layout incl. sentinel dirs") {
+    val df = Seq(
+      (1L, "alpha", "EU"), (2L, "beta", "EU"),
+      (3L, "gamma", null.asInstanceOf[String]), (4L, "delta", "  "))
+      .toDF("id", "msg", "continent")
+    val out = Files.createTempDirectory("graft_golden_").toString
+    ExportPipeline.writeRouted(ExportPipeline.route(df, Seq("continent")), out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(dirs == Seq("continent=EU", "continent=__VoltDB_unspecified__"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4)
+    assert(back.filter(col("continent") === "__VoltDB_unspecified__").count() == 2)
+    // payload excludes the partition column and keeps declaration order
+    val one = back.filter(col("continent") === "EU")
+      .select("payload_json").as[String].collect().sorted.head
+    assert(one == """{"id":1,"msg":"alpha"}""")
+  }
+
+  test("streaming export: micro-batched, checkpointed, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_stream_out_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_").toString
+    mem.addData((1L, "EU"), (2L, "AS"), (3L, null.asInstanceOf[String]))
+    val q = StreamingExport.exportStream(
+      mem.toDF().toDF("id", "continent"), Seq("continent"), out, ckpt)
+    q.processAllAvailable(); q.stop()
+    val firstCount = spark.read.parquet(s"$out/batch_id=0").count()
+    assert(firstCount == 3)
+
+    // replay the same batch: idempotent overwrite, not append
+    val routed = ExportPipeline.route(
+      Seq((1L, "EU"), (2L, "AS"), (3L, null.asInstanceOf[String]))
+        .toDF("id", "continent"), Seq("continent"))
+    StreamingExport.writeBatch(routed, out, 0L)
+    assert(spark.read.parquet(s"$out/batch_id=0").count() == 3)
+
+    // restart from checkpoint with new data: continues at next batch id
+    mem.addData((4L, "EU"))
+    val q2 = StreamingExport.exportStream(
+      mem.toDF().toDF("id", "continent"), Seq("continent"), out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val total = spark.read.option("basePath", out).parquet(s"$out/batch_id=*").count()
+    assert(total == 4, s"exactly-once total, got $total")
+  }
+
+  test("streaming windowed counts with watermark run end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), "click"),
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "view"))
+    val agg = StreamingExport.windowedCounts(mem.toDF().toDF("ts", "event_type"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_counts").start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows; the 00:00 window
+    // closed when the 02:00 event advanced the watermark
+    val rows = spark.table("win_counts").collect()
+    assert(rows.exists(r => r.getAs[Long]("n_events") == 2))
+  }
+}
