@@ -1,0 +1,229 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the hot inner loop of the similarity
+  * operators: exact integer dot product of two array<long> columns.
+  *
+  * The composable form — `aggregate(zip_with(a, b, _*_), 0L, _+_)` — is a
+  * higher-order function chain that Spark evaluates interpreted (HOFs are
+  * CodegenFallback), allocating a lambda frame per element. Inside an
+  * all-pairs join that's O(N²·d) interpreted steps and dominates the
+  * benchmark (64 s of 125 s at sf0.1). This expression generates a tight
+  * primitive loop inside whole-stage codegen instead — same semantics,
+  * same exact integer result, ~50× less per-pair cost.
+  *
+  * Only the evaluation strategy changes; DuckDB-oracle parity is
+  * unaffected because the value is the identical exact integer.
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Distinct word n-gram shingles of a single-space-separated string, in
+  * first-occurrence order — one JVM loop instead of the
+  * `array_distinct(transform(sequence(...), concat_ws(get(...))))` HOF
+  * chain, which is interpreted and costs ~1 ms per document (it dominated
+  * dedup_fuzzy at sf0.1: 5.9 s of 9.7 s just to produce shingles).
+  *
+  * Token semantics match Spark's `split(text, ' ')` and DuckDB's
+  * `string_split(text, ' ')` exactly (consecutive/trailing separators
+  * yield empty tokens), so the DuckDB oracle is unaffected.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].split(space, -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = toks(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a shingle set in one pass: base = FNV-1a 64 of
+  * each shingle's bytes, then k affine permutations g_h(x) = a_h·x + b_h
+  * (odd multipliers from a fixed LCG on h), taking the min per h.
+  *
+  * Replaces the explode(shingles × k seeds) formulation, which pushed
+  * |shingles|·k rows (16.6M at sf0.1) through a shuffle just to take
+  * mins — here it's one tight loop per document, no extra rows. Standard
+  * hash-once-permute-k MinHash; banding recall behaves identically.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  // fixed affine permutation parameters (odd a_h), derived once per plan
+  private lazy val (as, bs) = {
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var s = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < k) {
+      s = s * 6364136223846793005L + 1442695040888963407L; a(i) = s | 1L
+      s = s * 6364136223846793005L + 1442695040888963407L; b(i) = s
+      i += 1
+    }
+    (a, b)
+  }
+
+  private def fnv1a(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = fnv1a(arr.getUTF8String(i))
+      var h = 0
+      while (h < k) {
+        val g = as(h) * base + bs(h)
+        if (g < mins(h)) mins(h) = g
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Packed sign-LSH bucket keys: for each of `tables` hash tables, project
+  * the integer vector onto `bitsPerTable` deterministic LCG hyperplanes
+  * and pack the sign bits into a bucket id. One loop per vector instead
+  * of tables×bits interpreted HOF aggregates. Returns array<long> of
+  * length `tables` (index = table id). */
+case class SignLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_buckets"
+
+  /** Same deterministic weight formula as Similarity.lcgWeight. */
+  private def weight(h: Int, i: Int): Long = {
+    val x = (h.toLong * 64L + i) * 1103515245L + 12345L
+    val m = x % 2147483648L
+    (if (m < 0) m + 2147483648L else m) - 1073741824L
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val h = t * bitsPerTable + b
+        var proj = 0L
+        var i = 0
+        while (i < d) { proj += arr.getLong(i) * weight(h, i); i += 1 }
+        if (proj >= 0) key |= (1L << b)
+        b += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Column API for [[LongArrayDot]]. */
+  def longArrayDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(LongArrayDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API for [[WordShingles]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), n))
+
+  /** Column API for [[MinHashSig]]. */
+  def minHashSig(shingleSet: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingleSet), k))
+
+  /** Column API for [[SignLshBuckets]]. */
+  def signLshBuckets(qv: Column, tables: Int, bitsPerTable: Int): Column =
+    GraftColumnBridge.column(SignLshBuckets(
+      GraftColumnBridge.expression(qv), tables, bitsPerTable))
+}

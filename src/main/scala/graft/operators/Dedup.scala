@@ -19,16 +19,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of single-space-separated text.
-    * Guarded: fewer than n tokens → empty set (sequence() would otherwise
-    * produce a descending range). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    val idx = sequence(lit(0), size(toks) - n)
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => get(toks, i + lit(o))): _*))
-    array_distinct(when(size(toks) < n, array().cast("array<string>")).otherwise(grams))
-  }
+  /** Distinct word n-gram shingles of single-space-separated text — a
+    * native expression (graft.functions.WordShingles); the HOF-composed
+    * form was interpreted and dominated the shingle pipeline. Fewer than
+    * n tokens → empty set. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.VectorFunctions.wordShingles(text, n)
 
   /** (doc_id, shingle) pairs, distinct per doc — the blocking relation.
     * `maxDf` drops shingles appearing in more than that many docs: at
@@ -52,7 +48,11 @@ object Dedup {
     * count); partial aggregation keeps the shuffle narrow. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
+    // consumed 3× (sizes + both join sides): cache so the shingle HOFs
+    // run once; falls out via Spark's LRU (at cluster scale: persist to
+    // storage or reuse a materialized shingle table across dedup runs)
     val sh = shingleTable(docs, n, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
@@ -71,26 +71,28 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signature matrix: numHashes independent min-hashes per doc.
-    * hash_h(s) = xxhash64(h, s) — evaluated per exploded shingle, min per
-    * (doc, h); one shuffle, partial-aggregated. */
-  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
-    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("h")
-    sh.select(col("doc_id"), seeds, col("shingle"))
-      .withColumn("hv", xxhash64(col("h"), col("shingle")))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(col("hv")).as("mh"))
-  }
+  /** MinHash signatures: k min-hashes per doc, computed in one pass by
+    * the native MinHashSig expression (hash each shingle once, k affine
+    * permutations) — no exploded (shingle × seed) rows, no shuffle.
+    * Output: (doc_id, sig array<long>[k]). */
+  def minHashSignatures(docs: DataFrame, n: Int = 3,
+                        numHashes: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.VectorFunctions
+        .minHashSig(shingles(col("text"), n), numHashes).as("sig"))
 
-  /** LSH band keys: bands of `rowsPerBand` signature rows, band bucket =
-    * hash of the band's minhashes. */
-  def lshBands(sigs: DataFrame, rowsPerBand: Int = 4): DataFrame =
-    sigs
-      .withColumn("band", expr(s"h div $rowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      // sort_array over (h, mh) structs fixes fold order inside the band
-      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("h"), col("mh"))))))
-        .as("bucket"))
+  /** LSH band keys: bands of `rowsPerBand` signature entries, bucket =
+    * murmur hash of the band's slice. Output: (doc_id, band, bucket). */
+  def lshBands(sigs: DataFrame, numHashes: Int = 64,
+               rowsPerBand: Int = 4): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandCols = (0 until nBands).map { bd =>
+      struct(lit(bd).as("band"),
+        hash(slice(col("sig"), bd * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
 
   /** Candidate pairs: docs sharing any (band, bucket); then verified with
     * exact Jaccard and thresholded — the scale path for dedup_fuzzy.
@@ -99,7 +101,8 @@ object Dedup {
                           n: Int = 3, numHashes: Int = 64,
                           rowsPerBand: Int = 4): DataFrame = {
     val sh = shingleTable(docs, n)
-    val bands = lshBands(minHashSignatures(sh, numHashes), rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = lshBands(minHashSignatures(docs, n, numHashes), numHashes, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -27,9 +27,12 @@ object Similarity {
   def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen Expression (graft.functions.LongArrayDot); the equivalent
+    * `aggregate(zip_with(...))` HOF chain is interpreted and ~50× slower
+    * in the all-pairs hot path. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.longArrayDot(a, b)
 
   /** Cosine from integer dot/norms: deterministic double. */
   def cosine(dot: Column, normA: Column, normB: Column): Column =
@@ -79,38 +82,19 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Deterministic LCG weight for hyperplane h, dimension i — portable
-    * integer arithmetic (no RNG state, same value in any engine). */
-  private def lcgWeight(h: Int, i: Column): Column = {
-    val x = (lit(h.toLong * 64L) + i) * 1103515245L + 12345L
-    pmod(x, lit(2147483648L)) - 1073741824L
-  }
-
-  /** Sign bit of hyperplane h over the quantized vector. */
-  private def signBit(qv: Column, h: Int): Column = {
-    val proj = aggregate(
-      zip_with(qv, sequence(lit(0L), lit(63L)), (x, i) => x * lcgWeight(h, i)),
-      lit(0L), (acc, x) => acc + x)
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
-
   /** Multi-table random-hyperplane LSH: `tables` independent hash tables
-    * of `bitsPerTable` sign bits each. Returns one (table, bucket) row per
-    * input vector per table. Recall for a neighbor at angle-similarity p
-    * is 1-(1-p^r)^L — with r=4, L=16 and p≈0.6 that is ≈0.9, while each
-    * table still cuts the candidate set 2^r-fold. */
-  def lshBuckets(p: DataFrame, tables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
-    val tableKeys = (0 until tables).map { t =>
-      val key = (0 until bitsPerTable).map { b =>
-        signBit(col("qv"), t * bitsPerTable + b) * (1L << b)
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), key.as("bucket"))
-    }
+    * of `bitsPerTable` sign bits each, computed in one native-expression
+    * pass (graft.functions.SignLshBuckets — deterministic LCG
+    * hyperplanes). Returns one (table, bucket) row per input vector per
+    * table. Recall for a neighbor at angle-similarity p is 1-(1-p^r)^L —
+    * with r=4, L=16 and p≈0.6 that is ≈0.9, while each table still cuts
+    * the candidate set 2^r-fold. */
+  def lshBuckets(p: DataFrame, tables: Int = 16, bitsPerTable: Int = 4): DataFrame =
     p.select(col("vec_id"), col("qv"), col("nrm"),
-        explode(array(tableKeys: _*)).as("tb"))
-      .select(col("vec_id"), col("qv"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-  }
+        posexplode(graft.functions.VectorFunctions
+          .signLshBuckets(col("qv"), tables, bitsPerTable)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
 
   /** ANN top-k: candidate set = union over L hash tables of the query's
     * bucket, deduped, then exact cosine rerank. The per-table lookup is an
