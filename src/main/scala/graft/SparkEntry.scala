@@ -167,6 +167,10 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) =>
       Relational.pricingSummary(Tables.lineitem(s, d))),
 
+    // B6b agg_rollup_sets: ROLLUP grouping sets (subtotals + grand total).
+    "agg_rollup_sets" -> ((s, d) =>
+      Relational.pricingRollup(Tables.lineitem(s, d))),
+
     // B7 join_enrich: orders ⋈ customer ⋈ nation ⋈ region, dims broadcast.
     "join_enrich" -> ((s, d) =>
       Relational.enrichOrders(Tables.orders(s, d), Tables.customer(s, d),
@@ -341,6 +345,14 @@ object SparkEntry {
         "CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
         "COUNT(*) AS count_order " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "agg_rollup_sets" ->
+      ("SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
 
     "join_enrich" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, c_name, c_mktsegment, " +

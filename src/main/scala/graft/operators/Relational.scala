@@ -39,6 +39,20 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** ROLLUP grouping sets over the same pricing summary: per (flag,
+    * status), per flag subtotals, and the grand total — one pass, Spark
+    * expands the grouping sets before the partial aggregation so the
+    * shuffle still carries only group partials. */
+  def pricingRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** Orders enriched with customer → nation → region. The dimension side
     * (customer/nation/region) is broadcast, so the fact side (orders, the
     * 100 TB table) never shuffles — the whole join tree is one codegen
