@@ -181,6 +181,15 @@ object SparkEntry {
       Relational.dedupExact(Tables.documents(s, d), Seq("text"), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Skew-safe salted aggregation (same semantics as direct groupBy —
+    // that IS the oracle; structure is the 100 TB hot-key remedy).
+    "agg_salted" -> ((s, d) =>
+      Relational.saltedAgg(Tables.events(s, d))),
+
+    // Exact interpolated quantiles (order statistics, oracle-checkable).
+    "text_len_quantiles" -> ((s, d) =>
+      Relational.lengthQuantiles(Tables.documents(s, d))),
+
     // ---- Group A: sink-side machinery -----------------------------------
 
     // A12 batch_barrier: micro-batch block assembly + per-block summary.
@@ -365,6 +374,16 @@ object SparkEntry {
       ("SELECT doc_id, text, lang, source, n_chars FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
         "WHERE rn = 1 ORDER BY doc_id"),
+
+    "agg_salted" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "text_len_quantiles" ->
+      ("SELECT quantile_cont(n_chars, 0.25) AS p25, quantile_cont(n_chars, 0.5) AS p50, " +
+        "quantile_cont(n_chars, 0.75) AS p75, quantile_cont(n_chars, 0.9) AS p90, " +
+        "MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents"),
 
     "batch_barrier" ->
       ("SELECT event_id // 1000 AS batch_id, COUNT(*) AS n_rows, " +

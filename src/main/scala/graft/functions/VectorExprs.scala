@@ -208,6 +208,52 @@ case class SignLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of single-space-separated text in one pass: FNV-1a 64
+  * per token, each hash bit votes ±1 (term-frequency weighted), sign of
+  * the vote sum becomes the fingerprint bit.
+  *
+  * Replaces an explode(tokens) + 64 × sum(when(...)) aggregation — a
+  * shuffle of |tokens| rows with 64 aggregate buffers per doc — with a
+  * narrow per-row loop. SimHash values change (different token hash than
+  * the old xxhash64 form) but all fingerprint invariants (identical text
+  * ⇒ identical hash, near-identical ⇒ small Hamming distance) hold.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].split(space, -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val bytes = toks(t).getBytes
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) >= 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[LongArrayDot]]. */
   def longArrayDot(a: Column, b: Column): Column =
@@ -221,6 +267,10 @@ object VectorFunctions {
   /** Column API for [[MinHashSig]]. */
   def minHashSig(shingleSet: Column, k: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingleSet), k))
+
+  /** Column API for [[SimHash64]]. */
+  def simHash64(text: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
 
   /** Column API for [[SignLshBuckets]]. */
   def signLshBuckets(qv: Column, tables: Int, bitsPerTable: Int): Column =

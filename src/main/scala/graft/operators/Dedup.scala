@@ -128,23 +128,14 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash fingerprints: per-token xxhash64, each bit votes
-    * +1/-1 weighted by term frequency; bit b of the fingerprint is the
-    * sign of the vote sum. One explode + one grouped aggregation. */
-  def simHash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("token"))
-      .withColumn("hv", xxhash64(col("token")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v$b")
-    }
-    val fp = (0 until 64).map { b =>
-      when(col(s"v$b") >= 0, expr(s"cast(1 as bigint) << $b")).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+  /** 64-bit SimHash fingerprints via the native SimHash64 expression:
+    * per-token FNV-1a hashes vote ±1 per bit, sign of the sum is the
+    * fingerprint bit. Narrow projection — no explode, no shuffle (the
+    * previous formulation shuffled |tokens| rows through 64 aggregate
+    * buffers per doc). */
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.simHash64(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: block on 16-bit bands of the fingerprint
     * (Hamming distance ≤ 3 ⇒ at least one of 4 bands identical), verify

@@ -71,6 +71,38 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Skew-safe two-stage (salted) aggregation: rows are spread over
+    * `salts` sub-keys derived deterministically from a row id, partially
+    * aggregated per (key, salt), then merged per key. Semantically
+    * IDENTICAL to the direct groupBy (decimal sums are order-insensitive
+    * — the oracle is the plain GROUP BY); structurally it caps any hot
+    * key's share of a single reducer at 1/salts, the standard remedy when
+    * a handful of keys dominate a 100 TB shuffle. */
+  def saltedAgg(events: DataFrame, key: String = "event_type",
+                salts: Int = 16): DataFrame = {
+    val partial = events
+      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(dec2(col("value"))).as("psum"))
+    partial
+      .groupBy(col(key))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy(col(key))
+  }
+
+  /** Exact interpolated quantiles of document length — order statistics
+    * are exact on integer inputs, so the oracle can replicate them. */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.agg(
+      expr("percentile(n_chars, 0.25)").as("p25"),
+      expr("percentile(n_chars, 0.5)").as("p50"),
+      expr("percentile(n_chars, 0.75)").as("p75"),
+      expr("percentile(n_chars, 0.9)").as("p90"),
+      min(col("n_chars")).as("lo"),
+      max(col("n_chars")).as("hi"))
+
   /** B1 dedup_exact — deterministic exact dedup: keep the lowest-key row
     * per duplicate group. One shuffle on the dedup key; at scale prefer
     * this row_number form over dropDuplicates for a deterministic winner. */

@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.{Ev, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Drives the flatMapGroupsWithState sessionizer through a real streaming
+  * query: in-batch gap splits, cross-batch state carry, and event-time
+  * timeout close via watermark advance. */
+class StatefulSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stateful sessionization: splits, carries state, closes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StatefulSessions.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L,
+      watermark = "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+
+    // batch 1: user 1 has two sessions' worth (2h apart), user 2 one event
+    mem.addData(
+      Ev(1L, ts("2024-01-01 00:00:00")), Ev(1L, ts("2024-01-01 00:10:00")),
+      Ev(1L, ts("2024-01-01 02:00:00")),
+      Ev(2L, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    val afterB1 = spark.table("sessions").as[Session].collect()
+    // the in-batch gap split closed user 1's first session immediately
+    assert(afterB1.exists(s => s.user_id == 1L &&
+      s.sess_start == ts("2024-01-01 00:00:00") &&
+      s.sess_end == ts("2024-01-01 00:40:00") && s.n_events == 2))
+
+    // batch 2: far-future event advances the watermark past all timeouts
+    mem.addData(Ev(3L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(Ev(3L, ts("2024-01-03 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val all = spark.table("sessions").as[Session].collect()
+    // user 2's single-event session closed by timeout
+    assert(all.exists(s => s.user_id == 2L && s.n_events == 1 &&
+      s.sess_end == ts("2024-01-01 00:35:00")))
+    // user 1's open tail (02:00) closed by timeout
+    assert(all.exists(s => s.user_id == 1L && s.n_events == 1 &&
+      s.sess_start == ts("2024-01-01 02:00:00")))
+  }
+}
