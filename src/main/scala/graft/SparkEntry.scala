@@ -181,6 +181,57 @@ object SparkEntry {
       Relational.dedupExact(Tables.documents(s, d), Seq("text"), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Quarantine decode: bad wire rows are FLAGGED, not silently dropped
+    // (upgrading the reference's drop-and-continue, SURVEY.md §4.4.3).
+    "row_quarantine" -> ((s, d) => {
+      // PERMISSIVE from_json + corrupt-record column: malformed wire rows
+      // surface with the raw text captured, never silently dropped.
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      val parsed = from_json(col("raw"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt"))
+      Tables.events(s, d)
+        .withColumn("raw",
+          when(pmod(col("event_id"), lit(7)) === 0,
+            concat(lit("{bad"), col("props"))).otherwise(col("props")))
+        .select(col("event_id"), col("raw"),
+          parsed.getField("k").as("k"),
+          parsed.getField("_corrupt").isNotNull.as("quarantined"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Windowed top-k per group: top-3 users by exact total value per type.
+    "window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val totals = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast(DecimalType(12, 2))).as("tot"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("tot").desc, col("user_id"))
+      totals.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("user_id"),
+          col("tot").cast("double").as("total_value"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
+
+    // Set operations: EXCEPT / INTERSECT over user populations.
+    "set_ops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id"))
+      users("purchase").except(users("error"))
+        .withColumn("op", lit("purchase_minus_error"))
+        .union(users("signup").intersect(users("view"))
+          .withColumn("op", lit("signup_and_view")))
+        .select(col("op"), col("user_id"))
+        .orderBy(col("op"), col("user_id"))
+    }),
+
     // Skew-safe salted aggregation (same semantics as direct groupBy —
     // that IS the oracle; structure is the 100 TB hot-key remedy).
     "agg_salted" -> ((s, d) =>
@@ -374,6 +425,30 @@ object SparkEntry {
       ("SELECT doc_id, text, lang, source, n_chars FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
         "WHERE rn = 1 ORDER BY doc_id"),
+
+    "row_quarantine" ->
+      ("SELECT event_id, raw, " +
+        "CASE WHEN json_valid(raw) THEN CAST(raw->>'k' AS BIGINT) END AS k, " +
+        "NOT json_valid(raw) AS quarantined " +
+        "FROM (SELECT event_id, CASE WHEN event_id % 7 = 0 THEN '{bad' || props " +
+        "ELSE props END AS raw FROM events) ORDER BY event_id"),
+
+    "window_topk" ->
+      ("SELECT event_type, rk, user_id, CAST(tot AS DOUBLE) AS total_value FROM (" +
+        "SELECT event_type, user_id, tot, ROW_NUMBER() OVER " +
+        "(PARTITION BY event_type ORDER BY tot DESC, user_id) AS rk FROM (" +
+        "SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(12,2))) AS tot " +
+        "FROM events GROUP BY 1, 2)) WHERE rk <= 3 ORDER BY event_type, rk"),
+
+    "set_ops" ->
+      ("SELECT 'purchase_minus_error' AS op, user_id FROM " +
+        "(SELECT user_id FROM events WHERE event_type = 'purchase' EXCEPT " +
+        "SELECT user_id FROM events WHERE event_type = 'error') " +
+        "UNION ALL " +
+        "SELECT 'signup_and_view' AS op, user_id FROM " +
+        "(SELECT user_id FROM events WHERE event_type = 'signup' INTERSECT " +
+        "SELECT user_id FROM events WHERE event_type = 'view') " +
+        "ORDER BY op, user_id"),
 
     "agg_salted" ->
       ("SELECT event_type, COUNT(*) AS n_events, " +

@@ -60,6 +60,17 @@ object ExportOps {
     case _                                => c
   }
 
+  /** Field-name camelCasing (lower-first) — the reference's builder
+    * option, disabled by its client but part of the surface:
+    * `COLUMN_NAME` → `columnName`.
+    * Ref: hive/PartitionedJsonDecoder.java:260,297-307;
+    * camelCaseFieldNames(false) at hive/HiveExportClient.java:152. */
+  def camelCaseName(name: String): String = {
+    val parts = name.toLowerCase.split("_").filter(_.nonEmpty)
+    if (parts.isEmpty) name.toLowerCase
+    else parts.head + parts.tail.map(_.capitalize).mkString
+  }
+
   /** A10 json_encode — payload columns (already wire-encoded) → one JSON
     * object string, fields in declaration order, null fields kept as JSON
     * null (the reference writes JSONWriter.value(null)).
@@ -87,10 +98,14 @@ object ExportOps {
     * which Spark executes with one writer per (task, partition) and no
     * extra shuffle unless we ask for it (see ExportPipeline.writeRouted).
     */
-  def partitionRoute(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+  def partitionRoute(df: DataFrame, partitionCols: Seq[String],
+                     camelCaseFields: Boolean = false): DataFrame = {
     val pset = partitionCols.map(_.toLowerCase).toSet
     val payloadFields = df.schema.fields.filterNot(f => pset(f.name.toLowerCase))
-    val payload = payloadFields.map(f => wireEncode(col(f.name), f.dataType).as(f.name))
+    val payload = payloadFields.map { f =>
+      val name = if (camelCaseFields) camelCaseName(f.name) else f.name
+      wireEncode(col(f.name), f.dataType).as(name)
+    }
     val parts = partitionCols.map(c => nullSentinel(col(c)).as(c))
     df.select(jsonEncode(payload.toIndexedSeq: _*).as("payload_json") +: parts: _*)
   }

@@ -31,6 +31,37 @@ class PipelineSpec extends SparkSpec {
     assert(one == """{"id":1,"msg":"alpha"}""")
   }
 
+  test("ORC write path: the reference's required sink format round-trips") {
+    val df = Seq((1L, "a", "EU"), (2L, "b", "AS")).toDF("id", "msg", "region")
+    val out = Files.createTempDirectory("graft_orc_").toString
+    ExportPipeline.writeRouted(ExportPipeline.route(df, Seq("region")), out,
+      format = "orc")
+    val back = spark.read.format("orc").load(out)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("payload_json", "region"))
+  }
+
+  test("camelCase field names option (reference builder surface)") {
+    import graft.operators.ExportOps
+    assert(ExportOps.camelCaseName("COLUMN_NAME") == "columnName")
+    assert(ExportOps.camelCaseName("ID") == "id")
+    assert(ExportOps.camelCaseName("A_B_C") == "aBC")
+    val df = Seq((1L, "x", "EU")).toDF("EVENT_ID", "MSG_TEXT", "REGION")
+    val routed = ExportOps.partitionRoute(df, Seq("REGION"), camelCaseFields = true)
+    assert(routed.select("payload_json").as[String].head() ==
+      """{"eventId":1,"msgText":"x"}""")
+  }
+
+  test("schema generations: evolved source schema reads via mergeSchema") {
+    val base = Files.createTempDirectory("graft_gen_").toString
+    Seq((1L, "a")).toDF("id", "msg").write.parquet(s"$base/gen=1")
+    Seq((2L, "b", "extra")).toDF("id", "msg", "note").write.parquet(s"$base/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.toSet == Set("id", "msg", "note", "gen"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("gen") === 1).select("note").head().isNullAt(0))
+  }
+
   test("streaming export: micro-batched, checkpointed, replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
