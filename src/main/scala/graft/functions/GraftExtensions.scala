@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL registration for the engine's native expressions, so `spark.sql`
+  * users get them alongside the Column API:
+  *
+  *   SELECT simhash64(text), word_shingles(text, 3) FROM docs
+  *
+  * Two doors: [[GraftExtensions]] for session construction
+  * (`.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`), and
+  * [[GraftFunctions.register]] to add them to an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Seq[Expression] = {
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.size}")
+    args
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "long_array_dot" -> (args => {
+      val a = arity("long_array_dot", args, 2); LongArrayDot(a(0), a(1))
+    }),
+    "word_shingles" -> (args => {
+      val a = arity("word_shingles", args, 2)
+      WordShingles(a(0), intArg(a(1), "n"))
+    }),
+    "minhash_sig" -> (args => {
+      val a = arity("minhash_sig", args, 2)
+      MinHashSig(a(0), intArg(a(1), "numHashes"))
+    }),
+    "simhash64" -> (args => SimHash64(arity("simhash64", args, 1).head)),
+    "sign_lsh_buckets" -> (args => {
+      val a = arity("sign_lsh_buckets", args, 3)
+      SignLshBuckets(a(0), intArg(a(1), "tables"), intArg(a(2), "bitsPerTable"))
+    }))
+
+  /** Register on a live session (temp functions, session-scoped). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+/** SQL-surface coverage of the native expressions: registered functions
+  * callable from spark.sql, values consistent with the Column API. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("native expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot,
+        |       word_shingles('a b c d', 3) AS sh,
+        |       simhash64('a b c') AS fp,
+        |       size(minhash_sig(word_shingles('a b c d', 3), 16)) AS sig_len,
+        |       size(sign_lsh_buckets(array(1L, -2L, 3L), 4, 4)) AS n_tables
+        |""".stripMargin).collect().head
+    assert(r.getAs[Long]("dot") == 32L)
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq == Seq("a b c", "b c d"))
+    assert(r.getAs[Long]("fp") != 0L)
+    assert(r.getAs[Int]("sig_len") == 16)
+    assert(r.getAs[Int]("n_tables") == 4)
+  }
+
+  test("SQL and Column API agree") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("the quick brown fox jumps").toDF("text")
+    val viaCol = df.select(
+      graft.functions.VectorFunctions.simHash64(col("text"))).as[Long].head()
+    df.createOrReplaceTempView("t")
+    val viaSql = spark.sql("SELECT simhash64(text) FROM t").as[Long].head()
+    assert(viaCol == viaSql)
+  }
+}
