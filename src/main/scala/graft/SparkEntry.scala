@@ -181,6 +181,15 @@ object SparkEntry {
       Relational.dedupExact(Tables.documents(s, d), Seq("text"), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // As-of join: latest same-user click at-or-before each purchase
+    // (sort-merge composition — Spark has no native as-of join).
+    "join_asof" -> ((s, d) =>
+      Relational.asofJoin(Tables.events(s, d))),
+
+    // Pivot: per-user event-type count matrix, explicit value list.
+    "pivot_counts" -> ((s, d) =>
+      Relational.pivotCounts(Tables.events(s, d))),
+
     // Quarantine decode: bad wire rows are FLAGGED, not silently dropped
     // (upgrading the reference's drop-and-continue, SURVEY.md §4.4.3).
     "row_quarantine" -> ((s, d) => {
@@ -425,6 +434,22 @@ object SparkEntry {
       ("SELECT doc_id, text, lang, source, n_chars FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
         "WHERE rn = 1 ORDER BY doc_id"),
+
+    "join_asof" ->
+      ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, asof_ts FROM (" +
+        "SELECT event_id, user_id, ts, event_type, " +
+        "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS asof_ts " +
+        "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    "pivot_counts" ->
+      ("SELECT user_id, " +
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "COUNT(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "COUNT(*) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
 
     "row_quarantine" ->
       ("SELECT event_id, raw, " +

@@ -103,6 +103,42 @@ object Relational {
       min(col("n_chars")).as("lo"),
       max(col("n_chars")).as("hi"))
 
+  /** As-of join (composition form): for each `forType` event, the most
+    * recent `matchType` event of the same user at-or-before it. Spark has
+    * no native as-of join; the scalable composition is a single
+    * partitioned sort + running `last(..., ignoreNulls)` carry — one
+    * shuffle on the key, no range cross-join, the sort-merge as-of
+    * pattern that holds at 100 TB. "At-or-before" is inclusive and ties
+    * at equal ts resolve by event_id order (a same-instant match event
+    * with a HIGHER id counts as after, not before) — deterministic and
+    * mirrored exactly in the oracle SQL. */
+  def asofJoin(events: DataFrame, matchType: String = "click",
+               forType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("asof_ts",
+        last(when(col("event_type") === matchType, col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === forType)
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Pivot: per-user event-type counts as columns (explicit value list ⇒
+    * deterministic schema, no extra pass to discover values — the form
+    * that works on a 100 TB fact table). */
+  def pivotCounts(events: DataFrame,
+                  types: Seq[String] = Seq("click", "error", "purchase",
+                    "signup", "view")): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+
   /** B1 dedup_exact — deterministic exact dedup: keep the lowest-key row
     * per duplicate group. One shuffle on the dedup key; at scale prefer
     * this row_number form over dropDuplicates for a deterministic winner. */
