@@ -181,6 +181,11 @@ object SparkEntry {
       Relational.dedupExact(Tables.documents(s, d), Seq("text"), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // TPC-H Q3 shape: filter-pushdown + broadcast dim + fact join + top-k.
+    "q3_shipping_priority" -> ((s, d) =>
+      Relational.shippingPriority(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))),
+
     // As-of join: latest same-user click at-or-before each purchase
     // (sort-merge composition — Spark has no native as-of join).
     "join_asof" -> ((s, d) =>
@@ -323,6 +328,10 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
 
+    // LSH-bucketed embedding near-dup (scale path; spec-checked recall).
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, d))),
+
     // ---- Group B: similarity search -------------------------------------
 
     // B3 sim_topk: brute-force cosine top-k, quantized (full oracle).
@@ -434,6 +443,15 @@ object SparkEntry {
       ("SELECT doc_id, text, lang, source, n_chars FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
         "WHERE rn = 1 ORDER BY doc_id"),
+
+    "q3_shipping_priority" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
 
     "join_asof" ->
       ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, asof_ts FROM (" +

@@ -103,6 +103,29 @@ object Relational {
       min(col("n_chars")).as("lo"),
       max(col("n_chars")).as("hi"))
 
+  /** TPC-H Q3 shape — shipping priority: revenue of unshipped-as-of-date
+    * orders for one market segment, top 10. Exercises the
+    * filter-pushdown → broadcast-dim → fact-join → partial-agg → top-k
+    * chain: both date filters reach the parquet scans (PushedFilters),
+    * customer is broadcast, lineitem (the 100 TB side) shuffles once on
+    * l_orderkey for the aggregate. */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame,
+                       segment: String = "BUILDING",
+                       date: String = "1998-01-01"): DataFrame = {
+    val cut = to_timestamp(lit(date))
+    val revenue = sum(dec2(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(3, 2)) - dec2(col("l_discount"))))
+    lineitem.filter(col("l_shipdate") > cut)
+      .join(orders.filter(col("o_orderdate") < cut), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenue.cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** As-of join (composition form): for each `forType` event, the most
     * recent `matchType` event of the same user at-or-before it. Spark has
     * no native as-of join; the scalable composition is a single

@@ -82,6 +82,29 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** LSH-bucketed near-dup pairs — the 100 TB path for [[nearDupPairs]]:
+    * candidates are pairs sharing a bucket in ANY of the L hash tables
+    * (equi-join on (table, bucket), shuffle-partitionable), then
+    * exact-verified by cosine ≥ threshold. Precision 1 (exact verify);
+    * recall 1-(1-p^r)^L per pair — spec-checked against brute force. */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double = 0.4,
+                      tables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+    val p = prepared(emb)
+    val b = lshBuckets(p, tables, bitsPerTable)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val pa = p.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"), col("nrm").as("a_nrm"))
+    val pb = p.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"), col("nrm").as("b_nrm"))
+    cand.join(pa, Seq("vec_a")).join(pb, Seq("vec_b"))
+      .withColumn("cos", cosine(dotQ(col("a_qv"), col("b_qv")), col("a_nrm"), col("b_nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Multi-table random-hyperplane LSH: `tables` independent hash tables
     * of `bitsPerTable` sign bits each, computed in one native-expression
     * pass (graft.functions.SignLshBuckets — deterministic LCG

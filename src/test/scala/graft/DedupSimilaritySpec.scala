@@ -60,6 +60,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("LSH embedding near-dup pairs ⊆ brute force, recall ≥ 0.5") {
+    val exact = Similarity.nearDupPairs(emb).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert((exact & lsh).size.toDouble / exact.size >= 0.5,
+        s"recall ${(exact & lsh).size.toDouble / exact.size}")
+  }
+
   test("exact dedup keeps lowest doc_id per duplicate text group") {
     val deduped = graft.operators.Relational
       .dedupExact(docs, Seq("text"), "doc_id")
