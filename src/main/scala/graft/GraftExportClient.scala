@@ -1,0 +1,45 @@
+package graft
+
+import graft.config.ExportConfig
+import graft.operators.ExportPipeline
+import graft.streaming.StreamingExport
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference client's lifecycle as one facade — what a VoltDB
+  * hive-export user calls after switching to this library:
+  *
+  *   configure(properties) → validated engine config     (A17, A4)
+  *   exportBatch(df, table, out)                          (A1-A11, A13/A14)
+  *   exportStream(stream, table, out, ckpt)               (A12, exactly-once)
+  *
+  * Ref lifecycle being mirrored: HiveExportClient.configure →
+  * constructExportDecoder → onBlockStart/processRow/onBlockCompletion
+  * (hive/HiveExportClient.java:66-112,171-196); the decode/route/write
+  * semantics live in the operators this facade composes.
+  */
+object GraftExportClient {
+
+  /** Parse + validate the reference's property surface
+    * (`hive.uri`, `hive.db`, `hive.partition.columns`, `timezone`).
+    * Throws IllegalArgumentException on bad config — the analogue of the
+    * reference's config-time RestartBlockException. */
+  def configure(props: Map[String, String]): ExportConfig =
+    ExportConfig.fromProperties(props)
+
+  /** Batch export: route `df` by the table's configured partition columns
+    * and write committed partitioned files under `outDir/<table>/`. */
+  def exportBatch(df: DataFrame, table: String, cfg: ExportConfig,
+                  outDir: String, metaCols: Seq[String] = Nil): Unit =
+    ExportPipeline.exportTable(df, table, cfg, s"$outDir/${table.toLowerCase}",
+      metaCols)
+
+  /** Streaming export: checkpointed micro-batches, exactly-once (see
+    * StreamingExport). Returns the running query. */
+  def exportStream(stream: DataFrame, table: String, cfg: ExportConfig,
+                   outDir: String, checkpointDir: String): StreamingQuery = {
+    val partitionCols = cfg.partitionColsFor(table).map(_.toLowerCase)
+    StreamingExport.exportStream(stream, partitionCols,
+      s"$outDir/${table.toLowerCase}", checkpointDir)
+  }
+}

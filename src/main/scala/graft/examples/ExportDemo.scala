@@ -38,9 +38,14 @@ object ExportDemo {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val out = Files.createTempDirectory("graft_demo_out_").toString
     val ckpt = Files.createTempDirectory("graft_demo_ckpt_").toString
-    val q = StreamingExport.exportStream(stream, Seq("event_type"), out, ckpt)
+    // the reference user's call sequence: configure properties → export
+    val cfg = graft.GraftExportClient.configure(Map(
+      "hive.uri" -> "thrift://meta:9083",
+      "hive.partition.columns" -> "events:event_type"))
+    val q = graft.GraftExportClient.exportStream(stream, "EVENTS", cfg, out, ckpt)
     q.awaitTermination()
-    val written = spark.read.option("basePath", out).parquet(s"$out/batch_id=*")
+    val written = spark.read.option("basePath", s"$out/events")
+      .parquet(s"$out/events/batch_id=*")
     println(s"[demo] streaming export wrote ${written.count()} rows")
     written.groupBy("event_type").count().orderBy("event_type").show(false)
 

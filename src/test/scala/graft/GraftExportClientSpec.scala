@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+
+/** End-to-end facade coverage: the exact call sequence a reference user
+  * makes after switching (configure → export), including config errors. */
+class GraftExportClientSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("configure → exportBatch writes the partitioned table layout") {
+    val cfg = GraftExportClient.configure(Map(
+      "hive.uri" -> "thrift://meta:9083",
+      "hive.partition.columns" -> "alerts:continent"))
+    val alerts = Seq((1L, "fab-02 inoperable", "EU"), (2L, "ok", null: String))
+      .toDF("id", "msg", "continent")
+    val out = Files.createTempDirectory("graft_client_").toString
+    GraftExportClient.exportBatch(alerts, "ALERTS", cfg, out)
+    val back = spark.read.parquet(s"$out/alerts")
+    assert(back.count() == 2)
+    assert(back.filter(col("continent") === "__VoltDB_unspecified__").count() == 1)
+    assert(back.filter(col("continent") === "EU")
+      .select("payload_json").as[String].head() ==
+      """{"id":1,"msg":"fab-02 inoperable"}""")
+  }
+
+  test("configure rejects bad URIs, arity mismatches and unlisted tables") {
+    intercept[IllegalArgumentException] {
+      GraftExportClient.configure(Map("hive.uri" -> "http://x:1"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftExportClient.configure(Map(
+        "hive.partition.columns" -> "a:x,b:x|y"))
+    }
+    val cfg = GraftExportClient.configure(Map(
+      "hive.partition.columns" -> "alerts:continent"))
+    intercept[IllegalArgumentException] {
+      GraftExportClient.exportBatch(
+        Seq((1L, "m")).toDF("id", "msg"), "unlisted", cfg, "/tmp/never")
+    }
+  }
+}
