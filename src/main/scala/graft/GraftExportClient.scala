@@ -40,6 +40,7 @@ object GraftExportClient {
                    outDir: String, checkpointDir: String): StreamingQuery = {
     val partitionCols = cfg.partitionColsFor(table).map(_.toLowerCase)
     StreamingExport.exportStream(stream, partitionCols,
-      s"$outDir/${table.toLowerCase}", checkpointDir)
+      s"$outDir/${table.toLowerCase}", checkpointDir,
+      timezone = Some(cfg.timezone))
   }
 }

@@ -17,9 +17,10 @@ object SparkEntry {
 
   import ExportOps.Sentinel
 
-  /** DuckDB-portable sentinel expression (mirrors ExportOps.nullSentinel). */
+  /** DuckDB-portable sentinel expression (mirrors ExportOps.nullSentinel;
+    * the [\x00-\x20] class means the same thing to RE2 as to Java). */
   private def sqlSentinel(c: String): String =
-    s"CASE WHEN $c IS NULL OR regexp_matches($c, '^\\s*$$') THEN '$Sentinel' ELSE $c END"
+    s"CASE WHEN $c IS NULL OR regexp_matches($c, '^[\\x00-\\x20]*$$') THEN '$Sentinel' ELSE $c END"
 
   /** DuckDB strftime equivalent of ExportOps.OdbcTsFormat. */
   private val sqlTsFmt = "'%Y-%m-%d %H:%M:%S.%g'"

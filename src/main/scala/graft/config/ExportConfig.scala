@@ -47,7 +47,12 @@ object ExportConfig {
             s"malformed hive.partition.columns entry '$entry' (want TBL:C1|C2)")
       }
     }
-    entries.toMap
+    val all = entries.toSeq
+    val dups = all.groupBy(_._1).collect { case (t, es) if es.size > 1 => t }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"table(s) listed more than once in hive.partition.columns: ${dups.mkString(", ")}")
+    all.toMap
   }
 
   /** All configured tables must declare the same number of partition

@@ -175,9 +175,12 @@ case class SignLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sign_lsh_buckets"
 
-  /** Same deterministic weight formula as Similarity.lcgWeight. */
+  /** Deterministic hyperplane weight: LCG over a wide (h, i) packing —
+    * the prime stride keeps weights collision-free across hyperplanes for
+    * any dimension below 1e6 (a h*64+i packing would alias hyperplane
+    * h's tail with hyperplane h+1's head for vectors longer than 64). */
   private def weight(h: Int, i: Int): Long = {
-    val x = (h.toLong * 64L + i) * 1103515245L + 12345L
+    val x = (h.toLong * 1000003L + i) * 1103515245L + 12345L
     val m = x % 2147483648L
     (if (m < 0) m + 2147483648L else m) - 1073741824L
   }

@@ -59,6 +59,14 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    jaccardVerify(inter, sizes, threshold)
+  }
+
+  /** Shared exact-Jaccard verification tail: attach per-doc shingle-set
+    * sizes to (doc_a, doc_b, n_common) intersection counts, compute
+    * jaccard, threshold, deterministic order. */
+  private def jaccardVerify(inter: DataFrame, sizes: DataFrame,
+                            threshold: Double): DataFrame = {
     val jac = col("n_common").cast("double") /
       (col("sa.sz") + col("sb.sz") - col("n_common"))
     inter
@@ -116,16 +124,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("n_common"))
-    inter
-      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        (col("sa.sz") + col("sb.sz") - col("n_common")).as("n_union"),
-        jac.as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+    jaccardVerify(inter, sizes, threshold)
   }
 
   /** 64-bit SimHash fingerprints via the native SimHash64 expression:

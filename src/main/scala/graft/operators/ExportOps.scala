@@ -31,6 +31,15 @@ object ExportOps {
     * hive/HiveExportClient.java:74-77 (we use spark.sql.session.timeZone). */
   def tsFormat(c: Column): Column = date_format(c, OdbcTsFormat)
 
+  /** A6 with the reference's configurable formatting zone: render the
+    * instant's wall-clock time in `zone` regardless of the session zone
+    * (from_utc_timestamp shifts the instant so the session-zone formatter
+    * prints zone-local time; exact under the UTC session this engine
+    * pins). Ref: hive/HiveExportClient.java:74-77. */
+  def tsFormatInZone(c: Column, zone: String): Column =
+    date_format(from_utc_timestamp(to_utc_timestamp(c,
+      current_timezone()), zone), OdbcTsFormat)
+
   /** A7 bin_base64 — VARBINARY → base64 string, null-safe (null → null).
     * Unchunked RFC 4648 form: some JVM/Spark versions emit MIME-chunked
     * base64 (CRLF every 76 chars) for long inputs, which no JSON consumer
@@ -39,25 +48,28 @@ object ExportOps {
   def binBase64(c: Column): Column = replace(base64(c), lit("\r\n"), lit(""))
 
   /** A8 null_sentinel — partition-value normalization: null or
-    * blank/whitespace-only → sentinel; everything else passes through
-    * UNMODIFIED (the reference does not trim non-blank values).
-    * Whitespace-only is `\s*` — Spark's `trim` strips only ASCII spaces,
-    * while the reference's Java trim treats tabs/newlines as blank too,
-    * so a regex blank-test is the faithful (and DuckDB-portable) form.
+    * blank-only → sentinel; everything else passes through UNMODIFIED
+    * (the reference does not trim non-blank values). "Blank" is any char
+    * ≤ 0x20, exactly Java String.trim's definition (the reference's
+    * isNullOrEmpty check) — written as the char class [\x00-\x20], which
+    * Java regex and DuckDB's RE2 interpret identically (unlike `\s`,
+    * which differs between them on \x0B and misses control chars).
     * Ref: hive/PartitionedJsonDecoder.java:221-227 (isNullOrEmpty check),
     * hive/HiveEndPointFactory.java:88-93. */
   def nullSentinel(c: Column): Column =
-    when(c.isNull || c.rlike("^\\s*$"), lit(Sentinel)).otherwise(c)
+    when(c.isNull || c.rlike("^[\\x00-\\x20]*$"), lit(Sentinel)).otherwise(c)
 
   /** A5 type_dispatch — per-column wire encoding, dispatched on the Spark
     * type exactly as the reference's DecodeType visitor dispatches on
     * VoltType. Numbers pass through (bare JSON numbers), TIMESTAMP gets the
     * ODBC string form, BINARY gets base64, everything else is identity.
     * Ref: hive/PartitionedJsonDecoder.java:163-253. */
-  def wireEncode(c: Column, dt: DataType): Column = dt match {
-    case TimestampType | TimestampNTZType => tsFormat(c)
-    case BinaryType                       => binBase64(c)
-    case _                                => c
+  def wireEncode(c: Column, dt: DataType,
+                 timezone: Option[String] = None): Column = dt match {
+    case TimestampType | TimestampNTZType =>
+      timezone.map(tsFormatInZone(c, _)).getOrElse(tsFormat(c))
+    case BinaryType => binBase64(c)
+    case _          => c
   }
 
   /** Field-name camelCasing (lower-first) — the reference's builder
@@ -99,12 +111,13 @@ object ExportOps {
     * extra shuffle unless we ask for it (see ExportPipeline.writeRouted).
     */
   def partitionRoute(df: DataFrame, partitionCols: Seq[String],
-                     camelCaseFields: Boolean = false): DataFrame = {
+                     camelCaseFields: Boolean = false,
+                     timezone: Option[String] = None): DataFrame = {
     val pset = partitionCols.map(_.toLowerCase).toSet
     val payloadFields = df.schema.fields.filterNot(f => pset(f.name.toLowerCase))
     val payload = payloadFields.map { f =>
       val name = if (camelCaseFields) camelCaseName(f.name) else f.name
-      wireEncode(col(f.name), f.dataType).as(name)
+      wireEncode(col(f.name), f.dataType, timezone).as(name)
     }
     val parts = partitionCols.map(c => nullSentinel(col(c)).as(c))
     df.select(jsonEncode(payload.toIndexedSeq: _*).as("payload_json") +: parts: _*)

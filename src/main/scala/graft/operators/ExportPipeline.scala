@@ -41,10 +41,11 @@ object ExportPipeline {
   /** The full row path as a DataFrame transform: returns
     * (payload_json, partitionCols...). Narrow (no shuffle). */
   def route(df: DataFrame, partitionCols: Seq[String],
-            metaCols: Seq[String] = Nil): DataFrame = {
+            metaCols: Seq[String] = Nil,
+            timezone: Option[String] = None): DataFrame = {
     val projected = ExportOps.metaProject(df, metaCols)
     primeSchema(projected, partitionCols)
-    ExportOps.partitionRoute(projected, partitionCols)
+    ExportOps.partitionRoute(projected, partitionCols, timezone = timezone)
   }
 
   /** A13/A14 — partitioned sink write. `write.partitionBy` gives the same
@@ -79,6 +80,6 @@ object ExportPipeline {
   def exportTable(df: DataFrame, table: String, cfg: ExportConfig,
                   outDir: String, metaCols: Seq[String] = Nil): Unit = {
     val partitionCols = cfg.partitionColsFor(table).map(_.toLowerCase)
-    writeRouted(route(df, partitionCols, metaCols), outDir)
+    writeRouted(route(df, partitionCols, metaCols, Some(cfg.timezone)), outDir)
   }
 }

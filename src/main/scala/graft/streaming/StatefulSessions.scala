@@ -48,25 +48,43 @@ object StatefulSessions {
       state.remove()
       closed.iterator
     } else {
+      // Build this batch's sessions from its sorted events (gap splits),
+      // then interval-merge with the carried open session — so a late
+      // event landing before or inside the open session extends it with
+      // the CORRECT start time instead of being swallowed. Only the
+      // latest session stays open in state; earlier ones close now (an
+      // event above the watermark but older than an already-emitted
+      // session is the one case single-open-session state cannot repair).
       val times = evs.map(_.ts.getTime).toArray.sorted
-      var open = state.getOption
-      val closed = Vector.newBuilder[Session]
+      val batchSessions = Vector.newBuilder[OpenSession]
+      var cur: Option[OpenSession] = None
       times.foreach { t =>
-        open match {
+        cur match {
           case Some(s) if t - s.lastMs < gapMs =>
-            open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+            cur = Some(s.copy(lastMs = t, n = s.n + 1))
           case Some(s) =>
-            closed += toSession(uid, s, gapMs)
-            open = Some(OpenSession(t, t, 1))
+            batchSessions += s
+            cur = Some(OpenSession(t, t, 1))
           case None =>
-            open = Some(OpenSession(t, t, 1))
+            cur = Some(OpenSession(t, t, 1))
         }
       }
-      open.foreach { s =>
+      val pieces = (batchSessions.result() ++ cur.toVector ++
+        state.getOption.toVector).sortBy(s => (s.startMs, s.lastMs))
+      val merged = pieces.foldLeft(Vector.empty[OpenSession]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(p) if s.startMs - p.lastMs < gapMs =>
+            acc.init :+ OpenSession(p.startMs,
+              math.max(p.lastMs, s.lastMs), p.n + s.n)
+          case _ => acc :+ s
+        }
+      }
+      val closed = merged.dropRight(1).map(toSession(uid, _, gapMs))
+      merged.lastOption.foreach { s =>
         state.update(s)
         state.setTimeoutTimestamp(s.lastMs + gapMs)
       }
-      closed.result().iterator
+      closed.iterator
     }
   }
 }

@@ -24,8 +24,9 @@ object StreamingExport {
     * partitioned parquet under `outDir/batch_id=N/`, exactly-once. */
   def exportStream(events: DataFrame, partitionCols: Seq[String],
                    outDir: String, checkpointDir: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val routed = ExportPipeline.route(events, partitionCols)
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   timezone: Option[String] = None): StreamingQuery = {
+    val routed = ExportPipeline.route(events, partitionCols, timezone = timezone)
     routed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -12,13 +12,17 @@ class DedupSimilaritySpec extends SparkSpec {
   private lazy val docs = Tables.documents(spark, sf0)
   private lazy val emb = Tables.embeddings(spark, sf0)
 
-  test("minhash-LSH near-dup pairs equal the exact ngram-Jaccard pairs here") {
-    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect().toSet
+  test("minhash-LSH near-dup pairs: precision 1, full recall at high J") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
     val lsh = Dedup.minHashNearDupPairs(docs, threshold = 0.5).collect().toSet
-    // precision 1 always (LSH output is exact-verified); recall 1 expected
-    // at J≥0.9 with 16 bands × 4 rows (miss prob < 1e-7 per pair)
-    assert(lsh.subsetOf(exact))
-    assert(lsh == exact)
+    // precision 1 always (LSH output is exact-verified)
+    assert(lsh.subsetOf(exact.toSet))
+    // recall guarantee only holds for strongly-similar pairs: at J≥0.9
+    // with 16 bands × 4 rows the per-pair miss probability is < 1e-7;
+    // a pair at J=0.5 is only caught with p≈0.64, so don't demand it
+    val strong = exact.filter(_.getAs[Double]("jaccard") >= 0.9).toSet
+    assert(strong.subsetOf(lsh),
+      s"missed ${(strong -- lsh).size} of ${strong.size} high-J pairs")
   }
 
   test("simhash: identical docs collide at hamming 0; pairs are near-dups") {

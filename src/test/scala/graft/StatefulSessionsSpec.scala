@@ -48,4 +48,31 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(all.exists(s => s.user_id == 1L && s.n_events == 1 &&
       s.sess_start == ts("2024-01-01 02:00:00")))
   }
+
+  test("late event before the open session extends it with the correct start") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StatefulSessions.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L,
+      watermark = "6 hours") // generous watermark so the late event survives
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    mem.addData(Ev(9L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // batch 2: a late event 10 minutes BEFORE the carried open session
+    mem.addData(Ev(9L, ts("2024-01-01 11:50:00")))
+    q.processAllAvailable()
+    // advance watermark far enough to close everything
+    mem.addData(Ev(8L, ts("2024-01-02 12:00:00")))
+    q.processAllAvailable()
+    mem.addData(Ev(8L, ts("2024-01-03 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("late_sessions").as[Session].collect()
+      .filter(_.user_id == 9L)
+    assert(sessions.length == 1)
+    // start must reflect the late 11:50 event, not the original 12:00
+    assert(sessions.head.sess_start == ts("2024-01-01 11:50:00"))
+    assert(sessions.head.n_events == 2)
+    assert(sessions.head.sess_end == ts("2024-01-01 12:30:00"))
+  }
 }
