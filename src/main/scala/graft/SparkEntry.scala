@@ -306,6 +306,24 @@ object SparkEntry {
     "event_sessionize" -> ((s, d) =>
       Sessionize.sessions(Tables.events(s, d))),
 
+    // ---- Group B: corpus preparation ------------------------------------
+
+    // Top-k corpus vocabulary by term frequency.
+    "corpus_vocab" -> ((s, d) =>
+      Corpus.vocabulary(Tables.documents(s, d))),
+
+    // Deterministic md5-keyed document sample (~12.5%).
+    "doc_sample" -> ((s, d) =>
+      Corpus.sampleDocs(Tables.documents(s, d))),
+
+    // Deterministic train/test split keyed on doc_id.
+    "train_test_split" -> ((s, d) =>
+      Corpus.trainTestSplit(Tables.documents(s, d))),
+
+    // Sequence packing: running-token-count bin per source shard.
+    "seq_pack" -> ((s, d) =>
+      Corpus.packSequences(Tables.documents(s, d))),
+
     // ---- Group B: dedup family ------------------------------------------
 
     // B2 dedup_fuzzy: exact n-gram Jaccard, shared-shingle blocking
@@ -587,6 +605,28 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS grp FROM d) " +
         "SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
         "COUNT(*) AS n_events FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start"),
+
+    "corpus_vocab" ->
+      ("SELECT token, COUNT(*) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY freq DESC, token LIMIT 100"),
+
+    "doc_sample" ->
+      ("SELECT * FROM documents " +
+        "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') " +
+        "ORDER BY doc_id"),
+
+    "train_test_split" ->
+      ("SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) " +
+        "IN ('0','1') THEN 'test' ELSE 'train' END AS split " +
+        "FROM documents ORDER BY doc_id"),
+
+    "seq_pack" ->
+      ("SELECT doc_id, source, n_tokens, (cum_tokens - n_tokens) // 512 AS seq_id FROM (" +
+        "SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens, " +
+        "SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM documents) " +
+        "ORDER BY source, doc_id"),
 
     "dedup_fuzzy" ->
       (s"WITH $sqlShingleCte, " +
