@@ -182,6 +182,18 @@ object SparkEntry {
       Relational.dedupExact(Tables.documents(s, d), Seq("text"), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // CDC upsert: apply a deterministic change set (price bumps on keys
+    // divisible by 7, inserts re-keyed +10M for keys divisible by 97)
+    // onto the orders snapshot, latest-wins.
+    "cdc_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      val updates = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      val inserts = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      Relational.upsert(base, updates.unionByName(inserts), "o_orderkey")
+    }),
+
     // TPC-H Q3 shape: filter-pushdown + broadcast dim + fact join + top-k.
     "q3_shipping_priority" -> ((s, d) =>
       Relational.shippingPriority(Tables.lineitem(s, d), Tables.orders(s, d),
@@ -462,6 +474,22 @@ object SparkEntry {
       ("SELECT doc_id, text, lang, source, n_chars FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
         "WHERE rn = 1 ORDER BY doc_id"),
+
+    "cdc_upsert" ->
+      ("WITH changes AS (" +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 97 = 0) " +
+        "SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey, " +
+        "COALESCE(c.o_custkey, b.o_custkey) AS o_custkey, " +
+        "COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus, " +
+        "COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice, " +
+        "COALESCE(c.o_orderdate, b.o_orderdate) AS o_orderdate, " +
+        "COALESCE(c.o_orderpriority, b.o_orderpriority) AS o_orderpriority " +
+        "FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey " +
+        "ORDER BY o_orderkey"),
 
     "q3_shipping_priority" ->
       ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +

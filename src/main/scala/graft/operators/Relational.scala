@@ -71,6 +71,20 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** CDC upsert — apply a change set onto a base snapshot, latest-wins by
+    * key: updated rows replace, new keys insert, untouched base rows pass
+    * through. Full-outer join + per-column coalesce — the compact-a-
+    * change-stream-onto-a-snapshot op every export-conduit consumer runs
+    * downstream. One shuffle on the key; at scale the base side would be
+    * bucketed on the key so only the (small) change set moves. */
+  def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val cols = base.columns.toSeq
+    val b = base.as("b"); val c = changes.as("c")
+    b.join(c, col(s"b.$key") === col(s"c.$key"), "full_outer")
+      .select(cols.map(n => coalesce(col(s"c.$n"), col(s"b.$n")).as(n)): _*)
+      .orderBy(col(key))
+  }
+
   /** Skew-safe two-stage (salted) aggregation: rows are spread over
     * `salts` sub-keys derived deterministically from a row id, partially
     * aggregated per (key, salt), then merged per key. Semantically

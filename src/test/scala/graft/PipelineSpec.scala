@@ -90,6 +90,46 @@ class PipelineSpec extends SparkSpec {
     assert(total == 4, s"exactly-once total, got $total")
   }
 
+  test("streaming exact dedup drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((1L, t0), (2L, t0), (1L, t0))
+    q.processAllAvailable()
+    mem.addData((1L, t0), (3L, t0)) // 1 is a cross-batch duplicate
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-stream interval join matches events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDF().toDF("user_id", "click_ts").withWatermark("click_ts", "1 hour")
+    val b = buys.toDF().toDF("buy_user", "buy_ts").withWatermark("buy_ts", "1 hour")
+    val joined = c.join(b,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    buys.addData((1L, ts("2024-01-01 10:20:00")),   // within 30 min → match
+      (2L, ts("2024-01-01 11:30:00")))              // 90 min later → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join").collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("user_id") == 1L)
+  }
+
   test("streaming windowed counts with watermark run end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
