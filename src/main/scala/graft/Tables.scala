@@ -21,12 +21,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = s.read.parquet(path(d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = s.read.parquet(path(d, "embeddings"))
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet. Spark truncates (or, with
-    * the legacy flag, surfaces as long) — we normalize to microsecond
-    * TimestampType here so downstream operators and the DuckDB oracle
-    * (which also truncates ns → µs on cast) agree exactly.
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    * unless spark.sql.legacy.parquet.nanosAsLong is set — a runtime-
+    * settable conf, so set it here defensively (the driver may hand us a
+    * session without it). The long is then normalized to microsecond
+    * TimestampType so downstream operators and the DuckDB oracle (which
+    * also truncates ns → µs on cast) agree exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(path(d, "events"))
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions._
