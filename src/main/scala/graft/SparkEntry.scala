@@ -199,6 +199,16 @@ object SparkEntry {
       Relational.shippingPriority(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d))),
 
+    // TPC-H Q5 shape: six-table star join, all dims broadcast.
+    "q5_local_supplier" -> ((s, d) =>
+      Relational.localSupplierVolume(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+
+    // PII scrub: redact emails / digit runs / hex ids.
+    "text_pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrub(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // As-of join: latest same-user click at-or-before each purchase
     // (sort-merge composition — Spark has no native as-of join).
     "join_asof" -> ((s, d) =>
@@ -499,6 +509,30 @@ object SparkEntry {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
         "AND l_shipdate > TIMESTAMP '1998-01-01' " +
         "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q5_local_supplier" ->
+      ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+
+    "text_pii_scrub" ->
+      ("SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'[0-9]{4,}', '<NUM>', 'g'), " +
+        "'\\b[0-9a-f]{16,}\\b', '<HEX>', 'g') AS scrubbed, " +
+        "length(text) - length(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'[0-9]{4,}', '<NUM>', 'g'), " +
+        "'\\b[0-9a-f]{16,}\\b', '<HEX>', 'g')) AS chars_removed " +
+        "FROM documents ORDER BY doc_id"),
 
     "join_asof" ->
       ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, asof_ts FROM (" +

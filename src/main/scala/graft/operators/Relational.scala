@@ -140,6 +140,34 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape — local supplier volume: revenue per nation where
+    * customer and supplier share the nation, one region, one year. Six
+    * tables; every dimension (supplier/customer/nation/region) broadcasts
+    * and the two fact tables meet in a single shuffle join on the order
+    * key — the multi-way star-join shape at 100 TB. */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String = "ASIA",
+                          yearStart: String = "1996-01-01",
+                          yearEnd: String = "1997-01-01"): DataFrame = {
+    val revenue = sum(dec2(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(3, 2)) - dec2(col("l_discount"))))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= to_timestamp(lit(yearStart)) &&
+          col("o_orderdate") < to_timestamp(lit(yearEnd))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue.cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** As-of join (composition form): for each `forType` event, the most
     * recent `matchType` event of the same user at-or-before it. Spark has
     * no native as-of join; the scalable composition is a single

@@ -99,6 +99,22 @@ object TextAnalysis {
         .as("quality"))
   }
 
+  /** PII scrub: redact email-shaped tokens, digit runs and long
+    * hex-ish identifiers — the anonymization pass every training corpus
+    * runs. Pure regexp_replace chain (narrow, codegen); patterns kept to
+    * the portable RE2 ∩ Java subset. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+          "[0-9]{4,}", "<NUM>"),
+        "\\b[0-9a-f]{16,}\\b", "<HEX>")
+    docs.select(col("doc_id"), scrubbed.as("scrubbed"),
+      (length(col("text")) - length(scrubbed)).cast("long").as("chars_removed"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * md5 of the sorted distinct token set (bag-of-words near-dup key). */
   def fingerprint(docs: DataFrame): DataFrame = {
