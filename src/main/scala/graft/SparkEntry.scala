@@ -168,6 +168,10 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) =>
       Relational.pricingSummary(Tables.lineitem(s, d))),
 
+    // Decimal-exact grouped Pearson correlation (order-insensitive).
+    "stats_corr" -> ((s, d) =>
+      Relational.groupedCorrelation(Tables.lineitem(s, d))),
+
     // B6b agg_rollup_sets: ROLLUP grouping sets (subtotals + grand total).
     "agg_rollup_sets" -> ((s, d) =>
       Relational.pricingRollup(Tables.lineitem(s, d))),
@@ -464,6 +468,19 @@ object SparkEntry {
         "CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
         "COUNT(*) AS count_order " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "stats_corr" ->
+      ("SELECT l_returnflag, n, " +
+        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price " +
+        "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"),
 
     "agg_rollup_sets" ->
       ("SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid, " +

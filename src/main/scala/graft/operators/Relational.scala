@@ -71,6 +71,31 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Decimal-exact Pearson correlation per group: built from exact
+    * decimal sums (Σx, Σy, Σxy, Σx², Σy², n) so the result is
+    * order-insensitive — Spark's builtin corr() accumulates doubles and
+    * drifts with partitioning, which would break the oracle. The final
+    * arithmetic is a fixed-order double expression over exact inputs. */
+  def groupedCorrelation(lineitem: DataFrame): DataFrame = {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** CDC upsert — apply a change set onto a base snapshot, latest-wins by
     * key: updated rows replace, new keys insert, untouched base rows pass
     * through. Full-outer join + per-column coalesce — the compact-a-
