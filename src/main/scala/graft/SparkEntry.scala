@@ -540,16 +540,13 @@ object SparkEntry {
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
 
     "text_pii_scrub" ->
-      ("SELECT doc_id, " +
+      ("SELECT doc_id, scrubbed, length(text) - length(scrubbed) AS chars_delta FROM (" +
+        "SELECT doc_id, text, " +
         "regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
-        "'[0-9]{4,}', '<NUM>', 'g'), " +
-        "'\\b[0-9a-f]{16,}\\b', '<HEX>', 'g') AS scrubbed, " +
-        "length(text) - length(regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
-        "'[0-9]{4,}', '<NUM>', 'g'), " +
-        "'\\b[0-9a-f]{16,}\\b', '<HEX>', 'g')) AS chars_removed " +
-        "FROM documents ORDER BY doc_id"),
+        "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9a-fA-F]{16,}\\b', '<HEX>', 'g'), " +
+        "'[0-9]{4,}', '<NUM>', 'g') AS scrubbed " +
+        "FROM documents) ORDER BY doc_id"),
 
     "join_asof" ->
       ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, asof_ts FROM (" +

@@ -24,7 +24,11 @@ object Tables {
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
     * unless spark.sql.legacy.parquet.nanosAsLong is set — a runtime-
     * settable conf, so set it here defensively (the driver may hand us a
-    * session without it). The long is then normalized to microsecond
+    * session without it). NOTE: this intentionally mutates the caller's
+    * session conf and leaves it set — the conf must survive until task
+    * execution, so a save/restore around the read would be unsafe; any
+    * later ns-parquet read in the same session will also surface longs.
+    * The long is then normalized to microsecond
     * TimestampType so downstream operators and the DuckDB oracle (which
     * also truncates ns → µs on cast) agree exactly.
     */

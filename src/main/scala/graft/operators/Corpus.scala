@@ -26,19 +26,23 @@ object Corpus {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
-  /** Deterministic ~12.5% document sample: md5 first hex digit ∈ {0,1}.
+  /** The shared ~12.5% holdout predicate: md5 first hex digit ∈ {0,1}.
+    * One definition so sampleDocs and trainTestSplit stay coupled —
+    * the sample IS the test split. */
+  private def isHoldout(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 1).isin("0", "1")
+
+  /** Deterministic ~12.5% document sample (the holdout bucket).
     * Reproducible under any partitioning (unlike rand()), and the same
     * rows come out of any engine. */
   def sampleDocs(docs: DataFrame): DataFrame =
-    docs.filter(substring(md5(col("doc_id").cast("string")), 1, 1)
-        .isin("0", "1"))
-      .orderBy(col("doc_id"))
+    docs.filter(isHoldout(col("doc_id"))).orderBy(col("doc_id"))
 
   /** Deterministic train/test split (≈87.5/12.5) keyed on doc_id. */
   def trainTestSplit(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        when(substring(md5(col("doc_id").cast("string")), 1, 1)
-          .isin("0", "1"), lit("test")).otherwise(lit("train")).as("split"))
+        when(isHoldout(col("doc_id")), lit("test"))
+          .otherwise(lit("train")).as("split"))
       .orderBy(col("doc_id"))
 
   /** Sequence packing: assign each document (in doc_id order, per source

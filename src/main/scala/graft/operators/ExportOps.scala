@@ -66,7 +66,10 @@ object ExportOps {
     * Ref: hive/PartitionedJsonDecoder.java:163-253. */
   def wireEncode(c: Column, dt: DataType,
                  timezone: Option[String] = None): Column = dt match {
-    case TimestampType | TimestampNTZType =>
+    // NTZ is a zone-less wall clock: format verbatim, NEVER zone-shift
+    // (shifting would alter the stored wall-clock value)
+    case TimestampNTZType => tsFormat(c)
+    case TimestampType =>
       timezone.map(tsFormatInZone(c, _)).getOrElse(tsFormat(c))
     case BinaryType => binBase64(c)
     case _          => c

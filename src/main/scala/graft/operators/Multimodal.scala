@@ -68,22 +68,21 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("decoded_ok", BooleanType),
-      StructField("decoder_hash", LongType),
-      StructField("decoder_partition", IntegerType)))
+      StructField("decoder_hash", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
     val in = ingested.select(col("doc_id"), col("media_bytes"))
     in.mapPartitions { rows =>
-      // STUB decoder: deterministic fake in place of an image/audio codec.
-      // Real impl: open the codec once HERE, close at iterator end; the
-      // emitted partition id shows every row of a partition shared one
-      // decoder instance.
-      val decoderPartition = org.apache.spark.TaskContext.getPartitionId()
+      // STUB decoder: deterministic fake in place of an image/audio
+      // codec. Real impl: open the codec once HERE, close at iterator
+      // end — mapPartitions gives init-once-per-partition structurally.
+      // (Partition ids are deliberately NOT emitted: output must stay a
+      // pure function of the data, independent of partitioning.)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("media_bytes")
         val fakeSignal = if (bytes == null) -1L
           else bytes.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
-        Row(r.getAs[Long]("doc_id"), bytes != null, fakeSignal, decoderPartition)
+        Row(r.getAs[Long]("doc_id"), bytes != null, fakeSignal)
       }
     }(enc).toDF().orderBy(col("doc_id"))
   }

@@ -97,16 +97,23 @@ object Relational {
   }
 
   /** CDC upsert — apply a change set onto a base snapshot, latest-wins by
-    * key: updated rows replace, new keys insert, untouched base rows pass
-    * through. Full-outer join + per-column coalesce — the compact-a-
-    * change-stream-onto-a-snapshot op every export-conduit consumer runs
-    * downstream. One shuffle on the key; at scale the base side would be
+    * key: a change row replaces the base row WHOLESALE (so an update that
+    * nulls a field really nulls it — per-column coalesce would resurrect
+    * the stale base value), new keys insert, untouched base rows pass
+    * through. The change set must carry at most one row per key (compact
+    * multi-update streams first, e.g. with dedupExact on a version
+    * column). One shuffle on the key; at scale the base side would be
     * bucketed on the key so only the (small) change set moves. */
   def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
     val cols = base.columns.toSeq
-    val b = base.as("b"); val c = changes.as("c")
-    b.join(c, col(s"b.$key") === col(s"c.$key"), "full_outer")
-      .select(cols.map(n => coalesce(col(s"c.$n"), col(s"b.$n")).as(n)): _*)
+    val b = base.select(struct(cols.map(col): _*).as("b_row"),
+      col(key).as("b_key"))
+    val c = changes.select(struct(cols.map(col): _*).as("c_row"),
+      col(key).as("c_key"))
+    b.join(c, col("b_key") === col("c_key"), "full_outer")
+      .select(when(col("c_key").isNotNull, col("c_row"))
+        .otherwise(col("b_row")).as("row"))
+      .select(col("row.*"))
       .orderBy(col(key))
   }
 

@@ -99,20 +99,24 @@ object TextAnalysis {
         .as("quality"))
   }
 
-  /** PII scrub: redact email-shaped tokens, digit runs and long
-    * hex-ish identifiers — the anonymization pass every training corpus
-    * runs. Pure regexp_replace chain (narrow, codegen); patterns kept to
-    * the portable RE2 ∩ Java subset. */
+  /** PII scrub: redact email-shaped tokens, long hex-ish identifiers and
+    * digit runs — the anonymization pass every training corpus runs.
+    * Case-insensitive via explicit [a-zA-Z] classes (portable to RE2
+    * without option flags); the HEX rule runs BEFORE the digit-run rule
+    * so a hex id containing 4+ consecutive digits is redacted whole
+    * rather than fragmented. Pure regexp_replace chain (narrow, codegen).
+    * chars_delta can be negative when a replacement tag is longer than
+    * the text it replaced. */
   def piiScrub(docs: DataFrame): DataFrame = {
     val scrubbed =
       regexp_replace(
         regexp_replace(
           regexp_replace(col("text"),
-            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
-          "[0-9]{4,}", "<NUM>"),
-        "\\b[0-9a-f]{16,}\\b", "<HEX>")
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+          "\\b[0-9a-fA-F]{16,}\\b", "<HEX>"),
+        "[0-9]{4,}", "<NUM>")
     docs.select(col("doc_id"), scrubbed.as("scrubbed"),
-      (length(col("text")) - length(scrubbed)).cast("long").as("chars_removed"))
+      (length(col("text")) - length(scrubbed)).cast("long").as("chars_delta"))
   }
 
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
