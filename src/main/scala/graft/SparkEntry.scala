@@ -509,12 +509,16 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 97 = 0) " +
-        "SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey, " +
-        "COALESCE(c.o_custkey, b.o_custkey) AS o_custkey, " +
-        "COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus, " +
-        "COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice, " +
-        "COALESCE(c.o_orderdate, b.o_orderdate) AS o_orderdate, " +
-        "COALESCE(c.o_orderpriority, b.o_orderpriority) AS o_orderpriority " +
+        // whole-row latest-wins, keyed on ONE null-check (matches
+        // Relational.upsert's wholesale replace — per-column COALESCE would
+        // resurrect stale base values when an update legitimately NULLs a
+        // field)
+        "SELECT CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderkey ELSE b.o_orderkey END AS o_orderkey, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderdate ELSE b.o_orderdate END AS o_orderdate, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority " +
         "FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey " +
         "ORDER BY o_orderkey"),
 
@@ -551,8 +555,11 @@ object SparkEntry {
     "join_asof" ->
       ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, asof_ts FROM (" +
         "SELECT event_id, user_id, ts, event_type, " +
+        // order by the µs-truncated ts (events.ts is TIMESTAMP_NS in
+        // DuckDB; Spark ranks at microsecond precision) so same-µs ties
+        // break identically on event_id in both engines
         "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
-        "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS asof_ts " +
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS UNBOUNDED PRECEDING) AS asof_ts " +
         "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
 
     "pivot_counts" ->
@@ -697,8 +704,11 @@ object SparkEntry {
         "IN ('0','1') THEN 'test' ELSE 'train' END AS split " +
         "FROM documents ORDER BY doc_id"),
 
+    // DuckDB's windowed SUM(BIGINT) widens to HUGEINT — cast the derived
+    // columns back to BIGINT so the hash path sees int64 on both engines.
     "seq_pack" ->
-      ("SELECT doc_id, source, n_tokens, (cum_tokens - n_tokens) // 512 AS seq_id FROM (" +
+      ("SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS seq_id FROM (" +
         "SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens, " +
         "SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM documents) " +

@@ -39,6 +39,15 @@ def main() -> None:
             if len(w) != len(g):
                 print(f"FAIL {name}: rows {len(g)} != {len(w)}")
                 continue
+            # The driver hashes typed values: a DuckDB HUGEINT surfacing as
+            # float64 vs Spark int64 hash-mismatches even when values are
+            # equal (round-1 seq_pack). Mirror that sensitivity here.
+            dtype_diff = [c for c in w.columns
+                          if w[c].dtype.kind != g[c].dtype.kind]
+            if dtype_diff:
+                print(f"FAIL {name}: dtype mismatch "
+                      f"{[(c, str(w[c].dtype), str(g[c].dtype)) for c in dtype_diff]}")
+                continue
             diff_cols = []
             for c in w.columns:
                 wc, gc = w[c], g[c]
