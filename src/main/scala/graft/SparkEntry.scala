@@ -84,22 +84,45 @@ object SparkEntry {
         .orderBy(col("ordinal"))
     }),
 
-    // A5 type_dispatch: per-type wire encoding over one row of each
-    // supported type (numbers bare, timestamp → ODBC string, binary →
-    // base64, string identity, null-safe).
-    "type_dispatch" -> ((s, d) =>
+    // A5 type_dispatch: per-type wire encoding covering ALL 9 VoltType
+    // visitor arms (ref hive/PartitionedJsonDecoder.java:163-253):
+    // TINYINT/SMALLINT/INTEGER/BIGINT/FLOAT pass through as bare numbers,
+    // DECIMAL(38,12) passes through (rendered to its fixed-scale-12 wire
+    // text for the cross-engine compare — DuckDB's pandas bridge widens
+    // DECIMAL to float64, so the typed compare must happen on the string
+    // form), TIMESTAMP → ODBC string, VARCHAR identity, VARBINARY →
+    // base64. Every arm also carries null rows (modulus-scattered) to
+    // prove null-safety of each encoding.
+    "type_dispatch" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      def nn(m: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(col("event_id") % m =!= 0, c)
       Tables.events(s, d)
         .select(
           col("event_id"),
-          ExportOps.wireEncode(col("ts"),
-            org.apache.spark.sql.types.TimestampType).as("ts_wire"),
-          ExportOps.wireEncode(col("user_id"),
-            org.apache.spark.sql.types.LongType).as("user_id_wire"),
-          ExportOps.wireEncode(encode(col("event_type"), "UTF-8"),
-            org.apache.spark.sql.types.BinaryType).as("type_wire"),
-          ExportOps.wireEncode(col("props"),
-            org.apache.spark.sql.types.StringType).as("props_wire"))
-        .orderBy(col("event_id"))),
+          ExportOps.wireEncode(nn(97, (col("event_id") % 100).cast(ByteType)),
+            ByteType).as("tinyint_wire"),
+          ExportOps.wireEncode(nn(89, (col("event_id") % 30000).cast(ShortType)),
+            ShortType).as("smallint_wire"),
+          ExportOps.wireEncode(nn(83, (col("event_id") % 1000000000).cast(IntegerType)),
+            IntegerType).as("integer_wire"),
+          ExportOps.wireEncode(nn(79, col("user_id")),
+            LongType).as("bigint_wire"),
+          ExportOps.wireEncode(nn(73, col("value")),
+            DoubleType).as("float_wire"),
+          ExportOps.wireEncode(nn(71,
+            concat(col("event_id") % 100000, lit("."),
+              lpad((col("event_id") % 999983).cast(StringType), 12, "0"))
+              .cast(DecimalType(38, 12))),
+            DecimalType(38, 12)).cast(StringType).as("decimal_wire"),
+          ExportOps.wireEncode(nn(67, col("ts")),
+            TimestampType).as("ts_wire"),
+          ExportOps.wireEncode(nn(61, col("props")),
+            StringType).as("varchar_wire"),
+          ExportOps.wireEncode(nn(59, encode(col("event_type"), "UTF-8")),
+            BinaryType).as("binary_wire"))
+        .orderBy(col("event_id"))
+    }),
 
     // A6 ts_format
     "ts_format" -> ((s, d) =>
@@ -145,18 +168,23 @@ object SparkEntry {
       ExportOps.groupByEndpoint(routedEvents(s, d), Seq("event_type"))
         .orderBy(col("event_type"))),
 
-    // A17 config_parse: the reference's partition-columns spec parser,
-    // with the intended (fixed) validations. Emits the parsed binding.
+    // A17 config_parse: the reference's full property surface (hive.uri,
+    // hive.db, hive.table, hive.partition.columns, timezone) parsed with
+    // the intended (fixed) validations. Emits the parsed binding: one row
+    // per partition column plus '#'-prefixed rows for the scalar settings.
     "config_parse" -> ((s, d) => {
       val cfg = ExportConfig.fromProperties(Map(
         "hive.uri" -> "thrift://meta:9083",
         "hive.db" -> "analytics",
+        "hive.table" -> "alerts",
         "hive.partition.columns" ->
           "alerts:continent|country, events:region|zone"))
-      val rows = for {
+      val rows = (for {
         (table, cols) <- cfg.partitionColumns.toSeq.sortBy(_._1)
         (c, i) <- cols.zipWithIndex
-      } yield (table, i, c)
+      } yield (table, i, c)) ++ Seq(
+        ("#db", 0, cfg.db), ("#table", 0, cfg.table),
+        ("#timezone", 0, cfg.timezone), ("#uri", 0, cfg.metastoreUri))
       import s.implicits._
       rows.toDF("table_name", "ordinal", "part_col")
         .orderBy(col("table_name"), col("ordinal"))
@@ -238,9 +266,13 @@ object SparkEntry {
         .withColumn("raw",
           when(pmod(col("event_id"), lit(7)) === 0,
             concat(lit("{bad"), col("props"))).otherwise(col("props")))
+        // select the parsed struct ONCE, then project both fields from it
+        // — guarantees single from_json evaluation per row instead of
+        // relying on common-subexpression elimination to merge the two
+        .withColumn("p", parsed)
         .select(col("event_id"), col("raw"),
-          parsed.getField("k").as("k"),
-          parsed.getField("_corrupt").isNotNull.as("quarantined"))
+          col("p").getField("k").as("k"),
+          col("p").getField("_corrupt").isNotNull.as("quarantined"))
         .orderBy(col("event_id"))
     }),
 
@@ -352,10 +384,16 @@ object SparkEntry {
 
     // ---- Group B: dedup family ------------------------------------------
 
-    // B2 dedup_fuzzy: exact n-gram Jaccard, shared-shingle blocking
-    // (recall 1 — any pair with J>0 shares a shingle).
+    // B2 dedup_fuzzy: exact n-gram Jaccard, shared-shingle blocking.
+    // Registered WITH the document-frequency cap (maxDf=100): at corpus
+    // scale one stop-shingle makes the blocking self-join quadratic, so
+    // the scale-safe capped form is the shipped query; the oracle mirrors
+    // the cap exactly (HAVING df <= 100 on the shingle CTE), keeping the
+    // comparison exact. Capped-vs-uncapped equivalence under a loose cap
+    // is spec-checked in DedupSimilaritySpec.
     "dedup_fuzzy" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5)),
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5,
+        maxDf = Some(100))),
 
     // MinHash-LSH banding + exact verify: the 100 TB scale path for
     // dedup_fuzzy (approximate recall — no SQL oracle; spec-tested
@@ -422,9 +460,19 @@ object SparkEntry {
         "AS t(ordinal, col_name, col_type, is_partition) ORDER BY ordinal"),
 
     "type_dispatch" ->
-      (s"SELECT event_id, strftime(CAST(ts AS TIMESTAMP), $sqlTsFmt) AS ts_wire, " +
-        "user_id AS user_id_wire, to_base64(encode(event_type)) AS type_wire, " +
-        "props AS props_wire FROM events ORDER BY event_id"),
+      ("SELECT event_id, " +
+        "CASE WHEN event_id % 97 <> 0 THEN CAST(event_id % 100 AS TINYINT) END AS tinyint_wire, " +
+        "CASE WHEN event_id % 89 <> 0 THEN CAST(event_id % 30000 AS SMALLINT) END AS smallint_wire, " +
+        "CASE WHEN event_id % 83 <> 0 THEN CAST(event_id % 1000000000 AS INTEGER) END AS integer_wire, " +
+        "CASE WHEN event_id % 79 <> 0 THEN user_id END AS bigint_wire, " +
+        "CASE WHEN event_id % 73 <> 0 THEN value END AS float_wire, " +
+        "CASE WHEN event_id % 71 <> 0 THEN CAST(CAST(" +
+        "(event_id % 100000) || '.' || lpad(CAST(event_id % 999983 AS VARCHAR), 12, '0')" +
+        " AS DECIMAL(38,12)) AS VARCHAR) END AS decimal_wire, " +
+        s"CASE WHEN event_id % 67 <> 0 THEN strftime(CAST(ts AS TIMESTAMP), $sqlTsFmt) END AS ts_wire, " +
+        "CASE WHEN event_id % 61 <> 0 THEN props END AS varchar_wire, " +
+        "CASE WHEN event_id % 59 <> 0 THEN to_base64(encode(event_type)) END AS binary_wire " +
+        "FROM events ORDER BY event_id"),
 
     "ts_format" ->
       s"SELECT event_id, strftime(CAST(ts AS TIMESTAMP), $sqlTsFmt) AS ts_odbc FROM events ORDER BY event_id",
@@ -453,6 +501,8 @@ object SparkEntry {
 
     "config_parse" ->
       ("SELECT * FROM (VALUES " +
+        "('#db',0,'analytics'),('#table',0,'alerts')," +
+        "('#timezone',0,'UTC'),('#uri',0,'thrift://meta:9083')," +
         "('ALERTS',0,'CONTINENT'),('ALERTS',1,'COUNTRY')," +
         "('EVENTS',0,'REGION'),('EVENTS',1,'ZONE')) " +
         "AS t(table_name, ordinal, part_col) ORDER BY table_name, ordinal"),
@@ -471,9 +521,9 @@ object SparkEntry {
 
     "stats_corr" ->
       ("SELECT l_returnflag, n, " +
-        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
         "(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
-        "sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price " +
+        "sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12) AS corr_qty_price " +
         "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
         "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx, " +
         "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy, " +
@@ -716,9 +766,13 @@ object SparkEntry {
 
     "dedup_fuzzy" ->
       (s"WITH $sqlShingleCte, " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), " +
+        // mirror of Dedup.shingleTable's maxDf=100 document-frequency cap
+        "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN (" +
+        "SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100" +
+        ") keep ON sh.shingle = keep.shingle), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id), " +
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common " +
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT doc_a, doc_b, n_common, sa.sz + sb.sz - n_common AS n_union, " +
         "CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard " +
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +

@@ -18,6 +18,10 @@ import java.net.URI
 final case class ExportConfig(
     metastoreUri: String = "thrift://localhost:9083",
     db: String = "default",
+    /** default target table (`hive.table`, mandatory in the reference:
+      * README.md:104-108; non-blank enforced like
+      * hive/HiveEndPointFactory.java:51-54's Preconditions). */
+    table: String = "default_table",
     timezone: String = "UTC",
     /** upper-cased table → partition columns, declaration order preserved */
     partitionColumns: Map[String, Seq[String]] = Map.empty) {
@@ -74,15 +78,26 @@ object ExportConfig {
       throw new IllegalArgumentException(s"expected thrift metastore URI, got '$uri'")
   }
 
+  /** `hive.table` is mandatory (README.md:104-108): absent or blank fails
+    * exactly as the reference's endpoint-factory precondition does
+    * (hive/HiveEndPointFactory.java:51-54, fed "" by
+    * hive/HiveExportClient.java:70 when unset). */
+  def validateTable(table: String): Unit =
+    if (table == null || table.trim.isEmpty)
+      throw new IllegalArgumentException("table is null or empty")
+
   def fromProperties(props: Map[String, String]): ExportConfig = {
     val uri = props.getOrElse("hive.uri", "thrift://localhost:9083")
     validateUri(uri)
+    val table = props.getOrElse("hive.table", "")
+    validateTable(table)
     val pc = props.get("hive.partition.columns")
       .map(parsePartitionColumns).getOrElse(Map.empty)
     validateArity(pc)
     ExportConfig(
       metastoreUri = uri,
       db = props.getOrElse("hive.db", "default"),
+      table = table,
       timezone = props.getOrElse("timezone", "UTC"),
       partitionColumns = pc)
   }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Partial top-k aggregation: per group, the k largest (score, id) pairs
+  * with score-desc / id-asc ordering — the shuffle-light replacement for
+  * the `row_number().over(Window.partitionBy(q).orderBy(score.desc))`
+  * pattern.
+  *
+  * Scale rationale: the Window form shuffles EVERY scored row to its
+  * group's partition before ranking (at 100 TB: N·Q rows through the
+  * shuffle). An Aggregator gets map-side partial aggregation
+  * (ObjectHashAggregate): each task reduces its slice to ≤ k pairs per
+  * group, so only k·groups·tasks rows ever shuffle — independent of N.
+  * Semantics are identical for equal inputs because the (−score, id)
+  * ordering is total.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  // buffer invariant: sorted by (score desc, id asc), length ≤ k
+  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    if (b.length >= k && !better(a, b.last)) b else insert(b, a)
+
+  override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    y.foldLeft(x)(reduce)
+
+  override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+
+  // strict total order: higher score wins; lower id breaks ties
+  private def better(a: (Double, Long), c: (Double, Long)): Boolean =
+    a._1 > c._1 || (a._1 == c._1 && a._2 < c._2)
+
+  private def insert(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+    val i = b.indexWhere(better(a, _))
+    val ins = if (i < 0) b :+ a else (b.take(i) :+ a) ++ b.drop(i)
+    ins.take(k)
+  }
+
+  override def bufferEncoder: ExpressionEncoder[Seq[(Double, Long)]] =
+    ExpressionEncoder()
+  override def outputEncoder: ExpressionEncoder[Seq[(Double, Long)]] =
+    ExpressionEncoder()
+}
+
+object TopKAgg {
+  /** Column API: `topK(k)(scoreCol, idCol)` → array<struct<_1:double,
+    * _2:bigint>> of the group's k best, ordered (score desc, id asc). */
+  def topK(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKByScore(k), ExpressionEncoder[(Double, Long)]())
+      .apply(score, id)
+}

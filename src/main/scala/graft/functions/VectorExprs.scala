@@ -257,6 +257,59 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-marker-list token hit counts in ONE tokenize pass: tokens of the
+  * single-space-separated text are looked up in a prebuilt token →
+  * list-indices map, each hit incrementing its lists' counters. Returns
+  * array<long> of length `markers.size` (index = marker-list position).
+  *
+  * Replaces langId's five interpreted `size(filter(tokens, t IN (...)))`
+  * HOF chains (one tokenize + one lambda frame per token PER LANGUAGE)
+  * with a single loop — same counts, so the DuckDB oracle is unaffected.
+  */
+case class MarkerCounts(child: Expression, markers: Seq[Seq[String]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "marker_counts"
+
+  private val space = UTF8String.fromString(" ")
+
+  // token → indices of the marker lists containing it (a token may
+  // legitimately appear in several lists)
+  private lazy val lookup: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    markers.zipWithIndex.foreach { case (words, idx) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(idx) else prev :+ idx)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].split(space, -1)
+    val counts = new Array[Long](markers.size)
+    var i = 0
+    while (i < toks.length) {
+      val hit = lookup.get(toks(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[LongArrayDot]]. */
   def longArrayDot(a: Column, b: Column): Column =
@@ -279,4 +332,9 @@ object VectorFunctions {
   def signLshBuckets(qv: Column, tables: Int, bitsPerTable: Int): Column =
     GraftColumnBridge.column(SignLshBuckets(
       GraftColumnBridge.expression(qv), tables, bitsPerTable))
+
+  /** Column API for [[MarkerCounts]]. */
+  def markerCounts(text: Column, markers: Seq[Seq[String]]): Column =
+    GraftColumnBridge.column(MarkerCounts(
+      GraftColumnBridge.expression(text), markers))
 }

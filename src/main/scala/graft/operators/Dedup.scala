@@ -19,6 +19,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** Shingle tables persisted by the pair-finders below; queries are lazy
+    * so the functions themselves can't unpersist. Harness mains (Bench,
+    * Verify) call [[releaseCaches]] after materializing each query so
+    * cached shingle tables don't accumulate across a 55-query run. */
+  private val persisted =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def tracked(df: DataFrame): DataFrame = persisted.synchronized {
+    persisted += df; df
+  }
+
+  def releaseCaches(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist(blocking = false)); persisted.clear()
+  }
+
   /** Distinct word n-gram shingles of single-space-separated text — a
     * native expression (graft.functions.WordShingles); the HOF-composed
     * form was interpreted and dominated the shingle pipeline. Fewer than
@@ -51,8 +66,8 @@ object Dedup {
     // consumed 3× (sizes + both join sides): cache so the shingle HOFs
     // run once; falls out via Spark's LRU (at cluster scale: persist to
     // storage or reuse a materialized shingle table across dedup runs)
-    val sh = shingleTable(docs, n, maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = tracked(shingleTable(docs, n, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
@@ -108,8 +123,8 @@ object Dedup {
   def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.5,
                           n: Int = 3, numHashes: Int = 64,
                           rowsPerBand: Int = 4): DataFrame = {
-    val sh = shingleTable(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = tracked(shingleTable(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = lshBands(minHashSignatures(docs, n, numHashes), numHashes, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

@@ -86,12 +86,17 @@ object Relational {
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy").cast("double") -
+        // rounded to 12 decimals: the sums are decimal-exact, but once a
+        // sum's unscaled value exceeds 2^53 (price² sums do) the
+        // decimal→double cast double-rounds differently across engines
+        // (~1 ulp, observed 3.5e-18 at sf0.001) — 12 digits is 6 orders
+        // of magnitude coarser than the drift and |corr| ≤ 1
+        round((col("n") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
           (sqrt(col("n") * col("sxx").cast("double") -
             col("sx").cast("double") * col("sx").cast("double")) *
             sqrt(col("n") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))))
+              col("sy").cast("double") * col("sy").cast("double"))), 12)
           .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }

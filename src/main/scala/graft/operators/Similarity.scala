@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** B3 sim_topk + embedding near-dup + ANN — similarity search over the
   * `embeddings.embedding: array<float>` column.
@@ -47,9 +46,11 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest other vectors. The query side is tiny and broadcast;
-    * the corpus side streams — no shuffle until the per-query top-k
-    * (Window over ≤ nQueries·N rows; at scale swap the Window for a
-    * partial top-k aggregator, same semantics). */
+    * the corpus side streams. The per-query top-k is a PARTIAL aggregator
+    * (TopKByScore, map-side combine): each task reduces its slice to ≤ k
+    * pairs per query before the shuffle, so shuffle volume is
+    * O(k·queries·tasks) — independent of corpus size — where the
+    * equivalent Window form would shuffle all nQueries·N scored rows. */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
     val p = prepared(emb)
     val queries = p.filter(col("vec_id") < nQueries)
@@ -59,19 +60,38 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
       .withColumn("cos",
         cosine(dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    topKPerGroup(scored, k)
   }
+
+  /** Shared partial-top-k tail: (q_id, cos, n_id) scored rows → the k
+    * best per q_id as (q_id, rank, n_id, cos), rank 1-based in
+    * (cos desc, n_id asc) order — same total order as the Window
+    * formulation it replaces, but with map-side partial aggregation. */
+  private def topKPerGroup(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("cos"), col("n_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("n_id"), col("col._1").as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+
+  /** Hard ceiling for [[nearDupPairs]]'s all-pairs join: the O(N²·d)
+    * brute-force form exists as the oracle baseline and must not be
+    * invocable on real data by accident — above this many input vectors
+    * it throws, pointing at [[nearDupPairsLsh]]. */
+  val AllPairsRowLimit: Long = 100000L
 
   /** All-pairs near-duplicate vectors: cosine ≥ threshold, a < b.
     * Brute force (the oracle form); the LSH-bucketed variant below is the
-    * scale path. */
-  def nearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    * scale path. GATED: refuses inputs larger than `rowLimit` (one cheap
+    * count against an O(N²) join) — use [[nearDupPairsLsh]] at scale. */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.4,
+                   rowLimit: Long = AllPairsRowLimit): DataFrame = {
+    val n = emb.count()
+    require(n <= rowLimit,
+      s"nearDupPairs is the O(N^2) all-pairs oracle baseline; input has " +
+        s"$n rows > limit $rowLimit. Use nearDupPairsLsh (bucketed " +
+        s"equi-join + exact verify) at scale.")
     val p = prepared(emb)
     val a = p.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"), col("nrm").as("a_nrm"))
     val b = p.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"), col("nrm").as("b_nrm"))
@@ -143,12 +163,6 @@ object Similarity {
       .join(corpus, Seq("n_id"))
       .withColumn("cos",
         cosine(dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    topKPerGroup(scored, k)
   }
 }

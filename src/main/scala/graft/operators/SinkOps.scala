@@ -45,6 +45,20 @@ object SinkOps {
         count(lit(1)).as("n_rows"))
       .orderBy(col("writer_id"))
 
+  /** One scratch root per JVM for sink round-trips, removed on exit —
+    * repeated bench/verify invocations overwrite the same subdirectory
+    * instead of leaking a fresh temp dir per call. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = Files.createTempDirectory("graft_sink_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   /** A14 sink_txn_batch — the real partitioned, committed write: route
     * events by sentinel-normalized event_type, write
     * partitionBy(event_type) parquet through Spark's commit protocol, read
@@ -52,7 +66,7 @@ object SinkOps {
     * full physical sink path (dynamic partition dirs, sentinel directory
     * names, atomic commit) with an oracle-checkable result. */
   def txnBatchRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
-    val out = Files.createTempDirectory("graft_sink_").toString
+    val out = s"$scratchRoot/txn_batch"
     val routed = ExportPipeline.route(events, Seq("event_type"))
     ExportPipeline.writeRouted(routed, out)
     spark.read.parquet(out)
@@ -87,21 +101,70 @@ object SinkOps {
       .orderBy(col("endpoint"))
   }
 
-  /** A16 retry_reconnect — the bounded-retry envelope as data: the
-    * schedule of (operation, attempt, backoff, on-final-failure) the
-    * reference hard-codes (hive/HivePartitionStream.java:81-122,147-173;
-    * block replay hive/HiveExportClient.java:190-196). In Spark the
-    * mechanism itself is spark.task.maxFailures + checkpoint restart. */
+  /** A16 retry constants — the reference's hard-coded envelope:
+    * batch fetch = 4 attempts, 30 ms sleep between, reconnect on final
+    * failure (hive/HivePartitionStream.java:91-112); write = 3 attempts,
+    * reconnect after EVERY failure, exhaustion propagates as a
+    * block-restarting exception (hive/HivePartitionStream.java:147-173;
+    * block replay hive/HiveExportClient.java:190-196). */
+  val FetchAttempts = 4
+  val FetchBackoffMs = 30L
+  val WriteAttempts = 3
+
+  /** A16 retry_reconnect — the bounded-retry envelope itself, the code
+    * both [[retryFetch]] and [[retryWrite]] run: try `op` up to `attempts`
+    * times, run `betweenAttempts(attemptNo)` after each non-final failure,
+    * `onExhausted()` after the final one, then rethrow the last error.
+    * Spark context: this wraps DRIVER-side sink actions (a commit, a
+    * stream fetch) — task-level retry inside a job is Spark's own
+    * spark.task.maxFailures, and micro-batch replay is the checkpointed
+    * restart spec-checked in StreamingExportSpec. */
+  def boundedRetry[T](attempts: Int,
+                      betweenAttempts: Int => Unit = _ => (),
+                      onExhausted: () => Unit = () => ())(op: () => T): T = {
+    require(attempts > 0)
+    var left = attempts
+    var lastErr: Throwable = null
+    while (left > 0) {
+      try return op()
+      catch { case e: Exception =>
+        lastErr = e
+        left -= 1
+        if (left > 0) betweenAttempts(attempts - left) else onExhausted()
+      }
+    }
+    throw lastErr
+  }
+
+  /** Fetch envelope: 4 attempts, 30 ms between, reconnect on exhaustion
+    * (hive/HivePartitionStream.java:91-112). `sleep` injectable for tests. */
+  def retryFetch[T](reconnect: () => Unit,
+                    sleep: Long => Unit = Thread.sleep)(op: () => T): T =
+    boundedRetry(FetchAttempts,
+      betweenAttempts = _ => sleep(FetchBackoffMs),
+      onExhausted = reconnect)(op)
+
+  /** Write envelope: 3 attempts, reconnect after every failure including
+    * the last (hive/HivePartitionStream.java:147-173). */
+  def retryWrite[T](reconnect: () => Unit)(op: () => T): T =
+    boundedRetry(WriteAttempts,
+      betweenAttempts = _ => reconnect(),
+      onExhausted = reconnect)(op)
+
+  /** The envelope's schedule as data, DERIVED from the same constants the
+    * envelopes above consume — the driver-oracle view of A16. */
   def retryPolicy(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      ("txn_batch_fetch", 1, 30, "retry"),
-      ("txn_batch_fetch", 2, 30, "retry"),
-      ("txn_batch_fetch", 3, 30, "retry"),
-      ("txn_batch_fetch", 4, 0, "reconnect"),
-      ("write", 1, 0, "reconnect_and_retry"),
-      ("write", 2, 0, "reconnect_and_retry"),
-      ("write", 3, 0, "restart_block"))
+    val fetch = (1 to FetchAttempts).map { a =>
+      ("txn_batch_fetch", a,
+        if (a < FetchAttempts) FetchBackoffMs.toInt else 0,
+        if (a < FetchAttempts) "retry" else "reconnect")
+    }
+    val write = (1 to WriteAttempts).map { a =>
+      ("write", a, 0,
+        if (a < WriteAttempts) "reconnect_and_retry" else "restart_block")
+    }
+    (fetch ++ write)
       .toDF("operation", "attempt", "backoff_ms", "on_failure")
       .orderBy(col("operation"), col("attempt"))
   }

@@ -62,14 +62,20 @@ object TextAnalysis {
         .as("bpe_ish_tokens"))
 
   /** N-gram-heuristic language ID: count marker-word hits per language,
-    * argmax with alphabetical tie-break, 'unknown' when no marker hits. */
+    * argmax with alphabetical tie-break, 'unknown' when no marker hits.
+    * All five languages' counts come from ONE tokenize pass (the native
+    * MarkerCounts expression) instead of five interpreted filter-HOF
+    * chains — same counts, ~5× less per-row cost. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = docs.select(
-      (col("doc_id") +:
-        LangMarkers.map { case (lang, words) =>
-          size(filter(toks, t => inList(t, words))).as(s"s_$lang")
-        }): _*)
+    val mc = graft.functions.VectorFunctions
+      .markerCounts(col("text"), LangMarkers.map(_._2))
+    val scored = docs
+      .select(col("doc_id"), mc.as("mc"))
+      .select(
+        (col("doc_id") +:
+          LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+            col("mc").getItem(i).as(s"s_$lang")
+          }): _*)
     val langs = LangMarkers.map(_._1)
     val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
     // foldRight chains when(...).otherwise(...) in de,en,es,fr,zh order, so

@@ -83,4 +83,51 @@ class DedupSimilaritySpec extends SparkSpec {
     val expected = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
     assert(deduped.select("doc_id").except(expected.select("doc_id")).count() == 0)
   }
+
+  test("dedup_fuzzy df-cap: loose cap ≡ uncapped; tight cap ⊆ uncapped") {
+    val uncapped = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    // no shingle reaches df > #docs, so a cap at the corpus size is a
+    // no-op on the RESULT while the capping join is active in the PLAN
+    val loose = Dedup.ngramJaccardPairs(docs, threshold = 0.5,
+      maxDf = Some(docs.count().toInt)).collect()
+    assert(loose.toSet == uncapped.toSet)
+    // a tight cap only removes blocking shingles → output can only shrink,
+    // and surviving (doc_a, doc_b) keys must come from the uncapped set
+    val tight = Dedup.ngramJaccardPairs(docs, threshold = 0.5,
+      maxDf = Some(2)).collect()
+    def keys(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys(tight).subsetOf(keys(uncapped)))
+  }
+
+  test("all-pairs nearDupPairs gate refuses oversized inputs") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(emb, rowLimit = 3)
+    }
+    assert(e.getMessage.contains("nearDupPairsLsh"))
+    // under the limit it still runs
+    assert(Similarity.nearDupPairs(emb.limit(3), rowLimit = 3)
+      .collect() != null)
+  }
+
+  test("partial top-k aggregator matches the Window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val p = Similarity.prepared(emb)
+    val queries = p.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val corpus = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"))
+    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("cos", Similarity.cosine(
+        Similarity.dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+      .collect().toSet
+    val viaAgg = Similarity.bruteForceTopK(emb, nQueries = 5, k = 7)
+      .collect().toSet
+    assert(viaAgg == viaWindow)
+  }
 }

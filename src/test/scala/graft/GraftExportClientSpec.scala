@@ -11,6 +11,7 @@ class GraftExportClientSpec extends SparkSpec {
   test("configure → exportBatch writes the partitioned table layout") {
     val cfg = GraftExportClient.configure(Map(
       "hive.uri" -> "thrift://meta:9083",
+      "hive.table" -> "alerts",
       "hive.partition.columns" -> "alerts:continent"))
     val alerts = Seq((1L, "fab-02 inoperable", "EU"), (2L, "ok", null: String))
       .toDF("id", "msg", "continent")
@@ -24,15 +25,25 @@ class GraftExportClientSpec extends SparkSpec {
       """{"id":1,"msg":"fab-02 inoperable"}""")
   }
 
-  test("configure rejects bad URIs, arity mismatches and unlisted tables") {
+  test("configure rejects bad URIs, missing table, arity mismatches and unlisted tables") {
     intercept[IllegalArgumentException] {
       GraftExportClient.configure(Map("hive.uri" -> "http://x:1"))
     }
+    // hive.table is mandatory (ref README.md:104-108); absent and blank
+    // both fail like the reference's endpoint-factory precondition
+    intercept[IllegalArgumentException] {
+      GraftExportClient.configure(Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      GraftExportClient.configure(Map("hive.table" -> "  "))
+    }
     intercept[IllegalArgumentException] {
       GraftExportClient.configure(Map(
+        "hive.table" -> "a",
         "hive.partition.columns" -> "a:x,b:x|y"))
     }
     val cfg = GraftExportClient.configure(Map(
+      "hive.table" -> "alerts",
       "hive.partition.columns" -> "alerts:continent"))
     intercept[IllegalArgumentException] {
       GraftExportClient.exportBatch(

@@ -22,6 +22,25 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_tables") == 4)
   }
 
+  test("marker_counts matches the filter-HOF formulation on real docs") {
+    import org.apache.spark.sql.functions._
+    val markers = graft.operators.TextAnalysis.LangMarkers.map(_._2)
+    val docs = Tables.documents(spark, sf0)
+    val toks = split(col("text"), " ")
+    val viaHof = markers.zipWithIndex.map { case (words, i) =>
+      size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+        .cast("long").as(s"h_$i")
+    }
+    val viaNative = markers.indices.map(i =>
+      graft.functions.VectorFunctions.markerCounts(col("text"), markers)
+        .getItem(i).as(s"n_$i"))
+    val diff = docs.select(viaHof ++ viaNative: _*)
+      .filter(markers.indices
+        .map(i => col(s"h_$i") =!= col(s"n_$i")).reduce(_ || _))
+      .count()
+    assert(diff == 0)
+  }
+
   test("SQL and Column API agree") {
     GraftFunctions.register(spark)
     import spark.implicits._
