@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Plan-audit tool: dump the optimized + physical plan of every
+  * SparkEntry query to <outDir>/<name>.txt, plus a one-line-per-query
+  * summary of scale-relevant plan facts (shuffle count, broadcast joins,
+  * nested-loop joins, whole-stage-codegen coverage, pushed filters) to
+  * stdout. Dev-loop tool — the "would this plan survive 100×?" check.
+  *
+  * Usage: runMain graft.Plans <sfDir> <outDir>
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static plans for the audit: AQE's pre-execution AdaptiveSparkPlan
+      // hides codegen stages and final join strategies until runtime
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val phys = df.queryExecution.executedPlan.toString
+        val opt = df.queryExecution.optimizedPlan.toString
+        Files.writeString(Paths.get(s"$outDir/$name.txt"),
+          s"== physical ==\n$phys\n== optimized ==\n$opt\n")
+        def n(pat: String) = pat.r.findAllIn(phys).size
+        // codegen spans print as "*(stageId)" operator prefixes: count
+        // DISTINCT stage ids = number of whole-stage-codegen regions
+        val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(phys)
+          .map(_.group(1)).toSet.size
+        println(f"$name%-24s exch=${n("Exchange hashpartitioning")}%d " +
+          f"bcast=${n("BroadcastExchange")}%d bnlj=${n("BroadcastNestedLoopJoin")}%d " +
+          f"smj=${n("SortMergeJoin")}%d wsc=$wsc%d " +
+          f"window=${n("WindowGroupLimit|Window \\[")}%d")
+      } catch { case e: Throwable =>
+        println(s"$name FAILED: ${e.getMessage}")
+      }
+      graft.operators.Dedup.releaseCaches()
+    }
+    spark.stop()
+  }
+}

@@ -82,4 +82,46 @@ object ExportPipeline {
     val partitionCols = cfg.partitionColsFor(table).map(_.toLowerCase)
     writeRouted(route(df, partitionCols, metaCols, Some(cfg.timezone)), outDir)
   }
+
+  /** Small-file compaction — the maintenance pass every long-lived
+    * partitioned sink needs at scale: a streaming conduit committing a
+    * micro-batch per trigger accretes files per partition without bound,
+    * and at 100 TB the resulting per-file scheduling/open cost dominates
+    * reads. Rewrites `inDir` into `outDir` with each dynamic partition
+    * packed toward `targetFileBytes` files: measured avg row size →
+    * `maxRecordsPerFile`, repartition by the partition columns so few
+    * tasks write each partition (same anti-small-file shape as
+    * [[writeRouted]]).
+    *
+    * Returns (rows, inputFiles, inputBytes) for observability. Output
+    * goes to a NEW directory (job-level atomic); swapping it in place of
+    * `inDir` is the caller's rename — same publish discipline as any
+    * compactor on an object store.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              inDir: String, outDir: String,
+              partitionCols: Seq[String],
+              targetFileBytes: Long = 128L << 20,
+              format: String = "parquet"): (Long, Long, Long) = {
+    val df = spark.read.format(format).load(inDir)
+    val rows = df.count()
+    val files = df.inputFiles
+    val bytes = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    }
+    val avgRowBytes = math.max(1L, if (rows == 0) 1L else bytes / rows)
+    val maxRecords = math.max(1L, targetFileBytes / avgRowBytes)
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecords)
+      .partitionBy(partitionCols: _*)
+      .format(format)
+      .save(outDir)
+    (rows, files.length.toLong, bytes)
+  }
 }

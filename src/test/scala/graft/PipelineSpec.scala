@@ -31,6 +31,33 @@ class PipelineSpec extends SparkSpec {
     assert(one == """{"id":1,"msg":"alpha"}""")
   }
 
+  test("compaction packs a fragmented partitioned sink, preserving rows") {
+    // fragment: 40 tasks × 2 partitions → ~80 small files
+    val df = (1L to 400L).map(i => (i, s"msg$i", if (i % 2 == 0) "EU" else "AS"))
+      .toDF("id", "msg", "continent")
+    val frag = Files.createTempDirectory("graft_frag_").toString
+    ExportPipeline.route(df, Seq("continent"))
+      .repartition(40)
+      .write.mode("overwrite").partitionBy("continent").parquet(frag)
+    val fragFiles = spark.read.parquet(frag).inputFiles.length
+    assert(fragFiles > 20, s"fixture not fragmented: $fragFiles files")
+
+    val out = Files.createTempDirectory("graft_compact_").toString
+    val (rows, inFiles, inBytes) =
+      ExportPipeline.compact(spark, frag, out, Seq("continent"))
+    assert(rows == 400L && inFiles == fragFiles.toLong && inBytes > 0L)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == 400L)
+    // 128 MB target vs a few KB of data → one file per partition
+    assert(back.inputFiles.length == 2,
+      s"expected 1 file per partition, got ${back.inputFiles.length}")
+    // content identical (payload_json, continent) modulo order
+    val a = spark.read.parquet(frag).select("payload_json", "continent")
+    val b = back.select("payload_json", "continent")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("ORC write path: the reference's required sink format round-trips") {
     val df = Seq((1L, "a", "EU"), (2L, "b", "AS")).toDF("id", "msg", "region")
     val out = Files.createTempDirectory("graft_orc_").toString
