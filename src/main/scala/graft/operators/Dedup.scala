@@ -59,23 +59,53 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle blocking.
     * Output: (doc_a, doc_b, n_common, n_union, jaccard) for jaccard ≥
-    * threshold, doc_a < doc_b. Two shuffles (per-shingle join + per-pair
-    * count); partial aggregation keeps the shuffle narrow. */
+    * threshold, doc_a < doc_b.
+    *
+    * Two physical shapes, same exact result:
+    *  - capped (`maxDf = Some(cap)`): ONE shuffle groups (doc, shingle)
+    *    into per-shingle buckets, drops buckets over the df cap, and
+    *    enumerates each bucket's doc pairs in place (≤ cap²/2 per
+    *    bucket, narrow double-explode) — the 100 TB path: shuffle volume
+    *    is the shingle table once, bucket memory is cap-bounded, and no
+    *    hot-key self-join blowup is possible by construction.
+    *  - uncapped (None): shingle self-join, recall 1 — the oracle toy;
+    *    quadratic on stop-shingles, so not for real corpora.
+    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                        n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
-    // consumed 3× (sizes + both join sides): cache so the shingle HOFs
-    // run once; falls out via Spark's LRU (at cluster scale: persist to
-    // storage or reuse a materialized shingle table across dedup runs)
-    val sh = tracked(shingleTable(docs, n, maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    jaccardVerify(inter, sizes, threshold)
-  }
+                        n: Int = 3, maxDf: Option[Int] = None): DataFrame =
+    maxDf match {
+      case Some(cap) =>
+        val raw = shingleTable(docs, n, None)
+        // one shuffle: bucket docs per shingle; df-cap drops stop-shingles
+        val buckets = tracked(raw
+          .groupBy(col("shingle"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) <= cap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // sizes over the CAPPED relation (mirrors the oracle's capped CTE)
+        val sizes = buckets.select(explode(col("ds")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        // in-bucket pair enumeration, a < b (order within ds irrelevant)
+        val inter = buckets
+          .select(explode(col("ds")).as("doc_a"), col("ds"))
+          .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+        jaccardVerify(inter, sizes, threshold)
+      case None =>
+        // consumed 3× (sizes + both join sides): cache so the shingle
+        // expression runs once; released via releaseCaches
+        val sh = tracked(shingleTable(docs, n, None)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val a = sh.as("a"); val b = sh.as("b")
+        val inter = a.join(b,
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+        jaccardVerify(inter, sizes, threshold)
+    }
 
   /** Shared exact-Jaccard verification tail: attach per-doc shingle-set
     * sizes to (doc_a, doc_b, n_common) intersection counts, compute
