@@ -426,6 +426,12 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d))),
 
+    // IVF (inverted-file) ANN top-k: deterministic coarse quantizer,
+    // nprobe-list candidate lookup, exact rerank (approximate — recall
+    // spec-tested against sim_topk; no SQL oracle).
+    "sim_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d))),
+
     // ---- Group B: multimodal columns ------------------------------------
 
     // Binary media payload + typed metadata + (stub) feature extraction.

@@ -139,6 +139,63 @@ object Similarity {
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
 
+  /** IVF (inverted-file) ANN top-k — the second classic ANN family next
+    * to [[annTopK]]'s LSH: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into inverted lists; a query probes its
+    * `nprobe` nearest lists and exact-reranks only those candidates.
+    *
+    * Deterministic + collect-free: centroids are the `nlist` corpus
+    * vectors with the smallest md5(vec_id) (repartition-stable sample,
+    * same trick as doc_sample), kept as a broadcast DataFrame — no
+    * driver-side collect, no k-means iterations (a "flat" IVF; at real
+    * scale the centroid set would come from a trained quantizer, the
+    * plan shape is identical). Assignment is a broadcast nested-loop over
+    * nlist centroids (O(N·nlist·d) narrow work, no shuffle); candidate
+    * lookup is an equi-join on cent_id — shuffle-partitionable like the
+    * LSH path. Recall vs [[bruteForceTopK]] is spec-checked.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val p = prepared(emb)
+    // deterministic coarse quantizer: nlist md5-smallest vectors
+    val cent = broadcast(p
+      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
+        col("nrm").as("c_nrm"), md5(col("vec_id").cast("string")).as("mk"))
+      .orderBy(col("mk"), col("cent_id")).limit(nlist)
+      .drop("mk"))
+    // assign every vector to its best centroid: argmax cosine via max_by
+    val assigned = p.join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
+        .as("cent_id"))
+    // queries probe their nprobe best lists (same broadcast quantizer)
+    val probes = p.filter(col("vec_id") < nQueries).join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    // candidates = members of probed lists; then exact rerank
+    val cand = assigned.join(probes, Seq("cent_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val queries = p.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+      col("nrm").as("q_nrm"))
+    val corpus = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"))
+    val scored = cand
+      .join(broadcast(queries), Seq("q_id"))
+      .join(corpus, Seq("n_id"))
+      .withColumn("cos",
+        cosine(dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
+    topKPerGroup(scored, k)
+  }
+
   /** ANN top-k: candidate set = union over L hash tables of the query's
     * bucket, deduped, then exact cosine rerank. The per-table lookup is an
     * equi-join on (table, bucket) — shuffle-partitionable, no cross join —

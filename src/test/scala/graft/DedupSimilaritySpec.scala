@@ -84,6 +84,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(deduped.select("doc_id").except(expected.select("doc_id")).count() == 0)
   }
 
+  test("IVF top-k: exact scores, recall vs brute force, probe bound") {
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10).collect()
+    val ivf = Similarity.ivfTopK(emb, nQueries = 10, k = 10,
+      nlist = 8, nprobe = 4).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getAs[Long]("n_id"))).toSet
+    // probing half the lists on random embeddings: every returned
+    // neighbor must carry its EXACT cosine (rerank is exact) ...
+    val bruteCos = brute.map(r =>
+      (r.getLong(0), r.getAs[Long]("n_id")) -> r.getAs[Double]("cos")).toMap
+    assert(ivf.forall { r =>
+      val key = (r.getLong(0), r.getAs[Long]("n_id"))
+      !bruteCos.contains(key) || bruteCos(key) == r.getAs[Double]("cos")
+    })
+    // ... and aggregate recall must clear the IVF probe expectation
+    val recall = pairs(ivf).intersect(pairs(brute)).size.toDouble / brute.length
+    assert(recall >= 0.4, s"IVF recall $recall below bound")
+  }
+
   test("dedup_fuzzy df-cap: loose cap ≡ uncapped; tight cap ⊆ uncapped") {
     val uncapped = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
     // no shingle reaches df > #docs, so a cap at the corpus size is a
