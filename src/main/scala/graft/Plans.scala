@@ -38,7 +38,7 @@ object Plans {
         // DISTINCT stage ids = number of whole-stage-codegen regions
         val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(phys)
           .map(_.group(1)).toSet.size
-        println(f"$name%-24s exch=${n("Exchange hashpartitioning")}%d " +
+        println(f"$name%-24s exch=${n("Exchange (hash|range)partitioning|Exchange SinglePartition")}%d " +
           f"bcast=${n("BroadcastExchange")}%d bnlj=${n("BroadcastNestedLoopJoin")}%d " +
           f"smj=${n("SortMergeJoin")}%d wsc=$wsc%d " +
           f"window=${n("WindowGroupLimit|Window \\[")}%d")

@@ -525,11 +525,14 @@ object SparkEntry {
         "COUNT(*) AS count_order " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
 
+    // decimal sums go to double VIA VARCHAR (exact render + correctly
+    // rounded parse in both engines → bit-identical inputs; plain
+    // decimal→double casts double-round differently past 2^53)
     "stats_corr" ->
       ("SELECT l_returnflag, n, " +
-        "round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-        "(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
-        "sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12) AS corr_qty_price " +
+        "(n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) / " +
+        "(sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) * " +
+        "sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS corr_qty_price " +
         "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
         "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx, " +
         "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy, " +

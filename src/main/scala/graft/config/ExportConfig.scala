@@ -20,11 +20,14 @@ final case class ExportConfig(
     db: String = "default",
     /** default target table (`hive.table`, mandatory in the reference:
       * README.md:104-108; non-blank enforced like
-      * hive/HiveEndPointFactory.java:51-54's Preconditions). */
-    table: String = "default_table",
+      * hive/HiveEndPointFactory.java:51-54's Preconditions). No default —
+      * the compiler enforces at construction what validateTable enforces
+      * at parse time. */
+    table: String,
     timezone: String = "UTC",
     /** upper-cased table → partition columns, declaration order preserved */
     partitionColumns: Map[String, Seq[String]] = Map.empty) {
+  ExportConfig.validateTable(table)
 
   def partitionColsFor(table: String): Seq[String] =
     partitionColumns.getOrElse(table.toUpperCase,

@@ -33,9 +33,15 @@ class TopKByScore(k: Int)
 
   override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
 
-  // strict total order: higher score wins; lower id breaks ties
-  private def better(a: (Double, Long), c: (Double, Long)): Boolean =
-    a._1 > c._1 || (a._1 == c._1 && a._2 < c._2)
+  // strict total order: higher score wins; lower id breaks ties.
+  // java.lang.Double.compare, not >/==, so NaN ranks ABOVE every finite
+  // score — the same total order Spark's Window orderBy(desc) and
+  // DuckDB's ORDER BY DESC use (a 0/0 cosine from a zero vector must
+  // rank identically in all three formulations).
+  private def better(a: (Double, Long), c: (Double, Long)): Boolean = {
+    val cmp = java.lang.Double.compare(a._1, c._1)
+    cmp > 0 || (cmp == 0 && a._2 < c._2)
+  }
 
   private def insert(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
     val i = b.indexWhere(better(a, _))

@@ -44,7 +44,11 @@ object Dedup {
   /** (doc_id, shingle) pairs, distinct per doc — the blocking relation.
     * `maxDf` drops shingles appearing in more than that many docs: at
     * 100 TB the df-cap is what keeps the per-shingle self-join from going
-    * quadratic on stop-shingles. None = exact recall (the oracle form). */
+    * quadratic on stop-shingles. None = exact recall (the oracle form).
+    * The df filter uses a constant-size COUNT buffer per shingle (never
+    * a doc list), so the cap pass itself is hot-key-safe; the join back
+    * is a plain equi-join — AQE broadcasts it when the surviving-shingle
+    * set is small, shuffles it when it isn't (at web scale it isn't). */
   def shingleTable(docs: DataFrame, n: Int = 3,
                    maxDf: Option[Int] = None): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
@@ -52,7 +56,7 @@ object Dedup {
       case None => sh
       case Some(cap) =>
         val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        sh.join(broadcast(df.filter(col("df") <= cap)), "shingle")
+        sh.join(df.filter(col("df") <= cap), "shingle")
           .select(col("doc_id"), col("shingle"))
     }
   }
@@ -75,12 +79,14 @@ object Dedup {
                         n: Int = 3, maxDf: Option[Int] = None): DataFrame =
     maxDf match {
       case Some(cap) =>
-        val raw = shingleTable(docs, n, None)
-        // one shuffle: bucket docs per shingle; df-cap drops stop-shingles
-        val buckets = tracked(raw
+        // df-cap FIRST with constant-size count buffers (a hot
+        // stop-shingle must never reach a collect_list buffer), THEN
+        // bucket the surviving (doc, shingle) pairs: every list is ≤ cap
+        // elements by construction
+        val capped = shingleTable(docs, n, Some(cap))
+        val buckets = tracked(capped
           .groupBy(col("shingle"))
           .agg(collect_list(col("doc_id")).as("ds"))
-          .filter(size(col("ds")) <= cap)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // sizes over the CAPPED relation (mirrors the oracle's capped CTE)
         val sizes = buckets.select(explode(col("ds")).as("doc_id"))

@@ -98,19 +98,21 @@ object Relational {
         count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-      .select(col("l_returnflag"), col("n"),
-        // rounded to 12 decimals: the sums are decimal-exact, but once a
-        // sum's unscaled value exceeds 2^53 (price² sums do) the
-        // decimal→double cast double-rounds differently across engines
-        // (~1 ulp, observed 3.5e-18 at sf0.001) — 12 digits is 6 orders
-        // of magnitude coarser than the drift and |corr| ≤ 1
-        round((col("n") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-          (sqrt(col("n") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-            sqrt(col("n") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))), 12)
-          .as("corr_qty_price"))
+      .select(col("l_returnflag"), col("n"), {
+        // decimal → STRING → double, not decimal → double: once a sum's
+        // unscaled value exceeds 2^53 (price² sums do), engines'
+        // decimal→double conversions double-round differently (~1 ulp,
+        // observed 3.5e-18 at sf0.001). decimal→string is exact in both
+        // engines and string→double is correctly rounded in both, so the
+        // via-string doubles are BIT-IDENTICAL and every downstream IEEE
+        // op is too — no tolerance or output rounding needed.
+        def d(c: org.apache.spark.sql.Column) =
+          c.cast("string").cast("double")
+        ((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("corr_qty_price")
+      })
       .orderBy(col("l_returnflag"))
   }
 

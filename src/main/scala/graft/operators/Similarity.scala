@@ -33,9 +33,16 @@ object Similarity {
   def dotQ(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.longArrayDot(a, b)
 
-  /** Cosine from integer dot/norms: deterministic double. */
-  def cosine(dot: Column, normA: Column, normB: Column): Column =
-    dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+  /** Cosine from integer dot/norms: deterministic double. A zero vector
+    * (zero norm) yields NaN explicitly — under ANSI mode the raw 0/0
+    * division would otherwise throw DIVIDE_BY_ZERO and one degenerate
+    * embedding would kill the whole job; NaN instead ranks first in
+    * descending order (IEEE total order, same in Spark Window sorts and
+    * DuckDB) and fails any `>= threshold` filter in Spark. */
+  def cosine(dot: Column, normA: Column, normB: Column): Column = {
+    val den = sqrt(normA.cast("double")) * sqrt(normB.cast("double"))
+    when(den === 0.0, lit(Double.NaN)).otherwise(dot.cast("double") / den)
+  }
 
   /** Vectors with quantized form and squared norm precomputed. */
   def prepared(emb: DataFrame): DataFrame = {
@@ -66,9 +73,13 @@ object Similarity {
   /** Shared partial-top-k tail: (q_id, cos, n_id) scored rows → the k
     * best per q_id as (q_id, rank, n_id, cos), rank 1-based in
     * (cos desc, n_id asc) order — same total order as the Window
-    * formulation it replaces, but with map-side partial aggregation. */
+    * formulation it replaces (NaN ranks first, per IEEE total order in
+    * both Spark and DuckDB), but with map-side partial aggregation.
+    * Null scores (null embedding rows) are excluded up front: the
+    * aggregator input is a primitive double, and a null-embedding
+    * neighbor is meaningless in a top-k. */
   private def topKPerGroup(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("q_id"))
+    scored.filter(col("cos").isNotNull).groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(k)(col("cos"), col("n_id")).as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -87,10 +98,12 @@ object Similarity {
     * count against an O(N²) join) — use [[nearDupPairsLsh]] at scale. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4,
                    rowLimit: Long = AllPairsRowLimit): DataFrame = {
-    val n = emb.count()
-    require(n <= rowLimit,
-      s"nearDupPairs is the O(N^2) all-pairs oracle baseline; input has " +
-        s"$n rows > limit $rowLimit. Use nearDupPairsLsh (bucketed " +
+    // bounded probe, not a full count: scans at most rowLimit+1 rows,
+    // so the gate stays cheap even when the input is the whole corpus
+    val over = emb.limit((rowLimit + 1).toInt).count() > rowLimit
+    require(!over,
+      s"nearDupPairs is the O(N^2) all-pairs oracle baseline; input " +
+        s"exceeds the $rowLimit-row limit. Use nearDupPairsLsh (bucketed " +
         s"equi-join + exact verify) at scale.")
     val p = prepared(emb)
     val a = p.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"), col("nrm").as("a_nrm"))
@@ -184,8 +197,10 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    val queries = p.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-      col("nrm").as("q_nrm"))
+    // broadcast ONLY the bounded query set, never the corpus
+    val queries = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
     val corpus = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
       col("nrm").as("n_nrm"))
     val scored = cand
@@ -211,8 +226,10 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    val queries = p.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-      col("nrm").as("q_nrm"))
+    // broadcast ONLY the bounded query set, never the corpus
+    val queries = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
     val corpus = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
       col("nrm").as("n_nrm"))
     val scored = cand

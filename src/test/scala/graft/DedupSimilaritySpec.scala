@@ -103,6 +103,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall below bound")
   }
 
+  test("partial top-k ranks NaN cosine first, like Window desc / DuckDB") {
+    import spark.implicits._
+    // vec 2 is the zero vector: cosine(q, zero) = 0/0 = NaN, which IEEE
+    // total order (and Spark's Window desc, and DuckDB ORDER BY DESC)
+    // ranks ABOVE every finite score
+    val vecs = Seq(
+      (0L, Array(1f, 0f), "q"),
+      (1L, Array(0.9f, 0.1f), "a"),
+      (2L, Array(0f, 0f), "zero"),
+      (3L, Array(0.5f, 0.5f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(vecs, nQueries = 1, k = 3).collect()
+    assert(top.head.getAs[Long]("n_id") == 2L)
+    assert(top.head.getAs[Double]("cos").isNaN)
+    assert(top.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("dedup_fuzzy df-cap: loose cap ≡ uncapped; tight cap ⊆ uncapped") {
     val uncapped = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
     // no shingle reaches df > #docs, so a cap at the corpus size is a
