@@ -246,6 +246,12 @@ object SparkEntry {
     "join_asof" -> ((s, d) =>
       Relational.asofJoin(Tables.events(s, d))),
 
+    // Range (interval) join: purchases inside any error's 10-minute
+    // window, via time-bucketing (equi-join on bucket + exact filter —
+    // not the BNLJ a naive inequality join would plan).
+    "join_range" -> ((s, d) =>
+      Relational.rangeJoin(Tables.events(s, d))),
+
     // Pivot: per-user event-type count matrix, explicit value list.
     "pivot_counts" -> ((s, d) =>
       Relational.pivotCounts(Tables.events(s, d))),
@@ -620,6 +626,16 @@ object SparkEntry {
         "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
         "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS UNBOUNDED PRECEDING) AS asof_ts " +
         "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    // integer-µs arithmetic on the µs-truncated ts, exactly as the Spark
+    // side computes containment
+    "join_range" ->
+      ("SELECT b.event_id AS point_id, e.event_id AS interval_id, " +
+        "CAST(b.ts AS TIMESTAMP) AS point_ts, CAST(e.ts AS TIMESTAMP) AS interval_start " +
+        "FROM events e JOIN events b ON e.event_type = 'error' AND b.event_type = 'purchase' " +
+        "AND epoch_us(CAST(b.ts AS TIMESTAMP)) >= epoch_us(CAST(e.ts AS TIMESTAMP)) " +
+        "AND epoch_us(CAST(b.ts AS TIMESTAMP)) < epoch_us(CAST(e.ts AS TIMESTAMP)) + 600000000 " +
+        "ORDER BY point_id, interval_id"),
 
     "pivot_counts" ->
       ("SELECT user_id, " +

@@ -220,6 +220,45 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Range (interval) join — the second classic non-equi temporal join
+    * next to [[asofJoin]]: match every `pointType` event to every
+    * `intervalType` event whose window `[ts, ts + windowSec)` contains
+    * it, across ALL users (a genuine interval × point join, no shared
+    * equi-key).
+    *
+    * The naive formulation is an inequality join — Spark plans it as a
+    * BroadcastNestedLoopJoin, O(|intervals|·|points|). This composition
+    * bucketizes time instead: each point lands in exactly ONE
+    * `bucketSec`-wide bucket, each interval is exploded to the ≤
+    * ⌈windowSec/bucketSec⌉+1 buckets it overlaps, and the join becomes a
+    * plain shuffle-partitionable EQUI-join on the bucket id followed by
+    * the exact containment filter. Each (point, interval) pair meets in
+    * exactly one bucket (the point's), so no dedup is needed. All
+    * arithmetic is integer microseconds — exact in both engines. */
+  def rangeJoin(events: DataFrame, intervalType: String = "error",
+                pointType: String = "purchase",
+                windowSec: Int = 600, bucketSec: Int = 600): DataFrame = {
+    val busec = bucketSec * 1000000L
+    val wusec = windowSec * 1000000L
+    // integer `div`, never `/`: epoch-µs (~1.7e18) overflows double precision
+    val intervals = events.filter(col("event_type") === intervalType)
+      .select(col("event_id").as("interval_id"),
+        unix_micros(col("ts")).as("ivl_us"))
+      .withColumn("bucket", explode(expr(
+        s"sequence(ivl_us div $busec, (ivl_us + ${wusec - 1}) div $busec)")))
+    val points = events.filter(col("event_type") === pointType)
+      .select(col("event_id").as("point_id"),
+        unix_micros(col("ts")).as("pt_us"))
+      .withColumn("bucket", expr(s"pt_us div $busec"))
+    points.join(intervals, Seq("bucket"))
+      .filter(col("pt_us") >= col("ivl_us") &&
+        col("pt_us") < col("ivl_us") + wusec)
+      .select(col("point_id"), col("interval_id"),
+        timestamp_micros(col("pt_us")).as("point_ts"),
+        timestamp_micros(col("ivl_us")).as("interval_start"))
+      .orderBy(col("point_id"), col("interval_id"))
+  }
+
   /** As-of join (composition form): for each `forType` event, the most
     * recent `matchType` event of the same user at-or-before it. Spark has
     * no native as-of join; the scalable composition is a single

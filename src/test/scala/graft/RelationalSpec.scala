@@ -18,6 +18,28 @@ class RelationalSpec extends SparkSpec {
     assert(out == Seq((1L, Some("a"), 10.0), (2L, None, 99.0), (3L, Some("c"), 30.0)))
   }
 
+  test("bucketed range join ≡ naive inequality join, incl. bucket-boundary pairs") {
+    val events = Tables.events(spark, sf0)
+    val bucketed = Relational.rangeJoin(events,
+      windowSec = 600, bucketSec = 600).collect()
+    // naive: direct inequality join (BNLJ — fine at sf0.001)
+    val e = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("interval_id"), unix_micros(col("ts")).as("i_us"))
+    val b = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("point_id"), unix_micros(col("ts")).as("p_us"))
+    val naive = b.join(e,
+        col("p_us") >= col("i_us") && col("p_us") < col("i_us") + 600000000L)
+      .select(col("point_id"), col("interval_id")).collect()
+    def keys(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.nonEmpty, "fixture produced no in-window pairs")
+    assert(keys(bucketed) == keys(naive))
+    // a shrunken bucket (interval spans >2 buckets) must still be exact
+    val small = Relational.rangeJoin(events,
+      windowSec = 600, bucketSec = 90).collect()
+    assert(keys(small) == keys(naive))
+  }
+
   test("pii scrub: case-insensitive, hex ids redacted before digit runs") {
     val df = Seq(
       (1L, "mail Alice.Smith@Example.COM now"),
