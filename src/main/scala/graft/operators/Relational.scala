@@ -66,6 +66,23 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
+  /** Write `df` as a bucketed managed table: the fact-to-fact
+    * co-location tool for joins where NEITHER side fits a broadcast.
+    * Two tables bucketed on the same key with the same bucket count
+    * sort-merge-join with NO Exchange on either side — the shuffle is
+    * paid once at write time and amortized over every subsequent join
+    * (BucketingSpec asserts the exchange-free plan). A per-bucket Sort
+    * remains (Spark only trusts written sort order behind a legacy flag
+    * with one file per bucket); that sort is bucket-local CPU, not the
+    * cluster-wide data movement the bucketing eliminates. At 100 TB
+    * this is the difference between re-shuffling both facts per query
+    * and scanning them join-ready. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Orders enriched with customer → nation → region. The dimension side
     * (customer/nation/region) is broadcast, so the fact side (orders, the
     * 100 TB table) never shuffles — the whole join tree is one codegen
