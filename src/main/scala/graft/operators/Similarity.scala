@@ -192,8 +192,10 @@ object Similarity {
           .orderBy(col("c_cos").desc, col("cent_id"))))
       .filter(col("pr") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cent_id"))
-    // candidates = members of probed lists; then exact rerank
-    val cand = assigned.join(probes, Seq("cent_id"))
+    // candidates = members of probed lists; probes is ≤ nQueries·nprobe
+    // rows — always broadcastable, so the corpus-sized assignment never
+    // shuffles for this join
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
