@@ -117,6 +117,44 @@ class PipelineSpec extends SparkSpec {
     assert(total == 4, s"exactly-once total, got $total")
   }
 
+  test("failing micro-batch: checkpoint replays it, overwrite heals partial output") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_fail_out_").toString
+    val ckpt = Files.createTempDirectory("graft_fail_ckpt_").toString
+    mem.addData((1L, "EU"), (2L, "AS"))
+    @volatile var injectFailure = true
+    def start() = mem.toDF().toDF("id", "continent")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val routed = ExportPipeline.route(b, Seq("continent"))
+        if (injectFailure && id == 0L) {
+          // partial write, then die mid-batch — the reference's failed
+          // block (hive/HiveExportClient.java:190-196), Spark-shaped
+          StreamingExport.writeBatch(routed.filter(col("id") === 1L), out, id)
+          injectFailure = false
+          throw new RuntimeException("injected sink failure")
+        }
+        StreamingExport.writeBatch(routed, out, id)
+      }.start()
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // the crash left a partial batch directory behind
+    assert(spark.read.parquet(s"$out/batch_id=0").count() == 1)
+    // restart from the same checkpoint: batch 0 was never committed, so
+    // it REPLAYS, and the idempotent overwrite replaces the partial
+    // output instead of appending — exactly-once despite the failure
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val healed = spark.read.option("basePath", out).parquet(s"$out/batch_id=*")
+    assert(healed.count() == 2, s"expected healed batch, got ${healed.count()}")
+  }
+
   test("streaming exact dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
