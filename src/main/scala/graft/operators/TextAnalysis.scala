@@ -28,11 +28,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "est", "une"),
     "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4"))
 
-  private def inList(t: Column, words: Seq[String]): Column =
-    words.map(t === _).reduce(_ || _)
-
-  def stopwordCount(toks: Column): Column =
-    size(filter(toks, t => inList(t, Stopwords)))
+  /** Stopword occurrences in one native tokenize pass (MarkerCounts) —
+    * same counts as the interpreted `size(filter(tokens, _ IN set))`
+    * HOF it replaces (both tokenize on the single literal space). */
+  def stopwordCount(text: Column): Column =
+    graft.functions.VectorFunctions.markerCounts(text, Seq(Stopwords))
+      .getItem(0)
 
   /** Per-document statistics: lengths, token counts, diversity,
     * whitespace-free char count, stopword hits. All integers or
@@ -45,7 +46,7 @@ object TextAnalysis {
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
       length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace_chars"),
-      stopwordCount(toks).cast("long").as("n_stopwords"),
+      stopwordCount(col("text")).cast("long").as("n_stopwords"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
       (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
         .as("avg_token_len"))
@@ -97,7 +98,7 @@ object TextAnalysis {
     val ttr = size(array_distinct(toks)).cast("double") / nTok
     val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
     val avgLenOk = when(avgLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0))
-    val stopRate = stopwordCount(toks).cast("double") / nTok
+    val stopRate = stopwordCount(col("text")).cast("double") / nTok
     val stopOk = when(stopRate > 0.0 && stopRate < 0.5, lit(1.0)).otherwise(lit(0.0))
     docs.select(
       col("doc_id"),
