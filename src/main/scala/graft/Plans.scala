@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Plan-audit tool: dump the optimized + physical plan of every
@@ -14,16 +13,9 @@ import java.nio.file.{Files, Paths}
 object Plans {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // static plans for the audit: AQE's pre-execution AdaptiveSparkPlan
-      // hides codegen stages and final join strategies until runtime
-      .config("spark.sql.adaptive.enabled", "false")
-      .getOrCreate()
+    // fixed 4 cores for a stable audit; AQE off — its pre-execution
+    // AdaptiveSparkPlan hides codegen stages and final join strategies
+    val spark = LocalSpark.session(cpus = "4", aqe = Some(false))
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

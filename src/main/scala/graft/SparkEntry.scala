@@ -215,14 +215,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // CDC upsert: apply a deterministic change set (price bumps on keys
-    // divisible by 7, inserts re-keyed +10M for keys divisible by 97)
-    // onto the orders snapshot, latest-wins.
+    // divisible by 7, inserts re-keyed +1e9 for keys divisible by 97)
+    // onto the orders snapshot, latest-wins. The insert offset must
+    // clear the real key space at ANY plausible SF (TPC-H orderkey max
+    // = 6M·SF, so 1e9 is safe past SF 150; a 10M offset would collide
+    // from SF≈1.7, silently turning inserts into destructive updates).
     "cdc_upsert" -> ((s, d) => {
       val base = Tables.orders(s, d)
       val updates = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 100.0)
       val inserts = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
       Relational.upsert(base, updates.unionByName(inserts), "o_orderkey")
     }),
 
@@ -572,7 +575,7 @@ object SparkEntry {
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0 " +
         "UNION ALL " +
-        "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, " +
+        "SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 97 = 0) " +
         // whole-row latest-wins, keyed on ONE null-check (matches
         // Relational.upsert's wholesale replace — per-column COALESCE would
@@ -649,7 +652,9 @@ object SparkEntry {
     "row_quarantine" ->
       ("SELECT event_id, raw, " +
         "CASE WHEN json_valid(raw) THEN CAST(raw->>'k' AS BIGINT) END AS k, " +
-        "NOT json_valid(raw) AS quarantined " +
+        // NULL raw must be FALSE, not NULL: Spark's from_json(NULL)
+        // yields a null struct whose _corrupt field isNotNull = false
+        "CASE WHEN raw IS NULL THEN FALSE ELSE NOT json_valid(raw) END AS quarantined " +
         "FROM (SELECT event_id, CASE WHEN event_id % 7 = 0 THEN '{bad' || props " +
         "ELSE props END AS raw FROM events) ORDER BY event_id"),
 
@@ -810,7 +815,9 @@ object SparkEntry {
         "CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE) " +
         "/ (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos " +
         "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
-        "WHERE cos >= 0.4 ORDER BY vec_a, vec_b"),
+        // NOT isnan mirrors Similarity's defined() guard (NaN >= t is
+        // TRUE in both engines — a zero vector must not near-dup-match)
+        "WHERE NOT isnan(cos) AND cos >= 0.4 ORDER BY vec_a, vec_b"),
 
     "sim_topk" ->
       (s"WITH $sqlQuantCte, " +
@@ -818,7 +825,9 @@ object SparkEntry {
         "CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2])) AS DOUBLE) " +
         "/ (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos " +
         "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
-        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM s) " +
+        // undefined (NaN) scores excluded, mirroring Similarity's guard
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)) " +
         "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
 
     "multimodal_meta" ->

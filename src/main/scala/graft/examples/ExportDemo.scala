@@ -2,7 +2,6 @@ package graft.examples
 
 import graft.operators.ExportPipeline
 import graft.streaming.StreamingExport
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.Files
@@ -17,14 +16,7 @@ import java.nio.file.Files
 object ExportDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.LocalSpark.session(cpus = "4")
 
     // --- streaming: file source → routed, checkpointed partitioned sink
     val schema = StructType(Seq(

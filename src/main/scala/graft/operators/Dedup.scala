@@ -115,14 +115,17 @@ object Dedup {
 
   /** Shared exact-Jaccard verification tail: attach per-doc shingle-set
     * sizes to (doc_a, doc_b, n_common) intersection counts, compute
-    * jaccard, threshold, deterministic order. */
+    * jaccard, threshold, deterministic order. The sizes table is O(docs)
+    * rows — NOT broadcast-hinted (at corpus scale it cannot be); plain
+    * equi-joins let AQE broadcast when it is actually small and shuffle
+    * when it isn't. */
   private def jaccardVerify(inter: DataFrame, sizes: DataFrame,
                             threshold: Double): DataFrame = {
     val jac = col("n_common").cast("double") /
       (col("sa.sz") + col("sb.sz") - col("n_common"))
     inter
-      .join(broadcast(sizes.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("sa.sz") + col("sb.sz") - col("n_common")).as("n_union"),
         jac.as("jaccard"))

@@ -104,14 +104,16 @@ object ExportPipeline {
               targetFileBytes: Long = 128L << 20,
               format: String = "parquet"): (Long, Long, Long) = {
     val df = spark.read.format(format).load(inDir)
+    // rows from footers (parquet count() reads no data pages); bytes
+    // from ONE recursive content summary — not a getFileStatus RPC per
+    // file, which would be O(files) serial driver round-trips on the
+    // exact many-small-file input this pass exists to fix
     val rows = df.count()
-    val files = df.inputFiles
+    val nFiles = df.inputFiles.length.toLong
     val bytes = {
       val conf = spark.sparkContext.hadoopConfiguration
-      files.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getLen
-      }.sum
+      val root = new org.apache.hadoop.fs.Path(inDir)
+      root.getFileSystem(conf).getContentSummary(root).getLength
     }
     val avgRowBytes = math.max(1L, if (rows == 0) 1L else bytes / rows)
     val maxRecords = math.max(1L, targetFileBytes / avgRowBytes)
@@ -122,6 +124,6 @@ object ExportPipeline {
       .partitionBy(partitionCols: _*)
       .format(format)
       .save(outDir)
-    (rows, files.length.toLong, bytes)
+    (rows, nFiles, bytes)
   }
 }

@@ -80,8 +80,12 @@ object Multimodal {
       // pure function of the data, independent of partitioning.)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("media_bytes")
+        // canonical FNV-1a: mask the byte (sign-extension would flip
+        // the hash's high bits for bytes >= 0x80 and disagree with the
+        // repo's other fnv1a implementations and external references)
         val fakeSignal = if (bytes == null) -1L
-          else bytes.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
+          else bytes.foldLeft(1469598103934665603L)(
+            (h, b) => (h ^ (b & 0xffL)) * 1099511628211L)
         Row(r.getAs[Long]("doc_id"), bytes != null, fakeSignal)
       }
     }(enc).toDF().orderBy(col("doc_id"))

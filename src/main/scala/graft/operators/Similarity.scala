@@ -36,13 +36,20 @@ object Similarity {
   /** Cosine from integer dot/norms: deterministic double. A zero vector
     * (zero norm) yields NaN explicitly — under ANSI mode the raw 0/0
     * division would otherwise throw DIVIDE_BY_ZERO and one degenerate
-    * embedding would kill the whole job; NaN instead ranks first in
-    * descending order (IEEE total order, same in Spark Window sorts and
-    * DuckDB) and fails any `>= threshold` filter in Spark. */
+    * embedding would kill the whole job. CAUTION: in both Spark and
+    * DuckDB, NaN compares GREATER than every number (`NaN >= t` is
+    * true), so similarity consumers must exclude NaN explicitly — every
+    * operator in this file does (threshold filters via [[defined]],
+    * top-k via the NaN filter in topKPerGroup). */
   def cosine(dot: Column, normA: Column, normB: Column): Column = {
     val den = sqrt(normA.cast("double")) * sqrt(normB.cast("double"))
     when(den === 0.0, lit(Double.NaN)).otherwise(dot.cast("double") / den)
   }
+
+  /** A usable similarity score: non-null and not NaN (a zero-norm vector
+    * has UNDEFINED similarity — it must never surface as a near-dup or
+    * a nearest neighbor). */
+  private def defined(c: Column): Column = c.isNotNull && !isnan(c)
 
   /** Vectors with quantized form and squared norm precomputed. */
   def prepared(emb: DataFrame): DataFrame = {
@@ -73,13 +80,13 @@ object Similarity {
   /** Shared partial-top-k tail: (q_id, cos, n_id) scored rows → the k
     * best per q_id as (q_id, rank, n_id, cos), rank 1-based in
     * (cos desc, n_id asc) order — same total order as the Window
-    * formulation it replaces (NaN ranks first, per IEEE total order in
-    * both Spark and DuckDB), but with map-side partial aggregation.
-    * Null scores (null embedding rows) are excluded up front: the
-    * aggregator input is a primitive double, and a null-embedding
-    * neighbor is meaningless in a top-k. */
+    * formulation it replaces, but with map-side partial aggregation.
+    * Undefined scores are excluded up front (see [[defined]]): a NaN
+    * would otherwise rank FIRST (IEEE total order) and a zero-norm
+    * vector would masquerade as every query's best neighbor; null would
+    * crash the primitive-double aggregator input. */
   private def topKPerGroup(scored: DataFrame, k: Int): DataFrame =
-    scored.filter(col("cos").isNotNull).groupBy(col("q_id"))
+    scored.filter(defined(col("cos"))).groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(k)(col("cos"), col("n_id")).as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -110,7 +117,7 @@ object Similarity {
     val b = p.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"), col("nrm").as("b_nrm"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine(dotQ(col("a_qv"), col("b_qv")), col("a_nrm"), col("b_nrm")))
-      .filter(col("cos") >= threshold)
+      .filter(defined(col("cos")) && col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -133,7 +140,7 @@ object Similarity {
     val pb = p.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"), col("nrm").as("b_nrm"))
     cand.join(pa, Seq("vec_a")).join(pb, Seq("vec_b"))
       .withColumn("cos", cosine(dotQ(col("a_qv"), col("b_qv")), col("a_nrm"), col("b_nrm")))
-      .filter(col("cos") >= threshold)
+      .filter(defined(col("cos")) && col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }

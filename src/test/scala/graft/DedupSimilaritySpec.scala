@@ -103,11 +103,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall below bound")
   }
 
-  test("partial top-k ranks NaN cosine first, like Window desc / DuckDB") {
+  test("zero-norm vectors are excluded from top-k and near-dup output") {
     import spark.implicits._
-    // vec 2 is the zero vector: cosine(q, zero) = 0/0 = NaN, which IEEE
-    // total order (and Spark's Window desc, and DuckDB ORDER BY DESC)
-    // ranks ABOVE every finite score
+    // vec 2 is the zero vector: cosine is NaN (undefined similarity).
+    // NaN compares GREATER than every number in both Spark and DuckDB,
+    // so without the explicit exclusion it would rank as the #1 neighbor
+    // and pass every >= threshold filter — it must appear in neither.
     val vecs = Seq(
       (0L, Array(1f, 0f), "q"),
       (1L, Array(0.9f, 0.1f), "a"),
@@ -115,9 +116,12 @@ class DedupSimilaritySpec extends SparkSpec {
       (3L, Array(0.5f, 0.5f), "b"))
       .toDF("vec_id", "embedding", "label")
     val top = Similarity.bruteForceTopK(vecs, nQueries = 1, k = 3).collect()
-    assert(top.head.getAs[Long]("n_id") == 2L)
-    assert(top.head.getAs[Double]("cos").isNaN)
-    assert(top.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    assert(!top.map(_.getAs[Long]("n_id")).contains(2L))
+    assert(top.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+    assert(top.forall(r => !r.getAs[Double]("cos").isNaN))
+    val pairs = Similarity.nearDupPairs(vecs, threshold = 0.0).collect()
+    assert(pairs.forall(r =>
+      r.getAs[Long]("vec_a") != 2L && r.getAs[Long]("vec_b") != 2L))
   }
 
   test("dedup_fuzzy df-cap: loose cap ≡ uncapped; tight cap ⊆ uncapped") {
