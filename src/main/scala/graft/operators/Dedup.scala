@@ -79,14 +79,18 @@ object Dedup {
                         n: Int = 3, maxDf: Option[Int] = None): DataFrame =
     maxDf match {
       case Some(cap) =>
-        // df-cap FIRST with constant-size count buffers (a hot
-        // stop-shingle must never reach a collect_list buffer), THEN
-        // bucket the surviving (doc, shingle) pairs: every list is ≤ cap
-        // elements by construction
-        val capped = shingleTable(docs, n, Some(cap))
-        val buckets = tracked(capped
+        // ONE shuffle does df-cap AND bucketing: boundedCollect stops
+        // accumulating at cap+1 elements, so a hot stop-shingle's buffer
+        // (and its map-side partials) stay O(cap) instead of O(df), and
+        // the overflow marker is dropped by the size filter. Groups
+        // within the cap are collected exactly — identical result to the
+        // two-pass count-then-collect form, minus its second shuffle.
+        val raw = shingleTable(docs, n, None)
+        val buckets = tracked(raw
           .groupBy(col("shingle"))
-          .agg(collect_list(col("doc_id")).as("ds"))
+          .agg(graft.functions.BoundedAgg.boundedCollect(cap)(col("doc_id"))
+            .as("ds"))
+          .filter(size(col("ds")) <= cap)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // sizes over the CAPPED relation (mirrors the oracle's capped CTE)
         val sizes = buckets.select(explode(col("ds")).as("doc_id"))

@@ -41,6 +41,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("boundedCollect: exact under the cap, overflow marker above") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 100L).map(i => (if (i <= 3) "small" else "big", i))
+      .toDF("k", "v").repartition(7)
+    val out = df.groupBy($"k")
+      .agg(graft.functions.BoundedAgg.boundedCollect(5)($"v").as("ds"))
+      .collect()
+    val m = out.map(r =>
+      r.getString(0) -> r.getAs[scala.collection.Seq[Long]]("ds")).toMap
+    // ≤ cap: every element present exactly once, regardless of partitioning
+    assert(m("small").sorted == Seq(1L, 2L, 3L))
+    // > cap: bounded at cap+1 (overflow marker), never the full group
+    assert(m("big").length == 6)
+  }
+
   test("SQL and Column API agree") {
     GraftFunctions.register(spark)
     import spark.implicits._
