@@ -177,6 +177,11 @@ object Relational {
 
   /** Exact interpolated quantiles of document length — order statistics
     * are exact on integer inputs, so the oracle can replicate them. */
+  /** Exact type-7 quantiles over a BOUNDED-domain column: Spark's exact
+    * `percentile` buffers value→count, so memory is O(distinct lengths)
+    * (≤ max doc chars), not O(rows) — safe at 100 TB for lengths/scores.
+    * For unbounded-domain columns use percentile_approx (t-digest,
+    * spec'd in ApproxSpec) instead. */
   def lengthQuantiles(docs: DataFrame): DataFrame =
     docs.agg(
       expr("percentile(n_chars, 0.25)").as("p25"),
