@@ -54,6 +54,27 @@ object GraftFunctions {
     "sign_lsh_buckets" -> (args => {
       val a = arity("sign_lsh_buckets", args, 3)
       SignLshBuckets(a(0), intArg(a(1), "tables"), intArg(a(2), "bitsPerTable"))
+    }),
+    // marker_counts(text, 'de:der|die,en:the|and') — marker lists as a
+    // string literal: comma-separated lists, pipe-separated words,
+    // optional "name:" prefix per list (ignored; positions index the
+    // output array)
+    "marker_counts" -> (args => {
+      val a = arity("marker_counts", args, 2)
+      val spec = a(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"marker spec must be a string literal, got $other")
+      }
+      val markers = spec.split(",").toSeq.map { list =>
+        val body = list.indexOf(':') match {
+          case -1 => list
+          case i  => list.substring(i + 1)
+        }
+        body.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+      }
+      MarkerCounts(a(0), markers)
     }))
 
   /** Register on a live session (temp functions, session-scoped). */

@@ -13,13 +13,15 @@ class GraftFunctionsSpec extends SparkSpec {
         |       word_shingles('a b c d', 3) AS sh,
         |       simhash64('a b c') AS fp,
         |       size(minhash_sig(word_shingles('a b c d', 3), 16)) AS sig_len,
-        |       size(sign_lsh_buckets(array(1L, -2L, 3L), 4, 4)) AS n_tables
+        |       size(sign_lsh_buckets(array(1L, -2L, 3L), 4, 4)) AS n_tables,
+        |       marker_counts('the cat and the hat', 'en:the|and,de:der|die') AS mc
         |""".stripMargin).collect().head
     assert(r.getAs[Long]("dot") == 32L)
     assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq == Seq("a b c", "b c d"))
     assert(r.getAs[Long]("fp") != 0L)
     assert(r.getAs[Int]("sig_len") == 16)
     assert(r.getAs[Int]("n_tables") == 4)
+    assert(r.getAs[scala.collection.Seq[Long]]("mc").toSeq == Seq(3L, 0L))
   }
 
   test("marker_counts matches the filter-HOF formulation on real docs") {
