@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
   * paths against their exact counterparts — the guarantees SURVEY.md §5.3
   * asks for: LSH candidates must cover the true near-dup pairs, verified
   * outputs must carry exact scores. */
-class DedupSimilaritySpec extends SparkSpec {
+class DedupSimilaritySpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val docs = Tables.documents(spark, sf0)
   private lazy val emb = Tables.embeddings(spark, sf0)
+
+  // the pair-finders persist shingle tables; release them so cached
+  // fragments don't pile up in the shared JVM-wide session
+  override def afterAll(): Unit = Dedup.releaseCaches()
 
   test("minhash-LSH near-dup pairs: precision 1, full recall at high J") {
     val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
@@ -26,18 +31,29 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("simhash: identical docs collide at hamming 0; pairs are near-dups") {
-    val fps = Dedup.simHash(docs)
-    val dupTexts = docs.groupBy("text").count().filter(col("count") > 1)
-    val nDupGroups = dupTexts.count()
-    if (nDupGroups > 0) {
-      // docs with identical text must have identical simhash
-      val joined = docs.join(fps, "doc_id")
-        .groupBy("text").agg(countDistinct("simhash").as("n"))
-        .filter(col("n") > 1).count()
-      assert(joined == 0)
-    }
-    val pairs = Dedup.simHashNearDupPairs(docs).collect()
-    assert(pairs.forall(_.getAs[Number]("hamming").intValue <= 3))
+    // the sf0.001 fixture has no exactly-duplicate texts (verified: the
+    // old fixture-conditional check silently skipped), so synthesize
+    // them: re-key a slice of real docs — identical text, distinct ids
+    val dupes = docs.limit(20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(dupes)
+    val fps = Dedup.simHash(corpus)
+    // docs with identical text must have identical simhash
+    val joined = corpus.join(fps, "doc_id")
+      .groupBy("text").agg(countDistinct("simhash").as("n"))
+      .filter(col("n") > 1).count()
+    assert(joined == 0)
+    val pairs = Dedup.simHashNearDupPairs(corpus).collect()
+    // recall floor: every identical-text pair has hamming 0 ⇒ identical
+    // bands ⇒ it MUST surface as a candidate pair
+    val idPairs = corpus.as("l")
+      .join(corpus.as("r"),
+        col("l.text") === col("r.text") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idPairs.size >= 20 && idPairs.subsetOf(found),
+      s"missed ${(idPairs -- found).size} of ${idPairs.size} identical-text pairs")
   }
 
   test("quantized cosine is symmetric, bounded and exact on unit cases") {
@@ -58,6 +74,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Similarity.annTopK(emb).select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.nonEmpty, "brute-force baseline returned no rows")
     val recall = (bf & ann).size.toDouble / bf.size
     // random vectors are the worst case for sign-LSH; ≥0.5 demonstrates
     // the multi-table union works (clustered real data recalls higher)
@@ -80,8 +97,11 @@ class DedupSimilaritySpec extends SparkSpec {
       .dedupExact(docs, Seq("text"), "doc_id")
     val winners = deduped.groupBy("text").count().filter(col("count") > 1).count()
     assert(winners == 0)
+    // BOTH directions, or over-deletion (even an empty result) passes
     val expected = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
     assert(deduped.select("doc_id").except(expected.select("doc_id")).count() == 0)
+    assert(expected.select("doc_id").except(deduped.select("doc_id")).count() == 0)
+    assert(deduped.count() == expected.count())
   }
 
   test("IVF top-k: exact scores, recall vs brute force, probe bound") {
@@ -145,9 +165,11 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.nearDupPairs(emb, rowLimit = 3)
     }
     assert(e.getMessage.contains("nearDupPairsLsh"))
-    // under the limit it still runs
-    assert(Similarity.nearDupPairs(emb.limit(3), rowLimit = 3)
-      .collect() != null)
+    // at exactly the limit the gate lets it through and the query runs
+    // end-to-end with the contract schema
+    val under = Similarity.nearDupPairs(emb.limit(3), rowLimit = 3)
+    assert(under.columns.toSeq == Seq("vec_a", "vec_b", "cos"))
+    assert(under.count() >= 0)
   }
 
   test("partial top-k aggregator matches the Window formulation") {
@@ -160,6 +182,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val scored = corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
       .withColumn("cos", Similarity.cosine(
         Similarity.dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
+      // same defined-score exclusion the operator applies, so the
+      // reference formulation mirrors its semantics on any fixture
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     val viaWindow = scored
       .withColumn("rank", row_number().over(w).cast("long"))
