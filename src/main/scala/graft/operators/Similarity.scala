@@ -128,7 +128,14 @@ object Similarity {
     * candidates are pairs sharing a bucket in ANY of the L hash tables
     * (equi-join on (table, bucket), shuffle-partitionable), then
     * exact-verified by cosine ≥ threshold. Precision 1 (exact verify);
-    * recall 1-(1-p^r)^L per pair — spec-checked against brute force. */
+    * recall 1-(1-p^r)^L per pair — spec-checked against brute force.
+    *
+    * Pipeline note: on duplicate-heavy corpora run exact dedup
+    * (Relational.dedupExact on a content key) FIRST — d exact copies of
+    * a vector co-bucket in every table and contribute d²/2 true pairs,
+    * so the pair OUTPUT itself (not a flaw in the blocking) grows
+    * quadratically in the duplication factor (measured 100× candidate
+    * work on a 10×-duplicated stress set). */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double = 0.4,
                       tables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
     val p = prepared(emb)
