@@ -43,4 +43,17 @@ object GraftExportClient {
       s"$outDir/${table.toLowerCase}", checkpointDir,
       timezone = Some(cfg.timezone))
   }
+
+  /** Maintenance: compact a table's exported partition tree toward
+    * `targetFileBytes` files (see ExportPipeline.compact — a long-lived
+    * micro-batching sink accretes small files without bound). Writes to
+    * `outDir`; swapping it in place of the old tree is the caller's
+    * atomic rename. Returns (rows, inputFiles, inputBytes). */
+  def compactTable(spark: org.apache.spark.sql.SparkSession, table: String,
+                   cfg: ExportConfig, inDir: String, outDir: String,
+                   targetFileBytes: Long = 128L << 20): (Long, Long, Long) =
+    ExportPipeline.compact(spark, s"$inDir/${table.toLowerCase}",
+      s"$outDir/${table.toLowerCase}",
+      cfg.partitionColsFor(table).map(_.toLowerCase),
+      targetFileBytes)
 }

@@ -25,6 +25,32 @@ class GraftExportClientSpec extends SparkSpec {
       """{"id":1,"msg":"fab-02 inoperable"}""")
   }
 
+  test("exportBatch then compactTable: fewer files, identical content") {
+    val cfg = GraftExportClient.configure(Map(
+      "hive.uri" -> "thrift://meta:9083",
+      "hive.table" -> "alerts",
+      "hive.partition.columns" -> "alerts:continent"))
+    val alerts = (1L to 200L)
+      .map(i => (i, s"msg$i", if (i % 2 == 0) "EU" else "AS"))
+      .toDF("id", "msg", "continent")
+      .repartition(25)
+    val out = Files.createTempDirectory("graft_client_frag_").toString
+    // fragment deliberately: exportBatch itself anti-fragments (it
+    // repartitions by the partition cols), so simulate a long-lived
+    // sink's accretion with a raw many-task write of the same routing
+    graft.operators.ExportPipeline.writeRouted(
+      graft.operators.ExportPipeline.route(alerts, Seq("continent")),
+      s"$out/alerts", repartitionFirst = false)
+    val compacted = Files.createTempDirectory("graft_client_cpt_").toString
+    val (rows, inFiles, _) =
+      GraftExportClient.compactTable(spark, "ALERTS", cfg, out, compacted)
+    assert(rows == 200L)
+    val back = spark.read.parquet(s"$compacted/alerts")
+    assert(back.count() == 200L)
+    assert(back.inputFiles.length < inFiles,
+      s"${back.inputFiles.length} files after vs $inFiles before")
+  }
+
   test("configure rejects bad URIs, missing table, arity mismatches and unlisted tables") {
     intercept[IllegalArgumentException] {
       GraftExportClient.configure(Map("hive.uri" -> "http://x:1"))
