@@ -391,6 +391,12 @@ object SparkEntry {
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d))),
 
+    // Contamination check: cross-set (train × test) near-duplicate text
+    // — the decontamination pass between a corpus and its benchmark
+    // split (threshold 0.3 so the fixture surfaces leaked pairs).
+    "contamination_check" -> ((s, d) =>
+      Corpus.contaminationCheck(Tables.documents(s, d), threshold = 0.3)),
+
     // ---- Group B: dedup family ------------------------------------------
 
     // B2 dedup_fuzzy: exact n-gram Jaccard, shared-shingle blocking.
@@ -793,6 +799,22 @@ object SparkEntry {
         "SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM documents) " +
         "ORDER BY source, doc_id"),
+
+    "contamination_check" ->
+      (s"WITH $sqlShingleCte, " +
+        // same md5 holdout predicate as doc_sample/train_test_split
+        "tagged AS (SELECT doc_id, shingle, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test FROM sh), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT t.doc_id AS test_doc, r.doc_id AS train_doc, COUNT(*) AS n_common " +
+        "FROM tagged t JOIN tagged r ON t.shingle = r.shingle AND t.is_test AND NOT r.is_test " +
+        "GROUP BY 1, 2) " +
+        "SELECT test_doc, train_doc, " +
+        "CAST(n_common AS DOUBLE) / (st.sz + sr.sz - n_common) AS jaccard " +
+        "FROM inter JOIN sizes st ON test_doc = st.doc_id " +
+        "JOIN sizes sr ON train_doc = sr.doc_id " +
+        "WHERE CAST(n_common AS DOUBLE) / (st.sz + sr.sz - n_common) >= 0.3 " +
+        "ORDER BY test_doc, train_doc"),
 
     "dedup_fuzzy" ->
       (s"WITH $sqlShingleCte, " +

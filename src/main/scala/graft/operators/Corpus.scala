@@ -60,4 +60,39 @@ object Corpus {
         expr(s"(cum_tokens - n_tokens) div $seqLen").as("seq_id"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  /** Contamination check — CROSS-SET near-duplicate detection between
+    * the train and test splits (the decontamination pass every training
+    * corpus runs before evaluation: a test document whose text leaks
+    * into training data invalidates the benchmark).
+    *
+    * Same shared-shingle blocking + exact-Jaccard-verify machinery as
+    * Dedup.ngramJaccardPairs, but the candidate join is train-shingles ×
+    * test-shingles only — never within a set — so the join output is
+    * |train∩test blocking pairs|, not all-pairs. The split itself is the
+    * engine's own deterministic md5 holdout ([[trainTestSplit]]), making
+    * the whole check reproducible and oracle-expressible. Output:
+    * (test_doc, train_doc, jaccard) for jaccard ≥ threshold. */
+  def contaminationCheck(docs: DataFrame, threshold: Double = 0.5,
+                         n: Int = 3): DataFrame = {
+    val tagged = docs.withColumn("is_test", isHoldout(col("doc_id")))
+    val shAll = tagged.select(col("doc_id"), col("is_test"),
+      explode(Dedup.shingles(col("text"), n)).as("shingle"))
+    val shTrain = shAll.filter(!col("is_test"))
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val shTest = shAll.filter(col("is_test"))
+      .select(col("doc_id").as("test_doc"), col("shingle"))
+    val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = shTest.join(shTrain, "shingle")
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("st.sz") + col("sr.sz") - col("n_common"))
+    inter
+      .join(sizes.as("st"), col("test_doc") === col("st.doc_id"))
+      .join(sizes.as("sr"), col("train_doc") === col("sr.doc_id"))
+      .select(col("test_doc"), col("train_doc"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("test_doc"), col("train_doc"))
+  }
 }

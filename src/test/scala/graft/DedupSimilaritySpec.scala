@@ -144,6 +144,31 @@ class DedupSimilaritySpec extends SparkSpec
       r.getAs[Long]("vec_a") != 2L && r.getAs[Long]("vec_b") != 2L))
   }
 
+  test("contamination check = cross-split slice of the near-dup relation") {
+    import graft.operators.Corpus
+    val t = 0.3
+    val contam = Corpus.contaminationCheck(docs, threshold = t).collect()
+    val holdout = Corpus.sampleDocs(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // every reported pair must span the split: test side in the holdout,
+    // train side not
+    assert(contam.forall { r =>
+      holdout(r.getAs[Long]("test_doc")) && !holdout(r.getAs[Long]("train_doc"))
+    })
+    // and it must be EXACTLY the cross-split slice of the full near-dup
+    // relation at the same threshold (unordered pair → (test, train))
+    val full = Dedup.ngramJaccardPairs(docs, threshold = t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossSlice = full.collect {
+      case (a, b) if holdout(a) && !holdout(b) => (a, b)
+      case (a, b) if holdout(b) && !holdout(a) => (b, a)
+    }
+    val got = contam.map(r =>
+      (r.getAs[Long]("test_doc"), r.getAs[Long]("train_doc"))).toSet
+    assert(got == crossSlice,
+      s"missing=${(crossSlice -- got).size} extra=${(got -- crossSlice).size}")
+  }
+
   test("dedup_fuzzy df-cap: loose cap ≡ uncapped; tight cap ⊆ uncapped") {
     val uncapped = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
     // no shingle reaches df > #docs, so a cap at the corpus size is a
