@@ -393,9 +393,11 @@ object SparkEntry {
 
     // Contamination check: cross-set (train × test) near-duplicate text
     // — the decontamination pass between a corpus and its benchmark
-    // split (threshold 0.3 so the fixture surfaces leaked pairs).
+    // split (threshold 0.3 so the fixture surfaces leaked pairs;
+    // df-capped like dedup_fuzzy, cap mirrored in the oracle).
     "contamination_check" -> ((s, d) =>
-      Corpus.contaminationCheck(Tables.documents(s, d), threshold = 0.3)),
+      Corpus.contaminationCheck(Tables.documents(s, d), threshold = 0.3,
+        maxDf = Some(100))),
 
     // ---- Group B: dedup family ------------------------------------------
 
@@ -802,10 +804,14 @@ object SparkEntry {
 
     "contamination_check" ->
       (s"WITH $sqlShingleCte, " +
+        // mirror of contaminationCheck's maxDf=100 cap (df over both sets)
+        "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN (" +
+        "SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100" +
+        ") keep ON sh.shingle = keep.shingle), " +
         // same md5 holdout predicate as doc_sample/train_test_split
         "tagged AS (SELECT doc_id, shingle, " +
-        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test FROM sh), " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test FROM shc), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id), " +
         "inter AS (SELECT t.doc_id AS test_doc, r.doc_id AS train_doc, COUNT(*) AS n_common " +
         "FROM tagged t JOIN tagged r ON t.shingle = r.shingle AND t.is_test AND NOT r.is_test " +
         "GROUP BY 1, 2) " +

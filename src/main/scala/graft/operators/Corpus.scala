@@ -74,10 +74,21 @@ object Corpus {
     * the whole check reproducible and oracle-expressible. Output:
     * (test_doc, train_doc, jaccard) for jaccard ≥ threshold. */
   def contaminationCheck(docs: DataFrame, threshold: Double = 0.5,
-                         n: Int = 3): DataFrame = {
+                         n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
     val tagged = docs.withColumn("is_test", isHoldout(col("doc_id")))
-    val shAll = tagged.select(col("doc_id"), col("is_test"),
+    val raw = tagged.select(col("doc_id"), col("is_test"),
       explode(Dedup.shingles(col("text"), n)).as("shingle"))
+    // same anti-quadratic knob as Dedup.shingleTable: a stop-shingle
+    // shared by train and test would otherwise make the cross join
+    // |train_df|×|test_df| on that key (df counted over BOTH sets, so
+    // the cap is split-invariant); constant-size count buffers
+    val shAll = maxDf match {
+      case None => raw
+      case Some(cap) =>
+        val df = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+        raw.join(df.filter(col("df") <= cap), "shingle")
+          .select(col("doc_id"), col("is_test"), col("shingle"))
+    }
     val shTrain = shAll.filter(!col("is_test"))
       .select(col("doc_id").as("train_doc"), col("shingle"))
     val shTest = shAll.filter(col("is_test"))
