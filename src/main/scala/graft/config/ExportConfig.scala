@@ -17,17 +17,26 @@ import java.net.URI
   */
 final case class ExportConfig(
     metastoreUri: String = "thrift://localhost:9083",
-    db: String = "default",
+    /** target database (`hive.db`, mandatory in the reference:
+      * README.md:104-106; non-blank enforced like
+      * hive/HiveEndPointFactory.java:47-50's Preconditions). No default. */
+    db: String,
     /** default target table (`hive.table`, mandatory in the reference:
       * README.md:104-108; non-blank enforced like
       * hive/HiveEndPointFactory.java:51-54's Preconditions). No default —
-      * the compiler enforces at construction what validateTable enforces
-      * at parse time. */
+      * the compiler enforces at construction what validateNonBlank
+      * enforces at parse time. */
     table: String,
+    /** NOTE deliberate deviation: the reference defaults to the HOST's
+      * local timezone (hive/HiveExportClient.java:62,74-77 —
+      * REAL_DEFAULT_TIMEZONE); this engine defaults to UTC so a cluster of
+      * heterogeneous executors formats identically. Pass `timezone`
+      * explicitly to get the reference's behavior. */
     timezone: String = "UTC",
     /** upper-cased table → partition columns, declaration order preserved */
     partitionColumns: Map[String, Seq[String]] = Map.empty) {
-  ExportConfig.validateTable(table)
+  ExportConfig.validateNonBlank("db", db)
+  ExportConfig.validateNonBlank("table", table)
 
   def partitionColsFor(table: String): Seq[String] =
     partitionColumns.getOrElse(table.toUpperCase,
@@ -81,25 +90,27 @@ object ExportConfig {
       throw new IllegalArgumentException(s"expected thrift metastore URI, got '$uri'")
   }
 
-  /** `hive.table` is mandatory (README.md:104-108): absent or blank fails
-    * exactly as the reference's endpoint-factory precondition does
-    * (hive/HiveEndPointFactory.java:51-54, fed "" by
-    * hive/HiveExportClient.java:70 when unset). */
-  def validateTable(table: String): Unit =
-    if (table == null || table.trim.isEmpty)
-      throw new IllegalArgumentException("table is null or empty")
+  /** `hive.db` and `hive.table` are both mandatory (README.md:104-108):
+    * absent or blank fails exactly as the reference's endpoint-factory
+    * preconditions do (hive/HiveEndPointFactory.java:47-54, fed "" by
+    * hive/HiveExportClient.java:68-70 when unset). */
+  def validateNonBlank(what: String, v: String): Unit =
+    if (v == null || v.trim.isEmpty)
+      throw new IllegalArgumentException(s"$what is null or empty")
 
   def fromProperties(props: Map[String, String]): ExportConfig = {
     val uri = props.getOrElse("hive.uri", "thrift://localhost:9083")
     validateUri(uri)
+    val db = props.getOrElse("hive.db", "")
+    validateNonBlank("db", db)
     val table = props.getOrElse("hive.table", "")
-    validateTable(table)
+    validateNonBlank("table", table)
     val pc = props.get("hive.partition.columns")
       .map(parsePartitionColumns).getOrElse(Map.empty)
     validateArity(pc)
     ExportConfig(
       metastoreUri = uri,
-      db = props.getOrElse("hive.db", "default"),
+      db = db,
       table = table,
       timezone = props.getOrElse("timezone", "UTC"),
       partitionColumns = pc)

@@ -33,6 +33,7 @@ object ExportDemo {
     // the reference user's call sequence: configure properties → export
     val cfg = graft.GraftExportClient.configure(Map(
       "hive.uri" -> "thrift://meta:9083",
+      "hive.db" -> "default",
       "hive.table" -> "events",
       "hive.partition.columns" -> "events:event_type"))
     val q = graft.GraftExportClient.exportStream(stream, "EVENTS", cfg, out, ckpt)

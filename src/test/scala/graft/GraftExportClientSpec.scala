@@ -11,6 +11,7 @@ class GraftExportClientSpec extends SparkSpec {
   test("configure → exportBatch writes the partitioned table layout") {
     val cfg = GraftExportClient.configure(Map(
       "hive.uri" -> "thrift://meta:9083",
+      "hive.db" -> "default",
       "hive.table" -> "alerts",
       "hive.partition.columns" -> "alerts:continent"))
     val alerts = Seq((1L, "fab-02 inoperable", "EU"), (2L, "ok", null: String))
@@ -28,6 +29,7 @@ class GraftExportClientSpec extends SparkSpec {
   test("exportBatch then compactTable: fewer files, identical content") {
     val cfg = GraftExportClient.configure(Map(
       "hive.uri" -> "thrift://meta:9083",
+      "hive.db" -> "default",
       "hive.table" -> "alerts",
       "hive.partition.columns" -> "alerts:continent"))
     val alerts = (1L to 200L)
@@ -55,21 +57,28 @@ class GraftExportClientSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GraftExportClient.configure(Map("hive.uri" -> "http://x:1"))
     }
-    // hive.table is mandatory (ref README.md:104-108); absent and blank
-    // both fail like the reference's endpoint-factory precondition
+    // hive.db and hive.table are both mandatory (ref README.md:104-108);
+    // absent and blank each fail like the reference's endpoint-factory
+    // preconditions (HiveEndPointFactory.java:47-54)
     intercept[IllegalArgumentException] {
       GraftExportClient.configure(Map.empty)
     }
     intercept[IllegalArgumentException] {
-      GraftExportClient.configure(Map("hive.table" -> "  "))
+      GraftExportClient.configure(Map("hive.table" -> "t"))  // db absent
+    }
+    intercept[IllegalArgumentException] {
+      GraftExportClient.configure(Map("hive.db" -> " ", "hive.table" -> "t"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftExportClient.configure(Map("hive.db" -> "d", "hive.table" -> "  "))
     }
     intercept[IllegalArgumentException] {
       GraftExportClient.configure(Map(
-        "hive.table" -> "a",
+        "hive.db" -> "d", "hive.table" -> "a",
         "hive.partition.columns" -> "a:x,b:x|y"))
     }
     val cfg = GraftExportClient.configure(Map(
-      "hive.table" -> "alerts",
+      "hive.db" -> "default", "hive.table" -> "alerts",
       "hive.partition.columns" -> "alerts:continent"))
     intercept[IllegalArgumentException] {
       GraftExportClient.exportBatch(
