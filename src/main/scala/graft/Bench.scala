@@ -24,7 +24,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      graft.operators.Dedup.releaseCaches()
+      SparkEntry.harnessScope.release()
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -37,7 +37,7 @@ object Plans {
       } catch { case e: Throwable =>
         println(s"$name FAILED: ${e.getMessage}")
       }
-      graft.operators.Dedup.releaseCaches()
+      SparkEntry.harnessScope.release()
     }
     spark.stop()
   }

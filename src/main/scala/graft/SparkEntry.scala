@@ -17,6 +17,12 @@ object SparkEntry {
 
   import ExportOps.Sentinel
 
+  /** Harness-owned cache scope for the shingle-reusing dedup queries:
+    * Bench/Verify/Plans materialize each query exactly once and call
+    * `harnessScope.release()` right after. Library consumers calling the
+    * Dedup finders directly get CacheScope.off (leak-free) by default. */
+  val harnessScope: CacheScope = CacheScope()
+
   /** DuckDB-portable sentinel expression (mirrors ExportOps.nullSentinel;
     * the [\x00-\x20] class means the same thing to RE2 as to Java). */
   private def sqlSentinel(c: String): String =
@@ -410,13 +416,14 @@ object SparkEntry {
     // is spec-checked in DedupSimilaritySpec.
     "dedup_fuzzy" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5,
-        maxDf = Some(100))),
+        maxDf = Some(100), scope = harnessScope)),
 
     // MinHash-LSH banding + exact verify: the 100 TB scale path for
     // dedup_fuzzy (approximate recall — no SQL oracle; spec-tested
     // against dedup_fuzzy instead).
     "dedup_minhash" -> ((s, d) =>
-      Dedup.minHashNearDupPairs(Tables.documents(s, d), threshold = 0.5)),
+      Dedup.minHashNearDupPairs(Tables.documents(s, d), threshold = 0.5,
+        scope = harnessScope)),
 
     // SimHash fingerprint + banded Hamming near-dup pairs (hash-based —
     // no SQL oracle; spec-tested).

@@ -17,22 +17,41 @@ import org.apache.spark.sql.expressions.Window
   * only approximation is banding recall (≈1-(1-t^r)^b, >0.9999 for the
   * J≥0.9 near-dup regime with b=16, r=4).
   */
-object Dedup {
+/** Caller-scoped lifecycle for the shingle tables the pair-finders reuse
+  * across branches. The finders return LAZY DataFrames, so they cannot
+  * unpersist what they cache — only the caller knows when the result has
+  * been materialized. [[CacheScope.off]] (the default) never persists:
+  * a library consumer calling the finders in a loop can leak nothing.
+  * A harness that materializes each query exactly once opts in with
+  * `CacheScope()` and releases after each action. */
+final class CacheScope private (enabled: Boolean) extends AutoCloseable {
+  private val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-  /** Shingle tables persisted by the pair-finders below; queries are lazy
-    * so the functions themselves can't unpersist. Harness mains (Bench,
-    * Verify) call [[releaseCaches]] after materializing each query so
-    * cached shingle tables don't accumulate across a 55-query run. */
-  private val persisted =
-    scala.collection.mutable.ListBuffer.empty[DataFrame]
+  /** Persist `df` for the scope's lifetime (no-op when disabled). */
+  private[graft] def track(df: DataFrame): DataFrame =
+    if (!enabled) df
+    else synchronized {
+      persisted += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
 
-  private def tracked(df: DataFrame): DataFrame = persisted.synchronized {
-    persisted += df; df
-  }
-
-  def releaseCaches(): Unit = persisted.synchronized {
+  def release(): Unit = synchronized {
     persisted.foreach(_.unpersist(blocking = false)); persisted.clear()
   }
+
+  override def close(): Unit = release()
+}
+
+object CacheScope {
+  /** Library default: never persists. Branch reuse then leans on
+    * Catalyst's ReuseExchange (shared shuffle output) instead of an
+    * in-memory table — correct, just recomputes narrow stages. */
+  val off: CacheScope = new CacheScope(false)
+
+  def apply(): CacheScope = new CacheScope(true)
+}
+
+object Dedup {
 
   /** Distinct word n-gram shingles of single-space-separated text — a
     * native expression (graft.functions.WordShingles); the HOF-composed
@@ -76,7 +95,8 @@ object Dedup {
     *    quadratic on stop-shingles, so not for real corpora.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                        n: Int = 3, maxDf: Option[Int] = None): DataFrame =
+                        n: Int = 3, maxDf: Option[Int] = None,
+                        scope: CacheScope = CacheScope.off): DataFrame =
     maxDf match {
       case Some(cap) =>
         // ONE shuffle does df-cap AND bucketing: boundedCollect stops
@@ -86,12 +106,11 @@ object Dedup {
         // within the cap are collected exactly — identical result to the
         // two-pass count-then-collect form, minus its second shuffle.
         val raw = shingleTable(docs, n, None)
-        val buckets = tracked(raw
+        val buckets = scope.track(raw
           .groupBy(col("shingle"))
           .agg(graft.functions.BoundedAgg.boundedCollect(cap)(col("doc_id"))
             .as("ds"))
-          .filter(size(col("ds")) <= cap)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .filter(size(col("ds")) <= cap))
         // sizes over the CAPPED relation (mirrors the oracle's capped CTE)
         val sizes = buckets.select(explode(col("ds")).as("doc_id"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -104,10 +123,9 @@ object Dedup {
           .agg(count(lit(1)).as("n_common"))
         jaccardVerify(inter, sizes, threshold)
       case None =>
-        // consumed 3× (sizes + both join sides): cache so the shingle
-        // expression runs once; released via releaseCaches
-        val sh = tracked(shingleTable(docs, n, None)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // consumed 3× (sizes + both join sides): an enabled scope caches
+        // so the shingle expression runs once
+        val sh = scope.track(shingleTable(docs, n, None))
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val a = sh.as("a"); val b = sh.as("b")
         val inter = a.join(b,
@@ -165,9 +183,9 @@ object Dedup {
     * Output schema matches [[ngramJaccardPairs]]. */
   def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.5,
                           n: Int = 3, numHashes: Int = 64,
-                          rowsPerBand: Int = 4): DataFrame = {
-    val sh = tracked(shingleTable(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+                          rowsPerBand: Int = 4,
+                          scope: CacheScope = CacheScope.off): DataFrame = {
+    val sh = scope.track(shingleTable(docs, n))
     val bands = lshBands(minHashSignatures(docs, n, numHashes), numHashes, rowsPerBand)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

@@ -7,15 +7,10 @@ import org.apache.spark.sql.functions._
   * paths against their exact counterparts — the guarantees SURVEY.md §5.3
   * asks for: LSH candidates must cover the true near-dup pairs, verified
   * outputs must carry exact scores. */
-class DedupSimilaritySpec extends SparkSpec
-    with org.scalatest.BeforeAndAfterAll {
+class DedupSimilaritySpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf0)
   private lazy val emb = Tables.embeddings(spark, sf0)
-
-  // the pair-finders persist shingle tables; release them so cached
-  // fragments don't pile up in the shared JVM-wide session
-  override def afterAll(): Unit = Dedup.releaseCaches()
 
   test("minhash-LSH near-dup pairs: precision 1, full recall at high J") {
     val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
@@ -183,6 +178,20 @@ class DedupSimilaritySpec extends SparkSpec
     def keys(rs: Array[org.apache.spark.sql.Row]) =
       rs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(keys(tight).subsetOf(keys(uncapped)))
+  }
+
+  test("CacheScope: default persists nothing; enabled scope releases on demand") {
+    import org.apache.spark.storage.StorageLevel
+    val df = docs.limit(10)
+    // library default: track is a no-op — nothing to leak
+    graft.operators.CacheScope.off.track(df)
+    assert(df.storageLevel == StorageLevel.NONE)
+    // enabled scope persists for its lifetime, release() unpersists
+    val scope = graft.operators.CacheScope()
+    scope.track(df)
+    assert(df.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    scope.release()
+    assert(df.storageLevel == StorageLevel.NONE)
   }
 
   test("all-pairs nearDupPairs gate refuses oversized inputs") {
