@@ -34,6 +34,15 @@ object GraftExportClient {
     ExportPipeline.exportTable(df, table, cfg, s"$outDir/${table.toLowerCase}",
       metaCols)
 
+  /** Catalog export: the reference's real sink contract — rows land in a
+    * metastore table `cfg.db`.`table` as partitioned ORC (reference
+    * README.md:77), created on first call, appended thereafter. Returns
+    * the qualified identifier downstream readers resolve. */
+  def exportCatalog(df: DataFrame, table: String, cfg: ExportConfig,
+                    metaCols: Seq[String] = Nil,
+                    format: String = "orc"): String =
+    ExportPipeline.exportCatalogTable(df, table, cfg, metaCols, format)
+
   /** Streaming export: checkpointed micro-batches, exactly-once (see
     * StreamingExport). Returns the running query. */
   def exportStream(stream: DataFrame, table: String, cfg: ExportConfig,

@@ -343,6 +343,14 @@ object SparkEntry {
     "sink_txn_batch" -> ((s, d) =>
       SinkOps.txnBatchRoundTrip(s, Tables.events(s, d))),
 
+    // A14b sink_catalog_orc: the reference's true sink contract — a
+    // partitioned ORC METASTORE table (README.md:77 requires ORC) written
+    // via saveAsTable/insertInto, read back through the catalog. Same
+    // summary as sink_txn_batch ⇒ the oracle proves the ORC catalog
+    // round-trip is lossless.
+    "sink_catalog_orc" -> ((s, d) =>
+      SinkOps.catalogOrcRoundTrip(s, Tables.events(s, d))),
+
     // A15 conn_pool: LRU+TTL endpoint-cache state.
     "conn_pool" -> ((s, d) =>
       SinkOps.connPoolState(Tables.events(s, d), "event_type")),
@@ -712,6 +720,11 @@ object SparkEntry {
         "GROUP BY 1 ORDER BY writer_id"),
 
     "sink_txn_batch" ->
+      (s"SELECT event_type, COUNT(*) AS n_rows, MIN(j) AS first_payload " +
+        s"FROM (SELECT ${sqlSentinel("event_type")} AS event_type, $sqlEventsPayload AS j FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    "sink_catalog_orc" ->
       (s"SELECT event_type, COUNT(*) AS n_rows, MIN(j) AS first_payload " +
         s"FROM (SELECT ${sqlSentinel("event_type")} AS event_type, $sqlEventsPayload AS j FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),

@@ -83,6 +83,42 @@ object ExportPipeline {
     writeRouted(route(df, partitionCols, metaCols, Some(cfg.timezone)), outDir)
   }
 
+  /** Catalog-table sink — the reference's ACTUAL sink contract: rows land
+    * in a metastore table addressed as db.table with partition values
+    * (HCatalog streaming endpoints, hive/HiveEndPointFactory.java:65-68;
+    * hive/HivePartitionStream.java:62-75), and the streaming sink requires
+    * ORC (reference README.md:77 — hence the ORC default here). Spark
+    * analogue: a partitioned catalog table — `saveAsTable` creates the
+    * generation, `insertInto` appends to it, and the metastore (not a bare
+    * path) is what downstream readers resolve.
+    *
+    * Same anti-small-file arrangement as [[writeRouted]]: repartition by
+    * the partition columns so each dynamic partition is written by few
+    * tasks. `insertInto` is position-based; `route`'s layout
+    * (payload_json, partition cols last) matches the schema the create
+    * branch registers, so both branches write identical shapes.
+    *
+    * Returns the fully-qualified table identifier. */
+  def exportCatalogTable(df: DataFrame, table: String, cfg: ExportConfig,
+                         metaCols: Seq[String] = Nil,
+                         format: String = "orc",
+                         maxRecordsPerFile: Long = 5000000L): String = {
+    val spark = df.sparkSession
+    val partitionCols = cfg.partitionColsFor(table).map(_.toLowerCase)
+    val routed = route(df, partitionCols, metaCols, Some(cfg.timezone))
+    val db = cfg.db.toLowerCase
+    val ident = s"$db.${table.toLowerCase}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    val writer = routed.repartition(partitionCols.map(col): _*)
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+    if (spark.catalog.tableExists(ident))
+      writer.mode(SaveMode.Append).insertInto(ident)
+    else
+      writer.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+        .format(format).saveAsTable(ident)
+    ident
+  }
+
   /** Small-file compaction — the maintenance pass every long-lived
     * partitioned sink needs at scale: a streaming conduit committing a
     * micro-batch per trigger accretes files per partition without bound,

@@ -75,6 +75,37 @@ object SinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** Catalog + ORC face of A14 — the reference's true sink contract
+    * (metastore table, ORC storage: reference README.md:77 "currently ORC
+    * is required"): route events by sentinel-normalized event_type, write
+    * them into a partitioned ORC CATALOG table via
+    * [[ExportPipeline.exportCatalogTable]], read the table back through
+    * the metastore and summarize per partition. The summary equals
+    * sink_txn_batch's (same routing, different physical sink) — which is
+    * exactly the point: the oracle proves the ORC catalog round-trip is
+    * lossless. */
+  def catalogOrcRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
+    val cfg = graft.config.ExportConfig(
+      db = "graft_scratch", table = "events_orc",
+      partitionColumns = Map("EVENTS_ORC" -> Seq("EVENT_TYPE")))
+    // fresh generation per invocation: repeated verify/bench runs must
+    // not accrete appends into the scratch table. Drop the catalog entry
+    // AND the location — a previous JVM's generation survives as an
+    // orphan directory this session's in-memory catalog doesn't know
+    // about, which would fail saveAsTable with LOCATION_ALREADY_EXISTS.
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_scratch")
+    spark.sql("DROP TABLE IF EXISTS graft_scratch.events_orc")
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.catalog.getDatabase("graft_scratch").locationUri))
+    val loc = new org.apache.hadoop.fs.Path(dbLoc, "events_orc")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    val ident = ExportPipeline.exportCatalogTable(events, "events_orc", cfg)
+    spark.table(ident)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), min(col("payload_json")).as("first_payload"))
+      .orderBy(col("event_type"))
+  }
+
   /** A15 conn_pool — LRU(max)+TTL cache semantics over endpoints: an
     * endpoint's last access is its newest event; it stays cached iff it is
     * within the `maxSize` most-recently-used AND idle less than `ttlMin`
