@@ -475,9 +475,13 @@ object SparkEntry {
     "multimodal_framesample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.ingest(Tables.documents(s, d)))),
 
-    // mapPartitions decode harness (stubbed codec — rows-only check).
+    // mapPartitions decode harness with a REAL codec: synthesize a
+    // 24-bit BMP per doc, decode it back with the JDK's independent
+    // ImageIO BMP reader, emit pixel stats the oracle replays
+    // analytically (px_posw is position-weighted: a flipped bottom-up
+    // row order cannot pass).
     "multimodal_decode" -> ((s, d) =>
-      Multimodal.decodePartitions(s, Multimodal.ingest(Tables.documents(s, d))))
+      Multimodal.decodePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -887,7 +891,23 @@ object SparkEntry {
     "multimodal_framesample" ->
       ("SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx " +
         "FROM (SELECT doc_id, length(text) // 100 + 1 AS n_frames FROM documents) " +
-        "ORDER BY doc_id, frame_idx")
+        "ORDER BY doc_id, frame_idx"),
+
+    // Analytic replay of the BMP decode: pixel i (row-major) has gray
+    // value (doc_id*31 + i*7) % 256 — the oracle computes the decoded
+    // stats without touching bytes, so encoder AND decoder must both be
+    // correct for the hash to match.
+    "multimodal_decode" ->
+      ("SELECT doc_id, width, height, n_pixels, " +
+        "CAST(list_sum(px) AS BIGINT) AS px_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n_pixels AS INT)), i -> i * px[i+1])) AS BIGINT) AS px_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS px_min, " +
+        "CAST(list_max(px) AS BIGINT) AS px_max " +
+        "FROM (SELECT doc_id, width, height, n_pixels, " +
+        "list_transform(range(0, CAST(n_pixels AS INT)), i -> (doc_id*31 + i*7) % 256) AS px " +
+        "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height, " +
+        "((n_chars % 13) + 4) * ((n_chars % 7) + 4) AS n_pixels FROM documents)) " +
+        "ORDER BY doc_id")
   )
 
   /** Stopword list literal shared by text oracles. */

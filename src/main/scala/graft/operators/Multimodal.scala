@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * stores them (media bytes inline or as object-store pointers; Spark
   * moves them as BinaryType and never interprets them in the engine).
   *
-  * Real media codecs are not available in this environment, so DECODE IS
-  * STUBBED with a deterministic fake (clearly marked below); everything
-  * Spark-side — schema, batching, partition-parallel feature extraction,
-  * the mapPartitions batch shape — is real and tested. In PySpark the
-  * extract step would be `mapInPandas` with an Arrow batch per call; the
+  * The decode path is REAL: [[ingestBmp]] synthesizes a well-formed
+  * 24-bit BMP per document and [[decodePartitions]] decodes it with
+  * `javax.imageio` — an independent JDK codec, not the encoder run
+  * backwards — extracting pixel statistics that the DuckDB oracle
+  * reproduces analytically. Heavier codecs (JPEG/PNG via ImageIO, audio
+  * via javax.sound) drop into the same mapPartitions harness: one
+  * decoder per PARTITION, batch-iterating rows — in PySpark this
+  * boundary is `mapInPandas` with an Arrow batch per call; the
   * Scala-native equivalent with identical batch semantics is
-  * `mapPartitions` over an iterator of rows, one decoder instance per
-  * partition (not per row — that's the pattern that survives scale).
+  * `mapPartitions`, one codec instance per partition (not per row —
+  * the pattern that survives scale).
   */
 object Multimodal {
 
@@ -60,33 +63,112 @@ object Multimodal {
           .as("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** The mapPartitions decode harness: one (stub) decoder per PARTITION,
-    * batch-iterating rows through it — the exact shape a heavyweight
-    * codec needs (amortized init, bounded memory). Output schema is fixed
-    * and explicit, as a real Arrow/mapInPandas boundary requires. */
+  /** Deterministic synthetic image dimensions: small enough that a 10k-doc
+    * verify stays trivial, varied enough to exercise row padding (BMP rows
+    * pad to 4 bytes, so widths not divisible by 4 matter). */
+  def bmpWidth(nChars: Long): Int = (nChars % 13 + 4).toInt
+  def bmpHeight(nChars: Long): Int = (nChars % 7 + 4).toInt
+
+  /** Grayscale value of pixel index `i` (row-major, top-down) — the fixed
+    * arithmetic the DuckDB oracle replays analytically. */
+  def pixelValue(docId: Long, i: Long): Int = ((docId * 31 + i * 7) % 256).toInt
+
+  /** Encode one well-formed 24-bit bottom-up BMP (14-byte file header +
+    * 40-byte BITMAPINFOHEADER + padded BGR rows). Hand-built on purpose:
+    * [[decodePartitions]] reads it back with the JDK's own ImageIO BMP
+    * codec, so a malformed header, wrong padding or flipped row order
+    * fails loudly rather than round-tripping. */
+  def bmpBytes(docId: Long, nChars: Long): Array[Byte] = {
+    val w = bmpWidth(nChars); val h = bmpHeight(nChars)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    // bottom-up storage: last image row first; pixel index stays
+    // row-major TOP-down so decode must honor BMP row order to match
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = pixelValue(docId, y.toLong * w + x).toByte
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Ingest real media: one synthetic BMP per document as the binary
+    * payload, with the typed metadata a decode step consumes. */
+  def ingestBmp(docs: DataFrame): DataFrame = {
+    val bmp = udf((docId: Long, nChars: Long) => bmpBytes(docId, nChars))
+    docs.select(
+      col("doc_id"),
+      bmp(col("doc_id"), col("n_chars")).as("media_bytes"),
+      struct(
+        length(col("text")).cast("long").as("n_bytes"),
+        lit(null).cast("long").as("width"), // filled by decode, not trusted from ingest
+        lit(null).cast("long").as("height"),
+        lit("image/bmp").as("mime")).as("media_meta"))
+  }
+
+  /** The mapPartitions decode harness with a REAL codec: javax.imageio's
+    * BMP reader (an independent JDK implementation — not our encoder run
+    * backwards) decodes each payload; per-pixel statistics come off the
+    * decoded raster. One decoder context per PARTITION, batch-iterating
+    * rows — the exact shape a heavyweight codec needs (amortized init,
+    * bounded memory). Output schema is fixed and explicit, as a real
+    * Arrow/mapInPandas boundary requires; `px_posw` is position-weighted
+    * so a decoder that flips BMP's bottom-up row order cannot pass.
+    * (Partition ids are deliberately NOT emitted: output is a pure
+    * function of the data, independent of partitioning.) */
   def decodePartitions(spark: SparkSession, ingested: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
-      StructField("decoded_ok", BooleanType),
-      StructField("decoder_hash", LongType)))
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_pixels", LongType),
+      StructField("px_sum", LongType),
+      StructField("px_posw", LongType),
+      StructField("px_min", LongType),
+      StructField("px_max", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
     val in = ingested.select(col("doc_id"), col("media_bytes"))
     in.mapPartitions { rows =>
-      // STUB decoder: deterministic fake in place of an image/audio
-      // codec. Real impl: open the codec once HERE, close at iterator
-      // end — mapPartitions gives init-once-per-partition structurally.
-      // (Partition ids are deliberately NOT emitted: output must stay a
-      // pure function of the data, independent of partitioning.)
+      // a stateful codec would be opened once HERE (ImageIO's static
+      // entry point is already per-JVM); close at iterator end
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("media_bytes")
-        // canonical FNV-1a: mask the byte (sign-extension would flip
-        // the hash's high bits for bytes >= 0x80 and disagree with the
-        // repo's other fnv1a implementations and external references)
-        val fakeSignal = if (bytes == null) -1L
-          else bytes.foldLeft(1469598103934665603L)(
-            (h, b) => (h ^ (b & 0xffL)) * 1099511628211L)
-        Row(r.getAs[Long]("doc_id"), bytes != null, fakeSignal)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "undecodable media payload")
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L; var posw = 0L
+        var mn = 255L; var mx = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val red = (img.getRGB(x, y) >> 16) & 0xff
+            val i = y.toLong * w + x
+            sum += red; posw += i * red
+            if (red < mn) mn = red
+            if (red > mx) mx = red
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, w.toLong * h,
+          sum, posw, mn, mx)
       }
     }(enc).toDF().orderBy(col("doc_id"))
   }
