@@ -47,6 +47,56 @@ object StreamingExport {
       .parquet(s"$outDir/batch_id=$batchId")
   }
 
+  /** Schema-generation lifecycle — the reference treats a schema change
+    * as a NEW advertised source generation: the old generation's decoder
+    * is torn down (sink nudged, executor shut down and awaited —
+    * hive/HiveExportClient.java:199-207) and `constructExportDecoder`
+    * binds a fresh decoder to the new schema (:210-214). Spark-shaped:
+    * ONE streaming query per generation — a Structured Streaming query
+    * binds its schema at start, so the generation boundary IS a query
+    * restart — each with its own checkpoint and a `gen=G` output
+    * namespace. Advertising generation G+1 drains and stops the current
+    * query (teardown), then starts a new one bound to the changed frame.
+    * Committed output of old generations stays readable next to the new
+    * one (`spark.read.option("mergeSchema", true)` unions them — new
+    * JSON fields appear, removed ones stop being written). */
+  final class GenerationedExport(partitionCols: Seq[String], outDir: String,
+                                 checkpointRoot: String) {
+    private var current: Option[(Int, StreamingQuery)] = None
+
+    def currentGeneration: Option[Int] = synchronized { current.map(_._1) }
+
+    /** Bind a (possibly schema-changed) source as generation `gen`,
+      * tearing down the previous generation's query first. */
+    def advertise(events: DataFrame, gen: Int,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  timezone: Option[String] = None): StreamingQuery =
+      synchronized {
+        current.foreach { case (g, q) =>
+          require(gen > g, s"generation must advance: got $gen after $g")
+          teardown(q)
+        }
+        val q = exportStream(events, partitionCols, s"$outDir/gen=$gen",
+          s"$checkpointRoot/gen-$gen", trigger, timezone)
+        current = Some((gen, q))
+        q
+      }
+
+    /** End-of-life: tear down the live generation (the
+      * sourceNoLongerAdvertised arm with no successor). */
+    def close(): Unit = synchronized {
+      current.foreach { case (_, q) => teardown(q) }
+      current = None
+    }
+
+    /** Drain in-flight micro-batches, stop, await — the reference's
+      * shutdown-and-awaitTermination teardown. */
+    private def teardown(q: StreamingQuery): Unit = {
+      if (q.isActive) { q.processAllAvailable(); q.stop() }
+      q.awaitTermination()
+    }
+  }
+
   /** Watermarked tumbling-window counts — the streaming form of
     * Sessionize.tumbling. Late events beyond the watermark are dropped;
     * in append mode a window emits once, when the watermark passes its
