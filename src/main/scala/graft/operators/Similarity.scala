@@ -168,30 +168,86 @@ object Similarity {
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
 
+  /** Deterministic seed centroids: the `nlist` corpus vectors with the
+    * smallest md5(vec_id) — a repartition-stable sample (same trick as
+    * doc_sample), collect-free. */
+  private def seedCentroids(p: DataFrame, nlist: Int): DataFrame =
+    p.select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
+        col("nrm").as("c_nrm"), md5(col("vec_id").cast("string")).as("mk"))
+      .orderBy(col("mk"), col("cent_id")).limit(nlist)
+      .drop("mk")
+
+  /** TRAIN the IVF coarse quantizer: a few DataFrame-native Lloyd's
+    * (k-means) iterations, entirely collect-free — centroids live as a
+    * broadcast DataFrame throughout, never on the driver.
+    *
+    * Per iteration: (1) assign each training vector to its
+    * max-cosine centroid (broadcast nested-loop over ≤ nlist rows —
+    * narrow, no shuffle); (2) recompute each centroid as the
+    * element-wise mean of its members — posexplode to (cent_id, pos,
+    * val), one aggregation keyed by (cent_id, pos) (exact long sums ⇒
+    * deterministic under any partitioning), re-assembled with
+    * array_sort(collect_list(struct(pos, mean))) so collect_list's
+    * arbitrary order can't leak in. Means round back into the quantized
+    * integer domain, so trained centroids speak the same exact-arithmetic
+    * language as the data. Empty clusters drop out (nlist can shrink,
+    * as in any Lloyd's variant without re-seeding).
+    *
+    * Scale: training runs on a bounded md5-deterministic sample
+    * (`trainCap` rows), the standard IVF recipe — the quantizer needs a
+    * representative sample, not the corpus; the full-corpus pass happens
+    * once, at assignment time in [[ivfTopK]]. */
+  def trainCentroids(p: DataFrame, nlist: Int, iters: Int,
+                     trainCap: Int = 4096): DataFrame = {
+    val train = p
+      .withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk"), col("vec_id")).limit(trainCap).drop("mk")
+    var cent = broadcast(seedCentroids(p, nlist))
+    for (_ <- 0 until iters) {
+      val assigned = train.join(cent)
+        .withColumn("c_cos",
+          cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
+          .as("cent_id"),
+          first(col("qv")).as("qv"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("qv")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => round(x.getField("m")).cast("long")).as("c_qv"))
+      cent = broadcast(means
+        .withColumn("c_nrm", dotQ(col("c_qv"), col("c_qv")))
+        .select(col("cent_id"), col("c_qv"), col("c_nrm")))
+    }
+    cent
+  }
+
   /** IVF (inverted-file) ANN top-k — the second classic ANN family next
     * to [[annTopK]]'s LSH: a coarse quantizer of `nlist` centroids
     * partitions the corpus into inverted lists; a query probes its
     * `nprobe` nearest lists and exact-reranks only those candidates.
     *
-    * Deterministic + collect-free: centroids are the `nlist` corpus
-    * vectors with the smallest md5(vec_id) (repartition-stable sample,
-    * same trick as doc_sample), kept as a broadcast DataFrame — no
-    * driver-side collect, no k-means iterations (a "flat" IVF; at real
-    * scale the centroid set would come from a trained quantizer, the
-    * plan shape is identical). Assignment is a broadcast nested-loop over
-    * nlist centroids (O(N·nlist·d) narrow work, no shuffle); candidate
-    * lookup is an equi-join on cent_id — shuffle-partitionable like the
-    * LSH path. Recall vs [[bruteForceTopK]] is spec-checked.
+    * Deterministic + collect-free: the quantizer is TRAINED with
+    * [[trainCentroids]] (`trainIters` Lloyd's iterations over a bounded
+    * deterministic sample; 0 = the flat md5-seeded quantizer), kept as a
+    * broadcast DataFrame — no driver-side collect. Assignment is a
+    * broadcast nested-loop over nlist centroids (O(N·nlist·d) narrow
+    * work, no shuffle); candidate lookup is an equi-join on cent_id —
+    * shuffle-partitionable like the LSH path. Recall vs
+    * [[bruteForceTopK]] — and the trained-vs-flat improvement on
+    * clustered data — are spec-checked.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 2): DataFrame = {
     val p = prepared(emb)
-    // deterministic coarse quantizer: nlist md5-smallest vectors
-    val cent = broadcast(p
-      .select(col("vec_id").as("cent_id"), col("qv").as("c_qv"),
-        col("nrm").as("c_nrm"), md5(col("vec_id").cast("string")).as("mk"))
-      .orderBy(col("mk"), col("cent_id")).limit(nlist)
-      .drop("mk"))
+    val cent = broadcast(
+      if (trainIters <= 0) seedCentroids(p, nlist)
+      else trainCentroids(p, nlist, trainIters))
     // assign every vector to its best centroid: argmax cosine via max_by
     val assigned = p.join(cent)
       .withColumn("c_cos",

@@ -118,6 +118,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall below bound")
   }
 
+  test("trained IVF quantizer beats the flat one on clustered data") {
+    import spark.implicits._
+    // deterministic clustered fixture: 4 well-separated centers (disjoint
+    // active dims), 50 members each with small seeded jitter; cluster of
+    // vector id = id % 4, so queries 0..9 span all clusters
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 200).map { id =>
+      val c = id % 4
+      val v = Array.tabulate(16) { d =>
+        val base = if (d / 4 == c) 1.0f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.2f
+      }
+      (id.toLong, v, s"c$c")
+    }.toDF("vec_id", "embedding", "label")
+
+    val brute = Similarity.bruteForceTopK(vecs, nQueries = 10, k = 10).collect()
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getAs[Long]("n_id"))).toSet
+    def recall(rs: Array[org.apache.spark.sql.Row]) =
+      pairs(rs).intersect(pairs(brute)).size.toDouble / brute.length
+
+    // nprobe=1 makes quantizer quality decisive: a query only sees its
+    // single best list, so centroids must align with the true clusters
+    val flat = recall(Similarity.ivfTopK(vecs, nQueries = 10, k = 10,
+      nlist = 4, nprobe = 1, trainIters = 0).collect())
+    val trained = recall(Similarity.ivfTopK(vecs, nQueries = 10, k = 10,
+      nlist = 4, nprobe = 1, trainIters = 3).collect())
+    assert(trained >= flat,
+      s"training must not hurt recall: trained=$trained flat=$flat")
+    assert(trained >= 0.9, s"trained IVF recall $trained below bound")
+    // on this fixture the md5-seeded flat quantizer actually misses —
+    // the improvement is real, not a vacuous >=
+    assert(trained > flat, s"expected strict improvement: trained=$trained flat=$flat")
+  }
+
   test("zero-norm vectors are excluded from top-k and near-dup output") {
     import spark.implicits._
     // vec 2 is the zero vector: cosine is NaN (undefined similarity).
