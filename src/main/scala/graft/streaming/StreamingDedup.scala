@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming exact deduplication — the streaming face of B1 dedup_exact,
   * the front gate of a continuously-ingesting training-data pipeline
@@ -43,4 +45,131 @@ object StreamingDedup {
     * which duplicate wins is arrival-order-defined in a stream. */
   def distinctKeys(batch: DataFrame, keys: Seq[String]): Dataset[org.apache.spark.sql.Row] =
     batch.select(keys.map(col): _*).distinct()
+
+  /** Streaming NEAR-dup dedup — the MinHash-LSH front gate for a
+    * continuously-ingesting corpus, composing the batch pieces
+    * (Dedup.minHashSignatures / lshBands) with micro-batch state:
+    *
+    *  per micro-batch —
+    *   1. signatures + (band, bucket) keys for the batch (narrow);
+    *   2. a doc is suppressed when it shares a band bucket with a doc in
+    *      the signature STORE (the horizon's survivors — same blocking
+    *      equi-join as the batch path) or with an earlier doc in the same
+    *      batch (earlier = smaller (ts, doc_id)), AND the signature
+    *      agreement confirms it: |matching minhashes|/numHashes ≥
+    *      `threshold` (the standard unbiased Jaccard estimator — the
+    *      streaming stand-in for the batch path's exact re-verify, since
+    *      the store keeps signatures, not shingle sets);
+    *   3. survivors are committed to `outDir/batch_id=N` (idempotent
+    *      overwrite — the StreamingExport exactly-once discipline) and
+    *      their signatures appended to the store, PRUNED to the event-time
+    *      horizon: state is bounded by arrival-rate × `horizonSec`
+    *      forever, exactly like dropDuplicatesWithinWatermark's store.
+    *      A near-dup arriving more than a horizon after its twin
+    *      re-emits — the same documented trade as [[withinWatermark]].
+    *
+    * The store itself is versioned (`v=N` written per batch, batch N
+    * reads the largest v < N): a replayed batch reads the same input
+    * version it read before the crash and overwrites its own output —
+    * exactly-once without read-modify-write on a single directory.
+    *
+    * 100 TB shape: everything is equi-joins on (band, bucket) plus
+    * narrow signature maps; the store is a bounded partitioned table.
+    */
+  def nearDupGate(stream: DataFrame, storeDir: String, outDir: String,
+                  checkpointDir: String,
+                  threshold: Double = 0.5,
+                  horizonSec: Long = 600L,
+                  numHashes: Int = 64, rowsPerBand: Int = 4, n: Int = 3,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupGateBatch(batch, batchId, storeDir, outDir, threshold,
+          horizonSec, numHashes, rowsPerBand, n)
+      }
+      .start()
+
+  /** One micro-batch of the near-dup gate (exposed for direct testing —
+    * same reason StreamingExport.writeBatch is). */
+  def nearDupGateBatch(batch: DataFrame, batchId: Long,
+                       storeDir: String, outDir: String,
+                       threshold: Double, horizonSec: Long,
+                       numHashes: Int, rowsPerBand: Int, n: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val sigs = Dedup.minHashSignatures(batch, n, numHashes)
+    val bands = Dedup.lshBands(sigs, numHashes, rowsPerBand)
+      .join(sigs, "doc_id")
+      .join(batch.select(col("doc_id"), col("ts")), "doc_id")
+      .select(col("doc_id"), col("ts"), col("sig"), col("band"), col("bucket"))
+      .persist()
+    val store = readStore(spark, storeDir, batchId)
+
+    // estimated Jaccard between two signatures: fraction of agreeing
+    // minhash entries (exact arithmetic; deterministic)
+    def sigAgree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+    // cross-batch hits: share a bucket with a stored survivor AND the
+    // signature agreement clears the threshold
+    val storeHits = bands.as("x").join(store.as("s"),
+        col("x.band") === col("s.band") && col("x.bucket") === col("s.bucket"))
+      .filter(sigAgree(col("x.sig"), col("s.sig")) >= threshold)
+      .select(col("x.doc_id")).distinct()
+
+    // in-batch hits: same bucket as an EARLIER batch doc ((ts, doc_id)
+    // order), signature-verified — the earlier doc is the survivor
+    val inBatchHits = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          (col("y.ts") < col("x.ts") ||
+            (col("y.ts") === col("x.ts") && col("y.doc_id") < col("x.doc_id"))))
+      .filter(sigAgree(col("x.sig"), col("y.sig")) >= threshold)
+      .select(col("x.doc_id")).distinct()
+
+    val survivors = batch
+      .join(storeHits.union(inBatchHits).distinct(), Seq("doc_id"), "left_anti")
+    survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+    // next store version: previous survivors + this batch's, pruned to
+    // the horizon behind the batch's max event time
+    val survBands = bands.join(survivors.select("doc_id"), "doc_id")
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonSec * 1000L)
+    store.unionByName(survBands)
+      .filter(col("ts") > cutoff)
+      .write.mode("overwrite").parquet(s"$storeDir/v=$batchId")
+    bands.unpersist()
+  }
+
+  /** Largest committed store version strictly below `batchId` (a
+    * replayed batch must re-read its original input state), or an empty
+    * store when none exists yet. */
+  private def readStore(spark: SparkSession, storeDir: String,
+                        batchId: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(root)) Array.empty[Long]
+      else fs.listStatus(root).map(_.getPath.getName)
+        .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+        .filter(_ < batchId)
+    if (versions.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)),
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.IntegerType))))
+    else spark.read.parquet(s"$storeDir/v=${versions.max}")
+  }
 }

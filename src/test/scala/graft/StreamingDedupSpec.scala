@@ -52,6 +52,64 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupGate suppresses MinHash near-dups in-batch and cross-batch, " +
+    "re-emits past the horizon, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val mem = MemoryStream[Doc]
+    val store = Files.createTempDirectory("graft_ndg_store_").toString
+    val out = Files.createTempDirectory("graft_ndg_out_").toString
+    val ckpt = Files.createTempDirectory("graft_ndg_ckpt_").toString
+
+    // near-dups: one word of ~30 changed (3-gram Jaccard ≈ 0.8, well
+    // over the 0.5 gate); distinct docs share no shingles
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    def variant(w: String) = base.split(" ").dropRight(1).mkString(" ") + " " + w
+    val other = (0 until 30).map(i => s"zzz$i").mkString(" ")
+    val third = (0 until 30).map(i => s"qqq$i").mkString(" ")
+
+    // continuous trigger: the spec feeds batches incrementally (the
+    // AvailableNow default would stop after draining the first batch)
+    val q = graft.streaming.StreamingDedup.nearDupGate(
+      mem.toDF(), store, out, ckpt, horizonSec = 600L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // batch 0: base doc, an in-batch near-dup (later ts), one distinct
+      mem.addData(
+        Doc(1L, ts("2024-01-01 00:00:00"), base),
+        Doc(2L, ts("2024-01-01 00:00:05"), variant("changed")),
+        Doc(3L, ts("2024-01-01 00:00:10"), other))
+      q.processAllAvailable()
+      // batch 1 (within the 10 min horizon): another near-dup → suppressed
+      // cross-batch against the stored survivor; a fresh doc passes
+      mem.addData(
+        Doc(4L, ts("2024-01-01 00:05:00"), variant("again")),
+        Doc(5L, ts("2024-01-01 00:05:00"), other.toUpperCase))
+      q.processAllAvailable()
+      val inHorizon = spark.read.option("basePath", out)
+        .parquet(s"$out/batch_id=*").as[Doc].collect()
+      assert(inHorizon.map(_.doc_id).sorted.toSeq == Seq(1L, 3L, 5L),
+        s"got ${inHorizon.map(_.doc_id).sorted.toSeq}")
+
+      // batch 2 advances event time far past the horizon → store prunes
+      mem.addData(Doc(6L, ts("2024-01-01 12:00:00"), third))
+      q.processAllAvailable()
+      // state boundedness: the store's latest version holds ONLY doc 6
+      // (16 band rows), every pre-horizon signature pruned
+      val latest = spark.read.parquet(s"$store/v=2")
+      assert(latest.select("doc_id").distinct().as[Long].collect().toSeq == Seq(6L))
+
+      // batch 3: a near-dup of doc 1 past the horizon → re-emits (the
+      // same bounded-state trade as dropDuplicatesWithinWatermark)
+      mem.addData(Doc(7L, ts("2024-01-01 12:00:01"), variant("late")))
+      q.processAllAvailable()
+      val all = spark.read.option("basePath", out)
+        .parquet(s"$out/batch_id=*").as[Doc].collect()
+      assert(all.map(_.doc_id).sorted.toSeq == Seq(1L, 3L, 5L, 6L, 7L),
+        s"got ${all.map(_.doc_id).sorted.toSeq}")
+    } finally q.stop()
+  }
+
   test("exactGlobal never re-emits a key for the query lifetime") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
