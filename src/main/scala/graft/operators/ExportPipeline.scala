@@ -119,6 +119,24 @@ object ExportPipeline {
     ident
   }
 
+  /** Drop a managed table AND its storage location. With a non-Hive
+    * (in-memory) catalog, a table created by a PREVIOUS JVM survives only
+    * as its warehouse directory — the fresh catalog doesn't know it, so
+    * `DROP TABLE IF EXISTS` no-ops and a later saveAsTable fails with
+    * LOCATION_ALREADY_EXISTS. This removes both the entry and the orphan
+    * directory; the db is created if absent so its location resolves. */
+  def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
+                           db: String, table: String): Unit = {
+    val d = db.toLowerCase; val t = table.toLowerCase
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$d`")
+    spark.sql(s"DROP TABLE IF EXISTS `$d`.`$t`")
+    val dbLoc = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.catalog.getDatabase(d).locationUri))
+    val loc = new org.apache.hadoop.fs.Path(dbLoc, t)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    ()
+  }
+
   /** Small-file compaction — the maintenance pass every long-lived
     * partitioned sink needs at scale: a streaming conduit committing a
     * micro-batch per trigger accretes files per partition without bound,

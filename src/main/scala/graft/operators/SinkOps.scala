@@ -89,16 +89,9 @@ object SinkOps {
       db = "graft_scratch", table = "events_orc",
       partitionColumns = Map("EVENTS_ORC" -> Seq("EVENT_TYPE")))
     // fresh generation per invocation: repeated verify/bench runs must
-    // not accrete appends into the scratch table. Drop the catalog entry
-    // AND the location — a previous JVM's generation survives as an
-    // orphan directory this session's in-memory catalog doesn't know
-    // about, which would fail saveAsTable with LOCATION_ALREADY_EXISTS.
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_scratch")
-    spark.sql("DROP TABLE IF EXISTS graft_scratch.events_orc")
-    val dbLoc = new org.apache.hadoop.fs.Path(
-      new java.net.URI(spark.catalog.getDatabase("graft_scratch").locationUri))
-    val loc = new org.apache.hadoop.fs.Path(dbLoc, "events_orc")
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    // not accrete appends into the scratch table (and a previous JVM's
+    // orphan location must not fail saveAsTable)
+    ExportPipeline.dropTableAndLocation(spark, "graft_scratch", "events_orc")
     val ident = ExportPipeline.exportCatalogTable(events, "events_orc", cfg)
     spark.table(ident)
       .groupBy(col("event_type"))

@@ -20,7 +20,7 @@ class CatalogSinkSpec extends SparkSpec {
     .toDF("id", "msg", "continent")
 
   test("exportCatalogTable: ORC files, hive partition dirs, catalog read-back") {
-    spark.sql("DROP TABLE IF EXISTS graft_test.alerts")
+    ExportPipeline.dropTableAndLocation(spark, "graft_test", "alerts")
     val ident = ExportPipeline.exportCatalogTable(alerts(1 to 10), "alerts", cfg)
     assert(ident == "graft_test.alerts")
     assert(spark.catalog.tableExists(ident))
@@ -44,7 +44,7 @@ class CatalogSinkSpec extends SparkSpec {
   }
 
   test("second export appends a new generation into the same table") {
-    spark.sql("DROP TABLE IF EXISTS graft_test.alerts")
+    ExportPipeline.dropTableAndLocation(spark, "graft_test", "alerts")
     ExportPipeline.exportCatalogTable(alerts(1 to 10), "alerts", cfg)
     ExportPipeline.exportCatalogTable(alerts(11 to 14), "alerts", cfg)
     val back = spark.table("graft_test.alerts")
