@@ -53,6 +53,15 @@ object GraftExportClient {
       timezone = Some(cfg.timezone))
   }
 
+  /** Streaming CATALOG export — the reference's actual streaming sink:
+    * micro-batches append into the partitioned ORC metastore table
+    * `cfg.db`.`table`, exactly-once via batch_id partitions + dynamic
+    * partition overwrite on replay. */
+  def exportStreamCatalog(stream: DataFrame, table: String,
+                          cfg: ExportConfig,
+                          checkpointDir: String): StreamingQuery =
+    StreamingExport.exportStreamCatalog(stream, table, cfg, checkpointDir)
+
   /** Maintenance: compact a table's exported partition tree toward
     * `targetFileBytes` files (see ExportPipeline.compact — a long-lived
     * micro-batching sink accretes small files without bound). Writes to

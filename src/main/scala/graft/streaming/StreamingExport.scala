@@ -47,6 +47,60 @@ object StreamingExport {
       .parquet(s"$outDir/batch_id=$batchId")
   }
 
+  /** Streaming CATALOG export — the reference's actual streaming sink
+    * shape: micro-batches land in a partitioned ORC METASTORE table
+    * (HCatalog streaming endpoints into db.table,
+    * hive/HivePartitionStream.java:62-75; ORC required, README.md:77),
+    * not a bare path. Exactly-once without per-batch directories:
+    * `batch_id` is a real partition column, and replays write with
+    * DYNAMIC partition overwrite — a replayed batch routes identically
+    * (routing is deterministic), so it overwrites exactly its own
+    * (data-partition, batch_id) leaves and nothing else. */
+  def exportStreamCatalog(events: DataFrame, table: String,
+                          cfg: graft.config.ExportConfig,
+                          checkpointDir: String,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          format: String = "orc"): StreamingQuery = {
+    val partitionCols = cfg.partitionColsFor(table).map(_.toLowerCase)
+    val routed = ExportPipeline.route(events, partitionCols,
+      timezone = Some(cfg.timezone))
+    routed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchCatalog(batch, cfg.db, table, batchId, format)
+      }
+      .start()
+  }
+
+  /** The idempotent per-batch catalog commit (exposed for direct
+    * testing, like [[writeBatch]]): first batch creates the partitioned
+    * table, later (and replayed) batches insertInto with dynamic
+    * partition overwrite. */
+  def writeBatchCatalog(routedBatch: DataFrame, db: String, table: String,
+                        batchId: Long, format: String = "orc"): Unit = {
+    val spark = routedBatch.sparkSession
+    val d = db.toLowerCase; val ident = s"$d.${table.toLowerCase}"
+    val partitionCols =
+      routedBatch.columns.filter(_ != "payload_json").toSeq :+ "batch_id"
+    val withBatch = routedBatch.withColumn("batch_id", lit(batchId))
+      .repartition(partitionCols.map(col): _*)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$d`")
+    if (!spark.catalog.tableExists(ident)) {
+      withBatch.write.mode("overwrite")
+        .partitionBy(partitionCols: _*).format(format).saveAsTable(ident)
+    } else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try withBatch.write.mode("overwrite").insertInto(ident)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Schema-generation lifecycle — the reference treats a schema change
     * as a NEW advertised source generation: the old generation's decoder
     * is torn down (sink nudged, executor shut down and awaited —

@@ -56,6 +56,44 @@ class CatalogSinkSpec extends SparkSpec {
     assert(perPart(graft.operators.ExportOps.Sentinel) == 7)
   }
 
+  test("streaming catalog export: ORC metastore appends, replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val sCfg = ExportConfig(
+      db = "graft_test", table = "stream_orc",
+      partitionColumns = Map("STREAM_ORC" -> Seq("CONTINENT")))
+    ExportPipeline.dropTableAndLocation(spark, "graft_test", "stream_orc")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cat_ckpt_").toString
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData((1L, "a", "EU"), (2L, "b", null.asInstanceOf[String]))
+    val q = GraftExportClient.exportStreamCatalog(
+      mem.toDF().toDF("id", "msg", "continent"), "stream_orc", sCfg, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("graft_test.stream_orc").count() == 2)
+
+    // restart from the checkpoint with more data → next batch appends
+    mem.addData((3L, "c", "EU"))
+    val q2 = GraftExportClient.exportStreamCatalog(
+      mem.toDF().toDF("id", "msg", "continent"), "stream_orc", sCfg, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val t = spark.table("graft_test.stream_orc")
+    assert(t.count() == 3)
+    // batch_id is a real partition; files are ORC in hive-layout dirs
+    assert(t.inputFiles.forall(f =>
+      f.contains("/continent=") && f.contains("/batch_id=") &&
+        f.endsWith(".orc")))
+
+    // replaying batch 0 (same routed rows, same id) overwrites its own
+    // partitions instead of appending — exactly-once under replay
+    val routed = ExportPipeline.route(
+      Seq((1L, "a", "EU"), (2L, "b", null.asInstanceOf[String]))
+        .toDF("id", "msg", "continent"), Seq("continent"))
+    graft.streaming.StreamingExport
+      .writeBatchCatalog(routed, "graft_test", "stream_orc", 0L)
+    assert(spark.table("graft_test.stream_orc").count() == 3)
+  }
+
   test("catalogOrcRoundTrip equals the path-based txn round-trip") {
     val events = Tables.events(spark, sf0)
     val viaCatalog = graft.operators.SinkOps
