@@ -52,6 +52,22 @@ object ExportDemo {
     val dirs = new java.io.File(oddOut).listFiles().filter(_.isDirectory)
       .map(_.getName).sorted
     println(s"[demo] partition dirs: ${dirs.mkString(", ")}")
+
+    // --- catalog: the reference's real sink — a partitioned ORC
+    // metastore table the user queries as db.table afterwards
+    ExportPipeline.dropTableAndLocation(spark, "default", "events_demo")
+    val events = spark.read.option("pathGlobFilter", "events.parquet")
+      .schema(schema).parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val catCfg = graft.GraftExportClient.configure(Map(
+      "hive.uri" -> "thrift://meta:9083",
+      "hive.db" -> "default",
+      "hive.table" -> "events_demo",
+      "hive.partition.columns" -> "events_demo:event_type"))
+    val ident = graft.GraftExportClient.exportCatalog(events, "events_demo", catCfg)
+    println(s"[demo] catalog export → $ident (ORC), " +
+      s"${spark.table(ident).count()} rows, partitions:")
+    spark.sql(s"SHOW PARTITIONS $ident").show(false)
     spark.stop()
   }
 }
