@@ -405,6 +405,13 @@ object SparkEntry {
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d))),
 
+    // Dataset mixture resampling: target weight of src<i> is i+1, so the
+    // resample is exactly proportional to 1:2:...:20 under integer
+    // quotas (k_s = p_s · min_s floor(n_s/p_s)), md5-prefix selection.
+    "corpus_mix" -> ((s, d) =>
+      Corpus.mixSources(Tables.documents(s, d),
+        (0 until 20).map(i => s"src$i" -> (i + 1)).toMap)),
+
     // Contamination check: cross-set (train × test) near-duplicate text
     // — the decontamination pass between a corpus and its benchmark
     // split (threshold 0.3 so the fixture surfaces leaked pairs;
@@ -825,6 +832,19 @@ object SparkEntry {
         "SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM documents) " +
         "ORDER BY source, doc_id"),
+
+    // integer-exact mixture quotas: M = min floor(n/p), k = p·M — no
+    // float arithmetic anywhere, so quotas are bit-identical per engine
+    "corpus_mix" ->
+      ("WITH w AS (SELECT 'src' || CAST(i AS VARCHAR) AS source, i+1 AS p " +
+        "FROM range(0, 20) t(i)), " +
+        "c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source), " +
+        "m AS (SELECT MIN(n // p) AS m FROM c JOIN w USING (source)), " +
+        "q AS (SELECT c.source, w.p * m.m AS k FROM c JOIN w USING (source) CROSS JOIN m), " +
+        "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "SELECT doc_id, source, CAST(rk AS BIGINT) AS mix_rank " +
+        "FROM r JOIN q USING (source) WHERE rk <= k ORDER BY source, mix_rank"),
 
     "contamination_check" ->
       (s"WITH $sqlShingleCte, " +

@@ -61,6 +61,46 @@ object Corpus {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Dataset mixture resampling — the corpus-assembly step that turns
+    * "whatever crawl ratios we have" into the TARGET source mixture a
+    * training run wants (web:books:code = 50:30:20 …): deterministically
+    * keep k_s docs of source s with k_s exactly proportional to the
+    * integer weight p_s, maximal under per-source availability.
+    *
+    * Integer-exact on purpose: the multiplier M = min_s floor(n_s / p_s)
+    * and quotas k_s = p_s·M stay in BIGINT arithmetic end to end, so the
+    * DuckDB oracle computes bit-identical quotas (a double `w·T`
+    * formulation would risk ulp-boundary floor() disagreement across
+    * engines). Selection within a source is the md5-ordered prefix —
+    * reproducible, repartition-stable, engine-portable (same doctrine as
+    * [[sampleDocs]]).
+    *
+    * Scale: one tiny counts aggregation, broadcast quota join, and ONE
+    * shuffle by source for the per-source md5 ranking (same cost class
+    * as seq_pack's per-shard window). Sources absent from `weights`
+    * drop out. */
+  def mixSources(docs: DataFrame, weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive integers")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("source", "p")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .join(broadcast(w), "source")
+    // feasible integer multiplier: units per weight point the scarcest
+    // source can supply (1-row aggregate, broadcast to the quota join)
+    val m = counts.agg(min(expr("n div p")).as("m"))
+    val quota = counts.crossJoin(broadcast(m))
+      .select(col("source"), (col("p") * col("m")).as("k"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(rk))
+      .join(broadcast(quota), "source")
+      .filter(col("rk") <= col("k"))
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("mix_rank"))
+      .orderBy(col("source"), col("mix_rank"))
+  }
+
   /** Contamination check — CROSS-SET near-duplicate detection between
     * the train and test splits (the decontamination pass every training
     * corpus runs before evaluation: a test document whose text leaks

@@ -174,6 +174,33 @@ class DedupSimilaritySpec extends SparkSpec {
       r.getAs[Long]("vec_a") != 2L && r.getAs[Long]("vec_b") != 2L))
   }
 
+  test("mixSources: quotas exactly proportional, maximal, repartition-stable") {
+    import graft.operators.Corpus
+    val weights = (0 until 20).map(i => s"src$i" -> (i + 1)).toMap
+    val mixed = Corpus.mixSources(docs, weights).collect()
+    val perSource = mixed.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length).toMap
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas k_s = p_s · M with M = min floor(n_s / p_s): exactly
+    // proportional to the weights, and every quota is feasible
+    val m = weights.map { case (s, p) => counts(s) / p }.min
+    weights.foreach { case (s, p) =>
+      assert(perSource.getOrElse(s, 0) == p * m, s"quota for $s")
+      assert(perSource.getOrElse(s, 0) <= counts(s))
+    }
+    // maximality: one more multiplier unit would exceed some source
+    assert(weights.exists { case (s, p) => p * (m + 1) > counts(s) })
+    // determinism: identical selection under a different partitioning
+    val reparted = Corpus.mixSources(docs.repartition(7), weights).collect()
+    assert(reparted.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      mixed.map(r => (r.getLong(0), r.getString(1))).toSet)
+    // a source with no weight entry is dropped entirely
+    val partial = Corpus.mixSources(docs, Map("src0" -> 1, "src1" -> 1))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(partial == Set("src0", "src1"))
+  }
+
   test("contamination check = cross-split slice of the near-dup relation") {
     import graft.operators.Corpus
     val t = 0.3
