@@ -94,6 +94,31 @@ class CatalogSinkSpec extends SparkSpec {
     assert(spark.table("graft_test.stream_orc").count() == 3)
   }
 
+  test("path-based ORC write + ORC compaction round-trip") {
+    import java.nio.file.Files
+    val rows = (1L to 200L)
+      .map(i => (i, s"msg$i", if (i % 2 == 0) "EU" else "AS"))
+      .toDF("id", "msg", "continent").repartition(25)
+    val out = Files.createTempDirectory("graft_orc_path_").toString
+    // fragment deliberately (repartitionFirst=false → many files), ORC
+    ExportPipeline.writeRouted(
+      ExportPipeline.route(rows, Seq("continent")), out,
+      format = "orc", repartitionFirst = false)
+    val back = spark.read.orc(out)
+    assert(back.count() == 200)
+    assert(back.inputFiles.forall(_.endsWith(".orc")))
+    // ORC→ORC compaction: fewer files, identical content
+    val compacted = Files.createTempDirectory("graft_orc_cpt_").toString
+    val (n, inFiles, _) = ExportPipeline.compact(
+      spark, out, compacted, Seq("continent"), format = "orc")
+    assert(n == 200)
+    val after = spark.read.orc(compacted)
+    assert(after.count() == 200)
+    assert(after.inputFiles.length < inFiles)
+    assert(after.select("payload_json", "continent").collect().toSet ==
+      back.select("payload_json", "continent").collect().toSet)
+  }
+
   test("catalogOrcRoundTrip equals the path-based txn round-trip") {
     val events = Tables.events(spark, sf0)
     val viaCatalog = graft.operators.SinkOps
