@@ -55,8 +55,8 @@ object GraftExportClient {
 
   /** Streaming CATALOG export — the reference's actual streaming sink:
     * micro-batches append into the partitioned ORC metastore table
-    * `cfg.db`.`table`, exactly-once via batch_id partitions + dynamic
-    * partition overwrite on replay. */
+    * `cfg.db`.`table`, exactly-once via leading batch_id partitions: a
+    * replay statically overwrites its own batch_id subtree only. */
   def exportStreamCatalog(stream: DataFrame, table: String,
                           cfg: ExportConfig,
                           checkpointDir: String): StreamingQuery =

@@ -838,9 +838,12 @@ object SparkEntry {
     "corpus_mix" ->
       ("WITH w AS (SELECT 'src' || CAST(i AS VARCHAR) AS source, i+1 AS p " +
         "FROM range(0, 20) t(i)), " +
-        "c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source), " +
-        "m AS (SELECT MIN(n // p) AS m FROM c JOIN w USING (source)), " +
-        "q AS (SELECT c.source, w.p * m.m AS k FROM c JOIN w USING (source) CROSS JOIN m), " +
+        // left join FROM the weights: an absent weighted source is n=0,
+        // driving M to 0 (mirrors Corpus.mixSources exactly)
+        "c AS (SELECT w.source, w.p, COALESCE(c0.n, 0) AS n FROM w LEFT JOIN " +
+        "(SELECT source, COUNT(*) AS n FROM documents GROUP BY source) c0 USING (source)), " +
+        "m AS (SELECT MIN(n // p) AS m FROM c), " +
+        "q AS (SELECT c.source, c.p * m.m AS k FROM c CROSS JOIN m), " +
         "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
         "SELECT doc_id, source, CAST(rk AS BIGINT) AS mix_rank " +

@@ -78,15 +78,22 @@ object Corpus {
     * Scale: one tiny counts aggregation, broadcast quota join, and ONE
     * shuffle by source for the per-source md5 ranking (same cost class
     * as seq_pack's per-shard window). Sources absent from `weights`
-    * drop out. */
+    * drop out of the output; a WEIGHTED source absent from `docs`
+    * counts as n=0, so M = min_s floor(n_s/p_s) = 0 and the mixture is
+    * empty — "maximal under per-source availability" taken literally
+    * (an infeasible mixture has no nonempty proportional answer). */
   def mixSources(docs: DataFrame, weights: Map[String, Int]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive integers")
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weights.toSeq.toDF("source", "p")
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .join(broadcast(w), "source")
+    // left join FROM the weights so an absent weighted source still
+    // contributes n=0 to the min — never silently renormalized away
+    val counts = broadcast(w)
+      .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n")),
+        Seq("source"), "left")
+      .select(col("source"), col("p"), coalesce(col("n"), lit(0L)).as("n"))
     // feasible integer multiplier: units per weight point the scarcest
     // source can supply (1-row aggregate, broadcast to the quota join)
     val m = counts.agg(min(expr("n div p")).as("m"))

@@ -219,8 +219,13 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => round(x.getField("m")).cast("long")).as("c_qv"))
+      // A cluster mean can round to the zero vector (c_nrm = 0), whose
+      // cosine is NaN against everything; NaN sorts above any number in
+      // max_by/row_number orderings and would capture every assignment.
+      // Degenerate centroids are dropped like empty clusters.
       cent = broadcast(means
         .withColumn("c_nrm", dotQ(col("c_qv"), col("c_qv")))
+        .filter(col("c_nrm") > 0)
         .select(col("cent_id"), col("c_qv"), col("c_nrm")))
     }
     cent

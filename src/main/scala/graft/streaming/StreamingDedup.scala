@@ -72,6 +72,9 @@ object StreamingDedup {
     * reads the largest v < N): a replayed batch reads the same input
     * version it read before the crash and overwrites its own output —
     * exactly-once without read-modify-write on a single directory.
+    * After v=N commits, versions older than N-1 are garbage-collected
+    * (N-1 is kept so batch N itself can still replay), so store DISK is
+    * bounded at two horizon-sized versions, not linear in batch count.
     *
     * 100 TB shape: everything is equi-joins on (band, bucket) plus
     * narrow signature maps; the store is a bounded partitioned table.
@@ -121,8 +124,17 @@ object StreamingDedup {
       .select(col("x.doc_id")).distinct()
 
     // in-batch hits: same bucket as an EARLIER batch doc ((ts, doc_id)
-    // order), signature-verified — the earlier doc is the survivor
-    val inBatchHits = bands.as("x").join(bands.as("y"),
+    // order), signature-verified — the earlier doc is the survivor.
+    // Store-suppressed docs are excluded from the suppressor (y) side:
+    // a doc that will not be emitted must not knock out others (its
+    // stored twin may not be within threshold of them — near-dup
+    // similarity is not transitive). Within the batch itself the chain
+    // IS greedy: doc C suppressed by B is still a valid suppressor of D,
+    // matching the batch path's single-pass pair semantics; the
+    // documented trade is possible over-suppression along in-batch
+    // chains, bounded by one micro-batch.
+    val inBatchSuppressors = bands.join(storeHits, Seq("doc_id"), "left_anti")
+    val inBatchHits = bands.as("x").join(inBatchSuppressors.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           (col("y.ts") < col("x.ts") ||
             (col("y.ts") === col("x.ts") && col("y.doc_id") < col("x.doc_id"))))
@@ -142,6 +154,27 @@ object StreamingDedup {
       .filter(col("ts") > cutoff)
       .write.mode("overwrite").parquet(s"$storeDir/v=$batchId")
     bands.unpersist()
+
+    // GC: with v=batchId durable, versions older than batchId-1 can never
+    // be read again (a replayed batch N reads the largest v < N, and the
+    // smallest batch id that can still replay is batchId itself, which
+    // reads v=batchId-1). Keeping exactly one prior version bounds store
+    // disk at 2 versions forever instead of growing per batch.
+    pruneStoreVersions(spark, storeDir, keepFrom = batchId - 1)
+  }
+
+  /** Delete store versions strictly below `keepFrom` (see GC note in
+    * [[nearDupGateBatch]]). Deletion failures are non-fatal: a leftover
+    * old version is never read, only re-collected next batch. */
+  private def pruneStoreVersions(spark: SparkSession, storeDir: String,
+                                 keepFrom: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("v=") && nm.drop(2).toLong < keepFrom)
+        try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Largest committed store version strictly below `batchId` (a

@@ -52,10 +52,12 @@ object StreamingExport {
     * (HCatalog streaming endpoints into db.table,
     * hive/HivePartitionStream.java:62-75; ORC required, README.md:77),
     * not a bare path. Exactly-once without per-batch directories:
-    * `batch_id` is a real partition column, and replays write with
-    * DYNAMIC partition overwrite — a replayed batch routes identically
-    * (routing is deterministic), so it overwrites exactly its own
-    * (data-partition, batch_id) leaves and nothing else. */
+    * `batch_id` is the LEADING partition column, and a replayed batch
+    * issues `INSERT OVERWRITE ... PARTITION (batch_id=N, <dynamic>)` —
+    * the static prefix scopes the overwrite to exactly the
+    * `batch_id=N` subtree, clearing even leaves a different earlier
+    * attempt wrote, and touches no session conf (a concurrent write in
+    * the same session keeps its own overwrite semantics). */
   def exportStreamCatalog(events: DataFrame, table: String,
                           cfg: graft.config.ExportConfig,
                           checkpointDir: String,
@@ -75,14 +77,20 @@ object StreamingExport {
 
   /** The idempotent per-batch catalog commit (exposed for direct
     * testing, like [[writeBatch]]): first batch creates the partitioned
-    * table, later (and replayed) batches insertInto with dynamic
-    * partition overwrite. */
+    * table (`batch_id` leading); later (and replayed) batches INSERT
+    * OVERWRITE with the static partition prefix `batch_id=N` — the
+    * overwrite scope is that batch's subtree by SQL semantics alone, so
+    * no session conf is toggled (a `partitionOverwriteMode` toggle would
+    * leak dynamic-overwrite semantics to concurrent writers, and the
+    * per-write DataFrameWriter option is not honored by `insertInto`
+    * on catalog tables). */
   def writeBatchCatalog(routedBatch: DataFrame, db: String, table: String,
                         batchId: Long, format: String = "orc"): Unit = {
     val spark = routedBatch.sparkSession
     val d = db.toLowerCase; val ident = s"$d.${table.toLowerCase}"
-    val partitionCols =
-      routedBatch.columns.filter(_ != "payload_json").toSeq :+ "batch_id"
+    val routeCols = routedBatch.columns.filter(_ != "payload_json").toSeq
+    val partitionCols = "batch_id" +: routeCols
+    val dataCols = routedBatch.columns.filterNot(routeCols.contains).toSeq
     val withBatch = routedBatch.withColumn("batch_id", lit(batchId))
       .repartition(partitionCols.map(col): _*)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$d`")
@@ -90,14 +98,17 @@ object StreamingExport {
       withBatch.write.mode("overwrite")
         .partitionBy(partitionCols: _*).format(format).saveAsTable(ident)
     } else {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try withBatch.write.mode("overwrite").insertInto(ident)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+      val view = s"graft_catalog_batch_${table.toLowerCase}"
+      withBatch.createOrReplaceTempView(view)
+      try {
+        // SELECT order: the table's data columns, then the dynamic
+        // partition columns in PARTITION-clause order
+        val sel = (dataCols ++ routeCols).map(c => s"`$c`").mkString(", ")
+        val spec = (s"batch_id=$batchId" +: routeCols.map(c => s"`$c`"))
+          .mkString(", ")
+        spark.sql(
+          s"INSERT OVERWRITE TABLE $ident PARTITION ($spec) SELECT $sel FROM $view")
+      } finally spark.catalog.dropTempView(view)
     }
   }
 

@@ -199,6 +199,29 @@ class DedupSimilaritySpec extends SparkSpec {
     val partial = Corpus.mixSources(docs, Map("src0" -> 1, "src1" -> 1))
       .select("source").distinct().collect().map(_.getString(0)).toSet
     assert(partial == Set("src0", "src1"))
+    // a WEIGHTED source with zero docs makes the mixture infeasible:
+    // it counts as n=0, so M=0 and the output is empty — never a
+    // silently-renormalized mixture over just the present sources
+    assert(Corpus.mixSources(docs,
+      Map("src0" -> 1, "absent_source" -> 1)).isEmpty)
+  }
+
+  test("trainCentroids drops a cluster whose mean rounds to the zero vector") {
+    import spark.implicits._
+    // every vector has an exact negation, so with nlist=1 the single
+    // cluster's element-wise mean is the zero vector: c_nrm = 0, cosine
+    // NaN against everything — and NaN sorts ABOVE any number in the
+    // max_by assignment, so an unfiltered zero centroid would capture
+    // every vector and probe. The invariant: no returned centroid may
+    // have c_nrm = 0.
+    val pm = (1 to 8).flatMap(i => Seq(
+      (i.toLong, Array(i.toFloat, -i.toFloat), "p"),
+      (100L + i, Array(-i.toFloat, i.toFloat), "n")))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.trainCentroids(
+      Similarity.prepared(pm), nlist = 1, iters = 2).collect()
+    assert(cents.forall(_.getAs[Long]("c_nrm") > 0L),
+      s"zero-norm centroid leaked: ${cents.toSeq}")
   }
 
   test("contamination check = cross-split slice of the near-dup relation") {

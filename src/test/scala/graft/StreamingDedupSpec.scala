@@ -107,7 +107,61 @@ class StreamingDedupSpec extends SparkSpec {
         .parquet(s"$out/batch_id=*").as[Doc].collect()
       assert(all.map(_.doc_id).sorted.toSeq == Seq(1L, 3L, 5L, 6L, 7L),
         s"got ${all.map(_.doc_id).sorted.toSeq}")
+
+      // store GC: only the current version and its predecessor stay on
+      // disk — batch count does not grow store disk usage
+      val vs = new java.io.File(store).listFiles()
+        .map(_.getName).filter(_.startsWith("v=")).toSet
+      assert(vs == Set("v=2", "v=3"), s"store versions on disk: $vs")
     } finally q.stop()
+  }
+
+  test("a store-suppressed doc is not an in-batch suppressor (no cross chains)") {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    val store = Files.createTempDirectory("graft_ndg_chain_store_").toString
+    val out = Files.createTempDirectory("graft_ndg_chain_out_").toString
+    // A stored; batch 1 = {B ~ A (store-suppressed), C ~ B but NOT ~ A}.
+    // Near-dup similarity is not transitive: C's only in-batch bucket
+    // mate is B, and B will not be emitted — so suppressing C would
+    // leave it with no emitted survivor within threshold.
+    val words = (0 until 30).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.take(24) ++ (24 until 30).map(i => s"b$i")).mkString(" ")
+    val c = ((0 until 6).map(i => s"c$i") ++ words.slice(6, 24) ++
+      (24 until 30).map(i => s"b$i")).mkString(" ")
+
+    // fixture sanity (makes the test non-vacuous): A~B and B~C clear the
+    // 0.5 signature gate, A~C does not, and B,C DO share an LSH bucket —
+    // without the fix, B's chain would knock C out
+    val sigs = Dedup.minHashSignatures(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"), 3, 64)
+    val sigMap = sigs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    def agree(x: scala.collection.Seq[Long], y: scala.collection.Seq[Long]) =
+      x.zip(y).count { case (p, q) => p == q } / 64.0
+    assert(agree(sigMap(1L), sigMap(2L)) >= 0.5, "fixture: B must match A")
+    assert(agree(sigMap(2L), sigMap(3L)) >= 0.5, "fixture: C must match B")
+    assert(agree(sigMap(1L), sigMap(3L)) < 0.5, "fixture: C must NOT match A")
+    val bandRows = Dedup.lshBands(sigs, 64, 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("band"), r.getAs[Int]("bucket"))))
+    def buckets(id: Long) =
+      bandRows.collect { case (d, bb) if d == id => bb }.toSet
+    assert(buckets(2L).intersect(buckets(3L)).nonEmpty,
+      "fixture: B and C must share an LSH bucket")
+
+    StreamingDedup.nearDupGateBatch(
+      Seq(Doc(1L, ts("2024-01-01 00:00:00"), a)).toDF(),
+      0L, store, out, 0.5, 600L, 64, 4, 3)
+    StreamingDedup.nearDupGateBatch(
+      Seq(Doc(2L, ts("2024-01-01 00:01:00"), b),
+        Doc(3L, ts("2024-01-01 00:02:00"), c)).toDF(),
+      1L, store, out, 0.5, 600L, 64, 4, 3)
+    val b1 = spark.read.parquet(s"$out/batch_id=1").as[Doc].collect()
+    assert(b1.map(_.doc_id).toSeq == Seq(3L),
+      s"expected only C to survive, got ${b1.map(_.doc_id).toSeq}")
   }
 
   test("exactGlobal never re-emits a key for the query lifetime") {
