@@ -379,6 +379,12 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Gopher-style repetition quality: top-token share + duplicate-bigram
+    // fraction, thresholded into a keep flag (narrow, zero-shuffle).
+    "text_rep_quality" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // ---- Group B: event-time windowing ----------------------------------
 
     "event_window_tumbling" -> ((s, d) =>
@@ -392,6 +398,11 @@ object SparkEntry {
     // Top-k corpus vocabulary by term frequency.
     "corpus_vocab" -> ((s, d) =>
       Corpus.vocabulary(Tables.documents(s, d))),
+
+    // Per-language top-10 bigrams by document frequency (WindowGroupLimit
+    // top-k — never a full sort of the bigram vocabulary).
+    "ngram_topk" -> ((s, d) =>
+      Corpus.ngramTopK(Tables.documents(s, d))),
 
     // Deterministic md5-keyed document sample (~12.5%).
     "doc_sample" -> ((s, d) =>
@@ -431,6 +442,15 @@ object SparkEntry {
     // is spec-checked in DedupSimilaritySpec.
     "dedup_fuzzy" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5,
+        maxDf = Some(100), scope = harnessScope)),
+
+    // Connected components over the near-dup pair graph: cluster_id =
+    // min reachable doc_id, is_keeper = the one survivor per group.
+    // Pairs → clusters is the step that makes dedup actionable (near-dup
+    // similarity is not transitive; keep-one needs the closure). Oracle:
+    // DuckDB recursive CTE over the same capped pair relation.
+    "dedup_cluster" -> ((s, d) =>
+      Dedup.nearDupClusters(Tables.documents(s, d), threshold = 0.5,
         maxDf = Some(100), scope = harnessScope)),
 
     // MinHash-LSH banding + exact verify: the 100 TB scale path for
@@ -883,6 +903,60 @@ object SparkEntry {
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
         "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+
+    // repetition stats: top-token count via relational mode (unnest +
+    // group by) — the ORACLE may shuffle; the engine's narrow sorted-run
+    // formulation must produce identical integers, and the fractions are
+    // single divisions of those exact integers on both sides
+    "text_rep_quality" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents), " +
+        "tc AS (SELECT doc_id, w, COUNT(*) AS c FROM " +
+        "(SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1, 2), " +
+        "top AS (SELECT doc_id, MAX(c) AS top_cnt FROM tc GROUP BY 1), " +
+        "bi AS (SELECT doc_id, len(ws) AS n_tokens, GREATEST(len(ws)-1, 0) AS n_bi, " +
+        "len(list_distinct(list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i+1]))) AS n_bid FROM t) " +
+        "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(top.top_cnt AS BIGINT) AS top_token_cnt, " +
+        "CAST(top.top_cnt AS DOUBLE) / b.n_tokens AS top_token_frac, " +
+        "CAST(b.n_bi - b.n_bid AS BIGINT) AS dup_bigrams, " +
+        "CASE WHEN b.n_bi > 0 THEN CAST(b.n_bi - b.n_bid AS DOUBLE) / b.n_bi ELSE 0.0 END AS dup_bigram_frac, " +
+        "(CAST(top.top_cnt AS DOUBLE) / b.n_tokens <= 0.2 AND " +
+        "CASE WHEN b.n_bi > 0 THEN CAST(b.n_bi - b.n_bid AS DOUBLE) / b.n_bi ELSE 0.0 END <= 0.2) AS keep " +
+        "FROM bi b JOIN top USING (doc_id) ORDER BY doc_id"),
+
+    "ngram_topk" ->
+      ("WITH t AS (SELECT lang, string_split(text,' ') AS ws FROM documents), " +
+        "b AS (SELECT lang, unnest(list_distinct(list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i+1]))) AS bigram FROM t), " +
+        "c AS (SELECT lang, bigram, COUNT(*) AS df FROM b GROUP BY 1, 2), " +
+        "r AS (SELECT lang, bigram, CAST(df AS BIGINT) AS df, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, bigram) AS BIGINT) AS rnk FROM c) " +
+        "SELECT lang, rnk, bigram, df FROM r WHERE rnk <= 10 ORDER BY lang, rnk"),
+
+    // connected components of the capped near-dup pair graph: the
+    // recursive CTE enumerates (node, smaller-reachable-label) pairs;
+    // MIN per node = the component's smallest doc_id — exactly the
+    // engine's min-label-propagation fixpoint
+    "dedup_cluster" ->
+      (s"WITH RECURSIVE $sqlShingleCte, " +
+        "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN (" +
+        "SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100" +
+        ") keep ON sh.shingle = keep.shingle), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common " +
+        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pr AS (SELECT doc_a, doc_b FROM inter " +
+        "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
+        "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5), " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pr " +
+        "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+        "reach(node, lbl) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node WHERE r.lbl < e.b) " +
+        "SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id, " +
+        "MIN(lbl) = node AS is_keeper FROM reach GROUP BY node ORDER BY doc_id"),
 
     "dedup_embedding" ->
       (s"WITH $sqlQuantCte " +

@@ -26,6 +26,31 @@ object Corpus {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** Top-k word bigrams PER LANGUAGE by document frequency — the
+    * corpus-profiling sibling of [[vocabulary]] (df, not raw term
+    * frequency: bigrams are distinct-per-doc via the native WordShingles
+    * expression, so one keyword-stuffed document can't dominate a
+    * language's list).
+    *
+    * Scale shape: explode → partial-aggregated count (map-side combine
+    * keeps the shuffle at |bigram vocab| per task) → per-language top-k
+    * via row_number ≤ k, which Spark executes as a WindowGroupLimit
+    * (each task keeps k rows per language before the final exchange —
+    * never a full sort of the bigram vocabulary). */
+  def ngramTopK(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("df").desc, col("bigram"))
+    docs.select(col("lang"),
+        explode(graft.functions.VectorFunctions.wordShingles(col("text"), 2))
+          .as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("bigram"), col("df"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** The shared ~12.5% holdout predicate: md5 first hex digit ∈ {0,1}.
     * One definition so sampleDocs and trainTestSplit stay coupled —
     * the sample IS the test split. */

@@ -155,6 +155,72 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-duplicate CLUSTERS — connected components over the
+    * [[ngramJaccardPairs]] graph, the step that turns a PAIR relation
+    * into keep-one-per-group: every doc is labeled with the smallest
+    * doc_id transitively reachable through near-dup pairs
+    * (`cluster_id`); the canonical survivor rule is `is_keeper =
+    * (cluster_id == doc_id)`. Pairs alone can't express this — near-dup
+    * similarity is not transitive, so group membership needs the
+    * closure, not the edge list.
+    *
+    * Algorithm: iterative min-label propagation. Labels start as each
+    * doc's own id; each round every node takes the min of its own and
+    * its neighbors' labels — one equi-join plus one aggregation per
+    * round, converging in ≤ component-diameter rounds. The label frame
+    * is localCheckpoint'ed per round (constant-depth plan, no lineage
+    * growth) and the edge relation is persisted for the loop's lifetime
+    * (released before returning — the returned frame's lineage is
+    * truncated, so it never recomputes the pairs). Convergence is
+    * detected by the label-sum fixpoint: labels only ever decrease, so
+    * an unchanged (exact, decimal) sum means no label moved. Thresholded
+    * near-dup graphs decompose into small dense components, so the loop
+    * is short in practice; `maxIters` guards pathological chains and the
+    * method THROWS rather than return a silently-partial clustering. At
+    * extreme diameters, switch to the alternating large-star/small-star
+    * formulation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — same join/aggregate building blocks.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
+                      n: Int = 3, maxDf: Option[Int] = None,
+                      maxIters: Int = 20,
+                      scope: CacheScope = CacheScope.off): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, threshold, n, maxDf, scope)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def labelSum(l: DataFrame): java.math.BigDecimal =
+        l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+        .localCheckpoint()
+      var prevSum = labelSum(labels)
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        val viaNeighbors = edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lbl"))
+        labels = labels.unionByName(viaNeighbors)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        val s = labelSum(labels)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        it += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge in $maxIters rounds — " +
+            "component diameter exceeds the cap; raise maxIters or use a " +
+            "star-contraction formulation for this graph")
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("lbl") === col("node")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** MinHash signatures: k min-hashes per doc, computed in one pass by
     * the native MinHashSig expression (hash each shingle once, k affine
     * permutations) — no exploded (shingle × seed) rows, no shuffle.

@@ -126,6 +126,53 @@ object TextAnalysis {
       (length(col("text")) - length(scrubbed)).cast("long").as("chars_delta"))
   }
 
+  /** Repetition signals — the Gopher-rule family of quality filters
+    * (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1,
+    * public paper): share of the most frequent token and fraction of
+    * repeated word bigrams. High values flag boilerplate / template /
+    * keyword-stuffed documents that [[qualityScore]]'s length and
+    * stopword heuristics miss; `keep` applies the ≤ 0.2 thresholds.
+    *
+    * Narrow single-pass like the rest of the file — at 100 TB a
+    * relational groupBy(doc_id, token) would shuffle every token in the
+    * corpus just to find each doc's mode. Instead the top-token count is
+    * the longest run in the SORTED token array (O(n log n) per row, zero
+    * shuffle), and bigram distincts come from the native WordShingles
+    * expression. Fractions are single divisions of exact integer counts
+    * — bit-identical across engines. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nBi = greatest(nTok - 1L, lit(0L))
+    val nBiDistinct =
+      size(graft.functions.VectorFunctions.wordShingles(col("text"), 2))
+        .cast("long")
+    // longest run in the sorted array == the top token's count; the
+    // initial prev="" sentinel is harmless (a first empty token takes
+    // run = 0+1 = 1 through either branch)
+    val topCnt = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topFrac = topCnt.cast("double") / nTok
+    val dupFrac = when(nBi > 0L,
+      (nBi - nBiDistinct).cast("double") / nBi).otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      topCnt.as("top_token_cnt"),
+      topFrac.as("top_token_frac"),
+      (nBi - nBiDistinct).as("dup_bigrams"),
+      dupFrac.as("dup_bigram_frac"),
+      (topFrac <= 0.2 && dupFrac <= 0.2).as("keep"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * md5 of the sorted distinct token set (bag-of-words near-dup key). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -25,6 +25,83 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed ${(strong -- lsh).size} of ${strong.size} high-J pairs")
   }
 
+  test("nearDupClusters = transitive closure of the pair relation") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // reference components via driver-side union-find on the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = Dedup.nearDupClusters(docs, threshold = 0.3).collect()
+    val byDoc = clustered.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every doc present exactly once, labeled with its component min
+    assert(clustered.length == docs.count())
+    byDoc.foreach { case (d, c) => assert(c == find(d), s"doc $d") }
+    // the fixture actually exercises multi-edge chains (non-vacuous)
+    val multi = byDoc.groupBy(_._2).filter(_._2.size > 2)
+    assert(multi.nonEmpty, "fixture has no component larger than a pair")
+    // keeper flag: exactly the component minimum, one per cluster
+    val keepers = clustered.filter(_.getAs[Boolean]("is_keeper"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(keepers == byDoc.values.toSet)
+  }
+
+  test("repetitionStats flags repeated-token and repeated-bigram docs") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (3L, "ab cd " * 19 + "ab cd"), // 40 tokens, 2 distinct bigram types
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetitionStats(fixture)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: one token repeated 10× — top share 1.0, all bigrams dups
+    assert(out(1L).getAs[Long]("top_token_cnt") == 10L)
+    assert(out(1L).getAs[Double]("top_token_frac") == 1.0)
+    assert(out(1L).getAs[Double]("dup_bigram_frac") == 8.0 / 9.0)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    // doc 2: all tokens distinct — clean on both signals
+    assert(out(2L).getAs[Double]("top_token_frac") == 1.0 / 40.0)
+    assert(out(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(out(2L).getAs[Boolean]("keep"))
+    // doc 3: alternating two tokens — top share 0.5, and of the 39
+    // bigrams only 2 are distinct types ("ab cd", "cd ab"):
+    // dup fraction (39-2)/39
+    assert(out(3L).getAs[Double]("top_token_frac") == 0.5)
+    assert(out(3L).getAs[Double]("dup_bigram_frac") == 37.0 / 39.0)
+    assert(!out(3L).getAs[Boolean]("keep"))
+    // doc 4: single token — zero bigrams must not divide by zero
+    assert(out(4L).getAs[Long]("n_tokens") == 1L)
+    assert(out(4L).getAs[Double]("dup_bigram_frac") == 0.0)
+  }
+
+  test("ngramTopK: per-language df counts, rank ties broken by bigram") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "en", "x y z"),   // bigrams: "x y", "y z"
+      (2L, "en", "x y w"),   // "x y", "y w"
+      (3L, "en", "x y x y"), // distinct-per-doc: "x y", "y x"
+      (4L, "fr", "a b"))     // separate language partition
+      .toDF("doc_id", "lang", "text")
+    val rows = graft.operators.Corpus.ngramTopK(fixture, k = 10).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rnk"),
+        r.getAs[String]("bigram"), r.getAs[Long]("df")))
+    val en = rows.filter(_._1 == "en")
+    // "x y" appears in 3 docs (df counts docs, not occurrences);
+    // df-1 bigrams rank alphabetically after it
+    assert(en.head == (("en", 1L, "x y", 3L)))
+    assert(en.map(_._3).toSeq == Seq("x y", "y w", "y x", "y z"))
+    assert(rows.filter(_._1 == "fr").map(_._3).toSeq == Seq("a b"))
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs are near-dups") {
     // the sf0.001 fixture has no exactly-duplicate texts (verified: the
     // old fixture-conditional check silently skipped), so synthesize
