@@ -431,6 +431,12 @@ object SparkEntry {
       Corpus.contaminationCheck(Tables.documents(s, d), threshold = 0.3,
         maxDf = Some(100))),
 
+    // The composed end-to-end pipeline: quality+repetition gate → exact
+    // dedup → near-dup clustering → split. The whole composition is one
+    // oracle-checked query, not just its stages.
+    "corpus_pipeline" -> ((s, d) =>
+      Corpus.corpusPipeline(Tables.documents(s, d), scope = harnessScope)),
+
     // ---- Group B: dedup family ------------------------------------------
 
     // B2 dedup_fuzzy: exact n-gram Jaccard, shared-shingle blocking.
@@ -957,6 +963,57 @@ object SparkEntry {
         "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node WHERE r.lbl < e.b) " +
         "SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id, " +
         "MIN(lbl) = node AS is_keeper FROM reach GROUP BY node ORDER BY doc_id"),
+
+    // the composed pipeline, end-to-end: each stage's formula is the
+    // SAME text as its standalone oracle (quality, repetition, exact-dup
+    // fingerprint, capped 3-gram near-dup pairs, recursive-CTE
+    // components, md5 holdout) — chained over progressively-filtered
+    // document sets
+    "corpus_pipeline" ->
+      (s"WITH RECURSIVE " +
+        "t AS (SELECT doc_id, text, lang, source, string_split(text,' ') AS ws FROM documents), " +
+        "tc AS (SELECT doc_id, MAX(c) AS top_cnt FROM (SELECT doc_id, w, COUNT(*) AS c FROM " +
+        "(SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1, 2) GROUP BY 1), " +
+        "rp AS (SELECT t.doc_id, CAST(tc.top_cnt AS DOUBLE) / len(t.ws) AS tf, " +
+        "CASE WHEN len(t.ws) - 1 > 0 THEN CAST((len(t.ws) - 1) - " +
+        "len(list_distinct(list_transform(range(1, len(t.ws)), i -> t.ws[i] || ' ' || t.ws[i+1]))) AS DOUBLE) " +
+        "/ (len(t.ws) - 1) ELSE 0.0 END AS bf FROM t JOIN tc USING (doc_id)), " +
+        "qual AS (SELECT doc_id, " +
+        "(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.25 + " +
+        "(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) * 0.25) + " +
+        "((CASE WHEN (CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' '))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25 + " +
+        s"(CASE WHEN (CAST(len(list_filter(string_split(text,' '), x -> x IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) > 0.0 " +
+        s"AND (CAST(len(list_filter(string_split(text,' '), x -> x IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) < 0.5 THEN 1.0 ELSE 0.0 END) * 0.25)) AS quality " +
+        "FROM documents), " +
+        "gated AS (SELECT t.doc_id, t.text, t.lang, t.source, qual.quality " +
+        "FROM t JOIN rp USING (doc_id) JOIN qual USING (doc_id) " +
+        "WHERE qual.quality >= 0.5 AND rp.tf <= 0.2 AND rp.bf <= 0.2), " +
+        "win AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY " +
+        "md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) ORDER BY doc_id) AS rn FROM gated), " +
+        "wv AS (SELECT doc_id, text, lang, source, quality FROM win WHERE rn = 1), " +
+        "wtoks AS (SELECT doc_id, string_split(text,' ') AS wt FROM wv), " +
+        "wsh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(wt)-1, 1)), i -> wt[i] || ' ' || wt[i+1] || ' ' || wt[i+2]))) AS shingle FROM wtoks), " +
+        "shc AS (SELECT wsh.doc_id, wsh.shingle FROM wsh JOIN (" +
+        "SELECT shingle FROM wsh GROUP BY shingle HAVING COUNT(*) <= 100" +
+        ") kp ON wsh.shingle = kp.shingle), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common " +
+        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pr AS (SELECT doc_a, doc_b FROM inter " +
+        "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
+        "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5), " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pr " +
+        "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+        "reach(node, lbl) AS (" +
+        "SELECT doc_id, doc_id FROM wv " +
+        "UNION " +
+        "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node WHERE r.lbl < e.b), " +
+        "cl AS (SELECT node AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY node) " +
+        "SELECT wv.doc_id, wv.source, wv.lang, " +
+        "CASE WHEN substring(md5(CAST(wv.doc_id AS VARCHAR)), 1, 1) IN ('0','1') " +
+        "THEN 'test' ELSE 'train' END AS split, wv.quality " +
+        "FROM wv JOIN cl USING (doc_id) WHERE cl.cid = wv.doc_id ORDER BY wv.doc_id"),
 
     "dedup_embedding" ->
       (s"WITH $sqlQuantCte " +

@@ -133,6 +133,50 @@ object Corpus {
       .orderBy(col("source"), col("mix_rank"))
   }
 
+  /** The end-to-end corpus-preparation PIPELINE — the stages above
+    * composed the way a training run actually consumes them:
+    *
+    *  1. quality gate: [[TextAnalysis.qualityExpr]] ≥ `minQuality` AND
+    *     the repetition gate ([[TextAnalysis.repetitionKeepExpr]]) —
+    *     one narrow codegen pass over the scan, no shuffle;
+    *  2. exact dedup on the normalized-content fingerprint (same
+    *     normalization as [[TextAnalysis.fingerprint]]): smallest doc_id
+    *     per identical text survives — ONE shuffle. Running exact-first
+    *     is the documented composition for duplicate-heavy corpora: it
+    *     collapses identical twins before the (more expensive) near-dup
+    *     machinery sees them;
+    *  3. near-dup clustering ([[Dedup.nearDupClusters]]) on the
+    *     survivors, keeping each cluster's representative;
+    *  4. deterministic train/test split (the shared md5 holdout).
+    *
+    * Output: (doc_id, source, lang, split, quality) for every surviving
+    * document. Every stage is engine-portable arithmetic, so the WHOLE
+    * pipeline is one DuckDB-oracle-checkable query — the composition is
+    * verified end-to-end, not just stage by stage. */
+  def corpusPipeline(docs: DataFrame, minQuality: Double = 0.5,
+                     nearDupThreshold: Double = 0.5, n: Int = 3,
+                     maxDf: Option[Int] = Some(100),
+                     scope: CacheScope = CacheScope.off): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val gated = docs
+      .withColumn("quality", TextAnalysis.qualityExpr(col("text")))
+      .filter(col("quality") >= minQuality &&
+        TextAnalysis.repetitionKeepExpr(col("text")))
+    val winners = gated
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(norm)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val keepers = Dedup
+      .nearDupClusters(winners, nearDupThreshold, n, maxDf, scope = scope)
+      .filter(col("is_keeper")).select("doc_id")
+    winners.join(keepers, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(isHoldout(col("doc_id")), lit("test")).otherwise(lit("train"))
+          .as("split"),
+        col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Contamination check — CROSS-SET near-duplicate detection between
     * the train and test splits (the decontamination pass every training
     * corpus runs before evaluation: a test document whose text leaks

@@ -88,23 +88,24 @@ object TextAnalysis {
       pred.as("pred_lang"))
   }
 
-  /** Quality score in [0,1]: fixed-order weighted sum of length fitness,
-    * type-token diversity, mean-token-length fitness and stopword rate.
-    * Weights and clamps written identically in the DuckDB oracle. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  /** Quality score in [0,1] as a composable Column: fixed-order weighted
+    * sum of length fitness, type-token diversity, mean-token-length
+    * fitness and stopword rate. Weights and clamps written identically
+    * in the DuckDB oracle. */
+  def qualityExpr(text: Column): Column = {
+    val toks = tokens(text)
     val nTok = size(toks).cast("double")
-    val lenOk = when(length(col("text")).between(50, 5000), lit(1.0)).otherwise(lit(0.0))
+    val lenOk = when(length(text).between(50, 5000), lit(1.0)).otherwise(lit(0.0))
     val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val avgLen = length(regexp_replace(text, " ", "")).cast("double") / nTok
     val avgLenOk = when(avgLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0))
-    val stopRate = stopwordCount(col("text")).cast("double") / nTok
+    val stopRate = stopwordCount(text).cast("double") / nTok
     val stopOk = when(stopRate > 0.0 && stopRate < 0.5, lit(1.0)).otherwise(lit(0.0))
-    docs.select(
-      col("doc_id"),
-      (((lenOk * 0.25) + (ttr * 0.25)) + ((avgLenOk * 0.25) + (stopOk * 0.25)))
-        .as("quality"))
+    ((lenOk * 0.25) + (ttr * 0.25)) + ((avgLenOk * 0.25) + (stopOk * 0.25))
   }
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityExpr(col("text")).as("quality"))
 
   /** PII scrub: redact email-shaped tokens, long hex-ish identifiers and
     * digit runs — the anonymization pass every training corpus runs.
@@ -140,18 +141,14 @@ object TextAnalysis {
     * shuffle), and bigram distincts come from the native WordShingles
     * expression. Fractions are single divisions of exact integer counts
     * — bit-identical across engines. */
-  def repetitionStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val nBi = greatest(nTok - 1L, lit(0L))
-    val nBiDistinct =
-      size(graft.functions.VectorFunctions.wordShingles(col("text"), 2))
-        .cast("long")
+  /** The repetition building blocks as composable Columns (shared by
+    * [[repetitionStats]] and the corpus pipeline's gate). */
+  def topTokenCntExpr(text: Column): Column =
     // longest run in the sorted array == the top token's count; the
     // initial prev="" sentinel is harmless (a first empty token takes
     // run = 0+1 = 1 through either branch)
-    val topCnt = aggregate(
-      array_sort(toks),
+    aggregate(
+      array_sort(tokens(text)),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, t) => {
         val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
@@ -160,13 +157,34 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val topFrac = topCnt.cast("double") / nTok
-    val dupFrac = when(nBi > 0L,
-      (nBi - nBiDistinct).cast("double") / nBi).otherwise(lit(0.0))
+
+  def topTokenFracExpr(text: Column): Column =
+    topTokenCntExpr(text).cast("double") / size(tokens(text)).cast("long")
+
+  def dupBigramFracExpr(text: Column): Column = {
+    val nBi = greatest(size(tokens(text)).cast("long") - 1L, lit(0L))
+    val nBiDistinct =
+      size(graft.functions.VectorFunctions.wordShingles(text, 2)).cast("long")
+    when(nBi > 0L, (nBi - nBiDistinct).cast("double") / nBi).otherwise(lit(0.0))
+  }
+
+  /** The boolean keep gate (both fractions ≤ 0.2). */
+  def repetitionKeepExpr(text: Column): Column =
+    topTokenFracExpr(text) <= 0.2 && dupBigramFracExpr(text) <= 0.2
+
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nBi = greatest(nTok - 1L, lit(0L))
+    val nBiDistinct =
+      size(graft.functions.VectorFunctions.wordShingles(col("text"), 2))
+        .cast("long")
+    val topFrac = topTokenFracExpr(col("text"))
+    val dupFrac = dupBigramFracExpr(col("text"))
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
-      topCnt.as("top_token_cnt"),
+      topTokenCntExpr(col("text")).as("top_token_cnt"),
       topFrac.as("top_token_frac"),
       (nBi - nBiDistinct).as("dup_bigrams"),
       dupFrac.as("dup_bigram_frac"),

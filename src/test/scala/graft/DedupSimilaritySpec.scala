@@ -102,6 +102,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.filter(_._1 == "fr").map(_._3).toSeq == Seq("a b"))
   }
 
+  test("corpusPipeline output: gated, exact-dup-free, cluster-representative") {
+    import graft.operators.{Corpus, TextAnalysis}
+    val out = Corpus.corpusPipeline(docs).collect()
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    assert(out.nonEmpty && out.length < docs.count())
+    // every survivor passes both gates
+    val gates = docs
+      .select(col("doc_id"), TextAnalysis.qualityExpr(col("text")).as("q"),
+        TextAnalysis.repetitionKeepExpr(col("text")).as("rk"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("q"), r.getAs[Boolean]("rk"))).toMap
+    ids.foreach { d =>
+      assert(gates(d)._1 >= 0.5 && gates(d)._2, s"doc $d fails a gate") }
+    // no two survivors share a normalized-content fingerprint
+    val fps = docs.filter(col("doc_id").isin(ids: _*))
+      .select(md5(regexp_replace(trim(lower(col("text"))), " +", " ")))
+      .collect().map(_.getString(0))
+    assert(fps.distinct.length == fps.length)
+    // split is exactly the shared md5 holdout
+    out.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val firstByte = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.toString.getBytes).head & 0xFF
+      // first hex digit in {0,1} <=> first byte < 0x20
+      val expect = if (firstByte < 0x20) "test" else "train"
+      assert(r.getAs[String]("split") == expect, s"doc $d split")
+    }
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs are near-dups") {
     // the sf0.001 fixture has no exactly-duplicate texts (verified: the
     // old fixture-conditional check silently skipped), so synthesize
