@@ -162,10 +162,12 @@ object Corpus {
       .withColumn("quality", TextAnalysis.qualityExpr(col("text")))
       .filter(col("quality") >= minQuality &&
         TextAnalysis.repetitionKeepExpr(col("text")))
-    val winners = gated
+    // consumed by the shingle pass AND the final join: an enabled scope
+    // caches it so the gate expressions + window run once
+    val winners = scope.track(gated
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(norm)).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") === 1).drop("rn"))
     val keepers = Dedup
       .nearDupClusters(winners, nearDupThreshold, n, maxDf, scope = scope)
       .filter(col("is_keeper")).select("doc_id")

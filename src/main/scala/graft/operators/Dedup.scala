@@ -193,18 +193,44 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def labelSum(l: DataFrame): java.math.BigDecimal =
-        l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-      var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+        // empty vertex set (no pairs at all) sums to null -> ZERO, which
+        // converges on the first round as it must
+        Option(l.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
+      // the loop runs over the pair graph's VERTICES only — in a real
+      // corpus the near-dup graph is a sliver of the doc count, and only
+      // its vertices can ever change labels; the singleton majority is
+      // attached at the end with one left join (coalesce to self-label)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
         .localCheckpoint()
       var prevSum = labelSum(labels)
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
-        val viaNeighbors = edges.join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("lbl"))
-        labels = labels.unionByName(viaNeighbors)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
+        // neighbor-min WITHOUT a union (a union of the label frame with
+        // a join over itself trips Catalyst's union constraint rewrite):
+        // min over incoming neighbor labels, then least() with the own
+        // label — identical result, plain join+aggregate plan. Every
+        // vertex is a dst of some edge (edges are symmetric), so the
+        // left join is total; coalesce guards regardless.
+        val neighborMin = edges.join(labels, col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+        val stepped = labels.join(neighborMin, col("node") === col("dst"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        // pointer jump: follow the stepped label through the PREVIOUS
+        // round's (checkpointed) label map. Every label is a vertex id
+        // of the same component, so the hop stays in-component and only
+        // decreases — compressing chain diameters to O(log d) rounds.
+        val jumped = stepped.as("x")
+          .join(labels.select(col("node").as("jn"), col("lbl").as("jl")),
+            col("x.lbl") === col("jn"), "left")
+          .select(col("x.node").as("node"),
+            coalesce(col("jl"), col("x.lbl")).as("lbl"))
+        // the label frame is |graph vertices| rows — tiny next to the
+        // corpus; coalesce keeps per-round task overhead off the loop
+        labels = jumped.coalesce(8).localCheckpoint()
         val s = labelSum(labels)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -215,8 +241,11 @@ object Dedup {
           s"nearDupClusters did not converge in $maxIters rounds — " +
             "component diameter exceeds the cap; raise maxIters or use a " +
             "star-contraction formulation for this graph")
-      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
-          (col("lbl") === col("node")).as("is_keeper"))
+      docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
         .orderBy(col("doc_id"))
     } finally edges.unpersist(blocking = false)
   }
