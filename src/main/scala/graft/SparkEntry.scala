@@ -437,6 +437,12 @@ object SparkEntry {
     "corpus_pipeline" -> ((s, d) =>
       Corpus.corpusPipeline(Tables.documents(s, d), scope = harnessScope)),
 
+    // Per-source corpus profile (dataset card): exact distinct counts
+    // here for the oracle; the 100 TB swap-in is the HLL sketch form
+    // (Corpus.approxCounts, spec-checked within its error bound).
+    "corpus_stats" -> ((s, d) =>
+      Corpus.corpusStats(Tables.documents(s, d))),
+
     // ---- Group B: dedup family ------------------------------------------
 
     // B2 dedup_fuzzy: exact n-gram Jaccard, shared-shingle blocking.
@@ -963,6 +969,17 @@ object SparkEntry {
         "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node WHERE r.lbl < e.b) " +
         "SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id, " +
         "MIN(lbl) = node AS is_keeper FROM reach GROUP BY node ORDER BY doc_id"),
+
+    // SUM(BIGINT) widens to HUGEINT in DuckDB — cast back
+    "corpus_stats" ->
+      ("WITH d AS (SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens, " +
+        "COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY source), " +
+        "t AS (SELECT source, COUNT(DISTINCT tok) AS distinct_tokens FROM " +
+        "(SELECT source, unnest(string_split(text,' ')) AS tok FROM documents) " +
+        "GROUP BY source) " +
+        "SELECT d.source, d.n_docs, d.total_tokens, d.n_langs, t.distinct_tokens " +
+        "FROM d JOIN t USING (source) ORDER BY source"),
 
     // the composed pipeline, end-to-end: each stage's formula is the
     // SAME text as its standalone oracle (quality, repetition, exact-dup

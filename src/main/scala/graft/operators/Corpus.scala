@@ -133,6 +133,35 @@ object Corpus {
       .orderBy(col("source"), col("mix_rank"))
   }
 
+  /** Per-source corpus profile: doc count, total tokens, distinct
+    * languages, distinct tokens — the dataset card every corpus ships
+    * with. This is the EXACT form (oracle-checkable): distinct-token
+    * counting shuffles the exploded token table once, partially
+    * aggregated. At 100 TB swap the exact countDistinct for
+    * [[approxCounts]]'s HLL sketch — same query shape, sketch-sized
+    * shuffle, bounded relative error (spec-checked ≤ 5% against this
+    * exact form). */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val perDoc = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+      countDistinct(col("lang")).as("n_langs"))
+    val distinctToks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source")).agg(countDistinct(col("tok")).as("distinct_tokens"))
+    perDoc.join(distinctToks, "source").orderBy(col("source"))
+  }
+
+  /** The sketch form of [[corpusStats]]'s distinct counts:
+    * approx_count_distinct (HyperLogLog++, relative error `rsd`). The
+    * scale path — per-task sketches merge in O(sketch size), never a
+    * distinct-token shuffle. */
+  def approxCounts(docs: DataFrame, rsd: Double = 0.02): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("tok"), rsd).as("approx_distinct_tokens"))
+      .orderBy(col("source"))
+
   /** The end-to-end corpus-preparation PIPELINE — the stages above
     * composed the way a training run actually consumes them:
     *

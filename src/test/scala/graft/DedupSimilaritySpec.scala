@@ -102,6 +102,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.filter(_._1 == "fr").map(_._3).toSeq == Seq("a b"))
   }
 
+  test("approxCounts (HLL) tracks exact distinct tokens within its error bound") {
+    import graft.operators.Corpus
+    val exact = Corpus.corpusStats(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("distinct_tokens"))
+      .toMap
+    val approx = Corpus.approxCounts(docs, rsd = 0.02).collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { r =>
+      val s = r.getAs[String]("source")
+      val a = r.getAs[Long]("approx_distinct_tokens").toDouble
+      val e = exact(s).toDouble
+      // HLL++ at rsd=0.02: allow 5% (2.5 sigma) per source
+      assert(math.abs(a - e) / e <= 0.05,
+        s"source $s: approx $a vs exact $e drifts > 5%")
+    }
+  }
+
   test("corpusPipeline output: gated, exact-dup-free, cluster-representative") {
     import graft.operators.{Corpus, TextAnalysis}
     val out = Corpus.corpusPipeline(docs).collect()
