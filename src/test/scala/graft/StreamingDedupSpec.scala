@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.StreamingDedup
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 object StreamingDedupSpec {
@@ -162,6 +163,39 @@ class StreamingDedupSpec extends SparkSpec {
     val b1 = spark.read.parquet(s"$out/batch_id=1").as[Doc].collect()
     assert(b1.map(_.doc_id).toSeq == Seq(3L),
       s"expected only C to survive, got ${b1.map(_.doc_id).toSeq}")
+  }
+
+  test("streaming ingest gate: quality+repetition filter composes with " +
+    "watermarked dedup (narrow expressions are streaming-safe)") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // the same gate expressions the batch corpus_pipeline uses, applied
+    // pre-state: junk never enters the dedup store
+    val gated = mem.toDF()
+      .filter(TextAnalysis.repetitionKeepExpr(col("text")) &&
+        TextAnalysis.qualityExpr(col("text")) >= 0.5)
+    val out = StreamingDedup.withinWatermark(gated, Seq("doc_id"),
+      watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("gate_stream").start()
+    try {
+      // unique tokens with scattered stopwords: no repeated bigram, top
+      // token ("the") at 10/70, stopword rate in (0, 0.5) — passes both
+      // gates with margin
+      val good = (0 until 70)
+        .map(i => if (i % 7 == 0) "the" else s"uniq$i").mkString(" ")
+      mem.addData(
+        Doc(1L, ts("2024-01-01 00:00:00"), good),
+        Doc(1L, ts("2024-01-01 00:00:05"), good), // dup of 1 (same key)
+        Doc(2L, ts("2024-01-01 00:00:10"), "spam spam spam spam spam spam"),
+        Doc(3L, ts("2024-01-01 00:00:15"), "short"))
+      q.processAllAvailable()
+      val got = spark.table("gate_stream").as[Doc].collect()
+      // doc 1 once (dedup), docs 2 (repetition) and 3 (quality) gated out
+      assert(got.map(_.doc_id).toSeq == Seq(1L),
+        s"got ${got.map(_.doc_id).toSeq}")
+    } finally q.stop()
   }
 
   test("exactGlobal never re-emits a key for the query lifetime") {
