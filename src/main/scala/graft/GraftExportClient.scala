@@ -74,4 +74,13 @@ object GraftExportClient {
       s"$outDir/${table.toLowerCase}",
       cfg.partitionColsFor(table).map(_.toLowerCase),
       targetFileBytes)
+
+  /** Maintenance: retention for the streaming catalog sink — drop every
+    * partition with `keyCol` strictly below `maxExclusive` (batch_id or
+    * date watermark; see ExportPipeline.expirePartitions). Returns the
+    * number of partitions dropped. */
+  def expireTablePartitions(spark: org.apache.spark.sql.SparkSession,
+                            table: String, cfg: ExportConfig,
+                            keyCol: String, maxExclusive: Long): Int =
+    ExportPipeline.expirePartitions(spark, cfg.db, table, keyCol, maxExclusive)
 }

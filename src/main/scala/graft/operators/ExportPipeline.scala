@@ -119,6 +119,41 @@ object ExportPipeline {
     ident
   }
 
+  /** Partition retention for a long-lived catalog sink: drop every
+    * partition whose `keyCol` value is strictly below `maxExclusive` —
+    * the batch_id / date watermark expiry every append-forever export
+    * table needs (the streaming catalog sink grows one `batch_id=N`
+    * subtree per micro-batch, forever, without this).
+    *
+    * Metadata-scale by design: SHOW PARTITIONS enumerates specs (one
+    * short string per partition — bounded by partition count, never
+    * data), expired FULL specs drop one by one (Spark's ALTER TABLE
+    * DROP PARTITION takes equality specs only, so a comparator predicate
+    * must be driver-expanded), and dropping a MANAGED table's partition
+    * deletes its files. Returns the number of partitions dropped. */
+  def expirePartitions(spark: org.apache.spark.sql.SparkSession,
+                       db: String, table: String,
+                       keyCol: String, maxExclusive: Long): Int = {
+    val ident = s"${db.toLowerCase}.${table.toLowerCase}"
+    val k = keyCol.toLowerCase
+    val parts = spark.sql(s"SHOW PARTITIONS $ident").collect()
+      .map(_.getString(0))
+    val expired = parts.filter { p =>
+      p.split("/").collectFirst {
+        case kv if kv.toLowerCase.startsWith(s"$k=") =>
+          kv.drop(kv.indexOf('=') + 1).toLong
+      }.exists(_ < maxExclusive)
+    }
+    expired.foreach { p =>
+      val spec = p.split("/").map { kv =>
+        val Array(c, v) = kv.split("=", 2)
+        s"`$c`='$v'"
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE $ident DROP IF EXISTS PARTITION ($spec)")
+    }
+    expired.length
+  }
+
   /** Drop a managed table AND its storage location. With a non-Hive
     * (in-memory) catalog, a table created by a PREVIOUS JVM survives only
     * as its warehouse directory — the fresh catalog doesn't know it, so

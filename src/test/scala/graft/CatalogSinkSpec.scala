@@ -94,6 +94,33 @@ class CatalogSinkSpec extends SparkSpec {
     assert(spark.table("graft_test.stream_orc").count() == 3)
   }
 
+  test("expirePartitions: batch_id watermark drops old subtrees, files included") {
+    import graft.streaming.StreamingExport
+    ExportPipeline.dropTableAndLocation(spark, "graft_test", "retain_orc")
+    (0L to 3L).foreach { b =>
+      val routed = ExportPipeline.route(
+        Seq((b * 10 + 1, s"m$b", if (b % 2 == 0) "EU" else null))
+          .toDF("id", "msg", "continent"), Seq("continent"))
+      StreamingExport.writeBatchCatalog(routed, "graft_test", "retain_orc", b)
+    }
+    val t = "graft_test.retain_orc"
+    assert(spark.table(t).count() == 4)
+    val dropped = ExportPipeline
+      .expirePartitions(spark, "graft_test", "retain_orc", "batch_id", 2L)
+    assert(dropped == 2)
+    // catalog agrees: only batch_id >= 2 partitions remain
+    val parts = spark.sql(s"SHOW PARTITIONS $t").as[String].collect()
+    assert(parts.nonEmpty && parts.forall { p =>
+      p.split("/").exists(kv => kv == "batch_id=2" || kv == "batch_id=3") })
+    // data and FILES agree (managed table: dropping deletes storage)
+    assert(spark.table(t).count() == 2)
+    assert(spark.table(t).inputFiles.forall(f =>
+      f.contains("/batch_id=2/") || f.contains("/batch_id=3/")))
+    // idempotent below the same watermark
+    assert(ExportPipeline
+      .expirePartitions(spark, "graft_test", "retain_orc", "batch_id", 2L) == 0)
+  }
+
   test("path-based ORC write + ORC compaction round-trip") {
     import java.nio.file.Files
     val rows = (1L to 200L)
