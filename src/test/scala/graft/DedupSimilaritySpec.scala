@@ -149,6 +149,42 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("corpusPipeline under duplication stress: perturbed re-keyed copies " +
+    "collapse onto their originals") {
+    import graft.operators.Corpus
+    // every doc gets a near-identical twin (one token appended, higher
+    // id): the exact-dup stage must NOT catch it (text differs), the
+    // near-dup clustering MUST — each component keeps its original
+    val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zzextra")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val corpus = docs.unionByName(twins)
+    val base = Corpus.corpusPipeline(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val stressed = Corpus.corpusPipeline(corpus).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // a twin (id >= 1e6) may survive ONLY when its original never made
+    // it into the clustering stage at all — i.e. the original failed a
+    // content gate that the twin's extra token tipped the other way
+    // (e.g. the 50-char length floor). If the original passed the
+    // gates, it (or its identical exact-dup winner) is in the twin's
+    // cluster with a smaller id, and the twin must lose.
+    import graft.operators.TextAnalysis
+    val gateOk = docs.filter(
+        TextAnalysis.qualityExpr(col("text")) >= 0.5 &&
+          TextAnalysis.repetitionKeepExpr(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivingTwins = stressed.filter(_ >= 1000000L)
+    assert(survivingTwins.forall(t => !gateOk(t - 1000000L)),
+      s"twin survived despite gated-in original: " +
+        s"${survivingTwins.filter(t => gateOk(t - 1000000L)).take(5)}")
+    assert(stressed.filter(_ < 1000000L).subsetOf(base))
+    // and the overwhelming majority of original survivors remain (a few
+    // may drop when a twin's presence changes df-capped blocking)
+    assert(stressed.size >= (base.size * 9) / 10,
+      s"stressed ${stressed.size} vs base ${base.size}")
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs are near-dups") {
     // the sf0.001 fixture has no exactly-duplicate texts (verified: the
     // old fixture-conditional check silently skipped), so synthesize
