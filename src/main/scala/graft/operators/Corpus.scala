@@ -197,10 +197,13 @@ object Corpus {
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(norm)).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn"))
-    val keepers = Dedup
-      .nearDupClusters(winners, nearDupThreshold, n, maxDf, scope = scope)
-      .filter(col("is_keeper")).select("doc_id")
-    winners.join(keepers, "doc_id")
+    // only the SUPPRESSED set is needed (lbl != node — a tiny frame):
+    // anti-join it instead of materializing the corpus-wide labeling
+    val suppressed = Dedup
+      .nearDupLabels(winners, nearDupThreshold, n, maxDf, 20, scope)
+      .filter(col("lbl") =!= col("node"))
+      .select(col("node").as("doc_id"))
+    winners.join(suppressed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("lang"),
         when(isHoldout(col("doc_id")), lit("test")).otherwise(lit("train"))
           .as("split"),

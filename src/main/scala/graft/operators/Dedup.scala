@@ -185,6 +185,23 @@ object Dedup {
                       n: Int = 3, maxDf: Option[Int] = None,
                       maxIters: Int = 20,
                       scope: CacheScope = CacheScope.off): DataFrame = {
+    val labels = nearDupLabels(docs, threshold, n, maxDf, maxIters, scope)
+    docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The converged (node, lbl) map over the pair graph's vertices only —
+    * the loop behind [[nearDupClusters]], exposed package-side so
+    * consumers that need just the SUPPRESSED set (lbl != node, a tiny
+    * frame) can anti-join it without the corpus-wide labeling join. */
+  private[operators] def nearDupLabels(docs: DataFrame, threshold: Double,
+                                       n: Int, maxDf: Option[Int],
+                                       maxIters: Int,
+                                       scope: CacheScope): DataFrame = {
     val pairs = ngramJaccardPairs(docs, threshold, n, maxDf, scope)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -241,12 +258,7 @@ object Dedup {
           s"nearDupClusters did not converge in $maxIters rounds — " +
             "component diameter exceeds the cap; raise maxIters or use a " +
             "star-contraction formulation for this graph")
-      docs.select(col("doc_id"))
-        .join(labels, col("doc_id") === col("node"), "left")
-        .select(col("doc_id"),
-          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-        .withColumn("is_keeper", col("cluster_id") === col("doc_id"))
-        .orderBy(col("doc_id"))
+      labels
     } finally edges.unpersist(blocking = false)
   }
 
