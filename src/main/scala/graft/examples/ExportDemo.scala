@@ -68,6 +68,14 @@ object ExportDemo {
     println(s"[demo] catalog export → $ident (ORC), " +
       s"${spark.table(ident).count()} rows, partitions:")
     spark.sql(s"SHOW PARTITIONS $ident").show(false)
+
+    // --- corpus prep: the training-data pipeline end to end (quality +
+    // repetition gate → exact dedup → near-dup clustering → split)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val prepped = graft.operators.Corpus.corpusPipeline(docs)
+    println(s"[demo] corpus pipeline: ${docs.count()} docs in → " +
+      s"${prepped.count()} out")
+    prepped.groupBy("split").count().orderBy("split").show(false)
     spark.stop()
   }
 }
