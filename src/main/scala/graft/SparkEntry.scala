@@ -307,6 +307,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("rk"))
     }),
 
+    // Sliding-frame window: 5-row moving average of value per user.
+    // The frame is tiny and totally ordered ((ts, event_id) — ties
+    // broken), so both engines sum the same ≤5 doubles in the same
+    // order: bit-identical without any decimal bridge.
+    "window_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          avg(col("value")).over(w).as("mov_avg"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Set operations: EXCEPT / INTERSECT over user populations.
     "set_ops" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -969,6 +983,12 @@ object SparkEntry {
         "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node WHERE r.lbl < e.b) " +
         "SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id, " +
         "MIN(lbl) = node AS is_keeper FROM reach GROUP BY node ORDER BY doc_id"),
+
+    "window_moving_avg" ->
+      ("SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_avg " +
+        "FROM events ORDER BY user_id, ts, event_id"),
 
     // SUM(BIGINT) widens to HUGEINT in DuckDB — cast back
     "corpus_stats" ->
