@@ -75,7 +75,9 @@ object GraftFunctions {
         body.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty)
       }
       MarkerCounts(a(0), markers)
-    }))
+    }),
+    "top_token_count" -> (args =>
+      TopTokenCount(arity("top_token_count", args, 1).head)))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

@@ -310,6 +310,44 @@ case class MarkerCounts(child: Expression, markers: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Most-frequent-token count of single-space-separated text in ONE
+  * hash-count pass — the hot scalar of the Gopher-style repetition gate
+  * (TextAnalysis.topTokenCntExpr). Replaces an interpreted array_sort +
+  * aggregate-HOF chain (O(n log n) plus a per-element Catalyst
+  * interpreter walk over a 3-field struct) with an O(n) tight loop over
+  * UTF8String tokens. Identical semantics: the longest run in the
+  * sorted token array IS the max token multiplicity — including the
+  * empty-string token an empty text tokenizes to (count 1 both ways).
+  */
+case class TopTokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_token_count"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].split(space, -1)
+    val m = new java.util.HashMap[UTF8String, Array[Long]](toks.length * 2)
+    var best = 0L
+    var i = 0
+    while (i < toks.length) {
+      var c = m.get(toks(i))
+      if (c == null) { c = Array(0L); m.put(toks(i), c) }
+      c(0) += 1L
+      if (c(0) > best) best = c(0)
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[LongArrayDot]]. */
   def longArrayDot(a: Column, b: Column): Column =
@@ -337,4 +375,8 @@ object VectorFunctions {
   def markerCounts(text: Column, markers: Seq[Seq[String]]): Column =
     GraftColumnBridge.column(MarkerCounts(
       GraftColumnBridge.expression(text), markers))
+
+  /** Column API for [[TopTokenCount]]. */
+  def topTokenCount(text: Column): Column =
+    GraftColumnBridge.column(TopTokenCount(GraftColumnBridge.expression(text)))
 }

@@ -142,11 +142,19 @@ object TextAnalysis {
     * expression. Fractions are single divisions of exact integer counts
     * — bit-identical across engines. */
   /** The repetition building blocks as composable Columns (shared by
-    * [[repetitionStats]] and the corpus pipeline's gate). */
+    * [[repetitionStats]] and the corpus pipeline's gate). The top-token
+    * count is the native one-pass hash count (TopTokenCount); the
+    * equivalent sorted-run HOF formulation lives in
+    * [[topTokenCntHofExpr]] and the spec asserts they agree. */
   def topTokenCntExpr(text: Column): Column =
-    // longest run in the sorted array == the top token's count; the
-    // initial prev="" sentinel is harmless (a first empty token takes
-    // run = 0+1 = 1 through either branch)
+    graft.functions.VectorFunctions.topTokenCount(text)
+
+  /** The interpreted reference formulation of [[topTokenCntExpr]]:
+    * longest run in the sorted token array (the initial prev=""
+    * sentinel is harmless — a first empty token takes run = 0+1 = 1
+    * through either branch). Kept as the cross-check for the native
+    * expression. */
+  def topTokenCntHofExpr(text: Column): Column =
     aggregate(
       array_sort(tokens(text)),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),

@@ -24,6 +24,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("mc").toSeq == Seq(3L, 0L))
   }
 
+  test("top_token_count: SQL-callable, matches the sorted-run HOF on real docs") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT top_token_count('a b a b a') AS c")
+      .collect().head.getAs[Long]("c") == 3L)
+    assert(spark.sql("SELECT top_token_count('') AS c")
+      .collect().head.getAs[Long]("c") == 1L) // the empty token, both forms
+    val docs = Tables.documents(spark, sf0)
+    import org.apache.spark.sql.functions.col
+    val mismatches = docs.select(
+        graft.operators.TextAnalysis.topTokenCntExpr(col("text")).as("native"),
+        graft.operators.TextAnalysis.topTokenCntHofExpr(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0L)
+  }
+
   test("marker_counts matches the filter-HOF formulation on real docs") {
     import org.apache.spark.sql.functions._
     val markers = graft.operators.TextAnalysis.LangMarkers.map(_._2)
