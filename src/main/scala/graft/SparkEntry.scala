@@ -534,7 +534,15 @@ object SparkEntry {
     // analytically (px_posw is position-weighted: a flipped bottom-up
     // row order cannot pass).
     "multimodal_decode" -> ((s, d) =>
-      Multimodal.decodePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d))))
+      Multimodal.decodePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // Audio modality, same doctrine as the BMP leg: hand-built RIFF/WAV
+    // payloads decoded back through javax.sound's OWN parser; the oracle
+    // replays the PCM arithmetic analytically, so encoder and decoder
+    // must both be right for the hash to match.
+    "multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeWavPartitions(s,
+        Multimodal.ingestWav(Tables.documents(s, d))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1098,6 +1106,21 @@ object SparkEntry {
         "list_transform(range(0, CAST(n_pixels AS INT)), i -> (doc_id*31 + i*7) % 256) AS px " +
         "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height, " +
         "((n_chars % 13) + 4) * ((n_chars % 7) + 4) AS n_pixels FROM documents)) " +
+        "ORDER BY doc_id"),
+
+    // Analytic replay of the WAV decode: PCM sample i is
+    // (doc_id*37 + i*11) % 65536 - 32768 (operands positive before the
+    // shift into signed range, so % agrees across engines)
+    "multimodal_audio" ->
+      ("SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+        "CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(list_sum(smp) AS BIGINT) AS s_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n AS INT)), i -> i * smp[i+1])) AS BIGINT) AS s_posw, " +
+        "CAST(list_min(smp) AS BIGINT) AS s_min, " +
+        "CAST(list_max(smp) AS BIGINT) AS s_max " +
+        "FROM (SELECT doc_id, n, " +
+        "list_transform(range(0, CAST(n AS INT)), i -> (doc_id*37 + i*11) % 65536 - 32768) AS smp " +
+        "FROM (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents)) " +
         "ORDER BY doc_id")
   )
 

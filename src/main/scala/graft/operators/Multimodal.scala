@@ -120,6 +120,94 @@ object Multimodal {
         lit("image/bmp").as("mime")).as("media_meta"))
   }
 
+  /** Deterministic synthetic audio dims: short mono 16-bit PCM clips. */
+  def wavNumSamples(nChars: Long): Int = (nChars % 50 + 20).toInt
+  val WavSampleRate = 8000
+
+  /** Signed 16-bit PCM sample `i` — fixed arithmetic the DuckDB oracle
+    * replays analytically (operands always positive before the shift
+    * into signed range, so both engines' % agree). */
+  def sampleValue(docId: Long, i: Long): Int =
+    ((docId * 37 + i * 11) % 65536).toInt - 32768
+
+  /** Encode one well-formed RIFF/WAVE file (44-byte header + LE int16
+    * mono PCM). Hand-built like [[bmpBytes]]: [[decodeWavPartitions]]
+    * reads it back through javax.sound's own WAV parser, so a wrong
+    * chunk size, endianness or block alignment fails loudly. */
+  def wavBytes(docId: Long, nChars: Long): Array[Byte] = {
+    val n = wavNumSamples(nChars)
+    val dataSize = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(WavSampleRate).putInt(WavSampleRate * 2)
+      .putShort(2).putShort(16) // blockAlign, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { buf.putShort(sampleValue(docId, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Ingest real audio: one synthetic WAV per document. */
+  def ingestWav(docs: DataFrame): DataFrame = {
+    val wav = udf((docId: Long, nChars: Long) => wavBytes(docId, nChars))
+    docs.select(
+      col("doc_id"),
+      wav(col("doc_id"), col("n_chars")).as("media_bytes"),
+      struct(
+        length(col("text")).cast("long").as("n_bytes"),
+        lit("audio/wav").as("mime")).as("media_meta"))
+  }
+
+  /** WAV decode through javax.sound.sampled — the JDK's own RIFF/PCM
+    * parser, not our encoder run backwards — in the same one-codec-per-
+    * partition mapPartitions harness as [[decodePartitions]]. Emits the
+    * decoded format (sample rate — trusted from the DECODER, not the
+    * ingest metadata) plus sample statistics; `s_posw` is
+    * position-weighted so sample-order bugs cannot pass. */
+  def decodeWavPartitions(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("s_sum", LongType),
+      StructField("s_posw", LongType),
+      StructField("s_min", LongType),
+      StructField("s_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = ingested.select(col("doc_id"), col("media_bytes"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media_bytes")
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+          !fmt.isBigEndian, s"unexpected decoded format: $fmt")
+        val data = ais.readAllBytes()
+        ais.close()
+        val n = data.length / 2
+        var sum = 0L; var posw = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i < n) {
+          // little-endian int16, sign-extended
+          val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+          sum += s; posw += i * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        Row(r.getAs[Long]("doc_id"), fmt.getSampleRate.toLong, n.toLong,
+          sum, posw, mn, mx)
+      }
+    }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** The mapPartitions decode harness with a REAL codec: javax.imageio's
     * BMP reader (an independent JDK implementation — not our encoder run
     * backwards) decodes each payload; per-pixel statistics come off the

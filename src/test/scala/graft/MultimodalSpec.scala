@@ -49,4 +49,27 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ingestBmp(docs.repartition(7))).collect()
     assert(reparted.toSeq == decoded.toSeq)
   }
+
+  test("decodeWavPartitions: javax.sound round-trip matches the PCM " +
+    "arithmetic, any partitioning") {
+    val docs = Tables.documents(spark, sf0)
+    val decoded = Multimodal
+      .decodeWavPartitions(spark, Multimodal.ingestWav(docs)).collect()
+    assert(decoded.length == docs.count())
+    decoded.take(50).foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val n = r.getAs[Long]("n_samples")
+      val s = (0L until n).map(Multimodal.sampleValue(docId, _).toLong)
+      // the rate comes from the DECODED format, not ingest metadata
+      assert(r.getAs[Long]("sample_rate") == Multimodal.WavSampleRate.toLong)
+      assert(r.getAs[Long]("s_sum") == s.sum)
+      assert(r.getAs[Long]("s_posw") == s.zipWithIndex.map {
+        case (v, i) => v * i }.sum)
+      assert(r.getAs[Long]("s_min") == s.min)
+      assert(r.getAs[Long]("s_max") == s.max)
+    }
+    val reparted = Multimodal.decodeWavPartitions(spark,
+      Multimodal.ingestWav(docs.repartition(7))).collect()
+    assert(reparted.toSeq == decoded.toSeq)
+  }
 }
