@@ -191,6 +191,19 @@ object Relational {
       min(col("n_chars")).as("lo"),
       max(col("n_chars")).as("hi"))
 
+  /** The sketch form of [[lengthQuantiles]]: approx_percentile
+    * (Greenwald-Khanna), `accuracy` trading memory for rank error
+    * ≤ 1/accuracy·N. The 100 TB swap-in — exact `percentile` buffers
+    * every value per group; the GK sketch is bounded-memory and
+    * merge-combinable. Spec-checked against the exact quantiles within
+    * the rank-error bound. */
+  def lengthQuantilesApprox(docs: DataFrame, accuracy: Int = 1000): DataFrame =
+    docs.agg(
+      expr(s"approx_percentile(n_chars, 0.25, $accuracy)").as("p25"),
+      expr(s"approx_percentile(n_chars, 0.5, $accuracy)").as("p50"),
+      expr(s"approx_percentile(n_chars, 0.75, $accuracy)").as("p75"),
+      expr(s"approx_percentile(n_chars, 0.9, $accuracy)").as("p90"))
+
   /** TPC-H Q3 shape — shipping priority: revenue of unshipped-as-of-date
     * orders for one market segment, top 10. Exercises the
     * filter-pushdown → broadcast-dim → fact-join → partial-agg → top-k

@@ -119,6 +119,23 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lengthQuantilesApprox (GK sketch) within rank error of exact quantiles") {
+    import graft.operators.Relational
+    val n = docs.count().toDouble
+    val sorted = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    val approx = Relational.lengthQuantilesApprox(docs, accuracy = 1000)
+      .collect().head
+    Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9)
+      .foreach { case (c, q) =>
+        val v = approx.getAs[Long](c)
+        val rank = sorted.count(_ <= v).toDouble / n
+        // GK at accuracy=1000: rank error <= 1/1000; allow 2/1000 slack
+        assert(math.abs(rank - q) <= 0.002 ||
+          sorted.count(_ < v).toDouble / n <= q, // ties can inflate rank
+          s"$c=$v has rank $rank, expected ~$q")
+      }
+  }
+
   test("corpusPipeline output: gated, exact-dup-free, cluster-representative") {
     import graft.operators.{Corpus, TextAnalysis}
     val out = Corpus.corpusPipeline(docs).collect()
