@@ -201,9 +201,24 @@ object Dedup {
   private[operators] def nearDupLabels(docs: DataFrame, threshold: Double,
                                        n: Int, maxDf: Option[Int],
                                        maxIters: Int,
-                                       scope: CacheScope): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, threshold, n, maxDf, scope)
-      .select(col("doc_a"), col("doc_b"))
+                                       scope: CacheScope): DataFrame =
+    connectedComponents(
+      ngramJaccardPairs(docs, threshold, n, maxDf, scope)
+        .select(col("doc_a"), col("doc_b")),
+      maxIters)
+
+  /** Generic connected components over an undirected PAIR relation (any
+    * two long id columns; a < b not required) — the graph primitive
+    * behind [[nearDupClusters]], usable over ANY similarity pair output
+    * (text n-gram, MinHash, SimHash, embedding LSH). Returns the
+    * converged (node, lbl) map over the graph's VERTICES, lbl = smallest
+    * id transitively reachable. Vertex-only min-label propagation with
+    * pointer jumping — see [[nearDupClusters]] for the full algorithm
+    * and scale notes. */
+  def connectedComponents(pairRelation: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val Seq(ca, cb) = pairRelation.columns.toSeq.take(2).map(col)
+    val pairs = pairRelation.select(ca.as("doc_a"), cb.as("doc_b"))
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
@@ -255,7 +270,7 @@ object Dedup {
       }
       if (!converged)
         throw new IllegalStateException(
-          s"nearDupClusters did not converge in $maxIters rounds — " +
+          s"connectedComponents did not converge in $maxIters rounds — " +
             "component diameter exceeds the cap; raise maxIters or use a " +
             "star-contraction formulation for this graph")
       labels

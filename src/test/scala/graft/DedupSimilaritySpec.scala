@@ -53,6 +53,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(keepers == byDoc.values.toSet)
   }
 
+  test("connectedComponents is pair-source-agnostic: embedding LSH near-dup " +
+    "clusters match driver-side union-find") {
+    // the SAME graph primitive behind nearDupClusters, driven by the
+    // embedding near-dup relation instead of text shingles
+    val pairs = Similarity.nearDupPairsLsh(emb, threshold = 0.4)
+      .select(col("vec_a"), col("vec_b"))
+    val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(collected.nonEmpty, "fixture has no embedding near-dup pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    collected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    val verts = collected.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(labels.keySet == verts.toSet)
+    verts.foreach(v => assert(labels(v) == find(v), s"vec $v"))
+  }
+
   test("repetitionStats flags repeated-token and repeated-bigram docs") {
     import spark.implicits._
     val fixture = Seq(

@@ -37,6 +37,16 @@ class GraftFunctionsSpec extends SparkSpec {
         graft.operators.TextAnalysis.topTokenCntHofExpr(col("text")).as("hof"))
       .filter(col("native") =!= col("hof")).count()
     assert(mismatches == 0L)
+    // multibyte tokens: UTF8String equality is byte-equality, so CJK /
+    // accented tokens count identically in both formulations
+    import spark.implicits._
+    val uni = Seq("héllo wörld héllo 中文 中文 中文", "a é a é a").toDF("text")
+    val uniRows = uni.select(
+      graft.operators.TextAnalysis.topTokenCntExpr(col("text")).as("native"),
+      graft.operators.TextAnalysis.topTokenCntHofExpr(col("text")).as("hof"))
+      .collect()
+    assert(uniRows.map(_.getAs[Long]("native")).toSeq == Seq(3L, 3L))
+    assert(uniRows.forall(r => r.getAs[Long]("native") == r.getAs[Long]("hof")))
   }
 
   test("marker_counts matches the filter-HOF formulation on real docs") {
