@@ -75,4 +75,36 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(sessions.head.n_events == 2)
     assert(sessions.head.sess_end == ts("2024-01-01 12:30:00"))
   }
+
+  test("watermarked tumbling windows: append emits a window once, closed only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val out = graft.streaming.StreamingWindows.tumbling(
+      mem.toDF().toDF("ts", "event_type", "value"), watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_stream").start()
+    try {
+      // batch 1: all inside hour 0 — watermark hasn't passed 01:00,
+      // so NOTHING is emitted yet (closed-window contract)
+      mem.addData(
+        (ts("2024-01-01 00:05:00"), "view", 1.5),
+        (ts("2024-01-01 00:20:00"), "view", 2.5),
+        (ts("2024-01-01 00:40:00"), "purchase", 10.0))
+      q.processAllAvailable()
+      assert(spark.table("tumbling_stream").count() == 0)
+
+      // batch 2: an hour-3 event pushes the watermark past 01:00 —
+      // hour-0 windows close and emit exactly once; hour 3 stays open
+      mem.addData((ts("2024-01-01 03:00:00"), "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_stream")
+        .collect().map(r => (r.getAs[Timestamp]("win_start"),
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
+      assert(rows == Set(
+        (ts("2024-01-01 00:00:00"), "view", 2L, 4.0),
+        (ts("2024-01-01 00:00:00"), "purchase", 1L, 10.0)),
+        s"got $rows")
+    } finally q.stop()
+  }
 }
