@@ -182,6 +182,15 @@ object ExportPipeline {
     * tasks write each partition (same anti-small-file shape as
     * [[writeRouted]]).
     *
+    * `sortBy` additionally orders rows WITHIN each written file on the
+    * given columns (sortWithinPartitions after the repartition — no
+    * extra shuffle): compaction is the one moment the data is rewritten
+    * anyway, so it is the free opportunity to make parquet row-group
+    * min/max statistics selective — a later scan with a predicate on a
+    * sorted column skips whole row groups / files instead of reading
+    * them (the poor-man's clustering key; at 100 TB this is the
+    * difference between a pruned scan and a full one).
+    *
     * Returns (rows, inputFiles, inputBytes) for observability. Output
     * goes to a NEW directory (job-level atomic); swapping it in place of
     * `inDir` is the caller's rename — same publish discipline as any
@@ -191,7 +200,8 @@ object ExportPipeline {
               inDir: String, outDir: String,
               partitionCols: Seq[String],
               targetFileBytes: Long = 128L << 20,
-              format: String = "parquet"): (Long, Long, Long) = {
+              format: String = "parquet",
+              sortBy: Seq[String] = Nil): (Long, Long, Long) = {
     val df = spark.read.format(format).load(inDir)
     // rows from footers (parquet count() reads no data pages); bytes
     // from ONE recursive content summary — not a getFileStatus RPC per
@@ -206,7 +216,16 @@ object ExportPipeline {
     }
     val avgRowBytes = math.max(1L, if (rows == 0) 1L else bytes / rows)
     val maxRecords = math.max(1L, targetFileBytes / avgRowBytes)
-    df.repartition(partitionCols.map(col): _*)
+    val reparted = df.repartition(partitionCols.map(col): _*)
+    // partition columns FIRST in the sort: the dynamic-partition writer
+    // requires task rows ordered by partition cols and inserts its own
+    // (unstable) sort when they are not — which would silently destroy
+    // the clustering order. Leading with them satisfies the writer's
+    // requirement, so the sortBy order actually reaches the files.
+    val arranged =
+      if (sortBy.isEmpty) reparted
+      else reparted.sortWithinPartitions((partitionCols ++ sortBy).map(col): _*)
+    arranged
       .write
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecords)

@@ -58,6 +58,44 @@ class PipelineSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("compaction with sortBy yields disjoint per-file ranges (data skipping)") {
+    // route() keeps only (payload_json, partition cols), so sort on the
+    // JSON payload: ids are zero-padded so lexicographic order == id
+    // order and maxRecordsPerFile's sequential roll gives each file a
+    // contiguous, disjoint payload range — the min/max stats a pruned
+    // scan needs
+    val df = (1L to 400L).map(i => (f"$i%04d", s"msg$i", if (i % 2 == 0) "EU" else "AS"))
+      .toDF("id", "msg", "continent")
+    val frag = Files.createTempDirectory("graft_fragsort_").toString
+    ExportPipeline.route(df, Seq("continent"))
+      .repartition(40)
+      .write.mode("overwrite").partitionBy("continent").parquet(frag)
+    val out = Files.createTempDirectory("graft_compact_sorted_").toString
+    // tiny file target → several files per partition, each range-disjoint
+    val (rows, _, _) = ExportPipeline.compact(spark, frag, out,
+      Seq("continent"), targetFileBytes = 4096L, sortBy = Seq("payload_json"))
+    assert(rows == 400L)
+    val files = spark.read.parquet(out).inputFiles
+    val perPart = files.groupBy(f => f.contains("continent=EU"))
+    perPart.foreach { case (_, fs) =>
+      assert(fs.length > 1, s"fixture vacuous: only ${fs.length} file(s)")
+      val ranges = fs.map { f =>
+        val r = spark.read.parquet(f).agg(
+          min(col("payload_json")), max(col("payload_json"))).head()
+        (r.getString(0), r.getString(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hiA), (loB, _)) =>
+          assert(hiA < loB, s"overlapping file ranges: $hiA vs $loB")
+        case _ => ()
+      }
+    }
+    // content unchanged by the rearrangement
+    val a = spark.read.parquet(frag).select("payload_json", "continent")
+    val b = spark.read.parquet(out).select("payload_json", "continent")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("ORC write path: the reference's required sink format round-trips") {
     val df = Seq((1L, "a", "EU"), (2L, "b", "AS")).toDF("id", "msg", "region")
     val out = Files.createTempDirectory("graft_orc_").toString
