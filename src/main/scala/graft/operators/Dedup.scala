@@ -51,6 +51,24 @@ object CacheScope {
   def apply(): CacheScope = new CacheScope(true)
 }
 
+/** What an LSH candidate-pair enumeration does when a blocking bucket
+  * exceeds its cap. A bucket of b members contributes b²/2 candidate
+  * pairs, so an uncapped hot bucket — d exact copies of one document, or
+  * a blocking key that degenerates at corpus scale — is silently
+  * quadratic. Neither policy allows that:
+  *  - [[BucketOverflow.Fail]] (the default) aborts the job with the
+  *    offending bucket key in the message — the analogue of
+  *    [[Similarity.AllPairsRowLimit]]'s hard gate. The fix is upstream:
+  *    exact-dedup first, or a wider blocking key.
+  *  - [[BucketOverflow.Drop]] skips over-cap buckets (bounded work,
+  *    documented recall loss) — the analogue of [[Dedup.shingleTable]]'s
+  *    df-cap, for pipelines that prefer partial recall over failure. */
+sealed trait BucketOverflow
+object BucketOverflow {
+  case object Fail extends BucketOverflow
+  case object Drop extends BucketOverflow
+}
+
 object Dedup {
 
   /** Distinct word n-gram shingles of single-space-separated text — a
@@ -277,6 +295,51 @@ object Dedup {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Candidate pairs from a blocking relation, with hot buckets bounded
+    * by construction: ONE shuffle groups ids per blocking key into an
+    * O(maxBucket) buffer ([[graft.functions.BoundedAgg.boundedCollect]]
+    * stops accumulating at cap+1, so even a corpus-sized bucket costs
+    * cap+1 memory and shuffle), then enumerates each bucket's pairs in
+    * place (≤ cap²/2 per bucket, narrow double-explode). Compared to the
+    * banded self-join it replaces this is also one exchange cheaper, and
+    * no hot-key blowup is possible regardless of input: an over-cap
+    * bucket either fails the job with its key named ([[BucketOverflow
+    * .Fail]]) or is skipped ([[BucketOverflow.Drop]]) — never silently
+    * enumerated.
+    *
+    * `keyed` must carry a long id column `idCol` plus the blocking key
+    * columns; output is the distinct (doc_a, doc_b) with doc_a < doc_b. */
+  private[operators] def boundedCandidatePairs(keyed: DataFrame, idCol: String,
+                                               bucketCols: Seq[String],
+                                               maxBucket: Int,
+                                               overflow: BucketOverflow,
+                                               opName: String): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must exceed 1, got $maxBucket")
+    val buckets = keyed
+      .groupBy(bucketCols.map(col): _*)
+      .agg(graft.functions.BoundedAgg.boundedCollect(maxBucket)(col(idCol))
+        .as("ds"))
+    val guarded = overflow match {
+      case BucketOverflow.Drop => buckets.filter(size(col("ds")) <= maxBucket)
+      case BucketOverflow.Fail =>
+        // assert_true returns null when the predicate holds, throws with
+        // the message otherwise — a row-level gate that keeps the check
+        // inside the (distributed, codegen'd) plan
+        buckets.filter(assert_true(size(col("ds")) <= maxBucket,
+          concat(lit(s"$opName: blocking bucket ("),
+            concat_ws(", ", bucketCols.map(c => col(c).cast("string")): _*),
+            lit(s") exceeded maxBucket=$maxBucket candidates — " +
+              "exact-dedup the corpus first or widen the blocking key; " +
+              "BucketOverflow.Drop skips over-cap buckets instead"))).isNull)
+    }
+    guarded
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
   /** MinHash signatures: k min-hashes per doc, computed in one pass by
     * the native MinHashSig expression (hash each shingle once, k affine
     * permutations) — no exploded (shingle × seed) rows, no shuffle.
@@ -302,18 +365,22 @@ object Dedup {
 
   /** Candidate pairs: docs sharing any (band, bucket); then verified with
     * exact Jaccard and thresholded — the scale path for dedup_fuzzy.
-    * Output schema matches [[ngramJaccardPairs]]. */
+    * Output schema matches [[ngramJaccardPairs]]. MinHash buckets are
+    * content-derived (a bucket is a set of docs agreeing on a whole
+    * signature band), so occupancy tracks true near-dup groups — but a
+    * duplicate-heavy corpus still makes them quadratic, so candidates go
+    * through [[boundedCandidatePairs]]: over `maxBucket` members per
+    * (band, bucket) fails loudly (or drops, per `overflow`). */
   def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.5,
                           n: Int = 3, numHashes: Int = 64,
                           rowsPerBand: Int = 4,
+                          maxBucket: Int = 1024,
+                          overflow: BucketOverflow = BucketOverflow.Fail,
                           scope: CacheScope = CacheScope.off): DataFrame = {
     val sh = scope.track(shingleTable(docs, n))
     val bands = lshBands(minHashSignatures(docs, n, numHashes), numHashes, rowsPerBand)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = boundedCandidatePairs(bands, "doc_id", Seq("band", "bucket"),
+      maxBucket, overflow, "minHashNearDupPairs")
     // exact-verify candidates only: join back their shingle sets
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand
@@ -334,24 +401,69 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.VectorFunctions.simHash64(col("text")).as("simhash"))
 
-  /** SimHash near-dup pairs: block on 16-bit bands of the fingerprint
-    * (Hamming distance ≤ 3 ⇒ at least one of 4 bands identical), verify
-    * with exact Hamming distance. */
-  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Block-combination band keys for [[simHashNearDupPairs]] — the
+    * blocking scheme of Manku, Jain & Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling" (WWW '07): split the 64-bit
+    * fingerprint into `numBlocks` contiguous bit blocks; a pair within
+    * Hamming distance `maxHamming` has flips in at most `maxHamming`
+    * blocks, so at least `numBlocks - maxHamming` blocks are IDENTICAL —
+    * blocking on every (numBlocks - maxHamming)-subset of blocks keeps
+    * recall 1 by pigeonhole.
+    *
+    * Why combinations and not single blocks: one block of 64/numBlocks
+    * bits is a FIXED keyspace (the old 4×16-bit form: 65,536 buckets →
+    * expected occupancy N/65,536 per band, in-bucket work quadratic in
+    * corpus size no matter the content). A combination key concatenates
+    * numBlocks - maxHamming blocks — ≥ 31 bits at the defaults (6 choose
+    * 3 → 20 bands), a ~2³³ keyspace where collisions mean near-identical
+    * fingerprints, not corpus mass. The cost is C(numBlocks, maxHamming)
+    * keys per doc instead of numBlocks — 20 vs 4 narrow exploded rows,
+    * bought back many times over by candidate sparsity.
+    *
+    * Returns array<struct<band:int, key:bigint>>, one entry per block
+    * combination; key = the chosen blocks' bits concatenated (≤ 63 bits
+    * for maxHamming ≥ 1). */
+  def simHashBandKeys(fp: Column, maxHamming: Int = 3,
+                      numBlocks: Int = 6): Column = {
+    require(numBlocks > maxHamming && numBlocks <= 64,
+      s"need maxHamming < numBlocks <= 64, got $maxHamming/$numBlocks")
+    require(maxHamming >= 1, "maxHamming must be >= 1 (0 needs no banding)")
+    val base = 64 / numBlocks
+    val rem = 64 % numBlocks
+    val widths = Seq.tabulate(numBlocks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    // arithmetic >> sign-extends the top block; the width mask strips it
+    def block(i: Int): Column =
+      shiftright(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
+    val combos = (0 until numBlocks).combinations(numBlocks - maxHamming).toSeq
+    array(combos.zipWithIndex.map { case (combo, ci) =>
+      val key = combo.foldLeft(lit(0L): Column) { (acc, b) =>
+        shiftleft(acc, widths(b)).bitwiseOR(block(b))
+      }
+      struct(lit(ci).as("band"), key.as("key"))
+    }: _*)
+  }
+
+  /** SimHash near-dup pairs: block on [[simHashBandKeys]] combination
+    * keys (recall 1 for Hamming ≤ maxHamming by pigeonhole, keyspace
+    * ~2³³ at the defaults so buckets track near-identical fingerprints,
+    * not corpus size), enumerate candidates through the
+    * [[boundedCandidatePairs]] hot-bucket guard, verify with exact
+    * Hamming distance. */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                          numBlocks: Int = 6, maxBucket: Int = 1024,
+                          overflow: BucketOverflow = BucketOverflow.Fail): DataFrame = {
     val fps = simHash(docs)
-    val banded = fps.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+    val banded = fps.select(col("doc_id"),
+        explode(simHashBandKeys(col("simhash"), maxHamming, numBlocks)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = boundedCandidatePairs(banded, "doc_id", Seq("band", "key"),
+      maxBucket, overflow, "simHashNearDupPairs")
+    val fa = fps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val fb = fps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    cand.join(fa, Seq("doc_a")).join(fb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }

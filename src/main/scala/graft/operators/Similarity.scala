@@ -135,16 +135,24 @@ object Similarity {
     * a vector co-bucket in every table and contribute d²/2 true pairs,
     * so the pair OUTPUT itself (not a flaw in the blocking) grows
     * quadratically in the duplication factor (measured 100× candidate
-    * work on a 10×-duplicated stress set). */
+    * work on a 10×-duplicated stress set).
+    *
+    * Scale note: sign-LSH bucket occupancy is ~N/2^bitsPerTable
+    * REGARDLESS of content, so `bitsPerTable` must grow with the corpus
+    * (more tables to recover recall). The [[Dedup.boundedCandidatePairs]]
+    * guard makes an under-provisioned key fail loudly at `maxBucket`
+    * members per (table, bucket) — or drop those buckets under
+    * [[BucketOverflow.Drop]] — never silently enumerate them. */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double = 0.4,
-                      tables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+                      tables: Int = 16, bitsPerTable: Int = 4,
+                      maxBucket: Int = 1024,
+                      overflow: BucketOverflow = BucketOverflow.Fail): DataFrame = {
     val p = prepared(emb)
     val b = lshBuckets(p, tables, bitsPerTable)
-    val cand = b.as("x").join(b.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+    val cand = Dedup.boundedCandidatePairs(
+        b.select(col("vec_id"), col("tbl"), col("bucket")),
+        "vec_id", Seq("tbl", "bucket"), maxBucket, overflow, "nearDupPairsLsh")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     val pa = p.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"), col("nrm").as("a_nrm"))
     val pb = p.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"), col("nrm").as("b_nrm"))
     cand.join(pa, Seq("vec_a")).join(pb, Seq("vec_b"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{BucketOverflow, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Cross-checks for the approximate (no-SQL-oracle) dedup/similarity
@@ -250,6 +250,81 @@ class DedupSimilaritySpec extends SparkSpec {
     val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(idPairs.size >= 20 && idPairs.subsetOf(found),
       s"missed ${(idPairs -- found).size} of ${idPairs.size} identical-text pairs")
+  }
+
+  test("simhash band keys: every pair within the Hamming budget shares a key " +
+    "(pigeonhole recall 1), and keys are wider than any single block") {
+    import spark.implicits._
+    // 100 random fingerprint pairs differing in EXACTLY 3 scattered bits —
+    // the worst case for blocking (flips spread over 3 distinct blocks)
+    val rnd = new scala.util.Random(7)
+    val fps = (0 until 100).map { i =>
+      val a = rnd.nextLong()
+      val bits = rnd.shuffle((0 until 64).toList).take(3)
+      (i.toLong, a, bits.foldLeft(a)((x, bit) => x ^ (1L << bit)))
+    }
+    val df = fps.flatMap { case (pid, a, b) => Seq((pid, 0, a), (pid, 1, b)) }
+      .toDF("pid", "side", "fp")
+    val keys = df.select(col("pid"), col("side"),
+      explode(Dedup.simHashBandKeys(col("fp"))).as("bk"))
+    // every pair collides on at least one (band, key)
+    val colliding = keys
+      .groupBy(col("pid"), col("bk.band"), col("bk.key"))
+      .agg(countDistinct("side").as("ns")).filter(col("ns") === 2)
+      .select("pid").distinct().count()
+    assert(colliding == 100L, s"only $colliding/100 pairs collide on a band")
+    // 20 bands (C(6,3)) per doc, and the key carries > 16 bits of the
+    // fingerprint — the old fixed-65,536 keyspace is the scale ceiling
+    // this scheme exists to remove
+    val perDoc = keys.groupBy("pid", "side").count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(perDoc == Seq(20L))
+    val maxKey = keys.agg(max(abs(col("bk.key")))).head().getLong(0)
+    assert(maxKey > 65536L, s"band keyspace still 16-bit (max key $maxKey)")
+  }
+
+  test("hot-bucket guard: pathological all-identical corpora fail loudly, " +
+    "or drop bounded under BucketOverflow.Drop") {
+    import spark.implicits._
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb ++= Option(c.getMessage).getOrElse(""); c = c.getCause }
+      sb.toString
+    }
+    // 40 identical docs: one bucket of 40 in every band/table — b²/2
+    // candidate pairs if unguarded
+    val same = (0 until 40).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      Dedup.minHashNearDupPairs(same, maxBucket = 8).collect()
+    }
+    assert(rootMsg(e1).contains("maxBucket=8"), rootMsg(e1).take(200))
+    val e2 = intercept[Exception] {
+      Dedup.simHashNearDupPairs(same, maxBucket = 8).collect()
+    }
+    assert(rootMsg(e2).contains("maxBucket=8"), rootMsg(e2).take(200))
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array(1f, 2f, 3f, 4f), "x")).toDF("vec_id", "embedding", "label")
+    val e3 = intercept[Exception] {
+      Similarity.nearDupPairsLsh(vecs, maxBucket = 8).collect()
+    }
+    assert(rootMsg(e3).contains("maxBucket=8"), rootMsg(e3).take(200))
+    // Drop: over-cap buckets are skipped — bounded (here: empty) output
+    // instead of quadratic enumeration, and no exception
+    assert(Dedup.minHashNearDupPairs(same, maxBucket = 8,
+      overflow = BucketOverflow.Drop).count() == 0L)
+    assert(Dedup.simHashNearDupPairs(same, maxBucket = 8,
+      overflow = BucketOverflow.Drop).count() == 0L)
+    assert(Similarity.nearDupPairsLsh(vecs, maxBucket = 8,
+      overflow = BucketOverflow.Drop).count() == 0L)
+    // the guard never fires on healthy inputs: a cap at the corpus size
+    // reproduces the unguarded result (same docs, distinct texts)
+    val healthy = docs.limit(30).select("doc_id", "text")
+    val capped = Dedup.simHashNearDupPairs(healthy, maxBucket = 30).collect()
+    val roomy = Dedup.simHashNearDupPairs(healthy, maxBucket = 1024).collect()
+    assert(capped.toSeq == roomy.toSeq)
   }
 
   test("quantized cosine is symmetric, bounded and exact on unit cases") {
