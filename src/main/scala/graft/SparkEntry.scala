@@ -315,9 +315,14 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      // decimal bridge: a windowed AVG over doubles need not associate
+      // the frame's values in the same order across engines (DuckDB's
+      // segment-tree combining vs Spark's sequential frame) — sum exact
+      // in decimal, divide once in double, order-independent on both
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
-          avg(col("value")).over(w).as("mov_avg"))
+          (sum(col("value").cast("decimal(12,2)")).over(w).cast("double") /
+            count(col("value")).over(w)).as("mov_avg"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
@@ -994,9 +999,11 @@ object SparkEntry {
 
     "window_moving_avg" ->
       ("SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
-        "AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_avg " +
-        "FROM events ORDER BY user_id, ts, event_id"),
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / " +
+        "COUNT(value) OVER w AS mov_avg " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, ts, event_id"),
 
     // SUM(BIGINT) widens to HUGEINT in DuckDB — cast back
     "corpus_stats" ->

@@ -106,8 +106,14 @@ object Corpus {
     * drop out of the output; a WEIGHTED source absent from `docs`
     * counts as n=0, so M = min_s floor(n_s/p_s) = 0 and the mixture is
     * empty — "maximal under per-source availability" taken literally
-    * (an infeasible mixture has no nonempty proportional answer). */
-  def mixSources(docs: DataFrame, weights: Map[String, Int]): DataFrame = {
+    * (an infeasible mixture has no nonempty proportional answer). An
+    * empty result from a typo'd weight key is easy to misread as "no
+    * data": `requireFeasible = true` runs ONE eager counts aggregation
+    * up front and fails naming the scarce/absent source(s) instead of
+    * returning empty — opt-in because that eager pass scans the corpus
+    * once before the mixture job would anyway. */
+  def mixSources(docs: DataFrame, weights: Map[String, Int],
+                 requireFeasible: Boolean = false): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive integers")
     val spark = docs.sparkSession
@@ -119,6 +125,15 @@ object Corpus {
       .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n")),
         Seq("source"), "left")
       .select(col("source"), col("p"), coalesce(col("n"), lit(0L)).as("n"))
+    if (requireFeasible) {
+      val starved = counts.filter(expr("n div p") === 0L)
+        .orderBy(col("source")).limit(5).collect()
+      require(starved.isEmpty,
+        "infeasible mixture: source(s) " + starved.map(r =>
+          s"${r.getString(0)} (n=${r.getAs[Long]("n")}, p=${r.getAs[Int]("p")})")
+          .mkString(", ") +
+          " cannot supply one weight unit — absent from docs or too small")
+    }
     // feasible integer multiplier: units per weight point the scarcest
     // source can supply (1-row aggregate, broadcast to the quota join)
     val m = counts.agg(min(expr("n div p")).as("m"))

@@ -139,10 +139,14 @@ object ExportPipeline {
     val parts = spark.sql(s"SHOW PARTITIONS $ident").collect()
       .map(_.getString(0))
     val expired = parts.filter { p =>
+      // non-numeric key values (date strings, __HIVE_DEFAULT_PARTITION__
+      // for null keys) are skipped, not fatal: the watermark compares
+      // integral keys only, and one foreign partition must not abort the
+      // whole expiry sweep
       p.split("/").collectFirst {
         case kv if kv.toLowerCase.startsWith(s"$k=") =>
-          kv.drop(kv.indexOf('=') + 1).toLong
-      }.exists(_ < maxExclusive)
+          scala.util.Try(kv.drop(kv.indexOf('=') + 1).toLong).toOption
+      }.flatten.exists(_ < maxExclusive)
     }
     expired.foreach { p =>
       val spec = p.split("/").map { kv =>

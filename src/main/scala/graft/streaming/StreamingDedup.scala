@@ -172,7 +172,11 @@ object StreamingDedup {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val nm = st.getPath.getName
-      if (nm.startsWith("v=") && nm.drop(2).toLong < keepFrom)
+      // foreign entries (v=<non-numeric>, unrelated files) are ignored
+      // like any other GC failure — never fail the micro-batch over them
+      val ver = if (nm.startsWith("v="))
+        scala.util.Try(nm.drop(2).toLong).toOption else None
+      if (ver.exists(_ < keepFrom))
         try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () }
     }
   }
@@ -187,7 +191,8 @@ object StreamingDedup {
     val versions =
       if (!fs.exists(root)) Array.empty[Long]
       else fs.listStatus(root).map(_.getPath.getName)
-        .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+        .flatMap(s => if (s.startsWith("v="))
+          scala.util.Try(s.drop(2).toLong).toOption else None)
         .filter(_ < batchId)
     if (versions.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -98,7 +98,10 @@ object StreamingExport {
       withBatch.write.mode("overwrite")
         .partitionBy(partitionCols: _*).format(format).saveAsTable(ident)
     } else {
-      val view = s"graft_catalog_batch_${table.toLowerCase}"
+      // db- and batch-qualified: two concurrent catalog exports of
+      // same-named tables (different dbs, or two queries in one session)
+      // must not clobber each other's view between create and INSERT
+      val view = s"graft_catalog_batch_${d}_${table.toLowerCase}_$batchId"
       withBatch.createOrReplaceTempView(view)
       try {
         // SELECT order: the table's data columns, then the dynamic

@@ -119,6 +119,12 @@ class CatalogSinkSpec extends SparkSpec {
     // idempotent below the same watermark
     assert(ExportPipeline
       .expirePartitions(spark, "graft_test", "retain_orc", "batch_id", 2L) == 0)
+    // a non-numeric key column (string values, __HIVE_DEFAULT_PARTITION__
+    // for nulls) is skipped spec-by-spec, never a NumberFormatException
+    // that aborts the sweep
+    assert(ExportPipeline
+      .expirePartitions(spark, "graft_test", "retain_orc", "continent", 99L) == 0)
+    assert(spark.table(t).count() == 2)
   }
 
   test("path-based ORC write + ORC compaction round-trip") {

@@ -480,6 +480,16 @@ class DedupSimilaritySpec extends SparkSpec {
     // silently-renormalized mixture over just the present sources
     assert(Corpus.mixSources(docs,
       Map("src0" -> 1, "absent_source" -> 1)).isEmpty)
+    // requireFeasible makes the same situation fail loudly, naming the
+    // starved source — and passes through untouched when feasible
+    val e = intercept[IllegalArgumentException] {
+      Corpus.mixSources(docs, Map("src0" -> 1, "absent_source" -> 1),
+        requireFeasible = true)
+    }
+    assert(e.getMessage.contains("absent_source"))
+    assert(Corpus.mixSources(docs, weights, requireFeasible = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      mixed.map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
   test("trainCentroids drops a cluster whose mean rounds to the zero vector") {

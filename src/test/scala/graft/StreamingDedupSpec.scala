@@ -156,6 +156,10 @@ class StreamingDedupSpec extends SparkSpec {
     StreamingDedup.nearDupGateBatch(
       Seq(Doc(1L, ts("2024-01-01 00:00:00"), a)).toDF(),
       0L, store, out, 0.5, 600L, 64, 4, 3)
+    // a foreign entry under the store root (v=<non-numeric>) must be
+    // ignored by version GC like any other unremovable file — never a
+    // NumberFormatException failing the micro-batch
+    assert(new java.io.File(store, "v=stray").mkdir())
     StreamingDedup.nearDupGateBatch(
       Seq(Doc(2L, ts("2024-01-01 00:01:00"), b),
         Doc(3L, ts("2024-01-01 00:02:00"), c)).toDF(),
