@@ -522,6 +522,20 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d))),
 
+    // IVF SERVE path: train once → persist the quantizer → load → query
+    // with NO training jobs in the plan. Bit-identical to sim_ann_ivf by
+    // quantizer determinism (spec-checked; no SQL oracle).
+    "sim_ann_ivf_served" -> ((s, d) => {
+      val p = Similarity.prepared(Tables.embeddings(s, d))
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_centroids_${Integer.toHexString(d.hashCode)}").toString
+      Similarity.saveCentroids(
+        Similarity.trainCentroids(p, nlist = 16, iters = 2), dir)
+      Similarity.ivfTopKWith(Tables.embeddings(s, d),
+        Similarity.loadCentroids(s, dir))
+    }),
+
     // ---- Group B: multimodal columns ------------------------------------
 
     // Binary media payload + typed metadata + (stub) feature extraction.

@@ -261,6 +261,42 @@ object Similarity {
     val cent = broadcast(
       if (trainIters <= 0) seedCentroids(p, nlist)
       else trainCentroids(p, nlist, trainIters))
+    ivfServe(p, cent, nQueries, k, nprobe)
+  }
+
+  /** Persist a TRAINED quantizer ([[trainCentroids]] output) as a tiny
+    * parquet table — nlist rows of (cent_id, c_qv, c_nrm). A real IVF
+    * deployment trains ONCE and reuses the quantizer at serve time;
+    * re-training per query (a) wastes the Lloyd's iterations and (b)
+    * silently re-assigns the inverted lists whenever the sample changes.
+    * Pair with [[loadCentroids]] + [[ivfTopKWith]]. */
+  def saveCentroids(cent: DataFrame, path: String): Unit =
+    cent.select(col("cent_id"), col("c_qv"), col("c_nrm"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted quantizer for [[ivfTopKWith]]. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** IVF serve path: top-k over a PRE-TRAINED quantizer (typically
+    * [[loadCentroids]]). Plans NO training jobs — the quantizer frame is
+    * broadcast as-is; assignment, probing and rerank are identical to
+    * [[ivfTopK]] (spec-checked bit-identical against in-session
+    * training). */
+  def ivfTopKWith(emb: DataFrame, centroids: DataFrame,
+                  nQueries: Int = 10, k: Int = 10,
+                  nprobe: Int = 4): DataFrame = {
+    val need = Seq("cent_id", "c_qv", "c_nrm")
+    require(need.forall(centroids.columns.contains),
+      s"quantizer must carry ${need.mkString(", ")} — got " +
+        centroids.columns.mkString(", "))
+    ivfServe(prepared(emb),
+      broadcast(centroids.select(need.map(col): _*)), nQueries, k, nprobe)
+  }
+
+  private def ivfServe(p: DataFrame, cent: DataFrame, nQueries: Int,
+                       k: Int, nprobe: Int): DataFrame = {
     // assign every vector to its best centroid: argmax cosine via max_by
     val assigned = p.join(cent)
       .withColumn("c_cos",

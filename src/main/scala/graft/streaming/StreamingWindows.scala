@@ -21,9 +21,22 @@ object StreamingWindows {
 
   def tumbling(events: DataFrame, width: String = "1 hour",
                watermark: String = "10 minutes"): DataFrame =
+    hopping(events, width, width, watermark)
+
+  /** Hopping (sliding) windows: `width`-wide windows advancing every
+    * `slide` — each event lands in width/slide overlapping windows.
+    * Catalyst expands window() to the covering window set BEFORE
+    * aggregation (and collapses to the tumbling fast path when slide ==
+    * width), so partial aggregation, append-mode closed-window emission
+    * and watermark state eviction all work exactly as in [[tumbling]];
+    * state (and shuffle) grow by the overlap factor width/slide, still
+    * bounded by the watermark horizon. */
+  def hopping(events: DataFrame, width: String = "1 hour",
+              slide: String = "15 minutes",
+              watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), width), col("event_type"))
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))

@@ -394,6 +394,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall below bound")
   }
 
+  test("persisted IVF quantizer: serve path bit-identical to in-session " +
+    "training, and plans no training jobs") {
+    val p = Similarity.prepared(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cent_").toString
+    Similarity.saveCentroids(
+      Similarity.trainCentroids(p, nlist = 8, iters = 2), dir)
+    val served = Similarity.ivfTopKWith(emb,
+      Similarity.loadCentroids(spark, dir), nQueries = 10, k = 10, nprobe = 4)
+    // no quantizer training in the serve plan: the md5-keyed
+    // deterministic sampling exists ONLY in train/seed paths
+    assert(!served.queryExecution.optimizedPlan.toString.contains("md5"),
+      "serve plan still contains the training sample")
+    val fresh = Similarity.ivfTopK(emb, nQueries = 10, k = 10,
+      nlist = 8, nprobe = 4, trainIters = 2).collect()
+    assert(served.collect().toSeq == fresh.toSeq)
+    // quantizer schema contract is enforced up front
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWith(emb, emb)
+    }
+    assert(e.getMessage.contains("cent_id"))
+  }
+
   test("trained IVF quantizer beats the flat one on clustered data") {
     import spark.implicits._
     // deterministic clustered fixture: 4 well-separated centers (disjoint

@@ -107,4 +107,45 @@ class StatefulSessionsSpec extends SparkSpec {
         s"got $rows")
     } finally q.stop()
   }
+
+  test("watermarked hopping windows: overlapping windows each emit once, " +
+    "closed only, with the width/slide overlap factor") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    // 1h windows every 30min: an event belongs to exactly 2 windows
+    val out = graft.streaming.StreamingWindows.hopping(
+      mem.toDF().toDF("ts", "event_type", "value"),
+      width = "1 hour", slide = "30 minutes", watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hopping_stream").start()
+    try {
+      // watermark after this batch = 00:40 - 10min = 00:30, which closes
+      // EXACTLY the earliest hop [23:30,00:30) — per-window emission, not
+      // per-hour: the overlapping [00:00,01:00) stays open
+      mem.addData(
+        (ts("2024-01-01 00:05:00"), "view", 1.0),
+        (ts("2024-01-01 00:40:00"), "view", 2.0))
+      q.processAllAvailable()
+      val early = spark.table("hopping_stream")
+        .collect().map(r => (r.getAs[Timestamp]("win_start"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(early == Set((ts("2023-12-31 23:30:00"), 1L)), s"got $early")
+
+      // hour-3 event: watermark 02:50 closes every window ending <= it
+      mem.addData((ts("2024-01-01 03:00:00"), "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("hopping_stream")
+        .collect().map(r => (r.getAs[Timestamp]("win_start"),
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
+      // 00:05 → [23:30,00:30) and [00:00,01:00); 00:40 → [00:00,01:00)
+      // and [00:30,01:30): each event in exactly 2 windows, each window
+      // emitted exactly once with its full content
+      assert(rows == Set(
+        (ts("2023-12-31 23:30:00"), "view", 1L, 1.0),
+        (ts("2024-01-01 00:00:00"), "view", 2L, 3.0),
+        (ts("2024-01-01 00:30:00"), "view", 1L, 2.0)),
+        s"got $rows")
+    } finally q.stop()
+  }
 }
