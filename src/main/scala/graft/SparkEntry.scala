@@ -326,6 +326,21 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // Per-user event adjacency: previous/next event and the exact-µs gap
+    // since the last one — the session-gap primitive as a window query.
+    "window_lag_lead" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"),
+          (unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Set operations: EXCEPT / INTERSECT over user populations.
     "set_ops" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -343,6 +358,19 @@ object SparkEntry {
     // that IS the oracle; structure is the 100 TB hot-key remedy).
     "agg_salted" -> ((s, d) =>
       Relational.saltedAgg(Tables.events(s, d))),
+
+    // Skew-safe salted equi-join: 10k events over 150 hot users against
+    // the 1.5k-customer dim — result ≡ the plain join (the oracle), hot
+    // keys diffused over 16 salted shuffle partitions.
+    "join_skew_salted" -> ((s, d) =>
+      Relational.saltedJoin(
+          Tables.events(s, d),
+          Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+          "user_id", "c_custkey", col("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("event_id"))),
 
     // Exact interpolated quantiles (order statistics, oracle-checkable).
     "text_len_quantiles" -> ((s, d) =>
@@ -426,6 +454,11 @@ object SparkEntry {
     // Deterministic md5-keyed document sample (~12.5%).
     "doc_sample" -> ((s, d) =>
       Corpus.sampleDocs(Tables.documents(s, d))),
+
+    // Per-source stratified sample: fixed md5-ordered quota per stratum
+    // (WindowGroupLimit — no full per-source sort).
+    "doc_sample_stratified" -> ((s, d) =>
+      Corpus.stratifiedSample(Tables.documents(s, d))),
 
     // Deterministic train/test split keyed on doc_id.
     "train_test_split" -> ((s, d) =>
@@ -787,6 +820,21 @@ object SparkEntry {
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
 
+    // the salted join is semantically the PLAIN equi-join
+    "join_skew_salted" ->
+      ("SELECT event_id, user_id, event_type, c_name, c_mktsegment " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "ORDER BY event_id"),
+
+    "window_lag_lead" ->
+      ("SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "LAG(event_id) OVER w AS prev_event_id, " +
+        "LEAD(event_id) OVER w AS next_event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) - " +
+        "LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, ts, event_id"),
+
     "text_len_quantiles" ->
       ("SELECT quantile_cont(n_chars, 0.25) AS p25, quantile_cont(n_chars, 0.5) AS p50, " +
         "quantile_cont(n_chars, 0.75) AS p75, quantile_cont(n_chars, 0.9) AS p90, " +
@@ -890,6 +938,12 @@ object SparkEntry {
       ("SELECT * FROM documents " +
         "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') " +
         "ORDER BY doc_id"),
+
+    "doc_sample_stratified" ->
+      ("SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank FROM (" +
+        "SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "WHERE rk <= 20 ORDER BY source, sample_rank"),
 
     "train_test_split" ->
       ("SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) " +

@@ -63,6 +63,23 @@ object Corpus {
   def sampleDocs(docs: DataFrame): DataFrame =
     docs.filter(isHoldout(col("doc_id"))).orderBy(col("doc_id"))
 
+  /** Deterministic per-source stratified sample: the `perSource` docs
+    * with the smallest md5(doc_id) within each source — a fixed-size
+    * quota per stratum, unlike [[sampleDocs]]'s fixed-rate holdout.
+    * Repartition-stable and engine-portable (same md5-order doctrine as
+    * [[mixSources]]); the rank<=k filter plans as WindowGroupLimit, so
+    * each task keeps `perSource` rows per stratum before the shuffle —
+    * no full per-source sort materializes at corpus scale. */
+  def stratifiedSample(docs: DataFrame, perSource: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perSource)
+      .select(col("doc_id"), col("source"),
+        col("rk").cast("long").as("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
   /** Deterministic train/test split (≈87.5/12.5) keyed on doc_id. */
   def trainTestSplit(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

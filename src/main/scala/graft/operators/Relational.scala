@@ -175,6 +175,29 @@ object Relational {
       .orderBy(col(key))
   }
 
+  /** Skew-safe equi-join — [[saltedAgg]]'s sibling for JOINS whose build
+    * side is too big to broadcast and whose probe key is power-law: the
+    * fact side salts its join key with a deterministic hash of a unique
+    * column (`saltBy`), the dim side is replicated `salts`× (one copy
+    * per salt value), and the join runs on (key, salt) — so a hot key's
+    * rows land on `salts` shuffle partitions instead of one reducer.
+    * Semantically IDENTICAL to the plain equi-join (the oracle is the
+    * unsalted join); the cost is `salts`× the dim's shuffle volume,
+    * which is the right trade exactly when |dim| ≪ |fact-side hot key|.
+    * AQE's skew-join split is the reactive alternative for sort-merge
+    * plans; salting is the declarative form that also covers hash joins,
+    * disabled-AQE deployments, and pre-partitioned layouts. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String, saltBy: Column,
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val sf = fact.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
+    val rd = dim.withColumn("__dsalt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    sf.join(rd, sf(factKey) === rd(dimKey) && sf("__salt") === rd("__dsalt"))
+      .drop("__salt", "__dsalt")
+  }
+
   /** Exact interpolated quantiles of document length — order statistics
     * are exact on integer inputs, so the oracle can replicate them. */
   /** Exact type-7 quantiles over a BOUNDED-domain column: Spark's exact

@@ -40,6 +40,52 @@ class RelationalSpec extends SparkSpec {
     assert(keys(small) == keys(naive))
   }
 
+  test("saltedJoin ≡ plain equi-join, and the shuffle key carries the salt") {
+    val ev = Tables.events(spark, sf0)
+    val cust = Tables.customer(spark, sf0)
+      .select(col("c_custkey"), col("c_name"))
+    val salted = Relational.saltedJoin(ev, cust,
+      "user_id", "c_custkey", col("event_id"))
+    val plain = ev.join(cust, col("user_id") === col("c_custkey"))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "c_custkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys(salted).nonEmpty && keys(salted) == keys(plain))
+    // with broadcast off, the fact-side exchange must partition on
+    // (key, salt) — the hot key diffuses over `salts` partitions
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Relational.saltedJoin(ev, cust,
+          "user_id", "c_custkey", col("event_id"))
+        .queryExecution.executedPlan.toString
+      val saltedExchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") &&
+          l.contains("__salt"))
+      assert(saltedExchanges.nonEmpty,
+        s"no salted exchange — the hot key still lands on one reducer:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("stratifiedSample: exact per-stratum quota, repartition-stable") {
+    val docs = Tables.documents(spark, sf0)
+    val sample = graft.operators.Corpus.stratifiedSample(docs, perSource = 5)
+      .collect()
+    val perSource = sample.groupBy(_.getString(1)).view.mapValues(_.length)
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum yields min(quota, stratum size), ranks are 1..k
+    counts.foreach { case (s, n) =>
+      assert(perSource.getOrElse(s, 0) == math.min(5L, n), s"quota for $s") }
+    sample.groupBy(_.getString(1)).foreach { case (s, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq, s) }
+    // identical selection under a different partitioning
+    val reparted = graft.operators.Corpus
+      .stratifiedSample(docs.repartition(7), perSource = 5).collect()
+    assert(reparted.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      sample.map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("pii scrub: case-insensitive, hex ids redacted before digit runs") {
     val df = Seq(
       (1L, "mail Alice.Smith@Example.COM now"),

@@ -148,4 +148,28 @@ class StatefulSessionsSpec extends SparkSpec {
         s"got $rows")
     } finally q.stop()
   }
+
+  test("stream-static enrichment: stateless broadcast join per micro-batch, " +
+    "left keeps unmatched stream rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingEnrich.enrich(
+      mem.toDF().toDF("user_id", "action"), dim, "user_id", how = "left")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_stream").start()
+    try {
+      mem.addData((1L, "click"), (2L, "view"), (99L, "ghost"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)))).toSet
+      // stateless: all three rows emit in the SAME micro-batch they
+      // arrive in (no watermark, no state) — unmatched keeps null tier
+      assert(rows == Set(
+        (1L, "click", Some("gold")),
+        (2L, "view", Some("silver")),
+        (99L, "ghost", None)), s"got $rows")
+    } finally q.stop()
+  }
 }
