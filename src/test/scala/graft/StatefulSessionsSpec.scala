@@ -149,6 +149,48 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches within the window, " +
+    "respects the bounds, state evicts behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    // buys attribute to a click on the same user within [0, 30 min]
+    val out = graft.streaming.StreamingJoin.interval(
+      clicks.toDF().toDF("user_id", "ts"),
+      buys.toDF().toDF("user_id", "ts"),
+      "user_id", lowerSec = 0L, upperSec = 1800L, watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("interval_join").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:00")))
+      buys.addData(
+        (1L, ts("2024-01-01 10:20:00")),  // in window → match
+        (2L, ts("2024-01-01 10:45:00")),  // past upper bound → no match
+        (3L, ts("2024-01-01 10:05:00")))  // no click at all → no match
+      q.processAllAvailable()
+      val rows = spark.table("interval_join")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("l_ts"), r.getAs[Timestamp]("r_ts"))).toSet
+      assert(rows == Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"))),
+        s"got $rows")
+      // advance both watermarks far past the window; user 1's click
+      // (10:00) is then provably unmatchable and evicted — a "late"
+      // in-window buy for it must NOT match anymore
+      clicks.addData((9L, ts("2024-01-01 15:00:00")))
+      buys.addData((9L, ts("2024-01-01 15:00:01")))
+      q.processAllAvailable()
+      buys.addData((1L, ts("2024-01-01 10:25:00"))) // late beyond watermark
+      q.processAllAvailable()
+      val after = spark.table("interval_join").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("r_ts"))).toSet
+      assert(after == Set(
+        (1L, ts("2024-01-01 10:20:00")),
+        (9L, ts("2024-01-01 15:00:01"))), s"got $after")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: stateless broadcast join per micro-batch, " +
     "left keeps unmatched stream rows") {
     implicit val sqlCtx = spark.sqlContext
