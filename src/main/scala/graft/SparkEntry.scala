@@ -426,6 +426,12 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Winnowing (MOSS) rolling-hash fingerprints: window-min of ordered
+    // k-gram hashes — partial-overlap detection, full oracle (string-min
+    // over md5 prefixes is engine-portable).
+    "text_winnow_fingerprint" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
+
     // Gopher-style repetition quality: top-token share + duplicate-bigram
     // fraction, thresholded into a keep flag (narrow, zero-shuffle).
     "text_rep_quality" -> ((s, d) =>
@@ -911,6 +917,19 @@ object SparkEntry {
       ("SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS content_fp, " +
         "md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS bag_fp " +
         "FROM documents ORDER BY doc_id"),
+
+    // winnowing: same k=3 grams, w=4 window, lexicographic string minima
+    // (DuckDB list slices are 1-based inclusive, like Spark's slice)
+    "text_winnow_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 8)) AS hs FROM t), " +
+        "w AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 0) + 1), " +
+        "j -> list_min(hs[j:j+3])) AS sel FROM g) " +
+        "SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp FROM w " +
+        "ORDER BY doc_id, fp"),
 
     "event_window_tumbling" ->
       ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, " +

@@ -86,6 +86,28 @@ class RelationalSpec extends SparkSpec {
       sample.map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("winnowing: a shared w+k-1 token run guarantees a common " +
+    "fingerprint; selection is sparse; short docs yield none") {
+    // k=3, w=4 defaults: any shared run of >= 6 tokens must contribute
+    // at least one common selected hash (the winnowing guarantee)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"red green blue $shared yellow purple orange pink"),
+      (3L, "completely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "guaranteed common fingerprint missing")
+    assert((fp(1L) & fp(3L)).isEmpty, "disjoint docs share a fingerprint")
+    // sparsity: doc 1 has 13 tokens → 11 k-grams, but only ≤ 8 window
+    // minima and fewer after dedup
+    assert(fp(1L).size < 11, s"selected ${fp(1L).size} of 11 hashes")
+    // below w+k-1 tokens there is no full window → no fingerprints
+    assert(TextAnalysis.winnowFingerprints(
+      Seq((9L, "a b c d e")).toDF("doc_id", "text")).count() == 0)
+  }
+
   test("pii scrub: case-insensitive, hex ids redacted before digit runs") {
     val df = Seq(
       (1L, "mail Alice.Smith@Example.COM now"),
