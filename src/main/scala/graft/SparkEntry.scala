@@ -594,6 +594,11 @@ object SparkEntry {
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Nearest-neighbor resize to a 4x4 thumbnail in the same codec
+    // harness — exact integer resampling, analytically replayable.
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Audio modality, same doctrine as the BMP leg: hand-built RIFF/WAV
     // payloads decoded back through javax.sound's OWN parser; the oracle
     // replays the PCM arithmetic analytically, so encoder and decoder
@@ -1201,6 +1206,21 @@ object SparkEntry {
         "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height, " +
         "((n_chars % 13) + 4) * ((n_chars % 7) + 4) AS n_pixels FROM documents)) " +
         "ORDER BY doc_id"),
+
+    // analytic nearest-neighbor replay: dst pixel i (4x4 row-major) maps
+    // to src (sy, sx) = (i//4 * h // 4, i%4 * w // 4), value from the
+    // same synthesized-pixel formula as multimodal_decode
+    "multimodal_resize" ->
+      ("SELECT doc_id, width AS src_width, height AS src_height, " +
+        "CAST(list_sum(px) AS BIGINT) AS r_sum, " +
+        "CAST(list_sum(list_transform(range(0, 16), i -> i * px[i+1])) AS BIGINT) AS r_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS r_min, " +
+        "CAST(list_max(px) AS BIGINT) AS r_max " +
+        "FROM (SELECT doc_id, width, height, " +
+        "list_transform(range(0, 16), i -> " +
+        "(doc_id*31 + ((((i // 4) * height) // 4) * width + (((i % 4) * width) // 4)) * 7) % 256) AS px " +
+        "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height " +
+        "FROM documents)) ORDER BY doc_id"),
 
     // Analytic replay of the WAV decode: PCM sample i is
     // (doc_id*37 + i*11) % 65536 - 32768 (operands positive before the

@@ -260,4 +260,53 @@ object Multimodal {
       }
     }(enc).toDF().orderBy(col("doc_id"))
   }
+
+  /** Nearest-neighbor RESIZE in the same mapPartitions codec harness as
+    * [[decodePartitions]]: decode each payload with ImageIO, resample to
+    * a fixed `dstW`×`dstH` thumbnail — the shape-normalization step every
+    * vision feature pipeline runs before batching — and emit stats over
+    * the RESIZED pixels. Nearest neighbor is exact integer index math
+    * (src = (dst · srcDim) div dstDim), so the oracle replays the pixel
+    * selection analytically; a real bilinear/Lanczos kernel would slot
+    * into the same harness with a spec-only check. */
+  def resizePartitions(spark: SparkSession, ingested: DataFrame,
+                       dstW: Int = 4, dstH: Int = 4): DataFrame = {
+    require(dstW > 0 && dstH > 0, s"bad target shape ${dstW}x$dstH")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("src_width", LongType),
+      StructField("src_height", LongType),
+      StructField("r_sum", LongType),
+      StructField("r_posw", LongType),
+      StructField("r_min", LongType),
+      StructField("r_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = ingested.select(col("doc_id"), col("media_bytes"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
+        require(img != null, "undecodable media payload")
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L; var posw = 0L; var mn = 255L; var mx = 0L
+        var dy = 0
+        while (dy < dstH) {
+          val sy = dy * h / dstH
+          var dx = 0
+          while (dx < dstW) {
+            val sx = dx * w / dstW
+            val red = (img.getRGB(sx, sy) >> 16) & 0xff
+            val i = dy.toLong * dstW + dx
+            sum += red; posw += i * red
+            if (red < mn) mn = red
+            if (red > mx) mx = red
+            dx += 1
+          }
+          dy += 1
+        }
+        Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, sum, posw, mn, mx)
+      }
+    }(enc).toDF().orderBy(col("doc_id"))
+  }
 }

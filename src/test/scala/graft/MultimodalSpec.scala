@@ -72,4 +72,41 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ingestWav(docs.repartition(7))).collect()
     assert(reparted.toSeq == decoded.toSeq)
   }
+
+  test("resizePartitions: identity on 4x4 sources, downsample picks the " +
+    "exact nearest-neighbor pixels") {
+    import spark.implicits._
+    // n_chars = 91 → width = 91%13+4 = 4, height = 91%7+4 = 4: the 4x4
+    // resize is then the identity, so its stats must equal decode's
+    val sq = Seq((1L, "x" * 91, 91L), (2L, "y" * 91, 91L))
+      .toDF("doc_id", "text", "n_chars")
+    val dec = Multimodal.decodePartitions(spark, Multimodal.ingestBmp(sq))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("px_sum"), r.getAs[Long]("px_posw"),
+          r.getAs[Long]("px_min"), r.getAs[Long]("px_max"))).toMap
+    val res = Multimodal.resizePartitions(spark, Multimodal.ingestBmp(sq))
+      .collect()
+    res.foreach { r =>
+      val d = dec(r.getAs[Long]("doc_id"))
+      assert((r.getAs[Long]("r_sum"), r.getAs[Long]("r_posw"),
+        r.getAs[Long]("r_min"), r.getAs[Long]("r_max")) == d)
+      assert(r.getAs[Long]("src_width") == 4L &&
+        r.getAs[Long]("src_height") == 4L)
+    }
+    // a non-square source (n_chars = 1 → 5x5... use 9 → w=13%… ) —
+    // downsample case: verify against the pixel formula directly
+    val wide = Seq((7L, "z" * 9, 9L)).toDF("doc_id", "text", "n_chars")
+    val w = Multimodal.bmpWidth(9); val h = Multimodal.bmpHeight(9)
+    val expected = (for (dy <- 0 until 4; dx <- 0 until 4) yield {
+      val sy = dy * h / 4; val sx = dx * w / 4
+      Multimodal.pixelValue(7L, sy.toLong * w + sx).toLong
+    }).toSeq
+    val row = Multimodal.resizePartitions(spark, Multimodal.ingestBmp(wide))
+      .collect().head
+    assert(row.getAs[Long]("r_sum") == expected.sum)
+    assert(row.getAs[Long]("r_min") == expected.min)
+    assert(row.getAs[Long]("r_max") == expected.max)
+    assert(row.getAs[Long]("r_posw") ==
+      expected.zipWithIndex.map { case (v, i) => v * i }.sum)
+  }
 }
