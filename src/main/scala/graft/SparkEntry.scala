@@ -446,6 +446,11 @@ object SparkEntry {
     "event_sessionize" -> ((s, d) =>
       Sessionize.sessions(Tables.events(s, d))),
 
+    // Ordered conversion funnel: deepest signup → view → purchase stage
+    // per user, each step strictly after the previous one's earliest hit.
+    "event_funnel" -> ((s, d) =>
+      Sessionize.funnel(Tables.events(s, d))),
+
     // ---- Group B: corpus preparation ------------------------------------
 
     // Top-k corpus vocabulary by term frequency.
@@ -942,6 +947,22 @@ object SparkEntry {
         "event_type, COUNT(*) AS n_events, " +
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
+
+    // same µs-normalizing CTE discipline as event_sessionize; strict >
+    // comparisons therefore run in the µs domain on both engines
+    "event_funnel" ->
+      ("WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "u AS (SELECT DISTINCT user_id FROM o), " +
+        "s1 AS (SELECT user_id, MIN(ts) AS t1 FROM o WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s2 AS (SELECT o.user_id, MIN(o.ts) AS t2 FROM o JOIN s1 USING (user_id) " +
+        "WHERE o.event_type = 'view' AND o.ts > s1.t1 GROUP BY o.user_id), " +
+        "s3 AS (SELECT o.user_id, MIN(o.ts) AS t3 FROM o JOIN s2 USING (user_id) " +
+        "WHERE o.event_type = 'purchase' AND o.ts > s2.t2 GROUP BY o.user_id) " +
+        "SELECT u.user_id, s1.t1, s2.t2, s3.t3, " +
+        "CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2 " +
+        "WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage " +
+        "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) " +
+        "LEFT JOIN s3 USING (user_id) ORDER BY user_id"),
 
     "event_sessionize" ->
       ("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +

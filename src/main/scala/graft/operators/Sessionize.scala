@@ -47,4 +47,47 @@ object Sessionize {
         col("session_window.end").as("sess_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("sess_start"))
+
+  /** Ordered funnel: how far each user progresses through `steps`, where
+    * step n must occur STRICTLY AFTER the user's earliest completion of
+    * step n-1 (the classic signup → view → purchase conversion query).
+    * Output: one row per user with t1..tK (earliest valid time per step,
+    * null once a step is missed) and funnel_stage = deepest step reached.
+    *
+    * Shape: one filtered aggregation per step — each stage aggregates
+    * only that step's events (a filter-pruned slice of the scan) joined
+    * to the previous stage's (user, t) frame, which is |users| rows and
+    * broadcastable/AQE-handled. K small and fixed (funnels are 3-6
+    * steps), so this is K narrow passes, never a per-user event sort —
+    * the window-function formulation would shuffle and sort EVERY event
+    * row; this shuffles per-step slices and |users|-sized frames. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("signup", "view", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // stage frames: s(n) = (user_id, tn) — earliest step-n event after tn-1
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val slice = events.filter(col("event_type") === step)
+        val tn = s"t${i + 1}"
+        Some(prev match {
+          case None =>
+            slice.groupBy(col("user_id")).agg(min(col("ts")).as(tn))
+          case Some(p) =>
+            slice.join(p.select(col("user_id"), col(s"t$i")), Seq("user_id"))
+              .filter(col("ts") > col(s"t$i"))
+              .groupBy(col("user_id")).agg(min(col("ts")).as(tn))
+        })
+    }.flatten
+    val users = events.select(col("user_id")).distinct()
+    val joined = stages.foldLeft(users) { (acc, s) =>
+      acc.join(s, Seq("user_id"), "left")
+    }
+    // ascending fold so the DEEPEST reached step is the outermost when()
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    joined
+      .withColumn("funnel_stage", stage.cast("long"))
+      .orderBy(col("user_id"))
+  }
 }

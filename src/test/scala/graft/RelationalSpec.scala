@@ -108,6 +108,31 @@ class RelationalSpec extends SparkSpec {
       Seq((9L, "a b c d e")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("funnel: strictly-after ordering, missed steps cascade to null") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full ordered funnel → stage 3
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:05:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: view BEFORE signup does not count → stage 1
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      // user 3: purchase without an intervening view → stage 1
+      (3L, ts("2024-01-01 10:00:00"), "signup"),
+      (3L, ts("2024-01-01 10:05:00"), "purchase"),
+      // user 4: never signed up → stage 0
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      // user 5: view at the SAME instant as signup is not strictly after
+      (5L, ts("2024-01-01 10:00:00"), "signup"),
+      (5L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Sessionize.funnel(ev).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("funnel_stage")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
   test("pii scrub: case-insensitive, hex ids redacted before digit runs") {
     val df = Seq(
       (1L, "mail Alice.Smith@Example.COM now"),
