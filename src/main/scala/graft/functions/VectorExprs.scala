@@ -348,6 +348,85 @@ case class TopTokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection in one pass (the hot loop behind
+  * TextAnalysis.winnowFingerprints): normalize (lower/trim/collapse
+  * spaces), hash every ordered word k-gram (first 4 md5 bytes as 8 hex
+  * chars — identical to `substring(md5(gram), 1, 8)`), slide a w-window
+  * and keep each window's LEXICOGRAPHIC minimum; returns the distinct
+  * minima sorted. Replaces a transform/slice/array_min HOF chain that
+  * was interpreted per element and dominated the query (7.3 s → the
+  * expression's single JVM loop per doc); the md5-prefix/string-min
+  * contract is unchanged, so the DuckDB oracle still verifies it. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(v: Any): Any = {
+    // same normalization as regexp_replace(trim(lower(text)), " +", " "):
+    // UTF8String.toLowerCase is what Spark's lower() uses
+    val norm = v.asInstanceOf[UTF8String].toLowerCase.trim().toString
+    val toks = norm.split(" +")
+    val m = toks.length - k + 1
+    val nw = m - w + 1
+    if (nw <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      // first 4 digest bytes = first 8 lowercase hex chars of md5
+      val h = new Array[Char](8)
+      var b = 0
+      while (b < 4) {
+        h(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+        h(2 * b + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      hashes(i) = new String(h)
+      i += 1
+    }
+    val sel = new java.util.TreeSet[String]()
+    var j = 0
+    while (j < nw) {
+      var mn = hashes(j)
+      var x = j + 1
+      while (x < j + w) {
+        if (hashes(x).compareTo(mn) < 0) mn = hashes(x)
+        x += 1
+      }
+      sel.add(mn)
+      j += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[LongArrayDot]]. */
   def longArrayDot(a: Column, b: Column): Column =
@@ -379,4 +458,8 @@ object VectorFunctions {
   /** Column API for [[TopTokenCount]]. */
   def topTokenCount(text: Column): Column =
     GraftColumnBridge.column(TopTokenCount(GraftColumnBridge.expression(text)))
+
+  /** Column API for [[WinnowFps]]. */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(WinnowFps(GraftColumnBridge.expression(text), k, w))
 }

@@ -223,26 +223,19 @@ object TextAnalysis {
     * Engine-portable on purpose: the "hash" is the first 8 hex chars of
     * md5(k-gram) and window minima are LEXICOGRAPHIC string minima —
     * both identical in Spark and DuckDB, so the output is fully
-    * oracle-checkable (no cross-engine integer-hash mismatch). Narrow
-    * per-doc HOF work, zero shuffle; at corpus scale the interpreted
-    * higher-order functions would be the first thing to replace with a
-    * native expression (§4.3 doctrine — only if profiling demands).
+    * oracle-checkable (no cross-engine integer-hash mismatch). The
+    * selection runs in the native WinnowFps expression (one JVM loop per
+    * doc — the equivalent transform/slice/array_min HOF chain was
+    * interpreted per element and 10× slower, §4.3's profiling clause
+    * triggered); zero shuffle either way.
     *
     * Output: (doc_id, fp) — one row per distinct selected hash; docs
     * shorter than w+k-1 tokens yield no rows. */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
-    // 1..cnt as an array, empty (not descending!) when cnt < 1
-    def idxs(cnt: Column) =
-      when(cnt >= 1, sequence(lit(1), cnt)).otherwise(array())
-    val toks = split(regexp_replace(trim(lower(col("text"))), " +", " "), " ")
-    val grams = transform(idxs(size(toks) - (k - 1)),
-      i => substring(md5(array_join(slice(toks, i, lit(k)), " ")), 1, 8))
-    val sel = transform(idxs(size(col("hs")) - (w - 1)),
-      j => array_min(slice(col("hs"), j, lit(w))))
-    docs.select(col("doc_id"), grams.as("hs"))
-      .select(col("doc_id"),
-        explode(array_sort(array_distinct(sel))).as("fp"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.winnowFps(col("text"), k, w))
+          .as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }
 }
