@@ -432,6 +432,12 @@ object SparkEntry {
     "text_winnow_fingerprint" -> ((s, d) =>
       TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
 
+    // Shared-fingerprint overlap pairs: copied passages / boilerplate
+    // across otherwise-unrelated docs (what a whole-doc Jaccard
+    // threshold misses); bounded-bucket candidates, full oracle.
+    "dedup_winnow" -> ((s, d) =>
+      Dedup.winnowOverlapPairs(Tables.documents(s, d))),
+
     // Gopher-style repetition quality: top-token share + duplicate-bigram
     // fraction, thresholded into a keep flag (narrow, zero-shuffle).
     "text_rep_quality" -> ((s, d) =>
@@ -940,6 +946,20 @@ object SparkEntry {
         "j -> list_min(hs[j:j+3])) AS sel FROM g) " +
         "SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp FROM w " +
         "ORDER BY doc_id, fp"),
+
+    // same winnow CTE, self-joined on the fingerprint
+    "dedup_winnow" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 8)) AS hs FROM t), " +
+        "w AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 0) + 1), " +
+        "j -> list_min(hs[j:j+3])) AS sel FROM g), " +
+        "fp AS (SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fp FROM w) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared " +
+        "FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b"),
 
     "event_window_tumbling" ->
       ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, " +

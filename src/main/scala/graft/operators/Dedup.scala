@@ -308,12 +308,18 @@ object Dedup {
     * enumerated.
     *
     * `keyed` must carry a long id column `idCol` plus the blocking key
-    * columns; output is the distinct (doc_a, doc_b) with doc_a < doc_b. */
+    * columns; output is the distinct (doc_a, doc_b) with doc_a < doc_b —
+    * or, with `keepCounts`, (doc_a, doc_b, n_shared) where n_shared is
+    * the number of blocking keys the pair co-occurred under (each key
+    * counted once per pair; callers wanting counts must ensure the keyed
+    * relation is distinct per (id, key), which explode-of-a-set inputs
+    * are by construction). */
   private[operators] def boundedCandidatePairs(keyed: DataFrame, idCol: String,
                                                bucketCols: Seq[String],
                                                maxBucket: Int,
                                                overflow: BucketOverflow,
-                                               opName: String): DataFrame = {
+                                               opName: String,
+                                               keepCounts: Boolean = false): DataFrame = {
     require(maxBucket > 1, s"maxBucket must exceed 1, got $maxBucket")
     val buckets = keyed
       .groupBy(bucketCols.map(col): _*)
@@ -332,12 +338,14 @@ object Dedup {
               "exact-dedup the corpus first or widen the blocking key; " +
               "BucketOverflow.Drop skips over-cap buckets instead"))).isNull)
     }
-    guarded
+    val pairs = guarded
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    if (keepCounts)
+      pairs.groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+    else pairs.distinct()
   }
 
   /** MinHash signatures: k min-hashes per doc, computed in one pass by
@@ -390,6 +398,30 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     jaccardVerify(inter, sizes, threshold)
+  }
+
+  /** Partial-overlap pairs via shared WINNOWING fingerprints — the MOSS
+    * detection query: docs sharing ≥ `minShared` selected window-min
+    * hashes ([[TextAnalysis.winnowFingerprints]]). Complements the
+    * Jaccard family: a whole-doc Jaccard threshold misses two LONG docs
+    * that share one boilerplate paragraph (the shared shingles drown in
+    * each doc's total), while any shared run of ≥ w+k-1 tokens is
+    * GUARANTEED a common winnow fingerprint — so this finds copied
+    * passages, license headers and template boilerplate across
+    * otherwise-unrelated documents. Candidates enumerate through the
+    * same [[boundedCandidatePairs]] hot-bucket guard as the other LSH
+    * paths (a fingerprint shared by a whole corpus — the boilerplate
+    * case par excellence — must cap or fail, never go quadratic).
+    * Output: (doc_a, doc_b, n_shared), doc_a < doc_b, ordered. */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                         minShared: Int = 2, maxBucket: Int = 1024,
+                         overflow: BucketOverflow = BucketOverflow.Fail): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = TextAnalysis.winnowFingerprints(docs, k, w)
+    boundedCandidatePairs(fps, "doc_id", Seq("fp"), maxBucket, overflow,
+        "winnowOverlapPairs", keepCounts = true)
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 64-bit SimHash fingerprints via the native SimHash64 expression:

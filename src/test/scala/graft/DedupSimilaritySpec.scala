@@ -327,6 +327,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.toSeq == roomy.toSeq)
   }
 
+  test("winnowOverlapPairs finds shared boilerplate that a whole-doc " +
+    "Jaccard threshold misses; guard trips on corpus-wide fingerprints") {
+    import spark.implicits._
+    val boiler = "licensed under the creative commons attribution share alike international license"
+    def uniq(p: String) = (0 until 40).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a")} $boiler"),
+      (2L, s"$boiler ${uniq("b")}"),
+      (3L, uniq("c")))
+      .toDF("doc_id", "text")
+    // the 10-token shared run guarantees >= 1 common selected fingerprint
+    val overlaps = Dedup.winnowOverlapPairs(docs, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overlaps.contains((1L, 2L)), s"boilerplate pair missed: $overlaps")
+    assert(!overlaps.contains((1L, 3L)) && !overlaps.contains((2L, 3L)))
+    // whole-doc Jaccard at the dedup threshold does NOT see this pair:
+    // ~8 shared grams over ~88 distinct ones is J ≈ 0.1
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "fixture too similar — Jaccard found it, the contrast is vacuous")
+    // a fingerprint shared corpus-wide (all-identical docs) must hit the
+    // bounded-bucket guard, not enumerate quadratically
+    val same = (0 until 40).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.winnowOverlapPairs(same, maxBucket = 8).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb ++= Option(c.getMessage).getOrElse(""); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(e).contains("maxBucket=8"))
+  }
+
   test("quantized cosine is symmetric, bounded and exact on unit cases") {
     import spark.implicits._
     val df = Seq(
