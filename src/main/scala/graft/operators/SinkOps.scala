@@ -69,7 +69,10 @@ object SinkOps {
     val out = s"$scratchRoot/txn_batch"
     val routed = ExportPipeline.route(events, Seq("event_type"))
     ExportPipeline.writeRouted(routed, out)
-    spark.read.parquet(out)
+    // explicit schema: a committed EMPTY batch leaves only _SUCCESS in
+    // the directory, and schema inference over zero files throws — a
+    // sink reader must never re-infer what the writer already knows
+    spark.read.schema(routed.schema).parquet(out)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"), min(col("payload_json")).as("first_payload"))
       .orderBy(col("event_type"))

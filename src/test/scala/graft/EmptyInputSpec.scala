@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: every registered query must PLAN AND RUN
+  * on empty tables — an empty source partition, a filter that matches
+  * nothing, or a fresh pipeline are all routine at scale, and a query
+  * that throws on zero rows (a bare .head() on an aggregate, a null
+  * reduction, sequence(1, 0) going descending) takes the whole job down
+  * with it. Result contract: zero or more rows, never an exception. */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf_").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      // schema-preserving empty copy of each table (raw parquet read, so
+      // the NANOS-timestamp shape of events survives verbatim)
+      spark.read.parquet(s"$sf0/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$emptyTmp/$t.parquet")
+    }
+    emptyTmp
+  }
+  private val emptyTmp =
+    java.nio.file.Files.createTempDirectory("graft_empty_sf_").toString
+
+  // config/metadata queries whose output is derived from CONFIGURATION,
+  // not data — their row count is the property/policy surface itself and
+  // is the same on any input
+  private val configDerived =
+    Set("config_parse", "retry_reconnect", "schema_prime")
+
+  test("every registered query yields an empty (or constant) result on " +
+    "empty inputs — no query throws") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val n = fn(spark, emptyDir).count()
+          // aggregates without grouping legitimately return a constant
+          // row (counts of zero, null mins) — anything else must be empty
+          SparkEntry.harnessScope.release()
+          if (n > 1 && !configDerived(name))
+            Some(s"$name returned $n rows on empty input")
+          else None
+        } catch {
+          case e: Throwable =>
+            SparkEntry.harnessScope.release()
+            Some(s"$name threw ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+        }
+    }
+    assert(failures.isEmpty, s"${failures.size} queries fail on empty " +
+      s"input:\n${failures.mkString("\n")}")
+  }
+}
