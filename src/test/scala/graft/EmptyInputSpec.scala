@@ -24,6 +24,41 @@ class EmptyInputSpec extends SparkSpec {
   private val emptyTmp =
     java.nio.file.Files.createTempDirectory("graft_empty_sf_").toString
 
+  test("null text / null embedding rows flow through the core operator " +
+    "families without throwing, and never surface as results") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    val docs = Tables.documents(spark, sf0).limit(20)
+      .unionByName(Seq((9000001L, null.asInstanceOf[String], "en", "src0", 0L)
+        ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // text family: null text must not throw; the null doc never surfaces
+    Seq(
+      TextAnalysis.winnowFingerprints(docs),
+      Dedup.winnowOverlapPairs(docs, minShared = 1),
+      Dedup.simHashNearDupPairs(docs),
+      Dedup.minHashNearDupPairs(docs),
+      Dedup.ngramJaccardPairs(docs)).foreach { q =>
+      val ids = q.collect().flatMap(r =>
+        q.columns.filter(c => c == "doc_id" || c.startsWith("doc_"))
+          .filter(c => r.schema.fieldNames.contains(c))
+          .map(c => r.getAs[Any](c)).collect { case l: Long => l })
+      assert(!ids.contains(9000001L), "null-text doc surfaced as a result")
+    }
+    val emb = Tables.embeddings(spark, sf0).limit(20)
+      .unionByName(Seq((9000002L, null.asInstanceOf[Array[Float]], 0L)
+        ).toDF("vec_id", "embedding", "label"))
+    Seq(
+      Similarity.bruteForceTopK(emb, nQueries = 3, k = 3),
+      Similarity.nearDupPairsLsh(emb)).foreach { q =>
+      val rows = q.collect()
+      assert(rows.forall { r =>
+        !r.schema.fieldNames.flatMap(c => r.getAs[Any](c) match {
+          case l: Long => Some(l); case _ => None
+        }).contains(9000002L)
+      }, "null-embedding vector surfaced as a neighbor")
+    }
+  }
+
   // config/metadata queries whose output is derived from CONFIGURATION,
   // not data — their row count is the property/policy surface itself and
   // is the same on any input
