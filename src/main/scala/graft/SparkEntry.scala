@@ -535,14 +535,16 @@ object SparkEntry {
         maxDf = Some(100), scope = harnessScope)),
 
     // MinHash-LSH banding + exact verify: the 100 TB scale path for
-    // dedup_fuzzy (approximate recall — no SQL oracle; spec-tested
-    // against dedup_fuzzy instead).
+    // dedup_fuzzy. Round 7: the md5-affine portable hashing makes the
+    // whole banded candidate set DuckDB-replayable — full oracle
+    // (sqlMinHash), plus the recall/precision specs.
     "dedup_minhash" -> ((s, d) =>
       Dedup.minHashNearDupPairs(Tables.documents(s, d), threshold = 0.5,
         scope = harnessScope)),
 
-    // SimHash fingerprint + banded Hamming near-dup pairs (hash-based —
-    // no SQL oracle; spec-tested).
+    // SimHash fingerprint + banded Hamming near-dup pairs. Round 7: the
+    // md5 token hash makes fingerprints, band keys and Hamming verify
+    // all DuckDB-replayable — full oracle (sqlSimHash).
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHashNearDupPairs(Tables.documents(s, d))),
 
@@ -551,7 +553,10 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
 
-    // LSH-bucketed embedding near-dup (scale path; spec-checked recall).
+    // LSH-bucketed embedding near-dup (scale path). The deterministic
+    // LCG hyperplanes are plain integer arithmetic, so the bucket
+    // assignment — and with it the full candidate set + exact verify —
+    // has a full DuckDB oracle (sqlLshBucketCte); recall spec-checked too.
     "dedup_embedding_lsh" -> ((s, d) =>
       Similarity.nearDupPairsLsh(Tables.embeddings(s, d))),
 
@@ -561,8 +566,9 @@ object SparkEntry {
     "sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d))),
 
-    // LSH-bucketed ANN top-k: the scale path (approximate — recall
-    // spec-tested against sim_topk; no SQL oracle).
+    // LSH-bucketed ANN top-k: the scale path. Same portable LCG
+    // hyperplanes as dedup_embedding_lsh — full DuckDB oracle for the
+    // candidate lookup + exact rerank; recall spec vs sim_topk besides.
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d))),
 
@@ -1200,6 +1206,29 @@ object SparkEntry {
         "THEN 'test' ELSE 'train' END AS split, wv.quality " +
         "FROM wv JOIN cl USING (doc_id) WHERE cl.cid = wv.doc_id ORDER BY wv.doc_id"),
 
+    "dedup_minhash" -> sqlMinHash,
+
+    "dedup_simhash" -> sqlSimHash,
+
+    "dedup_embedding_lsh" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk a " +
+        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        s"SELECT c.vec_a, c.vec_b, ${sqlCosFrag("x", "y")} AS cos " +
+        "FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id " +
+        "WHERE NOT isnan(cos) AND cos >= 0.4 ORDER BY vec_a, vec_b"),
+
+    "sim_ann_lsh" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bk WHERE vec_id < 10), " +
+        "cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id FROM qb " +
+        "JOIN bk b ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND b.vec_id != qb.q_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)) " +
+        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
     "dedup_embedding" ->
       (s"WITH $sqlQuantCte " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
@@ -1294,6 +1323,116 @@ object SparkEntry {
   private val sqlQuantCte: String =
     "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS nrm FROM q)"
+
+  /** MinHash-LSH oracle: exact replay of the engine's md5-affine MinHash
+    * (graft.functions.PortableHash — the constants below are inlined from
+    * the SAME generator the native expression uses), 16×4 banding on
+    * decimal-string keys, then the identical exact-Jaccard verify as
+    * dedup_fuzzy. Base hash = integer of md5's first 7 hex chars. */
+  private def sqlMinHash: String = {
+    val p = graft.functions.PortableHash.MinHashP
+    val params = graft.functions.PortableHash.minHashParams(64)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % $p) AS m$i"
+    }.mkString(", ")
+    val bands = (0 until 16).map { bd =>
+      val key = (0 until 4).map(r => s"CAST(m${bd * 4 + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bd AS band, $key AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"WITH $sqlShingleCte, " +
+      "hh AS (SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS h FROM sh), " +
+      s"sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id), " +
+      s"bands AS ($bands), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common FROM cand c " +
+      "JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id " +
+      "AND a.shingle = b.shingle GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, n_common, sa.sz + sb.sz - n_common AS n_union, " +
+      "CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard " +
+      "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
+      "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5 " +
+      "ORDER BY doc_a, doc_b"
+  }
+
+  /** SimHash oracle: per-token md5 hash split into hex halves (hi = chars
+    * 1-8 = digest bytes 0-3 = fingerprint bits 32-63; lo = chars 9-16 =
+    * bits 0-31), ±1 votes per bit, votes >= 0 sets the bit, halves
+    * recombined into the SIGNED 64-bit fingerprint the engine carries;
+    * then the same Manku block-combination banding arithmetic as
+    * Dedup.simHashBandKeys (numBlocks=6, maxHamming=3) and the exact
+    * Hamming verify. DuckDB's >> is arithmetic like Spark's shiftright,
+    * so block extraction agrees on negative fingerprints. */
+  private def sqlSimHash: String = {
+    val votes = (0 until 64).map { b =>
+      val bit = if (b < 32) s"((lo >> $b) & 1)" else s"((hi >> ${b - 32}) & 1)"
+      s"SUM(2 * $bit - 1) AS v$b"
+    }.mkString(", ")
+    val fhi = (32 until 64)
+      .map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << (b - 32)} ELSE 0 END)")
+      .mkString(" + ")
+    val flo = (0 until 32)
+      .map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    // block geometry mirrors Dedup.simHashBandKeys(maxHamming=3, numBlocks=6)
+    val numBlocks = 6
+    val maxHamming = 3
+    val base = 64 / numBlocks
+    val rem = 64 % numBlocks
+    val widths = Seq.tabulate(numBlocks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def block(i: Int) = s"((fp >> ${offsets(i)}) & ${(1L << widths(i)) - 1L})"
+    val bands = (0 until numBlocks).combinations(numBlocks - maxHamming)
+      .toSeq.zipWithIndex.map { case (combo, ci) =>
+        val key = combo.foldLeft("CAST(0 AS BIGINT)") { (acc, b) =>
+          s"(($acc << ${widths(b)}) | ${block(b)})"
+        }
+        s"SELECT doc_id, $ci AS band, $key AS key FROM fp"
+      }.mkString(" UNION ALL ")
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+      "th AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS hi, " +
+      "CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT) AS lo FROM tok), " +
+      s"v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id), " +
+      s"fp0 AS (SELECT doc_id, $fhi AS fhi, $flo AS flo FROM v), " +
+      "fp AS (SELECT doc_id, CASE WHEN fhi >= 2147483648 THEN " +
+      "(fhi - 4294967296) * 4294967296 + flo ELSE fhi * 4294967296 + flo END AS fp " +
+      "FROM fp0), " +
+      s"bands AS ($bands), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) " +
+      "SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming " +
+      "FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id JOIN fp fb ON c.doc_b = fb.doc_id " +
+      "WHERE bit_count(xor(fa.fp, fb.fp)) <= 3 ORDER BY doc_a, doc_b"
+  }
+
+  /** Sign-LSH bucket CTE over the quantized embeddings (`n` from
+    * sqlQuantCte): exact replay of graft.functions.SignLshBuckets'
+    * deterministic LCG hyperplanes — the weight formula below is the
+    * same integer arithmetic, never overflowing 2^63 (h ≤ 63, i < dim,
+    * so the pre-mod product is < 2^57). tables=16, bitsPerTable=4,
+    * matching Similarity's defaults. */
+  private def sqlLshBucketCte: String = {
+    val tables = 16
+    val bits = 4
+    val sel = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        val h = t * bits + b
+        val w = s"((($h * 1000003 + i) * 1103515245 + 12345) % 2147483648 - 1073741824)"
+        val proj = s"list_sum(list_transform(range(0, len(v)), i -> v[i+1] * $w))"
+        s"(CASE WHEN $proj >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, CAST($bucket AS BIGINT) AS bucket FROM n"
+    }.mkString(" UNION ALL ")
+    s"bk AS ($sel)"
+  }
+
+  /** Shared exact-cosine fragment for the LSH oracles (mirrors
+    * Similarity.cosine on quantized ints — bit-identical doubles). */
+  private def sqlCosFrag(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a.v, $b.v), p -> p[1]*p[2])) AS DOUBLE) " +
+      s"/ (sqrt(CAST($a.nrm AS DOUBLE)) * sqrt(CAST($b.nrm AS DOUBLE)))"
 
   /** Language-ID oracle: same marker lists, same alphabetical-first
     * tie-break as TextAnalysis.langId. */

@@ -101,55 +101,80 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** MinHash signature of a shingle set in one pass: base = FNV-1a 64 of
-  * each shingle's bytes, then k affine permutations g_h(x) = a_h·x + b_h
-  * (odd multipliers from a fixed LCG on h), taking the min per h.
+/** Engine-portable hash constants shared by the native MinHash/SimHash
+  * expressions AND the DuckDB oracle SQL generators (SparkEntry) — ONE
+  * source of truth, so the oracle replays the exact same arithmetic.
+  *
+  * The portability contract (same doctrine as [[WinnowFps]]): the only
+  * non-SQL primitive is md5, which both engines expose with identical
+  * semantics. Everything downstream of the digest is plain 64-bit
+  * integer arithmetic kept strictly inside [0, 2^63) so neither engine
+  * can overflow (Spark wraps silently, DuckDB raises — both are wrong).
+  */
+object PortableHash {
+  /** MinHash modulus: 2^31 - 1 (Mersenne prime). Base hashes are 28-bit
+    * md5 prefixes and multipliers are < 2^31, so a·h + b < 2^60. */
+  val MinHashP: Long = 2147483647L
+
+  /** Deterministic affine-permutation parameters (a_i odd in [1, 2^31),
+    * b_i in [0, 2^31)) from a fixed LCG — inlined as literals into the
+    * oracle SQL, so any change here changes both engines together. */
+  def minHashParams(k: Int): IndexedSeq[(Long, Long)] = {
+    var s = 0x9E3779B97F4A7C15L
+    (0 until k).map { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val a = (s >>> 33) | 1L
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (a, s >>> 33)
+    }
+  }
+
+  /** 28-bit base hash of a shingle: the integer value of the first 7
+    * lowercase-hex chars of md5 — what DuckDB computes as
+    * `CAST('0x' || substring(md5(s), 1, 7) AS BIGINT)`. */
+  def md5Prefix28(digest: Array[Byte]): Long =
+    ((digest(0) & 0xffL) << 20) | ((digest(1) & 0xffL) << 12) |
+      ((digest(2) & 0xffL) << 4) | ((digest(3) & 0xffL) >>> 4)
+}
+
+/** MinHash signature of a shingle set in one pass: base = the 28-bit
+  * md5-prefix of each shingle ([[PortableHash.md5Prefix28]]), then k
+  * affine permutations g_i(x) = (a_i·x + b_i) mod (2^31-1), taking the
+  * min per i. Null (not an empty array) when the shingle set is empty —
+  * a no-content doc must not band-collide with other no-content docs.
   *
   * Replaces the explode(shingles × k seeds) formulation, which pushed
   * |shingles|·k rows (16.6M at sf0.1) through a shuffle just to take
-  * mins — here it's one tight loop per document, no extra rows. Standard
-  * hash-once-permute-k MinHash; banding recall behaves identically.
+  * mins — here it's one tight loop per document, no extra rows. The
+  * md5-based base hash (round 7, was FNV-1a) makes every signature —
+  * and therefore the whole banded candidate set — replayable by the
+  * DuckDB oracle; see [[PortableHash]].
   */
 case class MinHashSig(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  import org.apache.spark.unsafe.types.UTF8String
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
-  // fixed affine permutation parameters (odd a_h), derived once per plan
-  private lazy val (as, bs) = {
-    val a = new Array[Long](k); val b = new Array[Long](k)
-    var s = 0x9E3779B97F4A7C15L
-    var i = 0
-    while (i < k) {
-      s = s * 6364136223846793005L + 1442695040888963407L; a(i) = s | 1L
-      s = s * 6364136223846793005L + 1442695040888963407L; b(i) = s
-      i += 1
-    }
-    (a, b)
-  }
-
-  private def fnv1a(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-    h
-  }
+  private lazy val params = PortableHash.minHashParams(k).toArray
+  private val P = PortableHash.MinHashP
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val base = fnv1a(arr.getUTF8String(i))
+      md.reset()
+      val base = PortableHash.md5Prefix28(md.digest(arr.getUTF8String(i).getBytes))
       var h = 0
       while (h < k) {
-        val g = as(h) * base + bs(h)
+        val g = (params(h)._1 * base + params(h)._2) % P
         if (g < mins(h)) mins(h) = g
         h += 1
       }
@@ -211,15 +236,18 @@ case class SignLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash of single-space-separated text in one pass: FNV-1a 64
-  * per token, each hash bit votes ±1 (term-frequency weighted), sign of
-  * the vote sum becomes the fingerprint bit.
+/** 64-bit SimHash of single-space-separated text in one pass: the token
+  * hash is the big-endian long of the first 8 md5 digest bytes (= the
+  * first 16 hex chars of `md5(token)`), each hash bit votes ±1
+  * (term-frequency weighted), sign of the vote sum becomes the
+  * fingerprint bit (votes ≥ 0 ⇒ bit set).
   *
   * Replaces an explode(tokens) + 64 × sum(when(...)) aggregation — a
   * shuffle of |tokens| rows with 64 aggregate buffers per doc — with a
-  * narrow per-row loop. SimHash values change (different token hash than
-  * the old xxhash64 form) but all fingerprint invariants (identical text
-  * ⇒ identical hash, near-identical ⇒ small Hamming distance) hold.
+  * narrow per-row loop. The md5 token hash (round 7, was FNV-1a) is the
+  * portability contract: the DuckDB oracle reassembles the identical
+  * fingerprint from `md5(token)` hex halves — see [[PortableHash]] and
+  * the generated SQL in SparkEntry.
   */
 case class SimHash64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -233,13 +261,16 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(v: Any): Any = {
     val toks = v.asInstanceOf[UTF8String].split(space, -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
-      val bytes = toks(t).getBytes
-      var h = 0xcbf29ce484222325L
+      md.reset()
+      val d = md.digest(toks(t).getBytes)
+      // big-endian: bit 63 of h = MSB of digest byte 0 = first hex digit
+      var h = 0L
       var i = 0
-      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -349,9 +349,11 @@ object Dedup {
   }
 
   /** MinHash signatures: k min-hashes per doc, computed in one pass by
-    * the native MinHashSig expression (hash each shingle once, k affine
-    * permutations) — no exploded (shingle × seed) rows, no shuffle.
-    * Output: (doc_id, sig array<long>[k]). */
+    * the native MinHashSig expression (md5-prefix base hash, k affine
+    * permutations mod 2^31-1 — the engine-portable scheme, see
+    * graft.functions.PortableHash) — no exploded (shingle × seed) rows,
+    * no shuffle. Output: (doc_id, sig array<long>[k]); sig is NULL for
+    * docs with no shingles (and for null text). */
   def minHashSignatures(docs: DataFrame, n: Int = 3,
                         numHashes: Int = 64): DataFrame =
     docs.select(col("doc_id"),
@@ -359,15 +361,22 @@ object Dedup {
         .minHashSig(shingles(col("text"), n), numHashes).as("sig"))
 
   /** LSH band keys: bands of `rowsPerBand` signature entries, bucket =
-    * murmur hash of the band's slice. Output: (doc_id, band, bucket). */
+    * the band's values joined with '_' — a plain decimal string, so the
+    * DuckDB oracle forms the identical key (the previous murmur
+    * `hash(slice)` bucket was engine-private). Null signatures (docs
+    * with no shingles) produce no band rows: a corpus of empty docs must
+    * not congregate in one null-key bucket and trip the hot-bucket
+    * guard. Output: (doc_id, band, bucket string). */
   def lshBands(sigs: DataFrame, numHashes: Int = 64,
                rowsPerBand: Int = 4): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { bd =>
       struct(lit(bd).as("band"),
-        hash(slice(col("sig"), bd * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+        array_join(slice(col("sig"), bd * rowsPerBand + 1, rowsPerBand)
+          .cast("array<string>"), "_").as("bucket"))
     }
-    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sigs.filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
   }
 
@@ -424,11 +433,25 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C(n, k), saturating at Long.MaxValue — guard arithmetic only. */
+  private def binomial(n: Int, k: Int): Long = {
+    val kk = math.min(k, n - k)
+    var r = 1L
+    var i = 1
+    while (i <= kk) {
+      if (r > Long.MaxValue / (n - kk + i)) return Long.MaxValue
+      r = r * (n - kk + i) / i
+      i += 1
+    }
+    r
+  }
+
   /** 64-bit SimHash fingerprints via the native SimHash64 expression:
-    * per-token FNV-1a hashes vote ±1 per bit, sign of the sum is the
-    * fingerprint bit. Narrow projection — no explode, no shuffle (the
-    * previous formulation shuffled |tokens| rows through 64 aggregate
-    * buffers per doc). */
+    * per-token md5 hashes (engine-portable, see
+    * graft.functions.PortableHash) vote ±1 per bit, sign of the sum is
+    * the fingerprint bit. Narrow projection — no explode, no shuffle
+    * (the previous formulation shuffled |tokens| rows through 64
+    * aggregate buffers per doc). */
   def simHash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.VectorFunctions.simHash64(col("text")).as("simhash"))
@@ -460,6 +483,13 @@ object Dedup {
     require(numBlocks > maxHamming && numBlocks <= 64,
       s"need maxHamming < numBlocks <= 64, got $maxHamming/$numBlocks")
     require(maxHamming >= 1, "maxHamming must be >= 1 (0 needs no banding)")
+    // C(numBlocks, maxHamming) keys per doc are materialized EAGERLY at
+    // plan-build time: mid-range parameters (say 40/20) mean billions of
+    // structs — refuse before allocating anything
+    require(binomial(numBlocks, maxHamming) <= 512L,
+      s"simHashBandKeys would emit C($numBlocks, $maxHamming) = " +
+        s"${binomial(numBlocks, maxHamming)} band keys per doc (limit 512) " +
+        "— lower numBlocks or maxHamming")
     val base = 64 / numBlocks
     val rem = 64 % numBlocks
     val widths = Seq.tabulate(numBlocks)(i => if (i < rem) base + 1 else base)
@@ -486,7 +516,10 @@ object Dedup {
                           numBlocks: Int = 6, maxBucket: Int = 1024,
                           overflow: BucketOverflow = BucketOverflow.Fail): DataFrame = {
     val fps = simHash(docs)
-    val banded = fps.select(col("doc_id"),
+    // null fingerprints (null text) must not congregate in a null-key
+    // bucket — they can never verify, but they could trip the Fail guard
+    val banded = fps.filter(col("simhash").isNotNull)
+      .select(col("doc_id"),
         explode(simHashBandKeys(col("simhash"), maxHamming, numBlocks)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = boundedCandidatePairs(banded, "doc_id", Seq("band", "key"),
@@ -495,7 +528,7 @@ object Dedup {
     val fb = fps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
     cand.join(fa, Seq("doc_a")).join(fb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -207,7 +207,7 @@ object StreamingDedup {
           org.apache.spark.sql.types.StructField("band",
             org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("bucket",
-            org.apache.spark.sql.types.IntegerType))))
+            org.apache.spark.sql.types.StringType))))
     else spark.read.parquet(s"$storeDir/v=${versions.max}")
   }
 }

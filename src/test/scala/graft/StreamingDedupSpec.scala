@@ -147,7 +147,7 @@ class StreamingDedupSpec extends SparkSpec {
     assert(agree(sigMap(1L), sigMap(3L)) < 0.5, "fixture: C must NOT match A")
     val bandRows = Dedup.lshBands(sigs, 64, 4).collect()
       .map(r => (r.getAs[Long]("doc_id"),
-        (r.getAs[Int]("band"), r.getAs[Int]("bucket"))))
+        (r.getAs[Int]("band"), r.getAs[String]("bucket"))))
     def buckets(id: Long) =
       bandRows.collect { case (d, bb) if d == id => bb }.toSet
     assert(buckets(2L).intersect(buckets(3L)).nonEmpty,
