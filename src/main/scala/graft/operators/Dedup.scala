@@ -234,7 +234,8 @@ object Dedup {
     * pointer jumping — see [[nearDupClusters]] for the full algorithm
     * and scale notes. */
   def connectedComponents(pairRelation: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          labelPartitions: Option[Int] = None): DataFrame = {
     val Seq(ca, cb) = pairRelation.columns.toSeq.take(2).map(col)
     val pairs = pairRelation.select(ca.as("doc_a"), cb.as("doc_b"))
     val edges = pairs
@@ -242,6 +243,16 @@ object Dedup {
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // label-frame parallelism: by default AQE sizes the per-round
+      // shuffle by bytes (small graphs coalesce to few tasks, a
+      // billion-vertex near-dup graph spreads over the cluster) — the
+      // previous fixed coalesce(8) was a parallelism CEILING at scale.
+      // An explicit labelPartitions forces that width instead (callers
+      // that know the graph is huge and want to skip AQE's ramp-up).
+      val reshape: DataFrame => DataFrame = labelPartitions match {
+        case Some(n) => df => df.repartition(n)
+        case None => identity
+      }
       def labelSum(l: DataFrame): java.math.BigDecimal =
         // empty vertex set (no pairs at all) sums to null -> ZERO, which
         // converges on the first round as it must
@@ -258,33 +269,43 @@ object Dedup {
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
-        // neighbor-min WITHOUT a union (a union of the label frame with
-        // a join over itself trips Catalyst's union constraint rewrite):
-        // min over incoming neighbor labels, then least() with the own
-        // label — identical result, plain join+aggregate plan. Every
-        // vertex is a dst of some edge (edges are symmetric), so the
-        // left join is total; coalesce guards regardless.
-        val neighborMin = edges.join(labels, col("src") === col("node"))
-          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-        val stepped = labels.join(neighborMin, col("node") === col("dst"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        // pointer jump: follow the stepped label through the PREVIOUS
-        // round's (checkpointed) label map. Every label is a vertex id
-        // of the same component, so the hop stays in-component and only
-        // decreases — compressing chain diameters to O(log d) rounds.
-        val jumped = stepped.as("x")
-          .join(labels.select(col("node").as("jn"), col("lbl").as("jl")),
-            col("x.lbl") === col("jn"), "left")
-          .select(col("x.node").as("node"),
-            coalesce(col("jl"), col("x.lbl")).as("lbl"))
-        // the label frame is |graph vertices| rows — tiny next to the
-        // corpus; coalesce keeps per-round task overhead off the loop
-        labels = jumped.coalesce(8).localCheckpoint()
+        // TWO propagation steps per convergence probe: labels only ever
+        // decrease, so an unchanged (exact, decimal) sum across the pair
+        // means neither step moved a label — same fixpoint, half the
+        // driver round-trips (the per-round driver action is the loop's
+        // main serial cost on short graphs)
+        var step = 0
+        while (step < 2 && it < maxIters) {
+          // neighbor-min WITHOUT a union (a union of the label frame with
+          // a join over itself trips Catalyst's union constraint rewrite):
+          // min over incoming neighbor labels, then least() with the own
+          // label — identical result, plain join+aggregate plan. Every
+          // vertex is a dst of some edge (edges are symmetric), so the
+          // left join is total; coalesce guards regardless.
+          val neighborMin = edges.join(labels, col("src") === col("node"))
+            .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+          val stepped = labels.join(neighborMin, col("node") === col("dst"), "left")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          // pointer jump: follow the stepped label through the previous
+          // step's label map. Every label is a vertex id of the same
+          // component, so the hop stays in-component and only decreases —
+          // compressing chain diameters to O(log d) rounds.
+          val jumped = stepped.as("x")
+            .join(labels.select(col("node").as("jn"), col("lbl").as("jl")),
+              col("x.lbl") === col("jn"), "left")
+            .select(col("x.node").as("node"),
+              coalesce(col("jl"), col("x.lbl")).as("lbl"))
+          // the label frame is |graph vertices| rows — small next to the
+          // corpus; AQE (or the explicit override) sizes its partitions,
+          // so per-round task overhead tracks the graph, never a fixed cap
+          labels = reshape(jumped).localCheckpoint()
+          step += 1
+          it += 1
+        }
         val s = labelSum(labels)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
-        it += 1
       }
       if (!converged)
         throw new IllegalStateException(

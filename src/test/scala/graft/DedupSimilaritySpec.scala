@@ -77,6 +77,47 @@ class DedupSimilaritySpec extends SparkSpec {
     verts.foreach(v => assert(labels(v) == find(v), s"vec $v"))
   }
 
+  test("connectedComponents at 10x duplication: labels unchanged on the " +
+    "original graph, copies label within their own replica, parallelism " +
+    "tracks the input") {
+    import spark.implicits._
+    // base graph: 50 chains of length 4 plus 20 triangles — diameters
+    // that exercise the pointer jumping, ids sparse
+    val chainEdges = (0 until 50).flatMap { c =>
+      val b = c * 10L
+      Seq((b, b + 3), (b + 3, b + 7), (b + 7, b + 9))
+    }
+    val triEdges = (0 until 20).flatMap { t =>
+      val b = 10000L + t * 10L
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    }
+    val base = (chainEdges ++ triEdges).toDF("a", "b")
+    val baseLabels = Dedup.connectedComponents(base).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    // 10x: the original plus 9 re-keyed replicas (disjoint id ranges).
+    // Components never bridge replicas, so every original vertex must
+    // keep its exact label and every copy must get the offset label.
+    val offs = (1 to 9).map(_ * 1000000L)
+    val stressed = offs.foldLeft(base) { (acc, o) =>
+      acc.unionByName(base.select((col("a") + o).as("a"), (col("b") + o).as("b")))
+    }
+    val stressedLabels = Dedup.connectedComponents(stressed).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    assert(stressedLabels.size == baseLabels.size * 10)
+    baseLabels.foreach { case (n, l) =>
+      assert(stressedLabels(n) == l, s"original node $n relabeled")
+      offs.foreach { o =>
+        assert(stressedLabels(n + o) == l + o, s"copy ${n + o} mislabeled")
+      }
+    }
+    // parallelism: an explicit labelPartitions forces the label-frame
+    // width (the default lets AQE size it — either way, no fixed
+    // coalesce(8) ceiling remains)
+    val wide = Dedup.connectedComponents(base.repartition(16),
+      labelPartitions = Some(16))
+    assert(wide.rdd.getNumPartitions == 16)
+  }
+
   test("repetitionStats flags repeated-token and repeated-bigram docs") {
     import spark.implicits._
     val fixture = Seq(
