@@ -191,6 +191,13 @@ object Relational {
                  factKey: String, dimKey: String, saltBy: Column,
                  salts: Int = 16): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // withColumn REPLACES a same-named input column and the final drop
+    // would then delete caller data — refuse the collision instead of
+    // silently losing a column
+    Seq("__salt" -> fact, "__dsalt" -> dim).foreach { case (h, df) =>
+      require(!df.columns.contains(h),
+        s"saltedJoin reserves helper column '$h'; rename it in the input")
+    }
     val sf = fact.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
     val rd = dim.withColumn("__dsalt",
       explode(sequence(lit(0L), lit(salts - 1L))))

@@ -65,6 +65,19 @@ class RelationalSpec extends SparkSpec {
       assert(saltedExchanges.nonEmpty,
         s"no salted exchange — the hot key still lands on one reducer:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // helper-column collision: an input already carrying __salt/__dsalt
+    // must be refused (withColumn would replace it and drop would then
+    // delete the caller's data — silent column loss)
+    val e1 = intercept[IllegalArgumentException] {
+      Relational.saltedJoin(ev.withColumn("__salt", lit(1)), cust,
+        "user_id", "c_custkey", col("event_id"))
+    }
+    assert(e1.getMessage.contains("__salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.saltedJoin(ev, cust.withColumn("__dsalt", lit(1)),
+        "user_id", "c_custkey", col("event_id"))
+    }
+    assert(e2.getMessage.contains("__dsalt"))
   }
 
   test("stratifiedSample: exact per-stratum quota, repartition-stable") {
