@@ -128,6 +128,45 @@ object SinkOps {
       .orderBy(col("endpoint"))
   }
 
+  /** Connection-oriented sink write through the per-executor
+    * [[ConnectionPool]] — the behavioral face of A15 for the one sink
+    * class where Spark does not manage connections (JDBC-style
+    * endpoints). Each partition task routes rows by `endpointCol`
+    * through `pool.get` (shared LRU+TTL cache per executor JVM); a
+    * failed write EVICTS the endpoint's connection and retries on a
+    * fresh one, up to [[WriteAttempts]] total attempts — the reference's
+    * write envelope (evict: hive/HiveSink.java:78-80; attempts:
+    * hive/HivePartitionStream.java:147-173). Exhaustion rethrows, which
+    * under Spark surfaces as task failure → task retry → job failure,
+    * the engine-level analogue of the reference's block restart. */
+  def pooledPartitionWrite[C](df: DataFrame, endpointCol: String,
+                              poolId: String,
+                              connect: String => C,
+                              writeRow: (C, org.apache.spark.sql.Row) => Unit,
+                              closeConn: C => Unit,
+                              maxSize: Int = ConnectionPool.DefaultPoolSize,
+                              ttlMillis: Long = ConnectionPool.DefaultTtlMillis): Unit = {
+    val attempts = WriteAttempts
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pool = ConnectionPool.registered(poolId)(
+        new ConnectionPool[String, C](connect, closeConn, maxSize, ttlMillis))
+      it.foreach { row =>
+        val ep = row.getAs[String](endpointCol)
+        // boundedRetry with reconnect-after-every-failure: eviction makes
+        // the next pool.get load a fresh connection
+        try boundedRetry(attempts,
+          betweenAttempts = _ => pool.evict(ep),
+          onExhausted = () => pool.evict(ep)) { () =>
+          writeRow(pool.get(ep), row)
+        } catch {
+          case e: Exception => throw new RuntimeException(
+            s"write to $ep failed after $attempts attempts on fresh " +
+              "connections", e)
+        }
+      }
+    }
+  }
+
   /** A16 retry constants — the reference's hard-coded envelope:
     * batch fetch = 4 attempts, 30 ms sleep between, reconnect on final
     * failure (hive/HivePartitionStream.java:91-112); write = 3 attempts,
