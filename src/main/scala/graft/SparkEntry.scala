@@ -626,10 +626,24 @@ object SparkEntry {
     "multimodal_decode" -> ((s, d) =>
       Multimodal.decodePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Second image codec (round 7): hand-built 8-bit grayscale PNGs —
+    // authored container + filter bytes + CRCs, zlib from
+    // java.util.zip — decoded back through ImageIO's independent PNG
+    // reader (inflate, CRC check, defilter). Raster-band samples, so
+    // no gray→sRGB gamma can corrupt the analytic replay.
+    "multimodal_decode_png" -> ((s, d) =>
+      Multimodal.decodeGrayPartitions(s, Multimodal.ingestPng(Tables.documents(s, d)))),
+
     // Nearest-neighbor resize to a 4x4 thumbnail in the same codec
     // harness — exact integer resampling, analytically replayable.
     "multimodal_resize" -> ((s, d) =>
       Multimodal.resizePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // Bilinear resize (round 7): half-pixel-center 2x2 blend in exact
+    // integer fixed-point — stats are emitted SCALED by 64 = (2·4)·(2·4),
+    // making the smooth kernel itself DuckDB-oracle-checkable.
+    "multimodal_resize_bilinear" -> ((s, d) =>
+      Multimodal.resizeBilinearPartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
 
     // Audio modality, same doctrine as the BMP leg: hand-built RIFF/WAV
     // payloads decoded back through javax.sound's OWN parser; the oracle
@@ -1306,6 +1320,39 @@ object SparkEntry {
         "(doc_id*31 + ((((i // 4) * height) // 4) * width + (((i % 4) * width) // 4)) * 7) % 256) AS px " +
         "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height " +
         "FROM documents)) ORDER BY doc_id"),
+
+    // Analytic replay of the PNG decode — same synthesized-pixel formula
+    // as multimodal_decode, PNG's own dimension arithmetic; PNG rows are
+    // top-down so pixel i maps straight to the raster index
+    "multimodal_decode_png" ->
+      ("SELECT doc_id, width, height, n_pixels, " +
+        "CAST(list_sum(px) AS BIGINT) AS px_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n_pixels AS INT)), i -> i * px[i+1])) AS BIGINT) AS px_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS px_min, " +
+        "CAST(list_max(px) AS BIGINT) AS px_max " +
+        "FROM (SELECT doc_id, width, height, n_pixels, " +
+        "list_transform(range(0, CAST(n_pixels AS INT)), i -> (doc_id*31 + i*7) % 256) AS px " +
+        "FROM (SELECT doc_id, (n_chars % 11) + 4 AS width, (n_chars % 5) + 4 AS height, " +
+        "((n_chars % 11) + 4) * ((n_chars % 5) + 4) AS n_pixels FROM documents)) " +
+        "ORDER BY doc_id"),
+
+    // Exact integer replay of the BILINEAR kernel: dst pixel i blends the
+    // 2x2 source neighborhood around fx = xn/8, fy = yn/8 (half-pixel
+    // centers), and the value scaled by 64 is an integer — identical
+    // arithmetic in both engines, no float in sight
+    "multimodal_resize_bilinear" ->
+      ("WITH d AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 4 AS h FROM documents), " +
+        "p AS (SELECT doc_id, w, h, i, (2*(i % 4)+1)*w - 4 AS xn, (2*(i // 4)+1)*h - 4 AS yn " +
+        "FROM d CROSS JOIN range(0, 16) t(i)), " +
+        "q AS (SELECT doc_id, w, h, i, xn // 8 AS x0, xn % 8 AS rx, least(xn // 8 + 1, w-1) AS x1, " +
+        "yn // 8 AS y0, yn % 8 AS ry, least(yn // 8 + 1, h-1) AS y1 FROM p), " +
+        "v AS (SELECT doc_id, i, " +
+        "(8-ry)*((8-rx)*((doc_id*31 + (y0*w + x0)*7) % 256) + rx*((doc_id*31 + (y0*w + x1)*7) % 256)) + " +
+        "ry*((8-rx)*((doc_id*31 + (y1*w + x0)*7) % 256) + rx*((doc_id*31 + (y1*w + x1)*7) % 256)) AS val FROM q) " +
+        "SELECT d.doc_id, CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height, " +
+        "CAST(sum(val) AS BIGINT) AS rb_sum, CAST(sum(i*val) AS BIGINT) AS rb_posw, " +
+        "CAST(min(val) AS BIGINT) AS rb_min, CAST(max(val) AS BIGINT) AS rb_max " +
+        "FROM v JOIN d ON v.doc_id = d.doc_id GROUP BY d.doc_id, w, h ORDER BY d.doc_id"),
 
     // Analytic replay of the WAV decode: PCM sample i is
     // (doc_id*37 + i*11) % 65536 - 32768 (operands positive before the

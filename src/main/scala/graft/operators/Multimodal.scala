@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   * 24-bit BMP per document and [[decodePartitions]] decodes it with
   * `javax.imageio` — an independent JDK codec, not the encoder run
   * backwards — extracting pixel statistics that the DuckDB oracle
-  * reproduces analytically. Heavier codecs (JPEG/PNG via ImageIO, audio
-  * via javax.sound) drop into the same mapPartitions harness: one
+  * reproduces analytically. The PNG leg ([[pngBytes]] /
+  * [[decodeGrayPartitions]]) and the audio leg ([[wavBytes]] /
+  * [[decodeWavPartitions]]) follow the same doctrine through ImageIO's
+  * PNG codec and javax.sound's PCM parser. Remaining heavier codecs
+  * (JPEG, Lanczos) drop into the same mapPartitions harness: one
   * decoder per PARTITION, batch-iterating rows — in PySpark this
   * boundary is `mapInPandas` with an Arrow batch per call; the
   * Scala-native equivalent with identical batch semantics is
@@ -257,6 +260,192 @@ object Multimodal {
         }
         Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, w.toLong * h,
           sum, posw, mn, mx)
+      }
+    }(enc).toDF().orderBy(col("doc_id"))
+  }
+
+  /** Deterministic synthetic PNG dims — moduli coprime to the BMP ones
+    * so the two codec paths never share a shape by accident. */
+  def pngWidth(nChars: Long): Int = (nChars % 11 + 4).toInt
+  def pngHeight(nChars: Long): Int = (nChars % 5 + 4).toInt
+
+  /** Encode one well-formed 8-bit GRAYSCALE PNG: signature, IHDR, a
+    * single zlib IDAT, IEND, with the CRC32 of every chunk. Hand-built
+    * like [[bmpBytes]]: the container bytes, scanline filter bytes and
+    * chunk CRCs are authored here (the zlib stream itself comes from
+    * `java.util.zip.Deflater` — not ImageIO), so [[decodeGrayPartitions]]
+    * reading it back through ImageIO's OWN PNG codec (inflate, CRC check,
+    * scanline defilter) is an independent decode, not the encoder run
+    * backwards. Pixel (x,y) carries [[pixelValue]](docId, y*w+x); PNG
+    * stores rows top-down, so the index is direct — BMP's bottom-up flip
+    * is the OTHER path's trap, and a decoder confusing the two fails the
+    * position-weighted checksum. */
+  def pngBytes(docId: Long, nChars: Long): Array[Byte] = {
+    val w = pngWidth(nChars); val h = pngHeight(nChars)
+    // raw scanlines: filter byte 0 (None) + w grayscale samples per row
+    val raw = new Array[Byte](h * (w + 1))
+    var y = 0
+    while (y < h) {
+      val base = y * (w + 1)
+      raw(base) = 0
+      var x = 0
+      while (x < w) {
+        raw(base + 1 + x) = pixelValue(docId, y.toLong * w + x).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val z = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(z)
+    dos.write(raw); dos.close()
+    val idat = z.toByteArray
+    val out = new java.io.ByteArrayOutputStream(idat.length + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array(), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    // IHDR: width, height, bit depth 8, color type 0 (grayscale),
+    // compression 0 (zlib), filter method 0, no interlace
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array())
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Ingest real PNG media: one synthetic grayscale PNG per document. */
+  def ingestPng(docs: DataFrame): DataFrame = {
+    val png = udf((docId: Long, nChars: Long) => pngBytes(docId, nChars))
+    docs.select(
+      col("doc_id"),
+      png(col("doc_id"), col("n_chars")).as("media_bytes"),
+      struct(
+        length(col("text")).cast("long").as("n_bytes"),
+        lit(null).cast("long").as("width"),
+        lit(null).cast("long").as("height"),
+        lit("image/png").as("mime")).as("media_meta"))
+  }
+
+  /** Grayscale decode in the same one-codec-per-partition harness as
+    * [[decodePartitions]], for single-band images (the PNG leg). Samples
+    * come off the decoded RASTER (band 0) rather than `getRGB`:
+    * `TYPE_BYTE_GRAY`'s gray→sRGB conversion is non-identity (gamma), so
+    * `getRGB` would corrupt the raw sample values that the analytic
+    * oracle replays — the raster read is the decoder's own defiltered
+    * bytes, untransformed. Same fixed output schema and position-weighted
+    * checksum as the BMP leg. */
+  def decodeGrayPartitions(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_pixels", LongType),
+      StructField("px_sum", LongType),
+      StructField("px_posw", LongType),
+      StructField("px_min", LongType),
+      StructField("px_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = ingested.select(col("doc_id"), col("media_bytes"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
+        require(img != null, "undecodable media payload")
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L; var posw = 0L
+        var mn = 255L; var mx = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0).toLong
+            val i = y.toLong * w + x
+            sum += v; posw += i * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, w.toLong * h,
+          sum, posw, mn, mx)
+      }
+    }(enc).toDF().orderBy(col("doc_id"))
+  }
+
+  /** BILINEAR resize in the same codec harness as [[resizePartitions]] —
+    * the smooth-kernel counterpart to its nearest-neighbor index math.
+    * Half-pixel-center source mapping with clamp-to-edge, the standard
+    * image-pipeline convention: dst pixel dx samples source coordinate
+    * fx = (dx+0.5)·w/dstW − 0.5, blending the 2×2 neighborhood with
+    * weights (1−frac, frac) per axis.
+    *
+    * All arithmetic is EXACT INTEGER fixed-point: fx = xnum/(2·dstW)
+    * with xnum = (2·dx+1)·w − dstW, so the fractional weights are
+    * rationals with denominator 2·dstW, and the blended value scaled by
+    * (2·dstW)·(2·dstH) is an integer both engines compute identically —
+    * the emitted `rb_*` stats are those SCALED values (scale 64 for the
+    * default 4×4), which is what makes a bilinear kernel — normally a
+    * float soup no two engines agree on bit-for-bit — fully
+    * DuckDB-oracle-checkable. */
+  def resizeBilinearPartitions(spark: SparkSession, ingested: DataFrame,
+                               dstW: Int = 4, dstH: Int = 4): DataFrame = {
+    require(dstW > 0 && dstH > 0, s"bad target shape ${dstW}x$dstH")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("src_width", LongType),
+      StructField("src_height", LongType),
+      StructField("rb_sum", LongType),
+      StructField("rb_posw", LongType),
+      StructField("rb_min", LongType),
+      StructField("rb_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val denX = 2 * dstW; val denY = 2 * dstH
+    val in = ingested.select(col("doc_id"), col("media_bytes"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
+        require(img != null, "undecodable media payload")
+        val w = img.getWidth; val h = img.getHeight
+        def red(x: Int, y: Int): Long = ((img.getRGB(x, y) >> 16) & 0xff).toLong
+        var sum = 0L; var posw = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var dy = 0
+        while (dy < dstH) {
+          val ynum = (2 * dy + 1) * h - dstH
+          var y0 = if (ynum < 0) 0 else ynum / denY
+          var ry = if (ynum < 0) 0L else (ynum % denY).toLong
+          if (y0 > h - 1) { y0 = h - 1; ry = 0L }
+          val y1 = math.min(y0 + 1, h - 1)
+          var dx = 0
+          while (dx < dstW) {
+            val xnum = (2 * dx + 1) * w - dstW
+            var x0 = if (xnum < 0) 0 else xnum / denX
+            var rx = if (xnum < 0) 0L else (xnum % denX).toLong
+            if (x0 > w - 1) { x0 = w - 1; rx = 0L }
+            val x1 = math.min(x0 + 1, w - 1)
+            val v = (denY - ry) * ((denX - rx) * red(x0, y0) + rx * red(x1, y0)) +
+              ry * ((denX - rx) * red(x0, y1) + rx * red(x1, y1))
+            val i = dy.toLong * dstW + dx
+            sum += v; posw += i * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            dx += 1
+          }
+          dy += 1
+        }
+        Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, sum, posw, mn, mx)
       }
     }(enc).toDF().orderBy(col("doc_id"))
   }

@@ -73,6 +73,101 @@ class MultimodalSpec extends SparkSpec {
     assert(reparted.toSeq == decoded.toSeq)
   }
 
+  test("pngBytes → ImageIO: exact dimensions and per-pixel raster samples") {
+    // widths 4..14 / heights 4..8 cover the modulus ranges; docId varies
+    // the pixel ramp's phase
+    for (nChars <- Seq(0L, 3L, 64L, 128L, 441L); docId <- Seq(0L, 7L, 12345L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.pngBytes(docId, nChars)))
+      assert(img != null, s"ImageIO rejected PNG for doc=$docId n=$nChars")
+      assert(img.getWidth == Multimodal.pngWidth(nChars))
+      assert(img.getHeight == Multimodal.pngHeight(nChars))
+      val raster = img.getRaster
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val i = y.toLong * img.getWidth + x
+        assert(raster.getSample(x, y, 0) == Multimodal.pixelValue(docId, i),
+          s"sample at ($x,$y) doc=$docId n=$nChars")
+      }
+    }
+  }
+
+  test("decodeGrayPartitions: PNG stats match the analytic form, any " +
+    "partitioning") {
+    val docs = Tables.documents(spark, sf0)
+    val decoded = Multimodal
+      .decodeGrayPartitions(spark, Multimodal.ingestPng(docs)).collect()
+    assert(decoded.length == docs.count())
+    decoded.take(50).foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val n = r.getAs[Long]("n_pixels")
+      val px = (0L until n).map(Multimodal.pixelValue(docId, _).toLong)
+      assert(r.getAs[Long]("width") * r.getAs[Long]("height") == n)
+      assert(r.getAs[Long]("px_sum") == px.sum)
+      assert(r.getAs[Long]("px_posw") == px.zipWithIndex.map {
+        case (v, i) => v * i }.sum)
+      assert(r.getAs[Long]("px_min") == px.min)
+      assert(r.getAs[Long]("px_max") == px.max)
+    }
+    val reparted = Multimodal.decodeGrayPartitions(spark,
+      Multimodal.ingestPng(docs.repartition(7))).collect()
+    assert(reparted.toSeq == decoded.toSeq)
+  }
+
+  test("resizeBilinearPartitions: identity (×64) on 4x4 sources; matches " +
+    "an independent double-math kernel on every fixture shape") {
+    import spark.implicits._
+    // 4x4 source → every dst center lands exactly on a src center, all
+    // fractional weights are zero: scaled output must be 64 × decode
+    val sq = Seq((1L, "x" * 91, 91L), (2L, "y" * 91, 91L))
+      .toDF("doc_id", "text", "n_chars")
+    val dec = Multimodal.decodePartitions(spark, Multimodal.ingestBmp(sq))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("px_sum"), r.getAs[Long]("px_posw"),
+          r.getAs[Long]("px_min"), r.getAs[Long]("px_max"))).toMap
+    Multimodal.resizeBilinearPartitions(spark, Multimodal.ingestBmp(sq))
+      .collect().foreach { r =>
+        val (s, p, mn, mx) = dec(r.getAs[Long]("doc_id"))
+        assert(r.getAs[Long]("rb_sum") == 64 * s)
+        assert(r.getAs[Long]("rb_posw") == 64 * p)
+        assert(r.getAs[Long]("rb_min") == 64 * mn)
+        assert(r.getAs[Long]("rb_max") == 64 * mx)
+      }
+    // independent reference kernel: plain double arithmetic, written
+    // directly from the half-pixel-center definition (no shared code
+    // with the integer fixed-point implementation under test). The
+    // weights are eighths, so 64·v is exactly representable — equality,
+    // not tolerance.
+    def reference(docId: Long, nChars: Long): Seq[Long] = {
+      val w = Multimodal.bmpWidth(nChars); val h = Multimodal.bmpHeight(nChars)
+      def px(x: Int, y: Int) = Multimodal.pixelValue(docId, y.toLong * w + x).toDouble
+      for (dy <- 0 until 4; dx <- 0 until 4) yield {
+        val fx = math.max(0.0, math.min(w - 1.0, (dx + 0.5) * w / 4 - 0.5))
+        val fy = math.max(0.0, math.min(h - 1.0, (dy + 0.5) * h / 4 - 0.5))
+        val x0 = fx.toInt; val y0 = fy.toInt
+        val x1 = math.min(x0 + 1, w - 1); val y1 = math.min(y0 + 1, h - 1)
+        val gx = fx - x0; val gy = fy - y0
+        val v = (1 - gy) * ((1 - gx) * px(x0, y0) + gx * px(x1, y0)) +
+          gy * ((1 - gx) * px(x0, y1) + gx * px(x1, y1))
+        math.round(v * 64)
+      }
+    }
+    // one doc per (w,h) residue class: n_chars 0..90 covers all 13×7 shapes
+    val shapes = (0L until 91L).map(n => (n + 100L, "z" * n.toInt, n))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Multimodal
+      .resizeBilinearPartitions(spark, Multimodal.ingestBmp(shapes))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0L until 91L).foreach { n =>
+      val exp = reference(n + 100L, n)
+      val r = got(n + 100L)
+      assert(r.getAs[Long]("rb_sum") == exp.sum, s"sum for n_chars=$n")
+      assert(r.getAs[Long]("rb_posw") == exp.zipWithIndex.map {
+        case (v, i) => v * i }.sum, s"posw for n_chars=$n")
+      assert(r.getAs[Long]("rb_min") == exp.min, s"min for n_chars=$n")
+      assert(r.getAs[Long]("rb_max") == exp.max, s"max for n_chars=$n")
+    }
+  }
+
   test("resizePartitions: identity on 4x4 sources, downsample picks the " +
     "exact nearest-neighbor pixels") {
     import spark.implicits._

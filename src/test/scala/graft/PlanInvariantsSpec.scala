@@ -70,6 +70,65 @@ class PlanInvariantsSpec extends SparkSpec {
       s"Expand runs over input rows:\n${expands.mkString("\n")}")
   }
 
+  test("q3/q5 predicates reach the parquet scans (PushedFilters) and the " +
+    "scans read only the columns the query touches") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val checks = Seq(
+      "q3_shipping_priority" -> Seq("l_shipdate", "o_orderdate", "c_mktsegment"),
+      "q5_local_supplier" -> Seq("o_orderdate", "r_name"))
+    checks.foreach { case (q, filterCols) =>
+      val plan = withAqeOff {
+        try SparkEntry.queries(q)(spark, sf0).queryExecution.executedPlan
+        finally SparkEntry.harnessScope.release()
+      }
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"$q has no parquet scans?")
+      // the metadata map carries the FULL pushed-filter list (the
+      // display string truncates it)
+      val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString(";")
+      filterCols.foreach { c =>
+        assert(pushed.contains(c),
+          s"$q: predicate on $c did not reach a scan — pushed: $pushed")
+      }
+      // column pruning: a scan reading a *_comment column the query never
+      // references means projection stopped reaching the reader — at
+      // 100 TB that is reading the widest column of the table for nothing
+      val read = scans.flatMap(_.metadata.get("ReadSchema")).mkString(";")
+      assert(!read.contains("_comment"),
+        s"$q scans read pruned-out columns: $read")
+    }
+  }
+
+  test("catalog sink read-back prunes partitions: PartitionFilters in the " +
+    "scan, one partition listed for a one-partition predicate") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cfg = graft.config.ExportConfig(db = "graft_test", table = "prune_orc",
+      partitionColumns = Map("PRUNE_ORC" -> Seq("CONTINENT")))
+    graft.operators.ExportPipeline
+      .dropTableAndLocation(spark, "graft_test", "prune_orc")
+    val rows = (1 to 12).map(i =>
+      (i.toLong, s"m$i", Seq("EU", "AS", "NA")(i % 3)))
+      .toDF("id", "msg", "continent")
+    val ident = graft.operators.ExportPipeline
+      .exportCatalogTable(rows, "prune_orc", cfg)
+    withAqeOff {
+      val q = spark.table(ident).filter(col("continent") === "EU")
+      val exec = q.queryExecution.executedPlan
+      val scan = exec.collect { case s: FileSourceScanExec => s }.head
+      val pf = scan.metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains("continent"),
+        s"read-back filter not recognized as a partition filter: $pf")
+      // execute THIS plan instance and read its scan metrics: the
+      // listing must touch exactly the one matching partition
+      assert(exec.execute().count() == 4L)
+      assert(scan.metrics("numPartitions").value == 1L,
+        s"scan listed ${scan.metrics("numPartitions").value} partitions " +
+          "for a single-partition predicate")
+    }
+  }
+
   test("LSH dedup candidate enumeration goes through the bounded-bucket " +
     "aggregator, not a banded self-join") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_embedding_lsh").foreach { q =>
