@@ -23,13 +23,19 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev-loop scoping: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    // (unset for the driver's full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = LocalSpark.session(aqe = Some(true))
     // untimed warmup: JIT, codegen cache, parquet reader init
     SparkEntry.queries.get("agg_rollup").foreach { fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =

@@ -202,8 +202,20 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
                       n: Int = 3, maxDf: Option[Int] = None,
                       maxIters: Int = 20,
-                      scope: CacheScope = CacheScope.off): DataFrame = {
-    val labels = nearDupLabels(docs, threshold, n, maxDf, maxIters, scope)
+                      scope: CacheScope = CacheScope.off): DataFrame =
+    clustersFromPairs(docs,
+      ngramJaccardPairs(docs, threshold, n, maxDf, scope), maxIters)
+
+  /** [[nearDupClusters]]'s labeling tail over a PRECOMPUTED pair
+    * relation (first two columns = the edge endpoints): connected
+    * components, then every doc labeled with its component minimum and
+    * the canonical keeper flag. Exposed so a pipeline that has already
+    * materialized the pair relation — the deployed shape: compute pairs
+    * once, feed every consumer (pair report, clustering, suppression)
+    * from the same table — never recomputes the shingle/verify chain. */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
+                        maxIters: Int = 20): DataFrame = {
+    val labels = connectedComponents(pairs, maxIters)
     docs.select(col("doc_id"))
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
@@ -230,14 +242,57 @@ object Dedup {
     * behind [[nearDupClusters]], usable over ANY similarity pair output
     * (text n-gram, MinHash, SimHash, embedding LSH). Returns the
     * converged (node, lbl) map over the graph's VERTICES, lbl = smallest
-    * id transitively reachable. Vertex-only min-label propagation with
-    * pointer jumping — see [[nearDupClusters]] for the full algorithm
-    * and scale notes. */
+    * id transitively reachable. Two physical paths, one result:
+    * graphs within `smallGraphEdgeCap` edges (probed with a BOUNDED
+    * collect — driver memory is capped regardless of graph size) are
+    * solved with driver-side union-find in one job; larger graphs run
+    * vertex-only min-label propagation with pointer jumping — see
+    * [[nearDupClusters]] for the full algorithm and scale notes. */
   def connectedComponents(pairRelation: DataFrame,
                           maxIters: Int = 20,
-                          labelPartitions: Option[Int] = None): DataFrame = {
+                          labelPartitions: Option[Int] = None,
+                          smallGraphEdgeCap: Long = 100000L): DataFrame = {
     val Seq(ca, cb) = pairRelation.columns.toSeq.take(2).map(col)
     val pairs = pairRelation.select(ca.as("doc_a"), cb.as("doc_b"))
+    // SMALL-GRAPH FAST PATH: a thresholded near-dup graph is usually a
+    // sliver of the corpus — often a few thousand edges even at large
+    // SF — and the distributed loop's cost there is pure fixed overhead
+    // (2 joins + an aggregate + a checkpoint job PER ROUND). Probe with
+    // a bounded collect (≤ cap+1 rows in driver memory no matter how big
+    // the graph is — the limit is the guard): within the cap, union-find
+    // on the driver computes the exact same min-reachable-id labels in
+    // microseconds and ONE job. Past the cap the probe's rows are
+    // discarded and the distributed propagation runs as before — the
+    // 100 TB path. Callers that KNOW the graph is web-scale skip the
+    // probe (and its one extra evaluation of the pair subtree) with
+    // smallGraphEdgeCap = 0.
+    if (smallGraphEdgeCap > 0 && smallGraphEdgeCap < Int.MaxValue - 1) {
+      val probe = pairs.limit(smallGraphEdgeCap.toInt + 1).collect()
+      if (probe.length <= smallGraphEdgeCap) {
+        val parent = new scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        probe.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by min id: the root IS the component minimum, so the
+          // final labels match the converged propagation bit-for-bit
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val labeled = parent.keysIterator.map(n => (n, find(n))).toSeq
+        val spark = pairRelation.sparkSession
+        import spark.implicits._
+        return labeled.toDF("node", "lbl")
+      }
+    }
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")

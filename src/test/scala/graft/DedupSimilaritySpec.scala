@@ -112,10 +112,17 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     // parallelism: an explicit labelPartitions forces the label-frame
     // width (the default lets AQE size it — either way, no fixed
-    // coalesce(8) ceiling remains)
+    // coalesce(8) ceiling remains). smallGraphEdgeCap=0 forces the
+    // distributed propagation (the probe would otherwise take the
+    // union-find fast path on a graph this small)
     val wide = Dedup.connectedComponents(base.repartition(16),
-      labelPartitions = Some(16))
+      labelPartitions = Some(16), smallGraphEdgeCap = 0L)
     assert(wide.rdd.getNumPartitions == 16)
+    // the driver union-find fast path and the distributed propagation
+    // must agree bit-for-bit on the same graph
+    val dist = Dedup.connectedComponents(stressed, smallGraphEdgeCap = 0L)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    assert(dist == stressedLabels)
   }
 
   test("repetitionStats flags repeated-token and repeated-bigram docs") {
