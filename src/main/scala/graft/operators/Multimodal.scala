@@ -236,7 +236,11 @@ object Multimodal {
     val in = ingested.select(col("doc_id"), col("media_bytes"))
     in.mapPartitions { rows =>
       // a stateful codec would be opened once HERE (ImageIO's static
-      // entry point is already per-JVM); close at iterator end
+      // entry point is already per-JVM); close at iterator end.
+      // setUseCache(false): ImageIO's default ImageInputStream is
+      // DISK-backed — a temp file per decoded row; in-memory streams
+      // are the only sane setting for a per-row decode loop
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("media_bytes")
         val img = javax.imageio.ImageIO.read(
@@ -355,6 +359,7 @@ object Multimodal {
       .encoderFor(outSchema)
     val in = ingested.select(col("doc_id"), col("media_bytes"))
     in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no disk-backed streams
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
@@ -413,6 +418,7 @@ object Multimodal {
     val denX = 2 * dstW; val denY = 2 * dstH
     val in = ingested.select(col("doc_id"), col("media_bytes"))
     in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no disk-backed streams
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
@@ -473,6 +479,7 @@ object Multimodal {
       .encoderFor(outSchema)
     val in = ingested.select(col("doc_id"), col("media_bytes"))
     in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no disk-backed streams
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
