@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * reproduces analytically. The PNG leg ([[pngBytes]] /
   * [[decodeGrayPartitions]]) and the audio leg ([[wavBytes]] /
   * [[decodeWavPartitions]]) follow the same doctrine through ImageIO's
-  * PNG codec and javax.sound's PCM parser. Remaining heavier codecs
-  * (JPEG, Lanczos) drop into the same mapPartitions harness: one
+  * PNG codec and javax.sound's PCM parser; the JPEG leg ([[jpegBytes]])
+  * proves the harness on a LOSSY codec (dimensions exact, values
+  * MAE-bounded by spec). Remaining codecs (video containers, Lanczos
+  * kernels) drop into the same mapPartitions harness: one
   * decoder per PARTITION, batch-iterating rows — in PySpark this
   * boundary is `mapInPandas` with an Arrow batch per call; the
   * Scala-native equivalent with identical batch semantics is
@@ -335,6 +337,56 @@ object Multimodal {
         lit(null).cast("long").as("width"),
         lit(null).cast("long").as("height"),
         lit("image/png").as("mime")).as("media_meta"))
+  }
+
+  /** Deterministic synthetic JPEG dims: ≥ 8 on each axis so every image
+    * spans at least one full 8×8 DCT block. */
+  def jpegWidth(nChars: Long): Int = (nChars % 9 + 8).toInt
+  def jpegHeight(nChars: Long): Int = (nChars % 6 + 8).toInt
+
+  /** Smooth grayscale ramp for the lossy leg: JPEG reproduces gradients
+    * with small bounded error, so a spec can assert a mean-absolute-error
+    * bound (the sharp %256 wrap of [[pixelValue]] would ring at every
+    * wrap edge and make the bound meaningless). */
+  def smoothValue(docId: Long, x: Int, y: Int): Int =
+    math.min(255, (docId % 8).toInt * 16 + x * 6 + y * 3)
+
+  /** Encode one grayscale JPEG through ImageIO's own writer. Unlike
+    * [[bmpBytes]]/[[pngBytes]] this container is NOT hand-built (JPEG
+    * entropy coding is out of scope), so the leg does not claim encoder/
+    * decoder independence; what it proves is that the one-codec-per-
+    * partition harness handles a heavyweight LOSSY codec: dimensions are
+    * exact, pixel values are approximate BY DESIGN — checked by a
+    * mean-absolute-error spec, never a value oracle. */
+  def jpegBytes(docId: Long, nChars: Long): Array[Byte] = {
+    val w = jpegWidth(nChars); val h = jpegHeight(nChars)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, smoothValue(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    val ok = javax.imageio.ImageIO.write(img, "jpg", out)
+    require(ok, "no JPEG writer available")
+    out.toByteArray
+  }
+
+  /** Ingest lossy media: one synthetic grayscale JPEG per document. */
+  def ingestJpeg(docs: DataFrame): DataFrame = {
+    val jpg = udf((docId: Long, nChars: Long) => jpegBytes(docId, nChars))
+    docs.select(
+      col("doc_id"),
+      jpg(col("doc_id"), col("n_chars")).as("media_bytes"),
+      struct(
+        length(col("text")).cast("long").as("n_bytes"),
+        lit(null).cast("long").as("width"),
+        lit(null).cast("long").as("height"),
+        lit("image/jpeg").as("mime")).as("media_meta"))
   }
 
   /** Grayscale decode in the same one-codec-per-partition harness as

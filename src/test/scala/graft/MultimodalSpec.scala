@@ -113,6 +113,41 @@ class MultimodalSpec extends SparkSpec {
     assert(reparted.toSeq == decoded.toSeq)
   }
 
+  test("jpegBytes → decodeGrayPartitions: the lossy leg — exact dimensions, " +
+    "bounded mean pixel error through the same harness") {
+    import spark.implicits._
+    // unit level: ImageIO round-trip per fixture shape
+    for (nChars <- Seq(0L, 17L, 441L); docId <- Seq(0L, 5L, 12345L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.jpegBytes(docId, nChars)))
+      assert(img != null, s"ImageIO rejected JPEG for doc=$docId n=$nChars")
+      assert(img.getWidth == Multimodal.jpegWidth(nChars))
+      assert(img.getHeight == Multimodal.jpegHeight(nChars))
+      val raster = img.getRaster
+      val errs = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield math.abs(raster.getSample(x, y, 0) -
+          Multimodal.smoothValue(docId, x, y))
+      val mae = errs.sum.toDouble / errs.size
+      assert(mae < 8.0, s"JPEG MAE $mae too high for doc=$docId n=$nChars")
+    }
+    // harness level: dimensions exact, px_sum within the MAE bound
+    val docs = (0L until 40L).map(n => (n, "j" * n.toInt, n))
+      .toDF("doc_id", "text", "n_chars")
+    val decoded = Multimodal
+      .decodeGrayPartitions(spark, Multimodal.ingestJpeg(docs)).collect()
+    assert(decoded.length == 40)
+    decoded.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val w = Multimodal.jpegWidth(docId); val h = Multimodal.jpegHeight(docId)
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+      val exact = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.smoothValue(docId, x, y).toLong).sum
+      val n = r.getAs[Long]("n_pixels")
+      assert(math.abs(r.getAs[Long]("px_sum") - exact) <= 8 * n,
+        s"decoded px_sum drifted past the lossy bound for doc=$docId")
+    }
+  }
+
   test("resizeBilinearPartitions: identity (×64) on 4x4 sources; matches " +
     "an independent double-math kernel on every fixture shape") {
     import spark.implicits._
