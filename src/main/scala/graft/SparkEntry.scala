@@ -234,6 +234,16 @@ object SparkEntry {
     "agg_rollup_sets" -> ((s, d) =>
       Relational.pricingRollup(Tables.lineitem(s, d))),
 
+    // CUBE grouping sets (round 7): all four groupings in one pass,
+    // Expand over the pre-aggregated rows like agg_rollup_sets.
+    "agg_cube" -> ((s, d) =>
+      Relational.pricingCube(Tables.lineitem(s, d))),
+
+    // LEFT SEMI + LEFT ANTI joins (round 7): EXISTS / NOT EXISTS shapes,
+    // no row multiplication through either branch.
+    "join_semi_anti" -> ((s, d) =>
+      Relational.semiAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+
     // B7 join_enrich: orders ⋈ customer ⋈ nation ⋈ region, dims broadcast.
     "join_enrich" -> ((s, d) =>
       Relational.enrichOrders(Tables.orders(s, d), Tables.customer(s, d),
@@ -774,6 +784,21 @@ object SparkEntry {
         "COUNT(*) AS count_order " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "join_semi_anti" ->
+      ("SELECT c_custkey, CASE WHEN EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01') " +
+        "THEN 'with_orders' ELSE 'without_orders' END AS kind " +
+        "FROM customer ORDER BY c_custkey"),
 
     "join_enrich" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, c_name, c_mktsegment, " +

@@ -66,6 +66,56 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
+  /** CUBE grouping sets over the pricing summary — all four groupings
+    * (flag×status, per-flag, per-status, grand total), completing the
+    * grouping-sets family next to [[pricingRollup]]. Same two-level
+    * shape: aggregate to the finest grouping first, then CUBE the tiny
+    * aggregate, so Expand multiplies ~|groups| pre-aggregated rows by
+    * the 4 grouping sets instead of the 100 TB scan. Decimal
+    * sum-of-sums keeps every subtotal bit-identical to a single-pass
+    * CUBE. */
+  def pricingCube(lineitem: DataFrame): DataFrame = {
+    val base = lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).as("sq"),
+        sum(dec2(col("l_extendedprice"))).as("sp"),
+        count(lit(1)).as("cnt"))
+    base
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(col("sq")).cast("double").as("sum_qty"),
+        sum(col("sp")).cast("double").as("sum_base_price"),
+        sum(col("cnt")).as("count_order"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** LEFT SEMI and LEFT ANTI joins as first-class surface: customers
+    * with at least one order in the window (semi — existence check, no
+    * row multiplication, no right-side columns leak into the output)
+    * and customers with none (anti), one relation with a kind marker —
+    * the EXISTS / NOT EXISTS join shapes. Both branches hash-join
+    * against the SAME filtered projection of orders, so Catalyst reuses
+    * the exchange; neither branch ever materializes a row per matching
+    * order — at 100 TB that is the difference between |customers| and
+    * |customers × avg orders| flowing through the join. */
+  def semiAntiJoin(customer: DataFrame, orders: DataFrame,
+                   dateStart: String = "1996-01-01",
+                   dateEnd: String = "1997-01-01"): DataFrame = {
+    val o = orders.filter(
+        col("o_orderdate") >= to_timestamp(lit(dateStart)) &&
+          col("o_orderdate") < to_timestamp(lit(dateEnd)))
+      .select(col("o_custkey"))
+    val semi = customer
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("with_orders").as("kind"))
+    val anti = customer
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("without_orders").as("kind"))
+    semi.unionByName(anti).orderBy(col("c_custkey"))
+  }
+
   /** Write `df` as a bucketed managed table: the fact-to-fact
     * co-location tool for joins where NEITHER side fits a broadcast.
     * Two tables bucketed on the same key with the same bucket count

@@ -40,6 +40,53 @@ class RelationalSpec extends SparkSpec {
     assert(keys(small) == keys(naive))
   }
 
+  test("pricingCube ≡ the union of all four explicit groupings") {
+    val li = Tables.lineitem(spark, sf0)
+    val cube = Relational.pricingCube(li).collect()
+      .map(r => (Option(r.getAs[String]("l_returnflag")),
+        Option(r.getAs[String]("l_linestatus")), r.getAs[Long]("gid")) ->
+        (r.getAs[Double]("sum_qty"), r.getAs[Long]("count_order"))).toMap
+    val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("q"),
+        count(lit(1)).as("c")).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))
+        -> (r.getAs[Double]("q"), r.getAs[Long]("c"))).toMap
+    // finest grouping rows (gid 0) match the direct groupBy exactly
+    base.foreach { case ((f, s), v) =>
+      assert(cube((Some(f), Some(s), 0L)) == v, s"cube cell ($f,$s)") }
+    // subtotals are exact sums of their cells; the grand total covers all
+    val grand = cube((None, None, 3L))
+    assert(grand._2 == base.values.map(_._2).sum)
+    assert(math.abs(grand._1 - base.values.map(_._1).sum) < 1e-6)
+    val flagTotals = base.groupBy(_._1._1).view
+      .mapValues(vs => vs.values.map(_._2).sum)
+    flagTotals.foreach { case (f, c) =>
+      assert(cube((Some(f), None, 1L))._2 == c, s"flag subtotal $f") }
+    assert(cube.count(_._1._3 == 2L) ==
+      base.keys.map(_._2).toSet.size, "one gid=2 row per status")
+  }
+
+  test("semiAntiJoin partitions customers exactly; no row multiplication") {
+    val cust = Tables.customer(spark, sf0)
+    val out = Relational.semiAntiJoin(cust, Tables.orders(spark, sf0)).collect()
+    // every customer appears exactly once — a semi/anti pair is a
+    // partition, regardless of how many orders matched
+    assert(out.length == cust.count())
+    assert(out.map(_.getAs[Long]("c_custkey")).distinct.length == out.length)
+    val withOrders = out.filter(_.getAs[String]("kind") == "with_orders")
+      .map(_.getAs[Long]("c_custkey")).toSet
+    // cross-check the semi set against a direct distinct projection
+    val expected = Tables.orders(spark, sf0)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // orders reference existing customers in this data; intersect guards
+    // against synthetic custkeys outside the customer table
+    assert(withOrders == expected.intersect(
+      cust.select(col("c_custkey")).collect().map(_.getLong(0)).toSet))
+  }
+
   test("saltedJoin ≡ plain equi-join, and the shuffle key carries the salt") {
     val ev = Tables.events(spark, sf0)
     val cust = Tables.customer(spark, sf0)
