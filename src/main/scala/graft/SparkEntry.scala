@@ -491,6 +491,11 @@ object SparkEntry {
     "event_funnel" -> ((s, d) =>
       Sessionize.funnel(Tables.events(s, d))),
 
+    // Weekly cohort retention (round 7): first-event-week cohorts ×
+    // active-week offsets, distinct users per cell.
+    "event_retention" -> ((s, d) =>
+      Sessionize.retention(Tables.events(s, d))),
+
     // ---- Group B: corpus preparation ------------------------------------
 
     // Top-k corpus vocabulary by term frequency.
@@ -1063,6 +1068,16 @@ object SparkEntry {
         "WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage " +
         "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) " +
         "LEFT JOIN s3 USING (user_id) ORDER BY user_id"),
+
+    // week starts are UTC Monday midnights (both engines' date_trunc),
+    // so offsets are exact integer multiples of 604800 s
+    "event_retention" ->
+      ("WITH o AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events), " +
+        "f AS (SELECT user_id, MIN(wk) AS cohort FROM o GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, wk FROM o) " +
+        "SELECT cohort, CAST((epoch(wk) - epoch(cohort)) // 604800 AS BIGINT) AS week_offset, " +
+        "COUNT(*) AS n_users FROM a JOIN f USING (user_id) " +
+        "GROUP BY cohort, week_offset ORDER BY cohort, week_offset"),
 
     "event_sessionize" ->
       ("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +

@@ -48,6 +48,32 @@ object Sessionize {
         col("n_events"))
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** Weekly cohort retention — the classic retention triangle: users are
+    * cohorted by the (Monday-truncated) week of their FIRST event, and
+    * each (cohort, week_offset) row counts the distinct users active in
+    * that week. Shape: one partial-aggregated groupBy(user) for the
+    * cohort map, one (user, week) distinct — the same exchange family —
+    * and a tiny (cohort, offset) aggregate; the fact table is never
+    * joined row-to-row against itself, and the per-user frames are
+    * |users|-sized, so the only full-scan cost is the two
+    * partial-aggregated passes. Offsets are exact: UTC week starts are
+    * whole multiples of 604800 s apart, both engines compute the same
+    * integer. */
+  def retention(events: DataFrame): DataFrame = {
+    val wk = date_trunc("week", col("ts"))
+    val firsts = events.groupBy(col("user_id")).agg(min(wk).as("cohort"))
+    val active = events.select(col("user_id"), wk.as("wk")).distinct()
+    active.join(firsts, Seq("user_id"))
+      .select(col("cohort"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800L)
+          .cast("long").as("week_offset"))
+      // (user, wk) is distinct, so per (cohort, offset) each active user
+      // contributes exactly one row — count(*) IS the distinct user count
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   /** Ordered funnel: how far each user progresses through `steps`, where
     * step n must occur STRICTLY AFTER the user's earliest completion of
     * step n-1 (the classic signup → view → purchase conversion query).

@@ -193,6 +193,30 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("retention: first-event-week cohorts, exact offsets, distinct users") {
+    import graft.operators.Sessionize
+    // 2024-01-01 and 2024-01-08 are Mondays: week boundaries land exactly
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: cohort week W0 (joins Tue), active W0 twice and W2
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-03 11:00:00")),
+      (1L, ts("2024-01-16 09:00:00")),
+      // user 2: cohort W0, active W0 only
+      (2L, ts("2024-01-07 23:59:59")),
+      // user 3: cohort W1, active W1 and W2
+      (3L, ts("2024-01-08 00:00:00")), (3L, ts("2024-01-18 12:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Sessionize.retention(events).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("cohort").toString.take(10),
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, // users 1 and 2 active in their cohort week
+      ("2024-01-01", 2L) -> 1L, // user 1 returns two weeks later
+      ("2024-01-08", 0L) -> 1L, // user 3's cohort week
+      ("2024-01-08", 1L) -> 1L  // user 3 returns the next week
+    ))
+  }
+
   test("pii scrub: case-insensitive, hex ids redacted before digit runs") {
     val df = Seq(
       (1L, "mail Alice.Smith@Example.COM now"),
