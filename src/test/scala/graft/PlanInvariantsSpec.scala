@@ -59,15 +59,25 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
-  test("agg_rollup_sets expands PRE-AGGREGATED rows, never the input scan") {
-    val plan = planOf("agg_rollup_sets")
-    val expands = plan.linesIterator.filter(_.contains("Expand ")).toSeq
-    assert(expands.nonEmpty, s"rollup plan has no Expand:\n$plan")
-    // Expand must reference the base aggregate's aliases (sq/sp/cnt) and
-    // none of the raw lineitem columns — i.e. it multiplies ~|groups|
-    // rows by the grouping sets, not the 100 TB scan
-    assert(expands.forall(l => l.contains("sq#") && !l.contains("l_quantity")),
-      s"Expand runs over input rows:\n${expands.mkString("\n")}")
+  test("agg_rollup_sets / agg_cube expand PRE-AGGREGATED rows, never the " +
+    "input scan") {
+    Seq("agg_rollup_sets", "agg_cube").foreach { q =>
+      val plan = planOf(q)
+      val expands = plan.linesIterator.filter(_.contains("Expand ")).toSeq
+      assert(expands.nonEmpty, s"$q plan has no Expand:\n$plan")
+      // Expand must reference the base aggregate's aliases (sq/sp/cnt) and
+      // none of the raw lineitem columns — i.e. it multiplies ~|groups|
+      // rows by the grouping sets, not the 100 TB scan
+      assert(expands.forall(l => l.contains("sq#") && !l.contains("l_quantity")),
+        s"$q Expand runs over input rows:\n${expands.mkString("\n")}")
+    }
+  }
+
+  test("join_semi_anti keeps existence semantics in the physical plan " +
+    "(LeftSemi + LeftAnti, no inner-join row multiplication)") {
+    val plan = planOf("join_semi_anti")
+    assert(plan.contains("LeftSemi"), s"semi branch lost:\n$plan")
+    assert(plan.contains("LeftAnti"), s"anti branch lost:\n$plan")
   }
 
   test("q3/q5 predicates reach the parquet scans (PushedFilters) and the " +
