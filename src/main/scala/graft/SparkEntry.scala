@@ -460,6 +460,12 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Canonical normalization (round 7): NFC → lower → trim → whitespace
+    // collapse, the pass before any fingerprinting; NFC semantics carried
+    // by the native expression (unicode spec), composition by the oracle.
+    "text_normalize" -> ((s, d) =>
+      TextAnalysis.normalizeText(Tables.documents(s, d))),
+
     // Winnowing (MOSS) rolling-hash fingerprints: window-min of ordered
     // k-gram hashes — partial-overlap detection, full oracle (string-min
     // over md5 prefixes is engine-portable).
@@ -1012,6 +1018,11 @@ object SparkEntry {
         "((CASE WHEN (CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' '))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25 + " +
         s"(CASE WHEN (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) > 0.0 " +
         s"AND (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) < 0.5 THEN 1.0 ELSE 0.0 END) * 0.25)) AS quality " +
+        "FROM documents ORDER BY doc_id"),
+
+    "text_normalize" ->
+      ("SELECT doc_id, regexp_replace(trim(lower(nfc_normalize(text))), ' +', ' ', 'g') AS text_norm, " +
+        "(regexp_replace(trim(lower(nfc_normalize(text))), ' +', ' ', 'g') != text) AS changed " +
         "FROM documents ORDER BY doc_id"),
 
     "text_fingerprint" ->

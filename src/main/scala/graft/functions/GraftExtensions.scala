@@ -51,6 +51,8 @@ object GraftFunctions {
       MinHashSig(a(0), intArg(a(1), "numHashes"))
     }),
     "simhash64" -> (args => SimHash64(arity("simhash64", args, 1).head)),
+    "nfc_normalize" -> (args =>
+      NfcNormalize(arity("nfc_normalize", args, 1).head)),
     "winnow_fps" -> (args => {
       val a = arity("winnow_fps", args, 3)
       WinnowFps(a(0), intArg(a(1), "k"), intArg(a(2), "w"))

@@ -288,6 +288,34 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) via
+  * `java.text.Normalizer` — the normalization pass a text-dedup pipeline
+  * runs BEFORE fingerprinting: composed vs decomposed accents ("é" as
+  * U+00E9 vs e + U+0301) must hash identically or every decomposed twin
+  * escapes exact dedup. Spark has no builtin for this; DuckDB's
+  * `nfc_normalize` implements the same standard, so the composed
+  * normalize→lower→collapse pipeline stays oracle-checkable. NFC is
+  * idempotent, so re-normalizing already-clean text is a no-op (the
+  * fast path: the JDK checks `isNormalized` internally). */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Per-marker-list token hit counts in ONE tokenize pass: tokens of the
   * single-space-separated text are looked up in a prebuilt token →
   * list-indices map, each hit incrementing its lists' counters. Returns
@@ -475,6 +503,10 @@ object VectorFunctions {
   /** Column API for [[SimHash64]]. */
   def simHash64(text: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
+
+  /** Column API for [[NfcNormalize]]. */
+  def nfcNormalize(text: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(text)))
 
   /** Column API for [[SignLshBuckets]]. */
   def signLshBuckets(qv: Column, tables: Int, bitsPerTable: Int): Column =

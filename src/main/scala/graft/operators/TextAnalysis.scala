@@ -199,6 +199,24 @@ object TextAnalysis {
       (topFrac <= 0.2 && dupFrac <= 0.2).as("keep"))
   }
 
+  /** Canonical text normalization — the pass a dedup pipeline runs
+    * BEFORE any fingerprinting: Unicode NFC (composed form, via the
+    * native [[graft.functions.NfcNormalize]] — "é" stored as e+combining
+    * accent must hash like the composed "é" or decomposed twins escape
+    * exact dedup), then lowercase, trim, and single-space whitespace
+    * collapse. Narrow zero-shuffle projection; `changed` flags rows the
+    * normalization actually touched (the usual corpus-health metric). */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(
+      trim(lower(graft.functions.VectorFunctions.nfcNormalize(col("text")))),
+      " +", " ")
+    docs.select(
+        col("doc_id"),
+        norm.as("text_norm"),
+        (norm =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * md5 of the sorted distinct token set (bag-of-words near-dup key). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -6,6 +6,34 @@ import graft.functions.GraftFunctions
   * callable from spark.sql, values consistent with the Column API. */
 class GraftFunctionsSpec extends SparkSpec {
 
+  test("nfc_normalize: decomposed accents compose, normalized text is a " +
+    "no-op, the normalize pipeline makes decomposed twins dedup-equal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"
+    assert(composed != decomposed) // different code points, same text
+    val docs = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.nfcNormalize(col("text")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("n")).toMap
+    assert(out(1L) == composed)     // already NFC: unchanged
+    assert(out(2L) == composed)     // decomposed → composed
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == null)         // null-safe
+    // the full normalizeText pass keys both twins to ONE fingerprint
+    val fps = graft.operators.TextAnalysis
+      .normalizeText(docs.filter(col("doc_id") <= 2))
+      .select(col("doc_id"), md5(col("text_norm")).as("fp")).collect()
+    assert(fps.map(_.getAs[String]("fp")).distinct.length == 1,
+      "decomposed twin escaped the normalized fingerprint")
+    // SQL door
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301') AS n")
+      .head().getAs[String]("n") == "caf\u00e9")
+  }
+
   test("native expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
