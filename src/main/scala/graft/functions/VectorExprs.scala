@@ -67,8 +67,7 @@ case class LongArrayDot(left: Expression, right: Expression)
   * yield empty tokens), so the DuckDB oracle is unaffected.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
@@ -77,8 +76,9 @@ case class WordShingles(child: Expression, n: Int)
 
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].split(space, -1)
+  /** Per-row loop shared by interpreted eval and generated code. */
+  def shingleArray(s: UTF8String): ArrayData = {
+    val toks = s.split(space, -1)
     val m = toks.length - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
@@ -96,6 +96,15 @@ case class WordShingles(child: Expression, n: Int)
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
+
+  override def nullSafeEval(v: Any): Any =
+    shingleArray(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+      s"${ev.value} = $ref.shingleArray($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -115,6 +124,14 @@ object PortableHash {
   /** MinHash modulus: 2^31 - 1 (Mersenne prime). Base hashes are 28-bit
     * md5 prefixes and multipliers are < 2^31, so a·h + b < 2^60. */
   val MinHashP: Long = 2147483647L
+
+  /** Per-thread MD5 instance: `MessageDigest.getInstance` allocates (SPI
+    * lookup + provider copy) and is NOT cheap per row; tasks are
+    * single-threaded over rows, so one digest per thread, `reset()`
+    * between uses, is both safe and allocation-free. JVM-static — never
+    * serialized with an expression. */
+  val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Deterministic affine-permutation parameters (a_i odd in [1, 2^31),
     * b_i in [0, 2^31)) from a fixed LCG — inlined as literals into the
@@ -151,8 +168,7 @@ object PortableHash {
   * DuckDB oracle; see [[PortableHash]].
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -162,11 +178,15 @@ case class MinHashSig(child: Expression, k: Int)
   private lazy val params = PortableHash.minHashParams(k).toArray
   private val P = PortableHash.MinHashP
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** Per-row loop, shared by interpreted eval and the generated code
+    * (the codegen emits ONE call into this compiled method, so the
+    * surrounding operators stay inside whole-stage codegen instead of
+    * falling back to interpreted expression trees). Returns null for an
+    * empty shingle set. */
+  def sig(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = PortableHash.md5.get()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -183,6 +203,17 @@ case class MinHashSig(child: Expression, k: Int)
     new GenericArrayData(mins)
   }
 
+  override def nullSafeEval(v: Any): Any = sig(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+      s"""
+         |${ev.value} = $ref.sig($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
@@ -193,8 +224,7 @@ case class MinHashSig(child: Expression, k: Int)
   * of tables×bits interpreted HOF aggregates. Returns array<long> of
   * length `tables` (index = table id). */
 case class SignLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -210,8 +240,8 @@ case class SignLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
     (if (m < 0) m + 2147483648L else m) - 1073741824L
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** Per-row loop shared by interpreted eval and generated code. */
+  def buckets(arr: ArrayData): ArrayData = {
     val d = arr.numElements()
     val out = new Array[Long](tables)
     var t = 0
@@ -232,6 +262,14 @@ case class SignLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(v: Any): Any = buckets(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("signLsh", this, classOf[SignLshBuckets].getName)
+      s"${ev.value} = $ref.buckets($c);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
     copy(child = newChild)
 }
@@ -250,8 +288,7 @@ case class SignLshBuckets(child: Expression, tables: Int, bitsPerTable: Int)
   * the generated SQL in SparkEntry.
   */
 case class SimHash64(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
 
   override def dataType: DataType = LongType
@@ -259,9 +296,11 @@ case class SimHash64(child: Expression)
 
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].split(space, -1)
-    val md = java.security.MessageDigest.getInstance("MD5")
+  /** Per-row loop shared by interpreted eval and generated code (one
+    * compiled call per row keeps whole-stage codegen alive). */
+  def hash(s: UTF8String): Long = {
+    val toks = s.split(space, -1)
+    val md = PortableHash.md5.get()
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
@@ -284,6 +323,14 @@ case class SimHash64(child: Expression)
     fp
   }
 
+  override def nullSafeEval(v: Any): Any = hash(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+      s"${ev.value} = $ref.hash($c);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
@@ -298,19 +345,27 @@ case class SimHash64(child: Expression)
   * idempotent, so re-normalizing already-clean text is a no-op (the
   * fast path: the JDK checks `isNormalized` internally). */
 case class NfcNormalize(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
 
   override def dataType: DataType = StringType
   override def prettyName: String = "nfc_normalize"
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+  /** Per-row normalize shared by interpreted eval and generated code. */
+  def normalize(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
+
+  override def nullSafeEval(v: Any): Any = normalize(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("nfcNorm", this, classOf[NfcNormalize].getName)
+      s"${ev.value} = $ref.normalize($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
@@ -326,8 +381,7 @@ case class NfcNormalize(child: Expression)
   * with a single loop — same counts, so the DuckDB oracle is unaffected.
   */
 case class MarkerCounts(child: Expression, markers: Seq[Seq[String]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
@@ -350,8 +404,9 @@ case class MarkerCounts(child: Expression, markers: Seq[Seq[String]])
     m
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].split(space, -1)
+  /** Per-row loop shared by interpreted eval and generated code. */
+  def counts(s: UTF8String): ArrayData = {
+    val toks = s.split(space, -1)
     val counts = new Array[Long](markers.size)
     var i = 0
     while (i < toks.length) {
@@ -364,6 +419,14 @@ case class MarkerCounts(child: Expression, markers: Seq[Seq[String]])
     }
     new GenericArrayData(counts)
   }
+
+  override def nullSafeEval(v: Any): Any = counts(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("markerCounts", this, classOf[MarkerCounts].getName)
+      s"${ev.value} = $ref.counts($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
     copy(child = newChild)
@@ -379,8 +442,7 @@ case class MarkerCounts(child: Expression, markers: Seq[Seq[String]])
   * empty-string token an empty text tokenizes to (count 1 both ways).
   */
 case class TopTokenCount(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
 
   override def dataType: DataType = LongType
@@ -388,8 +450,9 @@ case class TopTokenCount(child: Expression)
 
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].split(space, -1)
+  /** Per-row loop shared by interpreted eval and generated code. */
+  def topCount(s: UTF8String): Long = {
+    val toks = s.split(space, -1)
     val m = new java.util.HashMap[UTF8String, Array[Long]](toks.length * 2)
     var best = 0L
     var i = 0
@@ -402,6 +465,14 @@ case class TopTokenCount(child: Expression)
     }
     best
   }
+
+  override def nullSafeEval(v: Any): Any = topCount(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("topTokenCount", this, classOf[TopTokenCount].getName)
+      s"${ev.value} = $ref.topCount($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
     copy(child = newChild)
@@ -417,8 +488,7 @@ case class TopTokenCount(child: Expression)
   * expression's single JVM loop per doc); the md5-prefix/string-min
   * contract is unchanged, so the DuckDB oracle still verifies it. */
 case class WinnowFps(child: Expression, k: Int, w: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
@@ -429,15 +499,16 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  override def nullSafeEval(v: Any): Any = {
+  /** Per-row loop shared by interpreted eval and generated code. */
+  def fingerprints(u: UTF8String): ArrayData = {
     // same normalization as regexp_replace(trim(lower(text)), " +", " "):
     // UTF8String.toLowerCase is what Spark's lower() uses
-    val norm = v.asInstanceOf[UTF8String].toLowerCase.trim().toString
+    val norm = u.toLowerCase.trim().toString
     val toks = norm.split(" +")
     val m = toks.length - k + 1
     val nw = m - w + 1
     if (nw <= 0) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = PortableHash.md5.get()
     val hashes = new Array[String](m)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -481,6 +552,15 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
     new GenericArrayData(out)
   }
+
+  override def nullSafeEval(v: Any): Any =
+    fingerprints(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("winnowFps", this, classOf[WinnowFps].getName)
+      s"${ev.value} = $ref.fingerprints($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFps =
     copy(child = newChild)
