@@ -139,6 +139,24 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("native hash expressions stay inside whole-stage codegen (no " +
+    "interpreted fallback around minhash_sig / simhash64 / winnow_fps)") {
+    Seq("dedup_minhash" -> "minhash_sig",
+      "dedup_simhash" -> "simhash64",
+      "text_winnow_fingerprint" -> "winnow_fps").foreach { case (q, fn) =>
+      val plan = planOf(q)
+      val lines = plan.linesIterator
+        .filter(l => l.contains(s"$fn(") && !l.contains("FileScan") &&
+          (l.contains("Project") || l.contains("Filter") ||
+            l.contains("Generate"))).toSeq
+      assert(lines.nonEmpty, s"$q plan never evaluates $fn?\n$plan")
+      // '*(n)' prefixes a whole-stage-codegen region; a CodegenFallback
+      // expression would strip it from the operator that evaluates it
+      assert(lines.forall(_.contains("*(")),
+        s"$q evaluates $fn OUTSIDE codegen:\n${lines.mkString("\n")}")
+    }
+  }
+
   test("LSH dedup candidate enumeration goes through the bounded-bucket " +
     "aggregator, not a banded self-join") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_embedding_lsh").foreach { q =>
