@@ -594,7 +594,7 @@ object SparkEntry {
     // md5 token hash makes fingerprints, band keys and Hamming verify
     // all DuckDB-replayable — full oracle (sqlSimHash).
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simHashNearDupPairs(Tables.documents(s, d))),
+      Dedup.simHashNearDupPairs(Tables.documents(s, d), scope = harnessScope)),
 
     // Embedding near-dup: all-pairs cosine ≥ 0.4 over integer-quantized
     // vectors (bit-deterministic — full oracle).

@@ -133,6 +133,45 @@ object PortableHash {
   val md5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  /** Per-thread content-keyed md5 memo SHARED by every digest consumer
+    * ([[MinHashSig]], [[SimHash64]], [[WinnowFps]]): tokens and shingles
+    * are Zipf-distributed, so the same string is digested across many
+    * documents — and the three fingerprint expressions digest the same
+    * shingle sets independently. The memo pays the MessageDigest cycle
+    * once per distinct string per thread; every later occurrence (same
+    * doc, later doc, or a DIFFERENT consumer expression) is a hash-map
+    * probe with zero allocation on hit. Purely an evaluation-cost
+    * change: the cached value IS the md5 digest, so results — and the
+    * DuckDB oracle hashes — are byte-identical.
+    *
+    * Bounded by clear-on-full (capacity 2^16 entries ≈ a few MB/thread):
+    * Zipf means the hot head re-enters immediately after a clear, so the
+    * amortized hit rate survives eviction without LRU bookkeeping. Keys
+    * probe as transient [[UTF8String]] slices (content hash/equals, no
+    * allocation) and are CLONED only on insert — stored keys must own
+    * their bytes because probe slices point into reused row buffers. */
+  final class Md5Memo {
+    private val cap = 1 << 16
+    private val map =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Byte]](cap * 2)
+    private val md = java.security.MessageDigest.getInstance("MD5")
+
+    /** The 16-byte md5 digest of `key`'s bytes — cached; callers must
+      * treat the returned array as read-only. */
+    def digest(key: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+      var d = map.get(key)
+      if (d == null) {
+        md.reset()
+        d = md.digest(key.getBytes)
+        if (map.size() >= cap) map.clear()
+        map.put(key.clone(), d)
+      }
+      d
+    }
+  }
+
+  val md5Memo: ThreadLocal[Md5Memo] = ThreadLocal.withInitial(() => new Md5Memo)
+
   /** Deterministic affine-permutation parameters (a_i odd in [1, 2^31),
     * b_i in [0, 2^31)) from a fixed LCG — inlined as literals into the
     * oracle SQL, so any change here changes both engines together. */
@@ -186,12 +225,11 @@ case class MinHashSig(child: Expression, k: Int)
   def sig(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md = PortableHash.md5.get()
+    val memo = PortableHash.md5Memo.get()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      md.reset()
-      val base = PortableHash.md5Prefix28(md.digest(arr.getUTF8String(i).getBytes))
+      val base = PortableHash.md5Prefix28(memo.digest(arr.getUTF8String(i)))
       var h = 0
       while (h < k) {
         val g = (params(h)._1 * base + params(h)._2) % P
@@ -300,12 +338,11 @@ case class SimHash64(child: Expression)
     * compiled call per row keeps whole-stage codegen alive). */
   def hash(s: UTF8String): Long = {
     val toks = s.split(space, -1)
-    val md = PortableHash.md5.get()
+    val memo = PortableHash.md5Memo.get()
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
-      md.reset()
-      val d = md.digest(toks(t).getBytes)
+      val d = memo.digest(toks(t))
       // big-endian: bit 63 of h = MSB of digest byte 0 = first hex digit
       var h = 0L
       var i = 0
@@ -508,7 +545,7 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     val m = toks.length - k + 1
     val nw = m - w + 1
     if (nw <= 0) return new GenericArrayData(Array.empty[Any])
-    val md = PortableHash.md5.get()
+    val memo = PortableHash.md5Memo.get()
     val hashes = new Array[String](m)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -520,9 +557,7 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
         sb.append(toks(i + j))
         j += 1
       }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      val d = memo.digest(UTF8String.fromString(sb.toString))
       // first 4 digest bytes = first 8 lowercase hex chars of md5
       val h = new Array[Char](8)
       var b = 0

@@ -590,8 +590,11 @@ object Dedup {
     * Hamming distance. */
   def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
                           numBlocks: Int = 6, maxBucket: Int = 1024,
-                          overflow: BucketOverflow = BucketOverflow.Fail): DataFrame = {
-    val fps = simHash(docs)
+                          overflow: BucketOverflow = BucketOverflow.Fail,
+                          scope: CacheScope = CacheScope.off): DataFrame = {
+    // fps is consumed 3× (banding + both verify sides): persist the tiny
+    // (doc_id, simhash) frame so the text scan+hash runs once
+    val fps = scope.track(simHash(docs))
     // null fingerprints (null text) must not congregate in a null-key
     // bucket — they can never verify, but they could trip the Fail guard
     val banded = fps.filter(col("simhash").isNotNull)
