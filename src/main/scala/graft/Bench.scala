@@ -8,17 +8,25 @@ package graft
   * pruning can't cheat a count() out of the real work) — the measured
   * time is scan + compute + (for sink queries) the write itself.
   *
-  * Measurement protocol: each query runs TWICE back-to-back and reports
-  * the per-query MIN (declared in the JSON as "runs":2,"agg":"min";
-  * "value_first_pass" keeps the plain single-run sum for comparison).
-  * Rationale: two consecutive round artifacts were contaminated by
-  * external load concurrent with the bench window — per-query times 10×
-  * a clean same-config re-run, clustered in alphabetically-contiguous
-  * blocks (queries run in sorted order, so time-correlated load maps to
-  * contiguous name ranges). Steady-state min-of-2 is the standard
-  * defense: transient load must now cover BOTH adjacent runs of a query
-  * to distort its number, while a genuine plan regression still shows —
-  * real cost inflates every run, including the min.
+  * Measurement protocol — two PASSES, min per query across passes
+  * (`"agg":"min_of_passes"`): pass 1 runs every query once in sorted
+  * order, then pass 2 runs them all again, and each query reports the
+  * min of its two samples. Back-to-back min-of-2 (rounds ≤ 7) was
+  * defeated twice by external load concurrent with the bench window —
+  * a transient hit both adjacent runs of a query, so the min still
+  * carried the contamination. With a full pass between a query's two
+  * samples, time-local load would have to span the entire pass to
+  * distort a min, while a genuine plan regression still shows in every
+  * sample. `"value_first_pass"` keeps the plain pass-1 sum.
+  *
+  * Session-scoped memo accounting: the shared near-dup pair relation
+  * (SparkEntry.nearDupPairsShared) is CLEARED at the start of each pass
+  * and rebuilt as its own timed entry `memo:near_dup_pairs`, so the
+  * n-gram/Jaccard pipeline cost appears in the artifact instead of
+  * hiding behind the memo-fed queries' cheap reads; those queries are
+  * flagged machine-readably in `"memo_fed"`. A SPARK_GRAFT_ONLY-scoped
+  * dev run declares its filter in `"only"` so a scoped artifact can
+  * never be mistaken for a full round result.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,22 +41,39 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        SparkEntry.harnessScope.release()
-        ((System.nanoTime() - t0) / 1e9, ok)
+    val memoFed = SparkEntry.memoFedQueries.filter(q => names.exists(_._1 == q))
+
+    def timed(work: () => Unit): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { work(); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}"); false
       }
-      val (t1, ok1) = once()
-      val (t2, ok2) = once()
-      (name, math.min(t1, t2), t1, ok1 && ok2)
+      SparkEntry.harnessScope.release()
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    // one full pass over (memo build +) every query, in sorted order
+    def pass(): Seq[(String, Double, Boolean)] = {
+      val memoEntry = if (memoFed.isEmpty) Nil else {
+        SparkEntry.clearNearDupPairsMemo()
+        val (t, ok) = timed(() => SparkEntry.buildNearDupPairsMemo(spark, sfDir))
+        Seq(("memo:near_dup_pairs", t, ok))
+      }
+      memoEntry ++ names.map { case (name, fn) =>
+        val (t, ok) = timed(() =>
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        if (!ok) System.err.println(s"[bench] query was: $name")
+        (name, t, ok)
+      }
+    }
+
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.zip(p2).map { case ((n1, t1, ok1), (n2, t2, ok2)) =>
+      require(n1 == n2, s"pass order diverged: $n1 vs $n2")
+      (n1, math.min(t1, t2), t1, ok1 && ok2)
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -56,9 +81,12 @@ object Bench {
     val firstPass = results.map(_._3).sum
     val failed = results.filter(!_._4).map(_._1)
     // failures are machine-visible: a broken query must not silently pass
-    // the bench gate on a near-zero wall time (both runs must succeed)
+    // the bench gate on a near-zero wall time (both passes must succeed)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","value_first_pass":$firstPass,"queries":$qs,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson}""")
+    val memoFedJson = memoFed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString(""","only":[""", ",", "]")).getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min_of_passes","value_first_pass":$firstPass,"memo_fed":$memoFedJson$onlyJson,"queries":$qs,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson}""")
     spark.stop()
   }
 }

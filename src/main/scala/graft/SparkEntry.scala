@@ -47,6 +47,22 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5,
         maxDf = Some(100), scope = harnessScope).localCheckpoint())
 
+  /** Bench accounting hooks for the shared pair memo: the bench clears
+    * the memo at the start of every pass and times [[buildNearDupPairsMemo]]
+    * as its own artifact entry, so the n-gram/Jaccard pipeline cost is
+    * machine-visible instead of hiding behind the memo-fed queries'
+    * cheap reads (those are flagged via [[memoFedQueries]]). */
+  def clearNearDupPairsMemo(): Unit = nearDupPairsMemo.clear()
+
+  /** Eagerly builds (localCheckpoint is eager) the shared pair relation
+    * for `d` — the timed "memo:near_dup_pairs" bench entry. */
+  def buildNearDupPairsMemo(s: SparkSession, d: String): Unit = {
+    nearDupPairsShared(s, d); ()
+  }
+
+  /** Query keys whose bench numbers are memo reads, not full pipelines. */
+  val memoFedQueries: Seq[String] = Seq("dedup_cluster", "dedup_fuzzy")
+
   /** DuckDB-portable sentinel expression (mirrors ExportOps.nullSentinel;
     * the [\x00-\x20] class means the same thing to RE2 as to Java). */
   private def sqlSentinel(c: String): String =
