@@ -664,6 +664,16 @@ object SparkEntry {
         Similarity.loadCentroids(s, dir))
     }),
 
+    // IVF serve plumbing under the FULL oracle: deterministic seed
+    // centroids (the nlist corpus vectors with smallest md5(vec_id) —
+    // no Lloyd's iterations), so list assignment, nprobe lookup and
+    // exact rerank are all DuckDB-replayable. Complements sim_ann_ivf:
+    // the trained quantizer stays spec-only (iterative k-means has no
+    // SQL replay), but the serve-path machinery shared by both now has
+    // a rows/schema/hash gate.
+    "sim_ann_ivf_fixed" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), trainIters = 0)),
+
     // ---- Group B: multimodal columns ------------------------------------
 
     // Binary media payload + typed metadata + (stub) feature extraction.
@@ -1333,6 +1343,34 @@ object SparkEntry {
         s"SELECT c.vec_a, c.vec_b, ${sqlCosFrag("x", "y")} AS cos " +
         "FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id " +
         "WHERE NOT isnan(cos) AND cos >= 0.4 ORDER BY vec_a, vec_b"),
+
+    // IVF with fixed seed centroids: the quantizer is the 16 corpus
+    // vectors with smallest (md5(vec_id), vec_id); assignment = argmax
+    // cosine with smaller-cent_id tiebreak (Spark's max_by struct order
+    // and ROW_NUMBER both rank NaN first, so zero-norm vectors land in
+    // the same list in both engines); probes = each query's 4 best
+    // lists; rerank = exact cosine over probed members.
+    "sim_ann_ivf_fixed" ->
+      (s"WITH $sqlQuantCte, " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+        "ac AS (SELECT n.vec_id, c.cent_id, " +
+        "CAST(list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos " +
+        "FROM n, cent c), " +
+        "asg AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac) " +
+        "WHERE rn = 1), " +
+        "probes AS (SELECT q_id, cent_id FROM (SELECT vec_id AS q_id, cent_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr " +
+        "FROM ac WHERE vec_id < 10) WHERE pr <= 4), " +
+        "cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id FROM probes p " +
+        "JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id != p.q_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)) " +
+        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
 
     "sim_ann_lsh" ->
       (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
