@@ -561,6 +561,13 @@ object SparkEntry {
       Corpus.contaminationCheck(Tables.documents(s, d), threshold = 0.3,
         maxDf = Some(100))),
 
+    // Token-level (13-gram) decontamination — the whole-doc check's
+    // blind-spot closer: a verbatim ≥13-token passage pasted into one
+    // long training doc is caught here even when its shingles drown in
+    // the whole-doc Jaccard. Gram hashes = winnow machinery at w=1.
+    "contamination_ngram" -> ((s, d) =>
+      Corpus.contaminationNgrams(Tables.documents(s, d))),
+
     // The composed end-to-end pipeline: quality+repetition gate → exact
     // dedup → near-dup clustering → split. The whole composition is one
     // oracle-checked query, not just its stages.
@@ -1192,6 +1199,23 @@ object SparkEntry {
         "JOIN sizes sr ON train_doc = sr.doc_id " +
         "WHERE CAST(n_common AS DOUBLE) / (st.sz + sr.sz - n_common) >= 0.3 " +
         "ORDER BY test_doc, train_doc"),
+
+    // 13-gram hashes via the winnow CTE shape at w=1 (all distinct gram
+    // hashes); df-cap over BOTH splits mirrors contaminationNgrams
+    "contamination_ngram" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test, " +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks " +
+        "FROM documents), " +
+        "fps AS (SELECT doc_id, is_test, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(toks) - 12, 0) + 1), " +
+        "i -> substring(md5(array_to_string(toks[i:i+12], ' ')), 1, 8)))) AS fp FROM t), " +
+        "kept AS (SELECT doc_id, is_test, fp FROM fps JOIN (" +
+        "SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100" +
+        ") keep USING (fp)) " +
+        "SELECT a.doc_id AS test_doc, b.doc_id AS train_doc, COUNT(*) AS n_shared " +
+        "FROM kept a JOIN kept b ON a.fp = b.fp AND a.is_test AND NOT b.is_test " +
+        "GROUP BY 1, 2 ORDER BY test_doc, train_doc"),
 
     "dedup_fuzzy" ->
       (s"WITH $sqlShingleCte, " +

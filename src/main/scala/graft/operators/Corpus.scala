@@ -288,4 +288,50 @@ object Corpus {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("test_doc"), col("train_doc"))
   }
+
+  /** TOKEN-LEVEL benchmark decontamination — the standard 13-gram pass
+    * run alongside [[contaminationCheck]]'s whole-doc Jaccard: report
+    * every (test, train) pair sharing at least one verbatim k-token
+    * passage. This is the whole-doc check's documented blind spot: a
+    * benchmark question pasted into one LONG training document shares a
+    * handful of shingles that drown in the big doc's total (Jaccard ≈ 0
+    * — never flagged), while the verbatim run of ≥ k tokens is caught
+    * here by construction.
+    *
+    * Machinery: the k-gram hash set per doc IS [[TextAnalysis
+    * .winnowFingerprints]]'s selection with window w = 1 (every window
+    * of one gram is its own minimum, so "window minima" degenerates to
+    * ALL distinct gram hashes) — one native-expression pass, no extra
+    * code path, and the same normalize→gram→md5-prefix contract the
+    * DuckDB oracle replays. The cross-set equi-join on the gram hash is
+    * shuffle-partitionable; `maxDf` drops grams appearing in more than
+    * that many docs (df counted over BOTH splits, so the cap is
+    * split-invariant) — the same anti-quadratic knob as
+    * [[contaminationCheck]], because a boilerplate gram shared by half
+    * the corpus must not cross-join train × test on one key.
+    *
+    * Output: (test_doc, train_doc, n_shared) — the count of distinct
+    * shared k-gram hashes — ordered. */
+  def contaminationNgrams(docs: DataFrame, k: Int = 13,
+                          maxDf: Option[Int] = Some(100)): DataFrame = {
+    val tagged = docs.withColumn("is_test", isHoldout(col("doc_id")))
+    val raw = tagged.select(col("doc_id"), col("is_test"),
+      explode(graft.functions.VectorFunctions.winnowFps(col("text"), k, 1))
+        .as("fp"))
+    val capped = maxDf match {
+      case None => raw
+      case Some(cap) =>
+        val df = raw.groupBy("fp").agg(count(lit(1)).as("df"))
+        raw.join(df.filter(col("df") <= cap), "fp")
+          .select(col("doc_id"), col("is_test"), col("fp"))
+    }
+    val te = capped.filter(col("is_test"))
+      .select(col("doc_id").as("test_doc"), col("fp"))
+    val tr = capped.filter(!col("is_test"))
+      .select(col("doc_id").as("train_doc"), col("fp"))
+    te.join(tr, "fp")
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("test_doc"), col("train_doc"))
+  }
 }

@@ -642,6 +642,38 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missing=${(crossSlice -- got).size} extra=${(got -- crossSlice).size}")
   }
 
+  test("contamination_ngram catches a planted verbatim passage the " +
+    "whole-doc Jaccard misses") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // pick ids on each side of the engine's own md5 holdout predicate
+    val holdout = Corpus.sampleDocs((1L to 64L).toDF("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val testId = holdout.min
+    val trainId = (1L to 64L).find(i => !holdout(i)).get
+    // a 13-token passage pasted from a LONG training doc into a test doc:
+    // the shared 3-gram shingles (11 of them) drown in the 240-token
+    // train doc's total, so whole-doc Jaccard ≈ 0.03 — far below the
+    // registered 0.3 threshold — while the verbatim ≥13-token run is
+    // caught by the token-level pass by construction
+    val passage = (0 until 13).map(i => s"p$i").mkString(" ")
+    val trainText = ((0 until 120).map(i => s"t$i") :+ passage).mkString(" ") +
+      " " + (120 until 240).map(i => s"t$i").mkString(" ")
+    val testText = (0 until 20).map(i => s"q$i").mkString(" ") +
+      " " + passage + " " + (20 until 40).map(i => s"q$i").mkString(" ")
+    val planted = Seq((testId, testText, "en", "src"),
+      (trainId, trainText, "en", "src"))
+      .toDF("doc_id", "text", "lang", "source")
+    // the whole-doc decontamination pass is silent on this leak...
+    assert(Corpus.contaminationCheck(planted, threshold = 0.3)
+      .collect().isEmpty, "fixture no longer exercises the blind spot")
+    // ...the 13-gram pass flags exactly the planted pair
+    val hits = Corpus.contaminationNgrams(planted).collect()
+    assert(hits.map(r => (r.getAs[Long]("test_doc"),
+      r.getAs[Long]("train_doc"))).toSet == Set((testId, trainId)))
+    assert(hits.head.getAs[Long]("n_shared") >= 1L)
+  }
+
   test("dedup_fuzzy df-cap: loose cap ≡ uncapped; tight cap ⊆ uncapped") {
     val uncapped = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
     // no shingle reaches df > #docs, so a cap at the corpus size is a
