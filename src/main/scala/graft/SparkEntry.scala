@@ -260,6 +260,15 @@ object SparkEntry {
     "join_semi_anti" -> ((s, d) =>
       Relational.semiAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
 
+    // Bucketed fact-to-fact join (round 8): write both facts bucketed on
+    // the order key, join the bucketed tables — zero Exchange in the join
+    // (PlanInvariantsSpec), output ≡ the plain parquet join (the oracle).
+    // The bucketed WRITE is inside the timed query: the bench measures
+    // the full pay-shuffle-at-write-time trade.
+    "join_bucketed" -> ((s, d) =>
+      Relational.bucketedJoin(Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy(col("orderkey"), col("linenumber"))),
+
     // B7 join_enrich: orders ⋈ customer ⋈ nation ⋈ region, dims broadcast.
     "join_enrich" -> ((s, d) =>
       Relational.enrichOrders(Tables.orders(s, d), Tables.customer(s, d),
@@ -836,6 +845,14 @@ object SparkEntry {
         "COUNT(*) AS count_order " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    // the bucketed join's oracle IS the plain join — co-location must
+    // not change a single row
+    "join_bucketed" ->
+      ("SELECT o.o_orderkey AS orderkey, l.l_linenumber AS linenumber, " +
+        "o.o_totalprice AS totalprice, l.l_extendedprice AS extendedprice " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "ORDER BY orderkey, linenumber"),
 
     "join_semi_anti" ->
       ("SELECT c_custkey, CASE WHEN EXISTS (SELECT 1 FROM orders " +

@@ -133,6 +133,33 @@ object Relational {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** The [[writeBucketed]] contract as a REGISTERED end-to-end query:
+    * write orders and lineitem bucketed on the order key, join the
+    * bucketed tables, return the joined rows. The output is identical
+    * to the plain parquet join (that IS the oracle), while the physical
+    * plan sort-merge-joins the bucketed scans with NO Exchange on
+    * either side (PlanInvariantsSpec asserts it with broadcast
+    * disabled) — the write-once/join-many layout for fact-to-fact
+    * joins where neither side broadcasts. The write cost is INSIDE
+    * this query on purpose: what the bench times is the full
+    * pay-shuffle-at-write-time trade, not just the free join. */
+  def bucketedJoin(orders: DataFrame, lineitem: DataFrame,
+                   buckets: Int = 32): DataFrame = {
+    val spark = orders.sparkSession
+    writeBucketed(orders.select(col("o_orderkey"), col("o_totalprice")),
+      "graft_bkt_orders", "o_orderkey", buckets)
+    writeBucketed(lineitem
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+      "graft_bkt_lineitem", "o_orderkey", buckets)
+    spark.table("graft_bkt_orders")
+      .join(spark.table("graft_bkt_lineitem"), Seq("o_orderkey"))
+      .select(col("o_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        col("o_totalprice").as("totalprice"),
+        col("l_extendedprice").as("extendedprice"))
+  }
+
   /** Orders enriched with customer → nation → region. The dimension side
     * (customer/nation/region) is broadcast, so the fact side (orders, the
     * 100 TB table) never shuffles — the whole join tree is one codegen

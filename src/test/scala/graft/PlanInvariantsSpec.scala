@@ -43,6 +43,29 @@ class PlanInvariantsSpec extends SparkSpec {
       s"join_enrich shuffles the fact side:\n$enrich")
   }
 
+  test("join_bucketed sort-merge-joins bucketed scans with zero Exchange " +
+    "in the join (the only exchange is the terminal presentation sort)") {
+    // force SMJ — a broadcast would trivially avoid the exchange and
+    // prove nothing about bucket co-location
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = withAqeOff {
+        graft.operators.Relational
+          .bucketedJoin(Tables.orders(spark, sf0), Tables.lineitem(spark, sf0))
+          .queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    }
+  }
+
   test("sim_topk reduces to k rows per query BEFORE the exchange " +
     "(map-side partial top-k)") {
     val plan = planOf("sim_topk")
