@@ -734,7 +734,16 @@ object SparkEntry {
     // must both be right for the hash to match.
     "multimodal_audio" -> ((s, d) =>
       Multimodal.decodeWavPartitions(s,
-        Multimodal.ingestWav(Tables.documents(s, d))))
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
+    // Video-container leg (round 8): hand-authored ANIMATED GIF89a
+    // (container + grayscale palette + the LZW stream itself), decoded
+    // back through ImageIO's OWN multi-frame GIF reader; every 2nd frame
+    // sampled and reduced to analytic pixel stats — frame fan-out joined
+    // to a REAL container decode.
+    "multimodal_frames_gif" -> ((s, d) =>
+      Multimodal.decodeGifFramesPartitions(s,
+        Multimodal.ingestGif(Tables.documents(s, d))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1533,7 +1542,24 @@ object SparkEntry {
         "FROM (SELECT doc_id, n, " +
         "list_transform(range(0, CAST(n AS INT)), i -> (doc_id*37 + i*11) % 65536 - 32768) AS smp " +
         "FROM (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents)) " +
-        "ORDER BY doc_id")
+        "ORDER BY doc_id"),
+
+    // analytic multi-frame replay: every 2nd frame of the animated GIF,
+    // pixel i of frame f = (doc_id*31 + f*97 + i*7) % 256 — container,
+    // LZW stream, palette and frame order must all decode right
+    "multimodal_frames_gif" ->
+      ("SELECT doc_id, frame_idx, n_frames, width, height, " +
+        "CAST(list_sum(px) AS BIGINT) AS px_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n_pixels AS INT)), i -> i * px[i+1])) AS BIGINT) AS px_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS px_min, " +
+        "CAST(list_max(px) AS BIGINT) AS px_max " +
+        "FROM (SELECT doc_id, frame_idx, n_frames, width, height, n_pixels, " +
+        "list_transform(range(0, CAST(n_pixels AS INT)), i -> (doc_id*31 + frame_idx*97 + i*7) % 256) AS px " +
+        "FROM (SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx, n_frames, width, height, " +
+        "width * height AS n_pixels " +
+        "FROM (SELECT doc_id, (n_chars % 4) + 2 AS n_frames, " +
+        "(n_chars % 8) + 4 AS width, (n_chars % 6) + 4 AS height FROM documents))) " +
+        "ORDER BY doc_id, frame_idx")
   )
 
   /** Stopword list literal shared by text oracles. */

@@ -508,6 +508,168 @@ object Multimodal {
     }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** Deterministic synthetic GIF dims + frame count: small multi-frame
+    * "videos" (GIF is the one animated container the JDK decodes out of
+    * the box), moduli distinct from every still-image leg. */
+  def gifWidth(nChars: Long): Int = (nChars % 8 + 4).toInt
+  def gifHeight(nChars: Long): Int = (nChars % 6 + 4).toInt
+  def gifNumFrames(nChars: Long): Int = (nChars % 4 + 2).toInt
+
+  /** Grayscale value of pixel `i` (row-major) in frame `f` — the fixed
+    * arithmetic the DuckDB oracle replays analytically per frame. */
+  def gifPixelValue(docId: Long, frame: Long, i: Long): Int =
+    ((docId * 31 + frame * 97 + i * 7) % 256).toInt
+
+  /** LSB-first GIF code packer (GIF's LZW bit order). */
+  private final class GifBitPacker {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def put(code: Int, width: Int): Unit = {
+      cur |= code << nbits
+      nbits += width
+      while (nbits >= 8) { buf.write(cur & 0xff); cur >>>= 8; nbits -= 8 }
+    }
+    def toBytes: Array[Byte] = {
+      if (nbits > 0) { buf.write(cur & 0xff); cur = 0; nbits = 0 }
+      buf.toByteArray
+    }
+  }
+
+  /** Encode one well-formed ANIMATED GIF89a: header + logical screen
+    * descriptor, 256-entry grayscale global color table, and per frame a
+    * graphic-control extension, image descriptor and LZW-coded indices.
+    * Hand-built like [[bmpBytes]]/[[pngBytes]] — including the LZW
+    * stream, authored with the fixed-width technique (a CLEAR code every
+    * 200 literals keeps the decoder's table under 2^9 entries, so every
+    * code is exactly 9 bits and no variable-width state machine is
+    * needed; the stream is valid LZW, just minimally compressed). The
+    * decoder ([[decodeGifFramesPartitions]]) is ImageIO's OWN GIF
+    * reader — real LZW table reconstruction + palette lookup — so a
+    * wrong sub-block length, bit order or table-growth boundary fails
+    * loudly rather than round-tripping. Palette entry i is (i,i,i), so
+    * the index IS the gray value and the codec is lossless — the
+    * analytic pixel oracle applies exactly, unlike the JPEG leg. */
+  def gifBytes(docId: Long, nChars: Long): Array[Byte] = {
+    val w = gifWidth(nChars); val h = gifHeight(nChars)
+    val nf = gifNumFrames(nChars)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    u16(w); u16(h)
+    out.write(0xF7) // global color table present, 8-bit color, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    val Clear = 256; val Eoi = 257
+    var f = 0
+    while (f < nf) {
+      out.write(0x21); out.write(0xF9); out.write(4) // graphic control ext
+      out.write(0)  // no disposal, no transparency
+      u16(10)       // delay: 100 ms
+      out.write(0); out.write(0)
+      out.write(0x2C) // image descriptor: full-frame, no local table
+      u16(0); u16(0); u16(w); u16(h); out.write(0)
+      out.write(8)  // LZW minimum code size
+      val bits = new GifBitPacker
+      bits.put(Clear, 9)
+      val n = w * h
+      var i = 0
+      var sinceClear = 0
+      while (i < n) {
+        bits.put(gifPixelValue(docId, f, i), 9)
+        sinceClear += 1
+        // decoder table grows by one entry per code after the first; a
+        // clear every 200 literals stays far below the 9->10-bit
+        // boundary at 512 entries (and clear of deferred-clear ambiguity)
+        if (sinceClear == 200 && i < n - 1) { bits.put(Clear, 9); sinceClear = 0 }
+        i += 1
+      }
+      bits.put(Eoi, 9)
+      val data = bits.toBytes
+      var off = 0
+      while (off < data.length) { // ≤255-byte sub-blocks
+        val len = math.min(255, data.length - off)
+        out.write(len); out.write(data, off, len); off += len
+      }
+      out.write(0) // block terminator
+      f += 1
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Ingest real video-ish media: one synthetic animated GIF per doc. */
+  def ingestGif(docs: DataFrame): DataFrame = {
+    val gif = udf((docId: Long, nChars: Long) => gifBytes(docId, nChars))
+    docs.select(
+      col("doc_id"),
+      gif(col("doc_id"), col("n_chars")).as("media_bytes"),
+      struct(
+        length(col("text")).cast("long").as("n_bytes"),
+        lit("image/gif").as("mime")).as("media_meta"))
+  }
+
+  /** Multi-frame container decode + frame sampling in the same
+    * one-codec-per-partition harness: ImageIO's GIF reader opens each
+    * payload ONCE, `getNumImages` counts frames, and every `step`-th
+    * frame is decoded (real LZW + palette lookup) and reduced to pixel
+    * stats — [[sampleFrames]]'s explode pattern joined to a REAL decode.
+    * One row per sampled frame; `px_posw` is position-weighted so a
+    * frame-order or row-order bug cannot pass the oracle. */
+  def decodeGifFramesPartitions(spark: SparkSession, ingested: DataFrame,
+                                step: Int = 2): DataFrame = {
+    require(step > 0, s"bad frame step $step")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("n_frames", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("px_sum", LongType),
+      StructField("px_posw", LongType),
+      StructField("px_min", LongType),
+      StructField("px_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val in = ingested.select(col("doc_id"), col("media_bytes"))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no disk-backed streams
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no reader for media payload")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val nf = reader.getNumImages(true)
+          (0 until nf by step).map { fi =>
+            val img = reader.read(fi)
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L; var posw = 0L; var mn = 255L; var mx = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ((img.getRGB(x, y) >> 16) & 0xff).toLong
+                val i = y.toLong * w + x
+                sum += v; posw += i * v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getAs[Long]("doc_id"), fi.toLong, nf.toLong, w.toLong,
+              h.toLong, sum, posw, mn, mx)
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    }(enc).toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Nearest-neighbor RESIZE in the same mapPartitions codec harness as
     * [[decodePartitions]]: decode each payload with ImageIO, resample to
     * a fixed `dstW`×`dstH` thumbnail — the shape-normalization step every

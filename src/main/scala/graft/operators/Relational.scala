@@ -128,10 +128,22 @@ object Relational {
     * this is the difference between re-shuffling both facts per query
     * and scanning them join-ready. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int = 32): Unit =
+                    buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    // a previous PROCESS can leave the managed location behind: the
+    // in-memory catalog forgets its tables at JVM exit but the warehouse
+    // directory survives, and CREATE refuses an existing location. Drop
+    // the catalog entry (removes files when the table is known), then
+    // remove any orphaned directory.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** The [[writeBucketed]] contract as a REGISTERED end-to-end query:
     * write orders and lineitem bucketed on the order key, join the

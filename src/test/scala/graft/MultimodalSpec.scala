@@ -50,6 +50,58 @@ class MultimodalSpec extends SparkSpec {
     assert(reparted.toSeq == decoded.toSeq)
   }
 
+  test("gifBytes → ImageIO: a real multi-frame container — frame count, " +
+    "dimensions and per-pixel values per frame") {
+    for (nChars <- Seq(3L, 64L, 129L, 442L); docId <- Seq(0L, 7L, 12345L)) {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.gifBytes(docId, nChars)))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == Multimodal.gifNumFrames(nChars),
+        s"frame count doc=$docId n=$nChars")
+      for (f <- 0 until Multimodal.gifNumFrames(nChars)) {
+        val img = reader.read(f)
+        assert(img.getWidth == Multimodal.gifWidth(nChars))
+        assert(img.getHeight == Multimodal.gifHeight(nChars))
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val i = y.toLong * img.getWidth + x
+          val expected = Multimodal.gifPixelValue(docId, f, i)
+          assert(((img.getRGB(x, y) >> 16) & 0xff) == expected,
+            s"pixel ($x,$y) frame=$f doc=$docId n=$nChars")
+        }
+      }
+      reader.dispose(); iis.close()
+    }
+  }
+
+  test("decodeGifFramesPartitions: sampled-frame stats match the analytic " +
+    "form; step=1 covers every frame") {
+    val docs = Tables.documents(spark, sf0)
+    val decoded = Multimodal.decodeGifFramesPartitions(
+      spark, Multimodal.ingestGif(docs), step = 1).collect()
+    // every frame of every doc is present at step=1
+    val byDoc = decoded.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.forall { case (_, rs) =>
+      rs.length == rs.head.getAs[Long]("n_frames")
+    })
+    decoded.take(60).foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val f = r.getAs[Long]("frame_idx")
+      val n = r.getAs[Long]("width") * r.getAs[Long]("height")
+      val px = (0L until n).map(Multimodal.gifPixelValue(docId, f, _).toLong)
+      assert(r.getAs[Long]("px_sum") == px.sum, s"doc=$docId f=$f")
+      assert(r.getAs[Long]("px_posw") == px.zipWithIndex.map {
+        case (v, i) => v * i }.sum, s"doc=$docId f=$f")
+      assert(r.getAs[Long]("px_min") == px.min)
+      assert(r.getAs[Long]("px_max") == px.max)
+    }
+    // the sampled (step=2) form is exactly the even-frame slice
+    val sampled = Multimodal.decodeGifFramesPartitions(
+      spark, Multimodal.ingestGif(docs), step = 2).collect()
+    val evens = decoded.filter(_.getAs[Long]("frame_idx") % 2 == 0)
+    assert(sampled.toSeq == evens.toSeq)
+  }
+
   test("decodeWavPartitions: javax.sound round-trip matches the PCM " +
     "arithmetic, any partitioning") {
     val docs = Tables.documents(spark, sf0)
