@@ -42,10 +42,28 @@ object SparkEntry {
     * and components differ by construction. */
   private val nearDupPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def nearDupPairsShared(s: SparkSession, d: String): DataFrame =
-    nearDupPairsMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$d", _ =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5,
+  private val memoCleanupHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def nearDupPairsShared(s: SparkSession, d: String): DataFrame = {
+    // applicationId is unique per SparkContext, so a LATER session can
+    // never be served a frame bound to a stopped context (identity
+    // hashes alone can recur after GC); the context-end listener evicts
+    // the context's entries so checkpoint blocks and session references
+    // are not pinned for the JVM lifetime
+    val appId = s.sparkContext.applicationId
+    if (memoCleanupHooked.add(appId)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          nearDupPairsMemo.keySet.removeIf(_.startsWith(appId + ":"))
+          memoCleanupHooked.remove(appId)
+        }
+      })
+    }
+    nearDupPairsMemo.computeIfAbsent(s"$appId:${System.identityHashCode(s)}:$d",
+      _ => Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5,
         maxDf = Some(100), scope = harnessScope).localCheckpoint())
+  }
 
   /** Bench accounting hooks for the shared pair memo: the bench clears
     * the memo at the start of every pass and times [[buildNearDupPairsMemo]]

@@ -253,7 +253,15 @@ object Dedup {
                           labelPartitions: Option[Int] = None,
                           smallGraphEdgeCap: Long = 100000L): DataFrame = {
     val Seq(ca, cb) = pairRelation.columns.toSeq.take(2).map(col)
-    val pairs = pairRelation.select(ca.as("doc_a"), cb.as("doc_b"))
+    // normalize endpoints up front so BOTH physical paths see the same
+    // graph: cast to long (the small-graph probe reads getLong, which
+    // would ClassCastException on int-typed ids the distributed joins
+    // happily accept) and drop null-endpoint rows (a null joins nothing
+    // in the distributed propagation, so it carries no edge — the probe
+    // must not NPE on what the other path ignores)
+    val pairs = pairRelation
+      .select(ca.cast("long").as("doc_a"), cb.cast("long").as("doc_b"))
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
     // SMALL-GRAPH FAST PATH: a thresholded near-dup graph is usually a
     // sliver of the corpus — often a few thousand edges even at large
     // SF — and the distributed loop's cost there is pure fixed overhead

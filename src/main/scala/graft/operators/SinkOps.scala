@@ -105,16 +105,33 @@ object SinkOps {
   /** A15 conn_pool — LRU(max)+TTL cache semantics over endpoints: an
     * endpoint's last access is its newest event; it stays cached iff it is
     * within the `maxSize` most-recently-used AND idle less than `ttlMin`
-    * minutes at end-of-stream (hive/HiveConnectionPool.java:45-57). */
+    * minutes at end-of-stream (hive/HiveConnectionPool.java:45-57).
+    *
+    * The global LRU ranking below is a SINGLE-PARTITION Window — correct
+    * and cheap precisely because endpoint cardinality is pool-bounded
+    * (the reference caps the pool at 64 connections), but the operator
+    * accepts an arbitrary `partitionCol`, and a high-cardinality column
+    * would silently funnel the whole relation into one sorting task.
+    * `maxEndpoints` makes that a loud failure instead: a BOUNDED probe
+    * (scans at most maxEndpoints+1 aggregated rows, same pattern as
+    * [[Similarity.AllPairsRowLimit]]'s gate) refuses the query before
+    * the one-task sort can become the bottleneck. */
   def connPoolState(events: DataFrame, partitionCol: String,
-                    maxSize: Int = 64, ttlMin: Int = 30): DataFrame = {
+                    maxSize: Int = 64, ttlMin: Int = 30,
+                    maxEndpoints: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lastSeen = events
       .select(ExportOps.nullSentinel(col(partitionCol)).as("endpoint"), col("ts"))
       .groupBy(col("endpoint"))
       .agg(max(col("ts")).as("last_seen"), count(lit(1)).as("n_uses"))
-    // single-partition Window is fine: endpoint count is bounded by the
-    // pool-size semantics (the reference caps it at 64 connections)
+    val over = lastSeen.select(col("endpoint"))
+      .limit(maxEndpoints + 1).count() > maxEndpoints
+    require(!over,
+      s"connPoolState: column '$partitionCol' has more than $maxEndpoints " +
+        "distinct endpoints — the global LRU ranking would sort them in " +
+        "ONE task. A connection-pool state over that many endpoints is " +
+        "almost certainly the wrong column; raise maxEndpoints only if " +
+        "it is not.")
     val w = Window.orderBy(col("last_seen").desc, col("endpoint"))
     lastSeen
       .withColumn("lru_rank", row_number().over(w).cast("long"))

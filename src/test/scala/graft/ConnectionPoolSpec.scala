@@ -67,6 +67,21 @@ class ConnectionPoolSpec extends SparkSpec {
     assert(pool.stats("loads") == 2L)
   }
 
+  test("connPoolState refuses a high-cardinality endpoint column (the " +
+    "global LRU ranking is a one-task sort by design)") {
+    import spark.implicits._
+    val events = (0 until 500).map(i =>
+      (i.toLong, new java.sql.Timestamp(i * 1000L), s"ep$i"))
+      .toDF("event_id", "ts", "endpoint")
+    val e = intercept[IllegalArgumentException] {
+      SinkOps.connPoolState(events, "endpoint", maxEndpoints = 100)
+    }
+    assert(e.getMessage.contains("distinct endpoints"))
+    // within the bound the state computes as before
+    val ok = SinkOps.connPoolState(events, "endpoint", maxEndpoints = 500)
+    assert(ok.count() == 500)
+  }
+
   test("pooledPartitionWrite: connections shared across rows per executor, " +
     "one flaky endpoint evicts + reconnects, permanently-down endpoint " +
     "fails the job after the write envelope") {
