@@ -399,7 +399,15 @@ object Relational {
     * plain shuffle-partitionable EQUI-join on the bucket id followed by
     * the exact containment filter. Each (point, interval) pair meets in
     * exactly one bucket (the point's), so no dedup is needed. All
-    * arithmetic is integer microseconds — exact in both engines. */
+    * arithmetic is integer microseconds — exact in both engines.
+    *
+    * Scale note (measured, BASELINE.md round-8 stress): the OUTPUT of a
+    * range join is quadratic in per-window event density — densifying a
+    * fixed time span 100× grew the answer exactly 10,000× while the
+    * engine's per-output-row cost FELL ~70×. The plan scales; the
+    * relation itself explodes by semantics. At corpus scale consume it
+    * aggregated (per-interval counts, top-k, existence) rather than as
+    * the raw pair relation, or bound the window. */
   def rangeJoin(events: DataFrame, intervalType: String = "error",
                 pointType: String = "purchase",
                 windowSec: Int = 600, bucketSec: Int = 600): DataFrame = {
