@@ -595,6 +595,11 @@ object SparkEntry {
     "contamination_ngram" -> ((s, d) =>
       Corpus.contaminationNgrams(Tables.documents(s, d))),
 
+    // Corpus-relative token-frequency score (round 8): the web-pipeline
+    // frequency filter — vocab counts + join back, exact integers.
+    "text_corpus_freq" -> ((s, d) =>
+      Corpus.corpusFreqScore(Tables.documents(s, d))),
+
     // The composed end-to-end pipeline: quality+repetition gate → exact
     // dedup → near-dup clustering → split. The whole composition is one
     // oracle-checked query, not just its stages.
@@ -669,6 +674,12 @@ object SparkEntry {
     // candidate lookup + exact rerank; recall spec vs sim_topk besides.
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d))),
+
+    // k-NN SELF-join (round 8): every vector's k nearest via the LSH
+    // bucket scheme — bounded-bucket candidates, both orientations,
+    // shuffle equi-joins, partial top-k. Nothing broadcasts the corpus.
+    "sim_knn_join" -> ((s, d) =>
+      Similarity.knnJoinLsh(Tables.embeddings(s, d))),
 
     // IVF (inverted-file) ANN top-k: deterministic coarse quantizer,
     // nprobe-list candidate lookup, exact rerank (approximate — recall
@@ -1244,6 +1255,14 @@ object SparkEntry {
         "WHERE CAST(n_common AS DOUBLE) / (st.sz + sr.sz - n_common) >= 0.3 " +
         "ORDER BY test_doc, train_doc"),
 
+    "text_corpus_freq" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "v AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "CAST(SUM(freq) AS BIGINT) AS sum_freq, " +
+        "CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_freq " +
+        "FROM t JOIN v USING (tok) GROUP BY doc_id ORDER BY doc_id"),
+
     // 13-gram hashes via the winnow CTE shape at w=1 (all distinct gram
     // hashes); df-cap over BOTH splits mirrors contaminationNgrams
     "contamination_ngram" ->
@@ -1439,6 +1458,18 @@ object SparkEntry {
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
         "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    // the k-NN self-join replays with the same bucket CTE — every
+    // vector is a query
+    "sim_knn_join" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id FROM bk a " +
+        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)) " +
+        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
 
     "sim_ann_lsh" ->
       (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +

@@ -289,6 +289,32 @@ object Corpus {
       .orderBy(col("test_doc"), col("train_doc"))
   }
 
+  /** Corpus-relative token-frequency score — the FREQUENCY FILTER of a
+    * web-corpus pipeline, complementing [[TextAnalysis]]'s doc-local
+    * quality gates: a document dominated by tokens the corpus has never
+    * seen (OCR noise, mojibake, binary-as-text) scores LOW on mean
+    * corpus frequency, while a document of nothing but stop-tokens
+    * scores suspiciously HIGH — both tails are what the filter trims.
+    * Two corpus-wide passes: vocabulary counts (one map-side-combined
+    * shuffle, |vocab| keys), then a join back to the exploded tokens.
+    * The join's build side is ONE row per token, so Zipf heavy-hitters
+    * skew only the probe side — AQE's skew handling (or a broadcast
+    * when the vocab fits) keeps it balanced; nothing here is
+    * all-pairs. Exact integers end-to-end: n_tokens and sum_freq are
+    * longs, mean_freq is one double division of exact operands —
+    * bit-identical in any engine. */
+  def corpusFreqScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    toks.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_tokens")).as("mean_freq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TOKEN-LEVEL benchmark decontamination — the standard 13-gram pass
     * run alongside [[contaminationCheck]]'s whole-doc Jaccard: report
     * every (test, train) pair sharing at least one verbatim k-token

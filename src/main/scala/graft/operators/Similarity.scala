@@ -334,6 +334,43 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** k-NN SELF-join via LSH buckets — EVERY vector's k nearest
+    * neighbors, the all-corpus form of [[annTopK]] (which serves a
+    * bounded query set): the semantic-dedup / hard-negative-mining /
+    * cluster-seeding primitive of an embedding pipeline. A bounded
+    * query set broadcasts; a self-join cannot, so the structure changes:
+    * candidates enumerate per (table, bucket) through the
+    * [[Dedup.boundedCandidatePairs]] hot-bucket guard (one shuffle,
+    * O(maxBucket) memory per bucket, loud failure on degenerate
+    * occupancy), orient both ways, then two shuffle equi-joins attach
+    * the vectors and the partial top-k aggregator reduces each task's
+    * slice to ≤ k per query BEFORE the final exchange. Nothing
+    * broadcasts the corpus; every stage is shuffle-partitionable — the
+    * shape that survives a corpus-sized vector table. Same recall
+    * profile as [[annTopK]] (identical bucket scheme; spec-checked
+    * equal on a shared query slice); `bitsPerTable` must grow with the
+    * corpus exactly as [[nearDupPairsLsh]] documents. */
+  def knnJoinLsh(emb: DataFrame, k: Int = 5,
+                 tables: Int = 16, bitsPerTable: Int = 4,
+                 maxBucket: Int = 1024,
+                 overflow: BucketOverflow = BucketOverflow.Fail): DataFrame = {
+    val p = prepared(emb)
+    val und = Dedup.boundedCandidatePairs(
+      lshBuckets(p, tables, bitsPerTable)
+        .select(col("vec_id"), col("tbl"), col("bucket")),
+      "vec_id", Seq("tbl", "bucket"), maxBucket, overflow, "knnJoinLsh")
+    val dir = und.select(col("doc_a").as("q_id"), col("doc_b").as("n_id"))
+      .unionByName(und.select(col("doc_b").as("q_id"), col("doc_a").as("n_id")))
+    val qs = p.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+      col("nrm").as("q_nrm"))
+    val ns = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"))
+    val scored = dir.join(qs, Seq("q_id")).join(ns, Seq("n_id"))
+      .withColumn("cos",
+        cosine(dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
+    topKPerGroup(scored, k)
+  }
+
   /** ANN top-k: candidate set = union over L hash tables of the query's
     * bucket, deduped, then exact cosine rerank. The per-table lookup is an
     * equi-join on (table, bucket) — shuffle-partitionable, no cross join —

@@ -642,6 +642,26 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missing=${(crossSlice -- got).size} extra=${(got -- crossSlice).size}")
   }
 
+  test("knnJoinLsh ≡ annTopK on a shared query slice (identical bucket " +
+    "scheme, different physical shape)") {
+    // same tables/bits ⇒ identical candidate sets per query, so the
+    // self-join's slice must equal the bounded-query form row for row —
+    // what differs is only the physical plan (shuffle equi-joins vs
+    // broadcast queries)
+    val k = 10
+    val knn = Similarity.knnJoinLsh(emb, k = k).collect()
+      .filter(_.getAs[Long]("q_id") < 10)
+    val ann = Similarity.annTopK(emb, nQueries = 10, k = k).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("n_id"),
+        r.getAs[Double]("cos"))).toSeq
+    assert(key(knn) == key(ann))
+    // and every corpus vector with any candidate appears as a query
+    val qids = Similarity.knnJoinLsh(emb, k = 1).collect()
+      .map(_.getAs[Long]("q_id")).toSet
+    assert(qids.size > 10, s"self-join covered only ${qids.size} queries")
+  }
+
   test("contamination_ngram catches a planted verbatim passage the " +
     "whole-doc Jaccard misses") {
     import spark.implicits._
