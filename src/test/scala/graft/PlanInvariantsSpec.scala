@@ -190,4 +190,24 @@ class PlanInvariantsSpec extends SparkSpec {
         s"$q re-introduced a shuffle self-join:\n$plan")
     }
   }
+
+  test("sim_knn_join: bounded-bucket candidates, partial top-k before the " +
+    "exchange, and the corpus is never broadcast") {
+    val plan = planOf("sim_knn_join")
+    assert(plan.contains("boundedlonglist"),
+      s"sim_knn_join lost the bounded bucket guard:\n$plan")
+    assert(plan.contains("partial_topkbyscore"),
+      s"sim_knn_join lost the map-side partial top-k:\n$plan")
+    // a self-join has no bounded side, so no broadcast may be PINNED —
+    // a size-based broadcast at test SF is the planner doing its job
+    // (at corpus scale the stats exceed the threshold and it shuffles);
+    // a hint would ship the corpus regardless of size
+    val logical = withAqeOff {
+      try SparkEntry.queries("sim_knn_join")(spark, sf0)
+        .queryExecution.optimizedPlan.toString
+      finally SparkEntry.harnessScope.release()
+    }
+    assert(!logical.toLowerCase.contains("hint"),
+      s"sim_knn_join pins a broadcast on a corpus-sized side:\n$logical")
+  }
 }
