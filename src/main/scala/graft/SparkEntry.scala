@@ -475,6 +475,27 @@ object SparkEntry {
     "sink_catalog_orc" -> ((s, d) =>
       SinkOps.catalogOrcRoundTrip(s, Tables.events(s, d))),
 
+    // Small-file compaction under the row-fidelity oracle (round 8):
+    // fragment a partitioned sink on purpose (50 writer tasks × every
+    // partition), compact it with a clustering sortBy, read back — the
+    // oracle is the ORIGINAL relation, so the maintenance pass is
+    // proven lossless end-to-end (file-count/packing mechanics are
+    // PipelineSpec's job; row fidelity is this gate's).
+    "sink_compact" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_compact_q_").toString
+      val frag = s"$base/frag"; val out = s"$base/out"
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(50)
+        .write.mode("overwrite").partitionBy("event_type").parquet(frag)
+      ExportPipeline.compact(s, frag, out, Seq("event_type"),
+        sortBy = Seq("event_id"))
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // A15 conn_pool: LRU+TTL endpoint-cache state.
     "conn_pool" -> ((s, d) =>
       SinkOps.connPoolState(Tables.events(s, d), "event_type")),
@@ -542,6 +563,11 @@ object SparkEntry {
 
     // Weekly cohort retention (round 7): first-event-week cohorts ×
     // active-week offsets, distinct users per cell.
+    // Per-user event journey (round 8): path-analysis primitive — each
+    // user's (ts, event_id)-ordered event types as one a>b>c string.
+    "event_journey" -> ((s, d) =>
+      Sessionize.userJourney(Tables.events(s, d))),
+
     "event_retention" -> ((s, d) =>
       Sessionize.retention(Tables.events(s, d))),
 
@@ -1061,6 +1087,16 @@ object SparkEntry {
       (s"SELECT event_type, COUNT(*) AS n_rows, MIN(j) AS first_payload " +
         s"FROM (SELECT ${sqlSentinel("event_type")} AS event_type, $sqlEventsPayload AS j FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    // compaction must be lossless: the oracle is the original relation
+    "sink_compact" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+        "ORDER BY event_id"),
+
+    "event_journey" ->
+      ("SELECT user_id, COUNT(*) AS n_events, " +
+        "string_agg(event_type, '>' ORDER BY ts, event_id) AS journey " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
 
     "conn_pool" ->
       (s"WITH ls AS (SELECT ${sqlSentinel("event_type")} AS endpoint, " +

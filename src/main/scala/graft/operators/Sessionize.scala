@@ -116,4 +116,27 @@ object Sessionize {
       .withColumn("funnel_stage", stage.cast("long"))
       .orderBy(col("user_id"))
   }
+
+  /** Per-user event JOURNEY — the path-analysis primitive: each user's
+    * events in (ts, event_id) order collapsed to one `a>b>c` path
+    * string. One shuffle (groupBy user); the in-group sort happens on
+    * the collected array, totally ordered by (ts, event_id, type)
+    * struct comparison so ties on ts cannot reorder across engines.
+    *
+    * Scale caveat (the standard per-entity-sequence one): a user's
+    * whole event list materializes in one aggregation buffer, so
+    * per-entity cardinality must be application-bounded — true for
+    * user sessions (the 100× stress holds per-user density fixed as
+    * users scale), NOT for a global key; there is deliberately no
+    * journey-over-everything form. */
+  def userJourney(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("journey"))
+      .orderBy(col("user_id"))
 }
