@@ -476,25 +476,13 @@ object SparkEntry {
       SinkOps.catalogOrcRoundTrip(s, Tables.events(s, d))),
 
     // Small-file compaction under the row-fidelity oracle (round 8):
-    // fragment a partitioned sink on purpose (50 writer tasks × every
-    // partition), compact it with a clustering sortBy, read back — the
-    // oracle is the ORIGINAL relation, so the maintenance pass is
-    // proven lossless end-to-end (file-count/packing mechanics are
-    // PipelineSpec's job; row fidelity is this gate's).
-    "sink_compact" -> ((s, d) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_compact_q_").toString
-      val frag = s"$base/frag"; val out = s"$base/out"
-      Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .repartition(50)
-        .write.mode("overwrite").partitionBy("event_type").parquet(frag)
-      ExportPipeline.compact(s, frag, out, Seq("event_type"),
-        sortBy = Seq("event_id"))
-      s.read.parquet(out)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id"))
-    }),
+    // fragment a partitioned sink on purpose, compact with a clustering
+    // sortBy, read back — the oracle proves the maintenance pass
+    // lossless (packing mechanics are PipelineSpec's job). Partition
+    // values are sentineled and scratch dirs are per-JVM, see
+    // SinkOps.compactRoundTrip.
+    "sink_compact" -> ((s, d) =>
+      SinkOps.compactRoundTrip(s, Tables.events(s, d))),
 
     // A15 conn_pool: LRU+TTL endpoint-cache state.
     "conn_pool" -> ((s, d) =>
@@ -561,13 +549,13 @@ object SparkEntry {
     "event_funnel" -> ((s, d) =>
       Sessionize.funnel(Tables.events(s, d))),
 
-    // Weekly cohort retention (round 7): first-event-week cohorts ×
-    // active-week offsets, distinct users per cell.
     // Per-user event journey (round 8): path-analysis primitive — each
     // user's (ts, event_id)-ordered event types as one a>b>c string.
     "event_journey" -> ((s, d) =>
       Sessionize.userJourney(Tables.events(s, d))),
 
+    // Weekly cohort retention (round 7): first-event-week cohorts ×
+    // active-week offsets, distinct users per cell.
     "event_retention" -> ((s, d) =>
       Sessionize.retention(Tables.events(s, d))),
 
@@ -1089,13 +1077,18 @@ object SparkEntry {
         "GROUP BY event_type ORDER BY event_type"),
 
     // compaction must be lossless: the oracle is the original relation
+    // (event_type sentineled, mirroring compactRoundTrip's write)
     "sink_compact" ->
-      ("SELECT event_id, user_id, event_type, value FROM events " +
-        "ORDER BY event_id"),
+      (s"SELECT event_id, user_id, ${sqlSentinel("event_type")} AS event_type, " +
+        "value FROM events ORDER BY event_id"),
 
+    // CAST(ts AS TIMESTAMP) mirrors the engine's µs truncation (the
+    // parquet ts is nanos): without it, two same-user events inside one
+    // microsecond would order by raw nanos here but by the event_id
+    // tiebreak in Spark — same discipline as join_asof's oracle
     "event_journey" ->
       ("SELECT user_id, COUNT(*) AS n_events, " +
-        "string_agg(event_type, '>' ORDER BY ts, event_id) AS journey " +
+        "string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS journey " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
 
     "conn_pool" ->

@@ -254,14 +254,20 @@ object Dedup {
                           smallGraphEdgeCap: Long = 100000L): DataFrame = {
     val Seq(ca, cb) = pairRelation.columns.toSeq.take(2).map(col)
     // normalize endpoints up front so BOTH physical paths see the same
-    // graph: cast to long (the small-graph probe reads getLong, which
-    // would ClassCastException on int-typed ids the distributed joins
-    // happily accept) and drop null-endpoint rows (a null joins nothing
-    // in the distributed propagation, so it carries no edge — the probe
-    // must not NPE on what the other path ignores)
+    // graph: drop null-endpoint rows (a null joins nothing in the
+    // distributed propagation, so it carries no edge — the probe must
+    // not NPE on what the other path ignores), then cast to long (the
+    // small-graph probe reads getLong, which would ClassCastException
+    // on int-typed ids the distributed joins happily accept). A
+    // non-numeric id FAILS LOUDLY in both SQL modes: ANSI cast throws
+    // CAST_INVALID_INPUT; the assert_true catches the null a legacy
+    // cast would otherwise silently produce (which would silently drop
+    // the edge — a wrong clustering, not an error).
     val pairs = pairRelation
+      .filter(ca.isNotNull && cb.isNotNull)
       .select(ca.cast("long").as("doc_a"), cb.cast("long").as("doc_b"))
-      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
+      .filter(assert_true(col("doc_a").isNotNull && col("doc_b").isNotNull,
+        lit("connectedComponents: node id not castable to long")).isNull)
     // SMALL-GRAPH FAST PATH: a thresholded near-dup graph is usually a
     // sliver of the corpus — often a few thousand edges even at large
     // SF — and the distributed loop's cost there is pure fixed overhead

@@ -102,6 +102,33 @@ object SinkOps {
       .orderBy(col("event_type"))
   }
 
+  /** Small-file compaction round-trip (round 8): fragment a partitioned
+    * sink on purpose (50 writer tasks × every partition), compact it
+    * with a clustering sortBy ([[ExportPipeline.compact]]), read back.
+    * Row fidelity is the oracle's job; packing/file-count mechanics are
+    * PipelineSpec's. Partition values go through the null/blank
+    * sentinel FIRST — the dynamic-partition writer maps empty/blank
+    * values to __HIVE_DEFAULT_PARTITION__ (reads back as null), so an
+    * unsentineled round trip would be lossy on exactly the values the
+    * reference's routing treats specially (same discipline as
+    * [[txnBatchRoundTrip]]). Scratch dirs live under the per-JVM
+    * [[scratchRoot]] — overwritten per call, removed on exit. */
+  def compactRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
+    val frag = s"$scratchRoot/compact_frag"
+    val out = s"$scratchRoot/compact_out"
+    events
+      .select(col("event_id"), col("user_id"),
+        ExportOps.nullSentinel(col("event_type")).as("event_type"),
+        col("value"))
+      .repartition(50)
+      .write.mode("overwrite").partitionBy("event_type").parquet(frag)
+    ExportPipeline.compact(spark, frag, out, Seq("event_type"),
+      sortBy = Seq("event_id"))
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** A15 conn_pool — LRU(max)+TTL cache semantics over endpoints: an
     * endpoint's last access is its newest event; it stays cached iff it is
     * within the `maxSize` most-recently-used AND idle less than `ttlMin`
@@ -124,16 +151,23 @@ object SinkOps {
       .select(ExportOps.nullSentinel(col(partitionCol)).as("endpoint"), col("ts"))
       .groupBy(col("endpoint"))
       .agg(max(col("ts")).as("last_seen"), count(lit(1)).as("n_uses"))
-    val over = lastSeen.select(col("endpoint"))
-      .limit(maxEndpoints + 1).count() > maxEndpoints
-    require(!over,
-      s"connPoolState: column '$partitionCol' has more than $maxEndpoints " +
-        "distinct endpoints — the global LRU ranking would sort them in " +
-        "ONE task. A connection-pool state over that many endpoints is " +
-        "almost certainly the wrong column; raise maxEndpoints only if " +
-        "it is not.")
+    // IN-PLAN cardinality gate (an eager probe would run the whole
+    // aggregation twice; this 1-row count branch reuses the groupBy's
+    // exchange and costs nothing): over-cap endpoints abort the job
+    // with the column named, before the one-task ranking sort finishes
+    // consuming them — same assert_true discipline as
+    // Dedup.boundedCandidatePairs.
+    val nEndpoints = lastSeen.agg(count(lit(1)).as("n_ep"))
+    val gated = lastSeen.crossJoin(broadcast(nEndpoints))
+      .filter(assert_true(col("n_ep") <= maxEndpoints,
+        lit(s"connPoolState: column '$partitionCol' has more than " +
+          s"$maxEndpoints distinct endpoints — the global LRU ranking " +
+          "would sort them in ONE task. A connection-pool state over " +
+          "that many endpoints is almost certainly the wrong column; " +
+          "raise maxEndpoints only if it is not.")).isNull)
+      .drop("n_ep")
     val w = Window.orderBy(col("last_seen").desc, col("endpoint"))
-    lastSeen
+    gated
       .withColumn("lru_rank", row_number().over(w).cast("long"))
       .withColumn("idle_sec",
         unix_timestamp(max(col("last_seen")).over(Window.partitionBy()))

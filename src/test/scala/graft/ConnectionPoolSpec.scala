@@ -73,8 +73,10 @@ class ConnectionPoolSpec extends SparkSpec {
     val events = (0 until 500).map(i =>
       (i.toLong, new java.sql.Timestamp(i * 1000L), s"ep$i"))
       .toDF("event_id", "ts", "endpoint")
-    val e = intercept[IllegalArgumentException] {
-      SinkOps.connPoolState(events, "endpoint", maxEndpoints = 100)
+    // the gate is IN-PLAN (construction stays lazy — an eager probe
+    // would run the aggregation twice): the job aborts at execution
+    val e = intercept[Exception] {
+      SinkOps.connPoolState(events, "endpoint", maxEndpoints = 100).count()
     }
     assert(e.getMessage.contains("distinct endpoints"))
     // within the bound the state computes as before
