@@ -205,8 +205,15 @@ object ExportPipeline {
               partitionCols: Seq[String],
               targetFileBytes: Long = 128L << 20,
               format: String = "parquet",
-              sortBy: Seq[String] = Nil): (Long, Long, Long) = {
-    val df = spark.read.format(format).load(inDir)
+              sortBy: Seq[String] = Nil,
+              schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : (Long, Long, Long) = {
+    // an explicit schema lets an EMPTY sink compact (a partitioned dir
+    // with zero part files has nothing to infer from — inference throws
+    // UNABLE_TO_INFER_SCHEMA exactly on the degenerate input a
+    // maintenance pass must tolerate)
+    val reader = spark.read.format(format)
+    val df = schema.fold(reader)(reader.schema).load(inDir)
     // rows from footers (parquet count() reads no data pages); bytes
     // from ONE recursive content summary — not a getFileStatus RPC per
     // file, which would be O(files) serial driver round-trips on the

@@ -116,15 +116,18 @@ object SinkOps {
   def compactRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
     val frag = s"$scratchRoot/compact_frag"
     val out = s"$scratchRoot/compact_out"
-    events
+    val written = events
       .select(col("event_id"), col("user_id"),
         ExportOps.nullSentinel(col("event_type")).as("event_type"),
         col("value"))
-      .repartition(50)
+    written.repartition(50)
       .write.mode("overwrite").partitionBy("event_type").parquet(frag)
+    // explicit schema on both reads: an empty source writes zero part
+    // files and schema inference would throw on the very input a
+    // maintenance pass must pass through
     ExportPipeline.compact(spark, frag, out, Seq("event_type"),
-      sortBy = Seq("event_id"))
-    spark.read.parquet(out)
+      sortBy = Seq("event_id"), schema = Some(written.schema))
+    spark.read.schema(written.schema).parquet(out)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
