@@ -142,10 +142,12 @@ object SinkOps {
     * (the reference caps the pool at 64 connections), but the operator
     * accepts an arbitrary `partitionCol`, and a high-cardinality column
     * would silently funnel the whole relation into one sorting task.
-    * `maxEndpoints` makes that a loud failure instead: a BOUNDED probe
-    * (scans at most maxEndpoints+1 aggregated rows, same pattern as
-    * [[Similarity.AllPairsRowLimit]]'s gate) refuses the query before
-    * the one-task sort can become the bottleneck. */
+    * `maxEndpoints` makes that a loud failure instead: an IN-PLAN
+    * assert_true branch over the endpoint count (reusing the groupBy's
+    * exchange, so the aggregation runs once) aborts the job at
+    * execution with the column named — the same row-level gate
+    * discipline as [[Dedup.boundedCandidatePairs]]. Construction stays
+    * lazy; the failure surfaces when the query runs. */
   def connPoolState(events: DataFrame, partitionCol: String,
                     maxSize: Int = 64, ttlMin: Int = 30,
                     maxEndpoints: Int = 4096): DataFrame = {

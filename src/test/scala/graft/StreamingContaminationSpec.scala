@@ -43,21 +43,23 @@ class StreamingContaminationSpec extends SparkSpec {
       assert(hits.toSeq == Seq(2L, 3L), s"got ${hits.toSeq}")
       // the streaming query ran stateless: no aggregation state expected
       assert(spark.table("contam_hits").count() >= 2)
-    } finally q.stop()
+    } finally { q.stop(); staticGrams.close() }
   }
 
   test("gateBatch annotates a whole batch: flagged docs carry hit counts, " +
     "clean docs pass with zero") {
     val staticGrams = StreamingContamination.benchmarkGrams(benchmark)
-    val batch = Seq(
-      Doc(1L, (0 until 40).map(i => s"c$i").mkString(" ")),
-      Doc(2L, s"leading words $passage trailing words")).toDF()
-    val gated = StreamingContamination.gateBatch(batch, staticGrams)
-      .orderBy(col("doc_id")).collect()
-    assert(gated.length == 2)
-    val byId = gated.map(r => r.getAs[Long]("doc_id") ->
-      (r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).toMap
-    assert(byId(1L) == ((0L, false)))
-    assert(byId(2L)._1 >= 1L && byId(2L)._2)
+    try {
+      val batch = Seq(
+        Doc(1L, (0 until 40).map(i => s"c$i").mkString(" ")),
+        Doc(2L, s"leading words $passage trailing words")).toDF()
+      val gated = StreamingContamination.gateBatch(batch, staticGrams)
+        .orderBy(col("doc_id")).collect()
+      assert(gated.length == 2)
+      val byId = gated.map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).toMap
+      assert(byId(1L) == ((0L, false)))
+      assert(byId(2L)._1 >= 1L && byId(2L)._2)
+    } finally staticGrams.close()
   }
 }
