@@ -614,6 +614,12 @@ object SparkEntry {
     "text_corpus_freq" -> ((s, d) =>
       Corpus.corpusFreqScore(Tables.documents(s, d))),
 
+    // Deterministic per-epoch training order (round 8): per-shard md5
+    // ranking + broadcast shard offsets — epoch shuffling without a
+    // global sort.
+    "corpus_epoch_order" -> ((s, d) =>
+      Corpus.epochOrder(Tables.documents(s, d))),
+
     // The composed end-to-end pipeline: quality+repetition gate → exact
     // dedup → near-dup clustering → split. The whole composition is one
     // oracle-checked query, not just its stages.
@@ -1283,6 +1289,18 @@ object SparkEntry {
         "JOIN sizes sr ON train_doc = sr.doc_id " +
         "WHERE CAST(n_common AS DOUBLE) / (st.sz + sr.sz - n_common) >= 0.3 " +
         "ORDER BY test_doc, train_doc"),
+
+    // two-level numbering replay: per-source md5 rank + exclusive
+    // running shard offsets in source order
+    "corpus_epoch_order" ->
+      ("WITH r AS (SELECT doc_id, source, " +
+        "ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id) AS rk FROM documents), " +
+        "o AS (SELECT source, COALESCE(SUM(n) OVER (ORDER BY source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off " +
+        "FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)) " +
+        "SELECT r.doc_id, r.source, CAST(o.off + r.rk - 1 AS BIGINT) AS train_pos " +
+        "FROM r JOIN o USING (source) ORDER BY train_pos"),
 
     "text_corpus_freq" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -289,6 +289,42 @@ object Corpus {
       .orderBy(col("test_doc"), col("train_doc"))
   }
 
+  /** Deterministic per-EPOCH training order — the "shuffle the corpus
+    * differently every epoch" step of a training run, WITHOUT a global
+    * sort: each document's epoch key is md5(doc_id ":" epoch), ranking
+    * happens per source shard (parallel windows), and the global
+    * position is rank + the shard's offset (a tiny broadcast of
+    * per-shard counts, shards in name order). Two-level numbering is
+    * the shape that survives 100 TB: the only corpus-wide ordering
+    * materialized is within-shard, and the cross-shard composition is
+    * arithmetic over |shards| rows. Same md5 doctrine as the sampling
+    * ops: reproducible, repartition-stable, engine-portable — a
+    * checkpointed run resumes at position p of epoch e on any cluster
+    * layout and reads the identical sequence.
+    *
+    * Output: (doc_id, source, train_pos) — train_pos is the 0-based
+    * global position of the doc in epoch `epoch`'s order. */
+  def epochOrder(docs: DataFrame, epoch: Int = 1): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val ek = md5(concat(col("doc_id").cast("string"), lit(s":$epoch")))
+    val rk = Window.partitionBy(col("source")).orderBy(ek, col("doc_id"))
+    val ranked = docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+    // per-shard offsets: exclusive running total of counts in shard
+    // name order — |shards| rows, broadcast into the final projection
+    val offsets = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("off"))
+    ranked.join(broadcast(offsets), "source")
+      .select(col("doc_id"), col("source"),
+        (col("off") + col("rk") - 1).as("train_pos"))
+      .orderBy(col("train_pos"))
+  }
+
   /** Corpus-relative token-frequency score — the FREQUENCY FILTER of a
     * web-corpus pipeline, complementing [[TextAnalysis]]'s doc-local
     * quality gates: a document dominated by tokens the corpus has never

@@ -642,6 +642,25 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missing=${(crossSlice -- got).size} extra=${(got -- crossSlice).size}")
   }
 
+  test("epochOrder: each epoch is a full permutation, epochs differ, and " +
+    "the order is repartition-stable") {
+    import graft.operators.Corpus
+    val n = docs.count()
+    val e1 = Corpus.epochOrder(docs, epoch = 1).collect()
+    // bijection onto 0..N-1
+    assert(e1.map(_.getAs[Long]("train_pos")).sorted.toSeq ==
+      (0L until n).toSeq)
+    // a different epoch reshuffles (astronomically unlikely to agree)
+    val e2 = Corpus.epochOrder(docs, epoch = 2).collect()
+    val pos1 = e1.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("train_pos")).toMap
+    val pos2 = e2.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("train_pos")).toMap
+    assert(pos1 != pos2, "epoch 2 produced the same order as epoch 1")
+    // determinism under a different physical layout
+    val re = Corpus.epochOrder(docs.repartition(7), epoch = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("train_pos")).toMap
+    assert(re == pos1)
+  }
+
   test("knnJoinLsh ≡ annTopK on a shared query slice (identical bucket " +
     "scheme, different physical shape)") {
     // same tables/bits ⇒ identical candidate sets per query, so the
