@@ -342,6 +342,11 @@ object SparkEntry {
     "pivot_counts" -> ((s, d) =>
       Relational.pivotCounts(Tables.events(s, d))),
 
+    // Per-type z-score outlier flagging (round 8): exact-decimal stats
+    // via the stats_corr string bridge, broadcast back, |z| > 3.
+    "event_anomaly" -> ((s, d) =>
+      Relational.valueAnomalies(Tables.events(s, d))),
+
     // Quarantine decode: bad wire rows are FLAGGED, not silently dropped
     // (upgrading the reference's drop-and-continue, SURVEY.md §4.4.3).
     "row_quarantine" -> ((s, d) => {
@@ -1009,6 +1014,24 @@ object SparkEntry {
         "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
         "COUNT(*) FILTER (WHERE event_type = 'view') AS view " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // exact-decimal n/Σv/Σv² through the stats_corr via-string bridge;
+    // mean/std/z arithmetic mirrors valueAnomalies op for op
+    "event_anomaly" ->
+      ("WITH s AS (SELECT event_type, COUNT(*) AS n, " +
+        "SUM(CAST(value AS DECIMAL(12,2))) AS sv, " +
+        "SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv " +
+        "FROM events GROUP BY event_type), " +
+        "j AS (SELECT e.event_id, e.event_type, e.value, s.n, " +
+        "CAST(CAST(s.sv AS VARCHAR) AS DOUBLE) AS dsv, " +
+        "CAST(CAST(s.svv AS VARCHAR) AS DOUBLE) AS dsvv " +
+        "FROM events e JOIN s USING (event_type)), " +
+        "zz AS (SELECT event_id, event_type, value, n, " +
+        "sqrt((n * dsvv - dsv * dsv) / (n * (n - 1))) AS std, " +
+        "(value - dsv / n) AS dev FROM j) " +
+        "SELECT event_id, event_type, value, dev / std AS z FROM zz " +
+        "WHERE n > 1 AND std > 0 AND abs(dev / std) > 3.0 " +
+        "ORDER BY event_id"),
 
     "row_quarantine" ->
       ("SELECT event_id, raw, " +

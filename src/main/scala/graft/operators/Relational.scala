@@ -222,6 +222,36 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-type z-score OUTLIER flagging — the value-anomaly filter an
+    * events pipeline runs before aggregation trusts the numbers: flag
+    * every event whose value sits more than `threshold` sample
+    * standard deviations from its type's mean. Stats come from exact
+    * decimal sums (n, Σv, Σv² — order-insensitive under any
+    * partitioning) through the same via-string decimal→double bridge
+    * as [[groupedCorrelation]], so mean, std and z are bit-identical
+    * across engines. The per-type stats frame is |types| rows —
+    * broadcast back onto the stream; the whole operator is one
+    * map-side-combined aggregation plus one narrow pass, nothing
+    * corpus-sized shuffles. Types with n ≤ 1 or zero variance flag
+    * nothing (no std to deviate from). Output: (event_id, event_type,
+    * value, z) for flagged events, ordered. */
+  def valueAnomalies(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val v = dec2(col("value"))
+    val stats = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(v).as("sv"), sum(v * v).as("svv"))
+    def d(c: Column) = c.cast("string").cast("double")
+    events.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean", d(col("sv")) / col("n"))
+      .withColumn("std", sqrt(
+        (col("n") * d(col("svv")) - d(col("sv")) * d(col("sv"))) /
+          (col("n") * (col("n") - lit(1)))))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(col("n") > 1 && col("std") > 0 &&
+        abs(col("z")) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** CDC upsert — apply a change set onto a base snapshot, latest-wins by
     * key: a change row replaces the base row WHOLESALE (so an update that
     * nulls a field really nulls it — per-column coalesce would resurrect
