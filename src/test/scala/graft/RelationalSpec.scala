@@ -193,6 +193,43 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("valueAnomalies: planted outlier flagged, tight distributions " +
+    "silent, degenerate types safe") {
+    import java.sql.Timestamp
+    def ts(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    val base = (0 until 50).map(i =>
+      (i.toLong, ts(i), "click", 100.0 + (i % 5))) // tight cluster
+    val ev = (base :+
+      (99L, ts(99), "click", 100000.0) :+     // the planted outlier
+      (200L, ts(200), "lonely", 42.0))        // n = 1 type: no std
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = Relational.valueAnomalies(ev).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(99L),
+      s"expected exactly the planted outlier, got ${out.toSeq}")
+    assert(math.abs(out.head.getAs[Double]("z")) > 3.0)
+    // all-identical values: std = 0 → nothing can deviate, no division
+    val flat = (0 until 10).map(i => (i.toLong, ts(i), "flat", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    assert(Relational.valueAnomalies(flat).count() == 0)
+  }
+
+  test("userJourney: same-microsecond events order by the event_id " +
+    "tiebreak (the tie the oracle data never exercises)") {
+    import java.sql.Timestamp
+    val t = new Timestamp(1700000000000L)
+    val later = new Timestamp(1700000060000L)
+    val ev = Seq(
+      // two events at the IDENTICAL timestamp: event_id must decide
+      (5L, t, 1L, "b_second"),
+      (2L, t, 1L, "a_first"),
+      (9L, later, 1L, "c_third"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Sessionize.userJourney(ev).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("journey") == "a_first>b_second>c_third")
+    assert(out.head.getAs[Long]("n_events") == 3L)
+  }
+
   test("retention: first-event-week cohorts, exact offsets, distinct users") {
     import graft.operators.Sessionize
     // 2024-01-01 and 2024-01-08 are Mondays: week boundaries land exactly
