@@ -1027,7 +1027,7 @@ object SparkEntry {
         "CAST(CAST(s.svv AS VARCHAR) AS DOUBLE) AS dsvv " +
         "FROM events e JOIN s USING (event_type)), " +
         "zz AS (SELECT event_id, event_type, value, n, " +
-        "sqrt((n * dsvv - dsv * dsv) / (n * (n - 1))) AS std, " +
+        "sqrt(greatest((n * dsvv - dsv * dsv) / (n * (n - 1)), 0)) AS std, " +
         "(value - dsv / n) AS dev FROM j) " +
         "SELECT event_id, event_type, value, dev / std AS z FROM zz " +
         "WHERE n > 1 AND std > 0 AND abs(dev / std) > 3.0 " +

@@ -242,9 +242,13 @@ object Relational {
     def d(c: Column) = c.cast("string").cast("double")
     events.join(broadcast(stats), Seq("event_type"))
       .withColumn("mean", d(col("sv")) / col("n"))
-      .withColumn("std", sqrt(
+      // Zero-variance groups can round to a tiny NEGATIVE variance in
+      // doubles; sqrt would yield NaN and NaN > 0 is TRUE under Spark's
+      // NaN-greatest ordering, flagging every row of the group. Clamp
+      // to 0 so those groups get std = 0 and fall to the std > 0 guard.
+      .withColumn("std", sqrt(greatest(
         (col("n") * d(col("svv")) - d(col("sv")) * d(col("sv"))) /
-          (col("n") * (col("n") - lit(1)))))
+          (col("n") * (col("n") - lit(1))), lit(0.0))))
       .withColumn("z", (col("value") - col("mean")) / col("std"))
       .filter(col("n") > 1 && col("std") > 0 &&
         abs(col("z")) > threshold)

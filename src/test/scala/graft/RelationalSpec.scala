@@ -211,6 +211,12 @@ class RelationalSpec extends SparkSpec {
     val flat = (0 until 10).map(i => (i.toLong, ts(i), "flat", 7.0))
       .toDF("event_id", "ts", "event_type", "value")
     assert(Relational.valueAnomalies(flat).count() == 0)
+    // two identical 1.06 rows: the string→double bridge rounds the
+    // exactly-zero variance to -4.4e-16; unclamped, sqrt gives NaN and
+    // Spark's NaN ordering makes std > 0 TRUE, flagging both rows
+    val neg = Seq((0L, ts(0), "dup", 1.06), (1L, ts(1), "dup", 1.06))
+      .toDF("event_id", "ts", "event_type", "value")
+    assert(Relational.valueAnomalies(neg).count() == 0)
   }
 
   test("userJourney: same-microsecond events order by the event_id " +
