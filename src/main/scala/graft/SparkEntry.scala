@@ -799,7 +799,15 @@ object SparkEntry {
     // to a REAL container decode.
     "multimodal_frames_gif" -> ((s, d) =>
       Multimodal.decodeGifFramesPartitions(s,
-        Multimodal.ingestGif(Tables.documents(s, d))))
+        Multimodal.ingestGif(Tables.documents(s, d)))),
+
+    // Lossy-codec leg under the hash oracle (round 9): real ImageIO JPEG
+    // encode + decode, reduced to oracle-replayable exacts (dims, pixel
+    // count, byte count) plus an integer error-band verdict the oracle
+    // asserts TRUE — the lossy values themselves never hash.
+    "multimodal_decode_jpeg" -> ((s, d) =>
+      Multimodal.decodeJpegVerdict(s,
+        Multimodal.ingestJpeg(Tables.documents(s, d))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1698,7 +1706,18 @@ object SparkEntry {
         "width * height AS n_pixels " +
         "FROM (SELECT doc_id, (n_chars % 4) + 2 AS n_frames, " +
         "(n_chars % 8) + 4 AS width, (n_chars % 6) + 4 AS height FROM documents))) " +
-        "ORDER BY doc_id, frame_idx")
+        "ORDER BY doc_id, frame_idx"),
+
+    // Lossy JPEG leg: dims/pixel/byte counts replay analytically; the
+    // error-band verdict is asserted as literal TRUE — DuckDB cannot
+    // decode JPEG, so the boolean IS the contract (a decode regression
+    // flips it on the Spark side and the hash mismatches).
+    "multimodal_decode_jpeg" ->
+      ("SELECT doc_id, length(text) AS n_bytes, " +
+        "(n_chars % 9) + 8 AS width, (n_chars % 6) + 8 AS height, " +
+        "((n_chars % 9) + 8) * ((n_chars % 6) + 8) AS n_pixels, " +
+        "CAST(8 AS BIGINT) AS err_band, TRUE AS within_band " +
+        "FROM documents ORDER BY doc_id")
   )
 
   /** Stopword list literal shared by text oracles. */

@@ -200,6 +200,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeJpegVerdict: exact dims/counts, verdict TRUE at the real " +
+    "band and FALSE at band 0 (the verdict is not vacuous)") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(n => (n, "j" * n.toInt, n))
+      .toDF("doc_id", "text", "n_chars")
+    val ing = Multimodal.ingestJpeg(docs)
+    val out = Multimodal.decodeJpegVerdict(spark, ing).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("width") == Multimodal.jpegWidth(id))
+      assert(r.getAs[Long]("height") == Multimodal.jpegHeight(id))
+      assert(r.getAs[Long]("n_pixels") ==
+        Multimodal.jpegWidth(id).toLong * Multimodal.jpegHeight(id))
+      assert(r.getAs[Long]("n_bytes") == id) // "j" * n: n chars
+      assert(r.getAs[Long]("err_band") == 8L)
+      assert(r.getAs[Boolean]("within_band"), s"doc $id out of band")
+    }
+    // control: at band 0 the lossy codec CANNOT be exact everywhere —
+    // if it were, the verdict column would assert nothing
+    val strict = Multimodal.decodeJpegVerdict(spark, ing, band = 0).collect()
+    assert(strict.exists(!_.getAs[Boolean]("within_band")),
+      "band 0 verdict all-true: the error-band check is vacuous")
+  }
+
   test("resizeBilinearPartitions: identity (×64) on 4x4 sources; matches " +
     "an independent double-math kernel on every fixture shape") {
     import spark.implicits._
