@@ -1089,10 +1089,27 @@ object SparkEntry {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
         "ORDER BY user_id, ts, event_id"),
 
+    // Exact-rational type-7 interpolation replayed formula-for-formula
+    // (NOT quantile_cont, whose double interpolation could drift a ulp):
+    // integer position arithmetic, bracketing order statistics off a
+    // distinct-value rank frame, one double division per quartile.
     "text_len_quantiles" ->
-      ("SELECT quantile_cont(n_chars, 0.25) AS p25, quantile_cont(n_chars, 0.5) AS p50, " +
-        "quantile_cont(n_chars, 0.75) AS p75, quantile_cont(n_chars, 0.9) AS p90, " +
-        "MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents"),
+      ("WITH c AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY n_chars), " +
+        "cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS hi_rank, " +
+        "SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS lo_rank FROM c), " +
+        "nn AS (SELECT COUNT(*) AS n, MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents), " +
+        "qq AS (SELECT * FROM (VALUES ('p25',1,4),('p50',1,2),('p75',3,4),('p90',9,10)) AS t(qname,num,den)), " +
+        "r AS (SELECT qname, den, (n-1)*num % den AS rem, (n-1)*num // den + 1 AS klo FROM nn, qq), " +
+        "j AS (SELECT r.qname, r.den, r.rem, " +
+        "MAX(CASE WHEN cum.lo_rank <= r.klo AND r.klo <= cum.hi_rank THEN v END) AS vlo, " +
+        "MAX(CASE WHEN r.rem > 0 AND cum.lo_rank <= r.klo+1 AND r.klo+1 <= cum.hi_rank THEN v END) AS vhi " +
+        "FROM r, cum GROUP BY 1, 2, 3), " +
+        "vals AS (SELECT qname, CAST(vlo*(den-rem) + COALESCE(vhi,vlo)*rem AS DOUBLE) / CAST(den AS DOUBLE) AS qval FROM j) " +
+        "SELECT MAX(CASE WHEN qname='p25' THEN qval END) AS p25, " +
+        "MAX(CASE WHEN qname='p50' THEN qval END) AS p50, " +
+        "MAX(CASE WHEN qname='p75' THEN qval END) AS p75, " +
+        "MAX(CASE WHEN qname='p90' THEN qval END) AS p90, " +
+        "(SELECT lo FROM nn) AS lo, (SELECT hi FROM nn) AS hi FROM vals"),
 
     "batch_barrier" ->
       ("SELECT event_id // 1000 AS batch_id, COUNT(*) AS n_rows, " +

@@ -328,21 +328,64 @@ object Relational {
       .drop("__salt", "__dsalt")
   }
 
-  /** Exact interpolated quantiles of document length — order statistics
-    * are exact on integer inputs, so the oracle can replicate them. */
-  /** Exact type-7 quantiles over a BOUNDED-domain column: Spark's exact
-    * `percentile` buffers value→count, so memory is O(distinct lengths)
-    * (≤ max doc chars), not O(rows) — safe at 100 TB for lengths/scores.
-    * For unbounded-domain columns use percentile_approx (t-digest,
-    * spec'd in ApproxSpec) instead. */
-  def lengthQuantiles(docs: DataFrame): DataFrame =
-    docs.agg(
-      expr("percentile(n_chars, 0.25)").as("p25"),
-      expr("percentile(n_chars, 0.5)").as("p50"),
-      expr("percentile(n_chars, 0.75)").as("p75"),
-      expr("percentile(n_chars, 0.9)").as("p90"),
-      min(col("n_chars")).as("lo"),
-      max(col("n_chars")).as("hi"))
+  /** Exact type-7 quantiles over a BOUNDED-domain integer column,
+    * computed from ORDER STATISTICS with exact rational interpolation —
+    * not the builtin `percentile`, whose double interpolation
+    * (lo + (hi-lo)·frac, frac from a 0.9·(n-1) product) can differ from
+    * another engine's formulation in the last ulp. Here the type-7
+    * position (n-1)·num/den is exact integer arithmetic (idx, rem), the
+    * two bracketing order statistics come off a distinct-value rank
+    * frame, and the interpolated value is ONE IEEE division of an exact
+    * integer numerator: (v_lo·(den-rem) + v_hi·rem)/den — bit-identical
+    * in any engine that replays the same formula.
+    *
+    * Memory is O(distinct lengths) like the builtin (the rank frame is
+    * a groupBy on the value; its running-sum window runs unpartitioned
+    * over the DISTINCT values only — bounded domain, so a single
+    * partition holds it at any corpus size). For unbounded-domain
+    * columns use [[lengthQuantilesApprox]] (GK sketch) instead. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quartiles = Seq(("p25", 1L, 4L), ("p50", 1L, 2L),
+      ("p75", 3L, 4L), ("p90", 9L, 10L)).toDF("qname", "num", "den")
+    val counts = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("hi_rank", sum(col("cnt")).over(Window.orderBy(col("v"))))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt") + lit(1))
+    val nrow = docs.agg(count(lit(1)).as("n"),
+      min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    // 1-based ranks of the two bracketing order statistics per quartile:
+    // klo = floor((n-1)·num/den)+1, khi = klo+1 (only needed when rem>0)
+    val ranks = nrow.select(col("n")).crossJoin(quartiles)
+      .withColumn("pos_num", (col("n") - 1) * col("num"))
+      .withColumn("rem", pmod(col("pos_num"), col("den")))
+      .withColumn("klo", expr("pos_num DIV den") + 1)
+      .select(col("qname"), col("den"), col("rem"),
+        explode(array(
+          struct(col("klo").as("k"), lit(0).as("which")),
+          struct((col("klo") + 1).as("k"), lit(1).as("which")))).as("kk"))
+      .select(col("qname"), col("den"), col("rem"),
+        col("kk.k").as("k"), col("kk.which").as("which"))
+      .filter(col("which") === 0 || col("rem") > 0)
+    val vals = cum.join(broadcast(ranks),
+        col("k") >= col("lo_rank") && col("k") <= col("hi_rank"))
+      .groupBy(col("qname"), col("den"), col("rem"))
+      .agg(max(when(col("which") === 0, col("v"))).as("vlo"),
+        max(when(col("which") === 1, col("v"))).as("vhi"))
+      .withColumn("qval",
+        (col("vlo").cast("long") * (col("den") - col("rem")) +
+          coalesce(col("vhi"), col("vlo")).cast("long") * col("rem"))
+          .cast("double") / col("den").cast("double"))
+    vals.agg(
+        max(when(col("qname") === "p25", col("qval"))).as("p25"),
+        max(when(col("qname") === "p50", col("qval"))).as("p50"),
+        max(when(col("qname") === "p75", col("qval"))).as("p75"),
+        max(when(col("qname") === "p90", col("qval"))).as("p90"))
+      .crossJoin(nrow.select(col("lo"), col("hi")))
+  }
 
   /** The sketch form of [[lengthQuantiles]]: approx_percentile
     * (Greenwald-Khanna), `accuracy` trading memory for rank error

@@ -219,6 +219,33 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.valueAnomalies(neg).count() == 0)
   }
 
+  test("lengthQuantiles: exact type-7 values on fractional positions, " +
+    "independent of partitioning; degenerate single-row input") {
+    import spark.implicits._
+    // n = 13 → p90 position = 10.8: rem 8/10, true fractional interpolation
+    val lens = Seq(3L, 17L, 5L, 29L, 11L, 7L, 2L, 23L, 13L, 19L, 31L, 37L, 41L)
+    // the CONTRACT formula: exact integer position arithmetic, one
+    // double division — v(i)*(1-f)+v(i+1)*f double math drifts a ulp
+    // (0.9*12 = 10.8 is inexact) and is exactly what the operator avoids
+    def t7(num: Long, den: Long, s: Seq[Long]): Double = {
+      val v = s.sorted; val posNum = (v.length - 1) * num
+      val i = (posNum / den).toInt; val rem = posNum % den
+      (v(i) * (den - rem) + v(math.min(i + 1, v.length - 1)) * rem).toDouble / den
+    }
+    for (parts <- Seq(1, 7)) {
+      val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("doc_id", "n_chars").repartition(parts)
+      val r = Relational.lengthQuantiles(docs).collect().head
+      for ((c, num, den) <- Seq(("p25", 1L, 4L), ("p50", 1L, 2L),
+        ("p75", 3L, 4L), ("p90", 9L, 10L)))
+        assert(r.getAs[Double](c) == t7(num, den, lens), s"$c at $parts parts")
+      assert(r.getAs[Long]("lo") == 2L && r.getAs[Long]("hi") == 41L)
+    }
+    val one = Seq((0L, 9L)).toDF("doc_id", "n_chars")
+    val r1 = Relational.lengthQuantiles(one).collect().head
+    assert(Seq("p25", "p50", "p75", "p90").forall(r1.getAs[Double](_) == 9.0))
+  }
+
   test("userJourney: same-microsecond events order by the event_id " +
     "tiebreak (the tie the oracle data never exercises)") {
     import java.sql.Timestamp
