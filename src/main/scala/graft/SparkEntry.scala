@@ -612,7 +612,8 @@ object SparkEntry {
     // long training doc is caught here even when its shingles drown in
     // the whole-doc Jaccard. Gram hashes = winnow machinery at w=1.
     "contamination_ngram" -> ((s, d) =>
-      Corpus.contaminationNgrams(Tables.documents(s, d))),
+      Corpus.contaminationNgrams(Tables.documents(s, d),
+        scope = harnessScope)),
 
     // Corpus-relative token-frequency score (round 8): the web-pipeline
     // frequency filter — vocab counts + join back, exact integers.

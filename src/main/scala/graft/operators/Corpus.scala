@@ -375,11 +375,18 @@ object Corpus {
     * Output: (test_doc, train_doc, n_shared) — the count of distinct
     * shared k-gram hashes — ordered. */
   def contaminationNgrams(docs: DataFrame, k: Int = 13,
-                          maxDf: Option[Int] = Some(100)): DataFrame = {
+                          maxDf: Option[Int] = Some(100),
+                          scope: CacheScope = CacheScope.off): DataFrame = {
     val tagged = docs.withColumn("is_test", isHoldout(col("doc_id")))
-    val raw = tagged.select(col("doc_id"), col("is_test"),
+    // with maxDf set, `raw` feeds BOTH the df aggregation and the join
+    // probe — scope-persist it so the full normalize→gram→hash pass over
+    // the corpus runs once, not twice (same multi-consumer pattern as
+    // simHashNearDupPairs; CacheScope.off falls back to recompute);
+    // single-consumer when maxDf is None, so nothing to track then
+    val rawBase = tagged.select(col("doc_id"), col("is_test"),
       explode(graft.functions.VectorFunctions.winnowFps(col("text"), k, 1))
         .as("fp"))
+    val raw = if (maxDf.isDefined) scope.track(rawBase) else rawBase
     val capped = maxDf match {
       case None => raw
       case Some(cap) =>

@@ -605,9 +605,17 @@ object Multimodal {
     * loudly rather than round-tripping. Palette entry i is (i,i,i), so
     * the index IS the gray value and the codec is lossless — the
     * analytic pixel oracle applies exactly, unlike the JPEG leg. */
-  def gifBytes(docId: Long, nChars: Long): Array[Byte] = {
-    val w = gifWidth(nChars); val h = gifHeight(nChars)
-    val nf = gifNumFrames(nChars)
+  def gifBytes(docId: Long, nChars: Long): Array[Byte] =
+    gifBytesDims(docId, gifWidth(nChars), gifHeight(nChars),
+      gifNumFrames(nChars))
+
+  /** Explicit-dims entry point: the production moduli cap frames at
+    * 11×9 = 99 pixels, which never reaches the 200-literal CLEAR branch
+    * in the packer loop — this hook lets the spec drive ≥200-pixel
+    * frames through ImageIO so that branch is exercised BEFORE any
+    * future modulus growth meets it in production decode. */
+  private[graft] def gifBytesDims(docId: Long, w: Int, h: Int,
+                                  nf: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1024)
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes("US-ASCII"), 0, 6)

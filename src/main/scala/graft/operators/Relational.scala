@@ -134,12 +134,16 @@ object Relational {
     // in-memory catalog forgets its tables at JVM exit but the warehouse
     // directory survives, and CREATE refuses an existing location. Drop
     // the catalog entry (removes files when the table is known), then
-    // remove any orphaned directory.
+    // remove any orphaned directory — but ONLY for graft-owned names:
+    // this helper must never be able to destroy an unrelated
+    // pre-existing table's files just because a caller reused its name.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(loc, true)
+    if (table.startsWith("graft_")) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
@@ -158,14 +162,22 @@ object Relational {
   def bucketedJoin(orders: DataFrame, lineitem: DataFrame,
                    buckets: Int = 32): DataFrame = {
     val spark = orders.sparkSession
+    // table names carry a per-JVM suffix (sanitized applicationId):
+    // two sessions sharing a warehouse — a concurrent bench and verify,
+    // say — each write their own tables instead of clobbering the
+    // other's mid-join, and no unrelated table can share the name
+    val tag = spark.sparkContext.applicationId
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val ordT = s"graft_bkt_orders_$tag"
+    val liT = s"graft_bkt_lineitem_$tag"
     writeBucketed(orders.select(col("o_orderkey"), col("o_totalprice")),
-      "graft_bkt_orders", "o_orderkey", buckets)
+      ordT, "o_orderkey", buckets)
     writeBucketed(lineitem
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
           col("l_extendedprice")),
-      "graft_bkt_lineitem", "o_orderkey", buckets)
-    spark.table("graft_bkt_orders")
-      .join(spark.table("graft_bkt_lineitem"), Seq("o_orderkey"))
+      liT, "o_orderkey", buckets)
+    spark.table(ordT)
+      .join(spark.table(liT), Seq("o_orderkey"))
       .select(col("o_orderkey").as("orderkey"),
         col("l_linenumber").as("linenumber"),
         col("o_totalprice").as("totalprice"),

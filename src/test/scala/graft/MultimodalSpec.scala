@@ -200,6 +200,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("gifBytesDims: frames past the 200-literal CLEAR boundary decode " +
+    "pixel-exact through ImageIO (the branch production dims never reach)") {
+    // 20×15 = 300 pixels/frame: the packer emits a mid-stream CLEAR at
+    // literal 200 — ImageIO's LZW table reset must resync exactly
+    for ((w, h) <- Seq((20, 15), (23, 11), (16, 25))) {
+      val bytes = Multimodal.gifBytesDims(docId = 7L, w = w, h = h, nf = 2)
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+      reader.setInput(in)
+      assert(reader.getNumImages(true) == 2)
+      for (f <- 0 until 2) {
+        val img = reader.read(f)
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val got = img.getRGB(x, y) & 0xff
+          assert(got == Multimodal.gifPixelValue(7L, f, y.toLong * w + x),
+            s"pixel ($x,$y) frame $f at ${w}x$h")
+        }
+      }
+      reader.dispose()
+    }
+  }
+
   test("decodeJpegVerdict: exact dims/counts, verdict TRUE at the real " +
     "band and FALSE at band 0 (the verdict is not vacuous)") {
     import spark.implicits._

@@ -61,8 +61,10 @@ class PlanInvariantsSpec extends SparkSpec {
         s"bucketed join must not shuffle either side:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      // names carry the per-JVM applicationId suffix
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_bkt_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
     }
   }
 
