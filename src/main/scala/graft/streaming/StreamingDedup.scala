@@ -141,14 +141,20 @@ object StreamingDedup {
       .filter(sigAgree(col("x.sig"), col("y.sig")) >= threshold)
       .select(col("x.doc_id")).distinct()
 
+    // batch max event time rides the survivors write as an observed
+    // metric — the left side of a left_anti join scans every batch row,
+    // so the metric is complete and costs no extra driver job (the old
+    // form ran a separate agg(max).head() job per micro-batch)
+    val obs = org.apache.spark.sql.Observation(s"neardup_gate_$batchId")
     val survivors = batch
+      .observe(obs, max(col("ts")).as("max_ts"))
       .join(storeHits.union(inBatchHits).distinct(), Seq("doc_id"), "left_anti")
     survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
     // next store version: previous survivors + this batch's, pruned to
     // the horizon behind the batch's max event time
     val survBands = bands.join(survivors.select("doc_id"), "doc_id")
-    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    val maxTs = obs.get("max_ts").asInstanceOf[java.sql.Timestamp]
     val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonSec * 1000L)
     store.unionByName(survBands)
       .filter(col("ts") > cutoff)

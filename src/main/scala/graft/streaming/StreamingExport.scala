@@ -20,13 +20,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingExport {
 
+  /** Name of the per-batch observed-metrics block every progress event
+    * carries (`progress.observedMetrics.get(ObservedMetricsName)`):
+    * `n_rows` (batch row count) and `max_ts` (newest event time routed,
+    * when the source has a `ts` column — batch-max event time vs the
+    * trigger wall clock is the sink-side lag signal). Collected by the
+    * SAME job that writes the batch: rate/lag monitoring costs zero
+    * extra driver jobs, unlike a per-batch `agg(...).head()`. */
+  val ObservedMetricsName = "graft_export"
+
   /** Route a STREAMING events frame and write each micro-batch as
     * partitioned parquet under `outDir/batch_id=N/`, exactly-once. */
   def exportStream(events: DataFrame, partitionCols: Seq[String],
                    outDir: String, checkpointDir: String,
                    trigger: Trigger = Trigger.AvailableNow(),
                    timezone: Option[String] = None): StreamingQuery = {
-    val routed = ExportPipeline.route(events, partitionCols, timezone = timezone)
+    val metrics = Seq(count(lit(1)).as("n_rows")) ++
+      (if (events.columns.contains("ts")) Seq(max(col("ts")).as("max_ts"))
+       else Nil)
+    val observed = events.observe(ObservedMetricsName, metrics.head, metrics.tail: _*)
+    val routed = ExportPipeline.route(observed, partitionCols, timezone = timezone)
     routed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -135,7 +135,14 @@ class PipelineSpec extends SparkSpec {
     mem.addData((1L, "EU"), (2L, "AS"), (3L, null.asInstanceOf[String]))
     val q = StreamingExport.exportStream(
       mem.toDF().toDF("id", "continent"), Seq("continent"), out, ckpt)
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
+    // rate metrics ride the write job itself (no extra per-batch job):
+    // every progress event carries the observed n_rows block
+    val om = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get(StreamingExport.ObservedMetricsName)))
+    assert(om.nonEmpty, "no observed metrics in progress events")
+    assert(om.map(_.getAs[Long]("n_rows")).sum == 3)
+    q.stop()
     val firstCount = spark.read.parquet(s"$out/batch_id=0").count()
     assert(firstCount == 3)
 
@@ -153,6 +160,27 @@ class PipelineSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     val total = spark.read.option("basePath", out).parquet(s"$out/batch_id=*").count()
     assert(total == 4, s"exactly-once total, got $total")
+  }
+
+  test("export stream lag metric: max event time observed per batch when " +
+    "the source carries ts (batch-max vs wall clock = sink lag)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = Files.createTempDirectory("graft_obs_out_").toString
+    val ckpt = Files.createTempDirectory("graft_obs_ckpt_").toString
+    val t1 = new java.sql.Timestamp(1700000000000L)
+    val t2 = new java.sql.Timestamp(1700000060000L)
+    mem.addData((1L, t1, "EU"), (2L, t2, "AS"))
+    val q = StreamingExport.exportStream(
+      mem.toDF().toDF("id", "ts", "continent"), Seq("continent"), out, ckpt)
+    q.processAllAvailable()
+    val om = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get(StreamingExport.ObservedMetricsName)))
+      .filter(_.getAs[Long]("n_rows") > 0)
+    assert(om.nonEmpty, "no observed metrics in progress events")
+    assert(om.head.getAs[Long]("n_rows") == 2L)
+    assert(om.head.getAs[java.sql.Timestamp]("max_ts") == t2)
+    q.stop()
   }
 
   test("failing micro-batch: checkpoint replays it, overwrite heals partial output") {
