@@ -747,6 +747,20 @@ object SparkEntry {
     "sim_ann_ivf_fixed" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), trainIters = 0)),
 
+    // Mean-pool per-document embedding aggregation (round 9): one vector
+    // per label from its chunk vectors, exact integer domain end-to-end.
+    // The pooled array itself is spec-checked; the registered row carries
+    // its md5 digest + exact norm (portable across engines, and the
+    // oracle gate's canonical sort can't order raw array columns).
+    "embed_meanpool" -> ((s, d) => {
+      val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))
+      mp.select(col("doc_key").as("label"), col("n_chunks"),
+          col("pooled_nrm"),
+          md5(array_join(transform(col("pooled"), x => x.cast("string")), ","))
+            .as("pooled_sig"))
+        .orderBy(col("label"))
+    }),
+
     // ---- Group B: multimodal columns ------------------------------------
 
     // Binary media payload + typed metadata + (stub) feature extraction.
@@ -1556,6 +1570,25 @@ object SparkEntry {
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
         "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    // Mean-pool replay: exact BIGINT element sums via list_reduce (the
+    // IVF-oracle technique), one double division per element, round
+    // half-away back to the quantized domain; digest = md5 of the
+    // comma-joined pooled vector (integer→string is format-identical in
+    // both engines).
+    "embed_meanpool" ->
+      ("WITH q AS (SELECT label, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
+        "g AS (SELECT label, COUNT(*) AS n_chunks, " +
+        "list_reduce(list(v), (a,b) -> list_transform(list_zip(a,b), p -> p[1]+p[2])) AS sv " +
+        "FROM q GROUP BY label), " +
+        "p AS (SELECT label, n_chunks, " +
+        "list_transform(sv, s -> CAST(round(CAST(s AS DOUBLE)/n_chunks) AS BIGINT)) AS pooled " +
+        "FROM g) " +
+        "SELECT label, n_chunks, " +
+        "CAST(list_sum(list_transform(pooled, x -> x*x)) AS BIGINT) AS pooled_nrm, " +
+        "md5(array_to_string(pooled, ',')) AS pooled_sig " +
+        "FROM p ORDER BY label"),
 
     // TRAINED IVF (round 9): the 2 Lloyd's iterations are a FIXED small
     // constant (Similarity.ivfTopK trainIters = 2), so the training loop

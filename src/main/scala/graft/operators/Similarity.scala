@@ -334,6 +334,38 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** Mean-pool document-embedding aggregation (round 9) — the missing
+    * half of the chunk-embedding workflow: a corpus pipeline that dedups
+    * and packs sequences also needs ONE vector per document, and the
+    * standard reduction is the element-wise mean of its chunk vectors.
+    * Runs in the exact integer domain like everything else in this file:
+    * chunk vectors quantize (×1000), per-position sums are exact longs
+    * under any partitioning, the mean is ONE IEEE division per element
+    * (identical operands in any engine), rounded half-away back to the
+    * quantized domain — the same arithmetic contract as
+    * [[trainCentroids]]' cluster means, per-document instead of
+    * per-cluster.
+    *
+    * Shape: posexplode → groupBy (doc, pos) with map-side partial sums —
+    * shuffle volume O(docs·dim), never O(chunks·dim) — then one
+    * per-doc reassembly via array_sort(collect_list(struct(pos, …)))
+    * so collect_list's arbitrary order can't leak in. Output:
+    * (doc_key, n_chunks, pooled: array<long>, pooled_nrm), ordered. */
+  def meanPoolEmbeddings(emb: DataFrame, docKey: String = "label"): DataFrame = {
+    val p = prepared(emb)
+    p.select(col(docKey).as("doc_key"), posexplode(col("qv")))
+      .groupBy(col("doc_key"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("doc_key"))
+      .agg(max(col("cnt")).as("n_chunks"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+          x => round(x.getField("s").cast("double") / x.getField("cnt"))
+            .cast("long")).as("pooled"))
+      .withColumn("pooled_nrm", dotQ(col("pooled"), col("pooled")))
+      .orderBy(col("doc_key"))
+  }
+
   /** k-NN SELF-join via LSH buckets — EVERY vector's k nearest
     * neighbors, the all-corpus form of [[annTopK]] (which serves a
     * bounded query set): the semantic-dedup / hard-negative-mining /

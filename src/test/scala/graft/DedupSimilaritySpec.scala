@@ -191,6 +191,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("meanPoolEmbeddings: exact element-wise means with half-away " +
+    "rounding, invariant under repartitioning") {
+    import spark.implicits._
+    // doc 1: means land on .5 (rounding direction matters); doc 2: one
+    // chunk (identity); negative components exercise away-from-zero
+    val fix = Seq(
+      (0L, Array(0.001f, -0.002f, 0.003f), 1),
+      (1L, Array(0.002f, -0.003f, 0.004f), 1),   // sums 3,-5,7 over 2
+      (2L, Array(0.010f, -0.020f, 0.030f), 2))
+      .toDF("vec_id", "embedding", "label")
+    for (parts <- Seq(1, 5)) {
+      val out = Similarity.meanPoolEmbeddings(fix.repartition(parts))
+        .collect().map(r => r.getAs[Int]("doc_key") ->
+          (r.getAs[Long]("n_chunks"), r.getSeq[Long](2), r.getAs[Long]("pooled_nrm")))
+        .toMap
+      // (3/2, -5/2, 7/2) → round half away from zero → (2, -3, 4)
+      assert(out(1) == ((2L, Seq(2L, -3L, 4L), 4L + 9L + 16L)), s"at $parts parts")
+      assert(out(2) == ((1L, Seq(10L, -20L, 30L), 100L + 400L + 900L)))
+    }
+  }
+
   test("lengthQuantilesApprox (GK sketch) within rank error of exact quantiles") {
     import graft.operators.Relational
     val n = docs.count().toDouble
