@@ -86,7 +86,19 @@ object Bench {
     val memoFedJson = memoFed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val onlyJson = only.map(_.toSeq.sorted.map("\"" + _ + "\"")
       .mkString(""","only":[""", ",", "]")).getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min_of_passes","value_first_pass":$firstPass,"memo_fed":$memoFedJson$onlyJson,"queries":$qs,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min_of_passes","value_first_pass":$firstPass,"memo_fed":$memoFedJson$onlyJson,"queries":$qs,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson}"""
+    println(line)
+    // the driver's artifact capture can clip long stdout tails, losing
+    // per-query entries — mirror the FULL line to a file so the map
+    // stays machine-readable (full runs only: a dev-scoped run must
+    // never overwrite a round artifact)
+    if (only.isEmpty) {
+      val mirror = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LATEST.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(mirror), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] mirror write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
