@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{BucketOverflow, Similarity}
+import org.apache.spark.sql.functions._
+
+/** CI-checkable form of the BASELINE.md 10× duplication stress: the
+  * re-keyed ×10 construction (every vector duplicated — the adversarial
+  * worst case for near-dup blocking) must exhibit the documented triad:
+  *
+  *   1. FAIL (default): the bounded candidate enumerator aborts loudly,
+  *      naming the hot bucket — never silent quadratic work;
+  *   2. DROP: completes with bounded per-bucket work (documented recall
+  *      trade on hot buckets);
+  *   3. COMPOSE: exact-dedup identical vectors FIRST, then the LSH path
+  *      with Fail ON completes — the production recipe.
+  *
+  * Env-gated (slow by design — it builds and scans the duplicated
+  * corpus): set SPARK_GRAFT_STRESS=1 to run; otherwise the tests cancel
+  * via assume(), keeping the default suite fast while the scale claims
+  * stay executable instead of rotting as prose. Scale is sf0.1×10
+  * (20k vectors) — BASELINE.md's exact construction: below ~10k
+  * vectors no bucket reaches the default 1024 cap and the Fail leg
+  * has nothing to prove.
+  */
+class StressSpec extends SparkSpec {
+
+  private val sfStress = "/root/testdata/sf0.1"
+
+  private def gated(): Unit =
+    assume(sys.env.get("SPARK_GRAFT_STRESS").contains("1"),
+      "set SPARK_GRAFT_STRESS=1 to run the 10x duplication stress")
+
+  /** Re-keyed ×10 union: every vector appears 10 times under distinct
+    * vec_ids (ids offset per copy so they stay unique). */
+  private lazy val emb10 = {
+    val base = Tables.embeddings(spark, sfStress)
+    val n = 100000L // comfortably above any sf's max vec_id
+    (0 until 10).map(i => base.withColumn("vec_id",
+        col("vec_id") + lit(i * n)))
+      .reduce(_ unionByName _)
+  }
+
+  test("10x duplication: Fail policy aborts naming the hot bucket") {
+    gated()
+    val e = intercept[Exception] {
+      Similarity.nearDupPairsLsh(emb10).count()
+    }
+    // the abort must carry the diagnosis (possibly wrapped by Spark)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeded maxBucket")),
+      s"expected the hot-bucket diagnosis, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("10x duplication: Drop policy completes with bounded buckets") {
+    gated()
+    val pairs = Similarity.nearDupPairsLsh(emb10,
+      overflow = BucketOverflow.Drop).count()
+    assert(pairs > 0, "Drop run produced no verified pairs")
+  }
+
+  test("10x duplication: exact-dedup-first composition runs with Fail ON " +
+    "and serves every original") {
+    gated()
+    val deduped = emb10.dropDuplicates("embedding")
+    val nOriginals = Tables.embeddings(spark, sfStress).count()
+    assert(deduped.count() == nOriginals,
+      "exact dedup must collapse each 10-clique to its one original")
+    // Fail stays ON — after collapsing the cliques the buckets are the
+    // 1x corpus's and the enumeration must complete without tripping
+    val pairs = Similarity.nearDupPairsLsh(deduped).count()
+    val base1x = Similarity.nearDupPairsLsh(Tables.embeddings(spark, sfStress)).count()
+    assert(pairs == base1x,
+      s"composed pair count $pairs != 1x corpus count $base1x")
+  }
+}
