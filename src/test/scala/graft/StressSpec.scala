@@ -60,6 +60,34 @@ class StressSpec extends SparkSpec {
     assert(pairs > 0, "Drop run produced no verified pairs")
   }
 
+  test("streaming export throughput probe: observed metrics account for " +
+    "every row; rows/sec figure printed for BASELINE.md") {
+    gated()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("graft_thr_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_thr_ckpt_").toString
+    val rows = 200000
+    mem.addData((0 until rows).map(i =>
+      (i.toLong, Seq("EU", "AS", "NA", "SA")(i % 4))))
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamingExport.exportStream(
+      mem.toDF().toDF("id", "continent"), Seq("continent"), out, ckpt)
+    q.processAllAvailable()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get(
+        graft.streaming.StreamingExport.ObservedMetricsName)))
+      .map(_.getAs[Long]("n_rows")).sum
+    q.stop()
+    assert(observed == rows.toLong,
+      s"observed metrics accounted $observed of $rows rows")
+    info(f"streaming export throughput: $rows rows in $wallSec%.1f s = " +
+      f"${rows / wallSec}%.0f rows/s (MemoryStream, AvailableNow, local)")
+  }
+
   test("10x duplication: exact-dedup-first composition runs with Fail ON " +
     "and serves every original") {
     gated()
