@@ -592,6 +592,11 @@ object SparkEntry {
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d))),
 
+    // Stride/overlap token-window chunking: 32-token windows every 24
+    // tokens — purely narrow (posexploded per-row sequence, no shuffle).
+    "doc_chunk" -> ((s, d) =>
+      Corpus.chunkDocs(Tables.documents(s, d))),
+
     // Dataset mixture resampling: target weight of src<i> is i+1, so the
     // resample is exactly proportional to 1:2:...:20 under integer
     // quotas (k_s = p_s · min_s floor(n_s/p_s)), md5-prefix selection.
@@ -1318,6 +1323,25 @@ object SparkEntry {
         "SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM documents) " +
         "ORDER BY source, doc_id"),
+
+    // minimal stride-regular cover: n_chunks = 1 + greatest(0,
+    // ceil((n-32)/24)) in pure integer arithmetic (the greatest(0,..)
+    // clamp erases the floor-vs-truncate division difference on the
+    // negative numerator); DuckDB list slicing toks[a:b] is 1-based
+    // inclusive-clamped = Spark slice(toks, a, len); range() yields
+    // BIGINT so every derived column stays BIGINT.
+    "doc_chunk" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, source, toks, " +
+        "1 + greatest(0, (len(toks) - 32 + 23) // 24) AS n_chunks FROM t), " +
+        "u AS (SELECT doc_id, source, toks, " +
+        "unnest(range(0, n_chunks * 24, 24)) AS st FROM c) " +
+        "SELECT doc_id, source, CAST(st // 24 AS BIGINT) AS chunk_id, " +
+        "CAST(st AS BIGINT) AS chunk_start, " +
+        "CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens, " +
+        "array_to_string(toks[st + 1:st + 32], ' ') AS chunk_text " +
+        "FROM u ORDER BY doc_id, chunk_id"),
 
     // integer-exact mixture quotas: M = min floor(n/p), k = p·M — no
     // float arithmetic anywhere, so quotas are bit-identical per engine

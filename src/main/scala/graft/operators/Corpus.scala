@@ -103,6 +103,49 @@ object Corpus {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Stride/overlap token-window chunking — the step between whole
+    * documents and an embedding or context-window pipeline: windows of
+    * `chunkSize` whitespace tokens starting every `stride` tokens
+    * (overlap = chunkSize − stride). The chunk set is the MINIMAL
+    * stride-regular cover — `1 + max(0, ceil((n − chunkSize)/stride))`
+    * windows — so a doc at or under one window yields exactly one
+    * chunk and no window is fully contained in the previous one; only
+    * the last window can be short. Chunk counts stay in integer
+    * arithmetic end to end (ceil as `greatest(0, (n − C + S − 1) div
+    * S)` — the clamp erases the one case where Spark's
+    * truncate-toward-zero `div` and DuckDB's floor `//` disagree, a
+    * negative numerator). The chunks are what gets
+    * embedded; `embed_meanpool` is the pooling step that folds
+    * per-chunk vectors back to one per doc.
+    *
+    * Purely NARROW: a per-row integer `sequence` posexploded — no
+    * shuffle, no window, no state; at 100 TB this rides the parquet
+    * scan inside whole-stage codegen and parallelism is the scan's.
+    * `chunk_id` is the window ordinal (= chunk_start / stride), so
+    * downstream per-chunk ops key on (doc_id, chunk_id) without ever
+    * needing a per-doc sort. */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 32,
+                stride: Int = 24): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride,
+      s"need 1 <= stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val n = size(col("toks")).cast("long")
+    val lastStart = greatest(lit(0L),
+      expr(s"(size(toks) - $chunkSize + ${stride - 1}) div $stride")
+        .cast("long")) * stride
+    docs
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        posexplode(sequence(lit(0L), lastStart, lit(stride.toLong))))
+      .select(
+        col("doc_id"), col("source"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_start"),
+        least(lit(chunkSize.toLong), n - col("col")).as("n_tokens"),
+        array_join(slice(col("toks"), (col("col") + 1).cast("int"),
+          lit(chunkSize)), " ").as("chunk_text"))
+  }
+
   /** Dataset mixture resampling — the corpus-assembly step that turns
     * "whatever crawl ratios we have" into the TARGET source mixture a
     * training run wants (web:books:code = 50:30:20 …): deterministically

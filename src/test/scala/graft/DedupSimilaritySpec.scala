@@ -578,6 +578,46 @@ class DedupSimilaritySpec extends SparkSpec {
       r.getAs[Long]("vec_a") != 2L && r.getAs[Long]("vec_b") != 2L))
   }
 
+  test("chunkDocs: stride windows reconstruct the doc, tail short, " +
+    "one chunk for short docs, no shuffle in the plan") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "s", (0 until 80).map(i => s"t$i").mkString(" ")), // exact cover
+      (2L, "s", (0 until 32).map(i => s"u$i").mkString(" ")), // exactly 1
+      (3L, "s", "lone"),                                      // 1 tiny chunk
+      (4L, "s", (0 until 25).map(i => s"v$i").mkString(" ")), // 1, no tail
+      (5L, "s", (0 until 40).map(i => s"w$i").mkString(" "))  // short tail
+    ).toDF("doc_id", "source", "text")
+    val chunks = Corpus.chunkDocs(fixture, chunkSize = 32, stride = 24)
+    val rows = chunks.collect().groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: 80 tokens → minimal cover 1+ceil(48/24)=3 windows, all full
+    val d1 = rows(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d1.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 24L, 48L))
+    assert(d1.map(_.getAs[Long]("n_tokens")).toSeq == Seq(32L, 32L, 32L))
+    assert(d1.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L))
+    // stride segments (first `stride` tokens of each chunk + full last)
+    // reconstruct the document exactly
+    val rebuilt = d1.init.map(_.getAs[String]("chunk_text")
+      .split(" ").take(24).mkString(" ")).mkString(" ") +
+      " " + d1.last.getAs[String]("chunk_text")
+    assert(rebuilt == (0 until 80).map(i => s"t$i").mkString(" "))
+    // docs at/below one window → exactly one chunk, never a redundant
+    // second window (32 tokens: start 24 would add no new token)
+    assert(rows(2L).length == 1 && rows(2L).head.getAs[Long]("n_tokens") == 32L)
+    assert(rows(3L).length == 1 && rows(3L).head.getAs[String]("chunk_text") == "lone")
+    assert(rows(4L).length == 1 && rows(4L).head.getAs[Long]("n_tokens") == 25L)
+    // 40 tokens → 1+ceil(8/24)=2 windows, tail short (16) and the union
+    // of windows covers the doc exactly once past the overlap
+    val d5 = rows(5L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d5.map(_.getAs[Long]("n_tokens")).toSeq == Seq(32L, 16L))
+    assert(d5.last.getAs[String]("chunk_text") ==
+      (24 until 40).map(i => s"w$i").mkString(" "))
+    // narrow op: no exchange anywhere in the physical plan
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("mixSources: quotas exactly proportional, maximal, repartition-stable") {
     import graft.operators.Corpus
     val weights = (0 until 20).map(i => s"src$i" -> (i + 1)).toMap
