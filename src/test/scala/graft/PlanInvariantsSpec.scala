@@ -212,4 +212,24 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!logical.toLowerCase.contains("hint"),
       s"sim_knn_join pins a broadcast on a corpus-sized side:\n$logical")
   }
+
+  test("embed_meanpool partially aggregates per (doc,pos) before the " +
+    "exchange (shuffle O(docs*dim), not O(chunks*dim)); doc_chunk " +
+    "plans with no Exchange at all") {
+    val pool = planOf("embed_meanpool")
+    // the element sums must combine map-side: a partial_sum over the
+    // posexploded elements BEFORE any Exchange means only one reduced
+    // row per (doc, pos) crosses the wire, however many chunks a doc has
+    val firstExchange = pool.indexOf("Exchange")
+    val firstPartialSum = pool.indexOf("partial_sum")
+    assert(firstExchange >= 0 && firstPartialSum >= 0,
+      s"embed_meanpool plan shape changed:\n$pool")
+    assert(firstPartialSum > firstExchange,
+      s"partial_sum should sit BELOW the first exchange in the printed " +
+        s"plan (plans print top-down, so map-side partials appear after " +
+        s"the Exchange line that consumes them):\n$pool")
+    val chunk = planOf("doc_chunk")
+    assert(!chunk.contains("Exchange"),
+      s"doc_chunk must stay narrow (no shuffle):\n$chunk")
+  }
 }
