@@ -597,6 +597,12 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) =>
       Corpus.chunkDocs(Tables.documents(s, d))),
 
+    // Paragraph-level exact dedup: repeated 32-token windows removed
+    // everywhere but their first (doc_id, chunk_id) occurrence.
+    "dedup_paragraph" -> ((s, d) =>
+      Dedup.paragraphDedup(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Dataset mixture resampling: target weight of src<i> is i+1, so the
     // resample is exactly proportional to 1:2:...:20 under integer
     // quotas (k_s = p_s · min_s floor(n_s/p_s)), md5-prefix selection.
@@ -1342,6 +1348,24 @@ object SparkEntry {
         "CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens, " +
         "array_to_string(toks[st + 1:st + 32], ' ') AS chunk_text " +
         "FROM u ORDER BY doc_id, chunk_id"),
+
+    // same chunk CTE at stride = chunkSize = 32 (non-overlapping), then
+    // dedup_exact's ROW_NUMBER idiom partitioned by the paragraph text
+    "dedup_paragraph" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, source, toks, " +
+        "1 + greatest(0, (len(toks) - 32 + 31) // 32) AS n_chunks FROM t), " +
+        "u AS (SELECT doc_id, source, toks, " +
+        "unnest(range(0, n_chunks * 32, 32)) AS st FROM c), " +
+        "ch AS (SELECT doc_id, source, CAST(st // 32 AS BIGINT) AS chunk_id, " +
+        "CAST(st AS BIGINT) AS chunk_start, " +
+        "CAST(least(32, len(toks) - st) AS BIGINT) AS n_tokens, " +
+        "array_to_string(toks[st + 1:st + 32], ' ') AS chunk_text FROM u) " +
+        "SELECT doc_id, source, chunk_id, chunk_start, n_tokens, chunk_text " +
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_text " +
+        "ORDER BY doc_id, chunk_id) AS rn FROM ch) WHERE rn = 1 " +
+        "ORDER BY doc_id, chunk_id"),
 
     // integer-exact mixture quotas: M = min floor(n/p), k = p·M — no
     // float arithmetic anywhere, so quotas are bit-identical per engine

@@ -625,4 +625,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Paragraph-level EXACT dedup — the CCNet/Gopher-style boilerplate
+    * pass, distinct from whole-doc dedup: a repeated PASSAGE (license
+    * header, navigation block, disclaimer) is removed everywhere but
+    * its first occurrence while the host documents survive with their
+    * remaining paragraphs. "Paragraph" here is a NON-overlapping token
+    * window ([[Corpus.chunkDocs]] with stride = chunkSize, so the
+    * windows partition the document); first occurrence = smallest
+    * (doc_id, chunk_id), a total order.
+    *
+    * Scale shape: the chunking is narrow (no shuffle), then exactly
+    * ONE shuffle on the paragraph text and a rank<=1 filter that plans
+    * as WindowGroupLimit — per-group work is O(group), never a
+    * corpus-wide sort. The reference's exact-dedup analog is row-level
+    * ([[Relational.dedupExact]]); this is its sub-document sibling. */
+  def paragraphDedup(docs: DataFrame, chunkSize: Int = 32): DataFrame = {
+    val chunks = Corpus.chunkDocs(docs, chunkSize, chunkSize)
+    val w = Window.partitionBy(col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
 }

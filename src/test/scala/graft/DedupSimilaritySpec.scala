@@ -618,6 +618,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("paragraphDedup: a repeated boilerplate paragraph survives only " +
+    "its first occurrence; host docs keep their distinct paragraphs; " +
+    "rank filter plans as WindowGroupLimit") {
+    import spark.implicits._
+    val boiler = (0 until 32).map(i => s"lic$i").mkString(" ")
+    def body(tag: String) = (0 until 32).map(i => s"$tag$i").mkString(" ")
+    val fixture = Seq(
+      (1L, "s", s"$boiler ${body("a")}"),  // boilerplate + own content
+      (2L, "s", s"$boiler ${body("b")}"),  // same header, other content
+      (3L, "s", body("c")))                // no boilerplate
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.paragraphDedup(fixture, chunkSize = 32)
+    val rows = out.collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[String]("chunk_text")).toSet }
+    // doc 1 (first occurrence) keeps both paragraphs; doc 2 loses the
+    // boilerplate but keeps its own body; doc 3 untouched
+    assert(byDoc(1L) == Set(boiler, body("a")))
+    assert(byDoc(2L) == Set(body("b")), s"doc2 kept: ${byDoc(2L)}")
+    assert(byDoc(3L) == Set(body("c")))
+    // corpus-wide: every surviving paragraph text is unique
+    assert(rows.length == rows.map(_.getAs[String]("chunk_text")).distinct.length)
+    // rank<=1 must plan as WindowGroupLimit (per-group top-1, no
+    // full per-group sort materialization)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn=1 filter lost the WindowGroupLimit plan:\n$plan")
+  }
+
   test("mixSources: quotas exactly proportional, maximal, repartition-stable") {
     import graft.operators.Corpus
     val weights = (0 until 20).map(i => s"src$i" -> (i + 1)).toMap
