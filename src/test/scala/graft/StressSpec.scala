@@ -88,6 +88,31 @@ class StressSpec extends SparkSpec {
       f"${rows / wallSec}%.0f rows/s (MemoryStream, AvailableNow, local)")
   }
 
+  test("10x duplication: paragraph dedup is invariant — duplicated docs " +
+    "add ZERO surviving paragraphs and never steal a win") {
+    gated()
+    val base = Tables.documents(spark, sfStress)
+    val n = 100000L
+    // copies get strictly larger doc_ids, so every first-occurrence
+    // winner must stay exactly the 1x run's winner
+    val docs10 = (0 until 10).map(i => base.withColumn("doc_id",
+        col("doc_id") + lit(i * n)))
+      .reduce(_ unionByName _)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val once = key(graft.operators.Dedup.paragraphDedup(base))
+    val t0 = System.nanoTime()
+    val tenfold = key(graft.operators.Dedup.paragraphDedup(docs10))
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(tenfold == once,
+      s"10x survivors diverged: +${(tenfold -- once).size} " +
+        s"-${(once -- tenfold).size}")
+    info(f"paragraph dedup over 10x duplicated corpus: $wallSec%.1f s, " +
+      s"${tenfold.size} surviving paragraphs (= 1x run exactly)")
+  }
+
   test("10x duplication: exact-dedup-first composition runs with Fail ON " +
     "and serves every original") {
     gated()
