@@ -85,7 +85,7 @@ object Similarity {
     * would otherwise rank FIRST (IEEE total order) and a zero-norm
     * vector would masquerade as every query's best neighbor; null would
     * crash the primitive-double aggregator input. */
-  private def topKPerGroup(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKPerGroup(scored: DataFrame, k: Int): DataFrame =
     scored.filter(defined(col("cos"))).groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(k)(col("cos"), col("n_id")).as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
