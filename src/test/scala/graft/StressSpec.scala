@@ -88,6 +88,38 @@ class StressSpec extends SparkSpec {
       f"${rows / wallSec}%.0f rows/s (MemoryStream, AvailableNow, local)")
   }
 
+  test("NSW graph ANN at sf0.1: recall vs brute force + wall figure " +
+    "for BASELINE.md") {
+    gated()
+    val emb = Tables.embeddings(spark, sfStress)
+    val truth = Similarity.bruteForceTopK(emb, nQueries = 20, k = 10)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    def run(efC: Int, efS: Int): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val got = graft.operators.GraphAnn.nswTopK(emb, nQueries = 20,
+          k = 10, efConstruction = efC, efSearch = efS)
+        .collect().groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val recall = truth.map { case (q, t) =>
+        (got.getOrElse(q, Set.empty) & t).size }.sum.toDouble /
+        truth.values.map(_.size).sum
+      (recall, wallSec)
+    }
+    // uniform random vectors are graph ANN's worst case (no cluster
+    // structure to navigate); the beam budget is the recall knob and
+    // the probe documents both ends of the trade
+    val (rDefault, wDefault) = run(32, 64)   // 3.2% scan budget at 2k
+    val (rWide, wWide) = run(64, 256)        // 12.8% budget
+    assert(rDefault >= 0.7, s"default-beam recall@10 = $rDefault")
+    assert(rWide >= 0.9, s"wide-beam recall@10 = $rWide")
+    assert(rWide >= rDefault, "raising the beam reduced recall")
+    info(f"NSW at sf0.1 (2k uniform vectors): default beam ef=64 -> " +
+      f"recall@10 $rDefault%.2f in $wDefault%.1f s; wide beam ef=256 -> " +
+      f"$rWide%.2f in $wWide%.1f s (vs brute force)")
+  }
+
   test("10x duplication: paragraph dedup is invariant — duplicated docs " +
     "add ZERO surviving paragraphs and never steal a win") {
     gated()
