@@ -626,6 +626,20 @@ object SparkEntry {
       Corpus.contaminationNgrams(Tables.documents(s, d),
         scope = harnessScope)),
 
+    // Bloom-filter decontamination pre-gate (round 9): holdout 13-grams
+    // fold into a 131072-bit OR-merged mask (16 KB, broadcast); training
+    // grams take 5 O(1) bit probes — no join, no shuffle on the probe
+    // side. md5-derived positions make even the false positives
+    // deterministic and oracle-replayable.
+    "contamination_bloom" -> ((s, d) =>
+      Sketches.bloomDecontaminate(Tables.documents(s, d))),
+
+    // Count-Min heavy hitters (round 9): token frequencies from a
+    // 4×1024 counter grid (bounded at any corpus size), graded against
+    // the exact top-20 — overcounts are md5-deterministic and replay.
+    "freq_cms" -> ((s, d) =>
+      Sketches.cmsHeavyHitters(Tables.documents(s, d))),
+
     // Corpus-relative token-frequency score (round 8): the web-pipeline
     // frequency filter — vocab counts + join back, exact integers.
     "text_corpus_freq" -> ((s, d) =>
@@ -1422,6 +1436,50 @@ object SparkEntry {
         "CAST(SUM(freq) AS BIGINT) AS sum_freq, " +
         "CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_freq " +
         "FROM t JOIN v USING (tok) GROUP BY doc_id ORDER BY doc_id"),
+
+    // Bloom gate replay: mask bit set ⇔ position ∈ member position set,
+    // so the oracle tests set membership where the engine tests the bit
+    // — identical by construction, false positives included. Gram
+    // contract = contamination_ngram's (winnow CTE at w=1); positions =
+    // 28-bit md5 prefixes of fp||':'||i mod 131072, 5 hashes.
+    "contamination_bloom" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test, " +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks " +
+        "FROM documents), " +
+        "fps AS (SELECT doc_id, is_test, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(toks) - 12, 0) + 1), " +
+        "i -> substring(md5(array_to_string(toks[i:i+12], ' ')), 1, 8)))) AS fp FROM t), " +
+        "hp AS (SELECT doc_id, is_test, fp, " +
+        "CAST(('0x' || substring(md5(fp || ':' || CAST(r.i AS VARCHAR)), 1, 7)) AS BIGINT) " +
+        "% 131072 AS pos FROM fps, range(5) r(i)), " +
+        "mem AS (SELECT DISTINCT pos FROM hp WHERE is_test), " +
+        "gv AS (SELECT hp.doc_id, hp.fp, bool_and(mem.pos IS NOT NULL) AS maybe " +
+        "FROM hp LEFT JOIN mem ON hp.pos = mem.pos " +
+        "WHERE NOT hp.is_test GROUP BY hp.doc_id, hp.fp) " +
+        "SELECT doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "SUM(CASE WHEN maybe THEN 1 ELSE 0 END) > 0 AS bloom_hit " +
+        "FROM gv GROUP BY doc_id ORDER BY doc_id"),
+
+    // Count-Min replay: cell counters are exact group-bys over the
+    // md5-derived (row, cell) grid; estimates (and their deterministic
+    // overcounts) are MIN over each probe token's 4 cells. Token
+    // contract = corpus_vocab's (split on a single space).
+    "freq_cms" ->
+      ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "cells AS (SELECT r.r AS r, " +
+        "CAST(('0x' || substring(md5(tok || '#' || CAST(r.r AS VARCHAR)), 1, 7)) AS BIGINT) " +
+        "% 1024 AS cell, COUNT(*) AS cnt FROM toks, range(4) r(r) GROUP BY 1, 2), " +
+        "top AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok " +
+        "ORDER BY exact_cnt DESC, tok LIMIT 20), " +
+        "probes AS (SELECT tok, exact_cnt, r.r AS r, " +
+        "CAST(('0x' || substring(md5(tok || '#' || CAST(r.r AS VARCHAR)), 1, 7)) AS BIGINT) " +
+        "% 1024 AS cell FROM top, range(4) r(r)) " +
+        "SELECT p.tok, p.exact_cnt, MIN(c.cnt) AS cms_est, " +
+        "CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overcount " +
+        "FROM probes p JOIN cells c ON p.r = c.r AND p.cell = c.cell " +
+        "GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok"),
 
     // 13-gram hashes via the winnow CTE shape at w=1 (all distinct gram
     // hashes); df-cap over BOTH splits mirrors contaminationNgrams

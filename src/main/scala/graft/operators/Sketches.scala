@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic-sketch operators (round 9) — the two bounded-memory
+  * summaries a 100 TB corpus pipeline leans on when exact relations stop
+  * fitting anywhere: a Bloom-filter membership gate and a Count-Min
+  * frequency sketch. Both are built from scratch on the engine's
+  * portable-md5 doctrine, so — unusually for sketches — their outputs
+  * (INCLUDING the false positives and overcounts) are deterministic,
+  * repartition-stable, and exactly replayable by the DuckDB oracle:
+  * a Bloom false positive is "all k probe positions collide with member
+  * positions", a CMS overcount is "other tokens share my cells" — both
+  * are pure functions of md5 arithmetic that any engine reproduces
+  * bit-for-bit. Reference scope: the reference conduit has no sketch
+  * surface; these belong to the mandated LLM-pipeline extension group
+  * (same family as `contamination_ngram` / `corpus_stats`'s HLL leg).
+  */
+object Sketches {
+
+  /** Portable position hash: the integer value of md5's first 7 hex
+    * chars (28 bits, same bridge as [[graft.functions.PortableHash
+    * .md5Prefix28]]) reduced mod `mod` — in SQL:
+    * `CAST('0x' || substring(md5(s), 1, 7) AS BIGINT) % mod`. */
+  private def md5Pos(s: Column, mod: Int): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long") % mod
+
+  /** Distinct 13-gram fingerprints per document — EXACTLY the
+    * `contamination_ngram` gram contract (winnowFps at w=1: every
+    * window of one gram is its own minimum, so the selection degenerates
+    * to all distinct gram hashes). One (doc_id, is_test, fp) row per
+    * distinct gram. */
+  private def gramFps(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), Corpus.isHoldout(col("doc_id")).as("is_test"),
+      explode(graft.functions.VectorFunctions.winnowFps(col("text"), k, 1))
+        .as("fp"))
+
+  /** The `nHash` Bloom positions of a gram fingerprint: position i is
+    * md5(fp ":" i) reduced into the bit space. Returned as an array so
+    * build and probe share one derivation. */
+  private def bloomPositions(fp: Column, nHash: Int, mBits: Int): Column =
+    transform(sequence(lit(0), lit(nHash - 1)),
+      i => md5Pos(concat(fp, lit(":"), i.cast("string")), mBits))
+
+  /** Bloom-filter decontamination PRE-GATE — the scale front end of
+    * [[Corpus.contaminationNgrams]]: instead of equi-joining the full
+    * training corpus's 13-gram relation against the benchmark's (one
+    * shuffle over every gram of 100 TB), fold the benchmark (holdout)
+    * grams into an `mBits`-bit Bloom mask ONCE — bounded at mBits/8
+    * bytes no matter how many grams feed it ([[graft.functions
+    * .BloomAgg]], OR-merged partial aggregation) — broadcast the mask
+    * (16 KB at the default geometry), and test each training gram with
+    * `nHash` O(1) bit probes. A "no" is definitive (no false negatives,
+    * by construction); a "maybe" routes the document to the exact
+    * join, which now runs over the tiny flagged slice instead of the
+    * corpus. The probe side is a narrow scan — no shuffle, no join —
+    * which is what survives 100 TB.
+    *
+    * Determinism: positions are md5 arithmetic, so WHICH grams false-
+    * positive is itself deterministic and engine-portable — the DuckDB
+    * oracle replays the gate exactly (mask bit set ⇔ position present
+    * in the member-position set; the oracle tests set membership, the
+    * engine tests the bit — identical by construction).
+    *
+    * Output: one row per training doc that has ≥ k tokens —
+    * (doc_id, n_grams, n_flagged, bloom_hit), ordered. `n_flagged`
+    * counts grams the mask says "maybe"; `bloom_hit` is the routing
+    * verdict. */
+  def bloomDecontaminate(docs: DataFrame, k: Int = 13,
+                         mBits: Int = 131072, nHash: Int = 5): DataFrame = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    val grams = gramFps(docs, k)
+    val memberPos = grams.filter(col("is_test"))
+      .select(explode(bloomPositions(col("fp"), nHash, mBits)).as("pos"))
+      .distinct()
+    val mask = memberPos
+      .agg(graft.functions.BloomAgg.mask(mBits / 64)(col("pos")).as("mask"))
+    // one-row mask frame rides a broadcast cross join (the engine's
+    // standard gate-frame shape); each of the nHash probes is two array
+    // ops — word = mask[pos >> 6], bit = word >> (pos & 63) — unrolled
+    // statically so the whole gate stays inside codegen
+    val probed = grams.filter(!col("is_test"))
+      .crossJoin(broadcast(mask))
+      .withColumn("maybe", (0 until nHash).map { i =>
+        val p = md5Pos(concat(col("fp"), lit(s":$i")), mBits)
+        val word = element_at(col("mask"), (shiftright(p, 6) + 1).cast("int"))
+        call_function("bit_get", word, (p % 64).cast("int")) === 1
+      }.reduce(_ && _))
+    probed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("bloom_hit", col("n_flagged") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Count-Min heavy-hitter estimates — corpus token frequencies from a
+    * `depth`×`width` counter grid instead of a |vocab|-sized relation:
+    * every token occurrence increments one counter per row (cell =
+    * md5(tok "#" r) mod width), and a token's estimate is the MIN of
+    * its `depth` counters — an upper bound on the true count (never
+    * under, one-sided error ≤ 2N/width with prob 1-2^-depth). The
+    * sketch build is a narrow pass with map-side combine collapsing
+    * each task to ≤ depth·width cells; the whole sketch is depth·width
+    * rows (4096 at the defaults) REGARDLESS of corpus size — the
+    * bounded-memory sibling of [[Corpus.corpusFreqScore]]'s exact vocab
+    * join, for when the vocabulary itself is the thing that doesn't
+    * fit. Same token contract as [[Corpus.vocabulary]] (split on a
+    * single space).
+    *
+    * Output grades the sketch against truth on the exact top-`topK`
+    * tokens: (tok, exact_cnt, cms_est, overcount), ordered
+    * (exact_cnt desc, tok). The overcount column is deterministic —
+    * md5 cell collisions replay exactly in the oracle. */
+  def cmsHeavyHitters(docs: DataFrame, topK: Int = 20,
+                      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    def cellsOf(tok: Column): Column =
+      transform(sequence(lit(0), lit(depth - 1)),
+        r => md5Pos(concat(tok, lit("#"), r.cast("string")), width))
+    val sketch = toks
+      .select(posexplode(cellsOf(col("tok"))))
+      .groupBy(col("pos").as("r"), col("col").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(topK)
+    val probes = top
+      .select(col("tok"), col("exact_cnt"), posexplode(cellsOf(col("tok"))))
+      .select(col("tok"), col("exact_cnt"),
+        col("pos").as("r"), col("col").as("cell"))
+    // probes are topK·depth rows; the sketch is depth·width rows — both
+    // tiny and broadcastable, but the sketch side is the one that stays
+    // bounded at any corpus size, so broadcast it
+    probes.join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+}

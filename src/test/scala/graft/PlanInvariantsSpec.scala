@@ -232,4 +232,30 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!chunk.contains("Exchange"),
       s"doc_chunk must stay narrow (no shuffle):\n$chunk")
   }
+
+  test("contamination_bloom probes via a broadcast 1-row mask (no join " +
+    "on the probe side) and builds the mask as an OR-merged partial " +
+    "aggregate") {
+    val plan = planOf("contamination_bloom")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bloom gate plans a sort-merge join — the probe side started " +
+        s"joining instead of bit-probing:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"mask frame stopped broadcasting:\n$plan")
+    // the mask build must partial-aggregate: each task folds its member
+    // positions into one O(mask) buffer before the exchange
+    assert(plan.contains("partial_bloommask"),
+      s"no map-side bloom mask fold — every member position crosses the " +
+        s"shuffle individually:\n$plan")
+  }
+
+  test("freq_cms joins probes to the sketch by broadcast (the sketch is " +
+    "bounded at depth*width cells; nothing sort-merges)") {
+    val plan = planOf("freq_cms")
+    assert(!plan.contains("SortMergeJoin"),
+      s"cms probe join sort-merges — the bounded sketch stopped " +
+        s"broadcasting:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cms probe join lost its broadcast:\n$plan")
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Corpus, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Bloom decontamination gate + Count-Min heavy hitters: the sketch
+  * guarantees (one-sided error) as properties, plus the determinism that
+  * makes these sketches — unusually — full-oracle queries. */
+class SketchesSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0)
+
+  test("bloom gate has no false negatives vs the exact 13-gram join") {
+    // exact truth: train docs sharing >= 1 distinct 13-gram with holdout
+    // (uncapped — the bloom gate has no df cap either)
+    val exact = Corpus.contaminationNgrams(docs, k = 13, maxDf = None)
+      .select(col("train_doc")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gate = Sketches.bloomDecontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(exact.nonEmpty, "fixture should contain contaminated train docs")
+    exact.foreach { d =>
+      assert(gate.getOrElse(d, false),
+        s"train doc $d shares a gram with holdout but bloom_hit is false")
+    }
+  }
+
+  test("bloom flag counts bound the exact shared-gram counts per doc") {
+    // n_flagged counts distinct grams the mask admits; a doc's distinct
+    // grams actually present in the member set is a lower bound
+    val grams = docs.select(col("doc_id"),
+      substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+        .as("is_test"),
+      explode(graft.functions.VectorFunctions.winnowFps(col("text"), 13, 1))
+        .as("fp"))
+    val mem = grams.filter(col("is_test")).select(col("fp")).distinct()
+    val exactPerDoc = grams.filter(!col("is_test"))
+      .join(mem, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flagged = Sketches.bloomDecontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    exactPerDoc.foreach { case (d, n) =>
+      assert(flagged.getOrElse(d, 0L) >= n,
+        s"doc $d: n_flagged=${flagged.getOrElse(d, 0L)} < exact shared $n")
+    }
+  }
+
+  test("bloom gate is repartition-invariant") {
+    val a = Sketches.bloomDecontaminate(docs).collect().toSeq
+    val b = Sketches.bloomDecontaminate(docs.repartition(13)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("cms estimates never undercount, and are exact in light cells") {
+    val out = Sketches.cmsHeavyHitters(docs).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"token ${r.getString(0)}: est $est < exact $exact")
+      assert(r.getLong(3) == est - exact)
+    }
+    // descending exact order with token tiebreak
+    val keys = out.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("cms overcount shrinks as width grows (collisions thin out)") {
+    val narrow = Sketches.cmsHeavyHitters(docs, width = 64).collect()
+      .map(_.getLong(3)).sum
+    val wide = Sketches.cmsHeavyHitters(docs, width = 8192).collect()
+      .map(_.getLong(3)).sum
+    assert(wide <= narrow,
+      s"total overcount at width 8192 ($wide) > at width 64 ($narrow)")
+  }
+
+  test("cms sketch is bounded at depth*width cells regardless of input") {
+    // the sketch relation the estimates read from can never exceed the
+    // grid — the bounded-memory claim, checked at the other end
+    val est = Sketches.cmsHeavyHitters(docs, topK = 20, depth = 1, width = 8)
+    assert(est.count() == 20)
+    val narrowOver = est.collect().map(_.getLong(3))
+    // depth 1 × width 8 forces cell sharing: overcounts must appear,
+    // proving the probe actually reads collided counters (non-vacuous)
+    assert(narrowOver.exists(_ > 0),
+      "depth-1 width-8 grid shows no collisions — probe is not reading the grid")
+  }
+}
