@@ -584,6 +584,18 @@ object SparkEntry {
     "doc_sample_stratified" -> ((s, d) =>
       Corpus.stratifiedSample(Tables.documents(s, d))),
 
+    // Weighted Bernoulli sample (round 9): inclusion ∝ n_tokens, all
+    // integer (28-bit md5 prefix as the uniform draw) — narrow filter,
+    // no shuffle; exact-rational inclusion probability emitted.
+    "doc_sample_weighted" -> ((s, d) =>
+      Corpus.sampleWeighted(Tables.documents(s, d))),
+
+    // Inverted index (round 9): rarest-50 tokens → df, total tf, md5
+    // posting-list digest; the token selection happens BEFORE the list
+    // shuffle, so stop-word postings never materialize.
+    "index_postings" -> ((s, d) =>
+      Corpus.invertedIndex(Tables.documents(s, d))),
+
     // Deterministic train/test split keyed on doc_id.
     "train_test_split" -> ((s, d) =>
       Corpus.trainTestSplit(Tables.documents(s, d))),
@@ -847,7 +859,15 @@ object SparkEntry {
     // asserts TRUE — the lossy values themselves never hash.
     "multimodal_decode_jpeg" -> ((s, d) =>
       Multimodal.decodeJpegVerdict(s,
-        Multimodal.ingestJpeg(Tables.documents(s, d))))
+        Multimodal.ingestJpeg(Tables.documents(s, d)))),
+
+    // Perceptual-hash image dedup (round 9): real ImageIO decode → 9×8
+    // NN grid → dHash as four 16-bit bands → exact-fingerprint grouping
+    // (canonical = min doc_id). The first dedup pass of an image lake:
+    // narrow decode + one shuffle on the hash, dedup_exact lifted to
+    // pixels. Oracle replays grid/bands/grouping analytically.
+    "multimodal_dhash" -> ((s, d) =>
+      Multimodal.dhashDedup(s, Multimodal.ingestBmp(Tables.documents(s, d))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1328,6 +1348,33 @@ object SparkEntry {
         "SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
         "WHERE rk <= 20 ORDER BY source, sample_rank"),
+
+    // weighted Bernoulli: keep iff md5_28(doc_id)*denom < n_tokens<<28,
+    // exact integers on both engines (denom = 400)
+    "doc_sample_weighted" ->
+      ("SELECT doc_id, n_tokens, " +
+        "least(n_tokens, 400) AS p_num, CAST(400 AS BIGINT) AS p_den FROM (" +
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS h " +
+        "FROM documents) WHERE h * 400 < n_tokens * (1::BIGINT << 28) " +
+        "ORDER BY doc_id"),
+
+    // inverted index: df/tf_total exact; posting list digested in
+    // doc_id order (md5 of doc:tf CSV — string_agg ORDER BY replays
+    // Spark's sort_array(collect_list(struct)) exactly); rarest-50
+    // token selection with (df, tok) tie-break
+    "index_postings" ->
+      ("WITH tf AS (SELECT tok, doc_id, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "df AS (SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total " +
+        "FROM tf GROUP BY 1), " +
+        "keep AS (SELECT * FROM df ORDER BY df, tok LIMIT 50), " +
+        "p AS (SELECT tf.tok, md5(string_agg(tf.doc_id || ':' || tf.tf, ',' " +
+        "ORDER BY tf.doc_id)) AS postings_md5 FROM tf " +
+        "JOIN keep ON tf.tok = keep.tok GROUP BY tf.tok) " +
+        "SELECT keep.tok, keep.df, keep.tf_total, p.postings_md5 " +
+        "FROM keep JOIN p ON keep.tok = p.tok ORDER BY keep.tok"),
 
     "train_test_split" ->
       ("SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) " +
@@ -1874,7 +1921,28 @@ object SparkEntry {
         "(n_chars % 9) + 8 AS width, (n_chars % 6) + 8 AS height, " +
         "((n_chars % 9) + 8) * ((n_chars % 6) + 8) AS n_pixels, " +
         "CAST(8 AS BIGINT) AS err_band, TRUE AS within_band " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+
+    // dHash replay: 9×8 NN grid over the analytic pixels (same dx*w/9,
+    // dy*h/8 mapping as the resize legs), one bit per adjacent grid
+    // pair packed low-bit-first into four 16-bit bands (never one
+    // 64-bit word — DuckDB's signed << overflows at bit 63), then
+    // exact-fingerprint grouping with canonical = min doc_id.
+    "multimodal_dhash" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 4 AS h FROM documents), " +
+        "grid AS (SELECT doc_id, list_transform(range(0,72), gi -> " +
+        "(doc_id*31 + ((((gi // 9) * h) // 8) * w + (((gi % 9) * w) // 9)) * 7) % 256) AS g FROM dims), " +
+        "bands AS (SELECT doc_id, " +
+        (0 until 4).map { k =>
+          s"CAST(list_sum(list_transform(range(0,16), j -> " +
+            s"CASE WHEN g[(${2 * k} + j//8)*9 + (j%8) + 1] > g[(${2 * k} + j//8)*9 + (j%8) + 2] " +
+            s"THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS b$k"
+        }.mkString(", ") +
+        " FROM grid), " +
+        "grp AS (SELECT b0, b1, b2, b3, MIN(doc_id) AS canon, COUNT(*) AS group_n " +
+        "FROM bands GROUP BY 1, 2, 3, 4) " +
+        "SELECT doc_id, b0, b1, b2, b3, canon, group_n, doc_id = canon AS is_canonical " +
+        "FROM bands JOIN grp USING (b0, b1, b2, b3) ORDER BY doc_id")
   )
 
   /** Stopword list literal shared by text oracles. */

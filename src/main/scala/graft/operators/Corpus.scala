@@ -446,4 +446,66 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("test_doc"), col("train_doc"))
   }
+
+  /** Deterministic WEIGHTED Bernoulli sample — inclusion probability
+    * proportional to document length (p_i = min(1, n_tokens/`denom`)),
+    * the size-biased draw a token-budgeted corpus selection actually
+    * wants (sampling docs uniformly under-represents long documents'
+    * tokens). Entirely integer: keep doc iff
+    * `md5_28(doc_id) * denom < n_tokens << 28` — the 28-bit md5 prefix
+    * plays the uniform draw, so the decision is exact, engine-portable,
+    * and repartition-stable (the `sampleDocs` doctrine with a weighted
+    * threshold). Emits the inclusion probability as an exact rational
+    * (p_num/p_den) so downstream Horvitz–Thompson reweighting divides
+    * once, in the consumer's precision, not ours.
+    *
+    * Narrow: a per-row filter riding the scan — no shuffle at any
+    * corpus size. */
+  def sampleWeighted(docs: DataFrame, denom: Int = 400): DataFrame = {
+    require(denom > 0, s"denom must be positive, got $denom")
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    val hash28 = conv(substring(md5(col("doc_id").cast("string")), 1, 7),
+      16, 10).cast("long")
+    docs.select(col("doc_id"), nTokens.as("n_tokens"), hash28.as("h"))
+      .filter(col("h") * denom < (col("n_tokens") * (1L << 28)))
+      .select(col("doc_id"), col("n_tokens"),
+        least(col("n_tokens"), lit(denom.toLong)).as("p_num"),
+        lit(denom.toLong).as("p_den"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Inverted index — token → ordered posting list, the retrieval-side
+    * complement of [[vocabulary]]: per-token document frequency, total
+    * term frequency, and an md5 digest of the full `(doc_id:tf)` posting
+    * list in doc_id order, built for the `k` RAREST tokens (ascending
+    * (df, tok) — the discriminative end of the vocabulary, which is the
+    * end retrieval actually probes). The selection is structural, not
+    * cosmetic: df is computed FIRST (a map-side-combinable aggregate,
+    * vocab-sized — the same relation [[vocabulary]] already sorts) and
+    * only the chosen tokens reach the list-building shuffle, so no task
+    * ever materializes a stop-word's corpus-wide posting list — rarest-k
+    * means the lists that ARE built are the corpus's smallest, the bound
+    * that keeps the build alive at 100 TB. Digest instead of raw array
+    * keeps the row width fixed; a consumer wanting the list re-derives
+    * it from the tf relation for its shard. */
+  def invertedIndex(docs: DataFrame, k: Int = 50): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      .orderBy(col("df"), col("tok")).limit(k)
+    val postings = tf.join(df.select(col("tok")), Seq("tok"), "left_semi")
+      .groupBy(col("tok"))
+      .agg(md5(concat_ws(",",
+        transform(
+          sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+          e => concat(e("doc_id").cast("string"), lit(":"),
+            e("tf").cast("string")))))
+        .as("postings_md5"))
+    df.join(postings, "tok")
+      .select(col("tok"), col("df"), col("tf_total"), col("postings_md5"))
+      .orderBy(col("tok"))
+  }
 }

@@ -782,4 +782,87 @@ object Multimodal {
       }
     }(enc).toDF().orderBy(col("doc_id"))
   }
+
+  /** Perceptual dHash of one decoded image: nearest-neighbor downsample
+    * to a 9×8 grid (same `dx*w/9`, `dy*h/8` integer mapping as the
+    * resize legs), then one bit per horizontally-adjacent grid pair —
+    * `grid(r)(c) > grid(r)(c+1)` — packed LOW BIT FIRST into four
+    * 16-bit band values (band k covers grid rows 2k and 2k+1). Bands
+    * are the unit the dedup groups on; they are never packed into one
+    * 64-bit word so the DuckDB oracle can replay them without signed
+    * shift overflow at bit 63. */
+  private def dhashBands(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth; val h = img.getHeight
+    val grid = new Array[Int](72) // 9 cols × 8 rows, row-major
+    var dy = 0
+    while (dy < 8) {
+      val sy = dy * h / 8
+      var dx = 0
+      while (dx < 9) {
+        grid(dy * 9 + dx) = (img.getRGB(dx * w / 9, sy) >> 16) & 0xff
+        dx += 1
+      }
+      dy += 1
+    }
+    val bands = new Array[Long](4)
+    var k = 0
+    while (k < 4) {
+      var j = 0
+      while (j < 16) {
+        val r = 2 * k + j / 8; val c = j % 8
+        if (grid(r * 9 + c) > grid(r * 9 + c + 1)) bands(k) |= 1L << j
+        j += 1
+      }
+      k += 1
+    }
+    bands
+  }
+
+  /** Perceptual-hash image dedup — the FIRST dedup pass a 100 TB image
+    * lake runs: decode each payload with the real codec
+    * ([[decodePartitions]]'s ImageIO harness), reduce it to a dHash
+    * fingerprint ([[dhashBands]] — gradient signs survive re-encoding
+    * and brightness shifts, unlike a byte digest), then EXACT-fingerprint
+    * group: canonical = min doc_id per identical hash. Linear shapes
+    * end to end — a narrow per-row decode and one shuffle on the hash,
+    * the `dedup_exact` doctrine lifted to pixels; pairwise near-dup
+    * banding (the `dedup_simhash` shape) stays a second pass over the
+    * survivors, deliberately not fused here because exact-hash grouping
+    * removes the overwhelming share of image duplicates before any
+    * pairwise work exists.
+    *
+    * Oracle-replayable because the fixture pixels are analytic
+    * ([[pixelValue]]): the oracle recomputes grid, bands and grouping in
+    * SQL; the engine path still decodes the real bytes, so a codec that
+    * mis-decodes fails the compare.
+    *
+    * Output: one row per image — (doc_id, b0..b3, canon, group_n,
+    * is_canonical), ordered by doc_id. */
+  def dhashDedup(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("b0", LongType), StructField("b1", LongType),
+      StructField("b2", LongType), StructField("b3", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val sigs = ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no disk-backed streams
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val b = dhashBands(img)
+          Row(r.getAs[Long]("doc_id"), b(0), b(1), b(2), b(3))
+        }
+      }(enc).toDF()
+    val hashCols = Seq("b0", "b1", "b2", "b3")
+    val groups = sigs.groupBy(hashCols.map(col): _*)
+      .agg(min(col("doc_id")).as("canon"), count(lit(1)).as("group_n"))
+    sigs.join(groups, hashCols)
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("canon"), col("group_n"),
+        (col("doc_id") === col("canon")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
 }

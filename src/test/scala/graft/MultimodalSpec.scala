@@ -340,4 +340,49 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("r_posw") ==
       expected.zipWithIndex.map { case (v, i) => v * i }.sum)
   }
+
+  /** Analytic dHash replay: the spec-side mirror of what the engine must
+    * produce from the DECODED raster — NN 9×8 grid over pixelValue, one
+    * bit per adjacent pair, low-bit-first into four 16-bit bands. */
+  private def expectedBands(docId: Long, nChars: Long): Seq[Long] = {
+    val w = Multimodal.bmpWidth(nChars); val h = Multimodal.bmpHeight(nChars)
+    def g(r: Int, c: Int): Int =
+      Multimodal.pixelValue(docId, (r * h / 8).toLong * w + c * w / 9)
+    (0 until 4).map { k =>
+      (0 until 16).foldLeft(0L) { (acc, j) =>
+        val r = 2 * k + j / 8; val c = j % 8
+        if (g(r, c) > g(r, c + 1)) acc | (1L << j) else acc
+      }
+    }
+  }
+
+  test("dhashDedup: bands from the real decode match the analytic replay; " +
+    "exact-fingerprint grouping is canonical-min and partition-invariant") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.dhashDedup(spark, Multimodal.ingestBmp(docs)).collect()
+    assert(out.length == docs.count())
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val exp = expectedBands(d, meta(d))
+      val got = Seq("b0", "b1", "b2", "b3").map(r.getAs[Long])
+      assert(got == exp, s"doc $d: bands $got != analytic $exp")
+    }
+    // grouping: canon is the min doc_id of each identical-hash class and
+    // group_n its exact size — recomputed here from the band values
+    val byHash = out.groupBy(r => Seq("b0", "b1", "b2", "b3").map(r.getAs[Long]))
+    byHash.values.foreach { rs =>
+      val ids = rs.map(_.getAs[Long]("doc_id"))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("canon") == ids.min)
+        assert(r.getAs[Long]("group_n") == rs.length)
+        assert(r.getAs[Boolean]("is_canonical") ==
+          (r.getAs[Long]("doc_id") == ids.min))
+      }
+    }
+    val reparted = Multimodal.dhashDedup(spark,
+      Multimodal.ingestBmp(docs.repartition(7))).collect()
+    assert(reparted.toSeq == out.toSeq)
+  }
 }

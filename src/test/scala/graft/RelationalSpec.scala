@@ -300,4 +300,64 @@ class RelationalSpec extends SparkSpec {
     assert(r(3L) == "HEX <HEX> ok")  // uppercase hex caught
     assert(r(4L) == "pin <NUM>")     // tag longer than input → delta -1 ok
   }
+
+  test("sampleWeighted: the exact integer threshold decides membership, " +
+    "long docs oversampled vs short, repartition-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0)
+    val out = graft.operators.Corpus.sampleWeighted(docs, denom = 400)
+      .collect()
+    // replay the threshold per doc: md5_28(id)*400 < n_tokens << 28
+    val expect = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (id, n) =>
+        java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            id.toString).substring(0, 7), 16) * 400L < (n << 28)
+      }.map(_._1).toSet
+    assert(out.map(_.getLong(0)).toSet == expect)
+    assert(out.nonEmpty && out.length < docs.count())
+    out.foreach { r =>
+      assert(r.getLong(2) == math.min(r.getLong(1), 400L)) // p_num
+      assert(r.getLong(3) == 400L)
+    }
+    // size bias: the mean token count of sampled docs must exceed the
+    // corpus mean (that is the point of weighting by length)
+    val allN = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0))
+    val sampleMean = out.map(_.getLong(1)).sum.toDouble / out.length
+    assert(sampleMean > allN.sum.toDouble / allN.length)
+    val reparted = graft.operators.Corpus
+      .sampleWeighted(docs.repartition(11), denom = 400).collect()
+    assert(reparted.toSeq == out.toSeq)
+  }
+
+  test("invertedIndex: rarest-k selection, exact df/tf, and the digest " +
+    "matches a locally rebuilt doc-ordered posting list") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0)
+    val out = graft.operators.Corpus.invertedIndex(docs, k = 5).collect()
+    assert(out.length == 5)
+    // ground truth postings from a local replay
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (t, r.getLong(0))))
+    val tf = toks.groupBy(identity).view.mapValues(_.length).toMap
+    val byTok = tf.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    val dfMap = byTok.view.mapValues(_.length).toMap
+    val rarest = dfMap.toSeq.sortBy { case (t, d) => (d, t) }.take(5)
+    // selection is rarest-(df, tok); presentation order is tok
+    assert(out.map(_.getString(0)).toSeq == rarest.map(_._1).sorted)
+    out.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == dfMap(t).toLong, s"df of $t")
+      assert(r.getLong(2) ==
+        byTok(t).map(d => tf((t, d)).toLong).sum, s"tf_total of $t")
+      val csv = byTok(t).map(d => s"$d:${tf((t, d))}").mkString(",")
+      assert(r.getString(3) ==
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(csv),
+        s"postings digest of $t")
+    }
+  }
 }
