@@ -567,4 +567,95 @@ object Relational {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Edit-distance fuzzy self-join over the part-name DICTIONARY —
+    * entity resolution's inner loop: every distinct-name pair within
+    * levenshtein distance `d`, found WITHOUT the all-pairs join. The
+    * candidate filter is PassJoin's pigeonhole (Li, Deng, Feng, Wang;
+    * VLDB'11 — public literature): split each indexed name into `d+1`
+    * even segments; at most `d` edits cannot touch them all, so some
+    * segment survives verbatim in the other string, shifted by at most
+    * `d`. The index side emits its segments keyed `(l1, i, seg)`; the
+    * probe side enumerates, for every compatible indexed length
+    * `l1 ∈ [l2−d, l2+d]`, each segment-shaped substring at starts within
+    * ±d — a CONSTANT (2d+1)·(d+1)·(2d+1) keys per name. Union of both
+    * roles feeds the shared bounded-bucket enumerator
+    * ([[Dedup.boundedCandidatePairs]]): pairs only ever form inside a
+    * shared-key bucket (capped, Fail/Drop doctrine — dictionary skew is
+    * the quantity being bounded), then Spark's native `levenshtein`
+    * verifies the survivors. Names shorter than `d+1` chars (where the
+    * pigeonhole has no nonempty segments) fall back to one shared
+    * "short" bucket — complete, and bounded by the same cap.
+    *
+    * Dictionary-first is the scale shape: candidates/verification run
+    * over DISTINCT names (the dictionary is orders of magnitude smaller
+    * than the table at 100 TB), with per-name row counts carried
+    * alongside so consumers weigh matches without re-scanning.
+    *
+    * Output: (name_a, name_b, dist, n_a, n_b), name_a < name_b,
+    * ordered. */
+  def fuzzyJoin(parts: DataFrame, d: Int = 2, maxBucket: Int = 64,
+                overflow: BucketOverflow = BucketOverflow.Fail): DataFrame = {
+    require(d >= 1, s"edit-distance bound must be >= 1, got $d")
+    val nSeg = d + 1
+    val dict = parts.filter(col("p_name").isNotNull)
+      .groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("n_parts"))
+    // even-split convention, replayed by both roles: for length l,
+    // base = l div nSeg, rem = l mod nSeg; segment i (0-based) has
+    // length base + (i < rem ? 1 : 0), 1-based start i*base + min(i,rem) + 1
+    def segStart(l1: Column, i: Column): Column =
+      i * (l1 - pmod(l1, lit(nSeg))) / nSeg + least(i, pmod(l1, lit(nSeg))) + 1
+    def segLen(l1: Column, i: Column): Column =
+      (l1 - pmod(l1, lit(nSeg))) / nSeg +
+        when(i < pmod(l1, lit(nSeg)), 1).otherwise(0)
+    val base = dict.select(col("nid"), col("name"),
+      length(col("name")).as("l2"))
+    val idxKeys = base
+      .select(col("nid"), col("name"), col("l2").as("l1"),
+        explode(sequence(lit(0), lit(nSeg - 1))).as("i"))
+      .select(col("nid"), col("l1"), col("i"),
+        substring(col("name"),
+          segStart(col("l1"), col("i")).cast("int"),
+          segLen(col("l1"), col("i")).cast("int")).as("seg"))
+      .filter(length(col("seg")) > 0)
+    val probeKeys = base
+      .select(col("nid"), col("name"), col("l2"),
+        explode(sequence(col("l2") - d, col("l2") + d)).as("l1"))
+      .select(col("nid"), col("name"), col("l2"), col("l1"),
+        explode(sequence(lit(0), lit(nSeg - 1))).as("i"))
+      .select(col("nid"), col("name"), col("l2"), col("l1"), col("i"),
+        explode(sequence(lit(-d), lit(d))).as("shift"))
+      .select(col("nid"), col("l1"), col("i"),
+        (segStart(col("l1"), col("i")) + col("shift")).as("st"),
+        segLen(col("l1"), col("i")).as("sl"), col("l2"), col("name"))
+      .filter(col("sl") > 0 && col("st") >= 1 &&
+        col("st") + col("sl") - 1 <= col("l2"))
+      .select(col("nid"), col("l1"), col("i"),
+        substring(col("name"), col("st").cast("int"), col("sl").cast("int"))
+          .as("seg"))
+    // names too short for d+1 nonempty segments: one shared fallback
+    // bucket (the pigeonhole needs l >= d+1); bounded by the same cap
+    val shortKeys = base.filter(col("l2") < nSeg)
+      .select(col("nid"), lit(-1).as("l1"), lit(-1).as("i"),
+        lit(" short").as("seg"))
+    val keyed = idxKeys.unionByName(probeKeys).unionByName(shortKeys)
+      .distinct()
+    val pairs = Dedup.boundedCandidatePairs(keyed, "nid",
+      Seq("l1", "i", "seg"), maxBucket, overflow, "fuzzyJoin")
+    pairs
+      .join(dict.select(col("nid").as("doc_a"), col("name").as("na"),
+        col("n_parts").as("ca")), "doc_a")
+      .join(dict.select(col("nid").as("doc_b"), col("name").as("nb"),
+        col("n_parts").as("cb")), "doc_b")
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= d)
+      .select(
+        when(col("na") < col("nb"), col("na")).otherwise(col("nb")).as("name_a"),
+        when(col("na") < col("nb"), col("nb")).otherwise(col("na")).as("name_b"),
+        col("dist"),
+        when(col("na") < col("nb"), col("ca")).otherwise(col("cb")).as("n_a"),
+        when(col("na") < col("nb"), col("cb")).otherwise(col("ca")).as("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
 }

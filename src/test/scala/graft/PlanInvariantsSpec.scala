@@ -249,6 +249,16 @@ class PlanInvariantsSpec extends SparkSpec {
         s"shuffle individually:\n$plan")
   }
 
+  test("join_fuzzy never plans the all-pairs join: candidates come from " +
+    "the bounded-bucket aggregator, verification is a key-equi join") {
+    val plan = planOf("join_fuzzy")
+    assert(plan.contains("boundedlonglist"),
+      s"join_fuzzy lost the bounded bucket guard:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"join_fuzzy plans a cartesian product — the segment filter " +
+        s"stopped bounding candidates:\n$plan")
+  }
+
   test("freq_cms joins probes to the sketch by broadcast (the sketch is " +
     "bounded at depth*width cells; nothing sort-merges)") {
     val plan = planOf("freq_cms")

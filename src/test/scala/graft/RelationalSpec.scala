@@ -301,6 +301,53 @@ class RelationalSpec extends SparkSpec {
     assert(r(4L) == "pin <NUM>")     // tag longer than input → delta -1 ok
   }
 
+  test("fuzzyJoin: PassJoin candidates are COMPLETE vs naive all-pairs " +
+    "levenshtein — substitutions, indels (which break naive half-split " +
+    "blocking), short names, and no false pairs") {
+    import org.apache.spark.sql.functions._
+    // local DP levenshtein as independent ground truth
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    // indel pairs shift all downstream positions — the cases a naive
+    // per-string half-split equi-join misses; plus short names (< d+1
+    // chars, the fallback bucket) and deliberate non-matches
+    val names = Seq("abcdefgh", "abdefgh", "xabcdefgh", "abcdefzh",
+      "hello there", "hello theer", "ab", "b", "zzzzzzzz",
+      "completely different")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+    val out = graft.operators.Relational.fuzzyJoin(df, d = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expect = (for {
+      a <- names; b <- names if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd.toLong)).toSet
+    assert(out == expect,
+      s"missing=${expect -- out} spurious=${out -- expect}")
+    // duplicate-name rows roll up into the dictionary counts
+    val dup = (df.as[(Long, String)].collect().toSeq ++
+      Seq((99L, "abcdefgh"))).toDF("p_partkey", "p_name")
+    val withCounts = graft.operators.Relational.fuzzyJoin(dup, d = 2)
+      .filter(col("name_a") === "abcdefgh" || col("name_b") === "abcdefgh")
+      .collect()
+    assert(withCounts.nonEmpty)
+    withCounts.foreach { r =>
+      val nA = r.getLong(3); val nB = r.getLong(4)
+      if (r.getString(0) == "abcdefgh") assert(nA == 2L) else assert(nB == 2L)
+    }
+  }
+
   test("sampleWeighted: the exact integer threshold decides membership, " +
     "long docs oversampled vs short, repartition-stable") {
     import org.apache.spark.sql.functions._
