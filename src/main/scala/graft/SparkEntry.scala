@@ -495,6 +495,13 @@ object SparkEntry {
     "sink_compact" -> ((s, d) =>
       SinkOps.compactRoundTrip(s, Tables.events(s, d))),
 
+    // Z-order layout cells (round 9): min/max-normalized bit interleave
+    // of (custkey, orderdate) → per-cell skipping index — the
+    // multi-dimensional clustering sink_compact's single-column sortBy
+    // cannot give. Two aggregates, no global sort.
+    "layout_zorder" -> ((s, d) =>
+      ExportPipeline.zorderCells(Tables.orders(s, d))),
+
     // A15 conn_pool: LRU+TTL endpoint-cache state.
     "conn_pool" -> ((s, d) =>
       SinkOps.connPoolState(Tables.events(s, d), "event_type")),
@@ -601,6 +608,12 @@ object SparkEntry {
     // shuffle, so stop-word postings never materialize.
     "index_postings" -> ((s, d) =>
       Corpus.invertedIndex(Tables.documents(s, d))),
+
+    // Term-weighted retrieval top-k (round 9): linear-idf scoring
+    // (tf·N/df, bit-portable IEEE ops in fixed order), query tokens
+    // filtered at the scan, global TakeOrdered top-20.
+    "search_rank" -> ((s, d) =>
+      Corpus.searchRank(Tables.documents(s, d))),
 
     // Deterministic train/test split keyed on doc_id.
     "train_test_split" -> ((s, d) =>
@@ -1209,6 +1222,27 @@ object SparkEntry {
         s"FROM (SELECT ${sqlSentinel("event_type")} AS event_type, $sqlEventsPayload AS j FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),
 
+    // z-order replay: min/max bounds, 4-bit normalization (integer div
+    // — `//` floors = Spark `div` truncation on the non-negative
+    // domain), 4+4-bit interleave, per-cell stats
+    "layout_zorder" ->
+      ("WITH k AS (SELECT o_custkey AS ck, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd " +
+        "FROM orders), " +
+        "b AS (SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi, " +
+        "MIN(dd) AS dd_lo, MAX(dd) AS dd_hi FROM k), " +
+        "z AS (SELECT ck, dd, " +
+        "((ck - ck_lo) * 15) // greatest(ck_hi - ck_lo, 1) AS nk, " +
+        "((dd - dd_lo) * 15) // greatest(dd_hi - dd_lo, 1) AS nd FROM k, b), " +
+        "zc AS (SELECT ck, dd, " +
+        (0 until 4).map(i =>
+          s"(((nk >> $i) & 1) << ${2 * i}) + (((nd >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ") +
+        " AS zcell FROM z) " +
+        "SELECT zcell, COUNT(*) AS n, MIN(ck) AS ck_min, MAX(ck) AS ck_max, " +
+        "MIN(dd) AS dd_min, MAX(dd) AS dd_max " +
+        "FROM zc GROUP BY zcell ORDER BY zcell"),
+
     // compaction must be lossless: the oracle is the original relation
     // (event_type sentineled, mirroring compactRoundTrip's write)
     "sink_compact" ->
@@ -1392,6 +1426,27 @@ object SparkEntry {
         "JOIN keep ON tf.tok = keep.tok GROUP BY tf.tok) " +
         "SELECT keep.tok, keep.df, keep.tf_total, p.postings_md5 " +
         "FROM keep JOIN p ON keep.tok = p.tok ORDER BY keep.tok"),
+
+    // retrieval scoring replay: tf·N exact in a double, one division
+    // per term, additions left-to-right — same bit pattern both engines
+    "search_rank" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "f AS (SELECT doc_id, " +
+        "CAST(SUM(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf_data, " +
+        "CAST(SUM(CASE WHEN tok = 'line' THEN 1 ELSE 0 END) AS BIGINT) AS tf_line, " +
+        "CAST(SUM(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_dup " +
+        "FROM t WHERE tok IN ('data', 'line', 'dup') GROUP BY doc_id), " +
+        "d AS (SELECT " +
+        "CAST(COUNT(DISTINCT CASE WHEN tok = 'data' THEN doc_id END) AS BIGINT) AS df_data, " +
+        "CAST(COUNT(DISTINCT CASE WHEN tok = 'line' THEN doc_id END) AS BIGINT) AS df_line, " +
+        "CAST(COUNT(DISTINCT CASE WHEN tok = 'dup' THEN doc_id END) AS BIGINT) AS df_dup " +
+        "FROM t WHERE tok IN ('data', 'line', 'dup')), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents) " +
+        "SELECT doc_id, tf_data, tf_line, tf_dup, " +
+        "((CAST(tf_data * n_docs AS DOUBLE) / df_data + " +
+        "CAST(tf_line * n_docs AS DOUBLE) / df_line) + " +
+        "CAST(tf_dup * n_docs AS DOUBLE) / df_dup) AS score " +
+        "FROM f, d, n ORDER BY score DESC, doc_id LIMIT 20"),
 
     "train_test_split" ->
       ("SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) " +

@@ -508,4 +508,51 @@ object Corpus {
       .select(col("tok"), col("df"), col("tf_total"), col("postings_md5"))
       .orderBy(col("tok"))
   }
+
+  /** Term-weighted retrieval ranking — the QUERY side of
+    * [[invertedIndex]]: score every document for a fixed term set by
+    * `Σ_t tf(d,t) · N / df(t)` (rare terms weigh more — linear idf
+    * instead of `log(N/df)` because both engines' `ln` is libm-specific
+    * while IEEE multiply/divide are correctly rounded and bit-portable;
+    * the RANKING is idf-faithful, the weights are exact) and keep the
+    * global top `k` by (score desc, doc_id). Score arithmetic is
+    * determinism-by-construction: integer tf·N exact in a double, ONE
+    * correctly-rounded division per term, additions in fixed
+    * left-to-right order on both engines.
+    *
+    * Shapes: the token scan filters to the term set AT THE SCAN (an
+    * `isin` pushed into the narrow pass — the corpus's non-query tokens
+    * never reach any shuffle), one map-side-combinable groupBy(doc)
+    * for tfs, a `terms`-row aggregate pivoted to a broadcast 1-row
+    * gate frame for dfs, and a global top-k (TakeOrdered — k rows per
+    * task cross to the driver, not the corpus). */
+  def searchRank(docs: DataFrame,
+                 terms: Seq[String] = Seq("data", "line", "dup"),
+                 k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8,
+      s"terms must be 1..8 literals, got ${terms.size}")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val tfs = toks.groupBy(col("doc_id"))
+      .agg(sum(when(col("tok") === terms.head, 1L).otherwise(0L))
+          .as(s"tf_${terms.head}"),
+        terms.tail.map(t =>
+          sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val dfs = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val dfFrame = dfs.agg(
+      max(when(col("tok") === terms.head, col("df"))).as(s"df_${terms.head}"),
+      terms.tail.map(t =>
+        max(when(col("tok") === t, col("df"))).as(s"df_$t")): _*)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val score = terms.map(t =>
+      (col(s"tf_$t") * col("n_docs")).cast("double") / col(s"df_$t"))
+      .reduce(_ + _) // fixed left-to-right order: bit-portable
+    tfs.crossJoin(broadcast(dfFrame)).crossJoin(broadcast(nDocs))
+      .withColumn("score", score)
+      .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

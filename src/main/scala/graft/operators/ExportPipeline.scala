@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.config.ExportConfig
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** End-to-end export pipeline: the reference's whole row path composed from
@@ -244,5 +244,51 @@ object ExportPipeline {
       .format(format)
       .save(outDir)
     (rows, nFiles, bytes)
+  }
+
+  /** Z-order layout cells — the MULTI-dimensional data-skipping layout
+    * that [[compact]]'s single-column `sortBy` cannot give: each row's
+    * two clustering dims are min/max-normalized to `bits` bits (the
+    * two-pass shape every real OPTIMIZE-ZORDER runs — raw values
+    * interleave uselessly when the dims occupy different bit ranges,
+    * which they always do) and bit-interleaved into a Z cell id; the
+    * output is the per-cell min/max/count index a skipping scan reads.
+    * A predicate on EITHER dim prunes to ~2^bits-th of the cells — the
+    * property a one-column sort only has for its own column.
+    *
+    * Everything is exact integer arithmetic (`div` truncation =
+    * DuckDB's `//` floor on the non-negative domain), and the bound
+    * rows ride a broadcast 1-row gate frame (the engine's standard
+    * shape), so cells and stats are deterministic on any engine and
+    * any partitioning. Two aggregates total: the 1-row bounds pass and
+    * the per-cell groupBy — no global sort anywhere; the physical
+    * re-write would be `repartitionByRange(zcell)` + write, which
+    * shuffles once on the same key.
+    *
+    * Output: (zcell, n, ck_min, ck_max, dd_min, dd_max), ordered. */
+  def zorderCells(orders: DataFrame, bits: Int = 4): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val maxCode = (1 << bits) - 1
+    val ck = col("o_custkey")
+    val dd = datediff(to_date(col("o_orderdate")),
+      lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+    val keyed = orders.select(ck.as("ck"), dd.as("dd"))
+    val bounds = keyed.agg(
+      min(col("ck")).as("ck_lo"), max(col("ck")).as("ck_hi"),
+      min(col("dd")).as("dd_lo"), max(col("dd")).as("dd_hi"))
+    val withZ = keyed.crossJoin(broadcast(bounds))
+      .withColumn("nk",
+        expr(s"((ck - ck_lo) * $maxCode) div greatest(ck_hi - ck_lo, 1)"))
+      .withColumn("nd",
+        expr(s"((dd - dd_lo) * $maxCode) div greatest(dd_hi - dd_lo, 1)"))
+      .withColumn("zcell", (0 until bits).map { i =>
+        (shiftleft(shiftright(col("nk"), i) % 2, 2 * i) +
+          shiftleft(shiftright(col("nd"), i) % 2, 2 * i + 1)): Column
+      }.reduce(_ + _))
+    withZ.groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+        min(col("dd")).as("dd_min"), max(col("dd")).as("dd_max"))
+      .orderBy(col("zcell"))
   }
 }

@@ -277,4 +277,35 @@ class PipelineSpec extends SparkSpec {
     val rows = spark.table("win_counts").collect()
     assert(rows.exists(r => r.getAs[Long]("n_events") == 2))
   }
+
+  test("zorderCells: cells cover every row exactly once and bound BOTH " +
+    "dims' spans to one normalization bucket — the data-skipping " +
+    "property a single-column sort lacks; repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf0)
+    val out = graft.operators.ExportPipeline.zorderCells(orders).collect()
+    val total = orders.count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    // global ranges, recomputed independently
+    val b = orders.select(
+      min(col("o_custkey")), max(col("o_custkey")),
+      min(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))),
+      max(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))))
+      .head()
+    val ckRange = b.getLong(1) - b.getLong(0)
+    val ddRange = (b.getInt(3) - b.getInt(2)).toLong
+    // rows in one cell share a 4-bit code in EACH dim, so each dim's
+    // span is at most one code bucket: range div 15 + 1
+    out.foreach { r =>
+      val ckSpan = r.getAs[Long]("ck_max") - r.getAs[Long]("ck_min")
+      val ddSpan = r.getAs[Long]("dd_max") - r.getAs[Long]("dd_min")
+      assert(ckSpan <= ckRange / 15 + 1,
+        s"cell ${r.getAs[Long]("zcell")}: ck span $ckSpan too wide")
+      assert(ddSpan <= ddRange / 15 + 1,
+        s"cell ${r.getAs[Long]("zcell")}: dd span $ddSpan too wide")
+    }
+    val reparted = graft.operators.ExportPipeline
+      .zorderCells(orders.repartition(13)).collect()
+    assert(reparted.toSeq == out.toSeq)
+  }
 }

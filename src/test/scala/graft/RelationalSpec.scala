@@ -301,6 +301,37 @@ class RelationalSpec extends SparkSpec {
     assert(r(4L) == "pin <NUM>")     // tag longer than input → delta -1 ok
   }
 
+  test("searchRank: scores replay locally (linear idf, fixed-order FP), " +
+    "rare terms dominate, top-k ordered by (score desc, doc_id)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0)
+    val terms = Seq("data", "line", "dup")
+    val out = graft.operators.Corpus.searchRank(docs, terms, k = 20).collect()
+    assert(out.length == 20)
+    // local replay
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val n = rows.length.toDouble
+    val df = terms.map(t => t -> rows.count(_._2.contains(t)).toDouble).toMap
+    val scores = rows.map { case (id, toks) =>
+      val tf = terms.map(t => t -> toks.count(_ == t).toLong).toMap
+      val s = terms.map(t => tf(t) * n / df(t)).reduce(_ + _)
+      (id, tf, s)
+    }
+    val topLocal = scores.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    out.zip(topLocal).foreach { case (r, (id, tf, s)) =>
+      assert(r.getLong(0) == id)
+      terms.zipWithIndex.foreach { case (t, i) =>
+        assert(r.getLong(1 + i) == tf(t), s"tf_$t of doc $id")
+      }
+      assert(r.getDouble(1 + terms.length) == s, s"score of doc $id")
+    }
+    // the rare term must dominate: every top-20 doc contains 'dup'
+    // (df 25 vs ~380 — one dup occurrence outweighs any tf of the rest)
+    assert(out.forall(_.getLong(3) > 0),
+      "a dup-free doc cracked the top-20 — idf weighting is broken")
+  }
+
   test("fuzzyJoin: PassJoin candidates are COMPLETE vs naive all-pairs " +
     "levenshtein — substitutions, indels (which break naive half-split " +
     "blocking), short names, and no false pairs") {
