@@ -460,6 +460,16 @@ object SparkEntry {
     "join_fuzzy" -> ((s, d) =>
       Relational.fuzzyJoin(Tables.part(s, d))),
 
+    // Type-2 SCD historization (round 9): per-user event_type change
+    // points → versioned validity intervals; one shuffle on user_id.
+    "dim_scd2" -> ((s, d) =>
+      Relational.scd2(Tables.events(s, d))),
+
+    // Exact equi-width histogram in integer cents (round 9): two
+    // aggregates, <= nb rows out at any scale.
+    "stats_histogram" -> ((s, d) =>
+      Relational.priceHistogram(Tables.orders(s, d))),
+
     // Exact interpolated quantiles (order statistics, oracle-checkable).
     "text_len_quantiles" -> ((s, d) =>
       Relational.lengthQuantiles(Tables.documents(s, d))),
@@ -1158,6 +1168,33 @@ object SparkEntry {
       ("SELECT event_id, user_id, event_type, c_name, c_mktsegment " +
         "FROM events JOIN customer ON user_id = c_custkey " +
         "ORDER BY event_id"),
+
+    // SCD2 replay: same µs-truncated ts + event_id ordering discipline
+    // as event_journey; first-row detection on the non-null event_id
+    // (lag(attr) is NULL both at the head and after a NULL attr)
+    "dim_scd2" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "event_type AS attr FROM events), " +
+        "c AS (SELECT user_id, ts, event_id, attr, " +
+        "LAG(attr) OVER w AS prev_attr, LAG(event_id) OVER w AS prev_eid " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "v AS (SELECT user_id, attr, ts AS valid_from, " +
+        "LEAD(ts) OVER w2 AS valid_to, " +
+        "CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version " +
+        "FROM c WHERE prev_eid IS NULL OR attr IS DISTINCT FROM prev_attr " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT user_id, attr, valid_from, valid_to, version, " +
+        "valid_to IS NULL AS is_current FROM v ORDER BY user_id, version"),
+
+    // histogram replay: DECIMAL(12,2)*100 cents are exact integers, so
+    // bucket = (c-lo)*16 // (range+1) is pure integer arithmetic
+    "stats_histogram" ->
+      ("WITH k AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT) AS c FROM orders), " +
+        "b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM k) " +
+        "SELECT ((c - lo) * 16) // (hi - lo + 1) AS bucket, COUNT(*) AS n, " +
+        "MIN(c) AS cents_min, MAX(c) AS cents_max " +
+        "FROM k, b GROUP BY 1 ORDER BY 1"),
 
     // the oracle pays the all-pairs join the engine's segment filter
     // avoids — correctness contract only (64 distinct names at any SF)

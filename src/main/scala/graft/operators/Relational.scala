@@ -568,6 +568,70 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Type-2 slowly-changing dimension from an event stream — the
+    * warehouse historization pass: per user, each CHANGE of `attrCol`
+    * (vs the previous event in (ts, event_id) order) opens a new
+    * dimension version; `valid_from` is the change's timestamp,
+    * `valid_to` the next change's (half-open interval, NULL while
+    * current), `version` the per-user ordinal. Runs as ONE shuffle on
+    * user_id feeding two window passes over the same sort (change
+    * detection via lag on all events, then lead/row_number over the
+    * surviving change-points) — per-entity work is bounded by that
+    * entity's event count, the same discipline as `event_journey`.
+    *
+    * Output: (user_id, attr, valid_from, valid_to, version,
+    * is_current), ordered. */
+  def scd2(events: DataFrame, attrCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col(attrCol).as("attr"))
+      .withColumn("prev_attr", lag(col("attr"), 1).over(w))
+      // lag(attr) is NULL both at the partition head and after a row
+      // whose attr IS NULL — a real state here (event_type has nulls,
+      // cf. the sentinel ops) — so first-row detection rides the
+      // non-null event_id instead
+      .withColumn("prev_eid", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_eid").isNull ||
+        !(col("prev_attr") <=> col("attr")))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    changes
+      .select(col("user_id"), col("attr"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w2).as("valid_to"),
+        row_number().over(w2).cast("long").as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Exact equi-width histogram over order totals, in the integer-cents
+    * domain: prices are 2-decimal doubles, so `DECIMAL(12,2) × 100`
+    * is EXACT cents and every bucket boundary an integer comparison —
+    * no FP binning ambiguity for the oracle to half-match. Bucket b of
+    * `nb` covers `lo + b·ceil`-ish equal widths via the standard
+    * `(c − lo)·nb div (range + 1)` map (last value lands in bucket
+    * nb−1). Two aggregates — the broadcast 1-row bounds frame and the
+    * per-bucket groupBy — both map-side-combinable; the histogram
+    * relation is ≤ nb rows at any scale.
+    *
+    * Output: (bucket, n, cents_min, cents_max), ordered; empty buckets
+    * simply absent (a skipping consumer joins on bucket id). */
+  def priceHistogram(orders: DataFrame, nb: Int = 16): DataFrame = {
+    require(nb >= 1, s"need nb >= 1, got $nb")
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val keyed = orders.select(cents.as("c"))
+    val bounds = keyed.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    keyed.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"((c - lo) * $nb) div (hi - lo + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c")).as("cents_min"), max(col("c")).as("cents_max"))
+      .orderBy(col("bucket"))
+  }
+
   /** Edit-distance fuzzy self-join over the part-name DICTIONARY —
     * entity resolution's inner loop: every distinct-name pair within
     * levenshtein distance `d`, found WITHOUT the all-pairs join. The
@@ -638,7 +702,7 @@ object Relational {
     // bucket (the pigeonhole needs l >= d+1); bounded by the same cap
     val shortKeys = base.filter(col("l2") < nSeg)
       .select(col("nid"), lit(-1).as("l1"), lit(-1).as("i"),
-        lit(" short").as("seg"))
+        lit("short").as("seg"))
     val keyed = idxKeys.unionByName(probeKeys).unionByName(shortKeys)
       .distinct()
     val pairs = Dedup.boundedCandidatePairs(keyed, "nid",

@@ -301,6 +301,55 @@ class RelationalSpec extends SparkSpec {
     assert(r(4L) == "pin <NUM>")     // tag longer than input → delta -1 ok
   }
 
+  test("scd2: change points open versions, NULL attr is a real state " +
+    "(NULL→NULL does not re-open), valid_to chains to the next " +
+    "valid_from, last version is current") {
+    import org.apache.spark.sql.functions._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq(
+      (1L, ts(1), 10L, Some("a")),
+      (1L, ts(2), 11L, Some("a")),   // same state — no new version
+      (1L, ts(3), 12L, None),        // a → NULL opens v2
+      (1L, ts(4), 13L, None),        // NULL → NULL must NOT open
+      (1L, ts(5), 14L, Some("a")),   // NULL → a opens v3
+      (2L, ts(1), 20L, None)         // head with NULL attr opens v1
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.Relational.scd2(df).collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L))
+    assert(u1.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("a"), None, Some("a")))
+    // half-open chaining: each valid_to equals the next valid_from
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(3) == b.getTimestamp(2))
+    }
+    assert(u1.last.getTimestamp(3) == null && u1.last.getBoolean(5))
+    assert(u1.init.forall(!_.getBoolean(5)))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2.head.getString(1) == null &&
+      u2.head.getBoolean(5))
+  }
+
+  test("priceHistogram: buckets partition the rows, every row's bucket " +
+    "replays locally, bounds nest inside bucket edges") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf0)
+    val out = graft.operators.Relational.priceHistogram(orders, nb = 16)
+      .collect()
+    val cents = orders
+      .select((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(out.map(_.getLong(1)).sum == cents.length)
+    val lo = cents.min; val hi = cents.max
+    val local = cents.groupBy(c => (c - lo) * 16 / (hi - lo + 1))
+    assert(out.map(_.getLong(0)).toSet == local.keySet)
+    out.foreach { r =>
+      val b = r.getLong(0); val vs = local(b)
+      assert(r.getLong(1) == vs.length)
+      assert(r.getLong(2) == vs.min && r.getLong(3) == vs.max)
+    }
+  }
+
   test("searchRank: scores replay locally (linear idf, fixed-order FP), " +
     "rare terms dominate, top-k ordered by (score desc, doc_id)") {
     import org.apache.spark.sql.functions._
