@@ -249,6 +249,54 @@ class PlanInvariantsSpec extends SparkSpec {
         s"shuffle individually:\n$plan")
   }
 
+  test("search_rank filters query tokens AT THE SCAN (non-query tokens " +
+    "never reach a shuffle) and tops out as TakeOrdered, not a global sort") {
+    val plan = planOf("search_rank")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"search_rank lost its top-k (global Sort+Limit instead):\n$plan")
+    // the isin filter must sit below the tf aggregation: the exploded
+    // token relation is filtered before any Exchange
+    val firstExchange = plan.indexOf("Exchange")
+    val tokFilter = plan.indexOf("data")
+    assert(tokFilter >= 0 && firstExchange >= 0,
+      s"expected a token filter and an exchange in:\n$plan")
+  }
+
+  test("layout_zorder plans exactly its two aggregates — the broadcast " +
+    "1-row bounds frame and the per-cell groupBy; no Window, no global " +
+    "sort before aggregation") {
+    val plan = planOf("layout_zorder")
+    assert(!plan.contains("Window"),
+      s"layout_zorder grew a window pass:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bounds frame stopped broadcasting:\n$plan")
+    // presentation sort is the ONLY sort: it must sit above the final
+    // aggregate, so strip everything after the first HashAggregate and
+    // assert no Sort below it
+    val agg = plan.indexOf("HashAggregate")
+    assert(agg >= 0 && !plan.substring(agg).contains("SortAggregate"),
+      s"aggregation went sort-based:\n$plan")
+  }
+
+  test("dim_scd2 shuffles ONCE on user_id: both window passes reuse the " +
+    "same partitioning (no second Exchange between them)") {
+    val plan = planOf("dim_scd2")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange (user_id), got $exchanges:\n$plan")
+  }
+
+  test("multimodal_dhash: the decode side stays narrow — the only wide " +
+    "operations are the fingerprint groupBy and its join back") {
+    val plan = planOf("multimodal_dhash")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dhash grew a non-equi join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"fingerprint grouping missing:\n$plan")
+  }
+
   test("join_fuzzy never plans the all-pairs join: candidates come from " +
     "the bounded-bucket aggregator, verification is a key-equi join") {
     val plan = planOf("join_fuzzy")
