@@ -470,6 +470,18 @@ object SparkEntry {
     "stats_histogram" -> ((s, d) =>
       Relational.priceHistogram(Tables.orders(s, d))),
 
+    // Fixed-point PageRank (round 9): 2 unrolled iterations in integer
+    // arithmetic over the order co-occurrence graph — the IVF unroll
+    // doctrine applied to graph compute; per-iteration shuffle on the
+    // node key is the Pregel superstep expressed relationally.
+    "graph_pagerank" -> ((s, d) =>
+      Graph.pageRank(Tables.lineitem(s, d))),
+
+    // Oriented triangle counting (round 9): a<b<c joins build each
+    // triangle once; per-node participation top-20.
+    "graph_triangles" -> ((s, d) =>
+      Graph.triangles(Tables.lineitem(s, d))),
+
     // Exact interpolated quantiles (order statistics, oracle-checkable).
     "text_len_quantiles" -> ((s, d) =>
       Relational.lengthQuantiles(Tables.documents(s, d))),
@@ -1185,6 +1197,44 @@ object SparkEntry {
         "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
         "SELECT user_id, attr, valid_from, valid_to, version, " +
         "valid_to IS NULL AS is_current FROM v ORDER BY user_id, version"),
+
+    // PageRank replay: the co-occurrence edges, degrees and two
+    // unrolled fixed-point iterations (scale 10^12, truncating //,
+    // CAST sums back from DuckDB's HUGEINT) — same unroll doctrine as
+    // the IVF training oracle
+    "graph_pagerank" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), " +
+        "e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und), " +
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1), " +
+        "nodes AS (SELECT p AS part, COALESCE(deg, 0) AS deg FROM " +
+        "(SELECT DISTINCT p FROM it) q LEFT JOIN deg ON q.p = deg.src), " +
+        "n AS (SELECT COUNT(*) AS n_nodes FROM nodes), " +
+        "r0 AS (SELECT part, deg, n_nodes, 1000000000000 // n_nodes AS pr FROM nodes, n), " +
+        "c1 AS (SELECT e.dst, CAST(SUM(r0.pr // r0.deg) AS BIGINT) AS contrib " +
+        "FROM r0 JOIN e ON r0.part = e.src WHERE r0.deg > 0 GROUP BY 1), " +
+        "r1 AS (SELECT part, deg, n_nodes, " +
+        "(15 * 1000000000000) // (100 * n_nodes) + (85 * COALESCE(contrib, 0)) // 100 AS pr " +
+        "FROM r0 LEFT JOIN c1 ON r0.part = c1.dst), " +
+        "c2 AS (SELECT e.dst, CAST(SUM(r1.pr // r1.deg) AS BIGINT) AS contrib " +
+        "FROM r1 JOIN e ON r1.part = e.src WHERE r1.deg > 0 GROUP BY 1), " +
+        "r2 AS (SELECT part, deg, n_nodes, " +
+        "(15 * 1000000000000) // (100 * n_nodes) + (85 * COALESCE(contrib, 0)) // 100 AS pr " +
+        "FROM r1 LEFT JOIN c2 ON r1.part = c2.dst) " +
+        "SELECT part, deg, pr FROM r2 ORDER BY pr DESC, part LIMIT 30"),
+
+    // triangle replay: oriented a<b<c joins — each triangle counted
+    // exactly once, node participation via the 3-way unnest
+    "graph_triangles" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+        "tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z FROM und ab " +
+        "JOIN und bc ON ab.b = bc.a " +
+        "JOIN und ac ON ac.a = ab.a AND ac.b = bc.b) " +
+        "SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM " +
+        "(SELECT x AS part FROM tri UNION ALL SELECT y AS part FROM tri " +
+        "UNION ALL SELECT z AS part FROM tri) " +
+        "GROUP BY part ORDER BY n_triangles DESC, part LIMIT 20"),
 
     // histogram replay: DECIMAL(12,2)*100 cents are exact integers, so
     // bucket = (c-lo)*16 // (range+1) is pure integer arithmetic

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the order co-occurrence graph — the relational
+  * face of graph compute, rounding out the engine's graph family next to
+  * `dedup_cluster`'s connected components: nodes are parts, and two
+  * parts are adjacent iff some order contains both. Per-order item
+  * counts are application-bounded (TPC-H-style orders hold a handful of
+  * lines), so the pair fan-out per order is a small constant — the same
+  * bounded-by-semantics argument as `event_journey` — and the edge
+  * relation builds in one groupBy(order) + bounded explode, never a
+  * quadratic self-join over lineitem.
+  *
+  * Both operators are DETERMINISTIC BY CONSTRUCTION on any engine:
+  * PageRank runs in fixed-point integer arithmetic (scale 10^12,
+  * truncating division — both engines' integer div agree on the
+  * non-negative domain) for a FIXED, small iteration count, the same
+  * unroll-into-SQL doctrine that put the trained IVF under the full
+  * oracle; triangle counting is pure integer joins. Reference scope:
+  * the reference conduit has no graph surface; this is the mandated
+  * analytics extension group.
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges (a < b), weight = co-order count.
+    * One shuffle on l_orderkey; fan-out bounded by per-order item
+    * count. */
+  def coOrderEdges(lineitem: DataFrame): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    items
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Fixed-point PageRank, `iters` unrolled iterations at damping
+    * 85/100 over the co-occurrence graph. All arithmetic is integer:
+    * ranks live at scale 10^12, every division truncates, every sum is
+    * exact — so the ranks (including the mass lost to truncation,
+    * identical on both engines) hash-match the SQL oracle the way
+    * Lloyd's iterations do for IVF. Isolated nodes (no edges) keep the
+    * teleport term only.
+    *
+    * Each iteration is one equi-join of ranks to directed edges plus
+    * one map-side-combinable groupBy — the Pregel superstep expressed
+    * relationally; at 100 TB the per-iteration shuffle on the node key
+    * is inherent to PageRank and the iteration count is the knob.
+    *
+    * Output: top `k` (part, degree, pr) by (pr desc, part). */
+  def pageRank(lineitem: DataFrame, iters: Int = 2, k: Int = 30): DataFrame = {
+    require(iters >= 1 && iters <= 4, s"iters must be 1..4, got $iters")
+    val S = 1000000000000L // rank scale 10^12
+    val und = coOrderEdges(lineitem)
+    // directed both ways for contribution routing
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = lineitem.select(col("l_partkey").as("part")).distinct()
+      .join(deg.withColumnRenamed("src", "part"), Seq("part"), "left")
+      .na.fill(0L, Seq("deg"))
+    val nFrame = nodes.agg(count(lit(1)).as("n_nodes"))
+    val r0 = nodes.crossJoin(broadcast(nFrame))
+      .select(col("part"), col("deg"), col("n_nodes"),
+        expr(s"$S div n_nodes").as("pr"))
+    val ranked = (1 to iters).foldLeft(r0) { (r, _) =>
+      val contrib = r.filter(col("deg") > 0)
+        .select(col("part").as("src"), expr("pr div deg").as("c"))
+        .join(edges, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      r.join(contrib.withColumnRenamed("dst", "part"), Seq("part"), "left")
+        .na.fill(0L, Seq("contrib"))
+        .select(col("part"), col("deg"), col("n_nodes"),
+          (expr(s"(15 * $S) div (100 * n_nodes)") +
+            expr("(85 * contrib) div 100")).as("pr"))
+    }
+    ranked.select(col("part"), col("deg"), col("pr"))
+      .orderBy(col("pr").desc, col("part"))
+      .limit(k)
+  }
+
+  /** Triangle counting over the co-occurrence graph: per-node triangle
+    * participation for the top `k` nodes plus exact integer counts.
+    * Enumeration is the ORIENTED join (a < b < c — each triangle built
+    * exactly once from its ordered edges), the relational form of the
+    * degree-ordered orientation that bounds candidate fan-out at scale;
+    * the heavy step is two equi-joins on node keys, both
+    * shuffle-partitionable.
+    *
+    * Output: top `k` (part, n_triangles) by (count desc, part). */
+  def triangles(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val e = coOrderEdges(lineitem).select(col("a"), col("b"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Graph
+
+/** Graph family: co-occurrence edge construction, fixed-point PageRank
+  * (hand-replayed integer arithmetic), oriented triangle counting. */
+class GraphSpec extends SparkSpec {
+
+  /** lineitem-shaped frame: each order is a clique over its parts. */
+  private def li(orders: (Long, Seq[Long])*) = {
+    import spark.implicits._
+    orders.flatMap { case (o, ps) => ps.map(p => (o, p)) }
+      .toDF("l_orderkey", "l_partkey")
+  }
+
+  test("coOrderEdges: cliques per order, a<b once, co-order weights") {
+    val edges = Graph.coOrderEdges(li(
+        1L -> Seq(1L, 2L, 3L), 2L -> Seq(2L, 3L), 3L -> Seq(2L, 3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(edges == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 3L))
+  }
+
+  test("pageRank: hand-replayed fixed-point values on a path graph; " +
+    "isolated node keeps the teleport term only") {
+    // graph: 1-2, 2-3 (path), 4 isolated. N=4, S=10^12
+    val out = Graph.pageRank(li(1L -> Seq(1L, 2L), 2L -> Seq(2L, 3L),
+        3L -> Seq(4L)), iters = 2, k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val S = 1000000000000L
+    val n = 4L
+    val tele = (15 * S) / (100 * n)
+    // r0 = S/4 for all. deg: 1->1, 2->2, 3->1, 4->0
+    val r0 = S / n
+    def it(r1: Long, r2: Long, r3: Long): (Long, Long, Long) = {
+      val c1 = r2 / 2                 // from 2
+      val c2 = r1 / 1 + r3 / 1        // from 1 and 3
+      val c3 = r2 / 2
+      (tele + (85 * c1) / 100, tele + (85 * c2) / 100, tele + (85 * c3) / 100)
+    }
+    val (a1, b1, c1) = it(r0, r0, r0)
+    val (a2, b2, c2) = it(a1, b1, c1)
+    assert(out(1L) == (1L, a2))
+    assert(out(2L) == (2L, b2))
+    assert(out(3L) == (1L, c2))
+    assert(out(4L) == (0L, tele), "isolated node must be teleport-only")
+    // truncating arithmetic only loses mass, never creates it
+    assert(out.values.map(_._2).sum <= S)
+  }
+
+  test("pageRank is repartition-invariant (exact integers under any " +
+    "partial-aggregation order)") {
+    val docs = li(1L -> Seq(1L, 2L, 3L), 2L -> Seq(3L, 4L), 3L -> Seq(4L, 1L))
+    val a = Graph.pageRank(docs, iters = 2, k = 10).collect().toSeq
+    val b = Graph.pageRank(docs.repartition(7), iters = 2, k = 10)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("triangles: K4 order yields 3 per member and nothing for a " +
+    "dangling edge; cross-order triangles count too") {
+    // order 1 = K4 over {1,2,3,4}; order 2 adds edge 4-5 (no triangle);
+    // orders 3+4+5 build triangle {6,7,8} across DIFFERENT orders
+    val out = Graph.triangles(li(
+        1L -> Seq(1L, 2L, 3L, 4L), 2L -> Seq(4L, 5L),
+        3L -> Seq(6L, 7L), 4L -> Seq(7L, 8L), 5L -> Seq(6L, 8L)), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      6L -> 1L, 7L -> 1L, 8L -> 1L), s"got $out")
+  }
+}
