@@ -493,6 +493,17 @@ object SparkEntry {
 
     // ---- Group A: sink-side machinery -----------------------------------
 
+    // CSV source with malformed-row quarantine (round 9): write →
+    // inject known-bad lines → PERMISSIVE re-read with explicit schema
+    // → fidelity summary; the parser must neither lose nor invent rows.
+    "source_csv_quarantine" -> ((s, d) =>
+      graft.sources.TextSources.csvQuarantineRoundTrip(s, Tables.events(s, d))),
+
+    // JSON-lines source, same quarantine contract — the reference's own
+    // wire format read back through Spark's JSON parser.
+    "source_jsonl_quarantine" -> ((s, d) =>
+      graft.sources.TextSources.jsonlQuarantineRoundTrip(s, Tables.events(s, d))),
+
     // A12 batch_barrier: micro-batch block assembly + per-block summary.
     "batch_barrier" -> ((s, d) =>
       SinkOps.batchBarrier(Tables.events(s, d))),
@@ -1316,6 +1327,25 @@ object SparkEntry {
         "MAX(CASE WHEN qname='p90' THEN qval END) AS p90, " +
         "nn.lo, nn.hi FROM vals JOIN nn ON vals.grp = nn.grp " +
         "GROUP BY 1, 2, 7, 8 ORDER BY 1"),
+
+    // source round-trips: the oracle replays the summary from the
+    // ORIGINAL relation + the injection constant (3 malformed lines) —
+    // a parser that drops or invents a row breaks a count or a sum
+    "source_csv_quarantine" ->
+      (s"SELECT event_type, n_rows, value_sum, first_id, last_id FROM (" +
+        s"SELECT ${sqlSentinel("event_type")} AS event_type, COUNT(*) AS n_rows, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +
+        "MIN(event_id) AS first_id, MAX(event_id) AS last_id FROM events GROUP BY 1 " +
+        "UNION ALL SELECT '__quarantined__', 3, CAST(NULL AS DOUBLE), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) ORDER BY event_type"),
+
+    "source_jsonl_quarantine" ->
+      (s"SELECT event_type, n_rows, value_sum, first_id, last_id FROM (" +
+        s"SELECT ${sqlSentinel("event_type")} AS event_type, COUNT(*) AS n_rows, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +
+        "MIN(event_id) AS first_id, MAX(event_id) AS last_id FROM events GROUP BY 1 " +
+        "UNION ALL SELECT '__quarantined__', 3, CAST(NULL AS DOUBLE), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) ORDER BY event_type"),
 
     "batch_barrier" ->
       ("SELECT event_id // 1000 AS batch_id, COUNT(*) AS n_rows, " +

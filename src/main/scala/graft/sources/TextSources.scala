@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Text SOURCE formats — CSV and JSON-lines ingestion with
+  * malformed-row quarantine, the read-side counterpart of the sink
+  * family: a 100 TB lake ingests vendor drops and log shippers in
+  * exactly these two formats, and the first operator they hit must (a)
+  * parse with an EXPLICIT schema — never infer over a corpus — and (b)
+  * route unparseable lines to quarantine instead of failing the job or,
+  * worse, silently dropping them. Both round-trips here write a
+  * deterministic file set (the events relation plus a known set of
+  * injected malformed lines), read it back through Spark's own
+  * PERMISSIVE parser with `columnNameOfCorruptRecord`, and summarize —
+  * so the DuckDB oracle (which replays the summary from the ORIGINAL
+  * relation plus the injection constants) proves the parser neither
+  * lost nor invented rows. Same contract shape as `sink_compact`'s
+  * row-fidelity oracle, pointed at the read path.
+  *
+  * Reference scope: the reference conduit emits JSON lines
+  * (PartitionedJsonDecoder.java:109-129 builds the JSON object per
+  * row); these operators cover the opposite direction, which any
+  * replacement engine needs on day one.
+  */
+object TextSources {
+
+  /** Injected malformed lines. Every CSV line fails a NUMERIC field
+    * parse rather than relying on arity alone: Spark 4 does flag
+    * under-arity rows as corrupt (SourcesSpec pins it), but older CSV
+    * parsers pad them silently — a type failure quarantines under
+    * either behavior, so the contract is parser-version-proof. The
+    * JSONL set covers a bad field type, broken syntax, and a
+    * non-object line. */
+  val MalformedCsv: Seq[String] =
+    Seq("x,y,z,1.5", "1,2,ok,notanumber", "garbage")
+  val MalformedJsonl: Seq[String] =
+    Seq("{\"event_id\": \"notanumber\", \"user_id\": 1}",
+      "{not json at all", "42")
+
+  /** The quarantine marker row key. */
+  val Quarantined = "__quarantined__"
+
+  /** Per-JVM scratch root (mirrors SinkOps): overwritten per call,
+    * removed on JVM exit. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = Files.createTempDirectory("graft_sources_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
+  private val readSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("_corrupt", StringType)))
+
+  /** Shared summary: per sentinel-normalized event_type — row count,
+    * exact-decimal value sum (cast to double at the end, the engine's
+    * money doctrine) and the id span; plus ONE quarantine row counting
+    * the corrupt records. A parser that silently drops a malformed line
+    * (or mis-parses a good one) changes a count or a sum and fails the
+    * hash compare. */
+  private def summarize(back: DataFrame): DataFrame = {
+    // ONE aggregation pass over good and quarantined rows together:
+    // the group key routes corrupt records to the marker group (also
+    // sidesteps Spark's corrupt-column-only query restriction, which a
+    // separate filter(_corrupt.isNotNull).count() branch would hit)
+    val isBad = col("_corrupt").isNotNull
+    back
+      .groupBy(when(isBad, lit(Quarantined))
+        .otherwise(graft.operators.ExportOps.nullSentinel(col("event_type")))
+        .as("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(!isBad, col("value")).cast(DecimalType(12, 2)))
+          .cast("double").as("value_sum"),
+        min(when(!isBad, col("event_id"))).as("first_id"),
+        max(when(!isBad, col("event_id"))).as("last_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private def writeAndRead(spark: SparkSession, events: DataFrame,
+                           dir: String, fmt: String,
+                           malformed: Seq[String]): DataFrame = {
+    // per-CALL unique dir: concurrent callers (parallel test suites,
+    // two sessions in one JVM) must never interleave writes into one
+    // directory — the bucketed-table-name lesson applied here from the
+    // start. The per-JVM root still bounds and cleans the footprint.
+    val out = s"$scratchRoot/$dir-${java.util.UUID.randomUUID()}"
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .write.mode("overwrite").format(fmt).save(out)
+    Files.write(Paths.get(out, s"zz_malformed.$fmt"),
+      (malformed.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val parsed = spark.read.schema(readSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .format(fmt).load(out)
+    // SEAL the quarantine verdict at ingest: Spark's lazy parser prunes
+    // columns per consuming query, and an unparsed column's type error
+    // goes UNDETECTED — a downstream query touching only the group key
+    // would see fewer corrupt rows than one reading every column
+    // (_corrupt is populated per parse, not per file). Materializing the
+    // full-width parse once makes the verdict a property of the DATA,
+    // which is what a landing gate must be — and parse-once is the
+    // production ingest shape anyway.
+    parsed.localCheckpoint(true)
+  }
+
+  /** CSV source with quarantine: write → inject malformed lines →
+    * PERMISSIVE re-read with explicit schema → fidelity summary. */
+  def csvQuarantineRoundTrip(spark: SparkSession,
+                             events: DataFrame): DataFrame =
+    summarize(writeAndRead(spark, events, "csv_src", "csv", MalformedCsv))
+
+  /** JSON-lines source with quarantine — same contract through Spark's
+    * JSON parser (the reference's own wire format, read back). */
+  def jsonlQuarantineRoundTrip(spark: SparkSession,
+                               events: DataFrame): DataFrame =
+    summarize(
+      writeAndRead(spark, events, "jsonl_src", "json", MalformedJsonl))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.TextSources
+import org.apache.spark.sql.functions._
+
+/** Source-format coverage: CSV and JSON-lines quarantine round-trips —
+  * row fidelity plus the parser caveats the malformed set is built
+  * around. */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sf0)
+
+  test("csv quarantine round-trip: exactly the injected lines are " +
+    "quarantined, good rows and sums survive bit-exact") {
+    val out = TextSources.csvQuarantineRoundTrip(spark, events).collect()
+    val bad = out.filter(_.getString(0) == TextSources.Quarantined)
+    assert(bad.length == 1 &&
+      bad.head.getLong(1) == TextSources.MalformedCsv.length)
+    assert(out.filter(_.getString(0) != TextSources.Quarantined)
+      .map(_.getLong(1)).sum == events.count())
+    // value fidelity: per-type decimal sums equal the pre-write sums
+    val direct = events.groupBy(
+        graft.operators.ExportOps.nullSentinel(col("event_type")).as("et"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.filter(_.getString(0) != TextSources.Quarantined).foreach { r =>
+      assert(r.getDouble(2) == direct(r.getString(0)),
+        s"value sum drifted through CSV for ${r.getString(0)}")
+    }
+  }
+
+  test("jsonl quarantine round-trip: same contract through the JSON parser") {
+    val out = TextSources.jsonlQuarantineRoundTrip(spark, events).collect()
+    val bad = out.filter(_.getString(0) == TextSources.Quarantined)
+    assert(bad.length == 1 &&
+      bad.head.getLong(1) == TextSources.MalformedJsonl.length)
+    assert(out.filter(_.getString(0) != TextSources.Quarantined)
+      .map(_.getLong(1)).sum == events.count())
+  }
+
+  test("CSV under-arity rows pad their fields AND carry the corrupt " +
+    "record (Spark 4 flags arity mismatches; the malformed set still " +
+    "uses numeric failures so the contract survives parsers that don't)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arity_")
+    java.nio.file.Files.write(dir.resolve("r.csv"),
+      "1,2\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("_corrupt", StringType)))
+    val rows = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir.toString).cache()
+    try {
+      val r = rows.collect()
+      assert(r.length == 1)
+      // Spark 4.1: fields pad with nulls AND the raw line lands in the
+      // corrupt column — under-arity counts as quarantined here
+      assert(r.head.getAs[String]("_corrupt") == "1,2")
+      assert(r.head.getAs[Long]("event_id") == 1L &&
+        r.head.isNullAt(schema.fieldIndex("value")))
+    } finally rows.unpersist()
+  }
+}
