@@ -672,6 +672,12 @@ object SparkEntry {
       Dedup.paragraphDedup(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Duplicated-substring spans (round 9): every ≥8-token run occurring
+    // more than once in the corpus, merged per doc into maximal spans —
+    // the span-level curation pass whole-doc near-dup can't see.
+    "dedup_substring" -> ((s, d) =>
+      Dedup.substringDupSpans(Tables.documents(s, d))),
+
     // Dataset mixture resampling: target weight of src<i> is i+1, so the
     // resample is exactly proportional to 1:2:...:20 under integer
     // quotas (k_s = p_s · min_s floor(n_s/p_s)), md5-prefix selection.
@@ -1645,6 +1651,35 @@ object SparkEntry {
         "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_text " +
         "ORDER BY doc_id, chunk_id) AS rn FROM ch) WHERE rn = 1 " +
         "ORDER BY doc_id, chunk_id"),
+
+    // duplicated-substring spans: identical normalize→8-gram→md5-prefix
+    // contract, occurrence count ≥ 2, per-doc overlap-chain interval
+    // merge via the same running-max window pass
+    "dedup_substring" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t), " +
+        "g AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 7 + 1)) AS s " +
+        "FROM b WHERE len(toks) >= 8), " +
+        "f AS (SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(s + 7 AS BIGINT) AS e, " +
+        "substring(md5(array_to_string(toks[s:s + 7], ' ')), 1, 8) AS fp FROM g), " +
+        "d AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) >= 2), " +
+        "h AS (SELECT f.doc_id, f.s, f.e FROM f JOIN d USING (fp)), " +
+        "i AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER " +
+        "(PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni FROM h), " +
+        "j AS (SELECT doc_id, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island, s FROM i), " +
+        "k AS (SELECT doc_id, island, max(e) - min(s) + 1 AS width " +
+        "FROM j GROUP BY 1, 2), " +
+        "m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans, " +
+        "CAST(SUM(width) AS BIGINT) AS dup_tokens FROM k GROUP BY 1) " +
+        "SELECT b.doc_id, b.n_tokens, " +
+        "CAST(coalesce(m.dup_spans, 0) AS BIGINT) AS dup_spans, " +
+        "CAST(coalesce(m.dup_tokens, 0) AS BIGINT) AS dup_tokens, " +
+        "CAST(coalesce(m.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_ratio " +
+        "FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id"),
 
     // integer-exact mixture quotas: M = min floor(n/p), k = p·M — no
     // float arithmetic anywhere, so quotas are bit-identical per engine

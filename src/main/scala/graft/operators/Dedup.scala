@@ -647,4 +647,82 @@ object Dedup {
     chunks.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  /** Duplicated-SUBSTRING-span detection — the exact-substring sibling of
+    * [[paragraphDedup]] and the positional sibling of the winnow/
+    * contamination k-gram family: find every run of ≥ `w` tokens that
+    * occurs MORE THAN ONCE anywhere in the corpus (across documents or
+    * repeated within one), merge the per-document hits into maximal
+    * token spans, and report per-doc duplication load.
+    * Training-data curation removes these spans rather than whole
+    * near-dup documents (boilerplate headers, license blocks, templated
+    * paragraphs inside otherwise-unique pages) — whole-doc MinHash never
+    * sees them when the host documents differ everywhere else.
+    *
+    * Mechanics (three shuffle-partitionable steps, no driver state):
+    *  1. positional w-gram fingerprints: one row per (doc, start) with
+    *     the md5-prefix of the normalized gram text — the SAME
+    *     normalize→gram→md5 contract every other text oracle replays,
+    *     but keeping the POSITION (winnowFps deliberately discards it).
+    *  2. global occurrence count per fingerprint (map-side-combinable
+    *     groupBy); fingerprints with count ≥ 2 are duplicated — an
+    *     equi-join back marks intervals [start, start+w-1].
+    *  3. per-doc interval merge as ONE window pass: an interval opens a
+    *     new island iff its start exceeds the running max end of every
+    *     earlier interval (overlap-chain union is contiguous, so island
+    *     coverage = max(end) − min(start) + 1); islands then aggregate
+    *     to (span count, duplicated-token count) per doc.
+    * Docs shorter than `w` tokens produce no grams but stay in the
+    * summary via the left join (zero spans). Exact integers end-to-end;
+    * `dup_ratio` is one double division of exact longs.
+    *
+    * 100 TB shape: step 1 explodes to ~n_tokens rows (same volume class
+    * as contamination_ngram's shingle pass); step 2's count is partial-
+    * aggregated before the exchange and the join's build side is one row
+    * per DISTINCT duplicated fingerprint (Zipf heavy-hitters skew only
+    * the probe side — AQE's skew split applies); step 3's window is
+    * per-doc, bounded by document length. Nothing is all-pairs and
+    * nothing broadcasts the corpus. */
+  def substringDupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val base = docs.select(col("doc_id"), split(norm, " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    // one row per gram start (1-based, mirroring the oracle's range());
+    // docs with fewer than w tokens can host no gram — filtered before
+    // the explode, re-joined in the summary
+    val grams = base.filter(col("n_tokens") >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), col("n_tokens") - (w - 1)),
+          i => substring(md5(concat_ws(" ", slice(col("toks"), i, lit(w)))), 1, 8))))
+      .select(col("doc_id"), (col("pos") + 1).as("s"),
+        (col("pos") + w).as("e"), col("col").as("fp"))
+    val dupFps = grams.groupBy(col("fp"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("fp")
+    val hits = grams.join(dupFps, "fp")
+    // interval merge: new island iff start > max(end) over all earlier
+    // intervals of the doc (start is unique per doc — one gram per
+    // position — so the order is total and the pass deterministic)
+    val prev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = hits
+      .withColumn("new_island",
+        when(col("s") > coalesce(max(col("e")).over(prev), lit(-1)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("e")) - min(col("s")) + 1).cast("long").as("width"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"), sum(col("width")).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -868,4 +868,46 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().toSet
     assert(viaAgg == viaWindow)
   }
+
+  test("substringDupSpans: cross-doc run merges to one span, within-doc " +
+    "repeat yields two, short and unique docs report zero") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")      // 10 shared tokens
+    val rep = (1 to 8).map(i => s"w$i").mkString(" ")       // 8-token repeat
+    val fixture = Seq(
+      (1L, run + " u1 u2 u3 u4 u5"),                        // run at [1,10]
+      (2L, "v1 v2 " + run + " v3"),                         // run at [3,12]
+      (3L, rep + " z " + rep),                              // repeat at [1,8] + [10,17]
+      (4L, (1 to 12).map(i => s"q$i").mkString(" ")),       // unique, no dup
+      (5L, "s1 s2 s3")                                      // shorter than w
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(fixture, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // overlap-chain merge: the three duplicated grams of the 10-token run
+    // collapse to ONE span of width 10 on both hosts
+    assert(out(1L) == ((15L, 1L, 10L)))
+    assert(out(2L) == ((13L, 1L, 10L)))
+    // within-doc repetition: both occurrences flagged, separated by the
+    // unshared 'z' so they stay two islands of 8
+    assert(out(3L) == ((17L, 2L, 16L)))
+    assert(out(4L) == ((12L, 0L, 0L)))
+    // a doc below the gram width hosts no gram but stays in the summary
+    assert(out(5L) == ((3L, 0L, 0L)))
+  }
+
+  test("substringDupSpans: partitioning-invariant and ratio consistent " +
+    "on the fixture corpus") {
+    val a = Dedup.substringDupSpans(docs).collect()
+    val b = Dedup.substringDupSpans(docs.repartition(7)).collect()
+    assert(a.toSeq == b.toSeq)
+    a.foreach { r =>
+      assert(r.getDouble(4) ==
+        r.getLong(3).toDouble / r.getLong(1).toDouble)
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+    // the synthetic corpus is massively templated — the pass must find
+    // real duplication, not vacuously pass on an all-zero column
+    assert(a.exists(_.getLong(2) > 0))
+  }
 }

@@ -316,4 +316,14 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"cms probe join lost its broadcast:\n$plan")
   }
+
+  test("dedup_substring: fingerprint occurrence count partially " +
+    "aggregates before its exchange; everything joins equi (no cartesian)") {
+    val plan = planOf("dedup_substring")
+    assert(plan.contains("partial_count"),
+      s"fp occurrence count lost its map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dedup_substring grew a non-equi join:\n$plan")
+  }
 }
