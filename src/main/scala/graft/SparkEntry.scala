@@ -89,6 +89,48 @@ object SparkEntry {
   /** DuckDB strftime equivalent of ExportOps.OdbcTsFormat. */
   private val sqlTsFmt = "'%Y-%m-%d %H:%M:%S.%g'"
 
+  /** BPE training oracle: the 3 merge steps unrolled into chained CTEs —
+    * each step replays Tokenizer.bpeMergeStats' pair stats, rank-1 pick
+    * and island-parity greedy merge verbatim (same tie-breaks, same
+    * null-free window arithmetic). */
+  private def sqlBpe(steps: Int, topK: Int): String = {
+    val head =
+      "WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(" +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')" +
+        ") AS word FROM documents) WHERE len(word) > 0 GROUP BY 1), " +
+      "f0 AS (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS pos FROM wc), " +
+      "f1 AS (SELECT word, cnt, CAST(pos AS BIGINT) AS pos, " +
+        "substring(word, pos, 1) AS sym FROM f0)"
+    val stepCtes = (1 to steps).map { s =>
+      s"p$s AS (SELECT word, cnt, pos, sym, " +
+        s"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM f$s), " +
+      s"rk$s AS (SELECT sym, nxt, CAST(SUM(cnt) AS BIGINT) AS pair_weight, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, sym, nxt) AS BIGINT) " +
+        s"AS rank FROM p$s WHERE nxt IS NOT NULL GROUP BY sym, nxt), " +
+      s"t$s AS (SELECT sym AS mx, nxt AS my FROM rk$s WHERE rank = 1), " +
+      s"m$s AS (SELECT word, cnt, pos, sym, mx, my, " +
+        "(nxt IS NOT NULL AND sym = mx AND nxt = my) AS im " +
+        s"FROM p$s CROSS JOIN t$s), " +
+      s"r$s AS (SELECT *, SUM(CASE WHEN im THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY word ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING " +
+        s"AND CURRENT ROW) AS mrk FROM m$s), " +
+      s"q$s AS (SELECT *, pos - mrk AS island FROM r$s), " +
+      s"u$s AS (SELECT *, (im AND (pos - min(CASE WHEN im THEN pos END) " +
+        s"OVER (PARTITION BY word, island)) % 2 = 0) AS sel FROM q$s), " +
+      s"v$s AS (SELECT *, coalesce(lag(sel) OVER " +
+        s"(PARTITION BY word ORDER BY pos), FALSE) AS dropped FROM u$s), " +
+      s"f${s + 1} AS (SELECT word, cnt, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY word ORDER BY pos) AS BIGINT) AS pos, " +
+        "CASE WHEN sel THEN mx || my ELSE sym END AS sym " +
+        s"FROM v$s WHERE NOT dropped)"
+    }.mkString(", ")
+    val branches = (1 to steps).map { s =>
+      s"SELECT CAST($s AS BIGINT) AS step, rank, sym AS left_sym, " +
+        s"nxt AS right_sym, pair_weight FROM rk$s WHERE rank <= $topK"
+    }.mkString(" UNION ALL ")
+    s"$head, $stepCtes SELECT * FROM ($branches) ORDER BY step, rank"
+  }
+
   /** Flagship: the reference's whole pipeline on `events` — meta-project,
     * sentinel partition routing, ODBC ts format, JSON encode, group by
     * endpoint (SURVEY.md §7.1). Driver smoke-checks rows > 0 at sf0.001. */
@@ -625,6 +667,13 @@ object SparkEntry {
     // top-k — never a full sort of the bigram vocabulary).
     "ngram_topk" -> ((s, d) =>
       Corpus.ngramTopK(Tables.documents(s, d))),
+
+    // BPE tokenizer training head (round 9): 3 unrolled merge steps over
+    // the vocab-bounded (word, count) table — pair stats via lead(),
+    // greedy non-overlapping merge as an island-parity window pass, the
+    // corpus touched exactly once (the word count). Top-5 pairs per step.
+    "tokenizer_bpe" -> ((s, d) =>
+      operators.Tokenizer.bpeMergeStats(Tables.documents(s, d))),
 
     // Deterministic md5-keyed document sample (~12.5%).
     "doc_sample" -> ((s, d) =>
@@ -1680,6 +1729,10 @@ object SparkEntry {
         "CAST(coalesce(m.dup_tokens, 0) AS BIGINT) AS dup_tokens, " +
         "CAST(coalesce(m.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_ratio " +
         "FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id"),
+
+    // BPE training replayed verbatim: 3 unrolled merge steps, exact-long
+    // weights, lexicographic tie-breaks, island-parity greedy merge
+    "tokenizer_bpe" -> sqlBpe(steps = 3, topK = 5),
 
     // integer-exact mixture quotas: M = min floor(n/p), k = p·M — no
     // float arithmetic anywhere, so quotas are bit-identical per engine

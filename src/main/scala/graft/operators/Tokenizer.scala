@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** BPE tokenizer-training statistics — the first merges of a byte-pair
+  * encoder learned from the corpus, the tokenizer-side primitive of an
+  * LLM data pipeline (every pretraining corpus ships with a tokenizer
+  * trained on it).
+  *
+  * Industrial BPE trainers scale exactly one way: ONE distributed pass
+  * aggregates the corpus to (word, count) — after that, training
+  * operates on the vocabulary-bounded word table, never on the corpus
+  * again. This operator keeps that shape: the corpus-sized shuffle is
+  * the word count; every merge iteration is window passes over the
+  * positional symbol table (|vocab| × word-length rows), so 100 TB of
+  * text and 100 GB of text train at the same per-iteration cost once
+  * counts exist.
+  *
+  * The merge itself is the part engines usually push to a driver loop;
+  * here it is RELATIONAL (the fixed-iteration unroll doctrine — same as
+  * the IVF trainer and PageRank): a fixed `steps` count is unrolled,
+  * and each step is
+  *  1. pair statistics: `lead(sym)` per word position, weighted by the
+  *     word count — `sum` grouped on the (left, right) symbol pair;
+  *  2. the merge pair = rank 1 by (weight DESC, left, right) — a 1-row
+  *     frame cross-joined back (broadcast, same gate-frame pattern as
+  *     the mixture quotas);
+  *  3. greedy left-to-right non-overlapping application as a WINDOW
+  *     pass: match positions chain into islands of CONSECUTIVE
+  *     positions (only possible for repeated-symbol runs like "aaaa"),
+  *     and within an island greedy selection is exactly the
+  *     even-offset-from-island-start rows — a parity test, no loop.
+  *     Selected rows take the merged symbol, their right neighbors
+  *     drop, positions renumber.
+  * Exact longs end-to-end: weights are sums of counts, ties break
+  * lexicographically — bit-identical in any engine, so the DuckDB
+  * oracle replays training verbatim.
+  *
+  * Output: the top-`topK` candidate pairs per step (rank 1 = the merge
+  * the step applied), i.e. the head of the learned merge table plus the
+  * runner-up statistics a tokenizer auditor looks at. */
+object Tokenizer {
+
+  def bpeMergeStats(docs: DataFrame, steps: Int = 3,
+                    topK: Int = 5): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    // the ONLY corpus-sized job: map-side-combinable word count
+    val wc = docs.select(explode(split(norm, " ")).as("word"))
+      // whitespace-only documents normalize to one empty "word"; its
+      // zero-char split diverges between engines, so gate it out here
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // positional symbol table: one row per (distinct word, position)
+    var f = wc.select(col("word"), col("cnt"),
+        posexplode(split(col("word"), "")))
+      .select(col("word"), col("cnt"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
+    val wWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var stats: DataFrame = null
+    for (s <- 1 to steps) {
+      val p = f.withColumn("nxt", lead(col("sym"), 1).over(wWord))
+      // candidate-pair space is |symbol alphabet|² — bounded, so the
+      // global (unpartitioned) rank window is a bounded single task
+      val ranked = p.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("cnt")).as("pair_weight"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pair_weight").desc, col("sym"), col("nxt")))
+          .cast("long"))
+      val stepStats = ranked.filter(col("rank") <= topK)
+        .select(lit(s.toLong).as("step"), col("rank"),
+          col("sym").as("left_sym"), col("nxt").as("right_sym"),
+          col("pair_weight"))
+      stats = if (stats == null) stepStats else stats.unionAll(stepStats)
+      val top1 = ranked.filter(col("rank") === 1)
+        .select(col("sym").as("mx"), col("nxt").as("my"))
+      val m = p.crossJoin(broadcast(top1))
+        // explicit FALSE (not null) on the last position, so the window
+        // arithmetic below is null-free on both engines
+        .withColumn("im", col("nxt").isNotNull &&
+          col("sym") === col("mx") && col("nxt") === col("my"))
+        .withColumn("mrk", sum(col("im").cast("long")).over(
+          wWord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("island", col("pos") - col("mrk"))
+      // island = maximal run of consecutive match positions; greedy
+      // left-to-right picks the even offsets from the island's FIRST
+      // MATCH (min over match rows only — a non-match row can share the
+      // island key and must not shift the parity)
+      val islMin = min(when(col("im"), col("pos")))
+        .over(Window.partitionBy(col("word"), col("island")))
+      val selected = m
+        .withColumn("sel", col("im") && (col("pos") - islMin) % 2 === 0)
+        .withColumn("dropped",
+          coalesce(lag(col("sel"), 1).over(wWord), lit(false)))
+      f = selected.filter(!col("dropped"))
+        .select(col("word"), col("cnt"),
+          row_number().over(wWord).cast("long").as("pos"),
+          when(col("sel"), concat(col("mx"), col("my")))
+            .otherwise(col("sym")).as("sym"))
+    }
+    stats.orderBy(col("step"), col("rank"))
+  }
+}
