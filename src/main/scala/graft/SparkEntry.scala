@@ -652,6 +652,12 @@ object SparkEntry {
     "event_journey" -> ((s, d) =>
       Sessionize.userJourney(Tables.events(s, d))),
 
+    // Last-touch attribution (round 9): conversions credited to the
+    // as-of touch within a 12 h horizon — one window pass over the
+    // per-user timeline, no conversion×touch join.
+    "event_attribution" -> ((s, d) =>
+      Sessionize.lastTouchAttribution(Tables.events(s, d))),
+
     // Weekly cohort retention (round 7): first-event-week cohorts ×
     // active-week offsets, distinct users per cell.
     "event_retention" -> ((s, d) =>
@@ -1458,6 +1464,28 @@ object SparkEntry {
       ("SELECT user_id, COUNT(*) AS n_events, " +
         "string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS journey " +
         "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // last-touch attribution: same strictly-before window, exact
+    // interval arithmetic (no epoch truncation), decimal-exact credit
+    "event_attribution" ->
+      ("WITH a AS (SELECT user_id, event_id, event_type, value, " +
+        "CAST(ts AS TIMESTAMP) AS ts, " +
+        "last_value(CASE WHEN event_type IN ('click','view','signup') " +
+        "THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts, " +
+        "last_value(CASE WHEN event_type IN ('click','view','signup') " +
+        "THEN event_type END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type " +
+        "FROM events), " +
+        "c AS (SELECT CASE WHEN lt_ts IS NOT NULL AND " +
+        "ts <= lt_ts + INTERVAL 12 HOUR THEN lt_type ELSE '__none__' END " +
+        "AS touch, value, user_id FROM a WHERE event_type = 'purchase') " +
+        "SELECT touch, COUNT(*) AS n_conversions, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS credited_value, " +
+        "COUNT(DISTINCT user_id) AS n_users " +
+        "FROM c GROUP BY 1 ORDER BY 1"),
 
     "conn_pool" ->
       (s"WITH ls AS (SELECT ${sqlSentinel("event_type")} AS endpoint, " +

@@ -139,4 +139,49 @@ object Sessionize {
               struct(col("ts"), col("event_id"), col("event_type")))),
             x => x.getField("event_type")), ">").as("journey"))
       .orderBy(col("user_id"))
+
+  /** LAST-TOUCH ATTRIBUTION — each conversion credited to the most
+    * recent touch event of the same user within a lookback horizon, the
+    * marketing-analytics primitive next to [[funnel]] (which measures
+    * ordered reach; attribution measures credited value). The classic
+    * formulation is a per-conversion as-of join; joining conversions to
+    * touches explodes on active users, so this is instead ONE window
+    * pass over the unioned per-user timeline (the [[userJourney]]
+    * shuffle reused): `last(touch, ignoreNulls)` over rows strictly
+    * before the conversion in (ts, event_id) order gives the as-of
+    * touch in a single pass, then the horizon test and the credit
+    * aggregation are narrow. One shuffle on user_id, per-user window
+    * state O(1) — no per-user list materializes.
+    *
+    * A conversion with no touch inside the horizon (or none at all)
+    * credits the `"__none__"` bucket, so credited + unattributed always
+    * reconciles to the conversion count. Credited value is the exact
+    * decimal sum of the CONVERSION's value (cast to double at the end —
+    * the money doctrine); timestamps compare exactly via interval
+    * arithmetic (no epoch truncation). */
+  def lastTouchAttribution(events: DataFrame,
+                           touches: Seq[String] =
+                             Seq("click", "view", "signup"),
+                           conversion: String = "purchase",
+                           horizon: String = "12 hours"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touches.map(lit(_)): _*)
+    val withTouch = events
+      .withColumn("lt_ts", last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("lt_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+    withTouch.filter(col("event_type") === conversion)
+      .withColumn("touch",
+        when(col("lt_ts").isNotNull &&
+          col("ts") <= col("lt_ts") + expr(s"INTERVAL $horizon"),
+          col("lt_type")).otherwise(lit("__none__")))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("credited_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("touch"))
+  }
 }

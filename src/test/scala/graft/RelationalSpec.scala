@@ -193,6 +193,46 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("lastTouchAttribution: as-of touch wins, horizon is inclusive, " +
+    "stale and missing touches fall to __none__, same-instant ordering " +
+    "by event_id") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: click then view — the LATER view gets the credit
+      (10L, 1L, ts("2024-01-01 08:00:00"), "click", 0.0),
+      (11L, 1L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (12L, 1L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      // user 2: touch EXACTLY at the 12 h horizon — inclusive, credited
+      (20L, 2L, ts("2024-01-01 00:00:00"), "signup", 0.0),
+      (21L, 2L, ts("2024-01-01 12:00:00"), "purchase", 20.0),
+      // user 3: touch one second beyond the horizon → __none__
+      (30L, 3L, ts("2024-01-01 00:00:00"), "click", 0.0),
+      (31L, 3L, ts("2024-01-01 12:00:01"), "purchase", 40.0),
+      // user 4: no touch at all (errors are not touches) → __none__
+      (40L, 4L, ts("2024-01-01 09:00:00"), "error", 0.0),
+      (41L, 4L, ts("2024-01-01 10:00:00"), "purchase", 80.0),
+      // user 5: touch at the SAME instant as the purchase but a LOWER
+      // event_id sorts strictly before → credited
+      (50L, 5L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (51L, 5L, ts("2024-01-01 10:00:00"), "purchase", 160.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.operators.Sessionize.lastTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "view" -> ((1L, 10.0)),      // user 1, view beat the earlier click
+      "signup" -> ((1L, 20.0)),    // user 2, inclusive horizon
+      "click" -> ((1L, 160.0)),    // user 5, same-instant tiebreak
+      "__none__" -> ((2L, 120.0))  // users 3 (stale) + 4 (no touch)
+    ))
+    // credited + unattributed reconcile to the conversion count
+    val conv = graft.operators.Sessionize.lastTouchAttribution(
+      Tables.events(spark, sf0))
+    assert(conv.agg(sum(col("n_conversions"))).head.getLong(0) ==
+      Tables.events(spark, sf0)
+        .filter(col("event_type") === "purchase").count())
+  }
+
   test("valueAnomalies: planted outlier flagged, tight distributions " +
     "silent, degenerate types safe") {
     import java.sql.Timestamp
