@@ -69,7 +69,7 @@ object TextSources {
     * the corrupt records. A parser that silently drops a malformed line
     * (or mis-parses a good one) changes a count or a sum and fails the
     * hash compare. */
-  private def summarize(back: DataFrame): DataFrame = {
+  private[graft] def summarize(back: DataFrame): DataFrame = {
     // ONE aggregation pass over good and quarantined rows together:
     // the group key routes corrupt records to the marker group (also
     // sidesteps Spark's corrupt-column-only query restriction, which a
