@@ -94,6 +94,25 @@ object SparkEntry {
     * and island-parity greedy merge verbatim (same tie-breaks, same
     * null-free window arithmetic). */
   private def sqlBpe(steps: Int, topK: Int): String = {
+    val branches = (1 to steps).map { s =>
+      s"SELECT CAST($s AS BIGINT) AS step, rank, sym AS left_sym, " +
+        s"nxt AS right_sym, pair_weight FROM rk$s WHERE rank <= $topK"
+    }.mkString(" UNION ALL ")
+    s"${sqlBpeCtes(steps)} SELECT * FROM ($branches) ORDER BY step, rank"
+  }
+
+  /** Compression-curve oracle: the same training CTE chain, each frame
+    * f1..f{steps+1} aggregated to (total, distinct) symbol counts. */
+  private def sqlBpeCompression(steps: Int): String = {
+    val branches = (0 to steps).map { s =>
+      s"SELECT CAST($s AS BIGINT) AS step, " +
+        s"CAST(SUM(cnt) AS BIGINT) AS total_symbols, " +
+        s"CAST(COUNT(DISTINCT sym) AS BIGINT) AS distinct_symbols FROM f${s + 1}"
+    }.mkString(" UNION ALL ")
+    s"${sqlBpeCtes(steps)} SELECT * FROM ($branches) ORDER BY step"
+  }
+
+  private def sqlBpeCtes(steps: Int): String = {
     val head =
       "WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(" +
         "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')" +
@@ -124,11 +143,7 @@ object SparkEntry {
         "CASE WHEN sel THEN mx || my ELSE sym END AS sym " +
         s"FROM v$s WHERE NOT dropped)"
     }.mkString(", ")
-    val branches = (1 to steps).map { s =>
-      s"SELECT CAST($s AS BIGINT) AS step, rank, sym AS left_sym, " +
-        s"nxt AS right_sym, pair_weight FROM rk$s WHERE rank <= $topK"
-    }.mkString(" UNION ALL ")
-    s"$head, $stepCtes SELECT * FROM ($branches) ORDER BY step, rank"
+    s"$head, $stepCtes"
   }
 
   /** Flagship: the reference's whole pipeline on `events` — meta-project,
@@ -360,6 +375,13 @@ object SparkEntry {
         Tables.customer(s, d))),
 
     // TPC-H Q5 shape: six-table star join, all dims broadcast.
+    // TPC-H Q10 shape (round 9): returned-items revenue per customer,
+    // one quarter, top 20 — facts filtered before the join, nation
+    // pinned broadcast, TakeOrdered.
+    "q10_returned_items" -> ((s, d) =>
+      Relational.returnedItemsRevenue(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+
     "q5_local_supplier" -> ((s, d) =>
       Relational.localSupplierVolume(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
@@ -680,6 +702,11 @@ object SparkEntry {
     // corpus touched exactly once (the word count). Top-5 pairs per step.
     "tokenizer_bpe" -> ((s, d) =>
       operators.Tokenizer.bpeMergeStats(Tables.documents(s, d))),
+
+    // The compression curve those merges buy: corpus-weighted symbol
+    // totals + alphabet size at step 0 and after each merge.
+    "tokenizer_compression" -> ((s, d) =>
+      operators.Tokenizer.bpeCompression(Tables.documents(s, d))),
 
     // Deterministic md5-keyed document sample (~12.5%).
     "doc_sample" -> ((s, d) =>
@@ -1152,6 +1179,18 @@ object SparkEntry {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
         "AND l_shipdate > TIMESTAMP '1998-01-01' " +
         "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q10_returned_items" ->
+      ("SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue, " +
+        "c_acctbal, n_name " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
 
     "q5_local_supplier" ->
       ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
@@ -1761,6 +1800,7 @@ object SparkEntry {
     // BPE training replayed verbatim: 3 unrolled merge steps, exact-long
     // weights, lexicographic tie-breaks, island-parity greedy merge
     "tokenizer_bpe" -> sqlBpe(steps = 3, topK = 5),
+    "tokenizer_compression" -> sqlBpeCompression(steps = 3),
 
     // integer-exact mixture quotas: M = min floor(n/p), k = p·M — no
     // float arithmetic anywhere, so quotas are bit-identical per engine

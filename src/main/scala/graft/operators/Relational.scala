@@ -532,6 +532,34 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10 shape — returned-items revenue: which customers returned
+    * the most value in a quarter (the churn/claims report). Fact-fact
+    * equi-join (lineitem×orders, both filtered BEFORE the join so the
+    * quarter predicate and returnflag reach the scans), customer joins
+    * by threshold (broadcasts at test SF, legitimately shuffles at
+    * 100 TB — same policy as [[shippingPriority]]), nation pinned
+    * broadcast (25 rows at any SF). Decimal-exact revenue, top 20 as
+    * TakeOrdered — never a global sort. */
+  def returnedItemsRevenue(lineitem: DataFrame, orders: DataFrame,
+                           customer: DataFrame, nation: DataFrame,
+                           quarterStart: String = "1996-01-01",
+                           quarterEnd: String = "1996-04-01"): DataFrame = {
+    val revenue = sum(dec2(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(3, 2)) - dec2(col("l_discount"))))
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= to_timestamp(lit(quarterStart)) &&
+          col("o_orderdate") < to_timestamp(lit(quarterEnd))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(revenue.cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Range (interval) join — the second classic non-equi temporal join
     * next to [[asofJoin]]: match every `pointType` event to every
     * `intervalType` event whose window `[ts, ts + windowSec)` contains

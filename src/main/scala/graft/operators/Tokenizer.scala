@@ -43,8 +43,12 @@ import org.apache.spark.sql.expressions.Window
   * runner-up statistics a tokenizer auditor looks at. */
 object Tokenizer {
 
-  def bpeMergeStats(docs: DataFrame, steps: Int = 3,
-                    topK: Int = 5): DataFrame = {
+  /** The training chain: per-step ranked pair stats plus the symbol
+    * frames before (index 0) and after each merge — shared by the two
+    * public views below. All frames are lazy plans; consumers pay only
+    * for the prefixes they aggregate. */
+  private def train(docs: DataFrame,
+                    steps: Int): (Seq[DataFrame], Seq[DataFrame]) = {
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
     // the ONLY corpus-sized job: map-side-combinable word count
     val wc = docs.select(explode(split(norm, " ")).as("word"))
@@ -58,8 +62,9 @@ object Tokenizer {
       .select(col("word"), col("cnt"),
         (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
     val wWord = Window.partitionBy(col("word")).orderBy(col("pos"))
-    var stats: DataFrame = null
-    for (s <- 1 to steps) {
+    val rankedSteps = scala.collection.mutable.Buffer.empty[DataFrame]
+    val frames = scala.collection.mutable.Buffer(f)
+    for (_ <- 1 to steps) {
       val p = f.withColumn("nxt", lead(col("sym"), 1).over(wWord))
       // candidate-pair space is |symbol alphabet|² — bounded, so the
       // global (unpartitioned) rank window is a bounded single task
@@ -69,11 +74,7 @@ object Tokenizer {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("pair_weight").desc, col("sym"), col("nxt")))
           .cast("long"))
-      val stepStats = ranked.filter(col("rank") <= topK)
-        .select(lit(s.toLong).as("step"), col("rank"),
-          col("sym").as("left_sym"), col("nxt").as("right_sym"),
-          col("pair_weight"))
-      stats = if (stats == null) stepStats else stats.unionAll(stepStats)
+      rankedSteps += ranked
       val top1 = ranked.filter(col("rank") === 1)
         .select(col("sym").as("mx"), col("nxt").as("my"))
       val m = p.crossJoin(broadcast(top1))
@@ -99,7 +100,36 @@ object Tokenizer {
           row_number().over(wWord).cast("long").as("pos"),
           when(col("sel"), concat(col("mx"), col("my")))
             .otherwise(col("sym")).as("sym"))
+      frames += f
     }
-    stats.orderBy(col("step"), col("rank"))
+    (rankedSteps.toSeq, frames.toSeq)
+  }
+
+  /** Top-`topK` candidate pairs per training step (rank 1 = the merge
+    * the step applied) — the head of the learned merge table. */
+  def bpeMergeStats(docs: DataFrame, steps: Int = 3,
+                    topK: Int = 5): DataFrame = {
+    val (ranked, _) = train(docs, steps)
+    ranked.zipWithIndex.map { case (r, i) =>
+      r.filter(col("rank") <= topK)
+        .select(lit((i + 1).toLong).as("step"), col("rank"),
+          col("sym").as("left_sym"), col("nxt").as("right_sym"),
+          col("pair_weight"))
+    }.reduce(_ unionAll _).orderBy(col("step"), col("rank"))
+  }
+
+  /** What the merges BUY: corpus-weighted total symbol count and
+    * alphabet size at step 0 (characters) and after each merge — the
+    * compression-curve head a tokenizer auditor reads first. Each row
+    * aggregates one training frame; exact longs, so the curve replays
+    * in any engine. */
+  def bpeCompression(docs: DataFrame, steps: Int = 3): DataFrame = {
+    val (_, frames) = train(docs, steps)
+    frames.zipWithIndex.map { case (fr, i) =>
+      fr.agg((sum(col("cnt")).cast("long")).as("total_symbols"),
+          countDistinct(col("sym")).as("distinct_symbols"))
+        .select(lit(i.toLong).as("step"), col("total_symbols"),
+          col("distinct_symbols"))
+    }.reduce(_ unionAll _).orderBy(col("step"))
   }
 }

@@ -317,6 +317,16 @@ class PlanInvariantsSpec extends SparkSpec {
       s"cms probe join lost its broadcast:\n$plan")
   }
 
+  test("q10_returned_items: returnflag and quarter predicates reach the " +
+    "parquet scans, top-20 plans as TakeOrdered (no global sort)") {
+    val plan = planOf("q10_returned_items")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), " +
+      "EqualTo(l_returnflag,R)") || plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag predicate did not reach the lineitem scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q10 top-20 plans as a global sort:\n$plan")
+  }
+
   test("dedup_substring: fingerprint occurrence count partially " +
     "aggregates before its exchange; everything joins equi (no cartesian)") {
     val plan = planOf("dedup_substring")

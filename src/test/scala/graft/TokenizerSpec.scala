@@ -43,6 +43,21 @@ class TokenizerSpec extends SparkSpec {
     assert(out.size == 15)
   }
 
+  test("bpeCompression replays the hand-computed symbol-count curve") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa banana  BANANA bandana")).toDF("doc_id", "text")
+    val out = Tokenizer.bpeCompression(docs, steps = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // step 0: chars — 4·1 + 6·2 + 7·1 = 23 over alphabet {a,b,n,d}
+    assert(out(0L) == ((23L, 4L)))
+    // merge (a,n): banana [b,an,an,a], bandana [b,an,d,an,a]
+    assert(out(1L) == ((17L, 4L)))
+    // merge (a,a): aaaa [aa,aa]; bare 'a' survives in banana
+    assert(out(2L) == ((15L, 5L)))
+    // merge (an,a): banana [b,an,ana], bandana [b,an,d,ana]
+    assert(out(3L) == ((12L, 5L)))
+  }
+
   test("bpeMergeStats on the fixture corpus: deterministic under " +
     "repartitioning, weights strictly positive and non-increasing per step") {
     val docs = Tables.documents(spark, sf0)
