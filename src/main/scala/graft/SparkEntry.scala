@@ -106,7 +106,7 @@ object SparkEntry {
   private def sqlBpeCompression(steps: Int): String = {
     val branches = (0 to steps).map { s =>
       s"SELECT CAST($s AS BIGINT) AS step, " +
-        s"CAST(SUM(cnt) AS BIGINT) AS total_symbols, " +
+        s"CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS total_symbols, " +
         s"CAST(COUNT(DISTINCT sym) AS BIGINT) AS distinct_symbols FROM f${s + 1}"
     }.mkString(" UNION ALL ")
     s"${sqlBpeCtes(steps)} SELECT * FROM ($branches) ORDER BY step"

@@ -126,7 +126,10 @@ object Tokenizer {
   def bpeCompression(docs: DataFrame, steps: Int = 3): DataFrame = {
     val (_, frames) = train(docs, steps)
     frames.zipWithIndex.map { case (fr, i) =>
-      fr.agg((sum(col("cnt")).cast("long")).as("total_symbols"),
+      // the curve is STRUCTURAL: steps+1 points on any input, an empty
+      // corpus reads as zeros (not a vanished curve / null totals)
+      fr.agg(coalesce(sum(col("cnt")), lit(0L)).cast("long")
+            .as("total_symbols"),
           countDistinct(col("sym")).as("distinct_symbols"))
         .select(lit(i.toLong).as("step"), col("total_symbols"),
           col("distinct_symbols"))

@@ -61,9 +61,11 @@ class EmptyInputSpec extends SparkSpec {
 
   // config/metadata queries whose output is derived from CONFIGURATION,
   // not data — their row count is the property/policy surface itself and
-  // is the same on any input
+  // is the same on any input; tokenizer_compression's curve is likewise
+  // structural (steps+1 per-step global aggregates, zeros when empty)
   private val configDerived =
-    Set("config_parse", "retry_reconnect", "schema_prime")
+    Set("config_parse", "retry_reconnect", "schema_prime",
+      "tokenizer_compression")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {
