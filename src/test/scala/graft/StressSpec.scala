@@ -145,6 +145,30 @@ class StressSpec extends SparkSpec {
       s"${tenfold.size} surviving paragraphs (= 1x run exactly)")
   }
 
+  test("10x duplication: substring-span dedup saturates — every copied " +
+    "doc reports ONE span covering all its tokens, wall stays linear-class") {
+    gated()
+    val base = Tables.documents(spark, sfStress)
+    val n = 100000L
+    val docs10 = (0 until 10).map(i => base.withColumn("doc_id",
+        col("doc_id") + lit(i * n)))
+      .reduce(_ unionByName _)
+    val t0 = System.nanoTime()
+    val out = graft.operators.Dedup.substringDupSpans(docs10).collect()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(out.length == base.count() * 10)
+    // ×10 copies make every ≥8-token doc FULLY duplicated: the interval
+    // union must collapse to exactly one span over the whole token range
+    val eligible = out.filter(_.getLong(1) >= 8)
+    val bad = eligible.filterNot(r =>
+      r.getLong(2) == 1L && r.getLong(3) == r.getLong(1))
+    assert(bad.isEmpty,
+      s"${bad.length} duplicated docs not fully covered, e.g. ${bad.take(3).mkString(", ")}")
+    info(f"substring-span dedup over 10x duplicated corpus " +
+      f"(${out.length} docs): $wallSec%.1f s, full-coverage verdicts on " +
+      s"${eligible.length} eligible docs")
+  }
+
   test("10x duplication: exact-dedup-first composition runs with Fail ON " +
     "and serves every original") {
     gated()
