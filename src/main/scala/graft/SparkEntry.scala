@@ -934,6 +934,13 @@ object SparkEntry {
     // The pooled array itself is spec-checked; the registered row carries
     // its md5 digest + exact norm (portable across engines, and the
     // oracle gate's canonical sort can't order raw array columns).
+    // INT8 per-vector quantization (round 9): FAISS-SQ8-style affine
+    // codes over each vector's own range, ALL integer arithmetic —
+    // range, code checksum, saturation and reconstruction error per
+    // vector, the index auditor's compression report.
+    "embed_quantize" -> ((s, d) =>
+      Similarity.int8Quantize(Tables.embeddings(s, d))),
+
     "embed_meanpool" -> ((s, d) => {
       val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))
       mp.select(col("doc_key").as("label"), col("n_chunks"),
@@ -2103,6 +2110,26 @@ object SparkEntry {
     // half-away back to the quantized domain; digest = md5 of the
     // comma-joined pooled vector (integer→string is format-identical in
     // both engines).
+    // int8 quantization: pure integer replay — nonneg numerators make
+    // DuckDB's flooring // and Spark's truncating DIV agree exactly
+    "embed_quantize" ->
+      ("WITH q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings), " +
+        "b AS (SELECT vec_id, CAST(len(q) AS BIGINT) AS n_dims, " +
+        "list_min(q) AS mn, list_max(q) AS mx, q FROM q), " +
+        "e AS (SELECT vec_id, n_dims, mn, mx, q, " +
+        "unnest(range(1, len(q) + 1)) AS pos FROM b), " +
+        "c AS (SELECT vec_id, n_dims, mn, mx, pos, q[pos] AS qi, " +
+        "CASE WHEN mx = mn THEN 0 ELSE ((q[pos] - mn) * 255) // (mx - mn) END AS code " +
+        "FROM e), " +
+        "r AS (SELECT *, mn + CASE WHEN mx = mn THEN 0 " +
+        "ELSE ((2 * code + 1) * (mx - mn) + 255) // 510 END AS recon FROM c) " +
+        "SELECT vec_id, n_dims, mn, mx, " +
+        "CAST(SUM(pos * code) AS BIGINT) AS code_checksum, " +
+        "CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated, " +
+        "CAST(SUM(abs(qi - recon)) AS BIGINT) AS total_abs_err " +
+        "FROM r GROUP BY 1, 2, 3, 4 ORDER BY vec_id"),
+
     "embed_meanpool" ->
       ("WITH q AS (SELECT label, list_transform(embedding, " +
         "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +

@@ -869,6 +869,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("int8Quantize: hand-computed codes, rounded dequantization error, " +
+    "constant vectors code to zero, fixture corpus error stays bounded") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f, 0.25f), "a"),   // q = [0,500,1000,250]
+      (2L, Array(0.5f, 0.5f), "b")                 // constant → all zero
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.int8Quantize(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // codes [0,127,255,63]; bucket-center recon [2,500,1002,249];
+    // |err| = [2,0,2,1]
+    val v1 = out(1L)
+    assert(v1.getLong(1) == 4 && v1.getLong(2) == 0 && v1.getLong(3) == 1000)
+    assert(v1.getLong(4) == 2L * 127 + 3L * 255 + 4L * 63) // 1271
+    assert(v1.getLong(5) == 1 && v1.getLong(6) == 5)
+    val v2 = out(2L)
+    assert(v2.getLong(2) == 500 && v2.getLong(3) == 500 &&
+      v2.getLong(4) == 0 && v2.getLong(5) == 0 && v2.getLong(6) == 0)
+    // corpus-wide: per-element error can never exceed half a quant step
+    // (+1 for the two integer truncations); repartition-invariant
+    val a = Similarity.int8Quantize(emb).collect()
+    val b = Similarity.int8Quantize(emb.repartition(7)).collect()
+    assert(a.toSeq == b.toSeq)
+    a.foreach { r =>
+      val span = r.getLong(3) - r.getLong(2)
+      assert(r.getLong(6) <= r.getLong(1) * (span / 510 + 1),
+        s"vec ${r.getLong(0)} reconstruction error above the SQ8 bound")
+      assert(r.getLong(5) >= 1, "a non-constant vector must saturate at max")
+    }
+  }
+
   test("substringDupSpans: cross-doc run merges to one span, within-doc " +
     "repeat yields two, short and unique docs report zero") {
     import spark.implicits._
