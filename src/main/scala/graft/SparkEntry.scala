@@ -568,6 +568,12 @@ object SparkEntry {
     "source_jsonl_quarantine" -> ((s, d) =>
       graft.sources.TextSources.jsonlQuarantineRoundTrip(s, Tables.events(s, d))),
 
+    // Parquet schema-evolution round-trip (round 9): two writer
+    // generations (gen 2 adds a column), mergeSchema read-back, NULL
+    // back-fill proven by the per-(type, gen) fidelity summary.
+    "source_schema_evolve" -> ((s, d) =>
+      graft.sources.ParquetEvolution.evolveRoundTrip(s, Tables.events(s, d))),
+
     // A12 batch_barrier: micro-batch block assembly + per-block summary.
     "batch_barrier" -> ((s, d) =>
       SinkOps.batchBarrier(Tables.events(s, d))),
@@ -1453,6 +1459,22 @@ object SparkEntry {
         "MIN(event_id) AS first_id, MAX(event_id) AS last_id FROM events GROUP BY 1 " +
         "UNION ALL SELECT '__quarantined__', 3, CAST(NULL AS DOUBLE), " +
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) ORDER BY event_type"),
+
+    // schema evolution: replay from the original relation + the parity
+    // split — gen 1 has only NULL scores, gen 2 only real ones
+    "source_schema_evolve" ->
+      (s"SELECT event_type, gen, n_rows, value_sum, score_sum, n_score_null FROM (" +
+        s"SELECT ${sqlSentinel("event_type")} AS event_type, CAST(1 AS BIGINT) AS gen, " +
+        "COUNT(*) AS n_rows, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +
+        "CAST(NULL AS DOUBLE) AS score_sum, COUNT(*) AS n_score_null " +
+        "FROM events WHERE event_id % 2 = 0 GROUP BY 1 " +
+        s"UNION ALL SELECT ${sqlSentinel("event_type")}, CAST(2 AS BIGINT), COUNT(*), " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), " +
+        "CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 2 AS DOUBLE) " +
+        "AS DECIMAL(12,2))) AS DOUBLE), CAST(0 AS BIGINT) " +
+        "FROM events WHERE event_id % 2 = 1 GROUP BY 1" +
+        ") ORDER BY event_type, gen"),
 
     "batch_barrier" ->
       ("SELECT event_id // 1000 AS batch_id, COUNT(*) AS n_rows, " +

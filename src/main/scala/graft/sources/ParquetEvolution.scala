@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import java.nio.file.Files
+
+/** Parquet SCHEMA EVOLUTION round-trip — the third lake-ingest contract
+  * next to the text-source quarantines: a long-lived table accretes
+  * columns across writer generations, and the reader must unify the
+  * generations (`mergeSchema`) with NULL back-fill for rows written
+  * before a column existed — never dropping a column, never inventing a
+  * value. This is what `schema_prime`'s single-generation priming
+  * becomes once a second writer generation ships.
+  *
+  * Round-trip: the relation splits by event_id parity into generation 1
+  * (original 4-column schema) and generation 2 (adds a derived `score`
+  * column), each written under its own `gen=N` hive partition;
+  * `mergeSchema` read-back unifies; ONE aggregation summarizes per
+  * (event_type, gen): counts, exact-decimal value sums, score sums and
+  * the NULL-back-fill count. The DuckDB oracle replays the summary from
+  * the ORIGINAL relation plus the split rule, so a reader that loses a
+  * generation's rows, drops the new column, or back-fills anything but
+  * NULL breaks a count or a sum. */
+object ParquetEvolution {
+
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = Files.createTempDirectory("graft_evolve_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
+  /** Generation-2 derived column: exact decimal double of the value,
+    * surfaced as double (deterministic in any engine). */
+  private def score = (col("value").cast(DecimalType(12, 2)) * 2)
+    .cast("double")
+
+  def evolveRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/evolve-${java.util.UUID.randomUUID()}"
+    val base = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    base.filter(pmod(col("event_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    base.filter(pmod(col("event_id"), lit(2)) === 1)
+      .withColumn("score", score)
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(out)
+    back.groupBy(
+        graft.operators.ExportOps.nullSentinel(col("event_type"))
+          .as("event_type"),
+        col("gen").cast("long").as("gen"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("value_sum"),
+        sum(col("score").cast(DecimalType(12, 2))).cast("double")
+          .as("score_sum"),
+        sum(when(col("score").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_score_null"))
+      .orderBy(col("event_type"), col("gen"))
+  }
+}

@@ -38,6 +38,26 @@ class SourcesSpec extends SparkSpec {
       .map(_.getLong(1)).sum == events.count())
   }
 
+  test("parquet schema evolution: mergeSchema unifies generations, gen-1 " +
+    "rows back-fill score with NULL, nothing lost or invented") {
+    import graft.sources.ParquetEvolution
+    val out = ParquetEvolution.evolveRoundTrip(spark, events).collect()
+    assert(out.map(_.schema.fieldNames.toSeq).head ==
+      Seq("event_type", "gen", "n_rows", "value_sum", "score_sum",
+        "n_score_null"))
+    val byGen = out.groupBy(_.getLong(1))
+    // parity split accounts for every source row
+    assert(byGen.values.flatten.map(_.getLong(2)).sum == events.count())
+    // generation 1 predates score: every row NULL there, none in gen 2
+    byGen(1L).foreach { r =>
+      assert(r.isNullAt(4) && r.getLong(5) == r.getLong(2)) }
+    byGen(2L).foreach { r =>
+      assert(!r.isNullAt(4) && r.getLong(5) == 0L)
+      // the derived column survives the round trip exactly: 2× value
+      assert(math.abs(r.getDouble(4) - 2 * r.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("CSV under-arity rows pad their fields AND carry the corrupt " +
     "record (Spark 4 flags arity mismatches; the malformed set still " +
     "uses numeric failures so the contract survives parsers that don't)") {
