@@ -707,12 +707,14 @@ object SparkEntry {
     // greedy non-overlapping merge as an island-parity window pass, the
     // corpus touched exactly once (the word count). Top-5 pairs per step.
     "tokenizer_bpe" -> ((s, d) =>
-      operators.Tokenizer.bpeMergeStats(Tables.documents(s, d))),
+      operators.Tokenizer.bpeMergeStats(Tables.documents(s, d),
+        scope = harnessScope)),
 
     // The compression curve those merges buy: corpus-weighted symbol
     // totals + alphabet size at step 0 and after each merge.
     "tokenizer_compression" -> ((s, d) =>
-      operators.Tokenizer.bpeCompression(Tables.documents(s, d))),
+      operators.Tokenizer.bpeCompression(Tables.documents(s, d),
+        scope = harnessScope)),
 
     // Deterministic md5-keyed document sample (~12.5%).
     "doc_sample" -> ((s, d) =>
@@ -764,7 +766,8 @@ object SparkEntry {
     // more than once in the corpus, merged per doc into maximal spans —
     // the span-level curation pass whole-doc near-dup can't see.
     "dedup_substring" -> ((s, d) =>
-      Dedup.substringDupSpans(Tables.documents(s, d))),
+      Dedup.substringDupSpans(Tables.documents(s, d),
+        scope = harnessScope)),
 
     // Dataset mixture resampling: target weight of src<i> is i+1, so the
     // resample is exactly proportional to 1:2:...:20 under integer

@@ -683,20 +683,24 @@ object Dedup {
     * the probe side — AQE's skew split applies); step 3's window is
     * per-doc, bounded by document length. Nothing is all-pairs and
     * nothing broadcasts the corpus. */
-  def substringDupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+  def substringDupSpans(docs: DataFrame, w: Int = 8,
+                        scope: CacheScope = CacheScope.off): DataFrame = {
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
     val base = docs.select(col("doc_id"), split(norm, " ").as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
     // one row per gram start (1-based, mirroring the oracle's range());
     // docs with fewer than w tokens can host no gram — filtered before
-    // the explode, re-joined in the summary
-    val grams = base.filter(col("n_tokens") >= w)
+    // the explode, re-joined in the summary. The gram relation feeds
+    // BOTH the occurrence count and the join probe — scope-persist it
+    // so the corpus-sized tokenize→hash pass runs once, not twice
+    // (the contaminationNgrams multi-consumer pattern).
+    val grams = scope.track(base.filter(col("n_tokens") >= w)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(1), col("n_tokens") - (w - 1)),
           i => substring(md5(concat_ws(" ", slice(col("toks"), i, lit(w)))), 1, 8))))
       .select(col("doc_id"), (col("pos") + 1).as("s"),
-        (col("pos") + w).as("e"), col("col").as("fp"))
+        (col("pos") + w).as("e"), col("col").as("fp")))
     val dupFps = grams.groupBy(col("fp"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("fp")
     val hits = grams.join(dupFps, "fp")

@@ -47,15 +47,18 @@ object Tokenizer {
     * frames before (index 0) and after each merge — shared by the two
     * public views below. All frames are lazy plans; consumers pay only
     * for the prefixes they aggregate. */
-  private def train(docs: DataFrame,
-                    steps: Int): (Seq[DataFrame], Seq[DataFrame]) = {
+  private def train(docs: DataFrame, steps: Int,
+                    scope: CacheScope): (Seq[DataFrame], Seq[DataFrame]) = {
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
-    // the ONLY corpus-sized job: map-side-combinable word count
-    val wc = docs.select(explode(split(norm, " ")).as("word"))
+    // the ONLY corpus-sized job: map-side-combinable word count. Every
+    // per-step consumer (ranked stats, compression frames) re-derives
+    // from it — scope-persist so the corpus is counted ONCE no matter
+    // how many step views the caller aggregates (vocab-bounded cache).
+    val wc = scope.track(docs.select(explode(split(norm, " ")).as("word"))
       // whitespace-only documents normalize to one empty "word"; its
       // zero-char split diverges between engines, so gate it out here
       .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
     // positional symbol table: one row per (distinct word, position)
     var f = wc.select(col("word"), col("cnt"),
         posexplode(split(col("word"), "")))
@@ -107,9 +110,9 @@ object Tokenizer {
 
   /** Top-`topK` candidate pairs per training step (rank 1 = the merge
     * the step applied) — the head of the learned merge table. */
-  def bpeMergeStats(docs: DataFrame, steps: Int = 3,
-                    topK: Int = 5): DataFrame = {
-    val (ranked, _) = train(docs, steps)
+  def bpeMergeStats(docs: DataFrame, steps: Int = 3, topK: Int = 5,
+                    scope: CacheScope = CacheScope.off): DataFrame = {
+    val (ranked, _) = train(docs, steps, scope)
     ranked.zipWithIndex.map { case (r, i) =>
       r.filter(col("rank") <= topK)
         .select(lit((i + 1).toLong).as("step"), col("rank"),
@@ -123,8 +126,9 @@ object Tokenizer {
     * compression-curve head a tokenizer auditor reads first. Each row
     * aggregates one training frame; exact longs, so the curve replays
     * in any engine. */
-  def bpeCompression(docs: DataFrame, steps: Int = 3): DataFrame = {
-    val (_, frames) = train(docs, steps)
+  def bpeCompression(docs: DataFrame, steps: Int = 3,
+                     scope: CacheScope = CacheScope.off): DataFrame = {
+    val (_, frames) = train(docs, steps, scope)
     frames.zipWithIndex.map { case (fr, i) =>
       // the curve is STRUCTURAL: steps+1 points on any input, an empty
       // corpus reads as zeros (not a vanished curve / null totals)
