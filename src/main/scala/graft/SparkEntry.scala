@@ -539,12 +539,12 @@ object SparkEntry {
     // doctrine applied to graph compute; per-iteration shuffle on the
     // node key is the Pregel superstep expressed relationally.
     "graph_pagerank" -> ((s, d) =>
-      Graph.pageRank(Tables.lineitem(s, d))),
+      Graph.pageRank(Tables.lineitem(s, d), scope = harnessScope)),
 
     // Oriented triangle counting (round 9): a<b<c joins build each
     // triangle once; per-node participation top-20.
     "graph_triangles" -> ((s, d) =>
-      Graph.triangles(Tables.lineitem(s, d))),
+      Graph.triangles(Tables.lineitem(s, d), scope = harnessScope)),
 
     // Exact interpolated quantiles (order statistics, oracle-checkable).
     "text_len_quantiles" -> ((s, d) =>

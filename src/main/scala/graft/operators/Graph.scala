@@ -55,10 +55,19 @@ object Graph {
     * is inherent to PageRank and the iteration count is the knob.
     *
     * Output: top `k` (part, degree, pr) by (pr desc, part). */
-  def pageRank(lineitem: DataFrame, iters: Int = 2, k: Int = 30): DataFrame = {
+  def pageRank(lineitem: DataFrame, iters: Int = 2, k: Int = 30,
+               scope: CacheScope = CacheScope.off): DataFrame = {
     require(iters >= 1 && iters <= 4, s"iters must be 1..4, got $iters")
     val S = 1000000000000L // rank scale 10^12
-    val und = coOrderEdges(lineitem)
+    // The edge relation feeds the degree count plus every unrolled
+    // iteration (and the undirected union doubles each occurrence) —
+    // without a persist the 3-shuffle edge build re-runs per consumer
+    // (plan probe: 16 lineitem scans, 0 ReusedExchange). Scope-persist
+    // the UNDIRECTED half (half the cache of the directed form; the
+    // union is a narrow re-read) so the graph materializes once, the
+    // same edge-cache stance GraphX takes for iterative compute;
+    // CacheScope.off recomputes, leak-free.
+    val und = scope.track(coOrderEdges(lineitem))
     // directed both ways for contribution routing
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
@@ -95,8 +104,12 @@ object Graph {
     * shuffle-partitionable.
     *
     * Output: top `k` (part, n_triangles) by (count desc, part). */
-  def triangles(lineitem: DataFrame, k: Int = 20): DataFrame = {
-    val e = coOrderEdges(lineitem).select(col("a"), col("b"))
+  def triangles(lineitem: DataFrame, k: Int = 20,
+                scope: CacheScope = CacheScope.off): DataFrame = {
+    // the oriented enumeration consumes the edge list three times (ab,
+    // bc, ac legs) — scope-persist so the 3-shuffle edge build runs
+    // once, not per join leg
+    val e = scope.track(coOrderEdges(lineitem).select(col("a"), col("b")))
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.b") === col("bc.a"))
       .join(e.as("ac"),
