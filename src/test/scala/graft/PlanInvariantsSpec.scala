@@ -336,4 +336,26 @@ class PlanInvariantsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"dedup_substring grew a non-equi join:\n$plan")
   }
+
+  test("multi-consumer relations materialize ONCE under the harness " +
+    "scope: every repeated subtree reads InMemoryTableScan, not a " +
+    "re-derivation (the 100 TB single-corpus-scan property)") {
+    // (query, min cache readers): tokenizer frames re-read the word
+    // count per step view; the graph ops re-read the edge relation per
+    // join leg / iteration; dedup_substring probes its gram relation
+    // for both the occurrence count and the span join. Without the
+    // scope-persist these plans re-scan the source parquet 3-16x
+    // (measured r9) — Catalyst does NOT ReuseExchange across the
+    // repeated branches.
+    Seq("tokenizer_compression" -> 2, "tokenizer_bpe" -> 2,
+        "graph_pagerank" -> 2, "graph_triangles" -> 3,
+        "dedup_substring" -> 2).foreach { case (q, minReaders) =>
+      val plan = planOf(q)
+      val readers = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(readers >= minReaders,
+        s"$q: expected >=$minReaders InMemoryTableScan readers of the " +
+          s"scope-persisted relation, found $readers — the shared " +
+          s"subtree is being re-derived per consumer:\n$plan")
+    }
+  }
 }
