@@ -28,9 +28,10 @@ object Graph {
     * One shuffle on l_orderkey; fan-out bounded by per-order item
     * count. */
   def coOrderEdges(lineitem: DataFrame): DataFrame = {
+    // collect_set dedupes per order, so no distinct() first — that
+    // would be a second full shuffle of the widest relation for nothing
     val items = lineitem
       .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
     items
