@@ -54,12 +54,17 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    // one full pass over (memo build +) every query, in sorted order
+    // one full pass over (memo builds +) every query, in sorted order;
+    // each memo whose fed queries are in scope is cleared and rebuilt
+    // as its own timed entry so shared-pipeline cost stays visible
     def pass(): Seq[(String, Double, Boolean)] = {
-      val memoEntry = if (memoFed.isEmpty) Nil else {
-        SparkEntry.clearNearDupPairsMemo()
-        val (t, ok) = timed(() => SparkEntry.buildNearDupPairsMemo(spark, sfDir))
-        Seq(("memo:near_dup_pairs", t, ok))
+      val memoEntry = SparkEntry.benchMemos.flatMap {
+        case (entry, fed, clear, build)
+            if fed.exists(q => names.exists(_._1 == q)) =>
+          clear()
+          val (t, ok) = timed(() => build(spark, sfDir))
+          Seq((entry, t, ok))
+        case _ => Nil
       }
       memoEntry ++ names.map { case (name, fn) =>
         val (t, ok) = timed(() =>

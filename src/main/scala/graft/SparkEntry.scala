@@ -42,44 +42,64 @@ object SparkEntry {
     * and components differ by construction. */
   private val nearDupPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Session-scoped memo of the order co-occurrence EDGE relation:
+    * `graph_pagerank` and `graph_triangles` traverse the SAME graph, so
+    * the harness materializes the 3-shuffle edge build once (eager
+    * localCheckpoint — the edge table is bounded by per-order fan-out,
+    * tiny next to lineitem) and both consumers read it — the deployed
+    * shape, where a pipeline maintains one edge table and every graph
+    * job (ranking, counting, components) reads that table. */
+  private val coOrderEdgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val sessionMemoMaps = Seq(nearDupPairsMemo, coOrderEdgesMemo)
   private val memoCleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def nearDupPairsShared(s: SparkSession, d: String): DataFrame = {
+  private def sessionMemo(memo: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+                          s: SparkSession, d: String)
+                         (build: => DataFrame): DataFrame = {
     // applicationId is unique per SparkContext, so a LATER session can
     // never be served a frame bound to a stopped context (identity
     // hashes alone can recur after GC); the context-end listener evicts
-    // the context's entries so checkpoint blocks and session references
-    // are not pinned for the JVM lifetime
+    // the context's entries from EVERY memo map so checkpoint blocks
+    // and session references are not pinned for the JVM lifetime
     val appId = s.sparkContext.applicationId
     if (memoCleanupHooked.add(appId)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          nearDupPairsMemo.keySet.removeIf(_.startsWith(appId + ":"))
+          sessionMemoMaps.foreach(_.keySet.removeIf(_.startsWith(appId + ":")))
           memoCleanupHooked.remove(appId)
         }
       })
     }
-    nearDupPairsMemo.computeIfAbsent(s"$appId:${System.identityHashCode(s)}:$d",
-      _ => Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5,
+    memo.computeIfAbsent(s"$appId:${System.identityHashCode(s)}:$d", _ => build)
+  }
+  private def nearDupPairsShared(s: SparkSession, d: String): DataFrame =
+    sessionMemo(nearDupPairsMemo, s, d)(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5,
         maxDf = Some(100), scope = harnessScope).localCheckpoint())
-  }
+  private def coOrderEdgesShared(s: SparkSession, d: String): DataFrame =
+    sessionMemo(coOrderEdgesMemo, s, d)(
+      operators.Graph.coOrderEdges(Tables.lineitem(s, d)).localCheckpoint())
 
-  /** Bench accounting hooks for the shared pair memo: the bench clears
-    * the memo at the start of every pass and times [[buildNearDupPairsMemo]]
-    * as its own artifact entry, so the n-gram/Jaccard pipeline cost is
+  /** Bench accounting hooks for the shared memos: the bench clears each
+    * memo at the start of every pass and times its build as its own
+    * artifact entry (`memo:<name>`), so the shared pipeline cost is
     * machine-visible instead of hiding behind the memo-fed queries'
-    * cheap reads (those are flagged via [[memoFedQueries]]). */
-  def clearNearDupPairsMemo(): Unit = nearDupPairsMemo.clear()
-
-  /** Eagerly builds (localCheckpoint is eager) the shared pair relation
-    * for `d` — the timed "memo:near_dup_pairs" bench entry. */
-  def buildNearDupPairsMemo(s: SparkSession, d: String): Unit = {
-    nearDupPairsShared(s, d); ()
-  }
+    * cheap reads (those are flagged via [[memoFedQueries]]). Each row:
+    * (artifact entry name, fed query keys, clear, eager build —
+    * localCheckpoint materializes). */
+  val benchMemos: Seq[(String, Seq[String], () => Unit, (SparkSession, String) => Unit)] = Seq(
+    ("memo:near_dup_pairs", Seq("dedup_cluster", "dedup_fuzzy"),
+      () => nearDupPairsMemo.clear(),
+      (s, d) => { nearDupPairsShared(s, d); () }),
+    ("memo:co_order_edges", Seq("graph_pagerank", "graph_triangles"),
+      () => coOrderEdgesMemo.clear(),
+      (s, d) => { coOrderEdgesShared(s, d); () }))
 
   /** Query keys whose bench numbers are memo reads, not full pipelines. */
-  val memoFedQueries: Seq[String] = Seq("dedup_cluster", "dedup_fuzzy")
+  val memoFedQueries: Seq[String] = benchMemos.flatMap(_._2)
 
   /** DuckDB-portable sentinel expression (mirrors ExportOps.nullSentinel;
     * the [\x00-\x20] class means the same thing to RE2 as to Java). */
@@ -538,13 +558,18 @@ object SparkEntry {
     // arithmetic over the order co-occurrence graph — the IVF unroll
     // doctrine applied to graph compute; per-iteration shuffle on the
     // node key is the Pregel superstep expressed relationally.
+    // Both graph queries read the SHARED memoized edge relation (see
+    // coOrderEdgesShared): one 3-shuffle edge build per (session,
+    // dataset), every graph consumer reads the checkpointed table.
     "graph_pagerank" -> ((s, d) =>
-      Graph.pageRank(Tables.lineitem(s, d), scope = harnessScope)),
+      Graph.pageRank(Tables.lineitem(s, d), scope = harnessScope,
+        edges0 = Some(coOrderEdgesShared(s, d)))),
 
     // Oriented triangle counting (round 9): a<b<c joins build each
     // triangle once; per-node participation top-20.
     "graph_triangles" -> ((s, d) =>
-      Graph.triangles(Tables.lineitem(s, d), scope = harnessScope)),
+      Graph.triangles(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
 
     // Exact interpolated quantiles (order statistics, oracle-checkable).
     "text_len_quantiles" -> ((s, d) =>

@@ -35,6 +35,19 @@ final class CacheScope private (enabled: Boolean) extends AutoCloseable {
       df
     }
 
+  /** Materialize `df` NOW and replace its lineage with the computed
+    * blocks (eager localCheckpoint) when enabled. For relations
+    * consumed under SELF-REFERENCING plans (iterative folds): Spark's
+    * DeduplicateRelations re-aliases one side of a self-join, and the
+    * re-aliased subtree no longer matches a persisted plan in the
+    * cache manager — it silently re-derives. A LogicalRDD survives any
+    * re-aliasing, so every occurrence reads the computed blocks. The
+    * blocks live until context end (the session-memo lifecycle —
+    * release() cannot reclaim a checkpoint); disabled → identity,
+    * fully lazy. */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    if (!enabled) df else df.localCheckpoint()
+
   def release(): Unit = synchronized {
     persisted.foreach(_.unpersist(blocking = false)); persisted.clear()
   }

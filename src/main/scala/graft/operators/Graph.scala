@@ -57,7 +57,8 @@ object Graph {
     *
     * Output: top `k` (part, degree, pr) by (pr desc, part). */
   def pageRank(lineitem: DataFrame, iters: Int = 2, k: Int = 30,
-               scope: CacheScope = CacheScope.off): DataFrame = {
+               scope: CacheScope = CacheScope.off,
+               edges0: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 4, s"iters must be 1..4, got $iters")
     val S = 1000000000000L // rank scale 10^12
     // The edge relation feeds the degree count plus every unrolled
@@ -67,15 +68,26 @@ object Graph {
     // the UNDIRECTED half (half the cache of the directed form; the
     // union is a narrow re-read) so the graph materializes once, the
     // same edge-cache stance GraphX takes for iterative compute;
-    // CacheScope.off recomputes, leak-free.
-    val und = scope.track(coOrderEdges(lineitem))
+    // CacheScope.off recomputes, leak-free. `edges0` supplies an
+    // already-materialized [[coOrderEdges]] relation instead (the
+    // deployed shape: one edge table, many graph consumers) — the
+    // caller owns its lifecycle, so it is not re-tracked here.
+    val und = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
     // directed both ways for contribution routing
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = lineitem.select(col("l_partkey").as("part")).distinct()
-      .join(deg.withColumnRenamed("src", "part"), Seq("part"), "left")
-      .na.fill(0L, Seq("deg"))
+    // The node universe feeds the teleport-denominator count, the rank
+    // seed AND every iteration's contrib branch — and the fold
+    // self-references the rank frame, so DeduplicateRelations
+    // re-aliases occurrences and a mere persist stops cache-matching
+    // (measured r9: the iteration branches re-scanned lineitem).
+    // materialize() cuts the lineage to a LogicalRDD, which every
+    // re-aliased occurrence still reads.
+    val nodes = scope.materialize(
+      lineitem.select(col("l_partkey").as("part")).distinct()
+        .join(deg.withColumnRenamed("src", "part"), Seq("part"), "left")
+        .na.fill(0L, Seq("deg")))
     val nFrame = nodes.agg(count(lit(1)).as("n_nodes"))
     val r0 = nodes.crossJoin(broadcast(nFrame))
       .select(col("part"), col("deg"), col("n_nodes"),
@@ -106,11 +118,14 @@ object Graph {
     *
     * Output: top `k` (part, n_triangles) by (count desc, part). */
   def triangles(lineitem: DataFrame, k: Int = 20,
-                scope: CacheScope = CacheScope.off): DataFrame = {
+                scope: CacheScope = CacheScope.off,
+                edges0: Option[DataFrame] = None): DataFrame = {
     // the oriented enumeration consumes the edge list three times (ab,
     // bc, ac legs) — scope-persist so the 3-shuffle edge build runs
-    // once, not per join leg
-    val e = scope.track(coOrderEdges(lineitem).select(col("a"), col("b")))
+    // once, not per join leg; `edges0` supplies a caller-materialized
+    // [[coOrderEdges]] relation instead (lifecycle owned by the caller)
+    val e = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
+      .select(col("a"), col("b"))
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.b") === col("bc.a"))
       .join(e.as("ac"),

@@ -341,14 +341,12 @@ class PlanInvariantsSpec extends SparkSpec {
     "scope: every repeated subtree reads InMemoryTableScan, not a " +
     "re-derivation (the 100 TB single-corpus-scan property)") {
     // (query, min cache readers): tokenizer frames re-read the word
-    // count per step view; the graph ops re-read the edge relation per
-    // join leg / iteration; dedup_substring probes its gram relation
+    // count per step view; dedup_substring probes its gram relation
     // for both the occurrence count and the span join. Without the
     // scope-persist these plans re-scan the source parquet 3-16x
     // (measured r9) — Catalyst does NOT ReuseExchange across the
     // repeated branches.
     Seq("tokenizer_compression" -> 2, "tokenizer_bpe" -> 2,
-        "graph_pagerank" -> 2, "graph_triangles" -> 3,
         "dedup_substring" -> 2).foreach { case (q, minReaders) =>
       val plan = planOf(q)
       val readers = "InMemoryTableScan".r.findAllIn(plan).size
@@ -357,5 +355,25 @@ class PlanInvariantsSpec extends SparkSpec {
           s"scope-persisted relation, found $readers — the shared " +
           s"subtree is being re-derived per consumer:\n$plan")
     }
+    // the graph pair reads the MEMOIZED checkpointed edge relation
+    // (coOrderEdgesShared): every edge consumer must be an ExistingRDD
+    // scan of the checkpoint, never a re-derivation from lineitem.
+    // graph_triangles touches nothing else — zero parquet scans, a
+    // clean text assertion since no InMemoryRelation embeds a child
+    // scan description in its plan string.
+    val tri = planOf("graph_triangles")
+    assert("Scan ExistingRDD".r.findAllIn(tri).size >= 3 &&
+      !tri.contains("Scan parquet"),
+      s"graph_triangles re-derives the shared edge relation:\n$tri")
+    // graph_pagerank additionally MATERIALIZES the node universe
+    // (scope.materialize — a persist is not enough: the iterative fold
+    // self-references the rank frame, DeduplicateRelations re-aliases
+    // occurrences, and re-aliased subtrees stop cache-matching). With
+    // both the edge memo and the node checkpoint in play the executed
+    // plan must not touch parquet at all.
+    val pr = planOf("graph_pagerank")
+    assert("Scan ExistingRDD".r.findAllIn(pr).size >= 3 &&
+      !pr.contains("Scan parquet"),
+      s"graph_pagerank re-derives a shared relation:\n$pr")
   }
 }
