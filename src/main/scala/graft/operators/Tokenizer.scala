@@ -45,25 +45,33 @@ object Tokenizer {
 
   /** The training chain: per-step ranked pair stats plus the symbol
     * frames before (index 0) and after each merge — shared by the two
-    * public views below. All frames are lazy plans; consumers pay only
-    * for the prefixes they aggregate. */
+    * public views below. Under an enabled [[CacheScope]] each frame is
+    * materialized (see the in-loop comment); under [[CacheScope.off]]
+    * all frames are lazy plans and consumers pay the chain replay. */
   private def train(docs: DataFrame, steps: Int,
                     scope: CacheScope): (Seq[DataFrame], Seq[DataFrame]) = {
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
-    // the ONLY corpus-sized job: map-side-combinable word count. Every
-    // per-step consumer (ranked stats, compression frames) re-derives
-    // from it — scope-persist so the corpus is counted ONCE no matter
-    // how many step views the caller aggregates (vocab-bounded cache).
-    val wc = scope.track(docs.select(explode(split(norm, " ")).as("word"))
+    // the ONLY corpus-sized job: map-side-combinable word count
+    val wc = docs.select(explode(split(norm, " ")).as("word"))
       // whitespace-only documents normalize to one empty "word"; its
       // zero-char split diverges between engines, so gate it out here
       .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
-    // positional symbol table: one row per (distinct word, position)
-    var f = wc.select(col("word"), col("cnt"),
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // Positional symbol table: one row per (distinct word, position).
+    // Each step SELF-REFERENCES the table (p joins broadcast(top1),
+    // both derived from f), so a lazy chain replays all prior steps
+    // per frame — O(steps²) window passes, and the corpus word count
+    // re-runs under every replay (measured r9: 15 re-derivations
+    // across the two public views; a persist is defeated by
+    // DeduplicateRelations re-aliasing the self-join side, the same
+    // trap as pageRank's fold). scope.materialize cuts each frame to
+    // a vocab-bounded LogicalRDD: one corpus scan total, one window
+    // pass per step, consumers read computed blocks. CacheScope.off
+    // keeps the fully lazy chain (library default, leak-free).
+    var f = scope.materialize(wc.select(col("word"), col("cnt"),
         posexplode(split(col("word"), "")))
       .select(col("word"), col("cnt"),
-        (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("sym")))
     val wWord = Window.partitionBy(col("word")).orderBy(col("pos"))
     val rankedSteps = scala.collection.mutable.Buffer.empty[DataFrame]
     val frames = scala.collection.mutable.Buffer(f)
@@ -98,11 +106,11 @@ object Tokenizer {
         .withColumn("sel", col("im") && (col("pos") - islMin) % 2 === 0)
         .withColumn("dropped",
           coalesce(lag(col("sel"), 1).over(wWord), lit(false)))
-      f = selected.filter(!col("dropped"))
+      f = scope.materialize(selected.filter(!col("dropped"))
         .select(col("word"), col("cnt"),
           row_number().over(wWord).cast("long").as("pos"),
           when(col("sel"), concat(col("mx"), col("my")))
-            .otherwise(col("sym")).as("sym"))
+            .otherwise(col("sym")).as("sym")))
       frames += f
     }
     (rankedSteps.toSeq, frames.toSeq)

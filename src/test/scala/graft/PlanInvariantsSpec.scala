@@ -340,14 +340,11 @@ class PlanInvariantsSpec extends SparkSpec {
   test("multi-consumer relations materialize ONCE under the harness " +
     "scope: every repeated subtree reads InMemoryTableScan, not a " +
     "re-derivation (the 100 TB single-corpus-scan property)") {
-    // (query, min cache readers): tokenizer frames re-read the word
-    // count per step view; dedup_substring probes its gram relation
-    // for both the occurrence count and the span join. Without the
-    // scope-persist these plans re-scan the source parquet 3-16x
-    // (measured r9) — Catalyst does NOT ReuseExchange across the
-    // repeated branches.
-    Seq("tokenizer_compression" -> 2, "tokenizer_bpe" -> 2,
-        "dedup_substring" -> 2).foreach { case (q, minReaders) =>
+    // dedup_substring probes its gram relation for both the occurrence
+    // count and the span join — without the scope-persist the plan
+    // re-scans the source parquet per consumer (Catalyst does NOT
+    // ReuseExchange across the repeated branches).
+    Seq("dedup_substring" -> 2).foreach { case (q, minReaders) =>
       val plan = planOf(q)
       val readers = "InMemoryTableScan".r.findAllIn(plan).size
       assert(readers >= minReaders,
@@ -355,6 +352,19 @@ class PlanInvariantsSpec extends SparkSpec {
           s"scope-persisted relation, found $readers — the shared " +
           s"subtree is being re-derived per consumer:\n$plan")
     }
+    // the tokenizer views read MATERIALIZED training frames (the step
+    // loop self-references the symbol table, so a persist is defeated
+    // by DeduplicateRelations re-aliasing — same trap as pageRank's
+    // fold): every frame consumer must be an ExistingRDD scan and the
+    // corpus parquet must not appear in the aggregate views at all
+    Seq("tokenizer_compression" -> 4, "tokenizer_bpe" -> 3)
+      .foreach { case (q, minRdd) =>
+        val plan = planOf(q)
+        assert("Scan ExistingRDD".r.findAllIn(plan).size >= minRdd &&
+          !plan.contains("Scan parquet"),
+          s"$q: expected >=$minRdd checkpointed-frame reads and zero " +
+            s"parquet scans — the training chain is replaying:\n$plan")
+      }
     // the graph pair reads the MEMOIZED checkpointed edge relation
     // (coOrderEdgesShared): every edge consumer must be an ExistingRDD
     // scan of the checkpoint, never a re-derivation from lineitem.
