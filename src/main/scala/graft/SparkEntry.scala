@@ -30,6 +30,12 @@ object SparkEntry {
   private val ivfQuantizerDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Session-scoped z-ordered layout locations for layout_zorder_read,
+    * keyed by data dir — write-once-read-many, same doctrine as the IVF
+    * quantizer memo above. */
+  private val zorderLayoutDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Session-scoped memo of the capped near-dup PAIR relation (threshold
     * 0.5, n=3, maxDf=100) per (session, data dir): `dedup_fuzzy` and
     * `dedup_cluster` consume the SAME relation, so the harness
@@ -635,6 +641,23 @@ object SparkEntry {
     "layout_zorder" -> ((s, d) =>
       ExportPipeline.zorderCells(Tables.orders(s, d))),
 
+    // The READ that layout buys (round 10): write the cell-partitioned
+    // layout + its skipping index ONCE per (process, dataset) — the
+    // deployed shape, same memo doctrine as sim_ann_ivf_served's
+    // quantizer — then serve a custkey-range predicate by probing the
+    // ≤ 256-row index and scanning only overlapping cells.
+    // PlanInvariantsSpec asserts the partition pruning is real; the
+    // oracle proves the pruned read returns EXACTLY the predicate rows.
+    "layout_zorder_read" -> ((s, d) => {
+      val dir = zorderLayoutDirs.computeIfAbsent(d, _ => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_zorder_").toString + "/layout"
+        ExportPipeline.zorderWrite(s, Tables.orders(s, d), tmp)
+        tmp
+      })
+      ExportPipeline.zorderPrunedRead(s, dir, 1L, 300L)
+    }),
+
     // A15 conn_pool: LRU+TTL endpoint-cache state.
     "conn_pool" -> ((s, d) =>
       SinkOps.connPoolState(Tables.events(s, d), "event_type")),
@@ -659,6 +682,14 @@ object SparkEntry {
 
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // Hashed-n-gram LINEAR scorer (round 10, fastText-lineage): word
+    // unigrams+bigrams hashed to 1024 buckets, fixed integer weight
+    // table applied relationally — the learned-model complement to the
+    // rule-based text_quality. Full oracle (md5-prefix hash + integer
+    // weights replay end-to-end).
+    "text_quality_model" -> ((s, d) =>
+      TextAnalysis.qualityModel(Tables.documents(s, d))),
 
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -710,6 +741,14 @@ object SparkEntry {
     // per-user timeline, no conversion×touch join.
     "event_attribution" -> ((s, d) =>
       Sessionize.lastTouchAttribution(Tables.events(s, d))),
+
+    // Multi-touch attribution (round 10): linear + time-decay +
+    // U-shaped position credit per conversion path, parts-per-million
+    // integer credits with deterministic remainder assignment — every
+    // conversion reconciles to exactly 1_000_000 under every model.
+    // Same single-window-pass timeline shape as event_attribution.
+    "event_attribution_multi" -> ((s, d) =>
+      Sessionize.multiTouchAttribution(Tables.events(s, d))),
 
     // Weekly cohort retention (round 7): first-event-week cohorts ×
     // active-week offsets, distinct users per cell.
@@ -904,6 +943,17 @@ object SparkEntry {
     // has a full DuckDB oracle (sqlLshBucketCte); recall spec-checked too.
     "dedup_embedding_lsh" -> ((s, d) =>
       Similarity.nearDupPairsLsh(Tables.embeddings(s, d))),
+
+    // SEMANTIC dedup (round 10, SemDeDup-lineage): deterministic
+    // seed-centroid clustering (the sim_ann_ivf_fixed quantizer), then
+    // intra-cluster cosine pairs ONLY — bounded-bucket enumeration on
+    // cent_id, greedy keep-lowest-id. The one major public dedup family
+    // the board was missing (exact, MinHash, SimHash, winnow,
+    // substring, paragraph, embedding-LSH all exist). Full oracle:
+    // the centroid replay proven by sim_ann_ivf_fixed + the exact
+    // quantized cosine.
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d))),
 
     // ---- Group B: similarity search -------------------------------------
 
@@ -1546,6 +1596,13 @@ object SparkEntry {
         "MIN(dd) AS dd_min, MAX(dd) AS dd_max " +
         "FROM zc GROUP BY zcell ORDER BY zcell"),
 
+    // the pruned z-order read must return EXACTLY the predicate rows —
+    // cell pruning plus the re-applied exact filter is lossless
+    "layout_zorder_read" ->
+      ("SELECT o_orderkey, o_custkey AS ck, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd " +
+        "FROM orders WHERE o_custkey BETWEEN 1 AND 300 ORDER BY o_orderkey"),
+
     // compaction must be lossless: the oracle is the original relation
     // (event_type sentineled, mirroring compactRoundTrip's write)
     "sink_compact" ->
@@ -1582,6 +1639,48 @@ object SparkEntry {
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS credited_value, " +
         "COUNT(DISTINCT user_id) AS n_users " +
         "FROM c GROUP BY 1 ORDER BY 1"),
+
+    // multi-touch: forward first-following-conversion window (µs-cast ts
+    // so ns-precision ties rank identically), then per-conversion ppm
+    // credit splits — all integer floors with remainder-to-last, so the
+    // replay is exact under every model
+    "event_attribution_multi" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, " +
+        "CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "nx AS (SELECT event_id, event_type, " +
+        "first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER w AS nc_id, " +
+        "first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS) OVER w AS nc_us, " +
+        "epoch_us(ts) AS t_us FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)), " +
+        "t AS (SELECT nc_id AS conv_event_id, nc_us, event_id AS touch_event_id, t_us " +
+        "FROM nx WHERE event_type IN ('click','view','signup') AND nc_id IS NOT NULL), " +
+        "r AS (SELECT conv_event_id, touch_event_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY conv_event_id ORDER BY t_us, touch_event_id) AS BIGINT) AS touch_rank, " +
+        "CAST(COUNT(*) OVER (PARTITION BY conv_event_id) AS BIGINT) AS n_touches, " +
+        "least((nc_us - t_us) // 3600000000, 30) AS k FROM t), " +
+        "w2 AS (SELECT *, (CAST(1 AS BIGINT) << CAST(30 - k AS INTEGER)) AS w FROM r), " +
+        "w3 AS (SELECT *, (w * 1000000) // (SUM(w) OVER (PARTITION BY conv_event_id)) AS dec_base FROM w2), " +
+        "w4 AS (SELECT *, SUM(dec_base) OVER (PARTITION BY conv_event_id) AS dec_sum FROM w3), " +
+        "cr AS (SELECT conv_event_id, touch_event_id, touch_rank, n_touches, " +
+        "1000000 // n_touches + CASE WHEN touch_rank = n_touches " +
+        "THEN 1000000 - n_touches * (1000000 // n_touches) ELSE 0 END AS linear_ppm, " +
+        "dec_base + CASE WHEN touch_rank = n_touches THEN 1000000 - dec_sum ELSE 0 END AS decay_ppm, " +
+        "CASE WHEN n_touches = 1 THEN 1000000 WHEN n_touches = 2 THEN 500000 " +
+        "WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400000 " +
+        "ELSE 200000 // (n_touches - 2) + CASE WHEN touch_rank = n_touches - 1 " +
+        "THEN 200000 - (n_touches - 2) * (200000 // (n_touches - 2)) ELSE 0 END END AS position_ppm " +
+        "FROM w4), " +
+        "nt AS (SELECT event_id AS conv_event_id, CAST(NULL AS BIGINT) AS touch_event_id, " +
+        "CAST(0 AS BIGINT) AS touch_rank, CAST(0 AS BIGINT) AS n_touches, " +
+        "1000000 AS linear_ppm, 1000000 AS decay_ppm, 1000000 AS position_ppm " +
+        "FROM e WHERE event_type = 'purchase' " +
+        "AND event_id NOT IN (SELECT conv_event_id FROM cr)) " +
+        "SELECT conv_event_id, touch_event_id, touch_rank, n_touches, " +
+        "CAST(linear_ppm AS BIGINT) AS linear_ppm, CAST(decay_ppm AS BIGINT) AS decay_ppm, " +
+        "CAST(position_ppm AS BIGINT) AS position_ppm " +
+        "FROM (SELECT * FROM cr UNION ALL SELECT * FROM nt) " +
+        "ORDER BY conv_event_id, touch_rank"),
 
     "conn_pool" ->
       (s"WITH ls AS (SELECT ${sqlSentinel("event_type")} AS endpoint, " +
@@ -1628,6 +1727,23 @@ object SparkEntry {
         s"(CASE WHEN (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) > 0.0 " +
         s"AND (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) < 0.5 THEN 1.0 ELSE 0.0 END) * 0.25)) AS quality " +
         "FROM documents ORDER BY doc_id"),
+
+    // hashed-n-gram linear scorer: md5-prefix feature hash (7 hex chars
+    // < 2^28, exact) mod 1024, fixed integer weight table
+    // (b·2654435761 mod 2003 − 1001), count-weighted sum — all exact
+    // longs, replayed end-to-end
+    "text_quality_model" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(" +
+        "regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' '), " +
+        "x -> len(x) > 0) AS ws FROM documents), " +
+        "f AS (SELECT doc_id, unnest(list_concat(ws, " +
+        "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS feat FROM t), " +
+        "h AS (SELECT doc_id, CAST(('0x' || substring(md5(feat), 1, 7)) AS BIGINT) % 1024 AS b FROM f), " +
+        "s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features, " +
+        "CAST(SUM((b * 2654435761) % 2003 - 1001) AS BIGINT) AS score FROM h GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(s.n_features, 0) AS n_features, " +
+        "coalesce(s.score, 0) AS score, coalesce(s.score, 0) > 0 AS is_quality " +
+        "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"),
 
     "text_normalize" ->
       ("SELECT doc_id, regexp_replace(trim(lower(nfc_normalize(text))), ' +', ' ', 'g') AS text_norm, " +
@@ -2154,6 +2270,33 @@ object SparkEntry {
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
         "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    // Semantic dedup replay: the sim_ann_ivf_fixed centroid CTEs
+    // (seed = 16 smallest-(md5, vec_id) vectors, argmax-cosine
+    // assignment with NaN-first DESC + smaller-cent_id tiebreak),
+    // then intra-cluster pairs a<b, exact quantized cosine ≥ 0.4,
+    // greedy keep-lowest-id (vec_b of every pair is the duplicate).
+    "dedup_semantic" ->
+      (s"WITH $sqlQuantCte, " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+        "ac AS (SELECT n.vec_id, c.cent_id, " +
+        "CAST(list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos " +
+        "FROM n, cent c), " +
+        "asg AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac) " +
+        "WHERE rn = 1), " +
+        "pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM asg a " +
+        "JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id), " +
+        s"dup AS (SELECT pr.vec_b, ${sqlCosFrag("x", "y")} AS cos " +
+        "FROM pr JOIN n x ON pr.vec_a = x.vec_id JOIN n y ON pr.vec_b = y.vec_id), " +
+        "fl AS (SELECT vec_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dup_of, " +
+        "MAX(cos) AS max_cos FROM dup " +
+        "WHERE NOT isnan(cos) AND cos >= 0.4 GROUP BY vec_b) " +
+        "SELECT asg.vec_id, asg.cent_id, coalesce(fl.n_dup_of, 0) AS n_dup_of, " +
+        "fl.max_cos AS max_cos, fl.vec_id IS NULL AS is_kept " +
+        "FROM asg LEFT JOIN fl ON asg.vec_id = fl.vec_id ORDER BY asg.vec_id"),
 
     // Mean-pool replay: exact BIGINT element sums via list_reduce (the
     // IVF-oracle technique), one double division per element, round

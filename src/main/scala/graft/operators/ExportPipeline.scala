@@ -266,17 +266,26 @@ object ExportPipeline {
     * shuffles once on the same key.
     *
     * Output: (zcell, n, ck_min, ck_max, dd_min, dd_max), ordered. */
-  def zorderCells(orders: DataFrame, bits: Int = 4): DataFrame = {
+  def zorderCells(orders: DataFrame, bits: Int = 4): DataFrame =
+    zKeyed(orders, bits).groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+        min(col("dd")).as("dd_min"), max(col("dd")).as("dd_max"))
+      .orderBy(col("zcell"))
+
+  /** Shared Z-cell computation: every order row with its normalized,
+    * bit-interleaved cell id (plus the raw clustering keys). */
+  private def zKeyed(orders: DataFrame, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     val maxCode = (1 << bits) - 1
     val ck = col("o_custkey")
     val dd = datediff(to_date(col("o_orderdate")),
       lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
-    val keyed = orders.select(ck.as("ck"), dd.as("dd"))
+    val keyed = orders.select(col("o_orderkey"), ck.as("ck"), dd.as("dd"))
     val bounds = keyed.agg(
       min(col("ck")).as("ck_lo"), max(col("ck")).as("ck_hi"),
       min(col("dd")).as("dd_lo"), max(col("dd")).as("dd_hi"))
-    val withZ = keyed.crossJoin(broadcast(bounds))
+    keyed.crossJoin(broadcast(bounds))
       .withColumn("nk",
         expr(s"((ck - ck_lo) * $maxCode) div greatest(ck_hi - ck_lo, 1)"))
       .withColumn("nd",
@@ -285,10 +294,57 @@ object ExportPipeline {
         (shiftleft(shiftright(col("nk"), i) % 2, 2 * i) +
           shiftleft(shiftright(col("nd"), i) % 2, 2 * i + 1)): Column
       }.reduce(_ + _))
-    withZ.groupBy(col("zcell"))
-      .agg(count(lit(1)).as("n"),
-        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
-        min(col("dd")).as("dd_min"), max(col("dd")).as("dd_max"))
-      .orderBy(col("zcell"))
+  }
+
+  /** Z-ordered physical LAYOUT (round 10) — what [[zorderCells]]'
+    * index DESCRIBES, actually written: rows land in a parquet table
+    * partitioned by their Z cell (one shuffle on zcell — the
+    * `repartition(zcell)` is exactly the physical re-write every
+    * OPTIMIZE-ZORDER runs), and the per-cell min/max skipping index
+    * lands beside it as a ≤ 4^bits-row parquet at `<path>_idx`. At
+    * 100 TB the layout would be `repartitionByRange` over composite
+    * cells; the cell-partitioned form keeps the pruning observable to
+    * Spark's partition listing, which is the property the read path
+    * proves. */
+  def zorderWrite(spark: org.apache.spark.sql.SparkSession,
+                  orders: DataFrame, path: String, bits: Int = 4): Unit = {
+    val z = zKeyed(orders, bits)
+    z.select(col("o_orderkey"), col("ck"), col("dd"), col("zcell"))
+      .repartition(col("zcell"))
+      .write.mode("overwrite").partitionBy("zcell").parquet(path)
+    zorderCells(orders, bits).coalesce(1)
+      .write.mode("overwrite").parquet(path + "_idx")
+  }
+
+  /** The READ that the Z layout buys (round 10): probe the tiny
+    * skipping index for cells whose [ck_min, ck_max] overlaps the
+    * predicate range (a ≤ 4^bits-row scan — the bounded collect is the
+    * index lookup every skipping reader does), then scan ONLY those
+    * cell partitions, with the exact predicate re-applied. Because a
+    * Z cell bounds BOTH dimensions, the same index serves a dd
+    * predicate equally — the property a single-column sort layout only
+    * has for its own column. PlanInvariantsSpec asserts the pruning is
+    * real: the scan's PartitionFilters carry the IN-list and the
+    * partition listing touches only the candidate cells. */
+  def zorderPrunedRead(spark: org.apache.spark.sql.SparkSession,
+                       path: String, ckLo: Long, ckHi: Long): DataFrame = {
+    // explicit schemas on both reads: an empty source writes zero part
+    // files and schema inference would throw on the very input a
+    // maintenance pass must pass through (the compactRoundTrip doctrine);
+    // declaring zcell in the layout schema also pins the partition
+    // column to LONG instead of leaving it to directory-name inference
+    val cand = spark.read
+      .schema("zcell long, n long, ck_min long, ck_max long, " +
+        "dd_min long, dd_max long")
+      .parquet(path + "_idx")
+      .filter(col("ck_min") <= ckHi && col("ck_max") >= ckLo)
+      .select(col("zcell")).collect().map(_.getLong(0))
+    spark.read
+      .schema("o_orderkey long, ck long, dd long, zcell long")
+      .parquet(path)
+      .filter(col("zcell").isin(cand: _*) &&
+        col("ck").between(ckLo, ckHi))
+      .select(col("o_orderkey"), col("ck"), col("dd"))
+      .orderBy(col("o_orderkey"))
   }
 }

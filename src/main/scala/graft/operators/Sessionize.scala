@@ -184,4 +184,95 @@ object Sessionize {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("touch"))
   }
+
+  /** MULTI-TOUCH ATTRIBUTION (round 10) — the three classic credit
+    * models beside [[lastTouchAttribution]]'s winner-takes-all: each
+    * conversion's credit is SPLIT across every touch on the path since
+    * the user's previous conversion, under
+    *   - `linear_ppm`: equal split,
+    *   - `decay_ppm`: exponential time decay (weight 2^(30−k), k =
+    *     whole hours from touch to conversion, capped at 30 — a 1-hour
+    *     half-life),
+    *   - `position_ppm`: U-shaped 40/20/40 (first 40%, last 40%,
+    *     middles share 20%).
+    *
+    * INTEGER-EXACT RECONCILIATION is the design center: credits are
+    * parts-per-million longs, each model's floor-division remainder is
+    * assigned deterministically (linear/decay: to the LAST touch;
+    * position: to the last MIDDLE touch), so every conversion's credits
+    * sum to EXACTLY 1_000_000 under every model, on any engine, under
+    * any partitioning — the property a float-share formulation can
+    * never audit. Decay weights are exact longs (≤ 2^30; the ppm
+    * product ≤ 2^50), hour buckets are integer µs division.
+    *
+    * Shape: touch→conversion assignment is the [[lastTouchAttribution]]
+    * single window pass per user timeline REVERSED (first following
+    * conversion, ignoreNulls — never a conversions×touches join);
+    * per-conversion ranking and remainder assignment are windows
+    * partitioned by conversion (bounded groups — a user segment's touch
+    * count). Conversions with NO preceding touch emit one null-touch
+    * row with full credit under every model, so credited + unattributed
+    * reconciles to 1_000_000 × conversions exactly.
+    *
+    * Output: (conv_event_id, touch_event_id, touch_rank, n_touches,
+    * linear_ppm, decay_ppm, position_ppm), ordered. */
+  def multiTouchAttribution(events: DataFrame,
+                            touches: Seq[String] =
+                              Seq("click", "view", "signup"),
+                            conversion: String = "purchase"): DataFrame = {
+    val wFol = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val isTouch = col("event_type").isin(touches.map(lit(_)): _*)
+    val isConv = col("event_type") === conversion
+    val withNext = events
+      .withColumn("nc_id",
+        first(when(isConv, col("event_id")), ignoreNulls = true).over(wFol))
+      .withColumn("nc_us",
+        first(when(isConv, unix_micros(col("ts"))), ignoreNulls = true).over(wFol))
+    val t = withNext.filter(isTouch && col("nc_id").isNotNull)
+      .select(col("nc_id").as("conv_event_id"), col("nc_us"),
+        col("event_id").as("touch_event_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val wConv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_event_id"))
+    val wOrd = wConv.orderBy(col("t_us"), col("touch_event_id"))
+    val ranked = t
+      .withColumn("touch_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wConv))
+      // whole hours touch→conversion, capped: exact µs integer division
+      .withColumn("k", least(expr("(nc_us - t_us) DIV 3600000000"), lit(30L)))
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - k AS INT))"))
+      .withColumn("w_sum", sum(col("w")).over(wConv))
+    val n = col("n_touches")
+    val rk = col("touch_rank")
+    val isLast = rk === n
+    val linBase = expr("1000000 DIV n_touches")
+    val linear = linBase + when(isLast, lit(1000000L) - n * linBase)
+      .otherwise(lit(0L))
+    val decBase = expr("(w * 1000000) DIV w_sum")
+    val decay = decBase +
+      when(isLast, lit(1000000L) - sum(decBase).over(wConv)).otherwise(lit(0L))
+    val midBase = expr("200000 DIV (n_touches - 2)")
+    val midRem = lit(200000L) - (n - 2) * midBase
+    val position = when(n === 1, lit(1000000L))
+      .when(n === 2, lit(500000L))
+      .when(rk === 1 || isLast, lit(400000L))
+      .otherwise(midBase + when(rk === n - 1, midRem).otherwise(lit(0L)))
+    val credited = ranked.select(col("conv_event_id"), col("touch_event_id"),
+      col("touch_rank"), col("n_touches"),
+      linear.as("linear_ppm"), decay.as("decay_ppm"),
+      position.as("position_ppm"))
+    val noTouch = events.filter(isConv)
+      .select(col("event_id").as("conv_event_id"))
+      .join(credited.select(col("conv_event_id")).distinct(),
+        Seq("conv_event_id"), "left_anti")
+      .select(col("conv_event_id"),
+        lit(null).cast("long").as("touch_event_id"),
+        lit(0L).as("touch_rank"), lit(0L).as("n_touches"),
+        lit(1000000L).as("linear_ppm"), lit(1000000L).as("decay_ppm"),
+        lit(1000000L).as("position_ppm"))
+    credited.unionByName(noTouch)
+      .orderBy(col("conv_event_id"), col("touch_rank"))
+  }
 }

@@ -446,6 +446,69 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** SEMANTIC deduplication (SemDeDup-lineage, round 10) — the
+    * embedding-cluster dedup family: cluster the corpus with the
+    * deterministic seed-centroid coarse quantizer (the
+    * [[seedCentroids]] machinery sim_ann_ivf_fixed proved replayable),
+    * then enumerate cosine pairs INTRA-CLUSTER ONLY and greedily drop
+    * every vector that duplicates (cosine ≥ threshold) a smaller-id
+    * vector in its own cluster. The cluster pass is what makes semantic
+    * dedup tractable at corpus scale: candidate enumeration is
+    * per-cluster, never all-pairs — the same blocking idea as LSH, but
+    * with semantically-coherent blocks, so a near-duplicate pair that
+    * LSH's random hyperplanes can split still co-clusters.
+    *
+    * Scale shape: centroid assignment is a broadcast nested-loop over
+    * ≤ nlist rows (narrow, no shuffle); intra-cluster pairs route
+    * through [[Dedup.boundedCandidatePairs]] (one shuffle keyed on
+    * cent_id, O(maxCluster) buffers, fail-loud hot-cluster policy —
+    * an under-provisioned nlist surfaces as an error naming this
+    * operator, never a silent quadratic task); the exact-cosine verify
+    * is two shuffle equi-joins + a narrow filter. Nothing broadcasts
+    * the corpus; nlist must grow with the corpus exactly as SemDeDup
+    * prescribes (k ∝ √N).
+    *
+    * Keep rule: greedy keep-lowest-id within a cluster (vec_b of every
+    * thresholded pair is the duplicate) — the same canonical-min
+    * doctrine as dedup_exact and multimodal_dhash, and deterministic
+    * under any partitioning. Output: one row per corpus vector
+    * (vec_id, cent_id, n_dup_of = #smaller-id intra-cluster dups it
+    * matches, max_cos = its strongest such match or null, is_kept),
+    * ordered by vec_id — fully DuckDB-replayable (integer-quantized
+    * cosine + deterministic centroids). */
+  def semanticDedup(emb: DataFrame, nlist: Int = 16, threshold: Double = 0.4,
+                    maxCluster: Int = 4096,
+                    overflow: BucketOverflow = BucketOverflow.Fail): DataFrame = {
+    val p = prepared(emb)
+    val cent = broadcast(seedCentroids(p, nlist))
+    val assigned = p.join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
+        .as("cent_id"))
+    val cand = Dedup.boundedCandidatePairs(
+        assigned.select(col("vec_id"), col("cent_id")),
+        "vec_id", Seq("cent_id"), maxCluster, overflow, "semanticDedup")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val pa = p.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"),
+      col("nrm").as("a_nrm"))
+    val pb = p.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"),
+      col("nrm").as("b_nrm"))
+    val dup = cand.join(pa, Seq("vec_a")).join(pb, Seq("vec_b"))
+      .withColumn("cos",
+        cosine(dotQ(col("a_qv"), col("b_qv")), col("a_nrm"), col("b_nrm")))
+      .filter(defined(col("cos")) && col("cos") >= threshold)
+    val flagged = dup.groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("nd"), max(col("cos")).as("mc"))
+    assigned.join(flagged, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_of"),
+        col("mc").as("max_cos"),
+        col("nd").isNull.as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** ANN top-k: candidate set = union over L hash tables of the query's
     * bucket, deduped, then exact cosine rerank. The per-table lookup is an
     * equi-join on (table, bucket) — shuffle-partitionable, no cross join —

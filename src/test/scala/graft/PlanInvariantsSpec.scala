@@ -164,6 +164,62 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer_bpe plans NO unpartitioned window: per-word merge " +
+    "windows keep their partition spec, the global pair rank is " +
+    "TakeOrdered + bounded self-join (round-10 hardening)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // CacheScope.off keeps the training chain fully lazy so every
+    // window of every step is visible in ONE plan
+    val exec = withAqeOff {
+      graft.operators.Tokenizer
+        .bpeMergeStats(Tables.documents(spark, sf0),
+          scope = graft.operators.CacheScope.off)
+        .queryExecution.executedPlan
+    }
+    val wins = exec.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "merge application lost its per-word windows?")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window survived the round-10 hardening:\n$w"))
+    assert(exec.toString.contains("TakeOrdered"),
+      "global top-K no longer plans as TakeOrderedAndProject")
+  }
+
+  test("z-order pruned read prunes partitions: the zcell IN-list is a " +
+    "PartitionFilter and the listing touches only candidate cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, max}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_zorder_spec_").toString + "/layout"
+    val orders = Tables.orders(spark, sf0)
+    graft.operators.ExportPipeline.zorderWrite(spark, orders, tmp)
+    val total = spark.read.parquet(tmp).select(col("zcell"))
+      .distinct().count()
+    // a range covering ~1/8 of the custkey domain — must NOT require
+    // listing every cell (z-interleave bounds the nk codes it can touch)
+    val hi = orders.agg(max(col("o_custkey"))).head.getLong(0) / 8
+    withAqeOff {
+      val q = graft.operators.ExportPipeline
+        .zorderPrunedRead(spark, tmp, 1L, hi)
+      val exec = q.queryExecution.executedPlan
+      val scan = exec.collect { case s: FileSourceScanExec => s }.head
+      val pf = scan.metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains("zcell"),
+        s"zcell IN-list not recognized as a partition filter: $pf")
+      // execute THIS plan instance, then read its listing metric
+      exec.executeCollect()
+      val listed = scan.metrics("numPartitions").value
+      assert(listed >= 1 && listed < total,
+        s"scan listed $listed of $total cells — no pruning happened")
+    }
+    // and the pruned read is LOSSLESS: exactly the plain-filter rows
+    val want = orders.filter(col("o_custkey").between(1L, hi))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    val got = graft.operators.ExportPipeline
+      .zorderPrunedRead(spark, tmp, 1L, hi)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
   test("native hash expressions stay inside whole-stage codegen (no " +
     "interpreted fallback around minhash_sig / simhash64 / winnow_fps)") {
     Seq("dedup_minhash" -> "minhash_sig",

@@ -233,6 +233,65 @@ class RelationalSpec extends SparkSpec {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("multiTouchAttribution: ppm credits reconcile to exactly 1e6 per " +
+    "conversion under every model; path splits match hand computation") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: click 2 h before, view 1 h before → n=2
+      (10L, 1L, ts("2024-01-01 08:00:00"), "click", 0.0),
+      (11L, 1L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (12L, 1L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      // user 4: conversion with NO touches → full-credit null row
+      (40L, 4L, ts("2024-01-01 09:00:00"), "error", 0.0),
+      (41L, 4L, ts("2024-01-01 10:00:00"), "purchase", 80.0),
+      // user 6: 4 touches → U-shape 400000/100000/100000/400000
+      (60L, 6L, ts("2024-01-01 06:00:00"), "click", 0.0),
+      (61L, 6L, ts("2024-01-01 07:00:00"), "view", 0.0),
+      (62L, 6L, ts("2024-01-01 08:00:00"), "view", 0.0),
+      (63L, 6L, ts("2024-01-01 09:00:00"), "signup", 0.0),
+      (64L, 6L, ts("2024-01-01 10:00:00"), "purchase", 1.0),
+      // user 7: two conversions — each claims only its own segment
+      (70L, 7L, ts("2024-01-01 08:00:00"), "click", 0.0),
+      (71L, 7L, ts("2024-01-01 09:00:00"), "purchase", 1.0),
+      (72L, 7L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (73L, 7L, ts("2024-01-01 11:00:00"), "purchase", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.operators.Sessionize.multiTouchAttribution(ev).collect()
+    def rowsOf(conv: Long) = out.filter(_.getAs[Long]("conv_event_id") == conv)
+    // user 1: linear 500000/500000; decay weights 2^28 (2 h) vs 2^29
+    // (1 h): floors 333333 + 666666, remainder 1 → the LAST touch
+    val u1 = rowsOf(12L).map(r => r.getAs[Long]("touch_event_id") ->
+      ((r.getAs[Long]("linear_ppm"), r.getAs[Long]("decay_ppm"),
+        r.getAs[Long]("position_ppm")))).toMap
+    assert(u1 == Map(10L -> ((500000L, 333333L, 500000L)),
+      11L -> ((500000L, 666667L, 500000L))))
+    // user 4: null-touch full credit
+    val u4 = rowsOf(41L)
+    assert(u4.length == 1 && u4.head.isNullAt(1) &&
+      u4.head.getAs[Long]("linear_ppm") == 1000000L &&
+      u4.head.getAs[Long]("n_touches") == 0L)
+    // user 6 U-shape
+    val u6 = rowsOf(64L).map(r => r.getAs[Long]("touch_event_id") ->
+      r.getAs[Long]("position_ppm")).toMap
+    assert(u6 == Map(60L -> 400000L, 61L -> 100000L, 62L -> 100000L,
+      63L -> 400000L))
+    // user 7 segmentation: each conversion sees one touch
+    assert(rowsOf(71L).map(_.getAs[Long]("touch_event_id")).toSeq == Seq(70L))
+    assert(rowsOf(73L).map(_.getAs[Long]("touch_event_id")).toSeq == Seq(72L))
+    // corpus-level reconciliation at sf0: every conversion sums to
+    // EXACTLY 1e6 under every model, and every purchase appears
+    val full = graft.operators.Sessionize.multiTouchAttribution(
+      Tables.events(spark, sf0))
+    val sums = full.groupBy(col("conv_event_id"))
+      .agg(sum(col("linear_ppm")).as("l"), sum(col("decay_ppm")).as("d"),
+        sum(col("position_ppm")).as("p"))
+    assert(sums.filter(col("l") =!= 1000000L || col("d") =!= 1000000L ||
+      col("p") =!= 1000000L).count() == 0)
+    assert(sums.count() == Tables.events(spark, sf0)
+      .filter(col("event_type") === "purchase").count())
+  }
+
   test("valueAnomalies: planted outlier flagged, tight distributions " +
     "silent, degenerate types safe") {
     import java.sql.Timestamp
