@@ -172,6 +172,85 @@ object SparkEntry {
     s"$head, $stepCtes"
   }
 
+  /** Unigram-tokenizer oracle (round 10): the ENTIRE 2-round hard-EM
+    * train unrolled into CTEs — seed inventory, per-round vocab ranking,
+    * the Viterbi DP over word positions 1..12, the backtrack walk, and
+    * the usage M-step — replaying Tokenizer.unigramVocab verbatim (the
+    * integer cost surrogate makes every comparison a BIGINT compare, so
+    * rank/argmin tie-breaks are bit-identical; ROW_NUMBER here equals
+    * the engine's window-free count-of-better ranks because (freq,
+    * piece) totally orders the vocab and (cost, k) totally orders the
+    * DP candidates). */
+  private val UgMaxLen = 12
+  private val UgMaxK = 3
+
+  /** voc<it>/v<it>: singles (always present, freq 0 allowed) + top-32
+    * multi-char pieces of `freqRel` by (freq DESC, piece), ranked. */
+  private def sqlUnigramVocab(it: Int, freqRel: String): String =
+    s"voc$it AS MATERIALIZED (SELECT piece, freq FROM (SELECT s.piece, " +
+      s"coalesce(f.freq, 0) AS freq FROM singles s LEFT JOIN $freqRel f " +
+      "USING (piece)) " +
+      s"UNION ALL SELECT piece, freq FROM (SELECT piece, freq FROM $freqRel " +
+      "WHERE len(piece) >= 2 ORDER BY freq DESC, piece LIMIT 32)), " +
+      s"v$it AS MATERIALIZED (SELECT piece, freq, CAST(ROW_NUMBER() OVER " +
+      s"(ORDER BY freq DESC, piece) AS BIGINT) AS rank FROM voc$it)"
+
+  /** One EM round: DP frames b<it>_0..12 (min cost + chosen piece
+    * length per position), backtrack e<it>_1..12, usage u<it>. */
+  private def sqlUnigramEm(it: Int): String = {
+    val b0 = s"b${it}_0 AS MATERIALIZED (SELECT word, wl, CAST(0 AS BIGINT) AS cost, " +
+      "CAST(0 AS BIGINT) AS k FROM w)"
+    val dp = (1 to UgMaxLen).map { p =>
+      val ks = (1 to math.min(UgMaxK, p)).map { k =>
+        s"SELECT b.word, b.wl, b.cost + 1000000 + v.rank AS cost, " +
+          s"CAST($k AS BIGINT) AS k FROM b${it}_${p - k} b " +
+          s"JOIN v${it - 1} v ON v.piece = substring(b.word, ${p - k + 1}, $k) " +
+          s"WHERE b.wl >= $p"
+      }.mkString(" UNION ALL ")
+      s"c${it}_$p AS MATERIALIZED ($ks), " +
+        s"b${it}_$p AS MATERIALIZED (SELECT word, wl, cost, k FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, k) AS rn " +
+        s"FROM c${it}_$p) WHERE rn = 1)"
+    }.mkString(", ")
+    val bb = s"bb$it AS MATERIALIZED (" + (1 to UgMaxLen).map(p =>
+      s"SELECT word, CAST($p AS BIGINT) AS p, k FROM b${it}_$p")
+      .mkString(" UNION ALL ") + ")"
+    val s0 = s"s${it}_0 AS MATERIALIZED (SELECT word, cnt, wl AS p FROM w)"
+    val bt = (1 to UgMaxLen).map { j =>
+      s"e${it}_$j AS MATERIALIZED (SELECT s.word, s.cnt, s.p, bb.k, " +
+        "substring(s.word, CAST(s.p - bb.k + 1 AS INTEGER), " +
+        "CAST(bb.k AS INTEGER)) AS piece " +
+        s"FROM s${it}_${j - 1} s JOIN bb$it bb " +
+        "ON bb.word = s.word AND bb.p = s.p), " +
+        s"s${it}_$j AS MATERIALIZED (SELECT word, cnt, p - k AS p FROM e${it}_$j " +
+        "WHERE p - k > 0)"
+    }.mkString(", ")
+    val u = s"u$it AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM (" +
+      (1 to UgMaxLen).map(j => s"SELECT piece, cnt FROM e${it}_$j")
+        .mkString(" UNION ALL ") + ") GROUP BY piece)"
+    Seq(b0, dp, bb, s0, bt, u).mkString(", ")
+  }
+
+  private lazy val sqlUnigram: String =
+    "WITH wc0 AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(" +
+      "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')" +
+      ") AS word FROM documents) WHERE len(word) > 0 GROUP BY 1), " +
+      "w AS MATERIALIZED (SELECT word, cnt, CAST(len(word) AS BIGINT) AS wl FROM (" +
+      s"SELECT substring(word, 1, $UgMaxLen) AS word, " +
+      "CAST(SUM(cnt) AS BIGINT) AS cnt FROM wc0 GROUP BY 1)), " +
+      "occ AS MATERIALIZED (SELECT t.word, t.cnt, t.p, ks.k, " +
+      "substring(t.word, CAST(t.p - ks.k + 1 AS INTEGER), ks.k) AS piece " +
+      "FROM (SELECT word, cnt, wl, unnest(range(1, wl + 1)) AS p FROM w) t, " +
+      s"(VALUES ${(1 to UgMaxK).map(k => s"($k)").mkString(", ")}) AS ks(k) " +
+      "WHERE ks.k <= t.p), " +
+      "singles AS MATERIALIZED (SELECT DISTINCT piece FROM occ WHERE k = 1), " +
+      "f0 AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM occ GROUP BY 1), " +
+      sqlUnigramVocab(0, "f0") + ", " +
+      sqlUnigramEm(1) + ", " + sqlUnigramVocab(1, "u1") + ", " +
+      sqlUnigramEm(2) + ", " + sqlUnigramVocab(2, "u2") + " " +
+      "SELECT rank, piece, CAST(len(piece) AS BIGINT) AS piece_len, " +
+      "freq AS usage FROM v2 WHERE rank <= 24 ORDER BY rank"
+
   /** Flagship: the reference's whole pipeline on `events` — meta-project,
     * sentinel partition routing, ODBC ts format, JSON encode, group by
     * endpoint (SURVEY.md §7.1). Driver smoke-checks rows > 0 at sf0.001. */
@@ -772,6 +851,15 @@ object SparkEntry {
     // corpus touched exactly once (the word count). Top-5 pairs per step.
     "tokenizer_bpe" -> ((s, d) =>
       operators.Tokenizer.bpeMergeStats(Tables.documents(s, d),
+        scope = harnessScope)),
+
+    // Unigram-LM tokenizer training (round 10, SentencePiece-lineage):
+    // substring seed inventory → 2 hard-EM rounds (Viterbi E-step as a
+    // bounded DP unroll over word positions, usage-count M-step with
+    // prune) under an integer-exact cost surrogate — the whole train
+    // replays in SQL (sqlUnigram below). Output: the learned vocab head.
+    "tokenizer_unigram" -> ((s, d) =>
+      operators.Tokenizer.unigramVocab(Tables.documents(s, d),
         scope = harnessScope)),
 
     // The compression curve those merges buy: corpus-weighted symbol
@@ -1718,6 +1806,8 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
 
     "text_langid" -> sqlLangId,
+
+    "tokenizer_unigram" -> sqlUnigram,
 
     "text_quality" ->
       (s"SELECT doc_id, " +

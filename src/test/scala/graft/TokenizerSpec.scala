@@ -71,4 +71,84 @@ class TokenizerSpec extends SparkSpec {
       assert(ws.zip(ws.tail).forall { case (hi, lo) => hi >= lo })
     }
   }
+
+  test("unigramVocab matches an independent driver-side hard-EM replay " +
+    "(seed ranks, Viterbi with exact tie-breaks, usage M-step) and is " +
+    "repartition-deterministic") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Tokenizer.unigramVocab(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val out2 = Tokenizer.unigramVocab(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == out2.toSeq, "not repartition-deterministic")
+
+    // ---- independent reference implementation (plain Scala) ----------
+    val texts = docs.select(col("text")).collect().map(_.getString(0))
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      t.toLowerCase.trim.split(" +").filter(_.nonEmpty).foreach { w0 =>
+        val w = w0.take(12)
+        wc(w) = wc.getOrElse(w, 0L) + 1L
+      }
+    }
+    def substrFreqs: Map[String, Long] = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      wc.foreach { case (w, c) =>
+        for (p <- 1 to w.length; k <- 1 to math.min(3, p)) {
+          val piece = w.substring(p - k, p)
+          m(piece) = m.getOrElse(piece, 0L) + c
+        }
+      }
+      m.toMap
+    }
+    val singles = substrFreqs.keys.filter(_.length == 1).toSet
+    def vocabOf(freqs: Map[String, Long]): Seq[(String, Long, Long)] = {
+      val sf = singles.toSeq.map(p => p -> freqs.getOrElse(p, 0L))
+      val mf = freqs.toSeq.filter(_._1.length >= 2)
+        .sortBy { case (p, f) => (-f, p) }.take(32)
+      val v = sf ++ mf
+      val sorted = v.sortBy { case (p, f) => (-f, p) }
+      sorted.zipWithIndex.map { case ((p, f), i) => (p, f, i + 1L) }
+    }
+    def usageUnder(rank: Map[String, Long]): Map[String, Long] = {
+      val use = scala.collection.mutable.Map.empty[String, Long]
+      wc.foreach { case (w, c) =>
+        val n = w.length
+        val cost = Array.fill(n + 1)(Long.MaxValue)
+        val kc = Array.fill(n + 1)(0)
+        cost(0) = 0L
+        for (p <- 1 to n; k <- 1 to math.min(3, p)) {
+          val piece = w.substring(p - k, p)
+          rank.get(piece).foreach { r =>
+            if (cost(p - k) != Long.MaxValue) {
+              val cand = cost(p - k) + 1000000L + r
+              // tie-break: smaller (cost, k) wins — k ascends, so only
+              // strictly-better candidates replace
+              if (cand < cost(p)) { cost(p) = cand; kc(p) = k }
+            }
+          }
+        }
+        var p = n
+        while (p > 0) {
+          val k = kc(p)
+          val piece = w.substring(p - k, p)
+          use(piece) = use.getOrElse(piece, 0L) + c
+          p -= k
+        }
+      }
+      use.toMap
+    }
+    var vocab = vocabOf(substrFreqs)
+    for (_ <- 1 to 2)
+      vocab = vocabOf(usageUnder(
+        vocab.map { case (p, _, r) => p -> r }.toMap))
+    val want = vocab.filter(_._3 <= 24L)
+      .map { case (p, f, r) => (r, p, p.length.toLong, f) }
+      .sortBy(_._1)
+    assert(out.toSeq == want,
+      s"engine vocab diverges from the reference replay:\n" +
+        s"got  ${out.toSeq}\nwant $want")
+    // non-vacuous: the trained head contains real multi-char pieces
+    assert(out.exists(_._3 >= 2), "no multi-char piece learned")
+  }
 }
