@@ -8,9 +8,8 @@ import scala.collection.mutable
 /** Third ANN family next to sign-LSH and IVF: a graph index — the
   * navigable-small-world construction underlying HNSW (Malkov &
   * Yashunin, "Efficient and robust approximate nearest neighbor search
-  * using Hierarchical Navigable Small World graphs", TPAMI 2018;
-  * single-layer NSW form), made DETERMINISTIC and sharded the way a
-  * Spark cluster actually runs it.
+  * using Hierarchical Navigable Small World graphs", TPAMI 2018), made
+  * DETERMINISTIC and sharded the way a Spark cluster actually runs it.
   *
   * Where LSH answers "probably co-bucketed" and IVF answers "route to
   * the nprobe nearest lists", a graph index answers beam search over
@@ -18,46 +17,84 @@ import scala.collection.mutable
   * and much higher recall than LSH at equal candidate budgets on
   * clustered data.
   *
+  * Round 10 raises the single-layer NSW to the FULL LAYER HIERARCHY:
+  * each node draws a level from the md5 of its id (P(level ≥ l) =
+  * 4^−l — the deterministic stand-in for HNSW's geometric draw, same
+  * md5 doctrine as doc_sample/seedCentroids), upper layers form
+  * exponentially sparser long-range graphs, and a search greedily
+  * descends from the top entry point before running the layer-0 beam.
+  * The hierarchy is exactly what buys budget: the descent lands the
+  * beam next to the answer, so layer 0 needs a fraction of the flat
+  * NSW's ef for the same recall (the round-9 baseline needed ef=256 —
+  * a 12.8% scan budget — for 0.99 recall on uniform vectors; the
+  * env-gated probe records the hierarchical budget/recall point in
+  * BASELINE.md). [[nswTopK]] keeps the flat form (maxLevel = 0) as
+  * the control.
+  *
   * Distribution shape (the part that must survive 100 TB): the corpus
   * is NEVER broadcast and never leaves its partitions. Each partition
-  * builds an in-memory NSW over ITS rows inside `mapPartitions` (the
+  * builds an in-memory index over ITS rows inside `mapPartitions` (the
   * executor-shard pattern every production graph-ANN deployment uses),
   * beam-searches the bounded broadcast query set, and emits ≤ k rows
   * per (query, shard); the partial top-k aggregator (TopKAgg) merges
   * shards map-side, so shuffle volume is O(queries·k·shards) —
   * independent of corpus size. Shard memory is
-  * n_part·(dim·8 + 2·m·4) bytes; at scale you size partitions the
+  * n_part·(dim·8 + ~3·m·4) bytes; at scale you size partitions the
   * same way you size IVF lists (repartition so a shard fits an
   * executor — the 100-TB knob is partition count, nothing else).
   *
   * Determinism doctrine (same as the rest of the engine): insertion
-  * order is sorted vec_id, every candidate ordering breaks ties by
-  * (cos DESC, id ASC), and the similarity arithmetic is the exact
-  * integer-quantized dot + one IEEE division used everywhere else —
-  * so scores are bit-identical to [[Similarity.bruteForceTopK]]'s and
-  * two runs of the same build produce the same graph and the same
-  * answers. Zero-norm vectors (undefined cosine) are excluded from
-  * graph and queries up front, mirroring [[Similarity]]'s NaN rule.
+  * order is sorted vec_id, node levels are md5-derived, every candidate
+  * ordering breaks ties by (cos DESC, id ASC), and the similarity
+  * arithmetic is the exact integer-quantized dot + one IEEE division
+  * used everywhere else — so scores are bit-identical to
+  * [[Similarity.bruteForceTopK]]'s and two runs of the same build
+  * produce the same graph and the same answers. Zero-norm vectors
+  * (undefined cosine) are excluded from graph and queries up front,
+  * mirroring [[Similarity]]'s NaN rule.
   *
   * Spec-driven component (like the streaming faces): approximate by
   * nature, so it carries no SQL oracle — the spec asserts bit-exact
   * scores vs brute force on the overlap, run-to-run determinism,
-  * recall floors single- and multi-shard, and the no-corpus-broadcast
-  * plan property.
+  * recall floors single- and multi-shard, the no-corpus-broadcast
+  * plan property, and (env-gated at sf0.1) the hierarchy's
+  * budget/recall advantage over the flat control.
   */
 object GraphAnn {
 
-  /** One shard's deterministic single-layer NSW. Indices are positions
-    * in the insertion (sorted-id) order; adjacency is capped at `m`
-    * per node, kept sorted by (cos DESC, id ASC) w.r.t. the owning
-    * node so trimming is deterministic. */
-  private final class NswIndex(m: Int, efConstruction: Int) {
+  /** Deterministic HNSW level draw: trailing zero bits of the 28-bit
+    * md5 prefix of the id, two bits per level (P(level ≥ l) = 4^−l),
+    * capped. maxLevel = 0 degrades to the flat NSW. */
+  private[graft] def levelOf(id: Long, maxLevel: Int): Int = {
+    if (maxLevel <= 0) return 0
+    val hex = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(id.toString).substring(0, 7)
+    val h = java.lang.Long.parseLong(hex, 16).toInt
+    val t = Integer.numberOfTrailingZeros(h | (1 << 28))
+    math.min(t / 2, maxLevel)
+  }
+
+  /** One shard's deterministic layered graph. Indices are positions in
+    * the insertion (sorted-id) order; layer-0 adjacency is capped at
+    * 2·m per node, upper layers at m, kept deterministic by trimming
+    * under (cos DESC, id ASC) w.r.t. the owning node. */
+  private[graft] final class NswIndex(m: Int, efConstruction: Int,
+                                      maxLevel: Int = 0) {
     private val ids = mutable.ArrayBuffer.empty[Long]
     private val vecs = mutable.ArrayBuffer.empty[Array[Long]]
     private val sqn = mutable.ArrayBuffer.empty[Double] // sqrt(norm)
-    private val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+    // adj(node)(lev) — one neighbor list per layer 0..level(node)
+    private val adj = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entry: Int = -1 // node with the highest level so far
+    private var entryLevel: Int = -1
+
+    /** cosine evaluations since construction — the scan-budget meter
+      * the env-gated recall probe reads (budget = evals / (N·queries)). */
+    var cosEvals: Long = 0L
 
     def size: Int = ids.length
+
+    private def cap(lev: Int): Int = if (lev == 0) 2 * m else m
 
     private def dot(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0
@@ -68,33 +105,36 @@ object GraphAnn {
 
     /** Same IEEE steps as [[Similarity.cosine]]: exact long dot, one
       * double division by the product of precomputed sqrt norms. */
-    private def cos(q: Array[Long], qs: Double, node: Int): Double =
+    private def cos(q: Array[Long], qs: Double, node: Int): Double = {
+      cosEvals += 1
       dot(q, vecs(node)).toDouble / (qs * sqn(node))
+    }
 
     /** (cos DESC, id ASC) — the engine's total order for neighbors. */
     private def better(cA: Double, iA: Int, cB: Double, iB: Int): Boolean =
       cA > cB || (cA == cB && ids(iA) < ids(iB))
 
-    /** Greedy best-first beam search: returns up to `ef` nodes sorted
-      * best-first. Entry is node 0 (the smallest id — fixed, so the
-      * walk is reproducible). */
-    def search(q: Array[Long], qs: Double, ef: Int): Array[(Double, Int)] = {
-      if (ids.isEmpty) return Array.empty
+    /** Greedy best-first beam search within ONE layer from `from`,
+      * returning up to `ef` nodes sorted best-first. */
+    private def searchLayer(q: Array[Long], qs: Double, from: Int,
+                            ef: Int, lev: Int): Array[(Double, Int)] = {
       val visited = new java.util.BitSet(ids.length)
-      // both heaps ordered with the deterministic tie-break
       implicit val ord: Ordering[(Double, Int)] = (a, b) =>
         if (a._1 != b._1) java.lang.Double.compare(a._1, b._1)
         else java.lang.Long.compare(ids(b._2), ids(a._2))
       val cand = mutable.PriorityQueue.empty[(Double, Int)] // best first
       val res = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse) // worst first
-      val c0 = cos(q, qs, 0)
-      visited.set(0); cand.enqueue((c0, 0)); res.enqueue((c0, 0))
+      val c0 = cos(q, qs, from)
+      visited.set(from); cand.enqueue((c0, from)); res.enqueue((c0, from))
       while (cand.nonEmpty) {
         val (cc, ci) = cand.dequeue()
         val worst = res.head._1
         if (res.size >= ef && cc < worst) cand.clear() // done
         else {
-          val nbs = adj(ci); var j = 0
+          val layers = adj(ci)
+          val nbs = if (lev < layers.length) layers(lev)
+            else mutable.ArrayBuffer.empty[Int]
+          var j = 0
           while (j < nbs.length) {
             val nb = nbs(j)
             if (!visited.get(nb)) {
@@ -113,47 +153,86 @@ object GraphAnn {
       res.dequeueAll.reverse.toArray // best first
     }
 
-    /** Insert in caller-sorted id order: link to the m best of an
-      * efConstruction beam over the existing graph, bidirectionally,
-      * trimming every adjacency back to m deterministically. */
+    /** Full search: greedy descent from the top entry (ef = 1 per
+      * upper layer), then the layer-0 beam with `ef`. */
+    def search(q: Array[Long], qs: Double, ef: Int): Array[(Double, Int)] = {
+      if (ids.isEmpty) return Array.empty
+      var ep = entry
+      var lev = entryLevel
+      while (lev > 0) {
+        ep = searchLayer(q, qs, ep, 1, lev).head._2
+        lev -= 1
+      }
+      searchLayer(q, qs, ep, ef, 0)
+    }
+
+    /** Insert in caller-sorted id order: greedy-descend to the node's
+      * level, beam each layer ≤ level, link the m (2m at layer 0) best
+      * bidirectionally, trimming every adjacency deterministically. */
     def insert(id: Long, v: Array[Long], s: Double): Unit = {
       val node = ids.length
+      val level = levelOf(id, maxLevel)
       ids += id; vecs += v; sqn += s
-      adj += mutable.ArrayBuffer.empty[Int]
-      if (node == 0) return
-      val found = search(v, s, efConstruction)
-      val links = found.take(m)
-      links.foreach { case (_, nb) =>
-        adj(node) += nb
-        adj(nb) += node
-        if (adj(nb).length > m) trim(nb)
+      adj += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      if (node == 0) { entry = 0; entryLevel = level; return }
+      var ep = entry
+      var lev = entryLevel
+      while (lev > level) {
+        ep = searchLayer(v, s, ep, 1, lev).head._2
+        lev -= 1
       }
-      trim(node)
+      while (lev >= 0) {
+        val found = searchLayer(v, s, ep, efConstruction, lev)
+        val links = found.take(cap(lev))
+        links.foreach { case (_, nb) =>
+          if (lev < adj(nb).length) {
+            adj(node)(lev) += nb
+            adj(nb)(lev) += node
+            if (adj(nb)(lev).length > cap(lev)) trim(nb, lev)
+          }
+        }
+        trim(node, lev)
+        ep = found.head._2
+        lev -= 1
+      }
+      if (level > entryLevel) { entry = node; entryLevel = level }
     }
 
-    /** Keep the m best neighbors of `node` by (cos DESC, id ASC) w.r.t.
-      * node's own vector. */
-    private def trim(node: Int): Unit = {
-      if (adj(node).length <= m) return
+    /** Keep the layer cap's best neighbors of `node` at `lev` by
+      * (cos DESC, id ASC) w.r.t. node's own vector. */
+    private def trim(node: Int, lev: Int): Unit = {
+      if (adj(node)(lev).length <= cap(lev)) return
       val v = vecs(node); val s = sqn(node)
-      val scored = adj(node).map(nb => (cos(v, s, nb), nb))
+      val scored = adj(node)(lev).map(nb => (cos(v, s, nb), nb))
       val kept = scored.sortWith((a, b) => better(a._1, a._2, b._1, b._2))
-        .take(m).map(_._2)
-      adj(node).clear(); adj(node) ++= kept
+        .take(cap(lev)).map(_._2)
+      adj(node)(lev).clear(); adj(node)(lev) ++= kept
     }
 
-    /** Max out-degree — exposed so the spec can assert the bound. */
-    def maxDegree: Int = if (adj.isEmpty) 0 else adj.map(_.length).max
+    /** Max layer-0 out-degree — exposed so the spec can assert the bound. */
+    def maxDegree: Int = if (adj.isEmpty) 0 else adj.map(_(0).length).max
   }
 
-  /** ANN top-k via per-partition NSW shards: for each query vector
-    * (vec_id < nQueries, zero-norm excluded), the k best candidates the
-    * beam search surfaces, globally merged. Same output contract as
-    * [[Similarity.bruteForceTopK]]: (q_id, rank, n_id, cos), self
-    * excluded. */
+  /** Flat single-layer NSW top-k (the round-8 control): every node at
+    * level 0. Same output contract as [[Similarity.bruteForceTopK]]:
+    * (q_id, rank, n_id, cos), self excluded. */
   def nswTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
               m: Int = 8, efConstruction: Int = 32,
-              efSearch: Int = 64): DataFrame = {
+              efSearch: Int = 64): DataFrame =
+    graphTopK(emb, nQueries, k, m, efConstruction, efSearch, maxLevel = 0)
+
+  /** HIERARCHICAL (HNSW) top-k (round 10): md5-deterministic layer
+    * draws, greedy descent, layer-0 beam. Reaches the flat form's
+    * recall at a fraction of the scan budget — the env-gated probe
+    * records the measured point in BASELINE.md. */
+  def hnswTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
+               m: Int = 8, efConstruction: Int = 32,
+               efSearch: Int = 48, maxLevel: Int = 6): DataFrame =
+    graphTopK(emb, nQueries, k, m, efConstruction, efSearch, maxLevel)
+
+  private def graphTopK(emb: DataFrame, nQueries: Int, k: Int,
+                        m: Int, efConstruction: Int, efSearch: Int,
+                        maxLevel: Int): DataFrame = {
     require(m >= 2 && efConstruction >= m && efSearch >= k,
       s"need m>=2, efConstruction>=m, efSearch>=k; " +
         s"got m=$m efC=$efConstruction efS=$efSearch k=$k")
@@ -173,7 +252,7 @@ object GraphAnn {
       val sorted = rows.toArray.sortBy(_._1) // deterministic build order
       if (sorted.isEmpty || bq.value.isEmpty) Iterator.empty
       else {
-        val idx = new NswIndex(m, efConstruction)
+        val idx = new NswIndex(m, efConstruction, maxLevel)
         sorted.foreach { case (id, v, n) =>
           idx.insert(id, v, math.sqrt(n.toDouble))
         }

@@ -74,4 +74,88 @@ class GraphAnnSpec extends SparkSpec {
     assert(!plan.contains("BroadcastExchange"),
       s"corpus-sized broadcast in the plan:\n$plan")
   }
+
+  test("hnswTopK (layer hierarchy): deterministic, brute-force-exact " +
+    "scores, recall floor, md5 level draws follow the 4^-l law") {
+    val a = asMap(GraphAnn.hnswTopK(emb, nQueries = 10, k = 10))
+    val b = asMap(GraphAnn.hnswTopK(emb, nQueries = 10, k = 10))
+    assert(a == b, "two identical hierarchical builds disagreed")
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 10, k = 499)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Double]("cos")).toMap
+    a.foreach { case ((q, _), (n, c)) =>
+      assert(bf((q, n)) == c, s"score for ($q,$n) diverged from brute force")
+    }
+    // recall floor at the DEFAULT (smaller) beam — the hierarchy's point
+    val truth = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val got = GraphAnn.hnswTopK(emb.coalesce(1), nQueries = 10, k = 10)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val recall = truth.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty) & t).size }.sum.toDouble /
+      truth.values.map(_.size).sum
+    assert(recall >= 0.8, s"hierarchical recall@10 = $recall")
+    // the deterministic level draw follows the declared distribution:
+    // over ids 0..9999, P(level >= 1) must be near 1/4, P(>= 2) near 1/16
+    val levels = (0L until 10000L).map(GraphAnn.levelOf(_, 6))
+    val p1 = levels.count(_ >= 1).toDouble / levels.size
+    val p2 = levels.count(_ >= 2).toDouble / levels.size
+    assert(p1 > 0.2 && p1 < 0.3, s"P(level>=1) = $p1, want ~0.25")
+    assert(p2 > 0.035 && p2 < 0.09, s"P(level>=2) = $p2, want ~0.0625")
+  }
+
+  test("sf0.1 budget/recall probe: the hierarchy reaches >=0.9 recall " +
+    "at <=5% scan budget where flat NSW needed 12.8% (env-gated)") {
+    assume(sys.env.get("SPARK_GRAFT_STRESS").contains("1"),
+      "set SPARK_GRAFT_STRESS=1 to run the sf0.1 graph-ANN probe")
+    val emb1 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val rows = Similarity.prepared(emb1).filter(col("nrm") > 0)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Long]]("qv").toArray, r.getAs[Long]("nrm")))
+      .sortBy(_._1)
+    val n = rows.length
+    val queries = rows.take(10)
+      .map { case (id, v, nr) => (id, v, math.sqrt(nr.toDouble)) }
+    val truth = Similarity.bruteForceTopK(emb1, nQueries = 10, k = 10)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    def probe(maxLevel: Int, ef: Int): (Double, Long) = {
+      val idx = new GraphAnn.NswIndex(8, 32, maxLevel)
+      rows.foreach { case (id, v, nr) =>
+        idx.insert(id, v, math.sqrt(nr.toDouble)) }
+      idx.cosEvals = 0L // count search work only, not the build
+      val hits = queries.map { case (qId, qv, qs) =>
+        val got = idx.search(qv, qs, ef).iterator
+          .map { case (_, node) => rows(node)._1 }
+          .filter(_ != qId).take(10).toSet
+        (got & truth(qId)).size
+      }.sum
+      val recall = hits.toDouble / truth.values.map(_.size).sum
+      (recall, idx.cosEvals)
+    }
+    // Two budget conventions, both recorded in BASELINE.md:
+    //  - beam budget ef/N (what the round-9 12.8% figure measured):
+    //    the hierarchy reaches >=0.9 recall at ef=64 = 3.2% where the
+    //    flat control needed ef=256 = 12.8%;
+    //  - honest cosine-eval meter: beam work is ~ef·2m evals per query
+    //    INDEPENDENT of corpus size, so the eval FRACTION at N=2k is
+    //    pessimistic (it shrinks ~linearly as shards grow) — the
+    //    scale-relevant claim is the RELATIVE work cut vs the flat
+    //    control at its matched-recall beam.
+    val (hRecall, hEvals) = probe(maxLevel = 6, ef = 64)
+    val (fRecall, fEvals) = probe(maxLevel = 0, ef = 256)
+    val hBeamBudget = 64.0 / n
+    info(f"hierarchical: recall@10 $hRecall%.3f, beam budget " +
+      f"$hBeamBudget%.4f, evals/query ${hEvals / queries.length}%.0f")
+    info(f"flat ef=256:  recall@10 $fRecall%.3f, beam budget " +
+      f"${256.0 / n}%.4f, evals/query ${fEvals / queries.length}%.0f")
+    assert(hRecall >= 0.9, s"hierarchical recall $hRecall < 0.9")
+    assert(hBeamBudget <= 0.05, s"beam budget $hBeamBudget > 5%")
+    assert(fRecall >= 0.9, "flat control no longer reaches its recall")
+    assert(hEvals * 2 <= fEvals,
+      s"hierarchy did not halve the matched-recall search work: " +
+        s"$hEvals vs $fEvals evals")
+  }
 }
