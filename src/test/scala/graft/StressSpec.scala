@@ -183,4 +183,89 @@ class StressSpec extends SparkSpec {
     assert(pairs == base1x,
       s"composed pair count $pairs != 1x corpus count $base1x")
   }
+
+  test("100x orders: the co-order edge build (the graph pair's shared " +
+    "input) stays linear-class and EXACT — edge set invariant, weights " +
+    "scaled by the copy count, triangles unchanged") {
+    gated()
+    val li = Tables.lineitem(spark, sfStress)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val copies = 100
+    // re-keyed ×100: every order cloned under distinct orderkeys — 100×
+    // the orders, per-order part fan-out FIXED (the scaling axis that
+    // matters: the bounded-explode argument is per-order)
+    val li100 = li.crossJoin(broadcast(
+        spark.range(copies).select(col("id").as("cp"))))
+      .select((col("l_orderkey") + col("cp") * 1000000000L)
+        .as("l_orderkey"), col("l_partkey"))
+    val t0 = System.nanoTime()
+    val e100 = graft.operators.Graph.coOrderEdges(li100).collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val e1 = graft.operators.Graph.coOrderEdges(li).collect()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (m100, m1) = (asMap(e100), asMap(e1))
+    // cloned orders add NO new part pairs — the edge SET is invariant
+    // and every weight is exactly copies × its 1× value
+    assert(m100.size == m1.size,
+      s"edge set changed under cloning: ${m100.size} vs ${m1.size}")
+    m1.foreach { case (k, w) => assert(m100(k) == copies * w, s"edge $k") }
+    // downstream invariance: triangles read only the distinct edge set,
+    // so the 100× graph answers identically
+    import spark.implicits._
+    val tri100 = graft.operators.Graph.triangles(li, edges0 = Some(
+      m100.keys.toSeq.toDF("a", "b").withColumn("w", lit(1L)))).collect()
+    val tri1 = graft.operators.Graph.triangles(li, edges0 = Some(
+      m1.keys.toSeq.toDF("a", "b").withColumn("w", lit(1L)))).collect()
+    assert(tri100.toSeq == tri1.toSeq)
+    info(f"100x co-order edge build (${copies}x lineitem): $wall%.1f s, " +
+      s"${m100.size} edges — linear-class (bounded per-order explode, " +
+      "one corpus-sized shuffle)")
+  }
+
+  test("100x dictionary duplication: PassJoin (join_fuzzy) segment index " +
+    "fails loudly under-provisioned, completes EXACT when maxBucket is " +
+    "sized for the duplication") {
+    gated()
+    import graft.operators.Relational
+    // sf0.01 base × 100 suffix-disjoint copies = 200k-name dictionary.
+    // Suffix blocks ' aaabbb' use doubled-letter pairs 3 apart: any two
+    // distinct suffixes cost ≥ 3 edits, so NO cross-copy pair can enter
+    // the d=2 output — the 100× answer must be exactly 100 disjoint
+    // copies of the 1× answer.
+    val part = Tables.part(spark, "/root/testdata/sf0.01")
+    val copies = 100
+    import spark.implicits._
+    val sufDf = (0 until copies).map { i =>
+      val a = ('a' + i / 10).toChar
+      val b = ('a' + i % 10).toChar
+      (i.toLong, s" $a$a$a$b$b$b")
+    }.toDF("cp", "sfx")
+    val part100 = part.select(col("p_partkey"), col("p_name"))
+      .crossJoin(broadcast(sufDf))
+      .select((col("p_partkey") + col("cp") * 100000000L).as("p_partkey"),
+        concat(col("p_name"), col("sfx")).as("p_name"))
+    // under-provisioned: copies co-bucket on their shared segments and
+    // the default 64-cap must abort NAMING the operator — never silent
+    // quadratic candidate work
+    val e = intercept[Exception] { Relational.fuzzyJoin(part100).count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeded maxBucket")),
+      s"expected the hot-bucket diagnosis, got: ${messages(e).mkString(" | ")}")
+    // provisioned for the KNOWN duplication (100 copies × the 1× bucket
+    // occupancy): completes, linear-class wall, exact per-copy output
+    val t0 = System.nanoTime()
+    val big = Relational.fuzzyJoin(part100, maxBucket = 8192).collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val base = Relational.fuzzyJoin(part).collect()
+    assert(big.length == copies * base.length,
+      s"100× matches ${big.length} != $copies × ${base.length}")
+    assert(big.forall(r =>
+        r.getString(0).takeRight(7) == r.getString(1).takeRight(7)),
+      "cross-copy pair leaked through the distance-3 suffix blocks")
+    info(f"100x PassJoin (${copies}x sf0.01 dictionary, " +
+      f"${big.length} matches): $wall%.1f s with maxBucket=8192")
+  }
 }
