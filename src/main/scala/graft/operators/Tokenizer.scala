@@ -257,6 +257,11 @@ object Tokenizer {
               (col("cost") + lit(1000000L) + col("rank")).as("cost"),
               lit(k.toLong).as("k"))
         }
+        // checkpoint EVERY level: sparse (every-3rd) checkpointing was
+        // measured 14× SLOWER — an unchecked level is referenced by the
+        // next three, and each lazy reference re-executes the level's
+        // whole shuffle, compounding within the window; one eager
+        // word-bounded job per level is the cheap shape
         frames(p) = mat(cands.reduce(_ unionByName _)
           .groupBy(col("word"), col("wl"))
           .agg(min(struct(col("cost"), col("k"))).as("m"))
