@@ -958,6 +958,13 @@ object SparkEntry {
     "freq_cms" -> ((s, d) =>
       Sketches.cmsHeavyHitters(Tables.documents(s, d))),
 
+    // HyperLogLog distinct-count sketch (round 10): per-returnflag
+    // distinct part keys from 1024 registers — exact-long harmonic sum
+    // + fixed-order IEEE estimate, so even the estimation ERROR
+    // replays in the oracle. The third sketch beside Bloom + CMS.
+    "sketch_hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(Tables.lineitem(s, d))),
+
     // Corpus-relative token-frequency score (round 8): the web-pipeline
     // frequency filter — vocab counts + join back, exact integers.
     "text_corpus_freq" -> ((s, d) =>
@@ -1054,6 +1061,14 @@ object SparkEntry {
     // candidate lookup + exact rerank; recall spec vs sim_topk besides.
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d))),
+
+    // Multi-probe LSH (round 10, Lv et al. 2007): each query probes its
+    // base bucket + every Hamming-1 neighbor per table — recovers the
+    // one-hyperplane-away misses without extra corpus hash passes.
+    // Candidates ⊇ sim_ann_lsh's (spec-asserted recall monotonicity);
+    // same exact integer arithmetic → full oracle.
+    "sim_ann_lsh_multiprobe" -> ((s, d) =>
+      Similarity.annTopKMultiProbe(Tables.embeddings(s, d))),
 
     // k-NN SELF-join (round 8): every vector's k nearest via the LSH
     // bucket scheme — bounded-bucket candidates, both orientations,
@@ -2165,6 +2180,31 @@ object SparkEntry {
         "FROM probes p JOIN cells c ON p.r = c.r AND p.cell = c.cell " +
         "GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok"),
 
+    // HLL replay: 28-bit md5 prefix → (bucket, rho) via bin() bit
+    // length (no leading zeros in either engine), exact-long harmonic
+    // sum with absent registers at 2^19, fixed-order IEEE estimate —
+    // identical literal arithmetic on identical exact inputs
+    "sketch_hll_distinct" ->
+      ("WITH k AS (SELECT l_returnflag, l_partkey, " +
+        "CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h " +
+        "FROM lineitem), " +
+        "r AS (SELECT l_returnflag, h % 1024 AS bucket, " +
+        "CASE WHEN h // 1024 = 0 THEN 19 " +
+        "ELSE 19 - length(bin(h // 1024)) END AS rho FROM k), " +
+        "regs AS (SELECT l_returnflag, bucket, CAST(MAX(rho) AS BIGINT) AS mj " +
+        "FROM r GROUP BY 1, 2), " +
+        "sums AS (SELECT l_returnflag, " +
+        "CAST(SUM(CAST(1 AS BIGINT) << CAST(19 - mj AS INTEGER)) AS BIGINT) AS s_present, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_present FROM regs GROUP BY 1), " +
+        "ex AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) " +
+        "AS exact_distinct FROM lineitem GROUP BY 1) " +
+        "SELECT s.l_returnflag, ex.exact_distinct, " +
+        "s.s_present + (1024 - s.n_present) * 524288 AS s_scaled, " +
+        "1024 - s.n_present AS zero_buckets, " +
+        "0.7213 / (1.0 + 1.079 / 1024.0) * 1024 * 1024 * 524288 / " +
+        "(s.s_present + (1024 - s.n_present) * 524288) AS hll_est " +
+        "FROM sums s JOIN ex USING (l_returnflag) ORDER BY s.l_returnflag"),
+
     // 13-gram hashes via the winnow CTE shape at w=1 (all distinct gram
     // hashes); df-cap over BOTH splits mirrors contaminationNgrams
     "contamination_ngram" ->
@@ -2456,6 +2496,21 @@ object SparkEntry {
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
         "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+
+    // multi-probe replay: base bucket + every single-bit xor flip per
+    // (query, table), then the identical candidate/rerank tail
+    "sim_ann_lsh_multiprobe" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "fl AS (SELECT * FROM (VALUES (0), (1), (2), (4), (8)) AS f(flip)), " +
+        "qp AS (SELECT DISTINCT vec_id AS q_id, tbl, " +
+        "xor(bucket, flip) AS bucket FROM bk, fl WHERE vec_id < 10), " +
+        "cand AS (SELECT DISTINCT qp.q_id, b.vec_id AS n_id FROM qp " +
+        "JOIN bk b ON qp.tbl = b.tbl AND qp.bucket = b.bucket AND b.vec_id != qp.q_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)) " +
+        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
 
     "sim_ann_lsh" ->
       (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +

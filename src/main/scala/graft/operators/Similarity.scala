@@ -334,6 +334,50 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** MULTI-PROBE LSH ANN top-k (round 10; Lv et al., "Multi-Probe LSH",
+    * VLDB 2007 — public literature): each query probes its base bucket
+    * PLUS every Hamming-1 neighbor (one sign bit flipped) in every
+    * table. A near neighbor that lands one hyperplane away — the
+    * dominant miss mode of sign-LSH — is recovered without adding
+    * tables: per-pair miss probability drops from (1−p^r)^L to
+    * Π(1 − p^r − r·p^(r−1)(1−p)) at the cost of a (1+r)× larger probe
+    * set, where extra TABLES would cost a full extra corpus hash pass
+    * each. The probe set is still bounded (nQueries·L·(1+r) rows —
+    * broadcastable), the corpus side is untouched (same single
+    * [[lshBuckets]] pass as [[annTopK]]), and every step is exact
+    * integer arithmetic — full DuckDB oracle like the base path.
+    * Candidates are a SUPERSET of [[annTopK]]'s (flip 0 is the base
+    * bucket), so recall is monotonically ≥ the single-probe path —
+    * spec-asserted. */
+  def annTopKMultiProbe(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
+                        tables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+    val p = prepared(emb)
+    val buckets = lshBuckets(p, tables, bitsPerTable)
+    val flips = array((lit(0L) +:
+      (0 until bitsPerTable).map(b => lit(1L << b))): _*)
+    val qp = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"),
+        explode(flips).as("flip"))
+      .select(col("q_id"), col("tbl"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val cand = buckets.join(broadcast(qp), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    // broadcast ONLY the bounded query set, never the corpus
+    val queries = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val corpus = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"))
+    val scored = cand
+      .join(broadcast(queries), Seq("q_id"))
+      .join(corpus, Seq("n_id"))
+      .withColumn("cos",
+        cosine(dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
+    topKPerGroup(scored, k)
+  }
+
   /** Mean-pool document-embedding aggregation (round 9) — the missing
     * half of the chunk-embedding workflow: a corpus pipeline that dedups
     * and packs sequences also needs ONE vector per document, and the

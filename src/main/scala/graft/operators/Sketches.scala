@@ -137,4 +137,59 @@ object Sketches {
       .withColumn("overcount", col("cms_est") - col("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
+
+  /** HyperLogLog distinct-count sketch (round 10; Flajolet, Fusy,
+    * Gandouet, Meunier 2007 — public) — the third sketch beside Bloom
+    * and Count-Min, and the one a 100 TB pipeline reaches for first:
+    * per-group distinct cardinalities from m = 2^b registers instead of
+    * a distinct-sized shuffle. Register bucket = the low b bits of the
+    * 28-bit md5 prefix; rho = 1 + leading-zero count of the remaining
+    * 18 value bits (all-zero value caps at 19); register M_j = max rho.
+    * The build is one groupBy with map-side max-combine — ≤ m rows per
+    * group survive any corpus size.
+    *
+    * DETERMINISTIC ESTIMATE, unusually for HLL: the harmonic sum is
+    * kept as the EXACT LONG S = Σ 2^(19 − M_j) (absent registers
+    * contribute 2^19; max m·2^19 = 2^29, no overflow), and the only
+    * floating-point steps — the α constant from fixed literals and ONE
+    * multiply/divide chain in a fixed order — are IEEE-identical on
+    * identical inputs, so even the estimation ERROR replays bit-for-bit
+    * in the DuckDB oracle. Raw-estimate regime only by design: the
+    * small-range linear-counting branch needs ln(); `zero_buckets` is
+    * emitted so a consumer can apply it downstream.
+    *
+    * Output: (l_returnflag, exact_distinct, s_scaled, zero_buckets,
+    * hll_est) over lineitem part keys, ordered. */
+  def hllDistinct(lineitem: DataFrame, b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val m = 1 << b
+    val rMax = 28 - b + 1
+    val keyed = lineitem
+      .select(col("l_returnflag"), col("l_partkey"))
+      .withColumn("h",
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 7), 16, 10)
+          .cast("long"))
+      .withColumn("bucket", col("h") % m)
+      .withColumn("v", expr(s"h div $m"))
+      .withColumn("rho", when(col("v") === 0, lit(rMax.toLong))
+        .otherwise(lit(rMax.toLong) - length(bin(col("v")))))
+    val regs = keyed.groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val sums = regs.groupBy(col("l_returnflag"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rMax - mj AS INT))"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("zero_buckets", lit(m.toLong) - col("n_present"))
+      .withColumn("s_scaled",
+        col("s_present") + col("zero_buckets") * lit(1L << rMax))
+    val exact = lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    sums.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_distinct"),
+        col("s_scaled"), col("zero_buckets"),
+        (alpha * lit(m) * lit(m) * lit(1L << rMax) / col("s_scaled"))
+          .as("hll_est"))
+      .orderBy(col("l_returnflag"))
+  }
 }

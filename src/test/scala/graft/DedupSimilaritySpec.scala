@@ -965,6 +965,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_kept")) < out.length)
   }
 
+  test("multi-probe LSH: candidates are a superset of the single-probe " +
+    "path, so per-query recall is monotonically >= — and it recovers " +
+    "misses at equal table budget") {
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val truth = hits(Similarity.bruteForceTopK(emb, nQueries = 10, k = 10))
+    val single = hits(Similarity.annTopK(emb, nQueries = 10, k = 10))
+    val multi = hits(Similarity.annTopKMultiProbe(emb, nQueries = 10, k = 10))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size }
+        .sum.toDouble / truth.values.map(_.size).sum
+    val (rs, rm) = (recall(single), recall(multi))
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    // non-vacuous at the fixture scale: the Hamming-1 probes must
+    // actually recover something the base buckets missed
+    assert(rm > rs, s"multi-probe recovered nothing (both at $rs)")
+  }
+
   test("qualityModel: feature counts are structural (2n-1), empty docs " +
     "survive with zero score, weights replay the fixed model") {
     import spark.implicits._
