@@ -231,7 +231,7 @@ object SparkEntry {
     Seq(b0, dp, bb, s0, bt, u).mkString(", ")
   }
 
-  private lazy val sqlUnigram: String =
+  private lazy val sqlUnigramCtes: String =
     "WITH wc0 AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(" +
       "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')" +
       ") AS word FROM documents) WHERE len(word) > 0 GROUP BY 1), " +
@@ -247,9 +247,22 @@ object SparkEntry {
       "f0 AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM occ GROUP BY 1), " +
       sqlUnigramVocab(0, "f0") + ", " +
       sqlUnigramEm(1) + ", " + sqlUnigramVocab(1, "u1") + ", " +
-      sqlUnigramEm(2) + ", " + sqlUnigramVocab(2, "u2") + " " +
+      sqlUnigramEm(2) + ", " + sqlUnigramVocab(2, "u2")
+
+  private lazy val sqlUnigram: String =
+    sqlUnigramCtes + " " +
       "SELECT rank, piece, CAST(len(piece) AS BIGINT) AS piece_len, " +
       "freq AS usage FROM v2 WHERE rank <= 24 ORDER BY rank"
+
+  /** Encode-side oracle: one MORE unrolled E-step (em(3) under v2 — the
+    * final trained vocab), aggregated to the per-piece-length profile. */
+  private lazy val sqlUnigramEncode: String =
+    sqlUnigramCtes + ", " + sqlUnigramEm(3) + " " +
+      "SELECT CAST(len(piece) AS BIGINT) AS piece_len, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_pieces, " +
+      "CAST(SUM(freq) AS BIGINT) AS occurrences, " +
+      "CAST(SUM(len(piece) * freq) AS BIGINT) AS chars_covered " +
+      "FROM u3 GROUP BY 1 ORDER BY 1"
 
   /** Flagship: the reference's whole pipeline on `events` — meta-project,
     * sentinel partition routing, ODBC ts format, JSON encode, group by
@@ -860,6 +873,14 @@ object SparkEntry {
     // replays in SQL (sqlUnigram below). Output: the learned vocab head.
     "tokenizer_unigram" -> ((s, d) =>
       operators.Tokenizer.unigramVocab(Tables.documents(s, d),
+        scope = harnessScope)),
+
+    // Encode-side profile (round 10): segment the corpus under the
+    // FINAL trained vocab (a third Viterbi pass — what a deployed
+    // tokenizer does to every document) and report the per-piece-length
+    // profile; Σ chars_covered tiles the truncated corpus exactly.
+    "tokenizer_unigram_encode" -> ((s, d) =>
+      operators.Tokenizer.unigramEncode(Tables.documents(s, d),
         scope = harnessScope)),
 
     // The compression curve those merges buy: corpus-weighted symbol
@@ -1823,6 +1844,8 @@ object SparkEntry {
     "text_langid" -> sqlLangId,
 
     "tokenizer_unigram" -> sqlUnigram,
+
+    "tokenizer_unigram_encode" -> sqlUnigramEncode,
 
     "text_quality" ->
       (s"SELECT doc_id, " +

@@ -200,6 +200,46 @@ object Tokenizer {
                    maxPieceLen: Int = 3, vocabMulti: Int = 32,
                    topOut: Int = 24,
                    scope: CacheScope = CacheScope.off): DataFrame = {
+    val (vocab, _) =
+      unigramCore(docs, emIters, maxWordLen, maxPieceLen, vocabMulti)
+    vocab.filter(col("rank") <= topOut)
+      .select(col("rank"), col("piece"),
+        length(col("piece")).cast("long").as("piece_len"),
+        col("freq").as("usage"))
+      .orderBy(col("rank"))
+  }
+
+  /** ENCODE-side report (round 10): segment the corpus one more time
+    * under the FINAL trained vocab (a third Viterbi E-step — exactly
+    * what a deployed unigram tokenizer does to every document) and
+    * report the per-piece-length profile: distinct pieces used,
+    * corpus-weighted occurrences, characters covered. The invariant a
+    * tokenizer auditor checks first is EXACT here: Σ chars_covered
+    * equals the truncated corpus character count, because Viterbi
+    * segmentations tile every word — spec-asserted, and the whole
+    * report replays in the oracle (one more unrolled EM block).
+    * Output: (piece_len, n_pieces, occurrences, chars_covered). */
+  def unigramEncode(docs: DataFrame, emIters: Int = 2, maxWordLen: Int = 12,
+                    maxPieceLen: Int = 3, vocabMulti: Int = 32,
+                    scope: CacheScope = CacheScope.off): DataFrame = {
+    val (vocab, usageUnder) =
+      unigramCore(docs, emIters, maxWordLen, maxPieceLen, vocabMulti)
+    usageUnder(vocab)
+      .select(length(col("piece")).cast("long").as("piece_len"),
+        col("piece"), col("freq"))
+      .groupBy(col("piece_len"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(col("freq")).as("occurrences"),
+        sum(col("piece_len") * col("freq")).as("chars_covered"))
+      .orderBy(col("piece_len"))
+  }
+
+  /** Shared trainer core: returns the final ranked vocab and the
+    * E-step closure (so [[unigramEncode]] can run one more segmentation
+    * pass under the final table). */
+  private def unigramCore(docs: DataFrame, emIters: Int, maxWordLen: Int,
+                          maxPieceLen: Int, vocabMulti: Int)
+      : (DataFrame, DataFrame => DataFrame) = {
     require(emIters >= 1 && maxWordLen >= 1 && maxPieceLen >= 1,
       s"need positive emIters/maxWordLen/maxPieceLen")
     val mat: DataFrame => DataFrame = df => df.localCheckpoint()
@@ -287,11 +327,7 @@ object Tokenizer {
 
     var vocab = vocabOf(f0)
     for (_ <- 1 to emIters) vocab = vocabOf(usageUnder(vocab))
-    vocab.filter(col("rank") <= topOut)
-      .select(col("rank"), col("piece"),
-        length(col("piece")).cast("long").as("piece_len"),
-        col("freq").as("usage"))
-      .orderBy(col("rank"))
+    (vocab, usageUnder)
   }
 
   /** What the merges BUY: corpus-weighted total symbol count and

@@ -150,5 +150,22 @@ class TokenizerSpec extends SparkSpec {
         s"got  ${out.toSeq}\nwant $want")
     // non-vacuous: the trained head contains real multi-char pieces
     assert(out.exists(_._3 >= 2), "no multi-char piece learned")
+
+    // ---- encode-side profile: third E-step under the final vocab ----
+    val enc = Tokenizer.unigramEncode(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val u3 = usageUnder(vocab.map { case (p, _, r) => p -> r }.toMap)
+    val wantEnc = u3.toSeq.groupBy(_._1.length).map { case (len, ps) =>
+      len.toLong -> ((ps.size.toLong, ps.map(_._2).sum,
+        len.toLong * ps.map(_._2).sum))
+    }
+    assert(enc == wantEnc,
+      s"encode profile diverges:\ngot  $enc\nwant $wantEnc")
+    // Viterbi segmentations TILE every (truncated) word: chars covered
+    // must equal the corpus character count exactly
+    val totalChars = wc.map { case (w, c) => w.length.toLong * c }.sum
+    assert(enc.values.map(_._3).sum == totalChars,
+      "encode does not tile the corpus exactly")
   }
 }
