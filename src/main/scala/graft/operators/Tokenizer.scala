@@ -242,7 +242,20 @@ object Tokenizer {
       : (DataFrame, DataFrame => DataFrame) = {
     require(emIters >= 1 && maxWordLen >= 1 && maxPieceLen >= 1,
       s"need positive emIters/maxWordLen/maxPieceLen")
-    val mat: DataFrame => DataFrame = df => df.localCheckpoint()
+    // localCheckpoint alone is NOT enough here: LogicalRDD.fromDataset
+    // REWRITES stats from the origin plan, and the size-only visitor
+    // MULTIPLIES child sizes at every join — so a chain of checkpointed
+    // join layers compounds sizeInBytes into a BigInteger whose bit
+    // length grows ~3× per layer. At the encode path's ~36 chained
+    // layers the driver burned MINUTES in BigInteger.multiply inside
+    // stats rewrite (observed live in round 10). Re-wrapping the
+    // checkpointed RDD via createDataFrame resets each frame to a
+    // constant default size — layers stop inheriting the product, and
+    // the row-encode round-trip is word-bounded noise.
+    val mat: DataFrame => DataFrame = { df =>
+      val cp = df.localCheckpoint()
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
     val words = docs.select(explode(split(norm, " ")).as("w0"))
       .filter(length(col("w0")) > 0)
