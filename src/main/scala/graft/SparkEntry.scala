@@ -1071,6 +1071,15 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) =>
       Similarity.semanticDedup(Tables.embeddings(s, d))),
 
+    // Semantic contamination (round 10): the embedding-level complement
+    // to contamination_check/ngram/bloom — a paraphrased benchmark
+    // answer shares no 13-gram but sits at high cosine. Same clustering
+    // machinery as dedup_semantic, pairs kept only when they CROSS the
+    // md5 holdout split; one row per test vector, flagged + clean
+    // reconciles to the holdout size. Full oracle.
+    "contamination_semantic" -> ((s, d) =>
+      Similarity.semanticContamination(Tables.embeddings(s, d))),
+
     // ---- Group B: similarity search -------------------------------------
 
     // B3 sim_topk: brute-force cosine top-k, quantized (full oracle).
@@ -2450,6 +2459,38 @@ object SparkEntry {
         "SELECT asg.vec_id, asg.cent_id, coalesce(fl.n_dup_of, 0) AS n_dup_of, " +
         "fl.max_cos AS max_cos, fl.vec_id IS NULL AS is_kept " +
         "FROM asg LEFT JOIN fl ON asg.vec_id = fl.vec_id ORDER BY asg.vec_id"),
+
+    // Semantic contamination replay: dedup_semantic's centroid CTEs,
+    // intra-cluster pairs oriented (test, train) across the md5 holdout
+    // split, cosine >= 0.4 hits rolled up per test vector
+    "contamination_semantic" ->
+      (s"WITH $sqlQuantCte, " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+        "ac AS (SELECT n.vec_id, c.cent_id, " +
+        "CAST(list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos " +
+        "FROM n, cent c), " +
+        "asg AS (SELECT vec_id, cent_id, " +
+        "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test " +
+        "FROM (SELECT vec_id, cent_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac) " +
+        "WHERE rn = 1), " +
+        "pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "a.is_test AS ta, b.is_test AS tb FROM asg a " +
+        "JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id), " +
+        "cr AS (SELECT CASE WHEN ta THEN vec_a ELSE vec_b END AS t_id, " +
+        "CASE WHEN ta THEN vec_b ELSE vec_a END AS n_id FROM pr WHERE ta != tb), " +
+        s"h AS (SELECT cr.t_id, CAST(COUNT(*) AS BIGINT) AS nm, " +
+        s"MAX(${sqlCosFrag("x", "y")}) AS mc " +
+        "FROM cr JOIN n x ON cr.t_id = x.vec_id JOIN n y ON cr.n_id = y.vec_id " +
+        s"WHERE NOT isnan(${sqlCosFrag("x", "y")}) " +
+        s"AND ${sqlCosFrag("x", "y")} >= 0.4 GROUP BY cr.t_id) " +
+        "SELECT a.vec_id AS test_vec, a.cent_id, " +
+        "coalesce(h.nm, 0) AS n_train_matches, h.mc AS max_cos, " +
+        "h.t_id IS NOT NULL AS contaminated " +
+        "FROM asg a LEFT JOIN h ON a.vec_id = h.t_id WHERE a.is_test " +
+        "ORDER BY test_vec"),
 
     // Mean-pool replay: exact BIGINT element sums via list_reduce (the
     // IVF-oracle technique), one double division per element, round

@@ -334,6 +334,72 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** SEMANTIC CONTAMINATION check (round 10) — the embedding-level
+    * complement to the n-gram contamination family
+    * (`contamination_check/ngram/bloom`): a benchmark answer that was
+    * PARAPHRASED into the training set shares no 13-gram but sits at
+    * high cosine, so decontamination pipelines run both. Same
+    * machinery as [[semanticDedup]] — deterministic seed-centroid
+    * clustering, intra-cluster pairs only through the bounded-bucket
+    * guard — but pairs are kept only when they CROSS the split
+    * (deterministic md5 holdout bucket, the engine-wide
+    * Corpus.isHoldout contract): each holdout (test) vector reports
+    * how many training vectors sit within `threshold` cosine in its
+    * cluster, its strongest match, and the contamination verdict. One
+    * row per test vector always (structural-empty doctrine), so
+    * flagged + clean reconciles to the holdout size.
+    *
+    * Output: (test_vec, cent_id, n_train_matches, max_cos,
+    * contaminated), ordered by test_vec. Fully DuckDB-replayable. */
+  def semanticContamination(emb: DataFrame, nlist: Int = 16,
+                            threshold: Double = 0.4,
+                            maxCluster: Int = 4096,
+                            overflow: BucketOverflow = BucketOverflow.Fail)
+      : DataFrame = {
+    val p = prepared(emb)
+    val cent = broadcast(seedCentroids(p, nlist))
+    val assigned = p.join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
+        .as("cent_id"))
+      .withColumn("is_test", Corpus.isHoldout(col("vec_id")))
+    val cand = Dedup.boundedCandidatePairs(
+        assigned.select(col("vec_id"), col("cent_id")),
+        "vec_id", Seq("cent_id"), maxCluster, overflow,
+        "semanticContamination")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val roleA = assigned.select(col("vec_id").as("vec_a"),
+      col("is_test").as("test_a"))
+    val roleB = assigned.select(col("vec_id").as("vec_b"),
+      col("is_test").as("test_b"))
+    // orient every cross-split pair as (test, train)
+    val crossed = cand.join(roleA, Seq("vec_a")).join(roleB, Seq("vec_b"))
+      .filter(col("test_a") =!= col("test_b"))
+      .select(
+        when(col("test_a"), col("vec_a")).otherwise(col("vec_b")).as("t_id"),
+        when(col("test_a"), col("vec_b")).otherwise(col("vec_a")).as("n_id"))
+    val pt = p.select(col("vec_id").as("t_id"), col("qv").as("t_qv"),
+      col("nrm").as("t_nrm"))
+    val pn = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"))
+    val hits = crossed.join(pt, Seq("t_id")).join(pn, Seq("n_id"))
+      .withColumn("cos",
+        cosine(dotQ(col("t_qv"), col("n_qv")), col("t_nrm"), col("n_nrm")))
+      .filter(defined(col("cos")) && col("cos") >= threshold)
+      .groupBy(col("t_id"))
+      .agg(count(lit(1)).as("nm"), max(col("cos")).as("mc"))
+    assigned.filter(col("is_test"))
+      .select(col("vec_id").as("test_vec"), col("cent_id"))
+      .join(hits, col("test_vec") === col("t_id"), "left")
+      .select(col("test_vec"), col("cent_id"),
+        coalesce(col("nm"), lit(0L)).as("n_train_matches"),
+        col("mc").as("max_cos"),
+        col("nm").isNotNull.as("contaminated"))
+      .orderBy(col("test_vec"))
+  }
+
   /** MULTI-PROBE LSH ANN top-k (round 10; Lv et al., "Multi-Probe LSH",
     * VLDB 2007 — public literature): each query probes its base bucket
     * PLUS every Hamming-1 neighbor (one sign bit flipped) in every

@@ -965,6 +965,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_kept")) < out.length)
   }
 
+  test("semanticContamination: match counts equal the cross-split " +
+    "intra-cluster subset of exact all-pairs; one row per test vector") {
+    val out = Similarity.semanticContamination(emb, threshold = 0.4).collect()
+    // cluster assignment from the dedup sibling (same quantizer)
+    val cent = Similarity.semanticDedup(emb, threshold = 0.4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    def isTest(id: Long): Boolean = {
+      val c = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).charAt(0)
+      c == '0' || c == '1'
+    }
+    assert(out.length == cent.keys.count(isTest), "one row per test vector")
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.4).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val want = pairs
+      .filter { case (a, b) => cent(a) == cent(b) && isTest(a) != isTest(b) }
+      .map { case (a, b) => if (isTest(a)) a else b }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("test_vec")
+      assert(r.getAs[Long]("n_train_matches") == want.getOrElse(id, 0L),
+        s"test vec $id match count")
+      assert(r.getAs[Boolean]("contaminated") == want.contains(id))
+    }
+    assert(want.nonEmpty, "fixture has no cross-split semantic overlap")
+  }
+
   test("multi-probe LSH: candidates are a superset of the single-probe " +
     "path, so per-query recall is monotonically >= — and it recovers " +
     "misses at equal table budget") {
