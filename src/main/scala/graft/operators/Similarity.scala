@@ -370,16 +370,17 @@ object Similarity {
         "vec_id", Seq("cent_id"), maxCluster, overflow,
         "semanticContamination")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
-    val roleA = assigned.select(col("vec_id").as("vec_a"),
-      col("is_test").as("test_a"))
-    val roleB = assigned.select(col("vec_id").as("vec_b"),
-      col("is_test").as("test_b"))
-    // orient every cross-split pair as (test, train)
-    val crossed = cand.join(roleA, Seq("vec_a")).join(roleB, Seq("vec_b"))
-      .filter(col("test_a") =!= col("test_b"))
+    // the split flag is a PURE md5 expression of the id — no join back
+    // to the assignment (which would re-run the corpus×centroid pass
+    // once per role side); orient every cross-split pair as (test,
+    // train) with two narrow column expressions
+    val testA = Corpus.isHoldout(col("vec_a"))
+    val testB = Corpus.isHoldout(col("vec_b"))
+    val crossed = cand
+      .filter(testA =!= testB)
       .select(
-        when(col("test_a"), col("vec_a")).otherwise(col("vec_b")).as("t_id"),
-        when(col("test_a"), col("vec_b")).otherwise(col("vec_a")).as("n_id"))
+        when(testA, col("vec_a")).otherwise(col("vec_b")).as("t_id"),
+        when(testA, col("vec_b")).otherwise(col("vec_a")).as("n_id"))
     val pt = p.select(col("vec_id").as("t_id"), col("qv").as("t_qv"),
       col("nrm").as("t_nrm"))
     val pn = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
