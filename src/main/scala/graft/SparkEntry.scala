@@ -58,12 +58,30 @@ object SparkEntry {
     * job (ranking, counting, components) reads that table. */
   private val coOrderEdgesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private val sessionMemoMaps = Seq(nearDupPairsMemo, coOrderEdgesMemo)
+
+  /** Session-scoped memo of the TRAINED unigram model: `tokenizer_unigram`
+    * and `tokenizer_unigram_encode` read the SAME 2-round hard-EM result
+    * (all frames materialized LogicalRDDs), so the harness trains once and
+    * both views read it — the deployed shape, where a pipeline trains its
+    * tokenizer once and every consumer (vocab report, corpus encode) reads
+    * the trained table. Round 10 retrained per view: the board's top two
+    * bench keys (12.3 s + 9.7 s) for ~10 s + ~2.5 s of actual work. */
+  private val unigramModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.Tokenizer.UnigramModel]()
+
+  /** Session-scoped memo of the TRAINED BPE state: `tokenizer_bpe` reads
+    * the ranked-pairs frames, `tokenizer_compression` reads the symbol
+    * frames — one training chain, two views (the frames are identical for
+    * any topK because the applied merge is always the rank-1 pair). */
+  private val bpeModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.Tokenizer.BpeModel]()
+  private val sessionMemoMaps: Seq[java.util.concurrent.ConcurrentHashMap[String, _]] =
+    Seq(nearDupPairsMemo, coOrderEdgesMemo, unigramModelMemo, bpeModelMemo)
   private val memoCleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def sessionMemo(memo: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
-                          s: SparkSession, d: String)
-                         (build: => DataFrame): DataFrame = {
+  private def sessionMemo[T](memo: java.util.concurrent.ConcurrentHashMap[String, T],
+                             s: SparkSession, d: String)
+                            (build: => T): T = {
     // applicationId is unique per SparkContext, so a LATER session can
     // never be served a frame bound to a stopped context (identity
     // hashes alone can recur after GC); the context-end listener evicts
@@ -88,6 +106,19 @@ object SparkEntry {
   private def coOrderEdgesShared(s: SparkSession, d: String): DataFrame =
     sessionMemo(coOrderEdgesMemo, s, d)(
       operators.Graph.coOrderEdges(Tables.lineitem(s, d)).localCheckpoint())
+  private def unigramModelShared(s: SparkSession, d: String): operators.Tokenizer.UnigramModel =
+    sessionMemo(unigramModelMemo, s, d) {
+      val m = operators.Tokenizer.unigramTrain(Tables.documents(s, d))
+      m.vocab.count() // eager: the build entry pays the training wall
+      m
+    }
+  private def bpeModelShared(s: SparkSession, d: String): operators.Tokenizer.BpeModel =
+    sessionMemo(bpeModelMemo, s, d) {
+      // harnessScope materializes every frame (localCheckpoint — blocks
+      // outlive release(), the memo-safe lifecycle)
+      operators.Tokenizer.bpeTrain(Tables.documents(s, d), topK = 5,
+        scope = harnessScope)
+    }
 
   /** Bench accounting hooks for the shared memos: the bench clears each
     * memo at the start of every pass and times its build as its own
@@ -102,7 +133,13 @@ object SparkEntry {
       (s, d) => { nearDupPairsShared(s, d); () }),
     ("memo:co_order_edges", Seq("graph_pagerank", "graph_triangles"),
       () => coOrderEdgesMemo.clear(),
-      (s, d) => { coOrderEdgesShared(s, d); () }))
+      (s, d) => { coOrderEdgesShared(s, d); () }),
+    ("memo:unigram_model", Seq("tokenizer_unigram", "tokenizer_unigram_encode"),
+      () => unigramModelMemo.clear(),
+      (s, d) => { unigramModelShared(s, d); () }),
+    ("memo:bpe_model", Seq("tokenizer_bpe", "tokenizer_compression"),
+      () => bpeModelMemo.clear(),
+      (s, d) => { bpeModelShared(s, d); () }))
 
   /** Query keys whose bench numbers are memo reads, not full pipelines. */
   val memoFedQueries: Seq[String] = benchMemos.flatMap(_._2)
@@ -862,32 +899,34 @@ object SparkEntry {
     // the vocab-bounded (word, count) table — pair stats via lead(),
     // greedy non-overlapping merge as an island-parity window pass, the
     // corpus touched exactly once (the word count). Top-5 pairs per step.
+    // Shared trained state (round 11): reads the memoized BpeModel —
+    // the chain trains once per (session, dataset) and both BPE views
+    // read it (the bench times the build as memo:bpe_model).
     "tokenizer_bpe" -> ((s, d) =>
-      operators.Tokenizer.bpeMergeStats(Tables.documents(s, d),
-        scope = harnessScope)),
+      operators.Tokenizer.bpeMergeStats(bpeModelShared(s, d), topK = 5)),
 
     // Unigram-LM tokenizer training (round 10, SentencePiece-lineage):
     // substring seed inventory → 2 hard-EM rounds (Viterbi E-step as a
     // bounded DP unroll over word positions, usage-count M-step with
     // prune) under an integer-exact cost surrogate — the whole train
     // replays in SQL (sqlUnigram below). Output: the learned vocab head.
-    "tokenizer_unigram" -> ((s, d) =>
-      operators.Tokenizer.unigramVocab(Tables.documents(s, d),
-        scope = harnessScope)),
+    // Round 11: reads the memoized trained model (memo:unigram_model) —
+    // the 2-round EM runs once per (session, dataset), not per view.
+    "tokenizer_unigram" -> ((s, d) => unigramModelShared(s, d).vocabHead()),
 
     // Encode-side profile (round 10): segment the corpus under the
     // FINAL trained vocab (a third Viterbi pass — what a deployed
     // tokenizer does to every document) and report the per-piece-length
     // profile; Σ chars_covered tiles the truncated corpus exactly.
+    // Round 11: pays only its marginal E-step — the trained vocab comes
+    // from the shared memoized model.
     "tokenizer_unigram_encode" -> ((s, d) =>
-      operators.Tokenizer.unigramEncode(Tables.documents(s, d),
-        scope = harnessScope)),
+      unigramModelShared(s, d).encodeProfile()),
 
     // The compression curve those merges buy: corpus-weighted symbol
     // totals + alphabet size at step 0 and after each merge.
     "tokenizer_compression" -> ((s, d) =>
-      operators.Tokenizer.bpeCompression(Tables.documents(s, d),
-        scope = harnessScope)),
+      operators.Tokenizer.bpeCompression(bpeModelShared(s, d))),
 
     // Deterministic md5-keyed document sample (~12.5%).
     "doc_sample" -> ((s, d) =>

@@ -134,12 +134,39 @@ object Tokenizer {
     (rankedSteps.toSeq, frames.toSeq)
   }
 
+  /** Trained BPE state: per-step ranked pair stats plus the symbol
+    * frames before (index 0) and after each merge. Train ONCE per
+    * (session, corpus) via [[bpeTrain]] and feed every consumer —
+    * [[bpeMergeStats]] reads `rankedSteps`, [[bpeCompression]] reads
+    * `frames`; the frames are identical for any `topK ≥ 1` (the applied
+    * merge is always the rank-1 pair), so one trained model serves both
+    * views. The deployed shape: a pipeline trains its tokenizer once
+    * and every report reads the trained table. */
+  final case class BpeModel private[operators] (
+      rankedSteps: Seq[DataFrame], frames: Seq[DataFrame], topK: Int)
+
+  /** Run the training chain once and return the reusable model. Under
+    * an enabled scope every frame is materialized (memo-safe:
+    * localCheckpoint blocks outlive `scope.release()`); CacheScope.off
+    * keeps lazy plans — correct, but consumers replay the chain. */
+  def bpeTrain(docs: DataFrame, steps: Int = 3, topK: Int = 5,
+               scope: CacheScope = CacheScope.off): BpeModel = {
+    val (ranked, frames) = train(docs, steps, topK, scope)
+    BpeModel(ranked, frames, topK)
+  }
+
   /** Top-`topK` candidate pairs per training step (rank 1 = the merge
     * the step applied) — the head of the learned merge table. */
   def bpeMergeStats(docs: DataFrame, steps: Int = 3, topK: Int = 5,
-                    scope: CacheScope = CacheScope.off): DataFrame = {
-    val (ranked, _) = train(docs, steps, topK, scope)
-    ranked.zipWithIndex.map { case (r, i) =>
+                    scope: CacheScope = CacheScope.off): DataFrame =
+    bpeMergeStats(bpeTrain(docs, steps, topK, scope), topK)
+
+  /** [[bpeMergeStats]] over an already-trained model. `topK` must not
+    * exceed the model's trained topK (the ranked frames are limited). */
+  def bpeMergeStats(model: BpeModel, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= model.topK,
+      s"topK must be 1..${model.topK}, got $topK")
+    model.rankedSteps.zipWithIndex.map { case (r, i) =>
       r.filter(col("rank") <= topK)
         .select(lit((i + 1).toLong).as("step"), col("rank"),
           col("sym").as("left_sym"), col("nxt").as("right_sym"),
@@ -185,10 +212,10 @@ object Tokenizer {
     * the backtrack walks p → p−k for ≤ maxWordLen steps emitting the
     * chosen pieces. Ranks come from TakeOrdered + a bounded self-join
     * count — NO unpartitioned window anywhere (the round-10 BPE
-    * hardening discipline). Every DP/backtrack frame is
-    * scope-materialized: frames self-reference up to `maxPieceLen`
-    * predecessors, so a lazy chain would replay tribonacci-style
-    * (CacheScope.off remains correct, just recomputes).
+    * hardening discipline). Every DP/backtrack frame is UNCONDITIONALLY
+    * materialized (localCheckpoint — see the tribonacci note above);
+    * there is no CacheScope knob here, which is why these entry points
+    * take none.
     *
     * Vocab policy: ALL single characters stay in the table (freq = 0
     * allowed) so segmentation is always feasible; multi-char pieces
@@ -198,15 +225,54 @@ object Tokenizer {
     * (rank, piece, piece_len, usage), ordered by rank. */
   def unigramVocab(docs: DataFrame, emIters: Int = 2, maxWordLen: Int = 12,
                    maxPieceLen: Int = 3, vocabMulti: Int = 32,
-                   topOut: Int = 24,
-                   scope: CacheScope = CacheScope.off): DataFrame = {
-    val (vocab, _) =
+                   topOut: Int = 24): DataFrame =
+    unigramTrain(docs, emIters, maxWordLen, maxPieceLen, vocabMulti)
+      .vocabHead(topOut)
+
+  /** Trained unigram model: the final ranked vocab (materialized —
+    * reading it costs no training work) plus the E-step closure for
+    * segmenting under that vocab. Train ONCE per (session, corpus) and
+    * let every consumer ([[UnigramModel.vocabHead]],
+    * [[UnigramModel.encodeProfile]], downstream encoders) read the
+    * shared model — retraining per view repeats the full 2-round EM,
+    * the round-10 board's single largest avoidable cost. */
+  final class UnigramModel private[operators] (
+      val vocab: DataFrame, encodeUsage: DataFrame => DataFrame) {
+
+    /** The learned vocabulary head: top `topOut` rows after the final
+      * M step, (rank, piece, piece_len, usage), ordered by rank. */
+    def vocabHead(topOut: Int = 24): DataFrame =
+      vocab.filter(col("rank") <= topOut)
+        .select(col("rank"), col("piece"),
+          length(col("piece")).cast("long").as("piece_len"),
+          col("freq").as("usage"))
+        .orderBy(col("rank"))
+
+    /** Encode-side profile: ONE more Viterbi E-step under the final
+      * vocab (the marginal cost of encoding — the training itself is
+      * not repeated), aggregated per piece length.
+      * Output: (piece_len, n_pieces, occurrences, chars_covered). */
+    def encodeProfile(): DataFrame =
+      encodeUsage(vocab)
+        .select(length(col("piece")).cast("long").as("piece_len"),
+          col("piece"), col("freq"))
+        .groupBy(col("piece_len"))
+        .agg(count(lit(1)).as("n_pieces"),
+          sum(col("freq")).as("occurrences"),
+          sum(col("piece_len") * col("freq")).as("chars_covered"))
+        .orderBy(col("piece_len"))
+  }
+
+  /** Run the full 2-round hard-EM training once and return the
+    * reusable [[UnigramModel]]. All internal frames are materialized
+    * LogicalRDDs (word-table-bounded), so the model is memo-safe: it
+    * can be cached per (session, dataset) and read from any number of
+    * consumers without replaying training. */
+  def unigramTrain(docs: DataFrame, emIters: Int = 2, maxWordLen: Int = 12,
+                   maxPieceLen: Int = 3, vocabMulti: Int = 32): UnigramModel = {
+    val (vocab, usageUnder) =
       unigramCore(docs, emIters, maxWordLen, maxPieceLen, vocabMulti)
-    vocab.filter(col("rank") <= topOut)
-      .select(col("rank"), col("piece"),
-        length(col("piece")).cast("long").as("piece_len"),
-        col("freq").as("usage"))
-      .orderBy(col("rank"))
+    new UnigramModel(vocab, usageUnder)
   }
 
   /** ENCODE-side report (round 10): segment the corpus one more time
@@ -220,19 +286,9 @@ object Tokenizer {
     * report replays in the oracle (one more unrolled EM block).
     * Output: (piece_len, n_pieces, occurrences, chars_covered). */
   def unigramEncode(docs: DataFrame, emIters: Int = 2, maxWordLen: Int = 12,
-                    maxPieceLen: Int = 3, vocabMulti: Int = 32,
-                    scope: CacheScope = CacheScope.off): DataFrame = {
-    val (vocab, usageUnder) =
-      unigramCore(docs, emIters, maxWordLen, maxPieceLen, vocabMulti)
-    usageUnder(vocab)
-      .select(length(col("piece")).cast("long").as("piece_len"),
-        col("piece"), col("freq"))
-      .groupBy(col("piece_len"))
-      .agg(count(lit(1)).as("n_pieces"),
-        sum(col("freq")).as("occurrences"),
-        sum(col("piece_len") * col("freq")).as("chars_covered"))
-      .orderBy(col("piece_len"))
-  }
+                    maxPieceLen: Int = 3, vocabMulti: Int = 32): DataFrame =
+    unigramTrain(docs, emIters, maxWordLen, maxPieceLen, vocabMulti)
+      .encodeProfile()
 
   /** Shared trainer core: returns the final ranked vocab and the
     * E-step closure (so [[unigramEncode]] can run one more segmentation
@@ -349,9 +405,13 @@ object Tokenizer {
     * aggregates one training frame; exact longs, so the curve replays
     * in any engine. */
   def bpeCompression(docs: DataFrame, steps: Int = 3,
-                     scope: CacheScope = CacheScope.off): DataFrame = {
-    val (_, frames) = train(docs, steps, 1, scope)
-    frames.zipWithIndex.map { case (fr, i) =>
+                     scope: CacheScope = CacheScope.off): DataFrame =
+    bpeCompression(bpeTrain(docs, steps, topK = 1, scope))
+
+  /** [[bpeCompression]] over an already-trained model (the frames are
+    * topK-independent — see [[BpeModel]]). */
+  def bpeCompression(model: BpeModel): DataFrame = {
+    model.frames.zipWithIndex.map { case (fr, i) =>
       // the curve is STRUCTURAL: steps+1 points on any input, an empty
       // corpus reads as zeros (not a vanished curve / null totals)
       fr.agg(coalesce(sum(col("cnt")), lit(0L)).cast("long")
