@@ -108,29 +108,66 @@ object Graph {
       .limit(k)
   }
 
+  /** Degree-ordered orientation of an undirected (a, b) edge list:
+    * each edge directed from its lower-(degree, id) endpoint, head's
+    * order key carried as (dv, v). Out-degree is ≤ √(2·|E|) on any
+    * graph (every out-neighbor of u has (deg, id) ≥ u's, and fewer
+    * than √(2·|E|) nodes have degree ≥ √(2·|E|)) — the bound the
+    * skew spec asserts. */
+  private[graft] def degreeOriented(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    e.join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+  }
+
   /** Triangle counting over the co-occurrence graph: per-node triangle
     * participation for the top `k` nodes plus exact integer counts.
-    * Enumeration is the ORIENTED join (a < b < c — each triangle built
-    * exactly once from its ordered edges), the relational form of the
-    * degree-ordered orientation that bounds candidate fan-out at scale;
-    * the heavy step is two equi-joins on node keys, both
-    * shuffle-partitionable.
+    * Enumeration is the DEGREE-ORDERED oriented join (round 11): each
+    * undirected edge is directed from its lower-(degree, id) endpoint,
+    * and a triangle is built exactly once from the two out-edges of its
+    * lowest endpoint in that total order plus the closing out-edge.
+    * The orientation is what survives skew: every out-neighbor of `u`
+    * has degree ≥ deg(u), so out-degree is bounded by √(2·|E|) on ANY
+    * graph — a hub keeps its fan-out as IN-edges and the wedge
+    * self-join on `u` never explodes (raw id-ordering lets a
+    * small-id hub keep all its edges outgoing: Θ(deg²) wedges — the
+    * 100×-scale killer; see the env-gated skew stress in GraphSpec /
+    * BASELINE.md). The extra input is one node-bounded degree frame,
+    * joined on the edge key (auto-broadcast when it fits); the heavy
+    * steps stay two equi-joins on node keys, both shuffle-partitionable.
+    * Per-node counts are orientation-invariant, so the SQL oracle is
+    * unchanged.
     *
     * Output: top `k` (part, n_triangles) by (count desc, part). */
   def triangles(lineitem: DataFrame, k: Int = 20,
                 scope: CacheScope = CacheScope.off,
                 edges0: Option[DataFrame] = None): DataFrame = {
-    // the oriented enumeration consumes the edge list three times (ab,
-    // bc, ac legs) — scope-persist so the 3-shuffle edge build runs
-    // once, not per join leg; `edges0` supplies a caller-materialized
-    // [[coOrderEdges]] relation instead (lifecycle owned by the caller)
+    // the oriented enumeration consumes the edge list three times (two
+    // wedge legs + the closing leg) plus the degree build — scope-persist
+    // so the 3-shuffle edge build runs once, not per consumer; `edges0`
+    // supplies a caller-materialized [[coOrderEdges]] relation instead
+    // (lifecycle owned by the caller)
     val e = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
       .select(col("a"), col("b"))
-    val tri = e.as("ab")
-      .join(e.as("bc"), col("ab.b") === col("bc.a"))
-      .join(e.as("ac"),
-        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
-      .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+    val d = degreeOriented(e)
+    // wedge join on the shared tail u (the lowest-(deg, id) endpoint of
+    // the triangle), ordered so (e1.v, e2.v) is the (middle, top) pair
+    // in the total order; the closing edge is then necessarily oriented
+    // middle → top
+    val tri = d.as("e1")
+      .join(d.as("e2"), col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .join(d.select(col("u"), col("v")).as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part"))

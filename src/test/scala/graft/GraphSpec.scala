@@ -67,4 +67,34 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       6L -> 1L, 7L -> 1L, 8L -> 1L), s"got $out")
   }
+
+  test("degree-ordered orientation bounds wedge fan-out on a skewed " +
+    "star: the small-id hub keeps ZERO out-edges (id-ordering would " +
+    "keep all of them), out-degree ≤ √(2·|E|) graph-wide, counts exact") {
+    import org.apache.spark.sql.functions.col
+    // hub = part 1 (the SMALLEST id — the id-ordering worst case) in 60
+    // orders, one leaf each; plus one triangle {2, 3, 4} via three
+    // 2-part orders so the output is non-empty
+    val leaves = (100L to 159L)
+    val rows = leaves.zipWithIndex.map { case (p, i) =>
+      (i + 1000L) -> Seq(1L, p)
+    } ++ Seq(2000L -> Seq(2L, 3L), 2001L -> Seq(3L, 4L), 2002L -> Seq(2L, 4L))
+    val docs = li(rows: _*)
+    val out = Graph.triangles(docs, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 1L, 3L -> 1L, 4L -> 1L), s"got $out")
+    val e = Graph.coOrderEdges(docs).select(col("a"), col("b"))
+    val m = e.count()
+    val outDeg = Graph.degreeOriented(e)
+      .groupBy(col("u")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the hub (deg 60 + triangle-free edges) has the strictly highest
+    // (deg, id) key, so every incident edge points INTO it
+    assert(!outDeg.contains(1L),
+      s"hub kept out-edges under degree ordering: ${outDeg.get(1L)}")
+    val bound = math.sqrt(2.0 * m)
+    outDeg.foreach { case (u, d) =>
+      assert(d <= bound, s"node $u out-degree $d exceeds √(2m)=$bound")
+    }
+  }
 }

@@ -223,6 +223,53 @@ class StressSpec extends SparkSpec {
       "one corpus-sized shuffle)")
   }
 
+  test("skewed star graph: degree-ordered triangle orientation stays " +
+    "bounded where id-ordering degenerates quadratically") {
+    gated()
+    import spark.implicits._
+    // star with the hub at a MID-RANGE id — the id-ordering worst case:
+    // 25k leaves below it and 25k above, so the id-oriented wedge join
+    // (ab.b === bc.a) routes 25k in-edges × 25k out-edges THROUGH the
+    // hub — 6.25e8 candidate wedges, none closing. Degree-ordering
+    // points every star edge INTO the hub (it has the strictly highest
+    // (deg, id) key), so the hub contributes ZERO wedges and fan-out
+    // stays ≤ √(2m) ≈ 320 graph-wide. Plus 500 disjoint triangles so
+    // both enumerations produce real output.
+    val half = 25000L
+    val hub = 500000L
+    val star = spark.range(half)
+      .select((col("id") + 10L).as("a"), lit(hub).as("b"))
+      .unionByName(spark.range(half)
+        .select(lit(hub).as("a"), (col("id") + hub + 10L).as("b")))
+    val triBase = spark.range(500)
+      .select((col("id") * 3 + 2000000L).as("t"))
+    val tris = triBase.select(col("t").as("a"), (col("t") + 1).as("b"))
+      .unionByName(triBase.select((col("t") + 1).as("a"), (col("t") + 2).as("b")))
+      .unionByName(triBase.select(col("t").as("a"), (col("t") + 2).as("b")))
+    val e = star.unionByName(tris).withColumn("w", lit(1L))
+      .localCheckpoint()
+    val dummy = Seq((0L, 0L)).toDF("l_orderkey", "l_partkey")
+    val t0 = System.nanoTime()
+    val deg = graft.operators.Graph.triangles(dummy, k = 5,
+      edges0 = Some(e)).collect()
+    val wallDeg = (System.nanoTime() - t0) / 1e9
+    // the id-ordered reference enumeration (the pre-round-11 shape)
+    val eo = e.select(col("a"), col("b"))
+    val t1 = System.nanoTime()
+    val idTri = eo.as("ab")
+      .join(eo.as("bc"), col("ab.b") === col("bc.a"))
+      .join(eo.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .count()
+    val wallId = (System.nanoTime() - t1) / 1e9
+    assert(deg.map(_.getLong(1)).forall(_ == 1L)) // 500 disjoint triangles
+    assert(idTri == 500L)
+    info(f"star ${2 * half} leaves + 500 triangles: degree-oriented " +
+      f"$wallDeg%.1f s vs id-oriented $wallId%.1f s " +
+      f"(${wallId / wallDeg}%.1fx) — id-ordering routes ~6.25e8 wedges " +
+      "through the hub, degree-ordering zero")
+  }
+
   test("100x dictionary duplication: PassJoin (join_fuzzy) segment index " +
     "fails loudly under-provisioned, completes EXACT when maxBucket is " +
     "sized for the duplication") {
