@@ -2,7 +2,11 @@ package graft
 
 
 /** Driver bench contract: run every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR, print the full per-query JSON line followed by a
+  * BOUNDED compact summary line (the last stdout line — sized to
+  * survive the driver's 2000-char stdout-tail capture, which clipped
+  * the head of the full line in round 10 and left the driver artifact
+  * unparsed); the full map is also mirrored to BENCH_LATEST.json.
   *
   * Each query is fully evaluated through the noop data source (column
   * pruning can't cheat a count() out of the real work) — the measured
@@ -93,10 +97,28 @@ object Bench {
       .mkString(""","only":[""", ",", "]")).getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min_of_passes","value_first_pass":$firstPass,"memo_fed":$memoFedJson$onlyJson,"queries":$qs,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson}"""
     println(line)
-    // the driver's artifact capture can clip long stdout tails, losing
-    // per-query entries — mirror the FULL line to a file so the map
-    // stays machine-readable (full runs only: a dev-scoped run must
-    // never overwrite a round artifact)
+    // the driver's artifact capture keeps only a bounded stdout TAIL
+    // (observed: last 2000 chars), so the full per-query line above can
+    // never parse from the captured artifact — its head is clipped.
+    // Emit a BOUNDED compact summary as the LAST stdout line: the same
+    // headline fields, a locale-safe fixed-point total, and only the
+    // slowest keys inline (named queries_slowest — NOT "queries", so a
+    // truncated map is never mistaken for the full one); the full map
+    // lives in the mirror file written below.
+    def fx(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + fx(v) }
+      .mkString("{", ",", "}")
+    // every piece is bounded (10 keys, 10 failed names), so the line is
+    // structurally < ~1 KB — never truncated, always parseable
+    val failedBounded = failed.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${fx(total)},"unit":"sec","runs":2,"agg":"min_of_passes","value_first_pass":${fx(firstPass)},"n_queries":${results.size}$onlyJson,"queries_slowest":$slowest,"queries_full":"BENCH_LATEST.json","sf":"$sfDir","n_failed":${failed.size},"failed":$failedBounded}"""
+    println(compact)
+    // mirror the FULL line to a file so the per-query map stays
+    // machine-readable (full runs only: a dev-scoped run must never
+    // overwrite a round artifact)
     if (only.isEmpty) {
       val mirror = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LATEST.json")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(mirror), line + "\n")
