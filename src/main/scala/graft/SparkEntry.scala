@@ -734,6 +734,14 @@ object SparkEntry {
     "source_schema_evolve" -> ((s, d) =>
       graft.sources.ParquetEvolution.evolveRoundTrip(s, Tables.events(s, d))),
 
+    // TYPE-WIDENING evolution (round 11): three writer generations of
+    // one logical table — INT→BIGINT and DECIMAL(12,2)→(18,2) across
+    // generations — read once under the explicit widened schema
+    // (SPARK-40876 parquet promotions); per-(type, gen) fidelity
+    // summary replayed by the oracle from the original relation.
+    "source_schema_widen" -> ((s, d) =>
+      graft.sources.ParquetEvolution.widenRoundTrip(s, Tables.events(s, d))),
+
     // A12 batch_barrier: micro-batch block assembly + per-block summary.
     "batch_barrier" -> ((s, d) =>
       SinkOps.batchBarrier(Tables.events(s, d))),
@@ -1724,6 +1732,20 @@ object SparkEntry {
         "CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 2 AS DOUBLE) " +
         "AS DECIMAL(12,2))) AS DOUBLE), CAST(0 AS BIGINT) " +
         "FROM events WHERE event_id % 2 = 1 GROUP BY 1" +
+        ") ORDER BY event_type, gen"),
+
+    // replay from the ORIGINAL relation + the mod-3 split: identical
+    // summaries regardless of which generation's physical type held a
+    // row — a truncated promotion or a lost generation breaks a sum
+    "source_schema_widen" ->
+      (s"SELECT event_type, gen, n_rows, amount_sum, value_sum FROM (" +
+        (1 to 3).map { g =>
+          s"SELECT ${sqlSentinel("event_type")} AS event_type, " +
+            s"CAST($g AS BIGINT) AS gen, COUNT(*) AS n_rows, " +
+            "CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS amount_sum, " +
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum " +
+            s"FROM events WHERE event_id % 3 = ${g - 1} GROUP BY 1"
+        }.mkString(" UNION ALL ") +
         ") ORDER BY event_type, gen"),
 
     "batch_barrier" ->

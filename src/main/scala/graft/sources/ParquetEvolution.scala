@@ -63,4 +63,69 @@ object ParquetEvolution {
           .as("n_score_null"))
       .orderBy(col("event_type"), col("gen"))
   }
+
+  /** TYPE-WIDENING schema evolution (round 11) — the OTHER evolution a
+    * long-lived sink hits beyond add-column: a later writer generation
+    * outgrows a column's type (INT overflows → BIGINT; a decimal's
+    * precision grows), and the reader must promote the narrower
+    * physical types of the older files at scan time instead of
+    * rewriting history. Reference lifecycle: the conduit rotates writer
+    * generations over one logical table
+    * (`hive/HiveExportClient.java:199-207`); Spark's parquet reader has
+    * supported exactly these widening promotions since 4.0
+    * (SPARK-40876: int32→int64, decimal precision growth at equal
+    * scale), so the round-trip is the engine-native form.
+    *
+    * Round-trip: the relation splits by event_id mod 3 into three
+    * writer generations of one logical table —
+    *   gen 1: `amount` INT,    `value` DECIMAL(12,2)
+    *   gen 2: `amount` BIGINT, `value` DECIMAL(12,2)   (INT outgrown)
+    *   gen 3: `amount` BIGINT, `value` DECIMAL(18,2)   (precision grown)
+    * — then ONE read under the explicit widened schema (BIGINT /
+    * DECIMAL(18,2); `mergeSchema` cannot unify conflicting primitive
+    * types — explicit-schema promotion is the documented path) and one
+    * summary per (event_type, gen): counts, exact BIGINT amount sums,
+    * exact-decimal value sums. The DuckDB oracle replays the summary
+    * from the ORIGINAL relation plus the split rule, so a reader that
+    * truncates a promoted value, loses a generation, or mangles a
+    * decimal rescale breaks a count or a sum. */
+  def widenRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = s"$scratchRoot/widen-${java.util.UUID.randomUUID()}"
+    // amount: the integer face of value (floor — identical semantics in
+    // both engines on the non-negative domain; values are ≤ 3 digits,
+    // so gen 1's INT genuinely holds it)
+    val base = events.select(col("event_id"), col("event_type"),
+      col("value"), floor(col("value")).as("amt"))
+    base.filter(pmod(col("event_id"), lit(3)) === 0)
+      .select(col("event_id"), col("event_type"),
+        col("amt").cast("int").as("amount"),
+        col("value").cast(DecimalType(12, 2)).as("value"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    base.filter(pmod(col("event_id"), lit(3)) === 1)
+      .select(col("event_id"), col("event_type"),
+        col("amt").cast("long").as("amount"),
+        col("value").cast(DecimalType(12, 2)).as("value"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    base.filter(pmod(col("event_id"), lit(3)) === 2)
+      .select(col("event_id"), col("event_type"),
+        col("amt").cast("long").as("amount"),
+        col("value").cast(DecimalType(18, 2)).as("value"))
+      .write.mode("overwrite").parquet(s"$out/gen=3")
+    val widened = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("amount", LongType),           // int32 files promote
+      StructField("value", DecimalType(18, 2)),  // (12,2) files promote
+      StructField("gen", IntegerType)))          // partition column
+    val back = spark.read.schema(widened).parquet(out)
+    back.groupBy(
+        graft.operators.ExportOps.nullSentinel(col("event_type"))
+          .as("event_type"),
+        col("gen").cast("long").as("gen"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("amount")).as("amount_sum"),
+        sum(col("value")).cast("double").as("value_sum"))
+      .orderBy(col("event_type"), col("gen"))
+  }
 }

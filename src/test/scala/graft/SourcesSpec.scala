@@ -58,6 +58,33 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("parquet type widening: one read promotes int32 and decimal(12,2) " +
+    "generations to the widened schema, sums exact across all three") {
+    import graft.sources.ParquetEvolution
+    val out = ParquetEvolution.widenRoundTrip(spark, events).collect()
+    assert(out.map(_.schema.fieldNames.toSeq).head ==
+      Seq("event_type", "gen", "n_rows", "amount_sum", "value_sum"))
+    val byGen = out.groupBy(_.getLong(1))
+    assert(byGen.keySet == Set(1L, 2L, 3L), "a generation was lost")
+    // the mod-3 split accounts for every source row
+    assert(byGen.values.flatten.map(_.getLong(2)).sum == events.count())
+    // promotion fidelity: each generation's sums equal the direct
+    // replay from the original relation — a truncated int32→int64 or a
+    // mangled decimal rescale breaks one of these
+    val direct = events
+      .groupBy(graft.operators.ExportOps.nullSentinel(col("event_type"))
+        .as("et"), (pmod(col("event_id"), lit(3)) + 1).as("g"))
+      .agg(sum(floor(col("value"))).as("a"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    out.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(r.getLong(3) == direct(k)._1, s"amount_sum drifted for $k")
+      assert(r.getDouble(4) == direct(k)._2, s"value_sum drifted for $k")
+    }
+  }
+
   test("CSV under-arity rows pad their fields AND carry the corrupt " +
     "record (Spark 4 flags arity mismatches; the malformed set still " +
     "uses numeric failures so the contract survives parsers that don't)") {
