@@ -1033,6 +1033,14 @@ object SparkEntry {
     "sketch_hll_distinct" -> ((s, d) =>
       Sketches.hllDistinct(Tables.lineitem(s, d))),
 
+    // Quantile sketch (round 11): per-returnflag price percentiles from
+    // a 256-row deterministic md5-keyed reservoir — bottom-k partial
+    // aggregation (bounded state, map-side), nearest-rank extraction
+    // inside the projection. The fourth sketch; even the sampling error
+    // replays in the oracle.
+    "sketch_quantiles" -> ((s, d) =>
+      Sketches.quantileSketch(Tables.lineitem(s, d))),
+
     // Corpus-relative token-frequency score (round 8): the web-pipeline
     // frequency filter — vocab counts + join back, exact integers.
     "text_corpus_freq" -> ((s, d) =>
@@ -2297,6 +2305,26 @@ object SparkEntry {
         "0.7213 / (1.0 + 1.079 / 1024.0) * 1024 * 1024 * 524288 / " +
         "(s.s_present + (1024 - s.n_present) * 524288) AS hll_est " +
         "FROM sums s JOIN ex USING (l_returnflag) ORDER BY s.l_returnflag"),
+
+    // md5 bottom-256 reservoir replay: the window-rank form selects the
+    // same multiset the engine's bottom-k aggregator keeps ((hash, v)
+    // lexicographic — collisions interchangeable), then nearest-rank
+    "sketch_quantiles" ->
+      ("WITH h AS (SELECT l_returnflag AS grp, l_extendedprice AS v, " +
+        "CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR)), 1, 7)) AS BIGINT) AS hash FROM lineitem), " +
+        "nn AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows FROM h GROUP BY 1), " +
+        "rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY hash, v) AS rn FROM h), " +
+        "samp AS (SELECT grp, v FROM rk WHERE rn <= 256), " +
+        "s2 AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS vr, " +
+        "COUNT(*) OVER (PARTITION BY grp) AS n FROM samp), " +
+        "q AS (SELECT grp, CAST(MAX(n) AS BIGINT) AS n_sample, " +
+        "MAX(CASE WHEN vr = (25*n+99)//100 THEN v END) AS p25, " +
+        "MAX(CASE WHEN vr = (50*n+99)//100 THEN v END) AS p50, " +
+        "MAX(CASE WHEN vr = (75*n+99)//100 THEN v END) AS p75, " +
+        "MAX(CASE WHEN vr = (90*n+99)//100 THEN v END) AS p90 FROM s2 GROUP BY 1) " +
+        "SELECT q.grp, nn.n_rows, q.n_sample, q.p25, q.p50, q.p75, q.p90 " +
+        "FROM q JOIN nn USING (grp) ORDER BY grp"),
 
     // 13-gram hashes via the winnow CTE shape at w=1 (all distinct gram
     // hashes); df-cap over BOTH splits mirrors contaminationNgrams

@@ -192,4 +192,52 @@ object Sketches {
           .as("hll_est"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** QUANTILE sketch (round 11) — the fourth deterministic sketch next
+    * to Bloom / CMS / HLL, and the one a data-quality dashboard reads
+    * first: per-group percentiles of a measure from BOUNDED state. An
+    * exact per-group quantile needs every row of the group through one
+    * sort; this sketch keeps only the `r` rows with the smallest
+    * md5-derived key per group — a deterministic reservoir. The md5 key
+    * is uniform, so the keep-lowest-r rule IS a uniform r-sample
+    * (classic bottom-k sampling), but unlike rand()-based reservoirs it
+    * is a pure function of the data: any engine, any partitioning, any
+    * run keeps the SAME rows, so the sample quantiles — including their
+    * sampling error — replay bit-for-bit in the DuckDB oracle (the
+    * `freq_cms` / `sketch_hll_distinct` discipline applied to
+    * quantiles; nearest-rank over a 256-sample holds every percentile
+    * within ~±3 rank points of exact at 95% confidence, and the
+    * env-gated probe in SketchesSpec records the observed error).
+    *
+    * Scale shape: [[graft.functions.BottomKAgg]] is an Aggregator, so
+    * each task reduces its slice map-side to ≤ r pairs per group before
+    * the exchange — shuffle volume is r·groups·tasks, independent of
+    * corpus size (a window-rank formulation would shuffle EVERY row).
+    * The quantile extraction then runs entirely inside the projection:
+    * sort the ≤ r sample values, pick nearest-rank positions with
+    * integer arithmetic — no second shuffle.
+    *
+    * Output per group: (grp, n_rows, n_sample, p25, p50, p75, p90). */
+  def quantileSketch(lineitem: DataFrame, r: Int = 256): DataFrame = {
+    require(r >= 1, "sample size must be positive")
+    // row key: (orderkey, linenumber) is the relation's primary key, so
+    // the 28-bit md5 prefix is a deterministic uniform draw per row
+    val hash = conv(substring(md5(concat(
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), 1, 7), 16, 10).cast("long")
+    val agg = lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.BottomKAgg.bottomK(r)(
+          hash, col("l_extendedprice")).as("samp"))
+    val vals = sort_array(transform(col("samp"), s => s("_2")))
+    val n = size(col("samp")).cast("long")
+    // nearest-rank: the ceil(p·n/100)-th smallest sample value, all
+    // integer arithmetic (div), 1-based on both engines
+    def q(p: Int): Column =
+      element_at(vals, expr(s"CAST(($p * size(samp) + 99) div 100 AS INT)"))
+    agg.select(col("grp"), col("n_rows"), n.as("n_sample"),
+        q(25).as("p25"), q(50).as("p50"), q(75).as("p75"), q(90).as("p90"))
+      .orderBy(col("grp"))
+  }
 }

@@ -85,4 +85,69 @@ class SketchesSpec extends SparkSpec {
     assert(narrowOver.exists(_ > 0),
       "depth-1 width-8 grid shows no collisions — probe is not reading the grid")
   }
+
+  /** lineitem-shaped frame for the quantile sketch. */
+  private def liQ(rows: (String, Long, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
+  test("quantile sketch: with the group inside the reservoir the " +
+    "nearest-rank percentiles are exact — hand-checked") {
+    // group A = 1..10: p25 = ceil(2.5) = 3rd smallest, p50 = 5th,
+    // p75 = 8th, p90 = 9th
+    val out = Sketches.quantileSketch(
+        liQ((1 to 10).map(i => ("A", i.toLong, 1L, i.toDouble)): _*))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 10L)
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      == ((3.0, 5.0, 8.0, 9.0)))
+  }
+
+  test("quantile sketch is repartition-invariant (deterministic md5 " +
+    "reservoir, not rand()) and caps the sample at r") {
+    val li = Tables.lineitem(spark, sf0)
+    val a = Sketches.quantileSketch(li).collect().toSeq
+    val b = Sketches.quantileSketch(li.repartition(13)).collect().toSeq
+    assert(a == b, "sample content changed under repartitioning")
+    a.foreach { r =>
+      assert(r.getLong(2) == math.min(256L, r.getLong(1)),
+        s"n_sample != min(256, n_rows) for ${r.getString(0)}")
+    }
+  }
+
+  test("quantile sketch rank error stays within the binomial envelope " +
+    "of a 256-sample against the exact distribution") {
+    val li = Tables.lineitem(spark, sf0)
+    val sk = Sketches.quantileSketch(li).collect()
+      .map(r => r.getString(0) ->
+        Seq(25 -> r.getDouble(3), 50 -> r.getDouble(4),
+          75 -> r.getDouble(5), 90 -> r.getDouble(6))).toMap
+    // observed rank of each sketched percentile in the FULL group;
+    // tolerance ~4·sqrt(p(1-p)/256) — generous enough to be stable,
+    // tight enough that a broken reservoir (e.g. hash bias) fails
+    sk.foreach { case (g, qs) =>
+      val vals = li.filter(col("l_returnflag") === g)
+        .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+      qs.foreach { case (p, qv) =>
+        val frac = vals.count(_ <= qv).toDouble / vals.length
+        val tol = 4.0 * math.sqrt(p / 100.0 * (1 - p / 100.0) / 256.0)
+        assert(math.abs(frac - p / 100.0) <= tol,
+          f"group $g p$p: observed rank $frac%.3f vs target ${p / 100.0}%.2f (tol $tol%.3f)")
+      }
+    }
+  }
+
+  test("quantile sketch plans as partial aggregation — no window " +
+    "shuffling every row, bottom-k reduced map-side") {
+    val plan = Sketches.quantileSketch(Tables.lineitem(spark, sf0))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "quantile sketch fell back to a window rank")
+    assert(plan.toString.contains("ObjectHashAggregate"),
+      "bottom-k aggregator lost its partial-aggregation plan")
+  }
 }
