@@ -209,8 +209,34 @@ object GraphAnn {
       adj(node)(lev).clear(); adj(node)(lev) ++= kept
     }
 
-    /** Max layer-0 out-degree — exposed so the spec can assert the bound. */
-    def maxDegree: Int = if (adj.isEmpty) 0 else adj.map(_(0).length).max
+    /** Max out-degree at layer `lev` — the spec asserts the caps
+      * (layer 0 ≤ 2·m, upper layers ≤ m) through this and through the
+      * persisted adjacency of the serve path. */
+    def maxDegree(lev: Int = 0): Int = {
+      val ds = adj.collect { case layers if lev < layers.length =>
+        layers(lev).length }
+      if (ds.isEmpty) 0 else ds.max
+    }
+
+    /** Persisted-state export for the serve path: node `pos`'s
+      * (id, vector, per-layer adjacency as node positions). */
+    private[graft] def exportNode(node: Int)
+        : (Long, Array[Long], Array[Array[Int]]) =
+      (ids(node), vecs(node), adj(node).map(_.toArray).toArray)
+
+    /** Directly install a node's persisted state (serve path) —
+      * bypasses [[insert]] entirely: no beam search, no trimming, no
+      * cosine evaluations. Caller supplies rows in original insertion
+      * (pos) order; the entry point re-derives exactly as [[insert]]
+      * left it (first node reaching the maximum level wins). */
+    private[graft] def loadNode(id: Long, v: Array[Long],
+                                layers: Array[Array[Int]]): Unit = {
+      val node = ids.length
+      ids += id; vecs += v; sqn += math.sqrt(dot(v, v).toDouble)
+      adj += layers.map(l => mutable.ArrayBuffer.empty[Int] ++ l)
+      val level = layers.length - 1
+      if (entry < 0 || level > entryLevel) { entry = node; entryLevel = level }
+    }
   }
 
   /** Flat single-layer NSW top-k (the round-8 control): every node at
@@ -259,6 +285,96 @@ object GraphAnn {
         val shardIds = sorted.map(_._1)
         bq.value.iterator.flatMap { case (qId, qv, qs) =>
           idx.search(qv, qs, efSearch).iterator
+            .map { case (c, node) => (qId, shardIds(node), c) }
+            .filter { case (q, nId, _) => nId != q }
+            .take(k)
+        }
+      }
+    }.toDF("q_id", "n_id", "cos")
+    Similarity.topKPerGroup(perShard, k)
+  }
+
+  /** BUILD-ONCE persistence for the graph index (round 11) — the
+    * `sim_ann_ivf_served` doctrine applied to the best ANN family on
+    * the board: [[hnswTopK]] rebuilds every shard's graph inside
+    * `mapPartitions` on EVERY query, and at 100 TB the per-query index
+    * build is the dominant cost. This writes each shard's full layered
+    * state — one row per node: (shard, pos, vec_id, vector, per-layer
+    * adjacency as node positions) — to parquet, keyed by shard, so
+    * serving loads adjacency instead of re-running the O(N·efC) beam
+    * construction. Same sharding as the query-time build (one index
+    * per input partition), so [[hnswServedTopK]] answers BIT-IDENTICALLY
+    * to [[hnswTopK]] over the same prepared frame. */
+  def buildHnswIndex(emb: DataFrame, outDir: String, m: Int = 8,
+                     efConstruction: Int = 32, maxLevel: Int = 6): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = Similarity.prepared(emb)
+      .filter(col("nrm") > 0L)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .as[(Long, Array[Long], Long)]
+    p.mapPartitions { rows =>
+      val sorted = rows.toArray.sortBy(_._1)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        val idx = new NswIndex(m, efConstruction, maxLevel)
+        sorted.foreach { case (id, v, n) =>
+          idx.insert(id, v, math.sqrt(n.toDouble))
+        }
+        (0 until idx.size).iterator.map { pos =>
+          val (id, vec, layers) = idx.exportNode(pos)
+          (shard, pos, id, vec, layers.map(_.toSeq).toSeq)
+        }
+      }
+    }.toDF("shard", "pos", "vec_id", "vec", "adj")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** SERVE from a persisted index: load each shard's adjacency rows
+    * (one exchange keyed by shard — the load cost, paid per serve
+    * batch, vs. [[hnswTopK]]'s full graph CONSTRUCTION per query),
+    * reassemble the in-memory index via [[NswIndex.loadNode]] (no beam
+    * search, no trims, zero cosine evaluations — construction is
+    * structurally impossible here: this function never sees the
+    * corpus), and beam-search the bounded broadcast query set. The
+    * only scan in the serve plan is the index parquet; `queryEmb`
+    * is collected driver-side before the plan exists.
+    *
+    * Determinism: nodes reload in insertion order, the entry point
+    * re-derives identically, and sqrt-norms recompute from the exact
+    * integer vectors — searches are bit-identical to the freshly built
+    * index's (spec-asserted). */
+  def hnswServedTopK(indexDir: String, queryEmb: DataFrame,
+                     nQueries: Int = 10, k: Int = 10,
+                     efSearch: Int = 48): DataFrame = {
+    val spark = queryEmb.sparkSession
+    import spark.implicits._
+    val queries = Similarity.prepared(queryEmb)
+      .filter(col("nrm") > 0L)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .as[(Long, Array[Long], Long)].collect()
+      .map { case (id, v, n) => (id, v, math.sqrt(n.toDouble)) }
+      .sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(queries)
+    val idx = spark.read.parquet(indexDir)
+      .select(col("shard").cast("int"), col("pos").cast("int"),
+        col("vec_id"), col("vec"), col("adj"))
+      .as[(Int, Int, Long, Array[Long], Seq[Seq[Int]])]
+    val perShard = idx.groupByKey(_._1).flatMapGroups { (_, rows) =>
+      val sorted = rows.toArray.sortBy(_._2)
+      if (sorted.isEmpty || bq.value.isEmpty) Iterator.empty
+      else {
+        // build params are irrelevant at serve time (search reads only
+        // adjacency + entry); constructed with the defaults for clarity
+        val index = new NswIndex(8, 32, 6)
+        sorted.foreach { case (_, _, id, vec, layers) =>
+          index.loadNode(id, vec, layers.map(_.toArray).toArray)
+        }
+        val shardIds = sorted.map(_._3)
+        bq.value.iterator.flatMap { case (qId, qv, qs) =>
+          index.search(qv, qs, efSearch).iterator
             .map { case (c, node) => (qId, shardIds(node), c) }
             .filter { case (q, nId, _) => nId != q }
             .take(k)
