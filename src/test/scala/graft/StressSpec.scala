@@ -270,6 +270,59 @@ class StressSpec extends SparkSpec {
       "through the hub, degree-ordering zero")
   }
 
+  test("100x corpus duplication: tokenizer training is duplication-" +
+    "INVARIANT in what it learns and linear-class in wall — the " +
+    "'one corpus-sized job, then vocab-bounded' claim, proven") {
+    gated()
+    import graft.operators.Tokenizer
+    val docs = Tables.documents(spark, sfStress).select(col("doc_id"), col("text"))
+    val copies = 100
+    // re-keyed ×100: every document cloned under distinct doc_ids —
+    // the corpus-sized word-count job sees 100× rows, but the word
+    // TABLE (all downstream training state) is invariant: counts scale
+    // by exactly the copy factor, and both trainers' orderings are
+    // scale-invariant with lexicographic tie-breaks
+    val docs100 = docs.crossJoin(broadcast(
+        spark.range(copies).select(col("id").as("cp"))))
+      .select((col("doc_id") + col("cp") * 1000000L).as("doc_id"),
+        col("text"))
+    def run(d: org.apache.spark.sql.DataFrame): (Double, Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]) = {
+      val t0 = System.nanoTime()
+      val bpe = Tokenizer.bpeMergeStats(d).collect()
+      val uni = Tokenizer.unigramVocab(d).collect()
+      ((System.nanoTime() - t0) / 1e9, bpe, uni)
+    }
+    val (wall1, bpe1, uni1) = run(docs)
+    val (wall100, bpe100, uni100) = run(docs100)
+    // BPE: identical merge table (step, rank, pair), weights exactly ×100
+    assert(bpe100.length == bpe1.length)
+    bpe1.zip(bpe100).foreach { case (a, b) =>
+      assert((a.getLong(0), a.getLong(1), a.getString(2), a.getString(3))
+        == ((b.getLong(0), b.getLong(1), b.getString(2), b.getString(3))),
+        s"BPE merge table changed under duplication: $a vs $b")
+      assert(b.getLong(4) == copies * a.getLong(4),
+        s"pair weight not ×$copies: $a vs $b")
+    }
+    // unigram: identical learned vocab (rank, piece), usage exactly ×100
+    assert(uni100.length == uni1.length)
+    uni1.zip(uni100).foreach { case (a, b) =>
+      assert((a.getLong(0), a.getString(1), a.getLong(2))
+        == ((b.getLong(0), b.getString(1), b.getLong(2))),
+        s"unigram vocab changed under duplication: $a vs $b")
+      assert(b.getLong(3) == copies * a.getLong(3),
+        s"usage not ×$copies: $a vs $b")
+    }
+    // linear-class: 100× data must cost far less than 100× wall — the
+    // corpus-sized stage is ONE word count, everything after runs on
+    // the (invariant) word table
+    assert(wall100 < 25 * wall1,
+      f"100x duplication cost $wall100%.1f s vs 1x $wall1%.1f s — " +
+        "training is no longer word-table-bounded")
+    info(f"tokenizer duplication stress: 1x $wall1%.1f s, 100x " +
+      f"$wall100%.1f s (${wall100 / wall1}%.1fx wall for 100x data); " +
+      "BPE merges + unigram vocab IDENTICAL, weights exactly x100")
+  }
+
   test("100x dictionary duplication: PassJoin (join_fuzzy) segment index " +
     "fails loudly under-provisioned, completes EXACT when maxBucket is " +
     "sized for the duplication") {
