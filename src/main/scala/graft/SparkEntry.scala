@@ -36,6 +36,23 @@ object SparkEntry {
   private val zorderLayoutDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** JVM-exit cleanup for the per-process serve artifacts above (the
+    * quantizer save and the z-ordered layout + index): they live in
+    * fresh `Files.createTempDirectory` paths, so without this hook
+    * every harness process leaks a parquet layout copy of orders into
+    * tmp — the maintenance pass a real deployment schedules. Allocate
+    * temp dirs through this so each registers exactly once. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   /** Session-scoped memo of the capped near-dup PAIR relation (threshold
     * 0.5, n=3, maxDf=100) per (session, data dir): `dedup_fuzzy` and
     * `dedup_cluster` consume the SAME relation, so the harness
@@ -787,8 +804,7 @@ object SparkEntry {
     // oracle proves the pruned read returns EXACTLY the predicate rows.
     "layout_zorder_read" -> ((s, d) => {
       val dir = zorderLayoutDirs.computeIfAbsent(d, _ => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_zorder_").toString + "/layout"
+        val tmp = scratchDir("graft_zorder_") + "/layout"
         ExportPipeline.zorderWrite(s, Tables.orders(s, d), tmp)
         tmp
       })
@@ -1179,8 +1195,7 @@ object SparkEntry {
     // index is actually used.
     "sim_ann_ivf_served" -> ((s, d) => {
       val dir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_ivf_centroids_").toString
+        val tmp = scratchDir("graft_ivf_centroids_")
         Similarity.saveCentroids(
           Similarity.trainCentroids(
             Similarity.prepared(Tables.embeddings(s, d)), nlist = 16, iters = 2),
@@ -2651,19 +2666,24 @@ object SparkEntry {
         "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
 
     // multi-probe replay: base bucket + every single-bit xor flip per
-    // (query, table), then the identical candidate/rerank tail
+    // (query, table), then the identical candidate/rerank tail. The
+    // flip list / query gate / rank cut derive from the SAME constants
+    // the operator defaults to (Similarity.Lsh*) — no silent desync.
     "sim_ann_lsh_multiprobe" ->
       (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
-        "fl AS (SELECT * FROM (VALUES (0), (1), (2), (4), (8)) AS f(flip)), " +
+        "fl AS (SELECT * FROM (VALUES " +
+        (0L +: (0 until Similarity.LshBitsPerTable).map(1L << _))
+          .map(v => s"($v)").mkString(", ") +
+        ") AS f(flip)), " +
         "qp AS (SELECT DISTINCT vec_id AS q_id, tbl, " +
-        "xor(bucket, flip) AS bucket FROM bk, fl WHERE vec_id < 10), " +
+        s"xor(bucket, flip) AS bucket FROM bk, fl WHERE vec_id < ${Similarity.LshNQueries}), " +
         "cand AS (SELECT DISTINCT qp.q_id, b.vec_id AS n_id FROM qp " +
         "JOIN bk b ON qp.tbl = b.tbl AND qp.bucket = b.bucket AND b.vec_id != qp.q_id), " +
         s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
         "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
-        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+        s"SELECT q_id, rank, n_id, cos FROM r WHERE rank <= ${Similarity.LshK} ORDER BY q_id, rank"),
 
     "sim_ann_lsh" ->
       (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
@@ -2943,8 +2963,8 @@ object SparkEntry {
     * so the pre-mod product is < 2^57). tables=16, bitsPerTable=4,
     * matching Similarity's defaults. */
   private def sqlLshBucketCte: String = {
-    val tables = 16
-    val bits = 4
+    val tables = Similarity.LshTables
+    val bits = Similarity.LshBitsPerTable
     val sel = (0 until tables).map { t =>
       val bucket = (0 until bits).map { b =>
         val h = t * bits + b

@@ -101,6 +101,15 @@ object Similarity {
     * bound caps the accident at minutes, not hours. */
   val AllPairsRowLimit: Long = 20000L
 
+  /** LSH geometry + serve-contract defaults, shared by the ANN
+    * operators AND SparkEntry's oracle generators (flip lists, query
+    * gates, rank cut-offs derive from these) — change here and both
+    * sides move together; a desync is impossible by construction. */
+  val LshTables: Int = 16
+  val LshBitsPerTable: Int = 4
+  val LshNQueries: Int = 10
+  val LshK: Int = 10
+
   /** All-pairs near-duplicate vectors: cosine ≥ threshold, a < b.
     * Brute force (the oracle form); the LSH-bucketed variant below is the
     * scale path. GATED: refuses inputs larger than `rowLimit` (one cheap
@@ -416,8 +425,9 @@ object Similarity {
     * Candidates are a SUPERSET of [[annTopK]]'s (flip 0 is the base
     * bucket), so recall is monotonically ≥ the single-probe path —
     * spec-asserted. */
-  def annTopKMultiProbe(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
-                        tables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+  def annTopKMultiProbe(emb: DataFrame, nQueries: Int = LshNQueries,
+                        k: Int = LshK, tables: Int = LshTables,
+                        bitsPerTable: Int = LshBitsPerTable): DataFrame = {
     val p = prepared(emb)
     val buckets = lshBuckets(p, tables, bitsPerTable)
     val flips = array((lit(0L) +:
