@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 
 /** Driver bench contract: run every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, print the full per-query JSON line followed by a
@@ -58,23 +59,33 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    // one full pass over (memo builds +) every query, in sorted order;
-    // each memo whose fed queries are in scope is cleared and rebuilt
-    // as its own timed entry so shared-pipeline cost stays visible
+    // one full pass over every query in sorted order; each memo whose
+    // fed queries are in scope is cleared at pass start and rebuilt as
+    // its own timed entry IMMEDIATELY BEFORE its first consumer (not in
+    // a block at pass start: a pass-leading build measures with a cold
+    // JIT while every query benefits from ~100 predecessors' warmup —
+    // round 10's 9.7 s unigram train read 15.2 s as a pass-leading memo
+    // entry purely from ordering). Shared-pipeline cost stays visible
+    // in the artifact either way.
     def pass(): Seq[(String, Double, Boolean)] = {
-      val memoEntry = SparkEntry.benchMemos.flatMap {
-        case (entry, fed, clear, build)
-            if fed.exists(q => names.exists(_._1 == q)) =>
-          clear()
-          val (t, ok) = timed(() => build(spark, sfDir))
-          Seq((entry, t, ok))
-        case _ => Nil
+      val inScope = SparkEntry.benchMemos.filter {
+        case (_, fed, _, _) => fed.exists(q => names.exists(_._1 == q))
       }
-      memoEntry ++ names.map { case (name, fn) =>
+      inScope.foreach { case (_, _, clear, _) => clear() }
+      val anchor: Map[String, Seq[(String, (SparkSession, String) => Unit)]] =
+        inScope.map { case (entry, fed, _, build) =>
+          (fed.filter(q => names.exists(_._1 == q)).min, (entry, build))
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      names.flatMap { case (name, fn) =>
+        val memoEntries = anchor.getOrElse(name, Nil).map {
+          case (entry, build) =>
+            val (t, ok) = timed(() => build(spark, sfDir))
+            (entry, t, ok)
+        }
         val (t, ok) = timed(() =>
           fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         if (!ok) System.err.println(s"[bench] query was: $name")
-        (name, t, ok)
+        memoEntries :+ ((name, t, ok))
       }
     }
 

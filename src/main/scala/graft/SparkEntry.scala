@@ -493,6 +493,13 @@ object SparkEntry {
     "stats_corr" -> ((s, d) =>
       Relational.groupedCorrelation(Tables.lineitem(s, d))),
 
+    // Table profile (round 11): per-column rows/nulls/exact-distinct/
+    // min/max over seven columns in ONE scan — the multi-distinct
+    // plans via Expand with partial aggregation, never a scan per
+    // column (plan-asserted).
+    "stats_profile" -> ((s, d) =>
+      Relational.profileTable(Tables.lineitem(s, d))),
+
     // B6b agg_rollup_sets: ROLLUP grouping sets (subtotals + grand total).
     "agg_rollup_sets" -> ((s, d) =>
       Relational.pricingRollup(Tables.lineitem(s, d))),
@@ -573,6 +580,12 @@ object SparkEntry {
     // not the BNLJ a naive inequality join would plan).
     "join_range" -> ((s, d) =>
       Relational.rangeJoin(Tables.events(s, d))),
+
+    // Interval-OVERLAP join (round 11): error windows × purchase
+    // windows via grid-cell equi-join (bounded explode), pair kept
+    // only in its overlap-start cell — exactly-once without DISTINCT.
+    "join_interval_overlap" -> ((s, d) =>
+      Relational.intervalOverlapJoin(Tables.events(s, d))),
 
     // Pivot: per-user event-type count matrix, explicit value list.
     "pivot_counts" -> ((s, d) =>
@@ -1402,6 +1415,32 @@ object SparkEntry {
         "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy " +
         "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"),
 
+    // one SELECT per profiled column, replaying counts/nulls/distinct/
+    // min/max; the engine side does all columns in one Expand scan
+    "stats_profile" -> {
+      def prof(c: String, numExpr: Option[String]): String = {
+        val e = numExpr.getOrElse(c)
+        val (mnn, mxn, mns, mxs) = numExpr match {
+          case Some(_) => (s"CAST(MIN($e) AS DOUBLE)", s"CAST(MAX($e) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          case None => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"MIN($c)", s"MAX($c)")
+        }
+        s"SELECT '$c' AS \"column\", COUNT(*) AS n_rows, " +
+          s"COUNT(*) - COUNT($e) AS n_null, " +
+          s"CAST(COUNT(DISTINCT $e) AS BIGINT) AS n_distinct, " +
+          s"$mnn AS min_num, $mxn AS max_num, $mns AS min_str, $mxs AS max_str " +
+          "FROM lineitem"
+      }
+      "SELECT * FROM (" +
+        (Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+          .map(c => prof(c, Some(c))) ++
+          Seq(prof("l_shipdate", Some("epoch_us(l_shipdate)"))) ++
+          Seq("l_returnflag", "l_linestatus").map(c => prof(c, None)))
+          .mkString(" UNION ALL ") +
+        ") ORDER BY \"column\""
+    },
+
     "agg_rollup_sets" ->
       ("SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
@@ -1526,6 +1565,16 @@ object SparkEntry {
         "AND epoch_us(CAST(b.ts AS TIMESTAMP)) >= epoch_us(CAST(e.ts AS TIMESTAMP)) " +
         "AND epoch_us(CAST(b.ts AS TIMESTAMP)) < epoch_us(CAST(e.ts AS TIMESTAMP)) + 600000000 " +
         "ORDER BY point_id, interval_id"),
+
+    // direct inequality-join replay of the bucketed overlap join:
+    // identical pairs and exact integer-µs overlap lengths
+    "join_interval_overlap" ->
+      ("WITH a AS (SELECT event_id AS a_id, epoch_us(CAST(ts AS TIMESTAMP)) AS a_s, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS a_e FROM events WHERE event_type = 'error'), " +
+        "b AS (SELECT event_id AS b_id, epoch_us(CAST(ts AS TIMESTAMP)) AS b_s, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS b_e FROM events WHERE event_type = 'purchase') " +
+        "SELECT a_id, b_id, least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us " +
+        "FROM a JOIN b ON a_s < b_e AND b_s < a_e ORDER BY a_id, b_id"),
 
     "pivot_counts" ->
       ("SELECT user_id, " +

@@ -607,6 +607,51 @@ object Relational {
       .orderBy(col("point_id"), col("interval_id"))
   }
 
+  /** INTERVAL-OVERLAP join (round 11) — the interval×interval
+    * complement to [[rangeJoin]]'s point-in-interval and [[asofJoin]]'s
+    * most-recent-before: find every (A, B) pair whose time intervals
+    * overlap (end-exclusive). The naive inequality join is a BNLJ —
+    * quadratic and un-shuffleable; the scalable form buckets time and
+    * equi-joins: each interval explodes to the (duration/bucket)-bounded
+    * grid cells it covers, pairs meet on the cell key (one shuffle,
+    * partitionable), and the exact overlap predicate re-applies.
+    *
+    * The DISTINCT-free dedup is the part worth copying: a pair sharing
+    * several cells would duplicate, and deduping with DISTINCT is a
+    * second full shuffle of the pair relation. Instead each surviving
+    * pair is kept only in the cell containing the OVERLAP START
+    * (`greatest(a_s, b_s) div bucket`) — a cell both sides provably
+    * cover, so every overlapping pair is emitted EXACTLY once by a
+    * stateless filter.
+    *
+    * Output: (a_id, b_id, overlap_us), ordered. Exact integer-µs
+    * arithmetic end-to-end (epoch µs ~1.7e18 overflows double — the
+    * `div`-not-`/` doctrine), so the oracle replays with a direct
+    * inequality join. */
+  def intervalOverlapJoin(events: DataFrame, typeA: String = "error",
+                          typeB: String = "purchase", durASec: Int = 600,
+                          durBSec: Int = 300,
+                          bucketSec: Int = 300): DataFrame = {
+    val bu = bucketSec * 1000000L
+    val da = durASec * 1000000L
+    val db = durBSec * 1000000L
+    def side(t: String, dur: Long, idc: String, sc: String, ec: String) =
+      events.filter(col("event_type") === t)
+        .select(col("event_id").as(idc), unix_micros(col("ts")).as(sc))
+        .withColumn(ec, col(sc) + dur)
+        .withColumn("cell", explode(expr(
+          s"sequence($sc div $bu, ($sc + ${dur - 1}) div $bu)")))
+    val a = side(typeA, da, "a_id", "a_s", "a_e")
+    val b = side(typeB, db, "b_id", "b_s", "b_e")
+    a.join(b, Seq("cell"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .filter(col("cell") === expr(s"greatest(a_s, b_s) div $bu"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** As-of join (composition form): for each `forType` event, the most
     * recent `matchType` event of the same user at-or-before it. Spark has
     * no native as-of join; the scalable composition is a single
@@ -807,5 +852,60 @@ object Relational {
         when(col("na") < col("nb"), col("ca")).otherwise(col("cb")).as("n_a"),
         when(col("na") < col("nb"), col("cb")).otherwise(col("ca")).as("n_b"))
       .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** TABLE PROFILE (round 11) — the data-profiling pass every warehouse
+    * runs before trusting a new feed: per-column row count, null count,
+    * exact distinct count, and min/max, over a fixed column set, in ONE
+    * scan. The multi-column exact COUNT(DISTINCT) is the part engines
+    * get wrong at scale: the naive form is one scan per column; Spark
+    * plans all of them in a single pass via Expand (each input row
+    * fans out once per distinct-aggregate, partial-aggregated before
+    * the exchange) — the spec asserts exactly one scan of the relation.
+    * The long output shape is produced by exploding an array of
+    * per-column structs over the single 1-row aggregate — no re-read,
+    * no union of re-aggregations.
+    *
+    * Numeric columns surface min/max as doubles (timestamps as exact
+    * epoch micros — integers < 2^53, double-exact in any engine);
+    * string columns as strings. All counts are exact longs, so the
+    * whole profile hash-replays in DuckDB.
+    *
+    * Output: (column, n_rows, n_null, n_distinct, min_num, max_num,
+    * min_str, max_str) ordered by column name. */
+  def profileTable(lineitem: DataFrame): DataFrame = {
+    val numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val p = lineitem.select(
+      col("l_orderkey").cast("double").as("l_orderkey"),
+      col("l_quantity").cast("double").as("l_quantity"),
+      col("l_extendedprice").cast("double").as("l_extendedprice"),
+      col("l_discount").cast("double").as("l_discount"),
+      // NTZ → TIMESTAMP under the engine's fixed UTC session zone: the
+      // instant is unchanged, and unix_micros then matches epoch_us
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))")
+        .cast("double").as("l_shipdate"),
+      col("l_returnflag"), col("l_linestatus"))
+    val aggs = (numCols ++ strCols).flatMap { c =>
+      Seq(count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    }
+    val row = p.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    def entry(c: String, numeric: Boolean) = struct(
+      lit(c).as("column"), col("n_rows"),
+      (col("n_rows") - col(s"c_$c")).as("n_null"),
+      col(s"d_$c").as("n_distinct"),
+      (if (numeric) col(s"mn_$c") else nullD).as("min_num"),
+      (if (numeric) col(s"mx_$c") else nullD).as("max_num"),
+      (if (numeric) nullS else col(s"mn_$c")).as("min_str"),
+      (if (numeric) nullS else col(s"mx_$c")).as("max_str"))
+    row.select(explode(array(
+        numCols.map(entry(_, numeric = true)) ++
+          strCols.map(entry(_, numeric = false)): _*)).as("e"))
+      .select(col("e.*"))
+      .orderBy(col("column"))
   }
 }

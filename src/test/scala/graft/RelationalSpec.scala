@@ -636,4 +636,80 @@ class RelationalSpec extends SparkSpec {
         s"postings digest of $t")
     }
   }
+
+  test("intervalOverlapJoin: end-exclusive touching excluded, multi-cell " +
+    "pairs emitted EXACTLY once (overlap-start-cell rule, no DISTINCT), " +
+    "equals the naive inequality join") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, "error", ts(0)),      // A1 [0, 600)
+      (2L, "error", ts(250)),    // A2 [250, 850) — spans 3 cells
+      (10L, "purchase", ts(590)),// B1 [590, 890) — overlaps A1 by 10s, A2 by 260s (2 shared cells)
+      (11L, "purchase", ts(600)),// B2 [600, 900) — touches A1 exactly: NO overlap
+      (12L, "purchase", ts(2000))) // B3 far away
+      .toDF("event_id", "event_type", "ts")
+    val out = Relational.intervalOverlapJoin(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (1L, 10L) -> 10000000L,   // [590, 600)
+      (2L, 10L) -> 260000000L,  // [590, 850) — exactly once despite 2 shared cells
+      (2L, 11L) -> 250000000L), // [600, 850)
+      s"got $out")
+    // ≡ the naive inequality join on a bigger surface (sf0 events)
+    val events = Tables.events(spark, sf0)
+    val fast = Relational.intervalOverlapJoin(events).collect().toSeq
+    def iv(t: String, dur: Long) = events
+      .filter(col("event_type") === t)
+      .select(col("event_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + dur).as("e"))
+    val naive = iv("error", 600000000L).as("a")
+      .join(iv("purchase", 300000000L).as("b"),
+        col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+      .select(col("a.event_id").as("a_id"), col("b.event_id").as("b_id"),
+        (least(col("a.e"), col("b.e")) -
+          greatest(col("a.s"), col("b.s"))).as("overlap_us"))
+      .orderBy(col("a_id"), col("b_id")).collect().toSeq
+    assert(fast == naive,
+      s"bucketed overlap join diverged from naive (${fast.length} vs ${naive.length} rows)")
+  }
+
+  test("profileTable: nulls counted, exact distincts, typed min/max " +
+    "lanes — and ALL columns profile in ONE scan (Expand, not " +
+    "scan-per-distinct)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val li = Seq(
+      (1L, 10.0, 100.0, Some(0.1), ts, "A", "F"),
+      (2L, 10.0, 200.0, None, ts, "A", "O"),
+      (3L, 30.0, 200.0, Some(0.2), ts, "R", "F"))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_shipdate", "l_returnflag", "l_linestatus")
+    val out = Relational.profileTable(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate", "l_returnflag", "l_linestatus"))
+    val disc = out("l_discount")
+    assert(disc.getLong(1) == 3 && disc.getLong(2) == 1 &&
+      disc.getLong(3) == 2, "null/distinct accounting broke")
+    assert(disc.getDouble(4) == 0.1 && disc.getDouble(5) == 0.2)
+    assert(disc.isNullAt(6) && disc.isNullAt(7), "numeric column leaked strings")
+    val rf = out("l_returnflag")
+    assert(rf.getLong(2) == 0 && rf.getLong(3) == 2)
+    assert(rf.isNullAt(4) && rf.isNullAt(5))
+    assert(rf.getString(6) == "A" && rf.getString(7) == "R")
+    val qty = out("l_quantity")
+    assert(qty.getLong(3) == 2 && qty.getDouble(4) == 10.0 &&
+      qty.getDouble(5) == 30.0)
+    // the scale property: one pass over the relation for all seven
+    // columns' profiles — multi-distinct plans as Expand over a single
+    // scan, never a per-column re-read
+    val plan = Relational.profileTable(Tables.lineitem(spark, sf0))
+      .queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.length == 1, s"profile re-reads the table: ${scans.length} scans")
+    assert(plan.toString.contains("Expand"),
+      "multi-distinct lost its single-pass Expand shape")
+  }
 }
