@@ -889,6 +889,12 @@ object SparkEntry {
     "event_window_tumbling" -> ((s, d) =>
       Sessionize.tumbling(Tables.events(s, d))),
 
+    // SLIDING windows (round 11): 15-min windows every 5 min — each
+    // event fans out to exactly 3 windows map-side, partial aggregation
+    // before the one (window, type) shuffle.
+    "event_window_sliding" -> ((s, d) =>
+      Sessionize.sliding(Tables.events(s, d))),
+
     "event_sessionize" -> ((s, d) =>
       Sessionize.sessions(Tables.events(s, d))),
 
@@ -1024,6 +1030,13 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) =>
       Corpus.mixSources(Tables.documents(s, d),
         (0 until 20).map(i => s"src$i" -> (i + 1)).toMap)),
+
+    // Temperature-scaled multilingual resampling (round 11, mT5/XLM-R
+    // lineage): per-lang quota ∝ floor(√n) under integer arithmetic
+    // (the α=1/2 surrogate), realized as full epochs + md5-prefix
+    // extras — low-resource langs repeat, the head downsamples.
+    "corpus_mix_temperature" -> ((s, d) =>
+      Corpus.mixTemperature(Tables.documents(s, d))),
 
     // Contamination check: cross-set (train × test) near-duplicate text
     // — the decontamination pass between a corpus and its benchmark
@@ -2059,6 +2072,20 @@ object SparkEntry {
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
 
+    // integer-µs window enumeration: every event lands in exactly
+    // size/slide = 3 epoch-aligned windows (k = 0..2), mirroring
+    // Spark's window(ts, size, slide) grouping fan-out
+    "event_window_sliding" ->
+      ("WITH e AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "w AS (SELECT event_type, value, ((us // 300000000) - k) * 300000000 AS ws " +
+        "FROM e, (SELECT unnest(range(0, 3)) AS k) kk " +
+        "WHERE ((us // 300000000) - k) * 300000000 + 900000000 > us) " +
+        "SELECT make_timestamp(ws) AS win_start, " +
+        "make_timestamp(ws + 900000000) AS win_end, event_type, " +
+        "COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+        "FROM w GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
+
     // same µs-normalizing CTE discipline as event_sessionize; strict >
     // comparisons therefore run in the µs domain on both engines
     "event_funnel" ->
@@ -2244,6 +2271,22 @@ object SparkEntry {
     // weights, lexicographic tie-breaks, island-parity greedy merge
     "tokenizer_bpe" -> sqlBpe(steps = 3, topK = 5),
     "tokenizer_compression" -> sqlBpeCompression(steps = 3),
+
+    // α=1/2 temperature quotas in pure BIGINT (w = floor(√n) — sqrt of
+    // an exact integer is correctly rounded everywhere): full-epoch +
+    // md5-prefix-extra replay, row-for-row
+    "corpus_mix_temperature" ->
+      ("WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
+        "w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c), " +
+        "t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(n) AS BIGINT) AS nn FROM w), " +
+        "q AS (SELECT lang, n, (nn * w) // tw AS quota FROM w, t), " +
+        "f AS (SELECT lang, quota // n AS ep, quota % n AS part FROM q), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "SELECT r.doc_id, r.lang, f.ep + CASE WHEN r.rk <= f.part THEN 1 ELSE 0 END AS n_copies " +
+        "FROM r JOIN f USING (lang) " +
+        "WHERE f.ep + CASE WHEN r.rk <= f.part THEN 1 ELSE 0 END > 0 " +
+        "ORDER BY lang, doc_id"),
 
     // integer-exact mixture quotas: M = min floor(n/p), k = p·M — no
     // float arithmetic anywhere, so quotas are bit-identical per engine

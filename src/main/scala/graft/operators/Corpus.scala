@@ -208,6 +208,47 @@ object Corpus {
       .orderBy(col("source"), col("mix_rank"))
   }
 
+  /** TEMPERATURE-scaled language mixture (round 11) — the multilingual
+    * resampling every large multilingual run applies (mT5 / XLM-R
+    * lineage: sample q_l ∝ p_l^α with α < 1, public literature):
+    * low-resource languages are UP-sampled (repeated across epochs),
+    * the head language down-sampled, at constant total budget N =
+    * |corpus|. α is fixed at 1/2 and realized through the engine's
+    * INTEGER-SURROGATE doctrine (the unigram-cost move): the per-lang
+    * weight is floor(√n_l) — sqrt of an exact integer is correctly
+    * rounded IEEE in every engine, floor makes it a BIGINT — and the
+    * quota is (N·w_l) div Σw, all integer arithmetic, so quotas are
+    * bit-identical across engines with no float-sum ordering hazard.
+    * A float p^α formulation would hinge on pow()'s last ulp at floor
+    * boundaries — exactly the cross-engine trap the surrogate kills.
+    *
+    * Quota realization with REPETITION (the part plain subsampling
+    * cannot express): each language contributes floor(quota/n) full
+    * epochs of all its docs plus an md5-prefix selection of
+    * (quota mod n) extras — deterministic, repartition-stable. Output
+    * is the resampled-corpus MANIFEST: (doc_id, lang, n_copies ≥ 1).
+    *
+    * Scale: one tiny counts aggregate, broadcast quota join, one
+    * per-lang md5 ranking shuffle — [[mixSources]]'s exact cost class. */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("w")).as("tw"), sum(col("n")).as("nn"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"), expr("(nn * w) div tw").as("quota"))
+      .select(col("lang"), expr("quota div n").as("full"),
+        expr("quota % n").as("part"))
+    val rk = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(rk))
+      .join(broadcast(quota), "lang")
+      .withColumn("n_copies",
+        col("full") + when(col("rk") <= col("part"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_copies"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Per-source corpus profile: doc count, total tokens, distinct
     * languages, distinct tokens — the dataset card every corpus ships
     * with. This is the EXACT form (oracle-checkable): distinct-token

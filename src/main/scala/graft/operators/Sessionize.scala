@@ -29,6 +29,31 @@ object Sessionize {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** SLIDING event-time windows (round 11) — the overlapping complement
+    * to [[tumbling]]: every event lands in size/slide consecutive
+    * windows (15 min / 5 min → exactly 3), so each window's aggregate
+    * reads a smoothed trailing view — the moving-rate face of windowed
+    * aggregation that dashboards and alerting actually chart. Spark's
+    * `window(ts, size, slide)` is still a GROUPING expression: the
+    * bounded per-row window fan-out happens map-side and partial
+    * aggregation runs before the one (window, type) shuffle — same
+    * 100 TB shape as tumbling, with a constant ×(size/slide) input
+    * factor. Decimal-exact sums; window starts are epoch-aligned in
+    * both engines, so the oracle replays with an integer-µs window
+    * enumeration. */
+  def sliding(events: DataFrame, size: String = "15 minutes",
+              slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
   /** Session windows per user: a session closes after `gap` of inactivity.
     * Spark's session_window merges an event into the open session while
     * ts < prev_ts + gap (half-open), i.e. a new session starts when the

@@ -689,6 +689,36 @@ class DedupSimilaritySpec extends SparkSpec {
       mixed.map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("mixTemperature: hand-checked α=1/2 integer quotas — the head " +
+    "lang downsamples, the tail UPSAMPLES via repetition, budget held") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    // en n=16 (w=4), fr n=4 (w=2): N=20, Σw=6 →
+    //   quota_en = 20·4 div 6 = 13 → 0 full epochs + 13 extras (13/16 ↓)
+    //   quota_fr = 20·2 div 6 = 6  → 1 full epoch  + 2 extras  (6/4  ↑)
+    val fix = ((1L to 16L).map(i => (i, "en")) ++
+        (101L to 104L).map(i => (i, "fr")))
+      .toDF("doc_id", "lang")
+    val out = Corpus.mixTemperature(fix).collect()
+    val byLang = out.groupBy(_.getString(1))
+    val enCopies = byLang("en").map(_.getLong(2))
+    assert(enCopies.length == 13 && enCopies.forall(_ == 1L),
+      "head lang must downsample to its quota, one copy each")
+    val frCopies = byLang("fr").map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(frCopies.size == 4 && frCopies.values.sum == 6L &&
+      frCopies.values.forall(c => c == 1L || c == 2L),
+      s"tail lang must repeat: got $frCopies")
+    // budget: Σ copies ≤ N, within one floor loss per lang
+    val total = out.map(_.getLong(2)).sum
+    assert(total == 19L, s"Σ n_copies = $total, want 13 + 6")
+    // sampling RATE is monotone in n: copies/n lower for the head
+    assert(13.0 / 16.0 < 6.0 / 4.0)
+    // determinism under partitioning
+    val rep = Corpus.mixTemperature(fix.repartition(5)).collect()
+    assert(rep.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      out.map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
   test("trainCentroids drops a cluster whose mean rounds to the zero vector") {
     import spark.implicits._
     // every vector has an exact negation, so with nlist=1 the single

@@ -637,6 +637,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("sliding windows: every event lands in exactly size/slide " +
+    "windows, totals reconcile 3x against tumbling, sums decimal-exact") {
+    import graft.operators.Sessionize
+    val events = Tables.events(spark, sf0)
+    val out = Sessionize.sliding(events).collect()
+    // global reconciliation: each event counted once per covering
+    // window — exactly 3 for 15min/5min
+    assert(out.map(_.getAs[Long]("n_events")).sum == 3 * events.count())
+    // every window is 15 min wide and 5-min aligned
+    out.foreach { r =>
+      val s = r.getAs[java.sql.Timestamp]("win_start").getTime
+      val e = r.getAs[java.sql.Timestamp]("win_end").getTime
+      assert(e - s == 15 * 60 * 1000L && s % (5 * 60 * 1000L) == 0,
+        s"bad window [$s, $e)")
+    }
+    // hand check: one event at 00:07:30 covers starts 00:05, 00:00, 23:55
+    import spark.implicits._
+    val one = Sessionize.sliding(Seq(
+        (1L, "click", java.sql.Timestamp.valueOf("2024-01-02 00:07:30"), 2.5))
+      .toDF("event_id", "event_type", "ts", "value")).collect()
+    assert(one.map(_.getAs[java.sql.Timestamp]("win_start").toString).toSet ==
+      Set("2024-01-01 23:55:00.0", "2024-01-02 00:00:00.0",
+        "2024-01-02 00:05:00.0"))
+    assert(one.forall(r => r.getAs[Double]("sum_value") == 2.5))
+  }
+
   test("intervalOverlapJoin: end-exclusive touching excluded, multi-cell " +
     "pairs emitted EXACTLY once (overlap-start-cell rule, no DISTINCT), " +
     "equals the naive inequality join") {
