@@ -343,6 +343,19 @@ class PlanInvariantsSpec extends SparkSpec {
       s"expected exactly one hash exchange (user_id), got $exchanges:\n$plan")
   }
 
+  test("join_interval_overlap: the overlap pairing is a grid-cell EQUI " +
+    "join — never the BNLJ a naive inequality join would plan, and no " +
+    "distinct re-shuffle of the pair relation") {
+    val plan = planOf("join_interval_overlap")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap degenerated to a nested loop:\n$plan")
+    // exactly-once comes from the overlap-start-cell filter, not a
+    // dedup aggregation over the joined pairs
+    assert(!plan.contains("HashAggregate(keys=[a_id"),
+      s"pair dedup re-appeared as an aggregation:\n$plan")
+  }
+
   test("multimodal_dhash: the decode side stays narrow — the only wide " +
     "operations are the fingerprint groupBy and its join back") {
     val plan = planOf("multimodal_dhash")
