@@ -622,6 +622,12 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // NTILE quartile bands per return flag (round 11): partitioned
+    // window + total ordering via the primary key — deterministic band
+    // membership, decimal-exact band sums.
+    "window_ntile" -> ((s, d) =>
+      Relational.priceNtiles(Tables.lineitem(s, d))),
+
     // Windowed top-k per group: top-3 users by exact total value per type.
     "window_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -733,7 +739,7 @@ object SparkEntry {
     // Oriented triangle counting (round 9): a<b<c joins build each
     // triangle once; per-node participation top-20.
     "graph_triangles" -> ((s, d) =>
-      Graph.triangles(Tables.lineitem(s, d),
+      Graph.triangles(Tables.lineitem(s, d), scope = harnessScope,
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
     // Exact interpolated quantiles (order statistics, oracle-checkable).
@@ -856,6 +862,13 @@ object SparkEntry {
     // weights replay end-to-end).
     "text_quality_model" -> ((s, d) =>
       TextAnalysis.qualityModel(Tables.documents(s, d))),
+
+    // LM-perplexity filter (round 11, CCNet lineage): char-bigram model
+    // trained on the corpus, −log₂ replaced by the integer bitlen
+    // surrogate — alphabet²-bounded model broadcast back, one doc-keyed
+    // shuffle. The third quality-filter family.
+    "text_lm_perplexity" -> ((s, d) =>
+      TextAnalysis.lmPerplexity(Tables.documents(s, d))),
 
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -1625,6 +1638,17 @@ object SparkEntry {
         "FROM (SELECT event_id, CASE WHEN event_id % 7 = 0 THEN '{bad' || props " +
         "ELSE props END AS raw FROM events) ORDER BY event_id"),
 
+    // NTILE over the identical total order (price, then primary key):
+    // SQL ntile semantics agree across engines (first n mod k bands
+    // take one extra row), so bands replay row-for-row
+    "window_ntile" ->
+      ("SELECT l_returnflag, tile, COUNT(*) AS n_rows, " +
+        "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+        "FROM (SELECT l_returnflag, l_extendedprice, CAST(NTILE(4) OVER " +
+        "(PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS tile " +
+        "FROM lineitem) GROUP BY 1, 2 ORDER BY l_returnflag, tile"),
+
     "window_topk" ->
       ("SELECT event_type, rk, user_id, CAST(tot AS DOUBLE) AS total_value FROM (" +
         "SELECT event_type, user_id, tot, ROW_NUMBER() OVER " +
@@ -2010,6 +2034,20 @@ object SparkEntry {
         s"(CASE WHEN (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) > 0.0 " +
         s"AND (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) < 0.5 THEN 1.0 ELSE 0.0 END) * 0.25)) AS quality " +
         "FROM documents ORDER BY doc_id"),
+
+    // char-bigram LM replay: bigram/first-char counts, bitlen surrogate
+    // via length(bin(x)) — identical integer arithmetic in both engines
+    "text_lm_perplexity" ->
+      ("WITH t AS (SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS t FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> substring(t, CAST(i AS INT), 2))) AS bg " +
+        "FROM t WHERE len(t) >= 2), " +
+        "cb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY 1), " +
+        "cu AS (SELECT substring(bg, 1, 1) AS u, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1), " +
+        "m AS (SELECT cb.bg, CAST(length(bin(cu.cu)) - length(bin(cb.cb)) AS BIGINT) AS cost " +
+        "FROM cb JOIN cu ON substring(cb.bg, 1, 1) = cu.u) " +
+        "SELECT bg.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(m.cost) AS BIGINT) AS lm_cost, " +
+        "(1000 * CAST(SUM(m.cost) AS BIGINT)) // COUNT(*) AS cost_milli " +
+        "FROM bg JOIN m USING (bg) GROUP BY 1 ORDER BY 1"),
 
     // hashed-n-gram linear scorer: md5-prefix feature hash (7 hex chars
     // < 2^28, exact) mod 1024, fixed integer weight table

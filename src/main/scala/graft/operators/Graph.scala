@@ -119,8 +119,13 @@ object Graph {
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    e.join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+    // the degree frame is node-bounded (dimension-sized next to the
+    // edge relation) — broadcast it so orientation is two narrow
+    // map-side joins, not two shuffles of the full edge list; at a
+    // scale where nodes outgrow broadcast, drop the hint and the same
+    // plan degrades gracefully to shuffle joins
+    e.join(broadcast(deg.select(col("n").as("a"), col("deg").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("n").as("b"), col("deg").as("db"))), Seq("b"))
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"),

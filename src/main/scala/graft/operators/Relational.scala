@@ -854,17 +854,46 @@ object Relational {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** NTILE banding (round 11) — the quartile-band summary that rounds
+    * out the window family (lag/lead, moving average, per-group top-k):
+    * rank every lineitem within its return flag by price and split into
+    * `k` equal bands (SQL NTILE: the first n mod k bands take one extra
+    * row), then summarize each band. The window is PARTITIONED (one
+    * shuffle on the flag, per-partition sort) and the output is
+    * k·groups rows — band boundaries are what a pricing dashboard reads
+    * as "P0–P25 / P25–P50 / …" tiers. Ordering is made total with the
+    * relation's primary key, so band membership — and therefore every
+    * min/max/sum — is deterministic on any engine.
+    *
+    * Output: (l_returnflag, tile, n_rows, min_price, max_price,
+    * sum_price) ordered. */
+  def priceNtiles(lineitem: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    lineitem
+      .withColumn("tile", ntile(k).over(w).cast("long"))
+      .groupBy(col("l_returnflag"), col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"), col("tile"))
+  }
+
   /** TABLE PROFILE (round 11) — the data-profiling pass every warehouse
     * runs before trusting a new feed: per-column row count, null count,
-    * exact distinct count, and min/max, over a fixed column set, in ONE
-    * scan. The multi-column exact COUNT(DISTINCT) is the part engines
-    * get wrong at scale: the naive form is one scan per column; Spark
-    * plans all of them in a single pass via Expand (each input row
-    * fans out once per distinct-aggregate, partial-aggregated before
-    * the exchange) — the spec asserts exactly one scan of the relation.
+    * exact distinct count, and min/max over a fixed column set, in TWO
+    * column-pruned passes (one per aggregate family — see the in-code
+    * note for why one combined pass is the slow shape). The
+    * multi-column exact COUNT(DISTINCT) is the part engines get wrong
+    * at scale: the naive form is one scan per column; here all seven
+    * share a single Expand pass (each input row fans out once per
+    * distinct-aggregate, hash-deduped map-side before the exchange) —
+    * the spec asserts the scan count and the hash-aggregate shape.
     * The long output shape is produced by exploding an array of
-    * per-column structs over the single 1-row aggregate — no re-read,
-    * no union of re-aggregations.
+    * per-column structs over the combined 1-row aggregate — never a
+    * union of per-column re-aggregations.
     *
     * Numeric columns surface min/max as doubles (timestamps as exact
     * epoch micros — integers < 2^53, double-exact in any engine);
@@ -877,29 +906,42 @@ object Relational {
     val numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
       "l_discount", "l_shipdate")
     val strCols = Seq("l_returnflag", "l_linestatus")
+    // distinct-count and min/max the RAW column types (longs hash and
+    // compare cheaper than their double casts and the counts are
+    // identical — the casts below are injective); only the surfaced
+    // min/max values convert to the output lanes
     val p = lineitem.select(
-      col("l_orderkey").cast("double").as("l_orderkey"),
-      col("l_quantity").cast("double").as("l_quantity"),
-      col("l_extendedprice").cast("double").as("l_extendedprice"),
-      col("l_discount").cast("double").as("l_discount"),
+      col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"),
       // NTZ → TIMESTAMP under the engine's fixed UTC session zone: the
       // instant is unchanged, and unix_micros then matches epoch_us
-      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))")
-        .cast("double").as("l_shipdate"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("l_shipdate"),
       col("l_returnflag"), col("l_linestatus"))
-    val aggs = (numCols ++ strCols).flatMap { c =>
-      Seq(count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c"),
+    // TWO passes, each the cheap shape for its aggregates — NOT one:
+    // combining min(string) buffers with the multi-distinct Expand
+    // forces the whole expanded relation through SortAggregate (string
+    // buffers are not hash-aggregable), a full sort of rows×(k+1) —
+    // measured 10.5 s vs ~1 s split at sf0.1. Pass 1 (counts/min/max,
+    // no distinct): a GLOBAL streaming aggregate — no Expand, no sort,
+    // 1-row partials. Pass 2 (exact distincts only): Expand + pure-long
+    // buffers → HashAggregate, map-side dedup. Both 1-row frames
+    // combine with a broadcast cross join.
+    val basicAggs = (numCols ++ strCols).flatMap { c =>
+      Seq(count(col(c)).as(s"c_$c"),
         min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
     }
-    val row = p.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val basic = p.agg(count(lit(1)).as("n_rows"), basicAggs: _*)
+    val dAggs = (numCols ++ strCols).map(c => countDistinct(col(c)).as(s"d_$c"))
+    val distincts = p.agg(dAggs.head, dAggs.tail: _*)
+    val row = basic.crossJoin(broadcast(distincts))
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
     def entry(c: String, numeric: Boolean) = struct(
       lit(c).as("column"), col("n_rows"),
       (col("n_rows") - col(s"c_$c")).as("n_null"),
       col(s"d_$c").as("n_distinct"),
-      (if (numeric) col(s"mn_$c") else nullD).as("min_num"),
-      (if (numeric) col(s"mx_$c") else nullD).as("max_num"),
+      (if (numeric) col(s"mn_$c").cast("double") else nullD).as("min_num"),
+      (if (numeric) col(s"mx_$c").cast("double") else nullD).as("max_num"),
       (if (numeric) nullS else col(s"mn_$c")).as("min_str"),
       (if (numeric) nullS else col(s"mx_$c")).as("max_str"))
     row.select(explode(array(

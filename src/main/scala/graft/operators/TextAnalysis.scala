@@ -300,4 +300,50 @@ object TextAnalysis {
         col("qs").getItem(1).as("score"),
         (col("qs").getItem(1) > 0L).as("is_quality"))
       .orderBy(col("doc_id"))
+
+  /** LM-PERPLEXITY quality filter (round 11) — the THIRD quality-filter
+    * family next to rule-based (`text_quality`) and learned-linear
+    * (`text_quality_model`), in the CCNet lineage (Wenzek et al. 2020,
+    * public): score each document by a language model trained on the
+    * corpus and drop the high-perplexity (gibberish / OCR-noise) tail.
+    * Here the LM is a character-bigram model trained on the corpus
+    * itself, and −log₂ P(b|a) is replaced by the INTEGER SURROGATE
+    * bitlen(c(a)) − bitlen(c(ab)) (bit length = length of bin(x),
+    * identical in every engine; the true −log₂ within 1 bit) — the
+    * engine's no-transcendentals doctrine, so the whole score replays
+    * exactly in SQL. Trained-on-self means every scored bigram was
+    * counted: no unseen-event smoothing needed, and a document of
+    * improbable bigram sequences still scores high cost — exactly the
+    * filter's job.
+    *
+    * Scale shape: the model is alphabet²-bounded (one map-side-combined
+    * count over the exploded bigrams, then a tiny first-char rollup),
+    * broadcast back to the corpus-sized bigram stream; per-doc scoring
+    * is one partial-aggregated groupBy(doc_id). One corpus explode, one
+    * doc-keyed shuffle — the `text_corpus_freq` cost class.
+    *
+    * Output: (doc_id, n_bigrams, lm_cost, cost_milli = 1000·cost div n)
+    * — cost_milli is the length-normalized figure a threshold reads. */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val bigrams = docs.select(col("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("bg"))
+    val cb = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy(substring(col("bg"), 1, 1).as("u"))
+      .agg(sum(col("cb")).as("cu"))
+    val model = cb.withColumn("u", substring(col("bg"), 1, 1))
+      .join(cu, "u")
+      .select(col("bg"),
+        (length(bin(col("cu"))) - length(bin(col("cb"))))
+          .cast("long").as("cost"))
+    bigrams.join(broadcast(model), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("lm_cost"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_cost"),
+        expr("(1000 * lm_cost) div n_bigrams").as("cost_milli"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1074,4 +1074,53 @@ class DedupSimilaritySpec extends SparkSpec {
       corpus.exists(!_.getAs[Boolean]("is_quality")),
       "fixed model must split the corpus, not rubber-stamp it")
   }
+
+  test("lmPerplexity: bit-length surrogate replays independently, and " +
+    "gibberish scores above the natural-text baseline it is meant to " +
+    "filter") {
+    import spark.implicits._
+    val natural = "the cat sat on the mat and the cat sat again"
+    val gibber = "qzxj vkwq pfzt qzxj"
+    val fix = Seq((1L, natural), (2L, natural + " and on"), (3L, gibber),
+      (4L, "a")) // < 2 chars after norm → no bigrams, no row
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.lmPerplexity(fix).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains(4L), "sub-bigram doc must drop out")
+    // independent driver-side replay of the whole model
+    def normStr(s: String) = s.trim.toLowerCase.replaceAll(" +", " ")
+    val texts = Map(1L -> natural, 2L -> (natural + " and on"),
+      3L -> gibber).view.mapValues(t => normStr(t)).toMap
+    val allBgs = texts.values.toSeq.flatMap(t => t.sliding(2).toSeq)
+    val cb = allBgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cu = cb.groupBy(_._1.take(1)).view
+      .mapValues(_.values.sum).toMap
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def cost(bg: String) = (bitlen(cu(bg.take(1))) - bitlen(cb(bg))).toLong
+    texts.foreach { case (id, t) =>
+      val bgs = t.sliding(2).toSeq
+      assert(out(id)._1 == bgs.length.toLong, s"n_bigrams of $id")
+      val want = bgs.map(cost).sum
+      assert(out(id)._2 == want, s"lm_cost of $id: ${out(id)._2} vs $want")
+      assert(out(id)._3 == 1000L * want / bgs.length, s"cost_milli of $id")
+    }
+    // the filter's job — demonstrated at corpus scale (a 3-doc fixture
+    // makes gibberish SELF-predictable: its unique contexts always
+    // continue the same way, so its conditional cost collapses; with a
+    // real corpus behind the counts, rare bigrams in common contexts
+    // price high, which is exactly the CCNet setup): inject one
+    // gibberish doc into sf0's documents and it must land in the
+    // worst-cost decile
+    val gibberDoc = (9000001L,
+      "qzxj vkwq pfzt bqgk xvzw jqkp zfxt wqzv kxjp qzxj vkwq pfzt")
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq(gibberDoc).toDF("doc_id", "text"))
+    val scored = graft.operators.TextAnalysis.lmPerplexity(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val others = scored.removed(gibberDoc._1).values.toSeq.sorted
+    val p90 = others(math.min(others.size - 1, (others.size * 9) / 10))
+    assert(scored(gibberDoc._1) > p90,
+      s"gibberish cost ${scored(gibberDoc._1)} not above corpus p90 $p90")
+  }
 }

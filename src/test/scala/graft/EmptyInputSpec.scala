@@ -63,9 +63,12 @@ class EmptyInputSpec extends SparkSpec {
   // not data — their row count is the property/policy surface itself and
   // is the same on any input; tokenizer_compression's curve is likewise
   // structural (steps+1 per-step global aggregates, zeros when empty)
+  // stats_profile is structural the same way: one row per PROFILED
+  // COLUMN (zero counts, null min/max on empty input) — the column
+  // list, not the data, fixes the row count
   private val configDerived =
     Set("config_parse", "retry_reconnect", "schema_prime",
-      "tokenizer_compression")
+      "tokenizer_compression", "stats_profile")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

@@ -637,6 +637,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("priceNtiles: bands partition each flag (extras in the first " +
+    "n mod k bands), ranges tile the price axis in order") {
+    val li = Tables.lineitem(spark, sf0)
+    val out = Relational.priceNtiles(li).collect()
+    val totals = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (flag, rows) =>
+      val byTile = rows.sortBy(_.getLong(1))
+      val sizes = byTile.map(_.getAs[Long]("n_rows"))
+      assert(sizes.sum == totals(flag), s"$flag bands lost rows")
+      assert(sizes.max - sizes.min <= 1, s"$flag bands unbalanced: ${sizes.toSeq}")
+      assert(sizes.sameElements(sizes.sortBy(-_)),
+        s"$flag extras not in the leading bands: ${sizes.toSeq}")
+      // bands are contiguous price ranges in tile order
+      byTile.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"),
+            s"$flag bands overlap: $a vs $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("sliding windows: every event lands in exactly size/slide " +
     "windows, totals reconcile 3x against tumbling, sums decimal-exact") {
     import graft.operators.Sessionize
@@ -727,15 +750,20 @@ class RelationalSpec extends SparkSpec {
     val qty = out("l_quantity")
     assert(qty.getLong(3) == 2 && qty.getDouble(4) == 10.0 &&
       qty.getDouble(5) == 30.0)
-    // the scale property: one pass over the relation for all seven
-    // columns' profiles — multi-distinct plans as Expand over a single
-    // scan, never a per-column re-read
+    // the scale property: exactly TWO passes — one streaming
+    // counts/min/max aggregate, one shared Expand pass for ALL seven
+    // exact distincts (hash-aggregated: long-only buffers) — never a
+    // per-column re-read, never a sort of the expanded relation
     val plan = Relational.profileTable(Tables.lineitem(spark, sf0))
       .queryExecution.sparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     val scans = plan.collect { case f: FileSourceScanExec => f }
-    assert(scans.length == 1, s"profile re-reads the table: ${scans.length} scans")
-    assert(plan.toString.contains("Expand"),
-      "multi-distinct lost its single-pass Expand shape")
+    assert(scans.length == 2, s"expected 2 passes, got ${scans.length} scans")
+    val planStr = plan.toString
+    assert(planStr.contains("Expand"),
+      "multi-distinct lost its shared Expand pass")
+    assert("Sort \\[gid".r.findFirstIn(planStr).isEmpty &&
+      !planStr.contains("SortAggregate(key=[gid"),
+      s"expanded relation is being sorted again:\n$planStr")
   }
 }
