@@ -1196,6 +1196,11 @@ object SparkEntry {
     "sim_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d))),
 
+    // MIPS top-k (round 11): the recommendation-serving ranking —
+    // exact integer dot, magnitude matters, ties replay in BIGINT.
+    "sim_mips_topk" -> ((s, d) =>
+      Similarity.mipsTopK(Tables.embeddings(s, d))),
+
     // LSH-bucketed ANN top-k: the scale path. Same portable LCG
     // hyperplanes as dedup_embedding_lsh — full DuckDB oracle for the
     // candidate lookup + exact rerank; recall spec vs sim_topk besides.
@@ -2846,6 +2851,17 @@ object SparkEntry {
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
         "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    // pure-BIGINT inner-product ranking (no division, no sqrt): the
+    // ranking, ties included, replays exactly
+    "sim_mips_topk" ->
+      (s"WITH $sqlQuantCte, " +
+        "s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        "CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2])) AS BIGINT) AS ip " +
+        "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rank " +
+        "FROM s WHERE ip IS NOT NULL) " + // null embedding gated, as in mipsTopK
+        "SELECT q_id, rank, n_id, ip FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
 
     "multimodal_meta" ->
       ("SELECT doc_id, md5(text) AS content_digest, length(text) AS n_bytes, " +

@@ -77,6 +77,43 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** MAXIMUM-INNER-PRODUCT top-k (round 11) — the serving query of
+    * recommendation / retrieval systems where scores are LEARNED dot
+    * products (user·item, query·passage): unlike cosine, magnitude
+    * matters, so the ranking differs from [[bruteForceTopK]] whenever
+    * norms vary — a high-norm "popular item" vector legitimately
+    * outranks a better-angled low-norm one. Same distribution shape as
+    * the cosine path (bounded broadcast query side, streaming corpus,
+    * [[graft.functions.TopKAgg]] partial top-k before the exchange) and
+    * SIMPLER arithmetic: the score is the exact integer dot of the
+    * quantized vectors — no division, no sqrt — so the whole ranking,
+    * ties included, replays in BIGINT on any engine. Zero-norm vectors
+    * are legal here (ip = 0 is a defined score), unlike cosine's NaN
+    * exclusion; null embeddings are still gated. At scale the LSH/IVF
+    * routes apply through the standard norm-augmentation reduction
+    * (append √(M²−‖x‖²) to unit-cap MIPS into cosine — Shrivastava &
+    * Li 2014, public); this exact form is the correctness baseline
+    * those serve paths verify against.
+    *
+    * Output: (q_id, rank, n_id, ip), rank 1-based by (ip desc, n_id). */
+  def mipsTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val p = prepared(emb)
+    val queries = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val corpus = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+    // dots of ×1000-quantized unit-scale vectors are ≲ 2^26 — exact in
+    // the aggregator's double lane, surfaced back as BIGINT
+    val scored = corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("ip", dotQ(col("q_qv"), col("n_qv")).cast("double"))
+      .filter(col("ip").isNotNull)
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("ip"), col("n_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("n_id"), col("col._1").cast("long").as("ip"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Shared partial-top-k tail: (q_id, cos, n_id) scored rows → the k
     * best per q_id as (q_id, rank, n_id, cos), rank 1-based in
     * (cos desc, n_id asc) order — same total order as the Window

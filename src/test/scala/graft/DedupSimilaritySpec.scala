@@ -1075,6 +1075,27 @@ class DedupSimilaritySpec extends SparkSpec {
       "fixed model must split the corpus, not rubber-stamp it")
   }
 
+  test("mipsTopK: magnitude matters — ranking diverges from cosine " +
+    "where norms differ, zero vectors are legal scores, all integers") {
+    import spark.implicits._
+    val fix = Seq(
+      (0L, Array(1.0f, 0.0f), "q"),
+      (1L, Array(0.9f, 0.1f), "a"),  // best ANGLE, small norm
+      (2L, Array(5.0f, -2.0f), "b"), // big norm, worse angle — MIPS winner
+      (3L, Array(0.0f, 0.0f), "z"))  // zero vector: ip = 0, still ranked
+      .toDF("vec_id", "embedding", "label")
+    val mips = Similarity.mipsTopK(fix, nQueries = 1, k = 3).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // exact integer dots of the ×1000 quantized vectors
+    assert(mips(1L) == ((2L, 5000000L)), s"got $mips")
+    assert(mips(2L) == ((1L, 900000L)))
+    assert(mips(3L) == ((3L, 0L)), "zero vector must be a legal MIPS score")
+    // cosine disagrees on the winner — the semantic the operator adds
+    val cosTop = Similarity.bruteForceTopK(fix, nQueries = 1, k = 1)
+      .collect().head.getAs[Long]("n_id")
+    assert(cosTop == 1L, "fixture no longer separates MIPS from cosine")
+  }
+
   test("lmPerplexity: bit-length surrogate replays independently, and " +
     "gibberish scores above the natural-text baseline it is meant to " +
     "filter") {
