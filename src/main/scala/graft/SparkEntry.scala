@@ -1272,6 +1272,14 @@ object SparkEntry {
     "embed_quantize" -> ((s, d) =>
       Similarity.int8Quantize(Tables.embeddings(s, d))),
 
+    // PRODUCT QUANTIZATION (round 11): per-subspace codebooks trained
+    // with unrolled integer-L2 Lloyd's (Jégou et al. 2011), corpus
+    // encoded by broadcast-join assignment; the per-(subspace, code)
+    // occupancy + exact squared-error report. 32x compression is the
+    // RAM-resident-index primitive at corpus scale.
+    "embed_pq" -> ((s, d) =>
+      Similarity.pqCodebookStats(Tables.embeddings(s, d))),
+
     "embed_meanpool" -> ((s, d) => {
       val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))
       mp.select(col("doc_key").as("label"), col("n_chunks"),
@@ -2783,6 +2791,12 @@ object SparkEntry {
     // trainCentroids filters them.
     "sim_ann_ivf" -> sqlIvfTrained,
 
+    // PQ (round 11): the whole pipeline is BIGINT except the cluster
+    // means (the proven IVF avg-over-longs contract); subspace slicing,
+    // seeds, both Lloyd's rounds and the final encode all unroll from
+    // the SAME Similarity.Pq* constants the operator reads.
+    "embed_pq" -> sqlPqStats,
+
     // Serve path is spec-checked bit-identical to the in-session trained
     // path (same quantizer by determinism), so it replays under the SAME
     // unrolled-training oracle.
@@ -3180,6 +3194,75 @@ object SparkEntry {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
       "FROM s WHERE NOT isnan(cos)) " +
       "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
+
+  /** One unrolled Lloyd's round for the PQ oracle, keyed by (sub_id,
+    * code): assign the train sub-vectors to their min-(dist, code)
+    * codebook entry — squared L2 in pure BIGINT (‖a‖²+‖c‖²−2⟨a,c⟩, the
+    * same algebra the operator's codegen dot computes) — then recompute
+    * each code as the element-wise mean of its members (exact BIGINT
+    * sums via list_reduce, one double division, round half-away — the
+    * sqlIvfIter contract). Emits pa<i>, pg<i>, ps<i>, pc<i>. */
+  private def sqlPqIter(i: Int, prev: String): String =
+    s"pa$i AS (SELECT t.vec_id, t.sub_id, c.code, t.sn + c.cn - " +
+      "2*list_sum(list_transform(list_zip(t.sv, c.cv), p -> p[1]*p[2])) AS dist " +
+      s"FROM trs t JOIN $prev c ON t.sub_id = c.sub_id), " +
+      s"pg$i AS (SELECT vec_id, sub_id, code FROM (SELECT vec_id, sub_id, code, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code) AS rn " +
+      s"FROM pa$i) WHERE rn = 1), " +
+      s"ps$i AS (SELECT g.sub_id, g.code, COUNT(*) AS cnt, " +
+      "list_reduce(list(t.sv), (x,y) -> list_transform(list_zip(x,y), p -> p[1]+p[2])) AS sv " +
+      s"FROM pg$i g JOIN trs t ON g.vec_id = t.vec_id AND g.sub_id = t.sub_id " +
+      "GROUP BY g.sub_id, g.code), " +
+      s"pc$i AS (SELECT sub_id, code, cv, " +
+      "list_sum(list_transform(cv, x -> x*x)) AS cn FROM " +
+      "(SELECT sub_id, code, list_transform(sv, s -> " +
+      s"CAST(round(CAST(s AS DOUBLE)/cnt) AS BIGINT)) AS cv FROM ps$i))"
+
+  /** Full PQ oracle (embed_pq): subspace slicing, md5-capped train
+    * sample, seed codebook = the kCodes smallest-(md5, vec_id) vectors
+    * sliced per subspace (code label = seed vec_id), the unrolled
+    * Lloyd's rounds, then the full-corpus encode + per-code report.
+    * Every parameter reads the SAME Similarity.Pq* constants as the
+    * operator — desync is a compile error, not a silent drift. */
+  private lazy val sqlPqStats: String = {
+    val m = Similarity.PqSubspaces
+    val dim = 64
+    val L = dim / m
+    val k = Similarity.PqCodes
+    val iters = Similarity.PqIters
+    val cap = Similarity.PqTrainCap
+    val slices = (0 until m).map(s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub_id, " +
+        s"v[${s * L + 1}:${s * L + L}] AS sv FROM nf").mkString(" UNION ALL ")
+    val iterSql = (1 to iters).map(i =>
+      sqlPqIter(i, if (i == 1) "cb0" else s"pc${i - 1}")).mkString(", ")
+    val lastCb = if (iters == 0) "cb0" else s"pc$iters"
+    s"WITH $sqlQuantCte, " +
+      s"nf AS (SELECT vec_id, v FROM n WHERE len(v) = $dim), " +
+      s"sub AS ($slices), " +
+      "subn AS (SELECT vec_id, sub_id, sv, " +
+      "list_sum(list_transform(sv, x -> x*x)) AS sn FROM sub), " +
+      "trv AS (SELECT vec_id FROM nf " +
+      s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $cap), " +
+      "trs AS (SELECT s.* FROM subn s JOIN trv ON s.vec_id = trv.vec_id), " +
+      "sdv AS (SELECT vec_id FROM nf " +
+      s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k), " +
+      "cb0 AS (SELECT s.sub_id, s.vec_id AS code, s.sv AS cv, s.sn AS cn " +
+      "FROM subn s JOIN sdv ON s.vec_id = sdv.vec_id), " +
+      iterSql + ", " +
+      "ea AS (SELECT t.vec_id, t.sub_id, c.code, t.sn + c.cn - " +
+      "2*list_sum(list_transform(list_zip(t.sv, c.cv), p -> p[1]*p[2])) AS dist " +
+      s"FROM subn t JOIN $lastCb c ON t.sub_id = c.sub_id), " +
+      "eg AS (SELECT sub_id, code, dist FROM (SELECT sub_id, code, dist, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code) AS rn " +
+      "FROM ea) WHERE rn = 1), " +
+      "rep AS (SELECT sub_id, code, COUNT(*) AS nv, SUM(dist) AS te " +
+      "FROM eg GROUP BY sub_id, code) " +
+      s"SELECT c.sub_id, c.code, CAST(COALESCE(rep.nv, 0) AS BIGINT) AS n_vectors, " +
+      "CAST(COALESCE(rep.te, 0) AS BIGINT) AS total_sq_err " +
+      s"FROM $lastCb c LEFT JOIN rep ON c.sub_id = rep.sub_id AND c.code = rep.code " +
+      "ORDER BY c.sub_id, c.code"
+  }
 
   /** Shared exact-cosine fragment for the LSH oracles (mirrors
     * Similarity.cosine on quantized ints — bit-identical doubles). */

@@ -567,6 +567,111 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** PQ defaults — shared with SparkEntry's oracle generator so the two
+    * sides can never silently desync (the sim_ann_lsh_multiprobe lesson):
+    * 8 subspaces × 16 codes over the 64-dim embeddings, 2 Lloyd's
+    * rounds on a 4096-vector deterministic sample. */
+  val PqSubspaces = 8
+  val PqCodes = 16
+  val PqIters = 2
+  val PqTrainCap = 4096
+
+  /** PRODUCT QUANTIZATION codebook training + encode report (round 11) —
+    * the third compression primitive next to [[int8Quantize]] (SQ8) and
+    * [[meanPoolEmbeddings]]: split each d-dim vector into `m` contiguous
+    * subspaces, train an independent `kCodes`-entry codebook per
+    * subspace (Lloyd's on squared-L2, the Jégou et al. 2011 PQ recipe —
+    * public paper), and encode every vector as its per-subspace nearest
+    * code. d floats become m log₂(kCodes)-bit codes — 64×4 B → 8 B here,
+    * a 32× compression — which is what makes a corpus-scale ANN index
+    * RAM-resident; the emitted per-(subspace, code) occupancy + total
+    * squared reconstruction error is the codebook-health report an index
+    * auditor reads before trusting PQ recall.
+    *
+    * EXACTER THAN THE IVF TRAINER: squared L2 over the ×1000-quantized
+    * integer domain is pure BIGINT (dist = ‖a‖² + ‖c‖² − 2⟨a,c⟩, the
+    * codegen'd integer dot — no sqrt, no division, no NaN gate), so
+    * assignment and the error report replay bit-exactly in any engine;
+    * the only doubles are the cluster means (exact integer sums, one
+    * IEEE division, round half-away — the [[trainCentroids]] contract).
+    *
+    * Scale shape: training touches a bounded md5-deterministic sample
+    * ([[trainCentroids]]' `trainCap` doctrine); codebooks are m·kCodes
+    * rows — always broadcast; the corpus pass is one narrow
+    * broadcast-join assignment (O(N·m·kCodes·L) work, no shuffle) and
+    * the report aggregates to ≤ m·kCodes groups with map-side partial
+    * aggregation. Seeds reuse [[seedCentroids]]' discipline — the
+    * kCodes smallest-(md5, vec_id) vectors, sliced per subspace, code
+    * label = seed vec_id — so no per-subspace window pass exists
+    * anywhere. Empty/degenerate codes drop out exactly like Lloyd's
+    * empty clusters; surviving-but-unused codes report n_vectors = 0
+    * (structural-empty doctrine).
+    *
+    * Output: (sub_id, code, n_vectors, total_sq_err) ordered. */
+  def pqCodebookStats(emb: DataFrame, dim: Int = 64, m: Int = PqSubspaces,
+                      kCodes: Int = PqCodes, iters: Int = PqIters,
+                      trainCap: Int = PqTrainCap): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim ($dim) must divide into m ($m) equal subspaces")
+    require(kCodes >= 1 && iters >= 0 && trainCap >= kCodes,
+      s"need kCodes >= 1, iters >= 0, trainCap >= kCodes")
+    val subLen = dim / m
+    // malformed rows (null / wrong-arity vectors) are gated, not poison
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    // one row per (vector, subspace): the sliced sub-vector + its norm
+    def subSlices(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), posexplode(array((0 until m).map(s =>
+          slice(col("qv"), s * subLen + 1, subLen)): _*)))
+        .select(col("vec_id"), col("pos").cast("long").as("sub_id"),
+          col("col").as("sv"))
+        .withColumn("sn", dotQ(col("sv"), col("sv")))
+    def mdCapped(df: DataFrame, cap: Int): DataFrame =
+      df.withColumn("mk", md5(col("vec_id").cast("string")))
+        .orderBy(col("mk"), col("vec_id")).limit(cap).drop("mk")
+    val subs = subSlices(p)
+    val tr = subSlices(mdCapped(p, trainCap))
+    val seeds = subSlices(mdCapped(p, kCodes))
+      .select(col("sub_id"), col("vec_id").as("code"),
+        col("sv").as("cv"), col("sn").as("cn"))
+    // per-subspace argmin code by exact integer distance, (dist, code)
+    // total order — min over the struct is the same lexicographic order
+    // DuckDB's ROW_NUMBER (dist, code) replays
+    def assign(data: DataFrame, codebook: DataFrame): DataFrame =
+      data.join(codebook, Seq("sub_id"))
+        .withColumn("dist",
+          col("sn") + col("cn") - lit(2L) * dotQ(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("sub_id"))
+        .agg(min(struct(col("dist"), col("code"))).as("mm"),
+          first(col("sv")).as("sv"))
+        .select(col("vec_id"), col("sub_id"), col("mm.code").as("code"),
+          col("mm.dist").as("err"), col("sv"))
+    var cb = broadcast(seeds)
+    for (_ <- 1 to iters) {
+      val means = assign(tr, cb)
+        .select(col("sub_id"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub_id"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mval"))
+        .groupBy(col("sub_id"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mval")))),
+          x => round(x.getField("mval")).cast("long")).as("cv"))
+      cb = broadcast(means.withColumn("cn", dotQ(col("cv"), col("cv"))))
+    }
+    // structural zeros without a join: every surviving code contributes
+    // one (0, 0) row, so unused codes still report — and the broadcast
+    // hint on the codebook never meets an outer join it can't serve
+    assign(subs, cb)
+      .select(col("sub_id"), col("code"),
+        lit(1L).as("one"), col("err"))
+      .unionByName(cb.select(col("sub_id"), col("code"),
+        lit(0L).as("one"), lit(0L).as("err")))
+      .groupBy(col("sub_id"), col("code"))
+      .agg(sum(col("one")).as("n_vectors"),
+        sum(col("err")).as("total_sq_err"))
+      .orderBy(col("sub_id"), col("code"))
+  }
+
   /** k-NN SELF-join via LSH buckets — EVERY vector's k nearest
     * neighbors, the all-corpus form of [[annTopK]] (which serves a
     * bounded query set): the semantic-dedup / hard-negative-mining /

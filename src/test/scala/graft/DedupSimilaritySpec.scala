@@ -930,6 +930,43 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqCodebookStats: all-seeds fixture encodes error-free, corpus " +
+    "occupancy tiles every subspace, training beats the seed codebook, " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    // dim 4, 2 subspaces, every vector a seed → each sub-vector finds a
+    // zero-distance code, so the encode is EXACT by construction
+    val fix = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f), "a"),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f), "b"),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f), "c"),
+      (3L, Array(1.0f, 0.0f, 1.0f, 0.0f), "d"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqCodebookStats(fix, dim = 4, m = 2, kCodes = 4,
+      iters = 2, trainCap = 16).collect()
+    assert(out.map(_.getLong(3)).sum == 0, "seed-complete corpus must " +
+      "reconstruct exactly")
+    assert(out.map(_.getLong(2)).sum == 2L * 4, "every (vector, subspace) " +
+      "must be coded exactly once")
+    // real corpus: occupancy tiles each subspace, codebook stays bounded
+    val full = Similarity.pqCodebookStats(emb).collect()
+    val bySub = full.groupBy(_.getLong(0))
+    assert(bySub.size == Similarity.PqSubspaces)
+    val n = emb.count()
+    bySub.values.foreach { rows =>
+      assert(rows.length <= Similarity.PqCodes)
+      assert(rows.map(_.getLong(2)).sum == n)
+    }
+    // trained codebook must beat the raw md5 seeds it started from
+    val seedErr = Similarity.pqCodebookStats(emb, iters = 0).collect()
+      .map(_.getLong(3)).sum
+    assert(full.map(_.getLong(3)).sum < seedErr,
+      "2 Lloyd's rounds must reduce total squared error vs the seeds")
+    // deterministic under any partitioning
+    val b = Similarity.pqCodebookStats(emb.repartition(7)).collect()
+    assert(full.toSeq == b.toSeq)
+  }
+
   test("substringDupSpans: cross-doc run merges to one span, within-doc " +
     "repeat yields two, short and unique docs report zero") {
     import spark.implicits._
