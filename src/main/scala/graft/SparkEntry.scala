@@ -1096,6 +1096,14 @@ object SparkEntry {
     "sketch_quantiles" -> ((s, d) =>
       Sketches.quantileSketch(Tables.lineitem(s, d))),
 
+    // KMV/theta sketch (round 11): per-event-type distinct users AND the
+    // click∩purchase audience overlap from two 64-row bottom-k
+    // summaries — the set-expression sketch HLL can't provide. One
+    // map-side-combined distinct + bounded-state partial aggregation;
+    // even the estimation error replays in the oracle.
+    "sketch_theta" -> ((s, d) =>
+      Sketches.thetaSketch(Tables.events(s, d))),
+
     // Corpus-relative token-frequency score (round 8): the web-pipeline
     // frequency filter — vocab counts + join back, exact integers.
     "text_corpus_freq" -> ((s, d) =>
@@ -2483,6 +2491,43 @@ object SparkEntry {
         "MAX(CASE WHEN vr = (90*n+99)//100 THEN v END) AS p90 FROM s2 GROUP BY 1) " +
         "SELECT q.grp, nn.n_rows, q.n_sample, q.p25, q.p50, q.p75, q.p90 " +
         "FROM q JOIN nn USING (grp) ORDER BY grp"),
+
+    // KMV/theta replay: the window-rank bottom-64 per type selects the
+    // same distinct-hash sets the engine's BottomKAgg keeps; θ, the
+    // sketch intersection, and both estimator branches replay exactly
+    // (every product c·2^48 with c < 2^7 is double-exact; one IEEE
+    // division per estimate). Constants mirror Sketches.thetaSketch
+    // (k = 64, space = 2^48, types click/purchase).
+    "sketch_theta" ->
+      ("WITH du AS (SELECT DISTINCT event_type, " +
+        "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h " +
+        "FROM events), " +
+        "rk AS (SELECT event_type, h, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS nd FROM du), " +
+        "sk AS (SELECT event_type, h, nd FROM rk WHERE rn <= 64), " +
+        "pt AS (SELECT event_type AS scope, CAST(MAX(nd) AS BIGINT) AS n_exact, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_retained, MAX(h) AS kth_hash, " +
+        "CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE) " +
+        "ELSE CAST(17732923532771328 AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END AS est " +
+        "FROM sk GROUP BY event_type), " +
+        "ua AS (SELECT h FROM sk WHERE event_type = 'click'), " +
+        "ub AS (SELECT h FROM sk WHERE event_type = 'purchase'), " +
+        "un AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM " +
+        "(SELECT h FROM ua UNION SELECT h FROM ub)), " +
+        "th AS (SELECT CASE WHEN (SELECT MAX(rn) FROM un) >= 64 " +
+        "THEN (SELECT h FROM un WHERE rn = 64) " +
+        "ELSE CAST(281474976710656 AS BIGINT) END AS theta), " +
+        "ib AS (SELECT COUNT(*) AS ni FROM ua JOIN ub USING (h), th " +
+        "WHERE ua.h < th.theta), " +
+        "ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM " +
+        "(SELECT h FROM du WHERE event_type IN ('click', 'purchase') " +
+        "GROUP BY h HAVING COUNT(DISTINCT event_type) = 2)), " +
+        "ir AS (SELECT 'click_x_purchase' AS scope, ex.n_exact, " +
+        "CAST(ib.ni AS BIGINT) AS n_retained, th.theta AS kth_hash, " +
+        "CAST(ib.ni AS DOUBLE) * 281474976710656.0 / CAST(th.theta AS DOUBLE) AS est " +
+        "FROM ex, ib, th) " +
+        "SELECT * FROM pt UNION ALL SELECT * FROM ir ORDER BY scope"),
 
     // 13-gram hashes via the winnow CTE shape at w=1 (all distinct gram
     // hashes); df-cap over BOTH splits mirrors contaminationNgrams

@@ -193,6 +193,84 @@ object Sketches {
       .orderBy(col("l_returnflag"))
   }
 
+  /** KMV / THETA distinct-and-INTERSECTION sketch (round 11; the
+    * bottom-k / theta-sketch lineage — Bar-Yossef et al. 2002, Dasgupta
+    * et al. 2016, public) — the fifth sketch, and the only one that
+    * answers SET-EXPRESSION cardinalities: HLL union-merges cheaply but
+    * cannot intersect; a theta sketch keeps the k smallest hash values
+    * per set, so "how many users did BOTH A and B" is answered from two
+    * k-row summaries instead of a corpus-sized semi-join — the audience-
+    * overlap / segment-intersection primitive of an events pipeline.
+    *
+    * Determinism (the house sketch discipline): the hash is the 48-bit
+    * md5 prefix of the member key — uniform, but a pure function of the
+    * data, so WHICH rows each sketch retains (and therefore the
+    * estimation error itself) replays bit-for-bit in the oracle. 48 bits
+    * keeps every hash, every product `c·2^48` (c < 2^7 here), and the
+    * one IEEE division per estimate exactly representable in doubles.
+    *
+    * Estimators: per set, est = (k−1)·2^48 / h_k when the sketch is
+    * full, else the exact retained count (the sketch holds the whole
+    * set). Intersection: θ = k-th smallest of the DISTINCT union of the
+    * two sketches (2^48 when the union underfills — degenerating to the
+    * exact sketch-level intersection), I = common hashes below θ,
+    * est = |I|·2^48 / θ.
+    *
+    * Scale shape: ONE map-side-combined distinct over (set, member-hash)
+    * — shuffle O(distinct members), never O(events) — then
+    * [[graft.functions.BottomKAgg]] reduces each task's slice to ≤ k
+    * pairs per set before the exchange; everything downstream operates
+    * on k-row arrays inside the projection (the 1-row frames ride the
+    * engine's standard broadcast gate-frame shape). `exact_distinct`
+    * audit columns come from the same distinct relation (the
+    * cms/hll exact-vs-estimate report convention).
+    *
+    * Output: one row per event_type plus one `<a>_x_<b>` intersection
+    * row — (scope, n_exact, n_retained, kth_hash, est), ordered. */
+  def thetaSketch(events: DataFrame, k: Int = 64,
+                  typeA: String = "click", typeB: String = "purchase"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val Space = 1L << 48
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val du = events.select(col("event_type"), h.as("h")).distinct()
+    val sk = du.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"),
+        graft.functions.BottomKAgg.bottomK(k)(col("h"), col("h")).as("samp"))
+    val perType = sk.select(col("event_type").as("scope"),
+        col("n_exact"),
+        size(col("samp")).cast("long").as("n_retained"),
+        element_at(col("samp"), size(col("samp"))).getField("_1")
+          .as("kth_hash"))
+      .withColumn("est",
+        when(col("n_retained") < k, col("n_retained").cast("double"))
+          .otherwise(lit((k - 1).toLong * Space).cast("double") /
+            col("kth_hash").cast("double")))
+    // intersection from the two k-row sketches: 1×1 gate frames
+    val ha = sk.filter(col("event_type") === typeA)
+      .select(transform(col("samp"), s => s.getField("_1")).as("ha"))
+    val hb = sk.filter(col("event_type") === typeB)
+      .select(transform(col("samp"), s => s.getField("_1")).as("hb"))
+    val exBoth = du.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .filter(col("nt") === 2)
+      .agg(count(lit(1)).as("n_exact"))
+    val inter = ha.crossJoin(broadcast(hb)).crossJoin(broadcast(exBoth))
+      .withColumn("un", array_sort(array_union(col("ha"), col("hb"))))
+      .withColumn("theta",
+        when(size(col("un")) >= k, element_at(col("un"), k))
+          .otherwise(lit(Space)))
+      .withColumn("ii", filter(col("ha"),
+        x => array_contains(col("hb"), x) && x < col("theta")))
+      .select(lit(s"${typeA}_x_$typeB").as("scope"), col("n_exact"),
+        size(col("ii")).cast("long").as("n_retained"),
+        col("theta").as("kth_hash"),
+        (size(col("ii")).cast("double") * lit(Space.toDouble) /
+          col("theta").cast("double")).as("est"))
+    perType.unionByName(inter).orderBy(col("scope"))
+  }
+
   /** QUANTILE sketch (round 11) — the fourth deterministic sketch next
     * to Bloom / CMS / HLL, and the one a data-quality dashboard reads
     * first: per-group percentiles of a measure from BOUNDED state. An

@@ -140,6 +140,47 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  private def evFix(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("event_type", "user_id")
+  }
+
+  test("theta sketch: underfull sketches report exact counts, the " +
+    "intersection degenerates to the exact overlap, duplicates fold") {
+    // 4 click users {1,2,3,4}, 3 purchase users {3,4,5}, overlap = 2;
+    // every set fits a k=64 sketch → both estimator branches are the
+    // exact ones, regardless of which hashes md5 deals
+    val out = Sketches.thetaSketch(evFix(
+        ("click", 1L), ("click", 2L), ("click", 3L), ("click", 4L),
+        ("click", 1L), // duplicate event must not inflate anything
+        ("purchase", 3L), ("purchase", 4L), ("purchase", 5L)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(out("click") == ((4L, 4L, 4.0)))
+    assert(out("purchase") == ((3L, 3L, 3.0)))
+    assert(out("click_x_purchase") == ((2L, 2L, 2.0)),
+      "underfull theta must be the exact sketch-level intersection")
+  }
+
+  test("theta sketch on the corpus: full sketches estimate within the " +
+    "KMV error envelope, and the whole report is repartition-invariant") {
+    val ev = Tables.events(spark, sf0)
+    val out = Sketches.thetaSketch(ev).collect()
+    val b = Sketches.thetaSketch(ev.repartition(13)).collect()
+    assert(out.toSeq == b.toSeq)
+    assert(out.length == 6, "5 event types + 1 intersection row")
+    out.filter(_.getString(0) != "click_x_purchase").foreach { r =>
+      val (exact, est) = (r.getLong(1).toDouble, r.getDouble(4))
+      // KMV relative error ~ 1/sqrt(k-2) ≈ 13% at k=64; allow 4 sigma
+      assert(math.abs(est - exact) / exact <= 0.52,
+        s"${r.getString(0)}: est $est vs exact $exact")
+      assert(r.getLong(2) == math.min(64L, r.getLong(1)))
+    }
+    val ir = out.find(_.getString(0) == "click_x_purchase").get
+    assert(ir.getLong(1) > 0, "fixture corpus must have overlapping users")
+    assert(ir.getDouble(4) >= 0.0)
+  }
+
   test("quantile sketch plans as partial aggregation — no window " +
     "shuffling every row, bottom-k reduced map-side") {
     val plan = Sketches.quantileSketch(Tables.lineitem(spark, sf0))
