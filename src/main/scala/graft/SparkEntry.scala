@@ -725,6 +725,12 @@ object SparkEntry {
     "stats_histogram" -> ((s, d) =>
       Relational.priceHistogram(Tables.orders(s, d))),
 
+    // RFM segmentation (round 11): recency/frequency/monetary quintile
+    // bands from the md5-reservoir edges — no global NTILE sort; the
+    // <=125-row segment grid with exact integer-cents monetary sums.
+    "customer_rfm" -> ((s, d) =>
+      Relational.rfmSegments(Tables.orders(s, d))),
+
     // Fixed-point PageRank (round 9): 2 unrolled iterations in integer
     // arithmetic over the order co-occurrence graph — the IVF unroll
     // doctrine applied to graph compute; per-iteration shuffle on the
@@ -1762,6 +1768,60 @@ object SparkEntry {
         "SELECT ((c - lo) * 16) // (hi - lo + 1) AS bucket, COUNT(*) AS n, " +
         "MIN(c) AS cents_min, MAX(c) AS cents_max " +
         "FROM k, b GROUP BY 1 ORDER BY 1"),
+
+    // RFM replay: per-customer metrics (cents via the decimal bridge),
+    // the md5 bottom-256 reservoir per metric (window-rank form — same
+    // multiset as BottomKAgg under (hash, value) order), nearest-rank
+    // quintile edges, strict-greater banding, segment-grid rollup.
+    "customer_rfm" ->
+      ("WITH cm AS (SELECT o_custkey, MAX(o_orderdate) AS last_order, " +
+        "CAST(COUNT(*) AS BIGINT) AS f, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS m " +
+        "FROM orders GROUP BY 1), " +
+        "rf AS (SELECT MAX(o_orderdate) AS ref_date FROM orders), " +
+        "c2 AS (SELECT o_custkey, " +
+        "CAST(date_diff('day', CAST(last_order AS DATE), CAST(ref_date AS DATE)) AS BIGINT) AS r_days, " +
+        "f, m, CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h " +
+        "FROM cm, rf), " +
+        "kr AS (SELECT v, row_number() OVER (ORDER BY v) AS vr, COUNT(*) OVER () AS n FROM " +
+        "(SELECT CAST(r_days AS DOUBLE) AS v FROM (SELECT r_days, " +
+        "row_number() OVER (ORDER BY h, CAST(r_days AS DOUBLE)) AS rn FROM c2) WHERE rn <= 256)), " +
+        "er AS (SELECT MAX(CASE WHEN vr = (20*n+99)//100 THEN v END) AS e20, " +
+        "MAX(CASE WHEN vr = (40*n+99)//100 THEN v END) AS e40, " +
+        "MAX(CASE WHEN vr = (60*n+99)//100 THEN v END) AS e60, " +
+        "MAX(CASE WHEN vr = (80*n+99)//100 THEN v END) AS e80 FROM kr), " +
+        "kf AS (SELECT v, row_number() OVER (ORDER BY v) AS vr, COUNT(*) OVER () AS n FROM " +
+        "(SELECT CAST(f AS DOUBLE) AS v FROM (SELECT f, " +
+        "row_number() OVER (ORDER BY h, CAST(f AS DOUBLE)) AS rn FROM c2) WHERE rn <= 256)), " +
+        "ef AS (SELECT MAX(CASE WHEN vr = (20*n+99)//100 THEN v END) AS e20, " +
+        "MAX(CASE WHEN vr = (40*n+99)//100 THEN v END) AS e40, " +
+        "MAX(CASE WHEN vr = (60*n+99)//100 THEN v END) AS e60, " +
+        "MAX(CASE WHEN vr = (80*n+99)//100 THEN v END) AS e80 FROM kf), " +
+        "km AS (SELECT v, row_number() OVER (ORDER BY v) AS vr, COUNT(*) OVER () AS n FROM " +
+        "(SELECT CAST(m AS DOUBLE) AS v FROM (SELECT m, " +
+        "row_number() OVER (ORDER BY h, CAST(m AS DOUBLE)) AS rn FROM c2) WHERE rn <= 256)), " +
+        "em AS (SELECT MAX(CASE WHEN vr = (20*n+99)//100 THEN v END) AS e20, " +
+        "MAX(CASE WHEN vr = (40*n+99)//100 THEN v END) AS e40, " +
+        "MAX(CASE WHEN vr = (60*n+99)//100 THEN v END) AS e60, " +
+        "MAX(CASE WHEN vr = (80*n+99)//100 THEN v END) AS e80 FROM km), " +
+        "b AS (SELECT c2.m, " +
+        "1 + (CASE WHEN CAST(r_days AS DOUBLE) > er.e20 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(r_days AS DOUBLE) > er.e40 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(r_days AS DOUBLE) > er.e60 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(r_days AS DOUBLE) > er.e80 THEN 1 ELSE 0 END) AS r_band, " +
+        "1 + (CASE WHEN CAST(f AS DOUBLE) > ef.e20 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(f AS DOUBLE) > ef.e40 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(f AS DOUBLE) > ef.e60 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(f AS DOUBLE) > ef.e80 THEN 1 ELSE 0 END) AS f_band, " +
+        "1 + (CASE WHEN CAST(m AS DOUBLE) > em.e20 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(m AS DOUBLE) > em.e40 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(m AS DOUBLE) > em.e60 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(m AS DOUBLE) > em.e80 THEN 1 ELSE 0 END) AS m_band " +
+        "FROM c2, er, ef, em) " +
+        "SELECT CAST(r_band AS BIGINT) AS r_band, CAST(f_band AS BIGINT) AS f_band, " +
+        "CAST(m_band AS BIGINT) AS m_band, COUNT(*) AS n_customers, " +
+        "CAST(SUM(m) AS BIGINT) AS monetary_cents FROM b " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
 
     // the oracle pays the all-pairs join the engine's segment filter
     // avoids — correctness contract only (64 distinct names at any SF)

@@ -766,4 +766,42 @@ class RelationalSpec extends SparkSpec {
       !planStr.contains("SortAggregate(key=[gid"),
       s"expanded relation is being sorted again:\n$planStr")
   }
+
+  test("rfmSegments: reservoir-covered fixture bands exact quintiles, " +
+    "grid reconciles to the customer base, repartition-invariant") {
+    import java.sql.Timestamp
+    // 10 customers, one order each, day i and price i → every metric's
+    // sample is the full population; quintile edges are the exact p20/
+    // 40/60/80 nearest-rank values (2,4,6,8) and bands are 1..5 pairs.
+    // Frequency is constant 1 → every edge is 1, all in band 1.
+    val fix = (1 to 10).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"), i * 100.0)
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.rfmSegments(fix).collect()
+    assert(out.map(_.getLong(3)).sum == 10)
+    // monetary band of customer i: 1+#edges below i*10000 cents
+    val mBands = out.map(r => (r.getLong(2), r.getLong(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(mBands == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 2),
+      s"got $mBands")
+    assert(out.forall(_.getLong(1) == 1L), "constant frequency must band 1")
+    // recency bands mirror monetary (older = higher band) with the same
+    // 2-2-2-2-2 split
+    val rBands = out.map(r => (r.getLong(0), r.getLong(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(rBands == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 2))
+    // corpus: totals reconcile exactly; deterministic under partitioning
+    val ord = Tables.orders(spark, sf0)
+    val grid = Relational.rfmSegments(ord).collect()
+    assert(grid.map(_.getLong(3)).sum ==
+      ord.select(col("o_custkey")).distinct().count())
+    val exactCents = ord.select(
+        sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")))
+      .collect().head.getLong(0)
+    assert(grid.map(_.getLong(4)).sum == exactCents)
+    assert(grid.forall(r => (1L to 5L).contains(r.getLong(0)) &&
+      (1L to 5L).contains(r.getLong(1)) && (1L to 5L).contains(r.getLong(2))))
+    assert(grid.toSeq == Relational.rfmSegments(ord.repartition(7))
+      .collect().toSeq)
+  }
 }
