@@ -591,6 +591,11 @@ object SparkEntry {
     "pivot_counts" -> ((s, d) =>
       Relational.pivotCounts(Tables.events(s, d))),
 
+    // Unpivot/melt (round 11): wide→long via native Expand (one narrow
+    // pass, no shuffle before the bounded groupBy), decimal-exact sums.
+    "agg_unpivot" -> ((s, d) =>
+      Relational.unpivotMeasures(Tables.lineitem(s, d))),
+
     // Per-type z-score outlier flagging (round 8): exact-decimal stats
     // via the stats_corr string bridge, broadcast back, |z| > 3.
     "event_anomaly" -> ((s, d) =>
@@ -1628,6 +1633,18 @@ object SparkEntry {
         "epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS b_e FROM events WHERE event_type = 'purchase') " +
         "SELECT a_id, b_id, least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us " +
         "FROM a JOIN b ON a_s < b_e AND b_s < a_e ORDER BY a_id, b_id"),
+
+    // melt replay: UNION ALL long form, decimal-exact sums cast once
+    "agg_unpivot" ->
+      ("WITH m AS (" +
+        "SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) " +
+        "SELECT l_returnflag, measure, COUNT(*) AS n, " +
+        "MIN(value) AS vmin, MAX(value) AS vmax, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum " +
+        "FROM m GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "pivot_counts" ->
       ("SELECT user_id, " +

@@ -951,6 +951,32 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** UNPIVOT / melt (round 11) — the wide→long reshape dual of
+    * [[pivotCounts]]: the four lineitem measures turn into (measure,
+    * value) rows and aggregate per (flag, measure) — the shape every
+    * metrics store and every "profile all measures in one query"
+    * report needs. Uses Spark's native `unpivot` (plans as a single
+    * Expand — one narrow pass over the scan, NO shuffle until the
+    * final bounded groupBy; the same executor-side multiplication
+    * profileTable's multi-distinct rides). Sums run in the exact
+    * DECIMAL(12,2) domain and cast to double once at the end (the
+    * module's decimal-bridge doctrine), so they are order-insensitive
+    * and engine-exact; min/max are raw data values.
+    *
+    * Output: (l_returnflag, measure, n, vmin, vmax, vsum) — ≤
+    * flags·4 rows at any scale, ordered. */
+  def unpivotMeasures(lineitem: DataFrame): DataFrame =
+    lineitem.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        sum(dec2(col("value"))).cast("double").as("vsum"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
   /** RFM customer segmentation (round 11) — the classic marketing-
     * analytics cube: per customer, Recency (days since last order,
     * against the corpus max date), Frequency (order count) and Monetary

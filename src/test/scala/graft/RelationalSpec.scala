@@ -767,6 +767,30 @@ class RelationalSpec extends SparkSpec {
       s"expanded relation is being sorted again:\n$planStr")
   }
 
+  test("unpivotMeasures: every measure row-covers the relation, sums " +
+    "are decimal-exact, and the reshape is one Expand with no " +
+    "pre-aggregation shuffle") {
+    val li = Tables.lineitem(spark, sf0)
+    val out = Relational.unpivotMeasures(li).collect()
+    val n = li.count()
+    assert(out.map(_.getLong(2)).sum == 4 * n,
+      "4 measures must cover each row exactly once")
+    val qty = out.filter(_.getString(1) == "l_quantity")
+    assert(qty.map(_.getLong(2)).sum == n)
+    // decimal-exact: the melted sum equals the direct decimal sum
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    qty.foreach(r => assert(r.getDouble(5) == direct(r.getString(0))))
+    // plan: a single Expand, and the only Exchange feeds the bounded
+    // final groupBy (partial aggregation runs before it)
+    val planStr = Relational.unpivotMeasures(li)
+      .queryExecution.sparkPlan.toString
+    assert(planStr.contains("Expand"), "unpivot lost its Expand plan")
+    assert("Exchange".r.findAllIn(planStr).length <= 1,
+      s"more than the one final-groupBy exchange:\n$planStr")
+  }
+
   test("rfmSegments: reservoir-covered fixture bands exact quintiles, " +
     "grid reconciles to the customer base, repartition-invariant") {
     import java.sql.Timestamp
