@@ -285,7 +285,10 @@ object SparkEntry {
     Seq(b0, dp, bb, s0, bt, u).mkString(", ")
   }
 
-  private lazy val sqlUnigramCtes: String =
+  /** Shared word/substring-inventory base (wc0, w, occ, singles, f0,
+    * voc0/v0) — the front half of the unigram oracle, also the whole
+    * vocab derivation of the wordpiece oracle. */
+  private lazy val sqlWordBaseCtes: String =
     "WITH wc0 AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(" +
       "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')" +
       ") AS word FROM documents) WHERE len(word) > 0 GROUP BY 1), " +
@@ -299,7 +302,10 @@ object SparkEntry {
       "WHERE ks.k <= t.p), " +
       "singles AS MATERIALIZED (SELECT DISTINCT piece FROM occ WHERE k = 1), " +
       "f0 AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM occ GROUP BY 1), " +
-      sqlUnigramVocab(0, "f0") + ", " +
+      sqlUnigramVocab(0, "f0")
+
+  private lazy val sqlUnigramCtes: String =
+    sqlWordBaseCtes + ", " +
       sqlUnigramEm(1) + ", " + sqlUnigramVocab(1, "u1") + ", " +
       sqlUnigramEm(2) + ", " + sqlUnigramVocab(2, "u2")
 
@@ -307,6 +313,37 @@ object SparkEntry {
     sqlUnigramCtes + " " +
       "SELECT rank, piece, CAST(len(piece) AS BIGINT) AS piece_len, " +
       "freq AS usage FROM v2 WHERE rank <= 24 ORDER BY rank"
+
+  /** Wordpiece oracle: the shared vocab base (voc0 IS the wordpiece
+    * vocabulary), then the greedy longest-match unroll — each step a
+    * max-piece-length join at the cursor, no DP, no backtrack —
+    * aggregated to the same per-piece-length profile contract as the
+    * unigram encode. Every CTE MATERIALIZED (gm<i> is referenced
+    * twice; inlining would fork the plan 2^steps ways). */
+  private lazy val sqlWordpiece: String = {
+    val steps = (1 to UgMaxLen).map { i =>
+      s"gm$i AS MATERIALIZED (SELECT st.word, st.cnt, st.wl, st.p, " +
+        s"MAX(v.plen) AS k FROM g${i - 1} st JOIN vw v " +
+        "ON substring(st.word, CAST(st.p AS INTEGER), CAST(v.plen AS INTEGER)) = v.piece " +
+        "GROUP BY 1, 2, 3, 4), " +
+        s"ge$i AS MATERIALIZED (SELECT substring(word, CAST(p AS INTEGER), " +
+        s"CAST(k AS INTEGER)) AS piece, cnt FROM gm$i), " +
+        s"g$i AS MATERIALIZED (SELECT word, cnt, wl, p + k AS p FROM gm$i " +
+        "WHERE p + k <= wl)"
+    }.mkString(", ")
+    sqlWordBaseCtes + ", " +
+      "vw AS MATERIALIZED (SELECT piece, CAST(len(piece) AS BIGINT) AS plen FROM voc0), " +
+      "g0 AS MATERIALIZED (SELECT word, cnt, wl, CAST(1 AS BIGINT) AS p FROM w), " +
+      steps + ", " +
+      "gu AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM (" +
+      (1 to UgMaxLen).map(i => s"SELECT piece, cnt FROM ge$i")
+        .mkString(" UNION ALL ") + ") GROUP BY 1) " +
+      "SELECT CAST(len(piece) AS BIGINT) AS piece_len, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_pieces, " +
+      "CAST(SUM(freq) AS BIGINT) AS occurrences, " +
+      "CAST(SUM(len(piece) * freq) AS BIGINT) AS chars_covered " +
+      "FROM gu GROUP BY 1 ORDER BY 1"
+  }
 
   /** Encode-side oracle: one MORE unrolled E-step (em(3) under v2 — the
     * final trained vocab), aggregated to the per-piece-length profile. */
@@ -994,6 +1031,13 @@ object SparkEntry {
     // totals + alphabet size at step 0 and after each merge.
     "tokenizer_compression" -> ((s, d) =>
       operators.Tokenizer.bpeCompression(bpeModelShared(s, d))),
+
+    // WordPiece greedy encode (round 11): the third tokenizer family —
+    // longest-match-first over the deterministic frequency vocab, a
+    // linear chain of broadcast-vocab joins (no DP, no backtrack);
+    // same per-piece-length profile contract as the unigram encode.
+    "tokenizer_wordpiece" -> ((s, d) =>
+      operators.Tokenizer.wordpieceEncode(Tables.documents(s, d))),
 
     // Deterministic md5-keyed document sample (~12.5%).
     "doc_sample" -> ((s, d) =>
@@ -2123,6 +2167,8 @@ object SparkEntry {
     "tokenizer_unigram" -> sqlUnigram,
 
     "tokenizer_unigram_encode" -> sqlUnigramEncode,
+
+    "tokenizer_wordpiece" -> sqlWordpiece,
 
     "text_quality" ->
       (s"SELECT doc_id, " +

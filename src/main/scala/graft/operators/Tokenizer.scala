@@ -293,25 +293,28 @@ object Tokenizer {
   /** Shared trainer core: returns the final ranked vocab and the
     * E-step closure (so [[unigramEncode]] can run one more segmentation
     * pass under the final table). */
+  /** Materialize a frame as a computed LogicalRDD. localCheckpoint
+    * alone is NOT enough in the DP unrolls: LogicalRDD.fromDataset
+    * REWRITES stats from the origin plan, and the size-only visitor
+    * MULTIPLIES child sizes at every join — so a chain of checkpointed
+    * join layers compounds sizeInBytes into a BigInteger whose bit
+    * length grows ~3× per layer. At the encode path's ~36 chained
+    * layers the driver burned MINUTES in BigInteger.multiply inside
+    * stats rewrite (observed live in round 10). Re-wrapping the
+    * checkpointed RDD via createDataFrame resets each frame to a
+    * constant default size — layers stop inheriting the product, and
+    * the row-encode round-trip is word-bounded noise. */
+  private def matFrame(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   private def unigramCore(docs: DataFrame, emIters: Int, maxWordLen: Int,
                           maxPieceLen: Int, vocabMulti: Int)
       : (DataFrame, DataFrame => DataFrame) = {
     require(emIters >= 1 && maxWordLen >= 1 && maxPieceLen >= 1,
       s"need positive emIters/maxWordLen/maxPieceLen")
-    // localCheckpoint alone is NOT enough here: LogicalRDD.fromDataset
-    // REWRITES stats from the origin plan, and the size-only visitor
-    // MULTIPLIES child sizes at every join — so a chain of checkpointed
-    // join layers compounds sizeInBytes into a BigInteger whose bit
-    // length grows ~3× per layer. At the encode path's ~36 chained
-    // layers the driver burned MINUTES in BigInteger.multiply inside
-    // stats rewrite (observed live in round 10). Re-wrapping the
-    // checkpointed RDD via createDataFrame resets each frame to a
-    // constant default size — layers stop inheriting the product, and
-    // the row-encode round-trip is word-bounded noise.
-    val mat: DataFrame => DataFrame = { df =>
-      val cp = df.localCheckpoint()
-      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    }
+    val mat: DataFrame => DataFrame = matFrame
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
     val words = docs.select(explode(split(norm, " ")).as("w0"))
       .filter(length(col("w0")) > 0)
@@ -397,6 +400,91 @@ object Tokenizer {
     var vocab = vocabOf(f0)
     for (_ <- 1 to emIters) vocab = vocabOf(usageUnder(vocab))
     (vocab, usageUnder)
+  }
+
+  /** WORDPIECE greedy encode (round 11) — the THIRD classic tokenizer
+    * family next to BPE's merge learning and unigram's Viterbi EM: the
+    * BERT-lineage longest-match-first segmenter (Wu et al. 2016,
+    * public). Inference is deliberately the interesting half here — a
+    * deployed WordPiece spends its life encoding, and greedy
+    * longest-prefix-match is a DIFFERENT relational shape from the
+    * unigram DP: no cost minimization, no backtrack — each step takes
+    * the longest vocab piece at the cursor and advances, so the unroll
+    * is a plain linear chain of broadcast-vocab joins (maxWordLen
+    * steps over the word table), not a position DP.
+    *
+    * Vocabulary: the SAME deterministic seed inventory the unigram
+    * trainer starts from (all single chars + the top `vocabMulti`
+    * multi-char substrings by (freq DESC, piece) — the
+    * frequency-vocab convention WordPiece shares) — which also lets
+    * the oracle reuse the proven unigram base CTEs verbatim. Every
+    * character of every word is in the vocab by construction, so
+    * segmentation always progresses and no UNK case exists; the
+    * ## continuation-marker convention is dropped (pieces are
+    * position-agnostic), documented as a deviation.
+    *
+    * Scale: one corpus-sized word count; the vocab is bounded and
+    * broadcast; each greedy step is a broadcast join + word-keyed
+    * max — word-table-bounded work, `maxWordLen` times. Frames
+    * materialize via [[matFrame]] (linear chain — checkpointing keeps
+    * the step count linear for the consumer instead of replaying
+    * prefixes).
+    *
+    * Output: the per-piece-length profile, exactly
+    * [[UnigramModel.encodeProfile]]'s contract — (piece_len, n_pieces,
+    * occurrences, chars_covered), Σ chars_covered = truncated corpus
+    * chars (greedy tiles every word). */
+  def wordpieceEncode(docs: DataFrame, maxWordLen: Int = 12,
+                      maxPieceLen: Int = 3, vocabMulti: Int = 32): DataFrame = {
+    require(maxWordLen >= 1 && maxPieceLen >= 1 && vocabMulti >= 0,
+      "need positive maxWordLen/maxPieceLen and nonneg vocabMulti")
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val words = docs.select(explode(split(norm, " ")).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .select(substring(col("w0"), 1, maxWordLen).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("wl", length(col("word")).cast("long"))
+    val w = matFrame(words)
+    val occ = w
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), col("wl").cast("int"))).as("p"))
+      .select(col("word"), col("cnt"),
+        explode(filter(array((1 to maxPieceLen).map(k =>
+          when(col("p") >= k,
+            expr(s"substring(word, p - $k + 1, $k)"))): _*),
+          x => x.isNotNull)).as("piece"))
+    val singles = occ.filter(length(col("piece")) === 1)
+      .select(col("piece")).distinct()
+    val multi = occ.groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      .filter(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(vocabMulti)
+      .select(col("piece"))
+    val voc = broadcast(matFrame(singles.unionByName(multi))
+      .withColumn("plen", length(col("piece")).cast("long")))
+    var st = w.select(col("word"), col("cnt"), col("wl"), lit(1L).as("p"))
+    val emitted = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to maxWordLen) {
+      // a too-long piece's substring comes back short and mismatches,
+      // so "fits the remaining suffix" needs no explicit guard; the
+      // single-char pieces guarantee every live cursor matches
+      val step = matFrame(st.join(voc,
+          expr("substring(word, CAST(p AS INT), CAST(plen AS INT)) = piece"))
+        .groupBy(col("word"), col("cnt"), col("wl"), col("p"))
+        .agg(max(col("plen")).as("k"))
+        .withColumn("piece",
+          expr("substring(word, CAST(p AS INT), CAST(k AS INT))")))
+      emitted += step.select(col("piece"), col("cnt"))
+      st = step.select(col("word"), col("cnt"), col("wl"),
+        (col("p") + col("k")).as("p")).filter(col("p") <= col("wl"))
+    }
+    emitted.reduce(_ unionByName _)
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      .groupBy(length(col("piece")).cast("long").as("piece_len"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(col("freq")).as("occurrences"),
+        sum(length(col("piece")).cast("long") * col("freq"))
+          .as("chars_covered"))
+      .orderBy(col("piece_len"))
   }
 
   /** What the merges BUY: corpus-weighted total symbol count and

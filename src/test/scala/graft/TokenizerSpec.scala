@@ -168,4 +168,31 @@ class TokenizerSpec extends SparkSpec {
     assert(enc.values.map(_._3).sum == totalChars,
       "encode does not tile the corpus exactly")
   }
+
+  test("wordpieceEncode: greedy longest-match replays by hand, tiles " +
+    "the truncated corpus, and is repartition-invariant") {
+    import spark.implicits._
+    // words: aaab ×2, ab ×1. vocab: singles {a,b} + multi {aa:4, ab:3,
+    // aaa:2, aab:2}. Greedy: aaab → aaa|b (longest-first, NOT aa|ab);
+    // ab → ab. Profile: len1 {b}×2, len2 {ab}×1, len3 {aaa}×2.
+    val docs = Seq((1L, "aaab  AAAB ab")).toDF("doc_id", "text")
+    val out = Tokenizer.wordpieceEncode(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((1L, 2L, 2L)), 2L -> ((1L, 1L, 2L)),
+      3L -> ((1L, 2L, 6L))), s"got $out")
+    // corpus: greedy tiles every truncated word exactly; deterministic
+    val corpus = Tables.documents(spark, sf0)
+    val prof = Tokenizer.wordpieceEncode(corpus).collect()
+    val totalChars = corpus
+      .select(explode(split(regexp_replace(trim(lower(col("text"))),
+        " +", " "), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(least(length(col("w")), lit(12)).cast("long")))
+      .collect().head.getLong(0)
+    assert(prof.map(_.getLong(3)).sum == totalChars,
+      "wordpiece does not tile the corpus")
+    assert(prof.toSeq ==
+      Tokenizer.wordpieceEncode(corpus.repartition(7)).collect().toSeq)
+  }
 }
