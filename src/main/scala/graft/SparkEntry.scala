@@ -670,6 +670,11 @@ object SparkEntry {
     "window_ntile" -> ((s, d) =>
       Relational.priceNtiles(Tables.lineitem(s, d))),
 
+    // percent_rank/cume_dist standings (round 11): the window runs over
+    // the AGGREGATED cell relation (bounded), never the raw rows.
+    "window_cume" -> ((s, d) =>
+      Relational.cumeStandings(Tables.lineitem(s, d))),
+
     // Windowed top-k per group: top-3 users by exact total value per type.
     "window_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1736,6 +1741,17 @@ object SparkEntry {
         "FROM (SELECT l_returnflag, l_extendedprice, CAST(NTILE(4) OVER " +
         "(PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS tile " +
         "FROM lineitem) GROUP BY 1, 2 ORDER BY l_returnflag, tile"),
+
+    // total order (rev, status) → rank ties impossible; the two doubles
+    // are one IEEE division each over identical integer-valued operands
+    "window_cume" ->
+      ("WITH c AS (SELECT l_returnflag, l_linestatus, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l_returnflag, l_linestatus, CAST(rev AS DOUBLE) AS revenue, " +
+        "percent_rank() OVER (PARTITION BY l_returnflag ORDER BY rev, l_linestatus) AS pct_rank, " +
+        "cume_dist() OVER (PARTITION BY l_returnflag ORDER BY rev, l_linestatus) AS cume_dist " +
+        "FROM c ORDER BY 1, 2"),
 
     "window_topk" ->
       ("SELECT event_type, rk, user_id, CAST(tot AS DOUBLE) AS total_value FROM (" +

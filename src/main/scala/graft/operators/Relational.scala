@@ -881,6 +881,38 @@ object Relational {
       .orderBy(col("l_returnflag"), col("tile"))
   }
 
+  /** PERCENT_RANK / CUME_DIST standings (round 11) — the relative-
+    * standing pair that completes the window family (lag/lead, moving
+    * average, top-k, NTILE): each (flag, status) cell's rank among its
+    * flag's cells by decimal-exact revenue. The scale discipline is
+    * WHERE the window runs: both functions need their whole partition
+    * sorted, so they run over the AGGREGATED cell relation (≤
+    * flags·statuses rows at any corpus size) — the corpus-sized work is
+    * one map-side-combinable groupBy; putting the window on the raw
+    * rows (the naive form) would sort every lineitem per flag.
+    * Ordering is total ((revenue, status) — revenue ties broken by
+    * key), so ranks are deterministic; the emitted doubles are the
+    * standard (rank−1)/(n−1) and rank_last/n with ONE IEEE division
+    * each — bit-identical in any engine.
+    *
+    * Output: (l_returnflag, l_linestatus, revenue, pct_rank,
+    * cume_dist), ordered. */
+  def cumeStandings(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("rev"), col("l_linestatus"))
+    cells
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("rev").cast("double").as("revenue"),
+        col("pct_rank"), col("cume_dist"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** TABLE PROFILE (round 11) — the data-profiling pass every warehouse
     * runs before trusting a new feed: per-column row count, null count,
     * exact distinct count, and min/max over a fixed column set, in TWO

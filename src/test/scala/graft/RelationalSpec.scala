@@ -767,6 +767,34 @@ class RelationalSpec extends SparkSpec {
       s"expanded relation is being sorted again:\n$planStr")
   }
 
+  test("cumeStandings: hand-computed fractions on a 3-cell flag, the " +
+    "window runs over the aggregated relation, not the raw rows") {
+    val fix = Seq(
+      ("A", "a", 1L, 1L, 10.0), ("A", "b", 2L, 1L, 20.0),
+      ("A", "c", 3L, 1L, 30.0), ("B", "x", 4L, 1L, 5.0))
+      .toDF("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+    val out = Relational.cumeStandings(fix).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    // flag A, 3 cells: pct_rank = 0, 1/2, 1; cume = 1/3, 2/3, 1
+    assert(out(("A", "a")) == ((0.0, 1.0 / 3)))
+    assert(out(("A", "b")) == ((0.5, 2.0 / 3)))
+    assert(out(("A", "c")) == ((1.0, 1.0)))
+    // a single-cell partition: percent_rank 0 by convention, cume 1
+    assert(out(("B", "x")) == ((0.0, 1.0)))
+    // scale shape: the Window sits ABOVE the aggregate (sorts ≤ cells),
+    // so the plan has exactly one pre-window aggregation exchange
+    val plan = Relational.cumeStandings(Tables.lineitem(spark, sf0))
+      .queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val win = plan.collect { case w: WindowExec => w }
+    assert(win.nonEmpty, "standings lost the window")
+    assert(win.head.collectFirst { case h: HashAggregateExec => h }.nonEmpty,
+      "window is not running over the aggregated cell relation")
+  }
+
   test("unpivotMeasures: every measure row-covers the relation, sums " +
     "are decimal-exact, and the reshape is one Expand with no " +
     "pre-aggregation shuffle") {
