@@ -867,6 +867,12 @@ object SparkEntry {
     "layout_zorder" -> ((s, d) =>
       ExportPipeline.zorderCells(Tables.orders(s, d))),
 
+    // Hilbert-curve layout cells (round 11): the stronger locality
+    // sibling (consecutive cells Manhattan-adjacent — Z's worst jump
+    // spans half the grid); identical two-pass shape + index contract.
+    "layout_hilbert" -> ((s, d) =>
+      ExportPipeline.hilbertCells(Tables.orders(s, d))),
+
     // The READ that layout buys (round 10): write the cell-partitioned
     // layout + its skipping index ONCE per (process, dataset) — the
     // deployed shape, same memo doctrine as sim_ann_ivf_served's
@@ -2056,6 +2062,35 @@ object SparkEntry {
         "SELECT zcell, COUNT(*) AS n, MIN(ck) AS ck_min, MAX(ck) AS ck_max, " +
         "MIN(dd) AS dd_min, MAX(dd) AS dd_max " +
         "FROM zc GROUP BY zcell ORDER BY zcell"),
+
+    // Hilbert replay: same bounds/normalization CTEs, then the xy→d
+    // walk as a 4-step CTE chain (quadrant digit + reflect/swap per
+    // level — new x reads OLD y, which SQL's step-per-CTE gives for
+    // free, mirroring the column chain in ExportPipeline.hilbertD)
+    "layout_hilbert" -> {
+      val steps = (3 to 0 by -1).zipWithIndex.map { case (s, i) =>
+        val sv = 1L << s
+        s"h${i + 1} AS (SELECT ck, dd, " +
+          s"d + ${sv * sv} * xor(3 * (CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END), " +
+          s"(CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END)) AS d, " +
+          s"CASE WHEN (y & $sv) = 0 THEN (CASE WHEN (x & $sv) > 0 THEN ${sv - 1} - y ELSE y END) ELSE x END AS x, " +
+          s"CASE WHEN (y & $sv) = 0 THEN (CASE WHEN (x & $sv) > 0 THEN ${sv - 1} - x ELSE x END) ELSE y END AS y " +
+          s"FROM h$i)"
+      }.mkString(", ")
+      "WITH k AS (SELECT o_custkey AS ck, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd " +
+        "FROM orders), " +
+        "b AS (SELECT MIN(ck) AS ck_lo, MAX(ck) AS ck_hi, " +
+        "MIN(dd) AS dd_lo, MAX(dd) AS dd_hi FROM k), " +
+        "z AS (SELECT ck, dd, " +
+        "((ck - ck_lo) * 15) // greatest(ck_hi - ck_lo, 1) AS nk, " +
+        "((dd - dd_lo) * 15) // greatest(dd_hi - dd_lo, 1) AS nd FROM k, b), " +
+        "h0 AS (SELECT ck, dd, CAST(0 AS BIGINT) AS d, nk AS x, nd AS y FROM z), " +
+        steps +
+        " SELECT d AS hcell, COUNT(*) AS n, MIN(ck) AS ck_min, MAX(ck) AS ck_max, " +
+        "MIN(dd) AS dd_min, MAX(dd) AS dd_max " +
+        "FROM h4 GROUP BY 1 ORDER BY 1"
+    },
 
     // the pruned z-order read must return EXACTLY the predicate rows —
     // cell pruning plus the re-applied exact filter is lossless

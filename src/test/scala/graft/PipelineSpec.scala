@@ -308,4 +308,49 @@ class PipelineSpec extends SparkSpec {
       .zorderCells(orders.repartition(13)).collect()
     assert(reparted.toSeq == out.toSeq)
   }
+
+  test("hilbertCells: the unrolled curve is a bijection whose " +
+    "consecutive cells are Manhattan-adjacent (the locality Z-order " +
+    "lacks), cells cover every row, repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // independent driver-side xy→d walk (the Wikipedia algorithm)
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    // the column expression agrees with the walk on the ENTIRE grid
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+      .toDF("nk", "nd")
+    val viaCol = grid.withColumn("d",
+        graft.operators.ExportPipeline.hilbertD(4, col("nk"), col("nd")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    viaCol.foreach { case ((x, y), d) => assert(d == xy2d(4, x, y)) }
+    // bijection onto 0..255, and consecutive d's are grid-adjacent
+    val byD = viaCol.map { case (xy, d) => d -> xy }
+    assert(byD.keySet == (0L until 256L).toSet, "curve is not a bijection")
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"cells $d -> ${d + 1} jump (${x1},${y1}) -> (${x2},${y2})")
+    }
+    // operator invariants on the corpus
+    val orders = Tables.orders(spark, sf0)
+    val out = graft.operators.ExportPipeline.hilbertCells(orders).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == orders.count())
+    assert(out.forall(r => (0L until 256L).contains(r.getAs[Long]("hcell"))))
+    assert(out.toSeq == graft.operators.ExportPipeline
+      .hilbertCells(orders.repartition(13)).collect().toSeq)
+  }
 }
