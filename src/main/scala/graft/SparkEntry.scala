@@ -1432,7 +1432,14 @@ object SparkEntry {
     // narrow decode + one shuffle on the hash, dedup_exact lifted to
     // pixels. Oracle replays grid/bands/grouping analytically.
     "multimodal_dhash" -> ((s, d) =>
-      Multimodal.dhashDedup(s, Multimodal.ingestBmp(Tables.documents(s, d))))
+      Multimodal.dhashDedup(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // DCT perceptual hash (round 11): the spectral fingerprint next to
+    // dHash's gradients — fixed-point integer DCT basis + nearest-rank
+    // AC median, so every bit replays in the oracle; engine side still
+    // decodes the real BMP bytes through ImageIO.
+    "multimodal_phash" -> ((s, d) =>
+      Multimodal.phashDedup(s, Multimodal.ingestBmp(Tables.documents(s, d))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3233,7 +3240,36 @@ object SparkEntry {
         "grp AS (SELECT b0, b1, b2, b3, MIN(doc_id) AS canon, COUNT(*) AS group_n " +
         "FROM bands GROUP BY 1, 2, 3, 4) " +
         "SELECT doc_id, b0, b1, b2, b3, canon, group_n, doc_id = canon AS is_canonical " +
-        "FROM bands JOIN grp USING (b0, b1, b2, b3) ORDER BY doc_id")
+        "FROM bands JOIN grp USING (b0, b1, b2, b3) ORDER BY doc_id"),
+
+    // pHash replay: analytic 8×8 gray grid, the SAME 64 fixed-point DCT
+    // basis integers the engine's table holds (embedded as one literal
+    // list — drift is impossible), nearest-rank AC median, band bits,
+    // exact-fingerprint grouping.
+    "multimodal_phash" -> {
+      val ct = graft.operators.Multimodal.dctTable.flatten.mkString("[", ", ", "]")
+      "WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 4 AS h FROM documents), " +
+        s"ctab AS (SELECT $ct AS ct), " +
+        "grid AS (SELECT doc_id, list_transform(range(0,64), gi -> " +
+        "(doc_id*31 + ((((gi // 8) * h) // 8) * w + (((gi % 8) * w) // 8)) * 7) % 256) AS g FROM dims), " +
+        "fc AS (SELECT doc_id, list_transform(range(0,64), i -> " +
+        "list_sum(list_transform(range(0,64), rc -> " +
+        "g[rc + 1] * ct[(i // 8) * 8 + (rc // 8) + 1] * ct[(i % 8) * 8 + (rc % 8) + 1]" +
+        "))) AS f FROM grid, ctab), " +
+        "fm AS (SELECT doc_id, f, list_sort(f[2:64])[32] AS med FROM fc), " +
+        "bands AS (SELECT doc_id, " +
+        (0 until 4).map { k =>
+          s"CAST(list_sum(list_transform(range(0,16), j -> " +
+            s"CASE WHEN (${16 * k} + j) != 0 AND f[${16 * k} + j + 1] > med " +
+            s"THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS p$k"
+        }.mkString(", ") +
+        ", CAST(med AS BIGINT) AS median_ac FROM fm), " +
+        "grp AS (SELECT p0, p1, p2, p3, MIN(doc_id) AS canon, COUNT(*) AS group_n " +
+        "FROM bands GROUP BY 1, 2, 3, 4) " +
+        "SELECT doc_id, p0, p1, p2, p3, median_ac, canon, group_n, " +
+        "doc_id = canon AS is_canonical " +
+        "FROM bands JOIN grp USING (p0, p1, p2, p3) ORDER BY doc_id"
+    }
   )
 
   /** Stopword list literal shared by text oracles. */

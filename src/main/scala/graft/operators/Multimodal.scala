@@ -865,4 +865,90 @@ object Multimodal {
         (col("doc_id") === col("canon")).as("is_canonical"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fixed-point DCT-II basis for [[phashDedup]]: C[u][x] =
+    * round(16384·cos(π(2x+1)u/16)). StrictMath.cos guarantees
+    * bit-identical constants on every JVM; the oracle embeds the SAME
+    * 64 integers as literals, so the two sides cannot drift. 14
+    * fraction bits keep every DCT sum exact in a long
+    * (255·2^28·64 ≈ 2^42). */
+  private[graft] lazy val dctTable: Array[Array[Long]] =
+    Array.tabulate(8, 8)((u, x) =>
+      math.round(16384.0 * StrictMath.cos(Math.PI * (2 * x + 1) * u / 16.0)))
+
+  /** pHash of one decoded image: 8×8 nearest-neighbor gray grid → 2D
+    * DCT-II in the fixed-point integer basis ([[dctTable]]) → median of
+    * the 63 AC coefficients (nearest-rank: the 32nd smallest) → bit i
+    * (= u·8+v, DC always 0) set iff F(u,v) > median. Returned as 4
+    * 16-bit bands plus the median. All exact integer arithmetic. */
+  private def phashBands(img: java.awt.image.BufferedImage): (Array[Long], Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = Array.tabulate(8, 8)((r, c) =>
+      ((img.getRGB(c * w / 8, r * h / 8) >> 16) & 0xff).toLong)
+    val f = Array.tabulate(8, 8) { (u, v) =>
+      var s = 0L; var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) { s += g(r)(c) * dctTable(u)(r) * dctTable(v)(c); c += 1 }
+        r += 1
+      }
+      s
+    }
+    val ac = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield f(u)(v)).sorted
+    val med = ac(31)
+    val bands = new Array[Long](4)
+    for (u <- 0 until 8; v <- 0 until 8) {
+      val i = u * 8 + v
+      if (i != 0 && f(u)(v) > med) bands(i / 16) |= 1L << (i % 16)
+    }
+    (bands, med)
+  }
+
+  /** DCT perceptual-hash image dedup (round 11) — the SECOND perceptual
+    * fingerprint next to [[dhashDedup]]'s gradient hash, and the one
+    * production image pipelines default to (the pHash lineage —
+    * Zauner 2010, public): dHash keys on local gradient signs, pHash on
+    * the image's low-frequency SPECTRUM, so it survives blur and
+    * high-frequency noise that flip gradient bits. The classic
+    * float DCT + mean threshold is replaced by an integer-exact
+    * surrogate — fixed-point DCT basis ([[dctTable]]), nearest-rank
+    * median of the 63 AC terms — so unusually for a perceptual hash
+    * every bit replays in the DuckDB oracle (the fixture pixels are
+    * analytic; the ENGINE path still decodes the real BMP bytes through
+    * ImageIO, so a codec mis-decode fails the compare).
+    *
+    * Same scale shape as the dHash leg: narrow per-partition decode
+    * (one codec instance per partition, no disk cache), one shuffle on
+    * the hash for exact-fingerprint grouping, canonical = min doc_id.
+    * Output: (doc_id, p0..p3, median_ac, canon, group_n, is_canonical),
+    * ordered. */
+  def phashDedup(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("p0", LongType), StructField("p1", LongType),
+      StructField("p2", LongType), StructField("p3", LongType),
+      StructField("median_ac", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val sigs = ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val (b, med) = phashBands(img)
+          Row(r.getAs[Long]("doc_id"), b(0), b(1), b(2), b(3), med)
+        }
+      }(enc).toDF()
+    val hashCols = Seq("p0", "p1", "p2", "p3")
+    val groups = sigs.groupBy(hashCols.map(col): _*)
+      .agg(min(col("doc_id")).as("canon"), count(lit(1)).as("group_n"))
+    sigs.join(groups, hashCols)
+      .select(col("doc_id"), col("p0"), col("p1"), col("p2"), col("p3"),
+        col("median_ac"), col("canon"), col("group_n"),
+        (col("doc_id") === col("canon")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
 }

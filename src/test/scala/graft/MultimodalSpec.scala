@@ -385,4 +385,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ingestBmp(docs.repartition(7))).collect()
     assert(reparted.toSeq == out.toSeq)
   }
+
+  test("phashDedup: spectra from the real decode match an independent " +
+    "analytic DCT replay; at most 31 of 63 AC bits set; deterministic") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.phashDedup(spark, Multimodal.ingestBmp(docs)).collect()
+    assert(out.length == docs.count())
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // analytic replay straight from pixelValue — never touches ImageIO,
+    // so a codec mis-decode on the engine side cannot hide
+    def replay(d: Long, nChars: Long): (Seq[Long], Long) = {
+      val w = Multimodal.bmpWidth(nChars); val h = Multimodal.bmpHeight(nChars)
+      val g = Array.tabulate(8, 8)((r, c) =>
+        Multimodal.pixelValue(d, (r * h / 8).toLong * w + (c * w / 8)).toLong)
+      val t = Multimodal.dctTable
+      val f = Array.tabulate(8, 8)((u, v) =>
+        (for (r <- 0 until 8; c <- 0 until 8)
+          yield g(r)(c) * t(u)(r) * t(v)(c)).sum)
+      val med = (for (u <- 0 until 8; v <- 0 until 8 if u + v > 0)
+        yield f(u)(v)).sorted.apply(31)
+      val bands = new Array[Long](4)
+      for (u <- 0 until 8; v <- 0 until 8; i = u * 8 + v
+           if i != 0 && f(u)(v) > med) bands(i / 16) |= 1L << (i % 16)
+      (bands.toSeq, med)
+    }
+    out.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val (wantBands, wantMed) = replay(d, meta(d))
+      val got = Seq("p0", "p1", "p2", "p3").map(r.getAs[Long])
+      assert(got == wantBands, s"doc $d: bands $got != analytic $wantBands")
+      assert(r.getAs[Long]("median_ac") == wantMed)
+      assert(got.map(java.lang.Long.bitCount).sum <= 31,
+        s"doc $d: more than 31 above-median bits")
+    }
+    val reparted = Multimodal.phashDedup(spark,
+      Multimodal.ingestBmp(docs.repartition(7))).collect()
+    assert(reparted.toSeq == out.toSeq)
+  }
 }
