@@ -148,7 +148,8 @@ object SparkEntry {
     ("memo:near_dup_pairs", Seq("dedup_cluster", "dedup_fuzzy"),
       () => nearDupPairsMemo.clear(),
       (s, d) => { nearDupPairsShared(s, d); () }),
-    ("memo:co_order_edges", Seq("graph_pagerank", "graph_triangles"),
+    ("memo:co_order_edges",
+      Seq("graph_pagerank", "graph_triangles", "graph_degree_dist"),
       () => coOrderEdgesMemo.clear(),
       (s, d) => { coOrderEdgesShared(s, d); () }),
     ("memo:unigram_model", Seq("tokenizer_unigram", "tokenizer_unigram_encode"),
@@ -793,6 +794,13 @@ object SparkEntry {
     // triangle once; per-node participation top-20.
     "graph_triangles" -> ((s, d) =>
       Graph.triangles(Tables.lineitem(s, d), scope = harnessScope,
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
+    // Degree distribution (round 11): the skew diagnostic that sizes
+    // the triangle orientation + bucket caps; zero-degree nodes are
+    // structural. Reads the shared memoized edges.
+    "graph_degree_dist" -> ((s, d) =>
+      Graph.degreeDistribution(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
     // Exact interpolated quantiles (order statistics, oracle-checkable).
@@ -1815,6 +1823,17 @@ object SparkEntry {
     // unrolled fixed-point iterations (scale 10^12, truncating //,
     // CAST sums back from DuckDB's HUGEINT) — same unroll doctrine as
     // the IVF training oracle
+    // degree histogram over the same edge relation; zero-degree parts
+    // come from the part universe left join
+    "graph_degree_dist" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), " +
+        "e AS (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und), " +
+        "deg AS (SELECT node, COUNT(*) AS degree FROM e GROUP BY 1), " +
+        "nodes AS (SELECT CAST(COALESCE(degree, 0) AS BIGINT) AS degree FROM " +
+        "(SELECT DISTINCT p FROM it) q LEFT JOIN deg ON q.p = deg.node) " +
+        "SELECT degree, COUNT(*) AS n_nodes FROM nodes GROUP BY 1 ORDER BY 1"),
+
     "graph_pagerank" ->
       ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
         "und AS (SELECT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), " +

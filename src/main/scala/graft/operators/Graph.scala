@@ -42,6 +42,32 @@ object Graph {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** DEGREE DISTRIBUTION (round 11) — the first diagnostic a graph
+    * pipeline prints, and the one that SIZES everything else here: the
+    * histogram's tail is exactly what the triangle orientation's
+    * degree-ordering defends against and what the bounded-bucket caps
+    * must be provisioned for, so the skew check belongs on the query
+    * board next to the operators it protects. Nodes that co-occur with
+    * nothing report degree 0 (structural, from the part universe — a
+    * disconnected catalog is visible, not silently absent).
+    *
+    * Shape: two map-side-combinable aggregations past the SHARED edge
+    * build (per-node degree, then the ≤ max-degree-row histogram) —
+    * nothing new shuffles at corpus width. Output: (degree, n_nodes),
+    * ordered. */
+  def degreeDistribution(lineitem: DataFrame,
+                         edges0: Option[DataFrame] = None): DataFrame = {
+    val und = edges0.getOrElse(coOrderEdges(lineitem))
+    val ends = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+    val deg = ends.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    lineitem.select(col("l_partkey").as("node")).distinct()
+      .join(deg, Seq("node"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
   /** Fixed-point PageRank, `iters` unrolled iterations at damping
     * 85/100 over the co-occurrence graph. All arithmetic is integer:
     * ranks live at scale 10^12, every division truncates, every sum is

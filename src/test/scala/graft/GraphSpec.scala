@@ -97,4 +97,25 @@ class GraphSpec extends SparkSpec {
       assert(d <= bound, s"node $u out-degree $d exceeds √(2m)=$bound")
     }
   }
+
+  test("degreeDistribution: hand-checked histogram with a structural " +
+    "zero-degree node, handshake sum, repartition-invariant") {
+    // order 1 = triangle {1,2,3}; order 2 repeats pair (2,3); part 9
+    // only ever appears alone → degree 0
+    val fix = li(1L -> Seq(1L, 2L, 3L), 2L -> Seq(2L, 3L), 3L -> Seq(9L))
+    val out = Graph.degreeDistribution(fix).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // degrees: 1→2 (pairs with 2,3); 2→2; 3→2; 9→0
+    assert(out == Map(0L -> 1L, 2L -> 3L), s"got $out")
+    // corpus invariants: node cover + handshake lemma vs the edge set
+    val liT = Tables.lineitem(spark, sf0)
+    val hist = Graph.degreeDistribution(liT).collect()
+    val nParts = liT.select("l_partkey").distinct().count()
+    assert(hist.map(_.getLong(1)).sum == nParts)
+    val m = Graph.coOrderEdges(liT).count()
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum == 2 * m,
+      "Σ degree·n must equal 2·|edges|")
+    assert(hist.toSeq ==
+      Graph.degreeDistribution(liT.repartition(13)).collect().toSeq)
+  }
 }
