@@ -1289,6 +1289,13 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d))),
 
+    // Range/radius search (round 11): the threshold dual of top-k —
+    // everything within cosine >= 0.3, per-query aggregate with
+    // structural zeros. Same bucket machinery + recall caveats as
+    // sim_ann_lsh.
+    "sim_range_search" -> ((s, d) =>
+      Similarity.rangeSearch(Tables.embeddings(s, d))),
+
     // Multi-probe LSH (round 10, Lv et al. 2007): each query probes its
     // base bucket + every Hamming-1 neighbor per table — recovers the
     // one-hyperplane-away misses without extra corpus hash passes.
@@ -3089,6 +3096,25 @@ object SparkEntry {
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
         "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    // radius-search replay: identical bucket/candidate/cosine CTEs, the
+    // tail aggregates with the NaN gate; left join from the query set
+    // keeps the structural zero rows
+    "sim_range_search" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bk WHERE vec_id < 10), " +
+        "cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id FROM qb " +
+        "JOIN bk b ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND b.vec_id != qb.q_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "a AS (SELECT q_id, COUNT(*) AS n_candidates, " +
+        "CAST(SUM(CASE WHEN NOT isnan(cos) AND cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches, " +
+        "MAX(CASE WHEN NOT isnan(cos) AND cos >= 0.3 THEN cos END) AS max_cos " +
+        "FROM s GROUP BY 1) " +
+        "SELECT q.vec_id AS q_id, COALESCE(a.n_candidates, 0) AS n_candidates, " +
+        "COALESCE(a.n_matches, 0) AS n_matches, a.max_cos " +
+        "FROM (SELECT vec_id FROM n WHERE vec_id < 10) q " +
+        "LEFT JOIN a ON q.vec_id = a.q_id ORDER BY q_id"),
 
     "dedup_embedding" ->
       (s"WITH $sqlQuantCte " +

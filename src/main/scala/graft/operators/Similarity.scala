@@ -772,6 +772,54 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** RANGE (radius) search (round 11) — the threshold dual of
+    * [[annTopK]]: instead of "the k nearest", every corpus vector
+    * within cosine ≥ `threshold` of each query — the retrieval shape
+    * behind duplicate screening ("anything closer than 0.9?") and
+    * recall-bounded filtering, where the ANSWER SIZE is data-dependent
+    * and top-k silently truncates. Same candidate machinery as the
+    * top-k path (per-table bucket equi-join, broadcast bounded query
+    * set, exact rerank — identical recall caveats, spec-checked against
+    * brute force), but the tail aggregates instead of ranking: per
+    * query, candidate count, match count and the best match — one row
+    * per query ALWAYS (structural-empty doctrine: a query whose buckets
+    * are empty reports zeros, not absence). Zero-norm cosines are
+    * excluded from matches by the NaN gate exactly as everywhere else.
+    *
+    * Output: (q_id, n_candidates, n_matches, max_cos), ordered. */
+  def rangeSearch(emb: DataFrame, nQueries: Int = 10, threshold: Double = 0.3,
+                  tables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+    val p = prepared(emb)
+    val buckets = lshBuckets(p, tables, bitsPerTable)
+    val qb = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val cand = buckets.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val queries = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val corpus = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"))
+    val hit = defined(col("cos")) && col("cos") >= threshold
+    val agg = cand
+      .join(broadcast(queries), Seq("q_id"))
+      .join(corpus, Seq("n_id"))
+      .withColumn("cos",
+        cosine(dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("nc"),
+        sum(when(hit, 1L).otherwise(0L)).as("nm"),
+        max(when(hit, col("cos"))).as("mc"))
+    queries.select(col("q_id")).join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        col("mc").as("max_cos"))
+      .orderBy(col("q_id"))
+  }
+
   /** ANN top-k: candidate set = union over L hash tables of the query's
     * bucket, deduped, then exact cosine rerank. The per-table lookup is an
     * equi-join on (table, bucket) — shuffle-partitionable, no cross join —

@@ -930,6 +930,38 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rangeSearch: one structural row per query, LSH matches are a " +
+    "subset of the exact radius set, best match agrees where found") {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val out = Similarity.rangeSearch(emb, nQueries = 10, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3))))).toMap
+    assert(out.keySet == (0L until 10L).toSet, "structural per-query rows")
+    // exact ground truth by brute force
+    val p = Similarity.prepared(emb)
+    val q = p.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val exact = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+        col("nrm").as("n_nrm"))
+      .join(bc(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", Similarity.cosine(
+        Similarity.dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
+      .filter(!isnan(col("cos")) && col("cos") >= 0.3)
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"), max(col("cos")).as("mx"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.foreach { case (qid, (ncand, nm, mc)) =>
+      val (exN, exMx) = exact.getOrElse(qid, (0L, Double.NaN))
+      assert(nm <= exN, s"query $qid: LSH found more matches than exist")
+      assert(nm <= ncand)
+      mc.foreach(m => assert(m <= exMx + 1e-12,
+        s"query $qid: max_cos above the exact best"))
+    }
+    // the approximation must actually find things on this corpus
+    assert(out.values.map(_._2).sum > 0, "radius search found nothing at 0.3")
+  }
+
   test("pqCodebookStats: all-seeds fixture encodes error-free, corpus " +
     "occupancy tiles every subspace, training beats the seed codebook, " +
     "partitioning-invariant") {
