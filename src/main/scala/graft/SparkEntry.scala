@@ -599,6 +599,12 @@ object SparkEntry {
       Relational.returnedItemsRevenue(Tables.lineitem(s, d),
         Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
 
+    // TPC-H Q6 (round 11): the pure-scan pushdown grader — all three
+    // predicates reach the parquet reader, 4-column projection,
+    // decimal-exact revenue.
+    "q6_forecast_revenue" -> ((s, d) =>
+      Relational.q6ForecastRevenue(Tables.lineitem(s, d))),
+
     "q5_local_supplier" -> ((s, d) =>
       Relational.localSupplierVolume(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
@@ -1647,6 +1653,14 @@ object SparkEntry {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
         "AND l_shipdate > TIMESTAMP '1998-01-01' " +
         "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q6_forecast_revenue" ->
+      ("SELECT COUNT(*) AS n_rows, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
 
     "q10_returned_items" ->
       ("SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +

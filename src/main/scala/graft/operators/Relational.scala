@@ -983,6 +983,32 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** TPC-H Q6 forecasting-revenue-change (round 11) — the benchmark's
+    * pure SCAN query, and the one that grades predicate pushdown: no
+    * join, no group — one year of shipdate, a discount band and a
+    * quantity cap, summed. At 100 TB this query IS its scan plan:
+    * all three predicates must reach the parquet reader (shipdate
+    * additionally prunes partitions in a date-partitioned lake) and the
+    * projection must read 4 columns, not the relation — the
+    * plan-invariant spec asserts both. Revenue = Σ price·discount in
+    * the exact decimal domain (DECIMAL(12,2)·DECIMAL(3,2) products,
+    * exact sum, ONE cast to double), the module's decimal-bridge
+    * doctrine; the row count rides along as the audit column.
+    *
+    * Output: one row — (n_rows, revenue). */
+  def q6ForecastRevenue(lineitem: DataFrame,
+                        yearStart: String = "1996-01-01",
+                        yearEnd: String = "1997-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(yearStart).cast("timestamp") &&
+        col("l_shipdate") < lit(yearEnd).cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec2(col("l_extendedprice")) *
+          col("l_discount").cast(DecimalType(3, 2)))
+          .cast("double").as("revenue"))
+
   /** UNPIVOT / melt (round 11) — the wide→long reshape dual of
     * [[pivotCounts]]: the four lineitem measures turn into (measure,
     * value) rows and aggregate per (flag, measure) — the shape every

@@ -134,6 +134,28 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q6 is its scan plan: all three predicates pushed, exactly the " +
+    "4 touched columns read, no shuffle but the 1-row aggregate's") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = withAqeOff {
+      try SparkEntry.queries("q6_forecast_revenue")(spark, sf0)
+        .queryExecution.executedPlan
+      finally SparkEntry.harnessScope.release()
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, "q6 must be a single scan")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"q6: $c not pushed — $pushed")
+    }
+    val read = scans.head.metadata.getOrElse("ReadSchema", "")
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .foreach(c => assert(read.contains(c)))
+    Seq("l_orderkey", "l_partkey", "l_returnflag", "l_comment")
+      .foreach(c => assert(!read.contains(c),
+        s"q6 reads untouched column $c: $read"))
+  }
+
   test("catalog sink read-back prunes partitions: PartitionFilters in the " +
     "scan, one partition listed for a one-partition predicate") {
     import org.apache.spark.sql.execution.FileSourceScanExec
