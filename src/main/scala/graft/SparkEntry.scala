@@ -145,7 +145,8 @@ object SparkEntry {
     * (artifact entry name, fed query keys, clear, eager build —
     * localCheckpoint materializes). */
   val benchMemos: Seq[(String, Seq[String], () => Unit, (SparkSession, String) => Unit)] = Seq(
-    ("memo:near_dup_pairs", Seq("dedup_cluster", "dedup_fuzzy"),
+    ("memo:near_dup_pairs",
+      Seq("dedup_cluster", "dedup_fuzzy", "dedup_rate_report"),
       () => nearDupPairsMemo.clear(),
       (s, d) => { nearDupPairsShared(s, d); () }),
     ("memo:co_order_edges",
@@ -1231,6 +1232,12 @@ object SparkEntry {
     // minus the recompute.
     "dedup_cluster" -> ((s, d) =>
       Dedup.clustersFromPairs(Tables.documents(s, d), nearDupPairsShared(s, d))),
+
+    // Dedup-rate audit (round 11): per-source suppressed counts +
+    // within/cross pair split over the SAME memoized pair relation
+    // (third consumer of memo:near_dup_pairs).
+    "dedup_rate_report" -> ((s, d) =>
+      Dedup.dedupRateReport(Tables.documents(s, d), nearDupPairsShared(s, d))),
 
     // MinHash-LSH banding + exact verify: the 100 TB scale path for
     // dedup_fuzzy. Round 7: the md5-affine portable hashing makes the
@@ -2781,6 +2788,38 @@ object SparkEntry {
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
         "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+
+    // per-source audit over the SAME pair relation: suppressed doc_b
+    // set, within/cross pair split, one IEEE division per source
+    "dedup_rate_report" ->
+      (s"WITH $sqlShingleCte, " +
+        "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN (" +
+        "SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100" +
+        ") keep ON sh.shingle = keep.shingle), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common " +
+        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT doc_a, doc_b FROM inter " +
+        "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
+        "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5), " +
+        "pl AS (SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b " +
+        "FROM pairs p JOIN documents da ON p.doc_a = da.doc_id " +
+        "JOIN documents db ON p.doc_b = db.doc_id), " +
+        "w AS (SELECT src_a AS source, COUNT(*) AS n_pairs_within FROM pl " +
+        "WHERE src_a = src_b GROUP BY 1), " +
+        "x AS (SELECT source, COUNT(*) AS n_pairs_cross FROM (" +
+        "SELECT src_a AS source FROM pl WHERE src_a != src_b " +
+        "UNION ALL SELECT src_b FROM pl WHERE src_a != src_b) GROUP BY 1), " +
+        "dd AS (SELECT src_b AS source, COUNT(*) AS n_dup_docs FROM (" +
+        "SELECT DISTINCT doc_b, src_b FROM pl) GROUP BY 1), " +
+        "base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1) " +
+        "SELECT base.source, base.n_docs, " +
+        "CAST(COALESCE(dd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs, " +
+        "CAST(COALESCE(w.n_pairs_within, 0) AS BIGINT) AS n_pairs_within, " +
+        "CAST(COALESCE(x.n_pairs_cross, 0) AS BIGINT) AS n_pairs_cross, " +
+        "CAST(COALESCE(dd.n_dup_docs, 0) AS DOUBLE) / base.n_docs AS dup_rate " +
+        "FROM base LEFT JOIN dd USING (source) LEFT JOIN w USING (source) " +
+        "LEFT JOIN x USING (source) ORDER BY base.source"),
 
     // repetition stats: top-token count via relational mode (unnest +
     // group by) — the ORACLE may shuffle; the engine's narrow sorted-run

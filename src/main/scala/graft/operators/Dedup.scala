@@ -742,4 +742,54 @@ object Dedup {
           col("n_tokens")).as("dup_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** DEDUP-RATE audit report (round 11) — the summary every corpus
+    * curation run publishes before anyone trusts the dedup pass: per
+    * SOURCE (the provenance axis a data lead slices by), how many
+    * documents, how many are near-duplicates of a smaller-id document
+    * (the keep-lowest doctrine's suppressed set), how many duplicate
+    * pairs stay within the source vs cross into another — within/cross
+    * is THE curation signal, separating a crawler that re-fetched its
+    * own pages from sources plagiarizing each other.
+    *
+    * Consumes an already-computed PAIR relation ([[ngramJaccardPairs]]
+    * shape — in the harness the session-memoized `memo:near_dup_pairs`
+    * table, its third consumer after `dedup_fuzzy`/`dedup_cluster`):
+    * the report is two broadcast-joinable label attachments + bounded
+    * aggregations over the pair table, nothing corpus-shaped. One
+    * IEEE division per source for the rate; every count exact.
+    *
+    * Output: (source, n_docs, n_dup_docs, n_pairs_within,
+    * n_pairs_cross, dup_rate), ordered by source. */
+  def dedupRateReport(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lab = docs.select(col("doc_id"), col("source"))
+    val pa = pairs
+      .join(lab.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        Seq("doc_a"))
+      .join(lab.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        Seq("doc_b"))
+    val within = pa.filter(col("src_a") === col("src_b"))
+      .groupBy(col("src_a").as("source"))
+      .agg(count(lit(1)).as("n_pairs_within"))
+    // a cross pair touches BOTH its sources' rows
+    val cross = pa.filter(col("src_a") =!= col("src_b"))
+      .select(col("src_a").as("source"))
+      .unionByName(pa.filter(col("src_a") =!= col("src_b"))
+        .select(col("src_b").as("source")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_pairs_cross"))
+    val dupDocs = pa.select(col("doc_b"), col("src_b").as("source"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(dupDocs, Seq("source"), "left")
+      .join(within, Seq("source"), "left")
+      .join(cross, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("n_pairs_within"), lit(0L)).as("n_pairs_within"),
+        coalesce(col("n_pairs_cross"), lit(0L)).as("n_pairs_cross"),
+        (coalesce(col("n_dup_docs"), lit(0L)).cast("double") /
+          col("n_docs")).as("dup_rate"))
+      .orderBy(col("source"))
+  }
 }

@@ -930,6 +930,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedupRateReport: hand-built pair relation splits within/cross, " +
+    "suppressed set is distinct doc_b, zero-dup sources report zeros") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("doc_id", "source")
+    // pairs: (1,2) within a; (2,3) cross a/b; (3,4) within b; doc 4
+    // duplicates twice → counted once in n_dup_docs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.dedupRateReport(d, pairs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((2L, 1L, 1L, 2L)), s"got ${out("a")}")
+    // b: docs {3,4}; dup docs {3,4}; within (3,4); cross (2,3) + (1,4)
+    assert(out("b") == ((2L, 2L, 1L, 2L)), s"got ${out("b")}")
+    assert(out("c") == ((1L, 0L, 0L, 0L)), "zero-dup source must report 0s")
+    // corpus reconciliation against the raw pair relation
+    val pr = Dedup.ngramJaccardPairs(docs, threshold = 0.5,
+      maxDf = Some(100))
+    val rep = graft.operators.Dedup.dedupRateReport(docs, pr).collect()
+    assert(rep.map(_.getLong(1)).sum == docs.count())
+    val totalWithin = rep.map(_.getLong(3)).sum
+    val totalCrossEnds = rep.map(_.getLong(4)).sum
+    assert(totalWithin + totalCrossEnds / 2 == pr.count(),
+      "within + cross/2 must reconcile to the pair count")
+  }
+
   test("rangeSearch: one structural row per query, LSH matches are a " +
     "subset of the exact radius set, best match agrees where found") {
     import org.apache.spark.sql.functions.{broadcast => bc}
