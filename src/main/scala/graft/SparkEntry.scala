@@ -646,6 +646,12 @@ object SparkEntry {
     "event_anomaly" -> ((s, d) =>
       Relational.valueAnomalies(Tables.events(s, d))),
 
+    // A/B Welch's t (round 11): deterministic parity arms, exact integer
+    // moment sums in one conditional-aggregation pass, identical IEEE
+    // operation tree for the statistic.
+    "event_ab_test" -> ((s, d) =>
+      Relational.abTestWelch(Tables.events(s, d))),
+
     // Quarantine decode: bad wire rows are FLAGGED, not silently dropped
     // (upgrading the reference's drop-and-continue, SURVEY.md §4.4.3).
     "row_quarantine" -> ((s, d) => {
@@ -1755,6 +1761,26 @@ object SparkEntry {
 
     // exact-decimal n/Σv/Σv² through the stats_corr via-string bridge;
     // mean/std/z arithmetic mirrors valueAnomalies op for op
+    // Welch replay: identical cents bridge, one conditional-aggregation
+    // pass, the SAME operation tree for the statistic — fixed operand
+    // order makes the doubles bit-identical
+    "event_ab_test" ->
+      ("WITH v AS (SELECT event_type, user_id % 2 AS arm, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events), " +
+        "a AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s0_cents, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s1_cents, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS q0, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS q1 " +
+        "FROM v GROUP BY 1) " +
+        "SELECT event_type, n0, n1, s0_cents, s1_cents, q0, q1, " +
+        "(CAST(s1_cents AS DOUBLE) / n1 - CAST(s0_cents AS DOUBLE) / n0) / " +
+        "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1_cents AS DOUBLE) * CAST(s1_cents AS DOUBLE) / n1) / (n1 - 1)) / n1 + " +
+        "((CAST(q0 AS DOUBLE) - CAST(s0_cents AS DOUBLE) * CAST(s0_cents AS DOUBLE) / n0) / (n0 - 1)) / n0) AS t_stat " +
+        "FROM a ORDER BY event_type"),
+
     "event_anomaly" ->
       ("WITH s AS (SELECT event_type, COUNT(*) AS n, " +
         "SUM(CAST(value AS DECIMAL(12,2))) AS sv, " +

@@ -983,6 +983,47 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** A/B-TEST Welch's t (round 11) — the experiment-analysis primitive
+    * every events warehouse serves: split users into two deterministic
+    * arms (user_id parity — a pure function of the data, so the split
+    * replays anywhere; a real assignment column drops in unchanged) and
+    * test each event type's value for a between-arm difference.
+    *
+    * Exactness discipline: values are 2-decimal doubles → integer CENTS
+    * via the decimal bridge; per (type, arm) count / sum / sum-of-
+    * squares are EXACT BIGINTs from ONE map-side-combinable
+    * conditional-aggregation pass (no self-join, no second scan); the
+    * t statistic is computed from those integers through an identical
+    * operation tree in both engines (sample variance
+    * (Q − S²/n)/(n−1), Welch denominator √(v₁/n₁+v₀/n₀)) — fixed
+    * operand order, bit-identical doubles, the stats_corr doctrine.
+    * Cents cancel in t, so no rescaling. Arms with n < 2 would make
+    * the variance undefined; the event corpus guarantees n ≫ 2 per
+    * type and the fixture spec covers the arithmetic by hand.
+    *
+    * Output: (event_type, n0, n1, s0_cents, s1_cents, q0, q1, t_stat),
+    * ordered. */
+  def abTestWelch(events: DataFrame): DataFrame = {
+    val cents = (dec2(col("value")) * 100).cast("long")
+    val keyed = events.select(col("event_type"),
+      (col("user_id") % 2).as("arm"), cents.as("c"))
+    def armAgg(a: Int, e: Column) =
+      sum(when(col("arm") === a, e).otherwise(lit(0L)))
+    val agg = keyed.groupBy(col("event_type")).agg(
+      armAgg(0, lit(1L)).as("n0"), armAgg(1, lit(1L)).as("n1"),
+      armAgg(0, col("c")).as("s0_cents"), armAgg(1, col("c")).as("s1_cents"),
+      armAgg(0, col("c") * col("c")).as("q0"),
+      armAgg(1, col("c") * col("c")).as("q1"))
+    def mean(s: Column, n: Column) = s.cast("double") / n
+    def varS(q: Column, s: Column, n: Column) =
+      (q.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
+    agg.withColumn("t_stat",
+        (mean(col("s1_cents"), col("n1")) - mean(col("s0_cents"), col("n0"))) /
+          sqrt(varS(col("q1"), col("s1_cents"), col("n1")) / col("n1") +
+            varS(col("q0"), col("s0_cents"), col("n0")) / col("n0")))
+      .orderBy(col("event_type"))
+  }
+
   /** TPC-H Q6 forecasting-revenue-change (round 11) — the benchmark's
     * pure SCAN query, and the one that grades predicate pushdown: no
     * join, no group — one year of shipdate, a discount band and a

@@ -767,6 +767,27 @@ class RelationalSpec extends SparkSpec {
       s"expanded relation is being sorted again:\n$planStr")
   }
 
+  test("abTestWelch: hand-computed Welch t on a 2x2 fixture, exact " +
+    "moment sums, corpus t-stats finite and arms near-balanced") {
+    // arm 0 (even users): 1.00, 3.00; arm 1 (odd): 2.00, 6.00
+    val fix = Seq((0L, "x", 1.0), (2L, "x", 3.0), (1L, "x", 2.0),
+      (3L, "x", 6.0)).toDF("user_id", "event_type", "value")
+    val r = Relational.abTestWelch(fix).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((2L, 2L)))
+    assert((r.getLong(3), r.getLong(4)) == ((400L, 800L)))
+    assert((r.getLong(5), r.getLong(6)) == ((100000L, 400000L)))
+    // t = (400-200)/sqrt(80000/2 + 20000/2), computed the same way
+    assert(r.getDouble(7) == 200.0 / math.sqrt(80000.0 / 2 + 20000.0 / 2))
+    val out = Relational.abTestWelch(Tables.events(spark, sf0)).collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      assert(!row.getDouble(7).isNaN && !row.getDouble(7).isInfinite)
+      // parity arms on a uniform user population stay near-balanced
+      val (n0, n1) = (row.getLong(1).toDouble, row.getLong(2).toDouble)
+      assert(math.abs(n0 - n1) / (n0 + n1) < 0.2, s"arms skewed: $n0/$n1")
+    }
+  }
+
   test("cumeStandings: hand-computed fractions on a 3-cell flag, the " +
     "window runs over the aggregated relation, not the raw rows") {
     val fix = Seq(
