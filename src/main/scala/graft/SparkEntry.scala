@@ -620,6 +620,11 @@ object SparkEntry {
     "join_asof" -> ((s, d) =>
       Relational.asofJoin(Tables.events(s, d))),
 
+    // As-of with tolerance (round 11): the feature-store max-age gate —
+    // too-stale matches NULL like no-match, rows stay structural.
+    "join_asof_tolerance" -> ((s, d) =>
+      Relational.asofJoinTolerance(Tables.events(s, d))),
+
     // Range (interval) join: purchases inside any error's 10-minute
     // window, via time-bucketing (equi-join on bucket + exact filter —
     // not the BNLJ a naive inequality join would plan).
@@ -1717,6 +1722,22 @@ object SparkEntry {
         "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
         "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS UNBOUNDED PRECEDING) AS asof_ts " +
         "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    // tolerance replay: same carry + the integer-µs age gate; CASE
+    // NULLs mirror the Spark when()s
+    "join_asof_tolerance" ->
+      ("SELECT event_id, user_id, ts, " +
+        "CASE WHEN matched THEN raw_asof END AS asof_ts, " +
+        "CASE WHEN matched THEN stale_us END AS staleness_us, matched FROM (" +
+        "SELECT event_id, user_id, ts, raw_asof, stale_us, " +
+        "raw_asof IS NOT NULL AND stale_us <= 86400000000 AS matched FROM (" +
+        "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
+        "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS UNBOUNDED PRECEDING) AS raw_asof, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS UNBOUNDED PRECEDING)) AS stale_us " +
+        "FROM events) WHERE event_type = 'purchase')" +
+        " ORDER BY event_id"),
 
     // integer-µs arithmetic on the µs-truncated ts, exactly as the Spark
     // side computes containment

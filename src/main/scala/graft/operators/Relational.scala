@@ -676,6 +676,43 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join WITH TOLERANCE (round 11) — the feature-store variant
+    * of [[asofJoin]]: a most-recent match only counts if it is no
+    * staler than `toleranceSec` (the "max feature age" every online
+    * feature store enforces — an hours-old price is a feature, a
+    * year-old one is a bug). Same single-shuffle sort + running-carry
+    * composition (no range cross-join, holds at 100 TB); the gate is a
+    * narrow integer-µs comparison after the carry, and a too-stale
+    * match NULLs out exactly like no-match — but the row stays
+    * (structural: every `forType` event reports, with its staleness
+    * and verdict, so fresh + stale + unmatched reconciles to the type
+    * count).
+    *
+    * Output: (event_id, user_id, ts, asof_ts, staleness_us, matched),
+    * ordered; asof_ts/staleness_us NULL unless matched. */
+  def asofJoinTolerance(events: DataFrame, matchType: String = "click",
+                        forType: String = "purchase",
+                        toleranceSec: Long = 86400): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("raw_asof",
+        last(when(col("event_type") === matchType, col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === forType)
+      .withColumn("stale_us",
+        unix_micros(col("ts")) - unix_micros(col("raw_asof")))
+      .withColumn("matched", col("raw_asof").isNotNull &&
+        col("stale_us") <= toleranceSec * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("matched"), col("raw_asof")).as("asof_ts"),
+        when(col("matched"), col("stale_us")).as("staleness_us"),
+        col("matched"))
+      .orderBy(col("event_id"))
+  }
+
   /** Pivot: per-user event-type counts as columns (explicit value list ⇒
     * deterministic schema, no extra pass to discover values — the form
     * that works on a 100 TB fact table). */

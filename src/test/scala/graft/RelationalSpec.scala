@@ -767,6 +767,40 @@ class RelationalSpec extends SparkSpec {
       s"expanded relation is being sorted again:\n$planStr")
   }
 
+  test("asofJoinTolerance: fresh matches carry, stale NULL like " +
+    "no-match but the row stays; reconciles against the ungated as-of") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val fix = Seq(
+      (1L, 7L, t("2024-01-01 00:00:00"), "click", 0.0, ""),
+      (2L, 7L, t("2024-01-01 02:00:00"), "purchase", 1.0, ""), // fresh 2h
+      (3L, 7L, t("2024-01-03 00:00:00"), "purchase", 1.0, ""), // stale 2d
+      (4L, 8L, t("2024-01-01 00:00:00"), "purchase", 1.0, "")) // no click
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = Relational.asofJoinTolerance(fix).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(4)), r.getBoolean(5)))).toMap
+    assert(out(2L)._3 && out(2L)._2.contains(7200000000L))
+    assert(!out(3L)._3 && out(3L)._1.isEmpty && out(3L)._2.isEmpty,
+      "stale match must NULL out")
+    assert(!out(4L)._3 && out(4L)._1.isEmpty)
+    // corpus: gated rows ⊆ ungated as-of rows with staleness ≤ tolerance
+    val ev = Tables.events(spark, sf0)
+    val gated = Relational.asofJoinTolerance(ev).collect()
+    val raw = Relational.asofJoin(ev).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(gated.length == raw.size, "every purchase row must stay")
+    gated.foreach { r =>
+      val id = r.getLong(0)
+      if (r.getBoolean(5)) {
+        assert(raw(id).contains(r.getTimestamp(3)))
+        assert(r.getLong(4) <= 86400000000L)
+      }
+    }
+    assert(gated.exists(_.getBoolean(5)) && gated.exists(!_.getBoolean(5)),
+      "tolerance must split the corpus, not rubber-stamp it")
+  }
+
   test("abTestWelch: hand-computed Welch t on a 2x2 fixture, exact " +
     "moment sums, corpus t-stats finite and arms near-balanced") {
     // arm 0 (even users): 1.00, 3.00; arm 1 (odd): 2.00, 6.00
