@@ -657,6 +657,11 @@ object SparkEntry {
     "event_ab_test" -> ((s, d) =>
       Relational.abTestWelch(Tables.events(s, d))),
 
+    // Markov transition matrix (round 11): per-user lag pairs, <=
+    // types^2 matrix, one IEEE division per row for the conditional.
+    "event_markov" -> ((s, d) =>
+      Relational.markovTransitions(Tables.events(s, d))),
+
     // Quarantine decode: bad wire rows are FLAGGED, not silently dropped
     // (upgrading the reference's drop-and-continue, SURVEY.md §4.4.3).
     "row_quarantine" -> ((s, d) => {
@@ -1393,6 +1398,12 @@ object SparkEntry {
     "embed_pq" -> ((s, d) =>
       Similarity.pqCodebookStats(Tables.embeddings(s, d))),
 
+    // Nearest-centroid confusion matrix (round 11): per-label exact-
+    // integer centroids, integer-L2 argmin classify, <= labels^2 counts
+    // — the embedding-quality eval a training run tracks.
+    "embed_centroid_classify" -> ((s, d) =>
+      Similarity.centroidClassify(Tables.embeddings(s, d))),
+
     "embed_meanpool" -> ((s, d) => {
       val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))
       mp.select(col("doc_key").as("label"), col("n_chunks"),
@@ -1801,6 +1812,18 @@ object SparkEntry {
         "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1_cents AS DOUBLE) * CAST(s1_cents AS DOUBLE) / n1) / (n1 - 1)) / n1 + " +
         "((CAST(q0 AS DOUBLE) - CAST(s0_cents AS DOUBLE) * CAST(s0_cents AS DOUBLE) / n0) / (n0 - 1)) / n0) AS t_stat " +
         "FROM a ORDER BY event_type"),
+
+    // lag pairs over the µs-truncated ts, (ts, event_id) total order
+    "event_markov" ->
+      ("WITH p AS (SELECT lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type, " +
+        "event_type AS next_type FROM events), " +
+        "c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM p " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY 1) " +
+        "SELECT c.prev_type, c.next_type, c.n, " +
+        "CAST(c.n AS DOUBLE) / t.row_total AS p_next " +
+        "FROM c JOIN t USING (prev_type) ORDER BY 1, 2"),
 
     "event_anomaly" ->
       ("WITH s AS (SELECT event_type, COUNT(*) AS n, " +
@@ -3148,6 +3171,27 @@ object SparkEntry {
     // seeds, both Lloyd's rounds and the final encode all unroll from
     // the SAME Similarity.Pq* constants the operator reads.
     "embed_pq" -> sqlPqStats,
+
+    // nearest-centroid replay: label-supervised exact-integer means
+    // (list_reduce sums, one division, half-away round), BIGINT L2
+    // argmin with the (dist, label) tie order, confusion counts
+    "embed_centroid_classify" ->
+      ("WITH q2 AS (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
+        "n2 AS (SELECT vec_id, label, v, " +
+        "list_sum(list_transform(v, x -> x*x)) AS nrm FROM q2), " +
+        "cs AS (SELECT label AS clabel, COUNT(*) AS cnt, " +
+        "list_reduce(list(v), (x,y) -> list_transform(list_zip(x,y), p -> p[1]+p[2])) AS sv " +
+        "FROM n2 GROUP BY 1), " +
+        "cb AS (SELECT clabel, cv, list_sum(list_transform(cv, x -> x*x)) AS cn FROM " +
+        "(SELECT clabel, list_transform(sv, s -> CAST(round(CAST(s AS DOUBLE)/cnt) AS BIGINT)) AS cv FROM cs)), " +
+        "a AS (SELECT t.vec_id, t.label, c.clabel, t.nrm + c.cn - " +
+        "2*list_sum(list_transform(list_zip(t.v, c.cv), p -> p[1]*p[2])) AS dist " +
+        "FROM n2 t, cb c), " +
+        "g AS (SELECT label, clabel AS pred_label FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM a) " +
+        "WHERE rn = 1) " +
+        "SELECT label, pred_label, COUNT(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // Serve path is spec-checked bit-identical to the in-session trained
     // path (same quantizer by determinism), so it replays under the SAME

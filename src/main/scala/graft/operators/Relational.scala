@@ -1020,6 +1020,34 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** First-order MARKOV transition matrix (round 11) — the journey-
+    * analysis primitive behind "what do users do next": per user, order
+    * events by (ts, event_id) and count each (prev_type → next_type)
+    * transition, then the per-prev conditional probability. The window
+    * is partitioned by user (one shuffle, per-user sort bounded by that
+    * user's events — the sessionize discipline); the matrix is ≤
+    * types² rows at any corpus size, and the probability is ONE IEEE
+    * division over exact counts (n / row-total), deterministic
+    * anywhere.
+    *
+    * Output: (prev_type, next_type, n, p_next), ordered. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("row_total")).as("p_next"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** A/B-TEST Welch's t (round 11) — the experiment-analysis primitive
     * every events warehouse serves: split users into two deterministic
     * arms (user_id parity — a pure function of the data, so the split

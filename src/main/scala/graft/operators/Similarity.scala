@@ -672,6 +672,42 @@ object Similarity {
       .orderBy(col("sub_id"), col("code"))
   }
 
+  /** NEAREST-CENTROID classification + confusion matrix (round 11) —
+    * the evaluation primitive of every embedding pipeline: do the
+    * vectors cluster by their labels? Train one centroid per label
+    * (element-wise exact-integer mean, the [[trainCentroids]] /
+    * [[meanPoolEmbeddings]] arithmetic contract — no iteration, labels
+    * supervise), classify every vector by integer-L2 argmin
+    * (‖a‖²+‖c‖²−2⟨a,c⟩ pure BIGINT, (dist, label) total order), and
+    * emit the confusion matrix. The diagonal mass IS the embedding-
+    * quality score a training run tracks.
+    *
+    * Scale: one posexplode-groupBy pass for the ≤ labels centroids
+    * (broadcast thereafter), one narrow broadcast-join argmin over the
+    * corpus, a ≤ labels² map-side-combined count. Output: (label,
+    * pred_label, n), ordered. */
+  def centroidClassify(emb: DataFrame): DataFrame = {
+    val p = prepared(emb)
+    val cents = p.select(col("label"), posexplode(col("qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => round(x.getField("m")).cast("long")).as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+      .withColumn("cn", dotQ(col("cv"), col("cv")))
+    p.join(broadcast(cents))
+      .withColumn("dist",
+        col("nrm") + col("cn") - lit(2L) * dotQ(col("qv"), col("cv")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dist"), col("clabel"))).as("mm"))
+      .select(col("label"), col("mm.clabel").as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+
   /** k-NN SELF-join via LSH buckets — EVERY vector's k nearest
     * neighbors, the all-corpus form of [[annTopK]] (which serves a
     * bounded query set): the semantic-dedup / hard-negative-mining /

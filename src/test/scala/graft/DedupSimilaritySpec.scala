@@ -930,6 +930,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidClassify: separable fixture classifies perfectly, " +
+    "corpus matrix covers every vector and is repartition-invariant") {
+    import spark.implicits._
+    // two labels on opposite axes → centroids are the axes, zero error
+    val fix = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val m = Similarity.centroidClassify(fix).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m == Map((0, 0) -> 2L, (1, 1) -> 2L), s"got $m")
+    val full = Similarity.centroidClassify(emb).collect()
+    assert(full.map(_.getLong(2)).sum == emb.count())
+    // the synthetic labels are clustered: the diagonal must beat the
+    // uniform-assignment share by a wide margin
+    val diag = full.filter(r => r.getInt(0) == r.getInt(1))
+      .map(_.getLong(2)).sum
+    assert(diag.toDouble / emb.count() > 0.3,
+      s"diagonal mass $diag suspiciously low — centroids broken?")
+    assert(full.toSeq ==
+      Similarity.centroidClassify(emb.repartition(7)).collect().toSeq)
+  }
+
   test("dedupRateReport: hand-built pair relation splits within/cross, " +
     "suppressed set is distinct doc_b, zero-dup sources report zeros") {
     import spark.implicits._

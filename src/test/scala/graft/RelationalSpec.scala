@@ -767,6 +767,30 @@ class RelationalSpec extends SparkSpec {
       s"expanded relation is being sorted again:\n$planStr")
   }
 
+  test("markovTransitions: hand-counted journey, conditionals sum to 1 " +
+    "per prev state, pair count reconciles to events minus users") {
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    // user 7: a->b->a->c  ⇒ (a,b) (b,a) (a,c); prev a splits 1/2 1/2
+    val fix = Seq((1L, 7L, t(1), "a"), (2L, 7L, t(2), "b"),
+      (3L, 7L, t(3), "a"), (4L, 7L, t(4), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Relational.markovTransitions(fix).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 1.0))), s"got $out")
+    val ev = Tables.events(spark, sf0)
+    val m = Relational.markovTransitions(ev).collect()
+    val expectedPairs = ev.count() - ev.select("user_id").distinct().count()
+    assert(m.map(_.getLong(2)).sum == expectedPairs,
+      "transitions must be events minus one per user")
+    m.groupBy(_.getString(0)).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9,
+        "conditionals must sum to 1 per prev state")
+    }
+  }
+
   test("asofJoinTolerance: fresh matches carry, stale NULL like " +
     "no-match but the row stays; reconciles against the ungated as-of") {
     import java.sql.Timestamp
