@@ -1459,6 +1459,13 @@ object SparkEntry {
       Multimodal.decodeWavPartitions(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
+    // Windowed PCM energy (round 11): the audio FEATURE over the WAV
+    // leg — 16-sample energy/peak windows for silence/clipping
+    // curation; real javax.sound decode, analytic oracle.
+    "multimodal_audio_rms" -> ((s, d) =>
+      Multimodal.wavRmsWindows(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
     // Video-container leg (round 8): hand-authored ANIMATED GIF89a
     // (container + grayscale palette + the LZW stream itself), decoded
     // back through ImageIO's OWN multi-frame GIF reader; every 2nd frame
@@ -3381,6 +3388,14 @@ object SparkEntry {
         "list_transform(range(0, CAST(n AS INT)), i -> (doc_id*37 + i*11) % 65536 - 32768) AS smp " +
         "FROM (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents)) " +
         "ORDER BY doc_id"),
+
+    // windowed-energy replay over the same analytic PCM
+    "multimodal_audio_rms" ->
+      ("WITH s AS (SELECT doc_id, i, (doc_id*37 + i*11) % 65536 - 32768 AS v " +
+        "FROM (SELECT doc_id, unnest(range(0, (n_chars % 50) + 20)) AS i FROM documents)) " +
+        "SELECT doc_id, i // 16 AS win, COUNT(*) AS n_samples, " +
+        "CAST(SUM(v*v) AS BIGINT) AS energy, CAST(MAX(abs(v)) AS BIGINT) AS peak " +
+        "FROM s GROUP BY 1, 2 ORDER BY doc_id, win"),
 
     // analytic multi-frame replay: every 2nd frame of the animated GIF,
     // pixel i of frame f = (doc_id*31 + f*97 + i*7) % 256 — container,

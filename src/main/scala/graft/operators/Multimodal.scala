@@ -213,6 +213,55 @@ object Multimodal {
     }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** Windowed PCM ENERGY profile (round 11) — the first real audio
+    * FEATURE over the WAV leg (decode stats prove the codec;
+    * energy/peak windows are what an audio curation pipeline actually
+    * consumes: silence trimming, clipping detection, loudness
+    * bucketing). Same one-codec-per-partition harness as
+    * [[decodeWavPartitions]], fanning each clip to one row per
+    * `win`-sample window: sample count, exact integer energy Σ s²
+    * (int16 squares over a bounded window — never overflows), and the
+    * clipping-relevant peak max|s|. The short final window reports its
+    * true length (structural, not padded). Oracle-replayable because
+    * the fixture PCM is analytic ([[sampleValue]]); the engine still
+    * decodes the real RIFF bytes through javax.sound, so a codec that
+    * drops or reorders samples fails the compare.
+    *
+    * Output: (doc_id, win, n_samples, energy, peak), ordered. */
+  def wavRmsWindows(spark: SparkSession, ingested: DataFrame,
+                    win: Int = 16): DataFrame = {
+    require(win >= 1, s"window must be positive, got $win")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("win", LongType),
+      StructField("n_samples", LongType), StructField("energy", LongType),
+      StructField("peak", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val data = ais.readAllBytes(); ais.close()
+          val n = data.length / 2
+          val docId = r.getAs[Long]("doc_id")
+          (0 until (n + win - 1) / win).map { w =>
+            var e = 0L; var pk = 0L; var c = 0L
+            var i = w * win
+            val end = math.min(n, (w + 1) * win)
+            while (i < end) {
+              val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
+                .toShort.toLong
+              e += s * s; if (math.abs(s) > pk) pk = math.abs(s)
+              c += 1; i += 1
+            }
+            Row(docId, w.toLong, c, e, pk)
+          }
+        }
+      }(enc).toDF().orderBy(col("doc_id"), col("win"))
+  }
+
   /** The mapPartitions decode harness with a REAL codec: javax.imageio's
     * BMP reader (an independent JDK implementation — not our encoder run
     * backwards) decodes each payload; per-pixel statistics come off the

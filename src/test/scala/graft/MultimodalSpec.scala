@@ -386,6 +386,30 @@ class MultimodalSpec extends SparkSpec {
     assert(reparted.toSeq == out.toSeq)
   }
 
+  test("wavRmsWindows: windows tile every decoded sample, energy and " +
+    "peak match the analytic PCM, short tails report true length") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.wavRmsWindows(spark, Multimodal.ingestWav(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet == meta.keySet)
+    byDoc.foreach { case (d, rows) =>
+      val n = Multimodal.wavNumSamples(meta(d))
+      assert(rows.map(_.getLong(2)).sum == n, s"doc $d windows don't tile")
+      assert(rows.length == (n + 15) / 16)
+      rows.foreach { r =>
+        val w = r.getLong(1).toInt
+        val idx = (w * 16) until math.min(n, (w + 1) * 16)
+        val vals = idx.map(i => Multimodal.sampleValue(d, i).toLong)
+        assert(r.getLong(3) == vals.map(v => v * v).sum,
+          s"doc $d win $w energy mismatch")
+        assert(r.getLong(4) == vals.map(math.abs).max)
+      }
+    }
+  }
+
   test("phashDedup: spectra from the real decode match an independent " +
     "analytic DCT replay; at most 31 of 63 AC bits set; deterministic") {
     val docs = Tables.documents(spark, sf0)
