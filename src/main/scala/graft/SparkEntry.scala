@@ -1404,6 +1404,12 @@ object SparkEntry {
     "embed_centroid_classify" -> ((s, d) =>
       Similarity.centroidClassify(Tables.embeddings(s, d))),
 
+    // IVF-PQ serving (round 11): the FAISS-architecture composite —
+    // coarse lists prune, m-byte PQ codes rank by exact-integer ADC
+    // via the broadcast per-query distance table, true-cosine audit.
+    "sim_ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfpqTopK(Tables.embeddings(s, d))),
+
     "embed_meanpool" -> ((s, d) => {
       val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))
       mp.select(col("doc_key").as("label"), col("n_chunks"),
@@ -3205,6 +3211,10 @@ object SparkEntry {
     // unrolled-training oracle.
     "sim_ann_ivf_served" -> sqlIvfTrained,
 
+    // IVF-PQ: both trainings unroll (shared front CTEs), the ADC tail
+    // is pure BIGINT — ranking, ties and the audit cosine all replay.
+    "sim_ann_ivfpq" -> sqlIvfPq,
+
     // the k-NN self-join replays with the same bucket CTE — every
     // vector is a query
     "sim_knn_join" ->
@@ -3623,14 +3633,12 @@ object SparkEntry {
       "(SELECT cent_id, list_transform(sv, s -> CAST(round(CAST(s AS DOUBLE)/cnt) AS BIGINT)) AS cv " +
       s"FROM s$i)) WHERE cnrm > 0)"
 
-  /** Full trained-IVF oracle: md5-capped train sample (mirrors
-    * trainCentroids' trainCap = 4096 deterministic sample), seed
-    * centroids = the 16 smallest-(md5, vec_id) corpus vectors, two
-    * unrolled Lloyd's iterations ([[sqlIvfIter]]), then the serve tail
-    * proven by sim_ann_ivf_fixed — full-corpus assignment, nprobe = 4
-    * probes for queries vec_id < 10, exact top-10 rerank. */
-  private lazy val sqlIvfTrained: String =
-    s"WITH $sqlQuantCte, " +
+  /** Trained-IVF front CTEs (quant, md5-capped train sample, seeds, two
+    * unrolled Lloyd's iterations, full-corpus assignment, nprobe = 4
+    * probes for queries vec_id < 10) — shared by the trained-IVF oracle
+    * and the IVF-PQ composite. */
+  private lazy val sqlIvfFrontCtes: String =
+    s"$sqlQuantCte, " +
       "tr AS (SELECT vec_id, v, nrm FROM n " +
       "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096), " +
       "c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
@@ -3645,7 +3653,13 @@ object SparkEntry {
       "WHERE rn = 1), " +
       "probes AS (SELECT q_id, cent_id FROM (SELECT vec_id AS q_id, cent_id, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr " +
-      "FROM ac WHERE vec_id < 10) WHERE pr <= 4), " +
+      "FROM ac WHERE vec_id < 10) WHERE pr <= 4)"
+
+  /** Full trained-IVF oracle: the shared front, then the serve tail
+    * proven by sim_ann_ivf_fixed — candidate lookup + exact top-10
+    * rerank. */
+  private lazy val sqlIvfTrained: String =
+    "WITH " + sqlIvfFrontCtes + ", " +
       "cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id FROM probes p " +
       "JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id != p.q_id), " +
       s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
@@ -3653,6 +3667,63 @@ object SparkEntry {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
       "FROM s WHERE NOT isnan(cos)) " +
       "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
+
+  /** IVF-PQ composite oracle: the IVF front (coarse lists + probes) and
+    * the PQ front (subspace slicing + codebook training) share the same
+    * quant CTE; the serve tail encodes the corpus (pea/pcode), derives
+    * the per-query ADC distance table as the query-gated slice of the
+    * SAME encode relation, sums exact sub-distances per candidate and
+    * ranks by (adc, n_id), then audits with true cosine. */
+  private lazy val sqlIvfPq: String = {
+    val m = Similarity.PqSubspaces
+    val dim = 64
+    val L = dim / m
+    val k = Similarity.IvfPqCodes
+    val iters = Similarity.PqIters
+    val cap = Similarity.PqTrainCap
+    val slices = (0 until m).map(s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub_id, " +
+        s"v[${s * L + 1}:${s * L + L}] AS sv FROM nf").mkString(" UNION ALL ")
+    val pqIterSql = (1 to iters).map(i =>
+      sqlPqIter(i, if (i == 1) "cb0" else s"pc${i - 1}")).mkString(", ")
+    val lastCb = if (iters == 0) "cb0" else s"pc$iters"
+    "WITH " + sqlIvfFrontCtes + ", " +
+      s"nf AS (SELECT vec_id, v FROM n WHERE len(v) = $dim), " +
+      s"sub AS ($slices), " +
+      "subn AS (SELECT vec_id, sub_id, sv, " +
+      "list_sum(list_transform(sv, x -> x*x)) AS sn FROM sub), " +
+      "trv AS (SELECT vec_id FROM nf " +
+      s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $cap), " +
+      "trs AS (SELECT s.* FROM subn s JOIN trv ON s.vec_id = trv.vec_id), " +
+      "sdv AS (SELECT vec_id FROM nf " +
+      s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k), " +
+      "cb0 AS (SELECT s.sub_id, s.vec_id AS code, s.sv AS cv, s.sn AS cn " +
+      "FROM subn s JOIN sdv ON s.vec_id = sdv.vec_id), " +
+      pqIterSql + ", " +
+      "pea AS (SELECT t.vec_id, t.sub_id, c.code, t.sn + c.cn - " +
+      "2*list_sum(list_transform(list_zip(t.sv, c.cv), p -> p[1]*p[2])) AS dist " +
+      s"FROM subn t JOIN $lastCb c ON t.sub_id = c.sub_id), " +
+      "pcode AS (SELECT vec_id, sub_id, code FROM (SELECT vec_id, sub_id, code, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code) AS rn " +
+      "FROM pea) WHERE rn = 1), " +
+      "dt AS (SELECT vec_id AS q_id, sub_id, code, dist AS sd FROM pea " +
+      "WHERE vec_id < 10), " +
+      "cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id FROM probes p " +
+      "JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id != p.q_id), " +
+      "adc AS (SELECT c.q_id, c.n_id, CAST(SUM(dt.sd) AS BIGINT) AS adc " +
+      "FROM cand c JOIN pcode pc ON c.n_id = pc.vec_id " +
+      "JOIN dt ON dt.q_id = c.q_id AND dt.sub_id = pc.sub_id AND dt.code = pc.code " +
+      "GROUP BY 1, 2), " +
+      s"sl AS (SELECT q_id, n_id, adc FROM (SELECT *, " +
+      "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS srk FROM adc) " +
+      s"WHERE srk <= ${Similarity.IvfPqRerank}), " +
+      s"rr AS (SELECT sl.q_id, sl.n_id, sl.adc, ${sqlCosFrag("q", "x")} AS cos " +
+      "FROM sl JOIN n q ON sl.q_id = q.vec_id JOIN n x ON sl.n_id = x.vec_id), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+      "FROM rr WHERE NOT isnan(cos)) " +
+      "SELECT q_id, rank, n_id, adc, cos FROM rk WHERE rank <= 10 " +
+      "ORDER BY q_id, rank"
+  }
 
   /** One unrolled Lloyd's round for the PQ oracle, keyed by (sub_id,
     * code): assign the train sub-vectors to their min-(dist, code)

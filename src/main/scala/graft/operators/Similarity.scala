@@ -576,6 +576,18 @@ object Similarity {
   val PqIters = 2
   val PqTrainCap = 4096
 
+  /** The IVF-PQ serve path runs a FINER codebook than the embed_pq
+    * report (64 codes = 6 bits/subspace vs 16): ADC ranking quality is
+    * the product, and 4-bit sub-distances are too coarse to rank with.
+    * Shared with the oracle generator like the other Pq* constants. */
+  val IvfPqCodes = 64
+
+  /** ADC shortlist size for the exact rerank (4·k at the default
+    * k = 10) — the standard IVFPQ serving recipe: the compressed codes
+    * RANK CHEAPLY, the shortlist reranks exactly, and recall recovers
+    * most of the probe ceiling for a 4× widening of the exact work. */
+  val IvfPqRerank = 40
+
   /** PRODUCT QUANTIZATION codebook training + encode report (round 11) —
     * the third compression primitive next to [[int8Quantize]] (SQ8) and
     * [[meanPoolEmbeddings]]: split each d-dim vector into `m` contiguous
@@ -611,44 +623,67 @@ object Similarity {
   def pqCodebookStats(emb: DataFrame, dim: Int = 64, m: Int = PqSubspaces,
                       kCodes: Int = PqCodes, iters: Int = PqIters,
                       trainCap: Int = PqTrainCap): DataFrame = {
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val cb = pqTrain(p, dim, m, kCodes, iters, trainCap)
+    // structural zeros without a join: every surviving code contributes
+    // one (0, 0) row, so unused codes still report — and the broadcast
+    // hint on the codebook never meets an outer join it can't serve
+    pqAssign(pqSubSlices(p, m, dim / m), cb)
+      .select(col("sub_id"), col("code"),
+        lit(1L).as("one"), col("err"))
+      .unionByName(cb.select(col("sub_id"), col("code"),
+        lit(0L).as("one"), lit(0L).as("err")))
+      .groupBy(col("sub_id"), col("code"))
+      .agg(sum(col("one")).as("n_vectors"),
+        sum(col("err")).as("total_sq_err"))
+      .orderBy(col("sub_id"), col("code"))
+  }
+
+  /** One row per (vector, subspace): the sliced sub-vector + its norm —
+    * the shared PQ front end. */
+  private def pqSubSlices(df: DataFrame, m: Int, subLen: Int): DataFrame =
+    df.select(col("vec_id"), posexplode(array((0 until m).map(s =>
+        slice(col("qv"), s * subLen + 1, subLen)): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("sub_id"),
+        col("col").as("sv"))
+      .withColumn("sn", dotQ(col("sv"), col("sv")))
+
+  private def pqMdCapped(df: DataFrame, cap: Int): DataFrame =
+    df.withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk"), col("vec_id")).limit(cap).drop("mk")
+
+  /** Per-subspace argmin code by exact integer distance, (dist, code)
+    * total order — min over the struct is the same lexicographic order
+    * DuckDB's ROW_NUMBER (dist, code) replays. */
+  private def pqAssign(data: DataFrame, codebook: DataFrame): DataFrame =
+    data.join(codebook, Seq("sub_id"))
+      .withColumn("dist",
+        col("sn") + col("cn") - lit(2L) * dotQ(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(col("dist"), col("code"))).as("mm"),
+        first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("sub_id"), col("mm.code").as("code"),
+        col("mm.dist").as("err"), col("sv"))
+
+  /** Train the per-subspace PQ codebooks (Lloyd's on integer L2 over
+    * the md5-capped sample) and return the broadcast codebook frame
+    * (sub_id, code, cv, cn) — shared by [[pqCodebookStats]] and the
+    * [[ivfpqTopK]] serve path. */
+  private def pqTrain(p: DataFrame, dim: Int, m: Int, kCodes: Int,
+                      iters: Int, trainCap: Int): DataFrame = {
     require(m >= 1 && dim % m == 0,
       s"dim ($dim) must divide into m ($m) equal subspaces")
     require(kCodes >= 1 && iters >= 0 && trainCap >= kCodes,
       s"need kCodes >= 1, iters >= 0, trainCap >= kCodes")
     val subLen = dim / m
-    // malformed rows (null / wrong-arity vectors) are gated, not poison
-    val p = prepared(emb)
-      .filter(col("qv").isNotNull && size(col("qv")) === dim)
-    // one row per (vector, subspace): the sliced sub-vector + its norm
-    def subSlices(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), posexplode(array((0 until m).map(s =>
-          slice(col("qv"), s * subLen + 1, subLen)): _*)))
-        .select(col("vec_id"), col("pos").cast("long").as("sub_id"),
-          col("col").as("sv"))
-        .withColumn("sn", dotQ(col("sv"), col("sv")))
-    def mdCapped(df: DataFrame, cap: Int): DataFrame =
-      df.withColumn("mk", md5(col("vec_id").cast("string")))
-        .orderBy(col("mk"), col("vec_id")).limit(cap).drop("mk")
-    val subs = subSlices(p)
-    val tr = subSlices(mdCapped(p, trainCap))
-    val seeds = subSlices(mdCapped(p, kCodes))
+    val tr = pqSubSlices(pqMdCapped(p, trainCap), m, subLen)
+    val seeds = pqSubSlices(pqMdCapped(p, kCodes), m, subLen)
       .select(col("sub_id"), col("vec_id").as("code"),
         col("sv").as("cv"), col("sn").as("cn"))
-    // per-subspace argmin code by exact integer distance, (dist, code)
-    // total order — min over the struct is the same lexicographic order
-    // DuckDB's ROW_NUMBER (dist, code) replays
-    def assign(data: DataFrame, codebook: DataFrame): DataFrame =
-      data.join(codebook, Seq("sub_id"))
-        .withColumn("dist",
-          col("sn") + col("cn") - lit(2L) * dotQ(col("sv"), col("cv")))
-        .groupBy(col("vec_id"), col("sub_id"))
-        .agg(min(struct(col("dist"), col("code"))).as("mm"),
-          first(col("sv")).as("sv"))
-        .select(col("vec_id"), col("sub_id"), col("mm.code").as("code"),
-          col("mm.dist").as("err"), col("sv"))
     var cb = broadcast(seeds)
     for (_ <- 1 to iters) {
-      val means = assign(tr, cb)
+      val means = pqAssign(tr, cb)
         .select(col("sub_id"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub_id"), col("code"), col("pos"))
         .agg(avg(col("col")).as("mval"))
@@ -658,18 +693,108 @@ object Similarity {
           x => round(x.getField("mval")).cast("long")).as("cv"))
       cb = broadcast(means.withColumn("cn", dotQ(col("cv"), col("cv"))))
     }
-    // structural zeros without a join: every surviving code contributes
-    // one (0, 0) row, so unused codes still report — and the broadcast
-    // hint on the codebook never meets an outer join it can't serve
-    assign(subs, cb)
-      .select(col("sub_id"), col("code"),
-        lit(1L).as("one"), col("err"))
-      .unionByName(cb.select(col("sub_id"), col("code"),
-        lit(0L).as("one"), lit(0L).as("err")))
-      .groupBy(col("sub_id"), col("code"))
-      .agg(sum(col("one")).as("n_vectors"),
-        sum(col("err")).as("total_sq_err"))
-      .orderBy(col("sub_id"), col("code"))
+    cb
+  }
+
+  /** IVF-PQ ANN serving (round 11) — the FAISS-architecture composite
+    * and the index every production vector store actually deploys: the
+    * IVF coarse quantizer ([[trainCentroids]], trained Lloyd's) prunes
+    * the corpus to `nprobe` inverted lists per query, and candidates
+    * rank by ASYMMETRIC DISTANCE (ADC): the full-precision query
+    * against each candidate's m-byte PQ code ([[pqTrain]] codebooks) —
+    * the memory layout that keeps a corpus-scale index RAM-resident
+    * (codes relation = m small ints per vector, never the vectors).
+    * Codes here quantize RAW vectors, not per-list residuals — the
+    * documented no-residual IVFPQ variant; residual coding drops into
+    * the same shape with one extra centroid subtraction.
+    *
+    * The classic serve trick is kept intact and RELATIONAL: the
+    * per-query DISTANCE TABLE (query sub-vector × every codebook entry,
+    * nQueries·m·kCodes rows — bounded, broadcast) is joined to the
+    * candidates' codes, so each (query, candidate) costs m integer
+    * lookups + a sum, never a d-dim dot. ADC sums are exact BIGINTs
+    * ((dist, n_id) total order — deterministic), and serving follows
+    * the standard two-stage recipe: ADC ranks the candidate mass
+    * cheaply into a `rerank`-row shortlist, the shortlist reranks with
+    * TRUE cosine (nQueries·rerank rows — bounded, so the rank window
+    * never sees the corpus), and the final top-k is by exact score
+    * with the winning ADC kept as the audit column.
+    *
+    * Scale shape: nothing corpus-sized broadcasts — the corpus-side
+    * relations (assignment, codes) shuffle on their keys; probes and
+    * the distance table broadcast; the per-(q, n) ADC aggregation is
+    * map-side-combinable with partial top-k before the final exchange.
+    *
+    * Output: (q_id, rank, n_id, adc, cos), ordered. */
+  def ivfpqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
+                dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
+                trainIters: Int = 2, m: Int = PqSubspaces,
+                kCodes: Int = IvfPqCodes, pqIters: Int = PqIters,
+                trainCap: Int = PqTrainCap,
+                rerank: Int = IvfPqRerank): DataFrame = {
+    require(rerank >= k, s"rerank shortlist ($rerank) must cover k ($k)")
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val cent = broadcast(trainCentroids(p, nlist, trainIters))
+    val assigned = p.join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
+        .as("cent_id"))
+    val probes = p.filter(col("vec_id") < nQueries).join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val cb = pqTrain(p, dim, m, kCodes, pqIters, trainCap)
+    val codes = pqAssign(pqSubSlices(p, m, dim / m), cb)
+      .select(col("vec_id").as("n_id"), col("sub_id"), col("code"))
+    // ADC distance table: query sub-vectors × the whole codebook
+    val dt = broadcast(
+      pqSubSlices(p.filter(col("vec_id") < nQueries), m, dim / m)
+        .join(cb, Seq("sub_id"))
+        .select(col("vec_id").as("q_id"), col("sub_id"), col("code"),
+          (col("sn") + col("cn") - lit(2L) * dotQ(col("sv"), col("cv")))
+            .as("sd")))
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val adc = cand.join(codes, Seq("n_id"))
+      .join(dt, Seq("q_id", "sub_id", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("sd")).as("adc"))
+    // ADC SHORTLIST (partial top-R on -adc — exact in the double lane,
+    // |adc| < 2^53) …
+    val short = adc
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(rerank)(
+        -col("adc").cast("double"), col("n_id")).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e._2").as("n_id"),
+        (-col("e._1")).cast("long").as("adc"))
+    // … then EXACT rerank of just the shortlist (nQueries·rerank rows —
+    // the window is over a bounded relation, never the corpus)
+    val queries = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val corpus = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"))
+    val rer = short
+      .join(broadcast(queries), Seq("q_id")).join(corpus, Seq("n_id"))
+      .withColumn("cos",
+        cosine(dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
+      .filter(!isnan(col("cos")))
+    rer.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** NEAREST-CENTROID classification + confusion matrix (round 11) —

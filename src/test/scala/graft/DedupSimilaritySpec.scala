@@ -930,6 +930,36 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfpqTopK: shortlist-rerank recovers most of the probe ceiling, " +
+    "output is exact-cosine ranked, deterministic under partitioning") {
+    val out = Similarity.ivfpqTopK(emb).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 10, s"query $q: ${rows.length} rows")
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"query $q not cosine-ranked")
+    }
+    def recallOf(res: Array[org.apache.spark.sql.Row]): Double = {
+      val truth = Similarity.bruteForceTopK(emb).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+      val mine = res.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+      truth.map { case (q, t) =>
+        (t & mine.getOrElse(q, Set.empty)).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    val pqRecall = recallOf(out)
+    val ivfRecall = recallOf(Similarity.ivfTopK(emb).collect())
+    // the compressed-code path must stay close to the exact-rerank IVF
+    // on the same probes — a broken codebook/ADC collapses this gap
+    assert(pqRecall >= ivfRecall - 0.15,
+      s"IVF-PQ recall $pqRecall fell far below the IVF ceiling $ivfRecall")
+    assert(out.toSeq ==
+      Similarity.ivfpqTopK(emb.repartition(7)).collect().toSeq)
+  }
+
   test("centroidClassify: separable fixture classifies perfectly, " +
     "corpus matrix covers every vector and is repartition-invariant") {
     import spark.implicits._
