@@ -662,6 +662,16 @@ object SparkEntry {
     "event_markov" -> ((s, d) =>
       Relational.markovTransitions(Tables.events(s, d))),
 
+    // DAU/MAU stickiness (round 11): exact distinct actives, shuffle
+    // O(actives) never O(events), two fixed-order divisions.
+    "event_dau_mau" -> ((s, d) =>
+      Relational.dauMau(Tables.events(s, d))),
+
+    // TF-IDF keywords (round 11): bit-length idf surrogate (stopwords
+    // self-suppress at df=N), per-doc top-3, vocab-keyed df join.
+    "text_tfidf_keywords" -> ((s, d) =>
+      Corpus.tfidfKeywords(Tables.documents(s, d))),
+
     // Quarantine decode: bad wire rows are FLAGGED, not silently dropped
     // (upgrading the reference's drop-and-continue, SURVEY.md §4.4.3).
     "row_quarantine" -> ((s, d) => {
@@ -1825,6 +1835,36 @@ object SparkEntry {
         "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1_cents AS DOUBLE) * CAST(s1_cents AS DOUBLE) / n1) / (n1 - 1)) / n1 + " +
         "((CAST(q0 AS DOUBLE) - CAST(s0_cents AS DOUBLE) * CAST(s0_cents AS DOUBLE) / n0) / (n0 - 1)) / n0) AS t_stat " +
         "FROM a ORDER BY event_type"),
+
+    // exact distinct actives on UTC truncations; divisions mirrored
+    "event_dau_mau" ->
+      ("WITH k AS (SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month, " +
+        "date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events), " +
+        "d AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(dau) AS BIGINT) AS sum_dau FROM (" +
+        "SELECT month, day, COUNT(*) AS dau FROM (SELECT DISTINCT month, day, user_id FROM k) " +
+        "GROUP BY 1, 2) GROUP BY 1), " +
+        "m AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS mau FROM (" +
+        "SELECT DISTINCT month, user_id FROM k) GROUP BY 1) " +
+        "SELECT m.month, m.mau, d.n_days, d.sum_dau, " +
+        "CAST(d.sum_dau AS DOUBLE) / d.n_days AS avg_dau, " +
+        "CAST(d.sum_dau AS DOUBLE) / d.n_days / m.mau AS stickiness " +
+        "FROM m JOIN d USING (month) ORDER BY m.month"),
+
+    // bit-length idf surrogate: bitlen(N div df) - 1, zero at df = N
+    "text_tfidf_keywords" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +
+        "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, " +
+        "tf.tf * (length(bin(n_docs // df.df)) - 1) AS score " +
+        "FROM tf JOIN df USING (tok), nn), " +
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, tok) AS rank FROM sc WHERE score > 0) " +
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS token, tf, df, " +
+        "CAST(score AS BIGINT) AS score FROM rk WHERE rank <= 3 " +
+        "ORDER BY doc_id, rank"),
 
     // lag pairs over the µs-truncated ts, (ts, event_id) total order
     "event_markov" ->

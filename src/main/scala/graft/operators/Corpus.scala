@@ -435,6 +435,44 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF keyword extraction (round 11) — the retrieval-era "what is
+    * this document about" primitive (and the feature behind
+    * `search_rank`'s scoring, surfaced per document): top-3 tokens per
+    * doc by tf·idf. The transcendental log idf is replaced by the
+    * engine's integer BIT-LENGTH surrogate (the `text_lm_perplexity`
+    * doctrine): idf⁺ = bitlen(N div df) − 1 — zero for a token in
+    * every document (stopwords self-suppress), growing one unit per
+    * rarity doubling, exact BIGINT in any engine. score = tf · idf⁺,
+    * ties by token asc; zero-scoring tokens never surface.
+    *
+    * Scale: one corpus-sized (doc, tok) aggregation, a vocab-sized df
+    * table joined back on the token key (map-side-combinable both
+    * sides), and a per-doc rank window whose partition is one
+    * document's vocabulary — never a global sort.
+    *
+    * Output: (doc_id, rank, token, tf, df, score), rank ≤ 3,
+    * ordered. */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (length(bin(expr("n_docs div df"))).cast("long") - 1))
+      .filter(col("score") > 0)
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("tok").as("token"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** TOKEN-LEVEL benchmark decontamination — the standard 13-gram pass
     * run alongside [[contaminationCheck]]'s whole-doc Jaccard: report
     * every (test, train) pair sharing at least one verbatim k-token

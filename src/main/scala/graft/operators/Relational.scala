@@ -1020,6 +1020,39 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** DAU/MAU engagement report (round 11) — the product-analytics
+    * headline metric: per month, monthly actives, the daily-active
+    * profile, and stickiness (avg DAU / MAU — the DAU/MAU ratio every
+    * growth dashboard leads with). Exact distinct counts (per-day and
+    * per-month user sets — two map-side-combinable aggregations over
+    * (day, user) / (month, user) distincts, shuffle O(actives), never
+    * O(events)); the two divisions are the only doubles, fixed operand
+    * order. Months are UTC calendar truncations — identical in both
+    * engines under the session timezone contract.
+    *
+    * Output: (month, mau, n_days, sum_dau, avg_dau, stickiness),
+    * ordered. */
+  def dauMau(events: DataFrame): DataFrame = {
+    val keyed = events.select(
+      date_trunc("month", col("ts")).as("month"),
+      date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val dau = keyed.select(col("month"), col("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("month"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val mau = keyed.select(col("month"), col("user_id")).distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+    mau.join(dau, Seq("month"))
+      .withColumn("avg_dau",
+        col("sum_dau").cast("double") / col("n_days"))
+      .withColumn("stickiness", col("avg_dau") / col("mau"))
+      .select(col("month"), col("mau"), col("n_days"), col("sum_dau"),
+        col("avg_dau"), col("stickiness"))
+      .orderBy(col("month"))
+  }
+
   /** First-order MARKOV transition matrix (round 11) — the journey-
     * analysis primitive behind "what do users do next": per user, order
     * events by (ts, event_id) and count each (prev_type → next_type)

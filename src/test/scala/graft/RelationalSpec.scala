@@ -767,6 +767,51 @@ class RelationalSpec extends SparkSpec {
       s"expanded relation is being sorted again:\n$planStr")
   }
 
+  test("dauMau: hand-computed two-day month, stickiness = avg_dau/mau, " +
+    "corpus actives bounded by user universe") {
+    import java.sql.Timestamp
+    def t(d: Int, u: Long) = (u, Timestamp.valueOf(f"2024-02-$d%02d 10:00:00"))
+    // day 1: users {1,2}; day 2: users {2}; month: mau=2, avg_dau=1.5
+    val fix = Seq(t(1, 1L), t(1, 2L), t(1, 2L), t(2, 2L))
+      .toDF("user_id", "ts")
+    val r = Relational.dauMau(fix).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3)) ==
+      ((2L, 2L, 3L)))
+    assert(r.head.getDouble(4) == 1.5 && r.head.getDouble(5) == 0.75)
+    val ev = Tables.events(spark, sf0)
+    val out = Relational.dauMau(ev).collect()
+    val users = ev.select("user_id").distinct().count()
+    out.foreach { row =>
+      assert(row.getLong(1) <= users)
+      assert(row.getDouble(5) > 0 && row.getDouble(5) <= 1.0,
+        "stickiness must be a ratio in (0, 1]")
+    }
+  }
+
+  test("tfidfKeywords: stopwords self-suppress at df = N, rare tokens " +
+    "outrank frequent-but-common ones, rank caps at 3") {
+    // "the" in every doc → idf+ 0, never surfaces; "rare" in 1 of 4
+    // docs → idf+ bitlen(4)-1 = 2; "mid" in 2 of 4 → idf+ 1
+    val fix = Seq(
+      (1L, "the the the rare mid"), (2L, "the mid"),
+      (3L, "the the"), (4L, "the"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Corpus.tfidfKeywords(fix).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> (r.getLong(1), r.getLong(5)))
+      .toMap
+    assert(!out.keys.exists(_._2 == "the"), "df=N token must score 0")
+    // doc 1: rare tf=1 score 2 beats mid tf=1 score 1
+    assert(out((1L, "rare")) == ((1L, 2L)) && out((1L, "mid")) == ((2L, 1L)))
+    assert(out((2L, "mid")) == ((1L, 1L)))
+    val corpus = graft.operators.Corpus
+      .tfidfKeywords(Tables.documents(spark, sf0)).collect()
+    corpus.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.forall(_.getLong(5) > 0))
+    }
+  }
+
   test("markovTransitions: hand-counted journey, conditionals sum to 1 " +
     "per prev state, pair count reconciles to events minus users") {
     import java.sql.Timestamp
