@@ -1416,9 +1416,23 @@ object SparkEntry {
 
     // IVF-PQ serving (round 11): the FAISS-architecture composite —
     // coarse lists prune, m-byte PQ codes rank by exact-integer ADC
-    // via the broadcast per-query distance table, true-cosine audit.
-    "sim_ann_ivfpq" -> ((s, d) =>
-      Similarity.ivfpqTopK(Tables.embeddings(s, d))),
+    // (broadcast per-query distance table), ADC shortlist → exact
+    // rerank. Reads the SAME persisted quantizer as sim_ann_ivf_served
+    // (identical training contract): one trained artifact serves both
+    // ANN families, so the bench times PQ encode + serve, not a
+    // re-train.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val dir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivf_centroids_")
+        Similarity.saveCentroids(
+          Similarity.trainCentroids(
+            Similarity.prepared(Tables.embeddings(s, d)), nlist = 16, iters = 2),
+          tmp)
+        tmp
+      })
+      Similarity.ivfpqTopKWith(Tables.embeddings(s, d),
+        Similarity.loadCentroids(s, dir))
+    }),
 
     "embed_meanpool" -> ((s, d) => {
       val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))

@@ -731,11 +731,32 @@ object Similarity {
                 trainIters: Int = 2, m: Int = PqSubspaces,
                 kCodes: Int = IvfPqCodes, pqIters: Int = PqIters,
                 trainCap: Int = PqTrainCap,
-                rerank: Int = IvfPqRerank): DataFrame = {
+                rerank: Int = IvfPqRerank): DataFrame =
+    ivfpqTopKWith(emb,
+      trainCentroids(prepared(emb), nlist, trainIters),
+      nQueries, k, dim, nprobe, m, kCodes, pqIters, trainCap, rerank)
+
+  /** [[ivfpqTopK]] over a PRE-TRAINED coarse quantizer — the serve
+    * form: the SAME persisted quantizer that serves `sim_ann_ivf_served`
+    * (identical training contract) drops in here, so one trained
+    * artifact serves both the exact-rerank IVF family and the
+    * compressed-code IVFPQ family — the deployment shape, and the
+    * engine's shared-computation doctrine applied across ANN
+    * families. */
+  def ivfpqTopKWith(emb: DataFrame, centroids: DataFrame,
+                    nQueries: Int = 10, k: Int = 10,
+                    dim: Int = 64, nprobe: Int = 4,
+                    m: Int = PqSubspaces, kCodes: Int = IvfPqCodes,
+                    pqIters: Int = PqIters, trainCap: Int = PqTrainCap,
+                    rerank: Int = IvfPqRerank): DataFrame = {
     require(rerank >= k, s"rerank shortlist ($rerank) must cover k ($k)")
+    val need = Seq("cent_id", "c_qv", "c_nrm")
+    require(need.forall(centroids.columns.contains),
+      s"quantizer must carry ${need.mkString(", ")} — got " +
+        centroids.columns.mkString(", "))
     val p = prepared(emb)
       .filter(col("qv").isNotNull && size(col("qv")) === dim)
-    val cent = broadcast(trainCentroids(p, nlist, trainIters))
+    val cent = broadcast(centroids.select(need.map(col): _*))
     val assigned = p.join(cent)
       .withColumn("c_cos",
         cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
