@@ -36,6 +36,11 @@ object SparkEntry {
   private val zorderLayoutDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Session-scoped persisted PQ-codebook locations for sim_ann_ivfpq —
+    * trained once beside the coarse quantizer, served from disk. */
+  private val ivfPqCodebookDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** JVM-exit cleanup for the per-process serve artifacts above (the
     * quantizer save and the z-ordered layout + index): they live in
     * fresh `Files.createTempDirectory` paths, so without this hook
@@ -1422,7 +1427,7 @@ object SparkEntry {
     // ANN families, so the bench times PQ encode + serve, not a
     // re-train.
     "sim_ann_ivfpq" -> ((s, d) => {
-      val dir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
+      val qdir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
         val tmp = scratchDir("graft_ivf_centroids_")
         Similarity.saveCentroids(
           Similarity.trainCentroids(
@@ -1430,8 +1435,15 @@ object SparkEntry {
           tmp)
         tmp
       })
+      val cdir = ivfPqCodebookDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivfpq_codebook_")
+        Similarity.saveCodebook(
+          Similarity.trainPqCodebook(Tables.embeddings(s, d)), tmp)
+        tmp
+      })
       Similarity.ivfpqTopKWith(Tables.embeddings(s, d),
-        Similarity.loadCentroids(s, dir))
+        Similarity.loadCentroids(s, qdir),
+        codebook0 = Some(s.read.parquet(cdir)))
     }),
 
     "embed_meanpool" -> ((s, d) => {

@@ -736,19 +736,38 @@ object Similarity {
       trainCentroids(prepared(emb), nlist, trainIters),
       nQueries, k, dim, nprobe, m, kCodes, pqIters, trainCap, rerank)
 
+  /** Persist a trained PQ codebook ([[pqTrain]] shape — (sub_id, code,
+    * cv, cn)) as a tiny parquet, mirroring [[saveCentroids]]: a real
+    * IVFPQ deployment trains its codebooks ONCE beside the coarse
+    * quantizer and serves both from disk. */
+  def saveCodebook(cb: DataFrame, path: String): Unit =
+    cb.select(col("sub_id"), col("code"), col("cv"), col("cn"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Train the default-geometry IVFPQ codebook for [[saveCodebook]]. */
+  def trainPqCodebook(emb: DataFrame, dim: Int = 64, m: Int = PqSubspaces,
+                      kCodes: Int = IvfPqCodes, pqIters: Int = PqIters,
+                      trainCap: Int = PqTrainCap): DataFrame =
+    pqTrain(prepared(emb)
+        .filter(col("qv").isNotNull && size(col("qv")) === dim),
+      dim, m, kCodes, pqIters, trainCap)
+
   /** [[ivfpqTopK]] over a PRE-TRAINED coarse quantizer — the serve
     * form: the SAME persisted quantizer that serves `sim_ann_ivf_served`
     * (identical training contract) drops in here, so one trained
     * artifact serves both the exact-rerank IVF family and the
     * compressed-code IVFPQ family — the deployment shape, and the
     * engine's shared-computation doctrine applied across ANN
-    * families. */
+    * families. Pass `codebook0` (a loaded [[saveCodebook]] table) to
+    * also skip PQ training — the fully-served form where the plan
+    * contains NO training jobs at all. */
   def ivfpqTopKWith(emb: DataFrame, centroids: DataFrame,
                     nQueries: Int = 10, k: Int = 10,
                     dim: Int = 64, nprobe: Int = 4,
                     m: Int = PqSubspaces, kCodes: Int = IvfPqCodes,
                     pqIters: Int = PqIters, trainCap: Int = PqTrainCap,
-                    rerank: Int = IvfPqRerank): DataFrame = {
+                    rerank: Int = IvfPqRerank,
+                    codebook0: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, s"rerank shortlist ($rerank) must cover k ($k)")
     val need = Seq("cent_id", "c_qv", "c_nrm")
     require(need.forall(centroids.columns.contains),
@@ -771,7 +790,15 @@ object Similarity {
           .orderBy(col("c_cos").desc, col("cent_id"))))
       .filter(col("pr") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cent_id"))
-    val cb = pqTrain(p, dim, m, kCodes, pqIters, trainCap)
+    val cb = codebook0 match {
+      case Some(loaded) =>
+        val needCb = Seq("sub_id", "code", "cv", "cn")
+        require(needCb.forall(loaded.columns.contains),
+          s"codebook must carry ${needCb.mkString(", ")} — got " +
+            loaded.columns.mkString(", "))
+        broadcast(loaded.select(needCb.map(col): _*))
+      case None => pqTrain(p, dim, m, kCodes, pqIters, trainCap)
+    }
     val codes = pqAssign(pqSubSlices(p, m, dim / m), cb)
       .select(col("vec_id").as("n_id"), col("sub_id"), col("code"))
     // ADC distance table: query sub-vectors × the whole codebook
