@@ -655,16 +655,24 @@ object Similarity {
 
   /** Per-subspace argmin code by exact integer distance, (dist, code)
     * total order — min over the struct is the same lexicographic order
-    * DuckDB's ROW_NUMBER (dist, code) replays. */
-  private def pqAssign(data: DataFrame, codebook: DataFrame): DataFrame =
-    data.join(codebook, Seq("sub_id"))
+    * DuckDB's ROW_NUMBER (dist, code) replays. `carryVec` threads the
+    * sub-vector through for the M-step; the encode paths leave it off —
+    * hauling the array through the aggregation buffers is the dominant
+    * cost of a corpus-sized encode (measured on the ×10 stress). */
+  private def pqAssign(data: DataFrame, codebook: DataFrame,
+                       carryVec: Boolean = false): DataFrame = {
+    val scored = data.join(codebook, Seq("sub_id"))
       .withColumn("dist",
         col("sn") + col("cn") - lit(2L) * dotQ(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("sub_id"))
-      .agg(min(struct(col("dist"), col("code"))).as("mm"),
-        first(col("sv")).as("sv"))
-      .select(col("vec_id"), col("sub_id"), col("mm.code").as("code"),
-        col("mm.dist").as("err"), col("sv"))
+    val aggs = min(struct(col("dist"), col("code"))).as("mm") +:
+      (if (carryVec) Seq(first(col("sv")).as("sv")) else Nil)
+    val out = scored.groupBy(col("vec_id"), col("sub_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val cols = Seq(col("vec_id"), col("sub_id"),
+      col("mm.code").as("code"), col("mm.dist").as("err")) ++
+      (if (carryVec) Seq(col("sv")) else Nil)
+    out.select(cols: _*)
+  }
 
   /** Train the per-subspace PQ codebooks (Lloyd's on integer L2 over
     * the md5-capped sample) and return the broadcast codebook frame
@@ -683,7 +691,7 @@ object Similarity {
         col("sv").as("cv"), col("sn").as("cn"))
     var cb = broadcast(seeds)
     for (_ <- 1 to iters) {
-      val means = pqAssign(tr, cb)
+      val means = pqAssign(tr, cb, carryVec = true)
         .select(col("sub_id"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub_id"), col("code"), col("pos"))
         .agg(avg(col("col")).as("mval"))

@@ -368,4 +368,38 @@ class StressSpec extends SparkSpec {
     info(f"100x PassJoin (${copies}x sf0.01 dictionary, " +
       f"${big.length} matches): $wall%.1f s with maxBucket=8192")
   }
+
+  test("10x corpus: IVF-PQ served answers are bit-identical to " +
+    "in-session training, and serving deletes the training wall") {
+    gated()
+    import graft.operators.Similarity
+    val emb = emb10
+    // train + persist once (what a deployment schedules)
+    val t0 = System.nanoTime()
+    val qdir = java.nio.file.Files
+      .createTempDirectory("stress_ivfpq_q_").toString
+    val cdir = java.nio.file.Files
+      .createTempDirectory("stress_ivfpq_c_").toString
+    Similarity.saveCentroids(
+      Similarity.trainCentroids(Similarity.prepared(emb),
+        nlist = 16, iters = 2), qdir)
+    Similarity.saveCodebook(Similarity.trainPqCodebook(emb), cdir)
+    val buildS = (System.nanoTime() - t0) / 1e9
+    // served query: no training jobs in the plan
+    val t1 = System.nanoTime()
+    val served = Similarity.ivfpqTopKWith(emb,
+      Similarity.loadCentroids(spark, qdir),
+      codebook0 = Some(spark.read.parquet(cdir))).collect()
+    val serveS = (System.nanoTime() - t1) / 1e9
+    // train-included query on the same corpus
+    val t2 = System.nanoTime()
+    val trained = Similarity.ivfpqTopK(emb).collect()
+    val trainS = (System.nanoTime() - t2) / 1e9
+    // deterministic training ⇒ the served index answers BIT-identically
+    assert(served.toSeq == trained.toSeq,
+      "served IVFPQ diverged from in-session training")
+    assert(served.groupBy(_.getLong(0)).forall(_._2.length == 10))
+    info(f"10x IVFPQ (${emb.count()} vectors): build-once $buildS%.1f s, " +
+      f"serve $serveS%.1f s vs train-included $trainS%.1f s")
+  }
 }
