@@ -672,6 +672,11 @@ object SparkEntry {
     "event_dau_mau" -> ((s, d) =>
       Relational.dauMau(Tables.events(s, d))),
 
+    // Activity heatmap (round 11): ISO dow × hour cells (the portable
+    // weekday()+1 ≡ isodow pair), exact events + distinct actives.
+    "event_heatmap" -> ((s, d) =>
+      Relational.activityHeatmap(Tables.events(s, d))),
+
     // TF-IDF keywords (round 11): bit-length idf surrogate (stopwords
     // self-suppress at df=N), per-doc top-3, vocab-keyed df join.
     "text_tfidf_keywords" -> ((s, d) =>
@@ -1861,6 +1866,16 @@ object SparkEntry {
         "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1_cents AS DOUBLE) * CAST(s1_cents AS DOUBLE) / n1) / (n1 - 1)) / n1 + " +
         "((CAST(q0 AS DOUBLE) - CAST(s0_cents AS DOUBLE) * CAST(s0_cents AS DOUBLE) / n0) / (n0 - 1)) / n0) AS t_stat " +
         "FROM a ORDER BY event_type"),
+
+    // isodow mirrors Spark's weekday()+1; hours UTC
+    "event_heatmap" ->
+      ("WITH k AS (SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow_iso, " +
+        "CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour, user_id FROM events), " +
+        "c AS (SELECT dow_iso, hour, COUNT(*) AS n_events FROM k GROUP BY 1, 2), " +
+        "u AS (SELECT dow_iso, hour, CAST(COUNT(*) AS BIGINT) AS n_users FROM (" +
+        "SELECT DISTINCT dow_iso, hour, user_id FROM k) GROUP BY 1, 2) " +
+        "SELECT c.dow_iso, c.hour, c.n_events, u.n_users " +
+        "FROM c JOIN u USING (dow_iso, hour) ORDER BY 1, 2"),
 
     // exact distinct actives on UTC truncations; divisions mirrored
     "event_dau_mau" ->

@@ -1020,6 +1020,31 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** Day-of-week × hour activity HEATMAP (round 11) — the other
+    * product-analytics staple beside [[dauMau]]: when is the audience
+    * actually here. ≤ 7·24 cells at any corpus size from one
+    * map-side-combinable aggregation; distinct actives per cell via a
+    * (cell, user) pre-distinct (shuffle O(actives·cells-touched),
+    * never O(events)). Day-of-week is pinned to ISO (1 = Monday)
+    * because the engines disagree on the default convention (Spark
+    * `dayofweek` is 1 = Sunday, DuckDB `dayofweek` 0 = Sunday;
+    * Spark `weekday`+1 ≡ DuckDB `isodow` — the portable pair), hours
+    * are UTC truncations under the session contract.
+    *
+    * Output: (dow_iso, hour, n_events, n_users), ordered. */
+  def activityHeatmap(events: DataFrame): DataFrame = {
+    val keyed = events.select(
+      (weekday(col("ts")) + 1).cast("long").as("dow_iso"),
+      hour(col("ts")).cast("long").as("hour"), col("user_id"))
+    val cells = keyed.groupBy(col("dow_iso"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val users = keyed.distinct()
+      .groupBy(col("dow_iso"), col("hour"))
+      .agg(count(lit(1)).as("n_users"))
+    cells.join(users, Seq("dow_iso", "hour"))
+      .orderBy(col("dow_iso"), col("hour"))
+  }
+
   /** DAU/MAU engagement report (round 11) — the product-analytics
     * headline metric: per month, monthly actives, the daily-active
     * profile, and stickiness (avg DAU / MAU — the DAU/MAU ratio every

@@ -767,6 +767,29 @@ class RelationalSpec extends SparkSpec {
       s"expanded relation is being sorted again:\n$planStr")
   }
 
+  test("activityHeatmap: ISO day-of-week convention pinned (Monday=1), " +
+    "cells reconcile to the event count, users deduped per cell") {
+    import java.sql.Timestamp
+    // 2024-01-01 is a MONDAY; 2024-01-06 a Saturday
+    val fix = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:15:00")),
+      (1L, Timestamp.valueOf("2024-01-01 09:45:00")), // same user+cell
+      (2L, Timestamp.valueOf("2024-01-01 09:59:00")),
+      (3L, Timestamp.valueOf("2024-01-06 23:00:00")))
+      .toDF("user_id", "ts")
+    val out = Relational.activityHeatmap(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map((1L, 9L) -> ((3L, 2L)), (6L, 23L) -> ((1L, 1L))),
+      s"got $out")
+    val ev = Tables.events(spark, sf0)
+    val grid = Relational.activityHeatmap(ev).collect()
+    assert(grid.map(_.getLong(2)).sum == ev.count())
+    assert(grid.forall(r => (1L to 7L).contains(r.getLong(0)) &&
+      (0L to 23L).contains(r.getLong(1)) &&
+      r.getLong(3) <= r.getLong(2)))
+  }
+
   test("dauMau: hand-computed two-day month, stickiness = avg_dau/mau, " +
     "corpus actives bounded by user universe") {
     import java.sql.Timestamp
