@@ -1522,6 +1522,13 @@ object SparkEntry {
       Multimodal.decodeGifFramesPartitions(s,
         Multimodal.ingestGif(Tables.documents(s, d)))),
 
+    // Scene-cut detection (round 11): per-consecutive-frame SAD over
+    // the real GIF decode, integer threshold compare — the
+    // shot-boundary pass a video curation pipeline samples around.
+    "multimodal_scenecut" -> ((s, d) =>
+      Multimodal.gifSceneCuts(s,
+        Multimodal.ingestGif(Tables.documents(s, d)))),
+
     // Lossy-codec leg under the hash oracle (round 9): real ImageIO JPEG
     // encode + decode, reduced to oracle-replayable exacts (dims, pixel
     // count, byte count) plus an integer error-band verdict the oracle
@@ -3504,6 +3511,22 @@ object SparkEntry {
         "FROM (SELECT doc_id, (n_chars % 4) + 2 AS n_frames, " +
         "(n_chars % 8) + 4 AS width, (n_chars % 6) + 4 AS height FROM documents))) " +
         "ORDER BY doc_id, frame_idx"),
+
+    // SAD over the analytic frame pixels; integer threshold compare
+    "multimodal_scenecut" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 4) + 2 AS n_frames, " +
+        "(n_chars % 8) + 4 AS width, (n_chars % 6) + 4 AS height FROM documents), " +
+        "f AS (SELECT doc_id, unnest(range(0, n_frames)) AS fi, " +
+        "width * height AS n_pixels FROM dims), " +
+        "p AS (SELECT doc_id, fi, n_pixels, " +
+        "list_transform(range(0, CAST(n_pixels AS INT)), i -> " +
+        "(doc_id*31 + fi*97 + i*7) % 256) AS px FROM f), " +
+        "d AS (SELECT a.doc_id, a.fi AS frame_from, b.fi AS frame_to, a.n_pixels, " +
+        "CAST(list_sum(list_transform(range(0, CAST(a.n_pixels AS INT)), i -> " +
+        "abs(a.px[i+1] - b.px[i+1]))) AS BIGINT) AS sad " +
+        "FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.fi = a.fi + 1) " +
+        "SELECT doc_id, frame_from, frame_to, CAST(n_pixels AS BIGINT) AS n_pixels, " +
+        "sad, sad >= 64 * n_pixels AS is_cut FROM d ORDER BY doc_id, frame_from"),
 
     // Lossy JPEG leg: dims/pixel/byte counts replay analytically; the
     // error-band verdict is asserted as literal TRUE — DuckDB cannot

@@ -213,6 +213,70 @@ object Multimodal {
     }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** GIF SCENE-CUT detection (round 11) — the video-curation primitive
+    * over the animated-GIF leg: per consecutive frame pair, the sum of
+    * absolute pixel differences (SAD — the classic shot-boundary
+    * signal), flagged as a cut when the MEAN difference clears
+    * `threshold` gray levels (integer compare: sad ≥ threshold·pixels —
+    * no division). A training pipeline samples around cuts instead of
+    * uniformly; this is the pass that finds them. Same
+    * one-decoder-per-partition ImageIO harness as
+    * [[decodeGifFramesPartitions]] (real LZW + palette decode — a
+    * codec that drops or reorders frames fails the compare); SAD is
+    * exact integer arithmetic over the decoded rasters, replayed
+    * analytically by the oracle.
+    *
+    * Output: (doc_id, frame_from, frame_to, n_pixels, sad, is_cut),
+    * ordered. */
+  def gifSceneCuts(spark: SparkSession, ingested: DataFrame,
+                   threshold: Long = 64L): DataFrame = {
+    require(threshold >= 0, s"threshold must be nonnegative: $threshold")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("frame_from", LongType),
+      StructField("frame_to", LongType), StructField("n_pixels", LongType),
+      StructField("sad", LongType), StructField("is_cut", BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "no reader for media payload")
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val nf = reader.getNumImages(true)
+            val grays = (0 until nf).map { fi =>
+              val img = reader.read(fi)
+              val w = img.getWidth; val h = img.getHeight
+              val a = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  a(y * w + x) = (img.getRGB(x, y) >> 16) & 0xff; x += 1
+                }
+                y += 1
+              }
+              a
+            }
+            val docId = r.getAs[Long]("doc_id")
+            (0 until nf - 1).map { fi =>
+              val (a, b) = (grays(fi), grays(fi + 1))
+              var sad = 0L; var i = 0
+              while (i < a.length) { sad += math.abs(a(i) - b(i)); i += 1 }
+              Row(docId, fi.toLong, (fi + 1).toLong, a.length.toLong, sad,
+                sad >= threshold * a.length)
+            }
+          } finally reader.dispose()
+        }
+      }(enc).toDF().orderBy(col("doc_id"), col("frame_from"))
+  }
+
   /** Windowed PCM ENERGY profile (round 11) — the first real audio
     * FEATURE over the WAV leg (decode stats prove the codec;
     * energy/peak windows are what an audio curation pipeline actually

@@ -386,6 +386,37 @@ class MultimodalSpec extends SparkSpec {
     assert(reparted.toSeq == out.toSeq)
   }
 
+  test("gifSceneCuts: SAD from the real LZW decode matches the " +
+    "analytic frame arithmetic; a still pair is no cut, a hard " +
+    "pattern change is") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.gifSceneCuts(spark, Multimodal.ingestGif(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getLong(0); val f = r.getLong(1)
+      val n = r.getLong(3)
+      val sad = (0L until n).map(i =>
+        math.abs(Multimodal.gifPixelValue(d, f, i) -
+          Multimodal.gifPixelValue(d, f + 1, i)).toLong).sum
+      assert(r.getLong(4) == sad, s"doc $d pair $f SAD mismatch")
+      assert(r.getBoolean(5) == (sad >= 64 * n))
+    }
+    // row cover: one pair row per consecutive frame pair
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (d, rows) =>
+      val nf = (meta(d) % 4) + 2
+      assert(rows.length == nf - 1, s"doc $d pair count")
+    }
+    // the +97-per-frame analytic pattern is a hard change everywhere:
+    // every pair must flag (the no-cut leg is covered by the SAD
+    // formula equivalence above — a zero-diff pair yields sad 0 < 64n)
+    assert(out.forall(_.getBoolean(5)),
+      "analytic pattern shifts every pixel by ~97 gray levels")
+  }
+
   test("wavRmsWindows: windows tile every decoded sample, energy and " +
     "peak match the analytic PCM, short tails report true length") {
     val docs = Tables.documents(spark, sf0)
