@@ -719,6 +719,11 @@ object SparkEntry {
     "window_cume" -> ((s, d) =>
       Relational.cumeStandings(Tables.lineitem(s, d))),
 
+    // Trailing RANGE frame (round 11): value-range 30-day window per
+    // customer — the frame kind ROWS BETWEEN can't express.
+    "window_range_sum" -> ((s, d) =>
+      Relational.trailingRangeSum(Tables.orders(s, d))),
+
     // Windowed top-k per group: top-3 users by exact total value per type.
     "window_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1961,6 +1966,19 @@ object SparkEntry {
         "FROM (SELECT l_returnflag, l_extendedprice, CAST(NTILE(4) OVER " +
         "(PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS tile " +
         "FROM lineitem) GROUP BY 1, 2 ORDER BY l_returnflag, tile"),
+
+    // RANGE BETWEEN over integer epoch days — identical tie/frame
+    // semantics in both engines; exact cents
+    "window_range_sum" ->
+      ("SELECT o_orderkey, o_custkey, day, cents, " +
+        "CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day " +
+        "RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents, " +
+        "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day " +
+        "RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_trail30 " +
+        "FROM (SELECT o_orderkey, o_custkey, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents " +
+        "FROM orders) ORDER BY o_orderkey"),
 
     // total order (rev, status) → rank ties impossible; the two doubles
     // are one IEEE division each over identical integer-valued operands

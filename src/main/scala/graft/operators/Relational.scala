@@ -1020,6 +1020,32 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** Trailing RANGE-frame window sum (round 11) — the window feature
+    * the rows-based family (`window_moving_avg`'s ROWS BETWEEN) cannot
+    * express: per customer, revenue over the trailing 30 DAYS — a
+    * VALUE-range frame, so a burst of same-day orders all land in one
+    * frame and a gap shrinks it, exactly what "spend in the last 30
+    * days" means. Ordered by integer epoch DAYS (ties collapse into
+    * one frame position — RANGE semantics, identical in both engines)
+    * with exact integer-cents sums; partitioned per customer, so the
+    * sort is per-entity — the sessionize discipline, no global sort.
+    *
+    * Output: one row per order — (o_orderkey, o_custkey, day,
+    * cents, trail30_cents, n_trail30), ordered by key. */
+  def trailingRangeSum(orders: DataFrame, days: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val day = datediff(to_date(col("o_orderdate")),
+      lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        day.as("day"), cents.as("cents"))
+      .withColumn("trail30_cents", sum(col("cents")).over(w))
+      .withColumn("n_trail30", count(lit(1)).over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Day-of-week × hour activity HEATMAP (round 11) — the other
     * product-analytics staple beside [[dauMau]]: when is the audience
     * actually here. ≤ 7·24 cells at any corpus size from one

@@ -767,6 +767,31 @@ class RelationalSpec extends SparkSpec {
       s"expanded relation is being sorted again:\n$planStr")
   }
 
+  test("trailingRangeSum: value-range frames include same-day bursts " +
+    "and exclude past-horizon orders — semantics ROWS frames lack") {
+    import java.sql.Timestamp
+    def o(k: Long, c: Long, d: String, p: Double) =
+      (k, c, Timestamp.valueOf(s"$d 00:00:00"), p)
+    val fix = Seq(
+      o(1L, 7L, "2024-01-01", 10.0),
+      o(2L, 7L, "2024-01-01", 20.0),  // same day: shares ONE frame slot
+      o(3L, 7L, "2024-01-20", 5.0),   // within 30d of both
+      o(4L, 7L, "2024-03-01", 1.0))   // horizon passed: alone
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.trailingRangeSum(fix).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    // RANGE: orders 1 and 2 occupy the same day VALUE, so each sees both
+    assert(out(1L) == ((3000L, 2L)) && out(2L) == ((3000L, 2L)),
+      s"same-day burst must share a frame: $out")
+    assert(out(3L) == ((3500L, 3L)))
+    assert(out(4L) == ((100L, 1L)), "past-horizon order must stand alone")
+    // corpus: trailing sum ≥ own cents, and the window stays per-customer
+    val rows = Relational.trailingRangeSum(Tables.orders(spark, sf0))
+      .collect()
+    assert(rows.forall(r => r.getLong(4) >= r.getLong(3) &&
+      r.getLong(5) >= 1))
+  }
+
   test("activityHeatmap: ISO day-of-week convention pinned (Monday=1), " +
     "cells reconcile to the event count, users deduped per cell") {
     import java.sql.Timestamp
