@@ -887,6 +887,11 @@ object SparkEntry {
     "source_schema_widen" -> ((s, d) =>
       graft.sources.ParquetEvolution.widenRoundTrip(s, Tables.events(s, d))),
 
+    // Column-DROP generation (round 11): the third evolution move —
+    // gen 2 stops emitting props; mergeSchema forward-fills NULL.
+    "source_schema_drop" -> ((s, d) =>
+      graft.sources.ParquetEvolution.dropRoundTrip(s, Tables.events(s, d))),
+
     // A12 batch_barrier: micro-batch block assembly + per-block summary.
     "batch_barrier" -> ((s, d) =>
       SinkOps.batchBarrier(Tables.events(s, d))),
@@ -2261,6 +2266,23 @@ object SparkEntry {
             "CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS amount_sum, " +
             "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum " +
             s"FROM events WHERE event_id % 3 = ${g - 1} GROUP BY 1"
+        }.mkString(" UNION ALL ") +
+        ") ORDER BY event_type, gen"),
+
+    // gen 1 carries only the data's own props-nulls; gen 2 exactly its
+    // row count (the column genuinely ended)
+    "source_schema_drop" ->
+      (s"SELECT event_type, gen, n_rows, value_sum, n_props_null, " +
+        "n_props_present FROM (" +
+        (1 to 2).map { g =>
+          val dropped = g == 2
+          s"SELECT ${sqlSentinel("event_type")} AS event_type, " +
+            s"CAST($g AS BIGINT) AS gen, COUNT(*) AS n_rows, " +
+            "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +
+            (if (dropped) "COUNT(*) AS n_props_null, CAST(0 AS BIGINT) AS n_props_present "
+             else "CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props_null, " +
+               "COUNT(props) AS n_props_present ") +
+            s"FROM events WHERE event_id % 2 = ${g - 1} GROUP BY 1"
         }.mkString(" UNION ALL ") +
         ") ORDER BY event_type, gen"),
 

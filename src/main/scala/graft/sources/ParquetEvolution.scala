@@ -128,4 +128,44 @@ object ParquetEvolution {
         sum(col("value")).cast("double").as("value_sum"))
       .orderBy(col("event_type"), col("gen"))
   }
+
+  /** COLUMN-DROP schema evolution (round 11) — the third generation
+    * move beside add ([[evolveRoundTrip]]) and widen
+    * ([[widenRoundTrip]]): a later writer generation STOPS emitting a
+    * column (the upstream feed retired it), and the reader must keep
+    * serving the unified schema with NULLs where the data genuinely
+    * ended — the mirror image of add-column's back-fill, and the one
+    * that silently becomes "the column is all NULL from March" in a
+    * real lake unless the read contract is pinned.
+    *
+    * Round-trip: gen 1 writes the full 4-column schema; gen 2 drops
+    * `props`; the `mergeSchema` read-back unifies (drop is just
+    * add-in-reverse for parquet — no type conflict), and the summary
+    * counts the forward-fill NULLs per generation. The oracle replays
+    * from the ORIGINAL relation + split rule: gen 1 must carry ZERO
+    * props-nulls beyond the data's own, gen 2 exactly its row count —
+    * a reader that resurrects dropped values or loses the column
+    * entirely breaks a count. */
+  def dropRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/drop-${java.util.UUID.randomUUID()}"
+    val base = events.select(col("event_id"), col("event_type"),
+      col("value"), col("props"))
+    base.filter(pmod(col("event_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    base.filter(pmod(col("event_id"), lit(2)) === 1)
+      .drop("props")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(out)
+    back.groupBy(
+        graft.operators.ExportOps.nullSentinel(col("event_type"))
+          .as("event_type"),
+        col("gen").cast("long").as("gen"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("value_sum"),
+        sum(when(col("props").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_props_null"),
+        count(col("props")).as("n_props_present"))
+      .orderBy(col("event_type"), col("gen"))
+  }
 }

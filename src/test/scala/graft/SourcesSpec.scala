@@ -85,6 +85,26 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("parquet column drop: gen 2 stops emitting props, the unified " +
+    "read forward-fills NULL exactly there, gen 1 keeps its values") {
+    import graft.sources.ParquetEvolution
+    val out = ParquetEvolution.dropRoundTrip(spark, events).collect()
+    val byGen = out.groupBy(_.getLong(1))
+    assert(byGen.keySet == Set(1L, 2L))
+    assert(byGen.values.flatten.map(_.getLong(2)).sum == events.count())
+    // gen 1: the column survives — present + null tiles the rows, and
+    // nulls are only the data's own (the fixture has none)
+    byGen(1L).foreach { r =>
+      assert(r.getLong(4) + r.getLong(5) == r.getLong(2))
+      assert(r.getLong(4) == 0L, "gen 1 props must survive the round trip")
+    }
+    // gen 2: the column genuinely ended — all NULL, none present
+    byGen(2L).foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) && r.getLong(5) == 0L,
+        "dropped-column rows must read as NULL, never resurrect")
+    }
+  }
+
   test("CSV under-arity rows pad their fields AND carry the corrupt " +
     "record (Spark 4 flags arity mismatches; the malformed set still " +
     "uses numeric failures so the contract survives parsers that don't)") {
