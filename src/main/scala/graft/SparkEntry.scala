@@ -662,6 +662,11 @@ object SparkEntry {
     "event_ab_test" -> ((s, d) =>
       Relational.abTestWelch(Tables.events(s, d))),
 
+    // OLS regression (round 11): price-on-quantity per flag from exact
+    // integer moments, identical slope/intercept operation tree.
+    "stats_regression" -> ((s, d) =>
+      Relational.olsByFlag(Tables.lineitem(s, d))),
+
     // Markov transition matrix (round 11): per-user lag pairs, <=
     // types^2 matrix, one IEEE division per row for the conditional.
     "event_markov" -> ((s, d) =>
@@ -1864,6 +1869,21 @@ object SparkEntry {
 
     // exact-decimal n/Σv/Σv² through the stats_corr via-string bridge;
     // mean/std/z arithmetic mirrors valueAnomalies op for op
+    // OLS replay: exact moments, same slope/intercept tree
+    "stats_regression" ->
+      ("WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy_cents, " +
+        "CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy " +
+        "FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y " +
+        "FROM lineitem) GROUP BY 1) " +
+        "SELECT l_returnflag, n, sx, sy_cents, sxx, sxy, " +
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy_cents AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, " +
+        "(CAST(sy_cents AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy_cents AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n AS intercept " +
+        "FROM a ORDER BY l_returnflag"),
+
     // Welch replay: identical cents bridge, one conditional-aggregation
     // pass, the SAME operation tree for the statistic — fixed operand
     // order makes the doubles bit-identical

