@@ -667,6 +667,16 @@ object SparkEntry {
     "stats_regression" -> ((s, d) =>
       Relational.olsByFlag(Tables.lineitem(s, d))),
 
+    // Conversion lag (round 11): signup→first-purchase latency —
+    // unconverted users counted, md5-reservoir percentiles.
+    "event_conversion_lag" -> ((s, d) =>
+      Relational.conversionLag(Tables.events(s, d))),
+
+    // Norm histogram (round 11): the embedding-collapse diagnostic —
+    // exact integer squared-norm equi-width bins.
+    "embed_norm_hist" -> ((s, d) =>
+      Similarity.normHistogram(Tables.embeddings(s, d))),
+
     // Markov transition matrix (round 11): per-user lag pairs, <=
     // types^2 matrix, one IEEE division per row for the conditional.
     "event_markov" -> ((s, d) =>
@@ -1869,6 +1879,43 @@ object SparkEntry {
 
     // exact-decimal n/Σv/Σv² through the stats_corr via-string bridge;
     // mean/std/z arithmetic mirrors valueAnomalies op for op
+    // lag replay: conditional-min firsts, md5-reservoir + nearest-rank
+    "event_conversion_lag" ->
+      ("WITH us AS (SELECT user_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events), " +
+        "pu AS (SELECT user_id, " +
+        "MIN(CASE WHEN event_type = 'signup' THEN t END) AS t_from FROM us GROUP BY 1), " +
+        "ft AS (SELECT u.user_id, MIN(u.t) AS t_to FROM us u " +
+        "JOIN pu ON u.user_id = pu.user_id " +
+        "WHERE u.event_type = 'purchase' AND pu.t_from IS NOT NULL " +
+        "AND u.t >= pu.t_from GROUP BY 1), " +
+        "lg AS (SELECT pu.user_id, CASE WHEN pu.t_from IS NOT NULL " +
+        "AND ft.t_to IS NOT NULL THEN ft.t_to - pu.t_from END AS lag_us " +
+        "FROM pu LEFT JOIN ft USING (user_id)), " +
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(COUNT(lag_us) AS BIGINT) AS n_converted FROM lg), " +
+        "kr AS (SELECT v, row_number() OVER (ORDER BY v) AS vr, " +
+        "COUNT(*) OVER () AS n FROM (SELECT CAST(lag_us AS DOUBLE) AS v FROM (" +
+        "SELECT lag_us, row_number() OVER (ORDER BY " +
+        "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT), " +
+        "CAST(lag_us AS DOUBLE)) AS rn FROM lg WHERE lag_us IS NOT NULL) " +
+        "WHERE rn <= 256)), " +
+        "q AS (SELECT MAX(CASE WHEN vr = (25*n+99)//100 THEN v END) AS p25, " +
+        "MAX(CASE WHEN vr = (50*n+99)//100 THEN v END) AS p50, " +
+        "MAX(CASE WHEN vr = (75*n+99)//100 THEN v END) AS p75 FROM kr) " +
+        "SELECT c.n_users, c.n_converted, q.p25 AS p25_lag_us, " +
+        "q.p50 AS p50_lag_us, q.p75 AS p75_lag_us FROM c, q"),
+
+    // exact-integer norm bins, priceHistogram replay shape
+    "embed_norm_hist" ->
+      ("WITH q AS (SELECT CAST(list_sum(list_transform(" +
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)), " +
+        "x -> x*x)) AS BIGINT) AS nrm FROM embeddings WHERE embedding IS NOT NULL), " +
+        "b AS (SELECT MIN(nrm) AS lo, MAX(nrm) AS hi FROM q) " +
+        "SELECT CAST(((nrm - lo) * 16) // (hi - lo + 1) AS BIGINT) AS bucket, " +
+        "COUNT(*) AS n, MIN(nrm) AS nrm_min, MAX(nrm) AS nrm_max " +
+        "FROM q, b GROUP BY 1 ORDER BY 1"),
+
     // OLS replay: exact moments, same slope/intercept tree
     "stats_regression" ->
       ("WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +

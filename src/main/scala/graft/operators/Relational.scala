@@ -1132,6 +1132,57 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** CONVERSION-LAG profile (round 11) — the funnel-latency metric
+    * behind "how long from signup to first purchase": per user, the
+    * µs lag between first signup and first purchase-after-signup
+    * (users who never convert are COUNTED, not dropped — the
+    * conversion rate is the first thing read off this report), then
+    * the lag distribution via the engine's deterministic md5-reservoir
+    * (the `sketch_quantiles`/`customer_rfm` machinery — bounded state,
+    * the sampling error replays). One shuffle on user_id (two
+    * conditional mins per user — no window, no sort), then the 1-row
+    * bounded-state summary.
+    *
+    * Output: one row — (n_users, n_converted, p25_lag_us, p50_lag_us,
+    * p75_lag_us), nulls when nobody converts (structural). */
+  def conversionLag(events: DataFrame, fromType: String = "signup",
+                    toType: String = "purchase", r: Int = 256): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === fromType, us)).as("t_from"),
+        count(lit(1)).as("n_ev"))
+    val firstTo = events
+      .join(broadcast(perUser.select(col("user_id"), col("t_from"))),
+        Seq("user_id"))
+      .filter(col("event_type") === toType &&
+        col("t_from").isNotNull && us >= col("t_from"))
+      .groupBy(col("user_id"))
+      .agg(min(us).as("t_to"))
+    val lags = perUser.join(firstTo, Seq("user_id"), "left")
+      .withColumn("lag_us",
+        when(col("t_from").isNotNull && col("t_to").isNotNull,
+          col("t_to") - col("t_from")))
+    val counts = lags.agg(count(lit(1)).as("n_users"),
+      count(col("lag_us")).as("n_converted"))
+    // reservoir over CONVERTED users only (null values must never reach
+    // the primitive-double aggregator); an all-unconverted corpus
+    // yields the aggregator's empty zero and NULL percentiles
+    val sk = lags.filter(col("lag_us").isNotNull)
+      .withColumn("h", conv(substring(
+        md5(col("user_id").cast("string")), 1, 7), 16, 10).cast("long"))
+      .agg(graft.functions.BottomKAgg.bottomK(r)(
+        col("h"), col("lag_us").cast("double")).as("samp"))
+    val vals = sort_array(transform(col("samp"), s => s.getField("_2")))
+    def q(p: Int): Column =
+      when(size(col("samp")) > 0, element_at(vals,
+        expr(s"CAST(($p * size(samp) + 99) div 100 AS INT)")))
+    counts.crossJoin(broadcast(sk))
+      .select(col("n_users"), col("n_converted"),
+        q(25).as("p25_lag_us"), q(50).as("p50_lag_us"),
+        q(75).as("p75_lag_us"))
+  }
+
   /** OLS simple regression (round 11) — the line every BI tool draws:
     * per return flag, extendedprice regressed on quantity. Built on
     * the same exact-moments discipline as [[abTestWelch]] /

@@ -853,6 +853,29 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Embedding NORM histogram (round 11) — the embedding-collapse
+    * diagnostic: a healthy encoder spreads vector norms; a collapsed
+    * one piles them into one bucket, and a normalization bug shows as
+    * a spike at a single exact value. Equi-width histogram over the
+    * EXACT integer squared norms (the priceHistogram integer-binning
+    * shape: 1-row broadcast bounds frame, `(v−lo)·nb div (range+1)`
+    * buckets, ≤ nb rows out at any corpus size, zero FP binning
+    * ambiguity). Null embeddings are gated (no norm to bin).
+    *
+    * Output: (bucket, n, nrm_min, nrm_max), ordered. */
+  def normHistogram(emb: DataFrame, nb: Int = 16): DataFrame = {
+    require(nb >= 1, s"need nb >= 1, got $nb")
+    val p = prepared(emb).filter(col("nrm").isNotNull)
+      .select(col("nrm"))
+    val bounds = p.agg(min(col("nrm")).as("lo"), max(col("nrm")).as("hi"))
+    p.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"((nrm - lo) * $nb) div (hi - lo + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("nrm")).as("nrm_min"), max(col("nrm")).as("nrm_max"))
+      .orderBy(col("bucket"))
+  }
+
   /** NEAREST-CENTROID classification + confusion matrix (round 11) —
     * the evaluation primitive of every embedding pipeline: do the
     * vectors cluster by their labels? Train one centroid per label

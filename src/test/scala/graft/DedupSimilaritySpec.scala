@@ -930,6 +930,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("normHistogram: extremes land in the first and last bucket, " +
+    "bins tile the corpus, repartition-invariant") {
+    import spark.implicits._
+    val fix = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val m = Similarity.normHistogram(fix).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // norms 1e6 (x2) and 4e6: lo bucket holds both 1e6 rows, hi the 4e6
+    assert(m == Map(0L -> ((2L, 1000000L, 1000000L)),
+      15L -> ((1L, 4000000L, 4000000L))), s"got $m")
+    val out = Similarity.normHistogram(emb).collect()
+    assert(out.map(_.getLong(1)).sum == emb.count())
+    assert(out.forall(r => (0L until 16L).contains(r.getLong(0))))
+    assert(out.toSeq ==
+      Similarity.normHistogram(emb.repartition(7)).collect().toSeq)
+  }
+
   test("ivfpqTopK: shortlist-rerank recovers most of the probe ceiling, " +
     "output is exact-cosine ranked, deterministic under partitioning") {
     val out = Similarity.ivfpqTopK(emb).collect()

@@ -918,6 +918,32 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("conversionLag: pre-signup purchases never convert, unconverted " +
+    "users counted, exact 5-second lag recovered") {
+    import java.sql.Timestamp
+    def e(u: Long, t: String, ty: String) =
+      (u, Timestamp.valueOf(t), ty)
+    val fix = Seq(
+      e(1L, "2024-01-01 00:00:00", "signup"),
+      e(1L, "2024-01-01 00:00:05", "purchase"),   // converts, lag 5 s
+      e(2L, "2024-01-01 00:00:00", "signup"),     // never buys
+      e(3L, "2024-01-01 00:00:05", "purchase"),   // buys BEFORE signing up
+      e(3L, "2024-01-01 00:00:10", "signup"),
+      e(4L, "2024-01-01 00:00:00", "purchase"))   // never signs up
+      .toDF("user_id", "ts", "event_type")
+    val r = Relational.conversionLag(fix).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 1L)),
+      s"got ${(r.getLong(0), r.getLong(1))}")
+    assert(r.getDouble(2) == 5e6 && r.getDouble(3) == 5e6 &&
+      r.getDouble(4) == 5e6)
+    // corpus sanity: converted ≤ users, percentiles ordered
+    val c = Relational.conversionLag(Tables.events(spark, sf0))
+      .collect().head
+    assert(c.getLong(1) <= c.getLong(0) && c.getLong(1) > 0)
+    assert(c.getDouble(2) <= c.getDouble(3) &&
+      c.getDouble(3) <= c.getDouble(4))
+  }
+
   test("olsByFlag: a perfect line recovers slope and intercept exactly, " +
     "corpus moments reconcile and slope matches an independent fit") {
     // y = 200x + 300 cents exactly: prices 5.00, 7.00, 9.00 at x=1,2,3
