@@ -672,6 +672,16 @@ object SparkEntry {
     "event_conversion_lag" -> ((s, d) =>
       Relational.conversionLag(Tables.events(s, d))),
 
+    // Per-group mode (round 11): most frequent quantity per flag,
+    // smaller-value tie-break, exact counts.
+    "agg_mode" -> ((s, d) =>
+      Relational.modeByFlag(Tables.lineitem(s, d))),
+
+    // Power-user concentration (round 11): top-100 users' event share —
+    // the skew headline that sizes salting strategy.
+    "event_power_users" -> ((s, d) =>
+      Relational.powerUserShare(Tables.events(s, d))),
+
     // Norm histogram (round 11): the embedding-collapse diagnostic —
     // exact integer squared-norm equi-width bins.
     "embed_norm_hist" -> ((s, d) =>
@@ -1879,6 +1889,29 @@ object SparkEntry {
 
     // exact-decimal n/Σv/Σv² through the stats_corr via-string bridge;
     // mean/std/z arithmetic mirrors valueAnomalies op for op
+    // (count desc, value asc) tie order replayed via ROW_NUMBER
+    "agg_mode" ->
+      ("WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2), " +
+        "m AS (SELECT l_returnflag, q AS mode_qty, cnt AS mode_n FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY cnt DESC, q) AS rn FROM c) WHERE rn = 1), " +
+        "t AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c GROUP BY 1) " +
+        "SELECT m.l_returnflag, m.mode_qty, CAST(m.mode_n AS BIGINT) AS mode_n, " +
+        "t.n_rows, CAST(m.mode_n AS DOUBLE) / t.n_rows AS mode_share " +
+        "FROM m JOIN t USING (l_returnflag) ORDER BY m.l_returnflag"),
+
+    // top-k by (n desc, user_id) replayed; one division
+    "event_power_users" ->
+      ("WITH p AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1), " +
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS topk_users, " +
+        "CAST(SUM(n) AS BIGINT) AS topk_events FROM (" +
+        "SELECT n FROM p ORDER BY n DESC, user_id LIMIT 100)), " +
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(n) AS BIGINT) AS n_events FROM p) " +
+        "SELECT a.n_users, a.n_events, t.topk_users, t.topk_events, " +
+        "CAST(t.topk_events AS DOUBLE) / a.n_events AS topk_share FROM a, t"),
+
     // lag replay: conditional-min firsts, md5-reservoir + nearest-rank
     "event_conversion_lag" ->
       ("WITH us AS (SELECT user_id, event_type, " +

@@ -1132,6 +1132,53 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Per-group MODE (round 11) — the modal value, the aggregate SQL
+    * forgot: the most frequent quantity per return flag, with its
+    * support count and share. Two map-side-combinable aggregations
+    * (value counts, then max_by over the ≤ distinct-values relation);
+    * ties break toward the SMALLER value ((count desc, value asc) via
+    * max_by on struct(cnt, −value) — deterministic anywhere). The
+    * share is one IEEE division over exact counts.
+    *
+    * Output: (l_returnflag, mode_qty, mode_n, n_rows, mode_share),
+    * ordered. */
+  def modeByFlag(lineitem: DataFrame): DataFrame = {
+    val counts = lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("l_returnflag"))
+      .agg(max_by(col("q"), struct(col("cnt"), -col("q"))).as("mode_qty"),
+        max(struct(col("cnt"), -col("q"))).getField("cnt").as("mode_n"),
+        sum(col("cnt")).as("n_rows"))
+      .withColumn("mode_share",
+        col("mode_n").cast("double") / col("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** POWER-USER concentration (round 11) — the activity-skew headline
+    * ("what share of events do the top 100 users produce"): per-user
+    * event counts (one map-side-combinable shuffle over O(users)),
+    * top-`k` users via TakeOrdered (partial per-partition top-k, a
+    * k-row driver merge — never a global sort), their share as one
+    * IEEE division. The concentration number is what decides salting
+    * and skew-join strategy downstream, so it belongs on the board
+    * next to `agg_salted`/`join_skew_salted`.
+    *
+    * Output: one row — (n_users, n_events, topk_users, topk_events,
+    * topk_share). */
+  def powerUserShare(events: DataFrame, k: Int = 100): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val top = perUser.orderBy(col("n").desc, col("user_id")).limit(k)
+    val topAgg = top.agg(count(lit(1)).as("topk_users"),
+      sum(col("n")).as("topk_events"))
+    perUser.agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .crossJoin(broadcast(topAgg))
+      .withColumn("topk_share",
+        col("topk_events").cast("double") / col("n_events"))
+  }
+
   /** CONVERSION-LAG profile (round 11) — the funnel-latency metric
     * behind "how long from signup to first purchase": per user, the
     * µs lag between first signup and first purchase-after-signup

@@ -918,6 +918,31 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("modeByFlag: ties break toward the smaller value, share exact; " +
+    "powerUserShare: hand fixture concentration + corpus bounds") {
+    // flag A: 5 appears 2x, 3 appears 2x (tie → 3 wins), 9 once
+    val fix = Seq(("A", 5.0), ("A", 5.0), ("A", 3.0), ("A", 3.0),
+      ("A", 9.0)).toDF("l_returnflag", "l_quantity")
+    val r = Relational.modeByFlag(fix).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2L, 5L)),
+      s"got ${(r.getLong(1), r.getLong(2), r.getLong(3))}")
+    assert(r.getDouble(4) == 0.4)
+    val corpus = Relational.modeByFlag(Tables.lineitem(spark, sf0)).collect()
+    corpus.foreach(row => assert(row.getLong(2) <= row.getLong(3) &&
+      row.getDouble(4) > 0))
+    // power users: 3 users with 3/2/1 events; top-2 share = 5/6
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"),
+      (3L, "a")).toDF("user_id", "event_type")
+    val p = Relational.powerUserShare(ev, k = 2).collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)) ==
+      ((3L, 6L, 2L, 5L)))
+    assert(p.getDouble(4) == 5.0 / 6)
+    val cp = Relational.powerUserShare(Tables.events(spark, sf0))
+      .collect().head
+    assert(cp.getLong(2) <= 100L && cp.getLong(3) <= cp.getLong(1))
+    assert(cp.getDouble(4) > 0 && cp.getDouble(4) <= 1.0)
+  }
+
   test("conversionLag: pre-signup purchases never convert, unconverted " +
     "users counted, exact 5-second lag recovered") {
     import java.sql.Timestamp
