@@ -1199,9 +1199,10 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(min(when(col("event_type") === fromType, us)).as("t_from"),
         count(lit(1)).as("n_ev"))
+    // NOTE: the per-user frame is O(users) — an equi-join on the user
+    // key (AQE picks the strategy), never a forced broadcast
     val firstTo = events
-      .join(broadcast(perUser.select(col("user_id"), col("t_from"))),
-        Seq("user_id"))
+      .join(perUser.select(col("user_id"), col("t_from")), Seq("user_id"))
       .filter(col("event_type") === toType &&
         col("t_from").isNotNull && us >= col("t_from"))
       .groupBy(col("user_id"))
