@@ -134,6 +134,31 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("round-11 scale invariants: PQ joins broadcast (never sort-merge " +
+    "the corpus), wordpiece plans no unpartitioned window, tfidf/markov " +
+    "windows stay partitioned") {
+    // embed_pq: every join carries the broadcast codebook/seed side —
+    // a SortMergeJoin would mean the corpus is being shuffled to meet
+    // a 128-row table
+    val pq = planOf("embed_pq")
+    assert(!pq.contains("SortMergeJoin"),
+      s"embed_pq shuffles for a broadcastable codebook:\n$pq")
+    val wp = planOf("tokenizer_wordpiece")
+    assert(!wp.contains("Window"),
+      "wordpiece greedy match must be join+max, never a window")
+    Seq("text_tfidf_keywords", "event_markov").foreach { q =>
+      val p = withAqeOff {
+        try SparkEntry.queries(q)(spark, sf0).queryExecution.executedPlan
+        finally SparkEntry.harnessScope.release()
+      }
+      import org.apache.spark.sql.execution.window.WindowExec
+      val wins = p.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$q lost its window")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q window is unpartitioned — a global sort at scale"))
+    }
+  }
+
   test("q6 is its scan plan: all three predicates pushed, exactly the " +
     "4 touched columns read, no shuffle but the 1-row aggregate's") {
     import org.apache.spark.sql.execution.FileSourceScanExec
