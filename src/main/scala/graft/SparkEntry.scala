@@ -687,6 +687,12 @@ object SparkEntry {
     "embed_norm_hist" -> ((s, d) =>
       Similarity.normHistogram(Tables.embeddings(s, d))),
 
+    // Top eigenvector (round 11): 2 unrolled power-iteration steps over
+    // the exact integer Gram matrix — directional-collapse/anisotropy
+    // diagnostic; Rayleigh quotient in decimal-exact arithmetic.
+    "embed_top_eigvec" -> ((s, d) =>
+      Similarity.topEigvec(Tables.embeddings(s, d))),
+
     // Markov transition matrix (round 11): per-user lag pairs, <=
     // types^2 matrix, one IEEE division per row for the conditional.
     "event_markov" -> ((s, d) =>
@@ -1938,6 +1944,33 @@ object SparkEntry {
         "MAX(CASE WHEN vr = (75*n+99)//100 THEN v END) AS p75 FROM kr) " +
         "SELECT c.n_users, c.n_converted, q.p25 AS p25_lag_us, " +
         "q.p50 AS p50_lag_us, q.p75 AS p75_lag_us FROM c, q"),
+
+    // Gram + 2 unrolled matvecs + sign-split truncating rescale
+    // (sign·((|y|·256) div m): truncate ≡ floor on the nonneg part, so
+    // Spark div and DuckDB // agree); quadratic form in HUGEINT
+    "embed_top_eigvec" ->
+      (s"WITH $sqlQuantCte, " +
+        "nf AS (SELECT vec_id, v FROM n WHERE len(v) = 64), " +
+        "g AS (SELECT ii.i AS i, jj.j AS j, " +
+        "CAST(SUM(v[ii.i + 1] * v[jj.j + 1]) AS BIGINT) AS gij " +
+        "FROM nf, range(0, 64) ii(i), range(0, 64) jj(j) GROUP BY 1, 2), " +
+        "x0 AS (SELECT unnest(range(0, 64)) AS j, CAST(1 AS BIGINT) AS x), " +
+        "y1 AS (SELECT g.i, CAST(SUM(g.gij * x0.x) AS BIGINT) AS y " +
+        "FROM g JOIN x0 ON g.j = x0.j GROUP BY 1), " +
+        "m1 AS (SELECT MAX(ABS(y)) AS m FROM y1), " +
+        "x1 AS (SELECT y1.i AS j, CAST((CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END) * " +
+        "((ABS(y) * 256) // GREATEST(m, 1)) AS BIGINT) AS x FROM y1, m1), " +
+        "y2 AS (SELECT g.i, CAST(SUM(g.gij * x1.x) AS BIGINT) AS y " +
+        "FROM g JOIN x1 ON g.j = x1.j GROUP BY 1), " +
+        "m2 AS (SELECT MAX(ABS(y)) AS m FROM y2), " +
+        "x2 AS (SELECT y2.i AS j, CAST((CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END) * " +
+        "((ABS(y) * 256) // GREATEST(m, 1)) AS BIGINT) AS x FROM y2, m2), " +
+        "num AS (SELECT CAST(SUM(CAST(g.gij AS HUGEINT) * xi.x * xj.x) AS DOUBLE) AS num " +
+        "FROM g JOIN x2 xi ON g.i = xi.j JOIN x2 xj ON g.j = xj.j), " +
+        "den AS (SELECT CAST(SUM(x * x) AS BIGINT) AS den FROM x2) " +
+        "SELECT CAST(x2.j AS BIGINT) AS comp, x2.x AS x_val, " +
+        "num.num / CAST(den.den AS DOUBLE) AS rayleigh " +
+        "FROM x2, num, den ORDER BY comp"),
 
     // exact-integer norm bins, priceHistogram replay shape
     "embed_norm_hist" ->

@@ -853,6 +853,69 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** TOP-EIGENVECTOR power iteration (round 11) — the principal
+    * direction of the embedding cloud, the spectral half of the
+    * collapse diagnostic ([[normHistogram]] sees magnitude collapse;
+    * a dominant eigenvalue sees DIRECTIONAL collapse — anisotropy is
+    * the first thing an embedding-quality paper measures): two
+    * unrolled power-iteration steps over the exact integer GRAM matrix
+    * (the fixed-unroll doctrine — IVF's Lloyd's, PageRank's
+    * supersteps — applied to spectral analysis).
+    *
+    * Integer-exact by construction: G = Σ v·vᵀ accumulates d²
+    * exact-long cells via ONE map-side-combinable aggregation (the
+    * classic distributed Gram shape: shuffle is d² cells per task,
+    * never the corpus); each matvec y = G·x is a d²-row join-aggregate
+    * against the broadcast d-row x; rescaling is
+    * sign(y)·((|y|·256) div max|y|) — truncating-division-on-
+    * nonnegatives, identical in any engine, no normalization sqrt.
+    * The Rayleigh quotient xᵀGx / xᵀx runs its quadratic form in
+    * DECIMAL(38,0) sums (int64 would overflow at corpus scale) and
+    * casts to double ONCE.
+    *
+    * Output: d rows — (comp, x_val, rayleigh), ordered by comp;
+    * rayleigh (the dominant-eigenvalue estimate, constant across
+    * rows) rides a broadcast 1-row gate frame. */
+  def topEigvec(emb: DataFrame, dim: Int = 64, iters: Int = 2,
+                rescale: Long = 256L): DataFrame = {
+    require(iters >= 1 && rescale >= 2, "need iters >= 1, rescale >= 2")
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val gram = p.select(posexplode(col("qv")).as(Seq("i", "vi")),
+        col("qv"))
+      .select(col("i"), col("vi"), posexplode(col("qv")).as(Seq("j", "vj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("vi") * col("vj")).as("gij"))
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    var x = broadcast((0 until dim).map(j => (j, 1L)).toDF("j", "x"))
+    for (_ <- 1 to iters) {
+      val y = gram.join(x, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("gij") * col("x")).as("y"))
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      x = broadcast(y.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          (signum(col("y")).cast("long") *
+            expr(s"(abs(y) * $rescale) div greatest(m, 1)")).as("x")))
+    }
+    // Rayleigh quotient in decimal-exact arithmetic
+    val xi = x.select(col("j").as("i"), col("x").as("xi"))
+    val xj = x.select(col("j"), col("x").as("xj"))
+    val num = gram.join(broadcast(xi), Seq("i")).join(broadcast(xj), Seq("j"))
+      .agg(sum(col("gij").cast(DecimalType38) * col("xi") * col("xj"))
+        .cast("double").as("num"))
+    val den = x.agg(sum(col("x") * col("x")).as("den"))
+    val rq = num.crossJoin(broadcast(den))
+      .select((col("num") / col("den").cast("double")).as("rayleigh"))
+    x.select(col("j").cast("long").as("comp"), col("x").as("x_val"))
+      .crossJoin(broadcast(rq))
+      .orderBy(col("comp"))
+  }
+
+  private val DecimalType38 =
+    org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** Embedding NORM histogram (round 11) — the embedding-collapse
     * diagnostic: a healthy encoder spreads vector norms; a collapsed
     * one piles them into one bucket, and a normalization bug shows as

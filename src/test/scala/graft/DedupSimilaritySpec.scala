@@ -930,6 +930,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topEigvec: hand-replayed power iteration on a known dominant " +
+    "axis, Rayleigh approaches the top eigenvalue, deterministic") {
+    import spark.implicits._
+    // G = [[5,0],[0,1]] (quantized *1e-3 vectors keep integers exact):
+    // x0=(1,1) → y1=(5,1) → x1=(256,51) → y2=(1280,51) → x2=(256,10)
+    val fix = Seq((1L, Array(0.002f, 0.0f), 0),
+      (2L, Array(0.001f, 0.0f), 0), (3L, Array(0.0f, 0.001f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.topEigvec(fix, dim = 2).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 256L, 1L -> 10L))
+    val rq = out.head.getDouble(2)
+    assert(rq == 327780.0 / 65636.0, s"rayleigh $rq")
+    assert(math.abs(rq - 5.0) < 0.01,
+      "2 iterations must already approach the dominant eigenvalue 5")
+    // corpus: 64 components, dominant component hits ±rescale, stable
+    val full = Similarity.topEigvec(emb).collect()
+    assert(full.length == 64)
+    assert(full.map(r => math.abs(r.getLong(1))).max == 256L)
+    assert(full.head.getDouble(2) > 0, "PSD Gram must give positive RQ")
+    assert(full.toSeq ==
+      Similarity.topEigvec(emb.repartition(7)).collect().toSeq)
+  }
+
   test("normHistogram: extremes land in the first and last bucket, " +
     "bins tile the corpus, repartition-invariant") {
     import spark.implicits._
