@@ -713,6 +713,12 @@ object SparkEntry {
     "text_tfidf_keywords" -> ((s, d) =>
       Corpus.tfidfKeywords(Tables.documents(s, d))),
 
+    // Token-budget prefix cut (round 11): "train on exactly N tokens" —
+    // deterministic md5-order per-shard prefix under a running-total
+    // budget; whole documents only.
+    "corpus_token_budget" -> ((s, d) =>
+      Corpus.tokenBudgetPrefix(Tables.documents(s, d))),
+
     // Quarantine decode: bad wire rows are FLAGGED, not silently dropped
     // (upgrading the reference's drop-and-continue, SURVEY.md §4.4.3).
     "row_quarantine" -> ((s, d) => {
@@ -2041,6 +2047,21 @@ object SparkEntry {
         "CAST(d.sum_dau AS DOUBLE) / d.n_days AS avg_dau, " +
         "CAST(d.sum_dau AS DOUBLE) / d.n_days / m.mau AS stickiness " +
         "FROM m JOIN d USING (month) ORDER BY m.month"),
+
+    // md5-order per-shard running total; keep iff own cumulative fits
+    "corpus_token_budget" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+        "md5(CAST(doc_id AS VARCHAR) || ':budget') AS ek FROM documents), " +
+        "c AS (SELECT source, n_tok, SUM(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY ek, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN cum <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(n_tok) AS BIGINT) AS tokens_total, " +
+        "CAST(SUM(CASE WHEN cum <= 2000 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept, " +
+        "CAST(2000 AS BIGINT) AS budget, " +
+        "CAST(SUM(CASE WHEN cum <= 2000 THEN n_tok ELSE 0 END) AS DOUBLE) / 2000 AS fill " +
+        "FROM c GROUP BY source ORDER BY source"),
 
     // bit-length idf surrogate: bitlen(N div df) - 1, zero at df = N
     "text_tfidf_keywords" ->

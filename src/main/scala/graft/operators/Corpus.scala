@@ -409,6 +409,43 @@ object Corpus {
       .orderBy(col("train_pos"))
   }
 
+  /** TOKEN-BUDGET prefix cut (round 11) — "train on exactly N tokens":
+    * every pretraining run cuts its corpus to a budget, and the cut
+    * must be DETERMINISTIC (same corpus + budget ⇒ same training set,
+    * run to run, engine to engine). Per source shard, documents line
+    * up in the [[epochOrder]] md5 order (a per-shard uniform shuffle
+    * that is a pure function of the data) and the shard keeps its
+    * prefix while the RUNNING token total stays within the shard
+    * budget — a partitioned cumulative-sum window (per-shard sort, the
+    * sessionize discipline), then one bounded per-shard summary.
+    * Boundary rule: a document is kept iff its own cumulative total
+    * fits — the first over-budget document is cut entirely (no partial
+    * documents; the seq_pack family handles sub-document packing).
+    *
+    * Output: (source, n_docs, n_kept, tokens_total, tokens_kept,
+    * budget, fill), ordered by source; `fill` is one IEEE division. */
+  def tokenBudgetPrefix(docs: DataFrame,
+                        budgetPerShard: Long = 2000L): DataFrame = {
+    require(budgetPerShard >= 0, "budget must be nonnegative")
+    val ek = md5(concat(col("doc_id").cast("string"), lit(":budget")))
+    val toks = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(ek, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("source"), toks.as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("kept", col("cum") <= budgetPerShard)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("budget", lit(budgetPerShard))
+      .withColumn("fill",
+        col("tokens_kept").cast("double") / budgetPerShard)
+      .orderBy(col("source"))
+  }
+
   /** Corpus-relative token-frequency score — the FREQUENCY FILTER of a
     * web-corpus pipeline, complementing [[TextAnalysis]]'s doc-local
     * quality gates: a document dominated by tokens the corpus has never

@@ -930,6 +930,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetPrefix: whole-document boundary rule, per-shard " +
+    "budgets independent, deterministic under partitioning") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // one source, budget 5: docs of 3/3/3 tokens in md5 order — only
+    // the first fits (3 ≤ 5), the second would hit 6 > 5 and is cut
+    // WHOLE, and everything after stays cut
+    val fix = Seq((1L, "a b c", "s1"), (2L, "d e f", "s1"),
+      (3L, "g h i", "s1")).toDF("doc_id", "text", "source")
+    val r = Corpus.tokenBudgetPrefix(fix, budgetPerShard = 5).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 1L, 9L, 3L)), "exactly one whole document fits budget 5")
+    val docsT = Tables.documents(spark, sf0)
+    val out = Corpus.tokenBudgetPrefix(docsT).collect()
+    out.foreach { row =>
+      assert(row.getLong(4) <= 2000L, "kept tokens exceed the budget")
+      assert(row.getLong(2) <= row.getLong(1))
+      assert(row.getDouble(6) <= 1.0)
+    }
+    assert(out.toSeq ==
+      Corpus.tokenBudgetPrefix(docsT.repartition(7)).collect().toSeq)
+  }
+
   test("topEigvec: hand-replayed power iteration on a known dominant " +
     "axis, Rayleigh approaches the top eigenvalue, deterministic") {
     import spark.implicits._
