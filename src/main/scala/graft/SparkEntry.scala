@@ -864,6 +864,11 @@ object SparkEntry {
     "customer_rfm" -> ((s, d) =>
       Relational.rfmSegments(Tables.orders(s, d))),
 
+    // Cohort LTV (round 11): first-order-month cohorts × month offsets,
+    // exact integer months + cents — retention's monetary sibling.
+    "order_cohort_ltv" -> ((s, d) =>
+      Relational.cohortLtv(Tables.orders(s, d))),
+
     // Fixed-point PageRank (round 9): 2 unrolled iterations in integer
     // arithmetic over the order co-occurrence graph — the IVF unroll
     // doctrine applied to graph compute; per-iteration shuffle on the
@@ -2253,6 +2258,21 @@ object SparkEntry {
         "SELECT ((c - lo) * 16) // (hi - lo + 1) AS bucket, COUNT(*) AS n, " +
         "MIN(c) AS cents_min, MAX(c) AS cents_max " +
         "FROM k, b GROUP BY 1 ORDER BY 1"),
+
+    // exact integer months (year*12+month), cents, per-cell distincts
+    "order_cohort_ltv" ->
+      ("WITH k AS (SELECT o_custkey, " +
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM orders), " +
+        "f AS (SELECT o_custkey, MIN(m) AS m0 FROM k GROUP BY 1), " +
+        "cells AS (SELECT k.o_custkey, f.m0 AS cohort_month, " +
+        "k.m - f.m0 AS month_offset, k.c FROM k JOIN f USING (o_custkey)), " +
+        "r AS (SELECT cohort_month, month_offset, CAST(SUM(c) AS BIGINT) AS cents " +
+        "FROM cells GROUP BY 1, 2), " +
+        "a AS (SELECT cohort_month, month_offset, CAST(COUNT(*) AS BIGINT) AS n_active " +
+        "FROM (SELECT DISTINCT cohort_month, month_offset, o_custkey FROM cells) GROUP BY 1, 2) " +
+        "SELECT r.cohort_month, r.month_offset, a.n_active, r.cents " +
+        "FROM r JOIN a USING (cohort_month, month_offset) ORDER BY 1, 2"),
 
     // RFM replay: per-customer metrics (cents via the decimal bridge),
     // the md5 bottom-256 reservoir per metric (window-rank form — same

@@ -1132,6 +1132,40 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** COHORT LTV matrix (round 11) — the monetary sibling of
+    * `event_retention`'s activity triangle: customers cohort by FIRST
+    * order month, and each (cohort, months-since) cell reports active
+    * customers and exact-cents revenue — the lifetime-value surface
+    * every subscription/commerce dashboard draws. Months are exact
+    * integer arithmetic (year·12 + month — no interval/months_between
+    * semantics to disagree on); two map-side-combinable shuffles
+    * (per-customer first month over O(customers), then the ≤
+    * cohorts·offsets cell aggregation); actives are per-cell distincts
+    * over (cell, customer) — O(active pairs), never O(orders).
+    *
+    * Output: (cohort_month, month_offset, n_active, cents), ordered. */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val m = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .cast("long")
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val keyed = orders.select(col("o_custkey"), m.as("m"), cents.as("c"))
+    val first = keyed.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    val cells = keyed.join(first, Seq("o_custkey"))
+      .select(col("o_custkey"), col("m0").as("cohort_month"),
+        (col("m") - col("m0")).as("month_offset"), col("c"))
+    val rev = cells.groupBy(col("cohort_month"), col("month_offset"))
+      .agg(sum(col("c")).as("cents"))
+    val active = cells
+      .select(col("cohort_month"), col("month_offset"), col("o_custkey"))
+      .distinct()
+      .groupBy(col("cohort_month"), col("month_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    rev.join(active, Seq("cohort_month", "month_offset"))
+      .select(col("cohort_month"), col("month_offset"), col("n_active"),
+        col("cents"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
   /** Per-group MODE (round 11) — the modal value, the aggregate SQL
     * forgot: the most frequent quantity per return flag, with its
     * support count and share. Two map-side-combinable aggregations

@@ -918,6 +918,33 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("cohortLtv: hand-computed two-cohort matrix, offset-0 cells " +
+    "cover every customer once, corpus cents reconcile") {
+    import java.sql.Timestamp
+    def o(c: Long, d: String, p: Double) =
+      (c, Timestamp.valueOf(s"$d 00:00:00"), p)
+    // cust 1: Jan + Mar (offsets 0, 2); cust 2: Mar only (offset 0 of
+    // the Mar cohort)
+    val fix = Seq(o(1L, "2024-01-05", 10.0), o(1L, "2024-03-01", 5.0),
+      o(2L, "2024-03-10", 7.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.cohortLtv(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val jan = 2024L * 12 + 1; val mar = 2024L * 12 + 3
+    assert(out == Map((jan, 0L) -> ((1L, 1000L)), (jan, 2L) -> ((1L, 500L)),
+      (mar, 0L) -> ((1L, 700L))), s"got $out")
+    val ord = Tables.orders(spark, sf0)
+    val grid = Relational.cohortLtv(ord).collect()
+    // offset-0 actives = distinct customers (everyone starts somewhere)
+    assert(grid.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum ==
+      ord.select("o_custkey").distinct().count())
+    val cents = ord.select(sum((col("o_totalprice")
+        .cast("decimal(12,2)") * 100).cast("long"))).collect().head.getLong(0)
+    assert(grid.map(_.getLong(3)).sum == cents)
+    assert(grid.forall(_.getLong(1) >= 0L))
+  }
+
   test("modeByFlag: ties break toward the smaller value, share exact; " +
     "powerUserShare: hand fixture concentration + corpus bounds") {
     // flag A: 5 appears 2x, 3 appears 2x (tie → 3 wins), 9 once
