@@ -853,6 +853,11 @@ object SparkEntry {
     "dim_scd2" -> ((s, d) =>
       Relational.scd2(Tables.events(s, d))),
 
+    // Point-in-time snapshot (round 11): the query SCD2 exists to
+    // answer — state at T via half-open interval containment.
+    "dim_snapshot_at" -> ((s, d) =>
+      Relational.snapshotAt(Tables.events(s, d))),
+
     // Exact equi-width histogram in integer cents (round 9): two
     // aggregates, <= nb rows out at any scale.
     "stats_histogram" -> ((s, d) =>
@@ -2186,6 +2191,23 @@ object SparkEntry {
     // SCD2 replay: same µs-truncated ts + event_id ordering discipline
     // as event_journey; first-row detection on the non-null event_id
     // (lag(attr) is NULL both at the head and after a NULL attr)
+    // scd2's versions + the half-open containment filter at T
+    "dim_snapshot_at" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "event_type AS attr FROM events), " +
+        "c AS (SELECT user_id, ts, event_id, attr, " +
+        "LAG(attr) OVER w AS prev_attr, LAG(event_id) OVER w AS prev_eid " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "v AS (SELECT user_id, attr, ts AS valid_from, " +
+        "LEAD(ts) OVER w2 AS valid_to, " +
+        "CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version " +
+        "FROM c WHERE prev_eid IS NULL OR attr IS DISTINCT FROM prev_attr " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT user_id, attr, valid_from, version FROM v " +
+        "WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00' " +
+        "AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00') " +
+        "ORDER BY user_id"),
+
     "dim_scd2" ->
       ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
         "event_type AS attr FROM events), " +

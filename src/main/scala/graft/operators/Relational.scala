@@ -1132,6 +1132,27 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** POINT-IN-TIME snapshot (round 11) — the query SCD2 historization
+    * exists to answer: "what did the dimension look like at T". One
+    * half-open interval containment filter over [[scd2]]'s versions
+    * (valid_from ≤ T < valid_to, NULL = still open); entities whose
+    * history starts after T are structurally absent — that IS the
+    * state at T. The snapshot inherits scd2's one-shuffle shape; the
+    * filter is narrow.
+    *
+    * Output: one row per entity alive at T — (user_id, attr,
+    * valid_from, version), ordered. */
+  def snapshotAt(events: DataFrame,
+                 at: String = "2024-01-15 00:00:00"): DataFrame = {
+    val t = lit(at).cast("timestamp")
+    scd2(events)
+      .filter(col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .select(col("user_id"), col("attr"), col("valid_from"),
+        col("version"))
+      .orderBy(col("user_id"))
+  }
+
   /** COHORT LTV matrix (round 11) — the monetary sibling of
     * `event_retention`'s activity triangle: customers cohort by FIRST
     * order month, and each (cohort, months-since) cell reports active

@@ -918,6 +918,27 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("snapshotAt: exactly one open version per alive entity, state " +
+    "matches replaying events up to T, later-born entities absent") {
+    import java.sql.Timestamp
+    def e(id: Long, u: Long, d: String, a: String) =
+      (id, u, Timestamp.valueOf(s"$d 00:00:00"), a)
+    val fix = Seq(
+      e(1L, 1L, "2024-01-01", "a"), e(2L, 1L, "2024-01-10", "b"),
+      e(3L, 1L, "2024-01-20", "c"),  // after T: must not show
+      e(4L, 2L, "2024-01-16", "x"))  // born after T: absent
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Relational.snapshotAt(fix, at = "2024-01-15 00:00:00")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3))))
+      .toMap
+    assert(out == Map(1L -> (("b", 2L))), s"got $out")
+    // corpus: at most one row per user, all versions positive
+    val snap = Relational.snapshotAt(Tables.events(spark, sf0)).collect()
+    assert(snap.map(_.getLong(0)).distinct.length == snap.length,
+      "an entity has two simultaneous versions")
+    assert(snap.forall(_.getLong(3) >= 1L))
+  }
+
   test("cohortLtv: hand-computed two-cohort matrix, offset-0 cells " +
     "cover every customer once, corpus cents reconcile") {
     import java.sql.Timestamp
