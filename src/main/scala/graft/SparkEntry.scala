@@ -1332,6 +1332,12 @@ object SparkEntry {
     "dedup_rate_report" -> ((s, d) =>
       Dedup.dedupRateReport(Tables.documents(s, d), nearDupPairsShared(s, d))),
 
+    // N-gram novelty curve (round 11): novel = first-carrier via ONE
+    // min-per-shingle aggregation — marginal content per doc, no
+    // pairwise work.
+    "text_ngram_novelty" -> ((s, d) =>
+      Dedup.ngramNovelty(Tables.documents(s, d))),
+
     // MinHash-LSH banding + exact verify: the 100 TB scale path for
     // dedup_fuzzy. Round 7: the md5-affine portable hashing makes the
     // whole banded candidate set DuckDB-replayable — full oracle
@@ -3195,6 +3201,15 @@ object SparkEntry {
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
         "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+
+    // min-per-shingle first-carrier replay over the shared shingle CTE
+    "text_ngram_novelty" ->
+      (s"WITH $sqlShingleCte, " +
+        "f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1) " +
+        "SELECT sh.doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty " +
+        "FROM sh JOIN f USING (shingle) GROUP BY sh.doc_id ORDER BY sh.doc_id"),
 
     // per-source audit over the SAME pair relation: suppressed doc_b
     // set, within/cross pair split, one IEEE division per source

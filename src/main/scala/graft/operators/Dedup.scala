@@ -743,6 +743,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** N-GRAM NOVELTY curve (round 11) — the marginal-content question a
+    * corpus curator asks before ingesting more of a source: how much
+    * of each document's content is NEW vs already seen earlier in the
+    * arrival order (doc_id here — substitute a crawl timestamp
+    * unchanged)? A shingle is novel in the FIRST document that
+    * carries it — computed as min-doc-per-shingle, one map-side-
+    * combinable MIN aggregation over the shingle relation (the
+    * dedup_fuzzy blocking table — same word-3-gram contract), never a
+    * pairwise comparison or an ordered scan. Per doc: distinct grams,
+    * novel grams (its doc_id IS the min), and the novelty ratio — a
+    * corpus whose tail documents trend toward zero novelty has been
+    * crawled to exhaustion; a near-dup-heavy source shows it here
+    * before any pair enumeration runs.
+    *
+    * Output: (doc_id, n_grams, n_novel, novelty), one row per doc with
+    * ≥ 1 shingle, ordered. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingleTable(docs, n)
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DEDUP-RATE audit report (round 11) — the summary every corpus
     * curation run publishes before anyone trusts the dedup pass: per
     * SOURCE (the provenance axis a data lead slices by), how many

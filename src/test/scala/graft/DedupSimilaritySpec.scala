@@ -930,6 +930,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ngramNovelty: the first carrier owns a shingle, duplicates " +
+    "score zero, totals reconcile to distinct shingles") {
+    import spark.implicits._
+    val fix = Seq((1L, "a b c d"), (2L, "a b c d"), // exact dup of 1
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.ngramNovelty(fix).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, 1.0)), "first doc owns everything")
+    assert(out(2L) == ((2L, 0L, 0.0)), "an exact dup must be 0-novel")
+    assert(out(3L) == ((2L, 2L, 1.0)))
+    // the novel counts across docs tile the distinct shingle universe
+    val corpus = graft.operators.Dedup.ngramNovelty(docs).collect()
+    val distinctShingles = graft.operators.Dedup
+      .shingleTable(docs).select("shingle").distinct().count()
+    assert(corpus.map(_.getLong(2)).sum == distinctShingles,
+      "every distinct shingle has exactly one first carrier")
+  }
+
   test("tokenBudgetPrefix: whole-document boundary rule, per-shard " +
     "budgets independent, deterministic under partitioning") {
     import spark.implicits._
