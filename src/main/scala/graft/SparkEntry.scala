@@ -630,6 +630,12 @@ object SparkEntry {
     "join_asof_tolerance" -> ((s, d) =>
       Relational.asofJoinTolerance(Tables.events(s, d))),
 
+    // Nearest as-of (round 11): closest match EITHER direction (pandas
+    // direction='nearest') — two carries over one per-user sort,
+    // backward tie-break.
+    "join_asof_nearest" -> ((s, d) =>
+      Relational.asofNearest(Tables.events(s, d))),
+
     // Range (interval) join: purchases inside any error's 10-minute
     // window, via time-bucketing (equi-join on bucket + exact filter —
     // not the BNLJ a naive inequality join would plan).
@@ -1857,6 +1863,30 @@ object SparkEntry {
         "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
         "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS UNBOUNDED PRECEDING) AS asof_ts " +
         "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    // both carries over the same (ts, event_id) order; backward ties
+    "join_asof_nearest" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "w AS (SELECT *, " +
+        "last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_ts, " +
+        "first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_ts " +
+        "FROM e), " +
+        "p AS (SELECT *, " +
+        "CASE WHEN b_ts IS NOT NULL THEN us - epoch_us(b_ts) END AS b_gap, " +
+        "CASE WHEN f_ts IS NOT NULL THEN epoch_us(f_ts) - us END AS f_gap " +
+        "FROM w WHERE event_type = 'purchase'), " +
+        "r AS (SELECT *, CASE WHEN b_gap IS NOT NULL AND " +
+        "(f_gap IS NULL OR b_gap <= f_gap) THEN 'back' " +
+        "WHEN f_gap IS NOT NULL THEN 'fwd' ELSE 'none' END AS direction FROM p) " +
+        "SELECT event_id, user_id, ts, " +
+        "CASE WHEN direction = 'back' THEN b_ts WHEN direction = 'fwd' THEN f_ts END AS nearest_ts, " +
+        "CASE WHEN direction = 'back' THEN b_gap WHEN direction = 'fwd' THEN f_gap END AS gap_us, " +
+        "direction FROM r ORDER BY event_id"),
 
     // tolerance replay: same carry + the integer-µs age gate; CASE
     // NULLs mirror the Spark when()s

@@ -713,6 +713,52 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of join (round 11) — the third member of the as-of
+    * family (backward `join_asof`, max-age `join_asof_tolerance`):
+    * match the CLOSEST same-user event in EITHER direction — the
+    * sensor-fusion/log-alignment semantic ("the reading nearest this
+    * event", pandas merge_asof direction='nearest'). Two running
+    * carries over ONE per-user sort (backward last + forward first —
+    * the same single shuffle; no second exchange: both windows share
+    * the partition key and ordering, Spark plans one sort), then a
+    * narrow integer-µs comparison picks the closer side; ties break
+    * BACKWARD (the earlier match — deterministic, documented).
+    *
+    * Output: (event_id, user_id, ts, nearest_ts, gap_us, direction),
+    * direction ∈ {back, fwd, none}, ordered. */
+  def asofNearest(events: DataFrame, matchType: String = "click",
+                  forType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val mTs = when(col("event_type") === matchType, col("ts"))
+    val us = unix_micros(col("ts"))
+    events
+      .withColumn("b_ts", last(mTs, ignoreNulls = true).over(back))
+      .withColumn("f_ts", first(mTs, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === forType)
+      .withColumn("b_gap",
+        when(col("b_ts").isNotNull, us - unix_micros(col("b_ts"))))
+      .withColumn("f_gap",
+        when(col("f_ts").isNotNull, unix_micros(col("f_ts")) - us))
+      .withColumn("direction",
+        when(col("b_gap").isNotNull &&
+            (col("f_gap").isNull || col("b_gap") <= col("f_gap")), "back")
+          .when(col("f_gap").isNotNull, "fwd")
+          .otherwise("none"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("direction") === "back", col("b_ts"))
+          .when(col("direction") === "fwd", col("f_ts")).as("nearest_ts"),
+        when(col("direction") === "back", col("b_gap"))
+          .when(col("direction") === "fwd", col("f_gap")).as("gap_us"),
+        col("direction"))
+      .orderBy(col("event_id"))
+  }
+
   /** Pivot: per-user event-type counts as columns (explicit value list ⇒
     * deterministic schema, no extra pass to discover values — the form
     * that works on a 100 TB fact table). */

@@ -918,6 +918,42 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("asofNearest: picks the closer side, backward wins ties, no " +
+    "match at all reports none; gaps reconcile with the backward as-of") {
+    import java.sql.Timestamp
+    def e(id: Long, u: Long, t: String, ty: String) =
+      (id, u, Timestamp.valueOf(t), ty)
+    val fix = Seq(
+      e(1L, 7L, "2024-01-01 00:00:00", "click"),
+      e(2L, 7L, "2024-01-01 00:00:10", "purchase"), // back 10s, fwd 5s → fwd
+      e(3L, 7L, "2024-01-01 00:00:15", "click"),
+      e(4L, 7L, "2024-01-01 00:00:25", "purchase"), // back 10s, fwd 10s → back
+      e(5L, 7L, "2024-01-01 00:00:35", "click"),
+      e(6L, 8L, "2024-01-01 00:00:00", "purchase")) // no click: none
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Relational.asofNearest(fix).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(4)).map(_.toString.toLong), r.getString(5)))).toMap
+    assert(out(2L) == ((Some(5000000L), "fwd")), s"got ${out(2L)}")
+    assert(out(4L) == ((Some(10000000L), "back")), "ties must go backward")
+    assert(out(6L) == ((None, "none")))
+    // corpus: every backward match is reachable, so nearest gap ≤ the
+    // pure-backward staleness wherever both exist
+    val near = Relational.asofNearest(Tables.events(spark, sf0)).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.toString.toLong)).toMap
+    val backOnly = Relational.asofJoinTolerance(Tables.events(spark, sf0),
+        toleranceSec = Long.MaxValue / 2000000).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.toString.toLong)).toMap
+    backOnly.foreach { case (id, bg) =>
+      (bg, near(id)) match {
+        case (Some(b), Some(n)) => assert(n <= b,
+          s"event $id: nearest gap $n exceeds backward staleness $b")
+        case (Some(_), None) => fail(s"event $id lost its match")
+        case _ => ()
+      }
+    }
+  }
+
   test("snapshotAt: exactly one open version per alive entity, state " +
     "matches replaying events up to T, later-born entities absent") {
     import java.sql.Timestamp
