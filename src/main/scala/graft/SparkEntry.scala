@@ -155,7 +155,8 @@ object SparkEntry {
       () => nearDupPairsMemo.clear(),
       (s, d) => { nearDupPairsShared(s, d); () }),
     ("memo:co_order_edges",
-      Seq("graph_pagerank", "graph_triangles", "graph_degree_dist"),
+      Seq("graph_pagerank", "graph_triangles", "graph_degree_dist",
+        "graph_link_jaccard"),
       () => coOrderEdgesMemo.clear(),
       (s, d) => { coOrderEdgesShared(s, d); () }),
     ("memo:unigram_model", Seq("tokenizer_unigram", "tokenizer_unigram_encode"),
@@ -902,6 +903,14 @@ object SparkEntry {
     // structural. Reads the shared memoized edges.
     "graph_degree_dist" -> ((s, d) =>
       Graph.degreeDistribution(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
+    // Neighbor-Jaccard link scores (round 11): link prediction from the
+    // degree-ordered triangle enumeration — common neighbors via one
+    // explode+groupBy, never a neighborhood-set join. Fourth consumer
+    // of the shared edges.
+    "graph_link_jaccard" -> ((s, d) =>
+      Graph.neighborJaccard(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
     // Exact interpolated quantiles (order statistics, oracle-checkable).
@@ -2262,6 +2271,28 @@ object SparkEntry {
     // unrolled fixed-point iterations (scale 10^12, truncating //,
     // CAST sums back from DuckDB's HUGEINT) — same unroll doctrine as
     // the IVF training oracle
+    // id-ordered triangle enumeration (orientation-free — correctness
+    // only), 3 edge contributions per triangle, open-neighborhood union
+    "graph_link_jaccard" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), " +
+        "tri AS (SELECT p.a AS x, p.b AS y, q.b AS z FROM und p " +
+        "JOIN und q ON p.a = q.a AND p.b < q.b " +
+        "JOIN und r ON r.a = p.b AND r.b = q.b), " +
+        "contrib AS (SELECT LEAST(y, z) AS a, GREATEST(y, z) AS b FROM tri " +
+        "UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tri " +
+        "UNION ALL SELECT LEAST(x, y), GREATEST(x, y) FROM tri), " +
+        "cn AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn FROM contrib GROUP BY 1, 2), " +
+        "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (" +
+        "SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1), " +
+        "j AS (SELECT und.a, und.b, COALESCE(cn.cn, 0) AS cn, " +
+        "da.deg + db.deg - 2 - COALESCE(cn.cn, 0) AS union_n " +
+        "FROM und LEFT JOIN cn ON und.a = cn.a AND und.b = cn.b " +
+        "JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n) " +
+        "SELECT a, b, cn, union_n, " +
+        "CASE WHEN union_n > 0 THEN CAST(cn AS DOUBLE) / union_n ELSE 0.0 END AS jaccard " +
+        "FROM j ORDER BY jaccard DESC, a, b LIMIT 20"),
+
     // degree histogram over the same edge relation; zero-degree parts
     // come from the part universe left join
     "graph_degree_dist" ->

@@ -140,6 +140,59 @@ object Graph {
     * graph (every out-neighbor of u has (deg, id) ≥ u's, and fewer
     * than √(2·|E|) nodes have degree ≥ √(2·|E|)) — the bound the
     * skew spec asserts. */
+  /** NEIGHBOR-JACCARD link scores (round 11) — the link-prediction /
+    * recommendation primitive over the co-occurrence graph ("parts
+    * that share co-purchase neighborhoods belong together"): per
+    * existing edge, |N(a)∩N(b)| / |N(a)∪N(b)| over OPEN neighborhoods
+    * minus the endpoints. Common neighbors come FREE from the
+    * degree-ordered triangle enumeration ([[triangles]]' skew-safe
+    * oriented wedge join — each triangle donates one common neighbor
+    * to each of its three edges), so the count is one explode +
+    * map-side-combinable groupBy past the shared enumeration — never
+    * a neighborhood-set join. Triangle-free edges score a structural
+    * 0 (and a both-endpoints-degree-1 edge has empty union — defined
+    * 0). Top `k` by (jaccard DESC, a, b) via TakeOrdered.
+    *
+    * Output: (a, b, cn, union_n, jaccard), ordered by rank. */
+  def neighborJaccard(lineitem: DataFrame, k: Int = 20,
+                      scope: CacheScope = CacheScope.off,
+                      edges0: Option[DataFrame] = None): DataFrame = {
+    val e = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
+      .select(col("a"), col("b"))
+    val d = degreeOriented(e)
+    val tri = d.as("e1")
+      .join(d.as("e2"), col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .join(d.select(col("u"), col("v")).as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val cn = tri.select(explode(array(
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")),
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    e.join(cn, Seq("a", "b"), "left")
+      .join(broadcast(deg.select(col("n").as("a"), col("deg").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("n").as("b"), col("deg").as("db"))),
+        Seq("b"))
+      .select(col("a"), col("b"), coalesce(col("cn"), lit(0L)).as("cn"),
+        (col("da") + col("db") - 2 -
+          coalesce(col("cn"), lit(0L))).as("union_n"))
+      .withColumn("jaccard",
+        when(col("union_n") > 0,
+          col("cn").cast("double") / col("union_n")).otherwise(lit(0.0)))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   private[graft] def degreeOriented(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

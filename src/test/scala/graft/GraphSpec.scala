@@ -98,6 +98,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("neighborJaccard: hand-computed scores on a K4-plus-pendant, " +
+    "triangle-free edges score zero, repartition-invariant") {
+    // order 1 = K4 over {1,2,3,4}: every edge has cn=2, open union
+    // = 3+3-2-2 = 2 → jaccard 1.0; order 2 adds pendant edge (4,9):
+    // cn 0, union = (4-1)+(1-1)-0 = 3 → 0.0
+    val fix = li(1L -> Seq(1L, 2L, 3L, 4L), 2L -> Seq(4L, 9L))
+    val out = Graph.neighborJaccard(fix, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((1L, 2L)) == ((2L, 2L, 1.0)), s"got ${out((1L, 2L))}")
+    // edges inside {1,2,3} score 1; node 4 carries the pendant, so
+    // deg(4)=4 and its K4 edges dilute to 2/(2+3-2) = 2/3
+    assert(Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      .forall(k => out(k) == ((2L, 2L, 1.0))))
+    assert(Seq((1L, 4L), (2L, 4L), (3L, 4L))
+      .forall(k => out(k) == ((2L, 3L, 2.0 / 3))), s"got ${out((1L, 4L))}")
+    assert(out((4L, 9L)) == ((0L, 3L, 0.0)),
+      "pendant edge must score a structural zero")
+    val liT = Tables.lineitem(spark, sf0)
+    val a = Graph.neighborJaccard(liT).collect()
+    assert(a.length == 20 && a.forall(r =>
+      r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0))
+    assert(a.toSeq ==
+      Graph.neighborJaccard(liT.repartition(13)).collect().toSeq)
+  }
+
   test("degreeDistribution: hand-checked histogram with a structural " +
     "zero-degree node, handshake sum, repartition-invariant") {
     // order 1 = triangle {1,2,3}; order 2 repeats pair (2,3); part 9
