@@ -705,6 +705,11 @@ object SparkEntry {
     "event_markov" -> ((s, d) =>
       Relational.markovTransitions(Tables.events(s, d))),
 
+    // Top converting paths (round 11): ordered last-3-step sequences
+    // before each purchase — one per-user sort feeds all lags.
+    "event_path_topk" -> ((s, d) =>
+      Relational.convertingPaths(Tables.events(s, d))),
+
     // DAU/MAU stickiness (round 11): exact distinct actives, shuffle
     // O(actives) never O(events), two fixed-order divisions.
     "event_dau_mau" -> ((s, d) =>
@@ -2132,6 +2137,17 @@ object SparkEntry {
         "SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS token, tf, df, " +
         "CAST(score AS BIGINT) AS score FROM rk WHERE rank <= 3 " +
         "ORDER BY doc_id, rank"),
+
+    // same 3 lags over the (ts, event_id) total order, '-' padding
+    "event_path_topk" ->
+      ("WITH p AS (SELECT event_type, " +
+        "COALESCE(lag(event_type, 3) OVER w, '-') || '>' || " +
+        "COALESCE(lag(event_type, 2) OVER w, '-') || '>' || " +
+        "COALESCE(lag(event_type, 1) OVER w, '-') AS path " +
+        "FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id)) " +
+        "SELECT path, COUNT(*) AS n FROM p WHERE event_type = 'purchase' " +
+        "GROUP BY 1 ORDER BY n DESC, path LIMIT 10"),
 
     // lag pairs over the µs-truncated ts, (ts, event_id) total order
     "event_markov" ->

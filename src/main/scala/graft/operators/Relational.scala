@@ -1150,6 +1150,33 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** TOP CONVERTING PATHS (round 11) — the path-to-conversion report
+    * funnel tools ship beside the transition matrix ([[markovTransitions]]
+    * is memoryless; paths keep the ORDER of the last `depth` steps):
+    * for every target event, the exact sequence of the `depth`
+    * preceding same-user events (older → newer, '-' padding when
+    * history is short), counted and ranked. One per-user sort feeds
+    * all `depth` lags (one shuffle — the sessionize discipline); the
+    * path relation aggregates map-side to ≤ types^depth keys; top-k
+    * via TakeOrdered on (n DESC, path).
+    *
+    * Output: (path, n), rank order. */
+  def convertingPaths(events: DataFrame, target: String = "purchase",
+                      depth: Int = 3, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && k >= 1, "need positive depth and k")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val lags = (depth to 1 by -1).map(i =>
+      coalesce(lag(col("event_type"), i).over(w), lit("-")))
+    events
+      .withColumn("path", concat_ws(">", lags: _*))
+      .filter(col("event_type") === target)
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** First-order MARKOV transition matrix (round 11) — the journey-
     * analysis primitive behind "what do users do next": per user, order
     * events by (ts, event_id) and count each (prev_type → next_type)

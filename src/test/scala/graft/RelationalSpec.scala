@@ -918,6 +918,26 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("convertingPaths: ordered history with '-' padding, counts " +
+    "reconcile to target events") {
+    import java.sql.Timestamp
+    def e(id: Long, u: Long, s: Int, ty: String) =
+      (id, u, Timestamp.valueOf(f"2024-01-01 00:00:$s%02d"), ty)
+    val fix = Seq(
+      e(1L, 7L, 1, "view"), e(2L, 7L, 2, "click"),
+      e(3L, 7L, 3, "purchase"),           // path -:view:click
+      e(4L, 8L, 1, "purchase"))           // no history: -:-:-
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Relational.convertingPaths(fix).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("->view>click" -> 1L, "->->-" -> 1L), s"got $out")
+    val ev = Tables.events(spark, sf0)
+    val paths = Relational.convertingPaths(ev, k = 1000000).collect()
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    assert(paths.map(_.getLong(1)).sum == purchases,
+      "every purchase must land in exactly one path")
+  }
+
   test("asofNearest: picks the closer side, backward wins ties, no " +
     "match at all reports none; gaps reconcile with the backward as-of") {
     import java.sql.Timestamp
