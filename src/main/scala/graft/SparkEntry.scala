@@ -731,6 +731,12 @@ object SparkEntry {
     "corpus_token_budget" -> ((s, d) =>
       Corpus.tokenBudgetPrefix(Tables.documents(s, d))),
 
+    // Vocab coverage (round 11): per-source occurrence coverage of the
+    // global top-32 vocab + OOV type counts — the tokenizer card's
+    // first table.
+    "tokenizer_vocab_coverage" -> ((s, d) =>
+      Corpus.vocabCoverage(Tables.documents(s, d))),
+
     // Quarantine decode: bad wire rows are FLAGGED, not silently dropped
     // (upgrading the reference's drop-and-continue, SURVEY.md §4.4.3).
     "row_quarantine" -> ((s, d) => {
@@ -2107,6 +2113,19 @@ object SparkEntry {
         "CAST(d.sum_dau AS DOUBLE) / d.n_days AS avg_dau, " +
         "CAST(d.sum_dau AS DOUBLE) / d.n_days / m.mau AS stickiness " +
         "FROM m JOIN d USING (month) ORDER BY m.month"),
+
+    // top-32 by (freq DESC, token); membership + per-source rollup
+    "tokenizer_vocab_coverage" ->
+      ("WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS freq FROM t GROUP BY 1 " +
+        "ORDER BY freq DESC, tok LIMIT 32)), " +
+        "m AS (SELECT t.source, t.tok, v.tok IS NOT NULL AS in_vocab " +
+        "FROM t LEFT JOIN v ON t.tok = v.tok) " +
+        "SELECT source, COUNT(*) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS BIGINT) AS n_covered, " +
+        "CAST(COUNT(DISTINCT CASE WHEN NOT in_vocab THEN tok END) AS BIGINT) AS n_oov_types, " +
+        "CAST(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage " +
+        "FROM m GROUP BY 1 ORDER BY 1"),
 
     // md5-order per-shard running total; keep iff own cumulative fits
     "corpus_token_budget" ->

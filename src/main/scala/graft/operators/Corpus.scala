@@ -409,6 +409,37 @@ object Corpus {
       .orderBy(col("train_pos"))
   }
 
+  /** VOCAB-COVERAGE report (round 11) — the first table of every
+    * tokenizer card: what share of token OCCURRENCES a fixed
+    * `vocabSize` vocabulary covers, per source (the per-source split
+    * is the point — a vocab trained on web text covers code or
+    * another language badly, and this is where that shows). Vocab =
+    * the global top-`vocabSize` tokens by (freq DESC, token) — the
+    * [[vocabulary]] convention — selected via TakeOrdered and
+    * broadcast; coverage is a narrow membership join + one
+    * map-side-combinable per-source aggregation; OOV distinct counts
+    * ride along (the "how many new pieces would we need" column).
+    *
+    * Output: (source, n_tokens, n_covered, n_oov_types, coverage),
+    * ordered. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 32): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val toks = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab"), 1L).otherwise(0L)).as("n_covered"),
+        countDistinct(when(!coalesce(col("in_vocab"), lit(false)),
+          col("tok"))).as("n_oov_types"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** TOKEN-BUDGET prefix cut (round 11) — "train on exactly N tokens":
     * every pretraining run cuts its corpus to a budget, and the cut
     * must be DETERMINISTIC (same corpus + budget ⇒ same training set,

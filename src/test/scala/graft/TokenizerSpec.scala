@@ -169,6 +169,26 @@ class TokenizerSpec extends SparkSpec {
       "encode does not tile the corpus exactly")
   }
 
+  test("vocabCoverage: per-source coverage with a hand vocab cut, OOV " +
+    "types exact, covered + uncovered tiles every occurrence") {
+    import spark.implicits._
+    // vocabSize 2 → vocab {a, b} (freqs 4, 3); source s1 all covered,
+    // s2 has OOV types {x, y}
+    val fix = Seq((1L, "a a b", "s1"), (2L, "a b b a", "s1"),
+      (3L, "x y a x", "s2")).toDF("doc_id", "text", "source")
+    val out = graft.operators.Corpus.vocabCoverage(fix, vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("s1") == ((7L, 7L, 0L, 1.0)), s"got ${out("s1")}")
+    assert(out("s2") == ((4L, 1L, 2L, 0.25)), s"got ${out("s2")}")
+    val corpus = graft.operators.Corpus
+      .vocabCoverage(Tables.documents(spark, sf0)).collect()
+    corpus.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("wordpieceEncode: greedy longest-match replays by hand, tiles " +
     "the truncated corpus, and is repartition-invariant") {
     import spark.implicits._
