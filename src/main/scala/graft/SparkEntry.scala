@@ -663,6 +663,11 @@ object SparkEntry {
     "event_anomaly" -> ((s, d) =>
       Relational.valueAnomalies(Tables.events(s, d))),
 
+    // MAD outliers (round 11): the robust sibling — reservoir medians
+    // (value, then absolute deviation), pure-integer 3*1.4826 flag.
+    "event_anomaly_mad" -> ((s, d) =>
+      Relational.madOutliers(Tables.events(s, d))),
+
     // A/B Welch's t (round 11): deterministic parity arms, exact integer
     // moment sums in one conditional-aggregation pass, identical IEEE
     // operation tree for the statistic.
@@ -2179,6 +2184,36 @@ object SparkEntry {
         "SELECT c.prev_type, c.next_type, c.n, " +
         "CAST(c.n AS DOUBLE) / t.row_total AS p_next " +
         "FROM c JOIN t USING (prev_type) ORDER BY 1, 2"),
+
+    // two reservoir-median replays ((h, value) order), integer flag
+    "event_anomaly_mad" ->
+      ("WITH k AS (SELECT event_type, event_id, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, " +
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT) AS h " +
+        "FROM events), " +
+        "s1 AS (SELECT event_type, c FROM (SELECT event_type, c, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h, CAST(c AS DOUBLE)) AS rn " +
+        "FROM k) WHERE rn <= 256), " +
+        "m1 AS (SELECT event_type, CAST(v AS BIGINT) AS median_cents FROM (" +
+        "SELECT event_type, CAST(c AS DOUBLE) AS v, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY CAST(c AS DOUBLE)) AS vr, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM s1) " +
+        "WHERE vr = (50 * n + 99) // 100), " +
+        "d AS (SELECT k.event_type, k.h, ABS(k.c - m1.median_cents) AS ad, " +
+        "m1.median_cents FROM k JOIN m1 USING (event_type)), " +
+        "s2 AS (SELECT event_type, ad FROM (SELECT event_type, ad, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h, CAST(ad AS DOUBLE)) AS rn " +
+        "FROM d) WHERE rn <= 256), " +
+        "m2 AS (SELECT event_type, CAST(v AS BIGINT) AS mad_cents FROM (" +
+        "SELECT event_type, CAST(ad AS DOUBLE) AS v, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY CAST(ad AS DOUBLE)) AS vr, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM s2) " +
+        "WHERE vr = (50 * n + 99) // 100) " +
+        "SELECT d.event_type, COUNT(*) AS n, d.median_cents, m2.mad_cents, " +
+        "CAST(SUM(CASE WHEN d.ad * 1000 > m2.mad_cents * 4448 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM d JOIN m2 USING (event_type) " +
+        "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
+        "ORDER BY d.event_type"),
 
     "event_anomaly" ->
       ("WITH s AS (SELECT event_type, COUNT(*) AS n, " +

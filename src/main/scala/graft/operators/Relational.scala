@@ -1150,6 +1150,48 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** MAD (median-absolute-deviation) outliers (round 11) — the ROBUST
+    * sibling of `event_anomaly`'s z-score: mean/stddev are themselves
+    * dragged by the outliers they hunt, so production monitoring flags
+    * on |x − median| > k·MAD instead. Both medians come from the
+    * deterministic md5-reservoir (the `sketch_quantiles` machinery —
+    * bounded state, error replays bit-for-bit): pass 1 the per-type
+    * value median, pass 2 the median absolute deviation (needs pass
+    * 1's result — two bounded aggregations by construction, both
+    * map-side partial); the flag is a pure-integer comparison in
+    * scaled cents (|x−m|·1000 > 4448·MAD ≈ the classic 3σ-equivalent
+    * 3·1.4826·MAD) — no float threshold to disagree on.
+    *
+    * Output: (event_type, n, median_cents, mad_cents, n_outliers),
+    * ordered. */
+  def madOutliers(events: DataFrame, r: Int = 256): DataFrame = {
+    val cents = (dec2(col("value")) * 100).cast("long")
+    val h = conv(substring(md5(concat(col("event_id").cast("string"))),
+      1, 7), 16, 10).cast("long")
+    val keyed = events.select(col("event_type"), col("event_id"),
+      cents.as("c")).withColumn("h", h)
+    def med(df: DataFrame, vc: Column): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(graft.functions.BottomKAgg.bottomK(r)(col("h"), vc.cast("double"))
+          .as("samp"))
+        .select(col("event_type"), element_at(
+          sort_array(transform(col("samp"), s => s.getField("_2"))),
+          expr("CAST((50 * size(samp) + 99) div 100 AS INT)"))
+          .cast("long").as("m"))
+    val m1 = med(keyed, col("c")).withColumnRenamed("m", "median_cents")
+    val dev = keyed.join(broadcast(m1), Seq("event_type"))
+      .withColumn("ad", abs(col("c") - col("median_cents")))
+    val m2 = med(dev, col("ad")).withColumnRenamed("m", "mad_cents")
+    dev.join(broadcast(m2), Seq("event_type"))
+      .groupBy(col("event_type"), col("median_cents"), col("mad_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ad") * 1000 > col("mad_cents") * 4448, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("median_cents"),
+        col("mad_cents"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** TOP CONVERTING PATHS (round 11) — the path-to-conversion report
     * funnel tools ship beside the transition matrix ([[markovTransitions]]
     * is memoryless; paths keep the ORDER of the last `depth` steps):

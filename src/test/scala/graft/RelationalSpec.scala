@@ -918,6 +918,23 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("madOutliers: a gross outlier flags under MAD but drags the " +
+    "mean — the robustness the z-score lacks; exact medians in-sample") {
+    // values 10.00 ×5 and one 10000.00: median 1000c, MAD 0 → the
+    // outlier (ad > 0) flags; median/MAD untouched by the outlier
+    val fix = ((1L to 5L).map(i => (i, "x", 10.0)) :+ ((6L, "x", 10000.0)))
+      .toDF("event_id", "event_type", "value")
+    val r = Relational.madOutliers(fix).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((6L, 1000L, 0L, 1L)), s"got $r")
+    val out = Relational.madOutliers(Tables.events(spark, sf0)).collect()
+    out.foreach { row =>
+      assert(row.getLong(2) > 0 && row.getLong(3) >= 0)
+      assert(row.getLong(4) < row.getLong(1) / 2,
+        "a robust flag must never mark half the data")
+    }
+  }
+
   test("convertingPaths: ordered history with '-' padding, counts " +
     "reconcile to target events") {
     import java.sql.Timestamp
