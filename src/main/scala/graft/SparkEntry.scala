@@ -668,6 +668,11 @@ object SparkEntry {
     "event_anomaly_mad" -> ((s, d) =>
       Relational.madOutliers(Tables.events(s, d))),
 
+    // Chi-square independence (round 11): exact contingency counts,
+    // per-cell integer-derived terms, ORDERED fold for the statistic.
+    "stats_chi2" -> ((s, d) =>
+      Relational.chiSquare(Tables.events(s, d))),
+
     // A/B Welch's t (round 11): deterministic parity arms, exact integer
     // moment sums in one conditional-aggregation pass, identical IEEE
     // operation tree for the statistic.
@@ -2058,6 +2063,30 @@ object SparkEntry {
         "SELECT CAST(((nrm - lo) * 16) // (hi - lo + 1) AS BIGINT) AS bucket, " +
         "COUNT(*) AS n, MIN(nrm) AS nrm_min, MAX(nrm) AS nrm_max " +
         "FROM q, b GROUP BY 1 ORDER BY 1"),
+
+    // cells + the SAME ordered fold (list(... ORDER BY) adds in the
+    // identical sequence as the sorted-array aggregate)
+    "stats_chi2" ->
+      ("WITH obs AS (SELECT event_type, user_id % 2 AS arm, " +
+        "CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1, 2), " +
+        "cells AS (SELECT g.event_type, g.arm, COALESCE(obs.o, 0) AS o FROM " +
+        "(SELECT et.event_type, ar.arm FROM " +
+        "(SELECT DISTINCT event_type FROM obs) et, " +
+        "(SELECT DISTINCT arm FROM obs) ar) g " +
+        "LEFT JOIN obs ON g.event_type = obs.event_type AND g.arm = obs.arm), " +
+        "r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+        "c AS (SELECT arm, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
+        "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells), " +
+        "t AS (SELECT cells.event_type, cells.arm, cells.o, " +
+        "CAST(r.r * c.c AS DOUBLE) / nn.n AS expected, " +
+        "(CAST(cells.o * nn.n - r.r * c.c AS DOUBLE) * " +
+        "CAST(cells.o * nn.n - r.r * c.c AS DOUBLE)) / " +
+        "CAST(r.r * c.c * nn.n AS DOUBLE) AS term " +
+        "FROM cells JOIN r USING (event_type) JOIN c USING (arm), nn), " +
+        "s AS (SELECT list_reduce(list(term ORDER BY event_type, arm), " +
+        "(a, b) -> a + b) AS chi2 FROM t) " +
+        "SELECT t.event_type, t.arm, t.o, t.expected, t.term, s.chi2 " +
+        "FROM t, s ORDER BY t.event_type, t.arm"),
 
     // OLS replay: exact moments, same slope/intercept tree
     "stats_regression" ->

@@ -1150,6 +1150,57 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** CHI-SQUARE independence test (round 11) — "does event mix depend
+    * on the experiment arm": the contingency-table test every
+    * experimentation platform runs next to the t-test
+    * ([[abTestWelch]] compares means; χ² compares CATEGORY mixes).
+    * Counts are exact; each cell's term is (O·n − r·c)²/(r·c·n)
+    * computed from exact integers with ONE double division; and the
+    * STATISTIC sums the ≤ types·arms terms through an ORDERED fold
+    * (sort_array over (type, arm) then aggregate — Spark's collect and
+    * DuckDB's list(... ORDER BY) add in the same sequence, so the
+    * floating sum is bit-identical, where a groupBy SUM of doubles
+    * would be partial-aggregation-order dependent). Cells ride along;
+    * the statistic is a constant column (gate-frame style).
+    *
+    * Output: (event_type, arm, o, expected, term, chi2), ordered. */
+  def chiSquare(events: DataFrame): DataFrame = {
+    val observed = events
+      .select(col("event_type"), (col("user_id") % 2).as("arm"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("o"))
+    // STRUCTURAL ZERO CELLS: an empty cell is the strongest dependence
+    // signal and contributes rc/n — the full type × arm grid (bounded,
+    // distinct-of-distincts) left-joins the counts
+    val cells = observed.select(col("event_type")).distinct()
+      .crossJoin(observed.select(col("arm")).distinct())
+      .join(observed, Seq("event_type", "arm"), "left")
+      .select(col("event_type"), col("arm"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("arm")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val terms = cells
+      .join(broadcast(rows), Seq("event_type"))
+      .join(broadcast(cols), Seq("arm"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        (col("r") * col("c")).cast("double") / col("n"))
+      .withColumn("term",
+        ((col("o") * col("n") - col("r") * col("c")).cast("double") *
+          (col("o") * col("n") - col("r") * col("c")).cast("double")) /
+          (col("r") * col("c") * col("n")).cast("double"))
+    val stat = terms
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("event_type"), col("arm"),
+          col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
+    terms.select(col("event_type"), col("arm"), col("o"),
+        col("expected"), col("term"))
+      .crossJoin(broadcast(stat))
+      .orderBy(col("event_type"), col("arm"))
+  }
+
   /** MAD (median-absolute-deviation) outliers (round 11) — the ROBUST
     * sibling of `event_anomaly`'s z-score: mean/stddev are themselves
     * dragged by the outliers they hunt, so production monitoring flags

@@ -918,6 +918,24 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("chiSquare: independent 2x2 scores zero, a deterministic " +
+    "dependence scores the hand value, cells reconcile") {
+    // perfectly independent: each (type, arm) cell = 1
+    val ind = Seq((0L, "a"), (1L, "a"), (0L, "b"), (1L, "b"))
+      .toDF("user_id", "event_type")
+    val z = Relational.chiSquare(ind).collect()
+    assert(z.forall(_.getDouble(5) == 0.0), "independent table must be 0")
+    // complete dependence: type a only arm 0, type b only arm 1 → for
+    // a 2x2 with all margins 2 and n=4, chi2 = 4
+    val dep = Seq((0L, "a"), (2L, "a"), (1L, "b"), (3L, "b"))
+      .toDF("user_id", "event_type")
+    val d = Relational.chiSquare(dep).collect()
+    assert(d.head.getDouble(5) == 4.0, s"got ${d.head.getDouble(5)}")
+    val out = Relational.chiSquare(Tables.events(spark, sf0)).collect()
+    assert(out.map(_.getLong(2)).sum == Tables.events(spark, sf0).count())
+    assert(out.forall(_.getDouble(5) >= 0))
+  }
+
   test("madOutliers: a gross outlier flags under MAD but drags the " +
     "mean — the robustness the z-score lacks; exact medians in-sample") {
     // values 10.00 ×5 and one 10000.00: median 1000c, MAD 0 → the
