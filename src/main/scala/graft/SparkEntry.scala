@@ -1628,6 +1628,12 @@ object SparkEntry {
       Multimodal.gifSceneCuts(s,
         Multimodal.ingestGif(Tables.documents(s, d)))),
 
+    // Image entropy (round 11): gray-histogram concentration with the
+    // bit-length surrogate — the content-vs-flat curation filter.
+    "multimodal_entropy" -> ((s, d) =>
+      Multimodal.imageEntropy(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Lossy-codec leg under the hash oracle (round 9): real ImageIO JPEG
     // encode + decode, reduced to oracle-replayable exacts (dims, pixel
     // count, byte count) plus an integer error-band verdict the oracle
@@ -3922,6 +3928,18 @@ object SparkEntry {
         "FROM (SELECT doc_id, (n_chars % 4) + 2 AS n_frames, " +
         "(n_chars % 8) + 4 AS width, (n_chars % 6) + 4 AS height FROM documents))) " +
         "ORDER BY doc_id, frame_idx"),
+
+    // analytic gray histogram + bitlen surrogate replay
+    "multimodal_entropy" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w * h AS n, unnest(range(0, w * h)) AS i FROM dims), " +
+        "hc AS (SELECT doc_id, n, (doc_id*31 + i*7) % 256 AS g, COUNT(*) AS c " +
+        "FROM px GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_pixels, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_grays, CAST(MAX(c) AS BIGINT) AS max_count, " +
+        "CAST(SUM(c * (length(bin(n // c)) - 1)) AS BIGINT) AS ent_surrogate " +
+        "FROM hc GROUP BY doc_id, n ORDER BY doc_id"),
 
     // SAD over the analytic frame pixels; integer threshold compare
     "multimodal_scenecut" ->

@@ -213,6 +213,62 @@ object Multimodal {
     }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** IMAGE ENTROPY profile (round 11) — the content-vs-flat filter of
+    * an image curation pipeline (a near-constant image is a blank
+    * scan, a banner, a dead camera; a full-entropy one is noise —
+    * both tails get trimmed): per image, the gray-level histogram's
+    * concentration as exact integers — distinct gray count, modal
+    * count, and the engine's bit-length entropy surrogate
+    * Σ c_g·(bitlen(n div c_g) − 1) (the `text_lm_perplexity` /
+    * `text_tfidf_keywords` doctrine: 0 for a constant image, ~8·n for
+    * a uniform 256-level one, the true Σ c·log₂(n/c) within one bit
+    * per term — and exactly replayable, unlike a float entropy).
+    * Decode through the same real-ImageIO per-partition harness.
+    *
+    * Output: (doc_id, n_pixels, n_grays, max_count, ent_surrogate),
+    * ordered. */
+  def imageEntropy(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pixels", LongType),
+      StructField("n_grays", LongType), StructField("max_count", LongType),
+      StructField("ent_surrogate", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val hist = new Array[Long](256)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              hist((img.getRGB(x, y) >> 16) & 0xff) += 1; x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var grays = 0L; var mx = 0L; var ent = 0L
+          var g = 0
+          while (g < 256) {
+            val c = hist(g)
+            if (c > 0) {
+              grays += 1
+              if (c > mx) mx = c
+              ent += c * (64 - java.lang.Long.numberOfLeadingZeros(n / c) - 1)
+            }
+            g += 1
+          }
+          Row(r.getAs[Long]("doc_id"), n, grays, mx, ent)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** GIF SCENE-CUT detection (round 11) — the video-curation primitive
     * over the animated-GIF leg: per consecutive frame pair, the sum of
     * absolute pixel differences (SAD — the classic shot-boundary

@@ -386,6 +386,31 @@ class MultimodalSpec extends SparkSpec {
     assert(reparted.toSeq == out.toSeq)
   }
 
+  test("imageEntropy: histogram metrics match the analytic replay; " +
+    "constant image scores zero, spread image scores positive") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.imageEntropy(spark, Multimodal.ingestBmp(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val w = Multimodal.bmpWidth(meta(d)); val h = Multimodal.bmpHeight(meta(d))
+      val hist = (0 until w * h)
+        .groupBy(i => Multimodal.pixelValue(d, i)).view.mapValues(_.size.toLong)
+      val n = (w * h).toLong
+      assert(r.getLong(1) == n && r.getLong(2) == hist.size)
+      assert(r.getLong(3) == hist.values.max)
+      val ent = hist.values.map(c =>
+        c * (64 - java.lang.Long.numberOfLeadingZeros(n / c) - 1)).sum
+      assert(r.getLong(4) == ent, s"doc $d entropy surrogate")
+      // step-7 pattern spreads grays: never the constant-image zero
+      assert(r.getLong(4) > 0)
+    }
+    // the surrogate's boundary case: a constant image is exactly zero
+    assert((64 - java.lang.Long.numberOfLeadingZeros(1L) - 1) == 0)
+  }
+
   test("gifSceneCuts: SAD from the real LZW decode matches the " +
     "analytic frame arithmetic; a still pair is no cut, a hard " +
     "pattern change is") {
