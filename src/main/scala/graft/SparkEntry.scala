@@ -1374,6 +1374,12 @@ object SparkEntry {
     "text_ngram_novelty" -> ((s, d) =>
       Dedup.ngramNovelty(Tables.documents(s, d))),
 
+    // Source-overlap matrix (round 11): gram-level mirror detection —
+    // per-shingle carrier pairs (fan-out ≤ C(|sources|,2)), shared /
+    // smaller-side containment.
+    "corpus_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d))),
+
     // MinHash-LSH banding + exact verify: the 100 TB scale path for
     // dedup_fuzzy. Round 7: the md5-affine portable hashing makes the
     // whole banded candidate set DuckDB-replayable — full oracle
@@ -3367,6 +3373,21 @@ object SparkEntry {
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
         "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5 " +
         "ORDER BY doc_a, doc_b"),
+
+    // (source, shingle) distincts + per-shingle carrier pairs
+    "corpus_source_overlap" ->
+      ("WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents), " +
+        "ss AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(t) - 1, 1)), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM toks), " +
+        "tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ss GROUP BY 1), " +
+        "sh AS (SELECT x.source AS src_a, y.source AS src_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS shared FROM ss x " +
+        "JOIN ss y ON x.shingle = y.shingle AND x.source < y.source GROUP BY 1, 2) " +
+        "SELECT sh.src_a, sh.src_b, sh.shared, ta.n_sh AS n_a, tb.n_sh AS n_b, " +
+        "CAST(sh.shared AS DOUBLE) / LEAST(ta.n_sh, tb.n_sh) AS containment " +
+        "FROM sh JOIN tot ta ON sh.src_a = ta.source " +
+        "JOIN tot tb ON sh.src_b = tb.source ORDER BY sh.src_a, sh.src_b"),
 
     // min-per-shingle first-carrier replay over the shared shingle CTE
     "text_ngram_novelty" ->

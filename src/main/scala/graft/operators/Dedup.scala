@@ -743,6 +743,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SOURCE-OVERLAP matrix (round 11) — which sources mirror each
+    * other, at the GRAM level (the provenance complement of
+    * [[dedupRateReport]]'s cross-source pair counts: that needs
+    * near-dup pairs to exist; this sees partial mirroring and
+    * boilerplate sharing directly in the shingle sets): per source
+    * pair, the count of distinct shingles BOTH carry, with each
+    * source's distinct-shingle total and the containment ratio
+    * (shared / smaller side — the asymmetric-mirror detector).
+    *
+    * Scale shape: (source, shingle) distincts (one map-side-combined
+    * pass), then pairs enumerate PER SHINGLE across the ≤ |sources|
+    * carriers — fan-out bounded by C(|sources|, 2) per shingle
+    * (sources are a dimension, ≤ dozens; a per-shingle carrier list
+    * never materializes beyond that), aggregated map-side to the ≤
+    * |sources|² matrix. One IEEE division per pair.
+    *
+    * Output: (src_a, src_b, shared, n_a, n_b, containment),
+    * src_a < src_b, ordered. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ss = docs.select(col("source"),
+        explode(shingles(col("text"), n)).as("shingle"))
+      .distinct()
+    val totals = ss.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sh"))
+    val shared = ss.as("x").join(ss.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n_sh").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"),
+        col("n_b"),
+        (col("shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** N-GRAM NOVELTY curve (round 11) — the marginal-content question a
     * corpus curator asks before ingesting more of a source: how much
     * of each document's content is NEW vs already seen earlier in the

@@ -930,6 +930,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap: a full mirror hits containment 1, disjoint " +
+    "sources produce no row, counts symmetric-consistent") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "a b c d e", "s1"), (2L, "a b c d e", "s2"), // s2 mirrors s1
+      (3L, "p q r s t u", "s3"))                         // disjoint
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Dedup.sourceOverlap(fix).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out == Map(("s1", "s2") -> ((3L, 3L, 3L, 1.0))), s"got $out")
+    val corpus = graft.operators.Dedup
+      .sourceOverlap(Tables.documents(spark, sf0)).collect()
+    corpus.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("ngramNovelty: the first carrier owns a shingle, duplicates " +
     "score zero, totals reconcile to distinct shingles") {
     import spark.implicits._
