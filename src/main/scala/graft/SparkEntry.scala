@@ -956,6 +956,13 @@ object SparkEntry {
     "source_jsonl_quarantine" -> ((s, d) =>
       graft.sources.TextSources.jsonlQuarantineRoundTrip(s, Tables.events(s, d))),
 
+    // Fixed-width source (round 11): the third legacy wire format —
+    // slice + try_cast, integer-cents money (no float formatting),
+    // same quarantine contract.
+    "source_fixed_width" -> ((s, d) =>
+      graft.sources.TextSources.fixedWidthQuarantineRoundTrip(
+        s, Tables.events(s, d))),
+
     // Parquet schema-evolution round-trip (round 9): two writer
     // generations (gen 2 adds a column), mergeSchema read-back, NULL
     // back-fill proven by the per-(type, gen) fidelity summary.
@@ -2597,6 +2604,15 @@ object SparkEntry {
     // source round-trips: the oracle replays the summary from the
     // ORIGINAL relation + the injection constant (3 malformed lines) —
     // a parser that drops or invents a row breaks a count or a sum
+    // integer-cents fidelity + the 3 injected quarantine rows
+    "source_fixed_width" ->
+      (s"SELECT event_type, n_rows, cents_sum, first_id, last_id FROM (" +
+        s"SELECT ${sqlSentinel("event_type")} AS event_type, COUNT(*) AS n_rows, " +
+        "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum, " +
+        "MIN(event_id) AS first_id, MAX(event_id) AS last_id FROM events GROUP BY 1 " +
+        "UNION ALL SELECT '__quarantined__', 3, CAST(NULL AS BIGINT), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) ORDER BY event_type"),
+
     "source_csv_quarantine" ->
       (s"SELECT event_type, n_rows, value_sum, first_id, last_id FROM (" +
         s"SELECT ${sqlSentinel("event_type")} AS event_type, COUNT(*) AS n_rows, " +

@@ -128,4 +128,54 @@ object TextSources {
                                events: DataFrame): DataFrame =
     summarize(
       writeAndRead(spark, events, "jsonl_src", "json", MalformedJsonl))
+
+  /** Injected malformed fixed-width lines: short line, non-numeric id
+    * field, non-numeric cents field. */
+  val MalformedFixed: Seq[String] =
+    Seq("short", "ABCDEFGHIJclick     000000001000",
+      "0000000001click     notanumber__")
+
+  /** FIXED-WIDTH source with quarantine (round 11) — the THIRD legacy
+    * wire format next to CSV/JSONL: mainframe and payments feeds still
+    * land as column-positional text, and a replacement engine ingests
+    * them by SLICING, not splitting. Layout (32 chars):
+    * event_id lpad-10-zeros | event_type rpad-10-spaces | cents
+    * lpad-12-zeros — money travels as zero-padded integer CENTS, the
+    * classic COBOL convention, which also makes the round-trip exact
+    * with zero float formatting (the reason this layout was chosen
+    * over printf'ing doubles: the engines' float formatters disagree;
+    * integer text never does). Parse = substring slices + TRY_CAST
+    * validation; a short line or a non-numeric field quarantines
+    * under the same contract as the CSV/JSONL legs; the summary is
+    * the shared fidelity shape. */
+  def fixedWidthQuarantineRoundTrip(spark: SparkSession,
+                                    events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/fixed_src-${java.util.UUID.randomUUID()}"
+    events.select(concat(
+        lpad(col("event_id").cast("string"), 10, "0"),
+        rpad(col("event_type"), 10, " "),
+        lpad(((col("value").cast(DecimalType(12, 2))) * 100)
+          .cast("long").cast("string"), 12, "0")).as("value"))
+      .write.mode("overwrite").format("text").save(out)
+    Files.write(Paths.get(out, "zz_malformed.txt"),
+      (MalformedFixed.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val raw = spark.read.format("text").load(out)
+    val parsed = raw.select(
+      expr("try_cast(substring(value, 1, 10) AS BIGINT)").as("event_id"),
+      trim(substring(col("value"), 11, 10)).as("event_type"),
+      expr("try_cast(substring(value, 21, 12) AS BIGINT)").as("cents"),
+      length(col("value")).as("len"))
+    val isBad = col("len") =!= 32 || col("event_id").isNull ||
+      col("cents").isNull
+    parsed
+      .groupBy(when(isBad, lit(Quarantined))
+        .otherwise(graft.operators.ExportOps.nullSentinel(col("event_type")))
+        .as("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(!isBad, col("cents"))).as("cents_sum"),
+        min(when(!isBad, col("event_id"))).as("first_id"),
+        max(when(!isBad, col("event_id"))).as("last_id"))
+      .orderBy(col("event_type"))
+  }
 }

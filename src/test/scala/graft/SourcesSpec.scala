@@ -85,6 +85,25 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("fixed-width source: slices round-trip exactly in integer " +
+    "cents, all three malformed shapes quarantine, nothing lost") {
+    import graft.sources.TextSources
+    val out = TextSources.fixedWidthQuarantineRoundTrip(spark, events)
+      .collect()
+    val q = out.filter(_.getString(0) == TextSources.Quarantined)
+    assert(q.length == 1 && q.head.getLong(1) == 3,
+      "short line + bad id + bad cents must all quarantine")
+    val good = out.filter(_.getString(0) != TextSources.Quarantined)
+    assert(good.map(_.getLong(1)).sum == events.count())
+    // cents fidelity against the original relation, per type
+    val direct = events.groupBy(
+        graft.operators.ExportOps.nullSentinel(col("event_type")).as("et"))
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    good.foreach(r => assert(r.getLong(2) == direct(r.getString(0)),
+      s"cents drifted for ${r.getString(0)}"))
+  }
+
   test("parquet column drop: gen 2 stops emitting props, the unified " +
     "read forward-fills NULL exactly there, gen 1 keeps its values") {
     import graft.sources.ParquetEvolution
