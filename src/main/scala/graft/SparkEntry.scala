@@ -730,6 +730,11 @@ object SparkEntry {
     "event_heatmap" -> ((s, d) =>
       Relational.activityHeatmap(Tables.events(s, d))),
 
+    // Activity streaks (round 11): gaps-and-islands via day −
+    // row_number, per-user longest, bounded histogram.
+    "event_streaks" -> ((s, d) =>
+      Relational.activityStreaks(Tables.events(s, d))),
+
     // TF-IDF keywords (round 11): bit-length idf surrogate (stopwords
     // self-suppress at df=N), per-doc top-3, vocab-keyed df join.
     "text_tfidf_keywords" -> ((s, d) =>
@@ -2141,6 +2146,16 @@ object SparkEntry {
         "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1_cents AS DOUBLE) * CAST(s1_cents AS DOUBLE) / n1) / (n1 - 1)) / n1 + " +
         "((CAST(q0 AS DOUBLE) - CAST(s0_cents AS DOUBLE) * CAST(s0_cents AS DOUBLE) / n0) / (n0 - 1)) / n0) AS t_stat " +
         "FROM a ORDER BY event_type"),
+
+    // day − row_number islands over distinct (user, day)
+    "event_streaks" ->
+      ("WITH d AS (SELECT DISTINCT user_id, " +
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events), " +
+        "i AS (SELECT user_id, day - row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS island FROM d), " +
+        "l AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY 1, 2), " +
+        "s AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak_days FROM l GROUP BY 1) " +
+        "SELECT streak_days, COUNT(*) AS n_users FROM s GROUP BY 1 ORDER BY 1"),
 
     // isodow mirrors Spark's weekday()+1; hours UTC
     "event_heatmap" ->

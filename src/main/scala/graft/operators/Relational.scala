@@ -1117,6 +1117,34 @@ object Relational {
       .orderBy(col("dow_iso"), col("hour"))
   }
 
+  /** ACTIVITY-STREAK histogram (round 11) — the engagement metric
+    * gamified products headline ("your 7-day streak"), and the classic
+    * GAPS-AND-ISLANDS pattern made explicit: per user, consecutive
+    * active DAYS group into islands via the day − row_number trick
+    * (consecutive days share the difference; a gap breaks it — no
+    * self-join, no recursion), the longest island is the user's
+    * streak, and users histogram by it. Both windows are per-user
+    * (one shuffle, per-entity sort — sessionize discipline); the
+    * output is ≤ max-streak rows at any corpus size.
+    *
+    * Output: (streak_days, n_users), ordered. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(to_date(col("ts")),
+      lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+    val days = events.select(col("user_id"), day.as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("streak_days"))
+      .groupBy(col("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("streak_days"))
+  }
+
   /** DAU/MAU engagement report (round 11) — the product-analytics
     * headline metric: per month, monthly actives, the daily-active
     * profile, and stickiness (avg DAU / MAU — the DAU/MAU ratio every

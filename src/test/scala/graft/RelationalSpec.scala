@@ -918,6 +918,26 @@ class RelationalSpec extends SparkSpec {
       "tolerance must split the corpus, not rubber-stamp it")
   }
 
+  test("activityStreaks: gaps break islands, same-day repeats fold, " +
+    "histogram tiles the user universe") {
+    import java.sql.Timestamp
+    def e(u: Long, d: Int) =
+      (u, Timestamp.valueOf(f"2024-01-$d%02d 09:00:00"))
+    // user 1: days 1,2,3 + 5 (streak 3); user 2: days 1,1,1 (streak 1);
+    // user 3: days 2,3 (streak 2)
+    val fix = Seq(e(1L, 1), e(1L, 2), e(1L, 3), e(1L, 5),
+      e(2L, 1), e(2L, 1), e(2L, 1), e(3L, 2), e(3L, 3))
+      .toDF("user_id", "ts")
+    val out = Relational.activityStreaks(fix).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $out")
+    val ev = Tables.events(spark, sf0)
+    val hist = Relational.activityStreaks(ev).collect()
+    assert(hist.map(_.getLong(1)).sum ==
+      ev.select("user_id").distinct().count())
+    assert(hist.forall(_.getLong(0) >= 1L))
+  }
+
   test("chiSquare: independent 2x2 scores zero, a deterministic " +
     "dependence scores the hand value, cells reconcile") {
     // perfectly independent: each (type, arm) cell = 1
