@@ -710,6 +710,11 @@ object SparkEntry {
     "embed_top_eigvec" -> ((s, d) =>
       Similarity.topEigvec(Tables.embeddings(s, d))),
 
+    // JL random projection audit (round 11): 16 deterministic integer
+    // hyperplanes, per-vector norm-preservation ratio.
+    "embed_random_projection" -> ((s, d) =>
+      Similarity.randomProjectionAudit(Tables.embeddings(s, d))),
+
     // Markov transition matrix (round 11): per-user lag pairs, <=
     // types^2 matrix, one IEEE division per row for the conditional.
     "event_markov" -> ((s, d) =>
@@ -3772,6 +3777,8 @@ object SparkEntry {
     // is pure BIGINT — ranking, ties and the audit cosine all replay.
     "sim_ann_ivfpq" -> sqlIvfPq,
 
+    "embed_random_projection" -> sqlRandomProjection,
+
     // the k-NN self-join replays with the same bucket CTE — every
     // vector is a query
     "sim_knn_join" ->
@@ -4377,6 +4384,25 @@ object SparkEntry {
       "CAST(COALESCE(rep.te, 0) AS BIGINT) AS total_sq_err " +
       s"FROM $lastCb c LEFT JOIN rep ON c.sub_id = rep.sub_id AND c.code = rep.code " +
       "ORDER BY c.sub_id, c.code"
+  }
+
+  /** JL projection oracle: the SAME 16×64 integer weight table the
+    * operator builds (Similarity.rpWeight) embedded as list literals —
+    * 16 dot products per vector, sum of squares, one ratio division. */
+  private lazy val sqlRandomProjection: String = {
+    val projCols = (0 until 16).map { j =>
+      val w = (0 until 64).map(i => Similarity.rpWeight(j, i))
+        .mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(list_zip(v, $w), p -> p[1]*p[2])) AS BIGINT) AS p$j"
+    }.mkString(", ")
+    val sq = (0 until 16).map(j => s"p$j*p$j").mkString(" + ")
+    s"WITH $sqlQuantCte, " +
+      "nf AS (SELECT vec_id, v, nrm FROM n WHERE len(v) = 64), " +
+      s"pr AS (SELECT vec_id, nrm, $projCols FROM nf) " +
+      "SELECT vec_id, CAST(nrm AS BIGINT) AS orig_nrm, " +
+      s"CAST($sq AS BIGINT) AS proj_nrm, " +
+      s"CAST($sq AS DOUBLE) / nrm AS ratio " +
+      "FROM pr ORDER BY vec_id"
   }
 
   /** Shared exact-cosine fragment for the LSH oracles (mirrors

@@ -853,6 +853,47 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** RANDOM-PROJECTION (Johnson–Lindenstrauss) reduction audit
+    * (round 11) — the dimension-reduction primitive behind every
+    * "project to 16-d before the expensive pass" trick, with its JL
+    * guarantee made AUDITABLE: project each 64-d vector through 16
+    * deterministic integer hyperplanes (the SignLshBuckets LCG
+    * weights — a pure function of (j, i), shared verbatim with the
+    * oracle — right-shifted into [−1024, 1023] via nonneg-division
+    * then recentering, so floor ≡ truncate and no sign-division trap)
+    * and report each vector's original and projected squared norms
+    * plus their ratio. The ratio's concentration IS the JL lemma; a
+    * broken projection (biased weights, dropped dims) shows as
+    * dispersion. All integer arithmetic except the one ratio
+    * division.
+    *
+    * Output: (vec_id, orig_nrm, proj_nrm, ratio), ordered. */
+  def randomProjectionAudit(emb: DataFrame, dim: Int = 64,
+                            outDim: Int = 16): DataFrame = {
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val projCols = (0 until outDim).map { j =>
+      val w = (0 until dim).map(i => rpWeight(j, i))
+      dotQ(col("qv"), array(w.map(lit(_)): _*))
+    }
+    val projNrm = projCols.map(c => c * c).reduce(_ + _)
+    p.select(col("vec_id"), col("nrm").as("orig_nrm"),
+        projNrm.as("proj_nrm"))
+      .withColumn("ratio",
+        col("proj_nrm").cast("double") / col("orig_nrm"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The projection weight: the SignLshBuckets LCG raw value in
+    * [0, 2^31), divided (nonneg — floor ≡ truncate) by 2^20 and
+    * recentered to [−1024, 1023]. Shared with SparkEntry's oracle. */
+  def rpWeight(j: Int, i: Int): Long = {
+    val x = (j.toLong * 1000003L + i) * 1103515245L + 12345L
+    val m = x % 2147483648L
+    val raw = if (m < 0) m + 2147483648L else m
+    raw / 1048576L - 1024L
+  }
+
   /** TOP-EIGENVECTOR power iteration (round 11) — the principal
     * direction of the embedding cloud, the spectral half of the
     * collapse diagnostic ([[normHistogram]] sees magnitude collapse;

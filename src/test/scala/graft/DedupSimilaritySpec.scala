@@ -992,6 +992,30 @@ class DedupSimilaritySpec extends SparkSpec {
       Corpus.tokenBudgetPrefix(docsT.repartition(7)).collect().toSeq)
   }
 
+  test("randomProjectionAudit: projections match a driver-side replay, " +
+    "ratios concentrate (the JL property), deterministic") {
+    val out = Similarity.randomProjectionAudit(emb).collect()
+    assert(out.length == emb.count())
+    // independent replay of one vector's projection
+    val v0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+      .map(x => math.round(x.toDouble * 1000))
+    val pn = (0 until 16).map { j =>
+      val d = v0.indices.map(i => v0(i) * Similarity.rpWeight(j, i)).sum
+      d * d
+    }.sum
+    val r0 = out.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(2) == pn, "projection diverged from direct replay")
+    // JL concentration: the ratio's spread is bounded — relative
+    // stddev of log-ratio small; assert the loose envelope that a
+    // broken projection (dropped dim, biased weights) violates
+    val ratios = out.map(_.getDouble(3)).filter(_ > 0)
+    val meanR = ratios.sum / ratios.length
+    assert(ratios.count(r => r > meanR / 4 && r < meanR * 4) >
+      ratios.length * 0.95,
+      "norm ratios disperse far beyond the JL envelope")
+  }
+
   test("topEigvec: hand-replayed power iteration on a known dominant " +
     "axis, Rayleigh approaches the top eigenvalue, deterministic") {
     import spark.implicits._
