@@ -151,7 +151,8 @@ object SparkEntry {
     * localCheckpoint materializes). */
   val benchMemos: Seq[(String, Seq[String], () => Unit, (SparkSession, String) => Unit)] = Seq(
     ("memo:near_dup_pairs",
-      Seq("dedup_cluster", "dedup_fuzzy", "dedup_rate_report"),
+      Seq("dedup_cluster", "dedup_fuzzy", "dedup_rate_report",
+        "dedup_cluster_sizes"),
       () => nearDupPairsMemo.clear(),
       (s, d) => { nearDupPairsShared(s, d); () }),
     ("memo:co_order_edges",
@@ -1396,6 +1397,13 @@ object SparkEntry {
     // smaller-side containment.
     "corpus_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d))),
+
+    // Cluster-size histogram (round 11): the dedup-audit shape report
+    // (one giant blob = a boilerplate shingle slipped the df-cap);
+    // fourth consumer of memo:near_dup_pairs.
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(Tables.documents(s, d),
+        nearDupPairsShared(s, d))),
 
     // MinHash-LSH banding + exact verify: the 100 TB scale path for
     // dedup_fuzzy. Round 7: the md5-affine portable hashing makes the
@@ -3519,6 +3527,29 @@ object SparkEntry {
         "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node WHERE r.lbl < e.b) " +
         "SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id, " +
         "MIN(lbl) = node AS is_keeper FROM reach GROUP BY node ORDER BY doc_id"),
+
+    // the same recursive CC, histogrammed
+    "dedup_cluster_sizes" ->
+      (s"WITH RECURSIVE $sqlShingleCte, " +
+        "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN (" +
+        "SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100" +
+        ") keep ON sh.shingle = keep.shingle), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common " +
+        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pr AS (SELECT doc_a, doc_b FROM inter " +
+        "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
+        "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5), " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pr " +
+        "UNION ALL SELECT doc_b, doc_a FROM pr), " +
+        "reach(node, lbl) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION " +
+        "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node WHERE r.lbl < e.b), " +
+        "cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node), " +
+        "cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY 1) " +
+        "SELECT sz AS cluster_size, COUNT(*) AS n_clusters, " +
+        "CAST(SUM(sz) AS BIGINT) AS n_docs FROM cs GROUP BY 1 ORDER BY 1"),
 
     "window_moving_avg" ->
       ("SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +

@@ -743,6 +743,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** CLUSTER-SIZE histogram (round 11) — the shape report over the
+    * near-dup components ([[clustersFromPairs]]' output, read as a
+    * distribution): how many singletons, how many pairs, how big the
+    * largest blob — the first thing a dedup audit checks, because one
+    * giant component usually means a boilerplate shingle slipped the
+    * df-cap, not real duplication. Two bounded aggregations past the
+    * labeling (per-cluster size, then ≤ max-size histogram rows).
+    * Consumes the SAME pair relation as `dedup_fuzzy`/`dedup_cluster`/
+    * `dedup_rate_report` (in the harness the memoized
+    * `memo:near_dup_pairs` table — its fourth consumer).
+    *
+    * Output: (cluster_size, n_clusters, n_docs), ordered. */
+  def clusterSizeHistogram(docs: DataFrame, pairs: DataFrame,
+                           maxIters: Int = 20): DataFrame =
+    clustersFromPairs(docs, pairs, maxIters)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** SOURCE-OVERLAP matrix (round 11) — which sources mirror each
     * other, at the GRAM level (the provenance complement of
     * [[dedupRateReport]]'s cross-source pair counts: that needs

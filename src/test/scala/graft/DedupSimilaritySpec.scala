@@ -930,6 +930,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusterSizeHistogram: singleton/pair/triple shapes from a hand " +
+    "pair relation; doc totals tile the corpus") {
+    import spark.implicits._
+    val d = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // pairs: {1,2} and {3,4,5} (chain); 6 singleton
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.clusterSizeHistogram(d, pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)),
+      3L -> ((1L, 3L))), s"got $out")
+    val docsT = Tables.documents(spark, sf0)
+    val pr = Dedup.ngramJaccardPairs(docsT, threshold = 0.5, maxDf = Some(100))
+    val hist = graft.operators.Dedup.clusterSizeHistogram(docsT, pr).collect()
+    assert(hist.map(_.getLong(2)).sum == docsT.count(),
+      "clusters must tile the corpus")
+  }
+
   test("sourceOverlap: a full mirror hits containment 1, disjoint " +
     "sources produce no row, counts symmetric-consistent") {
     import spark.implicits._
