@@ -81,6 +81,20 @@ object SparkEntry {
   private val coOrderEdgesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Session-scoped memo of the ORIENTED TRIANGLE relation (round 12):
+    * `graph_triangles` and `graph_link_jaccard` both consume the exact
+    * (x, y, z) enumeration — round 11 ran the degree-ordered wedge join
+    * once per consumer (the board's two slowest non-memo keys, and its
+    * only >2x regression), so the harness now materializes the
+    * enumeration once past the shared edges and both audits read the
+    * table — the deployed shape, where a pipeline enumerates triangles
+    * once and counting / link scoring / clustering-coefficient reads
+    * all derive from that relation. Triangle count is edge-bounded
+    * (≤ |E|·√(2|E|) worst case, far smaller on real graphs), so the
+    * checkpoint is small next to lineitem. */
+  private val trianglesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Session-scoped memo of the TRAINED unigram model: `tokenizer_unigram`
     * and `tokenizer_unigram_encode` read the SAME 2-round hard-EM result
     * (all frames materialized LogicalRDDs), so the harness trains once and
@@ -98,7 +112,8 @@ object SparkEntry {
   private val bpeModelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Tokenizer.BpeModel]()
   private val sessionMemoMaps: Seq[java.util.concurrent.ConcurrentHashMap[String, _]] =
-    Seq(nearDupPairsMemo, coOrderEdgesMemo, unigramModelMemo, bpeModelMemo)
+    Seq(nearDupPairsMemo, coOrderEdgesMemo, trianglesMemo, unigramModelMemo,
+      bpeModelMemo)
   private val memoCleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def sessionMemo[T](memo: java.util.concurrent.ConcurrentHashMap[String, T],
@@ -128,6 +143,11 @@ object SparkEntry {
   private def coOrderEdgesShared(s: SparkSession, d: String): DataFrame =
     sessionMemo(coOrderEdgesMemo, s, d)(
       operators.Graph.coOrderEdges(Tables.lineitem(s, d)).localCheckpoint())
+  private def trianglesShared(s: SparkSession, d: String): DataFrame =
+    sessionMemo(trianglesMemo, s, d)(
+      operators.Graph.orientedTriangles(
+        coOrderEdgesShared(s, d).select(col("a"), col("b")))
+        .localCheckpoint())
   private def unigramModelShared(s: SparkSession, d: String): operators.Tokenizer.UnigramModel =
     sessionMemo(unigramModelMemo, s, d) {
       val m = operators.Tokenizer.unigramTrain(Tables.documents(s, d))
@@ -160,6 +180,13 @@ object SparkEntry {
         "graph_link_jaccard"),
       () => coOrderEdgesMemo.clear(),
       (s, d) => { coOrderEdgesShared(s, d); () }),
+    // builds AFTER (and reads) memo:co_order_edges — benchMemos is
+    // ordered, so the edge entry pays the edge build and this entry
+    // pays only the wedge join
+    ("memo:triangles",
+      Seq("graph_triangles", "graph_link_jaccard"),
+      () => trianglesMemo.clear(),
+      (s, d) => { trianglesShared(s, d); () }),
     ("memo:unigram_model", Seq("tokenizer_unigram", "tokenizer_unigram_encode"),
       () => unigramModelMemo.clear(),
       (s, d) => { unigramModelShared(s, d); () }),
@@ -168,7 +195,7 @@ object SparkEntry {
       (s, d) => { bpeModelShared(s, d); () }))
 
   /** Query keys whose bench numbers are memo reads, not full pipelines. */
-  val memoFedQueries: Seq[String] = benchMemos.flatMap(_._2)
+  val memoFedQueries: Seq[String] = benchMemos.flatMap(_._2).distinct
 
   /** DuckDB-portable sentinel expression (mirrors ExportOps.nullSentinel;
     * the [\x00-\x20] class means the same thing to RE2 as to Java). */
@@ -925,10 +952,13 @@ object SparkEntry {
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
     // Oriented triangle counting (round 9): a<b<c joins build each
-    // triangle once; per-node participation top-20.
+    // triangle once; per-node participation top-20. Round 12: reads the
+    // SHARED memoized enumeration (memo:triangles) — the wedge join runs
+    // once per (session, dataset), not once per graph audit.
     "graph_triangles" -> ((s, d) =>
       Graph.triangles(Tables.lineitem(s, d), scope = harnessScope,
-        edges0 = Some(coOrderEdgesShared(s, d)))),
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        tri0 = Some(trianglesShared(s, d)))),
 
     // Degree distribution (round 11): the skew diagnostic that sizes
     // the triangle orientation + bucket caps; zero-degree nodes are
@@ -943,7 +973,8 @@ object SparkEntry {
     // of the shared edges.
     "graph_link_jaccard" -> ((s, d) =>
       Graph.neighborJaccard(Tables.lineitem(s, d),
-        edges0 = Some(coOrderEdgesShared(s, d)))),
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        tri0 = Some(trianglesShared(s, d)))),
 
     // Exact interpolated quantiles (order statistics, oracle-checkable).
     "text_len_quantiles" -> ((s, d) =>

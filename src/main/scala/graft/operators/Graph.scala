@@ -156,17 +156,14 @@ object Graph {
     * Output: (a, b, cn, union_n, jaccard), ordered by rank. */
   def neighborJaccard(lineitem: DataFrame, k: Int = 20,
                       scope: CacheScope = CacheScope.off,
-                      edges0: Option[DataFrame] = None): DataFrame = {
+                      edges0: Option[DataFrame] = None,
+                      tri0: Option[DataFrame] = None): DataFrame = {
     val e = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
       .select(col("a"), col("b"))
-    val d = degreeOriented(e)
-    val tri = d.as("e1")
-      .join(d.as("e2"), col("e1.u") === col("e2.u") &&
-        (col("e1.dv") < col("e2.dv") ||
-          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
-      .join(d.select(col("u"), col("v")).as("e3"),
-        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    // `tri0` supplies a caller-materialized [[orientedTriangles]]
+    // relation (the deployed shape: enumerate once, every graph audit
+    // reads the table) — without it the wedge join runs here
+    val tri = tri0.getOrElse(orientedTriangles(e))
     val cn = tri.select(explode(array(
         struct(least(col("y"), col("z")).as("a"),
           greatest(col("y"), col("z")).as("b")),
@@ -191,6 +188,33 @@ object Graph {
           col("cn").cast("double") / col("union_n")).otherwise(lit(0.0)))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(k)
+  }
+
+  /** Oriented triangle ENUMERATION (round 12) — the shared relation
+    * behind [[triangles]] and [[neighborJaccard]]: each triangle of the
+    * undirected (a, b) edge list exactly once as (x, y, z) with
+    * (x, y, z) ascending in the (degree, id) total order. Built from
+    * the degree-ordered orientation ([[degreeOriented]]) via the
+    * skew-safe wedge self-join on the shared tail plus the closing
+    * out-edge — out-degree ≤ √(2·|E|) on ANY graph, so the wedge join
+    * never explodes on hubs. Round 12 lifts this out of the two
+    * consumers so the harness can materialize it ONCE per (session,
+    * dataset) — the `memo:near_dup_pairs` pattern: a pipeline
+    * enumerates triangles once and every audit (counting, link
+    * scoring) reads that table. */
+  def orientedTriangles(e: DataFrame): DataFrame = {
+    val d = degreeOriented(e)
+    // wedge join on the shared tail u (the lowest-(deg, id) endpoint of
+    // the triangle), ordered so (e1.v, e2.v) is the (middle, top) pair
+    // in the total order; the closing edge is then necessarily oriented
+    // middle → top
+    d.as("e1")
+      .join(d.as("e2"), col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .join(d.select(col("u"), col("v")).as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
   }
 
   private[graft] def degreeOriented(e: DataFrame): DataFrame = {
@@ -232,26 +256,18 @@ object Graph {
     * Output: top `k` (part, n_triangles) by (count desc, part). */
   def triangles(lineitem: DataFrame, k: Int = 20,
                 scope: CacheScope = CacheScope.off,
-                edges0: Option[DataFrame] = None): DataFrame = {
+                edges0: Option[DataFrame] = None,
+                tri0: Option[DataFrame] = None): DataFrame = {
     // the oriented enumeration consumes the edge list three times (two
     // wedge legs + the closing leg) plus the degree build — scope-persist
     // so the 3-shuffle edge build runs once, not per consumer; `edges0`
     // supplies a caller-materialized [[coOrderEdges]] relation instead
-    // (lifecycle owned by the caller)
-    val e = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
-      .select(col("a"), col("b"))
-    val d = degreeOriented(e)
-    // wedge join on the shared tail u (the lowest-(deg, id) endpoint of
-    // the triangle), ordered so (e1.v, e2.v) is the (middle, top) pair
-    // in the total order; the closing edge is then necessarily oriented
-    // middle → top
-    val tri = d.as("e1")
-      .join(d.as("e2"), col("e1.u") === col("e2.u") &&
-        (col("e1.dv") < col("e2.dv") ||
-          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
-      .join(d.select(col("u"), col("v")).as("e3"),
-        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    // (lifecycle owned by the caller), and `tri0` a caller-materialized
+    // [[orientedTriangles]] relation (round 12: the wedge join itself
+    // is shared with [[neighborJaccard]] — enumerate once, read twice)
+    val tri = tri0.getOrElse(orientedTriangles(
+      edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
+        .select(col("a"), col("b"))))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part"))
