@@ -3811,10 +3811,12 @@ object SparkEntry {
 
     // nearest-centroid replay: label-supervised exact-integer means
     // (list_reduce sums, one division, half-away round), BIGINT L2
-    // argmin with the (dist, label) tie order, confusion counts
+    // argmin with the (dist, label) tie order, confusion counts; the
+    // q2 gate mirrors the operator's null/dim filter (embed-op parity)
     "embed_centroid_classify" ->
       ("WITH q2 AS (SELECT vec_id, label, list_transform(embedding, " +
-        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings " +
+        "WHERE embedding IS NOT NULL AND len(embedding) = 64), " +
         "n2 AS (SELECT vec_id, label, v, " +
         "list_sum(list_transform(v, x -> x*x)) AS nrm FROM q2), " +
         "cs AS (SELECT label AS clabel, COUNT(*) AS cnt, " +

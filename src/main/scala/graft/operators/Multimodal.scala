@@ -309,6 +309,17 @@ object Multimodal {
             val grays = (0 until nf).map { fi =>
               val img = reader.read(fi)
               val w = img.getWidth; val h = img.getHeight
+              // SAD below differences same-index pixels of consecutive
+              // rasters, which is only meaningful when every frame spans
+              // the full logical screen. An OPTIMIZED GIF (frame rects
+              // smaller than the screen, offsets + disposal semantics)
+              // would need compositing first — out of contract here, so
+              // refuse loudly instead of comparing a truncated prefix
+              // or indexing past the shorter raster.
+              require(w == reader.getWidth(0) && h == reader.getHeight(0),
+                s"optimized GIF unsupported: frame $fi is ${w}x$h but the " +
+                  s"logical screen is ${reader.getWidth(0)}x" +
+                  s"${reader.getHeight(0)} — composite frames before SAD")
               val a = new Array[Int](w * h)
               var y = 0
               while (y < h) {
@@ -363,7 +374,19 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(
               r.getAs[Array[Byte]]("media_bytes")))
+          // the int16-LE-mono parse below is only valid for exactly that
+          // format — an 8-bit, big-endian, or stereo stream would decode
+          // to garbage energy/peak values, so assert the decoder's own
+          // format report instead of trusting the payload
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
           val data = ais.readAllBytes(); ais.close()
+          require(data.length % 2 == 0,
+            s"odd PCM byte count ${data.length}: truncated int16 stream")
           val n = data.length / 2
           val docId = r.getAs[Long]("doc_id")
           (0 until (n + win - 1) / win).map { w =>

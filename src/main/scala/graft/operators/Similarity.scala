@@ -994,8 +994,14 @@ object Similarity {
     * (broadcast thereafter), one narrow broadcast-join argmin over the
     * corpus, a ≤ labels² map-side-combined count. Output: (label,
     * pred_label, n), ordered. */
-  def centroidClassify(emb: DataFrame): DataFrame = {
+  def centroidClassify(emb: DataFrame, dim: Int = 64): DataFrame = {
+    // degenerate-row gate, for parity with every other embed op
+    // (normHistogram / topEigvec / pqCodebookStats): without it a NULL
+    // or off-dim vector would corrupt its label's centroid DIFFERENTLY
+    // per engine — posexplode drops null arrays while an oracle's
+    // list_zip/list_reduce propagates NULL through the mean
     val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
     val cents = p.select(col("label"), posexplode(col("qv")))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("col")).as("m"))

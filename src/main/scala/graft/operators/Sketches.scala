@@ -246,11 +246,20 @@ object Sketches {
         when(col("n_retained") < k, col("n_retained").cast("double"))
           .otherwise(lit((k - 1).toLong * Space).cast("double") /
             col("kth_hash").cast("double")))
-    // intersection from the two k-row sketches: 1×1 gate frames
-    val ha = sk.filter(col("event_type") === typeA)
-      .select(transform(col("samp"), s => s.getField("_1")).as("ha"))
-    val hb = sk.filter(col("event_type") === typeB)
-      .select(transform(col("samp"), s => s.getField("_1")).as("hb"))
+    // intersection from the two k-row sketches: 1×1 gate frames. Each
+    // side is a GLOBAL aggregate (first over the ≤1-row filtered
+    // sketch, coalesced to the empty sketch), so it is structurally
+    // 1 row even when the type has ZERO events — a bare filter+select
+    // would yield 0 rows there, the crossJoin would erase the
+    // `<a>_x_<b>` row, and the engine would diverge from the oracle's
+    // always-emitted structural row (empty-side θ degenerates to 2^48,
+    // est 0 — the module's structural-empty doctrine).
+    def sideSketch(t: String, out: String): DataFrame =
+      sk.filter(col("event_type") === t)
+        .agg(coalesce(first(transform(col("samp"), s => s.getField("_1"))),
+          typedLit(Array.empty[Long])).as(out))
+    val ha = sideSketch(typeA, "ha")
+    val hb = sideSketch(typeB, "hb")
     val exBoth = du.filter(col("event_type").isin(typeA, typeB))
       .groupBy(col("h"))
       .agg(countDistinct(col("event_type")).as("nt"))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
@@ -151,11 +151,33 @@ object TextSources {
   def fixedWidthQuarantineRoundTrip(spark: SparkSession,
                                     events: DataFrame): DataFrame = {
     val out = s"$scratchRoot/fixed_src-${java.util.UUID.randomUUID()}"
-    events.select(concat(
+    // WRITE-SIDE layout gate: lpad/rpad TRUNCATE over-width values, a
+    // negative cents value would render as '00000000-123' (quarantined
+    // on read — a silent desync from any oracle summing the original
+    // relation), and a NULL event_type would NULL the concat and crash
+    // the text writer with an unhelpful message. Out-of-layout rows must
+    // fail LOUDLY with the field named — the fixed layout is a CONTRACT,
+    // not a best-effort format (same assert_true discipline as
+    // connPoolState's cardinality gate; in-plan, so the guard rides the
+    // write job instead of forcing a second pass).
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    def gate(c: Column, ok: Column, what: String): Column =
+      assert_true(ok, concat(lit(s"fixed-width layout violation ($what): "),
+        coalesce(c.cast("string"), lit("NULL"))))
+    events.select(col("event_id"), col("event_type"), cents.as("cents"))
+      .filter(gate(col("event_id"), col("event_id").isNotNull &&
+          col("event_id").between(0L, 9999999999L),
+          "event_id must be 0..10^10-1").isNull &&
+        gate(col("event_type"), col("event_type").isNotNull &&
+          length(col("event_type")) <= 10,
+          "event_type must be non-null, <= 10 chars").isNull &&
+        gate(col("cents"), col("cents").isNotNull &&
+          col("cents").between(0L, 999999999999L),
+          "cents must be 0..10^12-1").isNull)
+      .select(concat(
         lpad(col("event_id").cast("string"), 10, "0"),
         rpad(col("event_type"), 10, " "),
-        lpad(((col("value").cast(DecimalType(12, 2))) * 100)
-          .cast("long").cast("string"), 12, "0")).as("value"))
+        lpad(col("cents").cast("string"), 12, "0")).as("value"))
       .write.mode("overwrite").format("text").save(out)
     Files.write(Paths.get(out, "zz_malformed.txt"),
       (MalformedFixed.mkString("\n") + "\n")

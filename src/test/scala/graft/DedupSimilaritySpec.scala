@@ -1114,9 +1114,19 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
       (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1))
       .toDF("vec_id", "embedding", "label")
-    val m = Similarity.centroidClassify(fix).collect()
+    val m = Similarity.centroidClassify(fix, dim = 2).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(m == Map((0, 0) -> 2L, (1, 1) -> 2L), s"got $m")
+    // degenerate rows (NULL / off-dim vectors) are gated like every
+    // other embed op — they must not corrupt their label's centroid
+    val degenerate = Seq(
+      (5L, null.asInstanceOf[Array[Float]], 0),
+      (6L, Array(9.9f), 0), (7L, Array(1f, 2f, 3f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val m2 = Similarity.centroidClassify(fix.unionByName(degenerate),
+        dim = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m2 == m, s"degenerate rows leaked into the centroids: $m2")
     val full = Similarity.centroidClassify(emb).collect()
     assert(full.map(_.getLong(2)).sum == emb.count())
     // the synthetic labels are clustered: the diagonal must beat the

@@ -162,6 +162,20 @@ class SketchesSpec extends SparkSpec {
       "underfull theta must be the exact sketch-level intersection")
   }
 
+  test("theta sketch: a zero-row side still emits the structural " +
+    "intersection row (theta degenerates to 2^48, est 0)") {
+    // no 'purchase' events at all — the <a>_x_<b> row must SURVIVE
+    // (the oracle's COUNT over an empty join still yields one row); a
+    // filter+crossJoin formulation erases it and desyncs
+    val out = Sketches.thetaSketch(evFix(
+        ("click", 1L), ("click", 2L), ("click", 3L)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.contains("click_x_purchase"),
+      "empty-side intersection row must be structural, not vanish")
+    assert(out("click_x_purchase") == ((0L, 0L, 1L << 48, 0.0)))
+  }
+
   test("theta sketch on the corpus: full sketches estimate within the " +
     "KMV error envelope, and the whole report is repartition-invariant") {
     val ev = Tables.events(spark, sf0)

@@ -104,6 +104,29 @@ class SourcesSpec extends SparkSpec {
       s"cents drifted for ${r.getString(0)}"))
   }
 
+  test("fixed-width source: out-of-layout rows fail the WRITE loudly " +
+    "(truncating lpad/rpad would silently desync the summary)") {
+    import graft.sources.TextSources
+    import spark.implicits._
+    def evs(id: java.lang.Long, et: String, v: java.lang.Double) =
+      Seq((id, et, v)).toDF("event_id", "event_type", "value")
+    // each shape would previously corrupt silently: negative cents
+    // render '00000000-123' (quarantined on read), an 11-char type
+    // rpad-truncates, a NULL type NULLs the concat
+    for (bad <- Seq(evs(1L, "click", -1.23),
+        evs(1L, "elevenchars", 1.0),
+        evs(1L, null, 1.0),
+        evs(10000000000L, "click", 1.0))) {
+      val e = intercept[Exception] {
+        TextSources.fixedWidthQuarantineRoundTrip(spark, bad).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("fixed-width layout violation")),
+        s"expected a named layout violation, got: ${msgs(e).take(3)}")
+    }
+  }
+
   test("parquet column drop: gen 2 stops emitting props, the unified " +
     "read forward-fills NULL exactly there, gen 1 keeps its values") {
     import graft.sources.ParquetEvolution
