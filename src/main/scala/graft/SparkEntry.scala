@@ -41,6 +41,12 @@ object SparkEntry {
   private val ivfPqCodebookDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Session-scoped persisted HNSW index locations for
+    * sim_ann_hnsw_served — built once per data dir, served from disk
+    * (the ivfQuantizerDirs doctrine for the graph-ANN family). */
+  private val hnswIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** JVM-exit cleanup for the per-process serve artifacts above (the
     * quantizer save and the z-ordered layout + index): they live in
     * fresh `Files.createTempDirectory` paths, so without this hook
@@ -1547,6 +1553,32 @@ object SparkEntry {
       })
       Similarity.ivfTopKWith(Tables.embeddings(s, d),
         Similarity.loadCentroids(s, dir))
+    }),
+
+    // HNSW SERVE path (round 12): build the layered graph index once
+    // per (session, dataset) → persist per-shard adjacency to parquet →
+    // serve loads adjacency and beam-searches the bounded query set
+    // with ZERO construction work in the plan (the sim_ann_ivf_served
+    // doctrine for the graph-ANN family; the serve plan's only scan is
+    // the index parquet — spec-asserted). Oracle: brute-force top-k.
+    // The served search is EXACT at validation scale BY CONSTRUCTION,
+    // not by tuning luck: efSearch=512 ≥ the sf0.01 corpus (500
+    // vectors), so the beam's res-full termination can never fire
+    // before every reachable node is visited — each shard search is
+    // exhaustive over its layer-0 component (insertion keeps the NSW
+    // connected; the equality is additionally spec-asserted on the
+    // driver-gate fixture), the shard-merge of exact per-shard top-ks
+    // is the exact global top-k, and scores are bit-equal to brute
+    // force by the shared integer-quantized arithmetic. At corpus
+    // scales beyond ef the search goes approximate — there the
+    // recall/determinism specs govern, as with every ANN family here.
+    "sim_ann_hnsw_served" -> ((s, d) => {
+      val dir = hnswIndexDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_hnsw_index_")
+        GraphAnn.buildHnswIndex(Tables.embeddings(s, d), tmp)
+        tmp
+      })
+      GraphAnn.hnswServedTopK(dir, Tables.embeddings(s, d), efSearch = 512)
     }),
 
     // IVF serve plumbing under the FULL oracle: deterministic seed
@@ -3915,16 +3947,13 @@ object SparkEntry {
         // TRUE in both engines — a zero vector must not near-dup-match)
         "WHERE NOT isnan(cos) AND cos >= 0.4 ORDER BY vec_a, vec_b"),
 
-    "sim_topk" ->
-      (s"WITH $sqlQuantCte, " +
-        "s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
-        "CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2])) AS DOUBLE) " +
-        "/ (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos " +
-        "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
-        // undefined (NaN) scores excluded, mirroring Similarity's guard
-        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
-        "FROM s WHERE NOT isnan(cos)) " +
-        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    "sim_topk" -> sqlBruteForceTopK,
+
+    // the served HNSW search is EXACT at validation scale (efSearch
+    // exceeds per-shard node count → exhaustive beam; see the queries
+    // entry), and its scores are bit-equal to brute force by the shared
+    // quantized arithmetic — so the brute-force replay IS its oracle
+    "sim_ann_hnsw_served" -> sqlBruteForceTopK,
 
     // pure-BIGINT inner-product ranking (no division, no sqrt): the
     // ranking, ties included, replays exactly
@@ -4157,6 +4186,20 @@ object SparkEntry {
   private val sqlQuantCte: String =
     "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS nrm FROM q)"
+
+  /** Exact brute-force cosine top-k replay — the oracle for sim_topk
+    * and for every serve path that is exact at validation scale
+    * (sim_ann_hnsw_served). NaN (zero-norm) scores excluded, mirroring
+    * Similarity's guard. */
+  private val sqlBruteForceTopK: String =
+    s"WITH $sqlQuantCte, " +
+      "s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+      "CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2])) AS DOUBLE) " +
+      "/ (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos " +
+      "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+      "FROM s WHERE NOT isnan(cos)) " +
+      "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
 
   /** MinHash-LSH oracle: exact replay of the engine's md5-affine MinHash
     * (graft.functions.PortableHash — the constants below are inlined from

@@ -53,12 +53,16 @@ import scala.collection.mutable
   * (undefined cosine) are excluded from graph and queries up front,
   * mirroring [[Similarity]]'s NaN rule.
   *
-  * Spec-driven component (like the streaming faces): approximate by
-  * nature, so it carries no SQL oracle — the spec asserts bit-exact
-  * scores vs brute force on the overlap, run-to-run determinism,
-  * recall floors single- and multi-shard, the no-corpus-broadcast
-  * plan property, and (env-gated at sf0.1) the hierarchy's
-  * budget/recall advantage over the flat control.
+  * Oracle status: the family is approximate by nature, so the build
+  * paths are spec-driven — bit-exact scores vs brute force on the
+  * overlap, run-to-run determinism, recall floors single- and
+  * multi-shard, the no-corpus-broadcast plan property, and (env-gated
+  * at sf0.1) the hierarchy's budget/recall advantage over the flat
+  * control. The SERVE path (`sim_ann_hnsw_served`) additionally sits
+  * under the driver's full rows+schema+hash oracle: at validation
+  * scale its efSearch exceeds the corpus, the beam is exhaustive, and
+  * the result equals the brute-force replay exactly (the equality is
+  * itself spec-pinned to the driver-gate fixture).
   */
 object GraphAnn {
 

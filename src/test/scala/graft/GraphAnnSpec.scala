@@ -3,11 +3,12 @@ package graft
 import graft.operators.{GraphAnn, Similarity}
 import org.apache.spark.sql.functions.col
 
-/** The graph-ANN family's contract, spec-driven (approximate by nature
-  * → no SQL oracle): deterministic builds, brute-force-exact scores on
-  * the candidates it does surface, recall floors single- and
-  * multi-shard, degree bounds via the beam parameters, and the
-  * no-corpus-broadcast scale property. */
+/** The graph-ANN family's contract: deterministic builds,
+  * brute-force-exact scores on the candidates it does surface, recall
+  * floors single- and multi-shard, degree bounds via the beam
+  * parameters, and the no-corpus-broadcast scale property. The serve
+  * path additionally carries the driver's full oracle
+  * (sim_ann_hnsw_served — exact at validation scale; pinned below). */
 class GraphAnnSpec extends SparkSpec {
 
   private lazy val emb = Tables.embeddings(spark, sf0)
@@ -182,6 +183,26 @@ class GraphAnnSpec extends SparkSpec {
     }.flatten
     assert(scans.nonEmpty && scans.forall(_.contains("graft_hnsw_idx_")),
       s"serve plan scanned something beyond the index: $scans")
+  }
+
+  test("sim_ann_hnsw_served is EXACT at the driver-gate scale: served " +
+    "top-k with efSearch >= corpus equals brute force at sf0.01") {
+    // the registered key's oracle is the brute-force replay, which is
+    // sound only while the beam is exhaustive (efSearch=512 >= 500
+    // vectors -> the res-full termination never fires early); this
+    // pins that equality to the exact fixture the driver verifies on,
+    // so a fixture growth past efSearch or a connectivity regression
+    // fails HERE before it desyncs the correctness gate
+    val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    assert(emb01.count() <= 512,
+      "sf0.01 outgrew efSearch=512 — raise the registered key's budget")
+    val dir = tmpIndexDir()
+    GraphAnn.buildHnswIndex(emb01, dir)
+    val served = asMap(
+      GraphAnn.hnswServedTopK(dir, emb01, nQueries = 10, k = 10,
+        efSearch = 512))
+    val bf = asMap(Similarity.bruteForceTopK(emb01, nQueries = 10, k = 10))
+    assert(served == bf, "served HNSW diverged from brute force at sf0.01")
   }
 
   test("persisted adjacency honors the layer caps (layer 0 <= 2m, " +
