@@ -1160,6 +1160,17 @@ object SparkEntry {
     "event_window_tumbling" -> ((s, d) =>
       Sessionize.tumbling(Tables.events(s, d))),
 
+    // STREAMING parity (round 12): the events corpus replayed as a
+    // genuine multi-micro-batch file stream through
+    // StreamingWindows.tumbling — cross-batch aggregation state under
+    // the SAME oracle as the batch key (see tumblingParityReplay's
+    // scaladoc for the complete-vs-append reasoning).
+    "stream_window_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_win_")
+      graft.streaming.StreamingWindows.tumblingParityReplay(
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt")
+    }),
+
     // SLIDING windows (round 11): 15-min windows every 5 min — each
     // event fans out to exactly 3 windows map-side, partial aggregation
     // before the one (window, type) shuffle.
@@ -3044,12 +3055,11 @@ object SparkEntry {
         "FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b"),
 
-    "event_window_tumbling" ->
-      ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, " +
-        "time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end, " +
-        "event_type, COUNT(*) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
-        "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
+    "event_window_tumbling" -> sqlTumblingWindows,
+
+    // the streaming replay must land the SAME table the batch form
+    // computes — one shared oracle is the parity statement itself
+    "stream_window_parity" -> sqlTumblingWindows,
 
     // integer-µs window enumeration: every event lands in exactly
     // size/slide = 3 epoch-aligned windows (k = 0..2), mirroring
@@ -4186,6 +4196,16 @@ object SparkEntry {
   private val sqlQuantCte: String =
     "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS nrm FROM q)"
+
+  /** Tumbling-window aggregation replay — the shared oracle of the
+    * batch key (`event_window_tumbling`) and its streaming parity twin
+    * (`stream_window_parity`): one SQL, two engines' worth of paths. */
+  private val sqlTumblingWindows: String =
+    "SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, " +
+      "time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end, " +
+      "event_type, COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+      "FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type"
 
   /** Exact brute-force cosine top-k replay — the oracle for sim_topk
     * and for every serve path that is exact at validation scale

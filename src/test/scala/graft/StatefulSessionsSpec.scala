@@ -108,6 +108,31 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumbling parity replay equals the batch aggregation AND really " +
+    "ran as multiple micro-batches (cross-batch state, not one gulp)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_parity_").toString
+    try {
+      val events = Tables.events(spark, sf0)
+      val out = graft.streaming.StreamingWindows.tumblingParityReplay(
+        events, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      val batch = graft.operators.Sessionize.tumbling(events)
+      assert(out.collect().toSeq.map(_.toSeq) ==
+        batch.collect().toSeq.map(_.toSeq),
+        "streaming replay diverged from the batch aggregation")
+      // the claim "state accumulates ACROSS batches" must be structural:
+      // one committed offset per micro-batch
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 3, s"expected a multi-batch replay, got $commits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("watermarked hopping windows: overlapping windows each emit once, " +
     "closed only, with the width/slide overlap factor") {
     implicit val sqlCtx = spark.sqlContext
