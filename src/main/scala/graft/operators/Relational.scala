@@ -354,16 +354,34 @@ object Relational {
     * Memory is O(distinct lengths) like the builtin (the rank frame is
     * a groupBy on the value; its running-sum window runs unpartitioned
     * over the DISTINCT values only — bounded domain, so a single
-    * partition holds it at any corpus size). For unbounded-domain
-    * columns use [[lengthQuantilesApprox]] (GK sketch) instead. */
-  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    * partition holds it at any corpus size). The boundedness is
+    * ENFORCED in-plan, not assumed: an over-`maxDistinct` domain aborts
+    * with the alternative named (the connPoolState assert_true
+    * discipline) before the one-task window consumes it. For
+    * unbounded-domain columns use [[lengthQuantilesApprox]] (GK
+    * sketch) instead. */
+  def lengthQuantiles(docs: DataFrame, maxDistinct: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
     val quartiles = Seq(("p25", 1L, 4L), ("p50", 1L, 2L),
       ("p75", 3L, 4L), ("p90", 9L, 10L)).toDF("qname", "num", "den")
-    val counts = docs.groupBy(col("n_chars").as("v"))
+    val counts0 = docs.groupBy(col("n_chars").as("v"))
       .agg(count(lit(1)).as("cnt"))
+    // IN-PLAN domain gate (1-row count branch off the groupBy's own
+    // exchange — no second pass over the corpus): the unpartitioned
+    // running-sum window below sorts every DISTINCT value in ONE task,
+    // which is only sane on a bounded domain. If the domain surprises,
+    // fail loudly with the fix named instead of silently spilling a
+    // single executor.
+    val nDistinct = counts0.agg(count(lit(1)).as("n_vals"))
+    val counts = counts0.crossJoin(broadcast(nDistinct))
+      .filter(assert_true(col("n_vals") <= maxDistinct,
+        lit(s"lengthQuantiles: more than $maxDistinct distinct values — " +
+          "the exact rank frame would sort them in ONE task. Use " +
+          "lengthQuantilesApprox (GK sketch) for unbounded domains, or " +
+          "raise maxDistinct if the domain really is bounded.")).isNull)
+      .drop("n_vals")
     val cum = counts
       .withColumn("hi_rank", sum(col("cnt")).over(Window.orderBy(col("v"))))
       .withColumn("lo_rank", col("hi_rank") - col("cnt") + lit(1))

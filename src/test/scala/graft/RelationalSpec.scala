@@ -343,6 +343,19 @@ class RelationalSpec extends SparkSpec {
     val one = Seq((0L, 9L)).toDF("doc_id", "n_chars")
     val r1 = Relational.lengthQuantiles(one).collect().head
     assert(Seq("p25", "p50", "p75", "p90").forall(r1.getAs[Double](_) == 9.0))
+    // the bounded-domain claim is ENFORCED, not assumed: an over-cap
+    // distinct domain aborts loudly with the alternative named (the
+    // connPoolState gate discipline) instead of silently sorting the
+    // whole domain in one task
+    val many = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("doc_id", "n_chars")
+    val e = intercept[Exception] {
+      Relational.lengthQuantiles(many, maxDistinct = 5L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("lengthQuantilesApprox")),
+      s"expected the loud domain gate, got: ${msgs(e).take(3)}")
   }
 
   test("userJourney: same-microsecond events order by the event_id " +
