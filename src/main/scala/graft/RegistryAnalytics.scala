@@ -1,0 +1,1430 @@
+package graft
+
+import graft.operators._
+import graft.config.ExportConfig
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Registry: Group B analytics extensions (aggregation, joins, windows,
+  * stats, events, graph) plus event-time windowing — extracted verbatim
+  * from SparkEntry (round 12 split). */
+private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
+
+  protected def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Group B: analytics extensions ----------------------------------
+
+    // B6 agg_rollup: TPC-H Q1 pricing summary (decimal-exact sums).
+    "agg_rollup" -> ((s, d) =>
+      Relational.pricingSummary(Tables.lineitem(s, d))),
+
+    // Decimal-exact grouped Pearson correlation (order-insensitive).
+    "stats_corr" -> ((s, d) =>
+      Relational.groupedCorrelation(Tables.lineitem(s, d))),
+
+    // Table profile (round 11): per-column rows/nulls/exact-distinct/
+    // min/max over seven columns in ONE scan — the multi-distinct
+    // plans via Expand with partial aggregation, never a scan per
+    // column (plan-asserted).
+    "stats_profile" -> ((s, d) =>
+      Relational.profileTable(Tables.lineitem(s, d))),
+
+    // B6b agg_rollup_sets: ROLLUP grouping sets (subtotals + grand total).
+    "agg_rollup_sets" -> ((s, d) =>
+      Relational.pricingRollup(Tables.lineitem(s, d))),
+
+    // CUBE grouping sets (round 7): all four groupings in one pass,
+    // Expand over the pre-aggregated rows like agg_rollup_sets.
+    "agg_cube" -> ((s, d) =>
+      Relational.pricingCube(Tables.lineitem(s, d))),
+
+    // LEFT SEMI + LEFT ANTI joins (round 7): EXISTS / NOT EXISTS shapes,
+    // no row multiplication through either branch.
+    "join_semi_anti" -> ((s, d) =>
+      Relational.semiAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+
+    // Bucketed fact-to-fact join (round 8): write both facts bucketed on
+    // the order key, join the bucketed tables — zero Exchange in the join
+    // (PlanInvariantsSpec), output ≡ the plain parquet join (the oracle).
+    // The bucketed WRITE is inside the timed query: the bench measures
+    // the full pay-shuffle-at-write-time trade.
+    "join_bucketed" -> ((s, d) =>
+      Relational.bucketedJoin(Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy(col("orderkey"), col("linenumber"))),
+
+    // B7 join_enrich: orders ⋈ customer ⋈ nation ⋈ region, dims broadcast.
+    "join_enrich" -> ((s, d) =>
+      Relational.enrichOrders(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+
+    // B1 dedup_exact: deterministic exact dedup of documents on text.
+    "dedup_exact" -> ((s, d) =>
+      Relational.dedupExact(Tables.documents(s, d), Seq("text"), "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // CDC upsert: apply a deterministic change set (price bumps on keys
+    // divisible by 7, inserts re-keyed +1e9 for keys divisible by 97)
+    // onto the orders snapshot, latest-wins. The insert offset must
+    // clear the real key space at ANY plausible SF (TPC-H orderkey max
+    // = 6M·SF, so 1e9 is safe past SF 150; a 10M offset would collide
+    // from SF≈1.7, silently turning inserts into destructive updates).
+    "cdc_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      val updates = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      val inserts = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      Relational.upsert(base, updates.unionByName(inserts), "o_orderkey")
+    }),
+
+    // TPC-H Q3 shape: filter-pushdown + broadcast dim + fact join + top-k.
+    "q3_shipping_priority" -> ((s, d) =>
+      Relational.shippingPriority(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))),
+
+    // TPC-H Q5 shape: six-table star join, all dims broadcast.
+    // TPC-H Q10 shape (round 9): returned-items revenue per customer,
+    // one quarter, top 20 — facts filtered before the join, nation
+    // pinned broadcast, TakeOrdered.
+    "q10_returned_items" -> ((s, d) =>
+      Relational.returnedItemsRevenue(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+
+    // TPC-H Q6 (round 11): the pure-scan pushdown grader — all three
+    // predicates reach the parquet reader, 4-column projection,
+    // decimal-exact revenue.
+    "q6_forecast_revenue" -> ((s, d) =>
+      Relational.q6ForecastRevenue(Tables.lineitem(s, d))),
+
+    "q5_local_supplier" -> ((s, d) =>
+      Relational.localSupplierVolume(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+
+    // PII scrub: redact emails / digit runs / hex ids.
+    "text_pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrub(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // As-of join: latest same-user click at-or-before each purchase
+    // (sort-merge composition — Spark has no native as-of join).
+    "join_asof" -> ((s, d) =>
+      Relational.asofJoin(Tables.events(s, d))),
+
+    // As-of with tolerance (round 11): the feature-store max-age gate —
+    // too-stale matches NULL like no-match, rows stay structural.
+    "join_asof_tolerance" -> ((s, d) =>
+      Relational.asofJoinTolerance(Tables.events(s, d))),
+
+    // Nearest as-of (round 11): closest match EITHER direction (pandas
+    // direction='nearest') — two carries over one per-user sort,
+    // backward tie-break.
+    "join_asof_nearest" -> ((s, d) =>
+      Relational.asofNearest(Tables.events(s, d))),
+
+    // Range (interval) join: purchases inside any error's 10-minute
+    // window, via time-bucketing (equi-join on bucket + exact filter —
+    // not the BNLJ a naive inequality join would plan).
+    "join_range" -> ((s, d) =>
+      Relational.rangeJoin(Tables.events(s, d))),
+
+    // Interval-OVERLAP join (round 11): error windows × purchase
+    // windows via grid-cell equi-join (bounded explode), pair kept
+    // only in its overlap-start cell — exactly-once without DISTINCT.
+    "join_interval_overlap" -> ((s, d) =>
+      Relational.intervalOverlapJoin(Tables.events(s, d))),
+
+    // Pivot: per-user event-type count matrix, explicit value list.
+    "pivot_counts" -> ((s, d) =>
+      Relational.pivotCounts(Tables.events(s, d))),
+
+    // Unpivot/melt (round 11): wide→long via native Expand (one narrow
+    // pass, no shuffle before the bounded groupBy), decimal-exact sums.
+    "agg_unpivot" -> ((s, d) =>
+      Relational.unpivotMeasures(Tables.lineitem(s, d))),
+
+    // Per-type z-score outlier flagging (round 8): exact-decimal stats
+    // via the stats_corr string bridge, broadcast back, |z| > 3.
+    "event_anomaly" -> ((s, d) =>
+      Relational.valueAnomalies(Tables.events(s, d))),
+
+    // MAD outliers (round 11): the robust sibling — reservoir medians
+    // (value, then absolute deviation), pure-integer 3*1.4826 flag.
+    "event_anomaly_mad" -> ((s, d) =>
+      Relational.madOutliers(Tables.events(s, d))),
+
+    // Chi-square independence (round 11): exact contingency counts,
+    // per-cell integer-derived terms, ORDERED fold for the statistic.
+    "stats_chi2" -> ((s, d) =>
+      Relational.chiSquare(Tables.events(s, d))),
+
+    // A/B Welch's t (round 11): deterministic parity arms, exact integer
+    // moment sums in one conditional-aggregation pass, identical IEEE
+    // operation tree for the statistic.
+    "event_ab_test" -> ((s, d) =>
+      Relational.abTestWelch(Tables.events(s, d))),
+
+    // OLS regression (round 11): price-on-quantity per flag from exact
+    // integer moments, identical slope/intercept operation tree.
+    "stats_regression" -> ((s, d) =>
+      Relational.olsByFlag(Tables.lineitem(s, d))),
+
+    // Conversion lag (round 11): signup→first-purchase latency —
+    // unconverted users counted, md5-reservoir percentiles.
+    "event_conversion_lag" -> ((s, d) =>
+      Relational.conversionLag(Tables.events(s, d))),
+
+    // Per-group mode (round 11): most frequent quantity per flag,
+    // smaller-value tie-break, exact counts.
+    "agg_mode" -> ((s, d) =>
+      Relational.modeByFlag(Tables.lineitem(s, d))),
+
+    // Power-user concentration (round 11): top-100 users' event share —
+    // the skew headline that sizes salting strategy.
+    "event_power_users" -> ((s, d) =>
+      Relational.powerUserShare(Tables.events(s, d))),
+
+    // Norm histogram (round 11): the embedding-collapse diagnostic —
+    // exact integer squared-norm equi-width bins.
+    "embed_norm_hist" -> ((s, d) =>
+      Similarity.normHistogram(Tables.embeddings(s, d))),
+
+    // Top eigenvector (round 11): 2 unrolled power-iteration steps over
+    // the exact integer Gram matrix — directional-collapse/anisotropy
+    // diagnostic; Rayleigh quotient in decimal-exact arithmetic.
+    "embed_top_eigvec" -> ((s, d) =>
+      Similarity.topEigvec(Tables.embeddings(s, d))),
+
+    // JL random projection audit (round 11): 16 deterministic integer
+    // hyperplanes, per-vector norm-preservation ratio.
+    "embed_random_projection" -> ((s, d) =>
+      Similarity.randomProjectionAudit(Tables.embeddings(s, d))),
+
+    // Markov transition matrix (round 11): per-user lag pairs, <=
+    // types^2 matrix, one IEEE division per row for the conditional.
+    "event_markov" -> ((s, d) =>
+      Relational.markovTransitions(Tables.events(s, d))),
+
+    // Top converting paths (round 11): ordered last-3-step sequences
+    // before each purchase — one per-user sort feeds all lags.
+    "event_path_topk" -> ((s, d) =>
+      Relational.convertingPaths(Tables.events(s, d))),
+
+    // DAU/MAU stickiness (round 11): exact distinct actives, shuffle
+    // O(actives) never O(events), two fixed-order divisions.
+    "event_dau_mau" -> ((s, d) =>
+      Relational.dauMau(Tables.events(s, d))),
+
+    // Activity heatmap (round 11): ISO dow × hour cells (the portable
+    // weekday()+1 ≡ isodow pair), exact events + distinct actives.
+    "event_heatmap" -> ((s, d) =>
+      Relational.activityHeatmap(Tables.events(s, d))),
+
+    // Activity streaks (round 11): gaps-and-islands via day −
+    // row_number, per-user longest, bounded histogram.
+    "event_streaks" -> ((s, d) =>
+      Relational.activityStreaks(Tables.events(s, d))),
+
+    // TF-IDF keywords (round 11): bit-length idf surrogate (stopwords
+    // self-suppress at df=N), per-doc top-3, vocab-keyed df join.
+    "text_tfidf_keywords" -> ((s, d) =>
+      Corpus.tfidfKeywords(Tables.documents(s, d))),
+
+    // Token-budget prefix cut (round 11): "train on exactly N tokens" —
+    // deterministic md5-order per-shard prefix under a running-total
+    // budget; whole documents only.
+    "corpus_token_budget" -> ((s, d) =>
+      Corpus.tokenBudgetPrefix(Tables.documents(s, d))),
+
+    // Vocab coverage (round 11): per-source occurrence coverage of the
+    // global top-32 vocab + OOV type counts — the tokenizer card's
+    // first table.
+    "tokenizer_vocab_coverage" -> ((s, d) =>
+      Corpus.vocabCoverage(Tables.documents(s, d))),
+
+    // Quarantine decode: bad wire rows are FLAGGED, not silently dropped
+    // (upgrading the reference's drop-and-continue, SURVEY.md §4.4.3).
+    "row_quarantine" -> ((s, d) => {
+      // PERMISSIVE from_json + corrupt-record column: malformed wire rows
+      // surface with the raw text captured, never silently dropped.
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      val parsed = from_json(col("raw"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt"))
+      Tables.events(s, d)
+        .withColumn("raw",
+          when(pmod(col("event_id"), lit(7)) === 0,
+            concat(lit("{bad"), col("props"))).otherwise(col("props")))
+        // select the parsed struct ONCE, then project both fields from it
+        // — guarantees single from_json evaluation per row instead of
+        // relying on common-subexpression elimination to merge the two
+        .withColumn("p", parsed)
+        .select(col("event_id"), col("raw"),
+          col("p").getField("k").as("k"),
+          col("p").getField("_corrupt").isNotNull.as("quarantined"))
+        .orderBy(col("event_id"))
+    }),
+
+    // NTILE quartile bands per return flag (round 11): partitioned
+    // window + total ordering via the primary key — deterministic band
+    // membership, decimal-exact band sums.
+    "window_ntile" -> ((s, d) =>
+      Relational.priceNtiles(Tables.lineitem(s, d))),
+
+    // percent_rank/cume_dist standings (round 11): the window runs over
+    // the AGGREGATED cell relation (bounded), never the raw rows.
+    "window_cume" -> ((s, d) =>
+      Relational.cumeStandings(Tables.lineitem(s, d))),
+
+    // Trailing RANGE frame (round 11): value-range 30-day window per
+    // customer — the frame kind ROWS BETWEEN can't express.
+    "window_range_sum" -> ((s, d) =>
+      Relational.trailingRangeSum(Tables.orders(s, d))),
+
+    // Windowed top-k per group: top-3 users by exact total value per type.
+    "window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val totals = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast(DecimalType(12, 2))).as("tot"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("tot").desc, col("user_id"))
+      totals.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("user_id"),
+          col("tot").cast("double").as("total_value"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
+
+    // Sliding-frame window: 5-row moving average of value per user.
+    // The frame is tiny and totally ordered ((ts, event_id) — ties
+    // broken), so both engines sum the same ≤5 doubles in the same
+    // order: bit-identical without any decimal bridge.
+    "window_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      // decimal bridge: a windowed AVG over doubles need not associate
+      // the frame's values in the same order across engines (DuckDB's
+      // segment-tree combining vs Spark's sequential frame) — sum exact
+      // in decimal, divide once in double, order-independent on both
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (sum(col("value").cast("decimal(12,2)")).over(w).cast("double") /
+            count(col("value")).over(w)).as("mov_avg"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Per-user event adjacency: previous/next event and the exact-µs gap
+    // since the last one — the session-gap primitive as a window query.
+    "window_lag_lead" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"),
+          (unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Set operations: EXCEPT / INTERSECT over user populations.
+    "set_ops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id"))
+      users("purchase").except(users("error"))
+        .withColumn("op", lit("purchase_minus_error"))
+        .union(users("signup").intersect(users("view"))
+          .withColumn("op", lit("signup_and_view")))
+        .select(col("op"), col("user_id"))
+        .orderBy(col("op"), col("user_id"))
+    }),
+
+    // Skew-safe salted aggregation (same semantics as direct groupBy —
+    // that IS the oracle; structure is the 100 TB hot-key remedy).
+    "agg_salted" -> ((s, d) =>
+      Relational.saltedAgg(Tables.events(s, d))),
+
+    // Skew-safe salted equi-join: 10k events over 150 hot users against
+    // the 1.5k-customer dim — result ≡ the plain join (the oracle), hot
+    // keys diffused over 16 salted shuffle partitions.
+    "join_skew_salted" -> ((s, d) =>
+      Relational.saltedJoin(
+          Tables.events(s, d),
+          Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+          "user_id", "c_custkey", col("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("event_id"))),
+
+    // Edit-distance fuzzy self-join (round 9): PassJoin pigeonhole
+    // segments → bounded-bucket candidates → native levenshtein verify,
+    // over the distinct-name dictionary — never the all-pairs join.
+    "join_fuzzy" -> ((s, d) =>
+      Relational.fuzzyJoin(Tables.part(s, d))),
+
+    // Type-2 SCD historization (round 9): per-user event_type change
+    // points → versioned validity intervals; one shuffle on user_id.
+    "dim_scd2" -> ((s, d) =>
+      Relational.scd2(Tables.events(s, d))),
+
+    // Point-in-time snapshot (round 11): the query SCD2 exists to
+    // answer — state at T via half-open interval containment.
+    "dim_snapshot_at" -> ((s, d) =>
+      Relational.snapshotAt(Tables.events(s, d))),
+
+    // Exact equi-width histogram in integer cents (round 9): two
+    // aggregates, <= nb rows out at any scale.
+    "stats_histogram" -> ((s, d) =>
+      Relational.priceHistogram(Tables.orders(s, d))),
+
+    // RFM segmentation (round 11): recency/frequency/monetary quintile
+    // bands from the md5-reservoir edges — no global NTILE sort; the
+    // <=125-row segment grid with exact integer-cents monetary sums.
+    "customer_rfm" -> ((s, d) =>
+      Relational.rfmSegments(Tables.orders(s, d))),
+
+    // Cohort LTV (round 11): first-order-month cohorts × month offsets,
+    // exact integer months + cents — retention's monetary sibling.
+    "order_cohort_ltv" -> ((s, d) =>
+      Relational.cohortLtv(Tables.orders(s, d))),
+
+    // Fixed-point PageRank (round 9): 2 unrolled iterations in integer
+    // arithmetic over the order co-occurrence graph — the IVF unroll
+    // doctrine applied to graph compute; per-iteration shuffle on the
+    // node key is the Pregel superstep expressed relationally.
+    // Both graph queries read the SHARED memoized edge relation (see
+    // coOrderEdgesShared): one 3-shuffle edge build per (session,
+    // dataset), every graph consumer reads the checkpointed table.
+    "graph_pagerank" -> ((s, d) =>
+      Graph.pageRank(Tables.lineitem(s, d), scope = harnessScope,
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
+    // Oriented triangle counting (round 9): a<b<c joins build each
+    // triangle once; per-node participation top-20. Round 12: reads the
+    // SHARED memoized enumeration (memo:triangles) — the wedge join runs
+    // once per (session, dataset), not once per graph audit.
+    "graph_triangles" -> ((s, d) =>
+      Graph.triangles(Tables.lineitem(s, d), scope = harnessScope,
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        tri0 = Some(trianglesShared(s, d)))),
+
+    // Degree distribution (round 11): the skew diagnostic that sizes
+    // the triangle orientation + bucket caps; zero-degree nodes are
+    // structural. Reads the shared memoized edges.
+    "graph_degree_dist" -> ((s, d) =>
+      Graph.degreeDistribution(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
+    // Neighbor-Jaccard link scores (round 11): link prediction from the
+    // degree-ordered triangle enumeration — common neighbors via one
+    // explode+groupBy, never a neighborhood-set join. Fourth consumer
+    // of the shared edges.
+    "graph_link_jaccard" -> ((s, d) =>
+      Graph.neighborJaccard(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        tri0 = Some(trianglesShared(s, d)))),
+
+    // Exact interpolated quantiles (order statistics, oracle-checkable).
+    "text_len_quantiles" -> ((s, d) =>
+      Relational.lengthQuantiles(Tables.documents(s, d))),
+
+    // Per-GROUP exact type-7 quartiles in integer cents (round 9):
+    // the same exact-rational machinery, partitioned per priority.
+    "group_quantiles" -> ((s, d) =>
+      Relational.groupQuantiles(Tables.orders(s, d))),
+
+    // ---- Group B: event-time windowing ----------------------------------
+
+    "event_window_tumbling" -> ((s, d) =>
+      Sessionize.tumbling(Tables.events(s, d))),
+
+    // STREAMING parity (round 12): the events corpus replayed as a
+    // genuine multi-micro-batch file stream through
+    // StreamingWindows.tumbling — cross-batch aggregation state under
+    // the SAME oracle as the batch key (see tumblingParityReplay's
+    // scaladoc for the complete-vs-append reasoning).
+    "stream_window_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_win_")
+      graft.streaming.StreamingWindows.tumblingParityReplay(
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt")
+    }),
+
+    // SLIDING windows (round 11): 15-min windows every 5 min — each
+    // event fans out to exactly 3 windows map-side, partial aggregation
+    // before the one (window, type) shuffle.
+    "event_window_sliding" -> ((s, d) =>
+      Sessionize.sliding(Tables.events(s, d))),
+
+    "event_sessionize" -> ((s, d) =>
+      Sessionize.sessions(Tables.events(s, d))),
+
+    // Ordered conversion funnel: deepest signup → view → purchase stage
+    // per user, each step strictly after the previous one's earliest hit.
+    "event_funnel" -> ((s, d) =>
+      Sessionize.funnel(Tables.events(s, d))),
+
+    // Per-user event journey (round 8): path-analysis primitive — each
+    // user's (ts, event_id)-ordered event types as one a>b>c string.
+    "event_journey" -> ((s, d) =>
+      Sessionize.userJourney(Tables.events(s, d))),
+
+    // Last-touch attribution (round 9): conversions credited to the
+    // as-of touch within a 12 h horizon — one window pass over the
+    // per-user timeline, no conversion×touch join.
+    "event_attribution" -> ((s, d) =>
+      Sessionize.lastTouchAttribution(Tables.events(s, d))),
+
+    // Multi-touch attribution (round 10): linear + time-decay +
+    // U-shaped position credit per conversion path, parts-per-million
+    // integer credits with deterministic remainder assignment — every
+    // conversion reconciles to exactly 1_000_000 under every model.
+    // Same single-window-pass timeline shape as event_attribution.
+    "event_attribution_multi" -> ((s, d) =>
+      Sessionize.multiTouchAttribution(Tables.events(s, d))),
+
+    // Weekly cohort retention (round 7): first-event-week cohorts ×
+    // active-week offsets, distinct users per cell.
+    "event_retention" -> ((s, d) =>
+      Sessionize.retention(Tables.events(s, d))),
+  )
+
+  protected def analyticsOracles: Map[String, String] = Map(
+    "agg_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    // decimal sums go to double VIA VARCHAR (exact render + correctly
+    // rounded parse in both engines → bit-identical inputs; plain
+    // decimal→double casts double-round differently past 2^53)
+    "stats_corr" ->
+      ("SELECT l_returnflag, n, " +
+        "(n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) / " +
+        "(sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) * " +
+        "sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS corr_qty_price " +
+        "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"),
+
+    // one SELECT per profiled column, replaying counts/nulls/distinct/
+    // min/max; the engine side does all columns in one Expand scan
+    "stats_profile" -> {
+      def prof(c: String, numExpr: Option[String]): String = {
+        val e = numExpr.getOrElse(c)
+        val (mnn, mxn, mns, mxs) = numExpr match {
+          case Some(_) => (s"CAST(MIN($e) AS DOUBLE)", s"CAST(MAX($e) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          case None => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"MIN($c)", s"MAX($c)")
+        }
+        s"SELECT '$c' AS \"column\", COUNT(*) AS n_rows, " +
+          s"COUNT(*) - COUNT($e) AS n_null, " +
+          s"CAST(COUNT(DISTINCT $e) AS BIGINT) AS n_distinct, " +
+          s"$mnn AS min_num, $mxn AS max_num, $mns AS min_str, $mxs AS max_str " +
+          "FROM lineitem"
+      }
+      "SELECT * FROM (" +
+        (Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+          .map(c => prof(c, Some(c))) ++
+          Seq(prof("l_shipdate", Some("epoch_us(l_shipdate)"))) ++
+          Seq("l_returnflag", "l_linestatus").map(c => prof(c, None)))
+          .mkString(" UNION ALL ") +
+        ") ORDER BY \"column\""
+    },
+
+    "agg_rollup_sets" ->
+      ("SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    "agg_cube" ->
+      ("SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    // the bucketed join's oracle IS the plain join — co-location must
+    // not change a single row
+    "join_bucketed" ->
+      ("SELECT o.o_orderkey AS orderkey, l.l_linenumber AS linenumber, " +
+        "o.o_totalprice AS totalprice, l.l_extendedprice AS extendedprice " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "ORDER BY orderkey, linenumber"),
+
+    "join_semi_anti" ->
+      ("SELECT c_custkey, CASE WHEN EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01') " +
+        "THEN 'with_orders' ELSE 'without_orders' END AS kind " +
+        "FROM customer ORDER BY c_custkey"),
+
+    "join_enrich" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, c_name, c_mktsegment, " +
+        "n_name AS nation, r_name AS region " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey ORDER BY o_orderkey"),
+
+    "dedup_exact" ->
+      ("SELECT doc_id, text, lang, source, n_chars FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
+        "WHERE rn = 1 ORDER BY doc_id"),
+
+    "cdc_upsert" ->
+      ("WITH changes AS (" +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 97 = 0) " +
+        // whole-row latest-wins, keyed on ONE null-check (matches
+        // Relational.upsert's wholesale replace — per-column COALESCE would
+        // resurrect stale base values when an update legitimately NULLs a
+        // field)
+        "SELECT CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderkey ELSE b.o_orderkey END AS o_orderkey, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderdate ELSE b.o_orderdate END AS o_orderdate, " +
+        "CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority " +
+        "FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey " +
+        "ORDER BY o_orderkey"),
+
+    "q3_shipping_priority" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q6_forecast_revenue" ->
+      ("SELECT COUNT(*) AS n_rows, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+
+    "q10_returned_items" ->
+      ("SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue, " +
+        "c_acctbal, n_name " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+
+    "q5_local_supplier" ->
+      ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+
+    "text_pii_scrub" ->
+      ("SELECT doc_id, scrubbed, length(text) - length(scrubbed) AS chars_delta FROM (" +
+        "SELECT doc_id, text, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9a-fA-F]{16,}\\b', '<HEX>', 'g'), " +
+        "'[0-9]{4,}', '<NUM>', 'g') AS scrubbed " +
+        "FROM documents) ORDER BY doc_id"),
+
+    "join_asof" ->
+      ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, asof_ts FROM (" +
+        "SELECT event_id, user_id, ts, event_type, " +
+        // order by the µs-truncated ts (events.ts is TIMESTAMP_NS in
+        // DuckDB; Spark ranks at microsecond precision) so same-µs ties
+        // break identically on event_id in both engines
+        "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS UNBOUNDED PRECEDING) AS asof_ts " +
+        "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    // both carries over the same (ts, event_id) order; backward ties
+    "join_asof_nearest" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "w AS (SELECT *, " +
+        "last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b_ts, " +
+        "first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f_ts " +
+        "FROM e), " +
+        "p AS (SELECT *, " +
+        "CASE WHEN b_ts IS NOT NULL THEN us - epoch_us(b_ts) END AS b_gap, " +
+        "CASE WHEN f_ts IS NOT NULL THEN epoch_us(f_ts) - us END AS f_gap " +
+        "FROM w WHERE event_type = 'purchase'), " +
+        "r AS (SELECT *, CASE WHEN b_gap IS NOT NULL AND " +
+        "(f_gap IS NULL OR b_gap <= f_gap) THEN 'back' " +
+        "WHEN f_gap IS NOT NULL THEN 'fwd' ELSE 'none' END AS direction FROM p) " +
+        "SELECT event_id, user_id, ts, " +
+        "CASE WHEN direction = 'back' THEN b_ts WHEN direction = 'fwd' THEN f_ts END AS nearest_ts, " +
+        "CASE WHEN direction = 'back' THEN b_gap WHEN direction = 'fwd' THEN f_gap END AS gap_us, " +
+        "direction FROM r ORDER BY event_id"),
+
+    // tolerance replay: same carry + the integer-µs age gate; CASE
+    // NULLs mirror the Spark when()s
+    "join_asof_tolerance" ->
+      ("SELECT event_id, user_id, ts, " +
+        "CASE WHEN matched THEN raw_asof END AS asof_ts, " +
+        "CASE WHEN matched THEN stale_us END AS staleness_us, matched FROM (" +
+        "SELECT event_id, user_id, ts, raw_asof, stale_us, " +
+        "raw_asof IS NOT NULL AND stale_us <= 86400000000 AS matched FROM (" +
+        "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
+        "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS UNBOUNDED PRECEDING) AS raw_asof, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS UNBOUNDED PRECEDING)) AS stale_us " +
+        "FROM events) WHERE event_type = 'purchase')" +
+        " ORDER BY event_id"),
+
+    // integer-µs arithmetic on the µs-truncated ts, exactly as the Spark
+    // side computes containment
+    "join_range" ->
+      ("SELECT b.event_id AS point_id, e.event_id AS interval_id, " +
+        "CAST(b.ts AS TIMESTAMP) AS point_ts, CAST(e.ts AS TIMESTAMP) AS interval_start " +
+        "FROM events e JOIN events b ON e.event_type = 'error' AND b.event_type = 'purchase' " +
+        "AND epoch_us(CAST(b.ts AS TIMESTAMP)) >= epoch_us(CAST(e.ts AS TIMESTAMP)) " +
+        "AND epoch_us(CAST(b.ts AS TIMESTAMP)) < epoch_us(CAST(e.ts AS TIMESTAMP)) + 600000000 " +
+        "ORDER BY point_id, interval_id"),
+
+    // direct inequality-join replay of the bucketed overlap join:
+    // identical pairs and exact integer-µs overlap lengths
+    "join_interval_overlap" ->
+      ("WITH a AS (SELECT event_id AS a_id, epoch_us(CAST(ts AS TIMESTAMP)) AS a_s, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS a_e FROM events WHERE event_type = 'error'), " +
+        "b AS (SELECT event_id AS b_id, epoch_us(CAST(ts AS TIMESTAMP)) AS b_s, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS b_e FROM events WHERE event_type = 'purchase') " +
+        "SELECT a_id, b_id, least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us " +
+        "FROM a JOIN b ON a_s < b_e AND b_s < a_e ORDER BY a_id, b_id"),
+
+    // melt replay: UNION ALL long form, decimal-exact sums cast once
+    "agg_unpivot" ->
+      ("WITH m AS (" +
+        "SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) " +
+        "SELECT l_returnflag, measure, COUNT(*) AS n, " +
+        "MIN(value) AS vmin, MAX(value) AS vmax, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum " +
+        "FROM m GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "pivot_counts" ->
+      ("SELECT user_id, " +
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "COUNT(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "COUNT(*) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    // exact-decimal n/Σv/Σv² through the stats_corr via-string bridge;
+    // mean/std/z arithmetic mirrors valueAnomalies op for op
+    // (count desc, value asc) tie order replayed via ROW_NUMBER
+    "agg_mode" ->
+      ("WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2), " +
+        "m AS (SELECT l_returnflag, q AS mode_qty, cnt AS mode_n FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY cnt DESC, q) AS rn FROM c) WHERE rn = 1), " +
+        "t AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c GROUP BY 1) " +
+        "SELECT m.l_returnflag, m.mode_qty, CAST(m.mode_n AS BIGINT) AS mode_n, " +
+        "t.n_rows, CAST(m.mode_n AS DOUBLE) / t.n_rows AS mode_share " +
+        "FROM m JOIN t USING (l_returnflag) ORDER BY m.l_returnflag"),
+
+    // top-k by (n desc, user_id) replayed; one division
+    "event_power_users" ->
+      ("WITH p AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1), " +
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS topk_users, " +
+        "CAST(SUM(n) AS BIGINT) AS topk_events FROM (" +
+        "SELECT n FROM p ORDER BY n DESC, user_id LIMIT 100)), " +
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(n) AS BIGINT) AS n_events FROM p) " +
+        "SELECT a.n_users, a.n_events, t.topk_users, t.topk_events, " +
+        "CAST(t.topk_events AS DOUBLE) / a.n_events AS topk_share FROM a, t"),
+
+    // lag replay: conditional-min firsts, md5-reservoir + nearest-rank
+    "event_conversion_lag" ->
+      ("WITH us AS (SELECT user_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events), " +
+        "pu AS (SELECT user_id, " +
+        "MIN(CASE WHEN event_type = 'signup' THEN t END) AS t_from FROM us GROUP BY 1), " +
+        "ft AS (SELECT u.user_id, MIN(u.t) AS t_to FROM us u " +
+        "JOIN pu ON u.user_id = pu.user_id " +
+        "WHERE u.event_type = 'purchase' AND pu.t_from IS NOT NULL " +
+        "AND u.t >= pu.t_from GROUP BY 1), " +
+        "lg AS (SELECT pu.user_id, CASE WHEN pu.t_from IS NOT NULL " +
+        "AND ft.t_to IS NOT NULL THEN ft.t_to - pu.t_from END AS lag_us " +
+        "FROM pu LEFT JOIN ft USING (user_id)), " +
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(COUNT(lag_us) AS BIGINT) AS n_converted FROM lg), " +
+        "kr AS (SELECT v, row_number() OVER (ORDER BY v) AS vr, " +
+        "COUNT(*) OVER () AS n FROM (SELECT CAST(lag_us AS DOUBLE) AS v FROM (" +
+        "SELECT lag_us, row_number() OVER (ORDER BY " +
+        "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT), " +
+        "CAST(lag_us AS DOUBLE)) AS rn FROM lg WHERE lag_us IS NOT NULL) " +
+        "WHERE rn <= 256)), " +
+        "q AS (SELECT MAX(CASE WHEN vr = (25*n+99)//100 THEN v END) AS p25, " +
+        "MAX(CASE WHEN vr = (50*n+99)//100 THEN v END) AS p50, " +
+        "MAX(CASE WHEN vr = (75*n+99)//100 THEN v END) AS p75 FROM kr) " +
+        "SELECT c.n_users, c.n_converted, q.p25 AS p25_lag_us, " +
+        "q.p50 AS p50_lag_us, q.p75 AS p75_lag_us FROM c, q"),
+
+    // Gram + 2 unrolled matvecs + sign-split truncating rescale
+    // (sign·((|y|·256) div m): truncate ≡ floor on the nonneg part, so
+    // Spark div and DuckDB // agree); quadratic form in HUGEINT
+    "embed_top_eigvec" ->
+      (s"WITH $sqlQuantCte, " +
+        "nf AS (SELECT vec_id, v FROM n WHERE len(v) = 64), " +
+        "g AS (SELECT ii.i AS i, jj.j AS j, " +
+        "CAST(SUM(v[ii.i + 1] * v[jj.j + 1]) AS BIGINT) AS gij " +
+        "FROM nf, range(0, 64) ii(i), range(0, 64) jj(j) GROUP BY 1, 2), " +
+        "x0 AS (SELECT unnest(range(0, 64)) AS j, CAST(1 AS BIGINT) AS x), " +
+        "y1 AS (SELECT g.i, CAST(SUM(g.gij * x0.x) AS BIGINT) AS y " +
+        "FROM g JOIN x0 ON g.j = x0.j GROUP BY 1), " +
+        "m1 AS (SELECT MAX(ABS(y)) AS m FROM y1), " +
+        "x1 AS (SELECT y1.i AS j, CAST((CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END) * " +
+        "((ABS(y) * 256) // GREATEST(m, 1)) AS BIGINT) AS x FROM y1, m1), " +
+        "y2 AS (SELECT g.i, CAST(SUM(g.gij * x1.x) AS BIGINT) AS y " +
+        "FROM g JOIN x1 ON g.j = x1.j GROUP BY 1), " +
+        "m2 AS (SELECT MAX(ABS(y)) AS m FROM y2), " +
+        "x2 AS (SELECT y2.i AS j, CAST((CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END) * " +
+        "((ABS(y) * 256) // GREATEST(m, 1)) AS BIGINT) AS x FROM y2, m2), " +
+        "num AS (SELECT CAST(SUM(CAST(g.gij AS HUGEINT) * xi.x * xj.x) AS DOUBLE) AS num " +
+        "FROM g JOIN x2 xi ON g.i = xi.j JOIN x2 xj ON g.j = xj.j), " +
+        "den AS (SELECT CAST(SUM(x * x) AS BIGINT) AS den FROM x2) " +
+        "SELECT CAST(x2.j AS BIGINT) AS comp, x2.x AS x_val, " +
+        "num.num / CAST(den.den AS DOUBLE) AS rayleigh " +
+        "FROM x2, num, den ORDER BY comp"),
+
+    // exact-integer norm bins, priceHistogram replay shape
+    "embed_norm_hist" ->
+      ("WITH q AS (SELECT CAST(list_sum(list_transform(" +
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)), " +
+        "x -> x*x)) AS BIGINT) AS nrm FROM embeddings WHERE embedding IS NOT NULL), " +
+        "b AS (SELECT MIN(nrm) AS lo, MAX(nrm) AS hi FROM q) " +
+        "SELECT CAST(((nrm - lo) * 16) // (hi - lo + 1) AS BIGINT) AS bucket, " +
+        "COUNT(*) AS n, MIN(nrm) AS nrm_min, MAX(nrm) AS nrm_max " +
+        "FROM q, b GROUP BY 1 ORDER BY 1"),
+
+    // cells + the SAME ordered fold (list(... ORDER BY) adds in the
+    // identical sequence as the sorted-array aggregate)
+    "stats_chi2" ->
+      ("WITH obs AS (SELECT event_type, user_id % 2 AS arm, " +
+        "CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1, 2), " +
+        "cells AS (SELECT g.event_type, g.arm, COALESCE(obs.o, 0) AS o FROM " +
+        "(SELECT et.event_type, ar.arm FROM " +
+        "(SELECT DISTINCT event_type FROM obs) et, " +
+        "(SELECT DISTINCT arm FROM obs) ar) g " +
+        "LEFT JOIN obs ON g.event_type = obs.event_type AND g.arm = obs.arm), " +
+        "r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+        "c AS (SELECT arm, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
+        "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells), " +
+        "t AS (SELECT cells.event_type, cells.arm, cells.o, " +
+        "CAST(r.r * c.c AS DOUBLE) / nn.n AS expected, " +
+        "(CAST(cells.o * nn.n - r.r * c.c AS DOUBLE) * " +
+        "CAST(cells.o * nn.n - r.r * c.c AS DOUBLE)) / " +
+        "CAST(r.r * c.c * nn.n AS DOUBLE) AS term " +
+        "FROM cells JOIN r USING (event_type) JOIN c USING (arm), nn), " +
+        "s AS (SELECT list_reduce(list(term ORDER BY event_type, arm), " +
+        "(a, b) -> a + b) AS chi2 FROM t) " +
+        "SELECT t.event_type, t.arm, t.o, t.expected, t.term, s.chi2 " +
+        "FROM t, s ORDER BY t.event_type, t.arm"),
+
+    // OLS replay: exact moments, same slope/intercept tree
+    "stats_regression" ->
+      ("WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy_cents, " +
+        "CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy " +
+        "FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y " +
+        "FROM lineitem) GROUP BY 1) " +
+        "SELECT l_returnflag, n, sx, sy_cents, sxx, sxy, " +
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy_cents AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, " +
+        "(CAST(sy_cents AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy_cents AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n AS intercept " +
+        "FROM a ORDER BY l_returnflag"),
+
+    // Welch replay: identical cents bridge, one conditional-aggregation
+    // pass, the SAME operation tree for the statistic — fixed operand
+    // order makes the doubles bit-identical
+    "event_ab_test" ->
+      ("WITH v AS (SELECT event_type, user_id % 2 AS arm, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events), " +
+        "a AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s0_cents, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s1_cents, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS q0, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS q1 " +
+        "FROM v GROUP BY 1) " +
+        "SELECT event_type, n0, n1, s0_cents, s1_cents, q0, q1, " +
+        "(CAST(s1_cents AS DOUBLE) / n1 - CAST(s0_cents AS DOUBLE) / n0) / " +
+        "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1_cents AS DOUBLE) * CAST(s1_cents AS DOUBLE) / n1) / (n1 - 1)) / n1 + " +
+        "((CAST(q0 AS DOUBLE) - CAST(s0_cents AS DOUBLE) * CAST(s0_cents AS DOUBLE) / n0) / (n0 - 1)) / n0) AS t_stat " +
+        "FROM a ORDER BY event_type"),
+
+    // day − row_number islands over distinct (user, day)
+    "event_streaks" ->
+      ("WITH d AS (SELECT DISTINCT user_id, " +
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events), " +
+        "i AS (SELECT user_id, day - row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS island FROM d), " +
+        "l AS (SELECT user_id, island, COUNT(*) AS len FROM i GROUP BY 1, 2), " +
+        "s AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak_days FROM l GROUP BY 1) " +
+        "SELECT streak_days, COUNT(*) AS n_users FROM s GROUP BY 1 ORDER BY 1"),
+
+    // isodow mirrors Spark's weekday()+1; hours UTC
+    "event_heatmap" ->
+      ("WITH k AS (SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow_iso, " +
+        "CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour, user_id FROM events), " +
+        "c AS (SELECT dow_iso, hour, COUNT(*) AS n_events FROM k GROUP BY 1, 2), " +
+        "u AS (SELECT dow_iso, hour, CAST(COUNT(*) AS BIGINT) AS n_users FROM (" +
+        "SELECT DISTINCT dow_iso, hour, user_id FROM k) GROUP BY 1, 2) " +
+        "SELECT c.dow_iso, c.hour, c.n_events, u.n_users " +
+        "FROM c JOIN u USING (dow_iso, hour) ORDER BY 1, 2"),
+
+    // exact distinct actives on UTC truncations; divisions mirrored
+    "event_dau_mau" ->
+      ("WITH k AS (SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month, " +
+        "date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events), " +
+        "d AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(dau) AS BIGINT) AS sum_dau FROM (" +
+        "SELECT month, day, COUNT(*) AS dau FROM (SELECT DISTINCT month, day, user_id FROM k) " +
+        "GROUP BY 1, 2) GROUP BY 1), " +
+        "m AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS mau FROM (" +
+        "SELECT DISTINCT month, user_id FROM k) GROUP BY 1) " +
+        "SELECT m.month, m.mau, d.n_days, d.sum_dau, " +
+        "CAST(d.sum_dau AS DOUBLE) / d.n_days AS avg_dau, " +
+        "CAST(d.sum_dau AS DOUBLE) / d.n_days / m.mau AS stickiness " +
+        "FROM m JOIN d USING (month) ORDER BY m.month"),
+
+    // top-32 by (freq DESC, token); membership + per-source rollup
+    "tokenizer_vocab_coverage" ->
+      ("WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS freq FROM t GROUP BY 1 " +
+        "ORDER BY freq DESC, tok LIMIT 32)), " +
+        "m AS (SELECT t.source, t.tok, v.tok IS NOT NULL AS in_vocab " +
+        "FROM t LEFT JOIN v ON t.tok = v.tok) " +
+        "SELECT source, COUNT(*) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS BIGINT) AS n_covered, " +
+        "CAST(COUNT(DISTINCT CASE WHEN NOT in_vocab THEN tok END) AS BIGINT) AS n_oov_types, " +
+        "CAST(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage " +
+        "FROM m GROUP BY 1 ORDER BY 1"),
+
+    // md5-order per-shard running total; keep iff own cumulative fits
+    "corpus_token_budget" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+        "md5(CAST(doc_id AS VARCHAR) || ':budget') AS ek FROM documents), " +
+        "c AS (SELECT source, n_tok, SUM(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY ek, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN cum <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(n_tok) AS BIGINT) AS tokens_total, " +
+        "CAST(SUM(CASE WHEN cum <= 2000 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept, " +
+        "CAST(2000 AS BIGINT) AS budget, " +
+        "CAST(SUM(CASE WHEN cum <= 2000 THEN n_tok ELSE 0 END) AS DOUBLE) / 2000 AS fill " +
+        "FROM c GROUP BY source ORDER BY source"),
+
+    // bit-length idf surrogate: bitlen(N div df) - 1, zero at df = N
+    "text_tfidf_keywords" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2), " +
+        "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, " +
+        "tf.tf * (length(bin(n_docs // df.df)) - 1) AS score " +
+        "FROM tf JOIN df USING (tok), nn), " +
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, tok) AS rank FROM sc WHERE score > 0) " +
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS token, tf, df, " +
+        "CAST(score AS BIGINT) AS score FROM rk WHERE rank <= 3 " +
+        "ORDER BY doc_id, rank"),
+
+    // same 3 lags over the (ts, event_id) total order, '-' padding
+    "event_path_topk" ->
+      ("WITH p AS (SELECT event_type, " +
+        "COALESCE(lag(event_type, 3) OVER w, '-') || '>' || " +
+        "COALESCE(lag(event_type, 2) OVER w, '-') || '>' || " +
+        "COALESCE(lag(event_type, 1) OVER w, '-') AS path " +
+        "FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id)) " +
+        "SELECT path, COUNT(*) AS n FROM p WHERE event_type = 'purchase' " +
+        "GROUP BY 1 ORDER BY n DESC, path LIMIT 10"),
+
+    // lag pairs over the µs-truncated ts, (ts, event_id) total order
+    "event_markov" ->
+      ("WITH p AS (SELECT lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type, " +
+        "event_type AS next_type FROM events), " +
+        "c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM p " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY 1) " +
+        "SELECT c.prev_type, c.next_type, c.n, " +
+        "CAST(c.n AS DOUBLE) / t.row_total AS p_next " +
+        "FROM c JOIN t USING (prev_type) ORDER BY 1, 2"),
+
+    // two reservoir-median replays ((h, value) order), integer flag
+    "event_anomaly_mad" ->
+      ("WITH k AS (SELECT event_type, event_id, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, " +
+        "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT) AS h " +
+        "FROM events), " +
+        "s1 AS (SELECT event_type, c FROM (SELECT event_type, c, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h, CAST(c AS DOUBLE)) AS rn " +
+        "FROM k) WHERE rn <= 256), " +
+        "m1 AS (SELECT event_type, CAST(v AS BIGINT) AS median_cents FROM (" +
+        "SELECT event_type, CAST(c AS DOUBLE) AS v, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY CAST(c AS DOUBLE)) AS vr, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM s1) " +
+        "WHERE vr = (50 * n + 99) // 100), " +
+        "d AS (SELECT k.event_type, k.h, ABS(k.c - m1.median_cents) AS ad, " +
+        "m1.median_cents FROM k JOIN m1 USING (event_type)), " +
+        "s2 AS (SELECT event_type, ad FROM (SELECT event_type, ad, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h, CAST(ad AS DOUBLE)) AS rn " +
+        "FROM d) WHERE rn <= 256), " +
+        "m2 AS (SELECT event_type, CAST(v AS BIGINT) AS mad_cents FROM (" +
+        "SELECT event_type, CAST(ad AS DOUBLE) AS v, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY CAST(ad AS DOUBLE)) AS vr, " +
+        "COUNT(*) OVER (PARTITION BY event_type) AS n FROM s2) " +
+        "WHERE vr = (50 * n + 99) // 100) " +
+        "SELECT d.event_type, COUNT(*) AS n, d.median_cents, m2.mad_cents, " +
+        "CAST(SUM(CASE WHEN d.ad * 1000 > m2.mad_cents * 4448 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM d JOIN m2 USING (event_type) " +
+        "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
+        "ORDER BY d.event_type"),
+
+    "event_anomaly" ->
+      ("WITH s AS (SELECT event_type, COUNT(*) AS n, " +
+        "SUM(CAST(value AS DECIMAL(12,2))) AS sv, " +
+        "SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv " +
+        "FROM events GROUP BY event_type), " +
+        "j AS (SELECT e.event_id, e.event_type, e.value, s.n, " +
+        "CAST(CAST(s.sv AS VARCHAR) AS DOUBLE) AS dsv, " +
+        "CAST(CAST(s.svv AS VARCHAR) AS DOUBLE) AS dsvv " +
+        "FROM events e JOIN s USING (event_type)), " +
+        "zz AS (SELECT event_id, event_type, value, n, " +
+        "sqrt(greatest((n * dsvv - dsv * dsv) / (n * (n - 1)), 0)) AS std, " +
+        "(value - dsv / n) AS dev FROM j) " +
+        "SELECT event_id, event_type, value, dev / std AS z FROM zz " +
+        "WHERE n > 1 AND std > 0 AND abs(dev / std) > 3.0 " +
+        "ORDER BY event_id"),
+
+    "row_quarantine" ->
+      ("SELECT event_id, raw, " +
+        "CASE WHEN json_valid(raw) THEN CAST(raw->>'k' AS BIGINT) END AS k, " +
+        // NULL raw must be FALSE, not NULL: Spark's from_json(NULL)
+        // yields a null struct whose _corrupt field isNotNull = false
+        "CASE WHEN raw IS NULL THEN FALSE ELSE NOT json_valid(raw) END AS quarantined " +
+        "FROM (SELECT event_id, CASE WHEN event_id % 7 = 0 THEN '{bad' || props " +
+        "ELSE props END AS raw FROM events) ORDER BY event_id"),
+
+    // NTILE over the identical total order (price, then primary key):
+    // SQL ntile semantics agree across engines (first n mod k bands
+    // take one extra row), so bands replay row-for-row
+    "window_ntile" ->
+      ("SELECT l_returnflag, tile, COUNT(*) AS n_rows, " +
+        "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+        "FROM (SELECT l_returnflag, l_extendedprice, CAST(NTILE(4) OVER " +
+        "(PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS tile " +
+        "FROM lineitem) GROUP BY 1, 2 ORDER BY l_returnflag, tile"),
+
+    // RANGE BETWEEN over integer epoch days — identical tie/frame
+    // semantics in both engines; exact cents
+    "window_range_sum" ->
+      ("SELECT o_orderkey, o_custkey, day, cents, " +
+        "CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day " +
+        "RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_cents, " +
+        "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day " +
+        "RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_trail30 " +
+        "FROM (SELECT o_orderkey, o_custkey, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents " +
+        "FROM orders) ORDER BY o_orderkey"),
+
+    // total order (rev, status) → rank ties impossible; the two doubles
+    // are one IEEE division each over identical integer-valued operands
+    "window_cume" ->
+      ("WITH c AS (SELECT l_returnflag, l_linestatus, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "SELECT l_returnflag, l_linestatus, CAST(rev AS DOUBLE) AS revenue, " +
+        "percent_rank() OVER (PARTITION BY l_returnflag ORDER BY rev, l_linestatus) AS pct_rank, " +
+        "cume_dist() OVER (PARTITION BY l_returnflag ORDER BY rev, l_linestatus) AS cume_dist " +
+        "FROM c ORDER BY 1, 2"),
+
+    "window_topk" ->
+      ("SELECT event_type, rk, user_id, CAST(tot AS DOUBLE) AS total_value FROM (" +
+        "SELECT event_type, user_id, tot, ROW_NUMBER() OVER " +
+        "(PARTITION BY event_type ORDER BY tot DESC, user_id) AS rk FROM (" +
+        "SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(12,2))) AS tot " +
+        "FROM events GROUP BY 1, 2)) WHERE rk <= 3 ORDER BY event_type, rk"),
+
+    "set_ops" ->
+      ("SELECT 'purchase_minus_error' AS op, user_id FROM " +
+        "(SELECT user_id FROM events WHERE event_type = 'purchase' EXCEPT " +
+        "SELECT user_id FROM events WHERE event_type = 'error') " +
+        "UNION ALL " +
+        "SELECT 'signup_and_view' AS op, user_id FROM " +
+        "(SELECT user_id FROM events WHERE event_type = 'signup' INTERSECT " +
+        "SELECT user_id FROM events WHERE event_type = 'view') " +
+        "ORDER BY op, user_id"),
+
+    "agg_salted" ->
+      ("SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // the salted join is semantically the PLAIN equi-join
+    "join_skew_salted" ->
+      ("SELECT event_id, user_id, event_type, c_name, c_mktsegment " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "ORDER BY event_id"),
+
+    // SCD2 replay: same µs-truncated ts + event_id ordering discipline
+    // as event_journey; first-row detection on the non-null event_id
+    // (lag(attr) is NULL both at the head and after a NULL attr)
+    // scd2's versions + the half-open containment filter at T
+    "dim_snapshot_at" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "event_type AS attr FROM events), " +
+        "c AS (SELECT user_id, ts, event_id, attr, " +
+        "LAG(attr) OVER w AS prev_attr, LAG(event_id) OVER w AS prev_eid " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "v AS (SELECT user_id, attr, ts AS valid_from, " +
+        "LEAD(ts) OVER w2 AS valid_to, " +
+        "CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version " +
+        "FROM c WHERE prev_eid IS NULL OR attr IS DISTINCT FROM prev_attr " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT user_id, attr, valid_from, version FROM v " +
+        "WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00' " +
+        "AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00') " +
+        "ORDER BY user_id"),
+
+    "dim_scd2" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "event_type AS attr FROM events), " +
+        "c AS (SELECT user_id, ts, event_id, attr, " +
+        "LAG(attr) OVER w AS prev_attr, LAG(event_id) OVER w AS prev_eid " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "v AS (SELECT user_id, attr, ts AS valid_from, " +
+        "LEAD(ts) OVER w2 AS valid_to, " +
+        "CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version " +
+        "FROM c WHERE prev_eid IS NULL OR attr IS DISTINCT FROM prev_attr " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT user_id, attr, valid_from, valid_to, version, " +
+        "valid_to IS NULL AS is_current FROM v ORDER BY user_id, version"),
+
+    // PageRank replay: the co-occurrence edges, degrees and two
+    // unrolled fixed-point iterations (scale 10^12, truncating //,
+    // CAST sums back from DuckDB's HUGEINT) — same unroll doctrine as
+    // the IVF training oracle
+    // id-ordered triangle enumeration (orientation-free — correctness
+    // only), 3 edge contributions per triangle, open-neighborhood union
+    "graph_link_jaccard" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), " +
+        "tri AS (SELECT p.a AS x, p.b AS y, q.b AS z FROM und p " +
+        "JOIN und q ON p.a = q.a AND p.b < q.b " +
+        "JOIN und r ON r.a = p.b AND r.b = q.b), " +
+        "contrib AS (SELECT LEAST(y, z) AS a, GREATEST(y, z) AS b FROM tri " +
+        "UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tri " +
+        "UNION ALL SELECT LEAST(x, y), GREATEST(x, y) FROM tri), " +
+        "cn AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn FROM contrib GROUP BY 1, 2), " +
+        "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (" +
+        "SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1), " +
+        "j AS (SELECT und.a, und.b, COALESCE(cn.cn, 0) AS cn, " +
+        "da.deg + db.deg - 2 - COALESCE(cn.cn, 0) AS union_n " +
+        "FROM und LEFT JOIN cn ON und.a = cn.a AND und.b = cn.b " +
+        "JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n) " +
+        "SELECT a, b, cn, union_n, " +
+        "CASE WHEN union_n > 0 THEN CAST(cn AS DOUBLE) / union_n ELSE 0.0 END AS jaccard " +
+        "FROM j ORDER BY jaccard DESC, a, b LIMIT 20"),
+
+    // degree histogram over the same edge relation; zero-degree parts
+    // come from the part universe left join
+    "graph_degree_dist" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), " +
+        "e AS (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und), " +
+        "deg AS (SELECT node, COUNT(*) AS degree FROM e GROUP BY 1), " +
+        "nodes AS (SELECT CAST(COALESCE(degree, 0) AS BIGINT) AS degree FROM " +
+        "(SELECT DISTINCT p FROM it) q LEFT JOIN deg ON q.p = deg.node) " +
+        "SELECT degree, COUNT(*) AS n_nodes FROM nodes GROUP BY 1 ORDER BY 1"),
+
+    "graph_pagerank" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), " +
+        "e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und), " +
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1), " +
+        "nodes AS (SELECT p AS part, COALESCE(deg, 0) AS deg FROM " +
+        "(SELECT DISTINCT p FROM it) q LEFT JOIN deg ON q.p = deg.src), " +
+        "n AS (SELECT COUNT(*) AS n_nodes FROM nodes), " +
+        "r0 AS (SELECT part, deg, n_nodes, 1000000000000 // n_nodes AS pr FROM nodes, n), " +
+        "c1 AS (SELECT e.dst, CAST(SUM(r0.pr // r0.deg) AS BIGINT) AS contrib " +
+        "FROM r0 JOIN e ON r0.part = e.src WHERE r0.deg > 0 GROUP BY 1), " +
+        "r1 AS (SELECT part, deg, n_nodes, " +
+        "(15 * 1000000000000) // (100 * n_nodes) + (85 * COALESCE(contrib, 0)) // 100 AS pr " +
+        "FROM r0 LEFT JOIN c1 ON r0.part = c1.dst), " +
+        "c2 AS (SELECT e.dst, CAST(SUM(r1.pr // r1.deg) AS BIGINT) AS contrib " +
+        "FROM r1 JOIN e ON r1.part = e.src WHERE r1.deg > 0 GROUP BY 1), " +
+        "r2 AS (SELECT part, deg, n_nodes, " +
+        "(15 * 1000000000000) // (100 * n_nodes) + (85 * COALESCE(contrib, 0)) // 100 AS pr " +
+        "FROM r1 LEFT JOIN c2 ON r1.part = c2.dst) " +
+        "SELECT part, deg, pr FROM r2 ORDER BY pr DESC, part LIMIT 30"),
+
+    // triangle replay: oriented a<b<c joins — each triangle counted
+    // exactly once, node participation via the 3-way unnest
+    "graph_triangles" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+        "tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z FROM und ab " +
+        "JOIN und bc ON ab.b = bc.a " +
+        "JOIN und ac ON ac.a = ab.a AND ac.b = bc.b) " +
+        "SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM " +
+        "(SELECT x AS part FROM tri UNION ALL SELECT y AS part FROM tri " +
+        "UNION ALL SELECT z AS part FROM tri) " +
+        "GROUP BY part ORDER BY n_triangles DESC, part LIMIT 20"),
+
+    // histogram replay: DECIMAL(12,2)*100 cents are exact integers, so
+    // bucket = (c-lo)*16 // (range+1) is pure integer arithmetic
+    "stats_histogram" ->
+      ("WITH k AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT) AS c FROM orders), " +
+        "b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM k) " +
+        "SELECT ((c - lo) * 16) // (hi - lo + 1) AS bucket, COUNT(*) AS n, " +
+        "MIN(c) AS cents_min, MAX(c) AS cents_max " +
+        "FROM k, b GROUP BY 1 ORDER BY 1"),
+
+    // exact integer months (year*12+month), cents, per-cell distincts
+    "order_cohort_ltv" ->
+      ("WITH k AS (SELECT o_custkey, " +
+        "CAST(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM orders), " +
+        "f AS (SELECT o_custkey, MIN(m) AS m0 FROM k GROUP BY 1), " +
+        "cells AS (SELECT k.o_custkey, f.m0 AS cohort_month, " +
+        "k.m - f.m0 AS month_offset, k.c FROM k JOIN f USING (o_custkey)), " +
+        "r AS (SELECT cohort_month, month_offset, CAST(SUM(c) AS BIGINT) AS cents " +
+        "FROM cells GROUP BY 1, 2), " +
+        "a AS (SELECT cohort_month, month_offset, CAST(COUNT(*) AS BIGINT) AS n_active " +
+        "FROM (SELECT DISTINCT cohort_month, month_offset, o_custkey FROM cells) GROUP BY 1, 2) " +
+        "SELECT r.cohort_month, r.month_offset, a.n_active, r.cents " +
+        "FROM r JOIN a USING (cohort_month, month_offset) ORDER BY 1, 2"),
+
+    // RFM replay: per-customer metrics (cents via the decimal bridge),
+    // the md5 bottom-256 reservoir per metric (window-rank form — same
+    // multiset as BottomKAgg under (hash, value) order), nearest-rank
+    // quintile edges, strict-greater banding, segment-grid rollup.
+    "customer_rfm" ->
+      ("WITH cm AS (SELECT o_custkey, MAX(o_orderdate) AS last_order, " +
+        "CAST(COUNT(*) AS BIGINT) AS f, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS m " +
+        "FROM orders GROUP BY 1), " +
+        "rf AS (SELECT MAX(o_orderdate) AS ref_date FROM orders), " +
+        "c2 AS (SELECT o_custkey, " +
+        "CAST(date_diff('day', CAST(last_order AS DATE), CAST(ref_date AS DATE)) AS BIGINT) AS r_days, " +
+        "f, m, CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h " +
+        "FROM cm, rf), " +
+        "kr AS (SELECT v, row_number() OVER (ORDER BY v) AS vr, COUNT(*) OVER () AS n FROM " +
+        "(SELECT CAST(r_days AS DOUBLE) AS v FROM (SELECT r_days, " +
+        "row_number() OVER (ORDER BY h, CAST(r_days AS DOUBLE)) AS rn FROM c2) WHERE rn <= 256)), " +
+        "er AS (SELECT MAX(CASE WHEN vr = (20*n+99)//100 THEN v END) AS e20, " +
+        "MAX(CASE WHEN vr = (40*n+99)//100 THEN v END) AS e40, " +
+        "MAX(CASE WHEN vr = (60*n+99)//100 THEN v END) AS e60, " +
+        "MAX(CASE WHEN vr = (80*n+99)//100 THEN v END) AS e80 FROM kr), " +
+        "kf AS (SELECT v, row_number() OVER (ORDER BY v) AS vr, COUNT(*) OVER () AS n FROM " +
+        "(SELECT CAST(f AS DOUBLE) AS v FROM (SELECT f, " +
+        "row_number() OVER (ORDER BY h, CAST(f AS DOUBLE)) AS rn FROM c2) WHERE rn <= 256)), " +
+        "ef AS (SELECT MAX(CASE WHEN vr = (20*n+99)//100 THEN v END) AS e20, " +
+        "MAX(CASE WHEN vr = (40*n+99)//100 THEN v END) AS e40, " +
+        "MAX(CASE WHEN vr = (60*n+99)//100 THEN v END) AS e60, " +
+        "MAX(CASE WHEN vr = (80*n+99)//100 THEN v END) AS e80 FROM kf), " +
+        "km AS (SELECT v, row_number() OVER (ORDER BY v) AS vr, COUNT(*) OVER () AS n FROM " +
+        "(SELECT CAST(m AS DOUBLE) AS v FROM (SELECT m, " +
+        "row_number() OVER (ORDER BY h, CAST(m AS DOUBLE)) AS rn FROM c2) WHERE rn <= 256)), " +
+        "em AS (SELECT MAX(CASE WHEN vr = (20*n+99)//100 THEN v END) AS e20, " +
+        "MAX(CASE WHEN vr = (40*n+99)//100 THEN v END) AS e40, " +
+        "MAX(CASE WHEN vr = (60*n+99)//100 THEN v END) AS e60, " +
+        "MAX(CASE WHEN vr = (80*n+99)//100 THEN v END) AS e80 FROM km), " +
+        "b AS (SELECT c2.m, " +
+        "1 + (CASE WHEN CAST(r_days AS DOUBLE) > er.e20 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(r_days AS DOUBLE) > er.e40 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(r_days AS DOUBLE) > er.e60 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(r_days AS DOUBLE) > er.e80 THEN 1 ELSE 0 END) AS r_band, " +
+        "1 + (CASE WHEN CAST(f AS DOUBLE) > ef.e20 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(f AS DOUBLE) > ef.e40 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(f AS DOUBLE) > ef.e60 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(f AS DOUBLE) > ef.e80 THEN 1 ELSE 0 END) AS f_band, " +
+        "1 + (CASE WHEN CAST(m AS DOUBLE) > em.e20 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(m AS DOUBLE) > em.e40 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(m AS DOUBLE) > em.e60 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN CAST(m AS DOUBLE) > em.e80 THEN 1 ELSE 0 END) AS m_band " +
+        "FROM c2, er, ef, em) " +
+        "SELECT CAST(r_band AS BIGINT) AS r_band, CAST(f_band AS BIGINT) AS f_band, " +
+        "CAST(m_band AS BIGINT) AS m_band, COUNT(*) AS n_customers, " +
+        "CAST(SUM(m) AS BIGINT) AS monetary_cents FROM b " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    // the oracle pays the all-pairs join the engine's segment filter
+    // avoids — correctness contract only (64 distinct names at any SF)
+    "join_fuzzy" ->
+      ("WITH n AS (SELECT p_name AS name, COUNT(*) AS n_parts FROM part GROUP BY 1) " +
+        "SELECT a.name AS name_a, b.name AS name_b, " +
+        "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist, " +
+        "a.n_parts AS n_a, b.n_parts AS n_b " +
+        "FROM n a JOIN n b ON a.name < b.name " +
+        "AND levenshtein(a.name, b.name) <= 2 " +
+        "ORDER BY name_a, name_b"),
+
+    "window_lag_lead" ->
+      ("SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "LAG(event_id) OVER w AS prev_event_id, " +
+        "LEAD(event_id) OVER w AS next_event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) - " +
+        "LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, ts, event_id"),
+
+    // Exact-rational type-7 interpolation replayed formula-for-formula
+    // (NOT quantile_cont, whose double interpolation could drift a ulp):
+    // integer position arithmetic, bracketing order statistics off a
+    // distinct-value rank frame, one double division per quartile.
+    "text_len_quantiles" ->
+      ("WITH c AS (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY n_chars), " +
+        "cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS hi_rank, " +
+        "SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS lo_rank FROM c), " +
+        "nn AS (SELECT COUNT(*) AS n, MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents), " +
+        "qq AS (SELECT * FROM (VALUES ('p25',1,4),('p50',1,2),('p75',3,4),('p90',9,10)) AS t(qname,num,den)), " +
+        "r AS (SELECT qname, den, (n-1)*num % den AS rem, (n-1)*num // den + 1 AS klo FROM nn, qq), " +
+        "j AS (SELECT r.qname, r.den, r.rem, " +
+        "MAX(CASE WHEN cum.lo_rank <= r.klo AND r.klo <= cum.hi_rank THEN v END) AS vlo, " +
+        "MAX(CASE WHEN r.rem > 0 AND cum.lo_rank <= r.klo+1 AND r.klo+1 <= cum.hi_rank THEN v END) AS vhi " +
+        "FROM r, cum GROUP BY 1, 2, 3), " +
+        "vals AS (SELECT qname, CAST(vlo*(den-rem) + COALESCE(vhi,vlo)*rem AS DOUBLE) / CAST(den AS DOUBLE) AS qval FROM j) " +
+        "SELECT MAX(CASE WHEN qname='p25' THEN qval END) AS p25, " +
+        "MAX(CASE WHEN qname='p50' THEN qval END) AS p50, " +
+        "MAX(CASE WHEN qname='p75' THEN qval END) AS p75, " +
+        "MAX(CASE WHEN qname='p90' THEN qval END) AS p90, " +
+        "(SELECT lo FROM nn) AS lo, (SELECT hi FROM nn) AS hi FROM vals"),
+
+    // per-group replay of the exact-rational quantile bridge, cents
+    // domain; one double division per (group, quantile)
+    "group_quantiles" ->
+      ("WITH base AS (SELECT o_orderpriority AS grp, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM orders), " +
+        "c AS (SELECT grp, v, COUNT(*) AS cnt FROM base GROUP BY 1, 2), " +
+        "cum AS (SELECT grp, v, SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS hi_rank, " +
+        "SUM(cnt) OVER (PARTITION BY grp ORDER BY v) - cnt + 1 AS lo_rank FROM c), " +
+        "nn AS (SELECT grp, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi FROM base GROUP BY 1), " +
+        "qq AS (SELECT * FROM (VALUES ('p25',1,4),('p50',1,2),('p75',3,4),('p90',9,10)) AS t(qname,num,den)), " +
+        "r AS (SELECT grp, qname, den, (n-1)*num % den AS rem, (n-1)*num // den + 1 AS klo FROM nn, qq), " +
+        "j AS (SELECT r.grp, r.qname, r.den, r.rem, " +
+        "MAX(CASE WHEN cum.lo_rank <= r.klo AND r.klo <= cum.hi_rank THEN v END) AS vlo, " +
+        "MAX(CASE WHEN r.rem > 0 AND cum.lo_rank <= r.klo+1 AND r.klo+1 <= cum.hi_rank THEN v END) AS vhi " +
+        "FROM r JOIN cum ON r.grp = cum.grp GROUP BY 1, 2, 3, 4), " +
+        "vals AS (SELECT grp, qname, CAST(vlo*(den-rem) + COALESCE(vhi,vlo)*rem AS DOUBLE) / CAST(den AS DOUBLE) AS qval FROM j) " +
+        "SELECT vals.grp, nn.n, " +
+        "MAX(CASE WHEN qname='p25' THEN qval END) AS p25, " +
+        "MAX(CASE WHEN qname='p50' THEN qval END) AS p50, " +
+        "MAX(CASE WHEN qname='p75' THEN qval END) AS p75, " +
+        "MAX(CASE WHEN qname='p90' THEN qval END) AS p90, " +
+        "nn.lo, nn.hi FROM vals JOIN nn ON vals.grp = nn.grp " +
+        "GROUP BY 1, 2, 7, 8 ORDER BY 1"),
+
+    "event_window_tumbling" -> sqlTumblingWindows,
+
+    // the streaming replay must land the SAME table the batch form
+    // computes — one shared oracle is the parity statement itself
+    "stream_window_parity" -> sqlTumblingWindows,
+
+    // integer-µs window enumeration: every event lands in exactly
+    // size/slide = 3 epoch-aligned windows (k = 0..2), mirroring
+    // Spark's window(ts, size, slide) grouping fan-out
+    "event_window_sliding" ->
+      ("WITH e AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "w AS (SELECT event_type, value, ((us // 300000000) - k) * 300000000 AS ws " +
+        "FROM e, (SELECT unnest(range(0, 3)) AS k) kk " +
+        "WHERE ((us // 300000000) - k) * 300000000 + 900000000 > us) " +
+        "SELECT make_timestamp(ws) AS win_start, " +
+        "make_timestamp(ws + 900000000) AS win_end, event_type, " +
+        "COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+        "FROM w GROUP BY 1, 2, 3 ORDER BY win_start, event_type"),
+
+    // same µs-normalizing CTE discipline as event_sessionize; strict >
+    // comparisons therefore run in the µs domain on both engines
+    "event_funnel" ->
+      ("WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "u AS (SELECT DISTINCT user_id FROM o), " +
+        "s1 AS (SELECT user_id, MIN(ts) AS t1 FROM o WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s2 AS (SELECT o.user_id, MIN(o.ts) AS t2 FROM o JOIN s1 USING (user_id) " +
+        "WHERE o.event_type = 'view' AND o.ts > s1.t1 GROUP BY o.user_id), " +
+        "s3 AS (SELECT o.user_id, MIN(o.ts) AS t3 FROM o JOIN s2 USING (user_id) " +
+        "WHERE o.event_type = 'purchase' AND o.ts > s2.t2 GROUP BY o.user_id) " +
+        "SELECT u.user_id, s1.t1, s2.t2, s3.t3, " +
+        "CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2 " +
+        "WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage " +
+        "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) " +
+        "LEFT JOIN s3 USING (user_id) ORDER BY user_id"),
+
+    // week starts are UTC Monday midnights (both engines' date_trunc),
+    // so offsets are exact integer multiples of 604800 s
+    "event_retention" ->
+      ("WITH o AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events), " +
+        "f AS (SELECT user_id, MIN(wk) AS cohort FROM o GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, wk FROM o) " +
+        "SELECT cohort, CAST((epoch(wk) - epoch(cohort)) // 604800 AS BIGINT) AS week_offset, " +
+        "COUNT(*) AS n_users FROM a JOIN f USING (user_id) " +
+        "GROUP BY cohort, week_offset ORDER BY cohort, week_offset"),
+
+    "event_sessionize" ->
+      ("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM o " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS grp FROM d) " +
+        "SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
+        "COUNT(*) AS n_events FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start"),
+  )
+}

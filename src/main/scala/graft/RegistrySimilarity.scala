@@ -1,0 +1,764 @@
+package graft
+
+import graft.operators._
+import graft.config.ExportConfig
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Registry: similarity / ANN search and the multimodal columns —
+  * extracted verbatim from SparkEntry (round 12 split). */
+private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
+
+  protected def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Group B: similarity search -------------------------------------
+
+    // B3 sim_topk: brute-force cosine top-k, quantized (full oracle).
+    "sim_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+
+    // MIPS top-k (round 11): the recommendation-serving ranking —
+    // exact integer dot, magnitude matters, ties replay in BIGINT.
+    "sim_mips_topk" -> ((s, d) =>
+      Similarity.mipsTopK(Tables.embeddings(s, d))),
+
+    // LSH-bucketed ANN top-k: the scale path. Same portable LCG
+    // hyperplanes as dedup_embedding_lsh — full DuckDB oracle for the
+    // candidate lookup + exact rerank; recall spec vs sim_topk besides.
+    "sim_ann_lsh" -> ((s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d))),
+
+    // Range/radius search (round 11): the threshold dual of top-k —
+    // everything within cosine >= 0.3, per-query aggregate with
+    // structural zeros. Same bucket machinery + recall caveats as
+    // sim_ann_lsh.
+    "sim_range_search" -> ((s, d) =>
+      Similarity.rangeSearch(Tables.embeddings(s, d))),
+
+    // Multi-probe LSH (round 10, Lv et al. 2007): each query probes its
+    // base bucket + every Hamming-1 neighbor per table — recovers the
+    // one-hyperplane-away misses without extra corpus hash passes.
+    // Candidates ⊇ sim_ann_lsh's (spec-asserted recall monotonicity);
+    // same exact integer arithmetic → full oracle.
+    "sim_ann_lsh_multiprobe" -> ((s, d) =>
+      Similarity.annTopKMultiProbe(Tables.embeddings(s, d))),
+
+    // k-NN SELF-join (round 8): every vector's k nearest via the LSH
+    // bucket scheme — bounded-bucket candidates, both orientations,
+    // shuffle equi-joins, partial top-k. Nothing broadcasts the corpus.
+    "sim_knn_join" -> ((s, d) =>
+      Similarity.knnJoinLsh(Tables.embeddings(s, d))),
+
+    // IVF (inverted-file) ANN top-k: TRAINED coarse quantizer (2
+    // deterministic Lloyd's iterations), nprobe-list candidate lookup,
+    // exact rerank. Full DuckDB oracle since round 9: the fixed
+    // iteration count unrolls into two SQL assignment+mean blocks
+    // (sqlIvfTrained below); recall additionally spec-tested.
+    "sim_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d))),
+
+    // IVF SERVE path: train once PER SESSION → persist the quantizer →
+    // load → query with NO training jobs in the plan. Bit-identical to
+    // sim_ann_ivf by quantizer determinism (spec-checked), so it shares
+    // sim_ann_ivf's unrolled-training oracle. The quantizer directory is a
+    // per-process unique tempdir (no cross-run overwrite races) and is
+    // memoized per data dir, so repeated invocations — and the bench's
+    // min-of-2 — time the serve plan alone, the way a deployed IVF
+    // index is actually used.
+    "sim_ann_ivf_served" -> ((s, d) => {
+      val dir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivf_centroids_")
+        Similarity.saveCentroids(
+          Similarity.trainCentroids(
+            Similarity.prepared(Tables.embeddings(s, d)), nlist = 16, iters = 2),
+          tmp)
+        tmp
+      })
+      Similarity.ivfTopKWith(Tables.embeddings(s, d),
+        Similarity.loadCentroids(s, dir))
+    }),
+
+    // HNSW SERVE path (round 12): build the layered graph index once
+    // per (session, dataset) → persist per-shard adjacency to parquet →
+    // serve loads adjacency and beam-searches the bounded query set
+    // with ZERO construction work in the plan (the sim_ann_ivf_served
+    // doctrine for the graph-ANN family; the serve plan's only scan is
+    // the index parquet — spec-asserted). Oracle: brute-force top-k.
+    // The served search is EXACT at validation scale BY CONSTRUCTION,
+    // not by tuning luck: efSearch=512 ≥ the sf0.01 corpus (500
+    // vectors), so the beam's res-full termination can never fire
+    // before every reachable node is visited — each shard search is
+    // exhaustive over its layer-0 component (insertion keeps the NSW
+    // connected; the equality is additionally spec-asserted on the
+    // driver-gate fixture), the shard-merge of exact per-shard top-ks
+    // is the exact global top-k, and scores are bit-equal to brute
+    // force by the shared integer-quantized arithmetic. At corpus
+    // scales beyond ef the search goes approximate — there the
+    // recall/determinism specs govern, as with every ANN family here.
+    "sim_ann_hnsw_served" -> ((s, d) => {
+      val dir = hnswIndexDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_hnsw_index_")
+        GraphAnn.buildHnswIndex(Tables.embeddings(s, d), tmp)
+        tmp
+      })
+      GraphAnn.hnswServedTopK(dir, Tables.embeddings(s, d), efSearch = 512)
+    }),
+
+    // IVF serve plumbing under the FULL oracle: deterministic seed
+    // centroids (the nlist corpus vectors with smallest md5(vec_id) —
+    // no Lloyd's iterations), so list assignment, nprobe lookup and
+    // exact rerank are all DuckDB-replayable. Historically this proved
+    // the serve tail before the trained path got its own unrolled
+    // oracle (round 9); kept as the training-free control — a fixed-vs-
+    // trained divergence isolates the Lloyd's blocks immediately.
+    "sim_ann_ivf_fixed" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), trainIters = 0)),
+
+    // Mean-pool per-document embedding aggregation (round 9): one vector
+    // per label from its chunk vectors, exact integer domain end-to-end.
+    // The pooled array itself is spec-checked; the registered row carries
+    // its md5 digest + exact norm (portable across engines, and the
+    // oracle gate's canonical sort can't order raw array columns).
+    // INT8 per-vector quantization (round 9): FAISS-SQ8-style affine
+    // codes over each vector's own range, ALL integer arithmetic —
+    // range, code checksum, saturation and reconstruction error per
+    // vector, the index auditor's compression report.
+    "embed_quantize" -> ((s, d) =>
+      Similarity.int8Quantize(Tables.embeddings(s, d))),
+
+    // PRODUCT QUANTIZATION (round 11): per-subspace codebooks trained
+    // with unrolled integer-L2 Lloyd's (Jégou et al. 2011), corpus
+    // encoded by broadcast-join assignment; the per-(subspace, code)
+    // occupancy + exact squared-error report. 32x compression is the
+    // RAM-resident-index primitive at corpus scale.
+    "embed_pq" -> ((s, d) =>
+      Similarity.pqCodebookStats(Tables.embeddings(s, d))),
+
+    // Nearest-centroid confusion matrix (round 11): per-label exact-
+    // integer centroids, integer-L2 argmin classify, <= labels^2 counts
+    // — the embedding-quality eval a training run tracks.
+    "embed_centroid_classify" -> ((s, d) =>
+      Similarity.centroidClassify(Tables.embeddings(s, d))),
+
+    // IVF-PQ serving (round 11): the FAISS-architecture composite —
+    // coarse lists prune, m-byte PQ codes rank by exact-integer ADC
+    // (broadcast per-query distance table), ADC shortlist → exact
+    // rerank. Reads the SAME persisted quantizer as sim_ann_ivf_served
+    // (identical training contract): one trained artifact serves both
+    // ANN families, so the bench times PQ encode + serve, not a
+    // re-train.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val qdir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivf_centroids_")
+        Similarity.saveCentroids(
+          Similarity.trainCentroids(
+            Similarity.prepared(Tables.embeddings(s, d)), nlist = 16, iters = 2),
+          tmp)
+        tmp
+      })
+      val cdir = ivfPqCodebookDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivfpq_codebook_")
+        Similarity.saveCodebook(
+          Similarity.trainPqCodebook(Tables.embeddings(s, d)), tmp)
+        tmp
+      })
+      Similarity.ivfpqTopKWith(Tables.embeddings(s, d),
+        Similarity.loadCentroids(s, qdir),
+        codebook0 = Some(s.read.parquet(cdir)))
+    }),
+
+    "embed_meanpool" -> ((s, d) => {
+      val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))
+      mp.select(col("doc_key").as("label"), col("n_chunks"),
+          col("pooled_nrm"),
+          md5(array_join(transform(col("pooled"), x => x.cast("string")), ","))
+            .as("pooled_sig"))
+        .orderBy(col("label"))
+    }),
+
+    // ---- Group B: multimodal columns ------------------------------------
+
+    // Binary media payload + typed metadata + (stub) feature extraction.
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.ingest(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // Frame-index fan-out (explode over a media-derived sequence).
+    "multimodal_framesample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.ingest(Tables.documents(s, d)))),
+
+    // mapPartitions decode harness with a REAL codec: synthesize a
+    // 24-bit BMP per doc, decode it back with the JDK's independent
+    // ImageIO BMP reader, emit pixel stats the oracle replays
+    // analytically (px_posw is position-weighted: a flipped bottom-up
+    // row order cannot pass).
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.decodePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // Second image codec (round 7): hand-built 8-bit grayscale PNGs —
+    // authored container + filter bytes + CRCs, zlib from
+    // java.util.zip — decoded back through ImageIO's independent PNG
+    // reader (inflate, CRC check, defilter). Raster-band samples, so
+    // no gray→sRGB gamma can corrupt the analytic replay.
+    "multimodal_decode_png" -> ((s, d) =>
+      Multimodal.decodeGrayPartitions(s, Multimodal.ingestPng(Tables.documents(s, d)))),
+
+    // Nearest-neighbor resize to a 4x4 thumbnail in the same codec
+    // harness — exact integer resampling, analytically replayable.
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // Bilinear resize (round 7): half-pixel-center 2x2 blend in exact
+    // integer fixed-point — stats are emitted SCALED by 64 = (2·4)·(2·4),
+    // making the smooth kernel itself DuckDB-oracle-checkable.
+    "multimodal_resize_bilinear" -> ((s, d) =>
+      Multimodal.resizeBilinearPartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // Audio modality, same doctrine as the BMP leg: hand-built RIFF/WAV
+    // payloads decoded back through javax.sound's OWN parser; the oracle
+    // replays the PCM arithmetic analytically, so encoder and decoder
+    // must both be right for the hash to match.
+    "multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeWavPartitions(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
+    // Windowed PCM energy (round 11): the audio FEATURE over the WAV
+    // leg — 16-sample energy/peak windows for silence/clipping
+    // curation; real javax.sound decode, analytic oracle.
+    "multimodal_audio_rms" -> ((s, d) =>
+      Multimodal.wavRmsWindows(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
+    // Video-container leg (round 8): hand-authored ANIMATED GIF89a
+    // (container + grayscale palette + the LZW stream itself), decoded
+    // back through ImageIO's OWN multi-frame GIF reader; every 2nd frame
+    // sampled and reduced to analytic pixel stats — frame fan-out joined
+    // to a REAL container decode.
+    "multimodal_frames_gif" -> ((s, d) =>
+      Multimodal.decodeGifFramesPartitions(s,
+        Multimodal.ingestGif(Tables.documents(s, d)))),
+
+    // Scene-cut detection (round 11): per-consecutive-frame SAD over
+    // the real GIF decode, integer threshold compare — the
+    // shot-boundary pass a video curation pipeline samples around.
+    "multimodal_scenecut" -> ((s, d) =>
+      Multimodal.gifSceneCuts(s,
+        Multimodal.ingestGif(Tables.documents(s, d)))),
+
+    // Image entropy (round 11): gray-histogram concentration with the
+    // bit-length surrogate — the content-vs-flat curation filter.
+    "multimodal_entropy" -> ((s, d) =>
+      Multimodal.imageEntropy(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // Lossy-codec leg under the hash oracle (round 9): real ImageIO JPEG
+    // encode + decode, reduced to oracle-replayable exacts (dims, pixel
+    // count, byte count) plus an integer error-band verdict the oracle
+    // asserts TRUE — the lossy values themselves never hash.
+    "multimodal_decode_jpeg" -> ((s, d) =>
+      Multimodal.decodeJpegVerdict(s,
+        Multimodal.ingestJpeg(Tables.documents(s, d)))),
+
+    // Perceptual-hash image dedup (round 9): real ImageIO decode → 9×8
+    // NN grid → dHash as four 16-bit bands → exact-fingerprint grouping
+    // (canonical = min doc_id). The first dedup pass of an image lake:
+    // narrow decode + one shuffle on the hash, dedup_exact lifted to
+    // pixels. Oracle replays grid/bands/grouping analytically.
+    "multimodal_dhash" -> ((s, d) =>
+      Multimodal.dhashDedup(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // DCT perceptual hash (round 11): the spectral fingerprint next to
+    // dHash's gradients — fixed-point integer DCT basis + nearest-rank
+    // AC median, so every bit replays in the oracle; engine side still
+    // decodes the real BMP bytes through ImageIO.
+    "multimodal_phash" -> ((s, d) =>
+      Multimodal.phashDedup(s, Multimodal.ingestBmp(Tables.documents(s, d))))
+  )
+
+  protected def similarityOracles: Map[String, String] = Map(
+    "dedup_minhash" -> sqlMinHash,
+
+    "dedup_simhash" -> sqlSimHash,
+
+    "dedup_embedding_lsh" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk a " +
+        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        s"SELECT c.vec_a, c.vec_b, ${sqlCosFrag("x", "y")} AS cos " +
+        "FROM cand c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id " +
+        "WHERE NOT isnan(cos) AND cos >= 0.4 ORDER BY vec_a, vec_b"),
+
+    // IVF with fixed seed centroids: the quantizer is the 16 corpus
+    // vectors with smallest (md5(vec_id), vec_id); assignment = argmax
+    // cosine with smaller-cent_id tiebreak (Spark's max_by struct order
+    // and ROW_NUMBER both rank NaN first, so zero-norm vectors land in
+    // the same list in both engines); probes = each query's 4 best
+    // lists; rerank = exact cosine over probed members.
+    "sim_ann_ivf_fixed" ->
+      (s"WITH $sqlQuantCte, " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+        "ac AS (SELECT n.vec_id, c.cent_id, " +
+        "CAST(list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos " +
+        "FROM n, cent c), " +
+        "asg AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac) " +
+        "WHERE rn = 1), " +
+        "probes AS (SELECT q_id, cent_id FROM (SELECT vec_id AS q_id, cent_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr " +
+        "FROM ac WHERE vec_id < 10) WHERE pr <= 4), " +
+        "cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id FROM probes p " +
+        "JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id != p.q_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)) " +
+        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    // Semantic dedup replay: the sim_ann_ivf_fixed centroid CTEs
+    // (seed = 16 smallest-(md5, vec_id) vectors, argmax-cosine
+    // assignment with NaN-first DESC + smaller-cent_id tiebreak),
+    // then intra-cluster pairs a<b, exact quantized cosine ≥ 0.4,
+    // greedy keep-lowest-id (vec_b of every pair is the duplicate).
+    "dedup_semantic" ->
+      (s"WITH $sqlQuantCte, " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+        "ac AS (SELECT n.vec_id, c.cent_id, " +
+        "CAST(list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos " +
+        "FROM n, cent c), " +
+        "asg AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac) " +
+        "WHERE rn = 1), " +
+        "pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM asg a " +
+        "JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id), " +
+        s"dup AS (SELECT pr.vec_b, ${sqlCosFrag("x", "y")} AS cos " +
+        "FROM pr JOIN n x ON pr.vec_a = x.vec_id JOIN n y ON pr.vec_b = y.vec_id), " +
+        "fl AS (SELECT vec_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dup_of, " +
+        "MAX(cos) AS max_cos FROM dup " +
+        "WHERE NOT isnan(cos) AND cos >= 0.4 GROUP BY vec_b) " +
+        "SELECT asg.vec_id, asg.cent_id, coalesce(fl.n_dup_of, 0) AS n_dup_of, " +
+        "fl.max_cos AS max_cos, fl.vec_id IS NULL AS is_kept " +
+        "FROM asg LEFT JOIN fl ON asg.vec_id = fl.vec_id ORDER BY asg.vec_id"),
+
+    // Semantic contamination replay: dedup_semantic's centroid CTEs,
+    // intra-cluster pairs oriented (test, train) across the md5 holdout
+    // split, cosine >= 0.4 hits rolled up per test vector
+    "contamination_semantic" ->
+      (s"WITH $sqlQuantCte, " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+        "ac AS (SELECT n.vec_id, c.cent_id, " +
+        "CAST(list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos " +
+        "FROM n, cent c), " +
+        "asg AS (SELECT vec_id, cent_id, " +
+        "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test " +
+        "FROM (SELECT vec_id, cent_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac) " +
+        "WHERE rn = 1), " +
+        "pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "a.is_test AS ta, b.is_test AS tb FROM asg a " +
+        "JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id), " +
+        "cr AS (SELECT CASE WHEN ta THEN vec_a ELSE vec_b END AS t_id, " +
+        "CASE WHEN ta THEN vec_b ELSE vec_a END AS n_id FROM pr WHERE ta != tb), " +
+        s"h AS (SELECT cr.t_id, CAST(COUNT(*) AS BIGINT) AS nm, " +
+        s"MAX(${sqlCosFrag("x", "y")}) AS mc " +
+        "FROM cr JOIN n x ON cr.t_id = x.vec_id JOIN n y ON cr.n_id = y.vec_id " +
+        s"WHERE NOT isnan(${sqlCosFrag("x", "y")}) " +
+        s"AND ${sqlCosFrag("x", "y")} >= 0.4 GROUP BY cr.t_id) " +
+        "SELECT a.vec_id AS test_vec, a.cent_id, " +
+        "coalesce(h.nm, 0) AS n_train_matches, h.mc AS max_cos, " +
+        "h.t_id IS NOT NULL AS contaminated " +
+        "FROM asg a LEFT JOIN h ON a.vec_id = h.t_id WHERE a.is_test " +
+        "ORDER BY test_vec"),
+
+    // Mean-pool replay: exact BIGINT element sums via list_reduce (the
+    // IVF-oracle technique), one double division per element, round
+    // half-away back to the quantized domain; digest = md5 of the
+    // comma-joined pooled vector (integer→string is format-identical in
+    // both engines).
+    // int8 quantization: pure integer replay — nonneg numerators make
+    // DuckDB's flooring // and Spark's truncating DIV agree exactly
+    "embed_quantize" ->
+      ("WITH q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings), " +
+        "b AS (SELECT vec_id, CAST(len(q) AS BIGINT) AS n_dims, " +
+        "list_min(q) AS mn, list_max(q) AS mx, q FROM q), " +
+        "e AS (SELECT vec_id, n_dims, mn, mx, q, " +
+        "unnest(range(1, len(q) + 1)) AS pos FROM b), " +
+        "c AS (SELECT vec_id, n_dims, mn, mx, pos, q[pos] AS qi, " +
+        "CASE WHEN mx = mn THEN 0 ELSE ((q[pos] - mn) * 255) // (mx - mn) END AS code " +
+        "FROM e), " +
+        "r AS (SELECT *, mn + CASE WHEN mx = mn THEN 0 " +
+        "ELSE ((2 * code + 1) * (mx - mn) + 255) // 510 END AS recon FROM c) " +
+        "SELECT vec_id, n_dims, mn, mx, " +
+        "CAST(SUM(pos * code) AS BIGINT) AS code_checksum, " +
+        "CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated, " +
+        "CAST(SUM(abs(qi - recon)) AS BIGINT) AS total_abs_err " +
+        "FROM r GROUP BY 1, 2, 3, 4 ORDER BY vec_id"),
+
+    "embed_meanpool" ->
+      ("WITH q AS (SELECT label, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
+        "g AS (SELECT label, COUNT(*) AS n_chunks, " +
+        "list_reduce(list(v), (a,b) -> list_transform(list_zip(a,b), p -> p[1]+p[2])) AS sv " +
+        "FROM q GROUP BY label), " +
+        "p AS (SELECT label, n_chunks, " +
+        "list_transform(sv, s -> CAST(round(CAST(s AS DOUBLE)/n_chunks) AS BIGINT)) AS pooled " +
+        "FROM g) " +
+        "SELECT label, n_chunks, " +
+        "CAST(list_sum(list_transform(pooled, x -> x*x)) AS BIGINT) AS pooled_nrm, " +
+        "md5(array_to_string(pooled, ',')) AS pooled_sig " +
+        "FROM p ORDER BY label"),
+
+    // TRAINED IVF (round 9): the 2 Lloyd's iterations are a FIXED small
+    // constant (Similarity.ivfTopK trainIters = 2), so the training loop
+    // unrolls into plain SQL — two assignment+mean blocks over the
+    // md5-capped train sample, then the identical serve tail as
+    // sim_ann_ivf_fixed. Means are exact element-wise BIGINT sums
+    // (list_reduce over list_zip — order-insensitive) divided once in
+    // doubles, mirroring Spark's avg-over-longs (exact double running
+    // sum / count, both <2^53), then round()ed back into the quantized
+    // integer domain (half-away-from-zero in both engines). Degenerate
+    // (zero-norm) trained centroids drop via cnrm > 0 exactly as
+    // trainCentroids filters them.
+    "sim_ann_ivf" -> sqlIvfTrained,
+
+    // PQ (round 11): the whole pipeline is BIGINT except the cluster
+    // means (the proven IVF avg-over-longs contract); subspace slicing,
+    // seeds, both Lloyd's rounds and the final encode all unroll from
+    // the SAME Similarity.Pq* constants the operator reads.
+    "embed_pq" -> sqlPqStats,
+
+    // nearest-centroid replay: label-supervised exact-integer means
+    // (list_reduce sums, one division, half-away round), BIGINT L2
+    // argmin with the (dist, label) tie order, confusion counts; the
+    // q2 gate mirrors the operator's null/dim filter (embed-op parity)
+    "embed_centroid_classify" ->
+      ("WITH q2 AS (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings " +
+        "WHERE embedding IS NOT NULL AND len(embedding) = 64), " +
+        "n2 AS (SELECT vec_id, label, v, " +
+        "list_sum(list_transform(v, x -> x*x)) AS nrm FROM q2), " +
+        "cs AS (SELECT label AS clabel, COUNT(*) AS cnt, " +
+        "list_reduce(list(v), (x,y) -> list_transform(list_zip(x,y), p -> p[1]+p[2])) AS sv " +
+        "FROM n2 GROUP BY 1), " +
+        "cb AS (SELECT clabel, cv, list_sum(list_transform(cv, x -> x*x)) AS cn FROM " +
+        "(SELECT clabel, list_transform(sv, s -> CAST(round(CAST(s AS DOUBLE)/cnt) AS BIGINT)) AS cv FROM cs)), " +
+        "a AS (SELECT t.vec_id, t.label, c.clabel, t.nrm + c.cn - " +
+        "2*list_sum(list_transform(list_zip(t.v, c.cv), p -> p[1]*p[2])) AS dist " +
+        "FROM n2 t, cb c), " +
+        "g AS (SELECT label, clabel AS pred_label FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM a) " +
+        "WHERE rn = 1) " +
+        "SELECT label, pred_label, COUNT(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Serve path is spec-checked bit-identical to the in-session trained
+    // path (same quantizer by determinism), so it replays under the SAME
+    // unrolled-training oracle.
+    "sim_ann_ivf_served" -> sqlIvfTrained,
+
+    // IVF-PQ: both trainings unroll (shared front CTEs), the ADC tail
+    // is pure BIGINT — ranking, ties and the audit cosine all replay.
+    "sim_ann_ivfpq" -> sqlIvfPq,
+
+    "embed_random_projection" -> sqlRandomProjection,
+
+    // the k-NN self-join replays with the same bucket CTE — every
+    // vector is a query
+    "sim_knn_join" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id FROM bk a " +
+        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)) " +
+        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+
+    // multi-probe replay: base bucket + every single-bit xor flip per
+    // (query, table), then the identical candidate/rerank tail. The
+    // flip list / query gate / rank cut derive from the SAME constants
+    // the operator defaults to (Similarity.Lsh*) — no silent desync.
+    "sim_ann_lsh_multiprobe" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "fl AS (SELECT * FROM (VALUES " +
+        (0L +: (0 until Similarity.LshBitsPerTable).map(1L << _))
+          .map(v => s"($v)").mkString(", ") +
+        ") AS f(flip)), " +
+        "qp AS (SELECT DISTINCT vec_id AS q_id, tbl, " +
+        s"xor(bucket, flip) AS bucket FROM bk, fl WHERE vec_id < ${Similarity.LshNQueries}), " +
+        "cand AS (SELECT DISTINCT qp.q_id, b.vec_id AS n_id FROM qp " +
+        "JOIN bk b ON qp.tbl = b.tbl AND qp.bucket = b.bucket AND b.vec_id != qp.q_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)) " +
+        s"SELECT q_id, rank, n_id, cos FROM r WHERE rank <= ${Similarity.LshK} ORDER BY q_id, rank"),
+
+    "sim_ann_lsh" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bk WHERE vec_id < 10), " +
+        "cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id FROM qb " +
+        "JOIN bk b ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND b.vec_id != qb.q_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)) " +
+        "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    // radius-search replay: identical bucket/candidate/cosine CTEs, the
+    // tail aggregates with the NaN gate; left join from the query set
+    // keeps the structural zero rows
+    "sim_range_search" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bk WHERE vec_id < 10), " +
+        "cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id FROM qb " +
+        "JOIN bk b ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND b.vec_id != qb.q_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "a AS (SELECT q_id, COUNT(*) AS n_candidates, " +
+        "CAST(SUM(CASE WHEN NOT isnan(cos) AND cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches, " +
+        "MAX(CASE WHEN NOT isnan(cos) AND cos >= 0.3 THEN cos END) AS max_cos " +
+        "FROM s GROUP BY 1) " +
+        "SELECT q.vec_id AS q_id, COALESCE(a.n_candidates, 0) AS n_candidates, " +
+        "COALESCE(a.n_matches, 0) AS n_matches, a.max_cos " +
+        "FROM (SELECT vec_id FROM n WHERE vec_id < 10) q " +
+        "LEFT JOIN a ON q.vec_id = a.q_id ORDER BY q_id"),
+
+    "dedup_embedding" ->
+      (s"WITH $sqlQuantCte " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos " +
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
+        // NOT isnan mirrors Similarity's defined() guard (NaN >= t is
+        // TRUE in both engines — a zero vector must not near-dup-match)
+        "WHERE NOT isnan(cos) AND cos >= 0.4 ORDER BY vec_a, vec_b"),
+
+    "sim_topk" -> sqlBruteForceTopK,
+
+    // the served HNSW search is EXACT at validation scale (efSearch
+    // exceeds per-shard node count → exhaustive beam; see the queries
+    // entry), and its scores are bit-equal to brute force by the shared
+    // quantized arithmetic — so the brute-force replay IS its oracle
+    "sim_ann_hnsw_served" -> sqlBruteForceTopK,
+
+    // pure-BIGINT inner-product ranking (no division, no sqrt): the
+    // ranking, ties included, replays exactly
+    "sim_mips_topk" ->
+      (s"WITH $sqlQuantCte, " +
+        "s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        "CAST(list_sum(list_transform(list_zip(q.v, c.v), p -> p[1]*p[2])) AS BIGINT) AS ip " +
+        "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rank " +
+        "FROM s WHERE ip IS NOT NULL) " + // null embedding gated, as in mipsTopK
+        "SELECT q_id, rank, n_id, ip FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    "multimodal_meta" ->
+      ("SELECT doc_id, md5(text) AS content_digest, length(text) AS n_bytes, " +
+        "(n_chars % 64 + 16) AS width, (n_chars % 48 + 16) AS height, " +
+        "(n_chars % 64 + 16) * (n_chars % 48 + 16) AS n_pixels " +
+        "FROM documents ORDER BY doc_id"),
+
+    "multimodal_framesample" ->
+      ("SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx " +
+        "FROM (SELECT doc_id, length(text) // 100 + 1 AS n_frames FROM documents) " +
+        "ORDER BY doc_id, frame_idx"),
+
+    // Analytic replay of the BMP decode: pixel i (row-major) has gray
+    // value (doc_id*31 + i*7) % 256 — the oracle computes the decoded
+    // stats without touching bytes, so encoder AND decoder must both be
+    // correct for the hash to match.
+    "multimodal_decode" ->
+      ("SELECT doc_id, width, height, n_pixels, " +
+        "CAST(list_sum(px) AS BIGINT) AS px_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n_pixels AS INT)), i -> i * px[i+1])) AS BIGINT) AS px_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS px_min, " +
+        "CAST(list_max(px) AS BIGINT) AS px_max " +
+        "FROM (SELECT doc_id, width, height, n_pixels, " +
+        "list_transform(range(0, CAST(n_pixels AS INT)), i -> (doc_id*31 + i*7) % 256) AS px " +
+        "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height, " +
+        "((n_chars % 13) + 4) * ((n_chars % 7) + 4) AS n_pixels FROM documents)) " +
+        "ORDER BY doc_id"),
+
+    // analytic nearest-neighbor replay: dst pixel i (4x4 row-major) maps
+    // to src (sy, sx) = (i//4 * h // 4, i%4 * w // 4), value from the
+    // same synthesized-pixel formula as multimodal_decode
+    "multimodal_resize" ->
+      ("SELECT doc_id, width AS src_width, height AS src_height, " +
+        "CAST(list_sum(px) AS BIGINT) AS r_sum, " +
+        "CAST(list_sum(list_transform(range(0, 16), i -> i * px[i+1])) AS BIGINT) AS r_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS r_min, " +
+        "CAST(list_max(px) AS BIGINT) AS r_max " +
+        "FROM (SELECT doc_id, width, height, " +
+        "list_transform(range(0, 16), i -> " +
+        "(doc_id*31 + ((((i // 4) * height) // 4) * width + (((i % 4) * width) // 4)) * 7) % 256) AS px " +
+        "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height " +
+        "FROM documents)) ORDER BY doc_id"),
+
+    // Analytic replay of the PNG decode — same synthesized-pixel formula
+    // as multimodal_decode, PNG's own dimension arithmetic; PNG rows are
+    // top-down so pixel i maps straight to the raster index
+    "multimodal_decode_png" ->
+      ("SELECT doc_id, width, height, n_pixels, " +
+        "CAST(list_sum(px) AS BIGINT) AS px_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n_pixels AS INT)), i -> i * px[i+1])) AS BIGINT) AS px_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS px_min, " +
+        "CAST(list_max(px) AS BIGINT) AS px_max " +
+        "FROM (SELECT doc_id, width, height, n_pixels, " +
+        "list_transform(range(0, CAST(n_pixels AS INT)), i -> (doc_id*31 + i*7) % 256) AS px " +
+        "FROM (SELECT doc_id, (n_chars % 11) + 4 AS width, (n_chars % 5) + 4 AS height, " +
+        "((n_chars % 11) + 4) * ((n_chars % 5) + 4) AS n_pixels FROM documents)) " +
+        "ORDER BY doc_id"),
+
+    // Exact integer replay of the BILINEAR kernel: dst pixel i blends the
+    // 2x2 source neighborhood around fx = xn/8, fy = yn/8 (half-pixel
+    // centers), and the value scaled by 64 is an integer — identical
+    // arithmetic in both engines, no float in sight
+    "multimodal_resize_bilinear" ->
+      ("WITH d AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 4 AS h FROM documents), " +
+        "p AS (SELECT doc_id, w, h, i, (2*(i % 4)+1)*w - 4 AS xn, (2*(i // 4)+1)*h - 4 AS yn " +
+        "FROM d CROSS JOIN range(0, 16) t(i)), " +
+        "q AS (SELECT doc_id, w, h, i, xn // 8 AS x0, xn % 8 AS rx, least(xn // 8 + 1, w-1) AS x1, " +
+        "yn // 8 AS y0, yn % 8 AS ry, least(yn // 8 + 1, h-1) AS y1 FROM p), " +
+        "v AS (SELECT doc_id, i, " +
+        "(8-ry)*((8-rx)*((doc_id*31 + (y0*w + x0)*7) % 256) + rx*((doc_id*31 + (y0*w + x1)*7) % 256)) + " +
+        "ry*((8-rx)*((doc_id*31 + (y1*w + x0)*7) % 256) + rx*((doc_id*31 + (y1*w + x1)*7) % 256)) AS val FROM q) " +
+        "SELECT d.doc_id, CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height, " +
+        "CAST(sum(val) AS BIGINT) AS rb_sum, CAST(sum(i*val) AS BIGINT) AS rb_posw, " +
+        "CAST(min(val) AS BIGINT) AS rb_min, CAST(max(val) AS BIGINT) AS rb_max " +
+        "FROM v JOIN d ON v.doc_id = d.doc_id GROUP BY d.doc_id, w, h ORDER BY d.doc_id"),
+
+    // Analytic replay of the WAV decode: PCM sample i is
+    // (doc_id*37 + i*11) % 65536 - 32768 (operands positive before the
+    // shift into signed range, so % agrees across engines)
+    "multimodal_audio" ->
+      ("SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+        "CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(list_sum(smp) AS BIGINT) AS s_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n AS INT)), i -> i * smp[i+1])) AS BIGINT) AS s_posw, " +
+        "CAST(list_min(smp) AS BIGINT) AS s_min, " +
+        "CAST(list_max(smp) AS BIGINT) AS s_max " +
+        "FROM (SELECT doc_id, n, " +
+        "list_transform(range(0, CAST(n AS INT)), i -> (doc_id*37 + i*11) % 65536 - 32768) AS smp " +
+        "FROM (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents)) " +
+        "ORDER BY doc_id"),
+
+    // windowed-energy replay over the same analytic PCM
+    "multimodal_audio_rms" ->
+      ("WITH s AS (SELECT doc_id, i, (doc_id*37 + i*11) % 65536 - 32768 AS v " +
+        "FROM (SELECT doc_id, unnest(range(0, (n_chars % 50) + 20)) AS i FROM documents)) " +
+        "SELECT doc_id, i // 16 AS win, COUNT(*) AS n_samples, " +
+        "CAST(SUM(v*v) AS BIGINT) AS energy, CAST(MAX(abs(v)) AS BIGINT) AS peak " +
+        "FROM s GROUP BY 1, 2 ORDER BY doc_id, win"),
+
+    // analytic multi-frame replay: every 2nd frame of the animated GIF,
+    // pixel i of frame f = (doc_id*31 + f*97 + i*7) % 256 — container,
+    // LZW stream, palette and frame order must all decode right
+    "multimodal_frames_gif" ->
+      ("SELECT doc_id, frame_idx, n_frames, width, height, " +
+        "CAST(list_sum(px) AS BIGINT) AS px_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(n_pixels AS INT)), i -> i * px[i+1])) AS BIGINT) AS px_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS px_min, " +
+        "CAST(list_max(px) AS BIGINT) AS px_max " +
+        "FROM (SELECT doc_id, frame_idx, n_frames, width, height, n_pixels, " +
+        "list_transform(range(0, CAST(n_pixels AS INT)), i -> (doc_id*31 + frame_idx*97 + i*7) % 256) AS px " +
+        "FROM (SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx, n_frames, width, height, " +
+        "width * height AS n_pixels " +
+        "FROM (SELECT doc_id, (n_chars % 4) + 2 AS n_frames, " +
+        "(n_chars % 8) + 4 AS width, (n_chars % 6) + 4 AS height FROM documents))) " +
+        "ORDER BY doc_id, frame_idx"),
+
+    // analytic gray histogram + bitlen surrogate replay
+    "multimodal_entropy" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w * h AS n, unnest(range(0, w * h)) AS i FROM dims), " +
+        "hc AS (SELECT doc_id, n, (doc_id*31 + i*7) % 256 AS g, COUNT(*) AS c " +
+        "FROM px GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_pixels, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_grays, CAST(MAX(c) AS BIGINT) AS max_count, " +
+        "CAST(SUM(c * (length(bin(n // c)) - 1)) AS BIGINT) AS ent_surrogate " +
+        "FROM hc GROUP BY doc_id, n ORDER BY doc_id"),
+
+    // SAD over the analytic frame pixels; integer threshold compare
+    "multimodal_scenecut" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 4) + 2 AS n_frames, " +
+        "(n_chars % 8) + 4 AS width, (n_chars % 6) + 4 AS height FROM documents), " +
+        "f AS (SELECT doc_id, unnest(range(0, n_frames)) AS fi, " +
+        "width * height AS n_pixels FROM dims), " +
+        "p AS (SELECT doc_id, fi, n_pixels, " +
+        "list_transform(range(0, CAST(n_pixels AS INT)), i -> " +
+        "(doc_id*31 + fi*97 + i*7) % 256) AS px FROM f), " +
+        "d AS (SELECT a.doc_id, a.fi AS frame_from, b.fi AS frame_to, a.n_pixels, " +
+        "CAST(list_sum(list_transform(range(0, CAST(a.n_pixels AS INT)), i -> " +
+        "abs(a.px[i+1] - b.px[i+1]))) AS BIGINT) AS sad " +
+        "FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.fi = a.fi + 1) " +
+        "SELECT doc_id, frame_from, frame_to, CAST(n_pixels AS BIGINT) AS n_pixels, " +
+        "sad, sad >= 64 * n_pixels AS is_cut FROM d ORDER BY doc_id, frame_from"),
+
+    // Lossy JPEG leg: dims/pixel/byte counts replay analytically; the
+    // error-band verdict is asserted as literal TRUE — DuckDB cannot
+    // decode JPEG, so the boolean IS the contract (a decode regression
+    // flips it on the Spark side and the hash mismatches).
+    "multimodal_decode_jpeg" ->
+      ("SELECT doc_id, length(text) AS n_bytes, " +
+        "(n_chars % 9) + 8 AS width, (n_chars % 6) + 8 AS height, " +
+        "((n_chars % 9) + 8) * ((n_chars % 6) + 8) AS n_pixels, " +
+        "CAST(8 AS BIGINT) AS err_band, TRUE AS within_band " +
+        "FROM documents ORDER BY doc_id"),
+
+    // dHash replay: 9×8 NN grid over the analytic pixels (same dx*w/9,
+    // dy*h/8 mapping as the resize legs), one bit per adjacent grid
+    // pair packed low-bit-first into four 16-bit bands (never one
+    // 64-bit word — DuckDB's signed << overflows at bit 63), then
+    // exact-fingerprint grouping with canonical = min doc_id.
+    "multimodal_dhash" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 4 AS h FROM documents), " +
+        "grid AS (SELECT doc_id, list_transform(range(0,72), gi -> " +
+        "(doc_id*31 + ((((gi // 9) * h) // 8) * w + (((gi % 9) * w) // 9)) * 7) % 256) AS g FROM dims), " +
+        "bands AS (SELECT doc_id, " +
+        (0 until 4).map { k =>
+          s"CAST(list_sum(list_transform(range(0,16), j -> " +
+            s"CASE WHEN g[(${2 * k} + j//8)*9 + (j%8) + 1] > g[(${2 * k} + j//8)*9 + (j%8) + 2] " +
+            s"THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS b$k"
+        }.mkString(", ") +
+        " FROM grid), " +
+        "grp AS (SELECT b0, b1, b2, b3, MIN(doc_id) AS canon, COUNT(*) AS group_n " +
+        "FROM bands GROUP BY 1, 2, 3, 4) " +
+        "SELECT doc_id, b0, b1, b2, b3, canon, group_n, doc_id = canon AS is_canonical " +
+        "FROM bands JOIN grp USING (b0, b1, b2, b3) ORDER BY doc_id"),
+
+    // pHash replay: analytic 8×8 gray grid, the SAME 64 fixed-point DCT
+    // basis integers the engine's table holds (embedded as one literal
+    // list — drift is impossible), nearest-rank AC median, band bits,
+    // exact-fingerprint grouping.
+    "multimodal_phash" -> {
+      val ct = graft.operators.Multimodal.dctTable.flatten.mkString("[", ", ", "]")
+      "WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 4 AS h FROM documents), " +
+        s"ctab AS (SELECT $ct AS ct), " +
+        "grid AS (SELECT doc_id, list_transform(range(0,64), gi -> " +
+        "(doc_id*31 + ((((gi // 8) * h) // 8) * w + (((gi % 8) * w) // 8)) * 7) % 256) AS g FROM dims), " +
+        "fc AS (SELECT doc_id, list_transform(range(0,64), i -> " +
+        "list_sum(list_transform(range(0,64), rc -> " +
+        "g[rc + 1] * ct[(i // 8) * 8 + (rc // 8) + 1] * ct[(i % 8) * 8 + (rc % 8) + 1]" +
+        "))) AS f FROM grid, ctab), " +
+        "fm AS (SELECT doc_id, f, list_sort(f[2:64])[32] AS med FROM fc), " +
+        "bands AS (SELECT doc_id, " +
+        (0 until 4).map { k =>
+          s"CAST(list_sum(list_transform(range(0,16), j -> " +
+            s"CASE WHEN (${16 * k} + j) != 0 AND f[${16 * k} + j + 1] > med " +
+            s"THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS p$k"
+        }.mkString(", ") +
+        ", CAST(med AS BIGINT) AS median_ac FROM fm), " +
+        "grp AS (SELECT p0, p1, p2, p3, MIN(doc_id) AS canon, COUNT(*) AS group_n " +
+        "FROM bands GROUP BY 1, 2, 3, 4) " +
+        "SELECT doc_id, p0, p1, p2, p3, median_ac, canon, group_n, " +
+        "doc_id = canon AS is_canonical " +
+        "FROM bands JOIN grp USING (p0, p1, p2, p3) ORDER BY doc_id"
+    }
+  )
+}

@@ -481,16 +481,16 @@ class PlanInvariantsSpec extends SparkSpec {
           s"$q: expected >=$minRdd checkpointed-frame reads and zero " +
             s"parquet scans — the training chain is replaying:\n$plan")
       }
-    // the graph pair reads the MEMOIZED checkpointed edge relation
-    // (coOrderEdgesShared): every edge consumer must be an ExistingRDD
-    // scan of the checkpoint, never a re-derivation from lineitem.
-    // graph_triangles touches nothing else — zero parquet scans, a
-    // clean text assertion since no InMemoryRelation embeds a child
-    // scan description in its plan string.
+    // graph_triangles reads the MEMOIZED checkpointed TRIANGLE relation
+    // (trianglesShared, round 12): its whole plan past the memo is one
+    // ExistingRDD scan + explode + count — the wedge join ran once at
+    // memo build, never per consumer, and nothing re-derives from
+    // lineitem (zero parquet scans).
     val tri = planOf("graph_triangles")
-    assert("Scan ExistingRDD".r.findAllIn(tri).size >= 3 &&
-      !tri.contains("Scan parquet"),
-      s"graph_triangles re-derives the shared edge relation:\n$tri")
+    assert("Scan ExistingRDD".r.findAllIn(tri).size == 1 &&
+      !tri.contains("Scan parquet") && !tri.contains("SortMergeJoin") &&
+      !tri.contains("BroadcastHashJoin"),
+      s"graph_triangles must be a single pass over the triangle memo:\n$tri")
     // graph_pagerank additionally MATERIALIZES the node universe
     // (scope.materialize — a persist is not enough: the iterative fold
     // self-references the rank frame, DeduplicateRelations re-aliases
