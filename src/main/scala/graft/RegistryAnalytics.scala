@@ -465,6 +465,16 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_sessionize" -> ((s, d) =>
       Sessionize.sessions(Tables.events(s, d))),
 
+    // STATEFUL-streaming parity (round 12): the flatMapGroupsWithState
+    // sessionizer replayed over the events corpus as a multi-batch file
+    // stream with an end-of-stream flush, under the SAME oracle as the
+    // batch key (see sessionizeParityReplay's scaladoc).
+    "stream_sessionize_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_sess_")
+      graft.streaming.StatefulSessions.sessionizeParityReplay(
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt")
+    }),
+
     // Ordered conversion funnel: deepest signup → view → purchase stage
     // per user, each step strictly after the previous one's earliest hit.
     "event_funnel" -> ((s, d) =>
@@ -1417,14 +1427,10 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "COUNT(*) AS n_users FROM a JOIN f USING (user_id) " +
         "GROUP BY cohort, week_offset ORDER BY cohort, week_offset"),
 
-    "event_sessionize" ->
-      ("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
-        "d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
-        "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM o " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
-        "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
-        "ROWS UNBOUNDED PRECEDING) AS grp FROM d) " +
-        "SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
-        "COUNT(*) AS n_events FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start"),
+    "event_sessionize" -> sqlSessionize,
+
+    // the stateful-streaming replay must land the SAME session table
+    // the batch session_window computes — shared oracle IS the parity
+    "stream_sessionize_parity" -> sqlSessionize,
   )
 }

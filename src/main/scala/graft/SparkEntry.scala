@@ -444,6 +444,19 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
     "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS nrm FROM q)"
 
+  /** Gap-based sessionization replay — the shared oracle of the batch
+    * key (`event_sessionize`) and its stateful-streaming parity twin
+    * (`stream_sessionize_parity`). */
+  private[graft] val sqlSessionize: String =
+    "WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+      "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM o " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+      "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS grp FROM d) " +
+      "SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
+      "COUNT(*) AS n_events FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start"
+
   /** Tumbling-window aggregation replay — the shared oracle of the
     * batch key (`event_window_tumbling`) and its streaming parity twin
     * (`stream_window_parity`): one SQL, two engines' worth of paths. */

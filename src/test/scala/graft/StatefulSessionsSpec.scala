@@ -108,6 +108,31 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize parity replay: flatMapGroupsWithState over a " +
+    "multi-batch file replay equals the batch session_window, " +
+    "including the end-of-stream flush of trailing sessions") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sess_parity_").toString
+    try {
+      val events = Tables.events(spark, sf0)
+      val out = StatefulSessions.sessionizeParityReplay(
+        events, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      val batch = graft.operators.Sessionize.sessions(events)
+      assert(out.collect().toSeq.map(_.toSeq) ==
+        batch.collect().toSeq.map(_.toSeq),
+        "stateful streaming replay diverged from batch session_window")
+      // multi-batch + flush structure: 4 data files + 2 flush batches
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 5, s"expected a multi-batch replay, got $commits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("tumbling parity replay equals the batch aggregation AND really " +
     "ran as multiple micro-batches (cross-batch state, not one gulp)") {
     val base = java.nio.file.Files
