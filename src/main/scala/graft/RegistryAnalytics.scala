@@ -431,6 +431,15 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         edges0 = Some(coOrderEdgesShared(s, d)),
         tri0 = Some(trianglesShared(s, d)))),
 
+    // Local clustering coefficient (round 12): neighborhood density per
+    // node from the SAME shared enumeration — third consumer of
+    // memo:triangles; marginal cost is one explode+groupBy + a degree
+    // join.
+    "graph_cluster_coeff" -> ((s, d) =>
+      Graph.clusteringCoeff(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        tri0 = Some(trianglesShared(s, d)))),
+
     // Exact interpolated quantiles (order statistics, oracle-checkable).
     "text_len_quantiles" -> ((s, d) =>
       Relational.lengthQuantiles(Tables.documents(s, d))),
@@ -1235,6 +1244,28 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(SELECT x AS part FROM tri UNION ALL SELECT y AS part FROM tri " +
         "UNION ALL SELECT z AS part FROM tri) " +
         "GROUP BY part ORDER BY n_triangles DESC, part LIMIT 20"),
+
+    // clustering coefficient replay: same triangle CTEs (per-node counts
+    // are orientation-invariant), exact-integer numerator/denominator,
+    // ONE IEEE division — bit-replayable; degree < 2 excluded,
+    // triangle-free nodes structural 0.0
+    "graph_cluster_coeff" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+        "tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z FROM und ab " +
+        "JOIN und bc ON ab.b = bc.a " +
+        "JOIN und ac ON ac.a = ab.a AND ac.b = bc.b), " +
+        "tc AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM " +
+        "(SELECT x AS part FROM tri UNION ALL SELECT y AS part FROM tri " +
+        "UNION ALL SELECT z AS part FROM tri) GROUP BY part), " +
+        "e AS (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und), " +
+        "deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY 1) " +
+        "SELECT d.node AS part, d.degree, " +
+        "CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles, " +
+        "CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE) / " +
+        "CAST(d.degree * (d.degree - 1) AS DOUBLE) AS coeff " +
+        "FROM deg d LEFT JOIN tc ON d.node = tc.part WHERE d.degree >= 2 " +
+        "ORDER BY coeff DESC, part LIMIT 20"),
 
     // histogram replay: DECIMAL(12,2)*100 cents are exact integers, so
     // bucket = (c-lo)*16 // (range+1) is pure integer arithmetic

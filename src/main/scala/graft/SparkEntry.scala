@@ -184,14 +184,14 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       (s, d) => { nearDupPairsShared(s, d); () }),
     ("memo:co_order_edges",
       Seq("graph_pagerank", "graph_triangles", "graph_degree_dist",
-        "graph_link_jaccard"),
+        "graph_link_jaccard", "graph_cluster_coeff"),
       () => coOrderEdgesMemo.clear(),
       (s, d) => { coOrderEdgesShared(s, d); () }),
     // builds AFTER (and reads) memo:co_order_edges — benchMemos is
     // ordered, so the edge entry pays the edge build and this entry
     // pays only the wedge join
     ("memo:triangles",
-      Seq("graph_triangles", "graph_link_jaccard"),
+      Seq("graph_triangles", "graph_link_jaccard", "graph_cluster_coeff"),
       () => trianglesMemo.clear(),
       (s, d) => { trianglesShared(s, d); () }),
     ("memo:unigram_model", Seq("tokenizer_unigram", "tokenizer_unigram_encode"),

@@ -217,6 +217,45 @@ object Graph {
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT (round 12) — the neighborhood-density
+    * score next to [[triangles]]' raw counts: per node with degree ≥ 2,
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) — how close the node's neighborhood
+    * is to a clique, the community-structure diagnostic a graph
+    * pipeline reads after the degree histogram. Third consumer of the
+    * shared [[orientedTriangles]] enumeration (`memo:triangles`): the
+    * marginal cost is one explode+groupBy for the counts plus one
+    * map-side-combinable degree build and a node-keyed equi-join —
+    * NOTHING new shuffles at edge width. Numerator and denominator are
+    * exact BIGINTs; the score is ONE IEEE division, bit-replayable.
+    * Degree-1 / isolated nodes are excluded (undefined coefficient),
+    * triangle-free nodes score a structural 0.0.
+    *
+    * Output: top `k` (part, degree, n_triangles, coeff) by
+    * (coeff DESC, part). */
+  def clusteringCoeff(lineitem: DataFrame, k: Int = 20,
+                      scope: CacheScope = CacheScope.off,
+                      edges0: Option[DataFrame] = None,
+                      tri0: Option[DataFrame] = None): DataFrame = {
+    val e = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
+      .select(col("a"), col("b"))
+    val tri = tri0.getOrElse(orientedTriangles(e))
+    val cnt = tri.select(explode(array(col("x"), col("y"), col("z")))
+        .as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("part"))
+      .unionByName(e.select(col("b").as("part")))
+      .groupBy(col("part")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(cnt, Seq("part"), "left")
+      .select(col("part"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff",
+        (lit(2L) * col("n_triangles")).cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double"))
+      .orderBy(col("coeff").desc, col("part"))
+      .limit(k)
+  }
+
   private[graft] def degreeOriented(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

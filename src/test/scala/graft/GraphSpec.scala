@@ -68,6 +68,26 @@ class GraphSpec extends SparkSpec {
       6L -> 1L, 7L -> 1L, 8L -> 1L), s"got $out")
   }
 
+  test("clusteringCoeff: hand-checked coefficients — K4 members 1.0, " +
+    "a bridge node mixes, degree-1 nodes excluded, triangle-free 0.0") {
+    // K4 over {1,2,3,4}; node 4 also bridges to 5 (deg(4)=4, tri(4)=3
+    // -> 2*3/(4*3)=0.5); 5-6 dangling path: 5 has deg 2, 0 triangles
+    // -> structural 0.0; 6 has deg 1 -> excluded
+    val out = Graph.clusteringCoeff(li(
+        1L -> Seq(1L, 2L, 3L, 4L), 2L -> Seq(4L, 5L), 3L -> Seq(5L, 6L)),
+        k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)), 3L -> ((3L, 3L, 1.0)),
+      4L -> ((4L, 3L, 0.5)), 5L -> ((2L, 0L, 0.0))), s"got $out")
+    // rank order: coeff DESC then part ASC
+    val order = Graph.clusteringCoeff(li(
+        1L -> Seq(1L, 2L, 3L, 4L), 2L -> Seq(4L, 5L), 3L -> Seq(5L, 6L)),
+        k = 10).collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(1L, 2L, 3L, 4L, 5L), s"got $order")
+  }
+
   test("degree-ordered orientation bounds wedge fan-out on a skewed " +
     "star: the small-id hub keeps ZERO out-edges (id-ordering would " +
     "keep all of them), out-degree ≤ √(2·|E|) graph-wide, counts exact") {
