@@ -117,6 +117,14 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "tokenizer_wordpiece" -> ((s, d) =>
       operators.Tokenizer.wordpieceEncode(Tables.documents(s, d))),
 
+    // WordPiece TRAINING (round 12): BPE's merge machinery under the
+    // likelihood selection rule freq(ab)/(freq(a)·freq(b)) in exact
+    // fixed-point — the learning half next to the encode above; the
+    // full 3-step train replays in the oracle.
+    "tokenizer_wordpiece_train" -> ((s, d) =>
+      operators.Tokenizer.wordpieceTrainStats(Tables.documents(s, d),
+        scope = harnessScope)),
+
     // Deterministic md5-keyed document sample (~12.5%).
     "doc_sample" -> ((s, d) =>
       Corpus.sampleDocs(Tables.documents(s, d))),
@@ -379,6 +387,8 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "tokenizer_unigram_encode" -> sqlUnigramEncode,
 
     "tokenizer_wordpiece" -> sqlWordpiece,
+
+    "tokenizer_wordpiece_train" -> sqlWordpieceTrain(steps = 3, topK = 5),
 
     "text_quality" ->
       (s"SELECT doc_id, " +

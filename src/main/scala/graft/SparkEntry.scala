@@ -235,7 +235,22 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
     s"${sqlBpeCtes(steps)} SELECT * FROM ($branches) ORDER BY step"
   }
 
-  private[graft] def sqlBpeCtes(steps: Int): String = {
+  /** WordPiece-training oracle: the BPE chain with the likelihood-
+    * scored rank CTE — per step, symbol frequencies off the current
+    * frame, score = (w·10^9) // (fl·fr) (DuckDB `//` floors ≡ Spark
+    * `div` truncates on this positive domain), rank by (score DESC,
+    * sym, nxt). Same island-parity merge application. */
+  private[graft] def sqlWordpieceTrain(steps: Int, topK: Int): String = {
+    val branches = (1 to steps).map { s =>
+      s"SELECT CAST($s AS BIGINT) AS step, rank, sym AS left_sym, " +
+        s"nxt AS right_sym, pair_weight, score FROM rk$s WHERE rank <= $topK"
+    }.mkString(" UNION ALL ")
+    s"${sqlBpeCtes(steps, likelihoodScore = true)} " +
+      s"SELECT * FROM ($branches) ORDER BY step, rank"
+  }
+
+  private[graft] def sqlBpeCtes(steps: Int,
+                                likelihoodScore: Boolean = false): String = {
     val head =
       "WITH wc AS (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(" +
         "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')" +
@@ -244,11 +259,22 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       "f1 AS (SELECT word, cnt, CAST(pos AS BIGINT) AS pos, " +
         "substring(word, pos, 1) AS sym FROM f0)"
     val stepCtes = (1 to steps).map { s =>
+      val rk =
+        if (!likelihoodScore)
+          s"rk$s AS (SELECT sym, nxt, CAST(SUM(cnt) AS BIGINT) AS pair_weight, " +
+            "CAST(ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, sym, nxt) AS BIGINT) " +
+            s"AS rank FROM p$s WHERE nxt IS NOT NULL GROUP BY sym, nxt), "
+        else
+          s"sf$s AS (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS sfreq FROM f$s GROUP BY 1), " +
+            s"rk$s AS (SELECT sym, nxt, pair_weight, score, " +
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, sym, nxt) AS BIGINT) AS rank FROM " +
+            s"(SELECT p.sym, p.nxt, CAST(SUM(p.cnt) AS BIGINT) AS pair_weight, " +
+            "CAST((CAST(SUM(p.cnt) AS BIGINT) * 1000000000) // (fl.sfreq * fr.sfreq) AS BIGINT) AS score " +
+            s"FROM p$s p JOIN sf$s fl ON fl.sym = p.sym JOIN sf$s fr ON fr.sym = p.nxt " +
+            "WHERE p.nxt IS NOT NULL GROUP BY p.sym, p.nxt, fl.sfreq, fr.sfreq)), "
       s"p$s AS (SELECT word, cnt, pos, sym, " +
         s"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM f$s), " +
-      s"rk$s AS (SELECT sym, nxt, CAST(SUM(cnt) AS BIGINT) AS pair_weight, " +
-        "CAST(ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, sym, nxt) AS BIGINT) " +
-        s"AS rank FROM p$s WHERE nxt IS NOT NULL GROUP BY sym, nxt), " +
+      rk +
       s"t$s AS (SELECT sym AS mx, nxt AS my FROM rk$s WHERE rank = 1), " +
       s"m$s AS (SELECT word, cnt, pos, sym, mx, my, " +
         "(nxt IS NOT NULL AND sym = mx AND nxt = my) AS im " +

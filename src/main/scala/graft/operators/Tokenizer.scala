@@ -48,8 +48,18 @@ object Tokenizer {
     * public views below. Under an enabled [[CacheScope]] each frame is
     * materialized (see the in-loop comment); under [[CacheScope.off]]
     * all frames are lazy plans and consumers pay the chain replay. */
+  /** `likelihoodScore = false` ranks merge candidates by raw pair
+    * weight (BPE); `true` ranks by the WordPiece likelihood score
+    * freq(ab)/(freq(a)·freq(b)) in FIXED-POINT: score = (w·10^9) div
+    * (fl·fr), exact BIGINT on both engines (the PageRank scale-10^12
+    * doctrine — a float score's last ulp could flip a rank
+    * cross-engine). Products fit int64 at this corpus scale (w ≤ total
+    * chars ~10^7 → w·10^9 ≤ 10^16; fl·fr ≤ 10^14); at corpora where
+    * they would not, the score moves to DECIMAL(38) sums — the
+    * stats_regression convention, documented not silently wrong. */
   private def train(docs: DataFrame, steps: Int, topK: Int,
-                    scope: CacheScope): (Seq[DataFrame], Seq[DataFrame]) = {
+                    scope: CacheScope,
+                    likelihoodScore: Boolean = false): (Seq[DataFrame], Seq[DataFrame]) = {
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
     // the ONLY corpus-sized job: map-side-combinable word count
     val wc = docs.select(explode(split(norm, " ")).as("word"))
@@ -77,9 +87,25 @@ object Tokenizer {
     val frames = scala.collection.mutable.Buffer(f)
     for (_ <- 1 to steps) {
       val p = f.withColumn("nxt", lead(col("sym"), 1).over(wWord))
-      val stats = p.filter(col("nxt").isNotNull)
+      val stats0 = p.filter(col("nxt").isNotNull)
         .groupBy(col("sym"), col("nxt"))
         .agg(sum(col("cnt")).as("pair_weight"))
+      // the ranking key: raw weight (BPE) or the fixed-point likelihood
+      // quotient (WordPiece) — the symbol-frequency frame is
+      // alphabet-bounded, so both joins broadcast
+      val stats = if (!likelihoodScore)
+        stats0.withColumn("score", col("pair_weight"))
+      else {
+        val sf = f.groupBy(col("sym")).agg(sum(col("cnt")).as("sfreq"))
+        stats0
+          .join(broadcast(sf.select(col("sym"), col("sfreq").as("fl"))),
+            Seq("sym"))
+          .join(broadcast(sf.select(col("sym").as("nxt"),
+            col("sfreq").as("fr"))), Seq("nxt"))
+          .withColumn("score",
+            expr("(pair_weight * 1000000000) div (fl * fr)"))
+          .select(col("sym"), col("nxt"), col("pair_weight"), col("score"))
+      }
       // Round 10 hardening: the global (weight DESC, sym, nxt) rank used
       // to be an unpartitioned row_number window — bounded by alphabet²
       // but still a single-task sort of every candidate pair, the shape
@@ -91,17 +117,17 @@ object Tokenizer {
       // ((sym, nxt) is unique, so count-of-better + 1 equals the old
       // row_number under the identical total order).
       val top = scope.materialize(
-        stats.orderBy(col("pair_weight").desc, col("sym"), col("nxt"))
+        stats.orderBy(col("score").desc, col("sym"), col("nxt"))
           .limit(math.max(topK, 1)))
       val better = top.select(col("sym").as("bs"), col("nxt").as("bn"),
-        col("pair_weight").as("bw"))
+        col("score").as("bw"))
       val ranked = top.join(better,
-          col("bw") > col("pair_weight") ||
-            (col("bw") === col("pair_weight") &&
+          col("bw") > col("score") ||
+            (col("bw") === col("score") &&
               (col("bs") < col("sym") ||
                 (col("bs") === col("sym") && col("bn") < col("nxt")))),
           "left")
-        .groupBy(col("sym"), col("nxt"), col("pair_weight"))
+        .groupBy(col("sym"), col("nxt"), col("pair_weight"), col("score"))
         .agg((count(col("bs")) + 1L).as("rank"))
       rankedSteps += ranked
       val top1 = ranked.filter(col("rank") === 1)
@@ -171,6 +197,34 @@ object Tokenizer {
         .select(lit((i + 1).toLong).as("step"), col("rank"),
           col("sym").as("left_sym"), col("nxt").as("right_sym"),
           col("pair_weight"))
+    }.reduce(_ unionAll _).orderBy(col("step"), col("rank"))
+  }
+
+  /** WORDPIECE TRAINING (round 12) — the learning half of the
+    * WordPiece family ([[wordpieceEncode]] is the serving half): the
+    * BERT-lineage trainer is BPE's merge loop with a different
+    * selection rule — the merged pair maximizes the LIKELIHOOD score
+    * freq(ab)/(freq(a)·freq(b)) (Wu et al. 2016; the HuggingFace
+    * trainer's rule), not the raw pair count, so a rare-but-collocated
+    * pair beats a merely-common one. Everything else is the proven
+    * [[train]] machinery verbatim: one corpus-sized word count, then
+    * window passes over the vocabulary-bounded positional symbol
+    * table, island-parity greedy merge application, fixed `steps`
+    * unroll. The score is FIXED-POINT — (w·10^9) div (fl·fr), exact
+    * BIGINT — so ranks, ties and therefore the entire training replay
+    * bit-for-bit in the DuckDB oracle (see [[train]]'s scale note).
+    *
+    * Output: top-`topK` candidates per step with both the weight and
+    * the score that ranked them — (step, rank, left_sym, right_sym,
+    * pair_weight, score), ordered. Rank 1 IS the applied merge. */
+  def wordpieceTrainStats(docs: DataFrame, steps: Int = 3, topK: Int = 5,
+                          scope: CacheScope = CacheScope.off): DataFrame = {
+    val (ranked, _) = train(docs, steps, topK, scope, likelihoodScore = true)
+    ranked.zipWithIndex.map { case (r, i) =>
+      r.filter(col("rank") <= topK)
+        .select(lit((i + 1).toLong).as("step"), col("rank"),
+          col("sym").as("left_sym"), col("nxt").as("right_sym"),
+          col("pair_weight"), col("score"))
     }.reduce(_ unionAll _).orderBy(col("step"), col("rank"))
   }
 

@@ -43,6 +43,33 @@ class TokenizerSpec extends SparkSpec {
     assert(out.size == 15)
   }
 
+  test("wordpieceTrainStats: the likelihood rule picks the collocated " +
+    "pair over the merely-frequent one — diverging from BPE by hand") {
+    import spark.implicits._
+    // "ab" ×10, "xy" ×2: pair (a,b) weight 10 but freq(a)=freq(b)=10
+    // -> score (10·1e9) div 100 = 1e8; pair (x,y) weight 2 with
+    // freq(x)=freq(y)=2 -> score (2·1e9) div 4 = 5e8. WordPiece merges
+    // xy FIRST; BPE (raw weight) merges ab.
+    val docs = Seq((1L, (Seq.fill(10)("ab") ++ Seq.fill(2)("xy"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val wp = Tokenizer.wordpieceTrainStats(docs, steps = 1, topK = 2)
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getString(2), r.getString(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(wp(1L) == (("x", "y", 2L, 500000000L)), s"got $wp")
+    assert(wp(2L) == (("a", "b", 10L, 100000000L)), s"got $wp")
+    val bpe = Tokenizer.bpeMergeStats(docs, steps = 1, topK = 1)
+      .collect().head
+    assert((bpe.getString(2), bpe.getString(3)) == (("a", "b")),
+      "raw-weight BPE must still pick the frequent pair")
+    // determinism under partitioning
+    assert(Tokenizer.wordpieceTrainStats(docs, steps = 2, topK = 3)
+      .collect().toSeq ==
+      Tokenizer.wordpieceTrainStats(docs.repartition(5), steps = 2,
+        topK = 3).collect().toSeq)
+  }
+
   test("bpeCompression replays the hand-computed symbol-count curve") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa banana  BANANA bandana")).toDF("doc_id", "text")
