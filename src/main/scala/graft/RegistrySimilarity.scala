@@ -166,6 +166,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         codebook0 = Some(s.read.parquet(cdir)))
     }),
 
+    // RESIDUAL-coded IVF-PQ (round 12): the FAISS default — codes
+    // quantize v − c(v) against the assigned coarse centroid; the ADC
+    // table goes per-(query, probed list). In-session training (the
+    // sim_ann_ivf form); the full composite replays in the oracle.
+    "sim_ann_ivfpq_residual" -> ((s, d) =>
+      Similarity.ivfpqResidualTopK(Tables.embeddings(s, d))),
+
     "embed_meanpool" -> ((s, d) => {
       val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))
       mp.select(col("doc_key").as("label"), col("n_chunks"),
@@ -463,6 +470,10 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // IVF-PQ: both trainings unroll (shared front CTEs), the ADC tail
     // is pure BIGINT — ranking, ties and the audit cosine all replay.
     "sim_ann_ivfpq" -> sqlIvfPq,
+
+    // residual coding: same composite with the encode input swapped to
+    // v − c(v) and the per-(query, probed-list) distance table
+    "sim_ann_ivfpq_residual" -> sqlIvfPqResidual,
 
     "embed_random_projection" -> sqlRandomProjection,
 

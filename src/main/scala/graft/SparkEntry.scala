@@ -730,6 +730,82 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       "ORDER BY q_id, rank"
   }
 
+  /** RESIDUAL IVF-PQ oracle (round 12): the sqlIvfPq chain with the
+    * encode input swapped to per-vector residuals v − c(v) (exact
+    * integer list subtraction past the assignment), codebooks trained
+    * on residuals, and the ADC distance table per (query, PROBED list)
+    * — the query's residual differs per list, so dt carries cent_id
+    * and the ADC join keys on (q_id, cent_id, sub_id, code) with the
+    * candidate's own list from the assignment. */
+  private[graft] lazy val sqlIvfPqResidual: String = {
+    val m = Similarity.PqSubspaces
+    val dim = 64
+    val L = dim / m
+    val k = Similarity.IvfPqCodes
+    val iters = Similarity.PqIters
+    val cap = Similarity.PqTrainCap
+    val slices = (0 until m).map(s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub_id, " +
+        s"v[${s * L + 1}:${s * L + L}] AS sv FROM resv").mkString(" UNION ALL ")
+    val qslices = (0 until m).map(s =>
+      s"SELECT q_id, cent_id, CAST($s AS BIGINT) AS sub_id, " +
+        s"rv[${s * L + 1}:${s * L + L}] AS sv FROM qres").mkString(" UNION ALL ")
+    val pqIterSql = (1 to iters).map(i =>
+      sqlPqIter(i, if (i == 1) "cb0" else s"pc${i - 1}")).mkString(", ")
+    val lastCb = if (iters == 0) "cb0" else s"pc$iters"
+    "WITH " + sqlIvfFrontCtes + ", " +
+      s"nf AS (SELECT vec_id, v FROM n WHERE len(v) = $dim), " +
+      // corpus residuals against the ASSIGNED centroid
+      "resv AS (SELECT a.vec_id, a.cent_id, " +
+      "list_transform(list_zip(nf.v, c.cv), p -> p[1] - p[2]) AS v " +
+      "FROM asg a JOIN nf ON nf.vec_id = a.vec_id " +
+      "JOIN c2 c ON c.cent_id = a.cent_id), " +
+      s"sub AS ($slices), " +
+      "subn AS (SELECT vec_id, sub_id, sv, " +
+      "list_sum(list_transform(sv, x -> x*x)) AS sn FROM sub), " +
+      "trv AS (SELECT vec_id FROM nf " +
+      s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $cap), " +
+      "trs AS (SELECT s.* FROM subn s JOIN trv ON s.vec_id = trv.vec_id), " +
+      "sdv AS (SELECT vec_id FROM nf " +
+      s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k), " +
+      "cb0 AS (SELECT s.sub_id, s.vec_id AS code, s.sv AS cv, s.sn AS cn " +
+      "FROM subn s JOIN sdv ON s.vec_id = sdv.vec_id), " +
+      pqIterSql + ", " +
+      "pea AS (SELECT t.vec_id, t.sub_id, c.code, t.sn + c.cn - " +
+      "2*list_sum(list_transform(list_zip(t.sv, c.cv), p -> p[1]*p[2])) AS dist " +
+      s"FROM subn t JOIN $lastCb c ON t.sub_id = c.sub_id), " +
+      "pcode AS (SELECT vec_id, sub_id, code FROM (SELECT vec_id, sub_id, code, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id ORDER BY dist, code) AS rn " +
+      "FROM pea) WHERE rn = 1), " +
+      // per-(query, probed list) residual distance table
+      "qres AS (SELECT p.q_id, p.cent_id, " +
+      "list_transform(list_zip(nf.v, c.cv), x -> x[1] - x[2]) AS rv " +
+      "FROM probes p JOIN nf ON nf.vec_id = p.q_id " +
+      "JOIN c2 c ON c.cent_id = p.cent_id), " +
+      s"qsub AS ($qslices), " +
+      "qsubn AS (SELECT q_id, cent_id, sub_id, sv, " +
+      "list_sum(list_transform(sv, x -> x*x)) AS sn FROM qsub), " +
+      "dt AS (SELECT q.q_id, q.cent_id, q.sub_id, c.code, q.sn + c.cn - " +
+      "2*list_sum(list_transform(list_zip(q.sv, c.cv), p -> p[1]*p[2])) AS sd " +
+      s"FROM qsubn q JOIN $lastCb c ON c.sub_id = q.sub_id), " +
+      "cand AS (SELECT DISTINCT p.q_id, p.cent_id, a.vec_id AS n_id " +
+      "FROM probes p JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id != p.q_id), " +
+      "adc AS (SELECT c.q_id, c.n_id, CAST(SUM(dt.sd) AS BIGINT) AS adc " +
+      "FROM cand c JOIN pcode pc ON c.n_id = pc.vec_id " +
+      "JOIN dt ON dt.q_id = c.q_id AND dt.cent_id = c.cent_id " +
+      "AND dt.sub_id = pc.sub_id AND dt.code = pc.code " +
+      "GROUP BY 1, 2), " +
+      s"sl AS (SELECT q_id, n_id, adc FROM (SELECT *, " +
+      "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS srk FROM adc) " +
+      s"WHERE srk <= ${Similarity.IvfPqRerank}), " +
+      s"rr AS (SELECT sl.q_id, sl.n_id, sl.adc, ${sqlCosFrag("q", "x")} AS cos " +
+      "FROM sl JOIN n q ON sl.q_id = q.vec_id JOIN n x ON sl.n_id = x.vec_id), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+      "FROM rr WHERE NOT isnan(cos)) " +
+      "SELECT q_id, rank, n_id, adc, cos FROM rk WHERE rank <= 10 " +
+      "ORDER BY q_id, rank"
+  }
+
   /** One unrolled Lloyd's round for the PQ oracle, keyed by (sub_id,
     * code): assign the train sub-vectors to their min-(dist, code)
     * codebook entry — squared L2 in pure BIGINT (‖a‖²+‖c‖²−2⟨a,c⟩, the

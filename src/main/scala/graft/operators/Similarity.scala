@@ -853,6 +853,120 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** RESIDUAL-coded IVF-PQ (round 12) — the FAISS DEFAULT the round-11
+    * no-residual variant documented as "drops into the same shape with
+    * one extra centroid subtraction": PQ codes quantize each vector's
+    * RESIDUAL v − c(v) against its assigned coarse centroid, not the
+    * raw vector. Residuals concentrate near the origin (the coarse
+    * quantizer has already explained the between-list variance), so
+    * the same code budget spends its resolution on the within-list
+    * detail — the reason production IVFPQ codes residuals.
+    *
+    * What changes relationally (everything else is [[ivfpqTopKWith]]
+    * verbatim): (1) the encode input is the residual frame — one
+    * narrow broadcast-centroid join + exact integer zip_with
+    * subtraction past the assignment; (2) the PQ codebooks train on
+    * residuals; (3) the ADC distance table becomes per-(query, PROBED
+    * list) — the query's residual differs per list, so the table grows
+    * by the nprobe factor (queries·nprobe·m·codes — still bounded,
+    * still broadcast) and the ADC join keys on (q_id, cent_id,
+    * sub_id, code) with the candidate's own list carried from the
+    * assignment. Same exact-BIGINT arithmetic throughout → the ENTIRE
+    * composite (coarse training, residuals, codebook training, ADC,
+    * shortlist, rerank) replays in the DuckDB oracle.
+    *
+    * Output: (q_id, rank, n_id, adc, cos), ordered — the
+    * [[ivfpqTopK]] contract. */
+  def ivfpqResidualTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
+                        dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
+                        trainIters: Int = 2, m: Int = PqSubspaces,
+                        kCodes: Int = IvfPqCodes, pqIters: Int = PqIters,
+                        trainCap: Int = PqTrainCap,
+                        rerank: Int = IvfPqRerank): DataFrame = {
+    require(rerank >= k, s"rerank shortlist ($rerank) must cover k ($k)")
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must divide into $m subspaces")
+    val subLen = dim / m
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val centroids = trainCentroids(prepared(emb), nlist, trainIters)
+    val cent = broadcast(centroids
+      .select(col("cent_id"), col("c_qv"), col("c_nrm")))
+    val assigned = p.join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
+        .as("cent_id"))
+    val probes = p.filter(col("vec_id") < nQueries).join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    // corpus residuals: exact integer subtraction against the ASSIGNED
+    // centroid (one broadcast join — the "one extra subtraction")
+    val rvs = p.join(assigned, Seq("vec_id"))
+      .join(cent.select(col("cent_id"), col("c_qv")), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("qv"), col("c_qv"), (a, b) => a - b).as("qv"))
+    val cb = pqTrain(rvs, dim, m, kCodes, pqIters, trainCap)
+    val codes = pqAssign(pqSubSlices(rvs, m, subLen), cb)
+      .select(col("vec_id").as("n_id"), col("sub_id"), col("code"))
+    // per-(query, probed list) residual distance table: the query's
+    // residual differs per probed centroid, so the bounded broadcast
+    // table carries cent_id — nQueries·nprobe·m·kCodes rows
+    val qres = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv"))
+      .join(broadcast(probes), Seq("q_id"))
+      .join(cent.select(col("cent_id"), col("c_qv")), Seq("cent_id"))
+      .select(col("q_id"), col("cent_id"),
+        zip_with(col("qv"), col("c_qv"), (a, b) => a - b).as("rv"))
+    val qsub = qres.select(col("q_id"), col("cent_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("rv"), s * subLen + 1, subLen)): _*)))
+      .select(col("q_id"), col("cent_id"),
+        col("pos").cast("long").as("sub_id"), col("col").as("sv"))
+      .withColumn("sn", dotQ(col("sv"), col("sv")))
+    val dt = broadcast(qsub.join(cb, Seq("sub_id"))
+      .select(col("q_id"), col("cent_id"), col("sub_id"), col("code"),
+        (col("sn") + col("cn") - lit(2L) * dotQ(col("sv"), col("cv")))
+          .as("sd")))
+    // candidates carry their OWN list id — the ADC key
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cent_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val adc = cand.join(codes, Seq("n_id"))
+      .join(dt, Seq("q_id", "cent_id", "sub_id", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("sd")).as("adc"))
+    val short = adc
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(rerank)(
+        -col("adc").cast("double"), col("n_id")).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e._2").as("n_id"),
+        (-col("e._1")).cast("long").as("adc"))
+    val queries = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val corpus = p.select(col("vec_id").as("n_id"), col("qv").as("n_qv"),
+      col("nrm").as("n_nrm"))
+    val rer = short
+      .join(broadcast(queries), Seq("q_id")).join(corpus, Seq("n_id"))
+      .withColumn("cos",
+        cosine(dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
+      .filter(!isnan(col("cos")))
+    rer.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** RANDOM-PROJECTION (Johnson–Lindenstrauss) reduction audit
     * (round 11) — the dimension-reduction primitive behind every
     * "project to 16-d before the expensive pass" trick, with its JL

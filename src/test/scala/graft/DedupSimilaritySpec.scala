@@ -1104,6 +1104,20 @@ class DedupSimilaritySpec extends SparkSpec {
       s"IVF-PQ recall $pqRecall fell far below the IVF ceiling $ivfRecall")
     assert(out.toSeq ==
       Similarity.ivfpqTopK(emb.repartition(7)).collect().toSeq)
+    // RESIDUAL coding (round 12): same composite, codes on v − c(v).
+    // Residuals concentrate the code budget on within-list detail, so
+    // the residual ADC must not fall below the raw-vector ADC's recall
+    // (minus slack — at this corpus both shortlists rerank exactly),
+    // and the full pipeline stays deterministic under partitioning.
+    val res = Similarity.ivfpqResidualTopK(emb).collect()
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == 10, s"residual query $q: ${rows.length} rows")
+    }
+    val resRecall = recallOf(res)
+    assert(resRecall >= pqRecall - 0.1,
+      s"residual recall $resRecall below raw-code recall $pqRecall")
+    assert(res.toSeq ==
+      Similarity.ivfpqResidualTopK(emb.repartition(7)).collect().toSeq)
   }
 
   test("centroidClassify: separable fixture classifies perfectly, " +
