@@ -431,6 +431,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         edges0 = Some(coOrderEdgesShared(s, d)),
         tri0 = Some(trianglesShared(s, d)))),
 
+    // Connected components (round 12): component-size histogram via the
+    // generic CC primitive over the shared edges; isolated parts are
+    // structural singletons.
+    "graph_components" -> ((s, d) =>
+      Graph.components(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // Local clustering coefficient (round 12): neighborhood density per
     // node from the SAME shared enumeration — third consumer of
     // memo:triangles; marginal cost is one explode+groupBy + a degree
@@ -1244,6 +1251,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(SELECT x AS part FROM tri UNION ALL SELECT y AS part FROM tri " +
         "UNION ALL SELECT z AS part FROM tri) " +
         "GROUP BY part ORDER BY n_triangles DESC, part LIMIT 20"),
+
+    // components replay: recursive min-label reachability over the
+    // co-order edges (the dedup_cluster reach pattern on parts), then
+    // the size histogram; universe-seeded so singletons are structural
+    "graph_components" ->
+      ("WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+        "edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und), " +
+        "reach(node, lbl) AS (" +
+        "SELECT p, p FROM (SELECT DISTINCT p FROM it) " +
+        "UNION " +
+        "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node WHERE r.lbl < e.b), " +
+        "comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node), " +
+        "szs AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM comp GROUP BY lbl) " +
+        "SELECT sz AS component_size, COUNT(*) AS n_components, " +
+        "CAST(SUM(sz) AS BIGINT) AS n_nodes FROM szs GROUP BY sz ORDER BY sz"),
 
     // clustering coefficient replay: same triangle CTEs (per-node counts
     // are orientation-invariant), exact-integer numerator/denominator,

@@ -256,6 +256,34 @@ object Graph {
       .limit(k)
   }
 
+  /** CONNECTED COMPONENTS (round 12) — the reachability face of the
+    * graph family, completing the classic set (rank, count, degree,
+    * link score, density): component-size histogram of the
+    * co-occurrence graph, computed by the engine's proven generic CC
+    * primitive ([[Dedup.connectedComponents]] — bounded small-graph
+    * union-find fast path, vertex-only min-label propagation with
+    * pointer jumping past the cap; see its scaladoc for the 100 TB
+    * argument). Isolated parts (no co-order edges) are STRUCTURAL
+    * singleton components from the part universe — a disconnected
+    * catalog is visible, not silently absent, the
+    * [[degreeDistribution]] doctrine.
+    *
+    * Output: (component_size, n_components, n_nodes), ordered —
+    * the [[Dedup.clusterSizeHistogram]] contract over parts. */
+  def components(lineitem: DataFrame,
+                 edges0: Option[DataFrame] = None): DataFrame = {
+    val e = edges0.getOrElse(coOrderEdges(lineitem))
+      .select(col("a"), col("b"))
+    val labels = Dedup.connectedComponents(e)
+    lineitem.select(col("l_partkey").as("part")).distinct()
+      .join(labels, col("part") === col("node"), "left")
+      .select(coalesce(col("lbl"), col("part")).as("lbl"))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_nodes"))
+      .orderBy(col("component_size"))
+  }
+
   private[graft] def degreeOriented(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

@@ -68,6 +68,19 @@ class GraphSpec extends SparkSpec {
       6L -> 1L, 7L -> 1L, 8L -> 1L), s"got $out")
   }
 
+  test("components: size histogram with structural singletons — a " +
+    "triangle, a cross-order path, and an isolated part") {
+    // component A: {1,2,3} (one order); component B: {4,5,6} chained
+    // across two orders; part 7 appears alone in an order → isolated
+    // (degree 0) but STRUCTURALLY present as a singleton
+    val out = Graph.components(li(
+        1L -> Seq(1L, 2L, 3L), 2L -> Seq(4L, 5L), 3L -> Seq(5L, 6L),
+        4L -> Seq(7L)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(1L -> ((1L, 1L)), 3L -> ((2L, 6L))), s"got $out")
+  }
+
   test("clusteringCoeff: hand-checked coefficients — K4 members 1.0, " +
     "a bridge node mixes, degree-1 nodes excluded, triangle-free 0.0") {
     // K4 over {1,2,3,4}; node 4 also bridges to 5 (deg(4)=4, tri(4)=3
