@@ -24,6 +24,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Flesch readability (round 12): exact sentence/word/vowel-run
+    // counts + the fixed-order Flesch formula — the reading-level face
+    // of quality scoring.
+    "text_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d))),
+
     // Hashed-n-gram LINEAR scorer (round 10, fastText-lineage): word
     // unigrams+bigrams hashed to 1024 buckets, fixed integer weight
     // table applied relationally — the learned-model complement to the
@@ -366,6 +372,21 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
   )
 
   protected def corpusTextOracles: Map[String, String] = Map(
+    // readability replay: len(regexp_extract_all) ≡ Spark regexp_count
+    // on these anchored-run patterns; the Flesch expression is the
+    // identical operation tree (bit-identical doubles)
+    "text_readability" ->
+      ("SELECT doc_id, " +
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables, " +
+        "CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0 THEN " +
+        "206.835 - 1.015 * (CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE) " +
+        "/ CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)) " +
+        "- 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) " +
+        "/ CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)) END AS flesch " +
+        "FROM documents ORDER BY doc_id"),
+
     "text_stats" ->
       (s"SELECT doc_id, length(text) AS n_chars_m, len(string_split(text,' ')) AS n_tokens, " +
         "len(list_distinct(string_split(text,' '))) AS n_distinct_tokens, " +

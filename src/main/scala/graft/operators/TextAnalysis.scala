@@ -52,6 +52,39 @@ object TextAnalysis {
         .as("avg_token_len"))
   }
 
+  /** READABILITY scoring (round 12) — the Flesch reading-ease face of
+    * quality scoring (a curation pipeline buckets documents by reading
+    * level before mixing): per document, exact integer counts of
+    * sentences (maximal `[.!?]+` runs, floored at 1), words (maximal
+    * lowercase-letter runs), and syllables (maximal `[aeiouy]+` vowel
+    * runs — the classic deterministic heuristic; runs cannot span
+    * whitespace so the text-wide count IS the per-word sum), then the
+    * Flesch formula 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words) as a FIXED-ORDER double expression — the
+    * same operation tree in both engines, so the score is
+    * bit-identical (the stats_regression discipline). Wordless
+    * documents report NULL (undefined, not a fake 0). Pure narrow
+    * expressions — one codegen stage over the scan.
+    *
+    * Output: (doc_id, n_sentences, n_words, n_syllables, flesch),
+    * ordered. */
+  def readability(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val nS = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val nW = regexp_count(lowered, lit("[a-z]+")).cast("long")
+    val nY = regexp_count(lowered, lit("[aeiouy]+")).cast("long")
+    docs.select(col("doc_id"), nS.as("n_sentences"), nW.as("n_words"),
+        nY.as("n_syllables"))
+      .withColumn("flesch", when(col("n_words") > 0,
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish sub-word proxy —
     * runs of lowercase letters, runs of digits, and single "other"
     * non-space characters (the classic pre-tokenizer split). */

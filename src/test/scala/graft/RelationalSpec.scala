@@ -399,6 +399,25 @@ class RelationalSpec extends SparkSpec {
     ))
   }
 
+  test("readability: hand-computed Flesch on known counts, sentence " +
+    "floor, wordless NULL") {
+    val df = Seq(
+      // 2 sentences, 6 words, 7 vowel runs: "the cat sat. it was happy!"
+      (1L, "the cat sat. it was happy!"),
+      // no terminator -> sentence floor 1; 2 words, 2 runs
+      (2L, "hi there"),
+      (3L, "123 456 ...")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert((r(1L).getLong(1), r(1L).getLong(2), r(1L).getLong(3)) ==
+      ((2L, 6L, 7L)))
+    assert(r(1L).getDouble(4) ==
+      206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (7.0 / 6.0))
+    assert((r(2L).getLong(1), r(2L).getLong(2), r(2L).getLong(3)) ==
+      ((1L, 2L, 3L)))
+    assert(r(3L).isNullAt(4), "wordless document must score NULL")
+  }
+
   test("pii scrub: case-insensitive, hex ids redacted before digit runs") {
     val df = Seq(
       (1L, "mail Alice.Smith@Example.COM now"),
