@@ -30,6 +30,11 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "text_readability" -> ((s, d) =>
       TextAnalysis.readability(Tables.documents(s, d))),
 
+    // Gopher-rule audit (round 12): per-rule pass/fail counts, all
+    // exact integer arithmetic (cross-multiplied ratio thresholds).
+    "corpus_gopher_gates" -> ((s, d) =>
+      TextAnalysis.gopherGates(Tables.documents(s, d))),
+
     // Hashed-n-gram LINEAR scorer (round 10, fastText-lineage): word
     // unigrams+bigrams hashed to 1024 buckets, fixed integer weight
     // table applied relationally — the learned-model complement to the
@@ -372,6 +377,31 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
   )
 
   protected def corpusTextOracles: Map[String, String] = Map(
+    // gopher-rule replay: same cross-multiplied integer thresholds;
+    // each rule is one UNION ALL branch over the base expression CTE
+    "corpus_gopher_gates" ->
+      ("WITH b AS (SELECT " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS nw, " +
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alphaw, " +
+        "CAST(len(list_intersect(list_distinct(string_split(text, ' ')), " +
+        s"[$sqlStopwords])) AS BIGINT) AS stophits, " +
+        "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS syms " +
+        "FROM documents), " +
+        "r AS (SELECT nw BETWEEN 50 AND 100000 AS r1, " +
+        "(3*nw <= chars AND chars <= 10*nw) AS r2, " +
+        "(10*alphaw >= 8*nw) AS r3, (stophits >= 2) AS r4, " +
+        "(10*syms <= nw) AS r5 FROM b) " +
+        "SELECT rule, CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, " +
+        "CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail FROM (" +
+        "SELECT '1_word_count' AS rule, r1 AS ok FROM r " +
+        "UNION ALL SELECT '2_mean_word_len', r2 FROM r " +
+        "UNION ALL SELECT '3_alpha_word_frac', r3 FROM r " +
+        "UNION ALL SELECT '4_stopword_hits', r4 FROM r " +
+        "UNION ALL SELECT '5_symbol_ratio', r5 FROM r " +
+        "UNION ALL SELECT '6_all', r1 AND r2 AND r3 AND r4 AND r5 FROM r) " +
+        "GROUP BY rule ORDER BY rule"),
+
     // readability replay: len(regexp_extract_all) ≡ Spark regexp_count
     // on these anchored-run patterns; the Flesch expression is the
     // identical operation tree (bit-identical doubles)

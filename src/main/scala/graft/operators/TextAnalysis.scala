@@ -85,6 +85,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** GOPHER-STYLE QUALITY GATES (round 12) — the rule battery of
+    * large-corpus curation (Rae et al. 2021, "Scaling Language Models:
+    * Gopher", public; the repetition/format rules every web-corpus
+    * pipeline since has copied), as a per-rule pass/fail AUDIT: how
+    * much of the corpus each gate would drop is the first table a
+    * curation run reports. Every rule is EXACT INTEGER arithmetic —
+    * ratio thresholds compare cross-multiplied counts (3·nw ≤ chars ≤
+    * 10·nw, 10·alpha ≥ 8·nw), never a float division — so the whole
+    * audit replays bit-for-bit. Rules (booleans per doc, then summed):
+    * word count in [minWords, maxWords]; mean word length in [3, 10];
+    * ≥ 80% of words contain a letter; ≥ 2 distinct house stopwords
+    * (the Gopher "stop word" gate); symbol ('#'/'...') count ≤ 10% of
+    * words; and the conjunction. One narrow pass + a 6-row aggregate.
+    *
+    * Output: (rule, n_pass, n_fail), ordered by rule. */
+  def gopherGates(docs: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(col("text"))
+    val nw = size(toks).cast("long")
+    val chars = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val alphaW = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      typedLit(Stopwords))).cast("long")
+    val syms = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long")
+    val r1 = nw.between(minWords.toLong, maxWords.toLong)
+    val r2 = (lit(3L) * nw <= chars) && (chars <= lit(10L) * nw)
+    val r3 = lit(10L) * alphaW >= lit(8L) * nw
+    val r4 = stopHits >= 2L
+    val r5 = lit(10L) * syms <= nw
+    val rules = Seq(
+      ("1_word_count", r1), ("2_mean_word_len", r2),
+      ("3_alpha_word_frac", r3), ("4_stopword_hits", r4),
+      ("5_symbol_ratio", r5),
+      ("6_all", r1 && r2 && r3 && r4 && r5))
+    docs.select(explode(array(rules.map { case (name, ok) =>
+        struct(lit(name).as("rule"), ok.as("ok")) }: _*)).as("g"))
+      .groupBy(col("g.rule").as("rule"))
+      .agg(sum(when(col("g.ok"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("g.ok"), 0L).otherwise(1L)).as("n_fail"))
+      .orderBy(col("rule"))
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish sub-word proxy —
     * runs of lowercase letters, runs of digits, and single "other"
     * non-space characters (the classic pre-tokenizer split). */

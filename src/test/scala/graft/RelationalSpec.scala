@@ -418,6 +418,26 @@ class RelationalSpec extends SparkSpec {
     assert(r(3L).isNullAt(4), "wordless document must score NULL")
   }
 
+  test("gopherGates: each rule isolated by a targeted fixture doc, " +
+    "conjunction only passes the clean one") {
+    // doc 1 passes everything (60 words, mean len in [3,10], 2 stopwords);
+    // doc 2 fails word count (3 words); doc 3 fails mean word length
+    // (one 60-char word... padded to clear the word-count gate);
+    // doc 4 fails alpha fraction + stopwords (numbers)
+    val clean = (Seq.fill(29)("the cats") :+ "of does").mkString(" ")
+    val longw = (Seq.fill(60)("a" * 20) ++ Seq.fill(0)("x")).mkString(" ")
+    val nums = (1 to 60).map(_.toString).mkString(" ")
+    val df = Seq((1L, clean), (2L, "too few words"), (3L, longw),
+      (4L, nums)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherGates(df).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("1_word_count") == ((3L, 1L)), s"got $r")
+    assert(r("2_mean_word_len")._2 >= 1L, s"got $r") // longw fails
+    assert(r("3_alpha_word_frac") == ((3L, 1L)), s"got $r") // nums fail
+    assert(r("4_stopword_hits")._1 == 1L, s"got $r") // only clean has 2
+    assert(r("6_all") == ((1L, 3L)), s"got $r")
+  }
+
   test("pii scrub: case-insensitive, hex ids redacted before digit runs") {
     val df = Seq(
       (1L, "mail Alice.Smith@Example.COM now"),
