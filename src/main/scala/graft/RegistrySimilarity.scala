@@ -235,6 +235,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.wavRmsWindows(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
+    // Silence-trim/clipping segmentation (round 12): the curation
+    // report ON the energy profile — silent/clipped window counts +
+    // first/last active window per clip; integer thresholds.
+    "multimodal_audio_trim" -> ((s, d) =>
+      Multimodal.wavSilenceTrim(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
     // Video-container leg (round 8): hand-authored ANIMATED GIF89a
     // (container + grayscale palette + the LZW stream itself), decoded
     // back through ImageIO's OWN multi-frame GIF reader; every 2nd frame
@@ -665,6 +672,23 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "SELECT doc_id, i // 16 AS win, COUNT(*) AS n_samples, " +
         "CAST(SUM(v*v) AS BIGINT) AS energy, CAST(MAX(abs(v)) AS BIGINT) AS peak " +
         "FROM s GROUP BY 1, 2 ORDER BY doc_id, win"),
+
+    // silence/clipping replay: the windowed-energy CTE aggregated with
+    // the same integer thresholds; all-silent clips NULL their bounds
+    "multimodal_audio_trim" ->
+      ("WITH s AS (SELECT doc_id, i, (doc_id*37 + i*11) % 65536 - 32768 AS v " +
+        "FROM (SELECT doc_id, unnest(range(0, (n_chars % 50) + 20)) AS i FROM documents)), " +
+        "w AS (SELECT doc_id, i // 16 AS win, COUNT(*) AS n_samples, " +
+        "CAST(SUM(v*v) AS BIGINT) AS energy, CAST(MAX(abs(v)) AS BIGINT) AS peak " +
+        "FROM s GROUP BY 1, 2), " +
+        "f AS (SELECT doc_id, win, peak, " +
+        "(energy < 300000000 * n_samples) AS silent FROM w) " +
+        "SELECT doc_id, COUNT(*) AS n_windows, " +
+        "CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent, " +
+        "CAST(SUM(CASE WHEN peak >= 32000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped, " +
+        "MIN(CASE WHEN NOT silent THEN win END) AS first_active, " +
+        "MAX(CASE WHEN NOT silent THEN win END) AS last_active " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id"),
 
     // analytic multi-frame replay: every 2nd frame of the animated GIF,
     // pixel i of frame f = (doc_id*31 + f*97 + i*7) % 256 — container,

@@ -405,6 +405,34 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"), col("win"))
   }
 
+  /** SILENCE-TRIM / CLIPPING segmentation (round 12) — what a speech
+    * curation pipeline does with the energy profile [[wavRmsWindows]]
+    * computes: per clip, how many windows are silent (window energy
+    * below `silentMeanEnergy` per sample — integer cross-multiplied
+    * compare, no division), how many clip (peak ≥ `clipPeak`), and the
+    * trim boundaries — the first and last NON-silent window (NULL when
+    * the whole clip is silent: structural, a dead clip is visible).
+    * Built directly ON the windowed profile (one more
+    * map-side-combinable aggregate past the decode — the derived-view
+    * doctrine), so the real javax.sound decode path is shared and the
+    * analytic fixture replays the whole report in the oracle.
+    *
+    * Output: (doc_id, n_windows, n_silent, n_clipped, first_active,
+    * last_active), ordered. */
+  def wavSilenceTrim(spark: SparkSession, ingested: DataFrame,
+                     win: Int = 16, silentMeanEnergy: Long = 300000000L,
+                     clipPeak: Long = 32000L): DataFrame =
+    wavRmsWindows(spark, ingested, win)
+      .withColumn("silent",
+        col("energy") < lit(silentMeanEnergy) * col("n_samples"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+        sum(when(col("peak") >= clipPeak, 1L).otherwise(0L)).as("n_clipped"),
+        min(when(!col("silent"), col("win"))).as("first_active"),
+        max(when(!col("silent"), col("win"))).as("last_active"))
+      .orderBy(col("doc_id"))
+
   /** The mapPartitions decode harness with a REAL codec: javax.imageio's
     * BMP reader (an independent JDK implementation — not our encoder run
     * backwards) decodes each payload; per-pixel statistics come off the

@@ -466,6 +466,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavSilenceTrim: reconciles against a driver-side replay of the " +
+    "window profile; all-silent clips NULL their bounds") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.wavSilenceTrim(spark, Multimodal.ingestWav(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == meta.keySet)
+    meta.foreach { case (d, nc) =>
+      val n = Multimodal.wavNumSamples(nc)
+      val wins = (0 until (n + 15) / 16).map { w =>
+        val idx = (w * 16) until math.min(n, (w + 1) * 16)
+        val vals = idx.map(i => Multimodal.sampleValue(d, i).toLong)
+        (w.toLong, vals.map(v => v * v).sum, vals.map(math.abs).max,
+          idx.length)
+      }
+      val silent = wins.map { case (w, e, _, c) => w -> (e < 300000000L * c) }
+      val r = out(d)
+      assert(r.getLong(1) == wins.length)
+      assert(r.getLong(2) == silent.count(_._2))
+      assert(r.getLong(3) == wins.count(_._3 >= 32000L))
+      val active = silent.filter(!_._2).map(_._1)
+      if (active.isEmpty) assert(r.isNullAt(4) && r.isNullAt(5),
+        s"doc $d: all-silent clip must NULL its bounds")
+      else assert(r.getLong(4) == active.min && r.getLong(5) == active.max)
+    }
+  }
+
   test("phashDedup: spectra from the real decode match an independent " +
     "analytic DCT replay; at most 31 of 63 AC bits set; deterministic") {
     val docs = Tables.documents(spark, sf0)
