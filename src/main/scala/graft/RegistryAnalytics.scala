@@ -431,6 +431,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         edges0 = Some(coOrderEdgesShared(s, d)),
         tri0 = Some(trianglesShared(s, d)))),
 
+    // Association rules (round 12): support/confidence/lift per
+    // co-purchased pair — support IS the shared edge weight; top-20 by
+    // lift.
+    "order_affinity_rules" -> ((s, d) =>
+      Graph.affinityRules(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // Connected components (round 12): component-size histogram via the
     // generic CC primitive over the shared edges; isolated parts are
     // structural singletons.
@@ -1251,6 +1258,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(SELECT x AS part FROM tri UNION ALL SELECT y AS part FROM tri " +
         "UNION ALL SELECT z AS part FROM tri) " +
         "GROUP BY part ORDER BY n_triangles DESC, part LIMIT 20"),
+
+    // affinity replay: co-order pair weights + per-part order counts +
+    // the identical fixed-order double expressions
+    "order_affinity_rules" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT a.p AS a, b.p AS b, CAST(COUNT(*) AS BIGINT) AS w " +
+        "FROM it a JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), " +
+        "cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_orders FROM it GROUP BY 1), " +
+        "tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_total FROM it) " +
+        "SELECT a, b, w AS support, ca.n_orders AS n_a, cb.n_orders AS n_b, " +
+        "CAST(w AS DOUBLE) / CAST(ca.n_orders AS DOUBLE) AS conf_ab, " +
+        "CAST(w AS DOUBLE) / CAST(cb.n_orders AS DOUBLE) AS conf_ba, " +
+        "(CAST(w AS DOUBLE) * CAST(n_total AS DOUBLE)) / " +
+        "(CAST(ca.n_orders AS DOUBLE) * CAST(cb.n_orders AS DOUBLE)) AS lift " +
+        "FROM und JOIN cnt ca ON und.a = ca.p JOIN cnt cb ON und.b = cb.p, tot " +
+        "ORDER BY lift DESC, a, b LIMIT 20"),
 
     // components replay: recursive min-label reachability over the
     // co-order edges (the dedup_cluster reach pattern on parts), then

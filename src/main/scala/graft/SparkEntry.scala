@@ -184,7 +184,8 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       (s, d) => { nearDupPairsShared(s, d); () }),
     ("memo:co_order_edges",
       Seq("graph_pagerank", "graph_triangles", "graph_degree_dist",
-        "graph_link_jaccard", "graph_cluster_coeff", "graph_components"),
+        "graph_link_jaccard", "graph_cluster_coeff", "graph_components",
+        "order_affinity_rules"),
       () => coOrderEdgesMemo.clear(),
       (s, d) => { coOrderEdgesShared(s, d); () }),
     // builds AFTER (and reads) memo:co_order_edges — benchMemos is

@@ -256,6 +256,45 @@ object Graph {
       .limit(k)
   }
 
+  /** ASSOCIATION RULES (round 12) — the market-basket face of the
+    * co-occurrence graph: per co-purchased pair, support (co-order
+    * count — exactly the shared edge weight), each side's order count,
+    * both direction confidences and the LIFT
+    * support·N / (n_a·n_b) — the affinity score a recommender reads.
+    * Rides `memo:co_order_edges` (support IS the edge weight); the
+    * marginal cost is one map-side-combinable per-part order count +
+    * two broadcast joins + TakeOrdered. Counts are exact BIGINTs; each
+    * score is fixed-order IEEE arithmetic on exact operands —
+    * bit-replayable (operands stay < 2^53 here; at corpus scales past
+    * that the products move to DECIMAL(38), the stats_regression
+    * convention).
+    *
+    * Output: top `k` (a, b, support, n_a, n_b, conf_ab, conf_ba,
+    * lift) by (lift DESC, a, b). */
+  def affinityRules(lineitem: DataFrame, k: Int = 20,
+                    edges0: Option[DataFrame] = None): DataFrame = {
+    val e = edges0.getOrElse(coOrderEdges(lineitem))
+    val it = lineitem.select(col("l_orderkey").as("o"),
+      col("l_partkey").as("p")).distinct()
+    val cnt = it.groupBy(col("p")).agg(count(lit(1)).as("n_orders"))
+    val total = it.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    e.join(broadcast(cnt.select(col("p").as("a"),
+        col("n_orders").as("n_a"))), Seq("a"))
+      .join(broadcast(cnt.select(col("p").as("b"),
+        col("n_orders").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("w").as("support"),
+        col("n_a"), col("n_b"),
+        (col("w").cast("double") / col("n_a").cast("double")).as("conf_ab"),
+        (col("w").cast("double") / col("n_b").cast("double")).as("conf_ba"),
+        ((col("w").cast("double") * col("n_total").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** CONNECTED COMPONENTS (round 12) — the reachability face of the
     * graph family, completing the classic set (rank, count, degree,
     * link score, density): component-size histogram of the

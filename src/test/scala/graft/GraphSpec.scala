@@ -68,6 +68,22 @@ class GraphSpec extends SparkSpec {
       6L -> 1L, 7L -> 1L, 8L -> 1L), s"got $out")
   }
 
+  test("affinityRules: hand-computed support/confidence/lift — the " +
+    "always-together pair outranks the merely-frequent one") {
+    // 4 orders: {1,2} {1,2} {1,3} {3}; N=4.
+    // pair (1,2): w=2, n1=3, n2=2 -> lift 2*4/(3*2)=1.333…
+    // pair (1,3): w=1, n1=3, n3=2 -> lift 1*4/(3*2)=0.666…
+    val out = Graph.affinityRules(li(
+        1L -> Seq(1L, 2L), 2L -> Seq(1L, 2L), 3L -> Seq(1L, 3L),
+        4L -> Seq(3L)), k = 10).collect()
+    assert(out.length == 2)
+    val top = out.head
+    assert((top.getLong(0), top.getLong(1), top.getLong(2)) == ((1L, 2L, 2L)))
+    assert(top.getDouble(5) == 2.0 / 3.0 && top.getDouble(6) == 1.0)
+    assert(top.getDouble(7) == (2.0 * 4.0) / (3.0 * 2.0))
+    assert(out(1).getDouble(7) == (1.0 * 4.0) / (3.0 * 2.0))
+  }
+
   test("components: size histogram with structural singletons — a " +
     "triangle, a cross-order path, and an isolated part") {
     // component A: {1,2,3} (one order); component B: {4,5,6} chained
