@@ -211,6 +211,16 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
       Corpus.contaminationCheck(Tables.documents(s, d), threshold = 0.3,
         maxDf = Some(100))),
 
+    // STREAM-STATIC parity (round 12): the decontamination gate over a
+    // multi-batch train-split replay vs the holdout benchmark — the
+    // stateless streaming face under the full oracle (see
+    // contaminationParityReplay's scaladoc).
+    "stream_contamination_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_contam_")
+      graft.streaming.StreamingContamination.contaminationParityReplay(
+        Tables.documents(s, d), s"$base/src", s"$base/out", s"$base/ckpt")
+    }),
+
     // Token-level (13-gram) decontamination — the whole-doc check's
     // blind-spot closer: a verbatim ≥13-token passage pasted into one
     // long training doc is caught here even when its shingles drown in
@@ -868,6 +878,25 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
 
     // 13-gram hashes via the winnow CTE shape at w=1 (all distinct gram
     // hashes); df-cap over BOTH splits mirrors contaminationNgrams
+    // gate replay: test-split distinct grams as the bench, per-train-doc
+    // hit counts (no df-cap — the gate is the pre-audit superset, as the
+    // module doc states), structural zero rows via left join
+    "stream_contamination_parity" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test, " +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks " +
+        "FROM documents), " +
+        "fps AS (SELECT doc_id, is_test, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(toks) - 12, 0) + 1), " +
+        "i -> substring(md5(array_to_string(toks[i:i+12], ' ')), 1, 8)))) AS fp FROM t), " +
+        "bench AS (SELECT DISTINCT fp FROM fps WHERE is_test), " +
+        "hits AS (SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM fps f JOIN bench USING (fp) WHERE NOT f.is_test GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared, " +
+        "COALESCE(h.n_shared, 0) > 0 AS contaminated " +
+        "FROM t d LEFT JOIN hits h USING (doc_id) WHERE NOT d.is_test " +
+        "ORDER BY doc_id"),
+
     "contamination_ngram" ->
       ("WITH t AS (SELECT doc_id, " +
         "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test, " +

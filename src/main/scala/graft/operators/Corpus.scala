@@ -54,7 +54,7 @@ object Corpus {
   /** The shared ~12.5% holdout predicate: md5 first hex digit ∈ {0,1}.
     * One definition so sampleDocs and trainTestSplit stay coupled —
     * the sample IS the test split. */
-  private[operators] def isHoldout(key: Column): Column =
+  private[graft] def isHoldout(key: Column): Column =
     substring(md5(key.cast("string")), 1, 1).isin("0", "1")
 
   /** Deterministic ~12.5% document sample (the holdout bucket).

@@ -66,6 +66,51 @@ object StreamingContamination {
       .select(col("doc_id"), explode(grams(col("text"), bench.k)).as("fp"))
       .join(broadcast(bench.frame), "fp")
 
+  /** END-TO-END stream-static parity replay (round 12) — the
+    * decontamination gate under the driver's full oracle, the third
+    * streaming parity key (tumbling = built-in aggregation state,
+    * sessionize = flatMapGroupsWithState custom state, THIS =
+    * stream-static broadcast join, which is STATELESS — so unlike the
+    * other two it needs no end-of-stream machinery at all: every
+    * batch's verdicts are final on emission, and any arrival order
+    * lands the same table). The corpus' md5 holdout split plays the
+    * benchmark: test-split grams build the persisted static side, the
+    * TRAIN split replays as a multi-micro-batch file stream through
+    * [[gateBatch]], and the accumulated per-document verdicts must
+    * hash-match the batch SQL.
+    *
+    * Output: (doc_id, n_shared, contaminated) over the train split,
+    * ordered. */
+  def contaminationParityReplay(docs: DataFrame, srcDir: String,
+                                outDir: String, checkpointDir: String,
+                                nFiles: Int = 8, k: Int = 13): DataFrame = {
+    require(nFiles >= 2, s"need >= 2 files for a multi-batch replay: $nFiles")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.streaming.Trigger
+    val tagged = docs.withColumn("is_test",
+      graft.operators.Corpus.isHoldout(col("doc_id")))
+    val bench = benchmarkGrams(tagged.filter(col("is_test")), k)
+    try {
+      tagged.filter(!col("is_test")).select(col("doc_id"), col("text"))
+        .repartitionByRange(nFiles, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          gateBatch(b, bench)
+            .select(col("doc_id"), col("n_shared"), col("contaminated"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      q.awaitTermination()
+    } finally bench.close()
+    spark.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   /** The deployable per-micro-batch gate, for `foreachBatch`: annotate
     * every document of one batch with its benchmark-gram hit count and
     * a contaminated flag (drop or quarantine flagged docs, pass the

@@ -62,4 +62,39 @@ class StreamingContaminationSpec extends SparkSpec {
       assert(byId(2L)._1 >= 1L && byId(2L)._2)
     } finally staticGrams.close()
   }
+
+  test("contamination parity replay: the streamed gate verdicts equal " +
+    "the one-batch gate over the whole train split, multi-batch") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_contam_parity_").toString
+    try {
+      val docs = Tables.documents(spark, sf0)
+      val out = StreamingContamination.contaminationParityReplay(
+        docs, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      // batch equivalent: the SAME gate over the whole train split in
+      // one call (stateless → batching must not matter)
+      val tagged = docs.withColumn("is_test",
+        graft.operators.Corpus.isHoldout(col("doc_id")))
+      val bench = StreamingContamination.benchmarkGrams(
+        tagged.filter(col("is_test")))
+      try {
+        val batch = StreamingContamination.gateBatch(
+            tagged.filter(!col("is_test")).select(col("doc_id"), col("text")),
+            bench)
+          .select(col("doc_id"), col("n_shared"), col("contaminated"))
+          .orderBy(col("doc_id"))
+        assert(out.collect().toSeq.map(_.toSeq) ==
+          batch.collect().toSeq.map(_.toSeq),
+          "streamed gate diverged from the one-batch gate")
+      } finally bench.close()
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 4, s"expected a multi-batch replay, got $commits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
