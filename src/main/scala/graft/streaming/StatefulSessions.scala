@@ -158,6 +158,13 @@ object StatefulSessions {
       .sortBy(_.getName).zipWithIndex
       .foreach { case (f, i) => f.setLastModified(now + i * 2000L) }
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    if (maxTs == null) {
+      // empty corpus: no flush instant exists and no session can ever
+      // close — the replay's answer is structurally the empty session
+      // table (the engine-wide empty-input doctrine: empty, not a throw)
+      return Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .toDF("user_id", "sess_start", "sess_end", "n_events")
+    }
     // flush instants: beyond every real timeout (max ts + gap) plus the
     // watermark delay (wm bounds how far the watermark trails max event
     // time) plus a day of margin
