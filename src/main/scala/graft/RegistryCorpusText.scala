@@ -218,7 +218,8 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "stream_contamination_parity" -> ((s, d) => {
       val base = scratchDir("graft_stream_contam_")
       graft.streaming.StreamingContamination.contaminationParityReplay(
-        Tables.documents(s, d), s"$base/src", s"$base/out", s"$base/ckpt")
+        Tables.documents(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 5)
     }),
 
     // Token-level (13-gram) decontamination — the whole-doc check's

@@ -189,17 +189,27 @@ object StatefulSessions {
       .schema(spark.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .as[Ev]
-    val q = sessionize(stream, gapMs, watermark)
-      .filter(col("user_id") >= 0L)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
-          b.write.mode("append").parquet(outDir); ()
-      }.start()
-    q.awaitTermination()
+    // state-store partition count is pinned by the FIRST batch's
+    // shuffle-partitions conf for the checkpoint's lifetime; each batch
+    // then pays per-partition state commit + task overhead × batches.
+    // The per-user session state is |users|-scale — 8 partitions hold
+    // it comfortably here; a deployment sizes this to its cluster, and
+    // the conf is restored right after the bounded replay
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessionize(stream, gapMs, watermark)
+        .filter(col("user_id") >= 0L)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+        }.start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(outDir)
       .select(col("user_id"), col("sess_start"), col("sess_end"),
         col("n_events"))

@@ -86,14 +86,21 @@ object StreamingWindows {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val q = tumbling(stream, width, watermark).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(outDir); ()
-      }.start()
-    q.awaitTermination()
+    // (windows × types) state is tiny — 8 state partitions hold it;
+    // conf restored after the bounded replay (see the sessionize
+    // replay's note on state-partition pinning)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = tumbling(stream, width, watermark).writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outDir); ()
+        }.start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(outDir)
       .orderBy(col("win_start"), col("event_type"))
   }
