@@ -171,7 +171,8 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // table goes per-(query, probed list). In-session training (the
     // sim_ann_ivf form); the full composite replays in the oracle.
     "sim_ann_ivfpq_residual" -> ((s, d) =>
-      Similarity.ivfpqResidualTopK(Tables.embeddings(s, d))),
+      Similarity.ivfpqResidualTopK(Tables.embeddings(s, d),
+        scope = harnessScope)),
 
     "embed_meanpool" -> ((s, d) => {
       val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))

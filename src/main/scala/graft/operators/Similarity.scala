@@ -882,7 +882,8 @@ object Similarity {
                         trainIters: Int = 2, m: Int = PqSubspaces,
                         kCodes: Int = IvfPqCodes, pqIters: Int = PqIters,
                         trainCap: Int = PqTrainCap,
-                        rerank: Int = IvfPqRerank): DataFrame = {
+                        rerank: Int = IvfPqRerank,
+                        scope: CacheScope = CacheScope.off): DataFrame = {
     require(rerank >= k, s"rerank shortlist ($rerank) must cover k ($k)")
     require(m >= 1 && dim % m == 0, s"dim ($dim) must divide into $m subspaces")
     val subLen = dim / m
@@ -891,12 +892,16 @@ object Similarity {
     val centroids = trainCentroids(prepared(emb), nlist, trainIters)
     val cent = broadcast(centroids
       .select(col("cent_id"), col("c_qv"), col("c_nrm")))
-    val assigned = p.join(cent)
+    // the assignment (nlist dot products per vector) feeds THREE
+    // branches (residual build for PQ training, residual build for the
+    // encode, candidate lists) — scope-persist so the nlist-wide pass
+    // runs once; CacheScope.off recomputes per branch, leak-free
+    val assigned = scope.track(p.join(cent)
       .withColumn("c_cos",
         cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
-        .as("cent_id"))
+        .as("cent_id")))
     val probes = p.filter(col("vec_id") < nQueries).join(cent)
       .withColumn("c_cos",
         cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
