@@ -133,6 +133,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "embed_pq" -> ((s, d) =>
       Similarity.pqCodebookStats(Tables.embeddings(s, d))),
 
+    // Top-2 PCA (round 12): deflated integer power iteration — the
+    // 2-D projection basis + both Rayleigh quotients + the exact
+    // orthogonality audit; full unrolled oracle.
+    "embed_pca2" -> ((s, d) =>
+      Similarity.pca2(Tables.embeddings(s, d))),
+
     // Nearest-centroid confusion matrix (round 11): per-label exact-
     // integer centroids, integer-L2 argmin classify, <= labels^2 counts
     // — the embedding-quality eval a training run tracks.
@@ -446,6 +452,8 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // seeds, both Lloyd's rounds and the final encode all unroll from
     // the SAME Similarity.Pq* constants the operator reads.
     "embed_pq" -> sqlPqStats,
+
+    "embed_pca2" -> sqlPca2(),
 
     // nearest-centroid replay: label-supervised exact-integer means
     // (list_reduce sums, one division, half-away round), BIGINT L2

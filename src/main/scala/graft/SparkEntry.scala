@@ -807,6 +807,63 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       "ORDER BY q_id, rank"
   }
 
+  /** PCA-2 oracle (round 12): the embed_top_eigvec chain twice — the
+    * second chain deflates each rescaled multiply against x₁ in the
+    * integer-exact multiplied-through form (z·s₁ = y·s₁ − ⟨y,x₁⟩·x₁)
+    * before its own rescale; `//` ≡ `div` on the nonnegative
+    * abs/greatest domain. Generated per iteration count so the engine
+    * parameter and the oracle can never unroll differently. */
+  private[graft] def sqlPca2(dim: Int = 64, iters: Int = 2,
+                             rescale: Long = 256L): String = {
+    def scaleCte(src: String, out: String): String =
+      s"m_$out AS (SELECT MAX(ABS(y)) AS m FROM $src), " +
+        s"$out AS (SELECT $src.i AS j, CAST((CASE WHEN y < 0 THEN -1 " +
+        "WHEN y > 0 THEN 1 ELSE 0 END) * " +
+        s"((ABS(y) * $rescale) // GREATEST(m, 1)) AS BIGINT) AS x " +
+        s"FROM $src, m_$out)"
+    def mulCte(x: String, out: String): String =
+      s"$out AS (SELECT g.i, CAST(SUM(g.gij * $x.x) AS BIGINT) AS y " +
+        s"FROM g JOIN $x ON g.j = $x.j GROUP BY 1)"
+    val chain1 = (1 to iters).map { t =>
+      val prev = if (t == 1) "a0" else s"xa${t - 1}"
+      mulCte(prev, s"ya$t") + ", " + scaleCte(s"ya$t", s"xa$t")
+    }.mkString(", ")
+    val x1 = s"xa$iters"
+    val chain2 = (1 to iters).map { t =>
+      val prev = if (t == 1) "b0" else s"xb${t - 1}"
+      mulCte(prev, s"yb$t") + ", " + scaleCte(s"yb$t", s"pb$t") + ", " +
+        s"d$t AS (SELECT CAST(SUM(pb$t.x * $x1.x) AS BIGINT) AS d " +
+        s"FROM pb$t JOIN $x1 ON pb$t.j = $x1.j), " +
+        s"zb$t AS (SELECT pb$t.j AS i, " +
+        s"CAST(pb$t.x * s1.s1 - d$t.d * $x1.x AS BIGINT) AS y " +
+        s"FROM pb$t JOIN $x1 ON pb$t.j = $x1.j, s1, d$t), " +
+        scaleCte(s"zb$t", s"xb$t")
+    }.mkString(", ")
+    val x2 = s"xb$iters"
+    def rqCte(x: String, out: String): String =
+      s"num_$out AS (SELECT CAST(SUM(CAST(g.gij AS HUGEINT) * xi.x * xj.x) AS DOUBLE) AS num " +
+        s"FROM g JOIN $x xi ON g.i = xi.j JOIN $x xj ON g.j = xj.j), " +
+        s"den_$out AS (SELECT CAST(SUM(x * x) AS BIGINT) AS den FROM $x), " +
+        s"$out AS (SELECT num / CAST(den AS DOUBLE) AS v FROM num_$out, den_$out)"
+    s"WITH $sqlQuantCte, " +
+      s"nf AS (SELECT vec_id, v FROM n WHERE len(v) = $dim), " +
+      "g AS (SELECT ii.i AS i, jj.j AS j, " +
+      "CAST(SUM(v[ii.i + 1] * v[jj.j + 1]) AS BIGINT) AS gij " +
+      s"FROM nf, range(0, $dim) ii(i), range(0, $dim) jj(j) GROUP BY 1, 2), " +
+      s"a0 AS (SELECT unnest(range(0, $dim)) AS j, CAST(1 AS BIGINT) AS x), " +
+      s"b0 AS (SELECT unnest(range(0, $dim)) AS j, CAST(1 AS BIGINT) AS x), " +
+      chain1 + ", " +
+      s"s1 AS (SELECT CAST(SUM(x * x) AS BIGINT) AS s1 FROM $x1), " +
+      chain2 + ", " +
+      rqCte(x1, "rq1") + ", " + rqCte(x2, "rq2") + ", " +
+      s"ortho AS (SELECT CAST(SUM($x1.x * $x2.x) AS BIGINT) AS ortho_dot " +
+      s"FROM $x1 JOIN $x2 ON $x1.j = $x2.j) " +
+      s"SELECT CAST($x1.j AS BIGINT) AS comp, $x1.x AS x1_val, " +
+      s"$x2.x AS x2_val, rq1.v AS rayleigh1, rq2.v AS rayleigh2, " +
+      s"ortho.ortho_dot FROM $x1 JOIN $x2 ON $x1.j = $x2.j, rq1, rq2, ortho " +
+      "ORDER BY comp"
+  }
+
   /** One unrolled Lloyd's round for the PQ oracle, keyed by (sub_id,
     * code): assign the train sub-vectors to their min-(dist, code)
     * codebook entry — squared L2 in pure BIGINT (‖a‖²+‖c‖²−2⟨a,c⟩, the

@@ -1076,6 +1076,92 @@ object Similarity {
   private val DecimalType38 =
     org.apache.spark.sql.types.DecimalType(38, 0)
 
+  /** TOP-2 PCA (round 12) — [[topEigvec]] extended to the second
+    * principal direction by DEFLATED power iteration, the step that
+    * turns the spectral diagnostic into an actual 2-D projection basis
+    * (embedding-drift plots, anisotropy checks — "is the second
+    * direction real or is the spectrum collapsed" is read off the two
+    * Rayleigh quotients). Deflation is the classic projection removal
+    * z = y − (⟨y, x₁⟩/⟨x₁, x₁⟩)·x₁ made INTEGER-EXACT by multiplying
+    * through: z·s₁ = y·s₁ − ⟨y, x₁⟩·x₁ with s₁ = ⟨x₁, x₁⟩ — a scalar
+    * multiple has the same direction, and the iteration rescales every
+    * round anyway. To keep every product in int64, the Gram multiply's
+    * output is rescaled to the ±`rescale` grid BEFORE deflating
+    * (y ≤ 256, s₁ ≤ dim·256², ⟨y,x₁⟩ ≤ dim·256² — all far under 2^63);
+    * like the unigram trainer's integer cost surrogate, the fixed-grid
+    * iteration IS the algorithm, bit-replayable on any engine. The
+    * `ortho_dot` audit column is the exact integer ⟨x₁, x₂⟩ — small
+    * relative to s₁ when deflation worked.
+    *
+    * Scale shape: identical to [[topEigvec]] — one corpus-sized Gram
+    * pass (dim²-bounded output, checkpointed: multiple x-chains read
+    * it), then everything operates on 64-row broadcast frames.
+    *
+    * Output: (comp, x1_val, x2_val, rayleigh1, rayleigh2, ortho_dot),
+    * ordered by comp. */
+  def pca2(emb: DataFrame, dim: Int = 64, iters: Int = 2,
+           rescale: Long = 256L): DataFrame = {
+    require(iters >= 1 && rescale >= 2, "need iters >= 1, rescale >= 2")
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    // dim²-bounded (4096 rows at dim 64) — checkpoint so the two
+    // iteration chains + two Rayleigh quotients + the audit all read
+    // the one corpus pass
+    val gram = p.select(posexplode(col("qv")).as(Seq("i", "vi")),
+        col("qv"))
+      .select(col("i"), col("vi"), posexplode(col("qv")).as(Seq("j", "vj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("vi") * col("vj")).as("gij"))
+      .localCheckpoint()
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    def ones: DataFrame =
+      broadcast((0 until dim).map(j => (j, 1L)).toDF("j", "x"))
+    def mul(x: DataFrame): DataFrame =
+      gram.join(broadcast(x), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("gij") * col("x")).as("y"))
+    def scaleTo(y: DataFrame): DataFrame = {
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      y.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          (signum(col("y")).cast("long") *
+            expr(s"(abs(y) * $rescale) div greatest(m, 1)")).as("x"))
+    }
+    var x1 = ones
+    for (_ <- 1 to iters) x1 = broadcast(scaleTo(mul(x1)))
+    val s1 = x1.agg(sum(col("x") * col("x")).as("s1"))
+    val x1r = x1.select(col("j"), col("x").as("x1"))
+    var x2 = ones
+    for (_ <- 1 to iters) {
+      val yp = scaleTo(mul(x2)).join(broadcast(x1r), Seq("j"))
+      val d = yp.agg(sum(col("x") * col("x1")).as("d"))
+      val z = yp.crossJoin(broadcast(s1)).crossJoin(broadcast(d))
+        .select(col("j").as("i"),
+          (col("x") * col("s1") - col("d") * col("x1")).as("y"))
+      x2 = broadcast(scaleTo(z))
+    }
+    def rq(x: DataFrame, out: String): DataFrame = {
+      val xi = x.select(col("j").as("i"), col("x").as("xi"))
+      val xj = x.select(col("j"), col("x").as("xj"))
+      val num = gram.join(broadcast(xi), Seq("i"))
+        .join(broadcast(xj), Seq("j"))
+        .agg(sum(col("gij").cast(DecimalType38) * col("xi") * col("xj"))
+          .cast("double").as("num"))
+      val den = x.agg(sum(col("x") * col("x")).as("den"))
+      num.crossJoin(broadcast(den))
+        .select((col("num") / col("den").cast("double")).as(out))
+    }
+    val ortho = x1r.join(x2.select(col("j"), col("x").as("x2")), Seq("j"))
+      .agg(sum(col("x1") * col("x2")).as("ortho_dot"))
+    x1.select(col("j").cast("long").as("comp"), col("x").as("x1_val"))
+      .join(x2.select(col("j").cast("long").as("comp"),
+        col("x").as("x2_val")), Seq("comp"))
+      .crossJoin(broadcast(rq(x1, "rayleigh1")))
+      .crossJoin(broadcast(rq(x2, "rayleigh2")))
+      .crossJoin(broadcast(ortho))
+      .orderBy(col("comp"))
+  }
+
   /** Embedding NORM histogram (round 11) — the embedding-collapse
     * diagnostic: a healthy encoder spreads vector norms; a collapsed
     * one piles them into one bucket, and a normalization bug shows as

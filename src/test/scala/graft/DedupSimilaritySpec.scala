@@ -1120,6 +1120,41 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.ivfpqResidualTopK(emb.repartition(7)).collect().toSeq)
   }
 
+  test("pca2: axis-aligned fixture recovers both principal directions, " +
+    "rayleigh ordering and orthogonality hold, repartition-invariant") {
+    import spark.implicits._
+    // dominant mass on axis 0, second mass on axis 1, nothing else —
+    // the two principal directions ARE the axes
+    val fix = ((1L to 5L).map(i => (i, Array(1.0f, 0f, 0f, 0f), 0)) ++
+      (6L to 9L).map(i => (i, Array(0f, 0.8f, 0f, 0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.pca2(fix, dim = 4).collect()
+    val byComp = r.map(x => x.getLong(0) -> x).toMap
+    // x1 DOMINATED by comp 0, x2 by comp 1 — two fixed-grid iterations
+    // keep a (λ2/λ1)² leak on the off axis by construction, so assert
+    // dominance, not exact axes; comps 2/3 carry no mass at all
+    assert(math.abs(byComp(0L).getLong(1)) == 256L &&
+      math.abs(byComp(1L).getLong(1)) < 128L, s"x1 not axis-0-dominant: ${r.toSeq}")
+    assert(math.abs(byComp(1L).getLong(2)) == 256L &&
+      math.abs(byComp(0L).getLong(2)) < 128L, s"x2 not axis-1-dominant: ${r.toSeq}")
+    assert(byComp(2L).getLong(1) == 0L && byComp(3L).getLong(2) == 0L)
+    val (rq1, rq2) = (r.head.getDouble(3), r.head.getDouble(4))
+    assert(rq1 > rq2 && rq2 > 0, s"rayleigh ordering broke: $rq1 vs $rq2")
+    val s1f = r.map(x => x.getLong(1) * x.getLong(1)).sum
+    assert(math.abs(r.head.getLong(5)) <= s1f / 4,
+      s"deflation left ortho ${r.head.getLong(5)} vs s1 $s1f")
+    // corpus: deterministic under partitioning, deflation keeps the
+    // integer ortho audit small relative to s1 = sum(x1^2)
+    val full = Similarity.pca2(emb).collect()
+    assert(full.toSeq ==
+      Similarity.pca2(emb.repartition(7)).collect().toSeq)
+    val s1 = full.map(x => x.getLong(1) * x.getLong(1)).sum
+    assert(math.abs(full.head.getLong(5)) <= s1 / 4,
+      s"ortho ${full.head.getLong(5)} not small vs s1 $s1 — deflation broken?")
+    assert(full.head.getDouble(3) >= full.head.getDouble(4),
+      "corpus rayleigh1 must dominate rayleigh2")
+  }
+
   test("centroidClassify: separable fixture classifies perfectly, " +
     "corpus matrix covers every vector and is repartition-invariant") {
     import spark.implicits._
