@@ -344,6 +344,11 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // dedup_fuzzy. Round 7: the md5-affine portable hashing makes the
     // whole banded candidate set DuckDB-replayable — full oracle
     // (sqlMinHash), plus the recall/precision specs.
+    // Band-occupancy audit (round 12): the skew report that sizes the
+    // hot-bucket caps — per band, occupancy + implied candidate mass.
+    "dedup_lsh_band_stats" -> ((s, d) =>
+      Dedup.lshBandStats(Tables.documents(s, d))),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minHashNearDupPairs(Tables.documents(s, d), threshold = 0.5,
         scope = harnessScope)),

@@ -298,6 +298,17 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
   protected def similarityOracles: Map[String, String] = Map(
     "dedup_minhash" -> sqlMinHash,
 
+    // band-occupancy replay: shared MinHash front + two aggregations
+    "dedup_lsh_band_stats" ->
+      (s"WITH $sqlMinHashBandsCtes, " +
+        "bs AS (SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS sz " +
+        "FROM bands GROUP BY 1, 2) " +
+        "SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_buckets, " +
+        "CAST(SUM(sz) AS BIGINT) AS n_docs, CAST(MAX(sz) AS BIGINT) AS max_bucket, " +
+        "CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets, " +
+        "CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs " +
+        "FROM bs GROUP BY band ORDER BY band"),
+
     "dedup_simhash" -> sqlSimHash,
 
     "dedup_embedding_lsh" ->

@@ -513,7 +513,9 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
     * the SAME generator the native expression uses), 16×4 banding on
     * decimal-string keys, then the identical exact-Jaccard verify as
     * dedup_fuzzy. Base hash = integer of md5's first 7 hex chars. */
-  private[graft] def sqlMinHash: String = {
+  /** Shared MinHash front (shingles → 64 affine mins → 16×4 band keys)
+    * — consumed by the pair oracle and the band-occupancy audit. */
+  private[graft] def sqlMinHashBandsCtes: String = {
     val p = graft.functions.PortableHash.MinHashP
     val params = graft.functions.PortableHash.minHashParams(64)
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
@@ -524,10 +526,14 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
         .mkString(" || '_' || ")
       s"SELECT doc_id, $bd AS band, $key AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    s"WITH $sqlShingleCte, " +
+    s"$sqlShingleCte, " +
       "hh AS (SELECT doc_id, CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS h FROM sh), " +
       s"sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id), " +
-      s"bands AS ($bands), " +
+      s"bands AS ($bands)"
+  }
+
+  private[graft] def sqlMinHash: String = {
+    s"WITH $sqlMinHashBandsCtes, " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
       "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), " +

@@ -483,6 +483,32 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
   }
 
+  /** BAND-OCCUPANCY AUDIT (round 12) — the diagnostic that SIZES every
+    * LSH deployment (the graph family's degree histogram, applied to
+    * banding): per band, bucket count, doc membership, the hottest
+    * bucket, multi-doc bucket count and the implied candidate-pair
+    * mass Σ sz·(sz−1)/2 — exactly the quantity
+    * [[boundedCandidatePairs]]' hot-bucket guard bounds, so this is
+    * the report an operator reads to SET that cap (and `maxBucket` /
+    * `bitsPerTable` growth, as the 100 TB notes on the pair finders
+    * prescribe). Two map-side-combinable aggregations past the banding
+    * — nothing new shuffles at corpus width; all exact integers.
+    *
+    * Output: (band, n_buckets, n_docs, max_bucket, n_multi_buckets,
+    * candidate_pairs), ordered by band. */
+  def lshBandStats(docs: DataFrame, n: Int = 3, numHashes: Int = 64,
+                   rowsPerBand: Int = 4): DataFrame =
+    lshBands(minHashSignatures(docs, n, numHashes), numHashes, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_multi_buckets"),
+        sum(expr("sz * (sz - 1) div 2")).as("candidate_pairs"))
+      .orderBy(col("band"))
+
   /** Candidate pairs: docs sharing any (band, bucket); then verified with
     * exact Jaccard and thresholded — the scale path for dedup_fuzzy.
     * Output schema matches [[ngramJaccardPairs]]. MinHash buckets are

@@ -1120,6 +1120,27 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.ivfpqResidualTopK(emb.repartition(7)).collect().toSeq)
   }
 
+  test("lshBandStats: identical docs congregate in every band, the " +
+    "candidate mass counts their pairs, a no-shingle doc drops out") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val fix = Seq((1L, shared), (2L, shared), (3L, shared),
+      (4L, "completely different words with other content here now"),
+      (5L, "xy")).toDF("doc_id", "text") // doc 5: too short for 3-grams
+    val r = Dedup.lshBandStats(fix).collect()
+    assert(r.length == 16, "one row per band")
+    r.foreach { row =>
+      // docs 1-3 share identical signatures -> one bucket of >= 3 in
+      // EVERY band; doc 5 has no shingles and must not appear anywhere
+      assert(row.getLong(2) == 4L, s"band ${row.getLong(0)}: n_docs")
+      assert(row.getLong(3) == 3L, s"band ${row.getLong(0)}: max_bucket")
+      assert(row.getLong(4) == 1L && row.getLong(5) == 3L,
+        s"band ${row.getLong(0)}: multi/candidates")
+    }
+    assert(Dedup.lshBandStats(fix.repartition(5)).collect().toSeq ==
+      r.toSeq)
+  }
+
   test("pca2: axis-aligned fixture recovers both principal directions, " +
     "rayleigh ordering and orthogonality hold, repartition-invariant") {
     import spark.implicits._
