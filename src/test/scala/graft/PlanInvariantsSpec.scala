@@ -491,6 +491,21 @@ class PlanInvariantsSpec extends SparkSpec {
       !tri.contains("Scan parquet") && !tri.contains("SortMergeJoin") &&
       !tri.contains("BroadcastHashJoin"),
       s"graph_triangles must be a single pass over the triangle memo:\n$tri")
+    // the round-12 memo consumers: graph_cluster_coeff reads BOTH the
+    // triangle memo and the edge memo (degree build) — the wedge join
+    // must never replay in ITS plan (no self-join of the oriented edge
+    // frame; the only joins are the node-keyed count/degree joins)
+    val cc = planOf("graph_cluster_coeff")
+    assert("Scan ExistingRDD".r.findAllIn(cc).size >= 2 &&
+      !cc.contains("Scan parquet"),
+      s"graph_cluster_coeff re-derives a shared relation:\n$cc")
+    // order_affinity_rules: support comes from the edge memo; the count
+    // attachments broadcast (node-bounded dimension frames) — a
+    // sort-merge join here means a dimension frame shuffled the edges
+    val ar = planOf("order_affinity_rules")
+    assert("Scan ExistingRDD".r.findAllIn(ar).size >= 1 &&
+      !ar.contains("SortMergeJoin"),
+      s"order_affinity_rules shuffled a dimension join:\n$ar")
     // graph_pagerank additionally MATERIALIZES the node universe
     // (scope.materialize — a persist is not enough: the iterative fold
     // self-references the rank frame, DeduplicateRelations re-aliases
