@@ -1106,15 +1106,33 @@ object Similarity {
       .filter(col("qv").isNotNull && size(col("qv")) === dim)
     // dim²-bounded (4096 rows at dim 64) — checkpoint so the two
     // iteration chains + two Rayleigh quotients + the audit all read
-    // the one corpus pass
-    val gram = p.select(posexplode(col("qv")).as(Seq("i", "vi")),
+    // the one corpus pass. localCheckpoint ALONE is not enough here:
+    // LogicalRDD.fromDataset rewrites stats from the origin plan (the
+    // double-posexplode join estimates enormous), and the ~10 chained
+    // gram references multiply sizeInBytes into a BigInteger whose
+    // planning cost dwarfed the query (measured: 122 s at sf0.1, all
+    // driver-side) — the Tokenizer.matFrame trap; re-wrapping the
+    // checkpointed RDD resets each frame to a constant default size
+    val gramCp = p.select(posexplode(col("qv")).as(Seq("i", "vi")),
         col("qv"))
       .select(col("i"), col("vi"), posexplode(col("qv")).as(Seq("j", "vj")))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("vi") * col("vj")).as("gij"))
       .localCheckpoint()
+    val gram = gramCp.sparkSession.createDataFrame(gramCp.rdd, gramCp.schema)
     val spark0 = emb.sparkSession
     import spark0.implicits._
+    // EVERY iteration frame is materialized (re-wrapped localCheckpoint,
+    // the Tokenizer.matFrame discipline): the deflation references each
+    // yp twice and each scaleTo references its input twice, so a lazy
+    // chain MULTIPLIES the plan tree ~4-6× per iteration — the
+    // optimizer's per-rule TreeNode walks then went quadratic in a
+    // tens-of-thousands-node tree (measured: 122 s of pure DRIVER time
+    // at sf0.1 for ~1 s of executor work). Each cut is a 64-row job.
+    def matF(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint()
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
     def ones: DataFrame =
       broadcast((0 until dim).map(j => (j, 1L)).toDF("j", "x"))
     def mul(x: DataFrame): DataFrame =
@@ -1128,17 +1146,17 @@ object Similarity {
             expr(s"(abs(y) * $rescale) div greatest(m, 1)")).as("x"))
     }
     var x1 = ones
-    for (_ <- 1 to iters) x1 = broadcast(scaleTo(mul(x1)))
+    for (_ <- 1 to iters) x1 = broadcast(matF(scaleTo(mul(x1))))
     val s1 = x1.agg(sum(col("x") * col("x")).as("s1"))
     val x1r = x1.select(col("j"), col("x").as("x1"))
     var x2 = ones
     for (_ <- 1 to iters) {
-      val yp = scaleTo(mul(x2)).join(broadcast(x1r), Seq("j"))
+      val yp = matF(scaleTo(mul(x2)).join(broadcast(x1r), Seq("j")))
       val d = yp.agg(sum(col("x") * col("x1")).as("d"))
       val z = yp.crossJoin(broadcast(s1)).crossJoin(broadcast(d))
         .select(col("j").as("i"),
           (col("x") * col("s1") - col("d") * col("x1")).as("y"))
-      x2 = broadcast(scaleTo(z))
+      x2 = broadcast(matF(scaleTo(z)))
     }
     def rq(x: DataFrame, out: String): DataFrame = {
       val xi = x.select(col("j").as("i"), col("x").as("xi"))
