@@ -61,6 +61,18 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Relational.dedupExact(Tables.documents(s, d), Seq("text"), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // STREAMING-dedup parity (round 12): the documents corpus replayed
+    // as a multi-micro-batch file stream through the dropDuplicates
+    // state store, under a distinct-key oracle whose every column is a
+    // function of the key (see exactParityReplay's scaladoc for the
+    // arrival-order reasoning).
+    "stream_dedup_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_dedup_")
+      graft.streaming.StreamingDedup.exactParityReplay(
+        Tables.documents(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 5)
+    }),
+
     // CDC upsert: apply a deterministic change set (price bumps on keys
     // divisible by 7, inserts re-keyed +1e9 for keys divisible by 97)
     // onto the orders snapshot, latest-wins. The insert offset must
@@ -631,6 +643,10 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       ("SELECT doc_id, text, lang, source, n_chars FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
         "WHERE rn = 1 ORDER BY doc_id"),
+
+    "stream_dedup_parity" ->
+      ("SELECT DISTINCT md5(text) AS h, CAST(length(text) AS INT) AS n_chars " +
+        "FROM documents ORDER BY h"),
 
     "cdc_upsert" ->
       ("WITH changes AS (" +

@@ -42,6 +42,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "sim_ann_lsh_multiprobe" -> ((s, d) =>
       Similarity.annTopKMultiProbe(Tables.embeddings(s, d))),
 
+    // ANN recall audit (round 12): hits of each LSH leg against the
+    // brute-force ground truth as integer ppm — the "measure, don't
+    // guess" number as a first-class query (see recallReport scaladoc).
+    "sim_recall_report" -> ((s, d) =>
+      Similarity.recallReport(Tables.embeddings(s, d))),
+
     // k-NN SELF-join (round 8): every vector's k nearest via the LSH
     // bucket scheme — bounded-bucket candidates, both orientations,
     // shuffle equi-joins, partial top-k. Nothing broadcasts the corpus.
@@ -535,6 +541,52 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
         s"SELECT q_id, rank, n_id, cos FROM r WHERE rank <= ${Similarity.LshK} ORDER BY q_id, rank"),
+
+    // recall audit replay: brute-force ground truth + BOTH LSH candidate
+    // chains from the shared CTE fragments, intersected and reduced to
+    // integer ppm — every constant (flip list, query gate, k) derives
+    // from the same Similarity.Lsh* values the operator uses
+    "sim_recall_report" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "bfs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        s"${sqlCosFrag("q", "c")} AS cos " +
+        s"FROM n q JOIN n c ON q.vec_id < ${Similarity.LshNQueries} AND c.vec_id != q.vec_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        s"FROM bfs WHERE NOT isnan(cos)) WHERE rank <= ${Similarity.LshK}), " +
+        // single-probe leg
+        s"qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bk WHERE vec_id < ${Similarity.LshNQueries}), " +
+        "c1 AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id FROM qb " +
+        "JOIN bk b ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND b.vec_id != qb.q_id), " +
+        s"s1 AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM c1 c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "l1 AS (SELECT q_id, n_id FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        s"FROM s1 WHERE NOT isnan(cos)) WHERE rank <= ${Similarity.LshK}), " +
+        // multi-probe leg (Hamming-1 flips from the shared constants)
+        "fl AS (SELECT * FROM (VALUES " +
+        (0L +: (0 until Similarity.LshBitsPerTable).map(1L << _))
+          .map(v => s"($v)").mkString(", ") +
+        ") AS f(flip)), " +
+        "qp AS (SELECT DISTINCT vec_id AS q_id, tbl, " +
+        s"xor(bucket, flip) AS bucket FROM bk, fl WHERE vec_id < ${Similarity.LshNQueries}), " +
+        "c2 AS (SELECT DISTINCT qp.q_id, b.vec_id AS n_id FROM qp " +
+        "JOIN bk b ON qp.tbl = b.tbl AND qp.bucket = b.bucket AND b.vec_id != qp.q_id), " +
+        s"s2 AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM c2 c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "l2 AS (SELECT q_id, n_id FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        s"FROM s2 WHERE NOT isnan(cos)) WHERE rank <= ${Similarity.LshK}), " +
+        "g AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_possible FROM bf), " +
+        "h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM l1 JOIN bf USING (q_id, n_id)), " +
+        "h2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM l2 JOIN bf USING (q_id, n_id)) " +
+        "SELECT method, n_queries, n_possible, n_hits, " +
+        "CAST(n_hits * 1000000 // n_possible AS BIGINT) AS recall_ppm FROM (" +
+        "SELECT 'lsh' AS method, g.n_queries, g.n_possible, h1.n_hits FROM g, h1 " +
+        "UNION ALL " +
+        "SELECT 'lsh_multiprobe' AS method, g.n_queries, g.n_possible, h2.n_hits FROM g, h2) " +
+        "ORDER BY method"),
 
     "sim_ann_lsh" ->
       (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +

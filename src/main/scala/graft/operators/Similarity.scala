@@ -492,6 +492,51 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** ANN RECALL AUDIT (round 12) — "measure, don't guess" made a
+    * first-class query: every approximate route in this file trades
+    * recall for candidate volume, and the number that justifies the
+    * trade should come from the engine itself, not a hand calculation.
+    * Per method, one row: hits = |ANN top-k ∩ exact top-k| summed over
+    * the query set, n_possible = |exact top-k| (handles short groups
+    * where the corpus has fewer than k defined neighbors), and
+    * recall_ppm = hits·10⁶ div n_possible — integer arithmetic end to
+    * end, so the report itself replays exactly in the oracle.
+    *
+    * Methods audited: single-probe LSH and Hamming-1 multi-probe LSH
+    * (the multiprobe candidate set is a superset, so its row must
+    * dominate — spec-asserted). The IVF/PQ/HNSW routes publish recall
+    * through their own specs; this KEY audits the LSH family because
+    * both legs share one bucket pass and stay self-contained (no
+    * trained state).
+    *
+    * Scale shape: the ground truth is the [[bruteForceTopK]] partial
+    * top-k (bounded nQueries·k rows — broadcastable by construction),
+    * each ANN leg is its production plan, and the intersection is a
+    * broadcast left-semi join onto bounded frames. The only
+    * corpus-sized work is the legs themselves. */
+  def recallReport(emb: DataFrame, nQueries: Int = LshNQueries,
+                   k: Int = LshK): DataFrame = {
+    val ground = bruteForceTopK(emb, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+      // three consumers below — materialize the bounded frame once
+      .localCheckpoint(true)
+    val g = ground.agg(count_distinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_possible"))
+    def leg(name: String, ann: DataFrame): DataFrame =
+      ann.select(col("q_id"), col("n_id"))
+        .join(broadcast(ground), Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_hits"))
+    leg("lsh", annTopK(emb, nQueries, k))
+      .unionByName(leg("lsh_multiprobe", annTopKMultiProbe(emb, nQueries, k)))
+      .crossJoin(broadcast(g))
+      .select(col("method"), col("n_queries"), col("n_possible"),
+        col("n_hits"),
+        expr("CAST((n_hits * 1000000) div n_possible AS BIGINT)")
+          .as("recall_ppm"))
+      .orderBy(col("method"))
+  }
+
   /** Mean-pool document-embedding aggregation (round 9) — the missing
     * half of the chunk-embedding workflow: a corpus pipeline that dedups
     * and packs sequences also needs ONE vector per document, and the

@@ -46,6 +46,74 @@ object StreamingDedup {
   def distinctKeys(batch: DataFrame, keys: Seq[String]): Dataset[org.apache.spark.sql.Row] =
     batch.select(keys.map(col): _*).distinct()
 
+  /** END-TO-END streaming-dedup parity replay (round 12) — the
+    * `dropDuplicates` state store under the driver's full oracle,
+    * sibling of `StreamingWindows.tumblingParityReplay`: the batch
+    * `documents` relation is laid out as `nFiles` doc_id-ranged parquet
+    * files (exact duplicates are scattered across the id space, so
+    * duplicate groups SPAN micro-batches — the cross-batch suppression
+    * is what this replay exists to prove), replayed with
+    * `maxFilesPerTrigger=1` through [[exactGlobal]] on the content hash,
+    * each append batch committed to its own `batch_id=N` directory, and
+    * the union of the commits returned for the hash-compare against
+    * `SELECT DISTINCT md5(text), length(text)`.
+    *
+    * The emitted columns are FUNCTIONS OF THE KEY (`h = md5(text)`,
+    * `n_chars = length(text)`): which physical duplicate wins is
+    * arrival-order-defined in a stream, so an arrival-order-independent
+    * oracle row forces every non-key column to be derived from the key
+    * text itself — the same reasoning behind [[distinctKeys]]. A key
+    * seen in batch 1 and again in batch 4 MUST appear in exactly one
+    * commit; a state miss double-writes it and the hash compare fails.
+    *
+    * Scale shape: the split is one bounded repartitionByRange write; the
+    * replay is the production [[exactGlobal]] contract whose state is
+    * the distinct-key set (bounded-key streams only — the watermarked
+    * variant is the unbounded-corpus path, exercised by the specs). */
+  def exactParityReplay(docs: DataFrame, srcDir: String, outDir: String,
+                        checkpointDir: String, nFiles: Int = 5): DataFrame = {
+    require(nFiles >= 2, s"need >= 2 files for a multi-batch replay: $nFiles")
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"), col("text"))
+      .repartitionByRange(nFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val keyed = stream.select(
+      md5(col("text")).as("h"),
+      length(col("text")).as("n_chars"))
+    // distinct-hash state is small — 8 state partitions hold it; conf
+    // restored after the bounded replay (state-partition pinning note
+    // in the sessionize replay)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = exactGlobal(keyed, Seq("h")).writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
+        }.start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // empty corpus: zero batches commit, outDir never materializes —
+    // the structural answer is the empty distinct-key table
+    val out = new java.io.File(outDir)
+    if (!out.exists())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.IntegerType))))
+    else
+      spark.read.parquet(outDir).select(col("h"), col("n_chars"))
+        .orderBy(col("h"))
+  }
+
   /** Streaming NEAR-dup dedup — the MinHash-LSH front gate for a
     * continuously-ingesting corpus, composing the batch pieces
     * (Dedup.minHashSignatures / lshBands) with micro-batch state:

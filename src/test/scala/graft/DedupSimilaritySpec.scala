@@ -458,6 +458,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("recall report: ppm matches the set intersection, multiprobe " +
+    "dominates single-probe, bounds hold") {
+    val rows = Similarity.recallReport(emb).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("lsh", "lsh_multiprobe"))
+    val bf = Similarity.bruteForceTopK(emb).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (nq, nPoss, nHits, ppm) = rows("lsh")
+    assert(nq == bf.map(_._1).size.toLong)
+    assert(nPoss == bf.size.toLong)
+    assert(nHits == (bf & ann).size.toLong,
+      s"report hits $nHits vs recomputed ${(bf & ann).size}")
+    assert(ppm == nHits * 1000000L / nPoss)
+    // multiprobe candidates ⊇ single-probe ⇒ hits can only grow
+    val (_, _, mpHits, mpPpm) = rows("lsh_multiprobe")
+    assert(mpHits >= nHits && mpPpm >= ppm)
+    assert(ppm >= 0L && mpPpm <= 1000000L)
+  }
+
   test("LSH embedding near-dup pairs ⊆ brute force, recall ≥ 0.5") {
     val exact = Similarity.nearDupPairs(emb).select("vec_a", "vec_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

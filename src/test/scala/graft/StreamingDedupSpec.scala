@@ -216,4 +216,55 @@ class StreamingDedupSpec extends SparkSpec {
       assert(spark.table("global_dedup_stream").count() == 1L)
     } finally q.stop()
   }
+
+  test("exact parity replay: dropDuplicates over a multi-batch file " +
+    "replay equals batch DISTINCT, with duplicates spanning batches") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dedup_parity_").toString
+    try {
+      // duplicate texts at OPPOSITE ends of the doc_id range: the
+      // range split puts them in different micro-batches, so only
+      // cross-batch dropDuplicates state can suppress the second copy
+      val docs = Seq(
+        (1L, "alpha beta"), (2L, "gamma"), (3L, "delta"),
+        (4L, "epsilon"), (5L, "zeta"), (6L, "alpha beta"),
+        (7L, "gamma"), (8L, "eta")).toDF("doc_id", "text")
+      val out = StreamingDedup.exactParityReplay(
+        docs, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      val batch = docs.selectExpr("md5(text) AS h",
+          "length(text) AS n_chars")
+        .distinct().orderBy(col("h"))
+      assert(out.collect().toSeq.map(_.toSeq) ==
+        batch.collect().toSeq.map(_.toSeq),
+        "streaming dedup replay diverged from batch DISTINCT")
+      assert(out.count() == 6L)
+      // the cross-batch claim must be structural: one committed offset
+      // per micro-batch
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 3, s"expected a multi-batch replay, got $commits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
+  test("exact parity replay: empty corpus yields the empty key table") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dedup_parity_empty_").toString
+    try {
+      val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val out = StreamingDedup.exactParityReplay(
+        docs, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 2)
+      assert(out.collect().isEmpty)
+      assert(out.columns.toSeq == Seq("h", "n_chars"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
