@@ -107,6 +107,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "q6_forecast_revenue" -> ((s, d) =>
       Relational.q6ForecastRevenue(Tables.lineitem(s, d))),
 
+    // TPC-H Q18 shape (round 12): HAVING-filtered lineitem aggregate
+    // broadcast into orders/customer — aggregate-before-join ordering
+    // (see topBuyers' scaladoc).
+    "q18_top_buyers" -> ((s, d) =>
+      Relational.topBuyers(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))),
+
     "q5_local_supplier" -> ((s, d) =>
       Relational.localSupplierVolume(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
@@ -329,6 +336,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // Truncated integer EWMA over the per-type daily cents series
+    // (round 12, see dailyEwma's scaladoc).
+    "window_ewma" -> ((s, d) =>
+      Relational.dailyEwma(Tables.events(s, d))),
+
     // Per-user event adjacency: previous/next event and the exact-µs gap
     // since the last one — the session-gap primitive as a window query.
     "window_lag_lead" -> ((s, d) => {
@@ -395,6 +407,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // aggregates, <= nb rows out at any scale.
     "stats_histogram" -> ((s, d) =>
       Relational.priceHistogram(Tables.orders(s, d))),
+
+    // Benford first-digit audit (round 12): integer-exact digit
+    // extraction + shared-constant expected table, ppm deviations,
+    // structural 9-digit rows (see benfordAudit's scaladoc).
+    "stats_benford" -> ((s, d) =>
+      Relational.benfordAudit(Tables.orders(s, d))),
 
     // RFM segmentation (round 11): recency/frequency/monetary quintile
     // bands from the md5-reservoir edges — no global NTILE sort; the
@@ -684,6 +702,14 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
         "AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+
+    "q18_top_buyers" ->
+      ("WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) " +
+        "SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty " +
+        "FROM big JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
 
     "q10_returned_items" ->
       ("SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
@@ -1334,6 +1360,24 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(d.degree * (d.degree - 1) AS DOUBLE) AS coeff " +
         "FROM deg d LEFT JOIN tc ON d.node = tc.part WHERE d.degree >= 2 " +
         "ORDER BY coeff DESC, part LIMIT 20"),
+
+    // Benford replay: exact cents → leading decimal-string digit, the
+    // expected table generated from the SAME Relational.BenfordPpm
+    // constant the engine joins — structural 9-row left join, ppm floors
+    "stats_benford" ->
+      ("WITH k AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders), " +
+        "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM k WHERE digit >= 1 GROUP BY 1), " +
+        "t AS (SELECT SUM(n) AS total FROM c), " +
+        "e AS (SELECT * FROM (VALUES " +
+        graft.operators.Relational.BenfordPpm
+          .map { case (d, p) => s"($d, CAST($p AS BIGINT))" }.mkString(", ") +
+        ") AS e(digit, benford_ppm)) " +
+        "SELECT e.digit, COALESCE(c.n, 0) AS n, " +
+        "CAST(COALESCE(c.n, 0) * 1000000 // t.total AS BIGINT) AS pct_ppm, " +
+        "e.benford_ppm, " +
+        "CAST(COALESCE(c.n, 0) * 1000000 // t.total - e.benford_ppm AS BIGINT) AS dev_ppm " +
+        "FROM e CROSS JOIN t LEFT JOIN c ON e.digit = c.digit ORDER BY e.digit"),
 
     // histogram replay: DECIMAL(12,2)*100 cents are exact integers, so
     // bucket = (c-lo)*16 // (range+1) is pure integer arithmetic

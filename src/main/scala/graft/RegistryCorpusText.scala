@@ -1074,6 +1074,22 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) " +
         "ORDER BY user_id, ts, event_id"),
 
+    // EWMA replay: the 10-term power-of-two lag chain is GENERATED here
+    // (weights 2^(9-i) — same loop bounds as the engine's terms), so
+    // the truncation depth can never desync between the two sides
+    "window_ewma" ->
+      ("WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS v_cents " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(day AS TIMESTAMP) AS day, v_cents, " +
+        ("v_cents * 512" +:
+          (1 until 10).map(i =>
+            s"COALESCE(lag(v_cents, $i) OVER w, 0) * ${1L << (9 - i)}"))
+          .mkString(" + ") +
+        " AS ewma_x1024 " +
+        "FROM dly WINDOW w AS (PARTITION BY event_type ORDER BY day) " +
+        "ORDER BY event_type, day"),
+
     // SUM(BIGINT) widens to HUGEINT in DuckDB — cast back
     "corpus_stats" ->
       ("WITH d AS (SELECT source, COUNT(*) AS n_docs, " +

@@ -1695,4 +1695,110 @@ object Relational {
         sum(col("m")).as("monetary_cents"))
       .orderBy(col("r_band"), col("f_band"), col("m_band"))
   }
+
+  /** Benford first-digit expected shares in ppm — round(log10(1+1/d)·10⁶)
+    * per digit 1..9, computed ONCE here and inlined by both the engine
+    * and the oracle generator (shared-constants doctrine: the law's
+    * table cannot desync between the two sides). */
+  val BenfordPpm: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** BENFORD'S-LAW AUDIT (round 12) — the classic fabricated-data /
+    * ingestion-bug detector as a first-class data-quality query: the
+    * first significant digit of a naturally-growing monetary amount
+    * follows log10(1+1/d), and a pipeline that silently truncates,
+    * pads, or synthesizes values shows up as a per-digit deviation long
+    * before any schema check fires. Digit extraction is pure integer
+    * arithmetic (exact DECIMAL cents → leading char of the decimal
+    * string — no log10/pow on doubles anywhere near the data), the
+    * expected table is the shared [[BenfordPpm]] constant, and the
+    * output is integer ppm end to end, so the audit replays exactly.
+    *
+    * All 9 digit rows are STRUCTURAL (left join from the literal digit
+    * frame): a digit with zero mass is a signal, not a missing row.
+    *
+    * Scale shape: one map-side-combinable 9-group aggregation over the
+    * scan; everything after is 9-row broadcast frames. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    // leading decimal digit via the string form: exact at any scale
+    // (a double log10 would mis-digit near powers of ten)
+    val counts = orders
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val expected = BenfordPpm.toDF("digit", "benford_ppm")
+    broadcast(expected)
+      .join(counts, Seq("digit"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr("CAST((coalesce(n, 0L) * 1000000) div total AS BIGINT)")
+          .as("pct_ppm"),
+        col("benford_ppm"),
+        expr("CAST((coalesce(n, 0L) * 1000000) div total - benford_ppm " +
+          "AS BIGINT)").as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** TRUNCATED EWMA (round 12) — the smoothing every monitoring /
+    * forecasting readout runs, made EXACT: α=1/2 over the per-type
+    * daily cents series, truncated at `depth` terms and scaled by
+    * 2^`depth` so every weight is an integer power of two:
+    * ewma_x1024 = Σ_{i<depth} v_{t−i}·2^(depth−1−i) in pure BIGINT
+    * (the estimate is the value div 2^depth; the dropped tail is
+    * < 2^-depth of old mass — the integer-surrogate doctrine applied
+    * to smoothing). The window frame is the bounded lag chain,
+    * partitioned by type — no unpartitioned window anywhere; the
+    * oracle generates the SAME chain from the same loop bounds.
+    *
+    * `day` surfaces as midnight TIMESTAMP (DATE reads back as a python
+    * date object on the oracle side but datetime64 from Spark's
+    * parquet — the dtypes must agree). */
+  def dailyEwma(events: DataFrame, depth: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 62, s"depth out of range: $depth")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(12,2)")).as("v_dec"))
+      .select(col("event_type"), col("day"),
+        (col("v_dec") * 100).cast("long").as("v_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val terms = (col("v_cents") * lit(1L << (depth - 1))) +:
+      (1 until depth).map(i =>
+        coalesce(lag(col("v_cents"), i).over(w), lit(0L)) *
+          lit(1L << (depth - 1 - i)))
+    daily.select(col("event_type"),
+        col("day").cast("timestamp").as("day"), col("v_cents"),
+        terms.reduce(_ + _).as("ewma_x1024"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** LARGE-ORDER BUYERS (round 12) — the TPC-H Q18 shape: orders whose
+    * total line quantity clears a threshold, joined back to their
+    * customer. The aggregation-then-join order is the scale story: the
+    * HAVING filter reduces the lineitem aggregate to a tiny survivor
+    * set BEFORE any join, so both joins broadcast the survivors against
+    * the big tables instead of shuffling orders×lineitem. Quantities
+    * are integral by data contract — cast to BIGINT so the sum and the
+    * threshold compare exactly on any engine. Top-100 by
+    * (o_totalprice DESC, o_orderkey) as TakeOrdered, never a global
+    * sort. */
+  def topBuyers(lineitem: DataFrame, orders: DataFrame,
+                customer: DataFrame, minQty: Long = 300L,
+                topN: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(topN)
+  }
 }

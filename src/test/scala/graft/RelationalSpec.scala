@@ -1313,4 +1313,60 @@ class RelationalSpec extends SparkSpec {
     assert(grid.toSeq == Relational.rfmSegments(ord.repartition(7))
       .collect().toSeq)
   }
+
+  test("benford: structural 9 rows, exact digit counts, ppm reconciles") {
+    // first digits: 1 (×2: 12.34, 199.99), 5 (×1), 9 (×1) — digit read
+    // from the CENTS string, which equals the amount's first significant
+    // digit for any amount >= 0.01
+    val ord = Seq(12.34, 199.99, 55.00, 0.09)
+      .map(v => (1L, BigDecimal(v))).toDF("o_orderkey", "o_totalprice")
+    val out = Relational.benfordAudit(ord).collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 9))
+    val byDigit = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit(1) == 2L && byDigit(5) == 1L && byDigit(9) == 1L)
+    assert(out.map(_.getLong(1)).sum == 4L)
+    // pct_ppm floors: Σ within 9 of exactly 1e6; dev = pct − benford
+    val pctSum = out.map(_.getLong(2)).sum
+    assert(pctSum > 1000000L - 9 && pctSum <= 1000000L, s"pct sum $pctSum")
+    assert(out.forall(r => r.getLong(4) == r.getLong(2) - r.getLong(3)))
+    // the expected table itself sums to ~1e6 (law sanity)
+    val bSum = Relational.BenfordPpm.map(_._2).sum
+    assert(math.abs(bSum - 1000000L) <= 2, s"benford table sum $bSum")
+    // zero-mass digits keep their structural row with n = 0
+    assert(byDigit(7) == 0L)
+  }
+
+  test("topBuyers: HAVING filter exact, ordering and limit hold") {
+    val li = Tables.lineitem(spark, sf0)
+    val out = Relational.topBuyers(li, Tables.orders(spark, sf0),
+      Tables.customer(spark, sf0), minQty = 100L, topN = 10)
+    val rows = out.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    assert(rows.forall(_.getLong(5) > 100L))
+    // recompute one survivor's quantity sum directly
+    val k = rows.head.getLong(2)
+    val direct = li.filter(col("l_orderkey") === k)
+      .agg(sum(col("l_quantity").cast("long"))).collect().head.getLong(0)
+    assert(direct == rows.head.getLong(5))
+    val prices = rows.map(_.getDouble(4))
+    assert(prices.sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1)), "not sorted by price desc")
+  }
+
+  test("dailyEwma: hand-computed power-of-two chain, head zero-padded") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ev = Seq((ts(1), "a", 1.00), (ts(2), "a", 2.00), (ts(3), "a", 4.00),
+        (ts(1), "b", 7.00))
+      .toDF("ts", "event_type", "value")
+    val out = Relational.dailyEwma(ev, depth = 3).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+        r.getLong(2), r.getLong(3)))
+    // depth 3, scale 4: day1 = 4·100; day2 = 4·200 + 2·100;
+    // day3 = 4·400 + 2·200 + 1·100
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 100L, 400L),
+      ("a", "2024-01-02", 200L, 1000L),
+      ("a", "2024-01-03", 400L, 2100L),
+      ("b", "2024-01-01", 700L, 2800L)))
+  }
 }
