@@ -414,6 +414,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_benford" -> ((s, d) =>
       Relational.benfordAudit(Tables.orders(s, d))),
 
+    // Bot/automation detector (round 12): per-user gap-regularity flag
+    // in exact µs — metronome gaps mean a script (see botDetect's
+    // scaladoc).
+    "event_bot_detect" -> ((s, d) =>
+      Sessionize.botDetect(Tables.events(s, d))),
+
     // RFM segmentation (round 11): recency/frequency/monetary quintile
     // bands from the md5-reservoir edges — no global NTILE sort; the
     // <=125-row segment grid with exact integer-cents monetary sums.
@@ -1113,6 +1119,25 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM d JOIN m2 USING (event_type) " +
         "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
         "ORDER BY d.event_type"),
+
+    // bot-detector replay: exact µs gaps, floor-div mean, ppm spread;
+    // thresholds interpolated from the SAME Sessionize.Bot* constants
+    "event_bot_detect" ->
+      ("WITH o AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "g AS (SELECT user_id, us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS gap_us FROM o), " +
+        "a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+        "MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us, " +
+        "CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us " +
+        "FROM g WHERE gap_us IS NOT NULL GROUP BY 1) " +
+        "SELECT user_id, n_gaps, min_gap_us, max_gap_us, " +
+        "CAST(sum_gap_us // n_gaps AS BIGINT) AS mean_gap_us, " +
+        "CAST((max_gap_us - min_gap_us) * 1000000 // " +
+        "greatest(sum_gap_us // n_gaps, 1) AS BIGINT) AS spread_ppm, " +
+        "(max_gap_us - min_gap_us) * 1000000 // " +
+        s"greatest(sum_gap_us // n_gaps, 1) < ${Sessionize.BotSpreadPpm} AS is_bot " +
+        s"FROM a WHERE n_gaps >= ${Sessionize.BotMinGaps} ORDER BY user_id"),
 
     "event_anomaly" ->
       ("WITH s AS (SELECT event_type, COUNT(*) AS n, " +

@@ -272,6 +272,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "text_corpus_freq" -> ((s, d) =>
       Corpus.corpusFreqScore(Tables.documents(s, d))),
 
+    // Zipf rank-frequency fit (round 12): integer bitlen-log regression
+    // over the vocabulary head — template-spam detector (see zipfFit's
+    // scaladoc).
+    "text_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d))),
+
     // Deterministic per-epoch training order (round 8): per-shard md5
     // ranking + broadcast shard offsets — epoch shuffling without a
     // global sort.
@@ -747,6 +753,23 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "FROM (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)) " +
         "SELECT r.doc_id, r.source, CAST(o.off + r.rk - 1 AS BIGINT) AS train_pos " +
         "FROM r JOIN o USING (source) ORDER BY train_pos"),
+
+    // Zipf replay: bitlen logs via length(bin(x)) — identical integer
+    // arithmetic; ROW_NUMBER rank over the same (f DESC, w) head;
+    // sign-split milli division (floor-vs-truncate differs on engines)
+    "text_zipf_fit" ->
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM t WHERE w != '' GROUP BY 1), " +
+        s"top AS (SELECT w, f FROM wf ORDER BY f DESC, w LIMIT ${TextAnalysis.ZipfTopN}), " +
+        "p AS (SELECT CAST(length(bin(ROW_NUMBER() OVER (ORDER BY f DESC, w))) AS BIGINT) AS x, " +
+        "CAST(length(bin(f)) AS BIGINT) AS y FROM top), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy, " +
+        "CAST(SUM(x*x) AS BIGINT) AS sxx FROM p) " +
+        "SELECT n, sx, sy, sxy, sxx, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den, " +
+        "CAST(sign(n*sxy - sx*sy) AS BIGINT) * " +
+        "((abs(n*sxy - sx*sy) * 1000) // (n*sxx - sx*sx)) AS slope_milli " +
+        "FROM s"),
 
     "text_corpus_freq" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

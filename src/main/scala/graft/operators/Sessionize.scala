@@ -300,4 +300,53 @@ object Sessionize {
     credited.unionByName(noTouch)
       .orderBy(col("conv_event_id"), col("touch_rank"))
   }
+
+  /** Bot-detector defaults, shared with the oracle generator (the
+    * shared-constants doctrine: threshold changes move both sides). */
+  val BotMinGaps: Long = 5L
+  val BotSpreadPpm: Long = 100000L
+
+  /** BOT / AUTOMATION DETECTOR (round 12) — the abuse-filtering face of
+    * the gap analysis: humans are bursty, schedulers are metronomes, so
+    * a user whose inter-event gaps barely vary is overwhelmingly a
+    * script — the standard pre-training curation gate against
+    * machine-generated event spam, and the exact dual of
+    * `event_anomaly`'s outlier hunt (there: big deviations; here:
+    * suspiciously small ones).
+    *
+    * Per user with at least `minGaps` inter-event gaps (exact µs via
+    * one (ts, event_id)-ordered window pass — the session-gap
+    * primitive): min/max/mean gap and spread_ppm =
+    * (max−min)·10⁶ div max(mean,1); flagged when spread_ppm <
+    * `spreadPpm` — i.e. the entire gap RANGE is under that fraction of
+    * the mean, a bound no organic usage pattern meets over that many
+    * events. All arithmetic is BIGINT (mean is a floor div — exact,
+    * order-independent), so the flag replays anywhere.
+    *
+    * Scale shape: one per-user window pass + one map-side-combinable
+    * aggregation; output is user-bounded. */
+  def botDetect(events: DataFrame, minGaps: Long = BotMinGaps,
+                spreadPpm: Long = BotSpreadPpm): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .filter(col("n_gaps") >= minGaps)
+      .select(col("user_id"), col("n_gaps"), col("min_gap_us"),
+        col("max_gap_us"),
+        expr("sum_gap_us div n_gaps").as("mean_gap_us"),
+        expr("CAST((max_gap_us - min_gap_us) * 1000000 div " +
+          "greatest(sum_gap_us div n_gaps, 1L) AS BIGINT)").as("spread_ppm"))
+      .withColumn("is_bot", col("spread_ppm") < lit(spreadPpm))
+      .orderBy(col("user_id"))
+  }
 }

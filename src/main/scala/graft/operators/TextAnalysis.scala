@@ -421,4 +421,48 @@ object TextAnalysis {
         expr("(1000 * lm_cost) div n_bigrams").as("cost_milli"))
       .orderBy(col("doc_id"))
   }
+
+  /** ZIPF RANK-FREQUENCY FIT (round 12) — the corpus-health audit that
+    * catches template spam and synthetic filler: natural language obeys
+    * f(r) ∝ r^-α with α ≈ 1, so the least-squares slope of
+    * (log rank, log frequency) over the head of the vocabulary should
+    * sit near −1 — boilerplate-heavy or machine-generated corpora bend
+    * it visibly. Logs use the INTEGER bit-length surrogate
+    * (length(bin(x)) — the same `text_lm_perplexity` doctrine), so the
+    * regression sums, the normal-equation numerator/denominator, and
+    * the milli-slope are all exact BIGINTs that replay on any engine;
+    * negative division is sign-split (sign·(abs·1000 div den)) because
+    * floor-vs-truncate semantics differ across engines.
+    *
+    * Scale shape: one word-count aggregation (map-side combinable),
+    * TakeOrdered to the `topN` head; the ranking window runs over the
+    * LIMITed frame — driver-bounded by construction, never over the
+    * open vocabulary. Output is ONE row.
+    *
+    * den = 0 (all head ranks in one bit-length bucket — a degenerate
+    * micro-corpus) yields NULL slope on both engines. */
+  /** Vocabulary-head size for [[zipfFit]], shared with the oracle
+    * generator (shared-constants doctrine). */
+  val ZipfTopN: Int = 1000
+
+  def zipfFit(docs: DataFrame, topN: Int = ZipfTopN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val top = wf.orderBy(col("f").desc, col("w")).limit(topN)
+    val rw = Window.orderBy(col("f").desc, col("w"))
+    top.withColumn("r", row_number().over(rw))
+      .select(length(bin(col("r"))).cast("long").as("x"),
+        length(bin(col("f"))).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("den"))
+      .withColumn("slope_milli",
+        expr("CAST(sign(num) AS BIGINT) * ((abs(num) * 1000) div den)"))
+  }
 }

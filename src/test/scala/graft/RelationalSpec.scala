@@ -1353,6 +1353,47 @@ class RelationalSpec extends SparkSpec {
       p.length < 2 || p(0) >= p(1)), "not sorted by price desc")
   }
 
+  test("botDetect: metronome flagged, bursty human not, thin users gated") {
+    import graft.operators.Sessionize
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, u: Long, offMs: Long) =
+      (id, new java.sql.Timestamp(t0 + offMs), u)
+    // user 1: exactly 10s gaps ×6 → spread 0 → bot
+    // user 2: gaps 1s..600s ×6 → spread huge → human
+    // user 3: only 3 gaps → below minGaps, no row
+    val rows =
+      (0 to 6).map(i => ev(100 + i, 1L, i * 10000L)) ++
+        Seq(0L, 1000L, 3000L, 30000L, 90000L, 390000L, 990000L)
+          .zipWithIndex.map { case (o, i) => ev(200 + i, 2L, o) } ++
+        (0 to 3).map(i => ev(300 + i, 3L, i * 5000L))
+    val events = rows.toDF("event_id", "ts", "user_id")
+    val out = Sessionize.botDetect(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val bot = out(1L)
+    assert(bot.getLong(1) == 6L && bot.getLong(5) == 0L &&
+      bot.getBoolean(6), s"bot row $bot")
+    val human = out(2L)
+    assert(!human.getBoolean(6) && human.getLong(5) > 1000000L,
+      s"human row $human")
+    // mean is the exact floor div of the µs sum
+    assert(human.getLong(4) == 990000000L / 6L)
+  }
+
+  test("zipfFit: hand-computed bitlen regression on a known head") {
+    // counts 8/4/2/1 → ranks 1..4: x = bitlen(rank) = 1,2,2,3;
+    // y = bitlen(f) = 4,3,2,1 → n=4 sx=8 sy=10 sxy=17 sxx=18,
+    // num = 4·17−80 = −12, den = 4·18−64 = 8, slope = −1500 milli
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L && r.getLong(2) == 10L)
+    assert(r.getLong(3) == 17L && r.getLong(4) == 18L)
+    assert(r.getLong(5) == -12L && r.getLong(6) == 8L)
+    assert(r.getLong(7) == -1500L, s"slope ${r.getLong(7)}")
+  }
+
   test("dailyEwma: hand-computed power-of-two chain, head zero-padded") {
     val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
     val ev = Seq((ts(1), "a", 1.00), (ts(2), "a", 2.00), (ts(3), "a", 4.00),
