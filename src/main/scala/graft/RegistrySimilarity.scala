@@ -277,6 +277,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.imageEntropy(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Blur/sharpness audit (round 12): integer Laplacian energy over
+    // real-decoded interior pixels (see imageSharpness' scaladoc).
+    "multimodal_blur" -> ((s, d) =>
+      Multimodal.imageSharpness(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Lossy-codec leg under the hash oracle (round 9): real ImageIO JPEG
     // encode + decode, reduced to oracle-replayable exacts (dims, pixel
     // count, byte count) plus an integer error-band verdict the oracle
@@ -790,6 +796,26 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(COUNT(*) AS BIGINT) AS n_grays, CAST(MAX(c) AS BIGINT) AS max_count, " +
         "CAST(SUM(c * (length(bin(n // c)) - 1)) AS BIGINT) AS ent_surrogate " +
         "FROM hc GROUP BY doc_id, n ORDER BY doc_id"),
+
+    // Laplacian replay over the analytic pixel formula: every neighbor
+    // value is computed inline from g(j) = (doc_id·31 + j·7) % 256 —
+    // no join, pure integer convolution; the ENGINE still decodes real
+    // bytes, so a codec regression fails the compare
+    "multimodal_blur" -> {
+      def g(j: String) = s"((doc_id*31 + ($j)*7) % 256)"
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "it AS (SELECT doc_id, w, h, unnest(range(0, (w-2)*(h-2))) AS t FROM dims), " +
+        "ix AS (SELECT doc_id, w, h, (1 + t // (w-2)) * w + 1 + t % (w-2) AS i FROM it), " +
+        "l AS (SELECT doc_id, w * h AS n_pixels, (w-2)*(h-2) AS n_interior, " +
+        s"4*${g("i")} - ${g("i-1")} - ${g("i+1")} - ${g("i-w")} - ${g("i+w")} AS lap " +
+        "FROM ix) " +
+        "SELECT doc_id, CAST(n_pixels AS BIGINT) AS n_pixels, " +
+        "CAST(n_interior AS BIGINT) AS n_interior, " +
+        "CAST(SUM(lap*lap) AS BIGINT) AS lap_sq_sum, " +
+        "CAST(1000 * SUM(lap*lap) // greatest(n_interior, 1) AS BIGINT) AS sharp_milli " +
+        "FROM l GROUP BY doc_id, n_pixels, n_interior ORDER BY doc_id")
+    },
 
     // SAD over the analytic frame pixels; integer threshold compare
     "multimodal_scenecut" ->

@@ -269,6 +269,62 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** BLUR / SHARPNESS AUDIT (round 12) — the focus-quality gate an
+    * image-lake curation pass runs before training: the Laplacian
+    * energy Σ(4·g − g_left − g_right − g_up − g_down)² over interior
+    * pixels collapses toward zero on defocused or upscaled images
+    * (the classic variance-of-Laplacian detector, kept in PURE INTEGER
+    * form: the sum of squares is exact, and sharp_milli =
+    * 1000·Σlap² div n_interior replays anywhere — no float variance).
+    * Decode is the REAL ImageIO BMP codec in the shared mapPartitions
+    * harness; the oracle replays the convolution analytically from the
+    * fixture's pixel formula, so a codec mis-decode fails the compare.
+    *
+    * Scale shape: narrow per-row decode + bounded per-image loop; one
+    * output row per image, no shuffle beyond the final orderBy. */
+  def imageSharpness(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pixels", LongType),
+      StructField("n_interior", LongType),
+      StructField("lap_sq_sum", LongType),
+      StructField("sharp_milli", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val g = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { g(y)(x) = (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+          var s = 0L
+          y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val lap = 4L * g(y)(x) - g(y)(x - 1) - g(y)(x + 1) -
+                g(y - 1)(x) - g(y + 1)(x)
+              s += lap * lap
+              x += 1
+            }
+            y += 1
+          }
+          val nInt = math.max((w - 2).toLong, 0L) * math.max((h - 2).toLong, 0L)
+          Row(r.getAs[Long]("doc_id"), w.toLong * h, nInt, s,
+            1000L * s / math.max(nInt, 1L))
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** GIF SCENE-CUT detection (round 11) — the video-curation primitive
     * over the animated-GIF leg: per consecutive frame pair, the sum of
     * absolute pixel differences (SAD — the classic shot-boundary

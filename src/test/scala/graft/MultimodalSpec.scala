@@ -531,4 +531,32 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ingestBmp(docs.repartition(7))).collect()
     assert(reparted.toSeq == out.toSeq)
   }
+
+  test("imageSharpness: flat image scores 0, checkerboard scores the " +
+    "exact Laplacian energy") {
+    import spark.implicits._
+    def bmpOf(px: (Int, Int) => Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos); bos.toByteArray
+    }
+    val flat = bmpOf((_, _) => 128, 6, 5)
+    val checker = bmpOf((x, y) => if ((x + y) % 2 == 0) 0 else 255, 6, 5)
+    val df = Seq((1L, flat), (2L, checker)).toDF("doc_id", "media_bytes")
+    val out = Multimodal.imageSharpness(spark, df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // flat: every Laplacian is 0 — the blur floor
+    assert(out(1L) == ((30L, 12L, 0L, 0L)))
+    // checkerboard: |lap| = 4·255 + 4·255... each neighbor is the
+    // opposite color: lap = 4g − 4·(255−g) = ±4·255 ∓ ... for g=0:
+    // 0 − 4·255 = −1020; for g=255: 4·255 − 0 = 1020 → lap² = 1040400
+    // at every one of the 12 interior pixels
+    assert(out(2L) == ((30L, 12L, 12L * 1040400L,
+      1000L * 12L * 1040400L / 12L)))
+  }
 }
