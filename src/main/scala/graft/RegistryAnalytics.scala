@@ -191,6 +191,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_conversion_lag" -> ((s, d) =>
       Relational.conversionLag(Tables.events(s, d))),
 
+    // Linear trend forecast (round 12): exact re-centered OLS over the
+    // per-type daily series, sign-split rational slope + next-day
+    // forecast (see linearForecast's scaladoc).
+    "event_forecast_linear" -> ((s, d) =>
+      Relational.linearForecast(Tables.events(s, d))),
+
     // Per-group mode (round 11): most frequent quantity per flag,
     // smaller-value tie-break, exact counts.
     "agg_mode" -> ((s, d) =>
@@ -479,6 +485,14 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // structural singletons.
     "graph_components" -> ((s, d) =>
       Graph.components(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
+    // Label-propagation communities (round 12): deterministic
+    // synchronous LPA, fixed supersteps unrolled into the oracle —
+    // density communities next to graph_components' connectivity (see
+    // labelPropagation's scaladoc).
+    "graph_label_prop" -> ((s, d) =>
+      Graph.labelPropagation(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
     // Local clustering coefficient (round 12): neighborhood density per
@@ -1120,6 +1134,29 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
         "ORDER BY d.event_type"),
 
+    // forecast replay: re-centered integer OLS, sign-split divisions
+    "event_forecast_linear" ->
+      ("WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y " +
+        "FROM events GROUP BY 1, 2), " +
+        "d0 AS (SELECT event_type, MIN(day) AS d0 FROM dly GROUP BY 1), " +
+        "p AS (SELECT dly.event_type, CAST(dly.day - d0.d0 AS BIGINT) AS x, y " +
+        "FROM dly JOIN d0 USING (event_type)), " +
+        "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, " +
+        "CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx, " +
+        "MAX(x) AS x_max FROM p GROUP BY 1) " +
+        "SELECT event_type, n_days, n_days*sxy - sx*sy AS num, " +
+        "n_days*sxx - sx*sx AS den, x_max + 1 AS next_x, " +
+        "CAST(sign(n_days*sxy - sx*sy) AS BIGINT) * " +
+        "((abs(n_days*sxy - sx*sy) * 1000) // (n_days*sxx - sx*sx)) AS slope_milli, " +
+        "CAST(sign(sy*(n_days*sxx - sx*sx) - (n_days*sxy - sx*sy)*sx + " +
+        "n_days*(n_days*sxy - sx*sy)*(x_max + 1)) AS BIGINT) * " +
+        "(abs(sy*(n_days*sxx - sx*sx) - (n_days*sxy - sx*sy)*sx + " +
+        "n_days*(n_days*sxy - sx*sy)*(x_max + 1)) // " +
+        "(n_days*(n_days*sxx - sx*sx))) AS forecast_cents " +
+        "FROM s ORDER BY event_type"),
+
     // bot-detector replay: exact µs gaps, floor-div mean, ppm spread;
     // thresholds interpolated from the SAME Sessionize.Bot* constants
     "event_bot_detect" ->
@@ -1318,6 +1355,30 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(15 * 1000000000000) // (100 * n_nodes) + (85 * COALESCE(contrib, 0)) // 100 AS pr " +
         "FROM r1 LEFT JOIN c2 ON r1.part = c2.dst) " +
         "SELECT part, deg, pr FROM r2 ORDER BY pr DESC, part LIMIT 30"),
+
+    // LPA replay: the superstep chain is GENERATED for the same
+    // Graph.LabelPropIters the engine unrolls; arg-max via ROW_NUMBER
+    // with the identical (count DESC, label ASC) tie-break
+    "graph_label_prop" -> {
+      val front =
+        "WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+          "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+          "e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und), " +
+          "l0 AS (SELECT DISTINCT p AS node, p AS lbl FROM it), "
+      val steps = (1 to Graph.LabelPropIters).map { i =>
+        s"n$i AS (SELECT e.dst AS node, l${i - 1}.lbl, COUNT(*) AS c " +
+          s"FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node GROUP BY 1, 2), " +
+          s"p$i AS (SELECT node, lbl FROM (SELECT node, lbl, " +
+          "ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn " +
+          s"FROM n$i) WHERE rn = 1), " +
+          s"l$i AS (SELECT l${i - 1}.node, COALESCE(p$i.lbl, l${i - 1}.lbl) AS lbl " +
+          s"FROM l${i - 1} LEFT JOIN p$i USING (node))"
+      }.mkString(", ")
+      front + steps +
+        s" SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members " +
+        s"FROM l${Graph.LabelPropIters} GROUP BY 1 " +
+        "ORDER BY n_members DESC, community LIMIT 20"
+    },
 
     // triangle replay: oriented a<b<c joins — each triangle counted
     // exactly once, node participation via the 3-way unnest

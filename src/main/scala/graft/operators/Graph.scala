@@ -309,6 +309,51 @@ object Graph {
     *
     * Output: (component_size, n_components, n_nodes), ordered —
     * the [[Dedup.clusterSizeHistogram]] contract over parts. */
+  /** Label-propagation iteration count, shared with the oracle
+    * generator (both sides unroll exactly this many supersteps). */
+  val LabelPropIters: Int = 2
+
+  /** LABEL-PROPAGATION COMMUNITIES (round 12) — the near-linear
+    * community detector (Raghavan et al. 2007, public) in its
+    * DETERMINISTIC synchronous form: every node starts as its own
+    * label; each superstep reassigns it the most frequent label among
+    * its neighbors with the (count DESC, label ASC) tie-break (classic
+    * LPA breaks ties randomly — useless under an exactness oracle);
+    * isolated nodes keep their own label. A FIXED [[LabelPropIters]]
+    * supersteps unroll into the SQL oracle — the same
+    * unroll-into-iterations doctrine as PageRank and trained IVF.
+    * Communities differ from [[components]]: LPA splits a connected
+    * component along density boundaries, components never do.
+    *
+    * Per superstep: one edge×label equi-join + two map-side-combinable
+    * aggregations (label counts per node, then the arg-max) — the
+    * Pregel superstep as relational algebra; nothing beyond the edge
+    * relation ever shuffles. Output: top `k` communities by
+    * (n_members DESC, community) as TakeOrdered. */
+  def labelPropagation(lineitem: DataFrame, iters: Int = LabelPropIters,
+                       k: Int = 20,
+                       edges0: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1 && iters <= 4, s"iters must be 1..4, got $iters")
+    val und = edges0.getOrElse(coOrderEdges(lineitem))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = lineitem.select(col("l_partkey").as("node")).distinct()
+    val l0 = nodes.select(col("node"), col("node").as("lbl"))
+    val fin = (1 to iters).foldLeft(l0) { (l, _) =>
+      val best = edges
+        .join(l.select(col("node").as("src"), col("lbl").as("nlbl")), "src")
+        .groupBy(col("dst"), col("nlbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("nlbl"), struct(col("c"), -col("nlbl"))).as("plbl"))
+      l.join(best.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+    }
+    fin.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(k)
+  }
+
   def components(lineitem: DataFrame,
                  edges0: Option[DataFrame] = None): DataFrame = {
     val e = edges0.getOrElse(coOrderEdges(lineitem))

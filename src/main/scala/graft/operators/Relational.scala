@@ -1777,6 +1777,52 @@ object Relational {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** LINEAR TREND FORECAST (round 12) — the capacity-planning readout
+    * over the per-type daily series: exact OLS of daily cents against
+    * the day index, surfaced as slope_milli plus the next-day forecast.
+    * Everything stays in BIGINT rationals: x is RE-CENTERED to each
+    * type's first day (datediff from the per-type min — without this
+    * the epoch-day cross terms overflow int64 at a few years of data),
+    * the normal-equation num/den are exact sums, and both divisions
+    * are sign-split (floor-vs-truncate differs across engines). The
+    * forecast is the exact rational (sy·den − num·sx + n·num·x*) div
+    * (n·den) at x* = x_max+1. den = 0 (single-day series) yields NULL
+    * slope/forecast on both engines.
+    *
+    * Scale shape: one daily aggregation, one broadcast per-type-min
+    * join, one map-side-combinable per-type reduction; rows out =
+    * event types. */
+  def linearForecast(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(12,2)")).as("v_dec"))
+      .select(col("event_type"), col("day"),
+        (col("v_dec") * 100).cast("long").as("y"))
+    val d0 = daily.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+    daily.join(broadcast(d0), "event_type")
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("x"), col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        max(col("x")).as("x_max"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("den"),
+        (col("x_max") + 1L).as("next_x"),
+        col("sx"), col("sy"))
+      .select(col("event_type"), col("n_days"), col("num"), col("den"),
+        col("next_x"),
+        expr("CAST(sign(num) AS BIGINT) * ((abs(num) * 1000) div den)")
+          .as("slope_milli"),
+        expr("CAST(sign(sy * den - num * sx + n_days * num * next_x) AS BIGINT) * " +
+          "(abs(sy * den - num * sx + n_days * num * next_x) div (n_days * den))")
+          .as("forecast_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** LARGE-ORDER BUYERS (round 12) — the TPC-H Q18 shape: orders whose
     * total line quantity clears a threshold, joined back to their
     * customer. The aggregation-then-join order is the scale story: the

@@ -193,4 +193,21 @@ class GraphSpec extends SparkSpec {
     assert(hist.toSeq ==
       Graph.degreeDistribution(liT.repartition(13)).collect().toSeq)
   }
+
+  test("labelPropagation: hand-simulated 2-superstep communities on " +
+    "two cliques with a bridge") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10; synchronous LPA with
+    // (count DESC, label ASC) tie-break gives after 2 supersteps:
+    // labels 1→1 2→1 3→1 (community 1, n=3); 11→3 12→3 (community 3,
+    // n=2); 10→10 (community 10, n=1) — simulated by hand
+    val fx = li(1L -> Seq(1L, 2L, 3L), 2L -> Seq(10L, 11L, 12L),
+      3L -> Seq(3L, 10L))
+    val out = Graph.labelPropagation(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L), (3L, 2L), (10L, 1L)), out.toSeq)
+    // superstep determinism: repartitioning must not move any label
+    assert(out.toSeq ==
+      Graph.labelPropagation(fx.repartition(13)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
 }

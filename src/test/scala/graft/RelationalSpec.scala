@@ -1380,6 +1380,24 @@ class RelationalSpec extends SparkSpec {
     assert(human.getLong(4) == 990000000L / 6L)
   }
 
+  test("linearForecast: exact OLS on a perfect line, declining series " +
+    "sign-splits correctly") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ev = Seq(
+      (ts(1), "up", 1.00), (ts(2), "up", 2.00), (ts(3), "up", 3.00),
+      (ts(1), "down", 3.00), (ts(2), "down", 2.00), (ts(3), "down", 1.00))
+      .toDF("ts", "event_type", "value")
+    val out = Relational.linearForecast(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val up = out("up")
+    // x=0,1,2, y=100,200,300: num=600 den=6 slope=+100/day → forecast 400
+    assert(up.getLong(2) == 600L && up.getLong(3) == 6L)
+    assert(up.getLong(4) == 3L && up.getLong(5) == 100000L)
+    assert(up.getLong(6) == 400L)
+    val down = out("down")
+    assert(down.getLong(5) == -100000L && down.getLong(6) == 0L)
+  }
+
   test("zipfFit: hand-computed bitlen regression on a known head") {
     // counts 8/4/2/1 → ranks 1..4: x = bitlen(rank) = 1,2,2,3;
     // y = bitlen(f) = 4,3,2,1 → n=4 sx=8 sy=10 sxy=17 sxx=18,
