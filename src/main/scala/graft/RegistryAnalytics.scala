@@ -52,9 +52,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         .orderBy(col("orderkey"), col("linenumber"))),
 
     // B7 join_enrich: orders ⋈ customer ⋈ nation ⋈ region, dims broadcast.
+    // (oracle sqlEnrichOrders below is shared with stream_enrich_parity)
     "join_enrich" -> ((s, d) =>
       Relational.enrichOrders(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))),
+
+    // STREAM-STATIC-join parity (round 12): orders replayed as a
+    // multi-micro-batch file stream through ONE StreamingEnrich.enrich
+    // call per batch against the pre-joined dim snapshot, under
+    // join_enrich's own oracle (see enrichParityReplay's scaladoc).
+    "stream_enrich_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_enrich_")
+      graft.streaming.StreamingEnrich.enrichParityReplay(
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d),
+        Tables.region(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 5)
+    }),
 
     // B1 dedup_exact: deterministic exact dedup of documents on text.
     "dedup_exact" -> ((s, d) =>
@@ -584,6 +597,15 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Sessionize.retention(Tables.events(s, d))),
   )
 
+  /** Enrichment replay shared by `join_enrich` (batch) and
+    * `stream_enrich_parity` (its stream-static replay twin). */
+  private val sqlEnrichOrders: String =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, c_name, c_mktsegment, " +
+      "n_name AS nation, r_name AS region " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey ORDER BY o_orderkey"
+
   protected def analyticsOracles: Map[String, String] = Map(
     "agg_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
@@ -670,12 +692,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "THEN 'with_orders' ELSE 'without_orders' END AS kind " +
         "FROM customer ORDER BY c_custkey"),
 
-    "join_enrich" ->
-      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, c_name, c_mktsegment, " +
-        "n_name AS nation, r_name AS region " +
-        "FROM orders JOIN customer ON o_custkey = c_custkey " +
-        "JOIN nation ON c_nationkey = n_nationkey " +
-        "JOIN region ON n_regionkey = r_regionkey ORDER BY o_orderkey"),
+    "join_enrich" -> sqlEnrichOrders,
+
+    // the stateless stream-static join makes batch-splitting invisible
+    // by construction — the shared oracle IS the parity statement
+    "stream_enrich_parity" -> sqlEnrichOrders,
 
     "dedup_exact" ->
       ("SELECT doc_id, text, lang, source, n_chars FROM " +

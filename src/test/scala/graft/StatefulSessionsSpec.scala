@@ -264,4 +264,30 @@ class StatefulSessionsSpec extends SparkSpec {
         (99L, "ghost", None)), s"got $rows")
     } finally q.stop()
   }
+
+  test("enrich parity replay equals the batch enrichment AND really " +
+    "ran as multiple micro-batches") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_enrich_parity_").toString
+    try {
+      val out = graft.streaming.StreamingEnrich.enrichParityReplay(
+        Tables.orders(spark, sf0), Tables.customer(spark, sf0),
+        Tables.nation(spark, sf0), Tables.region(spark, sf0),
+        s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      val batch = graft.operators.Relational.enrichOrders(
+        Tables.orders(spark, sf0), Tables.customer(spark, sf0),
+        Tables.nation(spark, sf0), Tables.region(spark, sf0))
+      assert(out.collect().toSeq.map(_.toSeq) ==
+        batch.collect().toSeq.map(_.toSeq),
+        "stream-static replay diverged from the batch enrichment")
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 3, s"expected a multi-batch replay, got $commits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
