@@ -57,6 +57,17 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Relational.enrichOrders(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))),
 
+    // STREAM-STREAM-join parity (round 12): click/purchase legs
+    // replayed as two mtime-pinned file streams through the
+    // watermarked interval join — two-sided state under the oracle
+    // (see intervalParityReplay's scaladoc).
+    "stream_join_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_join_")
+      graft.streaming.StreamingJoin.intervalParityReplay(
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 5)
+    }),
+
     // STREAM-STATIC-join parity (round 12): orders replayed as a
     // multi-micro-batch file stream through ONE StreamingEnrich.enrich
     // call per batch against the pre-joined dim snapshot, under
@@ -693,6 +704,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM customer ORDER BY c_custkey"),
 
     "join_enrich" -> sqlEnrichOrders,
+
+    // the stream-stream replay's oracle is the plain inequality join —
+    // inner joins emit every on-time match, so the batch statement IS
+    // the parity claim
+    "stream_join_parity" ->
+      ("SELECT l.user_id, CAST(l.ts AS TIMESTAMP) AS l_ts, " +
+        "l.event_id AS l_event_id, CAST(r.ts AS TIMESTAMP) AS r_ts, " +
+        "r.event_id AS r_event_id " +
+        "FROM events l JOIN events r ON l.user_id = r.user_id " +
+        "AND l.event_type = 'click' AND r.event_type = 'purchase' " +
+        "AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) " +
+        "AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 3600 SECOND " +
+        "ORDER BY l.user_id, l_event_id, r_event_id"),
 
     // the stateless stream-static join makes batch-splitting invisible
     // by construction — the shared oracle IS the parity statement

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StatefulSessions
 import graft.streaming.StatefulSessions.{Ev, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import java.sql.Timestamp
 
 /** Drives the flatMapGroupsWithState sessionizer through a real streaming
@@ -263,6 +264,60 @@ class StatefulSessionsSpec extends SparkSpec {
         (2L, "view", Some("silver")),
         (99L, "ghost", None)), s"got $rows")
     } finally q.stop()
+  }
+
+  test("interval join parity replay: cross-batch two-sided state, " +
+    "equals the batch inequality join") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_join_parity_").toString
+    try {
+      // clicks land in the earliest range files, purchases in the
+      // latest: every match REQUIRES the join state to carry the click
+      // across batches
+      val mk = (id: Long, u: Long, t: String, off: Long) =>
+        (id, new java.sql.Timestamp(
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + off),
+          u, t)
+      val ev = Seq(
+        mk(1L, 1L, "click", 0L), mk(2L, 2L, "click", 60000L),
+        mk(3L, 3L, "view", 120000L), mk(4L, 3L, "view", 1200000L),
+        mk(5L, 1L, "purchase", 1800000L),   // 30 min after click 1
+        mk(6L, 2L, "purchase", 7200000L))   // 2 h after click 2: no match
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val out = graft.streaming.StreamingJoin.intervalParityReplay(
+        ev, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getLong(4)))
+      assert(got.toSeq == Seq((1L, 1L, 5L)),
+        s"expected the single in-window cross-batch match, got ${got.toSeq}")
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 3, s"expected a multi-batch replay, got $commits")
+      // corpus-scale equivalence vs the direct inequality join
+      val events = Tables.events(spark, sf0)
+      val rep = graft.streaming.StreamingJoin.intervalParityReplay(
+        events, s"$base/src2", s"$base/out2", s"$base/ckpt2", nFiles = 4)
+      val l = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("l_ts"),
+          col("event_id").as("l_event_id"))
+      val r = events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), col("ts").as("r_ts"),
+          col("event_id").as("r_event_id"))
+      val batch = l.join(r, col("user_id") === col("u2") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 3600 SECOND"))
+        .select(col("user_id"), col("l_ts"), col("l_event_id"),
+          col("r_ts"), col("r_event_id"))
+        .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+      assert(rep.collect().toSeq.map(_.toSeq) ==
+        batch.collect().toSeq.map(_.toSeq),
+        "stream-stream replay diverged from the batch inequality join")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
   }
 
   test("enrich parity replay equals the batch enrichment AND really " +
