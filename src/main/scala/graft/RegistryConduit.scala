@@ -167,6 +167,17 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "source_jsonl_quarantine" -> ((s, d) =>
       graft.sources.TextSources.jsonlQuarantineRoundTrip(s, Tables.events(s, d))),
 
+    // STREAMING-ingest parity (round 12): the same JSONL wire +
+    // malformed tail replayed as a text file stream through the
+    // streaming parser, landed per batch, summarized with the shared
+    // fidelity reduction (see ingestParityReplay's scaladoc).
+    "stream_ingest_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_ingest_")
+      graft.streaming.StreamingIngest.ingestParityReplay(
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 4)
+    }),
+
     // Fixed-width source (round 11): the third legacy wire format —
     // slice + try_cast, integer-cents money (no float formatting),
     // same quarantine contract.
@@ -349,6 +360,16 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) ORDER BY event_type"),
 
     "source_jsonl_quarantine" ->
+      (s"SELECT event_type, n_rows, value_sum, first_id, last_id FROM (" +
+        s"SELECT ${sqlSentinel("event_type")} AS event_type, COUNT(*) AS n_rows, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +
+        "MIN(event_id) AS first_id, MAX(event_id) AS last_id FROM events GROUP BY 1 " +
+        "UNION ALL SELECT '__quarantined__', 3, CAST(NULL AS DOUBLE), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) ORDER BY event_type"),
+
+    // the streaming parser must reach the same fidelity summary as the
+    // batch json source on the identical wire — shared oracle text
+    "stream_ingest_parity" ->
       (s"SELECT event_type, n_rows, value_sum, first_id, last_id FROM (" +
         s"SELECT ${sqlSentinel("event_type")} AS event_type, COUNT(*) AS n_rows, " +
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +

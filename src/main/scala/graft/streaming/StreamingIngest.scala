@@ -67,4 +67,57 @@ object StreamingIngest {
     * one quarantine marker row. */
   def summarizeBatch(parsed: DataFrame): DataFrame =
     graft.sources.TextSources.summarize(parsed)
+
+  /** END-TO-END streaming-ingest parity replay (round 12) — the
+    * SEVENTH streaming module under the driver's full oracle, closing
+    * the landing-gate loop: the events relation is written to the SAME
+    * JSONL wire as the batch round-trip (`nFiles` part files plus the
+    * shared `TextSources.MalformedJsonl` tail file), replayed as a
+    * text file stream with `maxFilesPerTrigger=1` through
+    * [[parseJsonLines]], each append batch landed to `batch_id=N`, and
+    * the union summarized with the SAME fidelity reduction the batch
+    * key uses — so the key shares `source_jsonl_quarantine`'s oracle
+    * verbatim. Parsing is a pure row-wise projection (stateless), so
+    * batch-splitting is invisible by construction; what this key PINS
+    * is the parser-equivalence claim: the streaming `from_json` lane
+    * verdicts (PERMISSIVE field capture + the NULL-struct fold for
+    * non-object lines) must agree with the batch json source's
+    * `_corrupt` semantics on every wire shape, malformed tail
+    * included — a fold regression fails the hash compare.
+    *
+    * Scale shape: the replay is the production parse projection; the
+    * wire write is one bounded repartition. */
+  def ingestParityReplay(events: DataFrame, srcDir: String,
+                         outDir: String, checkpointDir: String,
+                         nFiles: Int = 4): DataFrame = {
+    require(nFiles >= 2, s"need >= 2 files for a multi-batch replay: $nFiles")
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.Trigger
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .repartition(nFiles)
+      .write.mode("overwrite").format("json").save(srcDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(srcDir, "zz_malformed.json"),
+      (graft.sources.TextSources.MalformedJsonl.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 1).text(srcDir)
+      .select(col("value").as("line"))
+    val parsed = parseJsonLines(lines)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("_corrupt"))
+    val q = parsed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
+      }.start()
+    q.awaitTermination()
+    summarizeBatch(
+      spark.read.parquet(outDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("_corrupt")))
+  }
 }

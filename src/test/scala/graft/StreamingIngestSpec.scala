@@ -60,4 +60,27 @@ class StreamingIngestSpec extends SparkSpec {
     val view = s.filter(_.getString(0) == "view").head
     assert(view.getLong(1) == 1 && view.getDouble(2) == 2.5)
   }
+
+  test("ingest parity replay: streaming parser over the wire equals " +
+    "the batch round-trip summary, multi-batch") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_parity_").toString
+    try {
+      val events = Tables.events(spark, sf0)
+      val out = StreamingIngest.ingestParityReplay(
+        events, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      val batch = TextSources.jsonlQuarantineRoundTrip(spark, events)
+      assert(out.collect().toSeq.map(_.toSeq) ==
+        batch.collect().toSeq.map(_.toSeq),
+        "streaming ingest summary diverged from the batch round-trip")
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 3, s"expected a multi-batch replay, got $commits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
