@@ -267,6 +267,17 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "sketch_theta" -> ((s, d) =>
       Sketches.thetaSketch(Tables.events(s, d))),
 
+    // KMV-state parity (round 12): the flatMapGroupsWithState sketch
+    // replayed over a user_id-ranged file stream, last update per
+    // scope vs the batch bottom-k replay (see kmvParityReplay's
+    // scaladoc) — order-insensitive state pinned to the oracle.
+    "stream_sketch_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_kmv_")
+      graft.streaming.StreamingSketches.kmvParityReplay(
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 5)
+    }),
+
     // Corpus-relative token-frequency score (round 8): the web-pipeline
     // frequency filter — vocab counts + join back, exact integers.
     "text_corpus_freq" -> ((s, d) =>
@@ -874,6 +885,21 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // (every product c·2^48 with c < 2^7 is double-exact; one IEEE
     // division per estimate). Constants mirror Sketches.thetaSketch
     // (k = 64, space = 2^48, types click/purchase).
+    // the batch bottom-k replay (sketch_theta's du/rk/sk front) IS the
+    // final-state contract of the streaming KMV sketch
+    "stream_sketch_parity" ->
+      ("WITH du AS (SELECT DISTINCT event_type, " +
+        "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h " +
+        "FROM events), " +
+        "rk AS (SELECT event_type, h, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM du), " +
+        "sk AS (SELECT event_type, h FROM rk WHERE rn <= 64) " +
+        "SELECT event_type AS scope, CAST(COUNT(*) AS BIGINT) AS n_retained, " +
+        "MAX(h) AS kth_hash, " +
+        "CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE) " +
+        "ELSE CAST(17732923532771328 AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END AS est " +
+        "FROM sk GROUP BY 1 ORDER BY 1"),
+
     "sketch_theta" ->
       ("WITH du AS (SELECT DISTINCT event_type, " +
         "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h " +

@@ -81,4 +81,70 @@ object StreamingSketches {
             estimate(k, merged)))
       }
   }
+
+  /** END-TO-END sketch-state parity replay (round 12) — the EIGHTH
+    * streaming module under the driver's full oracle: events laid out
+    * as `nFiles` user_id-ranged parquet files (members of one type are
+    * scattered across the id space, so every sketch accumulates across
+    * micro-batches), replayed with `maxFilesPerTrigger=1` through
+    * [[kmvPerType]] in UPDATE mode, each batch's re-emitted groups
+    * committed to `batch_id=N`; the final answer takes each scope's row
+    * from its LARGEST batch id — the last state the sketch reached —
+    * and hash-compares it against the batch bottom-k replay (the same
+    * du/rk/sk front as `sketch_theta`'s oracle). The distinct-merge
+    * bottom-k state is ORDER-INSENSITIVE, which is exactly the claim
+    * this key pins: any micro-batch slicing must converge to the batch
+    * sketch bit-for-bit, estimator error included.
+    *
+    * Scale shape: the replay is the production [[kmvPerType]] plan
+    * (bounded per-group state); the split is one bounded
+    * repartitionByRange write. */
+  def kmvParityReplay(events: DataFrame, srcDir: String, outDir: String,
+                      checkpointDir: String, nFiles: Int = 5,
+                      k: Int = 64): DataFrame = {
+    require(nFiles >= 2, s"need >= 2 files for a multi-batch replay: $nFiles")
+    val spark = events.sparkSession
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    events.select(col("event_type"), col("user_id"))
+      .repartitionByRange(nFiles, col("user_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = kmvPerType(stream, k).toDF().writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
+        }.start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val dir = new java.io.File(outDir)
+    if (!dir.exists())
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("scope",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_retained",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("kth_hash",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("est",
+            org.apache.spark.sql.types.DoubleType))))
+    // last state per scope: the row from its largest committed batch
+    spark.read.parquet(outDir)
+      .groupBy(col("scope"))
+      .agg(max_by(
+        struct(col("n_retained"), col("kth_hash"), col("est")),
+        col("batch_id")).as("s"))
+      .select(col("scope"), col("s.n_retained").as("n_retained"),
+        col("s.kth_hash").as("kth_hash"), col("s.est").as("est"))
+      .orderBy(col("scope"))
+  }
 }

@@ -64,4 +64,38 @@ class StreamingSketchesSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(StreamingSketches.hash48("12345") == viaSql)
   }
+
+  test("kmv parity replay: final per-scope state equals the batch " +
+    "bottom-k, multi-batch") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_kmv_parity_").toString
+    try {
+      val events = Tables.events(spark, sf0)
+      val out = StreamingSketches.kmvParityReplay(
+        events, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      // independent driver-side bottom-k replay per type
+      val direct = events.select(col("event_type"), col("user_id"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .distinct
+        .groupBy(_._1)
+        .map { case (t, rows) =>
+          val hs = rows.map(r => StreamingSketches.hash48(r._2.toString))
+            .distinct.sorted.take(64).toList
+          (t, hs.size.toLong, hs.last, StreamingSketches.estimate(64, hs))
+        }.toSeq.sortBy(_._1)
+      val got = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == direct, s"replay $got\nvs direct $direct")
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 3, s"expected a multi-batch replay, got $commits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
