@@ -283,6 +283,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.imageSharpness(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Letterbox/pillarbox detector (round 12): consecutive border-flat
+    // row/column runs on the real decode (see letterboxReport's
+    // scaladoc).
+    "multimodal_letterbox" -> ((s, d) =>
+      Multimodal.letterboxReport(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Lossy-codec leg under the hash oracle (round 9): real ImageIO JPEG
     // encode + decode, reduced to oracle-replayable exacts (dims, pixel
     // count, byte count) plus an integer error-band verdict the oracle
@@ -796,6 +803,30 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(COUNT(*) AS BIGINT) AS n_grays, CAST(MAX(c) AS BIGINT) AS max_count, " +
         "CAST(SUM(c * (length(bin(n // c)) - 1)) AS BIGINT) AS ent_surrogate " +
         "FROM hc GROUP BY doc_id, n ORDER BY doc_id"),
+
+    // letterbox replay: per-row/column ranges from the analytic pixel
+    // formula, run lengths via min/max over the non-flat indices;
+    // threshold from the SAME Multimodal.LetterboxSpread constant
+    "multimodal_letterbox" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, h, unnest(range(0, w*h)) AS i FROM dims), " +
+        "pv AS (SELECT doc_id, w, h, i // w AS y, i % w AS x, " +
+        "(doc_id*31 + i*7) % 256 AS v FROM px), " +
+        s"rs AS (SELECT doc_id, w, h, y, MAX(v) - MIN(v) <= ${Multimodal.LetterboxSpread} AS f " +
+        "FROM pv GROUP BY 1, 2, 3, 4), " +
+        s"cs AS (SELECT doc_id, w, x, MAX(v) - MIN(v) <= ${Multimodal.LetterboxSpread} AS f " +
+        "FROM pv GROUP BY 1, 2, 3), " +
+        "ra AS (SELECT doc_id, w, h, MIN(CASE WHEN NOT f THEN y END) AS mnr, " +
+        "MAX(CASE WHEN NOT f THEN y END) AS mxr FROM rs GROUP BY 1, 2, 3), " +
+        "ca AS (SELECT doc_id, MIN(CASE WHEN NOT f THEN x END) AS mnc, " +
+        "MAX(CASE WHEN NOT f THEN x END) AS mxc FROM cs GROUP BY 1) " +
+        "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(COALESCE(mnr, h) AS BIGINT) AS top_rows, " +
+        "CAST(CASE WHEN mnr IS NULL THEN 0 ELSE h - 1 - mxr END AS BIGINT) AS bottom_rows, " +
+        "CAST(COALESCE(mnc, w) AS BIGINT) AS left_cols, " +
+        "CAST(CASE WHEN mnc IS NULL THEN 0 ELSE w - 1 - mxc END AS BIGINT) AS right_cols " +
+        "FROM ra JOIN ca USING (doc_id) ORDER BY doc_id"),
 
     // Laplacian replay over the analytic pixel formula: every neighbor
     // value is computed inline from g(j) = (doc_id·31 + j·7) % 256 —

@@ -325,6 +325,72 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** Letterbox spread threshold: a row/column is border-flat when its
+    * pixel range (max−min) is ≤ this. Shared with the oracle
+    * generator. */
+  val LetterboxSpread: Int = 120
+
+  /** LETTERBOX / PILLARBOX DETECTOR (round 12) — the framing audit a
+    * video-frame lake runs before training: re-encoded footage carries
+    * low-contrast bars (letterbox top/bottom, pillarbox left/right)
+    * that waste pixels and poison crop statistics. Per image, the
+    * consecutive run of BORDER-FLAT rows from the top and bottom and
+    * columns from the left and right, where border-flat means the
+    * row/column's pixel range (max−min) stays ≤ [[LetterboxSpread]] —
+    * a pure integer criterion (true black bars have range 0; dark
+    * noisy bars still qualify; content rows blow past it). Real
+    * ImageIO decode in the shared harness; the oracle replays the
+    * ranges analytically from the fixture pixel formula.
+    *
+    * Scale shape: narrow per-row decode + bounded per-image loops; one
+    * row per image out. */
+  def letterboxReport(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("top_rows", LongType), StructField("bottom_rows", LongType),
+      StructField("left_cols", LongType), StructField("right_cols", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val g = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { g(y)(x) = (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+          def rowFlat(y: Int): Boolean = {
+            var mn = 255; var mx = 0; var x = 0
+            while (x < w) {
+              val v = g(y)(x); if (v < mn) mn = v; if (v > mx) mx = v; x += 1
+            }
+            mx - mn <= LetterboxSpread
+          }
+          def colFlat(x: Int): Boolean = {
+            var mn = 255; var mx = 0; var y = 0
+            while (y < h) {
+              val v = g(y)(x); if (v < mn) mn = v; if (v > mx) mx = v; y += 1
+            }
+            mx - mn <= LetterboxSpread
+          }
+          var top = 0L; while (top < h && rowFlat(top.toInt)) top += 1
+          var bot = 0L; while (bot < h - top && rowFlat((h - 1 - bot).toInt)) bot += 1
+          var lft = 0L; while (lft < w && colFlat(lft.toInt)) lft += 1
+          var rgt = 0L; while (rgt < w - lft && colFlat((w - 1 - rgt).toInt)) rgt += 1
+          Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, top, bot, lft, rgt)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** GIF SCENE-CUT detection (round 11) — the video-curation primitive
     * over the animated-GIF leg: per consecutive frame pair, the sum of
     * absolute pixel differences (SAD — the classic shot-boundary

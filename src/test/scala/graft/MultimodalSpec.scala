@@ -559,4 +559,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((30L, 12L, 12L * 1040400L,
       1000L * 12L * 1040400L / 12L)))
   }
+
+  test("letterboxReport: hand-built bars measured exactly, flat image " +
+    "claims all rows") {
+    import spark.implicits._
+    def bmpOf(px: (Int, Int) => Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos); bos.toByteArray
+    }
+    // bars: 2 rows top, 1 bottom, 1 col left; checkered content
+    val boxed = bmpOf((x, y) =>
+      if (y < 2 || y == 5 || x == 0) 0 else ((x + y) % 2) * 255, 6, 6)
+    val flat = bmpOf((_, _) => 40, 4, 4)
+    val df = Seq((1L, boxed), (2L, flat)).toDF("doc_id", "media_bytes")
+    val out = Multimodal.letterboxReport(spark, df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(1L) == ((6L, 6L, 2L, 1L, 1L, 0L)), s"boxed ${out(1L)}")
+    // fully flat: the top/left runs claim everything, bottom/right 0 —
+    // no double counting
+    assert(out(2L) == ((4L, 4L, 4L, 0L, 4L, 0L)), s"flat ${out(2L)}")
+  }
 }
