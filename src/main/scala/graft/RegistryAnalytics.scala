@@ -511,6 +511,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Graph.components(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
+    // Degree assortativity (round 12): the hub-mixing audit as an
+    // exact integer ratio — symmetry collapses Pearson's sqrt (see
+    // assortativity's scaladoc).
+    "graph_assortativity" -> ((s, d) =>
+      Graph.assortativity(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // Label-propagation communities (round 12): deterministic
     // synchronous LPA, fixed supersteps unrolled into the oracle —
     // density communities next to graph_components' connectivity (see
@@ -1400,6 +1407,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(15 * 1000000000000) // (100 * n_nodes) + (85 * COALESCE(contrib, 0)) // 100 AS pr " +
         "FROM r1 LEFT JOIN c2 ON r1.part = c2.dst) " +
         "SELECT part, deg, pr FROM r2 ORDER BY pr DESC, part LIMIT 30"),
+
+    // assortativity replay: directed-edge degree join, symmetric
+    // Pearson as an integer ratio, sign-split milli
+    "graph_assortativity" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+        "e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und), " +
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1), " +
+        "j AS (SELECT dx.deg AS x, dy.deg AS y FROM e " +
+        "JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx FROM j) " +
+        "SELECT n AS n_directed, n*sxy - sx*sx AS num, n*sxx - sx*sx AS den, " +
+        "CAST(sign(n*sxy - sx*sx) AS BIGINT) * " +
+        "((abs(n*sxy - sx*sx) * 1000) // (n*sxx - sx*sx)) AS assort_milli " +
+        "FROM s"),
 
     // LPA replay: the superstep chain is GENERATED for the same
     // Graph.LabelPropIters the engine unrolls; arg-max via ROW_NUMBER

@@ -354,6 +354,48 @@ object Graph {
       .limit(k)
   }
 
+  /** DEGREE ASSORTATIVITY (round 12) — the one-number mixing audit
+    * (Newman 2002, public): do high-degree parts co-occur with other
+    * hubs (r > 0, social-network-like) or with leaves (r < 0,
+    * hub-and-spoke)? The sign decides which skew defenses matter —
+    * disassortative graphs are exactly where the degree-ordered
+    * triangle orientation and bounded-bucket caps earn their keep, so
+    * the audit that MEASURES it belongs on the board next to them.
+    *
+    * Exactness: over the DIRECTED edge list (each undirected edge in
+    * both orientations) the x/y marginals are symmetric — Σx = Σy and
+    * Σx² = Σy² — so Pearson's denominator √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)
+    * collapses to the single integer n·Σx²−(Σx)², and r becomes a
+    * RATIO OF TWO EXACT BIGINTs: num = n·Σxy−(Σx)², den = n·Σx²−(Σx)².
+    * No sqrt, no floats; assort_milli is the sign-split division.
+    * (Operands < 2^63 through ~1e9 edges with 1e5-degree hubs; the
+    * DECIMAL(38) upgrade documented at `order_affinity_rules` applies
+    * past that.) den = 0 — a degree-regular graph — yields NULL on
+    * both engines.
+    *
+    * Scale shape: one degree aggregation + two broadcast-or-shuffle
+    * equi-joins of edges to degrees + one map-side-combinable
+    * reduction; ONE row out. */
+  def assortativity(lineitem: DataFrame,
+                    edges0: Option[DataFrame] = None): DataFrame = {
+    val und = edges0.getOrElse(coOrderEdges(lineitem))
+    val directed = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    directed
+      .join(deg, "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("deg_dst")), "dst")
+      .agg(count(lit(1)).as("n"),
+        sum(col("deg")).as("sx"),
+        sum(col("deg") * col("deg_dst")).as("sxy"),
+        sum(col("deg") * col("deg")).as("sxx"))
+      .select(col("n").as("n_directed"),
+        expr("n * sxy - sx * sx").as("num"),
+        expr("n * sxx - sx * sx").as("den"))
+      .withColumn("assort_milli",
+        expr("CAST(sign(num) AS BIGINT) * ((abs(num) * 1000) div nullif(den, 0L))"))
+  }
+
   def components(lineitem: DataFrame,
                  edges0: Option[DataFrame] = None): DataFrame = {
     val e = edges0.getOrElse(coOrderEdges(lineitem))

@@ -1736,10 +1736,10 @@ object Relational {
       .crossJoin(broadcast(total))
       .select(col("digit"),
         coalesce(col("n"), lit(0L)).as("n"),
-        expr("CAST((coalesce(n, 0L) * 1000000) div total AS BIGINT)")
+        expr("CAST((coalesce(n, 0L) * 1000000) div nullif(total, 0L) AS BIGINT)")
           .as("pct_ppm"),
         col("benford_ppm"),
-        expr("CAST((coalesce(n, 0L) * 1000000) div total - benford_ppm " +
+        expr("CAST((coalesce(n, 0L) * 1000000) div nullif(total, 0L) - benford_ppm " +
           "AS BIGINT)").as("dev_ppm"))
       .orderBy(col("digit"))
   }
@@ -1815,10 +1815,10 @@ object Relational {
         col("sx"), col("sy"))
       .select(col("event_type"), col("n_days"), col("num"), col("den"),
         col("next_x"),
-        expr("CAST(sign(num) AS BIGINT) * ((abs(num) * 1000) div den)")
+        expr("CAST(sign(num) AS BIGINT) * ((abs(num) * 1000) div nullif(den, 0L))")
           .as("slope_milli"),
         expr("CAST(sign(sy * den - num * sx + n_days * num * next_x) AS BIGINT) * " +
-          "(abs(sy * den - num * sx + n_days * num * next_x) div (n_days * den))")
+          "(abs(sy * den - num * sx + n_days * num * next_x) div nullif(n_days * den, 0L))")
           .as("forecast_cents"))
       .orderBy(col("event_type"))
   }

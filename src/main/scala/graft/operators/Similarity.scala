@@ -532,7 +532,7 @@ object Similarity {
       .crossJoin(broadcast(g))
       .select(col("method"), col("n_queries"), col("n_possible"),
         col("n_hits"),
-        expr("CAST((n_hits * 1000000) div n_possible AS BIGINT)")
+        expr("CAST((n_hits * 1000000) div nullif(n_possible, 0L) AS BIGINT)")
           .as("recall_ppm"))
       .orderBy(col("method"))
   }

@@ -463,6 +463,6 @@ object TextAnalysis {
         expr("n * sxy - sx * sy").as("num"),
         expr("n * sxx - sx * sx").as("den"))
       .withColumn("slope_milli",
-        expr("CAST(sign(num) AS BIGINT) * ((abs(num) * 1000) div den)"))
+        expr("CAST(sign(num) AS BIGINT) * ((abs(num) * 1000) div nullif(den, 0L))"))
   }
 }

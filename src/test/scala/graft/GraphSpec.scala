@@ -194,6 +194,19 @@ class GraphSpec extends SparkSpec {
       Graph.degreeDistribution(liT.repartition(13)).collect().toSeq)
   }
 
+  test("assortativity: star graph scores exactly -1000 milli, " +
+    "degree-regular graph yields NULL") {
+    // star: hub 1 with leaves 2,3,4 — r = −1 for any star
+    val star = Graph.assortativity(li(
+      1L -> Seq(1L, 2L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 4L))).collect().head
+    assert(star.getLong(0) == 6L)
+    assert(star.getLong(1) == -36L && star.getLong(2) == 36L)
+    assert(star.getLong(3) == -1000L)
+    // single edge: both endpoints degree 1 — den = 0, NULL correlation
+    val reg = Graph.assortativity(li(1L -> Seq(1L, 2L))).collect().head
+    assert(reg.getLong(2) == 0L && reg.isNullAt(3))
+  }
+
   test("labelPropagation: hand-simulated 2-superstep communities on " +
     "two cliques with a bridge") {
     // cliques {1,2,3} and {10,11,12}, bridge 3-10; synchronous LPA with
