@@ -233,6 +233,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     // Norm histogram (round 11): the embedding-collapse diagnostic —
     // exact integer squared-norm equi-width bins.
+    // Per-dimension embedding audit (round 12): dead/collapsed-dim
+    // detector, exact variance numerators (see dimStats' scaladoc).
+    "embed_dim_stats" -> ((s, d) =>
+      Similarity.dimStats(Tables.embeddings(s, d))),
+
     "embed_norm_hist" -> ((s, d) =>
       Similarity.normHistogram(Tables.embeddings(s, d))),
 
@@ -987,6 +992,21 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM x2, num, den ORDER BY comp"),
 
     // exact-integer norm bins, priceHistogram replay shape
+    // per-dim replay: 1-indexed list subscripts over the shared
+    // quantized grid, surfaced as the engine's 0-indexed dim
+    "embed_dim_stats" ->
+      ("WITH q AS (SELECT list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
+        "d AS (SELECT t.pos, q.v[t.pos] AS val FROM q, " +
+        "(SELECT unnest(generate_series(1, 64)) AS pos) t " +
+        "WHERE q.v IS NOT NULL AND len(q.v) = 64), " +
+        "a AS (SELECT pos - 1 AS dim, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(val) AS BIGINT) AS sv, CAST(SUM(val*val) AS BIGINT) AS svv, " +
+        "MIN(val) AS v_min, MAX(val) AS v_max FROM d GROUP BY 1) " +
+        "SELECT CAST(dim AS BIGINT) AS dim, n, sv, svv, v_min, v_max, " +
+        "CAST(n*svv - sv*sv AS BIGINT) AS var_num, v_min = v_max AS dead " +
+        "FROM a ORDER BY dim"),
+
     "embed_norm_hist" ->
       ("WITH q AS (SELECT CAST(list_sum(list_transform(" +
         "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)), " +

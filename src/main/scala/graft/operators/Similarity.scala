@@ -1235,6 +1235,35 @@ object Similarity {
     * ambiguity). Null embeddings are gated (no norm to bin).
     *
     * Output: (bucket, n, nrm_min, nrm_max), ordered. */
+  /** PER-DIMENSION EMBEDDING AUDIT (round 12) — the dead/collapsed-
+    * dimension detector an embedding lake runs before building any
+    * index: a dimension whose variance has collapsed carries no
+    * information (a truncated-projection or mis-export bug shows up
+    * here first), and anisotropy across dimensions is what decides
+    * whether PQ subspaces and random projections behave. Per dimension
+    * of the quantized grid: n, Σv, Σv², min, max — all exact BIGINTs —
+    * plus the exact variance NUMERATOR n·Σv²−(Σv)² (never divided:
+    * the scale-free comparison across dims needs no float) and the
+    * `dead` flag (min = max). Null/wrong-dim embeddings are gated like
+    * every embed sibling.
+    *
+    * Scale shape: one posexplode + one 64-group map-side-combinable
+    * aggregation; 64 rows out at any corpus size. */
+  def dimStats(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    p.select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .select(col("dim").cast("long").as("dim"), col("n"), col("sv"),
+        col("svv"), col("v_min"), col("v_max"),
+        expr("n * svv - sv * sv").as("var_num"),
+        (col("v_min") === col("v_max")).as("dead"))
+      .orderBy(col("dim"))
+  }
+
   def normHistogram(emb: DataFrame, nb: Int = 16): DataFrame = {
     require(nb >= 1, s"need nb >= 1, got $nb")
     val p = prepared(emb).filter(col("nrm").isNotNull)

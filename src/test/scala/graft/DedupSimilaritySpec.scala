@@ -458,6 +458,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("dimStats: exact per-dim sums, dead flag on a collapsed dim, " +
+    "degenerate vectors gated") {
+    import spark.implicits._
+    // dim 0 constant 1.0 (dead), dim 1 varies; dims 2..63 zero (dead);
+    // a null and a wrong-width vector must be gated out
+    def vec(d1: Float) = Array(1.0f, d1) ++ Array.fill(62)(0.0f)
+    val emb = Seq(
+      (1L, "a", vec(1.0f)), (2L, "a", vec(2.0f)), (3L, "a", vec(3.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .unionByName(Seq((4L, "a", null.asInstanceOf[Array[Float]]),
+        (5L, "a", Array(1.0f, 2.0f))).toDF("vec_id", "label", "embedding"))
+    val out = Similarity.dimStats(emb).collect()
+    assert(out.length == 64)
+    val d0 = out(0); val d1 = out(1)
+    // quantized ×1000: dim0 = 1000,1000,1000; dim1 = 1000,2000,3000
+    assert(d0.getLong(1) == 3L && d0.getLong(2) == 3000L &&
+      d0.getBoolean(7), s"d0 $d0")
+    assert(d1.getLong(2) == 6000L && d1.getLong(3) == 14000000L)
+    // var_num = n·Σv²−(Σv)² = 3·14e6 − 36e6 = 6e6; not dead
+    assert(d1.getLong(6) == 6000000L && !d1.getBoolean(7))
+    assert(out.drop(2).forall(r => r.getBoolean(7) && r.getLong(6) == 0L))
+  }
+
   test("recall report: ppm matches the set intersection, multiprobe " +
     "dominates single-probe, bounds hold") {
     val rows = Similarity.recallReport(emb).collect()
