@@ -455,6 +455,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_bot_detect" -> ((s, d) =>
       Sessionize.botDetect(Tables.events(s, d))),
 
+    // Pareto/concentration audit (round 12): top-N customer revenue
+    // share in exact ppm (see paretoReport's scaladoc).
+    "order_pareto" -> ((s, d) =>
+      Relational.paretoReport(Tables.orders(s, d))),
+
     // RFM segmentation (round 11): recency/frequency/monetary quintile
     // bands from the md5-reservoir edges — no global NTILE sort; the
     // <=125-row segment grid with exact integer-cents monetary sums.
@@ -1205,6 +1210,29 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM d JOIN m2 USING (event_type) " +
         "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
         "ORDER BY d.event_type"),
+
+    // pareto replay: the head sizes and conditional sums are GENERATED
+    // from the same Relational.ParetoNs the engine aggregates
+    "order_pareto" -> {
+      val ns = Relational.ParetoNs
+      ("WITH c AS (SELECT o_custkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(cents) AS BIGINT) AS cents_total, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_customers FROM c), " +
+        "r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn " +
+        s"FROM c QUALIFY rn <= ${ns.max}), " +
+        "a AS (SELECT " +
+        ns.map(n => s"CAST(SUM(CASE WHEN rn <= $n THEN cents END) AS BIGINT) AS c$n")
+          .mkString(", ") +
+        " FROM r), " +
+        "h AS (" +
+        ns.map(n => s"SELECT CAST($n AS BIGINT) AS top_n, c$n AS cents_topn FROM a")
+          .mkString(" UNION ALL ") + ") " +
+        "SELECT top_n, n_customers, cents_topn, cents_total, " +
+        "CAST(cents_topn * 1000000 // nullif(cents_total, 0) AS BIGINT) AS share_ppm " +
+        "FROM h, t ORDER BY top_n")
+    },
 
     // forecast replay: re-centered integer OLS, sign-split divisions
     "event_forecast_linear" ->

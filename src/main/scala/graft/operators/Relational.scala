@@ -1777,6 +1777,45 @@ object Relational {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Pareto report head sizes, shared with the oracle generator. */
+  val ParetoNs: Seq[Int] = Seq(1, 10, 100)
+
+  /** REVENUE CONCENTRATION / PARETO AUDIT (round 12) — "how much of
+    * the business is the top-N customers": the whale-risk number every
+    * revenue review opens with, and the skew diagnostic for the
+    * customer key (a spend distribution concentrated enough to matter
+    * here is exactly the one that needs salting there). Per head size
+    * in [[ParetoNs]]: the exact cents captured by the top-N customers
+    * (rank by (spend DESC, custkey) — deterministic ties) against the
+    * exact total, as integer ppm. The ranking window runs over the
+    * TakeOrdered max(N)-row frame — driver-bounded by construction,
+    * never a global sort. */
+  def paretoReport(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = orders.sparkSession
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val cust = orders.groupBy(col("o_custkey")).agg(sum(cents).as("cents"))
+    val total = cust.agg(sum(col("cents")).as("cents_total"),
+      count(lit(1)).as("n_customers"))
+    val top = cust.orderBy(col("cents").desc, col("o_custkey"))
+      .limit(ParetoNs.max)
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val ranked = top.withColumn("rn", row_number().over(w))
+    val aggs = ParetoNs.map(n =>
+      sum(when(col("rn") <= n, col("cents"))).as(s"c$n"))
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ParetoNs.map(n =>
+        struct(lit(n.toLong).as("top_n"), col(s"c$n").as("cents_topn"))): _*))
+        .as("p"))
+      .select(col("p.top_n").as("top_n"), col("p.cents_topn").as("cents_topn"))
+      .crossJoin(broadcast(total))
+      .select(col("top_n"), col("n_customers"), col("cents_topn"),
+        col("cents_total"),
+        expr("CAST((cents_topn * 1000000) div nullif(cents_total, 0L) " +
+          "AS BIGINT)").as("share_ppm"))
+      .orderBy(col("top_n"))
+  }
+
   /** LINEAR TREND FORECAST (round 12) — the capacity-planning readout
     * over the per-type daily series: exact OLS of daily cents against
     * the day index, surfaced as slope_milli plus the next-day forecast.

@@ -1380,6 +1380,20 @@ class RelationalSpec extends SparkSpec {
     assert(human.getLong(4) == 990000000L / 6L)
   }
 
+  test("paretoReport: exact top-N shares on a hand spend distribution") {
+    // customers: 1→600.00, 2→300.00, 3→100.00 (total 1000.00)
+    val ord = Seq((1L, 400.00), (1L, 200.00), (2L, 300.00), (3L, 100.00))
+      .map { case (c, v) => (c, BigDecimal(v)) }
+      .toDF("o_custkey", "o_totalprice")
+    val out = Relational.paretoReport(ord).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // top-1 = 60000 cents of 100000 → 600000 ppm; top-10/100 = all
+    assert(out(1L) == ((3L, 60000L, 100000L, 600000L)), s"${out(1L)}")
+    assert(out(10L) == ((3L, 100000L, 100000L, 1000000L)))
+    assert(out(100L) == ((3L, 100000L, 100000L, 1000000L)))
+  }
+
   test("linearForecast: exact OLS on a perfect line, declining series " +
     "sign-splits correctly") {
     val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
