@@ -238,6 +238,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "contamination_bloom" -> ((s, d) =>
       Sketches.bloomDecontaminate(Tables.documents(s, d))),
 
+    // Bloom FPR audit (round 12): measured false-positive rate of the
+    // pre-gate at the gram level — the number that sizes mBits/nHash
+    // (see bloomFprAudit's scaladoc).
+    "sketch_bloom_fpr" -> ((s, d) =>
+      Sketches.bloomFprAudit(Tables.documents(s, d))),
+
     // Count-Min heavy hitters (round 9): token frequencies from a
     // 4×1024 counter grid (bounded at any corpus size), graded against
     // the exact top-20 — overcounts are md5-deterministic and replay.
@@ -814,6 +820,35 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
         "SUM(CASE WHEN maybe THEN 1 ELSE 0 END) > 0 AS bloom_hit " +
         "FROM gv GROUP BY doc_id ORDER BY doc_id"),
+
+    // FPR replay: gram-level membership test by position sets (the
+    // contamination_bloom doctrine), ground truth via fp semi-join
+    "sketch_bloom_fpr" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test, " +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks " +
+        "FROM documents), " +
+        "fps AS (SELECT doc_id, is_test, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(toks) - 12, 0) + 1), " +
+        "i -> substring(md5(array_to_string(toks[i:i+12], ' ')), 1, 8)))) AS fp FROM t), " +
+        "memfp AS (SELECT DISTINCT fp FROM fps WHERE is_test), " +
+        "prb AS (SELECT DISTINCT fp FROM fps WHERE NOT is_test), " +
+        "mem AS (SELECT DISTINCT CAST(('0x' || substring(md5(fp || ':' || CAST(r.i AS VARCHAR)), 1, 7)) AS BIGINT) " +
+        "% 131072 AS pos FROM memfp, range(5) r(i)), " +
+        "php AS (SELECT fp, CAST(('0x' || substring(md5(fp || ':' || CAST(r.i AS VARCHAR)), 1, 7)) AS BIGINT) " +
+        "% 131072 AS pos FROM prb, range(5) r(i)), " +
+        "gv AS (SELECT php.fp, bool_and(mem.pos IS NOT NULL) AS maybe " +
+        "FROM php LEFT JOIN mem ON php.pos = mem.pos GROUP BY php.fp), " +
+        "j AS (SELECT gv.maybe, memfp.fp IS NOT NULL AS is_member " +
+        "FROM gv LEFT JOIN memfp ON gv.fp = memfp.fp), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_member_grams FROM memfp) " +
+        "SELECT m.n_member_grams, CAST(COUNT(*) AS BIGINT) AS n_probe_grams, " +
+        "CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members, " +
+        "CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "CAST(SUM(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos, " +
+        "CAST(SUM(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END) * 1000000 // " +
+        "nullif(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END), 0) AS BIGINT) AS fpr_ppm " +
+        "FROM j, m GROUP BY m.n_member_grams"),
 
     // Count-Min replay: cell counters are exact group-bys over the
     // md5-derived (row, cell) grid; estimates (and their deterministic

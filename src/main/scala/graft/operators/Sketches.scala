@@ -94,6 +94,55 @@ object Sketches {
       .orderBy(col("doc_id"))
   }
 
+  /** BLOOM FALSE-POSITIVE-RATE AUDIT (round 12) — "measure, don't
+    * guess" for the decontamination pre-gate: the Bloom mask's whole
+    * value proposition is a small, KNOWN false-positive rate, and the
+    * number that sizes `mBits`/`nHash` should come from the engine on
+    * the real gram distribution, not from the textbook formula alone.
+    * At the GRAM level: distinct member (holdout) fingerprints fold
+    * into the mask; every distinct non-member training fingerprint is
+    * probed; a probe that is NOT a true member but still clears all
+    * `nHash` bits is a measured false positive. All counts exact,
+    * fpr_ppm integer; the md5-derived collisions replay bit-for-bit in
+    * the oracle (same positions doctrine as `contamination_bloom`).
+    * The no-false-negative guarantee is structural: n_flagged ≥
+    * n_true_members (spec-asserted).
+    *
+    * Scale shape: same as the gate itself — bounded OR-merged mask
+    * aggregation, broadcast mask, narrow probes, plus ONE gram-keyed
+    * semi-join for ground truth; ONE row out. */
+  def bloomFprAudit(docs: DataFrame, k: Int = 13,
+                    mBits: Int = 131072, nHash: Int = 5): DataFrame = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    val grams = gramFps(docs, k)
+    val member = grams.filter(col("is_test")).select(col("fp")).distinct()
+    val probes = grams.filter(!col("is_test")).select(col("fp")).distinct()
+    val mask = member
+      .select(explode(bloomPositions(col("fp"), nHash, mBits)).as("pos"))
+      .distinct()
+      .agg(graft.functions.BloomAgg.mask(mBits / 64)(col("pos")).as("mask"))
+    val probed = probes.crossJoin(broadcast(mask))
+      .withColumn("maybe", (0 until nHash).map { i =>
+        val p = md5Pos(concat(col("fp"), lit(s":$i")), mBits)
+        val word = element_at(col("mask"), (shiftright(p, 6) + 1).cast("int"))
+        call_function("bit_get", word, (p % 64).cast("int")) === 1
+      }.reduce(_ && _))
+      .join(member.withColumn("is_member", lit(true)), Seq("fp"), "left")
+    val mcount = member.agg(count(lit(1)).as("n_member_grams"))
+    probed.agg(
+        count(lit(1)).as("n_probe_grams"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_true_members"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("maybe") && col("is_member").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .crossJoin(broadcast(mcount))
+      .select(col("n_member_grams"), col("n_probe_grams"),
+        col("n_true_members"), col("n_flagged"), col("n_false_pos"),
+        expr("CAST((n_false_pos * 1000000) div " +
+          "nullif(n_probe_grams - n_true_members, 0L) AS BIGINT)")
+          .as("fpr_ppm"))
+  }
+
   /** Count-Min heavy-hitter estimates — corpus token frequencies from a
     * `depth`×`width` counter grid instead of a |vocab|-sized relation:
     * every token occurrence increments one counter per row (cell =

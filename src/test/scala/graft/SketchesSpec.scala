@@ -205,4 +205,23 @@ class SketchesSpec extends SparkSpec {
     assert(plan.toString.contains("ObjectHashAggregate"),
       "bottom-k aggregator lost its partial-aggregation plan")
   }
+
+  test("bloomFprAudit: no false negatives ever; a starved mask shows " +
+    "measured false positives; arithmetic reconciles") {
+    val docs = Tables.documents(spark, sf0)
+    val healthy = Sketches.bloomFprAudit(docs).collect().head
+    val (nm, np, ntm, nf, nfp) = (healthy.getLong(0), healthy.getLong(1),
+      healthy.getLong(2), healthy.getLong(3), healthy.getLong(4))
+    assert(nm > 0 && np > 0)
+    // Bloom's structural guarantee: every true member is flagged
+    assert(nf >= ntm, s"false negative: flagged $nf < members $ntm")
+    assert(nfp == nf - ntm || nfp <= nf)
+    assert(healthy.getLong(5) == nfp * 1000000L / (np - ntm))
+    // starve the mask (64 bits, 1 hash): collisions are forced and the
+    // measured FPR must show them
+    val starved = Sketches.bloomFprAudit(docs, mBits = 64, nHash = 1)
+      .collect().head
+    assert(starved.getLong(4) > 0L,
+      s"expected forced false positives on a 64-bit mask, got $starved")
+  }
 }
