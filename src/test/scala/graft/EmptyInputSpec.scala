@@ -66,9 +66,14 @@ class EmptyInputSpec extends SparkSpec {
   // stats_profile is structural the same way: one row per PROFILED
   // COLUMN (zero counts, null min/max on empty input) — the column
   // list, not the data, fixes the row count
+  // round 12: three audits whose row count is a CONSTANT table, not
+  // data — stats_benford's 9 law digits (zero mass IS the signal),
+  // order_pareto's ParetoNs head sizes, sim_recall_report's method
+  // list; all emit zero/NULL measures on empty input
   private val configDerived =
     Set("config_parse", "retry_reconnect", "schema_prime",
-      "tokenizer_compression", "stats_profile")
+      "tokenizer_compression", "stats_profile",
+      "stats_benford", "order_pareto", "sim_recall_report")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

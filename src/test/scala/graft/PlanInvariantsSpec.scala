@@ -517,4 +517,40 @@ class PlanInvariantsSpec extends SparkSpec {
       !pr.contains("Scan parquet"),
       s"graph_pagerank re-derives a shared relation:\n$pr")
   }
+
+  test("round-12 scale invariants: q18 aggregates before broadcasting, " +
+    "pareto/q18/top-k stay TakeOrdered, audits keep partial aggregation") {
+    // q18: the HAVING-filtered survivor set broadcasts into orders —
+    // the orders×lineitem join must never sort-merge, and the top-100
+    // must not be a global sort
+    val q18 = planOf("q18_top_buyers")
+    assert(q18.contains("BroadcastHashJoin"),
+      s"q18 lost the survivor broadcast:\n$q18")
+    assert(q18.contains("TakeOrderedAndProject"),
+      s"q18 top-100 plans as a global sort:\n$q18")
+    // benford: 9-group aggregation partially aggregates at the scan
+    // side; the 9-row tail joins broadcast
+    val bf = planOf("stats_benford")
+    assert(bf.contains("partial_count") && bf.contains("BroadcastHashJoin"),
+      s"stats_benford lost map-side combine or the 9-row broadcast:\n$bf")
+    // pareto: the customer spend aggregation partially aggregates; the
+    // head selection is TakeOrdered, never a global sort of customers
+    val pa = planOf("order_pareto")
+    assert(pa.contains("TakeOrderedAndProject"),
+      s"order_pareto ranks via a global sort:\n$pa")
+    // bot detect / forecast / ewma: one hash exchange keyed by their
+    // partition column, no cartesian anywhere
+    Seq("event_bot_detect", "event_forecast_linear", "window_ewma",
+      "graph_assortativity", "embed_dim_stats").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q grew a cartesian join:\n$plan")
+    }
+    // recall report: the ground truth is a bounded broadcast — the
+    // ANN legs must semi-join against it broadcast, never shuffled
+    val rr = planOf("sim_recall_report")
+    assert(rr.contains("BroadcastHashJoin") &&
+      !rr.contains("SortMergeJoin"),
+      s"sim_recall_report shuffles its bounded ground truth:\n$rr")
+  }
 }
