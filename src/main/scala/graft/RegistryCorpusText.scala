@@ -327,6 +327,13 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // it once and both queries read the materialized result.
     "dedup_fuzzy" -> ((s, d) => nearDupPairsShared(s, d)),
 
+    // Containment pairs (round 12): the subset-duplicate detector
+    // Jaccard misses — asymmetric |A∩B|/|A| scoring over the same
+    // df-capped bounded-bucket machinery (see containmentPairs'
+    // scaladoc).
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), scope = harnessScope)),
+
     // Connected components over the near-dup pair graph: cluster_id =
     // min reachable doc_id, is_keeper = the one survivor per group.
     // Pairs → clusters is the step that makes dedup actionable (near-dup
@@ -1015,6 +1022,24 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard " +
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
         "WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5 " +
+        "ORDER BY doc_a, doc_b"),
+
+    // containment replay: same df-capped front as dedup_fuzzy, the
+    // asymmetric tail with cross-multiplied threshold from the shared
+    // Dedup.ContainmentMilli constant
+    "dedup_containment" ->
+      (s"WITH $sqlShingleCte, " +
+        "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN (" +
+        "SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100" +
+        ") keep ON sh.shingle = keep.shingle), " +
+        "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common " +
+        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b, " +
+        "CAST(n_common * 1000000 // sa.sz AS BIGINT) AS contain_a_ppm, " +
+        "CAST(n_common * 1000000 // sb.sz AS BIGINT) AS contain_b_ppm " +
+        "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
+        s"WHERE n_common * 1000 >= ${Dedup.ContainmentMilli} * least(sa.sz, sb.sz) " +
         "ORDER BY doc_a, doc_b"),
 
     // (source, shingle) distincts + per-shingle carrier pairs

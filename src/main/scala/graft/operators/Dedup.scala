@@ -517,6 +517,58 @@ object Dedup {
     * duplicate-heavy corpus still makes them quadratic, so candidates go
     * through [[boundedCandidatePairs]]: over `maxBucket` members per
     * (band, bucket) fails loudly (or drops, per `overflow`). */
+  /** Containment threshold (milli) shared with the oracle generator. */
+  val ContainmentMilli: Long = 800L
+
+  /** CONTAINMENT near-dup pairs (round 12) — the SUBSET-duplicate
+    * detector symmetric Jaccard structurally misses: a short document
+    * pasted whole into a long one has J = |A|/|B| (tiny when B is
+    * long) but containment |A∩B|/|A| = 1 — quote farms, scraped
+    * aggregators and template expansions all look exactly like this,
+    * and a dedup pass keyed on Jaccard alone keeps both copies. Pairs
+    * qualify when the LARGER containment (= n_common/min(sz)) clears
+    * `thresholdMilli`, compared by integer cross-multiplication (no
+    * float threshold); both directed containments surface as exact
+    * ppm. Same one-shuffle df-capped bounded-bucket enumeration as the
+    * Jaccard path (`maxDf` keeps stop-shingles from going quadratic;
+    * O(cap) buffers) — only the verify tail differs.
+    *
+    * Output: (doc_a, doc_b, n_common, sz_a, sz_b, contain_a_ppm,
+    * contain_b_ppm), doc_a < doc_b, ordered. */
+  def containmentPairs(docs: DataFrame,
+                       thresholdMilli: Long = ContainmentMilli,
+                       n: Int = 3, maxDf: Int = 100,
+                       scope: CacheScope = CacheScope.off): DataFrame = {
+    val raw = shingleTable(docs, n, None)
+    val buckets = scope.track(raw
+      .groupBy(col("shingle"))
+      .agg(graft.functions.BoundedAgg.boundedCollect(maxDf)(col("doc_id"))
+        .as("ds"))
+      .filter(size(col("ds")) <= maxDf))
+    val sizes = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = buckets
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .filter(col("n_common") * lit(1000L) >=
+        lit(thresholdMilli) * least(col("sz_a"), col("sz_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("sz_a"),
+        col("sz_b"),
+        expr("CAST((n_common * 1000000) div sz_a AS BIGINT)")
+          .as("contain_a_ppm"),
+        expr("CAST((n_common * 1000000) div sz_b AS BIGINT)")
+          .as("contain_b_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.5,
                           n: Int = 3, numHashes: Int = 64,
                           rowsPerBand: Int = 4,

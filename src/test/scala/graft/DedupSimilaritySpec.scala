@@ -458,6 +458,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("containmentPairs finds the subset-duplicate Jaccard misses") {
+    import spark.implicits._
+    val short = "q1 q2 q3 q4 q5"                       // 3 shingles
+    val tail = (1 to 40).map(i => s"t$i").mkString(" ") // 40+ unique ones
+    val docs = Seq(
+      (1L, short),
+      (2L, s"$short $tail"),
+      (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 1 is wholly inside doc 2: containment(A in B) = 3/3 = 1
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    val (nc, szA, szB, cA) = pairs((1L, 2L))
+    assert(nc == 3L && szA == 3L && cA == 1000000L)
+    assert(szB > 40L)
+    // ...and symmetric Jaccard at its production threshold misses it
+    val j = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "Jaccard unexpectedly caught the subset pair — fixture too small")
+  }
+
   test("dimStats: exact per-dim sums, dead flag on a collapsed dim, " +
     "degenerate vectors gated") {
     import spark.implicits._
