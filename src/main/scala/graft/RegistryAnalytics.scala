@@ -460,6 +460,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "order_pareto" -> ((s, d) =>
       Relational.paretoReport(Tables.orders(s, d))),
 
+    // Repeat-purchase cadence (round 12): exact day gaps between
+    // consecutive orders per repeat customer (see repeatInterval's
+    // scaladoc).
+    "order_repeat_interval" -> ((s, d) =>
+      Relational.repeatInterval(Tables.orders(s, d))),
+
     // RFM segmentation (round 11): recency/frequency/monetary quintile
     // bands from the md5-reservoir edges — no global NTILE sort; the
     // <=125-row segment grid with exact integer-cents monetary sums.
@@ -1210,6 +1216,21 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM d JOIN m2 USING (event_type) " +
         "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
         "ORDER BY d.event_type"),
+
+    // cadence replay: date-difference gaps, floor-div mean
+    "order_repeat_interval" ->
+      ("WITH g AS (SELECT o_custkey, " +
+        "CAST(CAST(o_orderdate AS DATE) - lag(CAST(o_orderdate AS DATE)) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS gap_days " +
+        "FROM orders), " +
+        "a AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+        "MIN(gap_days) AS min_gap_days, MAX(gap_days) AS max_gap_days, " +
+        "CAST(SUM(gap_days) AS BIGINT) AS span_days " +
+        "FROM g WHERE gap_days IS NOT NULL GROUP BY 1) " +
+        "SELECT o_custkey, n_gaps + 1 AS n_orders, min_gap_days, " +
+        "max_gap_days, span_days, " +
+        "CAST(span_days // n_gaps AS BIGINT) AS mean_gap_days " +
+        "FROM a ORDER BY o_custkey"),
 
     // pareto replay: the head sizes and conditional sums are GENERATED
     // from the same Relational.ParetoNs the engine aggregates

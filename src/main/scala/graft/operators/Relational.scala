@@ -1777,6 +1777,36 @@ object Relational {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** REPEAT-PURCHASE CADENCE (round 12) — the retention readout next
+    * to `customer_rfm`'s snapshot and `order_cohort_ltv`'s cohorts:
+    * per repeat customer (≥ 2 orders), the exact day gaps between
+    * consecutive orders — n_orders, total span, min/max gap and the
+    * floor-div mean — the inputs of every replenishment model and
+    * churn rule ("3× the usual gap with no order" is the classic
+    * trigger). One (o_orderdate, o_orderkey)-ordered window pass per
+    * customer + one map-side-combinable aggregation, all BIGINT days.
+    * The single-purchase majority is excluded by the HAVING — they
+    * have no cadence; counting them is `customer_rfm`'s job. */
+  def repeatInterval(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).cast("long").as("gap_days"))
+      .filter(col("gap_days").isNotNull)
+    gaps.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_days")).as("min_gap_days"),
+        max(col("gap_days")).as("max_gap_days"),
+        sum(col("gap_days")).as("span_days"))
+      .select(col("o_custkey"), (col("n_gaps") + 1L).as("n_orders"),
+        col("min_gap_days"), col("max_gap_days"), col("span_days"),
+        expr("span_days div n_gaps").as("mean_gap_days"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Pareto report head sizes, shared with the oracle generator. */
   val ParetoNs: Seq[Int] = Seq(1, 10, 100)
 

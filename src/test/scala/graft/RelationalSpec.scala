@@ -1380,6 +1380,22 @@ class RelationalSpec extends SparkSpec {
     assert(human.getLong(4) == 990000000L / 6L)
   }
 
+  test("repeatInterval: exact day gaps, single-purchase customers " +
+    "excluded") {
+    val d = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val ord = Seq(
+      (101L, 1L, d("2024-01-01")), (102L, 1L, d("2024-01-11")),
+      (103L, 1L, d("2024-01-31")),
+      (201L, 2L, d("2024-03-05")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Relational.repeatInterval(ord).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // gaps 10 and 20 days: n_orders 3, min 10, max 20, span 30, mean 15
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((1L, 3L, 10L, 20L, 30L, 15L)), r)
+  }
+
   test("paretoReport: exact top-N shares on a hand spend distribution") {
     // customers: 1→600.00, 2→300.00, 3→100.00 (total 1000.00)
     val ord = Seq((1L, 400.00), (1L, 200.00), (2L, 300.00), (3L, 100.00))
