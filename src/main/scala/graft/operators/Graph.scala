@@ -337,7 +337,14 @@ object Graph {
     val und = edges0.getOrElse(coOrderEdges(lineitem))
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-    val nodes = lineitem.select(col("l_partkey").as("node")).distinct()
+    // universe = part universe ∪ edge endpoints: in production the
+    // endpoints are a subset of the parts (no change), but a caller
+    // supplying a standalone edge relation (the stress specs do) must
+    // not have its vertices silently dropped from the label table
+    val nodes = lineitem.select(col("l_partkey").as("node"))
+      .unionByName(und.select(col("a").as("node")))
+      .unionByName(und.select(col("b").as("node")))
+      .distinct()
     val l0 = nodes.select(col("node"), col("node").as("lbl"))
     val fin = (1 to iters).foldLeft(l0) { (l, _) =>
       val best = edges

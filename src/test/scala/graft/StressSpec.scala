@@ -402,4 +402,54 @@ class StressSpec extends SparkSpec {
     info(f"10x IVFPQ (${emb.count()} vectors): build-once $buildS%.1f s, " +
       f"serve $serveS%.1f s vs train-included $trainS%.1f s")
   }
+
+  test("skewed star graph: label propagation's per-superstep counting " +
+    "stays map-side-combinable through a 50k-degree hub") {
+    gated()
+    import spark.implicits._
+    // the hub's (dst, nlbl) count group is 50k rows per superstep —
+    // the skew spot; partial aggregation keeps each task's slice
+    // bounded before the exchange, so the hub never concentrates raw
+    // edges on one reducer
+    val half = 25000L
+    val hub = 500000L
+    val star = spark.range(half)
+      .select((col("id") + 10L).as("a"), lit(hub).as("b"))
+      .unionByName(spark.range(half)
+        .select(lit(hub).as("a"), (col("id") + hub + 10L).as("b")))
+      .withColumn("w", lit(1L)).localCheckpoint()
+    val dummy = Seq((0L, 0L)).toDF("l_orderkey", "l_partkey")
+    val t0 = System.nanoTime()
+    val out = graft.operators.Graph.labelPropagation(dummy, k = 5,
+      edges0 = Some(star)).collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // supersteps on a star: leaves take the hub's label, the hub takes
+    // the min leaf label; the giant community must hold every leaf
+    assert(out.head.getLong(1) >= 2 * half - 1,
+      s"expected a giant community, got ${out.toSeq}")
+    info(f"LPA over a ${2 * half}-leaf star: $wall%.1f s for 2 supersteps")
+  }
+
+  test("10x duplication: containment pairs keep full-containment " +
+    "verdicts under the df cap") {
+    gated()
+    val base = Tables.documents(spark, sfStress).limit(500)
+    val n = 100000L
+    val docs10 = (0 until 10).map(i => base.withColumn("doc_id",
+        col("doc_id") + lit(i * n)))
+      .reduce(_ unionByName _)
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.Dedup.containmentPairs(docs10).collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // copies of one doc share EVERY shingle: containment 10^6 both ways
+    val full = pairs.count(r =>
+      r.getLong(5) == 1000000L && r.getLong(6) == 1000000L)
+    // each duplicated doc yields C(10,2)=45 full-containment pairs for
+    // every doc whose shingles survive the df cap — at least the bulk
+    // of the 500-doc slice must be found
+    assert(full >= 45 * 100,
+      s"expected >=4500 full-containment copy pairs, got $full")
+    info(f"containment over 10x duplicated 500-doc slice: $wall%.1f s, " +
+      s"${pairs.length} pairs, $full full-containment")
+  }
 }
