@@ -383,6 +383,14 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
       Dedup.minHashNearDupPairs(Tables.documents(s, d), threshold = 0.5,
         scope = harnessScope)),
 
+    // MinHash estimator-error audit (round 12): signature-agreement
+    // estimate vs exact Jaccard over the real candidate set — the
+    // threshold-justifying number (see minHashEstimatorAudit's
+    // scaladoc).
+    "dedup_minhash_est_error" -> ((s, d) =>
+      Dedup.minHashEstimatorAudit(Tables.documents(s, d),
+        scope = harnessScope)),
+
     // SimHash fingerprint + banded Hamming near-dup pairs. Round 7: the
     // md5 token hash makes fingerprints, band keys and Hamming verify
     // all DuckDB-replayable — full oracle (sqlSimHash).

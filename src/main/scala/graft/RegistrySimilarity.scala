@@ -317,6 +317,8 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
   protected def similarityOracles: Map[String, String] = Map(
     "dedup_minhash" -> sqlMinHash,
 
+    "dedup_minhash_est_error" -> sqlMinHashEstError,
+
     // band-occupancy replay: shared MinHash front + two aggregations
     "dedup_lsh_band_stats" ->
       (s"WITH $sqlMinHashBandsCtes, " +

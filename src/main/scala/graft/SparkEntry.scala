@@ -547,6 +547,37 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       "ORDER BY doc_a, doc_b"
   }
 
+  /** Estimator-error replay: the SAME bands/sig/shingle fronts, the
+    * 64-term agreement sum generated positionally, threshold from the
+    * shared Dedup.MinHashAuditThresholdPpm constant. */
+  private[graft] def sqlMinHashEstError: String = {
+    val agree = (0 until 64)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val t = graft.operators.Dedup.MinHashAuditThresholdPpm
+    s"WITH $sqlMinHashBandsCtes, " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common FROM cand c " +
+      "JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id " +
+      "AND a.shingle = b.shingle GROUP BY 1, 2), " +
+      s"est AS (SELECT c.doc_a, c.doc_b, CAST($agree AS BIGINT) AS n_agree FROM cand c " +
+      "JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id), " +
+      "p AS (SELECT (est.n_agree * 1000000) // 64 AS est_ppm, " +
+      "(COALESCE(i.n_common, 0) * 1000000) // " +
+      "(za.sz + zb.sz - COALESCE(i.n_common, 0)) AS exact_ppm " +
+      "FROM est LEFT JOIN inter i ON est.doc_a = i.doc_a AND est.doc_b = i.doc_b " +
+      "JOIN sizes za ON est.doc_a = za.doc_id JOIN sizes zb ON est.doc_b = zb.doc_id), " +
+      "q AS (SELECT est_ppm, exact_ppm, abs(est_ppm - exact_ppm) AS abs_err FROM p) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+      "CAST(SUM(abs_err) // nullif(COUNT(*), 0) AS BIGINT) AS mean_abs_err_ppm, " +
+      "CAST(MAX(abs_err) AS BIGINT) AS max_abs_err_ppm, " +
+      s"CAST(SUM(CASE WHEN est_ppm >= $t AND exact_ppm < $t THEN 1 ELSE 0 END) AS BIGINT) AS n_est_only, " +
+      s"CAST(SUM(CASE WHEN est_ppm < $t AND exact_ppm >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_only " +
+      "FROM q"
+  }
+
   /** SimHash oracle: per-token md5 hash split into hex halves (hi = chars
     * 1-8 = digest bytes 0-3 = fingerprint bits 32-63; lo = chars 9-16 =
     * bits 0-31), ±1 votes per bit, votes >= 0 sets the bit, halves

@@ -517,6 +517,86 @@ object Dedup {
     * duplicate-heavy corpus still makes them quadratic, so candidates go
     * through [[boundedCandidatePairs]]: over `maxBucket` members per
     * (band, bucket) fails loudly (or drops, per `overflow`). */
+  /** MINHASH ESTIMATOR-ERROR AUDIT (round 12) — "measure, don't
+    * guess" for the dedup family, the sibling of the ANN recall
+    * report: the banded-MinHash pipeline DECIDES near-duplicates by
+    * the signature-agreement estimate wherever exact re-verify is too
+    * expensive (the streaming gate does exactly this), so the
+    * estimator's measured error against exact Jaccard — on the real
+    * shingle distribution, over the real candidate set — is the number
+    * that justifies the threshold. Per banded candidate pair:
+    * est_ppm = agreeing-positions·10⁶ div numHashes, exact_ppm from
+    * the shingle sets; the summary row reports pair count, mean/max
+    * absolute error and the two DISAGREEMENT counts at the production
+    * threshold (estimator-accepts-exact-rejects and vice versa) — all
+    * integer, so even the estimator's sampling error replays in the
+    * oracle.
+    *
+    * Scale shape: the production candidate enumeration (bounded
+    * buckets) + one signature join (bounded zip_with per pair) + the
+    * exact-verify join the batch path already pays; ONE row out. */
+  /** Estimator-audit disagreement threshold (ppm), shared with the
+    * oracle generator. */
+  val MinHashAuditThresholdPpm: Long = 500000L
+
+  def minHashEstimatorAudit(docs: DataFrame, n: Int = 3,
+                            numHashes: Int = 64, rowsPerBand: Int = 4,
+                            maxBucket: Int = 1024,
+                            overflow: BucketOverflow = BucketOverflow.Fail,
+                            thresholdPpm: Long = MinHashAuditThresholdPpm,
+                            scope: CacheScope = CacheScope.off): DataFrame = {
+    val sh = scope.track(shingleTable(docs, n))
+    val sigs = minHashSignatures(docs, n, numHashes)
+    val bands = lshBands(sigs, numHashes, rowsPerBand)
+    val cand = boundedCandidatePairs(bands, "doc_id", Seq("band", "bucket"),
+      maxBucket, overflow, "minHashEstimatorAudit")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val est = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_agree"))
+    val pairs = est
+      // a pure bucket-key collision can share zero shingles — the
+      // estimator audit must still count it (exact = 0)
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .select(
+        expr(s"(n_agree * 1000000) div $numHashes").as("est_ppm"),
+        expr("(n_common * 1000000) div (sz_a + sz_b - n_common)")
+          .as("exact_ppm"))
+      .select(col("est_ppm"), col("exact_ppm"),
+        abs(col("est_ppm") - col("exact_ppm")).as("abs_err"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("abs_err")).as("sum_abs_err"),
+        max(col("abs_err")).as("max_abs_err_ppm"),
+        sum(when(col("est_ppm") >= thresholdPpm &&
+          col("exact_ppm") < thresholdPpm, 1L).otherwise(0L))
+          .as("n_est_only"),
+        sum(when(col("est_ppm") < thresholdPpm &&
+          col("exact_ppm") >= thresholdPpm, 1L).otherwise(0L))
+          .as("n_exact_only"))
+      .select(col("n_pairs"),
+        expr("CAST(sum_abs_err div nullif(n_pairs, 0L) AS BIGINT)")
+          .as("mean_abs_err_ppm"),
+        col("max_abs_err_ppm"), col("n_est_only"), col("n_exact_only"))
+  }
+
   /** Containment threshold (milli) shared with the oracle generator. */
   val ContainmentMilli: Long = 800L
 

@@ -458,6 +458,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("minHashEstimatorAudit: identical docs score zero error; corpus " +
+    "errors stay in ppm bounds") {
+    import spark.implicits._
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val twins = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val r = Dedup.minHashEstimatorAudit(twins).collect().head
+    // one candidate pair, est = exact = 10^6 → zero error, no
+    // threshold disagreement possible
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 0L, 0L, 0L, 0L)), r)
+    val c = Dedup.minHashEstimatorAudit(Tables.documents(spark, sf0))
+      .collect().head
+    assert(c.getLong(0) > 0L)
+    assert(c.getLong(1) >= 0L && c.getLong(1) <= 1000000L)
+    assert(c.getLong(2) >= c.getLong(1))
+  }
+
   test("containmentPairs finds the subset-duplicate Jaccard misses") {
     import spark.implicits._
     val short = "q1 q2 q3 q4 q5"                       // 3 shingles
