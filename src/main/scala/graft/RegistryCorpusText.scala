@@ -18,6 +18,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCount(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Language-ID confidence audit (round 12): margin mass and tie
+    // counts from the detector's own scores (see langIdMargin's
+    // scaladoc).
+    "text_langid_margin" -> ((s, d) =>
+      TextAnalysis.langIdMargin(Tables.documents(s, d))),
+
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
@@ -486,6 +492,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "FROM documents ORDER BY doc_id"),
 
     "text_langid" -> sqlLangId,
+    "text_langid_margin" -> sqlLangIdMargin,
 
     "tokenizer_unigram" -> sqlUnigram,
 

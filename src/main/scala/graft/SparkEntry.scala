@@ -1011,4 +1011,30 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       s"SELECT doc_id, CAST($best AS BIGINT) AS best_score, " +
       s"CASE $pred ELSE 'unknown' END AS pred_lang FROM sc ORDER BY doc_id"
   }
+
+  /** Margin-audit replay: the same scores/tie-break plus the sorted
+    * score list for the runner-up — generated from the SAME
+    * TextAnalysis.LangMarkers the detector uses. */
+  private[graft] def sqlLangIdMargin: String = {
+    val markers = graft.operators.TextAnalysis.LangMarkers
+    val scores = markers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text,' '), t -> t IN ($lst))) AS s_$lang"
+    }.mkString(", ")
+    val langs = markers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+    val lst = langs.map(l => s"s_$l").mkString("[", ", ", "]")
+    s"WITH sc AS (SELECT doc_id, $scores FROM documents), " +
+      s"m AS (SELECT CASE $pred ELSE 'unknown' END AS pred_lang, " +
+      s"CAST($best AS BIGINT) AS best, " +
+      s"CAST($best - list_sort($lst)[${langs.length - 1}] AS BIGINT) AS margin " +
+      "FROM sc) " +
+      "SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(CASE WHEN best > 0 AND margin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied, " +
+      "CAST(SUM(CASE WHEN margin >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_strict, " +
+      "CAST(SUM(margin) AS BIGINT) AS sum_margin " +
+      "FROM m GROUP BY 1 ORDER BY 1"
+  }
 }

@@ -163,6 +163,46 @@ object TextAnalysis {
       pred.as("pred_lang"))
   }
 
+  /** LANGUAGE-ID CONFIDENCE AUDIT (round 12) — how much to trust the
+    * detector: argmax language ID is only as good as its MARGIN, and a
+    * corpus routed to per-language pipelines on tied or one-marker
+    * verdicts silently mixes languages. Per predicted language: doc
+    * count, ties (best > 0 but the runner-up matched it — the
+    * alphabetical tie-break decided, i.e. the verdict carries no
+    * signal), strict wins (margin ≥ 1) and the total margin mass — all
+    * exact integers from the same one-pass marker counts the detector
+    * itself uses, so the audit can never disagree with the routing.
+    *
+    * Scale shape: one narrow codegen pass + a ≤(langs+1)-group
+    * map-side-combinable aggregation. */
+  def langIdMargin(docs: DataFrame): DataFrame = {
+    val mc = graft.functions.VectorFunctions
+      .markerCounts(col("text"), LangMarkers.map(_._2))
+    val scored = docs
+      .select(col("doc_id"), mc.as("mc"))
+      .select(
+        (col("doc_id") +:
+          LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+            col("mc").getItem(i).cast("long").as(s"s_$lang")
+          }): _*)
+    val langs = LangMarkers.map(_._1)
+    val srt = array_sort(array(langs.map(l => col(s"s_$l")): _*))
+    val bestC = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("unknown")) { (l, els) =>
+      when(col(s"s_$l") === bestC && bestC > 0, lit(l)).otherwise(els)
+    }
+    scored
+      .select(pred.as("pred_lang"), bestC.as("best"),
+        (bestC - element_at(srt, langs.length - 1)).as("margin"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("best") > 0 && col("margin") === 0L, 1L).otherwise(0L))
+          .as("n_tied"),
+        sum(when(col("margin") >= 1L, 1L).otherwise(0L)).as("n_strict"),
+        sum(col("margin")).as("sum_margin"))
+      .orderBy(col("pred_lang"))
+  }
+
   /** Quality score in [0,1] as a composable Column: fixed-order weighted
     * sum of length fitness, type-token diversity, mean-token-length
     * fitness and stopword rate. Weights and clamps written identically

@@ -1428,6 +1428,22 @@ class RelationalSpec extends SparkSpec {
     assert(down.getLong(5) == -100000L && down.getLong(6) == 0L)
   }
 
+  test("langIdMargin: ties counted as no-signal, strict wins carry " +
+    "margin mass, markerless docs route to unknown") {
+    val docs = Seq(
+      (1L, "the der x"),        // en/de tie → alphabetical 'de', margin 0
+      (2L, "the the and y"),    // en strict: s_en=3, margin 3
+      (3L, "zzz qqq"))          // no markers → unknown
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langIdMargin(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set("de", "en", "unknown"), out.keySet)
+    assert(out("de") == ((1L, 1L, 0L, 0L)), s"de ${out("de")}")
+    assert(out("en") == ((1L, 0L, 1L, 3L)), s"en ${out("en")}")
+    assert(out("unknown") == ((1L, 0L, 0L, 0L)))
+  }
+
   test("zipfFit: hand-computed bitlen regression on a known head") {
     // counts 8/4/2/1 → ranks 1..4: x = bitlen(rank) = 1,2,2,3;
     // y = bitlen(f) = 4,3,2,1 → n=4 sx=8 sy=10 sxy=17 sxx=18,
