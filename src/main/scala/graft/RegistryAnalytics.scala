@@ -460,6 +460,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "order_pareto" -> ((s, d) =>
       Relational.paretoReport(Tables.orders(s, d))),
 
+    // Fulfillment-lag SLA audit (round 12): order-to-ship day lags
+    // per priority with the ppm SLA share (see fulfillmentLag's
+    // scaladoc).
+    "order_fulfillment_lag" -> ((s, d) =>
+      Relational.fulfillmentLag(Tables.orders(s, d), Tables.lineitem(s, d))),
+
     // Repeat-purchase cadence (round 12): exact day gaps between
     // consecutive orders per repeat customer (see repeatInterval's
     // scaladoc).
@@ -1216,6 +1222,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM d JOIN m2 USING (event_type) " +
         "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
         "ORDER BY d.event_type"),
+
+    // SLA replay: date-difference lags per priority, ppm share
+    "order_fulfillment_lag" ->
+      ("WITH j AS (SELECT o_orderpriority AS priority, " +
+        "CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS lag_days " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+        "SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "MIN(lag_days) AS min_lag_days, MAX(lag_days) AS max_lag_days, " +
+        "CAST(CASE WHEN SUM(lag_days) < 0 THEN -(abs(SUM(lag_days)) // COUNT(*)) " +
+        "ELSE SUM(lag_days) // COUNT(*) END AS BIGINT) AS mean_lag_days, " +
+        "CAST(SUM(CASE WHEN lag_days <= " + Relational.SlaDays +
+        " THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS sla_ppm " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
 
     // cadence replay: date-difference gaps, floor-div mean
     "order_repeat_interval" ->

@@ -1807,6 +1807,44 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Fulfillment SLA horizon (days), shared with the oracle. */
+  val SlaDays: Long = 30L
+
+  /** FULFILLMENT-LAG SLA AUDIT (round 12) — order-to-ship latency per
+    * priority class, the operations dual of `order_repeat_interval`'s
+    * demand cadence: per priority, exact day lags from the order date
+    * to each line's ship date (min/max/floor-div mean) and the share
+    * shipped within the [[SlaDays]] horizon as integer ppm — the
+    * "are HIGH orders actually faster" readout. One fact-fact
+    * equi-join on the order key (co-keyed at any scale — the q10
+    * shape) + a 5-group map-side-combinable aggregation. */
+  def fulfillmentLag(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("lag_days"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("lag_days")).as("min_lag_days"),
+        max(col("lag_days")).as("max_lag_days"),
+        sum(col("lag_days")).as("sum_lag_days"),
+        sum(when(col("lag_days") <= SlaDays, 1L).otherwise(0L))
+          .as("n_within_sla"))
+      .select(col("priority"), col("n_lines"), col("min_lag_days"),
+        col("max_lag_days"),
+        // sign-split: group lag sums CAN go negative (synthetic or
+        // corrected dates), and floor-vs-truncate differs across
+        // engines on negative division
+        expr("CASE WHEN sum_lag_days < 0 " +
+          "THEN -(abs(sum_lag_days) div n_lines) " +
+          "ELSE sum_lag_days div n_lines END").as("mean_lag_days"),
+        expr("CAST((n_within_sla * 1000000) div n_lines AS BIGINT)")
+          .as("sla_ppm"))
+      .orderBy(col("priority"))
+
   /** Pareto report head sizes, shared with the oracle generator. */
   val ParetoNs: Seq[Int] = Seq(1, 10, 100)
 

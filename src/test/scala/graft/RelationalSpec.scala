@@ -1380,6 +1380,24 @@ class RelationalSpec extends SparkSpec {
     assert(human.getLong(4) == 990000000L / 6L)
   }
 
+  test("fulfillmentLag: exact lags, SLA ppm, negative-mean sign split") {
+    val d = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val ord = Seq((1L, d("2024-01-01"), "1-URGENT"),
+      (2L, d("2024-02-01"), "5-LOW"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, d("2024-01-11")),   // +10 (within SLA)
+      (1L, d("2024-03-01")),   // +60 (outside)
+      (2L, d("2024-01-02")))   // −30 (negative lag)
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Relational.fulfillmentLag(ord, li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out("1-URGENT") == ((2L, 10L, 60L, 35L, 500000L)))
+    // single −30 line: mean must be −30 (truncating sign-split)
+    assert(out("5-LOW") == ((1L, -30L, -30L, -30L, 1000000L)))
+  }
+
   test("repeatInterval: exact day gaps, single-purchase customers " +
     "excluded") {
     val d = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
