@@ -460,6 +460,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "order_pareto" -> ((s, d) =>
       Relational.paretoReport(Tables.orders(s, d))),
 
+    // Type-revenue share (round 12): the TPC-H Q14 shape with the
+    // scaled-denominator ppm (see typeRevenueShare's scaladoc).
+    "q14_type_share" -> ((s, d) =>
+      Relational.typeRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
+
     // Fulfillment-lag SLA audit (round 12): order-to-ship day lags
     // per priority with the ppm SLA share (see fulfillmentLag's
     // scaladoc).
@@ -1222,6 +1227,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM d JOIN m2 USING (event_type) " +
         "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
         "ORDER BY d.event_type"),
+
+    // Q14 replay: centi-cent decimal money, scaled-denominator ppm
+    "q14_type_share" ->
+      ("WITH j AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * 10000 AS BIGINT) AS r, " +
+        "p_type FROM lineitem JOIN part ON l_partkey = p_partkey) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo_lines, " +
+        "CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN r ELSE 0 END) AS DOUBLE) / 10000 AS promo_revenue, " +
+        "CAST(SUM(r) AS DOUBLE) / 10000 AS total_revenue, " +
+        "CAST(CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN r ELSE 0 END) AS BIGINT) // " +
+        "nullif(CAST(SUM(r) AS BIGINT) // 1000000, 0) AS BIGINT) AS promo_ppm " +
+        "FROM j"),
 
     // SLA replay: date-difference lags per priority, ppm share
     "order_fulfillment_lag" ->

@@ -1807,6 +1807,41 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** TYPE-REVENUE SHARE (round 12) — the TPC-H Q14 shape: what share
+    * of discounted revenue a part category drives, the
+    * assortment-planning number. The join is fact-dim on the part key
+    * (co-keyed at scale; the dim carries only (key, type) — two
+    * columns, broadcast when small, co-partitioned when not), the
+    * money is the decimal doctrine (extprice·(1−discount) at scale 4,
+    * ×10⁴ to exact BIGINT "centi-cents"), and the share is integer
+    * ppm of exact units — one row out, no float until the surfaced
+    * revenue casts. */
+  def typeRevenueShare(lineitem: DataFrame, part: DataFrame,
+                       promoType: String = "ECONOMY"): DataFrame = {
+    val rev = (dec2(col("l_extendedprice")) *
+      (lit(BigDecimal(1)).cast(DecimalType(3, 2)) -
+        col("l_discount").cast(DecimalType(3, 2))) * 10000)
+      .cast("long")
+    lineitem.select(col("l_partkey"), rev.as("r"))
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("p_type") === promoType, 1L).otherwise(0L))
+          .as("n_promo_lines"),
+        sum(col("r")).as("total_r"),
+        sum(when(col("p_type") === promoType, col("r")).otherwise(0L))
+          .as("promo_r"))
+      .select(col("n_lines"), col("n_promo_lines"),
+        (col("promo_r").cast("double") / 10000).as("promo_revenue"),
+        (col("total_r").cast("double") / 10000).as("total_revenue"),
+        // ppm via the SCALED-DENOMINATOR form: promo_r·10⁶ overflows
+        // int64 past ~9e12 centi-cents (a few $B of revenue), so divide
+        // the denominator instead — same integer expression on both
+        // engines, exactly replayable, error ≤ 1 ppm by construction
+        expr("promo_r div nullif(total_r div 1000000, 0L)")
+          .as("promo_ppm"))
+  }
+
   /** Fulfillment SLA horizon (days), shared with the oracle. */
   val SlaDays: Long = 30L
 

@@ -1380,6 +1380,17 @@ class RelationalSpec extends SparkSpec {
     assert(human.getLong(4) == 990000000L / 6L)
   }
 
+  test("typeRevenueShare: exact centi-cent money and scaled ppm") {
+    val part = Seq((1L, "ECONOMY"), (2L, "SMALL")).toDF("p_partkey", "p_type")
+    val li = Seq((1L, 100.00, 0.00), (2L, 300.00, 0.00))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val r = Relational.typeRevenueShare(li, part).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 100.0 && r.getDouble(3) == 400.0)
+    // promo_ppm = 1_000_000 div (4_000_000 div 1_000_000) = 250000
+    assert(r.getLong(4) == 250000L)
+  }
+
   test("fulfillmentLag: exact lags, SLA ppm, negative-mean sign split") {
     val d = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
     val ord = Seq((1L, d("2024-01-01"), "1-URGENT"),
