@@ -403,6 +403,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHashNearDupPairs(Tables.documents(s, d), scope = harnessScope)),
 
+    // Candidate-cosine histogram (round 12): the threshold-calibration
+    // audit over the SAME LSH candidate set the embedding gate uses
+    // (see candidateCosHist's scaladoc).
+    "dedup_embedding_cos_hist" -> ((s, d) =>
+      Similarity.candidateCosHist(Tables.embeddings(s, d))),
+
     // Embedding near-dup: all-pairs cosine ≥ 0.4 over integer-quantized
     // vectors (bit-deterministic — full oracle).
     "dedup_embedding" -> ((s, d) =>

@@ -319,6 +319,21 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
 
     "dedup_minhash_est_error" -> sqlMinHashEstError,
 
+    // calibration-histogram replay: uncapped pair enumeration over the
+    // shared bucket CTE (cap never binds at oracle SF — the standing
+    // relationship of every capped dedup oracle), identical IEEE
+    // cosine, floor binning
+    "dedup_embedding_cos_hist" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb FROM bk a " +
+        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        s"s AS (SELECT ${sqlCosFrag("x", "y")} AS cos " +
+        "FROM cand c JOIN n x ON c.va = x.vec_id JOIN n y ON c.vb = y.vec_id) " +
+        "SELECT CAST(floor(cos * 20) AS BIGINT) AS bin, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "MIN(cos) AS cos_min, MAX(cos) AS cos_max " +
+        "FROM s WHERE NOT isnan(cos) GROUP BY 1 ORDER BY 1"),
+
     // band-occupancy replay: shared MinHash front + two aggregations
     "dedup_lsh_band_stats" ->
       (s"WITH $sqlMinHashBandsCtes, " +

@@ -208,6 +208,46 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** CANDIDATE-COSINE HISTOGRAM (round 12) — the threshold-calibration
+    * audit for the embedding near-dup gate: every LSH candidate pair's
+    * exact cosine, binned — the bimodal shape (near-dup mode vs
+    * background mode) and the valley between them is HOW an operator
+    * sets `nearDupPairsLsh`'s threshold on a new corpus, instead of
+    * inheriting 0.4 on faith. Bins are floor(cos·`bins`) over the
+    * bit-identical quantized cosine (identical IEEE ops on identical
+    * integer inputs ⇒ identical bins on any engine); per bin: pair
+    * count and the exact cosine range. Same bounded-bucket candidate
+    * enumeration as the gate itself — the audit can never see a
+    * different candidate set than the operator it calibrates.
+    *
+    * Scale shape: the production candidate path + one
+    * map-side-combinable ≤(2·bins+1)-group aggregation. */
+  def candidateCosHist(emb: DataFrame, tables: Int = 16,
+                       bitsPerTable: Int = 4, maxBucket: Int = 1024,
+                       overflow: BucketOverflow = BucketOverflow.Fail,
+                       bins: Int = 20): DataFrame = {
+    val p = prepared(emb)
+    val b = lshBuckets(p, tables, bitsPerTable)
+    val cand = Dedup.boundedCandidatePairs(
+        b.select(col("vec_id"), col("tbl"), col("bucket")),
+        "vec_id", Seq("tbl", "bucket"), maxBucket, overflow,
+        "candidateCosHist")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    val pa = p.select(col("vec_id").as("vec_a"), col("qv").as("a_qv"),
+      col("nrm").as("a_nrm"))
+    val pb = p.select(col("vec_id").as("vec_b"), col("qv").as("b_qv"),
+      col("nrm").as("b_nrm"))
+    cand.join(pa, Seq("vec_a")).join(pb, Seq("vec_b"))
+      .withColumn("cos",
+        cosine(dotQ(col("a_qv"), col("b_qv")), col("a_nrm"), col("b_nrm")))
+      .filter(defined(col("cos")))
+      .select(floor(col("cos") * bins).cast("long").as("bin"), col("cos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("cos")).as("cos_min"), max(col("cos")).as("cos_max"))
+      .orderBy(col("bin"))
+  }
+
   /** Multi-table random-hyperplane LSH: `tables` independent hash tables
     * of `bitsPerTable` sign bits each, computed in one native-expression
     * pass (graft.functions.SignLshBuckets — deterministic LCG

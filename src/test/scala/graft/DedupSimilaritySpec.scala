@@ -458,6 +458,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("candidateCosHist: parallel pairs land in the top bin, bins " +
+    "bound their cosines") {
+    import spark.implicits._
+    // three IDENTICAL vectors: cos = 1.0 exactly (a scaled copy would
+    // round differently on the ×1000 grid and drop to bin 19)
+    def vec() = Array.tabulate(64)(i => (i + 1) / 64f)
+    val emb = Seq((1L, "a", vec()), (2L, "a", vec()), (3L, "a", vec()))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.candidateCosHist(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    // identical/parallel vectors bucket together in every table → 3
+    // candidate pairs, all at cos = 1.0 → bin floor(20·1.0) = 20
+    assert(out.keySet == Set(20L), s"bins ${out.keySet}")
+    assert(out(20L)._1 == 3L && out(20L)._2 == 1.0 && out(20L)._3 == 1.0)
+    // corpus histogram: every bin's range sits inside [bin/20, bin/20+0.05]
+    val hist = Similarity.candidateCosHist(Tables.embeddings(spark, sf0))
+      .collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      val (bin, mn, mx) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(mn >= bin / 20.0 - 1e-12 && mx < (bin + 1) / 20.0 + 1e-12,
+        s"bin $bin range [$mn,$mx] escapes its bounds")
+    }
+  }
+
   test("minHashEstimatorAudit: identical docs score zero error; corpus " +
     "errors stay in ppm bounds") {
     import spark.implicits._
