@@ -248,6 +248,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.wavRmsWindows(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
+    // Zero-crossing-rate profile (round 12): the voiced/unvoiced
+    // discriminator off the real decode (see wavZeroCrossings'
+    // scaladoc).
+    "multimodal_audio_zcr" -> ((s, d) =>
+      Multimodal.wavZeroCrossings(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
     // Silence-trim/clipping segmentation (round 12): the curation
     // report ON the energy profile — silent/clipped window counts +
     // first/last active window per clip; integer thresholds.
@@ -766,6 +773,24 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "list_transform(range(0, CAST(n AS INT)), i -> (doc_id*37 + i*11) % 65536 - 32768) AS smp " +
         "FROM (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents)) " +
         "ORDER BY doc_id"),
+
+    // ZCR replay over the same analytic PCM: zero samples carry the
+    // previous sign via last_value IGNORE NULLS
+    "multimodal_audio_zcr" ->
+      ("WITH sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i " +
+        "FROM (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents)), " +
+        "sg AS (SELECT doc_id, n, i, CASE " +
+        "WHEN (doc_id*37 + i*11) % 65536 - 32768 > 0 THEN 1 " +
+        "WHEN (doc_id*37 + i*11) % 65536 - 32768 < 0 THEN -1 END AS sgn FROM sm), " +
+        "pv AS (SELECT doc_id, n, sgn, last_value(sgn IGNORE NULLS) OVER " +
+        "(PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev " +
+        "FROM sg), " +
+        "a AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples, " +
+        "CAST(SUM(CASE WHEN sgn IS NOT NULL AND prev IS NOT NULL AND sgn != prev " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings FROM pv GROUP BY 1) " +
+        "SELECT doc_id, n_samples, n_crossings, " +
+        "CAST(CASE WHEN n_samples > 1 THEN n_crossings * 1000000 // (n_samples - 1) " +
+        "ELSE 0 END AS BIGINT) AS zcr_ppm FROM a ORDER BY doc_id"),
 
     // windowed-energy replay over the same analytic PCM
     "multimodal_audio_rms" ->

@@ -481,6 +481,54 @@ object Multimodal {
     * drops or reorders samples fails the compare.
     *
     * Output: (doc_id, win, n_samples, energy, peak), ordered. */
+  /** ZERO-CROSSING-RATE profile (round 12) — the cheapest
+    * voiced/unvoiced/noise discriminator in audio curation (speech
+    * voicing sits low, fricatives and hiss high), next to the energy
+    * profile [[wavRmsWindows]] reads: per clip, the number of SIGN
+    * CHANGES between consecutive samples (zero samples carry the
+    * previous sign — the convention the oracle replays), total
+    * samples, and zcr_ppm = crossings·10⁶ div (n−1) — all exact
+    * integers off the REAL javax.sound decode (format-asserted like
+    * the RMS leg). */
+  def wavZeroCrossings(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_samples", LongType),
+      StructField("n_crossings", LongType), StructField("zcr_ppm", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
+          val data = ais.readAllBytes(); ais.close()
+          require(data.length % 2 == 0,
+            s"odd PCM byte count ${data.length}: truncated int16 stream")
+          val n = data.length / 2
+          var cross = 0L
+          var prevSign = 0 // 0 until the first nonzero sample
+          var i = 0
+          while (i < n) {
+            val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+            val sg = if (s > 0) 1 else if (s < 0) -1 else prevSign
+            if (prevSign != 0 && sg != 0 && sg != prevSign) cross += 1
+            if (sg != 0) prevSign = sg
+            i += 1
+          }
+          val docId = r.getAs[Long]("doc_id")
+          Row(docId, n.toLong, cross,
+            if (n > 1) cross * 1000000L / (n - 1) else 0L)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   def wavRmsWindows(spark: SparkSession, ingested: DataFrame,
                     win: Int = 16): DataFrame = {
     require(win >= 1, s"window must be positive, got $win")

@@ -560,6 +560,35 @@ class MultimodalSpec extends SparkSpec {
       1000L * 12L * 1040400L / 12L)))
   }
 
+  test("wavZeroCrossings: alternation saturates, constants score zero, " +
+    "zero samples carry the previous sign") {
+    import spark.implicits._
+    def wavOf(samples: Seq[Int]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(s => buf.putShort(s.toShort))
+      buf.array()
+    }
+    val alternating = wavOf(Seq.tabulate(10)(i => if (i % 2 == 0) 1000 else -1000))
+    val constant = wavOf(Seq.fill(8)(500))
+    val zeroCarry = wavOf(Seq(5, 0, -5)) // zero carries '+': ONE crossing
+    val df = Seq((1L, alternating), (2L, constant), (3L, zeroCarry))
+      .toDF("doc_id", "media_bytes")
+    val out = Multimodal.wavZeroCrossings(spark, df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((10L, 9L, 1000000L)))
+    assert(out(2L) == ((8L, 0L, 0L)))
+    assert(out(3L) == ((3L, 1L, 500000L)), s"zero-carry ${out(3L)}")
+  }
+
   test("letterboxReport: hand-built bars measured exactly, flat image " +
     "claims all rows") {
     import spark.implicits._
