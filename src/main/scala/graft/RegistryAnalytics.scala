@@ -449,6 +449,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_benford" -> ((s, d) =>
       Relational.benfordAudit(Tables.orders(s, d))),
 
+    // Burst-velocity flag (round 12): max trailing-window event count
+    // per user — the rate-limit face of abuse detection (see
+    // velocityFlag's scaladoc).
+    "event_velocity_flag" -> ((s, d) =>
+      Sessionize.velocityFlag(Tables.events(s, d))),
+
     // Bot/automation detector (round 12): per-user gap-regularity flag
     // in exact µs — metronome gaps mean a script (see botDetect's
     // scaladoc).
@@ -1314,6 +1320,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "n_days*(n_days*sxy - sx*sy)*(x_max + 1)) // " +
         "(n_days*(n_days*sxx - sx*sx))) AS forecast_cents " +
         "FROM s ORDER BY event_type"),
+
+    // velocity replay: the same exact µs RANGE frame, thresholds from
+    // the shared Sessionize.Velocity* constants
+    "event_velocity_flag" ->
+      ("WITH o AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "b AS (SELECT user_id, CAST(COUNT(*) OVER " +
+        "(PARTITION BY user_id ORDER BY us RANGE BETWEEN " +
+        (graft.operators.Sessionize.VelocityWindowUs - 1) +
+        " PRECEDING AND CURRENT ROW) AS BIGINT) AS burst FROM o) " +
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "MAX(burst) AS max_burst, " +
+        "MAX(burst) > " + graft.operators.Sessionize.VelocityBurstMax +
+        " AS is_burst FROM b GROUP BY 1 ORDER BY 1"),
 
     // bot-detector replay: exact µs gaps, floor-div mean, ppm spread;
     // thresholds interpolated from the SAME Sessionize.Bot* constants

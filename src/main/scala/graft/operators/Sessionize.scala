@@ -306,6 +306,40 @@ object Sessionize {
   val BotMinGaps: Long = 5L
   val BotSpreadPpm: Long = 100000L
 
+  /** Velocity-rule defaults, shared with the oracle generator. */
+  val VelocityWindowUs: Long = 300L * 1000000L
+  val VelocityBurstMax: Long = 20L
+
+  /** BURST-VELOCITY FLAG (round 12) — the rate-limit face of abuse
+    * detection, complementary to [[botDetect]]'s regularity face: a
+    * scraper that randomizes its gaps beats the metronome test but
+    * still has to move VOLUME, and "more than N events in any M-minute
+    * window" is the classic velocity rule. Per user: total events and
+    * the MAXIMUM trailing-window event count (an exact µs RANGE frame
+    * (t−M, t] evaluated at every event — the true sliding maximum, not
+    * a tumbling approximation), flagged when it exceeds
+    * [[VelocityBurstMax]]. All integers; the range frame is per-user,
+    * never unpartitioned.
+    *
+    * Scale shape: one per-user window pass + one map-side-combinable
+    * aggregation — the `botDetect` shape with a range frame. */
+  def velocityFlag(events: DataFrame,
+                   windowUs: Long = VelocityWindowUs,
+                   burstMax: Long = VelocityBurstMax): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-(windowUs - 1), 0)
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("burst")).as("max_burst"))
+      .withColumn("is_burst", col("max_burst") > lit(burstMax))
+      .orderBy(col("user_id"))
+  }
+
   /** BOT / AUTOMATION DETECTOR (round 12) — the abuse-filtering face of
     * the gap analysis: humans are bursty, schedulers are metronomes, so
     * a user whose inter-event gaps barely vary is overwhelmingly a

@@ -1353,6 +1353,27 @@ class RelationalSpec extends SparkSpec {
       p.length < 2 || p(0) >= p(1)), "not sorted by price desc")
   }
 
+  test("velocityFlag: trailing-window burst counted exactly at the " +
+    "boundary, spread-out user unflagged") {
+    import graft.operators.Sessionize
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(u: Long, offMs: Long) =
+      (new java.sql.Timestamp(t0 + offMs), u)
+    // user 1: 22 events inside one 5-min window → burst 22 > 20
+    // user 2: 22 events spaced 6 min apart → every window holds 1
+    // boundary check: an event exactly windowUs later is OUTSIDE (t−M, t]
+    val rows = (0 until 22).map(i => ev(1L, i * 1000L)) ++
+      (0 until 22).map(i => ev(2L, i * 360000L)) ++
+      Seq(ev(3L, 0L), ev(3L, Sessionize.VelocityWindowUs / 1000L))
+    val out = Sessionize.velocityFlag(rows.toDF("ts", "user_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(out(1L) == ((22L, 22L, true)))
+    assert(out(2L) == ((22L, 1L, false)))
+    // the +300s event must NOT see the t=0 event in its trailing window
+    assert(out(3L) == ((2L, 1L, false)), s"boundary ${out(3L)}")
+  }
+
   test("botDetect: metronome flagged, bursty human not, thin users gated") {
     import graft.operators.Sessionize
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
