@@ -18,6 +18,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCount(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Character-class profile (round 12): per-source composition
+    // fingerprint, tiling classes, ppm shares (see charClassProfile's
+    // scaladoc).
+    "corpus_char_profile" -> ((s, d) =>
+      TextAnalysis.charClassProfile(Tables.documents(s, d))),
+
     // Language-ID confidence audit (round 12): margin mass and tie
     // counts from the detector's own scores (see langIdMargin's
     // scaladoc).
@@ -498,6 +504,21 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "FROM documents ORDER BY doc_id"),
 
     "text_langid" -> sqlLangId,
+
+    // char-class replay: regexp counts per class, other = remainder
+    "corpus_char_profile" ->
+      ("WITH k AS (SELECT source, CAST(length(text) AS BIGINT) AS c, " +
+        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS l, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS d, " +
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS s " +
+        "FROM documents) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(c) AS BIGINT) AS n_chars, CAST(SUM(l) AS BIGINT) AS n_letters, " +
+        "CAST(SUM(d) AS BIGINT) AS n_digits, CAST(SUM(s) AS BIGINT) AS n_spaces, " +
+        "CAST(SUM(c) - SUM(l) - SUM(d) - SUM(s) AS BIGINT) AS n_other, " +
+        "CAST(SUM(l) * 1000000 // nullif(SUM(c), 0) AS BIGINT) AS letter_ppm, " +
+        "CAST((SUM(c) - SUM(l) - SUM(d) - SUM(s)) * 1000000 // nullif(SUM(c), 0) AS BIGINT) AS other_ppm " +
+        "FROM k GROUP BY 1 ORDER BY 1"),
     "text_langid_margin" -> sqlLangIdMargin,
 
     "tokenizer_unigram" -> sqlUnigram,

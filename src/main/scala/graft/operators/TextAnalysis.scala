@@ -163,6 +163,37 @@ object TextAnalysis {
       pred.as("pred_lang"))
   }
 
+  /** CHARACTER-CLASS PROFILE (round 12) — encoding/content forensics
+    * per source: the letter/digit/space/other composition of a feed is
+    * its fingerprint, and a drifting share (digits spiking → log spam;
+    * "other" spiking → mojibake or markup leakage) is the earliest
+    * cheap signal a source changed under you. Exact per-class counts
+    * from three regexp passes (other = total − the named classes, so
+    * the four classes TILE every character by construction) and
+    * integer ppm shares. One narrow codegen pass + a per-source
+    * map-side-combinable aggregation. */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    val nAll = length(col("text")).cast("long")
+    val nLet = regexp_count(col("text"), lit("[a-zA-Z]")).cast("long")
+    val nDig = regexp_count(col("text"), lit("[0-9]")).cast("long")
+    val nSpc = regexp_count(col("text"), lit(" ")).cast("long")
+    docs.select(col("source"), nAll.as("c"), nLet.as("l"), nDig.as("d"),
+        nSpc.as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_chars"),
+        sum(col("l")).as("n_letters"), sum(col("d")).as("n_digits"),
+        sum(col("s")).as("n_spaces"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_letters"), col("n_digits"), col("n_spaces"),
+        (col("n_chars") - col("n_letters") - col("n_digits") -
+          col("n_spaces")).as("n_other"),
+        expr("CAST((n_letters * 1000000) div nullif(n_chars, 0L) AS BIGINT)")
+          .as("letter_ppm"),
+        expr("CAST(((n_chars - n_letters - n_digits - n_spaces) * 1000000) " +
+          "div nullif(n_chars, 0L) AS BIGINT)").as("other_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** LANGUAGE-ID CONFIDENCE AUDIT (round 12) — how much to trust the
     * detector: argmax language ID is only as good as its MARGIN, and a
     * corpus routed to per-language pipelines on tied or one-marker

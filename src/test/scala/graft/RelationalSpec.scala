@@ -1478,6 +1478,22 @@ class RelationalSpec extends SparkSpec {
     assert(down.getLong(5) == -100000L && down.getLong(6) == 0L)
   }
 
+  test("charClassProfile: classes tile the text exactly, ppm floors") {
+    val docs = Seq(
+      (1L, "ab 12!", "s1"),   // 2 letters, 2 digits, 1 space, 1 other
+      (2L, "xyz", "s1"),      // 3 letters
+      (3L, "...", "s2"))      // 3 other
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.charClassProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(4),
+      s1.getLong(5), s1.getLong(6)) == ((2L, 9L, 5L, 2L, 1L, 1L)))
+    assert(s1.getLong(7) == 5L * 1000000L / 9L)
+    val s2 = out("s2")
+    assert(s2.getLong(6) == 3L && s2.getLong(8) == 1000000L)
+  }
+
   test("langIdMargin: ties counted as no-signal, strict wins carry " +
     "margin mass, markerless docs route to unknown") {
     val docs = Seq(
