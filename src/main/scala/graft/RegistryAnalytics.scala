@@ -466,6 +466,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "order_pareto" -> ((s, d) =>
       Relational.paretoReport(Tables.orders(s, d))),
 
+    // Welch's t-squared (round 12): exact integer accumulations + the
+    // SHARED fixed-order double tail (see welchT2's scaladoc).
+    "stats_welch_t2" -> ((s, d) =>
+      Relational.welchT2(Tables.events(s, d))),
+
     // Type-revenue share (round 12): the TPC-H Q14 shape with the
     // scaled-denominator ppm (see typeRevenueShare's scaladoc).
     "q14_type_share" -> ((s, d) =>
@@ -1233,6 +1238,20 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM d JOIN m2 USING (event_type) " +
         "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
         "ORDER BY d.event_type"),
+
+    // Welch replay: the SAME exact sums and the VERBATIM shared tail
+    "stats_welch_t2" ->
+      ("WITH g AS (SELECT " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS BIGINT) AS s_a, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS BIGINT) AS q_a, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS BIGINT) AS s_b, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS BIGINT) AS q_b " +
+        "FROM events WHERE event_type IN ('click', 'purchase')) " +
+        "SELECT n_a, n_b, s_a, s_b, " +
+        Relational.WelchTail("mean_diff_cents") + " AS mean_diff_cents, " +
+        Relational.WelchTail("t2") + " AS t2 FROM g"),
 
     // Q14 replay: centi-cent decimal money, scaled-denominator ppm
     "q14_type_share" ->

@@ -1807,6 +1807,52 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** WELCH'S TWO-SAMPLE t² (round 12) — "are these two value
+    * distributions actually different": the A/B readout that, unlike
+    * `event_ab_test`'s effect summary, carries its own significance
+    * statistic; Welch's (unequal-variance) form because real event
+    * segments never share a variance. The [[groupedCorrelation]]
+    * doctrine applied once more: every ACCUMULATION is an exact
+    * integer (per-group n, Σcents, Σcents²) so the result is
+    * partition-order-insensitive, and the final t² is one fixed-order
+    * double expression over those exacts — the same operation tree on
+    * both engines, bit-identical. Means/variances/t² never touch a
+    * running float sum. ONE row out; a group with n < 2 yields the
+    * IEEE result of the shared tree (both engines agree by
+    * construction). */
+  def welchT2(events: DataFrame, typeA: String = "click",
+              typeB: String = "purchase"): DataFrame = {
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val t = col("event_type")
+    events.filter(t === typeA || t === typeB)
+      .select(t.as("ty"), cents.as("c"))
+      .agg(
+        sum(when(col("ty") === typeA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("ty") === typeA, col("c"))).as("s_a"),
+        sum(when(col("ty") === typeA, col("c") * col("c"))).as("q_a"),
+        sum(when(col("ty") === typeB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("ty") === typeB, col("c"))).as("s_b"),
+        sum(when(col("ty") === typeB, col("c") * col("c"))).as("q_b"))
+      .select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+        expr(WelchTail("mean_diff_cents")).as("mean_diff_cents"),
+        expr(WelchTail("t2")).as("t2"))
+  }
+
+  /** The SHARED fixed-order double tail of [[welchT2]] — one SQL text,
+    * interpolated verbatim into both the engine expression and the
+    * DuckDB oracle, so the operation tree cannot diverge. */
+  private[graft] def WelchTail(what: String): String = {
+    val ma = "(CAST(s_a AS DOUBLE) / n_a)"
+    val mb = "(CAST(s_b AS DOUBLE) / n_b)"
+    val va = "((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a) / (n_a - 1))"
+    val vb = "((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b) / (n_b - 1))"
+    what match {
+      case "mean_diff_cents" => s"$ma - $mb"
+      case "t2" =>
+        s"(($ma - $mb) * ($ma - $mb)) / ($va / n_a + $vb / n_b)"
+    }
+  }
+
   /** TYPE-REVENUE SHARE (round 12) — the TPC-H Q14 shape: what share
     * of discounted revenue a part category drives, the
     * assortment-planning number. The join is fact-dim on the part key

@@ -1401,6 +1401,19 @@ class RelationalSpec extends SparkSpec {
     assert(human.getLong(4) == 990000000L / 6L)
   }
 
+  test("welchT2: hand-computed t-squared on equal-variance groups") {
+    val ev = Seq(("click", 1.00), ("click", 3.00),
+      ("purchase", 5.00), ("purchase", 7.00))
+      .toDF("event_type", "value")
+    val r = Relational.welchT2(ev).collect().head
+    // cents: A {100,300} m=200 var=20000; B {500,700} m=600 var=20000
+    // t² = 400² / (20000/2 + 20000/2) = 8.0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 400L, 1200L)))
+    assert(r.getDouble(4) == -400.0)
+    assert(r.getDouble(5) == 8.0, s"t2 ${r.getDouble(5)}")
+  }
+
   test("typeRevenueShare: exact centi-cent money and scaled ppm") {
     val part = Seq((1L, "ECONOMY"), (2L, "SMALL")).toDF("p_partkey", "p_type")
     val li = Seq((1L, 100.00, 0.00), (2L, 300.00, 0.00))
