@@ -48,6 +48,23 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "sim_recall_report" -> ((s, d) =>
       Similarity.recallReport(Tables.embeddings(s, d))),
 
+    // Trained-index recall (round 12): the SAME audit over the SERVED
+    // IVF plan — the memoized persisted quantizer, so the measured
+    // recall is exactly what production serves.
+    "sim_recall_report_ivf" -> ((s, d) => {
+      val dir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivf_centroids_")
+        Similarity.saveCentroids(
+          Similarity.trainCentroids(
+            Similarity.prepared(Tables.embeddings(s, d)), nlist = 16,
+            iters = 2), tmp)
+        tmp
+      })
+      Similarity.recallRows(Tables.embeddings(s, d), Seq(
+        "ivf_served" -> Similarity.ivfTopKWith(Tables.embeddings(s, d),
+          Similarity.loadCentroids(s, dir))))
+    }),
+
     // k-NN SELF-join (round 8): every vector's k nearest via the LSH
     // bucket scheme — bounded-bucket candidates, both orientations,
     // shuffle equi-joins, partial top-k. Nothing broadcasts the corpus.
@@ -578,6 +595,25 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
         s"SELECT q_id, rank, n_id, cos FROM r WHERE rank <= ${Similarity.LshK} ORDER BY q_id, rank"),
+
+    // trained-index recall replay: brute force + the FULL unrolled-
+    // training IVF statement as a scoped subquery (its WITH chain
+    // shadows locally)
+    "sim_recall_report_ivf" ->
+      (s"WITH $sqlQuantCte, " +
+        "bfs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        s"${sqlCosFrag("q", "c")} AS cos " +
+        s"FROM n q JOIN n c ON q.vec_id < ${Similarity.LshNQueries} AND c.vec_id != q.vec_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        s"FROM bfs WHERE NOT isnan(cos)) WHERE rank <= ${Similarity.LshK}), " +
+        s"iv AS (SELECT q_id, n_id FROM ($sqlIvfTrained) z), " +
+        "g AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_possible FROM bf), " +
+        "h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM iv JOIN bf USING (q_id, n_id)) " +
+        "SELECT 'ivf_served' AS method, g.n_queries, g.n_possible, h.n_hits, " +
+        "CAST(h.n_hits * 1000000 // nullif(g.n_possible, 0) AS BIGINT) AS recall_ppm " +
+        "FROM g, h"),
 
     // recall audit replay: brute-force ground truth + BOTH LSH candidate
     // chains from the shared CTE fragments, intersected and reduced to

@@ -555,10 +555,22 @@ object Similarity {
     * broadcast left-semi join onto bounded frames. The only
     * corpus-sized work is the legs themselves. */
   def recallReport(emb: DataFrame, nQueries: Int = LshNQueries,
-                   k: Int = LshK): DataFrame = {
+                   k: Int = LshK): DataFrame =
+    recallRows(emb, Seq(
+      "lsh" -> annTopK(emb, nQueries, k),
+      "lsh_multiprobe" -> annTopKMultiProbe(emb, nQueries, k)),
+      nQueries, k)
+
+  /** The recall-audit core with pluggable ANN legs — `sim_recall_report`
+    * audits the self-contained LSH family; the trained-index key passes
+    * the SERVED IVF plan so the audit measures exactly what production
+    * serves. */
+  def recallRows(emb: DataFrame, legs: Seq[(String, DataFrame)],
+                 nQueries: Int = LshNQueries, k: Int = LshK): DataFrame = {
     val ground = bruteForceTopK(emb, nQueries, k)
       .select(col("q_id"), col("n_id"))
-      // three consumers below — materialize the bounded frame once
+      // every leg plus the count frame reads it — materialize the
+      // bounded frame once
       .localCheckpoint(true)
     val g = ground.agg(count_distinct(col("q_id")).as("n_queries"),
       count(lit(1)).as("n_possible"))
@@ -567,8 +579,8 @@ object Similarity {
         .join(broadcast(ground), Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"), col("n_hits"))
-    leg("lsh", annTopK(emb, nQueries, k))
-      .unionByName(leg("lsh_multiprobe", annTopKMultiProbe(emb, nQueries, k)))
+    legs.map { case (n, d) => leg(n, d) }
+      .reduce(_ unionByName _)
       .crossJoin(broadcast(g))
       .select(col("method"), col("n_queries"), col("n_possible"),
         col("n_hits"),

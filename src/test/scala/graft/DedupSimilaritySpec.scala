@@ -458,6 +458,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("recallRows with a served-IVF leg: ppm equals the recomputed " +
+    "intersection") {
+    val cent = Similarity.trainCentroids(Similarity.prepared(emb),
+      nlist = 16, iters = 2)
+    val ivf = Similarity.ivfTopKWith(emb, cent)
+    val row = Similarity.recallRows(emb, Seq("ivf_served" -> ivf))
+      .collect().head
+    val bf = Similarity.bruteForceTopK(emb).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val iv = ivf.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(row.getString(0) == "ivf_served")
+    assert(row.getLong(3) == (bf & iv).size.toLong)
+    assert(row.getLong(4) == row.getLong(3) * 1000000L / row.getLong(2))
+  }
+
   test("candidateCosHist: parallel pairs land in the top bin, bins " +
     "bound their cosines") {
     import spark.implicits._
