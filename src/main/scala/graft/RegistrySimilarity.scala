@@ -334,6 +334,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // dHash's gradients — fixed-point integer DCT basis + nearest-rank
     // AC median, so every bit replays in the oracle; engine side still
     // decodes the real BMP bytes through ImageIO.
+    // pHash Hamming pairs (round 12): the documented second pass —
+    // band-exact pigeonhole + exact bit_count verify (see
+    // phashNearDupPairs' scaladoc).
+    "multimodal_phash_pairs" -> ((s, d) =>
+      Multimodal.phashNearDupPairs(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     "multimodal_phash" -> ((s, d) =>
       Multimodal.phashDedup(s, Multimodal.ingestBmp(Tables.documents(s, d))))
   )
@@ -978,29 +985,52 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // basis integers the engine's table holds (embedded as one literal
     // list — drift is impossible), nearest-rank AC median, band bits,
     // exact-fingerprint grouping.
-    "multimodal_phash" -> {
-      val ct = graft.operators.Multimodal.dctTable.flatten.mkString("[", ", ", "]")
-      "WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 4 AS h FROM documents), " +
-        s"ctab AS (SELECT $ct AS ct), " +
-        "grid AS (SELECT doc_id, list_transform(range(0,64), gi -> " +
-        "(doc_id*31 + ((((gi // 8) * h) // 8) * w + (((gi % 8) * w) // 8)) * 7) % 256) AS g FROM dims), " +
-        "fc AS (SELECT doc_id, list_transform(range(0,64), i -> " +
-        "list_sum(list_transform(range(0,64), rc -> " +
-        "g[rc + 1] * ct[(i // 8) * 8 + (rc // 8) + 1] * ct[(i % 8) * 8 + (rc % 8) + 1]" +
-        "))) AS f FROM grid, ctab), " +
-        "fm AS (SELECT doc_id, f, list_sort(f[2:64])[32] AS med FROM fc), " +
-        "bands AS (SELECT doc_id, " +
-        (0 until 4).map { k =>
-          s"CAST(list_sum(list_transform(range(0,16), j -> " +
-            s"CASE WHEN (${16 * k} + j) != 0 AND f[${16 * k} + j + 1] > med " +
-            s"THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS p$k"
-        }.mkString(", ") +
-        ", CAST(med AS BIGINT) AS median_ac FROM fm), " +
+    "multimodal_phash" -> (
+      s"WITH $sqlPhashBandsCtes, " +
         "grp AS (SELECT p0, p1, p2, p3, MIN(doc_id) AS canon, COUNT(*) AS group_n " +
         "FROM bands GROUP BY 1, 2, 3, 4) " +
         "SELECT doc_id, p0, p1, p2, p3, median_ac, canon, group_n, " +
         "doc_id = canon AS is_canonical " +
-        "FROM bands JOIN grp USING (p0, p1, p2, p3) ORDER BY doc_id"
-    }
+        "FROM bands JOIN grp USING (p0, p1, p2, p3) ORDER BY doc_id"),
+
+    // pHash Hamming pairs (round 12): the "second pass over survivors"
+    // the dHash/pHash docs promise — band-exact pigeonhole candidates
+    // + exact bit_count Hamming verify, same constants
+    "multimodal_phash_pairs" -> (
+      s"WITH $sqlPhashBandsCtes, " +
+        "cand AS (SELECT DISTINCT doc_a, doc_b FROM (" +
+        (0 until 4).map { k =>
+          s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+            s"JOIN bands b ON a.p$k = b.p$k AND a.doc_id < b.doc_id"
+        }.mkString(" UNION ALL ") + ")), " +
+        "hv AS (SELECT c.doc_a, c.doc_b, CAST(" +
+        (0 until 4).map(k => s"bit_count(xor(x.p$k, y.p$k))").mkString(" + ") +
+        " AS BIGINT) AS hamming FROM cand c " +
+        "JOIN bands x ON c.doc_a = x.doc_id JOIN bands y ON c.doc_b = y.doc_id) " +
+        s"SELECT doc_a, doc_b, hamming FROM hv WHERE hamming <= ${graft.operators.Multimodal.PhashMaxHamming} " +
+        "ORDER BY doc_a, doc_b")
   )
+
+  /** Shared pHash front (analytic grid → fixed-point DCT → median →
+    * 4×16-bit bands) — consumed by the group oracle and the Hamming
+    * pair oracle. */
+  private def sqlPhashBandsCtes: String = {
+    val ct = graft.operators.Multimodal.dctTable.flatten.mkString("[", ", ", "]")
+    "dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 4 AS h FROM documents), " +
+      s"ctab AS (SELECT $ct AS ct), " +
+      "grid AS (SELECT doc_id, list_transform(range(0,64), gi -> " +
+      "(doc_id*31 + ((((gi // 8) * h) // 8) * w + (((gi % 8) * w) // 8)) * 7) % 256) AS g FROM dims), " +
+      "fc AS (SELECT doc_id, list_transform(range(0,64), i -> " +
+      "list_sum(list_transform(range(0,64), rc -> " +
+      "g[rc + 1] * ct[(i // 8) * 8 + (rc // 8) + 1] * ct[(i % 8) * 8 + (rc % 8) + 1]" +
+      "))) AS f FROM grid, ctab), " +
+      "fm AS (SELECT doc_id, f, list_sort(f[2:64])[32] AS med FROM fc), " +
+      "bands AS (SELECT doc_id, " +
+      (0 until 4).map { k =>
+        s"CAST(list_sum(list_transform(range(0,16), j -> " +
+          s"CASE WHEN (${16 * k} + j) != 0 AND f[${16 * k} + j + 1] > med " +
+          s"THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS p$k"
+      }.mkString(", ") +
+      ", CAST(med AS BIGINT) AS median_ac FROM fm)"
+  }
 }

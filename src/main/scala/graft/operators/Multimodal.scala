@@ -1313,6 +1313,67 @@ object Multimodal {
     * the hash for exact-fingerprint grouping, canonical = min doc_id.
     * Output: (doc_id, p0..p3, median_ac, canon, group_n, is_canonical),
     * ordered. */
+  /** Hamming verify threshold for [[phashNearDupPairs]], shared with
+    * the oracle generator. Pigeonhole: ≤ 3 differing bits over 4
+    * bands guarantees at least one band matches exactly — the Manku
+    * block-combination argument at its simplest split. */
+  val PhashMaxHamming: Int = 3
+
+  /** pHash HAMMING NEAR-DUP PAIRS (round 12) — the "second pass over
+    * survivors" the exact-hash grouping keys (`multimodal_dhash`,
+    * `multimodal_phash`) document: re-encodes, mild crops and noise
+    * flip a FEW spectrum bits, so the near-dup relation needs
+    * Hamming ≤ [[PhashMaxHamming]], not equality. Candidates by the
+    * band-exact pigeonhole (any ≤3-bit pair shares one of the 4
+    * 16-bit bands verbatim — recall 1 by construction), enumerated
+    * through the shared bounded-bucket machinery (a re-encode farm's
+    * identical band is the hot bucket being bounded), then the exact
+    * bit_count Hamming verify. Real decode; the analytic oracle
+    * replays candidates AND verify bit-for-bit.
+    *
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, ordered. */
+  def phashNearDupPairs(spark: SparkSession, ingested: DataFrame,
+                        maxHamming: Int = PhashMaxHamming,
+                        maxBucket: Int = 1024,
+                        overflow: graft.operators.BucketOverflow =
+                          graft.operators.BucketOverflow.Fail): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("p0", LongType), StructField("p1", LongType),
+      StructField("p2", LongType), StructField("p3", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val sigs = ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val (b, _) = phashBands(img)
+          Row(r.getAs[Long]("doc_id"), b(0), b(1), b(2), b(3))
+        }
+      }(enc).toDF().localCheckpoint()
+    val keyed = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(k => col(s"p$k")): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = Dedup.boundedCandidatePairs(keyed, "doc_id",
+      Seq("band", "bucket"), maxBucket, overflow, "phashNearDupPairs")
+    val a = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 4).map(k => col(s"p$k").as(s"a$k")): _*)
+    val b = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 4).map(k => col(s"p$k").as(s"b$k")): _*)
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("hamming",
+        (0 until 4).map(k =>
+          bit_count(col(s"a$k").bitwiseXOR(col(s"b$k"))).cast("long"))
+          .reduce(_ + _))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def phashDedup(spark: SparkSession, ingested: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),

@@ -560,6 +560,33 @@ class MultimodalSpec extends SparkSpec {
       1000L * 12L * 1040400L / 12L)))
   }
 
+  test("phashNearDupPairs: exact-hash groups surface at hamming 0, " +
+    "bound holds, repartition-invariant") {
+    val docs = Tables.documents(spark, sf0)
+    val ing = Multimodal.ingestBmp(docs)
+    val pairs = Multimodal.phashNearDupPairs(spark, ing).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.nonEmpty)
+    assert(pairs.values.forall(h => h >= 0L && h <= 3L))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    // every same-hash pair from the exact grouping key must appear at
+    // hamming 0 (the pair relation refines the grouping, never misses)
+    val groups = Multimodal.phashDedup(spark, ing).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+      .groupBy(_._2).values.filter(_.length >= 2)
+    groups.foreach { g =>
+      val ids = g.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        assert(pairs.get((ids(i), ids(j))).contains(0L),
+          s"exact-group pair (${ids(i)},${ids(j)}) missing or nonzero")
+    }
+    val re = Multimodal.phashNearDupPairs(spark,
+      Multimodal.ingestBmp(docs.repartition(7))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(re == pairs)
+  }
+
   test("wavZeroCrossings: alternation saturates, constants score zero, " +
     "zero samples carry the previous sign") {
     import spark.implicits._
