@@ -216,6 +216,18 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "sink_txn_batch" -> ((s, d) =>
       SinkOps.txnBatchRoundTrip(s, Tables.events(s, d))),
 
+    // EXPORT-CONDUIT parity (round 12): the reference's own streaming
+    // lifecycle replayed as a multi-micro-batch file stream through
+    // the production exportStream path, landed batches summarized
+    // under sink_txn_batch's oracle (see exportParityReplay's
+    // scaladoc).
+    "stream_export_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_export_")
+      graft.streaming.StreamingExport.exportParityReplay(
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 5)
+    }),
+
     // A14b sink_catalog_orc: the reference's true sink contract — a
     // partitioned ORC METASTORE table (README.md:77 requires ORC) written
     // via saveAsTable/insertInto, read back through the catalog. Same
@@ -436,6 +448,13 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
         "GROUP BY 1 ORDER BY writer_id"),
 
     "sink_txn_batch" ->
+      (s"SELECT event_type, COUNT(*) AS n_rows, MIN(j) AS first_payload " +
+        s"FROM (SELECT ${sqlSentinel("event_type")} AS event_type, $sqlEventsPayload AS j FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    // exactly-once across batch commits + byte-identical payload
+    // encoding — the shared statement IS the conduit parity claim
+    "stream_export_parity" ->
       (s"SELECT event_type, COUNT(*) AS n_rows, MIN(j) AS first_payload " +
         s"FROM (SELECT ${sqlSentinel("event_type")} AS event_type, $sqlEventsPayload AS j FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),

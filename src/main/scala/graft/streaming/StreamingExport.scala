@@ -49,6 +49,52 @@ object StreamingExport {
       .start()
   }
 
+  /** END-TO-END export-conduit parity replay (round 12) — the NINTH
+    * streaming module under the driver's full oracle, and the one that
+    * IS the reference's whole reason to exist: the events relation
+    * laid out as `nFiles` time-ranged parquet files, replayed with
+    * `maxFilesPerTrigger=1` through the production [[exportStream]]
+    * path (observed metrics + route + exactly-once per-batch
+    * partitioned commits), then ALL landed batches read back and
+    * summarized with the batch sink's own fidelity reduction — sharing
+    * `sink_txn_batch`'s oracle verbatim. What the key pins: every
+    * event routed EXACTLY ONCE across the batch commits (a double
+    * commit or a dropped batch breaks the counts), and the payload
+    * encoding identical to the batch path byte-for-byte (min payload
+    * per partition is arrival-order-independent).
+    *
+    * Scale shape: the replay is the production conduit plan; the split
+    * is one bounded repartitionByRange write. */
+  def exportParityReplay(events: DataFrame, srcDir: String,
+                         outDir: String, checkpointDir: String,
+                         nFiles: Int = 5): DataFrame = {
+    require(nFiles >= 2, s"need >= 2 files for a multi-batch replay: $nFiles")
+    val spark = events.sparkSession
+    events.repartitionByRange(nFiles, col("ts"))
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = exportStream(stream, Seq("event_type"), outDir, checkpointDir)
+    q.awaitTermination()
+    val dir = new java.io.File(outDir)
+    if (!dir.exists())
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("first_payload",
+            org.apache.spark.sql.types.StringType))))
+    spark.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("payload_json")).as("first_payload"))
+      .orderBy(col("event_type"))
+  }
+
   /** The idempotent per-batch commit: same (batch, batchId) written twice
     * lands in the same directory with overwrite — replay-safe. Exposed
     * for direct testing. */
