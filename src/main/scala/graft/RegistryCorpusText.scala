@@ -183,6 +183,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d))),
 
+    // Packing-efficiency audit (round 12): fill rate vs the optimal
+    // bin count over the same assignment (see packEfficiency's
+    // scaladoc).
+    "seq_pack_efficiency" -> ((s, d) =>
+      Corpus.packEfficiency(Tables.documents(s, d))),
+
     // Stride/overlap token-window chunking: 32-token windows every 24
     // tokens — purely narrow (posexploded per-row sequence, no shuffle).
     "doc_chunk" -> ((s, d) =>
@@ -677,6 +683,22 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
 
     // DuckDB's windowed SUM(BIGINT) widens to HUGEINT — cast the derived
     // columns back to BIGINT so the hash path sees int64 on both engines.
+    // tail-pad + straddle replay over the same running-sum assignment
+    "seq_pack_efficiency" ->
+      ("WITH p AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens, " +
+        "SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM documents), " +
+        "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN n_tokens > 0 AND " +
+        "(cum_tokens - n_tokens) // 512 != (cum_tokens - 1) // 512 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle FROM p GROUP BY 1) " +
+        "SELECT source, n_docs, n_tokens, n_straddle, " +
+        "CAST((n_tokens + 511) // 512 AS BIGINT) AS n_seqs, " +
+        "CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS BIGINT) AS tail_pad_tokens, " +
+        "CAST(n_tokens * 1000000 // nullif(((n_tokens + 511) // 512) * 512, 0) AS BIGINT) AS fill_ppm " +
+        "FROM a ORDER BY source"),
+
     "seq_pack" ->
       ("SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
         "CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS seq_id FROM (" +

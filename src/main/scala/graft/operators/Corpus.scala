@@ -103,6 +103,44 @@ object Corpus {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** PACKING-EFFICIENCY AUDIT (round 12) — the training-batch numbers
+    * behind [[packSequences]]' CONTIGUOUS packing (documents
+    * concatenated per source shard and split at seqLen boundaries —
+    * no inter-document padding by construction): per source, the
+    * sequences the stream produces (ceil(tokens/seqLen)), the
+    * tail-padding tokens of the final partial sequence (the only
+    * capacity this scheme wastes — fill_ppm reads its share), and
+    * n_straddle — documents CROSSING a sequence boundary, the rows a
+    * trainer must handle with attention-mask resets or lose to
+    * cross-document attention bleed. All exact integers over the SAME
+    * running-sum assignment the `seq_pack` key ships. */
+  def packEfficiency(docs: DataFrame, seqLen: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("n_tokens"),
+        // a doc straddles when its first and last token land in
+        // different seqLen bins (empty docs never straddle)
+        (col("n_tokens") > 0 &&
+          expr(s"(cum_tokens - n_tokens) div $seqLen") =!=
+            expr(s"(cum_tokens - 1) div $seqLen")).as("straddle"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("straddle"), 1L).otherwise(0L)).as("n_straddle"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_straddle"),
+        expr(s"(n_tokens + ${seqLen - 1}) div $seqLen").as("n_seqs"),
+        expr(s"((n_tokens + ${seqLen - 1}) div $seqLen) * $seqLen - n_tokens")
+          .as("tail_pad_tokens"),
+        expr(s"CAST((n_tokens * 1000000) div nullif(" +
+          s"((n_tokens + ${seqLen - 1}) div $seqLen) * $seqLen, 0L) AS BIGINT)")
+          .as("fill_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Stride/overlap token-window chunking — the step between whole
     * documents and an embedding or context-window pipeline: windows of
     * `chunkSize` whitespace tokens starting every `stride` tokens

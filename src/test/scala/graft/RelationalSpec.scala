@@ -1401,6 +1401,17 @@ class RelationalSpec extends SparkSpec {
     assert(human.getLong(4) == 990000000L / 6L)
   }
 
+  test("packEfficiency: straddle and tail-pad counted exactly") {
+    import graft.operators.Corpus
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words(300), "s1"), (2L, words(300), "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.packEfficiency(docs).collect().head
+    // 600 tokens: 2 sequences of 512, tail pad 424, doc 2 straddles
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((2L, 600L, 1L, 2L, 424L, 585937L)), r)
+  }
+
   test("welchT2: hand-computed t-squared on equal-variance groups") {
     val ev = Seq(("click", 1.00), ("click", 3.00),
       ("purchase", 5.00), ("purchase", 7.00))
