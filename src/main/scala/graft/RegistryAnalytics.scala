@@ -549,6 +549,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Graph.components(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
+    // k-core extraction (round 12): fixed-round peel with a loud
+    // in-plan convergence gate (see kCore's scaladoc).
+    "graph_kcore" -> ((s, d) =>
+      Graph.kCore(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // Degree assortativity (round 12): the hub-mixing audit as an
     // exact integer ratio — symmetry collapses Pearson's sqrt (see
     // assortativity's scaladoc).
@@ -1551,6 +1557,29 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(15 * 1000000000000) // (100 * n_nodes) + (85 * COALESCE(contrib, 0)) // 100 AS pr " +
         "FROM r1 LEFT JOIN c2 ON r1.part = c2.dst) " +
         "SELECT part, deg, pr FROM r2 ORDER BY pr DESC, part LIMIT 30"),
+
+    // k-core replay: the peel chain is GENERATED for the same
+    // Graph.KCore* geometry the engine unrolls
+    "graph_kcore" -> {
+      // AS MATERIALIZED on every generated CTE: DuckDB otherwise
+      // inlines the chain and re-opens the parquet per reference
+      // ("Too many open files" — the unigram-oracle lesson)
+      val front =
+        "WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+          "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), "
+      val steps = (1 to Graph.KCoreRounds).map { i =>
+        s"d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (" +
+          s"SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1), " +
+          s"k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= ${Graph.KCoreK}), " +
+          s"e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e " +
+          s"JOIN k$i x ON e.a = x.node JOIN k$i y ON e.b = y.node)"
+      }.mkString(", ")
+      val n = Graph.KCoreRounds
+      front + steps +
+        s", df AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (" +
+        s"SELECT a AS node FROM e$n UNION ALL SELECT b FROM e$n) GROUP BY 1) " +
+        "SELECT node, core_degree FROM df ORDER BY core_degree DESC, node LIMIT 20"
+    },
 
     // assortativity replay: directed-edge degree join, symmetric
     // Pearson as an integer ratio, sign-split milli

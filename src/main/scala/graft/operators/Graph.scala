@@ -361,6 +361,61 @@ object Graph {
       .limit(k)
   }
 
+  /** k-core peel geometry, shared with the oracle generator: both
+    * sides unroll exactly [[KCoreRounds]] peel rounds at k =
+    * [[KCoreK]]. */
+  val KCoreK: Int = 2
+  val KCoreRounds: Int = 8
+
+  /** k-CORE EXTRACTION (round 12) — the dense-region primitive
+    * (Seidman 1983, public): iteratively peel nodes of degree < k
+    * until none remain; what survives is the graph's load-bearing
+    * core (community seeds, spam-ring nuclei, the subgraph worth the
+    * expensive algorithms). Exact k-core needs peel-to-fixpoint —
+    * unbounded — so this runs a FIXED [[KCoreRounds]] rounds
+    * (unrolled into the oracle, the LPA/PageRank doctrine) and makes
+    * convergence a LOUD IN-PLAN ASSERTION: a 1-row gate frame proves
+    * round `rounds`+1 would peel zero nodes (`assert_true`, the
+    * connPoolState discipline), so an unconverged graph fails the job
+    * with a message instead of shipping a too-large core. Every round
+    * is two map-side-combinable degree aggregations + two semi-joins;
+    * each round's edge set is materialized (localCheckpoint) so the
+    * plan stays linear in rounds.
+    *
+    * Output: top `topN` core nodes by (core_degree DESC, node). */
+  def kCore(lineitem: DataFrame, k: Int = KCoreK,
+            rounds: Int = KCoreRounds, topN: Int = 20,
+            edges0: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 16,
+      s"bad geometry k=$k rounds=$rounds")
+    val und0 = edges0.getOrElse(coOrderEdges(lineitem)).select(col("a"), col("b"))
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val eFinal = (1 to rounds).foldLeft(und0) { (e, _) =>
+      val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+      e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    // convergence gate: one more peel must remove nothing. The assert
+    // rides a FILTER (the connPoolState discipline — a projected gate
+    // column would be pruned away and never evaluate).
+    val wouldPeel = degrees(eFinal).filter(col("deg") < k)
+      .agg(count(lit(1)).as("n_unpeeled"))
+    degrees(eFinal)
+      .crossJoin(broadcast(wouldPeel))
+      .filter(assert_true(col("n_unpeeled") === 0L,
+        concat(lit(s"k-core did not converge in $rounds rounds: "),
+          col("n_unpeeled").cast("string"),
+          lit(" nodes still below k"))).isNull)
+      .select(col("node"), col("deg").as("core_degree"))
+      .orderBy(col("core_degree").desc, col("node"))
+      .limit(topN)
+  }
+
   /** DEGREE ASSORTATIVITY (round 12) — the one-number mixing audit
     * (Newman 2002, public): do high-degree parts co-occur with other
     * hubs (r > 0, social-network-like) or with leaves (r < 0,

@@ -194,6 +194,24 @@ class GraphSpec extends SparkSpec {
       Graph.degreeDistribution(liT.repartition(13)).collect().toSeq)
   }
 
+  test("kCore: pendant chain peels away to the triangle core; an " +
+    "unconverged graph fails loudly") {
+    // triangle {1,2,3} + pendant path 3-4-5: peeling removes 5 then 4,
+    // the triangle survives with core degree 2 everywhere
+    val out = Graph.kCore(li(1L -> Seq(1L, 2L, 3L), 2L -> Seq(3L, 4L),
+      3L -> Seq(4L, 5L))).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)), out.toSeq)
+    // a 20-node path needs ~10 peel rounds; at 8 the convergence gate
+    // must abort with the diagnosis rather than ship a bloated core
+    val path = li((1L to 19L).map(i => i -> Seq(i, i + 1)): _*)
+    val e = intercept[Exception] { Graph.kCore(path).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("did not converge")),
+      s"expected the convergence diagnosis, got ${messages(e).mkString(" | ")}")
+  }
+
   test("assortativity: star graph scores exactly -1000 milli, " +
     "degree-regular graph yields NULL") {
     // star: hub 1 with leaves 2,3,4 — r = −1 for any star
