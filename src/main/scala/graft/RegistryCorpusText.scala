@@ -18,6 +18,11 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCount(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Quality-mix matrix (round 12): source × quarter-band counts of
+    // the rule-based score (see qualityMix's scaladoc).
+    "corpus_quality_mix" -> ((s, d) =>
+      TextAnalysis.qualityMix(Tables.documents(s, d))),
+
     // Character-class profile (round 12): per-source composition
     // fingerprint, tiling classes, ppm shares (see charClassProfile's
     // scaladoc).
@@ -454,6 +459,15 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
       Similarity.semanticContamination(Tables.embeddings(s, d))),
   )
 
+  /** The fixed-order quality score expression, shared by the
+    * text_quality oracle and the quality-mix banding. */
+  private def sqlQualityExpr: String =
+    "(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.25 + " +
+      "(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) * 0.25) + " +
+      "((CASE WHEN (CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' '))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25 + " +
+      s"(CASE WHEN (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) > 0.0 " +
+      s"AND (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) < 0.5 THEN 1.0 ELSE 0.0 END) * 0.25))"
+
   protected def corpusTextOracles: Map[String, String] = Map(
     // gopher-rule replay: same cross-multiplied integer thresholds;
     // each rule is one UNION ALL branch over the base expression CTE
@@ -536,13 +550,24 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "tokenizer_wordpiece_train" -> sqlWordpieceTrain(steps = 3, topK = 5),
 
     "text_quality" ->
-      (s"SELECT doc_id, " +
-        "(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.25 + " +
-        "(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) * 0.25) + " +
-        "((CASE WHEN (CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' '))) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.25 + " +
-        s"(CASE WHEN (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) > 0.0 " +
-        s"AND (CAST(len(list_filter(string_split(text,' '), t -> t IN ($sqlStopwords))) AS DOUBLE) / len(string_split(text,' '))) < 0.5 THEN 1.0 ELSE 0.0 END) * 0.25)) AS quality " +
+      (s"SELECT doc_id, $sqlQualityExpr AS quality " +
         "FROM documents ORDER BY doc_id"),
+
+    // quality-mix replay: the SAME fixed-order score expression banded
+    // into quarters, structural 4-band left join per source
+    "corpus_quality_mix" ->
+      (s"WITH q AS (SELECT source, $sqlQualityExpr AS quality FROM documents), " +
+        "b AS (SELECT source, CASE WHEN quality < 0.25 THEN 'q0_low' " +
+        "WHEN quality < 0.5 THEN 'q1_mid_low' " +
+        "WHEN quality < 0.75 THEN 'q2_mid_high' ELSE 'q3_high' END AS band, " +
+        "COUNT(*) AS n FROM q GROUP BY 1, 2), " +
+        "bands AS (SELECT * FROM (VALUES ('q0_low'), ('q1_mid_low'), " +
+        "('q2_mid_high'), ('q3_high')) AS t(band)), " +
+        "src AS (SELECT DISTINCT source FROM documents) " +
+        "SELECT src.source, bands.band, CAST(COALESCE(b.n, 0) AS BIGINT) AS n_docs " +
+        "FROM src CROSS JOIN bands LEFT JOIN b " +
+        "ON src.source = b.source AND bands.band = b.band " +
+        "ORDER BY src.source, bands.band"),
 
     // char-bigram LM replay: bigram/first-char counts, bitlen surrogate
     // via length(bin(x)) — identical integer arithmetic in both engines

@@ -163,6 +163,38 @@ object TextAnalysis {
       pred.as("pred_lang"))
   }
 
+  /** QUALITY-MIX MATRIX (round 12) — which sources carry the quality:
+    * per source, document counts in the four quarter-bands of the
+    * rule-based [[qualityExpr]] score — the table a curation run reads
+    * before deciding per-source sampling weights (a source whose mass
+    * sits in the bottom band gets down-weighted or gated, and a
+    * quality filter's corpus-wide threshold is really a statement
+    * about THIS matrix). The score is the engine's own fixed-order
+    * expression (weights 0.25·4, the same tree as the `text_quality`
+    * oracle), so band edges compare the identical doubles on both
+    * engines. Structural: every source emits all four bands.
+    *
+    * One narrow codegen pass + a (sources×4)-group aggregation. */
+  def qualityMix(docs: DataFrame): DataFrame = {
+    val q = qualityExpr(col("text"))
+    val band = when(q < 0.25, "q0_low")
+      .when(q < 0.5, "q1_mid_low")
+      .when(q < 0.75, "q2_mid_high")
+      .otherwise("q3_high")
+    val counts = docs.select(col("source"), band.as("band"))
+      .groupBy(col("source"), col("band")).agg(count(lit(1)).as("n_docs"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = Seq("q0_low", "q1_mid_low", "q2_mid_high", "q3_high")
+      .toDF("band")
+    docs.select(col("source")).distinct()
+      .crossJoin(broadcast(bands))
+      .join(counts, Seq("source", "band"), "left_outer")
+      .select(col("source"), col("band"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("source"), col("band"))
+  }
+
   /** CHARACTER-CLASS PROFILE (round 12) — encoding/content forensics
     * per source: the letter/digit/space/other composition of a feed is
     * its fingerprint, and a drifting share (digits spiking → log spam;

@@ -1502,6 +1502,24 @@ class RelationalSpec extends SparkSpec {
     assert(down.getLong(5) == -100000L && down.getLong(6) == 0L)
   }
 
+  test("qualityMix: bands tile each source, structural zero bands") {
+    val good = ("the quick brown fox " * 20).trim  // length fine, stopword fine
+    val docs = Seq((1L, good, "s1"), (2L, good, "s1"), (3L, "x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.qualityMix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 2 sources × 4 structural bands
+    assert(out.size == 8)
+    assert(out.keys.count(_._1 == "s1") == 4)
+    // per-source totals reconcile to the doc counts
+    assert(out.filter(_._1._1 == "s1").values.sum == 2L)
+    assert(out.filter(_._1._1 == "s2").values.sum == 1L)
+    // the one-char junk doc: only the trivial TTR quarter (= 0.25)
+    // scores → exactly the q1 band edge (band edges are inclusive-low)
+    assert(out(("s2", "q1_mid_low")) == 1L)
+    assert(out(("s2", "q0_low")) == 0L)
+  }
+
   test("charClassProfile: classes tile the text exactly, ppm floors") {
     val docs = Seq(
       (1L, "ab 12!", "s1"),   // 2 letters, 2 digits, 1 space, 1 other
