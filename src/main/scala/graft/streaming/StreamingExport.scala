@@ -72,23 +72,29 @@ object StreamingExport {
     val spark = events.sparkSession
     events.repartitionByRange(nFiles, col("ts"))
       .write.mode("overwrite").parquet(srcDir)
-    val schema = spark.read.parquet(srcDir).schema
-    val stream = spark.readStream.schema(schema)
+    // schema from the frame we just wrote — an EMPTY corpus writes no
+    // footer-bearing part files, and schema inference over zero files
+    // throws (the txnBatchRoundTrip lesson, both read sites)
+    val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val q = exportStream(stream, Seq("event_type"), outDir, checkpointDir)
     q.awaitTermination()
     val dir = new java.io.File(outDir)
-    if (!dir.exists())
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_rows",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("first_payload",
-            org.apache.spark.sql.types.StringType))))
-    spark.read.parquet(outDir)
+    val landedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("payload_json",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    val landed =
+      if (!dir.exists())
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          landedSchema)
+      else
+        // explicit schema: an empty committed batch leaves a dir with
+        // only _SUCCESS, and inference over zero files throws
+        spark.read.schema(landedSchema).parquet(outDir)
+    landed
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("payload_json")).as("first_payload"))
