@@ -188,6 +188,11 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "seq_pack" -> ((s, d) =>
       Corpus.packSequences(Tables.documents(s, d))),
 
+    // Vocabulary coverage curve (round 12): token-mass share by head
+    // size (see vocabCoverageCurve's scaladoc).
+    "corpus_vocab_curve" -> ((s, d) =>
+      Corpus.vocabCoverageCurve(Tables.documents(s, d))),
+
     // Packing-efficiency audit (round 12): fill rate vs the optimal
     // bin count over the same assignment (see packEfficiency's
     // scaladoc).
@@ -708,6 +713,27 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
 
     // DuckDB's windowed SUM(BIGINT) widens to HUGEINT — cast the derived
     // columns back to BIGINT so the hash path sees int64 on both engines.
+    // coverage-curve replay: head sizes + conditional sums GENERATED
+    // from the same Corpus.VocabCurveNs constant
+    "corpus_vocab_curve" -> {
+      val ns = Corpus.VocabCurveNs
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM t WHERE w != '' GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_types FROM wf), " +
+        "r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rn FROM wf " +
+        s"QUALIFY rn <= ${ns.max}), " +
+        "a AS (SELECT " +
+        ns.map(n => s"CAST(SUM(CASE WHEN rn <= $n THEN f END) AS BIGINT) AS c$n")
+          .mkString(", ") + " FROM r), " +
+        "h AS (" +
+        ns.map(n => s"SELECT CAST($n AS BIGINT) AS head_n, c$n AS tokens_covered FROM a")
+          .mkString(" UNION ALL ") + ") " +
+        "SELECT head_n, n_types, total_tokens, tokens_covered, " +
+        "CAST(tokens_covered * 1000000 // nullif(total_tokens, 0) AS BIGINT) AS coverage_ppm " +
+        "FROM h, tot ORDER BY head_n")
+    },
+
     // tail-pad + straddle replay over the same running-sum assignment
     "seq_pack_efficiency" ->
       ("WITH p AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens, " +

@@ -103,6 +103,47 @@ object Corpus {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Vocabulary-curve head sizes, shared with the oracle generator. */
+  val VocabCurveNs: Seq[Int] = Seq(100, 1000, 10000)
+
+  /** VOCABULARY COVERAGE CURVE (round 12) — the vocab-sizing readout:
+    * what share of the corpus's token MASS the top-N word types cover
+    * at each head size in [[VocabCurveNs]] — the curve a tokenizer
+    * budget is read off (the gap between N=1000 and N=10000 is the
+    * marginal value of 9000 vocab slots), and the corpus-level dual of
+    * `tokenizer_vocab_coverage`'s per-source occurrence view. The
+    * `order_pareto` machinery on words: one word-count aggregation,
+    * TakeOrdered to the max(N) head (bounded — the ranking window runs
+    * over the LIMITed frame), generated conditional sums, integer ppm
+    * against the exact total. */
+  def vocabCoverageCurve(docs: DataFrame,
+                         ns: Seq[Int] = VocabCurveNs): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val total = wf.agg(sum(col("f")).as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    val top = wf.orderBy(col("f").desc, col("w")).limit(ns.max)
+    val rw = Window.orderBy(col("f").desc, col("w"))
+    val ranked = top.withColumn("rn", row_number().over(rw))
+    val aggs = ns.map(n =>
+      sum(when(col("rn") <= n, col("f"))).as(s"c$n"))
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ns.map(n =>
+        struct(lit(n.toLong).as("head_n"), col(s"c$n").as("tokens_covered"))): _*))
+        .as("p"))
+      .select(col("p.head_n").as("head_n"),
+        col("p.tokens_covered").as("tokens_covered"))
+      .crossJoin(broadcast(total))
+      .select(col("head_n"), col("n_types"), col("total_tokens"),
+        col("tokens_covered"),
+        expr("CAST((tokens_covered * 1000000) div nullif(total_tokens, 0L) " +
+          "AS BIGINT)").as("coverage_ppm"))
+      .orderBy(col("head_n"))
+  }
+
   /** PACKING-EFFICIENCY AUDIT (round 12) — the training-batch numbers
     * behind [[packSequences]]' CONTIGUOUS packing (documents
     * concatenated per source shard and split at seqLen boundaries —

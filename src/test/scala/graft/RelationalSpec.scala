@@ -1401,6 +1401,19 @@ class RelationalSpec extends SparkSpec {
     assert(human.getLong(4) == 990000000L / 6L)
   }
 
+  test("vocabCoverageCurve: hand-computed head coverage") {
+    import graft.operators.Corpus
+    // freqs: a=8 b=4 c=2 d=1 (total 15, 4 types)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Corpus.vocabCoverageCurve(docs, ns = Seq(1, 2)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out(1L) == ((4L, 15L, 8L, 533333L)))
+    assert(out(2L) == ((4L, 15L, 12L, 800000L)))
+  }
+
   test("packEfficiency: straddle and tail-pad counted exactly") {
     import graft.operators.Corpus
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
