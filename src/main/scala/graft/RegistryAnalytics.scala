@@ -466,6 +466,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "order_pareto" -> ((s, d) =>
       Relational.paretoReport(Tables.orders(s, d))),
 
+    // Bootstrap CI (round 12): deterministic md5 Poisson bootstrap
+    // (see bootstrapCi's scaladoc).
+    "stats_bootstrap_ci" -> ((s, d) =>
+      Relational.bootstrapCi(Tables.orders(s, d))),
+
     // Welch's t-squared (round 12): exact integer accumulations + the
     // SHARED fixed-order double tail (see welchT2's scaladoc).
     "stats_welch_t2" -> ((s, d) =>
@@ -1244,6 +1249,28 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM d JOIN m2 USING (event_type) " +
         "GROUP BY d.event_type, d.median_cents, m2.mad_cents " +
         "ORDER BY d.event_type"),
+
+    // bootstrap replay: md5 percent draws, generated weight CASE and
+    // geometry from the shared Relational.Bootstrap* constants
+    "stats_bootstrap_ci" -> {
+      val b = Relational.BootstrapB
+      val wcase = "CASE " + Relational.BootstrapW.map { case (hi, w) =>
+        s"WHEN pct < $hi THEN $w" }.mkString(" ") + " ELSE 0 END"
+      val lo = math.max(1, math.ceil(2.5 / 100 * b).toInt)
+      val hi = math.min(b, math.ceil(97.5 / 100 * b).toInt)
+      ("WITH k AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM orders), " +
+        s"r AS (SELECT o_orderkey, c, unnest(range(0, $b)) AS rb FROM k), " +
+        "p AS (SELECT rb, c, CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(rb AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS pct FROM r), " +
+        s"wg AS (SELECT rb, c, $wcase AS w FROM p), " +
+        "m AS (SELECT rb, CAST(SUM(w*c) AS DOUBLE) / SUM(w) AS m FROM wg GROUP BY 1), " +
+        "rk AS (SELECT rb, m, ROW_NUMBER() OVER (ORDER BY m, rb) AS rk FROM m), " +
+        "obs AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_obs FROM k) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples, obs.mean_obs, " +
+        s"MIN(CASE WHEN rk = $lo THEN m END) AS ci_lo, " +
+        s"MIN(CASE WHEN rk = $hi THEN m END) AS ci_hi, " +
+        "MIN(m) AS m_min, MAX(m) AS m_max " +
+        "FROM rk, obs GROUP BY obs.mean_obs")
+    },
 
     // Welch replay: the SAME exact sums and the VERBATIM shared tail
     "stats_welch_t2" ->

@@ -1807,6 +1807,66 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Bootstrap geometry, shared with the oracle generator: resample
+    * count and the md5-percent thresholds of the Poisson(1) weight
+    * approximation (P(0)≈37%, P(1)≈37%, P(2)≈18%, P(3)≈8% — the
+    * integer-percent discretization both engines replay). */
+  val BootstrapB: Int = 64
+  val BootstrapW: Seq[(Int, Int)] = Seq(37 -> 0, 74 -> 1, 92 -> 2, 100 -> 3)
+
+  /** BOOTSTRAP CONFIDENCE INTERVAL (round 12) — "how sure is that
+    * mean": the resampling CI every metrics report should carry,
+    * made DETERMINISTIC so it can sit under an exactness oracle. The
+    * classic Poisson bootstrap (each row enters resample b with an
+    * independent ~Poisson(1) count — the form that needs no global
+    * row indexing and therefore scales) with the randomness replaced
+    * by md5(key:b) percent draws discretized through [[BootstrapW]]:
+    * reproducible under any partitioning, identical on any engine,
+    * error-vs-true-Poisson documented (≤1% per mass point). Per
+    * resample: exact integer cents sums → one fixed-order double
+    * mean; the CI is the nearest-rank 2.5/97.5 percentile over the
+    * [[BootstrapB]]-row frame (bounded — the only window; B = 64 keeps
+    * both percentile ranks interior). ONE row
+    * out: the observed mean, CI bounds, and the resample spread.
+    *
+    * Scale shape: one B-way row fan-out (narrow) + a B-group
+    * map-side-combinable aggregation + a B-row bounded sort. */
+  def bootstrapCi(orders: DataFrame, b: Int = BootstrapB): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val keyed = orders.select(col("o_orderkey"), cents.as("c"))
+    val resamples = keyed
+      .select(col("o_orderkey"), col("c"),
+        explode(sequence(lit(0), lit(b - 1))).as("rb"))
+      .withColumn("pct",
+        conv(substring(md5(concat(col("o_orderkey").cast("string"),
+          lit(":"), col("rb").cast("string"))), 1, 7), 16, 10)
+          .cast("long") % 100)
+      .withColumn("w",
+        BootstrapW.foldRight(lit(0)) { case ((hi, wgt), els) =>
+          when(col("pct") < hi, lit(wgt)).otherwise(els)
+        })
+      .groupBy(col("rb"))
+      .agg(sum(col("w") * col("c")).as("sc"),
+        sum(col("w")).as("n"))
+      .select(col("rb"),
+        (col("sc").cast("double") / col("n")).as("m"))
+    val w = Window.orderBy(col("m"), col("rb"))
+    val ranked = resamples.withColumn("rk", row_number().over(w))
+    val lo = (2.5 / 100 * b).ceil.toInt.max(1)
+    val hi = (97.5 / 100 * b).ceil.toInt.min(b)
+    val obs = keyed.agg(
+      (sum(col("c")).cast("double") / count(lit(1))).as("mean_obs"))
+    ranked.agg(
+        min(when(col("rk") === lo, col("m"))).as("ci_lo"),
+        min(when(col("rk") === hi, col("m"))).as("ci_hi"),
+        min(col("m")).as("m_min"), max(col("m")).as("m_max"),
+        count(lit(1)).as("n_resamples"))
+      .crossJoin(broadcast(obs))
+      .select(col("n_resamples"), col("mean_obs"), col("ci_lo"),
+        col("ci_hi"), col("m_min"), col("m_max"))
+  }
+
   /** WELCH'S TWO-SAMPLE t² (round 12) — "are these two value
     * distributions actually different": the A/B readout that, unlike
     * `event_ab_test`'s effect summary, carries its own significance

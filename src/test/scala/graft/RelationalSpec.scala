@@ -1425,6 +1425,20 @@ class RelationalSpec extends SparkSpec {
       r.getLong(5), r.getLong(6)) == ((2L, 600L, 1L, 2L, 424L, 585937L)), r)
   }
 
+  test("bootstrapCi: CI brackets the mean, nested in the resample " +
+    "range, repartition-invariant") {
+    val ord = Tables.orders(spark, sf0)
+    val r = Relational.bootstrapCi(ord).collect().head
+    val (n, mo, lo, hi, mn, mx) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n == 64L)
+    assert(mn <= lo && lo < hi && hi <= mx, s"CI order broke: $r")
+    assert(lo <= mo && mo <= hi,
+      s"CI [$lo,$hi] does not bracket the observed mean $mo")
+    val r2 = Relational.bootstrapCi(ord.repartition(7)).collect().head
+    assert(r.toSeq == r2.toSeq, "bootstrap not repartition-invariant")
+  }
+
   test("welchT2: hand-computed t-squared on equal-variance groups") {
     val ev = Seq(("click", 1.00), ("click", 3.00),
       ("purchase", 5.00), ("purchase", 7.00))
