@@ -148,6 +148,11 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "embed_quantize" -> ((s, d) =>
       Similarity.int8Quantize(Tables.embeddings(s, d))),
 
+    // Quantization error curve (round 12): reconstruction error vs bit
+    // width from one pass (see quantizeCurve's scaladoc).
+    "embed_quantize_curve" -> ((s, d) =>
+      Similarity.quantizeCurve(Tables.embeddings(s, d))),
+
     // PRODUCT QUANTIZATION (round 11): per-subspace codebooks trained
     // with unrolled integer-L2 Lloyd's (Jégou et al. 2011), corpus
     // encoded by broadcast-join assignment; the per-(subspace, code)
@@ -480,6 +485,8 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // both engines).
     // int8 quantization: pure integer replay — nonneg numerators make
     // DuckDB's flooring // and Spark's truncating DIV agree exactly
+    "embed_quantize_curve" -> Similarity.sqlQuantizeCurve,
+
     "embed_quantize" ->
       ("WITH q AS (SELECT vec_id, list_transform(embedding, " +
         "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings), " +

@@ -1287,6 +1287,75 @@ object Similarity {
     * ambiguity). Null embeddings are gated (no norm to bin).
     *
     * Output: (bucket, n, nrm_min, nrm_max), ordered. */
+  /** SQ bit widths for [[quantizeCurve]], shared with the oracle. */
+  val SqCurveBits: Seq[Int] = Seq(4, 6, 8)
+
+  /** The per-position absolute reconstruction error of W-bit per-vector
+    * affine quantization, as ONE SQL text shared verbatim by the
+    * engine expression and the oracle generator (nonneg operands
+    * throughout, so truncating div ≡ floor on any engine — the
+    * embed_quantize arithmetic, parameterized by level count). */
+  private def sqErrSql(w: Int, div: String): String = {
+    val L = (1 << w) - 1
+    s"abs(qi - (mn + (CASE WHEN mx = mn THEN 0 " +
+      s"ELSE ((2 * (((qi - mn) * $L) $div (mx - mn)) + 1) * (mx - mn) + $L) $div ${2 * L} END)))"
+  }
+
+  /** QUANTIZATION ERROR CURVE (round 12) — the compression-tuning
+    * readout beside `embed_quantize`'s fixed 8-bit audit: total and
+    * mean reconstruction error of per-vector affine quantization at
+    * each width in [[SqCurveBits]] — the curve that decides whether a
+    * RAM-resident index can afford to halve again (8→4 bits is
+    * another 2× smaller; THIS is what it costs). One pass computes
+    * every width's error from the same exploded positions (no second
+    * scan per width); pure integer arithmetic identical to the 8-bit
+    * audit, generated per width on both sides. Rows out = widths. */
+  def quantizeCurve(emb: DataFrame,
+                    bitsList: Seq[Int] = SqCurveBits): DataFrame = {
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === 64)
+    val pos = p
+      .withColumn("mn", array_min(col("qv")))
+      .withColumn("mx", array_max(col("qv")))
+      .select(col("mn"), col("mx"),
+        posexplode(col("qv")).as(Seq("pos", "qi")))
+    val aggs = count(lit(1)).as("n_positions") +:
+      bitsList.map(w => sum(expr(sqErrSql(w, "div"))).as(s"e$w"))
+    pos.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(bitsList.map(w =>
+        struct(lit(w.toLong).as("bits"),
+          lit(((1L << w) - 1)).as("levels"),
+          col("n_positions"),
+          col(s"e$w").as("total_abs_err"))): _*)).as("p"))
+      .select(col("p.bits").as("bits"), col("p.levels").as("levels"),
+        col("p.n_positions").as("n_positions"),
+        col("p.total_abs_err").as("total_abs_err"),
+        expr("CAST((total_abs_err * 1000) div nullif(n_positions, 0L) " +
+          "AS BIGINT)").as("err_milli_per_pos"))
+      .orderBy(col("bits"))
+  }
+
+  /** The oracle text of [[quantizeCurve]] — generated from the SAME
+    * constants and error formula (DuckDB `//` replaces `div`; nonneg
+    * operands make them identical). */
+  private[graft] def sqlQuantizeCurve: String = {
+    val legs = SqCurveBits.map(w =>
+      s"CAST(SUM(${sqErrSql(w, "//")}) AS BIGINT) AS e$w").mkString(", ")
+    val heads = SqCurveBits.map(w =>
+      s"SELECT CAST($w AS BIGINT) AS bits, CAST(${(1L << w) - 1} AS BIGINT) AS levels, " +
+        s"n_positions, e$w AS total_abs_err FROM a").mkString(" UNION ALL ")
+    "WITH q AS (SELECT list_transform(embedding, " +
+      "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), " +
+      "b AS (SELECT list_min(v) AS mn, list_max(v) AS mx, v FROM q " +
+      "WHERE v IS NOT NULL AND len(v) = 64), " +
+      "e AS (SELECT mn, mx, unnest(v) AS qi FROM b), " +
+      s"a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_positions, $legs FROM e), " +
+      s"h AS ($heads) " +
+      "SELECT bits, levels, n_positions, total_abs_err, " +
+      "CAST(total_abs_err * 1000 // nullif(n_positions, 0) AS BIGINT) AS err_milli_per_pos " +
+      "FROM h ORDER BY bits"
+  }
+
   /** PER-DIMENSION EMBEDDING AUDIT (round 12) — the dead/collapsed-
     * dimension detector an embedding lake runs before building any
     * index: a dimension whose variance has collapsed carries no

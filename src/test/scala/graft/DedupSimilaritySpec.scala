@@ -458,6 +458,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("quantizeCurve: error shrinks monotonically with width, 8-bit " +
+    "leg equals the fixed audit, constant vectors cost zero") {
+    val rows = Similarity.quantizeCurve(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows.keySet == Set(4L, 6L, 8L))
+    assert(rows(4L) > rows(6L) && rows(6L) > rows(8L),
+      s"error not monotone in width: $rows")
+    // the curve's 8-bit leg must equal the fixed audit's corpus total
+    val fixed = Similarity.int8Quantize(emb)
+      .agg(org.apache.spark.sql.functions.sum("total_abs_err"))
+      .collect().head.getLong(0)
+    assert(rows(8L) == fixed,
+      s"curve 8-bit ${rows(8L)} != embed_quantize total $fixed")
+    // constant vectors reconstruct exactly at any width
+    import spark.implicits._
+    val const = Seq((1L, "a", Array.fill(64)(0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.quantizeCurve(const).collect()
+      .forall(_.getLong(3) == 0L))
+  }
+
   test("recallRows with a served-IVF leg: ppm equals the recomputed " +
     "intersection") {
     val cent = Similarity.trainCentroids(Similarity.prepared(emb),
