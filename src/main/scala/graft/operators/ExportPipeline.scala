@@ -369,16 +369,24 @@ object ExportPipeline {
       .write.mode("overwrite").parquet(path + "_idx")
   }
 
-  /** The READ that the Z layout buys (round 10): probe the tiny
-    * skipping index for cells whose [ck_min, ck_max] overlaps the
-    * predicate range (a ≤ 4^bits-row scan — the bounded collect is the
-    * index lookup every skipping reader does), then scan ONLY those
-    * cell partitions, with the exact predicate re-applied. Because a
-    * Z cell bounds BOTH dimensions, the same index serves a dd
-    * predicate equally — the property a single-column sort layout only
-    * has for its own column. PlanInvariantsSpec asserts the pruning is
-    * real: the scan's PartitionFilters carry the IN-list and the
-    * partition listing touches only the candidate cells. */
+  /** The READ that the Z layout buys (round 10, hardened round 13):
+    * probe the tiny skipping index for cells whose [ck_min, ck_max]
+    * overlaps the predicate range, then scan ONLY those cell
+    * partitions, with the exact predicate re-applied. Because a Z cell
+    * bounds BOTH dimensions, the same index serves a dd predicate
+    * equally — the property a single-column sort layout only has for
+    * its own column.
+    *
+    * The index probe is a broadcast LEFT SEMI join on `zcell`, not a
+    * driver-side collect-into-IN-list: Catalyst's dynamic partition
+    * pruning turns the broadcast build side into a runtime
+    * PartitionFilter on the layout scan (the broadcast exchange is
+    * reused, so the DPP subquery is free), which means the candidate
+    * cell set never materializes on the driver — at a 100× finer cell
+    * grid the pruning cost stays on the executors. PlanInvariantsSpec
+    * asserts the pruning is real: the scan's PartitionFilters carry
+    * the dynamic zcell filter and the partition listing touches only
+    * the candidate cells. */
   def zorderPrunedRead(spark: org.apache.spark.sql.SparkSession,
                        path: String, ckLo: Long, ckHi: Long): DataFrame = {
     // explicit schemas on both reads: an empty source writes zero part
@@ -391,12 +399,13 @@ object ExportPipeline {
         "dd_min long, dd_max long")
       .parquet(path + "_idx")
       .filter(col("ck_min") <= ckHi && col("ck_max") >= ckLo)
-      .select(col("zcell")).collect().map(_.getLong(0))
+      .select(col("zcell"))
     spark.read
       .schema("o_orderkey long, ck long, dd long, zcell long")
       .parquet(path)
-      .filter(col("zcell").isin(cand: _*) &&
-        col("ck").between(ckLo, ckHi))
+      .filter(col("ck").between(ckLo, ckHi))
+      .join(org.apache.spark.sql.functions.broadcast(cand),
+        Seq("zcell"), "left_semi")
       .select(col("o_orderkey"), col("ck"), col("dd"))
       .orderBy(col("o_orderkey"))
   }

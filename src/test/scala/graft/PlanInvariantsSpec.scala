@@ -231,8 +231,8 @@ class PlanInvariantsSpec extends SparkSpec {
       "global top-K no longer plans as TakeOrderedAndProject")
   }
 
-  test("z-order pruned read prunes partitions: the zcell IN-list is a " +
-    "PartitionFilter and the listing touches only candidate cells") {
+  test("z-order pruned read prunes partitions: the dynamic zcell filter " +
+    "is a PartitionFilter and the listing touches only candidate cells") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.{col, max}
     val tmp = java.nio.file.Files
