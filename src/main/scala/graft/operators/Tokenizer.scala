@@ -247,29 +247,24 @@ object Tokenizer {
     * The same integer-surrogate discipline as the engine's cosine /
     * z-order / credit arithmetic.
     *
-    * MATERIALIZATION IS NOT OPTIONAL HERE (unlike [[train]]'s linear
-    * chain): DP frame p references frames p−1..p−maxPieceLen, so a lazy
-    * plan tree grows TRIBONACCI-exponentially in maxWordLen — every
-    * frame therefore always cuts to a computed LogicalRDD via
-    * localCheckpoint regardless of the caller's [[CacheScope]]; the
-    * frames are word-table-bounded (≤ |distinct words| rows each), so
-    * the checkpoint footprint is vocabulary-scale, never corpus-scale.
-    *
-    * Relational shape (the fixed-unroll doctrine, exactly like
-    * [[train]]): ONE corpus-sized job — the word count — then
-    * everything operates on the vocabulary-bounded word table. The
-    * E-step Viterbi is a bounded DP unroll over word positions
-    * 1..`maxWordLen` (words truncate to that many chars — the standard
-    * trainer cap): position p's best cost is the min over piece
-    * lengths k ≤ `maxPieceLen` of best(p−k) + cost(piece ending at p),
-    * a 3-way union + broadcast vocab join + one min_by per position;
-    * the backtrack walks p → p−k for ≤ maxWordLen steps emitting the
-    * chosen pieces. Ranks come from TakeOrdered + a bounded self-join
-    * count — NO unpartitioned window anywhere (the round-10 BPE
-    * hardening discipline). Every DP/backtrack frame is UNCONDITIONALLY
-    * materialized (localCheckpoint — see the tribonacci note above);
-    * there is no CacheScope knob here, which is why these entry points
-    * take none.
+    * Relational shape (the fixed-unroll doctrine, like [[train]]):
+    * ONE corpus-sized job — the word count — then everything operates
+    * on the vocabulary-bounded word table. The E-step Viterbi is a
+    * bounded DP over word positions 1..`maxWordLen` (words truncate to
+    * that many chars — the standard trainer cap): position p's best
+    * cost is the min over piece lengths k ≤ `maxPieceLen` of
+    * best(p−k) + cost(piece ending at p); the backtrack walks p → p−k
+    * for ≤ maxWordLen steps emitting the chosen pieces. Since round 13
+    * the whole DP runs PER ROW as one `aggregate` higher-order
+    * expression with the bounded vocab broadcast as a piece→rank map —
+    * one shuffle per E-step (the per-piece usage sum) and zero
+    * per-level checkpoint jobs (the round-11/12 relational unroll paid
+    * ~24 eager word-bounded jobs per E-step in scheduler overhead).
+    * Ranks come from TakeOrdered + a bounded self-join count — NO
+    * unpartitioned window anywhere (the round-10 BPE hardening
+    * discipline). The few M-step frames are word-table-bounded and
+    * materialize unconditionally; there is no CacheScope knob here,
+    * which is why these entry points take none.
     *
     * Vocab policy: ALL single characters stay in the table (freq = 0
     * allowed) so segmentation is always feasible; multi-char pieces
@@ -408,46 +403,51 @@ object Tokenizer {
         .agg((count(col("bp")) + 1L).as("rank")))
     }
 
-    // E step: Viterbi DP unroll + backtrack → per-piece usage
+    // E step: Viterbi segmentation → per-piece usage. Round 13: the DP
+    // runs PER ROW as one `aggregate` higher-order expression over the
+    // word table, with the (bounded, ≤ alphabet + vocabMulti rows)
+    // vocab folded into a broadcast 1-row piece→rank map — the
+    // round-11/12 shape was a 12-level relational unroll whose ~24
+    // eager word-bounded checkpoint jobs per E-step dominated the
+    // tokenizer family's wall clock (job-scheduling overhead, not
+    // data). Semantics are bit-identical: position p's best cost is
+    // the min over k ≤ maxPieceLen of best(p−k) + 10^6 + rank(piece),
+    // ties broken by smaller k (the old min(struct(cost, k))), and the
+    // backtrack walks p → p−k emitting the chosen pieces — so the
+    // unrolled DuckDB oracle replays unchanged. One shuffle per E-step
+    // (the final per-piece sum) instead of 24 jobs.
     def usageUnder(vocab: DataFrame): DataFrame = {
-      val v = broadcast(vocab.select(col("piece"), col("rank")))
-      val frames = scala.collection.mutable.Map(
-        0 -> w.select(col("word"), col("wl"), lit(0L).as("cost"),
-          lit(0L).as("k")))
-      for (p <- 1 to maxWordLen) {
-        val cands = (1 to math.min(maxPieceLen, p)).map { k =>
-          frames(p - k).filter(col("wl") >= p)
-            .withColumn("piece", expr(s"substring(word, ${p - k + 1}, $k)"))
-            .join(v, Seq("piece"))
-            .select(col("word"), col("wl"),
-              (col("cost") + lit(1000000L) + col("rank")).as("cost"),
-              lit(k.toLong).as("k"))
-        }
-        // checkpoint EVERY level: sparse (every-3rd) checkpointing was
-        // measured 14× SLOWER — an unchecked level is referenced by the
-        // next three, and each lazy reference re-executes the level's
-        // whole shuffle, compounding within the window; one eager
-        // word-bounded job per level is the cheap shape
-        frames(p) = mat(cands.reduce(_ unionByName _)
-          .groupBy(col("word"), col("wl"))
-          .agg(min(struct(col("cost"), col("k"))).as("m"))
-          .select(col("word"), col("wl"), col("m.cost").as("cost"),
-            col("m.k").as("k")))
-      }
-      val bb = (1 to maxWordLen).map(p =>
-          frames(p).select(col("word"), lit(p.toLong).as("p"), col("k")))
-        .reduce(_ unionByName _)
-      var state = w.select(col("word"), col("cnt"), col("wl").as("p"))
-      val emitted = scala.collection.mutable.Buffer.empty[DataFrame]
-      for (_ <- 1 to maxWordLen) {
-        val step = mat(state.join(bb, Seq("word", "p"))
-          .withColumn("piece",
-            expr("substring(word, CAST(p - k + 1 AS INT), CAST(k AS INT))")))
-        emitted += step.select(col("piece"), col("cnt"))
-        state = step.select(col("word"), col("cnt"),
-          (col("p") - col("k")).as("p")).filter(col("p") > 0)
-      }
-      emitted.reduce(_ unionByName _)
+      val vm = vocab.agg(map_from_entries(
+        collect_list(struct(col("piece"), col("rank")))).as("vmap"))
+      // acc[i] = best (cost, k) at position i−1 (acc[1] seeds position
+      // 0); try_element_at because ANSI element_at throws on a
+      // multi-char substring absent from the vocab map
+      val cands = (1 to maxPieceLen).map { k =>
+        s"""IF(p >= $k AND try_element_at(vmap, substring(word, p - $k + 1, $k)) IS NOT NULL,
+           |  named_struct(
+           |    'c', element_at(acc, p - $k + 1).c + 1000000L
+           |         + try_element_at(vmap, substring(word, p - $k + 1, $k)),
+           |    'k', CAST($k AS BIGINT)),
+           |  CAST(NULL AS STRUCT<c: BIGINT, k: BIGINT>))""".stripMargin
+      }.mkString(",\n")
+      val dp = w.crossJoin(broadcast(vm))
+        .withColumn("acc", expr(
+          s"""aggregate(
+             |  sequence(1, CAST(wl AS INT)),
+             |  array(named_struct('c', 0L, 'k', 0L)),
+             |  (acc, p) -> concat(acc, array(
+             |    array_min(filter(array($cands), x -> x IS NOT NULL)))))""".stripMargin))
+        .withColumn("pieces", expr(
+          s"""aggregate(
+             |  sequence(1, $maxWordLen),
+             |  named_struct('p', wl, 'ps', CAST(array() AS ARRAY<STRING>)),
+             |  (st, i) -> IF(st.p <= 0L, st, named_struct(
+             |    'p', st.p - element_at(acc, CAST(st.p AS INT) + 1).k,
+             |    'ps', concat(st.ps, array(substring(word,
+             |      CAST(st.p - element_at(acc, CAST(st.p AS INT) + 1).k + 1 AS INT),
+             |      CAST(element_at(acc, CAST(st.p AS INT) + 1).k AS INT)))))),
+             |  st -> st.ps)""".stripMargin))
+      dp.select(col("cnt"), explode(col("pieces")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
     }
 
