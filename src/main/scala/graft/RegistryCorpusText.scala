@@ -250,6 +250,20 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         nFiles = 5)
     }),
 
+    // COMPOSED-PIPELINE parity (round 13): the full streaming corpus
+    // ingest — quality gate → decontamination → banded-MinHash
+    // near-dup gate with its cross-batch survivor store — over a
+    // 4-batch deterministic replay (batch = doc_id % 4), under one
+    // oracle that folds the batch sequence as an unrolled CTE chain
+    // (see corpusParityReplay's scaladoc). Closes the last spec-only
+    // streaming module.
+    "stream_corpus_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_corpus_")
+      graft.streaming.StreamingCorpus.corpusParityReplay(
+        Tables.documents(s, d), s"$base/src", s"$base/store",
+        s"$base/out", s"$base/ckpt", nFiles = 4)
+    }),
+
     // Token-level (13-gram) decontamination — the whole-doc check's
     // blind-spot closer: a verbatim ≥13-token passage pasted into one
     // long training doc is caught here even when its shingles drown in
@@ -463,6 +477,83 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "contamination_semantic" -> ((s, d) =>
       Similarity.semanticContamination(Tables.embeddings(s, d))),
   )
+
+  /** stream_corpus_parity oracle: the composed ingest replayed as an
+    * unrolled per-batch CTE fold (the k-core-peel doctrine — batch
+    * boundaries are semantic here, so the fold is explicit). Front:
+    * holdout 13-gram bench + contamination verdicts (the
+    * stream_contamination_parity fragments verbatim), the shared
+    * quality expression, then the minhash/band front restricted to
+    * CLEAN docs (a gated doc must never produce bands). Per batch i:
+    * store hits (bucket match vs the running store + ≥32/64 signature
+    * agreement — threshold 0.5 exactly), greedy in-batch hits
+    * (earlier-doc_id suppressors, store-suppressed docs excluded from
+    * the suppressor side), survivors, store append. Signature
+    * agreement is generated positionally like sqlMinHashEstError. */
+  private def sqlStreamCorpusParity(nFiles: Int): String = {
+    val p = graft.functions.PortableHash.MinHashP
+    val params = graft.functions.PortableHash.minHashParams(64)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % $p) AS m$i"
+    }.mkString(", ")
+    val bandSel = (0 until 16).map { bd =>
+      val key = (0 until 4).map(r => s"CAST(m${bd * 4 + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, b, $bd AS band, $key AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    def agree(l: String, r: String) = (0 until 64)
+      .map(i => s"(CASE WHEN $l.m$i = $r.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val head =
+      "WITH t AS MATERIALIZED (SELECT doc_id, text, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test, " +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS ntoks " +
+        "FROM documents), " +
+        "fps AS MATERIALIZED (SELECT doc_id, is_test, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(ntoks) - 12, 0) + 1), " +
+        "i -> substring(md5(array_to_string(ntoks[i:i+12], ' ')), 1, 8)))) AS fp FROM t), " +
+        "bench AS MATERIALIZED (SELECT DISTINCT fp FROM fps WHERE is_test), " +
+        "contam AS MATERIALIZED (SELECT DISTINCT f.doc_id FROM fps f " +
+        "JOIN bench USING (fp) WHERE NOT f.is_test), " +
+        s"clean AS MATERIALIZED (SELECT doc_id, text, CAST(doc_id % $nFiles AS BIGINT) AS b FROM t " +
+        s"WHERE NOT is_test AND $sqlQualityExpr >= 0.5 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM contam)), " +
+        "ctoks AS MATERIALIZED (SELECT doc_id, b, string_split(text, ' ') AS t FROM clean), " +
+        "csh AS MATERIALIZED (SELECT doc_id, b, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(t) - 1, 1)), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle FROM ctoks), " +
+        "hh AS MATERIALIZED (SELECT doc_id, b, " +
+        "CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS h FROM csh), " +
+        s"sig AS MATERIALIZED (SELECT doc_id, b, $mins FROM hh GROUP BY doc_id, b), " +
+        s"bands AS MATERIALIZED ($bandSel), " +
+        "st0 AS MATERIALIZED (SELECT doc_id, band, bucket FROM bands WHERE FALSE)"
+    val steps = (0 until nFiles).map { i =>
+      s"hit$i AS MATERIALIZED (SELECT DISTINCT x.doc_id FROM bands x " +
+        s"JOIN st$i s ON x.band = s.band AND x.bucket = s.bucket " +
+        "JOIN sig sx ON x.doc_id = sx.doc_id " +
+        "JOIN sig ss ON s.doc_id = ss.doc_id " +
+        s"WHERE x.b = $i AND (${agree("sx", "ss")}) >= 32), " +
+        s"ib$i AS MATERIALIZED (SELECT DISTINCT x.doc_id FROM bands x " +
+        "JOIN bands y ON x.band = y.band AND x.bucket = y.bucket " +
+        "AND y.doc_id < x.doc_id " +
+        "JOIN sig sx ON x.doc_id = sx.doc_id " +
+        "JOIN sig sy ON y.doc_id = sy.doc_id " +
+        s"WHERE x.b = $i AND y.b = $i " +
+        s"AND y.doc_id NOT IN (SELECT doc_id FROM hit$i) " +
+        s"AND (${agree("sx", "sy")}) >= 32), " +
+        s"sv$i AS MATERIALIZED (SELECT doc_id FROM clean WHERE b = $i " +
+        s"AND doc_id NOT IN (SELECT doc_id FROM hit$i) " +
+        s"AND doc_id NOT IN (SELECT doc_id FROM ib$i)), " +
+        s"st${i + 1} AS MATERIALIZED (SELECT doc_id, band, bucket FROM st$i " +
+        s"UNION ALL SELECT k.doc_id, k.band, k.bucket FROM bands k " +
+        s"JOIN sv$i USING (doc_id))"
+    }.mkString(", ")
+    val surv = (0 until nFiles).map(i => s"SELECT doc_id FROM sv$i")
+      .mkString(" UNION ALL ")
+    head + ", " + steps + " " +
+      "SELECT c.doc_id, c.b AS batch_id, CAST(length(c.text) AS BIGINT) AS n_chars " +
+      s"FROM clean c WHERE c.doc_id IN ($surv) ORDER BY c.doc_id"
+  }
 
   /** The fixed-order quality score expression, shared by the
     * text_quality oracle and the quality-mix banding. */
@@ -1108,6 +1199,8 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "COALESCE(h.n_shared, 0) > 0 AS contaminated " +
         "FROM t d LEFT JOIN hits h USING (doc_id) WHERE NOT d.is_test " +
         "ORDER BY doc_id"),
+
+    "stream_corpus_parity" -> sqlStreamCorpusParity(4),
 
     "contamination_ngram" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -78,6 +78,88 @@ object StreamingCorpus {
       .start()
   }
 
+  /** PARITY REPLAY (round 13) — the composed ingest under the DuckDB
+    * oracle, closing the last spec-only streaming module: split the
+    * train side of the corpus into `nFiles` DETERMINISTIC batches
+    * (batch i = train docs with doc_id % nFiles = i — unlike the other
+    * replays' repartitionByRange, batch MEMBERSHIP must be a SQL
+    * function of the key here, because the near-dup gate's semantics
+    * depend on batch boundaries: cross-batch hits consult the survivor
+    * store, in-batch hits chain greedily), pin arrival order with
+    * strictly increasing mtimes (oldest-first file source), and run the
+    * production [[ingest]] — quality gate, stream-static
+    * decontamination vs the holdout's 13-gram set, banded-MinHash
+    * near-dup gate with the cross-batch store — over the replay.
+    *
+    * Event time is synthesized as `timestamp_seconds(doc_id)`: the
+    * documents table carries no timestamp, and a MONOTONE ts makes the
+    * gate's (ts, doc_id) in-batch precedence equal doc_id order —
+    * arrival-order-independent and oracle-expressible. The horizon is
+    * pinned far past the synthetic time span so store pruning is out
+    * of frame (it is spec-tested in StreamingDedup; this key targets
+    * the gate COMPOSITION: a quality-failed or contaminated document
+    * must never suppress a near-duplicate, and a survivor must
+    * suppress across batches exactly once).
+    *
+    * Output: (doc_id, batch_id, n_chars), ordered — the surviving
+    * corpus rows with the batch that committed them; batch_id comes
+    * from the physical `batch_id=N` commit directory, so the oracle's
+    * doc_id % nFiles expectation also proves the pinned file→batch
+    * mapping held. */
+  def corpusParityReplay(docs: DataFrame, srcDir: String, storeDir: String,
+                         outDir: String, checkpointDir: String,
+                         nFiles: Int = 4): DataFrame = {
+    require(nFiles >= 2, s"need >= 2 files for a multi-batch replay: $nFiles")
+    val spark = docs.sparkSession
+    val tagged = docs.withColumn("is_test",
+      graft.operators.Corpus.isHoldout(col("doc_id")))
+    val bench = StreamingContamination
+      .benchmarkGrams(tagged.filter(col("is_test")), k = 13)
+    try {
+      val train = tagged.filter(!col("is_test"))
+        .select(col("doc_id"), timestamp_seconds(col("doc_id")).as("ts"),
+          col("text"))
+      new java.io.File(srcDir).mkdirs()
+      val now = System.currentTimeMillis()
+      for (i <- 0 until nFiles) {
+        val tmp = s"$srcDir/../stage_b$i"
+        train.filter(pmod(col("doc_id"), lit(nFiles.toLong)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$srcDir/b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(now + i * 2000L)
+      }
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = ingest(stream, bench, storeDir, outDir, checkpointDir,
+        minQuality = 0.5, threshold = 0.5,
+        horizonSec = 10000000000L)
+      q.awaitTermination()
+    } finally bench.close()
+    val out = new java.io.File(outDir)
+    if (!out.exists())
+      // empty train split: every micro-batch is empty, no commit ever
+      // materializes outDir — the structural answer is the empty table
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+    else
+      spark.read.parquet(outDir)
+        .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+  }
+
   /** One micro-batch of the composed ingest (exposed for direct
     * testing, like `StreamingExport.writeBatch` /
     * `StreamingDedup.nearDupGateBatch`): decontaminate, then hand the
