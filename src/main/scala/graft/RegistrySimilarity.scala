@@ -126,6 +126,38 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       GraphAnn.hnswServedTopK(dir, Tables.embeddings(s, d), efSearch = 512)
     }),
 
+    // HNSW BUILD oracle (round 13) — construction itself under the
+    // driver's full oracle, closing the last spec-only compute family:
+    // a single-shard fixture (vec_id < 40, coalesce(1)) built with
+    // efConstruction = 48 ≥ N, which makes every construction beam
+    // EXHAUSTIVE over its layer's reachable set — so each insert's
+    // links are exactly the top-cap prior nodes at that layer by
+    // (cos DESC, id ASC), and every trim is a uniform top-cap filter
+    // on the owner's directed list. The oracle replays the 39 inserts
+    // as an unrolled CTE fold (the IVF-training doctrine). Caps bite
+    // at this size (m=4 → layer-0 cap 8 over up to 39 candidates), so
+    // link truncation AND trims are exercised, not vacuous. Premise
+    // pinned by the parity itself: each layer's graph stays connected
+    // under trims on this fixture (a disconnection would diverge the
+    // replay and fail the hash compare). Output: the persisted
+    // adjacency as (vec_id, lev, nb_id) rows, canonically ordered —
+    // neighbor-list ORDER is deliberately out of contract (beam
+    // results never depend on it; search explores whole lists).
+    "sim_ann_hnsw_build" -> ((s, d) => {
+      val dir = scratchDir("graft_hnsw_build_") + "/idx"
+      GraphAnn.buildHnswIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") < 40).coalesce(1),
+        dir, m = 4, efConstruction = 48, maxLevel = 6)
+      val idx = s.read.parquet(dir)
+      val ids = idx.select(col("pos").as("nb_pos"), col("vec_id").as("nb_id"))
+      idx.select(col("vec_id"), posexplode(col("adj")))
+        .select(col("vec_id"), col("pos").cast("long").as("lev"),
+          explode(col("col")).as("nb_pos"))
+        .join(ids, "nb_pos")
+        .select(col("vec_id"), col("lev"), col("nb_id"))
+        .orderBy(col("vec_id"), col("lev"), col("nb_id"))
+    }),
+
     // IVF serve plumbing under the FULL oracle: deterministic seed
     // centroids (the nlist corpus vectors with smallest md5(vec_id) —
     // no Lloyd's iterations), so list assignment, nprobe lookup and
@@ -723,6 +755,8 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // quantized arithmetic — so the brute-force replay IS its oracle
     "sim_ann_hnsw_served" -> sqlBruteForceTopK,
 
+    "sim_ann_hnsw_build" -> sqlHnswBuild(n = 40, m = 4, maxLevel = 6),
+
     // pure-BIGINT inner-product ranking (no division, no sqrt): the
     // ranking, ties included, replays exactly
     "sim_mips_topk" ->
@@ -1021,6 +1055,70 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
   /** Shared pHash front (analytic grid → fixed-point DCT → median →
     * 4×16-bit bands) — consumed by the group oracle and the Hamming
     * pair oracle. */
+  /** sim_ann_hnsw_build oracle: the exhaustive-beam construction replay
+    * (see the queries entry). Base CTEs: the first `n` nonzero-norm
+    * quantized vectors with insertion positions, md5 level draws
+    * (trailing-zero pairs of the 28-bit digest prefix — levelOf
+    * verbatim), and the full directed pairwise cosine table (exact
+    * long dot, one IEEE division — the sqlBruteForceTopK arithmetic).
+    * Then one unrolled step per insert i: links = top cap(lev) prior
+    * nodes per layer 0..min(lvl_i, max prior lvl) by (cos DESC, id),
+    * edges = previous ∪ both directions of the links, each (owner,
+    * lev) directed list re-capped by (cos-to-owner DESC, id) — the
+    * uniform form of NswIndex.trim (idempotent on under-cap lists). */
+  private def sqlHnswBuild(n: Int, m: Int, maxLevel: Int): String = {
+    val cap0 = 2 * m
+    // t = trailing zeros of (h | 2^28); 29 exhaustive branches
+    val tz = (0 to 28).map(b =>
+      s"WHEN (hh & ${1L << b}) != 0 THEN $b").mkString(" ")
+    val capCase = s"(CASE WHEN lev = 0 THEN $cap0 ELSE $m END)"
+    val head =
+      s"WITH v0 AS MATERIALIZED (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v " +
+        s"FROM embeddings WHERE vec_id < $n), " +
+        "vn AS MATERIALIZED (SELECT vec_id, v, " +
+        "list_sum(list_transform(v, x -> x*x)) AS nrm FROM v0), " +
+        "nodes AS MATERIALIZED (SELECT vec_id, v, nrm, " +
+        "CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS pos " +
+        "FROM vn WHERE nrm > 0), " +
+        "lvl AS MATERIALIZED (SELECT pos, vec_id, least(t // 2, " +
+        s"$maxLevel) AS lvl FROM (SELECT pos, vec_id, CASE $tz END AS t " +
+        "FROM (SELECT pos, vec_id, " +
+        "CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) " +
+        s"| ${1L << 28} AS hh FROM nodes)) ), " +
+        "cosij AS MATERIALIZED (SELECT a.pos AS a, b.pos AS b, " +
+        "CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos " +
+        "FROM nodes a JOIN nodes b ON a.pos != b.pos), " +
+        "e0 AS MATERIALIZED (SELECT CAST(NULL AS INTEGER) AS owner, " +
+        "CAST(NULL AS BIGINT) AS lev, CAST(NULL AS INTEGER) AS nb WHERE FALSE)"
+    val steps = (1 until n).map { i =>
+      s"li$i AS MATERIALIZED (SELECT lev, nb FROM (" +
+        "SELECT g.lev AS lev, j.pos AS nb, " +
+        "row_number() OVER (PARTITION BY g.lev ORDER BY c.cos DESC, j.vec_id) AS rk " +
+        s"FROM (SELECT unnest(range(0, 1 + least(" +
+        s"(SELECT lvl FROM lvl WHERE pos = $i), " +
+        s"(SELECT MAX(lvl) FROM lvl WHERE pos < $i)))) AS lev) g " +
+        s"JOIN lvl j ON j.pos < $i AND j.lvl >= g.lev " +
+        s"JOIN cosij c ON c.a = $i AND c.b = j.pos" +
+        s") WHERE rk <= $capCase), " +
+        s"e$i AS MATERIALIZED (SELECT owner, lev, nb FROM (" +
+        "SELECT u.owner, u.lev, u.nb, " +
+        "row_number() OVER (PARTITION BY u.owner, u.lev " +
+        "ORDER BY c.cos DESC, w.vec_id) AS rk " +
+        s"FROM (SELECT owner, lev, nb FROM e${i - 1} " +
+        s"UNION ALL SELECT $i AS owner, lev, nb FROM li$i " +
+        s"UNION ALL SELECT nb AS owner, lev, $i AS nb FROM li$i) u " +
+        "JOIN cosij c ON c.a = u.owner AND c.b = u.nb " +
+        "JOIN lvl w ON w.pos = u.nb" +
+        s") WHERE rk <= $capCase)"
+    }.mkString(", ")
+    head + ", " + steps + " " +
+      "SELECT o.vec_id, CAST(e.lev AS BIGINT) AS lev, w.vec_id AS nb_id " +
+      s"FROM e${n - 1} e JOIN lvl o ON e.owner = o.pos " +
+      "JOIN lvl w ON e.nb = w.pos ORDER BY 1, 2, 3"
+  }
+
   private def sqlPhashBandsCtes: String = {
     val ct = graft.operators.Multimodal.dctTable.flatten.mkString("[", ", ", "]")
     "dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 4 AS h FROM documents), " +

@@ -53,16 +53,20 @@ import scala.collection.mutable
   * (undefined cosine) are excluded from graph and queries up front,
   * mirroring [[Similarity]]'s NaN rule.
   *
-  * Oracle status: the family is approximate by nature, so the build
+  * Oracle status: the family is approximate by nature, so the search
   * paths are spec-driven — bit-exact scores vs brute force on the
   * overlap, run-to-run determinism, recall floors single- and
   * multi-shard, the no-corpus-broadcast plan property, and (env-gated
   * at sf0.1) the hierarchy's budget/recall advantage over the flat
-  * control. The SERVE path (`sim_ann_hnsw_served`) additionally sits
-  * under the driver's full rows+schema+hash oracle: at validation
-  * scale its efSearch exceeds the corpus, the beam is exhaustive, and
-  * the result equals the brute-force replay exactly (the equality is
-  * itself spec-pinned to the driver-gate fixture).
+  * control. Two paths additionally sit under the driver's full
+  * rows+schema+hash oracle: the SERVE path (`sim_ann_hnsw_served` —
+  * at validation scale its efSearch exceeds the corpus, the beam is
+  * exhaustive, and the result equals the brute-force replay exactly,
+  * the equality itself spec-pinned to the driver-gate fixture) and,
+  * since round 13, CONSTRUCTION itself (`sim_ann_hnsw_build` — a
+  * single-shard fixture built with efConstruction ≥ N, where every
+  * construction beam is exhaustive and the whole insert/trim sequence
+  * replays as an unrolled SQL fold; see the registry entry).
   */
 object GraphAnn {
 
