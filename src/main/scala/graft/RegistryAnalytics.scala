@@ -481,6 +481,42 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "q14_type_share" -> ((s, d) =>
       Relational.typeRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
 
+    // ---- Round-13 TPC-H batch (see Relational's section scaladoc:
+    // the remaining shapes expressible over this schema; q2/q9/q11/
+    // q16/q20 need the absent partsupp table) -------------------------
+    "q1_pricing_summary" -> ((s, d) =>
+      Relational.q1PricingSummary(Tables.lineitem(s, d))),
+
+    "q4_order_priority" -> ((s, d) =>
+      Relational.q4OrderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+
+    "q7_volume_shipping" -> ((s, d) =>
+      Relational.q7VolumeShipping(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+
+    "q8_market_share" -> ((s, d) =>
+      Relational.q8MarketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.part(s, d))),
+
+    "q12_late_lines" -> ((s, d) =>
+      Relational.q12LateLines(Tables.lineitem(s, d), Tables.orders(s, d))),
+
+    "q13_cust_distribution" -> ((s, d) =>
+      Relational.q13CustomerDistribution(Tables.customer(s, d),
+        Tables.orders(s, d))),
+
+    "q17_small_qty_revenue" -> ((s, d) =>
+      Relational.q17SmallQtyRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+
+    "q19_discounted_revenue" -> ((s, d) =>
+      Relational.q19DiscountedRevenue(Tables.lineitem(s, d),
+        Tables.part(s, d))),
+
+    "q22_sales_opportunity" -> ((s, d) =>
+      Relational.q22SalesOpportunity(Tables.customer(s, d),
+        Tables.orders(s, d))),
+
     // Fulfillment-lag SLA audit (round 12): order-to-ship day lags
     // per priority with the ppm SLA share (see fulfillmentLag's
     // scaladoc).
@@ -1298,6 +1334,112 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN r ELSE 0 END) AS BIGINT) // " +
         "nullif(CAST(SUM(r) AS BIGINT) // 1000000, 0) AS BIGINT) AS promo_ppm " +
         "FROM j"),
+
+    // ---- Round-13 TPC-H batch oracles (decimal-exact money math,
+    // ratios as one double division of exact values) ------------------
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))) * " +
+        "(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge, " +
+        "CAST(COUNT(*) AS BIGINT) AS count_order, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q4_order_priority" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q7_volume_shipping" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    "q8_market_share" ->
+      ("WITH v AS (SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) AS vol " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY' " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey) " +
+        "SELECT CAST(o_year AS BIGINT) AS o_year, " +
+        "CAST(SUM(vol) AS BIGINT) AS total_bp, " +
+        "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS nation_bp, " +
+        "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE) / SUM(vol) AS mkt_share " +
+        "FROM v GROUP BY 1 ORDER BY 1"),
+
+    "q12_late_lines" ->
+      ("SELECT l_linestatus, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q13_cust_distribution" ->
+      ("WITH cc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders " +
+        "WHERE o_orderpriority != '4-NOT SPECIFIED') o ON c_custkey = o_custkey " +
+        "GROUP BY 1) " +
+        "SELECT CAST(c_count AS BIGINT) AS c_count, " +
+        "CAST(COUNT(*) AS BIGINT) AS custdist " +
+        "FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC"),
+
+    "q17_small_qty_revenue" ->
+      ("WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand = 'Brand#3' AND p_size <= 10), " +
+        "aq AS (SELECT l_partkey AS ap, SUM(CAST(l_quantity AS BIGINT)) AS sq, " +
+        "COUNT(*) AS nq FROM li GROUP BY 1) " +
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly " +
+        "FROM li JOIN aq ON l_partkey = ap " +
+        "WHERE CAST(l_quantity AS BIGINT) * 5 * nq < sq"),
+
+    "q19_discounted_revenue" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
+
+    "q22_sales_opportunity" ->
+      ("WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) " +
+        "/ COUNT(*) AS avg_bal FROM customer WHERE c_acctbal > 0.0) " +
+        "SELECT c_custkey % 7 AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal " +
+        "FROM customer, ab WHERE c_acctbal > avg_bal " +
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1999-01-01') " +
+        "GROUP BY 1 ORDER BY 1"),
 
     // SLA replay: date-difference lags per priority, ppm share
     "order_fulfillment_lag" ->

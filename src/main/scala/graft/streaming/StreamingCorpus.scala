@@ -121,24 +121,48 @@ object StreamingCorpus {
           col("text"))
       new java.io.File(srcDir).mkdirs()
       val now = System.currentTimeMillis()
+      // stage all batch files in ONE corpus pass: partitionBy(b) lands
+      // each residue class as its own directory (repartition on b →
+      // one part file per class), then each class's file moves into
+      // srcDir under a pinned, strictly increasing mtime
+      val stage = s"$srcDir/../stage"
+      train.withColumn("b", pmod(col("doc_id"), lit(nFiles.toLong)))
+        .repartition(col("b"))
+        .write.mode("overwrite").partitionBy("b").parquet(stage)
       for (i <- 0 until nFiles) {
-        val tmp = s"$srcDir/../stage_b$i"
-        train.filter(pmod(col("doc_id"), lit(nFiles.toLong)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).head
+        val cls = new java.io.File(s"$stage/b=$i")
         val dst = new java.io.File(s"$srcDir/b$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
+        val part = if (cls.exists())
+          cls.listFiles().filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).headOption
+        else None
+        part match {
+          case Some(p) => java.nio.file.Files.move(p.toPath, dst.toPath); ()
+          case None => // empty residue class: an empty batch file keeps
+            // the file→batch numbering aligned with the oracle's fold
+            train.filter(pmod(col("doc_id"), lit(nFiles.toLong)) === i)
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/e$i")
+            val p = new java.io.File(s"$stage/e$i").listFiles()
+              .filter(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet")).head
+            java.nio.file.Files.move(p.toPath, dst.toPath); ()
+        }
         dst.setLastModified(now + i * 2000L)
       }
       val stream = spark.readStream
         .schema(spark.read.parquet(srcDir).schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      val q = ingest(stream, bench, storeDir, outDir, checkpointDir,
-        minQuality = 0.5, threshold = 0.5,
-        horizonSec = 10000000000L)
-      q.awaitTermination()
+      // batch state is document-table scale — 8 shuffle partitions cut
+      // the per-micro-batch task overhead (the exactParityReplay
+      // pinning note); restored right after the bounded replay
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = ingest(stream, bench, storeDir, outDir, checkpointDir,
+          minQuality = 0.5, threshold = 0.5,
+          horizonSec = 10000000000L)
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     } finally bench.close()
     val out = new java.io.File(outDir)
     if (!out.exists())

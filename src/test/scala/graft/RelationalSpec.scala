@@ -1353,6 +1353,61 @@ class RelationalSpec extends SparkSpec {
       p.length < 2 || p(0) >= p(1)), "not sorted by price desc")
   }
 
+  test("round-13 TPC-H batch: plan shapes (semi/anti joins, no division " +
+    "in q17's filter) and cross-query reconciliations hold") {
+    val li = Tables.lineitem(spark, sf0)
+    val ord = Tables.orders(spark, sf0)
+    val cust = Tables.customer(spark, sf0)
+    // q4 plans the EXISTS as a LEFT SEMI join — no duplicate explosion
+    val q4 = Relational.q4OrderPriority(ord, li)
+    assert(q4.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "q4's EXISTS did not plan as a semi join")
+    // q22 plans the lapsed test as a LEFT ANTI join
+    val q22 = Relational.q22SalesOpportunity(cust, ord)
+    assert(q22.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "q22's NOT IN did not plan as an anti join")
+    // q1 reconciliation: per-group sum_qty / count_order recompose the
+    // unfiltered-to-cutoff scan exactly; avgs are exact-quotients
+    val q1 = Relational.q1PricingSummary(li).collect()
+    assert(q1.nonEmpty)
+    val totQty = li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .agg(sum(col("l_quantity").cast("long"))).head.getLong(0)
+    assert(q1.map(_.getLong(2)).sum == totQty)
+    q1.foreach { r =>
+      assert(r.getDouble(7) == r.getLong(2).toDouble / r.getLong(6))
+      assert(r.getDouble(8) == r.getDouble(3) / r.getLong(6))
+    }
+    // q12 high+low reconcile to the late-line join count
+    val q12 = Relational.q12LateLines(li, ord).collect()
+    val lateTotal = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .count()
+    assert(q12.map(r => r.getLong(1) + r.getLong(2)).sum == lateTotal)
+    // q13 custdist sums to the customer count (left join keeps k = 0)
+    val q13 = Relational.q13CustomerDistribution(cust, ord).collect()
+    assert(q13.map(_.getLong(1)).sum == cust.count())
+    // q8 share is the exact bp quotient and lands in [0, 1]
+    Relational.q8MarketShare(li, ord, cust, Tables.supplier(spark, sf0),
+      Tables.nation(spark, sf0), Tables.region(spark, sf0),
+      Tables.part(spark, sf0)).collect().foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // q17's small-qty filter is the integer cross-multiplied form —
+    // no division in any Filter predicate (the final avg_yearly
+    // projection legitimately divides once)
+    val q17 = Relational.q17SmallQtyRevenue(li, Tables.part(spark, sf0))
+    val filters = q17.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.toString
+    }
+    assert(filters.nonEmpty && filters.forall(!_.contains("/")),
+      s"q17's filter grew a division — cross-multiply doctrine broke:\n" +
+        filters.mkString("\n"))
+  }
+
   test("velocityFlag: trailing-window burst counted exactly at the " +
     "boundary, spread-out user unflagged") {
     import graft.operators.Sessionize
