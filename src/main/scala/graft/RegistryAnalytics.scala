@@ -476,6 +476,18 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_welch_t2" -> ((s, d) =>
       Relational.welchT2(Tables.events(s, d))),
 
+    // Mann-Whitney U (round 13): the rank-based two-sample test —
+    // doubled tied ranks keep every accumulation BIGINT; the AUC
+    // effect size divides once (see mannWhitneyU's scaladoc).
+    "stats_mannwhitney" -> ((s, d) =>
+      Relational.mannWhitneyU(Tables.events(s, d))),
+
+    // Two-sample Kolmogorov-Smirnov D (round 13): the ECDF-gap drift
+    // monitor; supremum computed in the integer domain D*n_a*n_b over
+    // the bounded cents grid (see ksTest's scaladoc).
+    "stats_ks" -> ((s, d) =>
+      Relational.ksTest(Tables.events(s, d))),
+
     // Type-revenue share (round 12): the TPC-H Q14 shape with the
     // scaled-denominator ppm (see typeRevenueShare's scaladoc).
     "q14_type_share" -> ((s, d) =>
@@ -1321,6 +1333,39 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT n_a, n_b, s_a, s_b, " +
         Relational.WelchTail("mean_diff_cents") + " AS mean_diff_cents, " +
         Relational.WelchTail("t2") + " AS t2 FROM g"),
+
+    // rank-sum replay: same value-grouped prefix-sum front as the
+    // engine (doubled tied ranks — all BIGINT until the final AUC)
+    "stats_mannwhitney" ->
+      ("WITH g AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, " +
+        "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb " +
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "r AS (SELECT *, COALESCE(SUM(na + nb) OVER " +
+        "(ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt FROM g), " +
+        "s AS (SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_a, " +
+        "CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_b, " +
+        "CAST(COALESCE(SUM(na * (clt * 2 + na + nb + 1)), 0) AS BIGINT) AS r2x_a FROM r) " +
+        "SELECT n_a, n_b, r2x_a, " +
+        "CAST(r2x_a - n_a * (n_a + 1) AS BIGINT) AS u2x_a, " +
+        "CAST(r2x_a - n_a * (n_a + 1) AS DOUBLE) / nullif(n_a * n_b * 2, 0) AS auc_a " +
+        "FROM s"),
+
+    // KS replay: cumulative counts over the same grid; the supremum
+    // stays integer until the final division
+    "stats_ks" ->
+      ("WITH g AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, " +
+        "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb " +
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "tot AS (SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_a, " +
+        "CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_b FROM g), " +
+        "r AS (SELECT SUM(na) OVER (ORDER BY c) AS c1, " +
+        "SUM(nb) OVER (ORDER BY c) AS c2 FROM g), " +
+        "sup AS (SELECT CAST(COALESCE(MAX(ABS(c1 * (SELECT n_b FROM tot) " +
+        "- c2 * (SELECT n_a FROM tot))), 0) AS BIGINT) AS d_scaled FROM r) " +
+        "SELECT n_a, n_b, d_scaled, " +
+        "CAST(d_scaled AS DOUBLE) / nullif(n_a * n_b, 0) AS d FROM tot, sup"),
 
     // Q14 replay: centi-cent decimal money, scaled-denominator ppm
     "q14_type_share" ->

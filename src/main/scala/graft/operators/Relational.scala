@@ -1882,6 +1882,7 @@ object Relational {
     * construction). */
   def welchT2(events: DataFrame, typeA: String = "click",
               typeB: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
     val t = col("event_type")
     events.filter(t === typeA || t === typeB)
@@ -1911,6 +1912,82 @@ object Relational {
       case "t2" =>
         s"(($ma - $mb) * ($ma - $mb)) / ($va / n_a + $vb / n_b)"
     }
+  }
+
+  /** MANN-WHITNEY U (round 13) — the RANK-based two-sample test next
+    * to [[welchT2]]'s parametric one: robust to the heavy-tailed value
+    * distributions real event streams have, where a mean-based t² is
+    * driven by outliers. ENGINE-EXACT BY CONSTRUCTION: values move to
+    * exact cents, ranking happens on the VALUE-GROUPED table (one row
+    * per distinct cent value — bounded by the price grid, not the row
+    * count, so the one ordered prefix-sum window runs over a bounded
+    * frame; the [[bootstrapCi]] ranking precedent), and tied ranks use
+    * the DOUBLED average rank 2·c_lt + t + 1 so every accumulation is
+    * a BIGINT — no half-rank floats anywhere. The AUC statistic
+    * (P(A > B) + ½P(A = B), the common-language effect size) is ONE
+    * IEEE division of two exact integers at the end.
+    *
+    * Output (one row): n_a, n_b, r2x_a (doubled rank sum of sample A),
+    * u2x_a (doubled U_A), auc_a. */
+  def mannWhitneyU(events: DataFrame, typeA: String = "click",
+                   typeB: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val t = col("event_type")
+    val g = events.filter(t === typeA || t === typeB)
+      .select(t.as("ty"), cents.as("c"))
+      .groupBy(col("c"))
+      .agg(sum(when(col("ty") === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("ty") === typeB, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("clt",
+        coalesce(sum(col("na") + col("nb")).over(w), lit(0L)))
+      .agg(coalesce(sum(col("na")), lit(0L)).as("n_a"),
+        coalesce(sum(col("nb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("na") *
+          (col("clt") * 2L + col("na") + col("nb") + 1L)), lit(0L))
+          .as("r2x_a"))
+      .select(col("n_a"), col("n_b"), col("r2x_a"),
+        (col("r2x_a") - col("n_a") * (col("n_a") + 1L)).as("u2x_a"),
+        ((col("r2x_a") - col("n_a") * (col("n_a") + 1L)).cast("double") /
+          expr("nullif(n_a * n_b * 2, 0)")).as("auc_a"))
+  }
+
+  /** KOLMOGOROV–SMIRNOV two-sample D (round 13) — the DISTRIBUTION-
+    * shape companion of [[mannWhitneyU]]'s location test: the largest
+    * ECDF gap catches variance/shape drift a rank sum misses (the
+    * data-drift monitor every feature pipeline runs between training
+    * and serving windows). Same exact-cents value-grouped front; the
+    * supremum is computed in the INTEGER domain — D·n_a·n_b =
+    * max |c1·n_b − c2·n_a| over the value grid (cumulative counts
+    * from the bounded prefix-sum window) — and divides once into the
+    * double D at the end.
+    *
+    * Output (one row): n_a, n_b, d_scaled (= D·n_a·n_b, exact), d. */
+  def ksTest(events: DataFrame, typeA: String = "click",
+             typeB: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val t = col("event_type")
+    val g = events.filter(t === typeA || t === typeB)
+      .select(t.as("ty"), cents.as("c"))
+      .groupBy(col("c"))
+      .agg(sum(when(col("ty") === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("ty") === typeB, 1L).otherwise(0L)).as("nb"))
+    val tot = g.agg(coalesce(sum(col("na")), lit(0L)).as("n_a"),
+      coalesce(sum(col("nb")), lit(0L)).as("n_b"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sup = g.withColumn("c1", sum(col("na")).over(w))
+      .withColumn("c2", sum(col("nb")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(max(abs(col("c1") * col("n_b") -
+        col("c2") * col("n_a"))), lit(0L)).as("d_scaled"))
+    sup.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("d_scaled"),
+        (col("d_scaled").cast("double") /
+          expr("nullif(n_a * n_b, 0)")).as("d"))
   }
 
   /** TYPE-REVENUE SHARE (round 12) — the TPC-H Q14 shape: what share

@@ -1408,6 +1408,27 @@ class RelationalSpec extends SparkSpec {
         filters.mkString("\n"))
   }
 
+  test("mannWhitneyU / ksTest: hand fixture with ties replays the " +
+    "doubled-rank and integer-supremum arithmetic exactly") {
+    import spark.implicits._
+    // A = [1, 2, 2], B = [2, 3]: value 2 is a 3-way tie spanning both
+    // samples — avg rank 3 → doubled 6. R_A = 1 + 3 + 3 = 7, U_A = 1.
+    val ev = Seq(("click", 1.0), ("click", 2.0), ("click", 2.0),
+      ("purchase", 2.0), ("purchase", 3.0)).toDF("event_type", "value")
+    val mw = Relational.mannWhitneyU(ev).collect().head
+    assert(mw.getLong(0) == 3L && mw.getLong(1) == 2L)
+    assert(mw.getLong(2) == 14L, s"doubled rank sum ${mw.getLong(2)}")
+    assert(mw.getLong(3) == 2L, s"doubled U ${mw.getLong(3)}")
+    assert(mw.getDouble(4) == 2.0 / 12.0)
+    // KS: grid 1,2,3 → c1·n_b − c2·n_a = 2, 3, 0 → D = 3/6 = 0.5
+    val ks = Relational.ksTest(ev).collect().head
+    assert(ks.getLong(2) == 3L && ks.getDouble(3) == 0.5)
+    // identity: U_A + U_B = n_a·n_b (doubled: u2x_a + u2x_b = 2·n_a·n_b)
+    val mwB = Relational.mannWhitneyU(ev, typeA = "purchase",
+      typeB = "click").collect().head
+    assert(mw.getLong(3) + mwB.getLong(3) == 2L * 3L * 2L)
+  }
+
   test("velocityFlag: trailing-window burst counted exactly at the " +
     "boundary, spread-out user unflagged") {
     import graft.operators.Sessionize
