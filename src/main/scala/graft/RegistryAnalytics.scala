@@ -608,6 +608,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Graph.kCore(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
+    // Multi-source BFS layers (round 13): per-hop strong-tie reach of
+    // the md5-'00' seed set, unreached mass structural at depth -1
+    // (see bfsLayers' scaladoc). Reads the shared memoized edges.
+    "graph_bfs_layers" -> ((s, d) =>
+      Graph.bfsLayers(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // Degree assortativity (round 12): the hub-mixing audit as an
     // exact integer ratio — symmetry collapses Pearson's sqrt (see
     // assortativity's scaladoc).
@@ -1863,6 +1870,27 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(CAST(ca.n_orders AS DOUBLE) * CAST(cb.n_orders AS DOUBLE)) AS lift " +
         "FROM und JOIN cnt ca ON und.a = ca.p JOIN cnt cb ON und.b = cb.p, tot " +
         "ORDER BY lift DESC, a, b LIMIT 20"),
+
+    // BFS replay: recursive min-DEPTH reachability from the md5-'00'
+    // seeds over the strong-tie (w >= 2) graph, capped at the engine's
+    // round count; unreached nodes keep their structural -1 row via
+    // the universe left join
+    "graph_bfs_layers" ->
+      ("WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "wt AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS w FROM it a " +
+        "JOIN it b ON a.o = b.o AND a.p != b.p GROUP BY 1, 2), " +
+        "und AS (SELECT a, b FROM wt WHERE w >= 2), " +
+        "reach(node, depth) AS (" +
+        "SELECT p, CAST(0 AS BIGINT) FROM (SELECT DISTINCT p FROM it) " +
+        "WHERE substring(md5(CAST(p AS VARCHAR)), 1, 2) = '00' " +
+        "UNION " +
+        "SELECT e.b, r.depth + 1 FROM reach r JOIN und e ON e.a = r.node " +
+        "WHERE r.depth < 6), " +
+        "md AS (SELECT node, MIN(depth) AS depth FROM reach GROUP BY 1) " +
+        "SELECT COALESCE(md.depth, -1) AS depth, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_nodes " +
+        "FROM (SELECT DISTINCT p FROM it) n LEFT JOIN md ON n.p = md.node " +
+        "GROUP BY 1 ORDER BY 1"),
 
     // components replay: recursive min-label reachability over the
     // co-order edges (the dedup_cluster reach pattern on parts), then

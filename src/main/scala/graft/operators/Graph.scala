@@ -472,6 +472,52 @@ object Graph {
       .orderBy(col("component_size"))
   }
 
+  /** MULTI-SOURCE BFS LAYERS (round 13) — the reachability primitive
+    * the family was missing next to components/k-core/label-prop: how
+    * much of the graph a deterministic seed set reaches per hop, the
+    * influence/coverage question (seed-product reach, contamination
+    * blast radius). The walk runs over the STRONG-TIE graph (edge
+    * weight ≥ `minWeight` — on the raw co-order graph one hop reaches
+    * everything and the layer structure is vacuous; thresholding is
+    * also what a real influence pass does) from the md5-'00' node
+    * sample (~1/256 — the doc_sample doctrine, engine-replayable).
+    * Fixed `rounds` unroll (the Pregel superstep expressed
+    * relationally, like pageRank): each round is one semi-join
+    * frontier expansion + one anti-join dedup against the visited
+    * set, both equi-joins on the node key — the frontier/visited
+    * frames are node-bounded and localCheckpoint keeps the chain
+    * linear. Output: (depth, n_nodes) for depths 0..rounds with
+    * −1 = unreached (structural — the unreached mass is the number an
+    * influence analyst reads first), ordered. */
+  def bfsLayers(lineitem: DataFrame, rounds: Int = 6, minWeight: Long = 2L,
+                edges0: Option[DataFrame] = None): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"bad rounds=$rounds")
+    val e0 = edges0.getOrElse(coOrderEdges(lineitem))
+      .filter(col("w") >= minWeight).select(col("a"), col("b"))
+    val und = e0.unionByName(
+      e0.select(col("b").as("a"), col("a").as("b")))
+    val nodes = lineitem.select(col("l_partkey").as("node")).distinct()
+    val seeds = nodes.filter(
+      substring(md5(col("node").cast("string")), 1, 2) === "00")
+    var visited = seeds.select(col("node"), lit(0L).as("depth"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    for (d <- 1 to rounds) {
+      val next = und
+        .join(frontier.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("depth"))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    nodes.join(visited, Seq("node"), "left")
+      .select(coalesce(col("depth"), lit(-1L)).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("depth"))
+  }
+
   private[graft] def degreeOriented(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

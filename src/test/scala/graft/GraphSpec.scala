@@ -212,6 +212,23 @@ class GraphSpec extends SparkSpec {
       s"expected the convergence diagnosis, got ${messages(e).mkString(" | ")}")
   }
 
+  test("bfsLayers: hand path graph — layered depths, weak edge ignored, " +
+    "isolated node unreached") {
+    // 168 is an md5-'00' seed (the only one among these ids). Strong
+    // (w >= 2) path 168—500—501; 501—502 co-occurs once (weak, must
+    // not expand); 900/901 co-occur once (isolated from the seed).
+    // Expected: d0 = {168}, d1 = {500}, d2 = {501}, unreached =
+    // {502, 900, 901}.
+    val rows = Graph.bfsLayers(li(
+        1L -> Seq(168L, 500L), 2L -> Seq(168L, 500L),
+        3L -> Seq(500L, 501L), 4L -> Seq(500L, 501L),
+        5L -> Seq(501L, 502L), 6L -> Seq(900L, 901L)),
+      rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(-1L -> 3L, 0L -> 1L, 1L -> 1L, 2L -> 1L),
+      s"got $rows")
+  }
+
   test("assortativity: star graph scores exactly -1000 milli, " +
     "degree-regular graph yields NULL") {
     // star: hub 1 with leaves 2,3,4 — r = −1 for any star
