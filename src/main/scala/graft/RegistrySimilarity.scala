@@ -168,6 +168,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "sim_ann_ivf_fixed" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), trainIters = 0)),
 
+    // IVF list-balance audit (round 13): per-centroid occupancy under
+    // the fixed seed quantizer — the number that sizes nlist/nprobe,
+    // the IVF analog of dedup_lsh_band_stats (see ivfListBalance's
+    // scaladoc). Zero-occupancy lists keep structural rows.
+    "embed_ivf_balance" -> ((s, d) =>
+      Similarity.ivfListBalance(Tables.embeddings(s, d))),
+
     // Mean-pool per-document embedding aggregation (round 9): one vector
     // per label from its chunk vectors, exact integer domain end-to-end.
     // The pooled array itself is spec-checked; the registered row carries
@@ -756,6 +763,25 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "sim_ann_hnsw_served" -> sqlBruteForceTopK,
 
     "sim_ann_hnsw_build" -> sqlHnswBuild(n = 40, m = 4, maxLevel = 6),
+
+    // list-balance replay: the sim_ann_ivf_fixed centroid/assignment
+    // CTEs verbatim, then per-list counts with structural zero rows
+    "embed_ivf_balance" ->
+      (s"WITH $sqlQuantCte, " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+        "ac AS (SELECT n.vec_id, c.cent_id, " +
+        "CAST(list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos " +
+        "FROM n, cent c), " +
+        "asg AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac) " +
+        "WHERE rn = 1), " +
+        "cnt AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n0 FROM asg GROUP BY 1), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM asg) " +
+        "SELECT c.cent_id, CAST(COALESCE(cnt.n0, 0) AS BIGINT) AS n_vecs, " +
+        "CAST(COALESCE(cnt.n0, 0) * 1000000 // nullif((SELECT n_total FROM tot), 0) AS BIGINT) AS share_ppm " +
+        "FROM cent c LEFT JOIN cnt ON c.cent_id = cnt.cent_id ORDER BY 1"),
 
     // pure-BIGINT inner-product ranking (no division, no sqrt): the
     // ranking, ties included, replays exactly

@@ -381,6 +381,36 @@ object Similarity {
       broadcast(centroids.select(need.map(col): _*)), nQueries, k, nprobe)
   }
 
+  /** IVF LIST-SIZE BALANCE (round 13) — the audit that SIZES an IVF
+    * deployment: per-centroid inverted-list occupancy under the fixed
+    * seed quantizer (the `sim_ann_ivf_fixed` assignment verbatim, so
+    * the whole audit replays in the oracle). Imbalance is what an
+    * operator reads before choosing nlist/nprobe — a hot list means
+    * probes scan far more than n/nlist·nprobe vectors, the IVF analog
+    * of the LSH band-occupancy audit. Zero-occupancy lists keep a
+    * structural row (a silently empty list is exactly the defect this
+    * catches). Shares in integer ppm of exact counts. Output:
+    * (cent_id, n_vecs, share_ppm), ordered. */
+  def ivfListBalance(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    val p = prepared(emb)
+    val cent = broadcast(seedCentroids(p, nlist))
+    val assigned = p.join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
+        .as("cent_id"))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    cent.select(col("cent_id"))
+      .join(assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n0")),
+        Seq("cent_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cent_id"), coalesce(col("n0"), lit(0L)).as("n_vecs"),
+        expr("(coalesce(n0, 0L) * 1000000) div nullif(n_total, 0L)")
+          .as("share_ppm"))
+      .orderBy(col("cent_id"))
+  }
+
   private def ivfServe(p: DataFrame, cent: DataFrame, nQueries: Int,
                        k: Int, nprobe: Int): DataFrame = {
     // assign every vector to its best centroid: argmax cosine via max_by
