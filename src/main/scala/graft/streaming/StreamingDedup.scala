@@ -163,7 +163,17 @@ object StreamingDedup {
       .start()
 
   /** One micro-batch of the near-dup gate (exposed for direct testing —
-    * same reason StreamingExport.writeBatch is). */
+    * same reason StreamingExport.writeBatch is). The store is SPLIT
+    * (round 13) into `v=N/bands` (doc_id, ts, band, bucket) and
+    * `v=N/sigs` (doc_id, ts, sig): the old single table duplicated
+    * each survivor's numHashes-long signature across its 16 band rows
+    * — ~16× write amplification on a store that is REWRITTEN every
+    * batch, the kind of constant that decides feasibility at 100 TB.
+    * Bucket matching now joins the narrow band table and fetches the
+    * candidate's signature once per matched doc; commit/replay
+    * semantics are unchanged (both halves land inside v=N before the
+    * checkpoint commits, so a crash between them replays the whole
+    * version). */
   def nearDupGateBatch(batch: DataFrame, batchId: Long,
                        storeDir: String, outDir: String,
                        threshold: Double, horizonSec: Long,
@@ -176,7 +186,7 @@ object StreamingDedup {
       .join(batch.select(col("doc_id"), col("ts")), "doc_id")
       .select(col("doc_id"), col("ts"), col("sig"), col("band"), col("bucket"))
       .persist()
-    val store = readStore(spark, storeDir, batchId)
+    val (storeBands, storeSigs) = readStore(spark, storeDir, batchId)
 
     // estimated Jaccard between two signatures: fraction of agreeing
     // minhash entries (exact arithmetic; deterministic)
@@ -184,11 +194,14 @@ object StreamingDedup {
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
-    // cross-batch hits: share a bucket with a stored survivor AND the
-    // signature agreement clears the threshold
-    val storeHits = bands.as("x").join(store.as("s"),
+    // cross-batch hits: share a bucket with a stored survivor (narrow
+    // band-table join), then fetch that survivor's signature and
+    // confirm the agreement clears the threshold
+    val storeHits = bands.as("x").join(storeBands.as("s"),
         col("x.band") === col("s.band") && col("x.bucket") === col("s.bucket"))
-      .filter(sigAgree(col("x.sig"), col("s.sig")) >= threshold)
+      .join(storeSigs.select(col("doc_id").as("sd"), col("sig").as("ssig")),
+        col("s.doc_id") === col("sd"))
+      .filter(sigAgree(col("x.sig"), col("ssig")) >= threshold)
       .select(col("x.doc_id")).distinct()
 
     // in-batch hits: same bucket as an EARLIER batch doc ((ts, doc_id)
@@ -220,13 +233,24 @@ object StreamingDedup {
     survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
     // next store version: previous survivors + this batch's, pruned to
-    // the horizon behind the batch's max event time
+    // the horizon behind the batch's max event time — bands and sigs
+    // land as separate narrow tables (see the split-store note above)
     val survBands = bands.join(survivors.select("doc_id"), "doc_id")
     val maxTs = obs.get("max_ts").asInstanceOf[java.sql.Timestamp]
     val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonSec * 1000L)
-    store.unionByName(survBands)
+    storeBands.unionByName(
+        survBands.select(col("doc_id"), col("ts"), col("band"), col("bucket")))
       .filter(col("ts") > cutoff)
-      .write.mode("overwrite").parquet(s"$storeDir/v=$batchId")
+      .write.mode("overwrite").parquet(s"$storeDir/v=$batchId/bands")
+    // one signature row per surviving doc, read from the PERSISTED
+    // bands frame (every band row of a doc carries the identical sig —
+    // re-deriving from minHashSignatures would recompute the shingle +
+    // 64-hash pass a second time per batch)
+    storeSigs.unionByName(
+        survBands.select(col("doc_id"), col("ts"), col("sig"))
+          .dropDuplicates("doc_id"))
+      .filter(col("ts") > cutoff)
+      .write.mode("overwrite").parquet(s"$storeDir/v=$batchId/sigs")
     bands.unpersist()
 
     // GC: with v=batchId durable, versions older than batchId-1 can never
@@ -257,9 +281,11 @@ object StreamingDedup {
 
   /** Largest committed store version strictly below `batchId` (a
     * replayed batch must re-read its original input state), or an empty
-    * store when none exists yet. */
+    * store when none exists yet. Returns the split (bands, sigs) pair
+    * — see the layout note on [[nearDupGateBatch]]. */
   private def readStore(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
+                        batchId: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions =
@@ -268,20 +294,20 @@ object StreamingDedup {
         .flatMap(s => if (s.startsWith("v="))
           scala.util.Try(s.drop(2).toLong).toOption else None)
         .filter(_ < batchId)
+    def empty(fields: StructField*) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields))
     if (versions.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts",
-            org.apache.spark.sql.types.TimestampType),
-          org.apache.spark.sql.types.StructField("sig",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.LongType)),
-          org.apache.spark.sql.types.StructField("band",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("bucket",
-            org.apache.spark.sql.types.StringType))))
-    else spark.read.parquet(s"$storeDir/v=${versions.max}")
+      (empty(StructField("doc_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("band", IntegerType),
+          StructField("bucket", StringType)),
+        empty(StructField("doc_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("sig", ArrayType(LongType))))
+    else
+      (spark.read.parquet(s"$storeDir/v=${versions.max}/bands"),
+        spark.read.parquet(s"$storeDir/v=${versions.max}/sigs"))
   }
 }

@@ -96,9 +96,12 @@ class StreamingDedupSpec extends SparkSpec {
       mem.addData(Doc(6L, ts("2024-01-01 12:00:00"), third))
       q.processAllAvailable()
       // state boundedness: the store's latest version holds ONLY doc 6
-      // (16 band rows), every pre-horizon signature pruned
-      val latest = spark.read.parquet(s"$store/v=2")
-      assert(latest.select("doc_id").distinct().as[Long].collect().toSeq == Seq(6L))
+      // in both halves (16 narrow band rows + 1 signature row), every
+      // pre-horizon entry pruned
+      val latestBands = spark.read.parquet(s"$store/v=2/bands")
+      assert(latestBands.select("doc_id").distinct().as[Long].collect().toSeq == Seq(6L))
+      val latestSigs = spark.read.parquet(s"$store/v=2/sigs")
+      assert(latestSigs.select("doc_id").as[Long].collect().toSeq == Seq(6L))
 
       // batch 3: a near-dup of doc 1 past the horizon → re-emits (the
       // same bounded-state trade as dropDuplicatesWithinWatermark)
