@@ -391,6 +391,25 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // Frame-boundary window functions (round 13): first/last/nth value
+    // over the full per-user frame — the entry/exit/second-touch
+    // attribution columns (a full-frame last_value REQUIRES the
+    // explicit unbounded-following frame; the default frame ends at
+    // CURRENT ROW and silently yields the running last — the classic
+    // window-function trap, pinned here cross-engine).
+    "window_first_last" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Set operations: EXCEPT / INTERSECT over user populations.
     "set_ops" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -437,6 +456,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // answer — state at T via half-open interval containment.
     "dim_snapshot_at" -> ((s, d) =>
       Relational.snapshotAt(Tables.events(s, d))),
+
+    // Fact-to-SCD2 as-of join (round 13): every purchase joined to the
+    // dimension VERSION valid at its event time — the late-arriving-
+    // fact query the type-2 timeline serves (see factScd2Join's
+    // scaladoc).
+    "dim_scd2_join" -> ((s, d) =>
+      Relational.factScd2Join(Tables.events(s, d))),
+
+    // Order backlog timeline (round 13): opened/closed/outstanding per
+    // month over the calendar-bounded grid (see orderBacklog's
+    // scaladoc).
+    "order_backlog" -> ((s, d) =>
+      Relational.orderBacklog(Tables.orders(s, d), Tables.lineitem(s, d))),
 
     // Exact equi-width histogram in integer cents (round 9): two
     // aggregates, <= nb rows out at any scale.
@@ -691,6 +723,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     // Ordered conversion funnel: deepest signup → view → purchase stage
     // per user, each step strictly after the previous one's earliest hit.
+    // Windowed funnel (round 13): the conversion-window variant —
+    // step n within 7 days of step n−1, greedy-earliest anchoring
+    // (see funnelWindowed's scaladoc).
+    "event_funnel_window" -> ((s, d) =>
+      Sessionize.funnelWindowed(Tables.events(s, d))),
+
     "event_funnel" -> ((s, d) =>
       Sessionize.funnel(Tables.events(s, d))),
 
@@ -1721,6 +1759,47 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT user_id, attr, valid_from, valid_to, version, " +
         "valid_to IS NULL AS is_current FROM v ORDER BY user_id, version"),
 
+    // fact-to-version replay: the dim_scd2 CTEs + the half-open
+    // containment join from the purchase facts
+    "dim_scd2_join" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "event_type AS attr FROM events), " +
+        "c AS (SELECT user_id, ts, event_id, attr, " +
+        "LAG(attr) OVER w AS prev_attr, LAG(event_id) OVER w AS prev_eid " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "v AS (SELECT user_id, attr, ts AS valid_from, " +
+        "LEAD(ts) OVER w2 AS valid_to, " +
+        "CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version " +
+        "FROM c WHERE prev_eid IS NULL OR attr IS DISTINCT FROM prev_attr " +
+        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "f AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT f.user_id, f.event_id, f.ts, f.cents, v.version, v.attr, " +
+        "v.valid_to IS NULL AS is_current " +
+        "FROM f JOIN v ON f.user_id = v.user_id AND v.valid_from <= f.ts " +
+        "AND (v.valid_to IS NULL OR f.ts < v.valid_to) " +
+        "ORDER BY f.user_id, f.event_id"),
+
+    // backlog replay: per-order open/close months, month-grid counts,
+    // cumulative opened-minus-closed over the calendar-bounded window
+    "order_backlog" ->
+      ("WITH po AS (SELECT o_orderkey, date_trunc('month', o_orderdate) AS open_m FROM orders), " +
+        "cl AS (SELECT l_orderkey, MAX(date_trunc('month', l_shipdate)) AS close_m " +
+        "FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT open_m, close_m FROM po LEFT JOIN cl ON o_orderkey = l_orderkey), " +
+        "o2 AS (SELECT open_m AS month, COUNT(*) AS n_opened FROM j GROUP BY 1), " +
+        "c2 AS (SELECT close_m AS month, COUNT(*) AS n_closed FROM j " +
+        "WHERE close_m IS NOT NULL GROUP BY 1), " +
+        "m AS (SELECT COALESCE(o2.month, c2.month) AS month, " +
+        "COALESCE(n_opened, 0) AS n_opened, COALESCE(n_closed, 0) AS n_closed " +
+        "FROM o2 FULL JOIN c2 ON o2.month = c2.month) " +
+        "SELECT month, CAST(n_opened AS BIGINT) AS n_opened, " +
+        "CAST(n_closed AS BIGINT) AS n_closed, " +
+        "CAST(SUM(n_opened) OVER w - SUM(n_closed) OVER w AS BIGINT) AS backlog " +
+        "FROM m WINDOW w AS (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY month"),
+
     // PageRank replay: the co-occurrence edges, degrees and two
     // unrolled fixed-point iterations (scale 10^12, truncating //,
     // CAST sums back from DuckDB's HUGEINT) — same unroll doctrine as
@@ -2038,6 +2117,18 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "AND levenshtein(a.name, b.name) <= 2 " +
         "ORDER BY name_a, name_b"),
 
+    // frame-boundary replay: identical explicit unbounded-following
+    // frame on both engines (the default frame would yield a running
+    // last_value — the trap the key pins)
+    "window_first_last" ->
+      ("SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "first_value(event_type) OVER w AS first_type, " +
+        "last_value(event_type) OVER w AS last_type, " +
+        "nth_value(event_type, 2) OVER w AS second_type " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id, ts, event_id"),
+
     "window_lag_lead" ->
       ("SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
         "LAG(event_id) OVER w AS prev_event_id, " +
@@ -2115,6 +2206,24 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     // same µs-normalizing CTE discipline as event_sessionize; strict >
     // comparisons therefore run in the µs domain on both engines
+    // windowed-funnel replay: the funnel CTEs + the 7-day µs window
+    // predicate on each stage join (epoch_us ≡ Spark unix_micros)
+    "event_funnel_window" ->
+      ("WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "u AS (SELECT DISTINCT user_id FROM o), " +
+        "s1 AS (SELECT user_id, MIN(ts) AS t1 FROM o WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s2 AS (SELECT o.user_id, MIN(o.ts) AS t2 FROM o JOIN s1 USING (user_id) " +
+        "WHERE o.event_type = 'view' AND o.ts > s1.t1 " +
+        "AND epoch_us(o.ts) <= epoch_us(s1.t1) + 604800000000 GROUP BY o.user_id), " +
+        "s3 AS (SELECT o.user_id, MIN(o.ts) AS t3 FROM o JOIN s2 USING (user_id) " +
+        "WHERE o.event_type = 'purchase' AND o.ts > s2.t2 " +
+        "AND epoch_us(o.ts) <= epoch_us(s2.t2) + 604800000000 GROUP BY o.user_id) " +
+        "SELECT u.user_id, s1.t1, s2.t2, s3.t3, " +
+        "CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2 " +
+        "WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage " +
+        "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) " +
+        "LEFT JOIN s3 USING (user_id) ORDER BY user_id"),
+
     "event_funnel" ->
       ("WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
         "u AS (SELECT DISTINCT user_id FROM o), " +

@@ -838,6 +838,72 @@ object Relational {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** FACT-TO-SCD2 AS-OF JOIN (round 13) — the query the [[scd2]]
+    * timeline exists to SERVE in a warehouse: each fact row joins the
+    * dimension VERSION valid at its event time (late-arriving facts
+    * must hit their historical version, not `is_current`). Purchases
+    * are the facts; the user's type-2 state timeline is the dim. The
+    * join is an equi-join on the user key with the half-open interval
+    * containment as residual — versions tile each user's timeline, so
+    * every fact matches EXACTLY one version (a fact that is itself a
+    * change row lands in the version it opened). Per-user version
+    * counts are bounded, so the residual never explodes the equi
+    * match. Money in exact cents.
+    *
+    * Output: (user_id, event_id, ts, cents, version, attr,
+    * is_current), ordered by (user_id, event_id). */
+  def factScd2Join(events: DataFrame): DataFrame = {
+    val dim = scd2(events)
+      .select(col("user_id").as("d_uid"), col("attr"),
+        col("valid_from"), col("valid_to"), col("version"),
+        col("is_current"))
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("cents"))
+      .join(dim, col("user_id") === col("d_uid") &&
+        col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("cents"),
+        col("version"), col("attr"), col("is_current"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** ORDER BACKLOG TIMELINE (round 13) — open orders outstanding at
+    * each month end, the operations dashboard's inventory-of-work
+    * curve: an order OPENS at its order month and CLOSES at the month
+    * of its LAST shipped line (an order with no lines never closes —
+    * structural, it stays in the backlog forever). Three bounded
+    * aggregations: per-order open/close months (the only wide
+    * shuffle), per-month open/close counts, then cumulative sums over
+    * the MONTH GRID — a calendar-bounded frame, so the ordered prefix
+    * window is bounded by time span, never row count (the stats_ks
+    * doctrine). backlog(m) = opened≤m − closed≤m.
+    *
+    * Output: (month, n_opened, n_closed, backlog), ordered. */
+  def orderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perOrder = orders.select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("open_m"))
+      .join(lineitem.groupBy(col("l_orderkey"))
+          .agg(max(date_trunc("month", col("l_shipdate"))).as("close_m")),
+        col("o_orderkey") === col("l_orderkey"), "left")
+    val opened = perOrder.groupBy(col("open_m").as("month"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = perOrder.filter(col("close_m").isNotNull)
+      .groupBy(col("close_m").as("month"))
+      .agg(count(lit(1)).as("n_closed"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    opened.join(closed, Seq("month"), "full")
+      .select(col("month"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("backlog",
+        sum(col("n_opened")).over(w) - sum(col("n_closed")).over(w))
+      .orderBy(col("month"))
+  }
+
   /** Exact equi-width histogram over order totals, in the integer-cents
     * domain: prices are 2-decimal doubles, so `DECIMAL(12,2) × 100`
     * is EXACT cents and every bucket boundary an integer comparison —

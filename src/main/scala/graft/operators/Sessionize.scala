@@ -142,6 +142,51 @@ object Sessionize {
       .orderBy(col("user_id"))
   }
 
+  /** WINDOWED funnel (round 13) — [[funnel]] with the conversion
+    * window every product-analytics funnel actually carries: step n
+    * must occur strictly after step n−1 AND within `windowSec` of it
+    * (an un-windowed funnel credits a purchase months after the view;
+    * the window is what makes the conversion causal). Semantics are
+    * the industry-standard GREEDY-earliest: each stage anchors on the
+    * user's earliest valid completion of the previous stage —
+    * documented trade: a later step-n completion could occasionally
+    * rescue step n+1's window, and greedy deliberately does not
+    * backtrack (same single-pass doctrine as the in-batch dedup
+    * chains). Same K-narrow-passes shape as [[funnel]]; the window
+    * predicate rides the same stage join. Output contract identical
+    * to [[funnel]] (t1..tK, funnel_stage). */
+  def funnelWindowed(events: DataFrame,
+                     steps: Seq[String] = Seq("signup", "view", "purchase"),
+                     windowSec: Long = 7L * 86400L): DataFrame = {
+    require(steps.nonEmpty && windowSec > 0,
+      "funnel needs steps and a positive window")
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val slice = events.filter(col("event_type") === step)
+        val tn = s"t${i + 1}"
+        Some(prev match {
+          case None =>
+            slice.groupBy(col("user_id")).agg(min(col("ts")).as(tn))
+          case Some(p) =>
+            slice.join(p.select(col("user_id"), col(s"t$i")), Seq("user_id"))
+              .filter(col("ts") > col(s"t$i") &&
+                unix_micros(col("ts")) <=
+                  unix_micros(col(s"t$i")) + windowSec * 1000000L)
+              .groupBy(col("user_id")).agg(min(col("ts")).as(tn))
+        })
+    }.flatten
+    val users = events.select(col("user_id")).distinct()
+    val joined = stages.foldLeft(users) { (acc, s) =>
+      acc.join(s, Seq("user_id"), "left")
+    }
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    joined
+      .withColumn("funnel_stage", stage.cast("long"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user event JOURNEY — the path-analysis primitive: each user's
     * events in (ts, event_id) order collapsed to one `a>b>c` path
     * string. One shuffle (groupBy user); the in-group sort happens on

@@ -193,6 +193,52 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("funnelWindowed: conversion window gates each stage, boundary " +
+    "is inclusive, anchor stays greedy-earliest") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view 2h after signup (inside 1h window? no — outside)
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 12:00:00"), "view"),
+      // user 2: view exactly AT the window boundary (inclusive) and
+      // purchase inside its own window → stage 3
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      (2L, ts("2024-01-01 11:30:00"), "purchase"),
+      // user 3: greedy anchors on the EARLIEST view (10:10); the
+      // purchase is within 1h of the later view but not of the
+      // earliest → stage 2 (the documented no-backtrack trade)
+      (3L, ts("2024-01-01 10:00:00"), "signup"),
+      (3L, ts("2024-01-01 10:10:00"), "view"),
+      (3L, ts("2024-01-01 10:50:00"), "view"),
+      (3L, ts("2024-01-01 11:40:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Sessionize
+      .funnelWindowed(ev, windowSec = 3600L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("funnel_stage")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 2L), s"got $out")
+  }
+
+  test("orderBacklog: open/close months reconcile, no-line order never " +
+    "closes, cumulative backlog exact") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    import spark.implicits._
+    val orders = Seq((1L, ts("2024-01-15 00:00:00")),
+      (2L, ts("2024-01-20 00:00:00")), (3L, ts("2024-02-10 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq((1L, ts("2024-01-25 00:00:00")),
+      (1L, ts("2024-03-05 00:00:00")),  // order 1 closes in March (MAX)
+      (2L, ts("2024-02-02 00:00:00")))  // order 2 closes in Feb; 3 never
+      .toDF("l_orderkey", "l_shipdate")
+    val out = graft.operators.Relational.orderBacklog(orders, li).collect()
+      .map(r => (r.getTimestamp(0).toString.take(7),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("2024-01", 2L, 0L, 2L),
+      ("2024-02", 1L, 1L, 2L), ("2024-03", 0L, 1L, 1L)), s"got ${out.toSeq}")
+  }
+
   test("lastTouchAttribution: as-of touch wins, horizon is inclusive, " +
     "stale and missing touches fall to __none__, same-instant ordering " +
     "by event_id") {
