@@ -550,6 +550,14 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Relational.q13CustomerDistribution(Tables.customer(s, d),
         Tables.orders(s, d))),
 
+    "q15_top_supplier" -> ((s, d) =>
+      Relational.q15TopSupplier(Tables.lineitem(s, d),
+        Tables.supplier(s, d))),
+
+    "q21_waiting_suppliers" -> ((s, d) =>
+      Relational.q21WaitingSuppliers(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.supplier(s, d))),
+
     "q17_small_qty_revenue" -> ((s, d) =>
       Relational.q17SmallQtyRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
 
@@ -1501,6 +1509,29 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT CAST(c_count AS BIGINT) AS c_count, " +
         "CAST(COUNT(*) AS BIGINT) AS custdist " +
         "FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC"),
+
+    "q15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, " +
+        "SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)) AS rc " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, CAST(rc AS DOUBLE) / 10000.0 AS total_revenue " +
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE rc = (SELECT MAX(rc) FROM rev) ORDER BY s_suppkey"),
+
+    "q21_waiting_suppliers" ->
+      ("WITH pos AS (SELECT o_orderkey, l_suppkey, " +
+        "MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS supp_late " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F' GROUP BY 1, 2), " +
+        "po AS (SELECT o_orderkey AS ok, COUNT(*) AS n_supp, " +
+        "SUM(supp_late) AS n_late_supp FROM pos GROUP BY 1) " +
+        "SELECT s_name, s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait " +
+        "FROM pos JOIN po ON o_orderkey = ok " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE supp_late = 1 AND n_supp > 1 AND n_late_supp = 1 " +
+        "GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 20"),
 
     "q17_small_qty_revenue" ->
       ("WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice " +

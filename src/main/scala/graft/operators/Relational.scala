@@ -2444,6 +2444,70 @@ object Relational {
         .as("avg_yearly"))
   }
 
+  /** TPC-H Q15 — top supplier(s) by quarterly revenue: the
+    * view-plus-scalar-max shape. The per-supplier revenue aggregate is
+    * computed ONCE and reused on both sides (the max rides a 1-row
+    * broadcast gate frame — no re-aggregation, no correlated
+    * subquery); ties all surface, per the spec. Revenue compares in
+    * exact centi-cents (the ×10⁴ doctrine) so the max-equality join
+    * cannot ulp-miss; the surfaced revenue casts to double once. */
+  def q15TopSupplier(lineitem: DataFrame, supplier: DataFrame,
+                     quarterStart: String = "1996-01-01",
+                     quarterEnd: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(quarterStart).cast("timestamp") &&
+        col("l_shipdate") < lit(quarterEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(3, 2)) - dec2(col("l_discount"))) * 10000)
+        .cast("long")).as("rev_ccents"))
+    val top = rev.agg(max(col("rev_ccents")).as("max_ccents"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_ccents") === col("max_ccents"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_ccents").cast("double") / 10000.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 — suppliers who kept orders waiting: the
+    * multi-EXISTS/NOT-EXISTS composition (the hardest plan shape in
+    * the suite). Adapted to this schema: a line is LATE when
+    * l_shipdate > o_orderdate + 60 days (no receipt/commit dates).
+    * For finished multi-supplier orders, count per supplier the
+    * orders where THIS supplier shipped late and NO OTHER supplier
+    * did. Decorrelated: one per-(order, supplier) aggregate, then
+    * per-order supplier/late-supplier counts joined back — the two
+    * EXISTS collapse into bounded integer comparisons (n_supp > 1,
+    * n_late_supp = 1) instead of two correlated scans. Top-20 by
+    * (numwait DESC, s_name) as TakeOrdered. */
+  def q21WaitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+                          supplier: DataFrame, topN: Int = 20): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val perOrderSupp = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1L).otherwise(0L)).as("supp_late"))
+    val perOrder = perOrderSupp.groupBy(col("o_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("supp_late")).as("n_late_supp"))
+    perOrderSupp
+      .join(perOrder, col("o_orderkey") === col("ok"))
+      .filter(col("supp_late") === 1L && col("n_supp") > 1L &&
+        col("n_late_supp") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("s_suppkey"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topN)
+  }
+
   /** TPC-H Q19 — discounted revenue under an OR-of-ANDs predicate
     * (three brand/size/quantity bands; p_container adapts to p_size
     * bands): the disjunctive-pushdown exercise. One equi-join on
