@@ -38,6 +38,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Lang-ID accuracy audit (round 13): confusion matrix of the
+    // detector vs the corpus's `lang` ground truth, per-language
+    // recall in integer ppm (see langIdConfusion's scaladoc).
+    "text_langid_confusion" -> ((s, d) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, d))),
+
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
@@ -620,6 +626,8 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "FROM documents ORDER BY doc_id"),
 
     "text_langid" -> sqlLangId,
+
+    "text_langid_confusion" -> sqlLangIdConfusion,
 
     // char-class replay: regexp counts per class, other = remainder
     "corpus_char_profile" ->

@@ -1012,6 +1012,30 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       s"CASE $pred ELSE 'unknown' END AS pred_lang FROM sc ORDER BY doc_id"
   }
 
+  /** Confusion-matrix replay: the sqlLangId prediction front joined to
+    * the corpus's `lang` ground truth, per-pair counts + integer-ppm
+    * recall shares. */
+  private[graft] def sqlLangIdConfusion: String = {
+    val markers = graft.operators.TextAnalysis.LangMarkers
+    val scores = markers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text,' '), t -> t IN ($lst))) AS s_$lang"
+    }.mkString(", ")
+    val langs = markers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+    s"WITH sc AS (SELECT doc_id, $scores FROM documents), " +
+      s"p AS (SELECT doc_id, CASE $pred ELSE 'unknown' END AS pred_lang FROM sc), " +
+      "t AS (SELECT doc_id, COALESCE(lang, '__none__') AS true_lang FROM documents), " +
+      "cm AS (SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+      "FROM t JOIN p USING (doc_id) GROUP BY 1, 2), " +
+      "tt AS (SELECT true_lang, SUM(n_docs) AS n_true FROM cm GROUP BY 1) " +
+      "SELECT cm.true_lang, cm.pred_lang, cm.n_docs, " +
+      "CAST(cm.n_docs * 1000000 // tt.n_true AS BIGINT) AS share_ppm " +
+      "FROM cm JOIN tt USING (true_lang) ORDER BY 1, 2"
+  }
+
   /** Margin-audit replay: the same scores/tie-break plus the sorted
     * score list for the runner-up — generated from the SAME
     * TextAnalysis.LangMarkers the detector uses. */

@@ -163,6 +163,31 @@ object TextAnalysis {
       pred.as("pred_lang"))
   }
 
+  /** LANG-ID CONFUSION MATRIX (round 13) — the accuracy audit of
+    * [[langId]] against the corpus's own `lang` ground-truth column:
+    * per (true, predicted) pair, document count and the integer-ppm
+    * share of the true language's mass (diagonal share = per-language
+    * recall). The audit every langid gate needs BEFORE its threshold
+    * is trusted — a language whose mass lands off-diagonal tells you
+    * which marker list to grow (the same audit-as-first-class-key
+    * doctrine as sim_recall_report / dedup_minhash_est_error). Null
+    * ground truth buckets as '__none__' (structural, not dropped).
+    * Output: (true_lang, pred_lang, n_docs, share_ppm), ordered. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val pred = langId(docs).select(col("doc_id"), col("pred_lang"))
+    val truth = docs.select(col("doc_id"),
+      coalesce(col("lang"), lit("__none__")).as("true_lang"))
+    val cm = truth.join(pred, "doc_id")
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cm.groupBy(col("true_lang"))
+      .agg(sum(col("n_docs")).as("n_true"))
+    cm.join(tot, "true_lang")
+      .select(col("true_lang"), col("pred_lang"), col("n_docs"),
+        expr("(n_docs * 1000000) div n_true").as("share_ppm"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
   /** QUALITY-MIX MATRIX (round 12) — which sources carry the quality:
     * per source, document counts in the four quarter-bands of the
     * rule-based [[qualityExpr]] score — the table a curation run reads

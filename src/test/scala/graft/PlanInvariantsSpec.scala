@@ -27,6 +27,37 @@ class PlanInvariantsSpec extends SparkSpec {
     finally SparkEntry.harnessScope.release()
   }
 
+  test("round-13 TPC-H batch plans: q1 one-shuffle aggregate, dim-side " +
+    "broadcasts everywhere, q17 aggregates before its broadcast join") {
+    // q1: the canonical full-scan aggregate must partial-aggregate
+    // map-side — exactly ONE shuffle Exchange (the bounded group
+    // exchange) plus the presentation sort
+    val q1 = planOf("q1_pricing_summary")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(q1).length
+    assert(exchanges == 1,
+      s"q1 plans $exchanges hash exchanges — partial aggregation broke:\n$q1")
+    assert(q1.contains("HashAggregate"), "q1 lost hash aggregation")
+    // the filter reaches the parquet scan
+    assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q1's shipdate filter did not push down:\n${q1.take(2000)}")
+    // q7/q8/q19: every dim/part join broadcasts — the fact table never
+    // sort-merges at validation scale
+    Seq("q7_volume_shipping", "q8_market_share", "q19_discounted_revenue")
+      .foreach { q =>
+        val plan = planOf(q)
+        assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcasts")
+        assert(!plan.contains("SortMergeJoin"),
+          s"$q plans a sort-merge join:\n$plan")
+      }
+    // q17: the per-part average aggregates BEFORE joining back (the
+    // decorrelation), and both joins broadcast
+    val q17 = planOf("q17_small_qty_revenue")
+    assert(q17.contains("BroadcastHashJoin") &&
+      !q17.contains("SortMergeJoin"),
+      s"q17's decorrelated join stopped broadcasting:\n$q17")
+  }
+
   test("broadcast-dim joins never sort-merge (fact side stays unshuffled)") {
     Seq("q3_shipping_priority", "q5_local_supplier", "join_enrich").foreach {
       q =>
