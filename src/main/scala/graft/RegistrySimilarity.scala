@@ -323,6 +323,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.wavSilenceTrim(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
+    // 2x linear upsample (round 13): real decode + integer-midpoint
+    // interpolation; position-weighted digests (see wavResample2x's
+    // scaladoc).
+    "multimodal_audio_resample" -> ((s, d) =>
+      Multimodal.wavResample2x(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
     // Video-container leg (round 8): hand-authored ANIMATED GIF89a
     // (container + grayscale palette + the LZW stream itself), decoded
     // back through ImageIO's OWN multi-frame GIF reader; every 2nd frame
@@ -912,6 +919,23 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
 
     // silence/clipping replay: the windowed-energy CTE aggregated with
     // the same integer thresholds; all-silent clips NULL their bounds
+    // resample replay: analytic PCM + even/odd upsample rows; the JVM
+    // midpoint truncates toward zero, so the odd rows divide via the
+    // explicit sign split (DuckDB // floors)
+    "multimodal_audio_resample" ->
+      ("WITH s AS (SELECT doc_id, i, (doc_id*37 + i*11) % 65536 - 32768 AS v " +
+        "FROM (SELECT doc_id, unnest(range(0, (n_chars % 50) + 20)) AS i FROM documents)), " +
+        "n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_in FROM s GROUP BY 1), " +
+        "o AS (SELECT doc_id, 2*i AS j, v FROM s " +
+        "UNION ALL SELECT a.doc_id, 2*a.i + 1 AS j, " +
+        "CASE WHEN a.v + b.v < 0 THEN -((-(a.v + b.v)) // 2) " +
+        "ELSE (a.v + b.v) // 2 END AS v " +
+        "FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1) " +
+        "SELECT o.doc_id, n.n_in, CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(o.v) AS BIGINT) AS s_sum, CAST(SUM(o.j * o.v) AS BIGINT) AS s_posw, " +
+        "CAST(MIN(o.v) AS BIGINT) AS s_min, CAST(MAX(o.v) AS BIGINT) AS s_max " +
+        "FROM o JOIN n ON o.doc_id = n.doc_id GROUP BY 1, 2 ORDER BY 1"),
+
     "multimodal_audio_trim" ->
       ("WITH s AS (SELECT doc_id, i, (doc_id*37 + i*11) % 65536 - 32768 AS v " +
         "FROM (SELECT doc_id, unnest(range(0, (n_chars % 50) + 20)) AS i FROM documents)), " +

@@ -575,6 +575,64 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"), col("win"))
   }
 
+  /** 2× LINEAR UPSAMPLE (round 13) — the resample leg of the audio
+    * family (every speech pipeline normalizes sample rates before
+    * featurization): decode the WAV through javax.sound (the same
+    * one-codec-per-partition harness as [[wavRmsWindows]] — format
+    * asserted from the DECODER), then upsample by exactly 2 with
+    * integer-midpoint interpolation: out[2k] = s[k], out[2k+1] =
+    * (s[k] + s[k+1]) / 2 with JVM truncating division (the oracle
+    * replays it as the explicit sign-split — DuckDB's // floors). A
+    * ×2 ratio keeps every interpolated value EXACT (no fractional
+    * positions), which is what makes the whole resample oracle-able;
+    * arbitrary-ratio resampling is the same per-partition loop with a
+    * documented fixed-point phase step. Output digests are
+    * position-weighted ([[decodeWavPartitions]]'s s_posw doctrine) so
+    * a sample-order bug cannot pass: (doc_id, n_in, n_out, s_sum,
+    * s_posw, s_min, s_max), ordered. */
+  def wavResample2x(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_in", LongType),
+      StructField("n_out", LongType), StructField("s_sum", LongType),
+      StructField("s_posw", LongType), StructField("s_min", LongType),
+      StructField("s_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
+          val data = ais.readAllBytes(); ais.close()
+          require(data.length % 2 == 0,
+            s"odd PCM byte count ${data.length}: truncated int16 stream")
+          val n = data.length / 2
+          def s(i: Int): Long =
+            ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+          val nOut = if (n == 0) 0 else 2 * n - 1
+          var sum = 0L; var posw = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var j = 0
+          while (j < nOut) {
+            val v = if (j % 2 == 0) s(j / 2)
+              else (s((j - 1) / 2) + s((j + 1) / 2)) / 2
+            sum += v; posw += j.toLong * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            j += 1
+          }
+          Row(r.getAs[Long]("doc_id"), n.toLong, nOut.toLong, sum, posw,
+            if (nOut == 0) 0L else mn, if (nOut == 0) 0L else mx)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** SILENCE-TRIM / CLIPPING segmentation (round 12) — what a speech
     * curation pipeline does with the energy profile [[wavRmsWindows]]
     * computes: per clip, how many windows are silent (window energy
