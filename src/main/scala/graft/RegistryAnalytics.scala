@@ -508,6 +508,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_welch_t2" -> ((s, d) =>
       Relational.welchT2(Tables.events(s, d))),
 
+    // One-way ANOVA F (round 13): k-group mean separation closing the
+    // classical-test family — exact integer accumulations per fixed
+    // group order, one shared fixed-order double tail (see
+    // anovaOneWay's scaladoc).
+    "stats_anova" -> ((s, d) =>
+      Relational.anovaOneWay(Tables.events(s, d))),
+
     // Mann-Whitney U (round 13): the rank-based two-sample test —
     // doubled tied ranks keep every accumulation BIGINT; the AUC
     // effect size divides once (see mannWhitneyU's scaladoc).
@@ -1386,6 +1393,24 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT n_a, n_b, s_a, s_b, " +
         Relational.WelchTail("mean_diff_cents") + " AS mean_diff_cents, " +
         Relational.WelchTail("t2") + " AS t2 FROM g"),
+
+    // ANOVA replay: the same per-type exact sums (fixed group order)
+    // + the SHARED AnovaTail double expression verbatim
+    "stats_anova" -> {
+      val cexp = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+      val cols = Relational.AnovaTypes.map { ty =>
+        s"CAST(COALESCE(SUM(CASE WHEN event_type = '$ty' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_$ty, " +
+          s"CAST(COALESCE(SUM(CASE WHEN event_type = '$ty' THEN $cexp END), 0) AS BIGINT) AS s_$ty, " +
+          s"CAST(COALESCE(SUM(CASE WHEN event_type = '$ty' THEN $cexp * $cexp END), 0) AS BIGINT) AS q_$ty"
+      }.mkString(", ")
+      val types = Relational.AnovaTypes.map(t => s"'$t'").mkString(", ")
+      s"WITH g AS (SELECT $cols FROM events WHERE event_type IN ($types)) " +
+        s"SELECT CAST(${Relational.AnovaTypes.length} AS BIGINT) AS k_groups, " +
+        Relational.AnovaTail("n_total") + " AS n_total, " +
+        Relational.AnovaTail("ss_between") + " AS ss_between, " +
+        Relational.AnovaTail("ss_within") + " AS ss_within, " +
+        Relational.AnovaTail("f_stat") + " AS f_stat FROM g"
+    },
 
     // rank-sum replay: same value-grouped prefix-sum front as the
     // engine (doubled tied ranks — all BIGINT until the final AUC)

@@ -2056,6 +2056,74 @@ object Relational {
           expr("nullif(n_a * n_b, 0)")).as("d"))
   }
 
+  /** ONE-WAY ANOVA F (round 13) — the k-group generalization closing
+    * the classical-test family (t² two groups, U/KS rank/shape, χ²
+    * categorical, THIS for k means): does event type explain value
+    * variance? The [[welchT2]] doctrine at k = 5: every accumulation
+    * is an exact integer (per-group n, Σcents, Σcents²), the groups
+    * fold in ONE FIXED ORDER (the five known event types, pivoted to
+    * named columns — a data-ordered double sum would be
+    * partition-order-dependent), and the F statistic is one
+    * fixed-order double expression shared verbatim with the oracle
+    * via [[AnovaTail]]. Rows with a NULL type are excluded
+    * (documented — they are not a treatment group).
+    *
+    * Output (one row): k_groups, n_total, ss_between, ss_within,
+    * f_stat. */
+  def anovaOneWay(events: DataFrame,
+                  types: Seq[String] = AnovaTypes): DataFrame = {
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val t = col("event_type")
+    val aggs = types.flatMap { ty =>
+      val k = ty.replaceAll("[^a-z]", "")
+      Seq(
+        coalesce(sum(when(col("ty") === ty, 1L).otherwise(0L)), lit(0L))
+          .as(s"n_$k"),
+        coalesce(sum(when(col("ty") === ty, col("c"))), lit(0L))
+          .as(s"s_$k"),
+        coalesce(sum(when(col("ty") === ty, col("c") * col("c"))), lit(0L))
+          .as(s"q_$k"))
+    }
+    events.filter(t.isin(types: _*))
+      .select(t.as("ty"), cents.as("c"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(lit(types.length.toLong).as("k_groups"),
+        expr(AnovaTail("n_total")).as("n_total"),
+        expr(AnovaTail("ss_between")).as("ss_between"),
+        expr(AnovaTail("ss_within")).as("ss_within"),
+        expr(AnovaTail("f_stat")).as("f_stat"))
+  }
+
+  private[graft] val AnovaTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** The SHARED fixed-order double tail of [[anovaOneWay]] — one SQL
+    * text interpolated verbatim into both engines (the WelchTail
+    * doctrine): group terms fold left-to-right in the fixed
+    * [[AnovaTypes]] order, so the double sums associate identically. */
+  private[graft] def AnovaTail(what: String): String = {
+    val ks = AnovaTypes.map(_.replaceAll("[^a-z]", ""))
+    val n = ks.map(k => s"n_$k").mkString(" + ")
+    val s = ks.map(k => s"CAST(s_$k AS DOUBLE)").mkString(" + ")
+    // Σ S_g²/n_g folded in fixed order; a zero-count group contributes
+    // literal 0.0 (not NaN) so degenerate fixtures stay defined
+    val sb = ks.map(k =>
+      s"(CASE WHEN n_$k > 0 THEN (CAST(s_$k AS DOUBLE) * CAST(s_$k AS DOUBLE)) / n_$k ELSE 0.0 END)")
+      .mkString(" + ")
+    val q = ks.map(k => s"CAST(q_$k AS DOUBLE)").mkString(" + ")
+    val kLive = ks.map(k => s"(CASE WHEN n_$k > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    what match {
+      case "n_total" => s"CAST($n AS BIGINT)"
+      case "ss_between" =>
+        s"(($sb) - (($s) * ($s)) / nullif($n, 0))"
+      case "ss_within" => s"(($q) - ($sb))"
+      case "f_stat" =>
+        s"(((($sb) - (($s) * ($s)) / nullif($n, 0)) / nullif(($kLive) - 1, 0)) / " +
+          s"nullif(((($q) - ($sb)) / nullif(($n) - ($kLive), 0)), 0.0))"
+    }
+  }
+
   /** TYPE-REVENUE SHARE (round 12) — the TPC-H Q14 shape: what share
     * of discounted revenue a part category drives, the
     * assortment-planning number. The join is fact-dim on the part key

@@ -193,6 +193,21 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("anovaOneWay: hand two-live-group fixture — exact SS terms and " +
+    "F, empty groups excluded from the dof") {
+    import spark.implicits._
+    // click = {1, 2, 3}, purchase = {2, 4} (dollars → exact cents):
+    // SSB = 12000, SSW = 40000 (cents²), live k = 2 → F = 0.9
+    val ev = Seq(("click", 1.0), ("click", 2.0), ("click", 3.0),
+      ("purchase", 2.0), ("purchase", 4.0)).toDF("event_type", "value")
+    val r = graft.operators.Relational.anovaOneWay(ev).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 12000.0, s"ss_between ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 40000.0, s"ss_within ${r.getDouble(3)}")
+    assert(r.getDouble(4) == (12000.0 / 1.0) / (40000.0 / 3.0),
+      s"f ${r.getDouble(4)}")
+  }
+
   test("funnelWindowed: conversion window gates each stage, boundary " +
     "is inclusive, anchor stays greedy-earliest") {
     import java.sql.Timestamp
