@@ -121,6 +121,16 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "tokenizer_bpe" -> ((s, d) =>
       operators.Tokenizer.bpeMergeStats(bpeModelShared(s, d), topK = 5)),
 
+    // BPE ENCODE (round 13): the serving half — the shared trained
+    // model's merge sequence applied to the HOLDOUT split (deployed
+    // shape: train once, encode new text), per-piece-length profile
+    // (see bpeEncodeProfile's scaladoc). Completes train/serve
+    // symmetry across all three tokenizer families.
+    "tokenizer_bpe_encode" -> ((s, d) =>
+      operators.Tokenizer.bpeEncodeProfile(bpeModelShared(s, d),
+        Tables.documents(s, d)
+          .filter(Corpus.isHoldout(col("doc_id"))))),
+
     // Unigram-LM tokenizer training (round 10, SentencePiece-lineage):
     // substring seed inventory → 2 hard-EM rounds (Viterbi E-step as a
     // bounded DP unroll over word positions, usage-count M-step with
@@ -926,6 +936,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // BPE training replayed verbatim: 3 unrolled merge steps, exact-long
     // weights, lexicographic tie-breaks, island-parity greedy merge
     "tokenizer_bpe" -> sqlBpe(steps = 3, topK = 5),
+    "tokenizer_bpe_encode" -> sqlBpeEncode(steps = 3),
     "tokenizer_compression" -> sqlBpeCompression(steps = 3),
 
     // α=1/2 temperature quotas in pure BIGINT (w = floor(√n) — sqrt of

@@ -296,6 +296,48 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
     s"$head, $stepCtes"
   }
 
+  /** BPE encode-profile oracle (round 13): the full training chain
+    * (t1..tN are the applied pairs) + the SAME application blocks
+    * unrolled over the HOLDOUT word table, then the per-piece-length
+    * profile. */
+  private[graft] def sqlBpeEncode(steps: Int): String = {
+    val hold = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')"
+    val head =
+      "hw AS (SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(" +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')" +
+        s") AS word FROM documents WHERE $hold) WHERE len(word) > 0 GROUP BY 1), " +
+        "h0 AS (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS pos FROM hw), " +
+        "h1 AS (SELECT word, cnt, CAST(pos AS BIGINT) AS pos, " +
+        "substring(word, pos, 1) AS sym FROM h0)"
+    val stepCtes = (1 to steps).map { s =>
+      s"hp$s AS (SELECT word, cnt, pos, sym, " +
+        s"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM h$s), " +
+        s"hm$s AS (SELECT word, cnt, pos, sym, mx, my, " +
+        "(nxt IS NOT NULL AND sym = mx AND nxt = my) AS im " +
+        s"FROM hp$s CROSS JOIN t$s), " +
+        s"hr$s AS (SELECT *, SUM(CASE WHEN im THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY word ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING " +
+        s"AND CURRENT ROW) AS mrk FROM hm$s), " +
+        s"hq$s AS (SELECT *, pos - mrk AS island FROM hr$s), " +
+        s"hu$s AS (SELECT *, (im AND (pos - min(CASE WHEN im THEN pos END) " +
+        s"OVER (PARTITION BY word, island)) % 2 = 0) AS sel FROM hq$s), " +
+        s"hv$s AS (SELECT *, coalesce(lag(sel) OVER " +
+        s"(PARTITION BY word ORDER BY pos), FALSE) AS dropped FROM hu$s), " +
+        s"h${s + 1} AS (SELECT word, cnt, CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY word ORDER BY pos) AS BIGINT) AS pos, " +
+        "CASE WHEN sel THEN mx || my ELSE sym END AS sym " +
+        s"FROM hv$s WHERE NOT dropped)"
+    }.mkString(", ")
+    s"${sqlBpeCtes(steps)}, $head, $stepCtes, " +
+      s"pg AS (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS freq " +
+      s"FROM h${steps + 1} GROUP BY 1) " +
+      "SELECT CAST(len(sym) AS BIGINT) AS piece_len, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_pieces, " +
+      "CAST(SUM(freq) AS BIGINT) AS occurrences, " +
+      "CAST(SUM(len(sym) * freq) AS BIGINT) AS chars_covered " +
+      "FROM pg GROUP BY 1 ORDER BY 1"
+  }
+
   /** Unigram-tokenizer oracle (round 10): the ENTIRE 2-round hard-EM
     * train unrolled into CTEs — seed inventory, per-round vocab ranking,
     * the Viterbi DP over word positions 1..12, the backtrack walk, and

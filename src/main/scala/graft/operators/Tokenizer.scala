@@ -132,32 +132,80 @@ object Tokenizer {
       rankedSteps += ranked
       val top1 = ranked.filter(col("rank") === 1)
         .select(col("sym").as("mx"), col("nxt").as("my"))
-      val m = p.crossJoin(broadcast(top1))
-        // explicit FALSE (not null) on the last position, so the window
-        // arithmetic below is null-free on both engines
-        .withColumn("im", col("nxt").isNotNull &&
-          col("sym") === col("mx") && col("nxt") === col("my"))
-        .withColumn("mrk", sum(col("im").cast("long")).over(
-          wWord.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("island", col("pos") - col("mrk"))
-      // island = maximal run of consecutive match positions; greedy
-      // left-to-right picks the even offsets from the island's FIRST
-      // MATCH (min over match rows only — a non-match row can share the
-      // island key and must not shift the parity)
-      val islMin = min(when(col("im"), col("pos")))
-        .over(Window.partitionBy(col("word"), col("island")))
-      val selected = m
-        .withColumn("sel", col("im") && (col("pos") - islMin) % 2 === 0)
-        .withColumn("dropped",
-          coalesce(lag(col("sel"), 1).over(wWord), lit(false)))
-      f = scope.materialize(selected.filter(!col("dropped"))
-        .select(col("word"), col("cnt"),
-          row_number().over(wWord).cast("long").as("pos"),
-          when(col("sel"), concat(col("mx"), col("my")))
-            .otherwise(col("sym")).as("sym")))
+      f = scope.materialize(applyMerge(f, top1))
       frames += f
     }
     (rankedSteps.toSeq, frames.toSeq)
+  }
+
+  /** Greedy left-to-right non-overlapping application of ONE merge
+    * pair (1-row broadcast frame (mx, my)) to a positional symbol
+    * table — the window pass shared by training's per-step merge and
+    * the serve-side [[bpeEncodeProfile]]: match positions chain into
+    * islands of CONSECUTIVE positions (only possible for
+    * repeated-symbol runs like "aaaa"), and within an island greedy
+    * selection is exactly the even-offset-from-island-start rows — a
+    * parity test, no loop. Selected rows take the merged symbol, their
+    * right neighbors drop, positions renumber. */
+  private def applyMerge(f: DataFrame, pair: DataFrame): DataFrame = {
+    val wWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val p = f.withColumn("nxt", lead(col("sym"), 1).over(wWord))
+    val m = p.crossJoin(broadcast(pair))
+      // explicit FALSE (not null) on the last position, so the window
+      // arithmetic below is null-free on both engines
+      .withColumn("im", col("nxt").isNotNull &&
+        col("sym") === col("mx") && col("nxt") === col("my"))
+      .withColumn("mrk", sum(col("im").cast("long")).over(
+        wWord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("island", col("pos") - col("mrk"))
+    // island min over match rows only — a non-match row can share the
+    // island key and must not shift the parity
+    val islMin = min(when(col("im"), col("pos")))
+      .over(Window.partitionBy(col("word"), col("island")))
+    m.withColumn("sel", col("im") && (col("pos") - islMin) % 2 === 0)
+      .withColumn("dropped",
+        coalesce(lag(col("sel"), 1).over(wWord), lit(false)))
+      .filter(!col("dropped"))
+      .select(col("word"), col("cnt"),
+        row_number().over(wWord).cast("long").as("pos"),
+        when(col("sel"), concat(col("mx"), col("my")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
+  /** BPE ENCODE profile (round 13) — the SERVING half of the BPE
+    * family, completing train/serve symmetry across all three
+    * tokenizer lineages (unigram has [[UnigramModel.encodeProfile]],
+    * WordPiece has [[wordpieceEncode]]): apply an already-TRAINED
+    * model's merge sequence — each step's rank-1 pair, in training
+    * order — to NEW text (the deployed shape: the tokenizer trains
+    * once on the corpus and spends its life encoding), via the same
+    * [[applyMerge]] window pass training used, then report the
+    * per-piece-length profile. Σ chars_covered equals the encoded
+    * corpus's nonspace character count (merges tile every word — the
+    * invariant a tokenizer auditor checks first). Output:
+    * (piece_len, n_pieces, occurrences, chars_covered), ordered —
+    * the [[UnigramModel.encodeProfile]] contract. */
+  def bpeEncodeProfile(model: BpeModel, docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val words = docs.select(explode(split(norm, " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var f = words.select(col("word"), col("cnt"),
+        posexplode(split(col("word"), "")))
+      .select(col("word"), col("cnt"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
+    for (r <- model.rankedSteps) {
+      val pair = r.filter(col("rank") === 1)
+        .select(col("sym").as("mx"), col("nxt").as("my"))
+      f = applyMerge(f, pair)
+    }
+    f.groupBy(col("sym")).agg(sum(col("cnt")).as("freq"))
+      .groupBy(length(col("sym")).cast("long").as("piece_len"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(col("freq")).as("occurrences"),
+        sum(length(col("sym")).cast("long") * col("freq"))
+          .as("chars_covered"))
+      .orderBy(col("piece_len"))
   }
 
   /** Trained BPE state: per-step ranked pair stats plus the symbol

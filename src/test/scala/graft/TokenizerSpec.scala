@@ -216,6 +216,24 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncodeProfile: serve-side merges tile the encoded corpus " +
+    "and replay the trained pairs on unseen words") {
+    import spark.implicits._
+    // train on a corpus where 'ab' is the clear first merge; encode
+    // UNSEEN text containing ab runs — the aaaa-parity case must hold
+    // on the serve path too
+    val train = Seq((1L, "abab abab cd"), (2L, "abab ab cd")).toDF("doc_id", "text")
+    val model = graft.operators.Tokenizer.bpeTrain(train, steps = 1)
+    val serve = Seq((9L, "ababab xy")).toDF("doc_id", "text")
+    val prof = graft.operators.Tokenizer.bpeEncodeProfile(model, serve)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "ababab" -> ab|ab|ab (3 2-char pieces), "xy" -> x|y (2 1-char)
+    assert(prof(2L) == (1L, 3L, 6L), s"got $prof")
+    assert(prof(1L) == (2L, 2L, 2L), s"got $prof")
+    // tiling invariant: chars_covered sums to nonspace chars
+    assert(prof.values.map(_._3).sum == "ababab".length + "xy".length)
+  }
+
   test("wordpieceEncode: greedy longest-match replays by hand, tiles " +
     "the truncated corpus, and is repartition-invariant") {
     import spark.implicits._
