@@ -167,6 +167,13 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "source_jsonl_quarantine" -> ((s, d) =>
       graft.sources.TextSources.jsonlQuarantineRoundTrip(s, Tables.events(s, d))),
 
+    // Header-mapped CSV (round 13): the wire lands with PERMUTED
+    // column order; by-name resolution + try_cast makes order
+    // irrelevant (see csvHeaderMapRoundTrip's scaladoc — a positional
+    // read would silently transpose fields).
+    "source_csv_header_map" -> ((s, d) =>
+      graft.sources.TextSources.csvHeaderMapRoundTrip(s, Tables.events(s, d))),
+
     // STREAMING-ingest parity (round 12): the same JSONL wire +
     // malformed tail replayed as a text file stream through the
     // streaming parser, landed per batch, summarized with the shared
@@ -362,6 +369,16 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
         "MIN(event_id) AS first_id, MAX(event_id) AS last_id FROM events GROUP BY 1 " +
         "UNION ALL SELECT '__quarantined__', 3, CAST(NULL AS BIGINT), " +
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) ORDER BY event_type"),
+
+    // header-mapped CSV replay: no quarantine injection, so the
+    // summary is the plain per-type fidelity reduction — a transposed
+    // read would desync every column of it
+    "source_csv_header_map" ->
+      (s"SELECT ${sqlSentinel("event_type")} AS event_type, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +
+        "MIN(event_id) AS first_id, MAX(event_id) AS last_id " +
+        "FROM events GROUP BY 1 ORDER BY event_type"),
 
     "source_csv_quarantine" ->
       (s"SELECT event_type, n_rows, value_sum, first_id, last_id FROM (" +

@@ -122,6 +122,43 @@ object TextSources {
                              events: DataFrame): DataFrame =
     summarize(writeAndRead(spark, events, "csv_src", "csv", MalformedCsv))
 
+  /** HEADER-MAPPED CSV source (round 13) — the ingestion-robustness
+    * pin the positional legs deliberately lack: CSV COLUMN ORDER IS
+    * NOT A CONTRACT, the header is. The wire lands with a PERMUTED
+    * column order (value, event_type, user_id, event_id — a partner
+    * re-exporting "the same" feed with reordered columns is the
+    * classic silent-corruption incident); a positional schema read
+    * would parse values as ids without erroring. The robust recipe
+    * pinned here: read header-first (every column as string), resolve
+    * columns BY NAME, then TRY_CAST into the canonical types —
+    * casting failures surface as nulls in typed columns, never as
+    * silently transposed data. Summary is the shared fidelity shape
+    * minus the quarantine row (no malformed injection — the POINT is
+    * the permutation). */
+  def csvHeaderMapRoundTrip(spark: SparkSession,
+                            events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/csv_hdr-${java.util.UUID.randomUUID()}"
+    events.select(col("value"), col("event_type"), col("user_id"),
+        col("event_id"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.option("header", "true").csv(out)
+    // by-NAME resolution + typed casts — the column order on disk is
+    // irrelevant from this line on
+    val typed = back.select(
+      expr("try_cast(event_id AS BIGINT)").as("event_id"),
+      col("event_type"),
+      expr("try_cast(value AS DOUBLE)").as("value"))
+    typed
+      .groupBy(graft.operators.ExportOps.nullSentinel(col("event_type"))
+        .as("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("value_sum"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"))
+      .orderBy(col("event_type"))
+  }
+
   /** JSON-lines source with quarantine — same contract through Spark's
     * JSON parser (the reference's own wire format, read back). */
   def jsonlQuarantineRoundTrip(spark: SparkSession,
