@@ -152,6 +152,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "join_asof" -> ((s, d) =>
       Relational.asofJoin(Tables.events(s, d))),
 
+    // FORWARD as-of (round 13): first same-user match at-or-after —
+    // the label-lookahead / time-to-next-touch direction (see
+    // asofJoinForward's scaladoc).
+    "join_asof_forward" -> ((s, d) =>
+      Relational.asofJoinForward(Tables.events(s, d))),
+
     // As-of with tolerance (round 11): the feature-store max-age gate —
     // too-stale matches NULL like no-match, rows stay structural.
     "join_asof_tolerance" -> ((s, d) =>
@@ -389,6 +395,28 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
           (unix_micros(col("ts")) -
             unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Rank-function family (round 13): rank / dense_rank /
+    // percent_rank over a TIES-BEARING order (exact cents DESC — peers
+    // are equal values, so gaps vs no-gaps vs the (r−1)/(n−1) quantile
+    // are all exercised and deterministic), row_number over the fully
+    // tie-broken order (a row_number over the ties order would be
+    // arrival-order-nondeterministic — the trap this key pins).
+    "window_ranks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = (col("value").cast("decimal(12,2)") * 100).cast("long")
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), c.as("c"))
+      val wt = Window.partitionBy(col("user_id")).orderBy(col("c").desc)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("c").desc, col("event_id"))
+      base.select(col("user_id"), col("event_id"), col("c"),
+          rank().over(wt).cast("long").as("rnk"),
+          dense_rank().over(wt).cast("long").as("drnk"),
+          percent_rank().over(wt).as("prnk"),
+          row_number().over(wf).cast("long").as("rn"))
+        .orderBy(col("user_id"), col("rn"))
     }),
 
     // Frame-boundary window functions (round 13): first/last/nth value
@@ -972,6 +1000,15 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "'\\b[0-9a-fA-F]{16,}\\b', '<HEX>', 'g'), " +
         "'[0-9]{4,}', '<NUM>', 'g') AS scrubbed " +
         "FROM documents) ORDER BY doc_id"),
+
+    "join_asof_forward" ->
+      ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, next_ts, " +
+        "epoch_us(next_ts) - epoch_us(CAST(ts AS TIMESTAMP)) AS lead_us FROM (" +
+        "SELECT event_id, user_id, ts, event_type, " +
+        "first_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts " +
+        "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
 
     "join_asof" ->
       ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, asof_ts FROM (" +
@@ -2172,6 +2209,20 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM n a JOIN n b ON a.name < b.name " +
         "AND levenshtein(a.name, b.name) <= 2 " +
         "ORDER BY name_a, name_b"),
+
+    // rank-family replay: the ties order for the rank trio, the fully
+    // tie-broken order for row_number — identical window specs
+    "window_ranks" ->
+      ("WITH e AS (SELECT user_id, event_id, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events) " +
+        "SELECT user_id, event_id, c, " +
+        "CAST(rank() OVER wt AS BIGINT) AS rnk, " +
+        "CAST(dense_rank() OVER wt AS BIGINT) AS drnk, " +
+        "percent_rank() OVER wt AS prnk, " +
+        "CAST(row_number() OVER wf AS BIGINT) AS rn " +
+        "FROM e WINDOW wt AS (PARTITION BY user_id ORDER BY c DESC), " +
+        "wf AS (PARTITION BY user_id ORDER BY c DESC, event_id) " +
+        "ORDER BY user_id, rn"),
 
     // frame-boundary replay: identical explicit unbounded-following
     // frame on both engines (the default frame would yield a running

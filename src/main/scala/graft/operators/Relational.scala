@@ -694,6 +694,36 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of join (round 13) — the fourth member of the as-of
+    * family (backward, tolerance, nearest, THIS): for each `forType`
+    * event, the FIRST same-user `matchType` event at-or-after it in
+    * (ts, event_id) order — "what happened next": the
+    * time-to-next-touch / label-lookahead query a training pipeline
+    * runs when the label lives in the FUTURE of the feature row (the
+    * backward form answers feature staleness; this answers label
+    * delay). Same single-shuffle sort + running-carry composition,
+    * mirrored: a forward frame with a first-non-null carry — no range
+    * cross-join, holds at 100 TB.
+    *
+    * Output: (event_id, user_id, ts, next_ts, lead_us), ordered;
+    * next_ts/lead_us NULL when no later match exists. */
+  def asofJoinForward(events: DataFrame, matchType: String = "click",
+                      forType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    events
+      .withColumn("next_ts",
+        first(when(col("event_type") === matchType, col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === forType)
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_ts"),
+        (unix_micros(col("next_ts")) - unix_micros(col("ts")))
+          .as("lead_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** As-of join WITH TOLERANCE (round 11) — the feature-store variant
     * of [[asofJoin]]: a most-recent match only counts if it is no
     * staler than `toleranceSec` (the "max feature age" every online
