@@ -536,6 +536,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_welch_t2" -> ((s, d) =>
       Relational.welchT2(Tables.events(s, d))),
 
+    // Gini concentration (round 13): exact integer rank-weighted sum
+    // over the cents grid, one IEEE division (see orderGini's
+    // scaladoc).
+    "order_gini" -> ((s, d) =>
+      Relational.orderGini(Tables.orders(s, d))),
+
     // One-way ANOVA F (round 13): k-group mean separation closing the
     // classical-test family — exact integer accumulations per fixed
     // group order, one shared fixed-order double tail (see
@@ -1430,6 +1436,20 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT n_a, n_b, s_a, s_b, " +
         Relational.WelchTail("mean_diff_cents") + " AS mean_diff_cents, " +
         Relational.WelchTail("t2") + " AS t2 FROM g"),
+
+    // Gini replay: same grouped prefix-sum fold, BIGINT to the end
+    "order_gini" ->
+      ("WITH g AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v, " +
+        "COUNT(*) AS cnt FROM orders GROUP BY 1), " +
+        "r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt FROM g), " +
+        "s AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_orders, " +
+        "CAST(COALESCE(SUM(v * cnt), 0) AS BIGINT) AS sum_cents, " +
+        "CAST(COALESCE(SUM(v * (cnt * clt + (cnt * (cnt + 1)) // 2)), 0) AS BIGINT) AS rw FROM r) " +
+        "SELECT n_orders, sum_cents, " +
+        "CAST(2 * rw - (n_orders + 1) * sum_cents AS BIGINT) AS gini_num, " +
+        "CAST(2 * rw - (n_orders + 1) * sum_cents AS DOUBLE) / nullif(n_orders * sum_cents, 0) AS gini " +
+        "FROM s"),
 
     // ANOVA replay: the same per-type exact sums (fixed group order)
     // + the SHARED AnovaTail double expression verbatim

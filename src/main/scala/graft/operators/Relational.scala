@@ -2010,6 +2010,42 @@ object Relational {
     }
   }
 
+  /** GINI COEFFICIENT of revenue concentration (round 13) — the
+    * single-number inequality metric beside [[paretoConcentration]]'s
+    * top-share curve: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    * ascending-sorted order totals. ENGINE-EXACT: totals move to exact
+    * cents and the rank-weighted sum folds over the VALUE-GROUPED
+    * table (one row per distinct cent total — the bounded-grid
+    * prefix-sum doctrine of [[mannWhitneyU]]): rows of value v occupy
+    * ranks [c_lt+1, c_lt+cnt], so their Σ i·xᵢ contribution is
+    * v·(cnt·c_lt + cnt·(cnt+1)/2) — all BIGINT; the final G is ONE
+    * IEEE division of two exact integers.
+    *
+    * Output (one row): n_orders, sum_cents, gini_num (= 2Σi·x −
+    * (n+1)·Σx, exact), gini. */
+  def orderGini(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val g = orders.select(cents.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("clt", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_orders"),
+        coalesce(sum(col("v") * col("cnt")), lit(0L)).as("sum_cents"),
+        // cnt·(cnt+1) is always even → the integer div is exact; Spark's
+        // `/` on longs would promote to double
+        coalesce(sum(col("v") * (col("cnt") * col("clt") +
+          expr("(cnt * (cnt + 1)) div 2"))), lit(0L)).as("rw"))
+      .select(col("n_orders"), col("sum_cents"),
+        (lit(2L) * col("rw") - (col("n_orders") + 1L) * col("sum_cents"))
+          .as("gini_num"))
+      .select(col("n_orders"), col("sum_cents"), col("gini_num"),
+        (col("gini_num").cast("double") /
+          expr("nullif(n_orders * sum_cents, 0)")).as("gini"))
+  }
+
   /** MANN-WHITNEY U (round 13) — the RANK-based two-sample test next
     * to [[welchT2]]'s parametric one: robust to the heavy-tailed value
     * distributions real event streams have, where a mean-based t² is

@@ -193,6 +193,18 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("orderGini: hand fixture exact (0.25 for 1..4), ties grouped, " +
+    "uniform values score zero") {
+    import spark.implicits._
+    val r = graft.operators.Relational.orderGini(
+      Seq(1.0, 2.0, 3.0, 4.0).toDF("o_totalprice")).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1000L)
+    assert(r.getLong(2) == 1000L && r.getDouble(3) == 0.25, s"got $r")
+    val u = graft.operators.Relational.orderGini(
+      Seq(5.0, 5.0, 5.0).toDF("o_totalprice")).collect().head
+    assert(u.getDouble(3) == 0.0, s"uniform gini ${u.getDouble(3)}")
+  }
+
   test("anovaOneWay: hand two-live-group fixture — exact SS terms and " +
     "F, empty groups excluded from the dof") {
     import spark.implicits._
