@@ -451,6 +451,33 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         .orderBy(col("op"), col("user_id"))
     }),
 
+    // Audience-overlap matrix (round 13): pairwise Jaccard between
+    // event-type user populations — the segment-overlap audit behind
+    // every "are these audiences the same people" decision (set_ops
+    // proves one pair's algebra; THIS measures all pairs). One
+    // distinct pass, self-join on user over the (type, user) relation,
+    // per-pair exact counts + integer-ppm Jaccard — |A∪B| =
+    // |A|+|B|−|A∩B|, no second pass.
+    "event_user_overlap" -> ((s, d) => {
+      val tu = Tables.events(s, d)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+      val sz = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sz.select(col("t").as("type_a"), col("n").as("n_a"))),
+          "type_a")
+        .join(broadcast(sz.select(col("t").as("type_b"), col("n").as("n_b"))),
+          "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          expr("(n_common * 1000000) div nullif(n_a + n_b - n_common, 0L)")
+            .as("jaccard_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Skew-safe salted aggregation (same semantics as direct groupBy —
     // that IS the oracle; structure is the 100 TB hot-key remedy).
     "agg_salted" -> ((s, d) =>
@@ -1826,6 +1853,21 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(SELECT user_id FROM events WHERE event_type = 'signup' INTERSECT " +
         "SELECT user_id FROM events WHERE event_type = 'view') " +
         "ORDER BY op, user_id"),
+
+    // overlap replay: the same distinct (type, user) relation,
+    // pair self-join, ppm Jaccard from one intersection count
+    "event_user_overlap" ->
+      ("WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events " +
+        "WHERE event_type IS NOT NULL), " +
+        "sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1), " +
+        "cm AS (SELECT a.t AS type_a, b.t AS type_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_common " +
+        "FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.t < b.t " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common, " +
+        "CAST(n_common * 1000000 // nullif(sa.n + sb.n - n_common, 0) AS BIGINT) AS jaccard_ppm " +
+        "FROM cm JOIN sz sa ON type_a = sa.t JOIN sz sb ON type_b = sb.t " +
+        "ORDER BY type_a, type_b"),
 
     "agg_salted" ->
       ("SELECT event_type, COUNT(*) AS n_events, " +
