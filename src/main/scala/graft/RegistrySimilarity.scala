@@ -288,6 +288,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "multimodal_resize" -> ((s, d) =>
       Multimodal.resizePartitions(s, Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Center crop (round 13): the third spatial-preprocess member —
+    // fixed central window with oracle-checked offsets (see
+    // cropCenterPartitions' scaladoc).
+    "multimodal_crop" -> ((s, d) =>
+      Multimodal.cropCenterPartitions(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Bilinear resize (round 7): half-pixel-center 2x2 blend in exact
     // integer fixed-point — stats are emitted SCALED by 64 = (2·4)·(2·4),
     // making the smooth kernel itself DuckDB-oracle-checkable.
@@ -831,6 +838,22 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // analytic nearest-neighbor replay: dst pixel i (4x4 row-major) maps
     // to src (sy, sx) = (i//4 * h // 4, i%4 * w // 4), value from the
     // same synthesized-pixel formula as multimodal_decode
+    // crop replay: same synthesized-pixel formula, window offsets by
+    // the (dim - 4) // 2 convention, raster index inside the window
+    "multimodal_crop" ->
+      ("SELECT doc_id, width AS src_width, height AS src_height, " +
+        "CAST((width - 4) // 2 AS BIGINT) AS x0, " +
+        "CAST((height - 4) // 2 AS BIGINT) AS y0, " +
+        "CAST(list_sum(px) AS BIGINT) AS c_sum, " +
+        "CAST(list_sum(list_transform(range(0, 16), i -> i * px[i+1])) AS BIGINT) AS c_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS c_min, " +
+        "CAST(list_max(px) AS BIGINT) AS c_max " +
+        "FROM (SELECT doc_id, width, height, " +
+        "list_transform(range(0, 16), i -> " +
+        "(doc_id*31 + ((((height - 4) // 2 + i // 4) * width) + (width - 4) // 2 + i % 4) * 7) % 256) AS px " +
+        "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height " +
+        "FROM documents)) ORDER BY doc_id"),
+
     "multimodal_resize" ->
       ("SELECT doc_id, width AS src_width, height AS src_height, " +
         "CAST(list_sum(px) AS BIGINT) AS r_sum, " +

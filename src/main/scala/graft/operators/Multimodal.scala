@@ -1231,6 +1231,58 @@ object Multimodal {
     }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** CENTER CROP (round 13) — the third member of the spatial
+    * preprocess trio ([[resizePartitions]] stretches,
+    * `letterboxPartitions` pads, THIS cuts): the fixed-size central
+    * window ((w−cw)/2, (h−ch)/2 integer offsets — the torchvision/
+    * PIL convention) every vision pipeline applies after a
+    * shorter-side resize. Real ImageIO decode in the shared
+    * per-partition harness; the emitted offsets make the window
+    * placement itself oracle-checked, and the position-weighted digest
+    * catches any raster-order slip. Output: (doc_id, src_width,
+    * src_height, x0, y0, c_sum, c_posw, c_min, c_max), ordered. */
+  def cropCenterPartitions(spark: SparkSession, ingested: DataFrame,
+                           cw: Int = 4, ch: Int = 4): DataFrame = {
+    require(cw > 0 && ch > 0, s"bad crop shape ${cw}x$ch")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("src_width", LongType),
+      StructField("src_height", LongType),
+      StructField("x0", LongType), StructField("y0", LongType),
+      StructField("c_sum", LongType), StructField("c_posw", LongType),
+      StructField("c_min", LongType), StructField("c_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
+        require(img != null, "undecodable media payload")
+        val w = img.getWidth; val h = img.getHeight
+        require(w >= cw && h >= ch,
+          s"image ${w}x$h smaller than crop ${cw}x$ch")
+        val x0 = (w - cw) / 2; val y0 = (h - ch) / 2
+        var sum = 0L; var posw = 0L; var mn = 255L; var mx = 0L
+        var dy = 0
+        while (dy < ch) {
+          var dx = 0
+          while (dx < cw) {
+            val red = (img.getRGB(x0 + dx, y0 + dy) >> 16) & 0xff
+            val i = dy.toLong * cw + dx
+            sum += red; posw += i * red
+            if (red < mn) mn = red
+            if (red > mx) mx = red
+            dx += 1
+          }
+          dy += 1
+        }
+        Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, x0.toLong,
+          y0.toLong, sum, posw, mn, mx)
+      }
+    }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** Perceptual dHash of one decoded image: nearest-neighbor downsample
     * to a 9×8 grid (same `dx*w/9`, `dy*h/8` integer mapping as the
     * resize legs), then one bit per horizontally-adjacent grid pair —
