@@ -563,6 +563,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_welch_t2" -> ((s, d) =>
       Relational.welchT2(Tables.events(s, d))),
 
+    // Spearman rank correlation (round 13): Pearson on doubled tied
+    // ranks from the bounded value grids, DECIMAL(38) moments, the
+    // via-string double bridge (see spearmanCorr's scaladoc).
+    "stats_spearman" -> ((s, d) =>
+      Relational.spearmanCorr(Tables.lineitem(s, d))),
+
     // Gini concentration (round 13): exact integer rank-weighted sum
     // over the cents grid, one IEEE division (see orderGini's
     // scaladoc).
@@ -1463,6 +1469,31 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT n_a, n_b, s_a, s_b, " +
         Relational.WelchTail("mean_diff_cents") + " AS mean_diff_cents, " +
         Relational.WelchTail("t2") + " AS t2 FROM g"),
+
+    // Spearman replay: same grid ranks, DECIMAL(38) moments, the
+    // identical via-string Pearson tree
+    "stats_spearman" ->
+      ("WITH r0 AS (SELECT CAST(l_quantity AS BIGINT) AS x, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y FROM lineitem), " +
+        "gx AS (SELECT x, COUNT(*) AS cnt FROM r0 GROUP BY 1), " +
+        "rx AS (SELECT x, COALESCE(SUM(cnt) OVER (ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + cnt + 1 AS r_x FROM gx), " +
+        "gy AS (SELECT y, COUNT(*) AS cnt FROM r0 GROUP BY 1), " +
+        "ry AS (SELECT y, COALESCE(SUM(cnt) OVER (ORDER BY y " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + cnt + 1 AS r_y FROM gy), " +
+        "j AS (SELECT r_x, r_y FROM r0 JOIN rx USING (x) JOIN ry USING (y)), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(CAST(r_x AS DECIMAL(38,0))) AS sx, SUM(CAST(r_y AS DECIMAL(38,0))) AS sy, " +
+        "SUM(CAST(r_x AS DECIMAL(38,0)) * r_y) AS sxy, " +
+        "SUM(CAST(r_x AS DECIMAL(38,0)) * r_x) AS sxx, " +
+        "SUM(CAST(r_y AS DECIMAL(38,0)) * r_y) AS syy FROM j) " +
+        "SELECT n, (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - " +
+        "CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) / " +
+        "(sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - " +
+        "CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) * " +
+        "sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - " +
+        "CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS spearman_rho " +
+        "FROM s"),
 
     // Gini replay: same grouped prefix-sum fold, BIGINT to the end
     "order_gini" ->

@@ -2010,6 +2010,52 @@ object Relational {
     }
   }
 
+  /** SPEARMAN RANK CORRELATION (round 13) — [[groupedCorrelation]]'s
+    * robust sibling: Pearson on RANKS, so a monotone-but-nonlinear
+    * relation (price vs quantity under tiered pricing) still scores,
+    * and outliers stop dominating. Exactness composition of two
+    * proven doctrines: ranks are the DOUBLED tied average ranks from
+    * the bounded value-grid prefix fold ([[mannWhitneyU]] — rho is
+    * invariant to the ×2), rank moments accumulate in DECIMAL(38,0)
+    * (rank sums overflow int64 at warehouse scale), and the final
+    * Pearson-on-ranks expression goes through the decimal→STRING→
+    * double bridge ([[groupedCorrelation]]'s bit-identity trick) with
+    * one fixed operation tree. The quantity grid (integral 1..50)
+    * broadcasts; the price grid joins on the cents key.
+    *
+    * Output (one row): n, spearman_rho. */
+  def spearmanCorr(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = lineitem.select(
+      col("l_quantity").cast("long").as("x"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
+        .as("y"))
+    def rankTable(c: String) = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("clt", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .select(col(c),
+          (col("clt") * 2L + col("cnt") + 1L).as(s"r_$c"))
+    }
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast("string").cast("double")
+    rows
+      .join(broadcast(rankTable("x")), "x")
+      .join(rankTable("y"), "y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r_x").cast(dec)).as("sx"),
+        sum(col("r_y").cast(dec)).as("sy"),
+        sum(col("r_x").cast(dec) * col("r_y")).as("sxy"),
+        sum(col("r_x").cast(dec) * col("r_x")).as("sxx"),
+        sum(col("r_y").cast(dec) * col("r_y")).as("syy"))
+      .select(col("n"),
+        ((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("spearman_rho"))
+  }
+
   /** GINI COEFFICIENT of revenue concentration (round 13) — the
     * single-number inequality metric beside [[paretoConcentration]]'s
     * top-share curve: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the

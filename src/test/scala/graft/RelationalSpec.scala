@@ -193,6 +193,26 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("spearmanCorr: monotone-with-ties scores ~1, anti-monotone ~-1, " +
+    "nonlinear-but-monotone still perfect") {
+    import spark.implicits._
+    def li(rows: (Long, Double)*) =
+      rows.toDF("l_quantity", "l_extendedprice")
+        .select(col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice"))
+    val mono = graft.operators.Relational.spearmanCorr(
+      li(1L -> 10.0, 2L -> 20.0, 2L -> 20.0, 3L -> 30.0)).collect().head
+    assert(math.abs(mono.getDouble(1) - 1.0) < 1e-12, s"got $mono")
+    val anti = graft.operators.Relational.spearmanCorr(
+      li(1L -> 30.0, 2L -> 20.0, 3L -> 10.0)).collect().head
+    assert(math.abs(anti.getDouble(1) + 1.0) < 1e-12, s"got $anti")
+    // nonlinear monotone (y = x^3-ish): Pearson would drop below 1,
+    // Spearman must not
+    val cube = graft.operators.Relational.spearmanCorr(
+      li(1L -> 1.0, 2L -> 8.0, 3L -> 27.0, 4L -> 64.0)).collect().head
+    assert(math.abs(cube.getDouble(1) - 1.0) < 1e-12, s"got $cube")
+  }
+
   test("orderGini: hand fixture exact (0.25 for 1..4), ties grouped, " +
     "uniform values score zero") {
     import spark.implicits._
