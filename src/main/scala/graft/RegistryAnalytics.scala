@@ -563,6 +563,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_welch_t2" -> ((s, d) =>
       Relational.welchT2(Tables.events(s, d))),
 
+    // Month-over-month revenue growth (round 13): exact cents, lag
+    // over the calendar grid, sign-split ppm (see orderMonthlyGrowth's
+    // scaladoc).
+    "order_monthly_growth" -> ((s, d) =>
+      Relational.orderMonthlyGrowth(Tables.orders(s, d))),
+
     // Spearman rank correlation (round 13): Pearson on doubled tied
     // ranks from the bounded value grids, DECIMAL(38) moments, the
     // via-string double bridge (see spearmanCorr's scaladoc).
@@ -1469,6 +1475,20 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT n_a, n_b, s_a, s_b, " +
         Relational.WelchTail("mean_diff_cents") + " AS mean_diff_cents, " +
         Relational.WelchTail("t2") + " AS t2 FROM g"),
+
+    // growth replay: same grid, lag, explicit sign-split ppm (Spark
+    // div truncates; DuckDB // floors)
+    "order_monthly_growth" ->
+      ("WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents " +
+        "FROM orders GROUP BY 1), " +
+        "g AS (SELECT month, rev_cents, " +
+        "LAG(rev_cents) OVER (ORDER BY month) AS prev_cents FROM m) " +
+        "SELECT month, rev_cents, prev_cents, " +
+        "CAST(CASE WHEN rev_cents - prev_cents < 0 " +
+        "THEN -((-(rev_cents - prev_cents) * 1000000) // nullif(prev_cents, 0)) " +
+        "ELSE ((rev_cents - prev_cents) * 1000000) // nullif(prev_cents, 0) END AS BIGINT) AS growth_ppm " +
+        "FROM g ORDER BY month"),
 
     // Spearman replay: same grid ranks, DECIMAL(38) moments, the
     // identical via-string Pearson tree

@@ -2010,6 +2010,30 @@ object Relational {
     }
   }
 
+  /** MONTH-OVER-MONTH REVENUE GROWTH (round 13) — the trend report
+    * beside [[orderBacklog]]'s inventory curve: monthly revenue in
+    * exact cents, previous month by LAG over the calendar-bounded
+    * month grid, growth in integer ppm of the previous month
+    * (sign-split div — a negative delta must floor identically on
+    * both engines; NULL on the first month and after a zero month,
+    * structural). Output: (month, rev_cents, prev_cents, growth_ppm),
+    * ordered. */
+  def orderMonthlyGrowth(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val w = Window.orderBy(col("month"))
+    orders.select(date_trunc("month", col("o_orderdate")).as("month"),
+        cents.as("c"))
+      .groupBy(col("month")).agg(sum(col("c")).as("rev_cents"))
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("growth_ppm", expr(
+        "CASE WHEN rev_cents - prev_cents < 0 " +
+          "THEN -((-(rev_cents - prev_cents) * 1000000) div nullif(prev_cents, 0L)) " +
+          "ELSE ((rev_cents - prev_cents) * 1000000) div nullif(prev_cents, 0L) END"))
+      .orderBy(col("month"))
+  }
+
   /** SPEARMAN RANK CORRELATION (round 13) — [[groupedCorrelation]]'s
     * robust sibling: Pearson on RANKS, so a monotone-but-nonlinear
     * relation (price vs quantity under tiered pricing) still scores,

@@ -213,6 +213,29 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(cube.getDouble(1) - 1.0) < 1e-12, s"got $cube")
   }
 
+  test("orderMonthlyGrowth: hand timeline — first month NULL, negative " +
+    "delta floors identically, positive delta truncates toward zero") {
+    val orders = Seq(
+      ("2024-01-15", 100.00),
+      ("2024-02-01", 100.00), ("2024-02-20", 50.00),
+      ("2024-03-09", 75.00),
+      ("2024-04-30", 80.00))
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.orderMonthlyGrowth(orders)
+      .select(col("rev_cents"), col("prev_cents"), col("growth_ppm"))
+      .collect().toSeq
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out == Seq(
+      (10000L, None, None),                         // first month: no prior
+      (15000L, Some(10000L), Some(500000L)),        // +50%
+      (7500L, Some(15000L), Some(-500000L)),        // -50% exact
+      // +500/7500 = 66666.67 ppm — sign-split div must TRUNCATE to 66666
+      (8000L, Some(7500L), Some(66666L))), s"got $out")
+  }
+
   test("orderGini: hand fixture exact (0.25 for 1..4), ties grouped, " +
     "uniform values score zero") {
     import spark.implicits._
