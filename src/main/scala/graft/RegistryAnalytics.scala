@@ -569,6 +569,27 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "order_monthly_growth" -> ((s, d) =>
       Relational.orderMonthlyGrowth(Tables.orders(s, d))),
 
+    // FK referential-integrity audit (round 13): orphan / NULL-key
+    // counts over every star-schema edge; dims broadcast, the one
+    // fact-parent edge shuffles on the key-grouped child (see
+    // fkIntegrity's scaladoc).
+    "quality_fk_orphans" -> ((s, d) =>
+      Relational.fkIntegrity(Seq(
+        ("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey", true),
+        ("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", false),
+        ("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey", true),
+        ("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", true),
+        ("nation->region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey", true),
+        ("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", true),
+        ("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey", true)))),
+
     // Spearman rank correlation (round 13): Pearson on doubled tied
     // ranks from the bounded value grids, DECIMAL(38) moments, the
     // via-string double bridge (see spearmanCorr's scaladoc).
@@ -1489,6 +1510,33 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "THEN -((-(rev_cents - prev_cents) * 1000000) // nullif(prev_cents, 0)) " +
         "ELSE ((rev_cents - prev_cents) * 1000000) // nullif(prev_cents, 0) END AS BIGINT) AS growth_ppm " +
         "FROM g ORDER BY month"),
+
+    // FK-audit replay: same key-grouped child → distinct-parent left
+    // join per edge, generated from one edge list
+    "quality_fk_orphans" -> {
+      val edges = Seq(
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      edges.map { case (name, child, ck, parent, pk) =>
+        s"SELECT '$name' AS edge, " +
+          "CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows, " +
+          "CAST(COUNT(k) AS BIGINT) AS n_keys, " +
+          "CAST(COALESCE(SUM(CASE WHEN hit IS NULL AND k IS NOT NULL " +
+          "THEN c ELSE 0 END), 0) AS BIGINT) AS orphan_rows, " +
+          "CAST(COALESCE(SUM(CASE WHEN hit IS NULL AND k IS NOT NULL " +
+          "THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphan_keys, " +
+          "CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN c ELSE 0 END), 0) " +
+          "AS BIGINT) AS null_rows " +
+          s"FROM (SELECT $ck AS k, count(*) AS c FROM $child GROUP BY 1) ch " +
+          s"LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS hit FROM $parent) p " +
+          "USING (k)"
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY edge")
+    },
 
     // Spearman replay: same grid ranks, DECIMAL(38) moments, the
     // identical via-string Pearson tree

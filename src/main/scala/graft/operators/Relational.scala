@@ -2761,4 +2761,44 @@ object Relational {
         sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
       .orderBy(col("cntrycode"))
   }
+
+  /** REFERENTIAL-INTEGRITY AUDIT (round 13) — orphan counts over every
+    * FK edge of the star schema, the first data-quality report any
+    * warehouse ingestion runs (and the one that catches a broken CDC
+    * feed before a join silently drops rows). Per edge: child rows,
+    * distinct child keys, orphan rows/keys (key present but no parent
+    * row), NULL-key rows (a NULL FK is MISSING, not an orphan — split
+    * out so both failure modes stay visible). Scale shape: the child
+    * side collapses to its KEY-GROUPED table first (bounded by the key
+    * domain, never row count — one map-side-combinable aggregation per
+    * edge), then one left join against the distinct parent keys —
+    * broadcast when the parent is a dimension, shuffled on the bounded
+    * key table when it is a fact. ≤ |edges| rows out at any scale.
+    *
+    * Output: (edge, n_rows, n_keys, orphan_rows, orphan_keys,
+    * null_rows), ordered by edge. */
+  def fkIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String, Boolean)])
+      : DataFrame = {
+    val audits = edges.map { case (name, child, ck, parent, pk, small) =>
+      val grouped = child.groupBy(col(ck).as("k"))
+        .agg(count(lit(1)).as("c"))
+      val pKeys0 = parent.select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(1))
+      val pKeys = if (small) broadcast(pKeys0) else pKeys0
+      grouped.join(pKeys, Seq("k"), "left")
+        .agg(
+          coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+          count(col("k")).as("n_keys"),
+          coalesce(sum(when(col("hit").isNull && col("k").isNotNull,
+            col("c")).otherwise(lit(0L))), lit(0L)).as("orphan_rows"),
+          coalesce(sum(when(col("hit").isNull && col("k").isNotNull, 1L)
+            .otherwise(lit(0L))), lit(0L)).as("orphan_keys"),
+          coalesce(sum(when(col("k").isNull, col("c")).otherwise(lit(0L))),
+            lit(0L)).as("null_rows"))
+        .select(lit(name).as("edge"), col("n_rows"), col("n_keys"),
+          col("orphan_rows"), col("orphan_keys"), col("null_rows"))
+    }
+    audits.reduce(_.unionAll(_)).orderBy(col("edge"))
+  }
 }

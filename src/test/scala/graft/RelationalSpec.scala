@@ -236,6 +236,24 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("fkIntegrity: orphans counted by row AND key, NULL FK split out, " +
+    "clean edge reports zero") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 3L).toDF("pk")
+    val out = Relational.fkIntegrity(Seq(
+        ("clean", parent.toDF("fk"), "fk", parent, "pk", true),
+        ("dirty", child, "fk", parent, "pk", true)))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out == Seq(
+      ("clean", 2L, 2L, 0L, 0L, 0L),
+      // 4 rows over keys {1,1,2,NULL}: key 2 orphans (1 key, 1 row),
+      // the NULL row is MISSING, not orphaned
+      ("dirty", 4L, 2L, 1L, 1L, 1L)), s"got $out")
+  }
+
   test("orderGini: hand fixture exact (0.25 for 1..4), ties grouped, " +
     "uniform values score zero") {
     import spark.implicits._
