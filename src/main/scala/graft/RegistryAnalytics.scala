@@ -596,6 +596,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_spearman" -> ((s, d) =>
       Relational.spearmanCorr(Tables.lineitem(s, d))),
 
+    // Revenue ACF (round 13): lag-1..7 Pearson over the gap-filled
+    // daily revenue grid — weekly-cycle detector; one window pass,
+    // DECIMAL(38) moments (see revenueAutocorr's scaladoc).
+    "stats_autocorr" -> ((s, d) =>
+      Relational.revenueAutocorr(Tables.orders(s, d))),
+
     // Gini concentration (round 13): exact integer rank-weighted sum
     // over the cents grid, one IEEE division (see orderGini's
     // scaladoc).
@@ -1562,6 +1568,35 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - " +
         "CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS spearman_rho " +
         "FROM s"),
+
+    // ACF replay: same gap-filled grid, LAG fan-out, DECIMAL(38)
+    // moments, the identical via-string Pearson tree per lag
+    "stats_autocorr" -> {
+      val lags = 1 to 7
+      val dd = (c: String) => s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      "WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day AS day, CAST(COALESCE(d.rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN daily d USING (day)), " +
+        "lagged AS (SELECT x, " +
+        lags.map(l => s"LAG(x, $l) OVER (ORDER BY day) AS y$l").mkString(", ") +
+        " FROM series), " +
+        "pairs AS (" +
+        lags.map(l => s"SELECT $l AS acf_lag, x, y$l AS y FROM lagged " +
+          s"WHERE y$l IS NOT NULL").mkString(" UNION ALL ") + "), " +
+        "s AS (SELECT acf_lag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, " +
+        "SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy, " +
+        "SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx, " +
+        "SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy FROM pairs GROUP BY 1) " +
+        s"SELECT acf_lag, n, (n * ${dd("sxy")} - ${dd("sx")} * ${dd("sy")}) / " +
+        s"(sqrt(n * ${dd("sxx")} - ${dd("sx")} * ${dd("sx")}) * " +
+        s"sqrt(n * ${dd("syy")} - ${dd("sy")} * ${dd("sy")})) AS acf " +
+        "FROM s ORDER BY acf_lag"
+    },
 
     // Gini replay: same grouped prefix-sum fold, BIGINT to the end
     "order_gini" ->

@@ -2080,6 +2080,58 @@ object Relational {
           .as("spearman_rho"))
   }
 
+  /** REVENUE AUTOCORRELATION (round 13) — the ACF at lags 1..maxLag
+    * over the DAILY revenue series, the weekly-cycle detector that
+    * decides whether [[orderMonthlyGrowth]]'s trend needs seasonal
+    * adjustment (a lag-7 spike = weekday cycle). The series is the
+    * GAP-FILLED calendar day grid (a no-order day is a 0, not a
+    * missing row — skipping gaps would splice non-adjacent days into
+    * fake pairs); the grid is calendar-bounded, so the one
+    * unpartitioned window pass runs over days, never rows (the
+    * [[orderMonthlyGrowth]] bounded-frame doctrine). Exactness is the
+    * [[spearmanCorr]] composition: exact integer cents, moments in
+    * DECIMAL(38,0) (daily-revenue cross products overflow int64 at
+    * warehouse scale), the decimal→STRING→double bridge, ONE fixed
+    * Pearson tree per lag. All maxLag lags come out of a single
+    * window pass + posexplode — one aggregation, not maxLag scans.
+    *
+    * Output: (acf_lag, n, acf), ordered by lag. */
+  def revenueAutocorr(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val daily = orders
+      .select(date_trunc("DAY", col("o_orderdate")).as("day"), cents.as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val series = grid.join(broadcast(daily), Seq("day"), "left")
+      .select(col("day"), coalesce(col("rev"), lit(0L)).as("x"))
+    val w = Window.orderBy(col("day"))
+    val lagged = series.select(col("x") +:
+      (1 to maxLag).map(l => lag(col("x"), l).over(w).as(s"y$l")): _*)
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast("string").cast("double")
+    lagged
+      .select(col("x"), posexplode(array(
+        (1 to maxLag).map(l => col(s"y$l")): _*)).as(Seq("pos", "y")))
+      .filter(col("y").isNotNull)
+      .groupBy((col("pos") + 1).as("acf_lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      .select(col("acf_lag"), col("n"),
+        ((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("acf"))
+      .orderBy(col("acf_lag"))
+  }
+
   /** GINI COEFFICIENT of revenue concentration (round 13) — the
     * single-number inequality metric beside [[paretoConcentration]]'s
     * top-share curve: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the

@@ -236,6 +236,22 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("revenueAutocorr: period-2 series via GAP-FILLED zero days — " +
+    "lag-1 exactly -1, lag-2 exactly +1") {
+    // orders only on days 1/3/5 — days 2/4 must be zero-filled rows,
+    // giving the series [100, 0, 100, 0, 100]
+    val orders = Seq("2024-01-01", "2024-01-03", "2024-01-05")
+      .toDF("d")
+      .select(to_timestamp(col("d")).as("o_orderdate"),
+        lit(1.00).as("o_totalprice"))
+    val out = Relational.revenueAutocorr(orders, maxLag = 2)
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)) == Seq((1, 4L), (2, 3L)), s"got $out")
+    assert(math.abs(out(0)._3 + 1.0) < 1e-12, s"lag-1 ${out(0)._3}")
+    assert(math.abs(out(1)._3 - 1.0) < 1e-12, s"lag-2 ${out(1)._3}")
+  }
+
   test("fkIntegrity: orphans counted by row AND key, NULL FK split out, " +
     "clean edge reports zero") {
     val child = Seq(Some(1L), Some(1L), Some(2L), None)
