@@ -596,6 +596,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_spearman" -> ((s, d) =>
       Relational.spearmanCorr(Tables.lineitem(s, d))),
 
+    // Month-of-year seasonality (round 13): revenue share per calendar
+    // month pooled across years, 12 structural rows, integer ppm (see
+    // orderSeasonality's scaladoc).
+    "order_seasonality" -> ((s, d) =>
+      Relational.orderSeasonality(Tables.orders(s, d))),
+
     // Revenue ACF (round 13): lag-1..7 Pearson over the gap-filled
     // daily revenue grid — weekly-cycle detector; one window pass,
     // DECIMAL(38) moments (see revenueAutocorr's scaladoc).
@@ -1568,6 +1574,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - " +
         "CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS spearman_rho " +
         "FROM s"),
+
+    // Seasonality replay: same 12-row structural grid + ppm shares
+    "order_seasonality" ->
+      ("WITH m AS (SELECT CAST(month(o_orderdate) AS INT) AS moy, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT SUM(rev) AS total FROM m), " +
+        "g AS (SELECT CAST(unnest(generate_series(1, 12)) AS INT) AS moy) " +
+        "SELECT g.moy AS moy, CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders, " +
+        "CAST(COALESCE(rev, 0) AS BIGINT) AS rev_cents, " +
+        "CAST((COALESCE(rev, 0) * 1000000) // nullif(total, 0) AS BIGINT) AS share_ppm " +
+        "FROM g LEFT JOIN m USING (moy) CROSS JOIN t ORDER BY moy"),
 
     // ACF replay: same gap-filled grid, LAG fan-out, DECIMAL(38)
     // moments, the identical via-string Pearson tree per lag

@@ -1840,6 +1840,37 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** MONTH-OF-YEAR SEASONALITY PROFILE (round 13) — revenue share per
+    * calendar month pooled across years, the seasonal fingerprint that
+    * names the cycle [[revenueAutocorr]] detects (and the
+    * normalization every forecast divides out). Exact integer cents,
+    * shares in integer ppm of the grand total (non-negative domain —
+    * `div` ≡ `//`); all 12 month rows STRUCTURAL from the literal grid
+    * (a dead December is a finding, not a missing row — the
+    * [[benfordAudit]] doctrine). One map-side-combinable ≤12-group
+    * aggregation over the scan; everything after is 12-row broadcast
+    * frames.
+    *
+    * Output: (moy, n_orders, rev_cents, share_ppm), ordered. */
+  def orderSeasonality(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val m = orders.select(month(col("o_orderdate")).as("moy"), cents.as("c"))
+      .groupBy(col("moy"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("rev"))
+    val total = m.agg(sum(col("rev")).as("total"))
+    val grid = (1 to 12).toDF("moy")
+    broadcast(grid).join(m, Seq("moy"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("moy"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("rev"), lit(0L)).as("rev_cents"),
+        expr("CAST((coalesce(rev, 0L) * 1000000) div nullif(total, 0L) " +
+          "AS BIGINT)").as("share_ppm"))
+      .orderBy(col("moy"))
+  }
+
   /** TRUNCATED EWMA (round 12) — the smoothing every monitoring /
     * forecasting readout runs, made EXACT: α=1/2 over the per-type
     * daily cents series, truncated at `depth` terms and scaled by

@@ -74,7 +74,9 @@ class EmptyInputSpec extends SparkSpec {
     Set("config_parse", "retry_reconnect", "schema_prime",
       "tokenizer_compression", "stats_profile",
       "stats_benford", "order_pareto", "sim_recall_report",
-      "corpus_vocab_curve", "embed_quantize_curve")
+      "corpus_vocab_curve", "embed_quantize_curve",
+      // round 13: order_seasonality's 12 calendar-month rows
+      "order_seasonality")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

@@ -236,6 +236,20 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("orderSeasonality: years pool into the 12 structural months, " +
+    "shares exact ppm, dead months present with zero mass") {
+    val orders = Seq(("2023-01-10", 1.00), ("2024-01-05", 2.00),
+        ("2024-03-20", 1.00))
+      .toDF("d", "o_totalprice")
+      .select(to_timestamp(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.orderSeasonality(orders).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.size == 12 && out.map(_._1) == (1 to 12), s"got $out")
+    assert(out(0) == ((1, 2L, 300L, 750000L)), s"jan ${out(0)}")
+    assert(out(2) == ((3, 1L, 100L, 250000L)), s"mar ${out(2)}")
+    assert(out(1) == ((2, 0L, 0L, 0L)), s"feb ${out(1)}")
+  }
+
   test("revenueAutocorr: period-2 series via GAP-FILLED zero days — " +
     "lag-1 exactly -1, lag-2 exactly +1") {
     // orders only on days 1/3/5 — days 2/4 must be zero-filled rows,
