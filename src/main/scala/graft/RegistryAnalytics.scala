@@ -596,6 +596,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_spearman" -> ((s, d) =>
       Relational.spearmanCorr(Tables.lineitem(s, d))),
 
+    // Holt level+trend forecast (round 13): α=β=1/2 integer halvings
+    // over the gap-filled month grid, one aggregate() fold (see
+    // holtForecast's scaladoc).
+    "order_forecast_holt" -> ((s, d) =>
+      Relational.holtForecast(Tables.orders(s, d))),
+
     // Month-of-year seasonality (round 13): revenue share per calendar
     // month pooled across years, 12 structural rows, integer ppm (see
     // orderSeasonality's scaladoc).
@@ -1574,6 +1580,29 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - " +
         "CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS spearman_rho " +
         "FROM s"),
+
+    // Holt replay: same grid + the recurrence as a recursive CTE over
+    // the month index; the sign-split halve text shape is shared
+    "order_forecast_holt" -> {
+      def h(v: String) =
+        s"CASE WHEN ($v) < 0 THEN -((-($v)) // 2) ELSE ($v) // 2 END"
+      val lNew = h("s.x + f.l + f.t")
+      "WITH RECURSIVE m AS (SELECT date_trunc('month', o_orderdate) AS month, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(month) AS lo, max(month) AS hi FROM m), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM b), " +
+        "s AS (SELECT ROW_NUMBER() OVER (ORDER BY g.month) AS i, g.month AS month, " +
+        "CAST(COALESCE(rev, 0) AS BIGINT) AS x FROM grid g LEFT JOIN m USING (month)), " +
+        "f AS (SELECT i, month, x, CAST(NULL AS BIGINT) AS fc, x AS l, " +
+        "CAST(0 AS BIGINT) AS t FROM s WHERE i = 1 " +
+        "UNION ALL SELECT s.i, s.month, s.x, f.l + f.t AS fc, " +
+        s"CAST($lNew AS BIGINT) AS l, " +
+        s"CAST(${h(s"($lNew) - f.l + f.t")} AS BIGINT) AS t " +
+        "FROM f JOIN s ON s.i = f.i + 1) " +
+        "SELECT month, x AS rev_cents, fc AS forecast_cents, " +
+        "x - fc AS err_cents FROM f ORDER BY month"
+    },
 
     // Seasonality replay: same 12-row structural grid + ppm shares
     "order_seasonality" ->

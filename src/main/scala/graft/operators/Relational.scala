@@ -2163,6 +2163,67 @@ object Relational {
       .orderBy(col("acf_lag"))
   }
 
+  /** Truncating integer halve, portable across engines: Spark `div`
+    * truncates while DuckDB `//` floors, so negative operands (a
+    * declining trend) must go through the explicit sign split. The
+    * oracle interpolates the same text shape with `//`. */
+  private def halveSql(v: String): String =
+    s"CASE WHEN ($v) < 0 THEN -((-($v)) div 2) ELSE ($v) div 2 END"
+
+  /** HOLT DOUBLE-EXPONENTIAL FORECAST (round 13) — level+trend
+    * smoothing over the monthly revenue series: the one-step-ahead
+    * forecast every capacity plan runs when [[orderSeasonality]] says
+    * the cycle is flat but the trend is not. Made ENGINE-EXACT by the
+    * integer-surrogate doctrine ([[dailyEwma]]'s): α = β = 1/2 turns
+    * both smoothing updates into integer halvings (sign-split — the
+    * trend goes negative on decline), so the whole state trajectory is
+    * BIGINT and replays bit-for-bit. l' = (x + (l+t)) div 2,
+    * t' = ((l'−l) + t) div 2, seeded l₀ = x₀, t₀ = 0; forecast for
+    * month i is the PRIOR state's l+t (NULL on the seed month —
+    * nothing to forecast from). The sequential recurrence folds in ONE
+    * `aggregate()` HOF pass over the sorted gap-filled month list (the
+    * per-row-DP doctrine: the grid is calendar-bounded, so the list is
+    * months, never rows — one aggregation job, no checkpoint chain);
+    * the oracle replays it as a recursive CTE over the same grid.
+    *
+    * Output: (month, rev_cents, forecast_cents, err_cents), ordered. */
+  def holtForecast(orders: DataFrame): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val monthly = orders
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        cents.as("c"))
+      .groupBy(col("month")).agg(sum(col("c")).as("rev"))
+    val grid = monthly
+      .agg(min(col("month")).as("lo"), max(col("month")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("month"))
+    val series = grid.join(broadcast(monthly), Seq("month"), "left")
+      .select(col("month"), coalesce(col("rev"), lit(0L)).as("x"))
+    val lNew = halveSql("e.x + acc.l + acc.t")
+    val fold =
+      "aggregate(" +
+        "sort_array(collect_list(struct(month, x))), " +
+        "named_struct('l', 0L, 't', 0L, 'first', true, " +
+        "'out', CAST(array() AS " +
+        "ARRAY<STRUCT<month: TIMESTAMP, x: BIGINT, fc: BIGINT>>)), " +
+        "(acc, e) -> CASE WHEN acc.first THEN named_struct(" +
+        "'l', e.x, 't', 0L, 'first', false, " +
+        "'out', array(named_struct('month', e.month, 'x', e.x, " +
+        "'fc', CAST(NULL AS BIGINT)))) " +
+        s"ELSE named_struct('l', $lNew, " +
+        s"'t', ${halveSql(s"($lNew) - acc.l + acc.t")}, 'first', false, " +
+        "'out', concat(acc.out, array(named_struct('month', e.month, " +
+        "'x', e.x, 'fc', acc.l + acc.t)))) END)"
+    series
+      .agg(expr(fold).as("st"))
+      .select(explode(col("st.out")).as("r"))
+      .select(col("r.month").as("month"), col("r.x").as("rev_cents"),
+        col("r.fc").as("forecast_cents"),
+        (col("r.x") - col("r.fc")).as("err_cents"))
+      .orderBy(col("month"))
+  }
+
   /** GINI COEFFICIENT of revenue concentration (round 13) — the
     * single-number inequality metric beside [[paretoConcentration]]'s
     * top-share curve: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the

@@ -236,6 +236,24 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("holtForecast: hand ramp trajectory exact — seed month NULL, " +
+    "level/trend halvings truncate, errors replay") {
+    val orders = Seq(("2024-01-01", 1.00), ("2024-02-01", 2.00),
+        ("2024-03-01", 3.00), ("2024-04-01", 4.00))
+      .toDF("d", "o_totalprice")
+      .select(to_timestamp(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.holtForecast(orders).collect().toSeq
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // l: 100→150→237→346, t: 0→25→56→82; fc = prior l+t
+    assert(out == Seq(
+      (100L, None, None),
+      (200L, Some(100L), Some(100L)),
+      (300L, Some(175L), Some(125L)),
+      (400L, Some(293L), Some(107L))), s"got $out")
+  }
+
   test("orderSeasonality: years pool into the 12 structural months, " +
     "shares exact ppm, dead months present with zero mass") {
     val orders = Seq(("2023-01-10", 1.00), ("2024-01-05", 2.00),
