@@ -596,6 +596,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_spearman" -> ((s, d) =>
       Relational.spearmanCorr(Tables.lineitem(s, d))),
 
+    // Segment diversity per nation (round 13): exact-rational Simpson
+    // + inverse ("effective segments") — the categorical concentration
+    // readout (see customerDiversity's scaladoc).
+    "customer_diversity" -> ((s, d) =>
+      Relational.customerDiversity(Tables.customer(s, d),
+        Tables.nation(s, d))),
+
     // Holt level+trend forecast (round 13): α=β=1/2 integer halvings
     // over the gap-filled month grid, one aggregate() fold (see
     // holtForecast's scaladoc).
@@ -1580,6 +1587,21 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - " +
         "CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS spearman_rho " +
         "FROM s"),
+
+    // Diversity replay: same exact pair counts, via-string bridge,
+    // identical two-division tree
+    "customer_diversity" ->
+      ("WITH seg AS (SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS ni " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "g AS (SELECT n_name, CAST(SUM(ni) AS BIGINT) AS n_customers, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_segments, " +
+        "SUM(CAST(ni AS DECIMAL(38,0)) * (ni - 1)) AS ss FROM seg GROUP BY 1), " +
+        "h AS (SELECT *, CAST(n_customers AS DECIMAL(38,0)) * (n_customers - 1) AS nn FROM g) " +
+        "SELECT n_name, n_customers, n_segments, " +
+        "(CAST(CAST(nn AS VARCHAR) AS DOUBLE) - CAST(CAST(ss AS VARCHAR) AS DOUBLE)) / " +
+        "CAST(CAST(nn AS VARCHAR) AS DOUBLE) AS simpson, " +
+        "CAST(CAST(nn AS VARCHAR) AS DOUBLE) / CAST(CAST(ss AS VARCHAR) AS DOUBLE) " +
+        "AS eff_segments FROM h ORDER BY n_name"),
 
     // Holt replay: same grid + the recurrence as a recursive CTE over
     // the month index; the sign-split halve text shape is shared

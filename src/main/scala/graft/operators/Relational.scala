@@ -1840,6 +1840,45 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** MARKET-SEGMENT DIVERSITY per nation (round 13) — Simpson's index
+    * and its inverse (the "effective number of segments"), the
+    * concentration readout for a CATEGORICAL distribution, beside
+    * [[orderGini]]'s numeric one: a nation whose customers collapse
+    * into one segment is a concentration risk the segment-count alone
+    * hides. Shannon entropy is deliberately NOT here — it needs ln(),
+    * and transcendental libm calls are not bit-portable across engines
+    * (the repo-wide no-logs doctrine; Simpson is the exact-rational
+    * diversity index). Accumulations are exact: per-(nation, segment)
+    * counts, ss = Σ nᵢ(nᵢ−1) and nn = N(N−1) in DECIMAL(38,0) (pair
+    * counts overflow int64 at warehouse scale), then TWO fixed-order
+    * IEEE divisions through the via-string bridge: simpson =
+    * (nn−ss)/nn (the probability two sampled customers differ),
+    * eff_segments = nn/ss. One ≤ nations×segments aggregation, then a
+    * ≤ nations rollup — nothing wider than the dimension grid ever
+    * shuffles.
+    *
+    * Output: (n_name, n_customers, n_segments, simpson, eff_segments),
+    * ordered by nation. */
+  def customerDiversity(customer: DataFrame, nation: DataFrame)
+      : DataFrame = {
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast("string").cast("double")
+    val seg = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("ni"))
+    seg.groupBy(col("n_name"))
+      .agg(sum(col("ni")).as("n_customers"),
+        count(lit(1)).as("n_segments"),
+        sum(col("ni").cast(dec) * (col("ni") - 1L)).as("ss"))
+      .withColumn("nn",
+        col("n_customers").cast(dec) * (col("n_customers") - 1L))
+      .select(col("n_name"), col("n_customers"), col("n_segments"),
+        ((d(col("nn")) - d(col("ss"))) / d(col("nn"))).as("simpson"),
+        (d(col("nn")) / d(col("ss"))).as("eff_segments"))
+      .orderBy(col("n_name"))
+  }
+
   /** MONTH-OF-YEAR SEASONALITY PROFILE (round 13) — revenue share per
     * calendar month pooled across years, the seasonal fingerprint that
     * names the cycle [[revenueAutocorr]] detects (and the

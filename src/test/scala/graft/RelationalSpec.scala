@@ -236,6 +236,23 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("customerDiversity: uniform 2x2 scores simpson 2/3 (unbiased " +
+    "form, eff 3 at N=4); single-segment nation scores zero, eff 1") {
+    val customer = Seq(
+      (1, "A"), (1, "A"), (1, "B"), (1, "B"),
+      (2, "A"), (2, "A"), (2, "A"))
+      .toDF("c_nationkey", "c_mktsegment")
+    val nation = Seq((1, "alpha"), (2, "beta")).toDF("n_nationkey", "n_name")
+    val out = Relational.customerDiversity(customer, nation)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // alpha: N=4, nn=12, ss=2+2=4 → simpson 8/12, eff 3.0
+    assert(out(0) == (("alpha", 4L, 2L, 8.0 / 12.0, 3.0)), s"got ${out(0)}")
+    // beta: one segment → simpson 0, eff exactly 1
+    assert(out(1) == (("beta", 3L, 1L, 0.0, 1.0)), s"got ${out(1)}")
+  }
+
   test("holtForecast: hand ramp trajectory exact — seed month NULL, " +
     "level/trend halvings truncate, errors replay") {
     val orders = Seq(("2024-01-01", 1.00), ("2024-02-01", 2.00),
