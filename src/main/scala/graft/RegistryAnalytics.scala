@@ -147,6 +147,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "text_pii_scrub" -> ((s, d) =>
       TextAnalysis.piiScrub(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // PII exposure report (round 13): per-source match counts along
+    // the scrub's cascade + flagged-doc ppm (see piiReport's scaladoc).
+    "text_pii_report" -> ((s, d) =>
+      TextAnalysis.piiReport(Tables.documents(s, d))),
+
     // As-of join: latest same-user click at-or-before each purchase
     // (sort-merge composition — Spark has no native as-of join).
     "join_asof" -> ((s, d) =>
@@ -1091,6 +1096,25 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "'\\b[0-9a-fA-F]{16,}\\b', '<HEX>', 'g'), " +
         "'[0-9]{4,}', '<NUM>', 'g') AS scrubbed " +
         "FROM documents) ORDER BY doc_id"),
+
+    // PII-report replay: same cascade stages, len(regexp_extract_all)
+    "text_pii_report" ->
+      ("WITH st AS (SELECT source, text, " +
+        "regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t1 " +
+        "FROM documents), " +
+        "st2 AS (SELECT source, text, t1, " +
+        "regexp_replace(t1, '\\b[0-9a-fA-F]{16,}\\b', '<HEX>', 'g') AS t2 FROM st), " +
+        "per AS (SELECT source, " +
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS e, " +
+        "CAST(len(regexp_extract_all(t1, '\\b[0-9a-fA-F]{16,}\\b')) AS BIGINT) AS h, " +
+        "CAST(len(regexp_extract_all(t2, '[0-9]{4,}')) AS BIGINT) AS n FROM st2) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(e) AS BIGINT) AS emails, CAST(SUM(h) AS BIGINT) AS hex_ids, " +
+        "CAST(SUM(n) AS BIGINT) AS digit_runs, " +
+        "CAST(SUM(CASE WHEN e + h + n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged, " +
+        "CAST((SUM(CASE WHEN e + h + n > 0 THEN 1 ELSE 0 END) * 1000000) " +
+        "// nullif(COUNT(*), 0) AS BIGINT) AS flagged_ppm " +
+        "FROM per GROUP BY source ORDER BY source"),
 
     "join_asof_forward" ->
       ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, next_ts, " +

@@ -330,6 +330,47 @@ object TextAnalysis {
       (length(col("text")) - length(scrubbed)).cast("long").as("chars_delta"))
   }
 
+  /** PII EXPOSURE REPORT (round 13) — the per-source audit BESIDE
+    * [[piiScrub]]'s redaction: match counts per PII class and the
+    * share of affected documents, the "which feed is leaking
+    * identifiers" readout that decides where scrubbing effort goes
+    * (and the regression alarm when a new ingest spikes it). Counts
+    * follow the scrub's CASCADE exactly — emails on the raw text, hex
+    * ids after email redaction, digit runs after hex redaction — so
+    * report and scrub can never disagree on what a match is (a raw
+    * per-class count would double-book the digits inside a hex id).
+    * Narrow single-pass regexp_extract_all per row, one
+    * map-side-combinable per-source aggregation; flagged share in
+    * integer ppm (non-negative — `div` ≡ `//`).
+    *
+    * Output: (source, n_docs, emails, hex_ids, digit_runs,
+    * docs_flagged, flagged_ppm), ordered by source. */
+  def piiReport(docs: DataFrame): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val hexRe = "\\b[0-9a-fA-F]{16,}\\b"
+    val numRe = "[0-9]{4,}"
+    val t1 = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, hexRe, "<HEX>")
+    docs
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("e"),
+        size(regexp_extract_all(t1, lit(hexRe), lit(0)))
+          .cast("long").as("h"),
+        size(regexp_extract_all(t2, lit(numRe), lit(0)))
+          .cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("emails"),
+        sum(col("h")).as("hex_ids"),
+        sum(col("n")).as("digit_runs"),
+        sum(when(col("e") + col("h") + col("n") > 0L, 1L).otherwise(0L))
+          .as("docs_flagged"))
+      .withColumn("flagged_ppm", expr(
+        "CAST((docs_flagged * 1000000) div nullif(n_docs, 0L) AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
   /** Repetition signals — the Gopher-rule family of quality filters
     * (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1,
     * public paper): share of the most frequent token and fraction of

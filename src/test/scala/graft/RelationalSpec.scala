@@ -651,6 +651,23 @@ class RelationalSpec extends SparkSpec {
     assert(r(4L) == "pin <NUM>")     // tag longer than input → delta -1 ok
   }
 
+  test("piiReport: counts ride the scrub cascade — digits inside a hex " +
+    "id never double-book as a digit run; flagged share exact ppm") {
+    val df = Seq(
+      ("a", "mail bob@x.com and carol@y.org plus id deadbeef00001111cafe"),
+      ("a", "pin 1234 and 5678"),
+      ("a", "all clean here"),
+      ("b", "nothing to see")).toDF("source", "text")
+    val out = TextAnalysis.piiReport(df).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // source a: 2 emails, 1 hex (its 00001111 must NOT count as a
+    // digit run), 2 digit runs, 2 of 3 docs flagged
+    assert(out == Seq(
+      ("a", 3L, 2L, 1L, 2L, 2L, 666666L),
+      ("b", 1L, 0L, 0L, 0L, 0L, 0L)), s"got $out")
+  }
+
   test("groupQuantiles: every group's quartiles equal a local type-7 " +
     "replay on the sorted cents, fractional positions included") {
     import org.apache.spark.sql.functions._
