@@ -359,6 +359,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.imageEntropy(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Dataset normalization constants (round 13): per-source gray
+    // mean/std over real-decoded pixels (see imageNormStats' scaladoc).
+    "multimodal_norm_stats" -> ((s, d) =>
+      Multimodal.imageNormStats(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)),
+        Tables.documents(s, d))),
+
     // Blur/sharpness audit (round 12): integer Laplacian energy over
     // real-decoded interior pixels (see imageSharpness' scaladoc).
     "multimodal_blur" -> ((s, d) =>
@@ -990,6 +997,25 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "FROM (SELECT doc_id, (n_chars % 4) + 2 AS n_frames, " +
         "(n_chars % 8) + 4 AS width, (n_chars % 6) + 4 AS height FROM documents))) " +
         "ORDER BY doc_id, frame_idx"),
+
+    // analytic pixel replay → per-source normalization constants
+    "multimodal_norm_stats" ->
+      ("WITH dims AS (SELECT doc_id, source, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, source, unnest(range(0, w * h)) AS i FROM dims), " +
+        "pv AS (SELECT doc_id, source, (doc_id*31 + i*7) % 256 AS g FROM px), " +
+        "agg AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_images, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pixels, " +
+        "SUM(CAST(g AS DECIMAL(38,0))) AS sg, " +
+        "SUM(CAST(g AS DECIMAL(38,0)) * g) AS ssg, " +
+        "CAST(MIN(g) AS BIGINT) AS min_gray, CAST(MAX(g) AS BIGINT) AS max_gray " +
+        "FROM pv GROUP BY 1) " +
+        "SELECT source, n_images, n_pixels, min_gray, max_gray, " +
+        "CAST(CAST(sg AS VARCHAR) AS DOUBLE) / n_pixels AS mean_gray, " +
+        "sqrt((n_pixels * CAST(CAST(ssg AS VARCHAR) AS DOUBLE) - " +
+        "CAST(CAST(sg AS VARCHAR) AS DOUBLE) * CAST(CAST(sg AS VARCHAR) AS DOUBLE)) / " +
+        "(n_pixels * CAST(n_pixels AS DOUBLE))) AS std_gray " +
+        "FROM agg ORDER BY source"),
 
     // analytic gray histogram + bitlen surrogate replay
     "multimodal_entropy" ->

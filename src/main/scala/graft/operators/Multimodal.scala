@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -267,6 +267,70 @@ object Multimodal {
           Row(r.getAs[Long]("doc_id"), n, grays, mx, ent)
         }
       }(enc).toDF().orderBy(col("doc_id"))
+  }
+
+  /** DATASET NORMALIZATION CONSTANTS (round 13) — the per-corpus-shard
+    * mean/std every vision training pipeline computes BEFORE training
+    * (the `transforms.Normalize(mean, std)` numbers), grouped by
+    * document source so a drifting shard (a new scanner, a re-encoded
+    * feed) is visible as a moved mean — the image-lake twin of the
+    * text side's per-source quality profile. Decode through the same
+    * real-ImageIO per-partition harness as [[imageEntropy]]; per-image
+    * gray sums are exact BIGINTs, the per-source rollup accumulates in
+    * DECIMAL(38,0) (pixel-count × 255² overflows int64 at lake scale),
+    * and mean/std are fixed-order IEEE trees through the via-string
+    * bridge — population variance, ONE sqrt. Join to the source label
+    * is per-image (never per-pixel); ≤ |sources| rows out.
+    *
+    * Output: (source, n_images, n_pixels, min_gray, max_gray,
+    * mean_gray, std_gray), ordered by source. */
+  def imageNormStats(spark: SparkSession, ingested: DataFrame,
+                     docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n", LongType),
+      StructField("s", LongType), StructField("ss", LongType),
+      StructField("mn", LongType), StructField("mx", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val per = ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          var s = 0L; var ss = 0L; var mn = 255L; var mx = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((img.getRGB(x, y) >> 16) & 0xff).toLong
+              s += g; ss += g * g
+              if (g < mn) mn = g
+              if (g > mx) mx = g
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getAs[Long]("doc_id"), w.toLong * h, s, ss, mn, mx)
+        }
+      }(enc).toDF()
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast("string").cast("double")
+    per.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_images"), sum(col("n")).as("n_pixels"),
+        sum(col("s").cast(dec)).as("sg"),
+        sum(col("ss").cast(dec)).as("ssg"),
+        min(col("mn")).as("min_gray"), max(col("mx")).as("max_gray"))
+      .select(col("source"), col("n_images"), col("n_pixels"),
+        col("min_gray"), col("max_gray"),
+        (d(col("sg")) / col("n_pixels")).as("mean_gray"),
+        sqrt((col("n_pixels") * d(col("ssg")) - d(col("sg")) * d(col("sg"))) /
+          (col("n_pixels") * col("n_pixels").cast("double"))).as("std_gray"))
+      .orderBy(col("source"))
   }
 
   /** BLUR / SHARPNESS AUDIT (round 12) — the focus-quality gate an

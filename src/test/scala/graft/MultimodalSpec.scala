@@ -411,6 +411,32 @@ class MultimodalSpec extends SparkSpec {
     assert((64 - java.lang.Long.numberOfLeadingZeros(1L) - 1) == 0)
   }
 
+  test("imageNormStats: per-source constants match the analytic pixel " +
+    "replay — exact sums, population std within 1 ulp") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.imageNormStats(spark,
+        Multimodal.ingestBmp(docs), docs).collect()
+    val local = docs.select(col("doc_id"), col("n_chars"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._3).view.mapValues { ds =>
+        val px = ds.flatMap { case (d, nc, _) =>
+          val n = Multimodal.bmpWidth(nc) * Multimodal.bmpHeight(nc)
+          (0 until n).map(i => Multimodal.pixelValue(d, i).toLong)
+        }
+        (ds.size.toLong, px.size.toLong, px.sum, px.map(g => g * g).sum,
+          px.min, px.max)
+      }.toMap
+    assert(out.nonEmpty && out.length == local.size)
+    out.foreach { r =>
+      val (ni, np, s, ss, mn, mx) = local(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((ni, np, mn, mx)), s"source ${r.getString(0)}")
+      assert(math.abs(r.getDouble(5) - s.toDouble / np) < 1e-9)
+      val variance = (np * ss.toDouble - s.toDouble * s) / (np.toDouble * np)
+      assert(math.abs(r.getDouble(6) - math.sqrt(variance)) < 1e-9)
+    }
+  }
+
   test("gifSceneCuts: SAD from the real LZW decode matches the " +
     "analytic frame arithmetic; a still pair is no cut, a hard " +
     "pattern change is") {
