@@ -212,6 +212,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "embed_centroid_classify" -> ((s, d) =>
       Similarity.centroidClassify(Tables.embeddings(s, d))),
 
+    // Embedding outlier gate (round 13): distance-to-own-centroid
+    // share past 4x the label mean — the off-manifold filter (see
+    // embeddingOutliers' scaladoc).
+    "embed_outlier" -> ((s, d) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, d))),
+
     // IVF-PQ serving (round 11): the FAISS-architecture composite —
     // coarse lists prune, m-byte PQ codes rank by exact-integer ADC
     // (broadcast per-query distance table), ADC shortlist → exact
@@ -622,6 +628,30 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM a) " +
         "WHERE rn = 1) " +
         "SELECT label, pred_label, COUNT(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Outlier-gate replay: same centroid CTEs, same integer distances,
+    // HUGEINT sums → floor-div mean, 4x flag, ppm
+    "embed_outlier" ->
+      ("WITH q2 AS (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings " +
+        "WHERE embedding IS NOT NULL AND len(embedding) = 64), " +
+        "n2 AS (SELECT vec_id, label, v, " +
+        "list_sum(list_transform(v, x -> x*x)) AS nrm FROM q2), " +
+        "cs AS (SELECT label AS clabel, COUNT(*) AS cnt, " +
+        "list_reduce(list(v), (x,y) -> list_transform(list_zip(x,y), p -> p[1]+p[2])) AS sv " +
+        "FROM n2 GROUP BY 1), " +
+        "cb AS (SELECT clabel, cv, list_sum(list_transform(cv, x -> x*x)) AS cn FROM " +
+        "(SELECT clabel, list_transform(sv, s -> CAST(round(CAST(s AS DOUBLE)/cnt) AS BIGINT)) AS cv FROM cs)), " +
+        "a AS (SELECT t.label, t.nrm + c.cn - " +
+        "2*list_sum(list_transform(list_zip(t.v, c.cv), p -> p[1]*p[2])) AS dist " +
+        "FROM n2 t JOIN cb c ON t.label = c.clabel), " +
+        "m AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_dist FROM a GROUP BY 1) " +
+        "SELECT a.label AS label, n, mean_dist, " +
+        "CAST(SUM(CASE WHEN dist > 4*mean_dist THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "CAST((SUM(CASE WHEN dist > 4*mean_dist THEN 1 ELSE 0 END) * 1000000) " +
+        "// nullif(n, 0) AS BIGINT) AS outlier_ppm " +
+        "FROM a JOIN m USING (label) GROUP BY a.label, n, mean_dist ORDER BY label"),
 
     // Serve path is spec-checked bit-identical to the in-session trained
     // path (same quantizer by determinism), so it replays under the SAME

@@ -1442,15 +1442,11 @@ object Similarity {
     * (broadcast thereafter), one narrow broadcast-join argmin over the
     * corpus, a ≤ labels² map-side-combined count. Output: (label,
     * pred_label, n), ordered. */
-  def centroidClassify(emb: DataFrame, dim: Int = 64): DataFrame = {
-    // degenerate-row gate, for parity with every other embed op
-    // (normHistogram / topEigvec / pqCodebookStats): without it a NULL
-    // or off-dim vector would corrupt its label's centroid DIFFERENTLY
-    // per engine — posexplode drops null arrays while an oracle's
-    // list_zip/list_reduce propagates NULL through the mean
-    val p = prepared(emb)
-      .filter(col("qv").isNotNull && size(col("qv")) === dim)
-    val cents = p.select(col("label"), posexplode(col("qv")))
+  /** One rounded-mean centroid per label over the quantized vectors —
+    * shared by [[centroidClassify]] and [[embeddingOutliers]] so the
+    * two can never disagree on what a label's center is. */
+  private def labelCentroids(p: DataFrame): DataFrame =
+    p.select(col("label"), posexplode(col("qv")))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("col")).as("m"))
       .groupBy(col("label"))
@@ -1459,6 +1455,54 @@ object Similarity {
         x => round(x.getField("m")).cast("long")).as("cv"))
       .select(col("label").as("clabel"), col("cv"))
       .withColumn("cn", dotQ(col("cv"), col("cv")))
+
+  /** EMBEDDING OUTLIER GATE (round 13) — per label, how far each
+    * vector sits from its OWN label centroid, and the share past
+    * `mult`× the label's mean squared distance: the embedding-space
+    * quality filter that drops mislabeled / corrupted / off-manifold
+    * vectors before they poison a training mix (the semantic twin of
+    * the text side's quality gates). All arithmetic exact: integer
+    * squared L2 via ‖a‖²+‖c‖²−2⟨a,c⟩ (the [[centroidClassify]]
+    * contract — same [[labelCentroids]], same codegen'd dot), distance
+    * sums in DECIMAL(38,0), mean by integral div (non-negative domain),
+    * the flag a pure BIGINT comparison, share in integer ppm. One
+    * broadcast-join distance pass + a ≤ labels rollup + one broadcast
+    * of the ≤ labels mean frame — the corpus never shuffles.
+    *
+    * Output: (label, n, mean_dist, n_outliers, outlier_ppm),
+    * ordered. */
+  def embeddingOutliers(emb: DataFrame, dim: Int = 64,
+                        mult: Int = 4): DataFrame = {
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val dists = p.join(broadcast(labelCentroids(p)),
+        col("label") === col("clabel"))
+      .select(col("label"),
+        (col("nrm") + col("cn") - lit(2L) * dotQ(col("qv"), col("cv")))
+          .as("dist"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val means = dists.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("dist").cast(dec)).as("sd"))
+      .select(col("label"), col("n"),
+        expr("CAST(sd div n AS BIGINT)").as("mean_dist"))
+    dists.join(broadcast(means), Seq("label"))
+      .groupBy(col("label"), col("n"), col("mean_dist"))
+      .agg(sum(when(col("dist") > lit(mult.toLong) * col("mean_dist"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_ppm", expr(
+        "CAST((n_outliers * 1000000) div nullif(n, 0L) AS BIGINT)"))
+      .orderBy(col("label"))
+  }
+
+  def centroidClassify(emb: DataFrame, dim: Int = 64): DataFrame = {
+    // degenerate-row gate, for parity with every other embed op
+    // (normHistogram / topEigvec / pqCodebookStats): without it a NULL
+    // or off-dim vector would corrupt its label's centroid DIFFERENTLY
+    // per engine — posexplode drops null arrays while an oracle's
+    // list_zip/list_reduce propagates NULL through the mean
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val cents = labelCentroids(p)
     p.join(broadcast(cents))
       .withColumn("dist",
         col("nrm") + col("cn") - lit(2L) * dotQ(col("qv"), col("cv")))

@@ -1323,6 +1323,21 @@ class DedupSimilaritySpec extends SparkSpec {
       "corpus rayleigh1 must dominate rayleigh2")
   }
 
+  test("embeddingOutliers: 9-inlier/1-outlier fixture — exact integer " +
+    "mean distance, the far vector alone crosses 4x") {
+    import spark.implicits._
+    val fix = ((1L to 9L).map(i => (i, Array(1.0f, 0.0f), 0)) :+
+        ((10L, Array(9.0f, 0.0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(fix, dim = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // centroid 1800: dists 9x640_000 + 51_840_000 → mean 5_760_000;
+    // only the far vector exceeds 4x
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((0, 10L, 5760000L, 1L, 100000L)), s"got $r")
+  }
+
   test("centroidClassify: separable fixture classifies perfectly, " +
     "corpus matrix covers every vector and is repartition-invariant") {
     import spark.implicits._
