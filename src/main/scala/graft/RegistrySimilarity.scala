@@ -301,6 +301,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.cropCenterPartitions(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Horizontal flip (round 13): mirror augmentation — sum/min/max
+    // flip-invariant (decode audit), posw is the mirror proof (see
+    // flipHorizontalPartitions' scaladoc).
+    "multimodal_flip" -> ((s, d) =>
+      Multimodal.flipHorizontalPartitions(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Bilinear resize (round 7): half-pixel-center 2x2 blend in exact
     // integer fixed-point — stats are emitted SCALED by 64 = (2·4)·(2·4),
     // making the smooth kernel itself DuckDB-oracle-checkable.
@@ -888,6 +895,21 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "FROM (SELECT doc_id, width, height, " +
         "list_transform(range(0, 16), i -> " +
         "(doc_id*31 + ((((height - 4) // 2 + i // 4) * width) + (width - 4) // 2 + i % 4) * 7) % 256) AS px " +
+        "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height " +
+        "FROM documents)) ORDER BY doc_id"),
+
+    // Flip replay: mirrored-index pixel formula — (i // w) picks the
+    // row, (w - 1 - i % w) mirrors the column
+    "multimodal_flip" ->
+      ("SELECT doc_id, width, height, " +
+        "CAST(list_sum(px) AS BIGINT) AS f_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(width * height AS INT)), " +
+        "i -> i * px[i+1])) AS BIGINT) AS f_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS f_min, " +
+        "CAST(list_max(px) AS BIGINT) AS f_max " +
+        "FROM (SELECT doc_id, width, height, " +
+        "list_transform(range(0, CAST(width * height AS INT)), i -> " +
+        "(doc_id*31 + ((i // width) * width + (width - 1 - i % width)) * 7) % 256) AS px " +
         "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height " +
         "FROM documents)) ORDER BY doc_id"),
 

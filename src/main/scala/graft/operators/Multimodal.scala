@@ -1347,6 +1347,52 @@ object Multimodal {
     }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** HORIZONTAL FLIP (round 13) — the mirror augmentation, the
+    * cheapest train-time augmentation every vision pipeline runs (and
+    * the fourth spatial op beside resize / letterbox / crop: stretch,
+    * pad, cut, MIRROR). Real ImageIO decode in the shared harness;
+    * the flip itself is index arithmetic — output raster position
+    * (x, y) reads source (w−1−x, y). The plain sum/min/max are
+    * flip-INVARIANT (same multiset of pixels — they audit the decode),
+    * while the position-weighted digest is the flip PROOF: it matches
+    * the oracle's mirrored-index replay only if every row was actually
+    * reversed. Output: (doc_id, width, height, f_sum, f_posw, f_min,
+    * f_max), ordered. */
+  def flipHorizontalPartitions(spark: SparkSession,
+                               ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("f_sum", LongType), StructField("f_posw", LongType),
+      StructField("f_min", LongType), StructField("f_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
+        require(img != null, "undecodable media payload")
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L; var posw = 0L; var mn = 255L; var mx = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val red = (img.getRGB(w - 1 - x, y) >> 16) & 0xff
+            val i = y.toLong * w + x
+            sum += red; posw += i * red
+            if (red < mn) mn = red
+            if (red > mx) mx = red
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, sum, posw, mn, mx)
+      }
+    }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** Perceptual dHash of one decoded image: nearest-neighbor downsample
     * to a 9×8 grid (same `dx*w/9`, `dy*h/8` integer mapping as the
     * resize legs), then one bit per horizontally-adjacent grid pair —

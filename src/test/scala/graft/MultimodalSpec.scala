@@ -411,6 +411,36 @@ class MultimodalSpec extends SparkSpec {
     assert((64 - java.lang.Long.numberOfLeadingZeros(1L) - 1) == 0)
   }
 
+  test("flipHorizontal: sum/min/max flip-invariant vs the plain decode; " +
+    "posw matches the mirrored-index replay and differs from unflipped") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.flipHorizontalPartitions(spark,
+        Multimodal.ingestBmp(docs)).collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    var poswDiffers = 0
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val w = Multimodal.bmpWidth(meta(d)); val h = Multimodal.bmpHeight(meta(d))
+      val src = (0 until w * h).map(i => Multimodal.pixelValue(d, i).toLong)
+      val flip = (0 until w * h).map { i =>
+        val y = i / w; val x = i % w
+        Multimodal.pixelValue(d, y.toLong * w + (w - 1 - x)).toLong
+      }
+      assert(r.getLong(3) == src.sum && r.getLong(5) == src.min &&
+        r.getLong(6) == src.max, s"doc $d invariants")
+      assert(r.getLong(4) ==
+        flip.zipWithIndex.map { case (g, i) => i.toLong * g }.sum,
+        s"doc $d posw")
+      if (r.getLong(4) !=
+        src.zipWithIndex.map { case (g, i) => i.toLong * g }.sum)
+        poswDiffers += 1
+    }
+    // the digest must actually witness the mirror on nearly every image
+    assert(poswDiffers > out.length / 2, s"only $poswDiffers posw changed")
+  }
+
   test("imageNormStats: per-source constants match the analytic pixel " +
     "replay — exact sums, population std within 1 ulp") {
     val docs = Tables.documents(spark, sf0)
