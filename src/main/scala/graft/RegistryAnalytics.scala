@@ -801,6 +801,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Graph.labelPropagation(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
+    // Modularity of the LPA partition (round 13): Q·4m² as an exact
+    // integer identity over the SHARED labels + edge memo, one IEEE
+    // division (see modularity's scaladoc).
+    "graph_modularity" -> ((s, d) =>
+      Graph.modularity(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // Local clustering coefficient (round 12): neighborhood density per
     // node from the SAME shared enumeration — third consumer of
     // memo:triangles; marginal cost is one explode+groupBy + a degree
@@ -2302,6 +2309,42 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         s" SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members " +
         s"FROM l${Graph.LabelPropIters} GROUP BY 1 " +
         "ORDER BY n_members DESC, community LIMIT 20"
+    },
+
+    // modularity replay: same unrolled LPA front, then the integer
+    // identity Q·4m² over per-community deg/in counts
+    "graph_modularity" -> {
+      val front =
+        "WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+          "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+          "e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und), " +
+          "l0 AS (SELECT DISTINCT p AS node, p AS lbl FROM it), "
+      val steps = (1 to Graph.LabelPropIters).map { i =>
+        s"n$i AS (SELECT e.dst AS node, l${i - 1}.lbl, COUNT(*) AS c " +
+          s"FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node GROUP BY 1, 2), " +
+          s"p$i AS (SELECT node, lbl FROM (SELECT node, lbl, " +
+          "ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn " +
+          s"FROM n$i) WHERE rn = 1), " +
+          s"l$i AS (SELECT l${i - 1}.node, COALESCE(p$i.lbl, l${i - 1}.lbl) AS lbl " +
+          s"FROM l${i - 1} LEFT JOIN p$i USING (node))"
+      }.mkString(", ")
+      val L = s"l${Graph.LabelPropIters}"
+      front + steps +
+        s", degt AS (SELECT $L.lbl, COUNT(*) AS deg FROM e " +
+        s"JOIN $L ON e.src = $L.node GROUP BY 1), " +
+        s"inct AS (SELECT la.lbl, COUNT(*) AS inc FROM und " +
+        s"JOIN $L la ON und.a = la.node JOIN $L lb ON und.b = lb.node " +
+        "WHERE la.lbl = lb.lbl GROUP BY 1), " +
+        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und), " +
+        s"per AS (SELECT c.lbl, COALESCE(deg, 0) AS deg, COALESCE(inc, 0) AS inc " +
+        s"FROM (SELECT lbl FROM $L GROUP BY 1) c " +
+        "LEFT JOIN degt USING (lbl) LEFT JOIN inct USING (lbl)) " +
+        "SELECT mm.m AS n_edges, CAST(COUNT(*) AS BIGINT) AS n_communities, " +
+        "CAST((SUM(inc) * 1000000) // nullif(mm.m, 0) AS BIGINT) AS intra_ppm, " +
+        "CAST(CAST(SUM(CAST(4 AS DECIMAL(38,0)) * mm.m * inc - " +
+        "CAST(deg AS DECIMAL(38,0)) * deg) AS VARCHAR) AS DOUBLE) / " +
+        "CAST(CAST(CAST(mm.m * 2 AS DECIMAL(38,0)) * (mm.m * 2) AS VARCHAR) AS DOUBLE) " +
+        "AS modularity FROM per, mm GROUP BY mm.m"
     },
 
     // triangle replay: oriented a<b<c joins — each triangle counted

@@ -258,4 +258,18 @@ class GraphSpec extends SparkSpec {
       Graph.labelPropagation(fx.repartition(13)).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("modularity: two disjoint triangles score exactly Q = 0.5 with " +
+    "full intra coverage; one clique scores 0") {
+    // LPA resolves each triangle to one community; m=6, per community
+    // in=3 deg=6 → Q·4m² = 2·(4·6·3 − 36) = 72 → Q = 72/144
+    val fx = li(1L -> Seq(1L, 2L, 3L), 2L -> Seq(4L, 5L, 6L))
+    val r = Graph.modularity(fx).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 2L, 1000000L)),
+      s"got $r")
+    assert(r.getDouble(3) == 0.5, s"Q ${r.getDouble(3)}")
+    // a single community over everything: Q = m/m − (2m/2m)² = 0
+    val one = Graph.modularity(li(1L -> Seq(1L, 2L, 3L))).collect().head
+    assert(one.getDouble(3) == 0.0 && one.getLong(1) == 1L, s"got $one")
+  }
 }
