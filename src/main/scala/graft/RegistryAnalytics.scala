@@ -275,6 +275,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     // DAU/MAU stickiness (round 11): exact distinct actives, shuffle
     // O(actives) never O(events), two fixed-order divisions.
+    // New-vs-returning split (round 13): acquisition or retention —
+    // first-day-ever join over distinct (day, user) pairs (see
+    // newVsReturning's scaladoc).
+    "event_new_returning" -> ((s, d) =>
+      Relational.newVsReturning(Tables.events(s, d))),
+
     "event_dau_mau" -> ((s, d) =>
       Relational.dauMau(Tables.events(s, d))),
 
@@ -1407,6 +1413,18 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM c JOIN u USING (dow_iso, hour) ORDER BY 1, 2"),
 
     // exact distinct actives on UTC truncations; divisions mirrored
+    // New-vs-returning replay: first day ever vs distinct activity
+    "event_new_returning" ->
+      ("WITH p AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, " +
+        "user_id FROM events), " +
+        "f AS (SELECT user_id, MIN(day) AS fday FROM p GROUP BY 1) " +
+        "SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users, " +
+        "CAST(SUM(CASE WHEN fday = day THEN 1 ELSE 0 END) AS BIGINT) AS new_users, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN fday = day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users, " +
+        "CAST(((COUNT(*) - SUM(CASE WHEN fday = day THEN 1 ELSE 0 END)) * 1000000) " +
+        "// nullif(COUNT(*), 0) AS BIGINT) AS returning_ppm " +
+        "FROM p JOIN f USING (user_id) GROUP BY day ORDER BY day"),
+
     "event_dau_mau" ->
       ("WITH k AS (SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month, " +
         "date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events), " +

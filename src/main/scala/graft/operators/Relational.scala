@@ -1271,6 +1271,36 @@ object Relational {
     *
     * Output: (month, mau, n_days, sum_dau, avg_dau, stickiness),
     * ordered. */
+  /** NEW vs RETURNING users per day (round 13) — the growth
+    * decomposition every activity dashboard opens with (is the DAU
+    * curve acquisition or retention?), beside [[dauMau]]'s stickiness
+    * ratio and `event_retention`'s cohort triangle. A user is NEW on
+    * the day of their first event ever, RETURNING on any later active
+    * day. Two shuffles, both on bounded relations: the per-user first
+    * day over O(users) and the distinct (day, user) activity pairs;
+    * the day column never gap-fills here — a day with zero events has
+    * no new/returning split to report. Returning share in integer ppm
+    * (non-negative — `div` ≡ `//`).
+    *
+    * Output: (day, active_users, new_users, returning_users,
+    * returning_ppm), ordered by day. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val pairs = events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val firsts = pairs.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+    pairs.join(firsts, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("fday") === col("day"), 1L).otherwise(0L))
+          .as("new_users"))
+      .select(col("day"), col("active_users"), col("new_users"),
+        (col("active_users") - col("new_users")).as("returning_users"),
+        expr("CAST(((active_users - new_users) * 1000000) " +
+          "div nullif(active_users, 0L) AS BIGINT)").as("returning_ppm"))
+      .orderBy(col("day"))
+  }
+
   def dauMau(events: DataFrame): DataFrame = {
     val keyed = events.select(
       date_trunc("month", col("ts")).as("month"),

@@ -236,6 +236,21 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("newVsReturning: first day ever is NEW, any later active day " +
+    "RETURNING; same-day repeat events collapse") {
+    val events = Seq(
+      ("2024-01-01 08:00:00", 1L), ("2024-01-01 09:00:00", 1L), // dup day
+      ("2024-01-02 10:00:00", 1L),
+      ("2024-01-02 11:00:00", 2L))
+      .toDF("t", "user_id")
+      .select(to_timestamp(col("t")).as("ts"), col("user_id"))
+    val out = Relational.newVsReturning(events).collect().toSeq
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out == Seq(
+      (1L, 1L, 0L, 0L),
+      (2L, 1L, 1L, 500000L)), s"got $out")
+  }
+
   test("customerDiversity: uniform 2x2 scores simpson 2/3 (unbiased " +
     "form, eff 3 at N=4); single-segment nation scores zero, eff 1") {
     val customer = Seq(
