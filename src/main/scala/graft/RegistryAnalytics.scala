@@ -275,6 +275,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     // DAU/MAU stickiness (round 11): exact distinct actives, shuffle
     // O(actives) never O(events), two fixed-order divisions.
+    // Inter-arrival histogram (round 13): per-user gap distribution,
+    // log2 bit-length buckets — the burstiness fingerprint (see
+    // interarrivalHist's scaladoc).
+    "event_interarrival_hist" -> ((s, d) =>
+      Relational.interarrivalHist(Tables.events(s, d))),
+
     // New-vs-returning split (round 13): acquisition or retention —
     // first-day-ever join over distinct (day, user) pairs (see
     // newVsReturning's scaladoc).
@@ -1413,6 +1419,17 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM c JOIN u USING (dow_iso, hour) ORDER BY 1, 2"),
 
     // exact distinct actives on UTC truncations; divisions mirrored
+    // Inter-arrival replay: same ordered window, bin() bit-length
+    "event_interarrival_hist" ->
+      ("WITH g AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) - " +
+        "LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap FROM events) " +
+        "SELECT CAST(length(bin(gap)) AS INT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_gaps, " +
+        "CAST(MIN(gap) AS BIGINT) AS gap_min_us, " +
+        "CAST(MAX(gap) AS BIGINT) AS gap_max_us " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1"),
+
     // New-vs-returning replay: first day ever vs distinct activity
     "event_new_returning" ->
       ("WITH p AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, " +

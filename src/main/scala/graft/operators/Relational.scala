@@ -1271,6 +1271,33 @@ object Relational {
     *
     * Output: (month, mau, n_days, sum_dau, avg_dau, stickiness),
     * ordered. */
+  /** INTER-ARRIVAL HISTOGRAM (round 13) — per-user gaps between
+    * consecutive events, log₂-bucketed: the burstiness fingerprint
+    * behind every traffic model (a human session is ms–minutes, a
+    * cron is a spike at one bucket, a bot floods bucket 1 — the
+    * distribution SHAPE is the signal, which is why
+    * `event_velocity_flag`'s single threshold sits beside it). Gaps
+    * are exact µs off the (ts, event_id)-ordered per-user window (the
+    * event_journey tiebreak discipline); the bucket is the INTEGER
+    * bit-length surrogate length(bin(gap)) — the repo's no-logs
+    * doctrine, ≤64 buckets at any scale. One per-user window pass +
+    * one map-side-combinable ≤64-group aggregation.
+    *
+    * Output: (bucket, n_gaps, gap_min_us, gap_max_us), ordered. */
+  def interarrivalHist(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap"))
+      .groupBy(expr("length(bin(gap))").as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("gap_min_us"), max(col("gap")).as("gap_max_us"))
+      .orderBy(col("bucket"))
+  }
+
   /** NEW vs RETURNING users per day (round 13) — the growth
     * decomposition every activity dashboard opens with (is the DAU
     * curve acquisition or retention?), beside [[dauMau]]'s stickiness

@@ -236,6 +236,23 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("interarrivalHist: exact bit-length buckets — zero gap lands in " +
+    "bucket 1, 1s in 20, 3s in 22; users never cross") {
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:00:01", 2L),
+      (1L, "2024-01-01 00:00:04", 3L),
+      (2L, "2024-01-01 00:00:10", 4L), (2L, "2024-01-01 00:00:10", 5L))
+      .toDF("user_id", "t", "event_id")
+      .select(col("user_id"), to_timestamp(col("t")).as("ts"),
+        col("event_id"))
+    val out = Relational.interarrivalHist(events).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out == Seq(
+      (1, 1L, 0L, 0L),              // simultaneous pair, event_id order
+      (20, 1L, 1000000L, 1000000L), // 1 s
+      (22, 1L, 3000000L, 3000000L)), s"got $out")
+  }
+
   test("newVsReturning: first day ever is NEW, any later active day " +
     "RETURNING; same-day repeat events collapse") {
     val events = Seq(
