@@ -632,6 +632,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "order_seasonality" -> ((s, d) =>
       Relational.orderSeasonality(Tables.orders(s, d))),
 
+    // 7-day rolling median (round 13): the robust smoother over the
+    // shared gap-filled day series (see rollingMedian's scaladoc).
+    "window_rolling_median" -> ((s, d) =>
+      Relational.rollingMedian(Tables.orders(s, d))),
+
     // Revenue ACF (round 13): lag-1..7 Pearson over the gap-filled
     // daily revenue grid — weekly-cycle detector; one window pass,
     // DECIMAL(38) moments (see revenueAutocorr's scaladoc).
@@ -1704,6 +1709,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(COALESCE(rev, 0) AS BIGINT) AS rev_cents, " +
         "CAST((COALESCE(rev, 0) * 1000000) // nullif(total, 0) AS BIGINT) AS share_ppm " +
         "FROM g LEFT JOIN m USING (moy) CROSS JOIN t ORDER BY moy"),
+
+    // Rolling-median replay: same grid, list window frame, same
+    // nearest-rank-low extraction
+    "window_rolling_median" ->
+      ("WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day AS day, CAST(COALESCE(d.rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN daily d USING (day)), " +
+        "fr AS (SELECT day, x, list_sort(list(x) OVER (ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr FROM series) " +
+        "SELECT day, x AS rev_cents, CAST(len(arr) AS BIGINT) AS n_window, " +
+        "CAST(arr[CAST((len(arr) + 1) // 2 AS INT)] AS BIGINT) AS median7 " +
+        "FROM fr ORDER BY day"),
 
     // ACF replay: same gap-filled grid, LAG fan-out, DECIMAL(38)
     // moments, the identical via-string Pearson tree per lag

@@ -2223,8 +2223,11 @@ object Relational {
     * window pass + posexplode — one aggregation, not maxLag scans.
     *
     * Output: (acf_lag, n, acf), ordered by lag. */
-  def revenueAutocorr(orders: DataFrame, maxLag: Int = 7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The GAP-FILLED daily revenue series (exact cents over the
+    * calendar-bounded day grid) — shared by [[revenueAutocorr]] and
+    * [[rollingMedian]] so the two time-series readouts can never
+    * disagree on what the series is. */
+  private def dailyRevenueSeries(orders: DataFrame): DataFrame = {
     val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
       .cast("long")
     val daily = orders
@@ -2233,8 +2236,13 @@ object Relational {
     val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 day"))).as("day"))
-    val series = grid.join(broadcast(daily), Seq("day"), "left")
+    grid.join(broadcast(daily), Seq("day"), "left")
       .select(col("day"), coalesce(col("rev"), lit(0L)).as("x"))
+  }
+
+  def revenueAutocorr(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = dailyRevenueSeries(orders)
     val w = Window.orderBy(col("day"))
     val lagged = series.select(col("x") +:
       (1 to maxLag).map(l => lag(col("x"), l).over(w).as(s"y$l")): _*)
@@ -2318,6 +2326,32 @@ object Relational {
         col("r.fc").as("forecast_cents"),
         (col("r.x") - col("r.fc")).as("err_cents"))
       .orderBy(col("month"))
+  }
+
+  /** 7-DAY ROLLING MEDIAN (round 13) — the robust smoother over the
+    * daily revenue series: where [[dailyEwma]]'s mean-based smoothing
+    * follows a one-day spike, the rolling median IGNORES it until it
+    * persists 4 of 7 days — the monitoring baseline that doesn't
+    * chase its own anomalies. Runs over the SHARED
+    * [[dailyRevenueSeries]] (gap-filled calendar grid — a skipped day
+    * would silently shrink the window); the median is the exact
+    * nearest-rank-low element of the sorted ≤7-element trailing frame
+    * (all BIGINT cents, no interpolation — the engine-portable order
+    * statistic). One bounded window pass; the frame is 7 rows by
+    * construction, never data-sized.
+    *
+    * Output: (day, rev_cents, n_window, median7), ordered. */
+  def rollingMedian(orders: DataFrame, span: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(span >= 1, s"bad span $span")
+    val w = Window.orderBy(col("day")).rowsBetween(-(span - 1), 0)
+    dailyRevenueSeries(orders)
+      .withColumn("arr", sort_array(collect_list(col("x")).over(w)))
+      .select(col("day"), col("x").as("rev_cents"),
+        size(col("arr")).cast("long").as("n_window"),
+        expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))")
+          .as("median7"))
+      .orderBy(col("day"))
   }
 
   /** GINI COEFFICIENT of revenue concentration (round 13) — the

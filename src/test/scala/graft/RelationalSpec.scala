@@ -236,6 +236,19 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("rollingMedian: the one-day spike never moves the median, the " +
+    "gap day enters the frame as a zero, frames grow 1..n") {
+    val orders = Seq(("2024-01-01", 1.00), ("2024-01-02", 9.00),
+        ("2024-01-03", 1.00), ("2024-01-05", 1.00))
+      .toDF("d", "o_totalprice")
+      .select(to_timestamp(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.rollingMedian(orders).collect().toSeq
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out == Seq(
+      (100L, 1L, 100L), (900L, 2L, 100L), (100L, 3L, 100L),
+      (0L, 4L, 100L), (100L, 5L, 100L)), s"got $out")
+  }
+
   test("interarrivalHist: exact bit-length buckets — zero gap lands in " +
     "bucket 1, 1s in 20, 3s in 22; users never cross") {
     val events = Seq(
