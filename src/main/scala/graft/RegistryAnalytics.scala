@@ -275,6 +275,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     // DAU/MAU stickiness (round 11): exact distinct actives, shuffle
     // O(actives) never O(events), two fixed-order divisions.
+    // CUSUM drift detector (round 13): max(0, S + x − mean) folded
+    // over the gap-filled day grid, alarm at 5x mean (see eventCusum's
+    // scaladoc).
+    "event_cusum" -> ((s, d) =>
+      Relational.eventCusum(Tables.events(s, d))),
+
     // Inter-arrival histogram (round 13): per-user gap distribution,
     // log2 bit-length buckets — the burstiness fingerprint (see
     // interarrivalHist's scaladoc).
@@ -1424,6 +1430,23 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "FROM c JOIN u USING (dow_iso, hour) ORDER BY 1, 2"),
 
     // exact distinct actives on UTC truncations; divisions mirrored
+    // CUSUM replay: same grid + recurrence as a recursive CTE
+    "event_cusum" ->
+      ("WITH RECURSIVE daily AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "s AS (SELECT ROW_NUMBER() OVER (ORDER BY g.day) AS i, g.day AS day, " +
+        "CAST(COALESCE(d.c, 0) AS BIGINT) AS x FROM grid g LEFT JOIN daily d USING (day)), " +
+        "m AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS mean FROM s), " +
+        "f AS (SELECT i, day, x, greatest(CAST(0 AS BIGINT), x - (SELECT mean FROM m)) AS cs " +
+        "FROM s WHERE i = 1 " +
+        "UNION ALL SELECT s.i, s.day, s.x, " +
+        "greatest(CAST(0 AS BIGINT), f.cs + s.x - (SELECT mean FROM m)) AS cs " +
+        "FROM f JOIN s ON s.i = f.i + 1) " +
+        "SELECT day, x AS n_events, cs AS cusum, " +
+        "cs > 5 * (SELECT mean FROM m) AS alarm FROM f ORDER BY day"),
+
     // Inter-arrival replay: same ordered window, bin() bit-length
     "event_interarrival_hist" ->
       ("WITH g AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) - " +

@@ -1298,6 +1298,51 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** CUSUM CHANGE DETECTION (round 13) — the cumulative-sum drift
+    * detector over the daily event-count series: where
+    * `event_anomaly`'s z-score flags single outlier days, CUSUM
+    * accumulates SMALL persistent shifts until they cross a threshold
+    * — the detector that catches a 10% regression a per-day test
+    * never sees (Page 1954, public). ENGINE-EXACT: the series is the
+    * gap-filled calendar day grid of event counts (a silent day is a
+    * 0 — exactly the signal a drift detector must see), the reference
+    * is the floor-div global mean, and the recurrence S_t =
+    * max(0, S_{t−1} + x_t − mean) is pure BIGINT, folded in ONE
+    * `aggregate()` HOF pass over the sorted bounded day list (the
+    * [[holtForecast]] doctrine) with the alarm at S > 5·mean. The
+    * oracle replays it as a recursive CTE.
+    *
+    * Output: (day, n_events, cusum, alarm), ordered. */
+  def eventCusum(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val series = grid.join(broadcast(daily), Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("x"))
+    val meanF = series.agg(
+      expr("CAST(sum(x) div count(1) AS BIGINT)").as("mean"))
+    val fold =
+      "aggregate(" +
+        "arr, " +
+        "named_struct('s', 0L, 'out', CAST(array() AS " +
+        "ARRAY<STRUCT<day: TIMESTAMP, x: BIGINT, s: BIGINT>>)), " +
+        "(acc, e) -> named_struct(" +
+        "'s', greatest(0L, acc.s + e.x - mean), " +
+        "'out', concat(acc.out, array(named_struct('day', e.day, " +
+        "'x', e.x, 's', greatest(0L, acc.s + e.x - mean))))))"
+    series
+      .agg(expr("sort_array(collect_list(struct(day, x)))").as("arr"))
+      .crossJoin(broadcast(meanF))
+      .select(col("mean"), explode(expr(s"$fold.out")).as("r"))
+      .select(col("r.day").as("day"), col("r.x").as("n_events"),
+        col("r.s").as("cusum"),
+        (col("r.s") > lit(5L) * col("mean")).as("alarm"))
+      .orderBy(col("day"))
+  }
+
   /** NEW vs RETURNING users per day (round 13) — the growth
     * decomposition every activity dashboard opens with (is the DAU
     * curve acquisition or retention?), beside [[dauMau]]'s stickiness

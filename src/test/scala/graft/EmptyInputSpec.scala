@@ -75,8 +75,9 @@ class EmptyInputSpec extends SparkSpec {
       "tokenizer_compression", "stats_profile",
       "stats_benford", "order_pareto", "sim_recall_report",
       "corpus_vocab_curve", "embed_quantize_curve",
-      // round 13: order_seasonality's 12 calendar-month rows
-      "order_seasonality")
+      // round 13: order_seasonality's 12 calendar-month rows;
+      // quality_fk_orphans' 7 structural FK-edge rows
+      "order_seasonality", "quality_fk_orphans")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

@@ -236,6 +236,19 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("eventCusum: hand recurrence exact — below-mean days pin at 0, " +
+    "the level shift accumulates linearly") {
+    // counts [1,1,1,1,10,10] → mean 24 div 6 = 4; cusum 0,0,0,0,6,12
+    val rows = (1 to 4).map(d => s"2024-01-0$d 12:00:00") ++
+      (1 to 10).map(_ => "2024-01-05 12:00:00") ++
+      (1 to 10).map(_ => "2024-01-06 12:00:00")
+    val events = rows.toDF("t").select(to_timestamp(col("t")).as("ts"))
+    val out = Relational.eventCusum(events).collect().toSeq
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out == Seq((1L, 0L, false), (1L, 0L, false), (1L, 0L, false),
+      (1L, 0L, false), (10L, 6L, false), (10L, 12L, false)), s"got $out")
+  }
+
   test("rollingMedian: the one-day spike never moves the median, the " +
     "gap day enters the frame as a zero, frames grow 1..n") {
     val orders = Seq(("2024-01-01", 1.00), ("2024-01-02", 9.00),
