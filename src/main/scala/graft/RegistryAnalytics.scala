@@ -619,6 +619,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_spearman" -> ((s, d) =>
       Relational.spearmanCorr(Tables.lineitem(s, d))),
 
+    // Supplier HHI per nation (round 13): Herfindahl concentration of
+    // supplier revenue + effective supplier count (see supplierHhi's
+    // scaladoc).
+    "supplier_hhi" -> ((s, d) =>
+      Relational.supplierHhi(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+
     // Segment diversity per nation (round 13): exact-rational Simpson
     // + inverse ("effective segments") — the categorical concentration
     // readout (see customerDiversity's scaladoc).
@@ -1681,6 +1688,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - " +
         "CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS spearman_rho " +
         "FROM s"),
+
+    // HHI replay: same exact revenue squares, identical trees
+    "supplier_hhi" ->
+      ("WITH rev AS (SELECT n_name, s_suppkey, " +
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS r " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, " +
+        "CAST(SUM(r) AS BIGINT) AS total_cents, " +
+        "SUM(CAST(r AS DECIMAL(38,0)) * r) AS sq FROM rev GROUP BY 1) " +
+        "SELECT n_name, n_suppliers, total_cents, " +
+        "CAST(CAST(sq AS VARCHAR) AS DOUBLE) / " +
+        "CAST(CAST(CAST(total_cents AS DECIMAL(38,0)) * total_cents AS VARCHAR) AS DOUBLE) AS hhi, " +
+        "CAST(CAST(CAST(total_cents AS DECIMAL(38,0)) * total_cents AS VARCHAR) AS DOUBLE) / " +
+        "CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS eff_suppliers " +
+        "FROM g ORDER BY n_name"),
 
     // Diversity replay: same exact pair counts, via-string bridge,
     // identical two-division tree

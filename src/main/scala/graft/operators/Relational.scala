@@ -1942,6 +1942,44 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** SUPPLIER CONCENTRATION — HHI per nation (round 13) — the
+    * Herfindahl-Hirschman index Σ shareᵢ² over supplier revenue, the
+    * antitrust-grade concentration number beside [[orderGini]]
+    * (inequality of a numeric distribution) and [[customerDiversity]]
+    * (categorical diversity): a nation whose parts all flow through
+    * one supplier is a supply-chain risk no average reveals; 1/HHI is
+    * the "effective supplier count". ENGINE-EXACT like its siblings:
+    * per-supplier revenue in exact integer cents, Σ revᵢ² and total²
+    * in DECIMAL(38,0) (squared warehouse revenue overflows int64 by
+    * orders of magnitude), HHI = ONE fixed IEEE division through the
+    * via-string bridge, eff = its reciprocal computed as the SAME tree
+    * inverted (never 1/hhi — a second rounding). One lineitem
+    * aggregation over O(suppliers), dims broadcast; ≤ nations rows.
+    *
+    * Output: (n_name, n_suppliers, total_cents, hhi, eff_suppliers),
+    * ordered by nation. */
+  def supplierHhi(lineitem: DataFrame, supplier: DataFrame,
+                  nation: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast("string").cast("double")
+    val cents = (dec2(col("l_extendedprice")) * 100).cast("long")
+    val rev = lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(cents).as("r"))
+    rev.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r")).as("total_cents"),
+        sum(col("r").cast(dec) * col("r")).as("sq"))
+      .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+        (d(col("sq")) /
+          d(col("total_cents").cast(dec) * col("total_cents"))).as("hhi"),
+        (d(col("total_cents").cast(dec) * col("total_cents")) /
+          d(col("sq"))).as("eff_suppliers"))
+      .orderBy(col("n_name"))
+  }
+
   /** MARKET-SEGMENT DIVERSITY per nation (round 13) — Simpson's index
     * and its inverse (the "effective number of segments"), the
     * concentration readout for a CATEGORICAL distribution, beside

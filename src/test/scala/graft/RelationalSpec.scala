@@ -236,6 +236,22 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("supplierHhi: even 50/50 split scores exactly 0.5 (eff 2); a " +
+    "monopoly nation scores exactly 1") {
+    val lineitem = Seq((1L, 10.00), (1L, 10.00), (2L, 20.00), (3L, 7.00))
+      .toDF("l_suppkey", "l_extendedprice")
+    val supplier = Seq((1L, 1), (2L, 1), (3L, 2))
+      .toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((1, "alpha"), (2, "beta")).toDF("n_nationkey", "n_name")
+    val out = Relational.supplierHhi(lineitem, supplier, nation)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out == Seq(
+      ("alpha", 2L, 4000L, 0.5, 2.0),
+      ("beta", 1L, 700L, 1.0, 1.0)), s"got $out")
+  }
+
   test("eventCusum: hand recurrence exact — below-mean days pin at 0, " +
     "the level shift accumulates linearly") {
     // counts [1,1,1,1,10,10] → mean 24 div 6 = 4; cusum 0,0,0,0,6,12
