@@ -829,14 +829,17 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // labelPropagation's scaladoc).
     "graph_label_prop" -> ((s, d) =>
       Graph.labelPropagation(Tables.lineitem(s, d),
-        edges0 = Some(coOrderEdgesShared(s, d)))),
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        labels0 = Some(lpaLabelsShared(s, d)))),
 
     // Modularity of the LPA partition (round 13): Q·4m² as an exact
-    // integer identity over the SHARED labels + edge memo, one IEEE
+    // integer identity over the SHARED memoized labels (memo:lpa_labels
+    // — detection runs once, sizing + scoring read the table), one IEEE
     // division (see modularity's scaladoc).
     "graph_modularity" -> ((s, d) =>
       Graph.modularity(Tables.lineitem(s, d),
-        edges0 = Some(coOrderEdgesShared(s, d)))),
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        labels0 = Some(lpaLabelsShared(s, d)))),
 
     // Local clustering coefficient (round 12): neighborhood density per
     // node from the SAME shared enumeration — third consumer of

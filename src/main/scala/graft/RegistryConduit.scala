@@ -167,6 +167,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "source_jsonl_quarantine" -> ((s, d) =>
       graft.sources.TextSources.jsonlQuarantineRoundTrip(s, Tables.events(s, d))),
 
+    // Quoted-CSV round trip (round 13): RFC 4180 hard cases — embedded
+    // delimiter/quote/newline in one field, multiLine read (see
+    // csvQuotedRoundTrip's scaladoc, incl. the non-splittable caveat).
+    "source_csv_quoted" -> ((s, d) =>
+      graft.sources.TextSources.csvQuotedRoundTrip(s, Tables.documents(s, d))),
+
     // Header-mapped CSV (round 13): the wire lands with PERMUTED
     // column order; by-name resolution + try_cast makes order
     // irrelevant (see csvHeaderMapRoundTrip's scaladoc — a positional
@@ -373,6 +379,14 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     // header-mapped CSV replay: no quarantine injection, so the
     // summary is the plain per-type fidelity reduction — a transposed
     // read would desync every column of it
+    // Quoted-CSV replay: round-trip fidelity means the summary equals
+    // the ORIGINAL relation's — payload adds exactly 6 chars per doc
+    "source_csv_quoted" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(length(text) + 6) AS BIGINT) AS payload_chars " +
+        "FROM documents GROUP BY source ORDER BY source"),
+
     "source_csv_header_map" ->
       (s"SELECT ${sqlSentinel("event_type")} AS event_type, " +
         "CAST(COUNT(*) AS BIGINT) AS n_rows, " +

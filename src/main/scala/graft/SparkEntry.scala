@@ -118,9 +118,18 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
     * any topK because the applied merge is always the rank-1 pair). */
   private[graft] val bpeModelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Tokenizer.BpeModel]()
+
+  /** Session-scoped memo of the FINAL LPA LABELS (round 13):
+    * `graph_label_prop` (the community sizes) and `graph_modularity`
+    * (the partition's quality score) both consume the exact per-node
+    * label table — the deployed shape, where a pipeline runs community
+    * detection once and every readout (sizing, scoring, joining labels
+    * back to entities) reads that table. Bounded by the node count. */
+  private[graft] val lpaLabelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[graft] val sessionMemoMaps: Seq[java.util.concurrent.ConcurrentHashMap[String, _]] =
     Seq(nearDupPairsMemo, coOrderEdgesMemo, trianglesMemo, unigramModelMemo,
-      bpeModelMemo)
+      bpeModelMemo, lpaLabelsMemo)
   private[graft] val memoCleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def sessionMemo[T](memo: java.util.concurrent.ConcurrentHashMap[String, T],
@@ -155,6 +164,10 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       operators.Graph.orientedTriangles(
         coOrderEdgesShared(s, d).select(col("a"), col("b")))
         .localCheckpoint())
+  private[graft] def lpaLabelsShared(s: SparkSession, d: String): DataFrame =
+    sessionMemo(lpaLabelsMemo, s, d)(
+      operators.Graph.labelPropLabels(Tables.lineitem(s, d),
+        coOrderEdgesShared(s, d)).localCheckpoint())
   private[graft] def unigramModelShared(s: SparkSession, d: String): operators.Tokenizer.UnigramModel =
     sessionMemo(unigramModelMemo, s, d) {
       val m = operators.Tokenizer.unigramTrain(Tables.documents(s, d))
@@ -195,6 +208,11 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       Seq("graph_triangles", "graph_link_jaccard", "graph_cluster_coeff"),
       () => trianglesMemo.clear(),
       (s, d) => { trianglesShared(s, d); () }),
+    // builds AFTER memo:co_order_edges for the same reason as triangles
+    ("memo:lpa_labels",
+      Seq("graph_label_prop", "graph_modularity"),
+      () => lpaLabelsMemo.clear(),
+      (s, d) => { lpaLabelsShared(s, d); () }),
     ("memo:unigram_model", Seq("tokenizer_unigram", "tokenizer_unigram_encode"),
       () => unigramModelMemo.clear(),
       (s, d) => { unigramModelShared(s, d); () }),

@@ -332,9 +332,10 @@ object Graph {
     * (n_members DESC, community) as TakeOrdered. */
   def labelPropagation(lineitem: DataFrame, iters: Int = LabelPropIters,
                        k: Int = 20,
-                       edges0: Option[DataFrame] = None): DataFrame = {
-    val und = edges0.getOrElse(coOrderEdges(lineitem))
-    labelPropLabels(lineitem, und, iters)
+                       edges0: Option[DataFrame] = None,
+                       labels0: Option[DataFrame] = None): DataFrame = {
+    labels0.getOrElse(labelPropLabels(lineitem,
+        edges0.getOrElse(coOrderEdges(lineitem)), iters))
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("community"))
@@ -343,7 +344,7 @@ object Graph {
 
   /** The per-node final labels behind [[labelPropagation]] — shared
     * with [[modularity]] so score and partition can never diverge. */
-  private[operators] def labelPropLabels(lineitem: DataFrame,
+  private[graft] def labelPropLabels(lineitem: DataFrame,
       und: DataFrame, iters: Int = LabelPropIters): DataFrame = {
     require(iters >= 1 && iters <= 4, s"iters must be 1..4, got $iters")
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
@@ -387,11 +388,12 @@ object Graph {
     * Output (one row): n_edges, n_communities, intra_ppm,
     * modularity. */
   def modularity(lineitem: DataFrame,
-                 edges0: Option[DataFrame] = None): DataFrame = {
+                 edges0: Option[DataFrame] = None,
+                 labels0: Option[DataFrame] = None): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def d(c: Column) = c.cast("string").cast("double")
     val und = edges0.getOrElse(coOrderEdges(lineitem))
-    val labels = labelPropLabels(lineitem, und)
+    val labels = labels0.getOrElse(labelPropLabels(lineitem, und))
     val la = labels.select(col("node").as("a"), col("lbl").as("la"))
     val lb = labels.select(col("node").as("b"), col("lbl").as("lb"))
     val inc = und.join(la, "a").join(lb, "b")

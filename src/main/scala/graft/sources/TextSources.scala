@@ -135,6 +135,41 @@ object TextSources {
     * silently transposed data. Summary is the shared fidelity shape
     * minus the quarantine row (no malformed injection — the POINT is
     * the permutation). */
+  /** QUOTED-CSV round trip (round 13) — RFC 4180's hard cases as an
+    * ingestion pin: a field containing the DELIMITER, the QUOTE
+    * character, and an EMBEDDED NEWLINE must survive write → read
+    * byte-for-byte. The wire payload is the document text prefixed
+    * with `a,"b"` + newline — every hazard in one field, derived from
+    * the data so the oracle can replay lengths analytically. Written
+    * and read with escape='"' (RFC doubled quotes, NOT Spark's
+    * backslash default — vendor CSV is RFC) and read with
+    * multiLine=true; a parser that splits on the embedded newline
+    * INVENTS rows and the per-source counts break, one that mangles
+    * quotes shifts the exact char sums. Scale note, documented
+    * deliberately: multiLine CSV is NOT splittable — one task per
+    * file — so a 100 TB quoted feed must land pre-chunked (many
+    * files), and the parse is followed by a repartition; that caveat
+    * is the operator's real payload.
+    *
+    * Output: (source, n_rows, n_docs, payload_chars), ordered. */
+  def csvQuotedRoundTrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/csv_quoted-${java.util.UUID.randomUUID()}"
+    docs.select(col("doc_id"), col("source"),
+        concat(lit("a,\"b\"\n"), col("text")).as("payload"))
+      .write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(out)
+    spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(expr("try_cast(doc_id AS BIGINT)")).as("n_docs"),
+        sum(length(col("payload")).cast("long")).as("payload_chars"))
+      .orderBy(col("source"))
+  }
+
   def csvHeaderMapRoundTrip(spark: SparkSession,
                             events: DataFrame): DataFrame = {
     val out = s"$scratchRoot/csv_hdr-${java.util.UUID.randomUUID()}"

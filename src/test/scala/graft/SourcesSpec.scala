@@ -29,6 +29,27 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("quoted-CSV round-trip: embedded delimiter, quote and NEWLINE " +
+    "survive — no invented rows, char sums exact") {
+    import spark.implicits._
+    // every RFC 4180 hazard in the text itself, on top of the payload
+    // prefix the operator injects
+    val docs = Seq(
+      (1L, "plain text", "a"),
+      (2L, "comma, inside", "a"),
+      (3L, "quote \" and \"quoted,\" both", "b"),
+      (4L, "line one\nline two\nline three", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextSources.csvQuotedRoundTrip(spark, docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val local = docs.collect().map(r => (r.getString(2), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(ts => (ts.length.toLong, ts.length.toLong,
+        ts.map(_._2.length.toLong + 6).sum)).toMap
+    assert(out == local, s"got $out vs $local")
+  }
+
   test("jsonl quarantine round-trip: same contract through the JSON parser") {
     val out = TextSources.jsonlQuarantineRoundTrip(spark, events).collect()
     val bad = out.filter(_.getString(0) == TextSources.Quarantined)
