@@ -619,6 +619,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_spearman" -> ((s, d) =>
       Relational.spearmanCorr(Tables.lineitem(s, d))),
 
+    // Per-source length drift (round 13): stats_ks composed over every
+    // shard — each source vs the rest, integer-domain ECDF suprema
+    // (see lengthDriftBySource's scaladoc).
+    "quality_len_drift" -> ((s, d) =>
+      Relational.lengthDriftBySource(Tables.documents(s, d))),
+
     // Supplier HHI per nation (round 13): Herfindahl concentration of
     // supplier revenue + effective supplier count (see supplierHhi's
     // scaladoc).
@@ -1691,6 +1697,28 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - " +
         "CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS spearman_rho " +
         "FROM s"),
+
+    // Length-drift replay: same dense source x grid matrix + suprema
+    "quality_len_drift" ->
+      ("WITH cnt AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cn " +
+        "FROM documents GROUP BY 1, 2), " +
+        "mat AS (SELECT s.source, g.v, COALESCE(cn, 0) AS a " +
+        "FROM (SELECT DISTINCT source FROM cnt) s " +
+        "CROSS JOIN (SELECT DISTINCT v FROM cnt) g " +
+        "LEFT JOIN cnt ON cnt.source = s.source AND cnt.v = g.v), " +
+        "ca AS (SELECT source, v, SUM(a) OVER (PARTITION BY source ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca FROM mat), " +
+        "ct AS (SELECT v, SUM(t) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct FROM " +
+        "(SELECT v, CAST(SUM(cn) AS BIGINT) AS t FROM cnt GROUP BY 1)), " +
+        "na AS (SELECT source, CAST(SUM(cn) AS BIGINT) AS n_docs FROM cnt GROUP BY 1), " +
+        "nt AS (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS n_total FROM cnt) " +
+        "SELECT ca.source AS source, n_docs, n_total - n_docs AS n_rest, " +
+        "CAST(MAX(abs(ca * (n_total - n_docs) - (ct - ca) * n_docs)) AS BIGINT) AS d_scaled, " +
+        "CAST(MAX(abs(ca * (n_total - n_docs) - (ct - ca) * n_docs)) AS DOUBLE) / " +
+        "nullif(n_docs * (n_total - n_docs), 0) AS d " +
+        "FROM ca JOIN ct USING (v) JOIN na ON na.source = ca.source CROSS JOIN nt " +
+        "GROUP BY ca.source, n_docs, n_rest ORDER BY source"),
 
     // HHI replay: same exact revenue squares, identical trees
     "supplier_hhi" ->

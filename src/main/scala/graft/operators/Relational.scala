@@ -2549,6 +2549,52 @@ object Relational {
           expr("nullif(n_a * n_b, 0)")).as("d"))
   }
 
+  /** PER-SOURCE LENGTH-DRIFT MONITOR (round 13) — [[ksTest]] composed
+    * over every corpus shard at once: each source's document-length
+    * distribution vs the REST of the corpus, the per-shard KS-D that
+    * catches a re-chunked feed / truncating scraper / template flood
+    * the moment one shard's shape moves (the training-vs-serving drift
+    * monitor, run per ingest source). Same integer-domain ECDF
+    * doctrine: the supremum is max |ca·n_b − cb·n_a| over the VALUE
+    * grid (one row per distinct length — bounded by the length domain,
+    * never doc count); the grid × source matrix is dense by
+    * construction (a source missing a length still carries its
+    * cumulative there — skipping it would miss suprema between its own
+    * values), built from two bounded relations, cumulated by one
+    * per-source window pass + one grid-wide pass; ONE IEEE division
+    * per source at the end.
+    *
+    * Output: (source, n_docs, n_rest, d_scaled, d), ordered. */
+  def lengthDriftBySource(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    val mat = cnt.select(col("source")).distinct()
+      .crossJoin(cnt.select(col("v")).distinct())
+      .join(cnt, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), coalesce(col("cn"), lit(0L)).as("a"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ct = cnt.groupBy(col("v")).agg(sum(col("cn")).as("t"))
+      .withColumn("ct", sum(col("t")).over(wV)).select(col("v"), col("ct"))
+    val nA = cnt.groupBy(col("source")).agg(sum(col("cn")).as("n_docs"))
+    val nT = cnt.agg(coalesce(sum(col("cn")), lit(0L)).as("n_total"))
+    mat.withColumn("ca", sum(col("a")).over(wS))
+      .join(broadcast(ct), "v")
+      .join(broadcast(nA), "source")
+      .crossJoin(broadcast(nT))
+      .withColumn("n_rest", col("n_total") - col("n_docs"))
+      .groupBy(col("source"), col("n_docs"), col("n_rest"))
+      .agg(max(abs(col("ca") * col("n_rest") -
+        (col("ct") - col("ca")) * col("n_docs"))).as("d_scaled"))
+      .select(col("source"), col("n_docs"), col("n_rest"), col("d_scaled"),
+        (col("d_scaled").cast("double") /
+          expr("nullif(n_docs * n_rest, 0)")).as("d"))
+      .orderBy(col("source"))
+  }
+
   /** ONE-WAY ANOVA F (round 13) — the k-group generalization closing
     * the classical-test family (t² two groups, U/KS rank/shape, χ²
     * categorical, THIS for k means): does event type explain value

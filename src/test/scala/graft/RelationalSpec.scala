@@ -236,6 +236,20 @@ class RelationalSpec extends SparkSpec {
       (8000L, Some(7500L), Some(66666L))), s"got $out")
   }
 
+  test("lengthDriftBySource: disjoint length ranges score D = 1 exactly, " +
+    "identical distributions score 0") {
+    def docs(rows: (String, Long)*) =
+      rows.toDF("source", "n_chars")
+    val disjoint = Relational.lengthDriftBySource(
+        docs("a" -> 1L, "a" -> 2L, "b" -> 3L, "b" -> 4L))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(disjoint == Map("a" -> 1.0, "b" -> 1.0), s"got $disjoint")
+    val same = Relational.lengthDriftBySource(
+        docs("c" -> 5L, "c" -> 6L, "d" -> 5L, "d" -> 6L))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(same == Map("c" -> 0.0, "d" -> 0.0), s"got $same")
+  }
+
   test("supplierHhi: even 50/50 split scores exactly 0.5 (eff 2); a " +
     "monopoly nation scores exactly 1") {
     val lineitem = Seq((1L, 10.00), (1L, 10.00), (2L, 20.00), (3L, 7.00))
