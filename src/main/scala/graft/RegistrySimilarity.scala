@@ -301,6 +301,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.cropCenterPartitions(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Rotate 90 CW (round 13): the other lossless augmentation — dims
+    // swap, posw proves the index map (see rotate90Partitions'
+    // scaladoc).
+    "multimodal_rotate90" -> ((s, d) =>
+      Multimodal.rotate90Partitions(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Horizontal flip (round 13): mirror augmentation — sum/min/max
     // flip-invariant (decode audit), posw is the mirror proof (see
     // flipHorizontalPartitions' scaladoc).
@@ -895,6 +902,22 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "FROM (SELECT doc_id, width, height, " +
         "list_transform(range(0, 16), i -> " +
         "(doc_id*31 + ((((height - 4) // 2 + i // 4) * width) + (width - 4) // 2 + i % 4) * 7) % 256) AS px " +
+        "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height " +
+        "FROM documents)) ORDER BY doc_id"),
+
+    // Rotate replay: output raster i over the SWAPPED dims (ow = h) —
+    // source index (h - 1 - i % h)*w + (i // h)
+    "multimodal_rotate90" ->
+      ("SELECT doc_id, CAST(height AS BIGINT) AS out_width, " +
+        "CAST(width AS BIGINT) AS out_height, " +
+        "CAST(list_sum(px) AS BIGINT) AS r_sum, " +
+        "CAST(list_sum(list_transform(range(0, CAST(width * height AS INT)), " +
+        "i -> i * px[i+1])) AS BIGINT) AS r_posw, " +
+        "CAST(list_min(px) AS BIGINT) AS r_min, " +
+        "CAST(list_max(px) AS BIGINT) AS r_max " +
+        "FROM (SELECT doc_id, width, height, " +
+        "list_transform(range(0, CAST(width * height AS INT)), i -> " +
+        "(doc_id*31 + ((height - 1 - i % height) * width + (i // height)) * 7) % 256) AS px " +
         "FROM (SELECT doc_id, (n_chars % 13) + 4 AS width, (n_chars % 7) + 4 AS height " +
         "FROM documents)) ORDER BY doc_id"),
 

@@ -1393,6 +1393,52 @@ object Multimodal {
     }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** ROTATE 90° clockwise (round 13) — the other lossless spatial
+    * augmentation beside [[flipHorizontalPartitions]] (together they
+    * generate the dihedral orientation set every augmentation policy
+    * samples from). Output dimensions SWAP (w_out = h, h_out = w) and
+    * output pixel (x, y) reads source column y, source row h−1−x —
+    * i.e. source raster index (h−1−x)·w + y. Sum/min/max are
+    * rotation-INVARIANT (decode audit); the position-weighted digest
+    * proves the index map. Output: (doc_id, out_width, out_height,
+    * r_sum, r_posw, r_min, r_max), ordered. */
+  def rotate90Partitions(spark: SparkSession,
+                         ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("out_width", LongType), StructField("out_height", LongType),
+      StructField("r_sum", LongType), StructField("r_posw", LongType),
+      StructField("r_min", LongType), StructField("r_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media_bytes")))
+        require(img != null, "undecodable media payload")
+        val w = img.getWidth; val h = img.getHeight
+        val ow = h; val oh = w // CW rotation swaps dims
+        var sum = 0L; var posw = 0L; var mn = 255L; var mx = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            // CW: output (x, y) ← source (y_src = h-1-x, x_src = y)
+            val red = (img.getRGB(y, h - 1 - x) >> 16) & 0xff
+            val i = y.toLong * ow + x
+            sum += red; posw += i * red
+            if (red < mn) mn = red
+            if (red > mx) mx = red
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("doc_id"), ow.toLong, oh.toLong, sum, posw, mn, mx)
+      }
+    }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** Perceptual dHash of one decoded image: nearest-neighbor downsample
     * to a 9×8 grid (same `dx*w/9`, `dy*h/8` integer mapping as the
     * resize legs), then one bit per horizontally-adjacent grid pair —

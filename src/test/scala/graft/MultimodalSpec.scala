@@ -441,6 +441,31 @@ class MultimodalSpec extends SparkSpec {
     assert(poswDiffers > out.length / 2, s"only $poswDiffers posw changed")
   }
 
+  test("rotate90: dims swap, invariants hold, posw matches the rotated " +
+    "index map") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.rotate90Partitions(spark,
+        Multimodal.ingestBmp(docs)).collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val w = Multimodal.bmpWidth(meta(d)); val h = Multimodal.bmpHeight(meta(d))
+      assert(r.getLong(1) == h && r.getLong(2) == w, s"doc $d dims")
+      val src = (0 until w * h).map(i => Multimodal.pixelValue(d, i).toLong)
+      val rot = (0 until w * h).map { i =>
+        val ow = h; val x = i % ow; val y = i / ow
+        src((h - 1 - x) * w + y)
+      }
+      assert(r.getLong(3) == src.sum && r.getLong(5) == src.min &&
+        r.getLong(6) == src.max, s"doc $d invariants")
+      assert(r.getLong(4) ==
+        rot.zipWithIndex.map { case (g, i) => i.toLong * g }.sum,
+        s"doc $d posw")
+    }
+  }
+
   test("imageNormStats: per-source constants match the analytic pixel " +
     "replay — exact sums, population std within 1 ulp") {
     val docs = Tables.documents(spark, sf0)
