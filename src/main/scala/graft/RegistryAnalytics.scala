@@ -296,6 +296,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_dau_mau" -> ((s, d) =>
       Relational.dauMau(Tables.events(s, d))),
 
+    // Weekly churn flow (round 13): retained/churned out of LAST
+    // week's actives, calendar-adjacent weeks only (see weeklyChurn's
+    // scaladoc).
+    "event_churn" -> ((s, d) =>
+      Relational.weeklyChurn(Tables.events(s, d))),
+
     // Activity heatmap (round 11): ISO dow × hour cells (the portable
     // weekday()+1 ≡ isodow pair), exact events + distinct actives.
     "event_heatmap" -> ((s, d) =>
@@ -1485,6 +1491,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(((COUNT(*) - SUM(CASE WHEN fday = day THEN 1 ELSE 0 END)) * 1000000) " +
         "// nullif(COUNT(*), 0) AS BIGINT) AS returning_ppm " +
         "FROM p JOIN f USING (user_id) GROUP BY day ORDER BY day"),
+
+    // Churn replay: shifted-week self join over distinct pairs
+    "event_churn" ->
+      ("WITH mu AS (SELECT DISTINCT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week, " +
+        "user_id FROM events), " +
+        "a AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS actives FROM mu GROUP BY 1), " +
+        "pa AS (SELECT week + INTERVAL 7 DAY AS week, actives AS prev_actives FROM a), " +
+        "r AS (SELECT cur.week AS week, CAST(COUNT(*) AS BIGINT) AS retained " +
+        "FROM mu cur JOIN (SELECT week + INTERVAL 7 DAY AS week, user_id FROM mu) prev " +
+        "ON cur.week = prev.week AND cur.user_id = prev.user_id GROUP BY 1) " +
+        "SELECT pa.week AS week, prev_actives, COALESCE(retained, 0) AS retained, " +
+        "prev_actives - COALESCE(retained, 0) AS churned, " +
+        "CAST(((prev_actives - COALESCE(retained, 0)) * 1000000) " +
+        "// nullif(prev_actives, 0) AS BIGINT) AS churn_ppm " +
+        "FROM pa JOIN a ON pa.week = a.week LEFT JOIN r ON r.week = pa.week " +
+        "ORDER BY week"),
 
     "event_dau_mau" ->
       ("WITH k AS (SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month, " +

@@ -1373,6 +1373,46 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** WEEKLY CHURN FLOW (round 13) — the week-over-week user ledger:
+    * of last week's actives, how many came back (retained) and how
+    * many did not (churned) — the flow number behind
+    * `event_retention`'s cohort triangle and the denominator-correct
+    * churn rate every subscription review wants (churn is a share of
+    * LAST week's actives, not this week's). Weeks are compared
+    * CALENDAR-adjacent (week = prev + 7 days — a gap week means
+    * everyone churned, and the readout shows it rather than splicing
+    * non-adjacent weeks; weekly because the event corpus spans weeks,
+    * not years — the granularity a product review actually runs).
+    * Distinct (week, user) pairs are the only corpus-sized relation;
+    * one self-equi-join on the shifted week + two bounded rollups;
+    * churn share in integer ppm.
+    *
+    * Output: (week, prev_actives, retained, churned, churn_ppm),
+    * ordered — weeks with no previous calendar week absent by
+    * construction. */
+  def weeklyChurn(events: DataFrame): DataFrame = {
+    val mu = events
+      .select(date_trunc("week", col("ts")).as("week"), col("user_id"))
+      .distinct()
+    val actives = mu.groupBy(col("week")).agg(count(lit(1)).as("actives"))
+    val prevActives = actives.select(
+      expr("week + INTERVAL 7 DAY").as("week"),
+      col("actives").as("prev_actives"))
+    val retained = mu
+      .join(mu.select(expr("week + INTERVAL 7 DAY").as("week"),
+        col("user_id")), Seq("week", "user_id"))
+      .groupBy(col("week")).agg(count(lit(1)).as("retained"))
+    prevActives
+      .join(actives.select(col("week")), Seq("week"))
+      .join(retained, Seq("week"), "left")
+      .select(col("week"), col("prev_actives"),
+        coalesce(col("retained"), lit(0L)).as("retained"))
+      .withColumn("churned", col("prev_actives") - col("retained"))
+      .withColumn("churn_ppm", expr(
+        "CAST((churned * 1000000) div nullif(prev_actives, 0L) AS BIGINT)"))
+      .orderBy(col("week"))
+  }
+
   def dauMau(events: DataFrame): DataFrame = {
     val keyed = events.select(
       date_trunc("month", col("ts")).as("month"),

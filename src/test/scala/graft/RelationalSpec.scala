@@ -309,6 +309,21 @@ class RelationalSpec extends SparkSpec {
       (22, 1L, 3000000L, 3000000L)), s"got $out")
   }
 
+  test("weeklyChurn: churn is a share of LAST week's actives; only " +
+    "calendar-adjacent week pairs report") {
+    // week of Jan 1 2024 (a Monday): {1,2,3}; next week {2,3,4};
+    // then a silent week; then {1} — only the adjacent pair reports
+    val events = Seq(
+      (1L, "2024-01-02"), (2L, "2024-01-03"), (3L, "2024-01-04"),
+      (2L, "2024-01-09"), (3L, "2024-01-10"), (4L, "2024-01-11"),
+      (1L, "2024-01-23"))
+      .toDF("user_id", "t")
+      .select(col("user_id"), to_timestamp(col("t")).as("ts"))
+    val out = Relational.weeklyChurn(events).collect().toSeq
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out == Seq((3L, 2L, 1L, 333333L)), s"got $out")
+  }
+
   test("newVsReturning: first day ever is NEW, any later active day " +
     "RETURNING; same-day repeat events collapse") {
     val events = Seq(
