@@ -147,6 +147,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "text_pii_scrub" -> ((s, d) =>
       TextAnalysis.piiScrub(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // HTML boilerplate strip (round 13): tags out + entity decode in
+    // the one correct order, exact-recovery contract (see
+    // htmlStripRoundTrip's scaladoc).
+    "text_html_strip" -> ((s, d) =>
+      TextAnalysis.htmlStripRoundTrip(Tables.documents(s, d))),
+
     // PII exposure report (round 13): per-source match counts along
     // the scrub's cascade + flagged-doc ppm (see piiReport's scaladoc).
     "text_pii_report" -> ((s, d) =>
@@ -1148,6 +1154,23 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "'\\b[0-9a-fA-F]{16,}\\b', '<HEX>', 'g'), " +
         "'[0-9]{4,}', '<NUM>', 'g') AS scrubbed " +
         "FROM documents) ORDER BY doc_id"),
+
+    // HTML-strip replay: same wire synthesis + same ordered chain
+    "text_html_strip" ->
+      ("WITH w AS (SELECT source, text, " +
+        "'<html><body class=\"doc\"><p>' || " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g') || " +
+        "'</p><!-- tail --></body></html>' AS wire FROM documents), " +
+        "s AS (SELECT source, text, wire, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(wire, " +
+        "'<[^>]*>', '', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), " +
+        "'&amp;', '&', 'g') AS st FROM w) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN st = text THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered, " +
+        "CAST(SUM(length(wire)) AS BIGINT) AS wire_chars, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS text_chars " +
+        "FROM s GROUP BY source ORDER BY source"),
 
     // PII-report replay: same cascade stages, len(regexp_extract_all)
     "text_pii_report" ->

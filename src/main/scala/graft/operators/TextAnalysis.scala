@@ -461,6 +461,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML BOILERPLATE STRIP (round 13) — the markup-removal pass at
+    * the head of every web-corpus pipeline (CCNet/C4 lineage: tags
+    * out, entities decoded, text preserved EXACTLY — a stripper that
+    * mangles one character poisons dedup keys downstream). The wire is
+    * synthesized from the data so the contract is total: each document
+    * rendered as nested tags + attributes around the ENTITY-ESCAPED
+    * text (& < > wrapped to &amp; &lt; &gt; the way real HTML must).
+    * The strip is a fixed chain — tags out via one regex, then entity
+    * decode in the ONE correct order (&amp; LAST on decode; decoding
+    * it first would double-decode &amp;lt;) — and the per-source
+    * summary counts exact recoveries: `n_recovered` < `n_docs` means
+    * the stripper corrupted text, not that the corpus changed. Narrow
+    * zero-shuffle projections + one bounded rollup.
+    *
+    * Output: (source, n_docs, n_recovered, wire_chars, text_chars),
+    * ordered. */
+  def htmlStripRoundTrip(docs: DataFrame): DataFrame = {
+    // encode: & first (else the & of &lt; double-encodes)
+    val escaped = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val wire = concat(lit("<html><body class=\"doc\"><p>"), escaped,
+      lit("</p><!-- tail --></body></html>"))
+    // strip: tags out, then decode — &amp; LAST
+    val stripped = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(wire, "<[^>]*>", ""),
+      "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+    docs
+      .select(col("source"), col("text"), wire.as("w"),
+        stripped.as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") === col("text"), 1L).otherwise(0L))
+          .as("n_recovered"),
+        sum(length(col("w")).cast("long")).as("wire_chars"),
+        sum(length(col("text")).cast("long")).as("text_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Document fingerprints: md5 of the normalized text (exact-dup key) and
     * md5 of the sorted distinct token set (bag-of-words near-dup key). */
   def fingerprint(docs: DataFrame): DataFrame = {

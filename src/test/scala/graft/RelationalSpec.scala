@@ -754,6 +754,18 @@ class RelationalSpec extends SparkSpec {
     assert(r(4L) == "pin <NUM>")     // tag longer than input → delta -1 ok
   }
 
+  test("htmlStripRoundTrip: text containing & < > and tag-like spans " +
+    "survives the wire exactly; every doc recovers") {
+    val df = Seq(
+      ("a", "plain words"),
+      ("a", "math: 1 < 2 && 3 > 2"),
+      ("a", "literal <b>not a tag</b> & &amp; already-escaped"),
+      ("b", "x")).toDF("source", "text")
+    val out = TextAnalysis.htmlStripRoundTrip(df).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out == Seq(("a", 3L, 3L), ("b", 1L, 1L)), s"got $out")
+  }
+
   test("piiReport: counts ride the scrub cascade — digits inside a hex " +
     "id never double-book as a digit run; flagged share exact ppm") {
     val df = Seq(
