@@ -315,6 +315,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "sketch_hll_distinct" -> ((s, d) =>
       Sketches.hllDistinct(Tables.lineitem(s, d))),
 
+    // HLL mergeability audit (round 13): shard registers max-merge to
+    // EXACTLY the global registers — the distributed-sketch identity,
+    // proven not assumed (see hllMerge's scaladoc).
+    "sketch_hll_merge" -> ((s, d) =>
+      Sketches.hllMerge(Tables.lineitem(s, d))),
+
     // Quantile sketch (round 11): per-returnflag price percentiles from
     // a 256-row deterministic md5-keyed reservoir — bottom-k partial
     // aggregation (bounded state, map-side), nearest-rank extraction
@@ -1125,6 +1131,32 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "0.7213 / (1.0 + 1.079 / 1024.0) * 1024 * 1024 * 524288 / " +
         "(s.s_present + (1024 - s.n_present) * 524288) AS hll_est " +
         "FROM sums s JOIN ex USING (l_returnflag) ORDER BY s.l_returnflag"),
+
+    // HLL-merge replay: shard regs → max-merge vs direct, same exact
+    // harmonic form
+    "sketch_hll_merge" ->
+      ("WITH k AS (SELECT l_returnflag || ':' || l_linestatus AS shard, l_partkey, " +
+        "CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h " +
+        "FROM lineitem), " +
+        "r AS (SELECT shard, h % 1024 AS bucket, " +
+        "CASE WHEN h // 1024 = 0 THEN 19 ELSE 19 - length(bin(h // 1024)) END AS rho, " +
+        "l_partkey FROM k), " +
+        "sregs AS (SELECT shard, bucket, MAX(rho) AS sj FROM r GROUP BY 1, 2), " +
+        "merged AS (SELECT bucket, CAST(MAX(sj) AS BIGINT) AS mj FROM sregs GROUP BY 1), " +
+        "direct AS (SELECT bucket, CAST(MAX(rho) AS BIGINT) AS gj FROM r GROUP BY 1), " +
+        "ns AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards FROM sregs), " +
+        "nm AS (SELECT CAST(COALESCE(SUM(CASE WHEN mj IS NOT DISTINCT FROM gj " +
+        "THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_mismatch " +
+        "FROM merged FULL OUTER JOIN direct USING (bucket)), " +
+        "sums AS (SELECT CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(19 - mj AS INTEGER)), 0) AS BIGINT) AS s_present, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_present FROM merged), " +
+        "ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct FROM lineitem) " +
+        "SELECT n_shards, n_mismatch, exact_distinct, " +
+        "s_present + (1024 - n_present) * 524288 AS s_scaled, " +
+        "1024 - n_present AS zero_buckets, " +
+        "0.7213 / (1.0 + 1.079 / 1024.0) * 1024 * 1024 * 524288 / " +
+        "(s_present + (1024 - n_present) * 524288) AS hll_est " +
+        "FROM ns CROSS JOIN nm CROSS JOIN ex CROSS JOIN sums"),
 
     // md5 bottom-256 reservoir replay: the window-rank form selects the
     // same multiset the engine's bottom-k aggregator keeps ((hash, v)

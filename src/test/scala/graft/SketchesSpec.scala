@@ -10,6 +10,25 @@ class SketchesSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf0)
 
+  test("hllMerge: shard registers max-merge to EXACTLY the global " +
+    "registers, merged estimate lands in the 1024-register envelope, " +
+    "repartition-invariant") {
+    val li = Tables.lineitem(spark, sf0)
+    val r = Sketches.hllMerge(li).collect().head
+    assert(r.getLong(0) == 6L, s"shards ${r.getLong(0)}")
+    assert(r.getLong(1) == 0L, "merge identity broken: registers differ")
+    // raw-estimate regime at sf0.001 (200 parts over 1024 registers:
+    // the linear-counting branch is deliberately absent — no ln()), so
+    // the assertion is the exact harmonic-form replay, not an envelope
+    val alpha = 0.7213 / (1.0 + 1.079 / 1024.0)
+    assert(r.getDouble(5) ==
+      alpha * 1024 * 1024 * 524288 / r.getLong(3).toDouble,
+      s"estimate is not the fixed harmonic form: $r")
+    assert(r.getLong(3) > 0 && r.getLong(4) < 1024L, s"degenerate regs $r")
+    assert(Sketches.hllMerge(li.repartition(17)).collect().head.toSeq ==
+      r.toSeq, "not repartition-invariant")
+  }
+
   test("bloom gate has no false negatives vs the exact 13-gram join") {
     // exact truth: train docs sharing >= 1 distinct 13-gram with holdout
     // (uncapped — the bloom gate has no df cap either)
