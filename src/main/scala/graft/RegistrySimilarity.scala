@@ -225,6 +225,22 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // (identical training contract): one trained artifact serves both
     // ANN families, so the bench times PQ encode + serve, not a
     // re-train.
+    // IVF inertia audit (round 13): per-centroid member count + exact
+    // SSE of the SAME persisted quantizer the serve keys read (see
+    // ivfInertiaWith's scaladoc).
+    "embed_ivf_inertia" -> ((s, d) => {
+      val qdir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivf_centroids_")
+        Similarity.saveCentroids(
+          Similarity.trainCentroids(
+            Similarity.prepared(Tables.embeddings(s, d)), nlist = 16, iters = 2),
+          tmp)
+        tmp
+      })
+      Similarity.ivfInertiaWith(Tables.embeddings(s, d),
+        Similarity.loadCentroids(s, qdir))
+    }),
+
     "sim_ann_ivfpq" -> ((s, d) => {
       val qdir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
         val tmp = scratchDir("graft_ivf_centroids_")
@@ -671,6 +687,19 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // path (same quantizer by determinism), so it replays under the SAME
     // unrolled-training oracle.
     "sim_ann_ivf_served" -> sqlIvfTrained,
+
+    // Inertia replay: the shared trained front (asg + c2), exact
+    // distance tail
+    "embed_ivf_inertia" ->
+      ("WITH " + sqlIvfFrontCtes + ", " +
+        "dd AS (SELECT a.cent_id, n.nrm + c.cnrm - " +
+        "2*list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2])) AS dist " +
+        "FROM asg a JOIN n ON a.vec_id = n.vec_id " +
+        "JOIN c2 c ON a.cent_id = c.cent_id) " +
+        "SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+        "CAST(CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS HUGEINT) // COUNT(*) AS BIGINT) AS sse_mean, " +
+        "CAST(CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sse " +
+        "FROM dd GROUP BY 1 ORDER BY 1"),
 
     // IVF-PQ: both trainings unroll (shared front CTEs), the ADC tail
     // is pure BIGINT — ranking, ties and the audit cosine all replay.

@@ -381,6 +381,44 @@ object Similarity {
       broadcast(centroids.select(need.map(col): _*)), nQueries, k, nprobe)
   }
 
+  /** IVF QUANTIZATION-ERROR AUDIT (round 13) — per-centroid inertia of
+    * the TRAINED quantizer: member count, exact mean squared distance
+    * (floor-div — non-negative domain) and the total SSE, the
+    * convergence/quality readout an operator checks before trusting an
+    * IVF deployment (a centroid with huge inertia is a list whose
+    * probes rerank garbage; training that didn't move inertia didn't
+    * converge). Assignment is the serve path's max-cosine rule
+    * verbatim (members are the vectors the list will actually hold —
+    * an L2-assigned inertia would audit a different partition);
+    * distances are the exact BIGINT ‖v‖²+‖c‖²−2⟨v,c⟩, summed in
+    * DECIMAL(38,0), surfaced once through the via-string bridge. One
+    * broadcast assignment pass + a ≤ nlist rollup.
+    *
+    * Output: (cent_id, n_members, sse_mean, sse), ordered. */
+  def ivfInertiaWith(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val p = prepared(emb)
+    val cent = broadcast(centroids
+      .select(col("cent_id"), col("c_qv"), col("c_nrm")))
+    p.join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("c_qv"), col("c_nrm")),
+          struct(col("c_cos"), -col("cent_id"))).as("c"),
+        first(col("qv")).as("qv"), first(col("nrm")).as("nrm"))
+      .select(col("c.cent_id").as("cent_id"),
+        (col("nrm") + col("c.c_nrm") -
+          lit(2L) * dotQ(col("qv"), col("c.c_qv"))).as("dist"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist").cast(dec)).as("s"))
+      .select(col("cent_id"), col("n_members"),
+        expr("CAST(s div n_members AS BIGINT)").as("sse_mean"),
+        col("s").cast("string").cast("double").as("sse"))
+      .orderBy(col("cent_id"))
+  }
+
   /** IVF LIST-SIZE BALANCE (round 13) — the audit that SIZES an IVF
     * deployment: per-centroid inverted-list occupancy under the fixed
     * seed quantizer (the `sim_ann_ivf_fixed` assignment verbatim, so

@@ -1323,6 +1323,29 @@ class DedupSimilaritySpec extends SparkSpec {
       "corpus rayleigh1 must dominate rayleigh2")
   }
 
+  test("ivfInertiaWith: n <= nlist makes every vector its own centroid " +
+    "(zero inertia); corpus members reconcile and sse replays the mean") {
+    import spark.implicits._
+    val fix = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
+        (3L, Array(0.7f, 0.7f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cent = Similarity.trainCentroids(Similarity.prepared(fix),
+      nlist = 16, iters = 2)
+    val z = Similarity.ivfInertiaWith(fix, cent).collect()
+    assert(z.length == 3 && z.forall(r =>
+      r.getLong(1) == 1L && r.getLong(2) == 0L && r.getDouble(3) == 0.0),
+      s"got ${z.toSeq}")
+    val corpusCent = Similarity.trainCentroids(Similarity.prepared(emb),
+      nlist = 16, iters = 2)
+    val full = Similarity.ivfInertiaWith(emb, corpusCent).collect()
+    assert(full.map(_.getLong(1)).sum == emb.count())
+    full.foreach { r =>
+      assert(r.getLong(2) == (r.getDouble(3) / r.getLong(1)).toLong ||
+        math.abs(r.getLong(2) - r.getDouble(3) / r.getLong(1)) <= 1.0,
+        s"mean/sse inconsistent: $r")
+    }
+  }
+
   test("embeddingOutliers: 9-inlier/1-outlier fixture — exact integer " +
     "mean distance, the far vector alone crosses 4x") {
     import spark.implicits._
