@@ -302,6 +302,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_dau_mau" -> ((s, d) =>
       Relational.dauMau(Tables.events(s, d))),
 
+    // SRM gate (round 13): did the 50/50 assignment actually land
+    // 50/50 over users — the first check of any A/B readout (see
+    // srmCheck's scaladoc).
+    "event_srm_check" -> ((s, d) =>
+      Relational.srmCheck(Tables.events(s, d))),
+
     // Weekly churn flow (round 13): retained/churned out of LAST
     // week's actives, calendar-adjacent weeks only (see weeklyChurn's
     // scaladoc).
@@ -1514,6 +1520,16 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(((COUNT(*) - SUM(CASE WHEN fday = day THEN 1 ELSE 0 END)) * 1000000) " +
         "// nullif(COUNT(*), 0) AS BIGINT) AS returning_ppm " +
         "FROM p JOIN f USING (user_id) GROUP BY day ORDER BY day"),
+
+    // SRM replay: same distinct-users 2-cell fold
+    "event_srm_check" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM u) " +
+        "SELECT n_users, n0, n1, " +
+        "CAST((abs(n0 - n1) * 1000000) // nullif(n_users, 0) AS BIGINT) AS imbalance_ppm, " +
+        "CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / nullif(n_users, 0) AS srm_chi2 FROM a"),
 
     // Churn replay: shifted-week self join over distinct pairs
     "event_churn" ->

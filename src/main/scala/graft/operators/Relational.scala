@@ -1812,6 +1812,33 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** SAMPLE-RATIO MISMATCH CHECK (round 13) — the sanity gate that
+    * must pass BEFORE anyone reads [[abTestWelch]]'s t-statistic: if
+    * the 50/50 assignment didn't actually land 50/50 over USERS, the
+    * experiment is corrupted (a crashed variant, a bot filter applied
+    * to one arm) and the effect size is meaningless — SRM is the
+    * universally-recommended first check of every A/B readout. Units
+    * are distinct users (assignment is per user; counting events would
+    * let one heavy user skew the ratio); the χ² against the even split
+    * collapses algebraically to (n₀−n₁)²/n — surfaced as the exact
+    * integer numerator (n₀−n₁)² and ONE IEEE division (the no-drift
+    * statistic doctrine), plus the arm imbalance in exact ppm. One
+    * distinct-users pass + a 2-cell aggregation.
+    *
+    * Output (one row): n_users, n0, n1, imbalance_ppm, srm_chi2. */
+  def srmCheck(events: DataFrame): DataFrame = {
+    events.select(col("user_id")).distinct()
+      .select((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("n_users"), col("n0"), col("n1"),
+        expr("CAST((abs(n0 - n1) * 1000000) div nullif(n_users, 0L) " +
+          "AS BIGINT)").as("imbalance_ppm"),
+        (((col("n0") - col("n1")) * (col("n0") - col("n1")))
+          .cast("double") / expr("nullif(n_users, 0L)")).as("srm_chi2"))
+  }
+
   /** TPC-H Q6 forecasting-revenue-change (round 11) — the benchmark's
     * pure SCAN query, and the one that grades predicate pushdown: no
     * join, no group — one year of shipdate, a discount band and a

@@ -309,6 +309,16 @@ class RelationalSpec extends SparkSpec {
       (22, 1L, 3000000L, 3000000L)), s"got $out")
   }
 
+  test("srmCheck: users counted once regardless of event volume, " +
+    "imbalance exact ppm, chi2 = (n0-n1)^2/n") {
+    val events = Seq(0L, 0L, 0L, 1L, 2L, 3L, 4L, 4L)
+      .toDF("user_id")
+    val r = Relational.srmCheck(events).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 3L, 2L, 200000L)), s"got $r")
+    assert(r.getDouble(4) == 0.2, s"chi2 ${r.getDouble(4)}")
+  }
+
   test("weeklyChurn: churn is a share of LAST week's actives; only " +
     "calendar-adjacent week pairs report") {
     // week of Jan 1 2024 (a Monday): {1,2,3}; next week {2,3,4};
