@@ -352,6 +352,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.wavRmsWindows(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
+    // PCM autocorrelation (round 13): the periodicity primitive at
+    // fixed lags, pure BIGINT — no FFT (see wavAutocorr's scaladoc).
+    "multimodal_audio_autocorr" -> ((s, d) =>
+      Multimodal.wavAutocorr(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
     // Zero-crossing-rate profile (round 12): the voiced/unvoiced
     // discriminator off the real decode (see wavZeroCrossings'
     // scaladoc).
@@ -1027,6 +1033,24 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
 
     // ZCR replay over the same analytic PCM: zero samples carry the
     // previous sign via last_value IGNORE NULLS
+    // Autocorr replay: analytic PCM formula at both t and t+lag
+    "multimodal_audio_autocorr" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents), " +
+        "lg AS (SELECT unnest([1, 2, 4, 8]) AS lag), " +
+        "pr AS (SELECT doc_id, n, lag, unnest(range(0, n - lag)) AS t " +
+        "FROM dims CROSS JOIN lg), " +
+        "pp AS (SELECT doc_id, n, lag, " +
+        "((doc_id*37 + t*11) % 65536 - 32768) * " +
+        "((doc_id*37 + (t + lag)*11) % 65536 - 32768) AS prod FROM pr), " +
+        "rk AS (SELECT doc_id, lag, CAST(n - lag AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(prod) AS BIGINT) AS r_lag FROM pp GROUP BY 1, 2, n), " +
+        "r0t AS (SELECT doc_id, CAST(SUM( " +
+        "((doc_id*37 + i*11) % 65536 - 32768) * ((doc_id*37 + i*11) % 65536 - 32768)) AS BIGINT) AS r0 " +
+        "FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM dims) GROUP BY 1) " +
+        "SELECT rk.doc_id AS doc_id, CAST(lag AS BIGINT) AS lag, n_pairs, r_lag, r0, " +
+        "CASE WHEN r0 > 0 THEN CAST(r_lag AS DOUBLE) / r0 ELSE 0.0 END AS r_norm " +
+        "FROM rk JOIN r0t ON rk.doc_id = r0t.doc_id ORDER BY doc_id, lag"),
+
     "multimodal_audio_zcr" ->
       ("WITH sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i " +
         "FROM (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents)), " +

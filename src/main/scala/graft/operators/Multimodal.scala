@@ -593,6 +593,61 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** PCM AUTOCORRELATION at fixed lags (round 13) — the periodicity
+    * primitive behind every pitch detector / tonal-vs-noise gate (a
+    * periodic signal's r_k peaks at its period; white noise decays
+    * immediately), completing the audio feature set beside energy
+    * ([[wavRmsWindows]]), [[wavZeroCrossings]] and the silence trim.
+    * No FFT anywhere — the repo's no-transcendentals doctrine: r_k =
+    * Σ s_t·s_{t+k} over the REAL javax.sound decode is pure BIGINT
+    * (|s| ≤ 2¹⁵ → products fit trivially), r₀ normalizes with ONE
+    * IEEE division per lag. Lags {1,2,4,8} fixed and shared with the
+    * oracle generator. Output: (doc_id, lag, n_pairs, r_lag, r0,
+    * r_norm), ordered. */
+  def wavAutocorr(spark: SparkSession, ingested: DataFrame,
+                  lags: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags $lags")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lag", LongType),
+      StructField("n_pairs", LongType), StructField("r_lag", LongType),
+      StructField("r0", LongType), StructField("r_norm", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
+          val data = ais.readAllBytes(); ais.close()
+          val n = data.length / 2
+          val s = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            s(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
+              .toShort.toLong
+            i += 1
+          }
+          var r0 = 0L
+          i = 0
+          while (i < n) { r0 += s(i) * s(i); i += 1 }
+          val docId = r.getAs[Long]("doc_id")
+          lags.map { k =>
+            var rk = 0L; var t = 0
+            while (t < n - k) { rk += s(t) * s(t + k); t += 1 }
+            Row(docId, k.toLong, math.max(n - k, 0).toLong, rk, r0,
+              if (r0 > 0) rk.toDouble / r0 else 0.0)
+          }
+        }
+      }(enc).toDF().orderBy(col("doc_id"), col("lag"))
+  }
+
   def wavRmsWindows(spark: SparkSession, ingested: DataFrame,
                     win: Int = 16): DataFrame = {
     require(win >= 1, s"window must be positive, got $win")

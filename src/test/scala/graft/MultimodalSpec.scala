@@ -441,6 +441,25 @@ class MultimodalSpec extends SparkSpec {
     assert(poswDiffers > out.length / 2, s"only $poswDiffers posw changed")
   }
 
+  test("wavAutocorr: exact local PCM replay at every lag; Cauchy-Schwarz " +
+    "|r_k| <= r0 holds corpus-wide") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.wavAutocorr(spark, Multimodal.ingestWav(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getLong(0); val k = r.getLong(1).toInt
+      val n = Multimodal.wavNumSamples(meta(d))
+      val s = (0 until n).map(i => Multimodal.sampleValue(d, i).toLong)
+      val rk = (0 until n - k).map(t => s(t) * s(t + k)).sum
+      val r0 = s.map(x => x * x).sum
+      assert(r.getLong(3) == rk && r.getLong(4) == r0, s"doc $d lag $k")
+      assert(math.abs(r.getLong(3)) <= r.getLong(4), s"CS violated doc $d")
+    }
+  }
+
   test("rotate90: dims swap, invariants hold, posw matches the rotated " +
     "index map") {
     val docs = Tables.documents(spark, sf0)
