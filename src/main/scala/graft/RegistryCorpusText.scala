@@ -18,6 +18,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCount(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Tokenizer fertility per lang (round 13): subword tokens per
+    // word — the multilingual context-budget metric (see
+    // tokenizerFertility's scaladoc).
+    "tokenizer_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
+
     // Quality-mix matrix (round 12): source × quarter-band counts of
     // the rule-based score (see qualityMix's scaladoc).
     "corpus_quality_mix" -> ((s, d) =>
@@ -635,6 +641,19 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr, " +
         "CAST(length(replace(text,' ','')) AS DOUBLE) / len(string_split(text,' ')) AS avg_token_len " +
         "FROM documents ORDER BY doc_id"),
+
+    // Fertility replay: same tokenizations rolled per lang, x1000 divs
+    "tokenizer_fertility" ->
+      ("WITH k AS (SELECT lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS w, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS t, " +
+        "CAST(length(text) AS BIGINT) AS c FROM documents) " +
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(w) AS BIGINT) AS words, CAST(SUM(t) AS BIGINT) AS subword_tokens, " +
+        "CAST(SUM(c) AS BIGINT) AS chars, " +
+        "CAST((SUM(t) * 1000) // nullif(SUM(w), 0) AS BIGINT) AS fertility_x1000, " +
+        "CAST((SUM(c) * 1000) // nullif(SUM(t), 0) AS BIGINT) AS chars_per_token_x1000 " +
+        "FROM k GROUP BY lang ORDER BY lang"),
 
     "token_count" ->
       ("SELECT doc_id, len(string_split(text,' ')) AS ws_tokens, " +

@@ -137,6 +137,34 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
         .as("bpe_ish_tokens"))
 
+  /** TOKENIZER FERTILITY per language (round 13) — subword tokens per
+    * whitespace word, THE metric multilingual tokenizer reports lead
+    * with (a language whose fertility is 2× pays 2× the context budget
+    * and 2× the serving cost for the same text): per declared lang,
+    * exact word/subword/char totals off [[tokenCount]]'s shared
+    * tokenizations, fertility and chars-per-token as integer ×1000
+    * ratios (non-negative — `div` ≡ `//`). One map-side-combinable
+    * ≤ langs aggregation; the per-doc leg stays `token_count`'s.
+    *
+    * Output: (lang, n_docs, words, subword_tokens, chars,
+    * fertility_x1000, chars_per_token_x1000), ordered. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("long").as("t"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("t")).as("subword_tokens"), sum(col("c")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        col("subword_tokens"), col("chars"),
+        expr("CAST((subword_tokens * 1000) div nullif(words, 0L) AS BIGINT)")
+          .as("fertility_x1000"),
+        expr("CAST((chars * 1000) div nullif(subword_tokens, 0L) AS BIGINT)")
+          .as("chars_per_token_x1000"))
+      .orderBy(col("lang"))
+
   /** N-gram-heuristic language ID: count marker-word hits per language,
     * argmax with alphabetical tie-break, 'unknown' when no marker hits.
     * All five languages' counts come from ONE tokenize pass (the native

@@ -764,6 +764,17 @@ class RelationalSpec extends SparkSpec {
     assert(r(4L) == "pin <NUM>")     // tag longer than input → delta -1 ok
   }
 
+  test("tokenizerFertility: hand counts exact — punctuation splits " +
+    "raise fertility, truncating x1000 ratios") {
+    // "ab cd": 2 words, 2 subwords → fertility 1000
+    // "a-b x1": 2 words, 5 subwords (a,-,b,x,1) → 2500
+    val df = Seq(("en", "ab cd"), ("de", "a-b x1")).toDF("lang", "text")
+    val out = TextAnalysis.tokenizerFertility(df).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(out == Seq(("de", 2L, 5L, 2500L), ("en", 2L, 2L, 1000L)),
+      s"got $out")
+  }
+
   test("htmlStripRoundTrip: text containing & < > and tag-like spans " +
     "survives the wire exactly; every doc recovers") {
     val df = Seq(
