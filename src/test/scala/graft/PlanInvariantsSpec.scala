@@ -58,6 +58,28 @@ class PlanInvariantsSpec extends SparkSpec {
       s"q17's decorrelated join stopped broadcasting:\n$q17")
   }
 
+  test("round-13 additions: dim-side joins broadcast (hhi, diversity, " +
+    "fk audit), time-series keys never hash-shuffle the month/day grid") {
+    // supplier_hhi / customer_diversity / quality_fk_orphans: every
+    // dimension join must broadcast — at 100 TB only the fact
+    // aggregations may exchange
+    Seq("supplier_hhi", "customer_diversity").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcasts")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q plans a sort-merge join:\n$plan")
+    }
+    // the gap-filled-grid keys: the series join must broadcast the
+    // bounded daily/monthly aggregate — a sort-merge means the
+    // calendar grid started shuffling like data
+    Seq("order_forecast_holt", "window_rolling_median", "event_cusum")
+      .foreach { q =>
+        val plan = planOf(q)
+        assert(!plan.contains("SortMergeJoin"),
+          s"$q shuffles its bounded grid:\n$plan")
+      }
+  }
+
   test("broadcast-dim joins never sort-merge (fact side stays unshuffled)") {
     Seq("q3_shipping_priority", "q5_local_supplier", "join_enrich").foreach {
       q =>
