@@ -302,6 +302,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_dau_mau" -> ((s, d) =>
       Relational.dauMau(Tables.events(s, d))),
 
+    // Event-mix drift (round 13): per-week chi2 vs the global type
+    // mix — the categorical drift monitor (see eventMixDrift's
+    // scaladoc).
+    "event_mix_drift" -> ((s, d) =>
+      Relational.eventMixDrift(Tables.events(s, d))),
+
     // SRM gate (round 13): did the 50/50 assignment actually land
     // 50/50 over users — the first check of any A/B readout (see
     // srmCheck's scaladoc).
@@ -642,6 +648,11 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // (see lengthDriftBySource's scaladoc).
     "quality_len_drift" -> ((s, d) =>
       Relational.lengthDriftBySource(Tables.documents(s, d))),
+
+    // Basket-size histogram (round 13): lineitems per order — the
+    // co-order fan-out sizing input (see basketSizeHist's scaladoc).
+    "order_basket_hist" -> ((s, d) =>
+      Relational.basketSizeHist(Tables.lineitem(s, d))),
 
     // Supplier HHI per nation (round 13): Herfindahl concentration of
     // supplier revenue + effective supplier count (see supplierHhi's
@@ -1521,6 +1532,24 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "// nullif(COUNT(*), 0) AS BIGINT) AS returning_ppm " +
         "FROM p JOIN f USING (user_id) GROUP BY day ORDER BY day"),
 
+    // Mix-drift replay: same pivoted counts + the verbatim shared tail
+    "event_mix_drift" -> {
+      val ks = Relational.AnovaTypes.map(_.replaceAll("[^a-z]", ""))
+      val ow = ks.map(k =>
+        s"CAST(SUM(CASE WHEN event_type = '$k' THEN 1 ELSE 0 END) AS BIGINT) AS o_$k")
+        .mkString(", ")
+      val gw = ks.map(k =>
+        s"CAST(SUM(CASE WHEN event_type = '$k' THEN 1 ELSE 0 END) AS BIGINT) AS g_$k")
+        .mkString(", ")
+      "WITH k AS (SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week, " +
+        "event_type FROM events), " +
+        s"w AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_w, $ow FROM k GROUP BY 1), " +
+        s"g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot, $gw FROM k) " +
+        "SELECT week, n_w AS n_events, " +
+        Relational.MixDriftTail + " AS chi2 " +
+        "FROM w CROSS JOIN g ORDER BY week"
+    },
+
     // SRM replay: same distinct-users 2-cell fold
     "event_srm_check" ->
       ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
@@ -1780,6 +1809,15 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "nullif(n_docs * (n_total - n_docs), 0) AS d " +
         "FROM ca JOIN ct USING (v) JOIN na ON na.source = ca.source CROSS JOIN nt " +
         "GROUP BY ca.source, n_docs, n_rest ORDER BY source"),
+
+    // Basket replay: per-order counts → bounded histogram + ppm
+    "order_basket_hist" ->
+      ("WITH per AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz " +
+        "FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_total FROM per) " +
+        "SELECT sz AS basket_size, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST((COUNT(*) * 1000000) // nullif(n_total, 0) AS BIGINT) AS share_ppm " +
+        "FROM per CROSS JOIN t GROUP BY sz, n_total ORDER BY basket_size"),
 
     // HHI replay: same exact revenue squares, identical trees
     "supplier_hhi" ->

@@ -2009,6 +2009,28 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** BASKET-SIZE HISTOGRAM (round 13) — lineitems per order, the
+    * order-shape distribution behind every picking/packing capacity
+    * model and the co-order graph's fan-out bound (a basket of size k
+    * contributes k·(k−1)/2 edges — this histogram IS the sizing input
+    * for the bounded-bucket caps the graph family documents). Two
+    * map-side-combinable aggregations (per-order count over O(orders),
+    * then the ≤ max-basket histogram); shares in exact integer ppm.
+    *
+    * Output: (basket_size, n_orders, share_ppm), ordered. */
+  def basketSizeHist(lineitem: DataFrame): DataFrame = {
+    val per = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("sz"))
+    val tot = per.agg(coalesce(count(lit(1)), lit(0L)).as("n_total"))
+    per.groupBy(col("sz").as("basket_size"))
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("basket_size"), col("n_orders"),
+        expr("CAST((n_orders * 1000000) div nullif(n_total, 0L) AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("basket_size"))
+  }
+
   /** SUPPLIER CONCENTRATION — HHI per nation (round 13) — the
     * Herfindahl-Hirschman index Σ shareᵢ² over supplier revenue, the
     * antitrust-grade concentration number beside [[orderGini]]
@@ -2702,6 +2724,50 @@ object Relational {
 
   private[graft] val AnovaTypes =
     Seq("click", "error", "purchase", "signup", "view")
+
+  /** The SHARED fixed-order χ² tail of [[eventMixDrift]] (the
+    * [[AnovaTail]] doctrine): per-type (o−e)²/e terms fold
+    * left-to-right in [[AnovaTypes]] order, with the expected count
+    * e = n_w·g_t/n_tot computed in one fixed double tree per term; a
+    * type with zero GLOBAL mass contributes literal 0.0 (it cannot
+    * drift from nothing). Interpolated verbatim into both engines. */
+  private[graft] def MixDriftTail: String =
+    AnovaTypes.map(_.replaceAll("[^a-z]", "")).map { k =>
+      val e = s"(CAST(n_w AS DOUBLE) * g_$k / n_tot)"
+      s"(CASE WHEN g_$k > 0 THEN " +
+        s"((CAST(o_$k AS DOUBLE) - $e) * (CAST(o_$k AS DOUBLE) - $e)) / $e " +
+        "ELSE 0.0 END)"
+    }.mkString(" + ")
+
+  /** EVENT-MIX DRIFT monitor (round 13) — per week, the χ² of that
+    * week's event-type composition against the GLOBAL mix: the
+    * mix-stability readout completing the drift-monitor trio (counts
+    * drift → `event_cusum`, length shapes → `quality_len_drift`,
+    * categorical mix → THIS — a client release that stops sending one
+    * event type moves this number the week it ships). Exact integer
+    * observed counts pivoted to the fixed [[AnovaTypes]] columns, the
+    * global mix on a broadcast 1-row frame, and the χ² is the shared
+    * [[MixDriftTail]] — fixed-order terms, expected counts in one
+    * double tree per type, interpolated verbatim into the oracle. One
+    * ≤ weeks·types aggregation + a 1-row broadcast.
+    *
+    * Output: (week, n_events, chi2), ordered. */
+  def eventMixDrift(events: DataFrame): DataFrame = {
+    val ks = AnovaTypes.map(_.replaceAll("[^a-z]", ""))
+    val keyed = events.select(
+      date_trunc("week", col("ts")).as("week"), col("event_type"))
+    val weekly = keyed.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_w"),
+        ks.map(k => sum(when(col("event_type") === k, 1L).otherwise(0L))
+          .as(s"o_$k")): _*)
+    val global = keyed.agg(count(lit(1)).as("n_tot"),
+      ks.map(k => sum(when(col("event_type") === k, 1L).otherwise(0L))
+        .as(s"g_$k")): _*)
+    weekly.crossJoin(broadcast(global))
+      .select(col("week"), col("n_w").as("n_events"),
+        expr(MixDriftTail).as("chi2"))
+      .orderBy(col("week"))
+  }
 
   /** The SHARED fixed-order double tail of [[anovaOneWay]] — one SQL
     * text interpolated verbatim into both engines (the WelchTail

@@ -309,6 +309,33 @@ class RelationalSpec extends SparkSpec {
       (22, 1L, 3000000L, 3000000L)), s"got $out")
   }
 
+  test("basketSizeHist: per-order counts bucket exactly, shares ppm") {
+    val li = Seq(1L, 1L, 2L, 3L, 3L).toDF("l_orderkey")
+    val out = Relational.basketSizeHist(li).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out == Seq((1L, 1L, 333333L), (2L, 2L, 666666L)), s"got $out")
+  }
+
+  test("eventMixDrift: a week matching the global mix scores exactly 0; " +
+    "a fully-drifted week scores the hand chi2") {
+    def ev(rows: (String, String)*) =
+      rows.toDF("t", "event_type")
+        .select(to_timestamp(col("t")).as("ts"), col("event_type"))
+    // both weeks 50/50 click/view == global mix → chi2 0
+    val steady = Relational.eventMixDrift(ev(
+      ("2024-01-01", "click"), ("2024-01-02", "view"),
+      ("2024-01-08", "click"), ("2024-01-09", "view")))
+      .collect().map(_.getDouble(2))
+    assert(steady.forall(_ == 0.0), s"got ${steady.toSeq}")
+    // week1 all click, week2 all view, global 50/50: per week
+    // (4-2)^2/2 + (0-2)^2/2 = 4
+    val drift = Relational.eventMixDrift(ev(
+      (1 to 4).map(d => (s"2024-01-0$d", "click")) ++
+        (8 to 11).map(d => (f"2024-01-$d%02d", "view")): _*))
+      .collect().map(_.getDouble(2))
+    assert(drift.toSeq == Seq(4.0, 4.0), s"got ${drift.toSeq}")
+  }
+
   test("srmCheck: users counted once regardless of event volume, " +
     "imbalance exact ppm, chi2 = (n0-n1)^2/n") {
     val events = Seq(0L, 0L, 0L, 1L, 2L, 3L, 4L, 4L)
