@@ -167,6 +167,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "source_jsonl_quarantine" -> ((s, d) =>
       graft.sources.TextSources.jsonlQuarantineRoundTrip(s, Tables.events(s, d))),
 
+    // Nested-JSON source (round 13): two-level envelope, explicit
+    // nested schema, dotted-path flatten — structure, not just parsing
+    // (see jsonNestedRoundTrip's scaladoc).
+    "source_json_nested" -> ((s, d) =>
+      graft.sources.TextSources.jsonNestedRoundTrip(s, Tables.documents(s, d))),
+
     // Quoted-CSV round trip (round 13): RFC 4180 hard cases — embedded
     // delimiter/quote/newline in one field, multiLine read (see
     // csvQuotedRoundTrip's scaladoc, incl. the non-splittable caveat).
@@ -379,6 +385,14 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     // header-mapped CSV replay: no quarantine injection, so the
     // summary is the plain per-type fidelity reduction — a transposed
     // read would desync every column of it
+    // Nested-JSON replay: round-trip fidelity = the original relation's
+    // summary (both envelope levels agree by construction)
+    "source_json_nested" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS chars_sum " +
+        "FROM documents GROUP BY source ORDER BY source"),
+
     // Quoted-CSV replay: round-trip fidelity means the summary equals
     // the ORIGINAL relation's — payload adds exactly 6 chars per doc
     "source_csv_quoted" ->

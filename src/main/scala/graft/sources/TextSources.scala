@@ -201,6 +201,47 @@ object TextSources {
     summarize(
       writeAndRead(spark, events, "jsonl_src", "json", MalformedJsonl))
 
+  /** NESTED-JSON source (round 13) — the wire shape every modern API
+    * feed actually has: the flat legs (CSV/JSONL/fixed-width) pin
+    * parsing, THIS pins STRUCTURE — a two-level envelope
+    * {"meta": {"source", "chars"}, "payload": {"doc_id", "text"}}
+    * synthesized from the data, read back with an EXPLICIT nested
+    * schema (never inferred over a corpus) and flattened by dotted
+    * path. The summary proves both levels: doc counts and ids from
+    * payload.*, char sums from meta.* — a parser that flattens to the
+    * wrong level or null-fills a nested branch breaks one of them.
+    * to_json/from_json round-trips entirely in the engine (narrow,
+    * zero shuffle before the bounded rollup); the file hop goes
+    * through the same scratch root as the flat legs.
+    *
+    * Output: (source, n_docs, id_sum, chars_sum), ordered. */
+  def jsonNestedRoundTrip(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/json_nested-${java.util.UUID.randomUUID()}"
+    docs.select(to_json(struct(
+        struct(col("source"), length(col("text")).cast("long").as("chars"))
+          .as("meta"),
+        struct(col("doc_id"), col("text")).as("payload"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("meta", StructType(Seq(
+        StructField("source", StringType), StructField("chars", LongType)))),
+      StructField("payload", StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))))
+    spark.read.schema(schema).json(out)
+      .select(col("meta.source").as("source"),
+        col("payload.doc_id").as("doc_id"),
+        col("meta.chars").as("chars"),
+        col("payload.text").as("text"))
+      // the nested chars field must agree with the re-decoded text —
+      // a branch-level corruption shows up as a count, not silently
+      .filter(col("chars") === length(col("text")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("chars")).as("chars_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Injected malformed fixed-width lines: short line, non-numeric id
     * field, non-numeric cents field. */
   val MalformedFixed: Seq[String] =

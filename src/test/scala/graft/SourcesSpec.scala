@@ -50,6 +50,26 @@ class SourcesSpec extends SparkSpec {
     assert(out == local, s"got $out vs $local")
   }
 
+  test("nested-JSON round-trip: JSON-hostile text survives both envelope " +
+    "levels — quotes, backslashes, newlines, unicode") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain", "a"),
+      (2L, "quote \" backslash \\ slash /", "a"),
+      (3L, "newline\nand\ttab", "b"),
+      (4L, "unicode: 中文 héllo", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextSources.jsonNestedRoundTrip(spark, docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val local = docs.collect()
+      .map(r => (r.getString(2), r.getLong(0), r.getString(1).length.toLong))
+      .groupBy(_._1).view
+      .mapValues(ts => (ts.length.toLong, ts.map(_._2).sum, ts.map(_._3).sum))
+      .toMap
+    assert(out == local, s"got $out vs $local")
+  }
+
   test("jsonl quarantine round-trip: same contract through the JSON parser") {
     val out = TextSources.jsonlQuarantineRoundTrip(spark, events).collect()
     val bad = out.filter(_.getString(0) == TextSources.Quarantined)
