@@ -352,6 +352,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.wavRmsWindows(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
+    // Peak normalization (round 13): sign-split integer gain to full
+    // scale — the level-matching pass (see wavPeakNormalize's
+    // scaladoc).
+    "multimodal_audio_normalize" -> ((s, d) =>
+      Multimodal.wavPeakNormalize(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
     // PCM autocorrelation (round 13): the periodicity primitive at
     // fixed lags, pure BIGINT — no FFT (see wavAutocorr's scaladoc).
     "multimodal_audio_autocorr" -> ((s, d) =>
@@ -1033,6 +1040,23 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
 
     // ZCR replay over the same analytic PCM: zero samples carry the
     // previous sign via last_value IGNORE NULLS
+    // Normalize replay: analytic PCM + the sign-split gain text
+    "multimodal_audio_normalize" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents), " +
+        "sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims), " +
+        "sv AS (SELECT doc_id, n, i, (doc_id*37 + i*11) % 65536 - 32768 AS s FROM sm), " +
+        "pk AS (SELECT doc_id, CAST(MAX(abs(s)) AS BIGINT) AS peak FROM sv GROUP BY 1), " +
+        "nv AS (SELECT sv.doc_id, n, i, CASE WHEN peak = 0 THEN s " +
+        "WHEN s < 0 THEN -((-s * 32767) // peak) " +
+        "ELSE (s * 32767) // peak END AS v " +
+        "FROM sv JOIN pk ON sv.doc_id = pk.doc_id) " +
+        "SELECT nv.doc_id AS doc_id, CAST(n AS BIGINT) AS n_samples, peak, " +
+        "CAST(MAX(abs(v)) AS BIGINT) AS norm_peak, " +
+        "CAST(SUM(v) AS BIGINT) AS norm_sum, " +
+        "CAST(SUM(i * v) AS BIGINT) AS norm_posw " +
+        "FROM nv JOIN pk ON nv.doc_id = pk.doc_id " +
+        "GROUP BY nv.doc_id, n, peak ORDER BY doc_id"),
+
     // Autocorr replay: analytic PCM formula at both t and t+lag
     "multimodal_audio_autocorr" ->
       ("WITH dims AS (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents), " +

@@ -648,6 +648,64 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"), col("lag"))
   }
 
+  /** PEAK NORMALIZATION (round 13) — the gain pass every audio
+    * pipeline runs before feature extraction (a quiet clip and a hot
+    * clip must hit the model at the same level): each sample rescaled
+    * s′ = s·32767 div peak with peak = max |s| — the scale factor that
+    * puts the loudest sample at full scale. ENGINE-EXACT: the rescale
+    * is the sign-split truncating division (negative samples must
+    * truncate identically across engines — the division-portability
+    * doctrine at audio gain), so the normalized digest replays
+    * bit-for-bit. Emits the post-gain peak (the max-|s| sample lands
+    * on exactly ±32767 — the self-check) plus sum / position-weighted
+    * digests of the normalized signal. Real javax.sound decode in the
+    * shared harness. Output: (doc_id, n_samples, peak, norm_peak,
+    * norm_sum, norm_posw), ordered. */
+  def wavPeakNormalize(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_samples", LongType),
+      StructField("peak", LongType), StructField("norm_peak", LongType),
+      StructField("norm_sum", LongType), StructField("norm_posw", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
+          val data = ais.readAllBytes(); ais.close()
+          val n = data.length / 2
+          val s = new Array[Long](n)
+          var peak = 0L
+          var i = 0
+          while (i < n) {
+            s(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
+              .toShort.toLong
+            if (math.abs(s(i)) > peak) peak = math.abs(s(i))
+            i += 1
+          }
+          var nPeak = 0L; var sum = 0L; var posw = 0L
+          i = 0
+          while (i < n) {
+            // sign-split truncating rescale — JVM long division already
+            // truncates toward zero; the oracle spells the CASE form
+            val v = if (peak == 0) s(i) else s(i) * 32767L / peak
+            if (math.abs(v) > nPeak) nPeak = math.abs(v)
+            sum += v; posw += i * v
+            i += 1
+          }
+          Row(r.getAs[Long]("doc_id"), n.toLong, peak, nPeak, sum, posw)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   def wavRmsWindows(spark: SparkSession, ingested: DataFrame,
                     win: Int = 16): DataFrame = {
     require(win >= 1, s"window must be positive, got $win")

@@ -441,6 +441,31 @@ class MultimodalSpec extends SparkSpec {
     assert(poswDiffers > out.length / 2, s"only $poswDiffers posw changed")
   }
 
+  test("wavPeakNormalize: the loudest sample lands on full scale, the " +
+    "rescale replays the truncating local computation exactly") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.wavPeakNormalize(spark, Multimodal.ingestWav(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val n = Multimodal.wavNumSamples(meta(d))
+      val s = (0 until n).map(i => Multimodal.sampleValue(d, i).toLong)
+      val peak = s.map(math.abs).max
+      val v = s.map(x => if (peak == 0) x else x * 32767L / peak)
+      assert(r.getLong(2) == peak && r.getLong(3) == v.map(math.abs).max,
+        s"doc $d peaks")
+      // gain applied: the hottest sample sits AT full scale (the
+      // max-|s| sample maps to exactly ±32767 by construction)
+      assert(peak == 0 || r.getLong(3) == 32767L, s"doc $d not full scale")
+      assert(r.getLong(4) == v.sum &&
+        r.getLong(5) == v.zipWithIndex.map { case (x, i) => i * x }.sum,
+        s"doc $d digests")
+    }
+  }
+
   test("wavAutocorr: exact local PCM replay at every lag; Cauchy-Schwarz " +
     "|r_k| <= r0 holds corpus-wide") {
     val docs = Tables.documents(spark, sf0)
