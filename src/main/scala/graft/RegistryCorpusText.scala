@@ -321,6 +321,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "sketch_hll_distinct" -> ((s, d) =>
       Sketches.hllDistinct(Tables.lineitem(s, d))),
 
+    // Shingle-df histogram (round 13): the distribution that sizes the
+    // dedup df-caps, with the dropped over-cap mass measured (see
+    // dfHistogram's scaladoc).
+    "dedup_df_histogram" -> ((s, d) =>
+      Dedup.dfHistogram(Tables.documents(s, d))),
+
     // HLL mergeability audit (round 13): shard registers max-merge to
     // EXACTLY the global registers — the distributed-sketch identity,
     // proven not assumed (see hllMerge's scaladoc).
@@ -1150,6 +1156,17 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "0.7213 / (1.0 + 1.079 / 1024.0) * 1024 * 1024 * 524288 / " +
         "(s.s_present + (1024 - s.n_present) * 524288) AS hll_est " +
         "FROM sums s JOIN ex USING (l_returnflag) ORDER BY s.l_returnflag"),
+
+    // df-histogram replay: shared shingle CTE → df → bin() buckets
+    "dedup_df_histogram" ->
+      (s"WITH $sqlShingleCte, " +
+        "dfc AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1) " +
+        "SELECT CAST(length(bin(df)) AS INT) AS df_bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_shingles, " +
+        "CAST(MIN(df) AS BIGINT) AS df_min, CAST(MAX(df) AS BIGINT) AS df_max, " +
+        "CAST(SUM(df) AS BIGINT) AS occurrences, " +
+        "CAST(SUM(CASE WHEN df > 100 THEN df ELSE 0 END) AS BIGINT) AS occ_over_cap " +
+        "FROM dfc GROUP BY 1 ORDER BY 1"),
 
     // HLL-merge replay: shard regs → max-merge vs direct, same exact
     // harmonic form

@@ -111,6 +111,32 @@ object Dedup {
     }
   }
 
+  /** SHINGLE DOCUMENT-FREQUENCY HISTOGRAM (round 13) — the
+    * distribution that SIZES the dedup family's df-caps: every
+    * bounded-bucket argument in this file ("drop shingles in more than
+    * `maxDf` docs and the self-join cannot go quadratic") is
+    * provisioned off exactly this histogram, so the engine measures it
+    * instead of asserting it. Per log₂ df bucket (the bit-length
+    * surrogate — df spans decades): shingle count, df min/max, total
+    * occurrences, and the occurrences carried by OVER-CAP shingles in
+    * that bucket — Σ occ_over_cap across buckets is precisely the mass
+    * the `maxDf` filter drops, i.e. the recall the cap trades for
+    * boundedness, now a measured number. One shuffle (the df count),
+    * then a ≤64-row rollup.
+    *
+    * Output: (df_bucket, n_shingles, df_min, df_max, occurrences,
+    * occ_over_cap), ordered. */
+  def dfHistogram(docs: DataFrame, n: Int = 3, cap: Int = 100): DataFrame =
+    shingleTable(docs, n, None)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .groupBy(expr("length(bin(df))").as("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"),
+        min(col("df")).as("df_min"), max(col("df")).as("df_max"),
+        sum(col("df")).as("occurrences"),
+        sum(when(col("df") > cap, col("df")).otherwise(0L))
+          .as("occ_over_cap"))
+      .orderBy(col("df_bucket"))
+
   /** Exact n-gram Jaccard near-dup pairs via shared-shingle blocking.
     * Output: (doc_a, doc_b, n_common, n_union, jaccard) for jaccard ≥
     * threshold, doc_a < doc_b.

@@ -10,6 +10,25 @@ class SketchesSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf0)
 
+  test("dfHistogram: hand shingle dfs bucket by bit length; the " +
+    "over-cap mass is exactly the occurrences the df filter drops") {
+    import spark.implicits._
+    val fx = Seq((1L, "a b c x y z"), (2L, "a b c"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dfHistogram(fx, cap = 2).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // "a b c" df=3 (bucket 2, over cap 2); three unique shingles df=1
+    assert(out == Seq(
+      (1, 3L, 1L, 1L, 3L, 0L),
+      (2, 1L, 3L, 3L, 3L, 3L)), s"got $out")
+    // the dropped mass equals shingleTable's capped-vs-uncapped delta
+    val uncapped = graft.operators.Dedup.shingleTable(fx, 3, None).count()
+    val capped = graft.operators.Dedup.shingleTable(fx, 3, Some(2)).count()
+    assert(out.map(_._6).sum == uncapped - capped,
+      s"over-cap mass ${out.map(_._6).sum} != ${uncapped - capped}")
+  }
+
   test("hllMerge: shard registers max-merge to EXACTLY the global " +
     "registers, merged estimate lands in the 1024-register envelope, " +
     "repartition-invariant") {
