@@ -1573,7 +1573,8 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "prev_actives - COALESCE(retained, 0) AS churned, " +
         "CAST(((prev_actives - COALESCE(retained, 0)) * 1000000) " +
         "// nullif(prev_actives, 0) AS BIGINT) AS churn_ppm " +
-        "FROM pa JOIN a ON pa.week = a.week LEFT JOIN r ON r.week = pa.week " +
+        "FROM pa LEFT JOIN r ON r.week = pa.week " +
+        "WHERE pa.week <= (SELECT max(week) FROM a) " +
         "ORDER BY week"),
 
     "event_dau_mau" ->
@@ -1952,7 +1953,7 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       val cols = Relational.AnovaTypes.map { ty =>
         s"CAST(COALESCE(SUM(CASE WHEN event_type = '$ty' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_$ty, " +
           s"CAST(COALESCE(SUM(CASE WHEN event_type = '$ty' THEN $cexp END), 0) AS BIGINT) AS s_$ty, " +
-          s"CAST(COALESCE(SUM(CASE WHEN event_type = '$ty' THEN $cexp * $cexp END), 0) AS BIGINT) AS q_$ty"
+          s"CAST(COALESCE(SUM(CASE WHEN event_type = '$ty' THEN $cexp * $cexp END), 0) AS HUGEINT) AS q_$ty"
       }.mkString(", ")
       val types = Relational.AnovaTypes.map(t => s"'$t'").mkString(", ")
       s"WITH g AS (SELECT $cols FROM events WHERE event_type IN ($types)) " +

@@ -94,6 +94,19 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
         .select(col("event_id"), ExportOps.tsFormat(col("ts")).as("ts_odbc"))
         .orderBy(col("event_id"))),
 
+    // A6 configured-zone variant (round 14): the reference formats
+    // timestamps in a CONFIGURED zone, not only the process default
+    // (hive/HiveExportClient.java:74-77) — render every instant's
+    // wall-clock in America/New_York regardless of the UTC session.
+    // DST correctness is pinned by the spring-forward unit fixture
+    // (ExportOpsSpec); this key oracle-checks the whole relation.
+    "ts_format_zone" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          ExportOps.tsFormatInZone(col("ts"), "America/New_York")
+            .as("ts_odbc_ny"))
+        .orderBy(col("event_id"))),
+
     // A7 bin_base64
     "bin_base64" -> ((s, d) =>
       Tables.documents(s, d)
@@ -223,6 +236,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "source_schema_drop" -> ((s, d) =>
       graft.sources.ParquetEvolution.dropRoundTrip(s, Tables.events(s, d))),
 
+    // Schema-drift monitor (round 14): the add/drop/retype ledger over
+    // a four-generation lineage, edges read from the parquet FOOTERS,
+    // counts from the data (see driftLedger's scaladoc).
+    "quality_schema_drift" -> ((s, d) =>
+      graft.sources.ParquetEvolution.driftLedger(s, Tables.events(s, d))),
+
     // A12 batch_barrier: micro-batch block assembly + per-block summary.
     "batch_barrier" -> ((s, d) =>
       SinkOps.batchBarrier(Tables.events(s, d))),
@@ -339,6 +358,14 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
 
     "ts_format" ->
       s"SELECT event_id, strftime(CAST(ts AS TIMESTAMP), $sqlTsFmt) AS ts_odbc FROM events ORDER BY event_id",
+
+    // zone replay, session-zone independent: interpret the naive
+    // instant as UTC (inner timezone()) then take New York wall-clock
+    // parts (outer) — DuckDB's IANA rules match java.time's
+    "ts_format_zone" ->
+      ("SELECT event_id, strftime(timezone('America/New_York', " +
+        s"timezone('UTC', CAST(ts AS TIMESTAMP))), $sqlTsFmt) AS ts_odbc_ny " +
+        "FROM events ORDER BY event_id"),
 
     "bin_base64" ->
       "SELECT doc_id, to_base64(encode(text)) AS text_b64 FROM documents ORDER BY doc_id",
@@ -480,6 +507,23 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
             s"FROM events WHERE event_id % 2 = ${g - 1} GROUP BY 1"
         }.mkString(" UNION ALL ") +
         ") ORDER BY event_type, gen"),
+
+    // drift-ledger replay: the four-generation lineage's edge set is a
+    // constant table (the fixture's drift moves), the per-generation
+    // row counts come from the split rule — a footer that lied about a
+    // generation's schema, a lost generation, or a wrong count breaks
+    // a row
+    "quality_schema_drift" ->
+      ("WITH g AS (SELECT CAST((event_id % 4) + 1 AS BIGINT) AS to_gen, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows_to_gen FROM events GROUP BY 1), " +
+        "e(from_gen, to_gen, col_name, change, from_type, to_type) AS (VALUES " +
+        "(CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'score', 'added', CAST(NULL AS VARCHAR), 'DOUBLE'), " +
+        "(2, 3, 'amount', 'retyped', 'INT', 'BIGINT'), " +
+        "(2, 3, 'props', 'dropped', 'STRING', CAST(NULL AS VARCHAR)), " +
+        "(3, 4, 'value', 'retyped', 'DECIMAL(12,2)', 'DECIMAL(18,2)')) " +
+        "SELECT e.from_gen, e.to_gen, e.col_name, e.change, e.from_type, " +
+        "e.to_type, g.n_rows_to_gen " +
+        "FROM e JOIN g ON g.to_gen = e.to_gen ORDER BY e.to_gen, e.col_name"),
 
     "batch_barrier" ->
       ("SELECT event_id // 1000 AS batch_id, COUNT(*) AS n_rows, " +

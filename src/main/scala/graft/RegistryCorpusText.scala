@@ -502,6 +502,13 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "dedup_semantic" -> ((s, d) =>
       Similarity.semanticDedup(Tables.embeddings(s, d))),
 
+    // SemDeDup cluster-grain prune (round 14): within each seed
+    // cluster keep only the centroid-nearest member above the cosine
+    // cap — centroid-cosine only, NO pair relation (O(N·nlist), the
+    // unconditional 100 TB form; see semanticPrune's scaladoc).
+    "dedup_semantic_prune" -> ((s, d) =>
+      Similarity.semanticPrune(Tables.embeddings(s, d))),
+
     // Semantic contamination (round 10): the embedding-level complement
     // to contamination_check/ngram/bloom — a paraphrased benchmark
     // answer shares no 13-gram but sits at high cosine. Same clustering

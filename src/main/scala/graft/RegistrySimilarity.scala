@@ -386,6 +386,14 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.wavResample2x(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
+    // Arbitrary-ratio polyphase resample (round 14): 2/3 rate (the
+    // 48->32 kHz shape) via the exact fixed-point phase step — base =
+    // (j*3) div 2, frac = (j*3) mod 2, integer interpolation (see
+    // wavResamplePoly's scaladoc).
+    "multimodal_audio_resample_poly" -> ((s, d) =>
+      Multimodal.wavResamplePoly(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
     // Video-container leg (round 8): hand-authored ANIMATED GIF89a
     // (container + grayscale palette + the LZW stream itself), decoded
     // back through ImageIO's OWN multi-frame GIF reader; every 2nd frame
@@ -554,6 +562,28 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "SELECT asg.vec_id, asg.cent_id, coalesce(fl.n_dup_of, 0) AS n_dup_of, " +
         "fl.max_cos AS max_cos, fl.vec_id IS NULL AS is_kept " +
         "FROM asg LEFT JOIN fl ON asg.vec_id = fl.vec_id ORDER BY asg.vec_id"),
+
+    // SemDeDup prune replay: the same centroid CTEs, but the winning
+    // cosine rides the assignment; keep-rank is ROW_NUMBER over the
+    // (cluster, above-cap) partition — NaN/NULL cosines are never
+    // 'above' (a degenerate vector is kept)
+    "dedup_semantic_prune" ->
+      (s"WITH $sqlQuantCte, " +
+        "cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
+        "ac AS (SELECT n.vec_id, c.cent_id, " +
+        "CAST(list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2])) AS DOUBLE) " +
+        "/ (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos " +
+        "FROM n, cent c), " +
+        "asg AS (SELECT vec_id, cent_id, ccos FROM (SELECT vec_id, cent_id, ccos, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac) " +
+        "WHERE rn = 1), " +
+        "fl AS (SELECT vec_id, cent_id, ccos, " +
+        "(ccos IS NOT NULL AND NOT isnan(ccos) AND ccos >= 0.35) AS above FROM asg), " +
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cent_id, above " +
+        "ORDER BY ccos DESC, vec_id) AS krn FROM fl) " +
+        "SELECT vec_id, cent_id, ccos AS c_cos, (NOT above) OR krn = 1 AS keep " +
+        "FROM rk ORDER BY vec_id"),
 
     // Semantic contamination replay: dedup_semantic's centroid CTEs,
     // intra-cluster pairs oriented (test, train) across the md5 holdout
@@ -1117,6 +1147,27 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(SUM(o.v) AS BIGINT) AS s_sum, CAST(SUM(o.j * o.v) AS BIGINT) AS s_posw, " +
         "CAST(MIN(o.v) AS BIGINT) AS s_min, CAST(MAX(o.v) AS BIGINT) AS s_max " +
         "FROM o JOIN n ON o.doc_id = n.doc_id GROUP BY 1, 2 ORDER BY 1"),
+
+    // polyphase replay: analytic PCM evaluated AT the phase positions
+    // base and base+1 (no sample-table join needed — s(i) is a closed
+    // form), interpolation via the explicit sign split (JVM / truncates
+    // toward zero, DuckDB // floors); n >= 20 always, so the n = 0 leg
+    // of n_out never fires at this fixture
+    "multimodal_audio_resample_poly" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents), " +
+        "o AS (SELECT doc_id, n, unnest(range(0, (2*(n-1)) // 3 + 1)) AS j FROM dims), " +
+        "p AS (SELECT doc_id, n, j, (j*3) // 2 AS base, (j*3) % 2 AS frac FROM o), " +
+        "sv AS (SELECT doc_id, n, j, frac, " +
+        "(doc_id*37 + base*11) % 65536 - 32768 AS s0, " +
+        "(doc_id*37 + (base+1)*11) % 65536 - 32768 AS s1 FROM p), " +
+        "vv AS (SELECT doc_id, n, j, CASE WHEN frac = 0 THEN s0 " +
+        "WHEN s1 - s0 < 0 THEN s0 - (((s0 - s1) * frac) // 2) " +
+        "ELSE s0 + (((s1 - s0) * frac) // 2) END AS v FROM sv) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_in, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_out, " +
+        "CAST(SUM(v) AS BIGINT) AS s_sum, CAST(SUM(j*v) AS BIGINT) AS s_posw, " +
+        "CAST(MIN(v) AS BIGINT) AS s_min, CAST(MAX(v) AS BIGINT) AS s_max " +
+        "FROM vv GROUP BY doc_id, n ORDER BY doc_id"),
 
     "multimodal_audio_trim" ->
       ("WITH s AS (SELECT doc_id, i, (doc_id*37 + i*11) % 65536 - 32768 AS v " +

@@ -810,6 +810,69 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** ARBITRARY-RATIO POLYPHASE RESAMPLE (round 14) — the fixed-point
+    * phase-step generalization [[wavResample2x]]'s scaladoc documents:
+    * output rate = input rate × l/m (l=2, m=3 ≈ 48→32 kHz, the classic
+    * speech-pipeline conversion). Output sample j sits at input phase
+    * j·m/l: base = (j·m) div l, frac = (j·m) mod l, and the linear
+    * interpolation stays EXACT INTEGER arithmetic — v = s[base] when
+    * frac = 0, else s[base] + (s[base+1] − s[base])·frac div l with
+    * JVM truncating division (the oracle replays the negative-diff leg
+    * as the explicit sign split; DuckDB's // floors). n_out =
+    * (l·(n−1)) div m + 1 — exactly the phases whose interpolation
+    * window exists. Same one-codec-per-partition harness, same
+    * decoder-asserted format, same position-weighted digests (a
+    * phase-accumulator bug cannot pass s_posw).
+    *
+    * Output: (doc_id, n_in, n_out, s_sum, s_posw, s_min, s_max),
+    * ordered. */
+  def wavResamplePoly(spark: SparkSession, ingested: DataFrame,
+                      l: Int = 2, m: Int = 3): DataFrame = {
+    require(l >= 1 && m >= 1, s"resample ratio must be positive: $l/$m")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_in", LongType),
+      StructField("n_out", LongType), StructField("s_sum", LongType),
+      StructField("s_posw", LongType), StructField("s_min", LongType),
+      StructField("s_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
+          val data = ais.readAllBytes(); ais.close()
+          require(data.length % 2 == 0,
+            s"odd PCM byte count ${data.length}: truncated int16 stream")
+          val n = data.length / 2
+          def s(i: Int): Long =
+            ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+          val nOut = if (n == 0) 0 else (l * (n - 1)) / m + 1
+          var sum = 0L; var posw = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var j = 0
+          while (j < nOut) {
+            val base = (j * m) / l
+            val frac = (j * m) % l
+            val v = if (frac == 0) s(base)
+              else s(base) + (s(base + 1) - s(base)) * frac / l
+            sum += v; posw += j.toLong * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            j += 1
+          }
+          Row(r.getAs[Long]("doc_id"), n.toLong, nOut.toLong, sum, posw,
+            if (nOut == 0) 0L else mn, if (nOut == 0) 0L else mx)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** SILENCE-TRIM / CLIPPING segmentation (round 12) — what a speech
     * curation pipeline does with the energy profile [[wavRmsWindows]]
     * computes: per clip, how many windows are silent (window energy

@@ -1379,13 +1379,16 @@ object Relational {
     * `event_retention`'s cohort triangle and the denominator-correct
     * churn rate every subscription review wants (churn is a share of
     * LAST week's actives, not this week's). Weeks are compared
-    * CALENDAR-adjacent (week = prev + 7 days — a gap week means
-    * everyone churned, and the readout shows it rather than splicing
-    * non-adjacent weeks; weekly because the event corpus spans weeks,
-    * not years — the granularity a product review actually runs).
-    * Distinct (week, user) pairs are the only corpus-sized relation;
-    * one self-equi-join on the shifted week + two bounded rollups;
-    * churn share in integer ppm.
+    * CALENDAR-adjacent (week = prev + 7 days — a gap week INSIDE the
+    * observed span reports retained = 0 / churn_ppm = 1000000, the
+    * catastrophic row this operator exists to surface, rather than
+    * splicing non-adjacent weeks; weeks past the corpus' last
+    * observed week don't report — the data ended, the users didn't
+    * churn. Weekly because the event corpus spans weeks, not years —
+    * the granularity a product review actually runs). Distinct
+    * (week, user) pairs are the only corpus-sized relation; one
+    * self-equi-join on the shifted week + two bounded rollups + a
+    * 1-row broadcast span bound; churn share in integer ppm.
     *
     * Output: (week, prev_actives, retained, churned, churn_ppm),
     * ordered — weeks with no previous calendar week absent by
@@ -1403,7 +1406,8 @@ object Relational {
         col("user_id")), Seq("week", "user_id"))
       .groupBy(col("week")).agg(count(lit(1)).as("retained"))
     prevActives
-      .join(actives.select(col("week")), Seq("week"))
+      .crossJoin(broadcast(actives.agg(max(col("week")).as("max_week"))))
+      .filter(col("week") <= col("max_week"))
       .join(retained, Seq("week"), "left")
       .select(col("week"), col("prev_actives"),
         coalesce(col("retained"), lit(0L)).as("retained"))
@@ -2702,6 +2706,10 @@ object Relational {
                   types: Seq[String] = AnovaTypes): DataFrame = {
     val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
     val t = col("event_type")
+    // Σc² accumulates in DECIMAL(38,0), not BIGINT: at ~10⁹ rows of
+    // 10⁵-cent values the squares' sum exceeds int64, where DuckDB's
+    // SUM(BIGINT) promotes to HUGEINT — the spearman/HHI doctrine.
+    val qdec = DecimalType(38, 0)
     val aggs = types.flatMap { ty =>
       val k = ty.replaceAll("[^a-z]", "")
       Seq(
@@ -2709,7 +2717,8 @@ object Relational {
           .as(s"n_$k"),
         coalesce(sum(when(col("ty") === ty, col("c"))), lit(0L))
           .as(s"s_$k"),
-        coalesce(sum(when(col("ty") === ty, col("c") * col("c"))), lit(0L))
+        coalesce(sum(when(col("ty") === ty,
+          (col("c") * col("c")).cast(qdec))), lit(0L).cast(qdec))
           .as(s"q_$k"))
     }
     events.filter(t.isin(types: _*))
@@ -2782,7 +2791,11 @@ object Relational {
     val sb = ks.map(k =>
       s"(CASE WHEN n_$k > 0 THEN (CAST(s_$k AS DOUBLE) * CAST(s_$k AS DOUBLE)) / n_$k ELSE 0.0 END)")
       .mkString(" + ")
-    val q = ks.map(k => s"CAST(q_$k AS DOUBLE)").mkString(" + ")
+    // q_* is DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the
+    // decimal→STRING→double bridge keeps the conversion bit-identical
+    // across engines once the sum passes 2^53 (groupedCorrelation).
+    val q = ks.map(k => s"CAST(CAST(q_$k AS STRING) AS DOUBLE)")
+      .mkString(" + ")
     val kLive = ks.map(k => s"(CASE WHEN n_$k > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
     what match {

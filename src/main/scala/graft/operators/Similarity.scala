@@ -1652,6 +1652,53 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SEMANTIC DEDUP AT CLUSTER GRAIN (round 14) — the SemDeDup shape
+    * (Abbas et al. 2023, arXiv:2303.09540): embedding-cluster the
+    * corpus, and within each cluster drop every member that sits
+    * above a cosine cap to its OWN centroid except the single
+    * centroid-nearest one — the embedding-space counterpart of the
+    * lexical near-dup gate, standard in LLM curation (a tight ball
+    * around a centroid is one semantic document photocopied; the
+    * best-aligned copy represents it). Members below the cap are
+    * untouched — they are cluster NEIGHBORS, not duplicates.
+    *
+    * Unlike [[semanticDedup]] (pairwise cosines inside the bounded
+    * bucket — O(cluster²)), the cluster-grain rule needs only each
+    * member's cosine to its assigned centroid — O(N·nlist) narrow work
+    * against the broadcast seed quantizer, NO pair relation at all:
+    * the form that survives 100 TB unconditionally. Assignment is the
+    * `sim_ann_ivf_fixed` seed-quantizer rule verbatim (fully
+    * replayable); the keep rank is a per-(cluster, above-cap) window —
+    * partitioned by construction. Keep-set reconciliation is
+    * structural: per cluster, kept = (members below cap) + min(1,
+    * members above cap) — the spec asserts it, the oracle hash-pins
+    * every row. NaN/null cosines (zero-norm vectors) are never
+    * "above" ([[defined]] gate) — a degenerate vector is kept, not
+    * silently deduped against the centroid it isn't near.
+    *
+    * Output: (vec_id, cent_id, c_cos, keep), ordered by vec_id. */
+  def semanticPrune(emb: DataFrame, nlist: Int = 16,
+                    cap: Double = 0.35): DataFrame = {
+    val p = prepared(emb)
+    val cent = broadcast(seedCentroids(p, nlist))
+    val assigned = p.join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("c_cos")),
+        struct(col("c_cos"), -col("cent_id"))).as("c"))
+      .select(col("vec_id"), col("c.cent_id").as("cent_id"),
+        col("c.c_cos").as("c_cos"))
+      .withColumn("above", defined(col("c_cos")) && col("c_cos") >= cap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cent_id"), col("above"))
+      .orderBy(col("c_cos").desc, col("vec_id"))
+    assigned.withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("cent_id"), col("c_cos"),
+        (!col("above") || col("rn") === 1).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** RANGE (radius) search (round 11) — the threshold dual of
     * [[annTopK]]: instead of "the k nearest", every corpus vector
     * within cosine ≥ `threshold` of each query — the retrieval shape

@@ -146,6 +146,90 @@ object ParquetEvolution {
     * props-nulls beyond the data's own, gen 2 exactly its row count —
     * a reader that resurrects dropped values or loses the column
     * entirely breaks a count. */
+  /** SCHEMA-DRIFT MONITOR (round 14) — the per-generation column
+    * add/drop/type-change LEDGER a conduit operator reads when a
+    * producer ships a new schema: which columns appeared, disappeared
+    * or changed type between adjacent writer generations, and how many
+    * rows the new generation carries. Completes the quality_* family
+    * (orphans → `quality_fk_orphans`, length shapes →
+    * `quality_len_drift`, schema surface → THIS); builds on the three
+    * evolution moves proven one-at-a-time by [[evolveRoundTrip]] /
+    * [[widenRoundTrip]] / [[dropRoundTrip]] by writing ONE
+    * four-generation lineage that exercises all of them:
+    *
+    *   gen 1: event_id, event_type, amount INT, value DECIMAL(12,2), props
+    *   gen 2: + score DOUBLE                        (column added)
+    *   gen 3: − props; amount INT→BIGINT            (dropped + retyped)
+    *   gen 4: value DECIMAL(12,2)→DECIMAL(18,2)     (retyped)
+    *
+    * The ledger's schema edges come from the PARQUET FOOTERS of the
+    * written generations (metadata-only reads — what a real drift
+    * monitor inspects; a generation whose writer lied about its schema
+    * is caught here, not by re-deriving from the writer's plan), the
+    * row counts from one data read of the target generation. Footer
+    * comparison is driver-side over ≤ |columns|·|generations| entries
+    * — schema metadata, never data; the counts join is a broadcast of
+    * the ≤ 4-row edge table.
+    *
+    * Output: (from_gen, to_gen, col_name, change, from_type, to_type,
+    * n_rows_to_gen), ordered by (to_gen, col_name) — change ∈
+    * {added, dropped, retyped}; types in Spark DDL form. */
+  def driftLedger(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = s"$scratchRoot/drift-${java.util.UUID.randomUUID()}"
+    val base = events.select(col("event_id"), col("event_type"),
+      col("value"), col("props"), floor(col("value")).as("amt"))
+    def gen(g: Int) = base.filter(pmod(col("event_id"), lit(4)) === (g - 1))
+    gen(1)
+      .select(col("event_id"), col("event_type"),
+        col("amt").cast("int").as("amount"),
+        col("value").cast(DecimalType(12, 2)).as("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    gen(2)
+      .select(col("event_id"), col("event_type"),
+        col("amt").cast("int").as("amount"),
+        col("value").cast(DecimalType(12, 2)).as("value"), col("props"),
+        score.as("score"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    gen(3)
+      .select(col("event_id"), col("event_type"),
+        col("amt").cast("long").as("amount"),
+        col("value").cast(DecimalType(12, 2)).as("value"), score.as("score"))
+      .write.mode("overwrite").parquet(s"$out/gen=3")
+    gen(4)
+      .select(col("event_id"), col("event_type"),
+        col("amt").cast("long").as("amount"),
+        col("value").cast(DecimalType(18, 2)).as("value"), score.as("score"))
+      .write.mode("overwrite").parquet(s"$out/gen=4")
+    // footer schemas (metadata-only), compared adjacent-pairwise
+    val schemas = (1 to 4).map(g =>
+      g -> spark.read.parquet(s"$out/gen=$g").schema)
+    val edges = schemas.sliding(2).flatMap { case Seq((ga, sa), (gb, sb)) =>
+      val fa = sa.fields.map(f => f.name -> f.dataType).toMap
+      val fb = sb.fields.map(f => f.name -> f.dataType).toMap
+      val added = (fb.keySet -- fa.keySet).toSeq.map(c =>
+        (ga.toLong, gb.toLong, c, "added", null: String, fb(c).sql))
+      val dropped = (fa.keySet -- fb.keySet).toSeq.map(c =>
+        (ga.toLong, gb.toLong, c, "dropped", fa(c).sql, null: String))
+      val retyped = (fa.keySet & fb.keySet).toSeq
+        .filter(c => fa(c) != fb(c)).map(c =>
+          (ga.toLong, gb.toLong, c, "retyped", fa(c).sql, fb(c).sql))
+      added ++ dropped ++ retyped
+    }.toSeq
+    import spark.implicits._
+    val edgeDf = edges.toDF("from_gen", "to_gen", "col_name", "change",
+      "from_type", "to_type")
+    // target-generation row counts from the data (the split rule)
+    val counts = events
+      .groupBy((pmod(col("event_id"), lit(4)) + 1).as("to_gen"))
+      .agg(count(lit(1)).as("n_rows_to_gen"))
+    counts.join(broadcast(edgeDf), Seq("to_gen"))
+      .select(col("from_gen"), col("to_gen"), col("col_name"),
+        col("change"), col("from_type"), col("to_type"),
+        col("n_rows_to_gen"))
+      .orderBy(col("to_gen"), col("col_name"))
+  }
+
   def dropRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
     val out = s"$scratchRoot/drop-${java.util.UUID.randomUUID()}"
     val base = events.select(col("event_id"), col("event_type"),

@@ -1555,6 +1555,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_kept")) < out.length)
   }
 
+  test("semanticPrune: keep-set reconciles per cluster (below-cap + " +
+    "min(1, above-cap)), the survivor is the centroid-nearest, and " +
+    "the prune actually bites") {
+    val cap = 0.35
+    val out = Similarity.semanticPrune(emb, cap = cap).collect()
+    assert(out.length == emb.count(), "one row per corpus vector")
+    val byCluster = out.groupBy(_.getAs[Long]("cent_id"))
+    byCluster.foreach { case (cid, rows) =>
+      def cos(r: org.apache.spark.sql.Row) =
+        Option(r.getAs[java.lang.Double]("c_cos")).map(_.doubleValue())
+      val above = rows.filter(r =>
+        cos(r).exists(c => !c.isNaN && c >= cap))
+      val below = rows.filterNot(r =>
+        cos(r).exists(c => !c.isNaN && c >= cap))
+      // every below-cap member kept; exactly one above-cap survivor
+      assert(below.forall(_.getAs[Boolean]("keep")), s"cluster $cid")
+      val keptAbove = above.filter(_.getAs[Boolean]("keep"))
+      assert(keptAbove.length == math.min(1, above.length), s"cluster $cid")
+      // the survivor is the centroid-nearest (max cos, tie min vec_id)
+      if (above.nonEmpty) {
+        val want = above.maxBy(r =>
+          (cos(r).get, -r.getAs[Long]("vec_id")))
+        assert(keptAbove.head.getAs[Long]("vec_id") ==
+          want.getAs[Long]("vec_id"), s"cluster $cid survivor")
+      }
+    }
+    // non-vacuous both ways: some cluster drops members, and kept
+    // strictly exceeds the cluster count (below-cap neighbors survive)
+    assert(out.exists(!_.getAs[Boolean]("keep")), "prune never bit")
+    assert(out.count(_.getAs[Boolean]("keep")) > byCluster.size)
+  }
+
   test("semanticContamination: match counts equal the cross-split " +
     "intra-cluster subset of exact all-pairs; one row per test vector") {
     val out = Similarity.semanticContamination(emb, threshold = 0.4).collect()

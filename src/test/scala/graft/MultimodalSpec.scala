@@ -125,6 +125,33 @@ class MultimodalSpec extends SparkSpec {
     assert(reparted.toSeq == decoded.toSeq)
   }
 
+  test("wavResamplePoly: 2/3-rate fixed-point phase step matches the " +
+    "exact integer interpolation, any partitioning") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal
+      .wavResamplePoly(spark, Multimodal.ingestWav(docs)).collect()
+    assert(out.length == docs.count())
+    out.take(50).foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val n = r.getAs[Long]("n_in").toInt
+      def s(i: Int) = Multimodal.sampleValue(docId, i.toLong).toLong
+      val nOut = if (n == 0) 0 else (2 * (n - 1)) / 3 + 1
+      val vs = (0 until nOut).map { j =>
+        val base = (j * 3) / 2; val frac = (j * 3) % 2
+        if (frac == 0) s(base) else s(base) + (s(base + 1) - s(base)) / 2
+      }
+      assert(r.getAs[Long]("n_out") == nOut.toLong)
+      assert(r.getAs[Long]("s_sum") == vs.sum)
+      assert(r.getAs[Long]("s_posw") == vs.zipWithIndex.map {
+        case (v, j) => v * j }.sum)
+      assert(r.getAs[Long]("s_min") == vs.min)
+      assert(r.getAs[Long]("s_max") == vs.max)
+    }
+    val reparted = Multimodal.wavResamplePoly(spark,
+      Multimodal.ingestWav(docs.repartition(7))).collect()
+    assert(reparted.toSeq == out.toSeq)
+  }
+
   test("pngBytes → ImageIO: exact dimensions and per-pixel raster samples") {
     // widths 4..14 / heights 4..8 cover the modulus ranges; docId varies
     // the pixel ramp's phase

@@ -346,10 +346,13 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.2, s"chi2 ${r.getDouble(4)}")
   }
 
-  test("weeklyChurn: churn is a share of LAST week's actives; only " +
-    "calendar-adjacent week pairs report") {
+  test("weeklyChurn: churn is a share of LAST week's actives; a gap " +
+    "week inside the span reports total churn; weeks past the corpus " +
+    "end don't report") {
     // week of Jan 1 2024 (a Monday): {1,2,3}; next week {2,3,4};
-    // then a silent week; then {1} — only the adjacent pair reports
+    // then a SILENT week (total churn of the 3 actives); then {1}.
+    // The silent week reports retained=0 / churn_ppm=1000000; the
+    // week after Jan 22 (past the observed span) does not report.
     val events = Seq(
       (1L, "2024-01-02"), (2L, "2024-01-03"), (3L, "2024-01-04"),
       (2L, "2024-01-09"), (3L, "2024-01-10"), (4L, "2024-01-11"),
@@ -358,7 +361,9 @@ class RelationalSpec extends SparkSpec {
       .select(col("user_id"), to_timestamp(col("t")).as("ts"))
     val out = Relational.weeklyChurn(events).collect().toSeq
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    assert(out == Seq((3L, 2L, 1L, 333333L)), s"got $out")
+    assert(out == Seq(
+      (3L, 2L, 1L, 333333L),
+      (3L, 0L, 3L, 1000000L)), s"got $out")
   }
 
   test("newVsReturning: first day ever is NEW, any later active day " +

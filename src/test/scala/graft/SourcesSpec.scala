@@ -188,6 +188,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("schema-drift ledger: the four-generation lineage reports " +
+    "exactly its add/drop/retype edges from the parquet footers, with " +
+    "the target generation's row count") {
+    import graft.sources.ParquetEvolution
+    val out = ParquetEvolution.driftLedger(spark, events).collect()
+    val edges = out.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getString(3), r.getString(4), r.getString(5))).toSet
+    assert(edges == Set(
+      (1L, 2L, "score", "added", null, "DOUBLE"),
+      (2L, 3L, "amount", "retyped", "INT", "BIGINT"),
+      (2L, 3L, "props", "dropped", "STRING", null),
+      (3L, 4L, "value", "retyped", "DECIMAL(12,2)", "DECIMAL(18,2)")),
+      s"ledger edges drifted: ${edges.mkString("; ")}")
+    // the counts come from the data, via the mod-4 split rule
+    val want = events.groupBy(pmod(col("event_id"), lit(4)).as("g"))
+      .count().collect().map(r => r.getLong(0) + 1 -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(6) == want(r.getLong(1)),
+        s"n_rows_to_gen drifted for gen ${r.getLong(1)}")
+    }
+  }
+
   test("CSV under-arity rows pad their fields AND carry the corrupt " +
     "record (Spark 4 flags arity mismatches; the malformed set still " +
     "uses numeric failures so the contract survives parsers that don't)") {
