@@ -126,6 +126,42 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       GraphAnn.hnswServedTopK(dir, Tables.embeddings(s, d), efSearch = 512)
     }),
 
+    // INCREMENTAL INDEX UPSERT (round 14) — the maintenance path every
+    // served key's scaladoc promised: the quantizer trains on the BASE
+    // corpus (vec_id < 3·max/4) and is then FROZEN; the persisted
+    // CODES relation is built from the base and the doc-id-ranged
+    // delta is UPSERTED by encoding ONLY the delta against the frozen
+    // quantizer and appending — no full-corpus re-encode anywhere
+    // (the delta encode's scan carries a pushed vec_id range filter;
+    // spec-asserted). The serve plan reads codes + corpus, running no
+    // encode job at all. Hash-matches the from-scratch rebuild on the
+    // unioned corpus because pointwise assignment under a fixed
+    // quantizer distributes over the split — exactly the identity that
+    // makes IVF codes incrementally maintainable at 100 TB.
+    "sim_ann_index_upsert" -> ((s, d) => {
+      val dir = ivfUpsertDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivf_upsert_")
+        val emb = Tables.embeddings(s, d)
+        val maxRow = emb.agg(max(col("vec_id"))).head
+        val t = if (maxRow.isNullAt(0)) 0L else 3L * maxRow.getLong(0) / 4L
+        Similarity.saveCentroids(
+          Similarity.trainCentroids(
+            Similarity.prepared(emb.filter(col("vec_id") < t)),
+            nlist = 16, iters = 2),
+          s"$tmp/centroids")
+        val cent = Similarity.loadCentroids(s, s"$tmp/centroids")
+        Similarity.ivfCodes(emb.filter(col("vec_id") < t), cent)
+          .write.mode("overwrite").parquet(s"$tmp/codes")
+        // the incremental upsert: delta-only encode, appended
+        Similarity.ivfCodes(emb.filter(col("vec_id") >= t), cent)
+          .write.mode("append").parquet(s"$tmp/codes")
+        tmp
+      })
+      Similarity.ivfServeWithCodes(Tables.embeddings(s, d),
+        Similarity.loadCentroids(s, s"$dir/centroids"),
+        s.read.parquet(s"$dir/codes"))
+    }),
+
     // HNSW BUILD oracle (round 13) — construction itself under the
     // driver's full oracle, closing the last spec-only compute family:
     // a single-shard fixture (vec_id < 40, coalesce(1)) built with
@@ -730,6 +766,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // path (same quantizer by determinism), so it replays under the SAME
     // unrolled-training oracle.
     "sim_ann_ivf_served" -> sqlIvfTrained,
+
+    // upsert replay: identical serve tail, training restricted to the
+    // doc-id-ranged base — the from-scratch rebuild on the unioned
+    // corpus IS the oracle (fixed quantizer ⇒ assignment distributes
+    // over the base/delta split)
+    "sim_ann_index_upsert" -> sqlIvfTrainedFrom(sqlIvfUpsertBase),
 
     // Inertia replay: the shared trained front (asg + c2), exact
     // distance tail

@@ -48,6 +48,13 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
   private[graft] val hnswIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Session-scoped upserted-IVF index locations for
+    * sim_ann_index_upsert — quantizer trained on the base corpus +
+    * CODES relation built base-then-delta (the incremental-maintenance
+    * path), served from disk. */
+  private[graft] val ivfUpsertDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** JVM-exit cleanup for the per-process serve artifacts above (the
     * quantizer save and the z-ordered layout + index): they live in
     * fresh `Files.createTempDirectory` paths, so without this hook
@@ -740,11 +747,17 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
     * unrolled Lloyd's iterations, full-corpus assignment, nprobe = 4
     * probes for queries vec_id < 10) — shared by the trained-IVF oracle
     * and the IVF-PQ composite. */
-  private[graft] lazy val sqlIvfFrontCtes: String =
+  private[graft] lazy val sqlIvfFrontCtes: String = sqlIvfFrontCtesFrom("n")
+
+  /** The trained-IVF front with the TRAINING relation parameterized
+    * (`src` = "n" for whole-corpus training; a filtered subquery for
+    * the base-trained upsert oracle — assignment/probes always run
+    * over the full `n`). */
+  private[graft] def sqlIvfFrontCtesFrom(src: String): String =
     s"$sqlQuantCte, " +
-      "tr AS (SELECT vec_id, v, nrm FROM n " +
+      s"tr AS (SELECT vec_id, v, nrm FROM $src " +
       "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096), " +
-      "c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n " +
+      s"c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM $src " +
       "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16), " +
       sqlIvfIter(1, "c0") + ", " + sqlIvfIter(2, "c1") + ", " +
       "ac AS (SELECT n.vec_id, c.cent_id, " +
@@ -761,8 +774,13 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
   /** Full trained-IVF oracle: the shared front, then the serve tail
     * proven by sim_ann_ivf_fixed — candidate lookup + exact top-10
     * rerank. */
-  private[graft] lazy val sqlIvfTrained: String =
-    "WITH " + sqlIvfFrontCtes + ", " +
+  private[graft] lazy val sqlIvfTrained: String = sqlIvfTrainedFrom("n")
+
+  /** Trained-IVF oracle with the training relation parameterized (see
+    * [[sqlIvfFrontCtesFrom]]) — `sim_ann_index_upsert` trains on the
+    * doc-id-ranged base only; serve tail unchanged. */
+  private[graft] def sqlIvfTrainedFrom(src: String): String =
+    "WITH " + sqlIvfFrontCtesFrom(src) + ", " +
       "cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id FROM probes p " +
       "JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id != p.q_id), " +
       s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
@@ -770,6 +788,14 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
       "FROM s WHERE NOT isnan(cos)) " +
       "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"
+
+  /** The base-corpus training relation of the upsert key: vectors with
+    * vec_id below 3·max/4 (the doc-id-ranged split the delta appends
+    * after) — the // floor equals the engine's non-negative Long
+    * division. */
+  private[graft] val sqlIvfUpsertBase: String =
+    "(SELECT vec_id, v, nrm FROM n " +
+      "WHERE vec_id < (SELECT (3 * MAX(vec_id)) // 4 FROM n))"
 
   /** IVF-PQ composite oracle: the IVF front (coarse lists + probes) and
     * the PQ front (subspace slicing + codebook training) share the same

@@ -449,15 +449,54 @@ object Similarity {
       .orderBy(col("cent_id"))
   }
 
-  private def ivfServe(p: DataFrame, cent: DataFrame, nQueries: Int,
-                       k: Int, nprobe: Int): DataFrame = {
-    // assign every vector to its best centroid: argmax cosine via max_by
-    val assigned = p.join(cent)
+  /** The IVF CODES relation — every vector's inverted-list assignment
+    * (vec_id, cent_id) under a FIXED quantizer: the serve path's
+    * argmax-cosine rule verbatim. This is the relation a deployed IVF
+    * index PERSISTS and maintains incrementally — a corpus delta is
+    * encoded against the same frozen quantizer and appended, never a
+    * full re-encode (see `sim_ann_index_upsert`); assignment of
+    * base ∪ delta equals assignment of base plus assignment of delta
+    * exactly because the quantizer is fixed. */
+  def ivfCodes(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col("cent_id"), col("c_qv"), col("c_nrm")))
+    ivfAssign(prepared(emb), cent)
+  }
+
+  private def ivfAssign(p: DataFrame, cent: DataFrame): DataFrame =
+    p.join(cent)
       .withColumn("c_cos",
         cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
         .as("cent_id"))
+
+  /** IVF serve over a PERSISTED codes relation ([[ivfCodes]] output,
+    * typically parquet maintained by incremental upsert): identical
+    * probing and rerank to [[ivfTopKWith]], but the corpus-sized
+    * assignment pass is REPLACED by the codes read — the plan runs no
+    * encode job at all, the way a deployed index answers queries while
+    * the codes table is maintained out-of-band. */
+  def ivfServeWithCodes(emb: DataFrame, centroids: DataFrame,
+                        codes: DataFrame, nQueries: Int = 10, k: Int = 10,
+                        nprobe: Int = 4): DataFrame = {
+    val need = Seq("cent_id", "c_qv", "c_nrm")
+    require(need.forall(centroids.columns.contains),
+      s"quantizer must carry ${need.mkString(", ")} — got " +
+        centroids.columns.mkString(", "))
+    val cent = broadcast(centroids.select(need.map(col): _*))
+    ivfServeTail(prepared(emb), cent,
+      codes.select(col("vec_id"), col("cent_id")), nQueries, k, nprobe)
+  }
+
+  private def ivfServe(p: DataFrame, cent: DataFrame, nQueries: Int,
+                       k: Int, nprobe: Int): DataFrame =
+    // assign every vector to its best centroid: argmax cosine via max_by
+    ivfServeTail(p, cent, ivfAssign(p, cent), nQueries, k, nprobe)
+
+  private def ivfServeTail(p: DataFrame, cent: DataFrame,
+                           assigned: DataFrame, nQueries: Int,
+                           k: Int, nprobe: Int): DataFrame = {
     // queries probe their nprobe best lists (same broadcast quantizer)
     val probes = p.filter(col("vec_id") < nQueries).join(cent)
       .withColumn("c_cos",

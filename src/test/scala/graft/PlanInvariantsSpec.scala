@@ -443,6 +443,38 @@ class PlanInvariantsSpec extends SparkSpec {
       s"expected exactly one hash exchange (user_id), got $exchanges:\n$plan")
   }
 
+  test("sim_ann_index_upsert: the delta encode scans only the doc-id " +
+    "range (pushed filter — no full-corpus re-encode job), and " +
+    "base+delta codes are bit-identical to a from-scratch rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val t = 3L * maxId / 4L
+    val cent = Similarity.trainCentroids(
+      Similarity.prepared(emb.filter(col("vec_id") < t)),
+      nlist = 16, iters = 2)
+    // (a) the upsert plan's only scan carries the pushed range — the
+    // encode genuinely touches the delta alone
+    val deltaCodes = Similarity.ivfCodes(emb.filter(col("vec_id") >= t), cent)
+    val plan = withAqeOff(deltaCodes.queryExecution.executedPlan.toString)
+    assert(plan.contains(s"GreaterThanOrEqual(vec_id,$t)"),
+      s"delta encode does not push the doc-id range:\n${plan.take(2000)}")
+    // (b) incremental maintenance is exact: base-encode + delta-encode
+    // equals the full re-encode under the same frozen quantizer
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cent_id"))).sorted.toSeq
+    val upserted =
+      (codes(Similarity.ivfCodes(emb.filter(col("vec_id") < t), cent)) ++
+        codes(deltaCodes)).sorted
+    val rebuilt = codes(Similarity.ivfCodes(emb, cent))
+    assert(upserted == rebuilt,
+      "upserted codes diverge from the from-scratch rebuild")
+    assert(upserted.nonEmpty && codes(deltaCodes).nonEmpty,
+      "vacuous split: delta or corpus empty")
+  }
+
   test("join_interval_overlap: the overlap pairing is a grid-cell EQUI " +
     "join — never the BNLJ a naive inequality join would plan, and no " +
     "distinct re-shuffle of the pair relation") {
