@@ -286,6 +286,19 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         s"$base/out", s"$base/ckpt", nFiles = 4)
     }),
 
+    // Compacting replay (round 14): the SAME composed ingest with the
+    // survivor store's horizon pruning LIVE (horizon = the stream's
+    // own event-time span — finite, every per-batch cutoff computed
+    // and applied, inert by construction) — hash-pins that compaction
+    // drops nothing it shouldn't; the horizon-bites direction is
+    // spec-tested (see corpusCompactReplay's scaladoc).
+    "stream_corpus_compact" -> ((s, d) => {
+      val base = scratchDir("graft_stream_compact_")
+      graft.streaming.StreamingCorpus.corpusCompactReplay(
+        Tables.documents(s, d), s"$base/src", s"$base/store",
+        s"$base/out", s"$base/ckpt", nFiles = 4)
+    }),
+
     // Token-level (13-gram) decontamination — the whole-doc check's
     // blind-spot closer: a verbatim ≥13-token passage pasted into one
     // long training doc is caught here even when its shingles drown in
@@ -1295,6 +1308,10 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "ORDER BY doc_id"),
 
     "stream_corpus_parity" -> sqlStreamCorpusParity(4),
+
+    // compacting replay: pruning is inert by construction (horizon =
+    // event-time span), so the unpruned fold IS the oracle
+    "stream_corpus_compact" -> sqlStreamCorpusParity(4),
 
     "contamination_ngram" ->
       ("WITH t AS (SELECT doc_id, " +

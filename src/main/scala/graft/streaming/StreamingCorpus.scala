@@ -108,7 +108,8 @@ object StreamingCorpus {
     * mapping held. */
   def corpusParityReplay(docs: DataFrame, srcDir: String, storeDir: String,
                          outDir: String, checkpointDir: String,
-                         nFiles: Int = 4): DataFrame = {
+                         nFiles: Int = 4,
+                         horizonSec: Long = 10000000000L): DataFrame = {
     require(nFiles >= 2, s"need >= 2 files for a multi-batch replay: $nFiles")
     val spark = docs.sparkSession
     val tagged = docs.withColumn("is_test",
@@ -160,7 +161,7 @@ object StreamingCorpus {
       try {
         val q = ingest(stream, bench, storeDir, outDir, checkpointDir,
           minQuality = 0.5, threshold = 0.5,
-          horizonSec = 10000000000L)
+          horizonSec = horizonSec)
         q.awaitTermination()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     } finally bench.close()
@@ -182,6 +183,30 @@ object StreamingCorpus {
         .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
+  }
+
+  /** COMPACTING replay (round 14) — [[corpusParityReplay]] with the
+    * survivor store's horizon pruning LIVE instead of pinned out of
+    * frame: the horizon is the stream's own event-time span (ts =
+    * doc_id seconds, so span = max doc_id + 1 — one bounded 1-row
+    * aggregate), which makes the per-batch cutoff computation and the
+    * store-write prune filter run FOR REAL every batch while staying
+    * semantically inert by construction (every cutoff lands before
+    * epoch at any scale factor) — so the unpruned fold is the oracle,
+    * hash-pinning that compaction drops nothing it shouldn't. The
+    * complementary direction — the horizon BITING — is spec-tested on
+    * the composed pipeline (StreamingCorpusSpec: a pre-cutoff survivor
+    * leaves the store, bounding it, and its late twin re-emits, the
+    * documented [[StreamingDedup.nearDupGate]] trade). Together they
+    * bound `stream_corpus_parity`'s store at arrival-rate × horizon
+    * instead of stream lifetime. */
+  def corpusCompactReplay(docs: DataFrame, srcDir: String, storeDir: String,
+                          outDir: String, checkpointDir: String,
+                          nFiles: Int = 4): DataFrame = {
+    val maxRow = docs.agg(max(col("doc_id"))).head
+    val span = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0) + 1L
+    corpusParityReplay(docs, srcDir, storeDir, outDir, checkpointDir,
+      nFiles, horizonSec = span)
   }
 
   /** One micro-batch of the composed ingest (exposed for direct

@@ -97,4 +97,54 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(survivors == Seq(2L), s"survivors: $survivors")
     } finally { q.stop(); bench.close() }
   }
+
+  test("horizon compaction BITES on the composed pipeline: a pre-cutoff " +
+    "survivor leaves the store (state bounded by the horizon) and its " +
+    "late twin re-emits; a span-sized horizon suppresses it") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(horizonSec: Long): (Seq[Long], Set[Long]) = {
+      val bench = StreamingContamination.benchmarkGrams(
+        Seq((900L, s"benchmark question stem $passage answer tail"))
+          .toDF("doc_id", "text"))
+      val store = tmp("graft_corpus_store_")
+      val out = tmp("graft_corpus_out_")
+      val ckpt = tmp("graft_corpus_ckpt_")
+      val mem = MemoryStream[Doc]
+      // batch 0: the twin base (early ts) + a distinct clean doc two
+      // hours later that drags the batch's max event time forward
+      mem.addData(
+        Doc(1L, ts("2024-01-01 00:00:00"), goodText("archivist")),
+        Doc(6L, ts("2024-01-01 02:00:00"), goodText("navigator") +
+          " while charting a completely different coastline northward"))
+      // a PROCESSING-TIME trigger: AvailableNow would stop after the
+      // data present at start, and batch 1 would never run
+      val q = StreamingCorpus.ingest(mem.toDF(), bench, store, out, ckpt,
+        minQuality = 0.5, threshold = 0.5, horizonSec = horizonSec,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      try {
+        q.processAllAvailable()
+        // batch 1: a near-dup of doc 1, arriving after the cutoff
+        mem.addData(Doc(2L, ts("2024-01-01 02:10:00"),
+          goodText("archivist").replace("seventeen", "nineteen")))
+        q.processAllAvailable()
+        val b1 = spark.read.parquet(s"$out/batch_id=1")
+          .select(col("doc_id")).as[Long].collect().sorted.toSeq
+        val storeDocs = spark.read.parquet(s"$store/v=0/bands")
+          .select(col("doc_id")).as[Long].collect().toSet
+        (b1, storeDocs)
+      } finally { q.stop(); bench.close() }
+    }
+    // 10-minute horizon: batch 0's cutoff (02:00 − 10 min) evicts the
+    // 00:00 survivor from the store batch 1 reads — state is bounded
+    // by arrival-rate × horizon — and the late twin RE-EMITS (the
+    // documented nearDupGate trade)
+    val (bitten, prunedStore) = run(600L)
+    assert(prunedStore == Set(6L), s"pruned store: $prunedStore")
+    assert(bitten == Seq(2L), s"late twin must re-emit: $bitten")
+    // span-sized horizon (the stream_corpus_compact setting): nothing
+    // evicted, the twin is suppressed across batches
+    val (inert, fullStore) = run(3L * 3600L)
+    assert(fullStore == Set(1L, 6L), s"unpruned store: $fullStore")
+    assert(inert == Seq(), s"twin must be suppressed: $inert")
+  }
 }
