@@ -452,4 +452,109 @@ class StressSpec extends SparkSpec {
     info(f"containment over 10x duplicated 500-doc slice: $wall%.1f s, " +
       s"${pairs.length} pairs, $full full-containment")
   }
+
+  /** sf1-EQUIVALENT materialized dataset (round 14): every relational /
+    * event table ×10 by FK-CONSISTENT re-keyed union (each copy's key
+    * spaces offset by a shared stride, so orders still join customers,
+    * lineitems still join orders/parts/suppliers, events scale users ×10
+    * at constant per-user density); nation/region stay ×1 (scaling
+    * TPC-H keeps the dims fixed) and documents/embeddings stay ×1 —
+    * verbatim ×10 text/vector duplication is the ADVERSARIAL shape the
+    * dedicated dedup/ANN stress tests above already exercise against
+    * their cap policies, not a scale probe. Written as a real parquet
+    * dir so the registered keys run UNMODIFIED against it. */
+  private lazy val sf1EqDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_sf1eq_").toString
+    val S = 100000000L
+    def x10(df: org.apache.spark.sql.DataFrame, keys: String*) =
+      (0 until 10).map(i => keys.foldLeft(df)((acc, c) =>
+        acc.withColumn(c, col(c) + lit(i * S)))).reduce(_ unionByName _)
+    def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(Tables.path(d, name))
+    w(Tables.region(spark, sfStress), "region")
+    w(Tables.nation(spark, sfStress), "nation")
+    w(Tables.documents(spark, sfStress), "documents")
+    w(Tables.embeddings(spark, sfStress), "embeddings")
+    w(x10(Tables.customer(spark, sfStress), "c_custkey"), "customer")
+    w(x10(Tables.supplier(spark, sfStress), "s_suppkey"), "supplier")
+    w(x10(Tables.part(spark, sfStress), "p_partkey"), "part")
+    w(x10(Tables.orders(spark, sfStress), "o_orderkey", "o_custkey"),
+      "orders")
+    w(x10(Tables.lineitem(spark, sfStress),
+      "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
+    // events written through the normalized reader: the new dir carries
+    // a true µs TIMESTAMP column, which Tables.events accepts directly
+    w(x10(Tables.events(spark, sfStress), "event_id", "user_id"), "events")
+    d
+  }
+
+  test("sf1-equivalent probe: the 20 heaviest relational/event/graph " +
+    "keys complete at 10x sf0.1 with no hidden-constant cliff") {
+    gated()
+    // the top-20 heaviest keys of BENCH_R14_CLEAN whose inputs scale
+    // cleanly by FK-consistent duplication (text/embedding families
+    // excluded — their ×10 shape is the adversarial dup stress above)
+    val keys = Seq(
+      "stream_join_parity", "stats_bootstrap_ci",
+      "stream_sessionize_parity", "graph_components", "graph_kcore",
+      "stream_window_parity", "join_bucketed", "graph_assortativity",
+      "graph_pagerank", "graph_bfs_layers", "stats_spearman",
+      "stats_profile", "quality_fk_orphans", "graph_link_jaccard",
+      "group_quantiles", "window_ntile", "q21_waiting_suppliers",
+      "order_affinity_rules", "agg_unpivot", "graph_modularity")
+    // the shared memo relations are their own timed entries (the bench
+    // protocol) so per-key times below are MARGINAL costs
+    val builds: Seq[(String, (String) => Long)] = Seq(
+      ("memo:co_order_edges",
+        d => SparkEntry.coOrderEdgesShared(spark, d).count()),
+      ("memo:triangles",
+        d => SparkEntry.trianglesShared(spark, d).count()),
+      ("memo:lpa_labels",
+        d => SparkEntry.lpaLabelsShared(spark, d).count()))
+    // one timed pass over memos + keys against `dir`; memos cleared
+    // first so an earlier suite test can't have pre-paid a build
+    def pass(dir: String, parts: String): Map[String, Double] = {
+      SparkEntry.benchMemos.foreach(_._3())
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+        builds.foreach { case (name, f) =>
+          val t0 = System.nanoTime()
+          val n = f(dir)
+          out(name) = (System.nanoTime() - t0) / 1e9
+          assert(n > 0, s"$name built an empty relation against $dir")
+        }
+        keys.foreach { k =>
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(k)(spark, dir).count()
+          SparkEntry.harnessScope.release()
+          out(k) = (System.nanoTime() - t0) / 1e9
+          assert(n > 0, s"$k returned no rows against $dir")
+        }
+        out.toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // self-calibrating: the sf0.1 pass in the SAME JVM is the unit, so
+    // the assertion is core-count-independent (the suite runs local[4];
+    // absolute ceilings calibrated on a 32-core probe read 3-4x off).
+    // Partitions scale with the data (32 -> 256 ≈ the knob a real
+    // cluster turns): a pinned 32 at 10x volume measures sort spill,
+    // not the operators (the triangle wedge join read 193 s at 32
+    // partitions vs 129 s at 256 on the 32-core probe).
+    val base = pass(sfStress, "32")
+    val at10 = pass(sf1EqDir, "256")
+    (builds.map(_._1) ++ keys).foreach { k =>
+      val r = at10(k) / base(k)
+      info(f"$k%-26s ${base(k)}%7.2f s -> ${at10(k)}%8.2f s  ($r%5.1fx)")
+      // a key whose constants were silently calibrated to sf0.1 shows
+      // up as a runaway (a quadratic key reads ~100x here) or a cap
+      // abort, not a graceful ~10x of its marginal sf0.1 cost; keys
+      // under 30 s absolute are never a cliff (micro-batch and
+      // scheduling overhead dominates their ratio, not data volume)
+      assert(at10(k) < 30.0 || r < 30.0,
+        f"$k scaled ${base(k)}%.1f s -> ${at10(k)}%.1f s ($r%.0fx) at " +
+          "10x data — hidden-constant scale cliff")
+    }
+  }
 }
