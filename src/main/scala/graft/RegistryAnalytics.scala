@@ -600,6 +600,18 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "order_pareto" -> ((s, d) =>
       Relational.paretoReport(Tables.orders(s, d))),
 
+    // ABC inventory classification (round 14): per-brand cumulative
+    // revenue split at 80/95% in exact ×10⁴ units (see
+    // abcClassification's scaladoc).
+    "order_abc_class" -> ((s, d) =>
+      Relational.abcClassification(Tables.lineitem(s, d), Tables.part(s, d))),
+
+    // Theil–Sen robust trend (round 14): exact-rational lower-median
+    // of pairwise slopes over the gap-filled per-type daily series
+    // (see theilSen's scaladoc).
+    "stats_theil_sen" -> ((s, d) =>
+      Relational.theilSen(Tables.events(s, d))),
+
     // Bootstrap CI (round 12): deterministic md5 Poisson bootstrap
     // (see bootstrapCi's scaladoc).
     "stats_bootstrap_ci" -> ((s, d) =>
@@ -2189,6 +2201,59 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(cents_topn * 1000000 // nullif(cents_total, 0) AS BIGINT) AS share_ppm " +
         "FROM h, t ORDER BY top_n")
     },
+
+    // ABC replay: same ×10⁴ exact units, HUGEINT running/total sums,
+    // identical ≤-crossing convention; units surface via VARCHAR
+    // (parity is dtype-kind sensitive: HUGEINT↔DECIMAL both as strings)
+    "order_abc_class" -> {
+      val (cutA, cutB) = Relational.AbcCutsPpm
+      ("WITH rev AS (SELECT pt.p_brand, li.l_partkey, " +
+        "SUM(CAST(CAST(li.l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(li.l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS u " +
+        "FROM lineitem li JOIN part pt ON li.l_partkey = pt.p_partkey GROUP BY 1, 2), " +
+        "c AS (SELECT p_brand, u, " +
+        "SUM(u) OVER (PARTITION BY p_brand ORDER BY u DESC, l_partkey " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "SUM(u) OVER (PARTITION BY p_brand) AS total FROM rev), " +
+        "k AS (SELECT p_brand, u, total, " +
+        s"CASE WHEN cum * 1000000 // nullif(total, 0) <= $cutA THEN 'A' " +
+        s"WHEN cum * 1000000 // nullif(total, 0) <= $cutB THEN 'B' " +
+        "ELSE 'C' END AS abc_class FROM c) " +
+        "SELECT p_brand, abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts, " +
+        "CAST(SUM(u) AS VARCHAR) AS units, " +
+        "CAST(SUM(u) * 1000000 // nullif(MAX(total), 0) AS BIGINT) AS share_ppm " +
+        "FROM k GROUP BY 1, 2 ORDER BY 1, 2")
+    },
+
+    // Theil–Sen replay: same gap-filled grid, BIGINT cross-multiplied
+    // rational order, lower-median rank selection, (den, num)-minimal
+    // representation, sign-split ppm
+    "stats_theil_sen" ->
+      ("WITH dly AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM dly GROUP BY 1), " +
+        "grid AS (SELECT event_type, lo, " +
+        "unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "ser AS (SELECT g.event_type, CAST(date_diff('day', g.lo, g.day) AS BIGINT) AS x, " +
+        "COALESCE(d.y, 0) AS y FROM grid g " +
+        "LEFT JOIN dly d ON g.event_type = d.event_type AND g.day = d.day), " +
+        "sl AS (SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den " +
+        "FROM ser a JOIN ser b ON a.event_type = b.event_type AND a.x < b.x), " +
+        "reps AS (SELECT DISTINCT event_type, num AS rnum, den AS rden FROM sl), " +
+        "cnt AS (SELECT r.event_type, r.rnum, r.rden, " +
+        "CAST(SUM(CASE WHEN s.num * r.rden < r.rnum * s.den THEN 1 ELSE 0 END) AS BIGINT) AS c_lt, " +
+        "CAST(SUM(CASE WHEN s.num * r.rden = r.rnum * s.den THEN 1 ELSE 0 END) AS BIGINT) AS c_eq, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+        "FROM reps r JOIN sl s ON r.event_type = s.event_type GROUP BY 1, 2, 3), " +
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM ser GROUP BY 1), " +
+        "sel AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type " +
+        "ORDER BY rden, rnum) AS rn FROM cnt " +
+        "WHERE c_lt < (n_pairs + 1) // 2 AND (n_pairs + 1) // 2 <= c_lt + c_eq) " +
+        "SELECT s.event_type, nd.n_days, s.n_pairs, " +
+        "s.rnum AS med_num, s.rden AS med_den, " +
+        "CAST(CASE WHEN s.rnum < 0 THEN -((abs(s.rnum) * 1000000) // s.rden) " +
+        "ELSE (s.rnum * 1000000) // s.rden END AS BIGINT) AS slope_ppm " +
+        "FROM sel s JOIN nd USING (event_type) WHERE s.rn = 1 ORDER BY 1"),
 
     // forecast replay: re-centered integer OLS, sign-split divisions
     "event_forecast_linear" ->

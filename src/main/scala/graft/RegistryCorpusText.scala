@@ -384,6 +384,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "text_zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d))),
 
+    // Collocation mining (round 14): exact-rational lift over adjacent
+    // bigrams, support-floored, global top-k via TakeOrdered (see
+    // collocations' scaladoc).
+    "text_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d))),
+
     // Deterministic per-epoch training order (round 8): per-shard md5
     // ranking + broadcast shard offsets — epoch shuffling without a
     // global sort.
@@ -1078,6 +1084,27 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "CAST(SUM(freq) AS BIGINT) AS sum_freq, " +
         "CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_freq " +
         "FROM t JOIN v USING (tok) GROUP BY doc_id ORDER BY doc_id"),
+
+    // collocation replay: same adjacent-bigram/unigram counts, HUGEINT
+    // lift product, identical support floor and (lift, a, b) head
+    "text_collocations" -> {
+      val k = graft.operators.TextAnalysis.CollocTopK
+      val mc = graft.operators.TextAnalysis.CollocMinCount
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "g AS (SELECT unnest(range(1, len(ws))) AS i, ws FROM w), " +
+        "bg AS (SELECT ws[i] AS a, ws[i + 1] AS b FROM g), " +
+        "cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab " +
+        s"FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= $mc), " +
+        "ut AS (SELECT unnest(ws) AS wd FROM w), " +
+        "uni AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY 1), " +
+        "n AS (SELECT CAST(SUM(greatest(len(ws) - 1, 0)) AS BIGINT) AS n_bigrams FROM w) " +
+        "SELECT cab.a, cab.b, ua.c AS c_a, ub.c AS c_b, cab.c_ab, " +
+        "n.n_bigrams, " +
+        "CAST((CAST(cab.c_ab AS HUGEINT) * n.n_bigrams * 1000000) // " +
+        "(CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS lift_ppm " +
+        "FROM cab JOIN uni ua ON cab.a = ua.wd JOIN uni ub ON cab.b = ub.wd, n " +
+        s"ORDER BY lift_ppm DESC, cab.a, cab.b LIMIT $k")
+    },
 
     // Bloom gate replay: mask bit set ⇔ position ∈ member position set,
     // so the oracle tests set membership where the engine tests the bit

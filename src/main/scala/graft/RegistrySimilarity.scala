@@ -314,6 +314,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         .orderBy(col("label"))
     }),
 
+    // Dimension covariance/correlation matrix (round 14): exact
+    // upper-triangle accumulation via one nested-transform HOF, corr
+    // through the via-string bridge (see covarianceMatrix's scaladoc).
+    "embed_covariance" -> ((s, d) =>
+      Similarity.covarianceMatrix(Tables.embeddings(s, d))),
+
     // ---- Group B: multimodal columns ------------------------------------
 
     // Binary media payload + typed metadata + (stub) feature extraction.
@@ -693,6 +699,31 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(list_sum(list_transform(pooled, x -> x*x)) AS BIGINT) AS pooled_nrm, " +
         "md5(array_to_string(pooled, ',')) AS pooled_sig " +
         "FROM p ORDER BY label"),
+
+    // covariance replay: same quantized integers, HUGEINT Σxy/Σx, the
+    // identical via-string corr tree (NULL on zero variance)
+    "embed_covariance" ->
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings), " +
+        "e AS (SELECT vec_id, unnest(q) AS x, " +
+        "unnest(range(0, len(q))) AS dim FROM v), " +
+        "tri AS (SELECT a.dim AS d1, b.dim AS d2, " +
+        "SUM(CAST(a.x * b.x AS HUGEINT)) AS sxy, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_vecs " +
+        "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim " +
+        "GROUP BY 1, 2), " +
+        "m AS (SELECT dim, SUM(CAST(x AS HUGEINT)) AS sx FROM e GROUP BY 1), " +
+        "c AS (SELECT t.d1, t.d2, t.n_vecs, " +
+        "t.n_vecs * t.sxy - m1.sx * m2.sx AS cov_num " +
+        "FROM tri t JOIN m m1 ON t.d1 = m1.dim JOIN m m2 ON t.d2 = m2.dim), " +
+        "dg AS (SELECT d1 AS dim, cov_num AS varnum FROM c WHERE d1 = d2) " +
+        "SELECT c.d1, c.d2, c.n_vecs, CAST(c.cov_num AS VARCHAR) AS cov_num, " +
+        "CASE WHEN v1.varnum <= 0 OR v2.varnum <= 0 THEN NULL " +
+        "ELSE CAST(CAST(c.cov_num AS VARCHAR) AS DOUBLE) / " +
+        "(sqrt(CAST(CAST(v1.varnum AS VARCHAR) AS DOUBLE)) * " +
+        "sqrt(CAST(CAST(v2.varnum AS VARCHAR) AS DOUBLE))) END AS corr " +
+        "FROM c JOIN dg v1 ON c.d1 = v1.dim JOIN dg v2 ON c.d2 = v2.dim " +
+        "ORDER BY 1, 2"),
 
     // TRAINED IVF (round 9): the 2 Lloyd's iterations are a FIXED small
     // constant (Similarity.ivfTopK trainIters = 2), so the training loop

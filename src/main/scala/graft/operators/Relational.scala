@@ -3350,4 +3350,131 @@ object Relational {
     }
     audits.reduce(_.unionAll(_)).orderBy(col("edge"))
   }
+
+  /** ABC class cut points in ppm of cumulative revenue share, shared
+    * with the oracle generator: class A while cum ≤ 80%, B while ≤ 95%,
+    * C above. */
+  val AbcCutsPpm: (Long, Long) = (800000L, 950000L)
+
+  /** ABC INVENTORY CLASSIFICATION (round 14) — the Pareto-derived
+    * stocking policy every inventory review runs: within each
+    * brand, rank parts by discounted lineitem revenue and split
+    * them where the cumulative share crosses 80% (class A) and 95%
+    * (class B) of the brand's total. EXACT throughout: revenue
+    * in integer units of 10⁻⁴ currency (the ×10⁴ full-scale doctrine —
+    * extprice(12,2)·(1−disc(12,2)) has scale 4), cumulative and total
+    * sums in DECIMAL(38,0) (headroom to ~10³¹ total units — squared
+    * warehouse revenue is not involved here, but cum·10⁶ is), the
+    * crossing part itself lands in the NEXT class (cum_ppm uses `≤`).
+    *
+    * Scale shape: one lineitem aggregation to O(parts), a part-dim
+    * join, then a window PARTITIONED by brand for the running
+    * sum — never a global sort. At true warehouse scale a per-group
+    * magnitude pre-bucketing would bound the per-group window volume;
+    * at catalog scale (parts ≪ lineitems) the per-brand window is the
+    * honest plan. ≤ brand×3 rows out.
+    *
+    * Output: (p_brand, abc_class, n_parts, units, share_ppm), ordered. */
+  def abcClassification(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val units = (dec2(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(3, 2)) - dec2(col("l_discount"))) * 10000)
+      .cast(dec)
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(units).as("u"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_partkey"), col("u"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("u").desc, col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = rev.groupBy(col("p_brand")).agg(sum(col("u")).as("total"))
+    val (cutA, cutB) = AbcCutsPpm
+    rev.withColumn("cum", sum(col("u")).over(w))
+      .join(broadcast(totals), "p_brand")
+      .withColumn("cum_ppm",
+        expr("CAST((cum * 1000000) div nullif(total, 0) AS BIGINT)"))
+      .withColumn("abc_class",
+        when(col("cum_ppm") <= cutA, "A")
+          .when(col("cum_ppm") <= cutB, "B").otherwise("C"))
+      .groupBy(col("p_brand"), col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("u")).as("units_dec"),
+        max(col("total")).as("total"))
+      .select(col("p_brand"), col("abc_class"), col("n_parts"),
+        col("units_dec").cast("string").as("units"),
+        expr("CAST((units_dec * 1000000) div nullif(total, 0) AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("p_brand"), col("abc_class"))
+  }
+
+  /** THEIL–SEN ROBUST TREND (round 14) — the median-of-pairwise-slopes
+    * estimator over the per-type daily event series: the
+    * outlier-resistant answer to `event_forecast_linear`'s OLS (one
+    * anomalous day drags an OLS slope arbitrarily; it moves the Theil–
+    * Sen median by at most one rank). EXACT RATIONAL throughout — the
+    * engine never divides two slopes: each pair slope is the integer
+    * pair (num = y_j − y_i, den = x_j − x_i > 0), order between slopes
+    * is decided by BIGINT cross-multiplication (num_a·den_b vs
+    * num_b·den_a — dens positive), and the LOWER MEDIAN (rank
+    * ⌈m/2⌉ = (m+1) div 2) is selected by counting: a representation r
+    * is the median iff c_lt(r) < rank ≤ c_lt(r) + c_eq(r). Among the
+    * (rationally equal) representations satisfying that, the (den,
+    * num)-minimal one surfaces — deterministic on both engines. Days
+    * with no events are REAL zero observations on the calendar grid
+    * (the round-13 gap-fill doctrine), not missing points.
+    *
+    * Scale shape: the series is CALENDAR-BOUNDED (days in span), so the
+    * O(n²) pair relation and the O(pairs²) counting join are bounded by
+    * the time window, not data volume — the only full-data pass is the
+    * daily aggregation. All joins are keyed by event_type.
+    *
+    * Output: (event_type, n_days, n_pairs, med_num, med_den,
+    * slope_ppm), ordered by type. slope_ppm = sign-split
+    * (num·10⁶) div den. */
+  def theilSen(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"), col("lo"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+    val series = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        datediff(col("day"), col("lo")).cast("long").as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val a = series.select(col("event_type"), col("x").as("xa"), col("y").as("ya"))
+    val b = series.select(col("event_type"), col("x").as("xb"), col("y").as("yb"))
+    val slopes = a.join(b, "event_type").filter(col("xa") < col("xb"))
+      .select(col("event_type"), (col("yb") - col("ya")).as("num"),
+        (col("xb") - col("xa")).as("den"))
+    val reps = slopes.distinct()
+      .select(col("event_type"), col("num").as("rnum"), col("den").as("rden"))
+    val counted = reps.join(slopes, "event_type")
+      .groupBy(col("event_type"), col("rnum"), col("rden"))
+      .agg(
+        sum(when(col("num") * col("rden") < col("rnum") * col("den"), 1L)
+          .otherwise(0L)).as("c_lt"),
+        sum(when(col("num") * col("rden") === col("rnum") * col("den"), 1L)
+          .otherwise(0L)).as("c_eq"),
+        count(lit(1)).as("n_pairs"))
+    val nDays = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val medW = Window.partitionBy(col("event_type"))
+      .orderBy(col("rden"), col("rnum"))
+    counted
+      .filter(expr("c_lt < (n_pairs + 1) div 2") &&
+        expr("(n_pairs + 1) div 2 <= c_lt + c_eq"))
+      .withColumn("rn", row_number().over(medW))
+      .filter(col("rn") === 1)
+      .join(broadcast(nDays), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("rnum").as("med_num"), col("rden").as("med_den"),
+        expr("CASE WHEN rnum < 0 THEN -((abs(rnum) * 1000000) div rden) " +
+          "ELSE (rnum * 1000000) div rden END").as("slope_ppm"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1814,4 +1814,55 @@ object Similarity {
         cosine(dotQ(col("q_qv"), col("n_qv")), col("q_nrm"), col("n_nrm")))
     topKPerGroup(scored, k)
   }
+
+  /** DIMENSION COVARIANCE / CORRELATION MATRIX (round 14) — the
+    * upper-triangle d×d covariance of the quantized embedding space,
+    * the diagnostic behind every whitening / PCA / dimension-collapse
+    * question ("are half my dimensions redundant?") and the exact
+    * big-brother of `embed_dim_stats`' per-dim moments. EXACT
+    * ACCUMULATION: quantized ×1000 integers, per-row upper-triangle
+    * products generated by ONE nested-transform HOF (d(d+1)/2 structs
+    * per row — no self-join, no shuffle of the exploded relation
+    * beyond the 2080-key hash aggregate, which map-side combines to
+    * ≤ d(d+1)/2 rows per task), Σxy and Σx in DECIMAL(38,0) (the
+    * supplierHhi headroom doctrine — squares overflow int64 at
+    * warehouse row counts). cov_num = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ surfaces
+    * VIA STRING (parity is dtype-kind sensitive; HUGEINT↔DECIMAL both
+    * read as strings), and Pearson corr is the ONE fixed IEEE tree
+    * d(cov)/(√d(varᵢ)·√d(varⱼ)) through the via-string bridge, NULL
+    * when either variance is zero (a constant dimension has no
+    * correlation, and IEEE ±Inf/NaN don't hash-compare).
+    *
+    * Scale shape: one corpus scan, one 2080-key aggregation, two
+    * broadcast joins of the 64-row diagonal. Rows out = d(d+1)/2. */
+  def covarianceMatrix(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column) = c.cast("string").cast("double")
+    val q = emb.select(quantize(col("embedding")).as("q"))
+    val tri = q.select(explode(expr(
+      "flatten(transform(q, (xi, i) -> " +
+        "transform(slice(q, i + 1, size(q) - i), (xj, j) -> " +
+        "named_struct('d1', i, 'd2', i + j, 'xy', xi * xj))))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.xy").as("xy"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("xy").cast(dec)).as("sxy"), count(lit(1)).as("n_vecs"))
+    val sums = q.select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(sum(col("x").cast(dec)).as("sx"))
+    val withCov = tri
+      .join(broadcast(sums.select(col("dim").as("d1"), col("sx").as("sx1"))), "d1")
+      .join(broadcast(sums.select(col("dim").as("d2"), col("sx").as("sx2"))), "d2")
+      .withColumn("cov_num",
+        col("n_vecs").cast(dec) * col("sxy") - col("sx1") * col("sx2"))
+    val diag = withCov.filter(col("d1") === col("d2"))
+      .select(col("d1").as("dim"), col("cov_num").as("varnum"))
+    withCov
+      .join(broadcast(diag.select(col("dim").as("d1"), col("varnum").as("v1"))), "d1")
+      .join(broadcast(diag.select(col("dim").as("d2"), col("varnum").as("v2"))), "d2")
+      .select(col("d1"), col("d2"), col("n_vecs"),
+        col("cov_num").cast("string").as("cov_num"),
+        when(col("v1") <= 0 || col("v2") <= 0, lit(null).cast("double"))
+          .otherwise(d(col("cov_num")) / (sqrt(d(col("v1"))) * sqrt(d(col("v2")))))
+          .as("corr"))
+      .orderBy(col("d1"), col("d2"))
+  }
 }

@@ -700,4 +700,55 @@ object TextAnalysis {
       .withColumn("slope_milli",
         expr("CAST(sign(num) AS BIGINT) * ((abs(num) * 1000) div nullif(den, 0L))"))
   }
+
+  /** Collocation head size and support floor, shared with the oracle. */
+  val CollocTopK: Int = 20
+  val CollocMinCount: Int = 5
+
+  /** COLLOCATION MINING (round 14) — the PMI-family "which word pairs
+    * co-occur far beyond chance" extraction (fixed phrases, named
+    * entities, domain jargon) that seeds phrase-aware tokenizers and
+    * stop-phrase lists. The association score is EXACT-RATIONAL lift
+    * instead of log-PMI (lift = P(ab)/(P(a)P(b)) — PMI is its log, and
+    * transcendental libm calls are not bit-portable across engines;
+    * the ranking is identical since log is monotone): lift_ppm =
+    * c_ab·N·10⁶ div (c_a·c_b) with the product in DECIMAL(38,0)
+    * (c_ab·N overflows int64 at warehouse token counts). Pairs below
+    * [[CollocMinCount]] occurrences are dropped FIRST (rare-pair lift
+    * is noise — the standard support floor), then the global top
+    * [[CollocTopK]] by (lift_ppm DESC, a, b) surfaces via
+    * orderBy+limit — TakeOrdered, driver-bounded, never a global sort.
+    *
+    * Scale shape: one corpus scan explodes adjacent-pair structs
+    * (positions−1 rows/doc, partially aggregated map-side), unigram
+    * counts from the same scan shape; the count joins are plain
+    * equi-joins on the bigram's words (AQE broadcasts the unigram side
+    * iff vocabulary is small — at web scale it shuffles). Rows out =
+    * top-k. Output: (a, b, c_a, c_b, c_ab, n_bigrams, lift_ppm). */
+  def collocations(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val bigrams = docs
+      .select(explode(expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+          "(w, i) -> named_struct('a', w, 'b', element_at(split(text, ' '), i + 2)))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinCount)
+    val uni = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = docs
+      .select(greatest(size(ws) - 1, lit(0)).cast("long").as("m"))
+      .agg(sum(col("m")).as("n_bigrams"))
+    bigrams
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_a"), col("c_b"), col("c_ab"),
+        col("n_bigrams"),
+        expr(s"CAST((CAST(c_ab AS DECIMAL(38,0)) * n_bigrams * 1000000) " +
+          "div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+      .limit(CollocTopK)
+  }
 }

@@ -1736,4 +1736,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(scored(gibberDoc._1) > p90,
       s"gibberish cost ${scored(gibberDoc._1)} not above corpus p90 $p90")
   }
+
+  test("covarianceMatrix: hand-computed triangle, perfect correlation, " +
+    "zero-variance dim yields NULL corr") {
+    import spark.implicits._
+    // dims 0,1 perfectly correlated (x, 2x); dim 2 constant
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f, 5.0f), 0),
+      (2L, Array(2.0f, 4.0f, 5.0f), 0),
+      (3L, Array(3.0f, 6.0f, 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.covarianceMatrix(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out.size == 6)
+    // cov_num = n*Sxy - Sx*Sy on the x1000 integers
+    assert(out((0, 0))._2 == "6000000")
+    assert(out((0, 1))._2 == "12000000")
+    assert(out((1, 1))._2 == "24000000")
+    // corr is IEEE (sqrt·sqrt is an ulp above the exact square):
+    // within 4 ulps of 1, identically on both engines by the fixed tree
+    Seq((0, 0), (0, 1), (1, 1)).foreach { k =>
+      val c = out(k)._3.get
+      assert(math.abs(c - 1.0) < 1e-14, s"$k corr $c")
+    }
+    assert(out((0, 2)) == ((3L, "0", None)))
+    assert(out((1, 2)) == ((3L, "0", None)))
+    assert(out((2, 2)) == ((3L, "0", None)))
+    // order-insensitive accumulation
+    val out2 = graft.operators.Similarity.covarianceMatrix(emb.repartition(3))
+      .collect().map(_.toSeq)
+    assert(out2.toSet ==
+      graft.operators.Similarity.covarianceMatrix(emb).collect()
+        .map(_.toSeq).toSet)
+  }
 }

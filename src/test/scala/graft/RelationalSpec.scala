@@ -2069,4 +2069,62 @@ class RelationalSpec extends SparkSpec {
       ("a", "2024-01-03", 400L, 2100L),
       ("b", "2024-01-01", 700L, 2800L)))
   }
+
+  test("abcClassification: hand-computed 80/95 split, crossing part " +
+    "lands in the next class") {
+    // one brand, revenues 80/15/5: cum_ppm hits exactly 800000 and
+    // 950000 — the <= convention puts each crossing part in its class
+    val li = Seq((1L, 80.00, 0.00), (2L, 15.00, 0.00), (3L, 5.00, 0.00))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val part = Seq((1L, "B1"), (2L, "B1"), (3L, "B1"))
+      .toDF("p_partkey", "p_brand")
+    val out = Relational.abcClassification(li, part).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("B1", "A", 1L, "800000", 800000L),
+      ("B1", "B", 1L, "150000", 150000L),
+      ("B1", "C", 1L, "50000", 50000L)), out.toSeq)
+    // a 90% whale OVERSHOOTS the A cut: it lands in B and class A is
+    // empty — the documented <=-crossing convention, not a bug
+    val li2 = Seq((1L, 90.00, 0.00), (2L, 10.00, 0.00))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out2 = Relational.abcClassification(li2, part.limit(2)).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out2 == Seq(("B", 1L), ("C", 1L)), out2)
+    // discount participates exactly: 100 at 20% off == 80
+    val li3 = Seq((1L, 100.00, 0.20), (2L, 15.00, 0.00), (3L, 5.00, 0.00))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val a3 = Relational.abcClassification(li3, part).collect()
+      .map(r => (r.getString(1), r.getString(3))).head
+    assert(a3 == (("A", "800000")), a3)
+  }
+
+  test("theilSen: hand-computed lower median over a gap-filled grid") {
+    val ts = (d: Int, i: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d 0$i:00:00")
+    // daily counts [3, GAP->0, 3, 6]: slopes -3/1, 0/2, 3/3, 3/1,
+    // 3/2, 3/1 — sorted rationals -3 < 0 < 1 < 3/2 < 3 = 3; lower
+    // median rank (6+1) div 2 = 3 -> value 1, sole representation (3,3)
+    val ev = (Seq.fill(3)(1) ++ Seq.fill(3)(3) ++ Seq.fill(6)(4))
+      .zipWithIndex.map { case (d, i) => (ts(d, i % 8), "t") }
+      .toDF("ts", "event_type")
+    val r = Relational.theilSen(ev).collect()
+    assert(r.length == 1)
+    assert(r.head.toSeq == Seq("t", 4L, 6L, 3L, 3L, 1000000L), r.head)
+    // repartition-invariant (rank counting has no order dependence)
+    val r2 = Relational.theilSen(ev.repartition(5)).collect()
+    assert(r.head.toSeq == r2.head.toSeq)
+  }
+
+  test("collocations: hand-computed lift, support floor bites") {
+    import graft.operators.TextAnalysis
+    // "a b" x5 and "b a" x4 adjacent pairs: only "a b" clears the
+    // floor of 5; lift = 5*9*1e6 div (5*5)
+    val docs = Seq((1L, "a b a b a b a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.toSeq == Seq("a", "b", 5L, 5L, 5L, 9L, 1800000L),
+      out.head)
+  }
 }
