@@ -612,6 +612,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_theil_sen" -> ((s, d) =>
       Relational.theilSen(Tables.events(s, d))),
 
+    // Kendall's τ-b (round 14): doubled exact pair counts over the
+    // bit-length contingency grid, one fixed IEEE tree (see
+    // kendallTau's scaladoc).
+    "stats_kendall" -> ((s, d) =>
+      Relational.kendallTau(Tables.orders(s, d))),
+
     // Bootstrap CI (round 12): deterministic md5 Poisson bootstrap
     // (see bootstrapCi's scaladoc).
     "stats_bootstrap_ci" -> ((s, d) =>
@@ -2254,6 +2260,37 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(CASE WHEN s.rnum < 0 THEN -((abs(s.rnum) * 1000000) // s.rden) " +
         "ELSE (s.rnum * 1000000) // s.rden END AS BIGINT) AS slope_ppm " +
         "FROM sel s JOIN nd USING (event_type) WHERE s.rn = 1 ORDER BY 1"),
+
+    // Kendall replay: same bit-length grid, HUGEINT doubled pair
+    // counts, identical τ tree through the via-string bridge
+    "stats_kendall" ->
+      ("WITH cust AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS no, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sp " +
+        "FROM orders GROUP BY 1), " +
+        "xy AS (SELECT CAST(length(bin(no)) AS BIGINT) AS x, " +
+        "CAST(length(bin(greatest(sp, 1))) AS BIGINT) AS y FROM cust), " +
+        "cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS m FROM xy GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n FROM cells), " +
+        "mx AS (SELECT COALESCE(SUM(CAST(g AS HUGEINT) * (g - 1)), 0) AS t_x2 " +
+        "FROM (SELECT x, CAST(SUM(m) AS BIGINT) AS g FROM cells GROUP BY 1)), " +
+        "my AS (SELECT COALESCE(SUM(CAST(g AS HUGEINT) * (g - 1)), 0) AS t_y2 " +
+        "FROM (SELECT y, CAST(SUM(m) AS BIGINT) AS g FROM cells GROUP BY 1)), " +
+        "cd AS (SELECT " +
+        "COALESCE(SUM(CASE WHEN a.y < b.y THEN CAST(a.m AS HUGEINT) * b.m * 2 END), 0) AS c_x2, " +
+        "COALESCE(SUM(CASE WHEN a.y > b.y THEN CAST(a.m AS HUGEINT) * b.m * 2 END), 0) AS d_x2 " +
+        "FROM cells a JOIN cells b ON a.x < b.x), " +
+        "f AS (SELECT n, CAST(n AS HUGEINT) * (n - 1) AS n0_x2, " +
+        "t_x2, t_y2, c_x2, d_x2 FROM tot, mx, my, cd) " +
+        "SELECT n AS n_custs, CAST(n0_x2 AS VARCHAR) AS n_pairs_x2, " +
+        "CAST(c_x2 AS VARCHAR) AS c_pairs_x2, " +
+        "CAST(d_x2 AS VARCHAR) AS d_pairs_x2, " +
+        "CAST(t_x2 AS VARCHAR) AS ties_x_x2, " +
+        "CAST(t_y2 AS VARCHAR) AS ties_y_x2, " +
+        "CASE WHEN n0_x2 - t_x2 <= 0 OR n0_x2 - t_y2 <= 0 THEN NULL " +
+        "ELSE CAST(CAST(c_x2 - d_x2 AS VARCHAR) AS DOUBLE) / " +
+        "(sqrt(CAST(CAST(n0_x2 - t_x2 AS VARCHAR) AS DOUBLE)) * " +
+        "sqrt(CAST(CAST(n0_x2 - t_y2 AS VARCHAR) AS DOUBLE))) END AS tau_b " +
+        "FROM f"),
 
     // forecast replay: re-centered integer OLS, sign-split divisions
     "event_forecast_linear" ->

@@ -223,6 +223,15 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "source_schema_evolve" -> ((s, d) =>
       graft.sources.ParquetEvolution.evolveRoundTrip(s, Tables.events(s, d))),
 
+    // Hive-partitioned layout + partition pruning (round 14): the
+    // partition column round-trips through the directory name and the
+    // filter becomes a PartitionFilter — 2 of 5 directories ever
+    // opened, plan-asserted in SourcesSpec (see
+    // hivePartitionedPrunedRead's scaladoc).
+    "source_hive_partitioned" -> ((s, d) =>
+      graft.sources.ParquetEvolution.hivePartitionedPrunedRead(
+        s, Tables.events(s, d))),
+
     // TYPE-WIDENING evolution (round 11): three writer generations of
     // one logical table — INT→BIGINT and DECIMAL(12,2)→(18,2) across
     // generations — read once under the explicit widened schema
@@ -463,6 +472,18 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
 
     // schema evolution: replay from the original relation + the parity
     // split — gen 1 has only NULL scores, gen 2 only real ones
+    // hive-partition replay: pruning changes IO, never answers — the
+    // oracle is the plain filtered aggregate over the original relation
+    "source_hive_partitioned" -> {
+      val keep = graft.sources.ParquetEvolution.HivePruneKeep
+        .map(v => s"'$v'").mkString(", ")
+      (s"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum " +
+        s"FROM events WHERE event_type IN ($keep) " +
+        "GROUP BY 1 ORDER BY 1")
+    },
+
     "source_schema_evolve" ->
       (s"SELECT event_type, gen, n_rows, value_sum, score_sum, n_score_null FROM (" +
         s"SELECT ${sqlSentinel("event_type")} AS event_type, CAST(1 AS BIGINT) AS gen, " +

@@ -362,6 +362,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "sketch_theta" -> ((s, d) =>
       Sketches.thetaSketch(Tables.events(s, d))),
 
+    // AMS F2 / tug-of-war (round 14): the self-join-size / skew
+    // estimator from 64 md5-signed counters, self-audited against the
+    // exact F2 (see amsF2's scaladoc).
+    "sketch_ams_f2" -> ((s, d) =>
+      Sketches.amsF2(Tables.lineitem(s, d))),
+
     // KMV-state parity (round 12): the flatMapGroupsWithState sketch
     // replayed over a user_id-ranged file stream, last update per
     // scope vs the batch bottom-k replay (see kmvParityReplay's
@@ -1281,6 +1287,28 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE) " +
         "ELSE CAST(17732923532771328 AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END AS est " +
         "FROM sk GROUP BY 1 ORDER BY 1"),
+
+    // AMS replay: same md5-parity signs, HUGEINT Z and squares, same
+    // lower-median pick over the sorted 64-list, error in exact ppm
+    "sketch_ams_f2" ->
+      ("WITH counts AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM lineitem GROUP BY 1), " +
+        "ex AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+        "SUM(CAST(c AS HUGEINT) * c) AS f2_exact FROM counts), " +
+        "js AS (SELECT unnest(range(0, 64)) AS j), " +
+        "z AS (SELECT j, SUM((CASE WHEN CAST(('0x' || " +
+        "substring(md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 1)) " +
+        "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) * c) AS zv " +
+        "FROM js CROSS JOIN counts GROUP BY 1), " +
+        "m AS (SELECT list_sort(list(CAST(zv AS HUGEINT) * zv)) AS arr FROM z), " +
+        "sel AS (SELECT arr[(len(arr) + 1) // 2] AS f2_est_h FROM m) " +
+        "SELECT ex.n_rows, ex.n_keys, CAST(64 AS BIGINT) AS n_estimators, " +
+        "CAST(ex.f2_exact AS VARCHAR) AS f2_exact, " +
+        "CAST(sel.f2_est_h AS VARCHAR) AS f2_est, " +
+        "CAST(abs(sel.f2_est_h - ex.f2_exact) * 1000000 // " +
+        "nullif(ex.f2_exact, 0) AS BIGINT) AS err_ppm " +
+        "FROM ex, sel"),
 
     "sketch_theta" ->
       ("WITH du AS (SELECT DISTINCT event_type, " +

@@ -401,6 +401,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.wavPeakNormalize(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
+    // Overlay mix with saturation (round 14): half-gain analytic tone
+    // added per sample, clamped into int16 — the clipping branch a
+    // modular add corrupts (see wavMixOverlay's scaladoc).
+    "multimodal_audio_mix" -> ((s, d) =>
+      Multimodal.wavMixOverlay(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
     // PCM autocorrelation (round 13): the periodicity primitive at
     // fixed lags, pure BIGINT — no FFT (see wavAutocorr's scaladoc).
     "multimodal_audio_autocorr" -> ((s, d) =>
@@ -1159,6 +1166,26 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(SUM(i * v) AS BIGINT) AS norm_posw " +
         "FROM nv JOIN pk ON nv.doc_id = pk.doc_id " +
         "GROUP BY nv.doc_id, n, peak ORDER BY doc_id"),
+
+    // Mix replay: analytic PCM + analytic tone, sign-split half gain
+    // (JVM truncation vs DuckDB floor), identical clamp branches
+    "multimodal_audio_mix" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents), " +
+        "sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims), " +
+        "mv AS (SELECT doc_id, n, i, " +
+        "(doc_id*37 + i*11) % 65536 - 32768 AS s, " +
+        "(doc_id*53 + i*7) % 65536 - 32768 AS tone FROM sm), " +
+        "mx AS (SELECT doc_id, n, i, s + " +
+        "(CASE WHEN tone < 0 THEN -((-tone) // 2) ELSE tone // 2 END) AS raw FROM mv), " +
+        "cl AS (SELECT doc_id, n, i, " +
+        "CASE WHEN raw > 32767 THEN 32767 WHEN raw < -32768 THEN -32768 ELSE raw END AS v, " +
+        "CASE WHEN raw > 32767 OR raw < -32768 THEN 1 ELSE 0 END AS clip FROM mx) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(SUM(clip) AS BIGINT) AS n_clipped, " +
+        "CAST(SUM(v) AS BIGINT) AS mix_sum, " +
+        "CAST(SUM(i * v) AS BIGINT) AS mix_posw, " +
+        "CAST(MIN(v) AS BIGINT) AS mix_min, CAST(MAX(v) AS BIGINT) AS mix_max " +
+        "FROM cl GROUP BY doc_id, n ORDER BY doc_id"),
 
     // Autocorr replay: analytic PCM formula at both t and t+lag
     "multimodal_audio_autocorr" ->

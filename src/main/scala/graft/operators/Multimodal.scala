@@ -810,6 +810,68 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** OVERLAY MIX WITH SATURATION (round 14) — the audio-augmentation
+    * primitive every speech-training pipeline runs (noise/music-bed
+    * overlay at reduced gain): decode the WAV, add a deterministic
+    * overlay tone at HALF GAIN, and clamp the sum into the int16 range
+    * — the saturating add real mixers do, and the branch a naive
+    * modular add silently corrupts (wraparound turns a loud peak into
+    * its negative). The overlay is analytic like [[sampleValue]] —
+    * tone(doc, i) = ((doc·53 + i·7) mod 65536) − 32768 — so the oracle
+    * replays the whole mix; half gain is JVM truncating division (the
+    * oracle spells the sign split). n_clipped counts saturated samples
+    * — the clipping-rate readout a gain stage is tuned by.
+    *
+    * Same one-codec-per-partition harness, decoder-asserted format,
+    * position-weighted digests. Output: (doc_id, n_samples, n_clipped,
+    * mix_sum, mix_posw, mix_min, mix_max), ordered. */
+  def wavMixOverlay(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_samples", LongType),
+      StructField("n_clipped", LongType), StructField("mix_sum", LongType),
+      StructField("mix_posw", LongType), StructField("mix_min", LongType),
+      StructField("mix_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
+          val data = ais.readAllBytes(); ais.close()
+          require(data.length % 2 == 0,
+            s"odd PCM byte count ${data.length}: truncated int16 stream")
+          val n = data.length / 2
+          val docId = r.getAs[Long]("doc_id")
+          var clipped = 0L; var sum = 0L; var posw = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var i = 0
+          while (i < n) {
+            val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
+              .toShort.toLong
+            val tone = (docId * 53 + i.toLong * 7) % 65536 - 32768
+            val raw = s + tone / 2 // JVM division truncates toward zero
+            val v =
+              if (raw > 32767L) { clipped += 1; 32767L }
+              else if (raw < -32768L) { clipped += 1; -32768L }
+              else raw
+            sum += v; posw += i.toLong * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          Row(docId, n.toLong, clipped, sum, posw,
+            if (n == 0) 0L else mn, if (n == 0) 0L else mx)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** ARBITRARY-RATIO POLYPHASE RESAMPLE (round 14) — the fixed-point
     * phase-step generalization [[wavResample2x]]'s scaladoc documents:
     * output rate = input rate × l/m (l=2, m=3 ≈ 48→32 kHz, the classic

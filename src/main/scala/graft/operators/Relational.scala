@@ -3477,4 +3477,74 @@ object Relational {
           "ELSE (rnum * 1000000) div rden END").as("slope_ppm"))
       .orderBy(col("event_type"))
   }
+
+  /** KENDALL'S τ-b (round 14) — the rank-correlation triple completed:
+    * beside `stats_corr` (Pearson, linear) and `stats_spearman` (rank
+    * Pearson), τ-b is the CONCORDANT-PAIR form — the probability a
+    * random customer pair orders the same way on both axes — with the
+    * tie correction that matters on discrete data. Axes here: per
+    * customer, x = bitlen(order count) vs y = bitlen(total spend cents)
+    * (the bit-length bucket surrogate, `text_zipf_fit`'s integer-log
+    * doctrine — and what BOUNDS the grid: ≤64×64 cells at ANY data
+    * volume, where raw values would make the cell-pair relation
+    * data-sized). Pair counting is EXACT over the contingency cells:
+    * C/D from the strict-order cell-pair sums, tie terms from the
+    * marginals, and every pair count DOUBLED (g(g−1), n(n−1), 2C, 2D —
+    * the mannwhitney doubled-rank doctrine: no halving division
+    * anywhere, and the doubling cancels inside the τ tree) in
+    * DECIMAL(38,0) (pair counts are n² — int64 dies at ~10⁹·⁵ rows),
+    * surfaced VIA VARCHAR; τ-b itself is the ONE fixed IEEE tree
+    * d(2C−2D)/(√d(2n0−2T_x)·√d(2n0−2T_y)) through the via-string
+    * bridge, NULL when either axis is fully tied. The cells crossJoin
+    * is GRID-bounded (≤64² rows broadcast), never data-bounded.
+    *
+    * Scale shape: one orders aggregation to O(customers), one
+    * customer→cell aggregation, then constant-size arithmetic.
+    * Output: ONE row (n_custs, n_pairs_x2, c_pairs_x2, d_pairs_x2,
+    * ties_x_x2, ties_y_x2, tau_b). */
+  def kendallTau(orders: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast("string").cast("double")
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("no"), sum(cents).as("sp"))
+      .select(length(bin(col("no"))).cast("long").as("x"),
+        length(bin(greatest(col("sp"), lit(1L)))).cast("long").as("y"))
+    val cells = cust.groupBy(col("x"), col("y")).agg(count(lit(1)).as("m"))
+    val tot = cells.agg(coalesce(sum(col("m")), lit(0L)).as("n"))
+    // pair counts are DOUBLED throughout (g(g−1), n(n−1), 2·C, 2·D —
+    // the mannwhitney doubled-rank doctrine): no division anywhere, the
+    // doubling cancels inside the identical τ tree on both engines
+    val margX = cells.groupBy(col("x")).agg(sum(col("m")).as("g"))
+      .agg(coalesce(sum(col("g").cast(dec) * (col("g") - 1)),
+        lit(0).cast(dec)).as("t_x2"))
+    val margY = cells.groupBy(col("y")).agg(sum(col("m")).as("g"))
+      .agg(coalesce(sum(col("g").cast(dec) * (col("g") - 1)),
+        lit(0).cast(dec)).as("t_y2"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("m").as("m2"))
+    val cd = cells.crossJoin(broadcast(b))
+      .filter(col("x") < col("x2"))
+      .agg(
+        coalesce(sum(when(col("y") < col("y2"),
+          col("m").cast(dec) * col("m2") * 2)), lit(0).cast(dec))
+          .as("c_x2"),
+        coalesce(sum(when(col("y") > col("y2"),
+          col("m").cast(dec) * col("m2") * 2)), lit(0).cast(dec))
+          .as("d_x2"))
+    tot.crossJoin(broadcast(margX)).crossJoin(broadcast(margY))
+      .crossJoin(broadcast(cd))
+      .withColumn("n0_x2", col("n").cast(dec) * (col("n") - 1))
+      .select(col("n").as("n_custs"),
+        col("n0_x2").cast("string").as("n_pairs_x2"),
+        col("c_x2").cast("string").as("c_pairs_x2"),
+        col("d_x2").cast("string").as("d_pairs_x2"),
+        col("t_x2").cast("string").as("ties_x_x2"),
+        col("t_y2").cast("string").as("ties_y_x2"),
+        when(col("n0_x2") - col("t_x2") <= 0 ||
+          col("n0_x2") - col("t_y2") <= 0, lit(null).cast("double"))
+          .otherwise(d(col("c_x2") - col("d_x2")) /
+            (sqrt(d(col("n0_x2") - col("t_x2"))) *
+              sqrt(d(col("n0_x2") - col("t_y2"))))).as("tau_b"))
+  }
 }

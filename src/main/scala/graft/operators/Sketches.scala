@@ -433,4 +433,58 @@ object Sketches {
         q(25).as("p25"), q(50).as("p50"), q(75).as("p75"), q(90).as("p90"))
       .orderBy(col("grp"))
   }
+
+  /** AMS F₂ / TUG-OF-WAR SKETCH (round 14) — the second-frequency-
+    * moment estimator (Alon–Matias–Szegedy 1996), the fifth sketch in
+    * the family and the one that answers "how SKEWED is this key?"
+    * from bounded state: F₂ = Σ c_x² is the self-join size, the number
+    * every shuffle-skew and join-plan decision turns on. Each of the
+    * `nEst` estimators keeps one counter Z_j = Σ_x sign_j(x)·c_x with
+    * md5-derived ±1 signs (4-wise-independence stand-in, and — the
+    * module doctrine — fully deterministic, so the estimate INCLUDING
+    * its sampling error replays bit-for-bit in DuckDB); E[Z²] = F₂.
+    * The surfaced estimate is the LOWER MEDIAN of the 64 Z², err_ppm
+    * its exact relative error against the exact F₂ — the sketch
+    * audits itself like `sketch_bloom_fpr`/`dedup_minhash_est_error`.
+    *
+    * Scale shape: ONE full-data pass (the per-key count shuffle); the
+    * ×nEst explode runs over the DISTINCT-KEY relation and map-side
+    * combines to nEst rows per task; the median sorts a 64-element
+    * array. Z and the squares live in DECIMAL(38,0) (counts overflow
+    * int64 squared at warehouse scale) and surface VIA VARCHAR.
+    *
+    * Output: ONE row (n_rows, n_keys, n_estimators, f2_exact, f2_est,
+    * err_ppm). */
+  def amsF2(lineitem: DataFrame, nEst: Int = 64): DataFrame = {
+    require(nEst >= 1, s"need at least one estimator, got $nEst")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = lineitem.groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("c"))
+    val exact = counts.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(col("c").cast(dec) * col("c")).as("f2_exact"))
+    val sign = when(
+      conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+        col("key").cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    val med = counts
+      .select(col("key"), col("c"),
+        explode(sequence(lit(0), lit(nEst - 1))).as("j"))
+      .withColumn("sgn", sign)
+      .groupBy(col("j"))
+      .agg(sum(col("sgn") * col("c")).as("z"))
+      .select((col("z").cast(dec) * col("z")).as("f2_j"))
+      .agg(expr("sort_array(collect_list(f2_j))").as("arr"))
+      .select(expr("IF(size(arr) = 0, NULL, " +
+        "element_at(arr, CAST((size(arr) + 1) div 2 AS INT)))")
+        .as("f2_est_dec"))
+    exact.crossJoin(broadcast(med))
+      .select(col("n_rows"), col("n_keys"),
+        lit(nEst.toLong).as("n_estimators"),
+        col("f2_exact").cast("string").as("f2_exact"),
+        col("f2_est_dec").cast("string").as("f2_est"),
+        expr("CAST(abs(f2_est_dec - f2_exact) * 1000000 " +
+          "div nullif(f2_exact, 0) AS BIGINT)").as("err_ppm"))
+  }
 }

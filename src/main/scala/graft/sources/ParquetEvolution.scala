@@ -252,4 +252,39 @@ object ParquetEvolution {
         count(col("props")).as("n_props_present"))
       .orderBy(col("event_type"), col("gen"))
   }
+
+  /** Partition values the pruned read keeps, shared with the oracle. */
+  val HivePruneKeep: Seq[String] = Seq("click", "purchase")
+
+  /** HIVE-PARTITIONED LAYOUT + PARTITION PRUNING (round 14) — the lake
+    * layout contract `source_schema_evolve` assumes and the pruning
+    * behavior that makes it pay at 100 TB: write the relation
+    * partitioned BY A DATA COLUMN (dynamic partitionBy — the value
+    * moves from the row into the directory name and back), read it
+    * back through partition discovery, and aggregate under a filter on
+    * the partition column. The filter must become a PartitionFilter
+    * (directory-level pruning, [[HivePruneKeep]] = 2 of the 5 type
+    * directories ever opened — plan-asserted in SourcesSpec, the scan
+    * reads 2/5 of the files); a reader that treats the partition
+    * column as data scans everything and filters late — correct
+    * answers, 2.5× the IO, and at a date-partitioned 100 TB table the
+    * difference between a day query and a full-table scan.
+    *
+    * Output per kept type: (event_type, n_rows, n_users, value_sum) —
+    * value exact-decimal-summed then surfaced as double. */
+  def hivePartitionedPrunedRead(spark: SparkSession,
+                                events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/hivepart-${java.util.UUID.randomUUID()}"
+    events.select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("event_type").isin(HivePruneKeep: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("value_sum"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -493,6 +493,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavMixOverlay: exact local mix replay through the decoder; " +
+    "saturation bites corpus-wide") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.wavMixOverlay(spark, Multimodal.ingestWav(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    var totalClipped = 0L
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val n = Multimodal.wavNumSamples(meta(d))
+      val mixed = (0 until n).map { i =>
+        val s = Multimodal.sampleValue(d, i).toLong
+        val raw = s + ((d * 53 + i.toLong * 7) % 65536 - 32768) / 2
+        math.max(-32768L, math.min(32767L, raw))
+      }
+      val clipped = (0 until n).count { i =>
+        val s = Multimodal.sampleValue(d, i).toLong
+        val raw = s + ((d * 53 + i.toLong * 7) % 65536 - 32768) / 2
+        raw > 32767L || raw < -32768L
+      }.toLong
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == clipped,
+        s"doc $d counts")
+      assert(r.getLong(3) == mixed.sum &&
+        r.getLong(4) == mixed.zipWithIndex.map { case (x, i) => i * x }.sum,
+        s"doc $d digests")
+      assert(r.getLong(5) == mixed.min && r.getLong(6) == mixed.max,
+        s"doc $d range")
+      assert(mixed.forall(v => v >= -32768L && v <= 32767L))
+      totalClipped += clipped
+    }
+    // the clamp branch must actually execute somewhere in the corpus —
+    // a mix that never clips is not testing saturation
+    assert(totalClipped > 0L, "saturation never bit at sf0")
+  }
+
   test("wavAutocorr: exact local PCM replay at every lag; Cauchy-Schwarz " +
     "|r_k| <= r0 holds corpus-wide") {
     val docs = Tables.documents(spark, sf0)

@@ -2117,6 +2117,31 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.toSeq == r2.head.toSeq)
   }
 
+  test("kendallTau: perfect concordance reads tau 1, ties surface " +
+    "doubled, fully-tied axis yields NULL") {
+    // bitlen cells: counts 1/3/7 -> x = 1/2/3, spends 100/1000/10000
+    // cents -> y = 7/10/14: three strictly concordant customers
+    def orders(rows: Seq[(Long, Double)]) =
+      rows.toDF("o_custkey", "o_totalprice")
+    // cust1 one order of 1.00; cust2 three orders summing 10.00;
+    // cust3 seven orders summing 100.00
+    val conc2 = orders(Seq((1L, 1.00),
+      (2L, 4.00), (2L, 3.00), (2L, 3.00),
+      (3L, 20.00), (3L, 20.00), (3L, 20.00), (3L, 20.00),
+      (3L, 10.00), (3L, 5.00), (3L, 5.00)))
+    val r = Relational.kendallTau(conc2).collect().head
+    assert(r.getLong(0) == 3L)
+    // doubled pair counts: n0 = 3, C = 3, D = 0, no ties
+    assert((r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+      r.getString(5)) == (("6", "6", "0", "0", "0")), r)
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-14)
+    // a fully x-tied pair: two customers, one order each, different
+    // spend magnitudes -> every pair tied in x -> tau NULL
+    val tied = orders(Seq((1L, 1.00), (2L, 100.00)))
+    val rt = Relational.kendallTau(tied).collect().head
+    assert(rt.getString(4) == "2" && rt.isNullAt(6), rt)
+  }
+
   test("collocations: hand-computed lift, support floor bites") {
     import graft.operators.TextAnalysis
     // "a b" x5 and "b a" x4 adjacent pairs: only "a b" clears the

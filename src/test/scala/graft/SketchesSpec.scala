@@ -262,4 +262,32 @@ class SketchesSpec extends SparkSpec {
     assert(starved.getLong(4) > 0L,
       s"expected forced false positives on a 64-bit mask, got $starved")
   }
+
+  test("amsF2: single-key stream estimates exactly (every sign cancels " +
+    "into |Z| = c); full-table run is deterministic and self-audited") {
+    import spark.implicits._
+    // one key, count 5: Z_j = ±5 for every estimator, so Z² = 25 = F2
+    // exactly and err_ppm = 0 — the degenerate case where the sketch
+    // has NO sampling error, pinned by hand
+    val one = Seq.fill(5)(Tuple1(42L)).toDF("l_partkey")
+    val r = graft.operators.Sketches.amsF2(one).collect().head
+    assert(r.toSeq == Seq(5L, 1L, 64L, "25", "25", 0L), r)
+    // real table: exact F2 recomputed locally, estimate within 50% (64
+    // estimators give ~1/8 relative sd; the bound is loose on purpose
+    // — the VALUE is pinned by the oracle, this guards the wiring),
+    // repartition-invariant
+    val li = Tables.lineitem(spark, sf0).select(col("l_partkey"))
+    val out = graft.operators.Sketches.amsF2(li).collect().head
+    val counts = li.groupBy(col("l_partkey")).count().collect()
+      .map(_.getLong(1))
+    assert(out.getLong(0) == counts.sum && out.getLong(1) == counts.length)
+    assert(BigInt(out.getString(3)) == counts.map(c => BigInt(c) * c).sum)
+    val est = BigInt(out.getString(4)).toDouble
+    val exact = BigInt(out.getString(3)).toDouble
+    assert(est > exact * 0.5 && est < exact * 1.5,
+      s"estimate $est vs exact $exact out of the loose band")
+    val out2 = graft.operators.Sketches.amsF2(li.repartition(7))
+      .collect().head
+    assert(out.toSeq == out2.toSeq, "AMS not repartition-invariant")
+  }
 }

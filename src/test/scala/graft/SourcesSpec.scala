@@ -235,4 +235,38 @@ class SourcesSpec extends SparkSpec {
         r.head.isNullAt(schema.fieldIndex("value")))
     } finally rows.unpersist()
   }
+  test("hive-partitioned pruned read: the filter prunes directories — " +
+    "only the kept partitions are ever listed") {
+    import graft.sources.ParquetEvolution
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = Tables.events(spark, sf0)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val keep = ParquetEvolution.HivePruneKeep
+    val got = try {
+      val out = ParquetEvolution.hivePartitionedPrunedRead(spark, ev)
+      // plan-level: the isin filter must be a PARTITION filter, and
+      // executing this plan instance must list exactly |keep| of the 5
+      // event_type directories — pruning, not a post-scan filter
+      val exec = out.queryExecution.executedPlan
+      val scan = exec.collect { case s: FileSourceScanExec => s }.head
+      val pf = scan.metadata.getOrElse("PartitionFilters", "")
+      assert(pf.contains("event_type"),
+        s"filter not recognized as a partition filter: $pf")
+      assert(exec.executeCollect().length == keep.length)
+      assert(scan.metrics("numPartitions").value == keep.length.toLong,
+        s"scan listed ${scan.metrics("numPartitions").value} partitions " +
+          s"for a ${keep.length}-partition predicate")
+      out.collect().map(_.toSeq)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // value-level: identical to the direct aggregate on the original
+    val want = ev.filter(col("event_type").isin(keep: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("value_sum"))
+      .orderBy(col("event_type")).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
 }
