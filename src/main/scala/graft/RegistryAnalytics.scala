@@ -97,6 +97,17 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         nFiles = 5)
     }),
 
+    // STREAMING CDC parity (round 14): the versioned change feed folded
+    // through flatMapGroupsWithState latest-wins state — max-merge, so
+    // any micro-batch slicing converges; final state per key from its
+    // largest committed batch (see cdcParityReplay's scaladoc).
+    "stream_cdc_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_cdc_")
+      graft.streaming.StreamingCdc.cdcParityReplay(
+        Tables.orders(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 5)
+    }),
+
     // CDC upsert: apply a deterministic change set (price bumps on keys
     // divisible by 7, inserts re-keyed +1e9 for keys divisible by 97)
     // onto the orders snapshot, latest-wins. The insert offset must
@@ -722,6 +733,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_anova" -> ((s, d) =>
       Relational.anovaOneWay(Tables.events(s, d))),
 
+    // Brown–Forsythe / Levene (round 14): variance homogeneity — the
+    // check that validates stats_anova, as ANOVA on doubled-median
+    // absolute deviations (see leveneBrownForsythe's scaladoc).
+    "stats_levene" -> ((s, d) =>
+      Relational.leveneBrownForsythe(Tables.events(s, d))),
+
     // Mann-Whitney U (round 13): the rank-based two-sample test —
     // doubled tied ranks keep every accumulation BIGINT; the AUC
     // effect size divides once (see mannWhitneyU's scaladoc).
@@ -1111,6 +1128,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stream_dedup_parity" ->
       ("SELECT DISTINCT md5(text) AS h, CAST(length(text) AS INT) AS n_chars " +
         "FROM documents ORDER BY h"),
+
+    // streaming-CDC replay: the batch latest-wins fold over the same
+    // derived change feed — version DESC rank 1 per key
+    "stream_cdc_parity" ->
+      ("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents, " +
+        "CAST(1 AS BIGINT) AS version FROM orders), " +
+        "ch AS (SELECT * FROM base " +
+        "UNION ALL SELECT o_orderkey, o_custkey, price_cents + 10000, " +
+        "CAST(2 AS BIGINT) FROM base WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey + 1000000000, o_custkey, price_cents, " +
+        "CAST(1 AS BIGINT) FROM base WHERE o_orderkey % 97 = 0) " +
+        "SELECT o_orderkey, version, o_custkey, price_cents FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey " +
+        "ORDER BY version DESC) AS rn FROM ch) WHERE rn = 1 " +
+        "ORDER BY o_orderkey"),
 
     "cdc_upsert" ->
       ("WITH changes AS (" +
@@ -1975,6 +2008,34 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       }.mkString(", ")
       val types = Relational.AnovaTypes.map(t => s"'$t'").mkString(", ")
       s"WITH g AS (SELECT $cols FROM events WHERE event_type IN ($types)) " +
+        s"SELECT CAST(${Relational.AnovaTypes.length} AS BIGINT) AS k_groups, " +
+        Relational.AnovaTail("n_total") + " AS n_total, " +
+        Relational.AnovaTail("ss_between") + " AS ss_between, " +
+        Relational.AnovaTail("ss_within") + " AS ss_within, " +
+        Relational.AnovaTail("f_stat") + " AS f_stat FROM g"
+    },
+
+    // Levene replay: value-grouped doubled-median front, then the SAME
+    // pivoted aggregation + AnovaTail tree over the z deviations
+    "stats_levene" -> {
+      val cexp = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+      val types = Relational.AnovaTypes.map(t => s"'$t'").mkString(", ")
+      val cols = Relational.AnovaTypes.map { ty =>
+        s"CAST(COALESCE(SUM(CASE WHEN ty = '$ty' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_$ty, " +
+          s"CAST(COALESCE(SUM(CASE WHEN ty = '$ty' THEN c END), 0) AS BIGINT) AS s_$ty, " +
+          s"CAST(COALESCE(SUM(CASE WHEN ty = '$ty' THEN c * c END), 0) AS HUGEINT) AS q_$ty"
+      }.mkString(", ")
+      s"WITH base AS (SELECT event_type AS ty, $cexp AS c FROM events " +
+        s"WHERE event_type IN ($types)), " +
+        "vg AS (SELECT ty, c AS v, CAST(COUNT(*) AS BIGINT) AS m FROM base GROUP BY 1, 2), " +
+        "cum AS (SELECT ty, v, SUM(m) OVER (PARTITION BY ty ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cm, " +
+        "SUM(m) OVER (PARTITION BY ty) AS n FROM vg), " +
+        "lo AS (SELECT ty, MIN(v) AS v_lo FROM cum WHERE cm >= (n + 1) // 2 GROUP BY 1), " +
+        "hi AS (SELECT ty, MIN(v) AS v_hi FROM cum WHERE cm >= n // 2 + 1 GROUP BY 1), " +
+        "md AS (SELECT ty, v_lo + v_hi AS med2 FROM lo JOIN hi USING (ty)), " +
+        "z AS (SELECT base.ty, abs(2 * base.c - md.med2) AS c FROM base JOIN md USING (ty)), " +
+        s"g AS (SELECT $cols FROM z) " +
         s"SELECT CAST(${Relational.AnovaTypes.length} AS BIGINT) AS k_groups, " +
         Relational.AnovaTail("n_total") + " AS n_total, " +
         Relational.AnovaTail("ss_between") + " AS ss_between, " +

@@ -408,6 +408,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "corpus_pipeline" -> ((s, d) =>
       Corpus.corpusPipeline(Tables.documents(s, d), scope = harnessScope)),
 
+    // Curation funnel report (round 14): per-stage doc/token attrition
+    // of the composed pipeline — the same stage expressions, counted
+    // instead of emitted (see funnelReport's scaladoc).
+    "corpus_funnel_report" -> ((s, d) =>
+      Corpus.funnelReport(Tables.documents(s, d), scope = harnessScope)),
+
     // Per-source corpus profile (dataset card): exact distinct counts
     // here for the oracle; the 100 TB swap-in is the HLL sketch form
     // (Corpus.approxCounts, spec-checked within its error bound).
@@ -1590,8 +1596,40 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // components, md5 holdout) — chained over progressively-filtered
     // document sets
     "corpus_pipeline" ->
-      (s"WITH RECURSIVE " +
-        "t AS (SELECT doc_id, text, lang, source, string_split(text,' ') AS ws FROM documents), " +
+      (s"WITH RECURSIVE $sqlPipelineCtes " +
+        "SELECT wv.doc_id, wv.source, wv.lang, " +
+        "CASE WHEN substring(md5(CAST(wv.doc_id AS VARCHAR)), 1, 1) IN ('0','1') " +
+        "THEN 'test' ELSE 'train' END AS split, wv.quality " +
+        "FROM wv JOIN cl USING (doc_id) WHERE cl.cid = wv.doc_id ORDER BY wv.doc_id"),
+
+    // funnel replay: the SAME pipeline CTE chain, final select swapped
+    // for the per-stage count/token attrition union
+    "corpus_funnel_report" ->
+      (s"WITH RECURSIVE $sqlPipelineCtes, " +
+        "keptx AS (SELECT wv.* FROM wv JOIN cl USING (doc_id) WHERE cl.cid = wv.doc_id), " +
+        "st AS (SELECT 0 AS stage_idx, 'ingest' AS stage, COUNT(*) AS n_docs, " +
+        "COALESCE(SUM(len(string_split(text,' '))), 0) AS n_tokens FROM documents " +
+        "UNION ALL SELECT 1, 'quality_gate', COUNT(*), " +
+        "COALESCE(SUM(len(string_split(text,' '))), 0) FROM gated " +
+        "UNION ALL SELECT 2, 'exact_dedup', COUNT(*), " +
+        "COALESCE(SUM(len(string_split(text,' '))), 0) FROM wv " +
+        "UNION ALL SELECT 3, 'near_dup', COUNT(*), " +
+        "COALESCE(SUM(len(string_split(text,' '))), 0) FROM keptx " +
+        "UNION ALL SELECT 4, 'train_split', COUNT(*), " +
+        "COALESCE(SUM(len(string_split(text,' '))), 0) FROM keptx " +
+        "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0','1')), " +
+        "ing AS (SELECT n_docs AS ingest_docs FROM st WHERE stage_idx = 0) " +
+        "SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, " +
+        "CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(n_docs * 1000000 // nullif(ingest_docs, 0) AS BIGINT) AS docs_ppm " +
+        "FROM st, ing ORDER BY stage_idx"),
+  )
+
+  /** Shared WITH-body of the composed-pipeline oracle (corpus_pipeline
+    * + corpus_funnel_report): gates → exact-dup winners → capped
+    * 3-gram near-dup components. Interpolated after `WITH RECURSIVE`. */
+  private def sqlPipelineCtes: String =
+    ("t AS (SELECT doc_id, text, lang, source, string_split(text,' ') AS ws FROM documents), " +
         "tc AS (SELECT doc_id, MAX(c) AS top_cnt FROM (SELECT doc_id, w, COUNT(*) AS c FROM " +
         "(SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1, 2) GROUP BY 1), " +
         "rp AS (SELECT t.doc_id, CAST(tc.top_cnt AS DOUBLE) / len(t.ws) AS tf, " +
@@ -1629,10 +1667,5 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "SELECT doc_id, doc_id FROM wv " +
         "UNION " +
         "SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node WHERE r.lbl < e.b), " +
-        "cl AS (SELECT node AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY node) " +
-        "SELECT wv.doc_id, wv.source, wv.lang, " +
-        "CASE WHEN substring(md5(CAST(wv.doc_id AS VARCHAR)), 1, 1) IN ('0','1') " +
-        "THEN 'test' ELSE 'train' END AS split, wv.quality " +
-        "FROM wv JOIN cl USING (doc_id) WHERE cl.cid = wv.doc_id ORDER BY wv.doc_id"),
-  )
+        "cl AS (SELECT node AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY node)")
 }

@@ -406,6 +406,63 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** CURATION FUNNEL REPORT (round 14) — the per-stage attrition
+    * readout of [[corpusPipeline]], the dashboard every curation run
+    * is judged by ("the gate dropped 12%, dedup another 9%, where did
+    * my tokens go?"): document and token counts after each stage —
+    * ingest → quality+repetition gate → exact dedup → near-dup prune →
+    * train split — plus each stage's retention vs INGEST in exact ppm.
+    * The stages are the SAME expressions as the pipeline key (gate,
+    * winners window, suppressed anti-join, md5 holdout), so the two
+    * keys can never disagree about what survived; this one just counts
+    * where the pipeline key emits. Per-stage aggregates are one
+    * count/sum over each progressively-filtered relation; a shared
+    * [[CacheScope]] materializes the gated frame once.
+    *
+    * Output: (stage_idx, stage, n_docs, n_tokens, docs_ppm), ordered
+    * by stage. */
+  def funnelReport(docs: DataFrame, minQuality: Double = 0.5,
+                   nearDupThreshold: Double = 0.5, n: Int = 3,
+                   maxDf: Option[Int] = Some(100),
+                   scope: CacheScope = CacheScope.off): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val gated = scope.track(docs
+      .withColumn("quality", TextAnalysis.qualityExpr(col("text")))
+      .filter(col("quality") >= minQuality &&
+        TextAnalysis.repetitionKeepExpr(col("text"))))
+    val winners = scope.track(gated
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(norm)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn"))
+    val suppressed = Dedup
+      .nearDupLabels(winners, nearDupThreshold, n, maxDf, 20, scope)
+      .filter(col("lbl") =!= col("node"))
+      .select(col("node").as("doc_id"))
+    val kept = winners.join(suppressed, Seq("doc_id"), "left_anti")
+    val train = kept.filter(!isHoldout(col("doc_id")))
+    def stage(df: DataFrame, idx: Int, name: String) =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+          .as("n_tokens"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val ingest = stage(docs, 0, "ingest")
+    val all = Seq(
+      ingest,
+      stage(gated, 1, "quality_gate"),
+      stage(winners, 2, "exact_dedup"),
+      stage(kept, 3, "near_dup"),
+      stage(train, 4, "train_split")).reduce(_ unionAll _)
+    all.crossJoin(broadcast(
+        ingest.select(col("n_docs").as("ingest_docs"))))
+      .select(col("stage_idx"), col("stage"), col("n_docs"),
+        col("n_tokens"),
+        expr("CAST((n_docs * 1000000) div nullif(ingest_docs, 0L) " +
+          "AS BIGINT)").as("docs_ppm"))
+      .orderBy(col("stage_idx"))
+  }
+
   /** Contamination check — CROSS-SET near-duplicate detection between
     * the train and test splits (the decontamination pass every training
     * corpus runs before evaluation: a test document whose text leaks

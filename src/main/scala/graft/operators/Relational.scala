@@ -2734,6 +2734,67 @@ object Relational {
   private[graft] val AnovaTypes =
     Seq("click", "error", "purchase", "signup", "view")
 
+  /** BROWN–FORSYTHE / LEVENE TEST (round 14) — variance homogeneity
+    * across the event-type groups: the check that VALIDATES
+    * [[anovaOneWay]] (ANOVA assumes equal group variances; when this F
+    * is large, that F is not trustworthy — the two keys are read
+    * together). Brown–Forsythe = one-way ANOVA on the absolute
+    * deviations from each group's MEDIAN (the robust variant — the
+    * mean-based original is fragile exactly when it matters).
+    * ENGINE-EXACT: deviations are DOUBLED-median integers
+    * z = |2c − med2| (med2 = the two middle values' sum over the
+    * VALUE-GROUPED cents grid — rank selection on the grid, the
+    * mannwhitney doctrine, so no per-row sort and no halving division),
+    * then the SAME pivoted n/s/q aggregation and the SAME
+    * [[AnovaTail]] fixed-order double tree as `stats_anova` (doubling
+    * z scales SSB and SSW by 4 — F is invariant, and both engines run
+    * the identical tree). Σz² in DECIMAL(38,0).
+    *
+    * Scale shape: one value-grouped aggregation (grid-bounded windows,
+    * partitioned by type), a broadcast ≤k-row median join, one pivoted
+    * full-data aggregation. Output (one row): k_groups, n_total,
+    * ss_between, ss_within, f_stat — on the z relation. */
+  def leveneBrownForsythe(events: DataFrame,
+                          types: Seq[String] = AnovaTypes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qdec = DecimalType(38, 0)
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val base = events.filter(col("event_type").isin(types: _*))
+      .select(col("event_type").as("ty"), cents.as("c"))
+    val vg = base.groupBy(col("ty"), col("c").as("v"))
+      .agg(count(lit(1)).as("m"))
+    val wCum = Window.partitionBy(col("ty")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("ty"))
+    val cum = vg.withColumn("cm", sum(col("m")).over(wCum))
+      .withColumn("n", sum(col("m")).over(wAll))
+    val lo = cum.filter(expr("cm >= (n + 1) div 2"))
+      .groupBy(col("ty")).agg(min(col("v")).as("v_lo"))
+    val hi = cum.filter(expr("cm >= n div 2 + 1"))
+      .groupBy(col("ty")).agg(min(col("v")).as("v_hi"))
+    val med = lo.join(hi, "ty")
+      .select(col("ty"), (col("v_lo") + col("v_hi")).as("med2"))
+    val z = base.join(broadcast(med), "ty")
+      .select(col("ty"), abs(lit(2L) * col("c") - col("med2")).as("c"))
+    val aggs = types.flatMap { ty =>
+      val k = ty.replaceAll("[^a-z]", "")
+      Seq(
+        coalesce(sum(when(col("ty") === ty, 1L).otherwise(0L)), lit(0L))
+          .as(s"n_$k"),
+        coalesce(sum(when(col("ty") === ty, col("c"))), lit(0L))
+          .as(s"s_$k"),
+        coalesce(sum(when(col("ty") === ty,
+          (col("c") * col("c")).cast(qdec))), lit(0L).cast(qdec))
+          .as(s"q_$k"))
+    }
+    z.agg(aggs.head, aggs.tail: _*)
+      .select(lit(types.length.toLong).as("k_groups"),
+        expr(AnovaTail("n_total")).as("n_total"),
+        expr(AnovaTail("ss_between")).as("ss_between"),
+        expr(AnovaTail("ss_within")).as("ss_within"),
+        expr(AnovaTail("f_stat")).as("f_stat"))
+  }
+
   /** The SHARED fixed-order χ² tail of [[eventMixDrift]] (the
     * [[AnovaTail]] doctrine): per-type (o−e)²/e terms fold
     * left-to-right in [[AnovaTypes]] order, with the expected count

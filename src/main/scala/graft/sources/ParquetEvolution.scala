@@ -275,10 +275,13 @@ object ParquetEvolution {
   def hivePartitionedPrunedRead(spark: SparkSession,
                                 events: DataFrame): DataFrame = {
     val out = s"$scratchRoot/hivepart-${java.util.UUID.randomUUID()}"
-    events.select(col("event_id"), col("user_id"), col("value"),
-        col("event_type"))
-      .write.mode("overwrite").partitionBy("event_type").parquet(out)
-    spark.read.parquet(out)
+    val slim = events.select(col("event_id"), col("user_id"), col("value"),
+      col("event_type"))
+    slim.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    // explicit read schema: an EMPTY relation writes zero partition
+    // directories and schema inference would throw; the partition
+    // column participates in discovery even when declared
+    spark.read.schema(slim.schema).parquet(out)
       .filter(col("event_type").isin(HivePruneKeep: _*))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),

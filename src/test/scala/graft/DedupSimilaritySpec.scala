@@ -259,6 +259,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("funnelReport: stage counts are monotone and reconcile exactly " +
+    "with what corpusPipeline emits") {
+    import graft.operators.Corpus
+    val out = Corpus.funnelReport(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq == Seq("ingest", "quality_gate",
+      "exact_dedup", "near_dup", "train_split"))
+    val counts = out.map(_._2._1)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"attrition not monotone: ${counts.toSeq}")
+    assert(counts.head == docs.count())
+    // the funnel's survivor stages count exactly the pipeline's output
+    val pipe = Corpus.corpusPipeline(docs).collect()
+    val byStage = out.toMap
+    assert(byStage("near_dup")._1 == pipe.length.toLong)
+    assert(byStage("train_split")._1 ==
+      pipe.count(_.getAs[String]("split") == "train").toLong)
+    // ppm vs ingest: recomputed from the counts themselves
+    out.foreach { case (_, (n, _, ppm)) =>
+      assert(ppm == n * 1000000L / counts.head, s"ppm drift at $n") }
+  }
+
   test("corpusPipeline under duplication stress: perturbed re-keyed copies " +
     "collapse onto their originals") {
     import graft.operators.Corpus

@@ -77,7 +77,9 @@ class EmptyInputSpec extends SparkSpec {
       "corpus_vocab_curve", "embed_quantize_curve",
       // round 13: order_seasonality's 12 calendar-month rows;
       // quality_fk_orphans' 7 structural FK-edge rows
-      "order_seasonality", "quality_fk_orphans")
+      "order_seasonality", "quality_fk_orphans",
+      // round 14: the funnel's 5 structural stage rows (all-zero counts)
+      "corpus_funnel_report")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

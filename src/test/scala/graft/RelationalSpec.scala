@@ -2117,6 +2117,34 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.toSeq == r2.head.toSeq)
   }
 
+  test("leveneBrownForsythe: hand-computed doubled-median deviations " +
+    "and F; equal-variance fixture reads F = 0") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ev(rows: Seq[(String, Double)]) =
+      rows.map { case (t, v) => (ts, t, v) }.toDF("ts", "event_type", "value")
+    // click cents [100,200,300] -> med2 400, z [200,0,200];
+    // view cents [100,500] -> med2 600, z [400,400]
+    val e = ev(Seq(("click", 1.00), ("click", 2.00), ("click", 3.00),
+      ("view", 1.00), ("view", 5.00)))
+    val r = Relational.leveneBrownForsythe(e).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
+    // the same fixed tree the operator uses, on the hand z-sums
+    val sb = (400.0 * 400.0) / 3 + (800.0 * 800.0) / 2 -
+      (1200.0 * 1200.0) / 5
+    val sw = (80000.0 + 320000.0) - ((400.0 * 400.0) / 3 + (800.0 * 800.0) / 2)
+    assert(math.abs(r.getDouble(2) - sb) < 1e-9, s"ssb ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - sw) < 1e-9, s"ssw ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - (sb / 1.0) / (sw / 3.0)) < 1e-9)
+    // both groups with IDENTICAL deviation profiles (and nonzero
+    // within-group spread — an all-equal-z fixture reads SSW = 0 and
+    // F degenerates to NULL): SSB cancels exactly, F = 0.0
+    val eq = ev(Seq(("click", 1.00), ("click", 2.00), ("click", 3.00),
+      ("view", 1.00), ("view", 2.00), ("view", 3.00)))
+    val r2 = Relational.leveneBrownForsythe(eq).collect().head
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(4) == 0.0,
+      s"SSB ${r2.getDouble(2)} F ${r2.getDouble(4)}")
+  }
+
   test("kendallTau: perfect concordance reads tau 1, ties surface " +
     "doubled, fully-tied axis yields NULL") {
     // bitlen cells: counts 1/3/7 -> x = 1/2/3, spends 100/1000/10000
