@@ -629,6 +629,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_kendall" -> ((s, d) =>
       Relational.kendallTau(Tables.orders(s, d))),
 
+    // Event-value drift (round 14): weekly total-variation distance vs
+    // the global value distribution on bit-length buckets, exact ppm
+    // (see eventValueDrift's scaladoc).
+    "event_value_drift" -> ((s, d) =>
+      Relational.eventValueDrift(Tables.events(s, d))),
+
     // Bootstrap CI (round 12): deterministic md5 Poisson bootstrap
     // (see bootstrapCi's scaladoc).
     "stats_bootstrap_ci" -> ((s, d) =>
@@ -2014,6 +2020,26 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         Relational.AnovaTail("ss_within") + " AS ss_within, " +
         Relational.AnovaTail("f_stat") + " AS f_stat FROM g"
     },
+
+    // value-drift replay: same bit-length buckets, HUGEINT cross
+    // products, grid completed before the fold (zero-week buckets
+    // contribute their global mass)
+    "event_value_drift" ->
+      ("WITH bkt AS (SELECT date_trunc('week', ts) AS week, " +
+        "CAST(length(bin(greatest(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT), 1))) AS BIGINT) AS b " +
+        "FROM events), " +
+        "wk AS (SELECT week, b, CAST(COUNT(*) AS BIGINT) AS c_wb FROM bkt GROUP BY 1, 2), " +
+        "gl AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS g_b FROM bkt GROUP BY 1), " +
+        "tw AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_w FROM bkt GROUP BY 1), " +
+        "ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_g FROM bkt), " +
+        "j AS (SELECT tw.week, tw.n_w, COALESCE(wk.c_wb, 0) AS c_wb, gl.g_b " +
+        "FROM tw CROSS JOIN gl LEFT JOIN wk ON tw.week = wk.week AND gl.b = wk.b) " +
+        "SELECT j.week, MAX(j.n_w) AS n_events, " +
+        "CAST(SUM(CASE WHEN j.c_wb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets, " +
+        "CAST(SUM(abs(CAST(j.c_wb AS HUGEINT) * ng.n_g - " +
+        "CAST(j.g_b AS HUGEINT) * j.n_w)) * 1000000 // " +
+        "nullif(MAX(CAST(j.n_w AS HUGEINT) * ng.n_g) * 2, 0) AS BIGINT) AS tv_ppm " +
+        "FROM j, ng GROUP BY j.week ORDER BY j.week"),
 
     // Levene replay: value-grouped doubled-median front, then the SAME
     // pivoted aggregation + AnovaTail tree over the z deviations

@@ -194,6 +194,31 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         .orderBy(col("vec_id"), col("lev"), col("nb_id"))
     }),
 
+    // HNSW incremental upsert (round 14): the base (vec_id < 30)
+    // builds and persists; the doc-id-ranged delta (30..39) INSERTS
+    // into the loaded shard — construction is a left fold over the
+    // sorted id sequence, so the upserted state is BIT-IDENTICAL to
+    // the from-scratch rebuild on the union, which is what the oracle
+    // replays (the same unrolled 40-node CTE as sim_ann_hnsw_build).
+    // See upsertHnswIndex's scaladoc for the fold identity.
+    "sim_ann_hnsw_upsert" -> ((s, d) => {
+      val base = scratchDir("graft_hnsw_upsert_")
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+      GraphAnn.buildHnswIndex(emb.filter(col("vec_id") < 30).coalesce(1),
+        s"$base/idx", m = 4, efConstruction = 48, maxLevel = 6)
+      GraphAnn.upsertHnswIndex(s"$base/idx",
+        emb.filter(col("vec_id") >= 30).coalesce(1), s"$base/idx2",
+        m = 4, efConstruction = 48, maxLevel = 6)
+      val idx = s.read.parquet(s"$base/idx2")
+      val ids = idx.select(col("pos").as("nb_pos"), col("vec_id").as("nb_id"))
+      idx.select(col("vec_id"), posexplode(col("adj")))
+        .select(col("vec_id"), col("pos").cast("long").as("lev"),
+          explode(col("col")).as("nb_pos"))
+        .join(ids, "nb_pos")
+        .select(col("vec_id"), col("lev"), col("nb_id"))
+        .orderBy(col("vec_id"), col("lev"), col("nb_id"))
+    }),
+
     // IVF serve plumbing under the FULL oracle: deterministic seed
     // centroids (the nlist corpus vectors with smallest md5(vec_id) —
     // no Lloyd's iterations), so list assignment, nprobe lookup and
@@ -463,6 +488,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // bit-length surrogate — the content-vs-flat curation filter.
     "multimodal_entropy" -> ((s, d) =>
       Multimodal.imageEntropy(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // Histogram equalization (round 14): per-image CDF remap with the
+    // classic integer formula, real-decoded pixels, position-weighted
+    // digests (see imageHistEq's scaladoc).
+    "multimodal_hist_eq" -> ((s, d) =>
+      Multimodal.imageHistEq(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
     // Dataset normalization constants (round 13): per-source gray
@@ -981,6 +1013,10 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
 
     "sim_ann_hnsw_build" -> sqlHnswBuild(n = 40, m = 4, maxLevel = 6),
 
+    // upsert replay: the from-scratch rebuild on the union IS the
+    // oracle — the fold identity under test, not a separate formula
+    "sim_ann_hnsw_upsert" -> sqlHnswBuild(n = 40, m = 4, maxLevel = 6),
+
     // list-balance replay: the sim_ann_ivf_fixed centroid/assignment
     // CTEs verbatim, then per-list counts with structural zero rows
     "embed_ivf_balance" ->
@@ -1331,6 +1367,33 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(COUNT(*) AS BIGINT) AS n_grays, CAST(MAX(c) AS BIGINT) AS max_count, " +
         "CAST(SUM(c * (length(bin(n // c)) - 1)) AS BIGINT) AS ent_surrogate " +
         "FROM hc GROUP BY doc_id, n ORDER BY doc_id"),
+
+    // hist-eq replay: analytic pixels → per-doc CDF window → the same
+    // integer LUT formula → position-weighted digests
+    "multimodal_hist_eq" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w * h AS n, unnest(range(0, w * h)) AS i FROM dims), " +
+        "gv AS (SELECT doc_id, n, i, (doc_id*31 + i*7) % 256 AS g FROM px), " +
+        "hc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c FROM gv GROUP BY 1, 2, 3), " +
+        "cd AS (SELECT doc_id, n, g, c, SUM(c) OVER (PARTITION BY doc_id " +
+        "ORDER BY g ROWS UNBOUNDED PRECEDING) AS cdf FROM hc), " +
+        "cm AS (SELECT doc_id, MIN(cdf) AS cdf_min FROM cd GROUP BY 1), " +
+        "gi AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grays_in FROM hc GROUP BY 1), " +
+        "lut AS (SELECT cd.doc_id, cd.g, CASE WHEN cd.n > cm.cdf_min THEN " +
+        "((cd.cdf - cm.cdf_min) * 255) // (cd.n - cm.cdf_min) ELSE 0 END AS v " +
+        "FROM cd JOIN cm USING (doc_id)), " +
+        "ev AS (SELECT gv.doc_id, gv.n, gv.i, lut.v FROM gv " +
+        "JOIN lut ON gv.doc_id = lut.doc_id AND gv.g = lut.g) " +
+        "SELECT ev.doc_id, CAST(MAX(ev.n) AS BIGINT) AS n_pixels, " +
+        "MAX(gi.n_grays_in) AS n_grays_in, " +
+        "CAST(COUNT(DISTINCT ev.v) AS BIGINT) AS n_grays_out, " +
+        "CAST(SUM(ev.v) AS BIGINT) AS eq_sum, " +
+        "CAST(SUM(ev.i * ev.v) AS BIGINT) AS eq_posw, " +
+        "CAST(MIN(ev.v) AS BIGINT) AS eq_min, " +
+        "CAST(MAX(ev.v) AS BIGINT) AS eq_max " +
+        "FROM ev JOIN gi ON ev.doc_id = gi.doc_id " +
+        "GROUP BY ev.doc_id ORDER BY ev.doc_id"),
 
     // letterbox replay: per-row/column ranges from the analytic pixel
     // formula, run lengths via min/max over the non-flat indices;

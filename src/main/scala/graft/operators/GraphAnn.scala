@@ -339,6 +339,62 @@ object GraphAnn {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** INCREMENTAL INSERT into a persisted index (round 14) — the HNSW
+    * half of the index-maintenance story `sim_ann_index_upsert` opened
+    * for IVF: a corpus delta lands in the graph WITHOUT rebuilding it.
+    * Each shard's persisted state reloads via [[NswIndex.loadNode]]
+    * (zero beam work, zero cosine evaluations — the serve path's
+    * loader), then the delta rows insert in sorted-id order through
+    * the NORMAL construction beam against the already-built graph.
+    *
+    * The identity that makes this correct: HNSW construction is a
+    * LEFT FOLD over the sorted insertion sequence — state after
+    * inserting ids(base) then ids(delta) equals state after inserting
+    * ids(base ∪ delta) whenever every base id precedes every delta id
+    * (exactly the doc-id-ranged delta shape of a growing corpus), so
+    * the upserted index is BIT-IDENTICAL to the from-scratch rebuild
+    * on the union — which is what the oracle replays. Delta rows route
+    * to shards by id hash (`id mod nShards`); on the single-shard
+    * fixture this is the full identity, at scale it is the standard
+    * keyed-shard layout (the build's partition knob, made explicit).
+    *
+    * Cost shape: O(|delta|·efC·log N) beam work against loaded
+    * adjacency vs O(N·efC·log N) for a rebuild — the difference
+    * between a nightly delta and re-encoding 100 TB. */
+  def upsertHnswIndex(indexDir: String, delta: DataFrame, outDir: String,
+                      m: Int = 8, efConstruction: Int = 32,
+                      maxLevel: Int = 6): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val idxDf = spark.read.parquet(indexDir)
+      .select(col("shard").cast("int"), col("pos").cast("int"),
+        col("vec_id"), col("vec"), col("adj"))
+      .as[(Int, Int, Long, Array[Long], Seq[Seq[Int]])]
+    val maxShard = spark.read.parquet(indexDir).agg(max(col("shard"))).head
+    val nShards = if (maxShard.isNullAt(0)) 1
+      else maxShard.get(0).toString.toInt + 1
+    val d = Similarity.prepared(delta).filter(col("nrm") > 0L)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .as[(Long, Array[Long], Long)]
+    val ik = idxDf.groupByKey(_._1)
+    val dk = d.groupByKey(t => math.floorMod(t._1, nShards.toLong).toInt)
+    ik.cogroup(dk) { (shard, stateRows, deltaRows) =>
+      val sorted = stateRows.toArray.sortBy(_._2)
+      val index = new NswIndex(m, efConstruction, maxLevel)
+      sorted.foreach { case (_, _, id, vec, layers) =>
+        index.loadNode(id, vec, layers.map(_.toArray).toArray)
+      }
+      deltaRows.toArray.sortBy(_._1).foreach { case (id, v, n) =>
+        index.insert(id, v, math.sqrt(n.toDouble))
+      }
+      (0 until index.size).iterator.map { pos =>
+        val (id, vec, layers) = index.exportNode(pos)
+        (shard, pos, id, vec, layers.map(_.toSeq).toSeq)
+      }
+    }.toDF("shard", "pos", "vec_id", "vec", "adj")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** SERVE from a persisted index: load each shard's adjacency rows
     * (one exchange keyed by shard — the load cost, paid per serve
     * batch, vs. [[hnswTopK]]'s full graph CONSTRUCTION per query),

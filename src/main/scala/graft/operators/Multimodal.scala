@@ -269,6 +269,85 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** HISTOGRAM EQUALIZATION (round 14) — the contrast-normalization
+    * transform every vision-ingest pipeline offers (washed-out scans
+    * and under-exposed frames get their dynamic range stretched before
+    * feature extraction): remap each gray level through the image's
+    * own CDF, eq(g) = (cdf(g) − cdf_min)·255 div (n − cdf_min) — the
+    * classic integer formula, EXACT end to end (one integral division
+    * per level, nonneg operands so div ≡ //). A single-gray image
+    * (n = cdf_min) maps to all-zeros — the documented degenerate
+    * convention. Decode through the same real-ImageIO per-partition
+    * harness as [[imageEntropy]]; the 256-entry LUT is built per
+    * image, and the digests are position-weighted (raster-order bugs
+    * cannot pass). n_grays_out ≤ n_grays_in always (the map is
+    * monotone, never splitting); the equalized max hits 255 whenever
+    * the image has ≥ 2 grays — both invariants spec-pinned.
+    *
+    * Output: (doc_id, n_pixels, n_grays_in, n_grays_out, eq_sum,
+    * eq_posw, eq_min, eq_max), ordered. */
+  def imageHistEq(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pixels", LongType),
+      StructField("n_grays_in", LongType),
+      StructField("n_grays_out", LongType),
+      StructField("eq_sum", LongType), StructField("eq_posw", LongType),
+      StructField("eq_min", LongType), StructField("eq_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val n = w.toLong * h
+          val px = new Array[Int](n.toInt)
+          val hist = new Array[Long](256)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = (img.getRGB(x, y) >> 16) & 0xff
+              px(y * w + x) = g; hist(g) += 1; x += 1
+            }
+            y += 1
+          }
+          val lut = new Array[Long](256)
+          var cdf = 0L; var cdfMin = -1L; var graysIn = 0L
+          var g = 0
+          while (g < 256) {
+            if (hist(g) > 0) {
+              graysIn += 1
+              if (cdfMin < 0) cdfMin = hist(g)
+            }
+            cdf += hist(g)
+            lut(g) = if (n > cdfMin && cdfMin >= 0)
+              (cdf - cdfMin) * 255L / (n - cdfMin)
+            else 0L
+            g += 1
+          }
+          var sum = 0L; var posw = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          val outSeen = new Array[Boolean](256)
+          var graysOut = 0L
+          var i = 0
+          while (i < n) {
+            val v = lut(px(i.toInt))
+            sum += v; posw += i * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            if (!outSeen(v.toInt)) { outSeen(v.toInt) = true; graysOut += 1 }
+            i += 1
+          }
+          Row(r.getAs[Long]("doc_id"), n, graysIn, graysOut, sum, posw,
+            if (n == 0) 0L else mn, if (n == 0) 0L else mx)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** DATASET NORMALIZATION CONSTANTS (round 13) — the per-corpus-shard
     * mean/std every vision training pipeline computes BEFORE training
     * (the `transforms.Normalize(mean, std)` numbers), grouped by

@@ -3539,6 +3539,55 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** EVENT-VALUE DRIFT monitor (round 14) — per week, the TOTAL
+    * VARIATION distance between that week's value distribution and the
+    * GLOBAL one, completing the drift trio's numeric leg beside
+    * [[eventMixDrift]] (categorical mix, χ²) and `quality_len_drift`
+    * (per-source lengths, KS): a price change, a currency bug, or a
+    * new fee tier moves this number the week it ships. The
+    * distribution lives on value-cents BIT-LENGTH buckets (the
+    * bounded-grid surrogate — ≤64 buckets at any volume), and TV is
+    * EXACT-RATIONAL end to end: TV = ½·Σ|p_w − p_g| becomes
+    * Σ|c_wb·N_g − g_b·N_w| · 10⁶ div (2·N_w·N_g) — one integral
+    * division, every product in DECIMAL(38,0) (count products are n²
+    * — int64 dies at warehouse volume), surfaced as tv_ppm ∈
+    * [0, 10⁶]. Buckets the week never hit still contribute their
+    * global mass (the week×global-bucket grid is built first, weekly
+    * counts left-joined) — skipping them would understate drift
+    * exactly when a bucket vanishes, the catastrophic case.
+    *
+    * Scale shape: one full-data aggregation to the (week, bucket)
+    * grid, a ≤64-row broadcast global table, a weeks×buckets
+    * grid join — all bounded. Output: (week, n_events, n_buckets,
+    * tv_ppm), ordered by week. */
+  def eventValueDrift(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val bucketed = events.select(
+      date_trunc("week", col("ts")).as("week"),
+      length(bin(greatest(cents, lit(1L)))).cast("long").as("b"))
+    val wk = bucketed.groupBy(col("week"), col("b"))
+      .agg(count(lit(1)).as("c_wb"))
+    val glob = bucketed.groupBy(col("b")).agg(count(lit(1)).as("g_b"))
+    val totals = bucketed.groupBy(col("week")).agg(count(lit(1)).as("n_w"))
+    val nTot = bucketed.agg(count(lit(1)).as("n_g"))
+    val grid = totals.crossJoin(broadcast(glob))
+    grid.join(wk, Seq("week", "b"), "left")
+      .select(col("week"), col("n_w"),
+        coalesce(col("c_wb"), lit(0L)).as("c_wb"), col("g_b"))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("week"))
+      .agg(max(col("n_w")).as("n_events"),
+        sum(when(col("c_wb") > 0, 1L).otherwise(0L)).as("n_buckets"),
+        sum(abs(col("c_wb").cast(dec) * col("n_g") -
+          col("g_b").cast(dec) * col("n_w"))).as("gap"),
+        max(col("n_w").cast(dec) * col("n_g")).as("den2"))
+      .select(col("week"), col("n_events"), col("n_buckets"),
+        expr("CAST((gap * 1000000) div nullif(den2 * 2, 0) AS BIGINT)")
+          .as("tv_ppm"))
+      .orderBy(col("week"))
+  }
+
   /** KENDALL'S τ-b (round 14) — the rank-correlation triple completed:
     * beside `stats_corr` (Pearson, linear) and `stats_spearman` (rank
     * Pearson), τ-b is the CONCORDANT-PAIR form — the probability a

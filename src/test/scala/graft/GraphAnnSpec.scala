@@ -263,4 +263,36 @@ class GraphAnnSpec extends SparkSpec {
     assert(serves.min < rebuilds.min,
       "serving from the persisted index is not cheaper than rebuilding")
   }
+
+  test("upsertHnswIndex: base-then-delta equals the from-scratch build " +
+    "node-for-node, and the upserted index serves identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_up_")
+      .toString
+    val full = emb.filter(col("vec_id") < 60).coalesce(1)
+    val base = emb.filter(col("vec_id") < 45).coalesce(1)
+    val delta = emb.filter(col("vec_id") >= 45 && col("vec_id") < 60)
+      .coalesce(1)
+    GraphAnn.buildHnswIndex(full, s"$dir/full", m = 4,
+      efConstruction = 48, maxLevel = 6)
+    GraphAnn.buildHnswIndex(base, s"$dir/base", m = 4,
+      efConstruction = 48, maxLevel = 6)
+    GraphAnn.upsertHnswIndex(s"$dir/base", delta, s"$dir/up", m = 4,
+      efConstruction = 48, maxLevel = 6)
+    def state(p: String) = spark.read.parquet(p)
+      .select(col("shard"), col("pos"), col("vec_id"),
+        col("adj").cast("string").as("adj"))
+      .collect().map(_.toSeq).toSet
+    // the fold identity: persisted state is BIT-identical, not just
+    // search-equivalent — adjacency, positions, everything
+    assert(state(s"$dir/up") == state(s"$dir/full"))
+    assert(asMap(GraphAnn.hnswServedTopK(s"$dir/up", full,
+        nQueries = 5, k = 5))
+      == asMap(GraphAnn.hnswServedTopK(s"$dir/full", full,
+        nQueries = 5, k = 5)))
+    // the delta must actually have gone through construction: the
+    // upserted index holds every live full-corpus node
+    val n = spark.read.parquet(s"$dir/up").count()
+    assert(n == spark.read.parquet(s"$dir/full").count() && n >= 55,
+      s"upserted index holds $n nodes")
+  }
 }

@@ -493,6 +493,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageHistEq: exact local CDF-remap replay through the decoder; " +
+    "full-scale stretch and monotone gray counts corpus-wide") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.imageHistEq(spark, Multimodal.ingestBmp(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val nc = meta(d)
+      val w = (nc % 13 + 4).toInt; val h = (nc % 7 + 4).toInt
+      val n = (w * h).toLong
+      val px = (0 until (w * h)).map(i => ((d * 31 + i * 7) % 256).toInt)
+      val hist = px.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val grays = hist.keys.toSeq.sorted
+      val cdfMin = hist(grays.head)
+      val cdf = grays.scanLeft(0L)((a, g) => a + hist(g)).tail
+      val lut = grays.zip(cdf).map { case (g, c) =>
+        g -> (if (n > cdfMin) (c - cdfMin) * 255L / (n - cdfMin) else 0L)
+      }.toMap
+      val eq = px.map(lut)
+      assert(r.getLong(1) == n && r.getLong(2) == grays.length.toLong,
+        s"doc $d counts")
+      assert(r.getLong(3) == eq.distinct.length.toLong, s"doc $d grays out")
+      assert(r.getLong(4) == eq.sum &&
+        r.getLong(5) == eq.zipWithIndex.map { case (v, i) => i * v }.sum,
+        s"doc $d digests")
+      assert(r.getLong(6) == eq.min && r.getLong(7) == eq.max,
+        s"doc $d range")
+      // invariants: equalization never splits a gray, and any image
+      // with >= 2 grays stretches to full scale
+      assert(r.getLong(3) <= r.getLong(2), s"doc $d split a gray")
+      if (r.getLong(2) >= 2) assert(r.getLong(7) == 255L,
+        s"doc $d max ${r.getLong(7)} not full scale")
+    }
+  }
+
   test("wavMixOverlay: exact local mix replay through the decoder; " +
     "saturation bites corpus-wide") {
     val docs = Tables.documents(spark, sf0)

@@ -2117,6 +2117,25 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.toSeq == r2.head.toSeq)
   }
 
+  test("eventValueDrift: identical weeks read zero, disjoint buckets " +
+    "read the exact hand TV") {
+    def ev(rows: Seq[(String, Double)]) = rows.map { case (d, v) =>
+      (java.sql.Timestamp.valueOf(s"$d 10:00:00"), "t", v)
+    }.toDF("ts", "event_type", "value")
+    // both weeks carry the global mix exactly -> TV = 0
+    val same = ev(Seq(("2024-01-01", 0.01), ("2024-01-02", 0.02),
+      ("2024-01-08", 0.01), ("2024-01-09", 0.02)))
+    val r0 = Relational.eventValueDrift(same).collect()
+    assert(r0.length == 2 && r0.forall(_.getLong(3) == 0L), r0.toSeq)
+    // bucket-disjoint weeks: TV = 1/2 exactly -> 500000 ppm, and the
+    // bucket the week never hit still contributes (n_buckets = 1)
+    val skew = ev(Seq(("2024-01-01", 0.01), ("2024-01-02", 0.01),
+      ("2024-01-08", 0.02), ("2024-01-09", 0.02)))
+    val r1 = Relational.eventValueDrift(skew).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(r1.toSeq == Seq((2L, 1L, 500000L), (2L, 1L, 500000L)), r1.toSeq)
+  }
+
   test("leveneBrownForsythe: hand-computed doubled-median deviations " +
     "and F; equal-variance fixture reads F = 0") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
