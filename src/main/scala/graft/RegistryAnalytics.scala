@@ -635,6 +635,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_value_drift" -> ((s, d) =>
       Relational.eventValueDrift(Tables.events(s, d))),
 
+    // Poisson dispersion index (round 14): per-type variance/mean over
+    // the gap-filled daily grid in exact ppm — the burstiness detector
+    // (see dispersionIndex's scaladoc).
+    "stats_dispersion" -> ((s, d) =>
+      Relational.dispersionIndex(Tables.events(s, d))),
+
     // Bootstrap CI (round 12): deterministic md5 Poisson bootstrap
     // (see bootstrapCi's scaladoc).
     "stats_bootstrap_ci" -> ((s, d) =>
@@ -899,6 +905,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Graph.assortativity(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
+    // Closeness centrality from md5 seeds (round 14): per-seed
+    // round-capped BFS over the strong-tie graph, classic closeness in
+    // exact ppm (see closenessFromSeeds' scaladoc).
+    "graph_closeness" -> ((s, d) =>
+      Graph.closenessFromSeeds(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // Label-propagation communities (round 12): deterministic
     // synchronous LPA, fixed supersteps unrolled into the oracle —
     // density communities next to graph_components' connectivity (see
@@ -964,6 +977,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     "event_sessionize" -> ((s, d) =>
       Sessionize.sessions(Tables.events(s, d))),
+
+    // Peak concurrency (round 14): day-clipped ±1 sweep over the
+    // session intervals — the capacity number beside DAU (see
+    // concurrency's scaladoc).
+    "event_concurrency" -> ((s, d) =>
+      Sessionize.concurrency(Tables.events(s, d))),
 
     // STATEFUL-streaming parity (round 12): the flatMapGroupsWithState
     // sessionizer replayed over the events corpus as a multi-batch file
@@ -2818,6 +2837,63 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(COUNT(*) AS BIGINT) AS n_nodes " +
         "FROM (SELECT DISTINCT p FROM it) n LEFT JOIN md ON n.p = md.node " +
         "GROUP BY 1 ORDER BY 1"),
+
+    // closeness replay: the bfs_layers recursion with the seed CARRIED
+    // through — per-seed min depths, one integral ppm division
+    "graph_closeness" ->
+      ("WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "wt AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS w FROM it a " +
+        "JOIN it b ON a.o = b.o AND a.p != b.p GROUP BY 1, 2), " +
+        "und AS (SELECT a, b FROM wt WHERE w >= 2), " +
+        "reach(seed, node, depth) AS (" +
+        "SELECT p, p, CAST(0 AS BIGINT) FROM (SELECT DISTINCT p FROM it) " +
+        "WHERE substring(md5(CAST(p AS VARCHAR)), 1, 2) = '00' " +
+        "UNION " +
+        "SELECT r.seed, e.b, r.depth + 1 FROM reach r JOIN und e ON e.a = r.node " +
+        "WHERE r.depth < 4), " +
+        "md AS (SELECT seed, node, MIN(depth) AS depth FROM reach GROUP BY 1, 2) " +
+        "SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached, " +
+        "CAST(SUM(depth) AS BIGINT) AS sum_depth, " +
+        "CAST((COUNT(*) - 1) * 1000000 // nullif(SUM(depth), 0) AS BIGINT) " +
+        "AS closeness_ppm " +
+        "FROM md GROUP BY seed ORDER BY seed"),
+
+    // concurrency replay: shared session CTEs, day-clipped ±1 sweep,
+    // per-day running max
+    "event_concurrency" ->
+      (s"WITH $sqlSessionCtes, " +
+        "sess AS (SELECT user_id, MIN(ts) AS sess_start, " +
+        "MAX(ts) + INTERVAL 30 MINUTE AS sess_end FROM g GROUP BY user_id, grp), " +
+        "ds AS (SELECT sess_start, sess_end, " +
+        "unnest(generate_series(date_trunc('day', sess_start), " +
+        "date_trunc('day', sess_end - INTERVAL 1 MICROSECOND), INTERVAL 1 DAY)) AS day " +
+        "FROM sess), " +
+        "dl AS (SELECT day, greatest(sess_start, day) AS ts, 1 AS delta FROM ds " +
+        "UNION ALL SELECT day, sess_end, -1 FROM ds " +
+        "WHERE sess_end < day + INTERVAL 1 DAY), " +
+        "rn AS (SELECT day, delta, SUM(delta) OVER (PARTITION BY day " +
+        "ORDER BY ts, delta ROWS UNBOUNDED PRECEDING) AS run FROM dl) " +
+        "SELECT day, CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, " +
+        "CAST(MAX(run) AS BIGINT) AS peak_concurrency " +
+        "FROM rn GROUP BY day ORDER BY day"),
+
+    // dispersion replay: same gap-filled grid, HUGEINT squares, one
+    // integral ppm division (numerator nonnegative by Cauchy–Schwarz)
+    "stats_dispersion" ->
+      ("WITH dly AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM dly GROUP BY 1), " +
+        "grid AS (SELECT event_type, " +
+        "unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "ser AS (SELECT g.event_type, COALESCE(d.y, 0) AS y FROM grid g " +
+        "LEFT JOIN dly d ON g.event_type = d.event_type AND g.day = d.day), " +
+        "f AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(y) AS BIGINT) AS s, SUM(CAST(y AS HUGEINT) * y) AS q FROM ser GROUP BY 1) " +
+        "SELECT event_type, n_days, s AS sum_events, " +
+        "CASE WHEN n_days < 2 OR s = 0 THEN NULL ELSE " +
+        "CAST(((n_days * q - CAST(s AS HUGEINT) * s) * 1000000) // " +
+        "((n_days - 1) * CAST(s AS HUGEINT)) AS BIGINT) END AS dispersion_ppm " +
+        "FROM f ORDER BY 1"),
 
     // components replay: recursive min-label reachability over the
     // co-order edges (the dedup_cluster reach pattern on parts), then

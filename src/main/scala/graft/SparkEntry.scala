@@ -541,13 +541,18 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
   /** Gap-based sessionization replay — the shared oracle of the batch
     * key (`event_sessionize`) and its stateful-streaming parity twin
     * (`stream_sessionize_parity`). */
-  private[graft] val sqlSessionize: String =
-    "WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+  /** Gaps-and-islands session CTEs, shared by the sessionize oracles
+    * and the concurrency sweep (interpolated after `WITH`). */
+  private[graft] val sqlSessionCtes: String =
+    "o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
       "d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
       "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM o " +
       "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
       "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts " +
-      "ROWS UNBOUNDED PRECEDING) AS grp FROM d) " +
+      "ROWS UNBOUNDED PRECEDING) AS grp FROM d)"
+
+  private[graft] val sqlSessionize: String =
+    s"WITH $sqlSessionCtes " +
       "SELECT user_id, MIN(ts) AS sess_start, MAX(ts) + INTERVAL 30 MINUTE AS sess_end, " +
       "COUNT(*) AS n_events FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start"
 

@@ -580,6 +580,59 @@ object Graph {
       .orderBy(col("depth"))
   }
 
+  /** CLOSENESS CENTRALITY FROM SEEDS (round 14) — per-seed bounded BFS
+    * over the strong-tie co-order graph, surfacing the classic
+    * closeness (n_reached − 1)/Σdepth as exact ppm: the "how central
+    * is this hub" number next to [[pagerank]]'s stationary mass and
+    * [[bfsLayers]]' reachability profile. Exact closeness needs
+    * all-pairs shortest paths — O(N·E), never at 100 TB — so the
+    * production form is exactly this: a deterministic SEED SAMPLE
+    * (md5-prefix nodes, the bfsLayers seed rule — scale-invariant
+    * share, no collect) each running a ROUND-CAPPED BFS; depths are
+    * exact within the horizon, and the cap is the documented truncation
+    * (centrality-at-horizon, the form monitoring actually uses).
+    *
+    * State is (seed, node, min-depth) — K·reached rows, K a fixed
+    * fraction of nodes; each round is one frontier-edge equi-join +
+    * one anti-join against visited, per-seed keyed (seeds never
+    * interact). localCheckpoint per round truncates the growing
+    * lineage exactly like [[bfsLayers]].
+    *
+    * Output: (seed, n_reached, sum_depth, closeness_ppm), ordered by
+    * seed; closeness_ppm NULL for an isolated seed (nothing reached). */
+  def closenessFromSeeds(lineitem: DataFrame, rounds: Int = 4,
+                         minWeight: Long = 2L,
+                         edges0: Option[DataFrame] = None): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"bad rounds=$rounds")
+    val e0 = edges0.getOrElse(coOrderEdges(lineitem))
+      .filter(col("w") >= minWeight).select(col("a"), col("b"))
+    val und = e0.unionByName(
+      e0.select(col("b").as("a"), col("a").as("b")))
+    val seeds = lineitem.select(col("l_partkey").as("node")).distinct()
+      .filter(substring(md5(col("node").cast("string")), 1, 2) === "00")
+    var visited = seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("depth")).localCheckpoint()
+    var frontier = visited.select(col("seed"), col("node"))
+    for (d <- 1 to rounds) {
+      val next = und
+        .join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("seed"), col("b").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(d.toLong).as("depth"))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("seed"), col("node"))
+    }
+    visited.groupBy(col("seed"))
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum(col("depth")).as("sum_depth"))
+      .select(col("seed"), col("n_reached"), col("sum_depth"),
+        expr("CAST((n_reached * 1000000) div nullif(sum_depth, 0L) " +
+          "AS BIGINT)").as("closeness_ppm"))
+      .orderBy(col("seed"))
+  }
+
   private[graft] def degreeOriented(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

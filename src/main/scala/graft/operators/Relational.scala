@@ -3539,6 +3539,45 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** POISSON DISPERSION INDEX (round 14) — per event type over the
+    * gap-filled daily count series: variance-to-mean ratio, the
+    * overdispersion detector that decides whether a count series is
+    * Poisson-like (ratio ≈ 1, independent arrivals — alerting can use
+    * Poisson bands) or bursty (ratio ≫ 1 — bots, batch jobs, retry
+    * storms; use `event_anomaly_mad` instead). EXACT-RATIONAL: with
+    * S = Σx and Q = Σx² over n grid days, var/mean =
+    * (n·Q − S²) div ((n−1)·S) in ppm — ONE integral division, Q and
+    * the products in DECIMAL(38,0) (squared daily counts overflow
+    * int64 at warehouse volume). Gap days are REAL zeros on the
+    * calendar grid (the round-13 doctrine — skipping them inflates the
+    * mean and masks burstiness). NULL ppm when S = 0 or n < 2.
+    *
+    * Scale shape: one daily aggregation, a calendar-bounded grid, one
+    * per-type fold. Output: (event_type, n_days, sum_events,
+    * dispersion_ppm), ordered — dispersion_ppm > 10⁶ reads
+    * "overdispersed". */
+  def dispersionIndex(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("y"), lit(0L)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sum_events"),
+        sum(col("y").cast(dec) * col("y")).as("q"))
+      .select(col("event_type"), col("n_days"), col("sum_events"),
+        expr("CASE WHEN n_days < 2 OR sum_events = 0 THEN NULL ELSE " +
+          "CAST(((n_days * q - CAST(sum_events AS DECIMAL(38,0)) * sum_events) " +
+          "* 1000000) div ((n_days - 1) * CAST(sum_events AS DECIMAL(38,0))) " +
+          "AS BIGINT) END").as("dispersion_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   /** EVENT-VALUE DRIFT monitor (round 14) — per week, the TOTAL
     * VARIATION distance between that week's value distribution and the
     * GLOBAL one, completing the drift trio's numeric leg beside

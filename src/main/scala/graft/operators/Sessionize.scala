@@ -73,6 +73,47 @@ object Sessionize {
         col("n_events"))
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** PEAK CONCURRENCY (round 14) — per day, the maximum number of
+    * SIMULTANEOUSLY open sessions: the capacity number every serving
+    * fleet is sized by (DAU counts users, this counts the load they
+    * put on the system at the worst instant). Sessions are
+    * [[sessions]]' half-open [start, end) intervals; the sweep is the
+    * classic ±1 line scan made DAY-DECOMPOSABLE so no partition-less
+    * window exists: each session is CLIPPED to the days it spans
+    * (+1 at max(start, day), −1 at end only when end falls inside the
+    * day — a midnight-crossing session simply re-enters the next day
+    * at its boundary, carrying its concurrency with zero cross-day
+    * state). The running sum orders by (ts, delta) so an end at the
+    * exact instant of a start releases first (half-open semantics);
+    * rows tied on BOTH keys carry equal deltas, so the max is
+    * order-independent — deterministic without a total order.
+    *
+    * Scale shape: sessions are user-bounded; the day explode is
+    * span-bounded (a session touches few days); the sweep window is
+    * PARTITIONED by day. Output: (day, n_sessions, peak_concurrency),
+    * ordered by day — n_sessions counts sessions touching the day. */
+  def concurrency(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sessions(events, gap)
+    val days = s.select(col("sess_start"), col("sess_end"),
+      explode(sequence(
+        date_trunc("day", col("sess_start")),
+        date_trunc("day", col("sess_end") - expr("interval 1 microsecond")),
+        expr("interval 1 day"))).as("day"))
+    val deltas = days.select(col("day"),
+        greatest(col("sess_start"), col("day")).as("ts"), lit(1L).as("delta"))
+      .unionByName(days
+        .filter(col("sess_end") < col("day") + expr("interval 1 day"))
+        .select(col("day"), col("sess_end").as("ts"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("run", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"),
+        max(col("run")).as("peak_concurrency"))
+      .orderBy(col("day"))
+  }
+
   /** Weekly cohort retention — the classic retention triangle: users are
     * cohorted by the (Monday-truncated) week of their FIRST event, and
     * each (cohort, week_offset) row counts the distinct users active in

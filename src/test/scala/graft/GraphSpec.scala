@@ -272,4 +272,21 @@ class GraphSpec extends SparkSpec {
     val one = Graph.modularity(li(1L -> Seq(1L, 2L, 3L))).collect().head
     assert(one.getDouble(3) == 0.0 && one.getLong(1) == 1L, s"got $one")
   }
+
+  test("closenessFromSeeds: hand chain from an md5-'00' seed — exact " +
+    "depths, ppm, and an isolated seed reads NULL") {
+    // 168 is the smallest int with md5 prefix '00' (the seed rule);
+    // strong-tie chain 168—1—2 (each edge co-ordered twice)
+    val chain = li(
+      1L -> Seq(168L, 1L), 2L -> Seq(168L, 1L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L, 2L))
+    val r = Graph.closenessFromSeeds(chain).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 168L)
+    // depths 0/1/2: reached 2 nodes, sum 3, ppm = 2e6 div 3
+    assert(r.head.toSeq == Seq(168L, 2L, 3L, 666666L), r.head)
+    // seed present but every edge weak (single co-order): isolated
+    val weak = li(1L -> Seq(168L, 1L), 2L -> Seq(1L, 2L))
+    val rw = Graph.closenessFromSeeds(weak).collect().head
+    assert(rw.getLong(1) == 0L && rw.isNullAt(3), rw)
+  }
 }

@@ -2117,6 +2117,41 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.toSeq == r2.head.toSeq)
   }
 
+  test("concurrency: overlapping sessions stack, midnight crossers " +
+    "re-enter the next day carrying their concurrency") {
+    import graft.operators.Sessionize
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 1L),   // s1: [10:00, 10:30)
+      (ts("2024-01-01 10:10:00"), 2L),   // s2: [10:10, 10:40) — overlap
+      (ts("2024-01-01 23:50:00"), 3L))   // s3: [23:50, 00:20 next day)
+      .toDF("ts", "user_id")
+    val out = Sessionize.concurrency(ev).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 3L, 2L),   // s1+s2 stack to 2; s3 alone later
+      ("2024-01-02", 1L, 1L)),  // s3 re-enters at midnight
+      out.toSeq)
+  }
+
+  test("dispersionIndex: constant series reads 0 ppm, a bursty one the " +
+    "exact hand ratio, gap days count as zeros") {
+    val ts = (d: Int, i: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-02-$d%02d 0$i:00:00")
+    // constant: 2 events/day over 3 days -> var 0
+    val flat = (1 to 3).flatMap(d => Seq((ts(d, 1), "a"), (ts(d, 2), "a")))
+      .toDF("ts", "event_type")
+    val rf = Relational.dispersionIndex(flat).collect().head
+    assert(rf.toSeq == Seq("a", 3L, 6L, 0L), rf)
+    // bursty with an INTERIOR gap day (grid zero): counts [4, 0, 1]
+    // -> S=5, Q=17, n=3 -> ((3*17 - 25)*1e6) div (2*5) = 2600000
+    val b2 = ((1 to 4).map(i => (ts(1, i), "b")) :+ (ts(3, 5), "b"))
+      .toDF("ts", "event_type")
+    val rb = Relational.dispersionIndex(b2).collect().head
+    assert(rb.toSeq == Seq("b", 3L, 5L, 2600000L), rb)
+  }
+
   test("eventValueDrift: identical weeks read zero, disjoint buckets " +
     "read the exact hand TV") {
     def ev(rows: Seq[(String, Double)]) = rows.map { case (d, v) =>
