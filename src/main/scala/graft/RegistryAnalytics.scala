@@ -641,6 +641,18 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_dispersion" -> ((s, d) =>
       Relational.dispersionIndex(Tables.events(s, d))),
 
+    // Linear gap interpolation (round 14): calendar gaps in the daily
+    // revenue LEVEL series filled by exact sign-split linear
+    // interpolation between anchors (see interpolateDaily's scaladoc).
+    "window_interpolate" -> ((s, d) =>
+      Relational.interpolateDaily(Tables.orders(s, d))),
+
+    // Hour-of-day profile (round 14): per-type 24-hour histogram with
+    // exact ppm shares, completed grid, deterministic peak flag (see
+    // hourlyProfile's scaladoc).
+    "event_hourly_profile" -> ((s, d) =>
+      Relational.hourlyProfile(Tables.events(s, d))),
+
     // Bootstrap CI (round 12): deterministic md5 Poisson bootstrap
     // (see bootstrapCi's scaladoc).
     "stats_bootstrap_ci" -> ((s, d) =>
@@ -2876,6 +2888,44 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT day, CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, " +
         "CAST(MAX(run) AS BIGINT) AS peak_concurrency " +
         "FROM rn GROUP BY day ORDER BY day"),
+
+    // interpolation replay: lead() anchor segments, gap→segment range
+    // join, the same sign-split interpolant
+    "window_interpolate" ->
+      ("WITH dly AS (SELECT o_orderdate AS day, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS y " +
+        "FROM orders GROUP BY 1), " +
+        "seg AS (SELECT day AS d0, y AS y0, lead(day) OVER (ORDER BY day) AS d1, " +
+        "lead(y) OVER (ORDER BY day) AS y1 FROM dly), " +
+        "b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM dly), " +
+        "grid AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), " +
+        "CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+        "gaps AS (SELECT day FROM grid WHERE day NOT IN (SELECT day FROM dly)), " +
+        "ip AS (SELECT g.day, seg.y0 + (CASE " +
+        "WHEN (y1 - y0) * date_diff('day', d0, g.day) < 0 " +
+        "THEN -(abs((y1 - y0) * date_diff('day', d0, g.day)) // date_diff('day', d0, d1)) " +
+        "ELSE ((y1 - y0) * date_diff('day', d0, g.day)) // date_diff('day', d0, d1) END) AS cents " +
+        "FROM gaps g JOIN seg ON g.day > seg.d0 AND g.day < seg.d1 " +
+        "WHERE seg.d1 IS NOT NULL) " +
+        "SELECT day, CAST(cents AS BIGINT) AS cents, interpolated FROM (" +
+        "SELECT day, y AS cents, FALSE AS interpolated FROM dly " +
+        "UNION ALL SELECT day, cents, TRUE FROM ip) ORDER BY day"),
+
+    // hourly-profile replay: completed 0..23 grid per type, exact ppm,
+    // the same deterministic peak rank
+    "event_hourly_profile" ->
+      ("WITH hc AS (SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "ty AS (SELECT DISTINCT event_type FROM events), " +
+        "grid AS (SELECT event_type, unnest(range(0, 24)) AS hour FROM ty), " +
+        "j AS (SELECT grid.event_type, grid.hour, COALESCE(hc.n, 0) AS n_events " +
+        "FROM grid LEFT JOIN hc ON grid.event_type = hc.event_type AND grid.hour = hc.hour), " +
+        "t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_total FROM j GROUP BY 1) " +
+        "SELECT j.event_type, j.hour, j.n_events, " +
+        "CAST(j.n_events * 1000000 // nullif(t.n_total, 0) AS BIGINT) AS share_ppm, " +
+        "(ROW_NUMBER() OVER (PARTITION BY j.event_type " +
+        "ORDER BY j.n_events DESC, j.hour) = 1) AS is_peak " +
+        "FROM j JOIN t USING (event_type) ORDER BY 1, 2"),
 
     // dispersion replay: same gap-filled grid, HUGEINT squares, one
     // integral ppm division (numerator nonnegative by Cauchy–Schwarz)

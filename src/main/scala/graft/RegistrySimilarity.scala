@@ -504,6 +504,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         Multimodal.ingestBmp(Tables.documents(s, d)),
         Tables.documents(s, d))),
 
+    // Sobel edge energy (round 14): integer |Gx|+|Gy| over real-decoded
+    // interior pixels — oriented edges vs the Laplacian's curvature
+    // (see imageSobel's scaladoc).
+    "multimodal_sobel" -> ((s, d) =>
+      Multimodal.imageSobel(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Blur/sharpness audit (round 12): integer Laplacian energy over
     // real-decoded interior pixels (see imageSharpness' scaladoc).
     "multimodal_blur" -> ((s, d) =>
@@ -1367,6 +1374,30 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(COUNT(*) AS BIGINT) AS n_grays, CAST(MAX(c) AS BIGINT) AS max_count, " +
         "CAST(SUM(c * (length(bin(n // c)) - 1)) AS BIGINT) AS ent_surrogate " +
         "FROM hc GROUP BY doc_id, n ORDER BY doc_id"),
+
+    // Sobel replay: analytic pixels, the nine-tap kernels spelled out
+    // over the interior raster index, |Gx|+|Gy| digests
+    "multimodal_sobel" -> {
+      def g(dx: Int, dy: Int) =
+        s"((doc_id*31 + ((y + ${dy})*w + (x + ${dx}))*7) % 256)"
+      val gx = s"((${g(1, -1)} + 2*${g(1, 0)} + ${g(1, 1)}) - " +
+        s"(${g(-1, -1)} + 2*${g(-1, 0)} + ${g(-1, 1)}))"
+      val gy = s"((${g(-1, 1)} + 2*${g(0, 1)} + ${g(1, 1)}) - " +
+        s"(${g(-1, -1)} + 2*${g(0, -1)} + ${g(1, -1)}))"
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "ii AS (SELECT doc_id, w, h, " +
+        "unnest(range(0, (w - 2) * (h - 2))) AS idx FROM dims), " +
+        "pt AS (SELECT doc_id, w, h, idx, 1 + idx % (w - 2) AS x, " +
+        "1 + idx // (w - 2) AS y FROM ii), " +
+        s"mg AS (SELECT doc_id, w, h, idx, abs($gx) + abs($gy) AS m FROM pt) " +
+        "SELECT doc_id, CAST(MAX(w * h) AS BIGINT) AS n_pixels, " +
+        "CAST(MAX((w - 2) * (h - 2)) AS BIGINT) AS n_interior, " +
+        "CAST(SUM(m) AS BIGINT) AS edge_energy, " +
+        "CAST(MAX(m) AS BIGINT) AS grad_max, " +
+        "CAST(SUM(idx * m) AS BIGINT) AS grad_posw " +
+        "FROM mg GROUP BY doc_id ORDER BY doc_id")
+    },
 
     // hist-eq replay: analytic pixels → per-doc CDF window → the same
     // integer LUT formula → position-weighted digests

@@ -468,6 +468,66 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** SOBEL EDGE ENERGY (round 14) — the gradient-magnitude audit next
+    * to [[imageSharpness]]'s Laplacian: Sobel responds to oriented
+    * EDGES where the Laplacian responds to curvature, and the pair
+    * (edge energy vs sharpness) separates "blurry" from "featureless"
+    * — the two reasons a vision-ingest gate drops a frame. Exact
+    * integers: Gx/Gy are the classic 3×3 kernels over interior pixels,
+    * magnitude is the |Gx|+|Gy| surrogate (the L1 norm — no sqrt, no
+    * float), energy its interior sum, grad_posw the position-weighted
+    * digest over the interior raster index (kernel-orientation bugs
+    * cannot pass). Same real-ImageIO per-partition harness.
+    *
+    * Output: (doc_id, n_pixels, n_interior, edge_energy, grad_max,
+    * grad_posw), ordered. */
+  def imageSobel(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pixels", LongType),
+      StructField("n_interior", LongType),
+      StructField("edge_energy", LongType),
+      StructField("grad_max", LongType),
+      StructField("grad_posw", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val g = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { g(y)(x) = (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+          var energy = 0L; var mx = 0L; var posw = 0L; var idx = 0L
+          y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = (g(y - 1)(x + 1) + 2L * g(y)(x + 1) + g(y + 1)(x + 1)) -
+                (g(y - 1)(x - 1) + 2L * g(y)(x - 1) + g(y + 1)(x - 1))
+              val gy = (g(y + 1)(x - 1) + 2L * g(y + 1)(x) + g(y + 1)(x + 1)) -
+                (g(y - 1)(x - 1) + 2L * g(y - 1)(x) + g(y - 1)(x + 1))
+              val m = math.abs(gx) + math.abs(gy)
+              energy += m; posw += idx * m
+              if (m > mx) mx = m
+              idx += 1; x += 1
+            }
+            y += 1
+          }
+          val nInt = math.max((w - 2).toLong, 0L) * math.max((h - 2).toLong, 0L)
+          Row(r.getAs[Long]("doc_id"), w.toLong * h, nInt, energy, mx, posw)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** Letterbox spread threshold: a row/column is border-flat when its
     * pixel range (max−min) is ≤ this. Shared with the oracle
     * generator. */

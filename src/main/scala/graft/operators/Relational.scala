@@ -3539,6 +3539,86 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** LINEAR GAP INTERPOLATION (round 14) — the imputation leg of the
+    * time-series family: the daily revenue series with every calendar
+    * gap filled by EXACT linear interpolation between its nearest
+    * anchors — what a forecasting or anomaly pipeline runs before any
+    * model that assumes a dense grid (the gap-fill doctrine's zeros
+    * are right for COUNT series; for a LEVEL series a zero is a fake
+    * crash, interpolation is the honest impute). Exactness: the
+    * interpolant y0 + (y1−y0)·(d−d0) div (d1−d0) is ONE sign-split
+    * integral division per gap day (the slope numerator can be
+    * negative; floor-vs-truncate differs across engines). Segments
+    * come from one lead() window over the ANCHOR table — unpartitioned
+    * but CALENDAR-BOUNDED (the stats_autocorr doctrine: spans days,
+    * never rows); the gap→segment range join is grid×anchors, both
+    * bounded. Interior gaps only by construction (the grid spans
+    * min..max anchor).
+    *
+    * Output: (day, cents, interpolated), ordered by day. */
+  def interpolateDaily(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val daily = orders.groupBy(col("o_orderdate").as("day"))
+      .agg(sum(cents).as("y"))
+    val w = Window.orderBy(col("day"))
+    val seg = daily.select(col("day").as("d0"), col("y").as("y0"),
+      lead(col("day"), 1).over(w).as("d1"),
+      lead(col("y"), 1).over(w).as("y1"))
+      .filter(col("d1").isNotNull)
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val gaps = grid.join(daily, Seq("day"), "left_anti")
+    val interp = gaps.join(seg,
+        col("day") > col("d0") && col("day") < col("d1"))
+      .select(col("day"),
+        expr("y0 + (CASE WHEN (y1 - y0) * datediff(day, d0) < 0 " +
+          "THEN -(abs((y1 - y0) * datediff(day, d0)) div datediff(d1, d0)) " +
+          "ELSE ((y1 - y0) * datediff(day, d0)) div datediff(d1, d0) END)")
+          .as("cents"),
+        lit(true).as("interpolated"))
+    daily.select(col("day"), col("y").as("cents"),
+        lit(false).as("interpolated"))
+      .unionByName(interp)
+      .orderBy(col("day"))
+  }
+
+  /** HOUR-OF-DAY PROFILE (round 14) — per event type, the 24-hour
+    * activity histogram with exact ppm shares and the peak hour
+    * flagged: the capacity-planning companion to [[dispersionIndex]]
+    * (WHEN the load arrives, not just how bursty it is) and the input
+    * to any "quiet window" maintenance decision. The 0..23 grid is
+    * completed per type (a silent hour is a REAL zero row — the gap
+    * a release that stops overnight traffic opens is the signal);
+    * peak = row_number 1 by (count DESC, hour ASC), deterministic.
+    * One full-data aggregation to ≤ types×24 rows, a broadcast totals
+    * join, a partitioned rank window.
+    *
+    * Output: (event_type, hour, n_events, share_ppm, is_peak). */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val grid = events.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(23L))).as("hour"))
+    val tot = hourly.groupBy(col("event_type")).agg(sum(col("n")).as("n_total"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .join(broadcast(tot), "event_type")
+      .withColumn("share_ppm",
+        expr("CAST((n_events * 1000000) div nullif(n_total, 0L) AS BIGINT)"))
+      .withColumn("is_peak", row_number().over(w) === 1)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("share_ppm"), col("is_peak"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** POISSON DISPERSION INDEX (round 14) — per event type over the
     * gap-filled daily count series: variance-to-mean ratio, the
     * overdispersion detector that decides whether a count series is

@@ -493,6 +493,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageSobel: exact local nine-tap replay through the decoder; " +
+    "edges present corpus-wide") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.imageSobel(spark, Multimodal.ingestBmp(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val nc = meta(d)
+      val w = (nc % 13 + 4).toInt; val h = (nc % 7 + 4).toInt
+      def g(x: Int, y: Int): Long = (d * 31 + (y * w + x).toLong * 7) % 256
+      var energy = 0L; var mx = 0L; var posw = 0L; var idx = 0L
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1)) -
+          (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+        val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)) -
+          (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+        val m = math.abs(gx) + math.abs(gy)
+        energy += m; posw += idx * m; if (m > mx) mx = m; idx += 1
+      }
+      assert(r.toSeq == Seq(d, w.toLong * h,
+        (w - 2).toLong * (h - 2), energy, mx, posw), s"doc $d")
+      // the analytic pattern is never flat: gradients must exist
+      assert(energy > 0L, s"doc $d reads zero edge energy")
+    }
+  }
+
   test("imageHistEq: exact local CDF-remap replay through the decoder; " +
     "full-scale stretch and monotone gray counts corpus-wide") {
     val docs = Tables.documents(spark, sf0)

@@ -2117,6 +2117,41 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.toSeq == r2.head.toSeq)
   }
 
+  test("interpolateDaily: exact interior fill, truncating negative " +
+    "slope, non-divisible steps floor toward zero") {
+    def ord(rows: (String, Double)*) = rows.map { case (d, v) =>
+      (java.sql.Date.valueOf(d), v) }.toDF("o_orderdate", "o_totalprice")
+    // ascending 100 -> 400 over 3 days: gaps read 200, 300 exactly
+    val up = Relational.interpolateDaily(ord(
+      ("2024-01-01", 1.00), ("2024-01-04", 4.00))).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
+    assert(up.toSeq == Seq(
+      ("2024-01-01", 100L, false), ("2024-01-02", 200L, true),
+      ("2024-01-03", 300L, true), ("2024-01-04", 400L, false)), up.toSeq)
+    // descending with a non-divisible step: slope -100/3 truncates
+    // toward zero on both engines (sign-split): 400, 367, 334, 300
+    val dn = Relational.interpolateDaily(ord(
+      ("2024-01-01", 4.00), ("2024-01-04", 3.00))).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(dn.toSeq == Seq((400L, false), (367L, true), (334L, true),
+      (300L, false)), dn.toSeq)
+  }
+
+  test("hourlyProfile: completed 24-hour grid, exact shares, " +
+    "deterministic peak") {
+    val ev = (Seq.fill(3)(1) ++ Seq(2)).map(h =>
+      (java.sql.Timestamp.valueOf(f"2024-01-05 $h%02d:30:00"), "a"))
+      .toDF("ts", "event_type")
+    val out = Relational.hourlyProfile(ev).collect()
+    assert(out.length == 24)
+    val byHour = out.map(r => r.getLong(1) ->
+      (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(byHour(1L) == ((3L, 750000L, true)))
+    assert(byHour(2L) == ((1L, 250000L, false)))
+    assert(byHour(0L) == ((0L, 0L, false)))
+    assert(out.count(_.getBoolean(4)) == 1, "exactly one peak hour")
+  }
+
   test("concurrency: overlapping sessions stack, midnight crossers " +
     "re-enter the next day carrying their concurrency") {
     import graft.operators.Sessionize
