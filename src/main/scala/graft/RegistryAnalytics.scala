@@ -577,6 +577,25 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "dim_scd2_join" -> ((s, d) =>
       Relational.factScd2Join(Tables.events(s, d))),
 
+    // SCD2 late-batch upsert (round 14): historize the first half of
+    // the span, apply the second half as a batch — close touched
+    // currents, append continuing versions; the full rebuild is the
+    // oracle (see scd2Upsert's scaladoc for the fold identity).
+    "dim_scd2_upsert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        .head
+      if (bounds.isNullAt(0)) Relational.scd2(ev)
+      else {
+        val lo = bounds.getTimestamp(0).getTime
+        val hi = bounds.getTimestamp(1).getTime
+        val cut = new java.sql.Timestamp(lo + (hi - lo) / 2)
+        Relational.scd2Upsert(
+          Relational.scd2(ev.filter(col("ts") < lit(cut))),
+          ev.filter(col("ts") >= lit(cut)))
+      }
+    }),
+
     // Order backlog timeline (round 13): opened/closed/outstanding per
     // month over the calendar-bounded grid (see orderBacklog's
     // scaladoc).
@@ -652,6 +671,20 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // hourlyProfile's scaladoc).
     "event_hourly_profile" -> ((s, d) =>
       Relational.hourlyProfile(Tables.events(s, d))),
+
+    // Wald–Wolfowitz runs test (round 14): randomness of the per-type
+    // daily series — doubled-median signs, lag-window runs, one fixed
+    // z tree (see runsTest's scaladoc).
+    "stats_runs_test" -> ((s, d) =>
+      Relational.runsTest(Tables.events(s, d))),
+
+    // Primary-key audit (round 14): per declared entity key, the
+    // uniqueness contract — dup keys/rows and NULL-key rows (see
+    // pkAudit's scaladoc; key expressions shared with the oracle).
+    "quality_pk_audit" -> ((s, d) =>
+      Relational.pkAudit(PkAudits.map { case (entity, table, keySql) =>
+        (entity, tableByName(s, d, table), keySql)
+      })),
 
     // Bootstrap CI (round 12): deterministic md5 Poisson bootstrap
     // (see bootstrapCi's scaladoc).
@@ -1051,6 +1084,48 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       "FROM orders JOIN customer ON o_custkey = c_custkey " +
       "JOIN nation ON c_nationkey = n_nationkey " +
       "JOIN region ON n_regionkey = r_regionkey ORDER BY o_orderkey"
+
+  /** The SCD2 historization replay, shared by `dim_scd2` and the
+    * upsert key (whose oracle is by design the from-scratch rebuild). */
+  private val sqlScd2: String =
+    "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+      "event_type AS attr FROM events), " +
+      "c AS (SELECT user_id, ts, event_id, attr, " +
+      "LAG(attr) OVER w AS prev_attr, LAG(event_id) OVER w AS prev_eid " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "v AS (SELECT user_id, attr, ts AS valid_from, " +
+      "LEAD(ts) OVER w2 AS valid_to, " +
+      "CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version " +
+      "FROM c WHERE prev_eid IS NULL OR attr IS DISTINCT FROM prev_attr " +
+      "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT user_id, attr, valid_from, valid_to, version, " +
+      "valid_to IS NULL AS is_current FROM v ORDER BY user_id, version"
+
+  /** PK-audit entities: (entity label, table name, key SQL — the
+    * CAST/`||` form is identical text in Spark SQL and DuckDB). */
+  private val PkAudits: Seq[(String, String, String)] = Seq(
+    ("customer.c_custkey", "customer", "CAST(c_custkey AS STRING)"),
+    ("documents.doc_id", "documents", "CAST(doc_id AS STRING)"),
+    ("embeddings.vec_id", "embeddings", "CAST(vec_id AS STRING)"),
+    ("events.event_id", "events", "CAST(event_id AS STRING)"),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+      "CAST(l_orderkey AS STRING) || ':' || CAST(l_linenumber AS STRING)"),
+    ("orders.o_orderkey", "orders", "CAST(o_orderkey AS STRING)"),
+    ("part.p_partkey", "part", "CAST(p_partkey AS STRING)"),
+    ("supplier.s_suppkey", "supplier", "CAST(s_suppkey AS STRING)"))
+
+  private def tableByName(s: SparkSession, d: String,
+                          name: String): DataFrame = name match {
+    case "customer" => Tables.customer(s, d)
+    case "documents" => Tables.documents(s, d)
+    case "embeddings" => Tables.embeddings(s, d)
+    case "events" => Tables.events(s, d)
+    case "lineitem" => Tables.lineitem(s, d)
+    case "orders" => Tables.orders(s, d)
+    case "part" => Tables.part(s, d)
+    case "supplier" => Tables.supplier(s, d)
+    case other => throw new IllegalArgumentException(s"unknown table $other")
+  }
 
   protected def analyticsOracles: Map[String, String] = Map(
     "agg_rollup" ->
@@ -2588,19 +2663,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00') " +
         "ORDER BY user_id"),
 
-    "dim_scd2" ->
-      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
-        "event_type AS attr FROM events), " +
-        "c AS (SELECT user_id, ts, event_id, attr, " +
-        "LAG(attr) OVER w AS prev_attr, LAG(event_id) OVER w AS prev_eid " +
-        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "v AS (SELECT user_id, attr, ts AS valid_from, " +
-        "LEAD(ts) OVER w2 AS valid_to, " +
-        "CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version " +
-        "FROM c WHERE prev_eid IS NULL OR attr IS DISTINCT FROM prev_attr " +
-        "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
-        "SELECT user_id, attr, valid_from, valid_to, version, " +
-        "valid_to IS NULL AS is_current FROM v ORDER BY user_id, version"),
+    "dim_scd2" -> sqlScd2,
+
+    // SCD2 upsert replay: the from-scratch historization of the FULL
+    // event set IS the oracle — the fold identity under test (a
+    // late-batch apply must land exactly where a rebuild would)
+    "dim_scd2_upsert" -> sqlScd2,
 
     // fact-to-version replay: the dim_scd2 CTEs + the half-open
     // containment join from the purchase facts
@@ -2888,6 +2956,56 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT day, CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, " +
         "CAST(MAX(run) AS BIGINT) AS peak_concurrency " +
         "FROM rn GROUP BY day ORDER BY day"),
+
+    // runs-test replay: dispersion's grid + levene's doubled median,
+    // lag-window runs, the shared z tree
+    "stats_runs_test" ->
+      (s"WITH dly AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM dly GROUP BY 1), " +
+        "grid AS (SELECT event_type, " +
+        "unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "ser AS (SELECT g.event_type, g.day, COALESCE(d.y, 0) AS y FROM grid g " +
+        "LEFT JOIN dly d ON g.event_type = d.event_type AND g.day = d.day), " +
+        "vg AS (SELECT event_type, y AS v, CAST(COUNT(*) AS BIGINT) AS m FROM ser GROUP BY 1, 2), " +
+        "cum AS (SELECT event_type, v, SUM(m) OVER (PARTITION BY event_type " +
+        "ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, " +
+        "SUM(m) OVER (PARTITION BY event_type) AS nn FROM vg), " +
+        "lo2 AS (SELECT event_type, MIN(v) AS v_lo FROM cum WHERE cm >= (nn + 1) // 2 GROUP BY 1), " +
+        "hi2 AS (SELECT event_type, MIN(v) AS v_hi FROM cum WHERE cm >= nn // 2 + 1 GROUP BY 1), " +
+        "md AS (SELECT event_type, v_lo + v_hi AS med2 FROM lo2 JOIN hi2 USING (event_type)), " +
+        "sgn AS (SELECT ser.event_type, ser.day, (2 * ser.y > md.med2) AS s " +
+        "FROM ser JOIN md USING (event_type) WHERE 2 * ser.y != md.med2), " +
+        "rr AS (SELECT event_type, s, CASE WHEN lag(s) OVER w IS NULL " +
+        "OR lag(s) OVER w != s THEN 1 ELSE 0 END AS brk FROM sgn " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day)), " +
+        "f0 AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(SUM(brk) AS BIGINT) AS runs FROM rr GROUP BY 1), " +
+        "f AS (SELECT *, n1 + n2 AS n FROM f0), " +
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM ser GROUP BY 1) " +
+        "SELECT f.event_type, nd.n_days, f.n1, f.n2, f.runs, " +
+        "CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 OR 2 * n1 * n2 <= n THEN NULL " +
+        s"ELSE ${Relational.RunsZTree} END AS z " +
+        "FROM f JOIN nd USING (event_type) ORDER BY 1"),
+
+    // PK-audit replay: one grouped-count audit per entity, generated
+    // from the SAME (entity, table, key-expression) list
+    "quality_pk_audit" -> {
+      val parts = PkAudits.map { case (entity, table, keySql) =>
+        "SELECT " + s"'$entity' AS entity, " +
+          "CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows, " +
+          "CAST(COUNT(k) AS BIGINT) AS n_keys, " +
+          "CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_keys, " +
+          "CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND c > 1 THEN c - 1 ELSE 0 END), 0) AS BIGINT) AS dup_rows, " +
+          "CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN c ELSE 0 END), 0) AS BIGINT) AS null_rows, " +
+          "(COALESCE(SUM(CASE WHEN k IS NOT NULL AND c > 1 THEN 1 ELSE 0 END), 0) = 0 " +
+          "AND COALESCE(SUM(CASE WHEN k IS NULL THEN c ELSE 0 END), 0) = 0) AS is_unique " +
+          s"FROM (SELECT k, COUNT(*) AS c FROM (SELECT $keySql AS k FROM $table) GROUP BY k)"
+      }
+      s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) ORDER BY entity"
+    },
 
     // interpolation replay: lead() anchor segments, gap→segment range
     // join, the same sign-split interpolant

@@ -223,6 +223,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "source_schema_evolve" -> ((s, d) =>
       graft.sources.ParquetEvolution.evolveRoundTrip(s, Tables.events(s, d))),
 
+    // ORC round-trip with a nested struct (round 14): the read side of
+    // the conduit's default sink format, nested path included (see
+    // orcRoundTrip's scaladoc).
+    "source_orc_nested" -> ((s, d) =>
+      graft.sources.ColumnarSources.orcRoundTrip(s, Tables.events(s, d))),
+
     // Hive-partitioned layout + partition pruning (round 14): the
     // partition column round-trips through the directory name and the
     // filter becomes a PartitionFilter — 2 of 5 directories ever
@@ -472,6 +478,15 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
 
     // schema evolution: replay from the original relation + the parity
     // split — gen 1 has only NULL scores, gen 2 only real ones
+    // ORC replay: round-trip fidelity — the summary equals the
+    // original relation's, nested hop included
+    "source_orc_nested" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +
+        "MIN(event_id) AS first_id, MAX(event_id) AS last_id " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
     // hive-partition replay: pruning changes IO, never answers — the
     // oracle is the plain filtered aggregate over the original relation
     "source_hive_partitioned" -> {

@@ -433,6 +433,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.wavMixOverlay(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
+    // Energy-gate VAD (round 14): voiced windows at the shared
+    // mean-square threshold, run-length segment view (see
+    // wavVadSegments' scaladoc).
+    "multimodal_audio_vad" -> ((s, d) =>
+      Multimodal.wavVadSegments(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
     // PCM autocorrelation (round 13): the periodicity primitive at
     // fixed lags, pure BIGINT — no FFT (see wavAutocorr's scaladoc).
     "multimodal_audio_autocorr" -> ((s, d) =>
@@ -1209,6 +1216,33 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(SUM(i * v) AS BIGINT) AS norm_posw " +
         "FROM nv JOIN pk ON nv.doc_id = pk.doc_id " +
         "GROUP BY nv.doc_id, n, peak ORDER BY doc_id"),
+
+    // VAD replay: analytic windows + the shared threshold, run starts
+    // via lag, runs via the cumulative start-count partition
+    "multimodal_audio_vad" ->
+      (s"WITH dims AS (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents), " +
+        "sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims), " +
+        "sv AS (SELECT doc_id, i // 16 AS wdx, " +
+        "(doc_id*37 + i*11) % 65536 - 32768 AS s FROM sm), " +
+        "we AS (SELECT doc_id, wdx, CAST(SUM(s * s) AS BIGINT) AS e, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM sv GROUP BY 1, 2), " +
+        s"vw AS (SELECT doc_id, wdx, (e >= c * ${Multimodal.VadThreshPerSample}) AS v FROM we), " +
+        "rr AS (SELECT doc_id, wdx, v, CASE WHEN v AND (lag(v) OVER w IS NULL " +
+        "OR NOT lag(v) OVER w) THEN 1 ELSE 0 END AS st FROM vw " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY wdx)), " +
+        "rs AS (SELECT doc_id, v, SUM(st) OVER (PARTITION BY doc_id " +
+        "ORDER BY wdx ROWS UNBOUNDED PRECEDING) AS seg FROM rr), " +
+        "segs AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS len " +
+        "FROM rs WHERE v GROUP BY 1, 2), " +
+        "a1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments, " +
+        "CAST(MAX(len) AS BIGINT) AS longest FROM segs GROUP BY 1), " +
+        "a0 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, " +
+        "CAST(SUM(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced " +
+        "FROM vw GROUP BY 1) " +
+        "SELECT a0.doc_id, a0.n_windows, a0.n_voiced, " +
+        "COALESCE(a1.n_segments, 0) AS n_segments, " +
+        "COALESCE(a1.longest, 0) AS longest_segment " +
+        "FROM a0 LEFT JOIN a1 ON a0.doc_id = a1.doc_id ORDER BY 1"),
 
     // Mix replay: analytic PCM + analytic tone, sign-split half gain
     // (JVM truncation vs DuckDB floor), identical clamp branches

@@ -949,6 +949,80 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** VAD energy threshold per sample — E[s²] of the uniform int16
+    * synthetic PCM ((2³²−1)/12, floored): a window is "voiced" when
+    * its energy is at least count×this, splitting windows near 50/50
+    * on the analytic corpus so both branches always bite. Shared with
+    * the oracle. */
+  val VadThreshPerSample: Long = 357913941L
+
+  /** ENERGY-GATE VOICE ACTIVITY DETECTION (round 14) — the
+    * segmentation primitive every speech pipeline runs before ASR or
+    * diarization (silence carries no training signal and costs GPU
+    * time): per [[wavRmsWindows]]-style window, voiced ⇔ energy ≥
+    * count·[[VadThreshPerSample]], then the RUN-LENGTH view —
+    * segments (maximal voiced runs), their count and the longest —
+    * because what a trimmer consumes is segments, not per-window
+    * flags. All integer: exact energies from the decoded PCM, the
+    * threshold an integer product, run-length in the same
+    * per-partition loop. Same one-codec-per-partition harness,
+    * decoder-asserted format.
+    *
+    * Output: (doc_id, n_windows, n_voiced, n_segments,
+    * longest_segment), ordered. */
+  def wavVadSegments(spark: SparkSession, ingested: DataFrame,
+                     win: Int = 16): DataFrame = {
+    require(win >= 1, s"window must be positive, got $win")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_windows", LongType),
+      StructField("n_voiced", LongType),
+      StructField("n_segments", LongType),
+      StructField("longest_segment", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
+          val data = ais.readAllBytes(); ais.close()
+          require(data.length % 2 == 0,
+            s"odd PCM byte count ${data.length}: truncated int16 stream")
+          val n = data.length / 2
+          val nWin = (n + win - 1) / win
+          var voiced = 0L; var segs = 0L; var longest = 0L
+          var run = 0L; var prevVoiced = false
+          var wIdx = 0
+          while (wIdx < nWin) {
+            var e = 0L; var c = 0L
+            var i = wIdx * win
+            val end = math.min(n, (wIdx + 1) * win)
+            while (i < end) {
+              val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
+                .toShort.toLong
+              e += s * s; c += 1; i += 1
+            }
+            val v = e >= c * VadThreshPerSample
+            if (v) {
+              voiced += 1
+              run = if (prevVoiced) run + 1 else { segs += 1; 1L }
+              if (run > longest) longest = run
+            } else run = 0L
+            prevVoiced = v
+            wIdx += 1
+          }
+          Row(r.getAs[Long]("doc_id"), nWin.toLong, voiced, segs, longest)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** OVERLAY MIX WITH SATURATION (round 14) — the audio-augmentation
     * primitive every speech-training pipeline runs (noise/music-bed
     * overlay at reduced gain): decode the WAV, add a deterministic

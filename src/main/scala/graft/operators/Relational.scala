@@ -868,6 +868,68 @@ object Relational {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** SCD2 LATE-BATCH UPSERT (round 14) — the nightly-merge half of the
+    * [[scd2]] story: a change batch lands AFTER the dimension was
+    * historized, and the timeline must absorb it WITHOUT a full
+    * rebuild — close each touched user's current version at its first
+    * new change, append the batch's change-points as new versions with
+    * continuing ordinals, leave every untouched user's rows alone
+    * (they are never rescanned beyond one join probe). Correct by the
+    * FOLD IDENTITY (the `sim_ann_hnsw_upsert` doctrine applied to
+    * historization): SCD2 is a left fold over each user's (ts,
+    * event_id)-ordered events, so base-then-batch equals the
+    * from-scratch build whenever every base event precedes every batch
+    * event per user — exactly a time-cutoff batch's shape, and exactly
+    * what the oracle replays (the full rebuild IS the oracle). The
+    * batch head's change test carries the user's CURRENT attr
+    * (null-safe — a NULL attr is a real state); new users fold from
+    * version 1.
+    *
+    * Scale shape: one window pass over the BATCH (not the base), one
+    * key join of the batch's users against the dim, one union.
+    * Output: the [[scd2]] contract, ordered. */
+  def scd2Upsert(base: DataFrame, batch: DataFrame,
+                 attrCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cur = base.filter(col("is_current"))
+      .select(col("user_id"), col("attr").as("cur_attr"),
+        col("version").as("cur_ver"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = batch
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col(attrCol).as("attr"))
+      .join(cur, Seq("user_id"), "left")
+      .withColumn("prev_attr", lag(col("attr"), 1).over(w))
+      .withColumn("prev_eid", lag(col("event_id"), 1).over(w))
+      .filter(
+        (col("prev_eid").isNull &&
+          (col("cur_ver").isNull || !(col("attr") <=> col("cur_attr")))) ||
+        (col("prev_eid").isNotNull && !(col("prev_attr") <=> col("attr"))))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newRows = changes
+      .select(col("user_id"), col("attr"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w2).as("valid_to"),
+        (row_number().over(w2).cast("long") +
+          coalesce(col("cur_ver"), lit(0L))).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+    val firstChange = changes.groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).getField("ts")
+        .as("fc_ts"))
+    // no broadcast hint: the touched-user set is batch-sized — usually
+    // broadcastable, but AQE should decide (a backfill batch isn't)
+    val closed = base.join(firstChange, Seq("user_id"), "left")
+      .select(col("user_id"), col("attr"),
+        col("valid_from"),
+        when(col("is_current") && col("fc_ts").isNotNull, col("fc_ts"))
+          .otherwise(col("valid_to")).as("valid_to"),
+        col("version"),
+        (col("is_current") && col("fc_ts").isNull).as("is_current"))
+    closed.unionByName(newRows)
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** FACT-TO-SCD2 AS-OF JOIN (round 13) — the query the [[scd2]]
     * timeline exists to SERVE in a warehouse: each fact row joins the
     * dimension VERSION valid at its event time (late-arriving facts
@@ -3537,6 +3599,114 @@ object Relational {
         expr("CASE WHEN rnum < 0 THEN -((abs(rnum) * 1000000) div rden) " +
           "ELSE (rnum * 1000000) div rden END").as("slope_ppm"))
       .orderBy(col("event_type"))
+  }
+
+  /** The Wald–Wolfowitz z tree, shared verbatim with the oracle:
+    * expects columns runs, n1, n2, n (all BIGINT — calendar-bounded,
+    * so every double conversion is exact). */
+  private[graft] val RunsZTree: String =
+    "(CAST(runs AS DOUBLE) - (1.0 + (2.0 * n1 * n2) / n)) / " +
+      "sqrt(((2.0 * n1 * n2) * ((2.0 * n1 * n2) - n)) / " +
+      "((CAST(n AS DOUBLE) * n) * (n - 1.0)))"
+
+  /** WALD–WOLFOWITZ RUNS TEST (round 14) — randomness of the per-type
+    * daily count series: are above-median and below-median days
+    * INDEPENDENT (z ≈ 0), clustered (too few runs, z ≪ 0 — regimes,
+    * ramps, weekly cycles), or alternating (too many runs, z ≫ 0 —
+    * oscillation, load-balancer flapping)? The nonparametric
+    * stationarity check beside [[revenueAutocorr]]'s parametric ACF.
+    * EXACT machinery: the median is the DOUBLED rank-selected value
+    * over the value-grouped count grid (the levene front), days equal
+    * to the median are DROPPED (the classic convention), runs count
+    * via one lag() window partitioned by type, and z is ONE fixed
+    * IEEE tree over the exact (runs, n1, n2) integers — shared
+    * verbatim with the oracle via [[RunsZTree]]; NULL when either
+    * side is empty or the variance degenerates (2·n1·n2 ≤ n). Gap
+    * days are REAL zeros (the round-13 doctrine).
+    *
+    * Output: (event_type, n_days, n1, n2, runs, z), ordered. */
+  def runsTest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val series = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val vg = series.groupBy(col("event_type"), col("y").as("v"))
+      .agg(count(lit(1)).as("m"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = vg.withColumn("cm", sum(col("m")).over(wCum))
+      .withColumn("nn", sum(col("m")).over(wAll))
+    val lo = cum.filter(expr("cm >= (nn + 1) div 2"))
+      .groupBy(col("event_type")).agg(min(col("v")).as("v_lo"))
+    val hi = cum.filter(expr("cm >= nn div 2 + 1"))
+      .groupBy(col("event_type")).agg(min(col("v")).as("v_hi"))
+    val med = lo.join(hi, "event_type")
+      .select(col("event_type"), (col("v_lo") + col("v_hi")).as("med2"))
+    val signed = series.join(broadcast(med), "event_type")
+      .filter(col("y") * 2 =!= col("med2"))
+      .select(col("event_type"), col("day"),
+        (col("y") * 2 > col("med2")).as("s"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val nDays = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    signed
+      .withColumn("brk",
+        when(lag(col("s"), 1).over(wLag).isNull ||
+          lag(col("s"), 1).over(wLag) =!= col("s"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("s"), 1L).otherwise(0L)).as("n2"),
+        sum(col("brk")).as("runs"))
+      .join(broadcast(nDays), "event_type")
+      .withColumn("n", col("n1") + col("n2"))
+      .select(col("event_type"), col("n_days"), col("n1"), col("n2"),
+        col("runs"),
+        expr("CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 " +
+          "OR 2 * n1 * n2 <= n THEN NULL " +
+          s"ELSE $RunsZTree END").as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** PRIMARY-KEY AUDIT (round 14) — the uniqueness contract check
+    * every warehouse load opens with: per declared entity key,
+    * row/key counts, duplicate keys and their excess rows, and
+    * NULL-key rows — the three ways a "primary key" silently stops
+    * being one (a replayed ingest, a join fan-out, a nullable column
+    * promoted to key). Each audit is ONE map-side-combinable groupBy
+    * on the key expression (composite keys via the shared `||`
+    * string form, identical text on both engines); output is the
+    * fixed audit table — a CONSTANT-row relation (EmptyInputSpec
+    * configDerived).
+    *
+    * Output per audit: (entity, n_rows, n_keys, dup_keys, dup_rows,
+    * null_rows, is_unique), ordered by entity. */
+  def pkAudit(audits: Seq[(String, DataFrame, String)]): DataFrame = {
+    val parts = audits.map { case (entity, df, keySql) =>
+      df.select(expr(keySql).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(
+          coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+          count(col("k")).as("n_keys"),
+          coalesce(sum(when(col("k").isNotNull && col("c") > 1, 1L)
+            .otherwise(0L)), lit(0L)).as("dup_keys"),
+          coalesce(sum(when(col("k").isNotNull && col("c") > 1,
+            col("c") - 1).otherwise(0L)), lit(0L)).as("dup_rows"),
+          coalesce(sum(when(col("k").isNull, col("c")).otherwise(0L)),
+            lit(0L)).as("null_rows"))
+        .select(lit(entity).as("entity"), col("n_rows"), col("n_keys"),
+          col("dup_keys"), col("dup_rows"), col("null_rows"),
+          (col("dup_keys") === 0L && col("null_rows") === 0L)
+            .as("is_unique"))
+    }
+    parts.reduce(_ unionAll _).orderBy(col("entity"))
   }
 
   /** LINEAR GAP INTERPOLATION (round 14) — the imputation leg of the

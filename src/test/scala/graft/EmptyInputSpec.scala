@@ -78,8 +78,9 @@ class EmptyInputSpec extends SparkSpec {
       // round 13: order_seasonality's 12 calendar-month rows;
       // quality_fk_orphans' 7 structural FK-edge rows
       "order_seasonality", "quality_fk_orphans",
-      // round 14: the funnel's 5 structural stage rows (all-zero counts)
-      "corpus_funnel_report")
+      // round 14: the funnel's 5 structural stage rows (all-zero
+      // counts); the PK audit's 8 structural entity rows
+      "corpus_funnel_report", "quality_pk_audit")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

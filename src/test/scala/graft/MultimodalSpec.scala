@@ -493,6 +493,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavVadSegments: exact local run-length replay through the " +
+    "decoder; both gate branches bite corpus-wide") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.wavVadSegments(spark, Multimodal.ingestWav(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    var voicedTotal = 0L; var windowsTotal = 0L
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val n = Multimodal.wavNumSamples(meta(d))
+      val nWin = (n + 15) / 16
+      val flags = (0 until nWin).map { w =>
+        val idx = (w * 16) until math.min(n, (w + 1) * 16)
+        val e = idx.map(i => { val s = Multimodal.sampleValue(d, i).toLong
+          s * s }).sum
+        e >= idx.size * Multimodal.VadThreshPerSample
+      }
+      val runs = flags.foldLeft(List.empty[Long]) {
+        case (h :: t, true) if h > 0 => (h + 1) :: t
+        case (acc, true) => 1L :: acc
+        case (acc, false) => 0L :: acc
+      }.filter(_ > 0)
+      assert(r.toSeq == Seq(d, nWin.toLong, flags.count(identity).toLong,
+        runs.length.toLong, if (runs.isEmpty) 0L else runs.max), s"doc $d")
+      voicedTotal += flags.count(identity); windowsTotal += nWin
+    }
+    assert(voicedTotal > 0L && voicedTotal < windowsTotal,
+      s"VAD gate vacuous: $voicedTotal of $windowsTotal voiced")
+  }
+
   test("imageSobel: exact local nine-tap replay through the decoder; " +
     "edges present corpus-wide") {
     val docs = Tables.documents(spark, sf0)

@@ -2117,6 +2117,66 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.toSeq == r2.head.toSeq)
   }
 
+  test("scd2Upsert: late batch closes currents, appends continuing " +
+    "versions, leaves untouched users alone — equals the rebuild") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1 changes in the batch; user 3 does not; user 2 is NEW
+    val ev = Seq(
+      (ts(1), 1L, 101L, "a"), (ts(2), 1L, 102L, "a"),
+      (ts(1), 3L, 301L, "a"),
+      (ts(30), 1L, 103L, "b"), (ts(31), 2L, 201L, "c"),
+      (ts(30), 3L, 302L, "a"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    val cut = ts(20)
+    val up = Relational.scd2Upsert(
+      Relational.scd2(ev.filter(col("ts") < cut)),
+      ev.filter(col("ts") >= cut)).collect().map(_.toSeq)
+    val full = Relational.scd2(ev).collect().map(_.toSeq)
+    assert(up.toSeq == full.toSeq, "upsert diverged from the rebuild")
+    val byUser = up.groupBy(_.head)
+    assert(byUser(1L).map(r => (r(1), r(4), r(5))).toSet ==
+      Set(("a", 1L, false), ("b", 2L, true)))
+    assert(byUser(2L).map(r => (r(1), r(4), r(5))).toSeq ==
+      Seq(("c", 1L, true)))
+    assert(byUser(3L).map(r => (r(1), r(4), r(5))).toSeq ==
+      Seq(("a", 1L, true)), "no-change batch must not touch the row")
+  }
+
+  test("runsTest: hand alternating series — exact runs and the shared " +
+    "z tree; median ties drop and can degenerate to NULL") {
+    val ts = (d: Int, i: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d ${i / 60}%02d:${i % 60}%02d:00")
+    def ev(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (ts(d + 1, i), "t")) }.toDF("ts", "event_type")
+    // daily [9,1,9,2]: med2 = 2+9 = 11, signs A,B,A,B -> 4 runs of 2/2
+    val r = Relational.runsTest(ev(Seq(9, 1, 9, 2))).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("t", 4L, 2L, 2L, 4L)), r)
+    // the same tree on the exact integers (n1=n2=2, n=4, runs=4)
+    val mu = 1.0 + (2.0 * 2 * 2) / 4
+    val vr = ((2.0 * 2 * 2) * ((2.0 * 2 * 2) - 4)) / ((4.0 * 4) * (4 - 1.0))
+    assert(r.getDouble(5) == (4.0 - mu) / math.sqrt(vr), r.getDouble(5))
+    // [1,3,2,2]: med2 = 4 — both y=2 days TIE and drop; the 1-vs-1
+    // remainder trips the variance guard -> NULL z
+    val rt = Relational.runsTest(ev(Seq(1, 3, 2, 2))).collect().head
+    assert((rt.getLong(2), rt.getLong(3), rt.getLong(4)) == ((1L, 1L, 2L)))
+    assert(rt.isNullAt(5), rt)
+  }
+
+  test("pkAudit: a clean key reads unique, duplicates and nulls are " +
+    "counted exactly") {
+    val clean = Seq(1L, 2L, 3L).toDF("id")
+    val dirty = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)
+      .toDF("id")
+    val out = Relational.pkAudit(Seq(
+      ("a.clean", clean, "CAST(id AS STRING)"),
+      ("b.dirty", dirty, "CAST(id AS STRING)"))).collect()
+    assert(out(0).toSeq == Seq("a.clean", 3L, 3L, 0L, 0L, 0L, true))
+    // dirty: 5 rows, 2 distinct non-null keys, key 1 dup (2 excess
+    // rows), 1 null row
+    assert(out(1).toSeq == Seq("b.dirty", 5L, 2L, 1L, 2L, 1L, false))
+  }
+
   test("interpolateDaily: exact interior fill, truncating negative " +
     "slope, non-divisible steps floor toward zero") {
     def ord(rows: (String, Double)*) = rows.map { case (d, v) =>
