@@ -678,6 +678,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_runs_test" -> ((s, d) =>
       Relational.runsTest(Tables.events(s, d))),
 
+    // Day-of-week seasonal component (round 14): centered 7-day
+    // detrend (×7 integer) then per-dow means — the weekday effect
+    // autocorr detects but cannot size (see seasonalDow's scaladoc).
+    "stats_seasonal_dow" -> ((s, d) =>
+      Relational.seasonalDow(Tables.orders(s, d))),
+
     // Primary-key audit (round 14): per declared entity key, the
     // uniqueness contract — dup keys/rows and NULL-key rows (see
     // pkAudit's scaladoc; key expressions shared with the oracle).
@@ -2989,6 +2995,27 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 OR 2 * n1 * n2 <= n THEN NULL " +
         s"ELSE ${Relational.RunsZTree} END AS z " +
         "FROM f JOIN nd USING (event_type) ORDER BY 1"),
+
+    // seasonal replay: same grid + centered window; DuckDB dayofweek
+    // is 0=Sunday where Spark's is 1=Sunday — the +1 aligns them
+    "stats_seasonal_dow" ->
+      ("WITH dly AS (SELECT o_orderdate AS day, CAST(COUNT(*) AS BIGINT) AS y " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM dly), " +
+        "grid AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), " +
+        "CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+        "ser AS (SELECT g.day, COALESCE(d.y, 0) AS y FROM grid g " +
+        "LEFT JOIN dly d USING (day)), " +
+        "tw AS (SELECT day, y, SUM(y) OVER w AS trend7, COUNT(*) OVER w AS nwin " +
+        "FROM ser WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "dt AS (SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow, " +
+        "y * 7 - trend7 AS det FROM tw WHERE nwin = 7) " +
+        "SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(det) AS BIGINT) AS detrended_sum_x7, " +
+        "CAST(CASE WHEN SUM(det) < 0 " +
+        "THEN -((abs(SUM(det)) * 1000) // (7 * COUNT(*))) " +
+        "ELSE (SUM(det) * 1000) // (7 * COUNT(*)) END AS BIGINT) AS seasonal_milli " +
+        "FROM dt GROUP BY 1 ORDER BY 1"),
 
     // PK-audit replay: one grouped-count audit per entity, generated
     // from the SAME (entity, table, key-expression) list

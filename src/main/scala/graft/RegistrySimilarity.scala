@@ -345,6 +345,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "embed_covariance" -> ((s, d) =>
       Similarity.covarianceMatrix(Tables.embeddings(s, d))),
 
+    // Per-label split-half centroid drift (round 14): cosine of the
+    // integer SUM vectors over even/odd vec_ids — the re-encode
+    // stability monitor (see centroidDrift's scaladoc).
+    "embed_centroid_drift" -> ((s, d) =>
+      Similarity.centroidDrift(Tables.embeddings(s, d))),
+
     // ---- Group B: multimodal columns ------------------------------------
 
     // Binary media payload + typed metadata + (stub) feature extraction.
@@ -502,6 +508,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // digests (see imageHistEq's scaladoc).
     "multimodal_hist_eq" -> ((s, d) =>
       Multimodal.imageHistEq(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
+    // ViT-style 2×2 patchify (round 14): even-cropped patch grid,
+    // integer patch means, patch-sequence position-weighted digest
+    // (see imagePatchify's scaladoc).
+    "multimodal_patchify" -> ((s, d) =>
+      Multimodal.imagePatchify(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
     // Dataset normalization constants (round 13): per-source gray
@@ -752,6 +765,30 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(list_sum(list_transform(pooled, x -> x*x)) AS BIGINT) AS pooled_nrm, " +
         "md5(array_to_string(pooled, ',')) AS pooled_sig " +
         "FROM p ORDER BY label"),
+
+    // drift replay: same even/odd split, HUGEINT sum-vector products,
+    // identical via-string cosine tree
+    "embed_centroid_drift" ->
+      ("WITH v AS (SELECT vec_id, label, (vec_id % 2 = 0) AS even, " +
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q " +
+        "FROM embeddings), " +
+        "e AS (SELECT label, even, unnest(q) AS x, " +
+        "unnest(range(0, len(q))) AS dim FROM v), " +
+        "s AS (SELECT label, even, dim, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2, 3), " +
+        "a AS (SELECT label, dim, sx AS sa, cnt AS ca FROM s WHERE even), " +
+        "b AS (SELECT label, dim, sx AS sb, cnt AS cb FROM s WHERE NOT even), " +
+        "f AS (SELECT a.label, MAX(ca) AS n_even, MAX(cb) AS n_odd, " +
+        "SUM(CAST(sa AS HUGEINT) * sb) AS dot, " +
+        "SUM(CAST(sa AS HUGEINT) * sa) AS na2, " +
+        "SUM(CAST(sb AS HUGEINT) * sb) AS nb2 " +
+        "FROM a JOIN b ON a.label = b.label AND a.dim = b.dim GROUP BY 1) " +
+        "SELECT label, n_even, n_odd, " +
+        "CASE WHEN na2 <= 0 OR nb2 <= 0 THEN NULL " +
+        "ELSE CAST(CAST(dot AS VARCHAR) AS DOUBLE) / " +
+        "(sqrt(CAST(CAST(na2 AS VARCHAR) AS DOUBLE)) * " +
+        "sqrt(CAST(CAST(nb2 AS VARCHAR) AS DOUBLE))) END AS cos_drift " +
+        "FROM f ORDER BY label"),
 
     // covariance replay: same quantized integers, HUGEINT Σxy/Σx, the
     // identical via-string corr tree (NULL on zero variance)
@@ -1408,6 +1445,25 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(COUNT(*) AS BIGINT) AS n_grays, CAST(MAX(c) AS BIGINT) AS max_count, " +
         "CAST(SUM(c * (length(bin(n // c)) - 1)) AS BIGINT) AS ent_surrogate " +
         "FROM hc GROUP BY doc_id, n ORDER BY doc_id"),
+
+    // patchify replay: analytic pixels grouped by even-cropped 2×2
+    // patch coordinates, integer means, patch-index digests
+    "multimodal_patchify" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM dims), " +
+        "pt AS (SELECT doc_id, w, h, i % w AS x, i // w AS y, " +
+        "(doc_id*31 + i*7) % 256 AS g FROM px), " +
+        "cp AS (SELECT doc_id, w // 2 AS pw, x // 2 AS px2, y // 2 AS py2, g " +
+        "FROM pt WHERE x < 2 * (w // 2) AND y < 2 * (h // 2)), " +
+        "pm AS (SELECT doc_id, pw, py2, px2, SUM(g) // 4 AS m " +
+        "FROM cp GROUP BY 1, 2, 3, 4) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_patches, " +
+        "CAST(SUM(m) AS BIGINT) AS mean_sum, " +
+        "CAST(SUM((py2 * pw + px2) * m) AS BIGINT) AS mean_posw, " +
+        "CAST(MIN(m) AS BIGINT) AS mean_min, " +
+        "CAST(MAX(m) AS BIGINT) AS mean_max " +
+        "FROM pm GROUP BY doc_id ORDER BY doc_id"),
 
     // Sobel replay: analytic pixels, the nine-tap kernels spelled out
     // over the interior raster index, |Gx|+|Gy| digests

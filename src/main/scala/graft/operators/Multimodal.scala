@@ -468,6 +468,66 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** 2×2 PATCH EXTRACTION (round 14) — the ViT-style patchify step
+    * every transformer vision pipeline runs (the image becomes a
+    * SEQUENCE of patch embeddings; here each patch is summarized by
+    * its integer mean gray): the grid crops to even dimensions (the
+    * resize stage owns shape normalization — odd edge rows/cols drop,
+    * the standard convention), patch mean = sum div 4 (nonneg — div ≡
+    * floor), and the digest is position-weighted over the PATCH
+    * sequence index (row-major over the patch grid) so a patch-order
+    * bug cannot pass. Same real-ImageIO per-partition harness.
+    *
+    * Output: (doc_id, n_patches, mean_sum, mean_posw, mean_min,
+    * mean_max), ordered. */
+  def imagePatchify(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_patches", LongType),
+      StructField("mean_sum", LongType), StructField("mean_posw", LongType),
+      StructField("mean_min", LongType), StructField("mean_max", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val pw = w / 2; val ph = h / 2
+          var sum = 0L; var posw = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var py = 0
+          while (py < ph) {
+            var px = 0
+            while (px < pw) {
+              var s = 0L
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 2) {
+                  s += (img.getRGB(2 * px + dx, 2 * py + dy) >> 16) & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              val m = s / 4
+              val idx = (py * pw + px).toLong
+              sum += m; posw += idx * m
+              if (m < mn) mn = m; if (m > mx) mx = m
+              px += 1
+            }
+            py += 1
+          }
+          val n = pw.toLong * ph
+          Row(r.getAs[Long]("doc_id"), n, sum, posw,
+            if (n == 0) 0L else mn, if (n == 0) 0L else mx)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** SOBEL EDGE ENERGY (round 14) — the gradient-magnitude audit next
     * to [[imageSharpness]]'s Laplacian: Sobel responds to oriented
     * EDGES where the Laplacian responds to curvature, and the pair

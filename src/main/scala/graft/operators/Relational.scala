@@ -3601,6 +3601,51 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** DAY-OF-WEEK SEASONAL COMPONENT (round 14) — the STL-lite
+    * decomposition's seasonal leg over the daily ORDER-count series:
+    * detrend with a CENTERED 7-day moving sum (×7 to stay integer —
+    * a centered mean would divide; the window length equals the
+    * period, so the trend absorbs no weekly signal), then average the
+    * detrended values per day-of-week — the weekday effect
+    * `stats_autocorr`'s lag-7 spike detects but cannot SIZE, and the
+    * adjustment `order_monthly_growth`'s trend needs before a
+    * weekday-heavy month misreads as growth. EXACT: detrended_x7 =
+    * 7·y − trend7 (integers; edge days with an incomplete window are
+    * excluded — the classic convention), per-dow mean surfaced as
+    * sign-split milli of (sum div (7·n)). The centered window runs
+    * over the gap-filled calendar grid — unpartitioned but
+    * calendar-bounded (the autocorr doctrine). Day-of-week is
+    * DAYOFWEEK (1 = Sunday) — identical on both engines over UTC.
+    *
+    * Output: (dow, n_days, detrended_sum_x7, seasonal_milli),
+    * ordered by dow. */
+  def seasonalDow(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders.groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val series = grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    series
+      .withColumn("trend7", sum(col("y")).over(w))
+      .withColumn("nwin", count(lit(1)).over(w))
+      .filter(col("nwin") === 7)
+      .select(dayofweek(col("day")).cast("long").as("dow"),
+        (col("y") * 7 - col("trend7")).as("det_x7"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("det_x7")).as("detrended_sum_x7"))
+      .select(col("dow"), col("n_days"), col("detrended_sum_x7"),
+        expr("CASE WHEN detrended_sum_x7 < 0 " +
+          "THEN -((abs(detrended_sum_x7) * 1000) div (7 * n_days)) " +
+          "ELSE (detrended_sum_x7 * 1000) div (7 * n_days) END")
+          .as("seasonal_milli"))
+      .orderBy(col("dow"))
+  }
+
   /** The Wald–Wolfowitz z tree, shared verbatim with the oracle:
     * expects columns runs, n1, n2, n (all BIGINT — calendar-bounded,
     * so every double conversion is exact). */

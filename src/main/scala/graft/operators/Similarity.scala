@@ -1815,6 +1815,51 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** PER-LABEL CENTROID DRIFT (round 14) — the embedding-monitoring
+    * readout every production vector pipeline runs on re-encode: for
+    * each label, the cosine between the class centroid computed over
+    * the EVEN vec_ids and over the ODD ones (the deterministic split-
+    * half estimate of encoder stability — a drifted model, a changed
+    * normalization, or a poisoned shard shows up as a label whose two
+    * halves disagree). EXACT front: cosine of the integer SUM vectors
+    * (scale-invariant — the count division cancels, so no
+    * mean-vector rounding exists to diverge), per-term products in
+    * DECIMAL(38,0) (sum-vector dots overflow int64 at warehouse
+    * counts), ONE fixed IEEE tree through the via-string bridge. A
+    * label with an EMPTY half is absent (no drift is measurable
+    * against nothing — the inner pairing join drops it); a zero sum
+    * vector yields NULL. One posexplode + one (label, half, dim)
+    * aggregation + a label-keyed pairing join.
+    *
+    * Output: (label, n_even, n_odd, cos_drift), ordered by label. */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column) = c.cast("string").cast("double")
+    val sums = emb
+      .select(col("label"), (pmod(col("vec_id"), lit(2L)) === 0).as("even"),
+        posexplode(quantize(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("even"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+    val a = sums.filter(col("even"))
+      .select(col("label"), col("dim"), col("sx").as("sa"),
+        col("cnt").as("ca"))
+    val b = sums.filter(!col("even"))
+      .select(col("label"), col("dim"), col("sx").as("sb"),
+        col("cnt").as("cb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(
+        expr("max(ca)").as("n_even"), expr("max(cb)").as("n_odd"),
+        sum(col("sa").cast(dec) * col("sb")).as("dot"),
+        sum(col("sa").cast(dec) * col("sa")).as("na2"),
+        sum(col("sb").cast(dec) * col("sb")).as("nb2"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        when(col("na2") <= 0 || col("nb2") <= 0, lit(null).cast("double"))
+          .otherwise(d(col("dot")) /
+            (sqrt(d(col("na2"))) * sqrt(d(col("nb2"))))).as("cos_drift"))
+      .orderBy(col("label"))
+  }
+
   /** DIMENSION COVARIANCE / CORRELATION MATRIX (round 14) — the
     * upper-triangle d×d covariance of the quantized embedding space,
     * the diagnostic behind every whitening / PCA / dimension-collapse

@@ -1759,6 +1759,25 @@ class DedupSimilaritySpec extends SparkSpec {
       s"gibberish cost ${scored(gibberDoc._1)} not above corpus p90 $p90")
   }
 
+  test("centroidDrift: identical halves read 1, orthogonal halves 0, " +
+    "one-sided labels drop, zero halves read NULL") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0), // same
+      (2L, Array(1.0f, 0.0f), 1), (3L, Array(0.0f, 1.0f), 1), // orth
+      (4L, Array(1.0f, 1.0f), 2),                             // even only
+      (6L, Array(0.0f, 0.0f), 3), (7L, Array(1.0f, 0.0f), 3)) // zero half
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.centroidDrift(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(!out.contains(2), "one-sided label must be absent")
+    assert(out(0)._1 == 1L && out(0)._2 == 1L)
+    assert(math.abs(out(0)._3.get - 1.0) < 1e-14)
+    assert(out(1)._3.get == 0.0)
+    assert(out(3)._3.isEmpty, "zero-sum half must read NULL")
+  }
+
   test("covarianceMatrix: hand-computed triangle, perfect correlation, " +
     "zero-variance dim yields NULL corr") {
     import spark.implicits._

@@ -493,6 +493,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imagePatchify: exact local 2x2 patch replay through the " +
+    "decoder; odd edges crop") {
+    val docs = Tables.documents(spark, sf0)
+    val out = Multimodal.imagePatchify(spark, Multimodal.ingestBmp(docs))
+      .collect()
+    val meta = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val nc = meta(d)
+      val w = (nc % 13 + 4).toInt; val h = (nc % 7 + 4).toInt
+      val pw = w / 2; val ph = h / 2
+      def g(x: Int, y: Int): Long = (d * 31 + (y * w + x).toLong * 7) % 256
+      val means = for (py <- 0 until ph; px <- 0 until pw) yield
+        (g(2 * px, 2 * py) + g(2 * px + 1, 2 * py) +
+          g(2 * px, 2 * py + 1) + g(2 * px + 1, 2 * py + 1)) / 4
+      assert(r.toSeq == Seq(d, pw.toLong * ph, means.sum,
+        means.zipWithIndex.map { case (m, i) => i * m }.sum,
+        means.min, means.max), s"doc $d")
+      assert(means.forall(m => m >= 0 && m <= 255))
+    }
+  }
+
   test("wavVadSegments: exact local run-length replay through the " +
     "decoder; both gate branches bite corpus-wide") {
     val docs = Tables.documents(spark, sf0)

@@ -2117,6 +2117,28 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.toSeq == r2.head.toSeq)
   }
 
+  test("seasonalDow: a weekly spike lands its whole effect on one dow, " +
+    "flat series reads zero everywhere") {
+    def ord(rows: Seq[(Int, Int)]) = rows.flatMap { case (d, c) =>
+      Seq.fill(c)(Tuple1(java.sql.Date.valueOf(f"2024-01-$d%02d"))) }
+      .toDF("o_orderdate")
+    // baseline 1/day across Jan 1..14, +7 on the two Thursdays (4, 11):
+    // every interior window covers exactly one spike -> trend7 = 14;
+    // det = 42 on Thursdays, -7 elsewhere
+    val spiky = ord((1 to 14).map(d => (d, 1)) ++ Seq((4, 7), (11, 7)))
+    val out = Relational.seasonalDow(spiky).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // 2024-01-04 is a Thursday: Spark dayofweek Thursday = 5
+    assert(out(5L) == ((2L, 84L, 6000L)), out)
+    (1L to 7L).filter(_ != 5L).filter(out.contains).foreach { dow =>
+      assert(out(dow) == ((1L, -7L, -1000L)), s"dow $dow: ${out(dow)}")
+    }
+    val flat = ord((1 to 14).map(d => (d, 2)))
+    assert(Relational.seasonalDow(flat).collect()
+      .forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+
   test("scd2Upsert: late batch closes currents, appends continuing " +
     "versions, leaves untouched users alone — equals the rebuild") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
