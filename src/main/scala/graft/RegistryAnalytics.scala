@@ -684,6 +684,25 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_seasonal_dow" -> ((s, d) =>
       Relational.seasonalDow(Tables.orders(s, d))),
 
+    // Daily error-rate / SLO burn (round 14): exact ppm against the
+    // shared budget, over-budget days flagged (see errorRate's
+    // scaladoc).
+    "event_error_rate" -> ((s, d) =>
+      Relational.errorRate(Tables.events(s, d))),
+
+    // Data freshness audit (round 14): per-type last event, exact µs
+    // lag behind the corpus-wide latest, freshness rank (see
+    // freshness' scaladoc).
+    "quality_freshness" -> ((s, d) =>
+      Relational.freshness(Tables.events(s, d))),
+
+    // Edge-weight histogram (round 14): the distribution that sizes
+    // the strong-tie minWeight constant — the graph twin of
+    // dedup_df_histogram (see weightHistogram's scaladoc).
+    "graph_weight_hist" -> ((s, d) =>
+      Graph.weightHistogram(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // Primary-key audit (round 14): per declared entity key, the
     // uniqueness contract — dup keys/rows and NULL-key rows (see
     // pkAudit's scaladoc; key expressions shared with the oracle).
@@ -2995,6 +3014,42 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 OR 2 * n1 * n2 <= n THEN NULL " +
         s"ELSE ${Relational.RunsZTree} END AS z " +
         "FROM f JOIN nd USING (event_type) ORDER BY 1"),
+
+    // error-rate replay: exact ppm, the same shared budget constant
+    "event_error_rate" -> {
+      val b = Relational.ErrorBudgetPpm
+      ("SELECT date_trunc('day', ts) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000 // " +
+        "nullif(COUNT(*), 0) AS BIGINT) AS err_ppm, " +
+        "(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000 // " +
+        s"nullif(COUNT(*), 0)) > $b AS over_budget " +
+        "FROM events GROUP BY 1 ORDER BY 1")
+    },
+
+    // freshness replay: same per-type max, exact µs lag, same rank
+    "quality_freshness" ->
+      ("WITH pt AS (SELECT event_type, MAX(CAST(ts AS TIMESTAMP)) AS last_ts " +
+        "FROM events GROUP BY 1), " +
+        "g AS (SELECT MAX(last_ts) AS global_ts FROM pt) " +
+        "SELECT event_type, last_ts, " +
+        "CAST(epoch_us(global_ts) - epoch_us(last_ts) AS BIGINT) AS lag_us, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY epoch_us(global_ts) - epoch_us(last_ts), " +
+        "event_type) AS BIGINT) AS freshness_rank " +
+        "FROM pt, g ORDER BY event_type"),
+
+    // weight-histogram replay: the co-order edge build + bin() buckets
+    "graph_weight_hist" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "wt AS (SELECT a.p AS a, b.p AS b, CAST(COUNT(*) AS BIGINT) AS w " +
+        "FROM it a JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2) " +
+        "SELECT CAST(length(bin(w)) AS BIGINT) AS w_bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_edges, " +
+        "CAST(MIN(w) AS BIGINT) AS w_min, CAST(MAX(w) AS BIGINT) AS w_max, " +
+        "CAST(SUM(w) AS BIGINT) AS total_pairs, " +
+        "CAST(SUM(CASE WHEN w >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong " +
+        "FROM wt GROUP BY 1 ORDER BY 1"),
 
     // seasonal replay: same grid + centered window; DuckDB dayofweek
     // is 0=Sunday where Spark's is 1=Sunday — the +1 aligns them

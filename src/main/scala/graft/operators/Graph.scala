@@ -580,6 +580,32 @@ object Graph {
       .orderBy(col("depth"))
   }
 
+  /** EDGE-WEIGHT HISTOGRAM (round 14) — the distribution that SIZES
+    * the strong-tie threshold: every `minWeight = 2` constant in this
+    * file (bfsLayers, closenessFromSeeds — "the raw graph reaches
+    * everything in one hop") is provisioned off exactly this, the
+    * graph twin of `dedup_df_histogram`'s cap-sizing role. Per log₂
+    * weight bucket (bit-length — weights span decades at scale):
+    * edge count, weight min/max, total co-order pairs carried, and
+    * the edges ABOVE the strong-tie threshold in that bucket —
+    * Σ over buckets is the surviving-edge count the BFS keys run on,
+    * now a measured number. One edge aggregation, then a ≤64-row
+    * rollup.
+    *
+    * Output: (w_bucket, n_edges, w_min, w_max, total_pairs,
+    * n_strong), ordered. */
+  def weightHistogram(lineitem: DataFrame, minWeight: Long = 2L,
+                      edges0: Option[DataFrame] = None): DataFrame = {
+    val e = edges0.getOrElse(coOrderEdges(lineitem))
+    e.select(col("w"), length(bin(col("w"))).cast("long").as("w_bucket"))
+      .groupBy(col("w_bucket"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("w")).as("w_min"), max(col("w")).as("w_max"),
+        sum(col("w")).as("total_pairs"),
+        sum(when(col("w") >= minWeight, 1L).otherwise(0L)).as("n_strong"))
+      .orderBy(col("w_bucket"))
+  }
+
   /** CLOSENESS CENTRALITY FROM SEEDS (round 14) — per-seed bounded BFS
     * over the strong-tie co-order graph, surfacing the classic
     * closeness (n_reached − 1)/Σdepth as exact ppm: the "how central

@@ -3601,6 +3601,60 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Error-budget threshold in ppm of daily events, shared with the
+    * oracle: sits AT the synthetic corpus's expected error share so
+    * daily fluctuation puts days on both sides of it. */
+  val ErrorBudgetPpm: Long = 200000L
+
+  /** DAILY ERROR-RATE / SLO BURN (round 14) — the availability readout
+    * every on-call dashboard opens with: per day, the error share of
+    * all events in exact ppm against a fixed budget, with the
+    * over-budget days flagged — the input to burn-rate alerting
+    * (error COUNTS alone mislead: a quiet day with few errors can
+    * burn more budget than a busy one with many). One full-data
+    * aggregation to O(days) rows; exact integral division.
+    *
+    * Output: (day, n_events, n_errors, err_ppm, over_budget),
+    * ordered by day. */
+  def errorRate(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("day"), col("n_events"), col("n_errors"),
+        expr("CAST((n_errors * 1000000) div nullif(n_events, 0L) AS BIGINT)")
+          .as("err_ppm"))
+      .withColumn("over_budget", col("err_ppm") > ErrorBudgetPpm)
+      .orderBy(col("day"))
+
+  /** DATA FRESHNESS AUDIT (round 14) — the staleness report a
+    * data-platform monitor reads before anything else: per event
+    * type, the LAST event time, its exact µs lag behind the
+    * corpus-wide latest event, and the freshness rank (1 = freshest;
+    * ties by type name) — a producer that silently stopped emitting
+    * one type surfaces here first, before any volume metric moves.
+    * Lag is exact integer µs (both engines read the same parquet
+    * timestamps); the rank window is partitioned... by nothing, but
+    * over the ≤|types| aggregated relation (bounded — the zipf-head
+    * doctrine). One full-data aggregation + a 1-row broadcast max.
+    *
+    * Output: (event_type, last_ts, lag_us, freshness_rank),
+    * ordered by type. */
+  def freshness(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perType = events.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_ts"))
+    val glob = perType.agg(max(col("last_ts")).as("global_ts"))
+    val w = Window.orderBy(col("lag_us"), col("event_type"))
+    perType.crossJoin(broadcast(glob))
+      .select(col("event_type"), col("last_ts"),
+        (unix_micros(col("global_ts")) - unix_micros(col("last_ts")))
+          .as("lag_us"))
+      .withColumn("freshness_rank", row_number().over(w).cast("long"))
+      .orderBy(col("event_type"))
+  }
+
   /** DAY-OF-WEEK SEASONAL COMPONENT (round 14) — the STL-lite
     * decomposition's seasonal leg over the daily ORDER-count series:
     * detrend with a CENTERED 7-day moving sum (×7 to stay integer —

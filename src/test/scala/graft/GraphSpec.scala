@@ -273,6 +273,22 @@ class GraphSpec extends SparkSpec {
     assert(one.getDouble(3) == 0.0 && one.getLong(1) == 1L, s"got $one")
   }
 
+  test("weightHistogram: bit-length buckets, the strong-tie count " +
+    "matches the minWeight survivors") {
+    // edge (1,2) co-ordered 3x (bucket 2), (1,3)/(2,3) once (bucket 1)
+    val g = li(1L -> Seq(1L, 2L), 2L -> Seq(1L, 2L), 3L -> Seq(1L, 2L, 3L))
+    val out = Graph.weightHistogram(g).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((2L, 1L, 1L, 2L, 0L)), out)   // two w=1 edges
+    assert(out(2L) == ((1L, 3L, 3L, 3L, 1L)), out)   // one w=3, strong
+    // Σ n_strong across buckets == the strong-tie edge count the BFS
+    // keys run on
+    assert(out.values.map(_._5).sum ==
+      Graph.coOrderEdges(g)
+        .filter(org.apache.spark.sql.functions.col("w") >= 2).count())
+  }
+
   test("closenessFromSeeds: hand chain from an md5-'00' seed — exact " +
     "depths, ppm, and an isolated seed reads NULL") {
     // 168 is the smallest int with md5 prefix '00' (the seed rule);

@@ -2117,6 +2117,30 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.toSeq == r2.head.toSeq)
   }
 
+  test("errorRate: exact daily ppm, the budget splits days") {
+    val ts = (d: Int, i: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-04-$d%02d 0$i:00:00")
+    // day 1: 1 error of 4 (250000 ppm, over); day 2: 1 of 10 (under)
+    val ev = (Seq((ts(1, 1), "error")) ++ (2 to 4).map(i => (ts(1, i), "click")) ++
+      Seq((ts(2, 1), "error")) ++ (2 to 10).map(i => (ts(2, i % 10), "view")))
+      .toDF("ts", "event_type")
+    val out = Relational.errorRate(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq((4L, 1L, 250000L, true),
+      (10L, 1L, 100000L, false)), out.toSeq)
+  }
+
+  test("freshness: exact microsecond lags and rank, freshest reads 1") {
+    val ev = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:59:59"), "b"))
+      .toDF("ts", "event_type")
+    val out = Relational.freshness(ev).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 0L, 1L), ("b", 1000000L, 2L)), out.toSeq)
+  }
+
   test("seasonalDow: a weekly spike lands its whole effect on one dow, " +
     "flat series reads zero everywhere") {
     def ord(rows: Seq[(Int, Int)]) = rows.flatMap { case (d, c) =>
