@@ -690,6 +690,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_error_rate" -> ((s, d) =>
       Relational.errorRate(Tables.events(s, d))),
 
+    // Spend-quartile migration matrix (round 14): NTILE(4) per span
+    // half, (from → to) flows incl. new/gone edges (see
+    // segmentMigration's scaladoc).
+    "customer_segment_migration" -> ((s, d) =>
+      Relational.segmentMigration(Tables.orders(s, d))),
+
+    // Daily alerting bands (round 14): nearest-rank p10/p50/p90 of the
+    // gap-filled daily counts per type (see dailyBands' scaladoc).
+    "stats_daily_bands" -> ((s, d) =>
+      Relational.dailyBands(Tables.events(s, d))),
+
+    // Hourly reach (round 14): distinct users per tumbling hour beside
+    // the event-count windows (see hourlyReach's scaladoc).
+    "event_window_reach" -> ((s, d) =>
+      Relational.hourlyReach(Tables.events(s, d))),
+
     // Data freshness audit (round 14): per-type last event, exact µs
     // lag behind the corpus-wide latest, freshness rank (see
     // freshness' scaladoc).
@@ -3014,6 +3030,58 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 OR 2 * n1 * n2 <= n THEN NULL " +
         s"ELSE ${Relational.RunsZTree} END AS z " +
         "FROM f JOIN nd USING (event_type) ORDER BY 1"),
+
+    // migration replay: same midpoint cutoff, same NTILE rule (both
+    // engines distribute tiles by the SQL-standard ceil rule), same
+    // new/gone edges
+    "customer_segment_migration" ->
+      ("WITH b AS (SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders), " +
+        "ph AS (SELECT o_custkey, (o_orderdate < (b.lo + " +
+        "CAST(date_diff('day', b.lo, b.hi) // 2 AS BIGINT) * INTERVAL 1 DAY)) AS h1, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS spend " +
+        "FROM orders, b GROUP BY 1, 2), " +
+        "sg AS (SELECT o_custkey, h1, 'q' || CAST(NTILE(4) OVER " +
+        "(PARTITION BY h1 ORDER BY spend, o_custkey) AS VARCHAR) AS seg FROM ph), " +
+        "a AS (SELECT o_custkey, seg AS seg_from FROM sg WHERE h1), " +
+        "c AS (SELECT o_custkey, seg AS seg_to FROM sg WHERE NOT h1), " +
+        "j AS (SELECT COALESCE(a.seg_from, 'new') AS seg_from, " +
+        "COALESCE(c.seg_to, 'gone') AS seg_to " +
+        "FROM a FULL OUTER JOIN c ON a.o_custkey = c.o_custkey), " +
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM j) " +
+        "SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+        "CAST(COUNT(*) * 1000000 // nullif(t.n_total, 0) AS BIGINT) AS share_ppm " +
+        "FROM j, t GROUP BY seg_from, seg_to, t.n_total ORDER BY 1, 2"),
+
+    // bands replay: dispersion's grid + nearest-rank selections over
+    // the value-grouped cumulative counts
+    "stats_daily_bands" ->
+      ("WITH dly AS (SELECT event_type, date_trunc('day', ts) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM dly GROUP BY 1), " +
+        "grid AS (SELECT event_type, " +
+        "unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "ser AS (SELECT g.event_type, COALESCE(d.y, 0) AS y FROM grid g " +
+        "LEFT JOIN dly d ON g.event_type = d.event_type AND g.day = d.day), " +
+        "vg AS (SELECT event_type, y AS v, CAST(COUNT(*) AS BIGINT) AS m FROM ser GROUP BY 1, 2), " +
+        "cum AS (SELECT event_type, v, SUM(m) OVER (PARTITION BY event_type " +
+        "ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm, " +
+        "SUM(m) OVER (PARTITION BY event_type) AS n FROM vg), " +
+        "p10 AS (SELECT event_type, MIN(v) AS p10 FROM cum WHERE cm >= (n + 9) // 10 GROUP BY 1), " +
+        "p50 AS (SELECT event_type, MIN(v) AS p50 FROM cum WHERE cm >= (n + 1) // 2 GROUP BY 1), " +
+        "p90 AS (SELECT event_type, MIN(v) AS p90 FROM cum WHERE cm >= (9 * n + 9) // 10 GROUP BY 1), " +
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM ser GROUP BY 1) " +
+        "SELECT event_type, n_days, p10.p10, p50.p50, p90.p90, " +
+        "p90.p90 - p10.p10 AS band_width " +
+        "FROM p10 JOIN p50 USING (event_type) JOIN p90 USING (event_type) " +
+        "JOIN nd USING (event_type) ORDER BY event_type"),
+
+    // reach replay: the tumbling-window shape with a distinct-user leg
+    "event_window_reach" ->
+      ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start, " +
+        "time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1"),
 
     // error-rate replay: exact ppm, the same shared budget constant
     "event_error_rate" -> {

@@ -3601,6 +3601,132 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** SPEND-QUARTILE MIGRATION MATRIX (round 14) — the customer
+    * lifecycle readout between two halves of the observation span:
+    * per customer, the spend quartile in each half (NTILE(4) over
+    * (spend, custkey) — both engines distribute tiles by the same SQL
+    * rule, so the bucketing is deterministic), then the 6×6 matrix of
+    * (from → to) customer counts including the 'new' and 'gone'
+    * edges — the churn/upsell flows `customer_rfm`'s static segments
+    * cannot show (a stable segment SIZE can hide total membership
+    * turnover). The half cutoff is the span's midpoint DATE (derived
+    * once, bounded). Quartile windows run per half over the
+    * O(customers) aggregated relation.
+    *
+    * Output: (seg_from, seg_to, n_customers, share_ppm), ordered —
+    * shares of the full customer universe. */
+  def segmentMigration(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = orders.agg(min(col("o_orderdate")).as("lo"),
+      max(col("o_orderdate")).as("hi")).head
+    if (b.isNullAt(0))
+      return orders.sparkSession.createDataFrame(
+        orders.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seg_from",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("seg_to",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_customers",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("share_ppm",
+            org.apache.spark.sql.types.LongType))))
+    // date-vs-timestamp reader neutrality: take the calendar date via
+    // the ISO string prefix (getDate throws when the column surfaces
+    // as a timestamp under the Java-8 datetime API)
+    val lo = java.time.LocalDate.parse(b.get(0).toString.take(10))
+    val hi = java.time.LocalDate.parse(b.get(1).toString.take(10))
+    val cut = java.sql.Date.valueOf(
+      lo.plusDays(java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2))
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val perHalf = orders
+      .select(col("o_custkey"), (col("o_orderdate") < lit(cut)).as("h1"),
+        cents.as("c"))
+      .groupBy(col("o_custkey"), col("h1")).agg(sum(col("c")).as("spend"))
+    val w = Window.partitionBy(col("h1"))
+      .orderBy(col("spend"), col("o_custkey"))
+    val seg = perHalf.withColumn("seg",
+      concat(lit("q"), ntile(4).over(w).cast("string")))
+    val a = seg.filter(col("h1")).select(col("o_custkey"),
+      col("seg").as("seg_from"))
+    val c2 = seg.filter(!col("h1")).select(col("o_custkey"),
+      col("seg").as("seg_to"))
+    val joined = a.join(c2, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("seg_from"), lit("new")).as("seg_from"),
+        coalesce(col("seg_to"), lit("gone")).as("seg_to"))
+    val tot = joined.agg(count(lit(1)).as("n_total"))
+    joined.groupBy(col("seg_from"), col("seg_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tot))
+      .select(col("seg_from"), col("seg_to"), col("n_customers"),
+        expr("CAST((n_customers * 1000000) div nullif(n_total, 0L) " +
+          "AS BIGINT)").as("share_ppm"))
+      .orderBy(col("seg_from"), col("seg_to"))
+  }
+
+  /** DAILY ALERTING BANDS (round 14) — per event type, the
+    * nearest-rank p10/p50/p90 of the gap-filled daily count series:
+    * the static thresholds an alerting rule reads ("page when today
+    * falls outside the p10–p90 band"), the band complement to
+    * [[dispersionIndex]]'s single burstiness number. EXACT rank
+    * selection on the value-grouped grid (the mannwhitney/levene
+    * front — no per-row sort): p_q = min value whose cumulative count
+    * reaches ⌈q·n⌉, with the ceilings as integral divisions
+    * ((n+9) div 10, (n+1) div 2, (9n+9) div 10). Gap days are real
+    * zeros — a band computed only over active days is blind to the
+    * exact silence it should alert on.
+    *
+    * Output: (event_type, n_days, p10, p50, p90, band_width),
+    * ordered. */
+  def dailyBands(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val series = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("y"), lit(0L)).as("y"))
+    val vg = series.groupBy(col("event_type"), col("y").as("v"))
+      .agg(count(lit(1)).as("m"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = vg.withColumn("cm", sum(col("m")).over(wCum))
+      .withColumn("n", sum(col("m")).over(wAll))
+    def rankSel(rank: String, name: String) =
+      cum.filter(expr(s"cm >= $rank")).groupBy(col("event_type"))
+        .agg(min(col("v")).as(name))
+    rankSel("(n + 9) div 10", "p10")
+      .join(rankSel("(n + 1) div 2", "p50"), "event_type")
+      .join(rankSel("(9 * n + 9) div 10", "p90"), "event_type")
+      .join(series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days")), "event_type")
+      .select(col("event_type"), col("n_days"), col("p10"), col("p50"),
+        col("p90"), (col("p90") - col("p10")).as("band_width"))
+      .orderBy(col("event_type"))
+  }
+
+  /** HOURLY REACH (round 14) — distinct users per tumbling hour beside
+    * `event_window_tumbling`'s event counts: reach is what capacity
+    * and advertising read (events double-count the heavy user; reach
+    * does not). One (window, user) distinct then a count — the
+    * standard two-exchange exact-distinct shape; at true scale the
+    * swap-in is the KMV sketch (`sketch_theta`'s machinery), kept
+    * exact here for the oracle.
+    *
+    * Output: (win_start, win_end, n_events, n_users), ordered. */
+  def hourlyReach(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_events"), col("n_users"))
+      .orderBy(col("win_start"))
+
   /** Error-budget threshold in ppm of daily events, shared with the
     * oracle: sits AT the synthetic corpus's expected error share so
     * daily fluctuation puts days on both sides of it. */

@@ -2117,6 +2117,44 @@ class RelationalSpec extends SparkSpec {
     assert(r.head.toSeq == r2.head.toSeq)
   }
 
+  test("segmentMigration: hand quartile flows incl. new and gone edges") {
+    def o(rows: (Long, String, Double)*) = rows.map { case (k, d, v) =>
+      (k, java.sql.Date.valueOf(d), v) }
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    // span 01..10 -> cutoff day 5; h1 spends 10..50, h2 reversed + new
+    val orders = o(
+      (1L, "2024-01-01", 10.00), (2L, "2024-01-01", 20.00),
+      (3L, "2024-01-01", 30.00), (4L, "2024-01-01", 40.00),
+      (5L, "2024-01-01", 50.00),
+      (1L, "2024-01-09", 40.00), (2L, "2024-01-09", 30.00),
+      (3L, "2024-01-09", 20.00), (4L, "2024-01-09", 10.00),
+      (6L, "2024-01-10", 5.00))
+    val out = Relational.segmentMigration(orders).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("q1", "q4") -> ((1L, 166666L)), ("q1", "q3") -> ((1L, 166666L)),
+      ("q2", "q2") -> ((1L, 166666L)), ("q3", "q1") -> ((1L, 166666L)),
+      ("q4", "gone") -> ((1L, 166666L)), ("new", "q1") -> ((1L, 166666L))),
+      out)
+  }
+
+  test("dailyBands: nearest-rank selections over a hand 1..10 series") {
+    val ev = (1 to 10).flatMap(d => (1 to d).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-05-$d%02d ${i % 24}%02d:30:00"), "t")))
+      .toDF("ts", "event_type")
+    val r = Relational.dailyBands(ev).collect().head
+    assert(r.toSeq == Seq("t", 10L, 1L, 5L, 9L, 8L), r)
+  }
+
+  test("hourlyReach: distinct users per hour, heavy users counted once") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 07:$m%02d:00")
+    val ev = Seq((ts(1), 1L), (ts(2), 1L), (ts(3), 2L))
+      .toDF("ts", "user_id")
+    val r = Relational.hourlyReach(ev).collect().head
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L, r)
+  }
+
   test("errorRate: exact daily ppm, the budget splits days") {
     val ts = (d: Int, i: Int) =>
       java.sql.Timestamp.valueOf(f"2024-04-$d%02d 0$i:00:00")
