@@ -638,4 +638,36 @@ class PlanInvariantsSpec extends SparkSpec {
       !rr.contains("SortMergeJoin"),
       s"sim_recall_report shuffles its bounded ground truth:\n$rr")
   }
+
+  test("round-14 plans: covariance never self-joins the corpus, the " +
+    "Kendall grid crossJoin is broadcast, grid windows stay partitioned") {
+    // embed_covariance: the upper triangle comes from ONE nested
+    // transform per row — a corpus self-join here is the O(N·d²)
+    // shuffle the HOF exists to avoid; the only joins are the
+    // broadcast 64-row sums/diagonal attachments
+    val cov = planOf("embed_covariance")
+    assert(!cov.contains("SortMergeJoin") &&
+      !cov.contains("CartesianProduct"),
+      s"embed_covariance regressed to a shuffled self-join:\n$cov")
+    // stats_kendall: the cells×cells pairing is GRID-bounded and must
+    // ride a broadcast nested loop, never a cartesian shuffle
+    val kt = planOf("stats_kendall")
+    assert(!kt.contains("CartesianProduct"),
+      s"stats_kendall's grid pairing lost its broadcast:\n$kt")
+    assert(!kt.contains("SortMergeJoin"),
+      s"stats_kendall shuffles a bounded relation:\n$kt")
+    // the round-14 grid statistics keep their windows PARTITIONED
+    // (per-type grids; a lost partitionSpec is a global sort at scale)
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("stats_theil_sen", "stats_levene", "stats_daily_bands",
+      "stats_dispersion", "event_concurrency").foreach { q =>
+      val p = withAqeOff {
+        try SparkEntry.queries(q)(spark, sf0).queryExecution.executedPlan
+        finally SparkEntry.harnessScope.release()
+      }
+      val wins = p.collect { case w: WindowExec => w }
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q window is unpartitioned — a global sort at scale"))
+    }
+  }
 }
