@@ -719,6 +719,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Graph.weightHistogram(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
+    // Degree Gini (round 14): hub concentration of the co-order degree
+    // distribution — the order_gini machinery on the bounded degree
+    // grid (see degreeGini's scaladoc).
+    "graph_degree_gini" -> ((s, d) =>
+      Graph.degreeGini(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // Primary-key audit (round 14): per declared entity key, the
     // uniqueness contract — dup keys/rows and NULL-key rows (see
     // pkAudit's scaladoc; key expressions shared with the oracle).
@@ -3106,6 +3113,25 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(ROW_NUMBER() OVER (ORDER BY epoch_us(global_ts) - epoch_us(last_ts), " +
         "event_type) AS BIGINT) AS freshness_rank " +
         "FROM pt, g ORDER BY event_type"),
+
+    // degree-gini replay: co-order degrees → the order_gini tail
+    "graph_degree_gini" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "wt AS (SELECT a.p AS a, b.p AS b FROM it a " +
+        "JOIN it b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), " +
+        "dg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (" +
+        "SELECT a AS n FROM wt UNION ALL SELECT b FROM wt) GROUP BY 1), " +
+        "g AS (SELECT d AS v, COUNT(*) AS cnt FROM dg GROUP BY 1), " +
+        "r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt FROM g), " +
+        "s AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_nodes, " +
+        "CAST(COALESCE(SUM(v * cnt), 0) AS BIGINT) AS sum_degree, " +
+        "CAST(COALESCE(SUM(v * (cnt * clt + (cnt * (cnt + 1)) // 2)), 0) AS BIGINT) AS rw FROM r) " +
+        "SELECT n_nodes, sum_degree, " +
+        "CAST(2 * rw - (n_nodes + 1) * sum_degree AS BIGINT) AS gini_num, " +
+        "CAST(2 * rw - (n_nodes + 1) * sum_degree AS DOUBLE) / " +
+        "nullif(n_nodes * sum_degree, 0) AS gini " +
+        "FROM s"),
 
     // weight-histogram replay: the co-order edge build + bin() buckets
     "graph_weight_hist" ->

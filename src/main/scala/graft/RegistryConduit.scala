@@ -229,6 +229,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "source_orc_nested" -> ((s, d) =>
       graft.sources.ColumnarSources.orcRoundTrip(s, Tables.events(s, d))),
 
+    // JSONL sink round-trip (round 14): the WRITE side of the
+    // reference's wire format — to_json → text → parse-back fidelity
+    // (see jsonlSinkRoundTrip's scaladoc).
+    "sink_jsonl_roundtrip" -> ((s, d) =>
+      graft.sources.TextSources.jsonlSinkRoundTrip(s, Tables.events(s, d))),
+
     // Hive-partitioned layout + partition pruning (round 14): the
     // partition column round-trips through the directory name and the
     // filter becomes a PartitionFilter — 2 of 5 directories ever
@@ -478,6 +484,15 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
 
     // schema evolution: replay from the original relation + the parity
     // split — gen 1 has only NULL scores, gen 2 only real ones
+    // JSONL-sink replay: round-trip fidelity — the summary equals the
+    // original relation's (doubles survive via shortest-form JSON)
+    "sink_jsonl_roundtrip" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +
+        "MIN(event_id) AS first_id, MAX(event_id) AS last_id " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
     // ORC replay: round-trip fidelity — the summary equals the
     // original relation's, nested hop included
     "source_orc_nested" ->

@@ -580,6 +580,42 @@ object Graph {
       .orderBy(col("depth"))
   }
 
+  /** DEGREE GINI (round 14) — inequality of the co-order degree
+    * distribution: the hub-concentration number that decides whether
+    * the graph family's per-node work is balanced (Gini ≈ 0: degrees
+    * uniform, any partitioning works) or hub-dominated (Gini → 1: a
+    * few super-connectors own most edges — exactly when the wedge
+    * join needs its degree orientation and the shuffle needs skew
+    * handling). The `order_gini` machinery applied to degrees:
+    * value-grouped exact ranking (one ordered window over the BOUNDED
+    * degree grid), the doubled-rank weighted sum in integers, one
+    * IEEE division at the end.
+    *
+    * Output (one row): n_nodes, sum_degree, gini_num, gini. */
+  def degreeGini(lineitem: DataFrame,
+                 edges0: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges0.getOrElse(coOrderEdges(lineitem))
+      .select(col("a"), col("b"))
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val g = deg.groupBy(col("d").as("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("clt", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_nodes"),
+        coalesce(sum(col("v") * col("cnt")), lit(0L)).as("sum_degree"),
+        coalesce(sum(col("v") * (col("cnt") * col("clt") +
+          expr("(cnt * (cnt + 1)) div 2"))), lit(0L)).as("rw"))
+      .select(col("n_nodes"), col("sum_degree"),
+        (lit(2L) * col("rw") - (col("n_nodes") + 1L) * col("sum_degree"))
+          .as("gini_num"))
+      .select(col("n_nodes"), col("sum_degree"), col("gini_num"),
+        (col("gini_num").cast("double") /
+          expr("nullif(n_nodes * sum_degree, 0)")).as("gini"))
+  }
+
   /** EDGE-WEIGHT HISTOGRAM (round 14) — the distribution that SIZES
     * the strong-tie threshold: every `minWeight = 2` constant in this
     * file (bfsLayers, closenessFromSeeds — "the raw graph reaches

@@ -313,4 +313,34 @@ object TextSources {
         max(when(!isBad, col("event_id"))).as("last_id"))
       .orderBy(col("event_type"))
   }
+
+  /** JSONL SINK ROUND-TRIP (round 14) — the WRITE side of the wire
+    * format the reference conduit exists to move (its decoder consumes
+    * partitioned JSON; `source_jsonl_quarantine` covers the read):
+    * events serialize through to_json into line-delimited text, read
+    * back through the JSON parser under the ORIGINAL schema, and
+    * summarize with the shared fidelity reduction. Doubles survive the
+    * hop because to_json emits the shortest round-trip decimal form
+    * and the parser restores the exact IEEE value — pinned by the
+    * exact-decimal sum equaling the original relation's in the oracle.
+    *
+    * Output: (event_type, n_rows, n_users, value_sum, first_id,
+    * last_id), ordered by type. */
+  def jsonlSinkRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/jsonl_sink-${java.util.UUID.randomUUID()}"
+    val slim = events.select(col("event_id"), col("event_type"),
+      col("user_id"), col("value"))
+    slim.select(to_json(struct(col("event_id"), col("event_type"),
+        col("user_id"), col("value"))).as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.schema(slim.schema).json(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("value_sum"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"))
+      .orderBy(col("event_type"))
+  }
 }

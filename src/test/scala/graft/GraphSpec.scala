@@ -273,6 +273,22 @@ class GraphSpec extends SparkSpec {
     assert(one.getDouble(3) == 0.0 && one.getLong(1) == 1L, s"got $one")
   }
 
+  test("degreeGini: uniform degrees read 0, a hub-dominated star is " +
+    "strictly positive with the exact hand numerator") {
+    // triangle: every node degree 2 -> perfect equality, gini 0
+    val tri = li(1L -> Seq(1L, 2L, 3L))
+    val rt = Graph.degreeGini(tri).collect().head
+    assert(rt.toSeq.take(3) == Seq(3L, 6L, 0L) && rt.getDouble(3) == 0.0,
+      rt)
+    // star 1-(2,3,4) built from pair orders: degrees 3,1,1,1 — n=4,
+    // S=6; value-grouped: v=1 cnt=3 clt=0, v=3 cnt=1 clt=3
+    // rw = 1*(0+6) + 3*(3+1) = 18; num = 36 - 5*6 = 6; gini = 6/24
+    val star = li(1L -> Seq(1L, 2L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 4L))
+    val rs = Graph.degreeGini(star).collect().head
+    assert(rs.toSeq.take(3) == Seq(4L, 6L, 6L), rs)
+    assert(rs.getDouble(3) == 0.25, rs.getDouble(3))
+  }
+
   test("weightHistogram: bit-length buckets, the strong-tie count " +
     "matches the minWeight survivors") {
     // edge (1,2) co-ordered 3x (bucket 2), (1,3)/(2,3) once (bucket 1)

@@ -235,6 +235,23 @@ class SourcesSpec extends SparkSpec {
         r.head.isNullAt(schema.fieldIndex("value")))
     } finally rows.unpersist()
   }
+  test("JSONL sink round-trip: doubles survive the text hop — summary " +
+    "equals the direct aggregate") {
+    import graft.sources.TextSources
+    val ev = Tables.events(spark, sf0)
+    val got = TextSources.jsonlSinkRoundTrip(spark, ev).collect()
+      .map(_.toSeq)
+    val want = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("value_sum"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"))
+      .orderBy(col("event_type")).collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("ORC nested round-trip: the struct hop loses nothing — summary " +
     "equals the direct aggregate") {
     import graft.sources.ColumnarSources
