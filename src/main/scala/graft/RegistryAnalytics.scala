@@ -2002,7 +2002,10 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     // Length-drift replay: same dense source x grid matrix + suprema
     "quality_len_drift" ->
-      ("WITH cnt AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cn " +
+      // r15: bit-length buckets (the Kendall doctrine) — grid ≤ 64
+      ("WITH cnt AS (SELECT source, " +
+        "CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS v, " +
+        "CAST(COUNT(*) AS BIGINT) AS cn " +
         "FROM documents GROUP BY 1, 2), " +
         "mat AS (SELECT s.source, g.v, COALESCE(cn, 0) AS a " +
         "FROM (SELECT DISTINCT source FROM cnt) s " +
@@ -2486,21 +2489,27 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "LEFT JOIN dly d ON g.event_type = d.event_type AND g.day = d.day), " +
         "sl AS (SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den " +
         "FROM ser a JOIN ser b ON a.event_type = b.event_type AND a.x < b.x), " +
-        "reps AS (SELECT DISTINCT event_type, num AS rnum, den AS rden FROM sl), " +
-        "cnt AS (SELECT r.event_type, r.rnum, r.rden, " +
-        "CAST(SUM(CASE WHEN s.num * r.rden < r.rnum * s.den THEN 1 ELSE 0 END) AS BIGINT) AS c_lt, " +
-        "CAST(SUM(CASE WHEN s.num * r.rden = r.rnum * s.den THEN 1 ELSE 0 END) AS BIGINT) AS c_eq, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
-        "FROM reps r JOIN sl s ON r.event_type = s.event_type GROUP BY 1, 2, 3), " +
+        // canonical reduced fractions with multiplicity (r15: the
+        // counting join runs over the distinct-slope grid, weighted)
+        "slg AS (SELECT event_type, " +
+        "CAST(num // gcd(abs(num), den) AS BIGINT) AS gnum, " +
+        "CAST(den // gcd(abs(num), den) AS BIGINT) AS gden, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM sl GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_pairs " +
+        "FROM slg GROUP BY 1), " +
+        "cnt AS (SELECT r.event_type, r.gnum AS rnum, r.gden AS rden, " +
+        "CAST(SUM(CASE WHEN s.gnum * r.gden < r.gnum * s.gden " +
+        "THEN s.cnt ELSE 0 END) AS BIGINT) AS c_lt, " +
+        "CAST(MAX(r.cnt) AS BIGINT) AS c_eq " +
+        "FROM slg r JOIN slg s ON r.event_type = s.event_type GROUP BY 1, 2, 3), " +
         "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM ser GROUP BY 1), " +
-        "sel AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type " +
-        "ORDER BY rden, rnum) AS rn FROM cnt " +
+        "sel AS (SELECT c.*, t.n_pairs FROM cnt c JOIN tot t USING (event_type) " +
         "WHERE c_lt < (n_pairs + 1) // 2 AND (n_pairs + 1) // 2 <= c_lt + c_eq) " +
         "SELECT s.event_type, nd.n_days, s.n_pairs, " +
         "s.rnum AS med_num, s.rden AS med_den, " +
         "CAST(CASE WHEN s.rnum < 0 THEN -((abs(s.rnum) * 1000000) // s.rden) " +
         "ELSE (s.rnum * 1000000) // s.rden END AS BIGINT) AS slope_ppm " +
-        "FROM sel s JOIN nd USING (event_type) WHERE s.rn = 1 ORDER BY 1"),
+        "FROM sel s JOIN nd USING (event_type) ORDER BY 1"),
 
     // Kendall replay: same bit-length grid, HUGEINT doubled pair
     // counts, identical τ tree through the via-string bridge

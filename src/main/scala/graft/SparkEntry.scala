@@ -167,10 +167,19 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
     sessionMemo(coOrderEdgesMemo, s, d)(
       operators.Graph.coOrderEdges(Tables.lineitem(s, d)).localCheckpoint())
   private[graft] def trianglesShared(s: SparkSession, d: String): DataFrame =
-    sessionMemo(trianglesMemo, s, d)(
-      operators.Graph.orientedTriangles(
-        coOrderEdgesShared(s, d).select(col("a"), col("b")))
-        .localCheckpoint())
+    sessionMemo(trianglesMemo, s, d) {
+      val edges = coOrderEdgesShared(s, d).select(col("a"), col("b"))
+      // data-scaled shuffle width for the enumeration (VERDICT r14
+      // item 1): the edge memo is already materialized, so the count
+      // is a cheap local scan; ~250k edges/partition keeps each
+      // adjacency-join partition sort in memory at any input scale
+      // instead of inheriting a session constant sized for sf0.1
+      val nPart = math.max(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        math.min(4096L, edges.count() / 250000L + 1L).toInt)
+      operators.Graph.orientedTriangles(edges, adjPartitions = Some(nPart))
+        .localCheckpoint()
+    }
   private[graft] def lpaLabelsShared(s: SparkSession, d: String): DataFrame =
     sessionMemo(lpaLabelsMemo, s, d)(
       operators.Graph.labelPropLabels(Tables.lineitem(s, d),

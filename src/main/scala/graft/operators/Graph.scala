@@ -190,31 +190,49 @@ object Graph {
       .limit(k)
   }
 
-  /** Oriented triangle ENUMERATION (round 12) — the shared relation
-    * behind [[triangles]] and [[neighborJaccard]]: each triangle of the
-    * undirected (a, b) edge list exactly once as (x, y, z) with
-    * (x, y, z) ascending in the (degree, id) total order. Built from
-    * the degree-ordered orientation ([[degreeOriented]]) via the
-    * skew-safe wedge self-join on the shared tail plus the closing
-    * out-edge — out-degree ≤ √(2·|E|) on ANY graph, so the wedge join
-    * never explodes on hubs. Round 12 lifts this out of the two
-    * consumers so the harness can materialize it ONCE per (session,
-    * dataset) — the `memo:near_dup_pairs` pattern: a pipeline
-    * enumerates triangles once and every audit (counting, link
-    * scoring) reads that table. */
-  def orientedTriangles(e: DataFrame): DataFrame = {
-    val d = degreeOriented(e)
-    // wedge join on the shared tail u (the lowest-(deg, id) endpoint of
-    // the triangle), ordered so (e1.v, e2.v) is the (middle, top) pair
-    // in the total order; the closing edge is then necessarily oriented
-    // middle → top
-    d.as("e1")
-      .join(d.as("e2"), col("e1.u") === col("e2.u") &&
-        (col("e1.dv") < col("e2.dv") ||
-          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
-      .join(d.select(col("u"), col("v")).as("e3"),
-        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+  /** Oriented triangle ENUMERATION (round 12; edge-iterator rewrite
+    * round 15) — the shared relation behind [[triangles]] and
+    * [[neighborJaccard]]: each triangle of the undirected (a, b) edge
+    * list exactly once as (x, y, z) with (x, y, z) ascending in the
+    * (degree, id) total order. Built from the degree-ordered
+    * orientation ([[degreeOriented]]): out-degree ≤ √(2·|E|) on ANY
+    * graph, so a hub keeps its fan-out as in-edges and no oriented
+    * adjacency list explodes.
+    *
+    * Round 15 replaces the wedge self-join + closing-edge equi-join
+    * with the EDGE-ITERATOR form: per oriented edge (x, y), the
+    * closing nodes are exactly A(x) ∩ A(y) over the sorted oriented
+    * out-adjacency arrays (x→y, x→z, y→z are precisely the oriented
+    * edges of a triangle with x < y < z in the total order, so each
+    * triangle is enumerated once, from its (x, y) edge). Why this
+    * shape at scale: the old plan MATERIALIZED every wedge — Θ(Σ
+    * outdeg²) three-column rows — and shuffled them on (y, z) to meet
+    * the closing edge; wedges ≫ triangles, and at 10× data that
+    * shuffle is pure sort-spill (the round-14 probe's 20–33× memo
+    * ratio at local[4]). Here nothing wider than the adjacency-
+    * annotated EDGE relation is ever shuffled: one groupBy builds the
+    * packed arrays (O(|E|) longs), two node-keyed equi-joins attach
+    * them, and the intersection runs as in-partition CPU emitting
+    * only TRUE triangles. The inner joins also prune every edge whose
+    * head has no out-edges (top-of-order nodes — no z can close).
+    * `adjPartitions` lets a caller that KNOWS the edge count (the
+    * session memo build does) scale the shuffle width with the data
+    * instead of inheriting a session constant sized for sf0.1 — the
+    * knob a real cluster turns. */
+  def orientedTriangles(e: DataFrame,
+                        adjPartitions: Option[Int] = None): DataFrame = {
+    val d0 = degreeOriented(e).select(col("u"), col("v"))
+    val d = adjPartitions.map(n => d0.repartition(n, col("u"))).getOrElse(d0)
+    // (u, v) is distinct by construction (one oriented edge per
+    // undirected edge), so the packed list is a set; sorted so the
+    // intersection is cache-friendly and the relation deterministic
+    val adj = d.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    d.select(col("u").as("x"), col("v").as("y"))
+      .join(adj.select(col("u").as("y"), col("nbrs").as("ay")), Seq("y"))
+      .join(adj.select(col("u").as("x"), col("nbrs").as("ax")), Seq("x"))
+      .select(col("x"), col("y"),
+        explode(array_intersect(col("ax"), col("ay"))).as("z"))
   }
 
   /** LOCAL CLUSTERING COEFFICIENT (round 12) — the neighborhood-density

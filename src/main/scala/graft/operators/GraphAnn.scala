@@ -357,6 +357,13 @@ object GraphAnn {
     * to shards by id hash (`id mod nShards`); on the single-shard
     * fixture this is the full identity, at scale it is the standard
     * keyed-shard layout (the build's partition knob, made explicit).
+    * The fold-identity precondition is VALIDATED per shard, not
+    * assumed (round 15, advisor): an index whose base shards were laid
+    * out by a different rule (e.g. [[buildHnswIndex]]'s
+    * partition-id sharding on a multi-partition frame) would silently
+    * break the rebuild identity if a delta id slotted below a resident
+    * id — so each shard asserts max(base id) < min(delta id) and
+    * aborts the job naming the shard and both ids otherwise.
     *
     * Cost shape: O(|delta|·efC·log N) beam work against loaded
     * adjacency vs O(N·efC·log N) for a rebuild — the difference
@@ -384,7 +391,20 @@ object GraphAnn {
       sorted.foreach { case (_, _, id, vec, layers) =>
         index.loadNode(id, vec, layers.map(_.toArray).toArray)
       }
-      deltaRows.toArray.sortBy(_._1).foreach { case (id, v, n) =>
+      val deltaSorted = deltaRows.toArray.sortBy(_._1)
+      // fold-identity gate: insertion is a left fold over sorted ids,
+      // so base-then-delta == rebuild-on-union ONLY when every resident
+      // id precedes every delta id in this shard — check it, loudly
+      if (sorted.nonEmpty && deltaSorted.nonEmpty) {
+        val maxBase = sorted.iterator.map(_._3).max
+        val minDelta = deltaSorted.head._1
+        require(maxBase < minDelta,
+          s"hnsw upsert shard $shard violates the fold-identity " +
+            s"precondition: resident id $maxBase >= delta id $minDelta " +
+            "(delta ids must all follow the shard's base ids; rebuild " +
+            "the index or re-range the delta)")
+      }
+      deltaSorted.foreach { case (id, v, n) =>
         index.insert(id, v, math.sqrt(n.toDouble))
       }
       (0 until index.size).iterator.map { pos =>

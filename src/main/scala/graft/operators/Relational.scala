@@ -893,13 +893,31 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val cur = base.filter(col("is_current"))
       .select(col("user_id"), col("attr").as("cur_attr"),
-        col("version").as("cur_ver"))
+        col("version").as("cur_ver"), col("valid_from").as("cur_from"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val changes = batch
       .select(col("user_id"), col("ts"), col("event_id"),
         col(attrCol).as("attr"))
       .join(cur, Seq("user_id"), "left")
+      // fold-identity gate (round 15, advisor): the documented
+      // precondition — every base event precedes every batch event per
+      // user — is now CHECKED at its observable boundary instead of
+      // assumed: a batch event at/before the user's current version's
+      // valid_from would close that version at a ts not after it
+      // opened (an out-of-order timeline), so the fold aborts loudly
+      // naming the violation rather than emitting a silently corrupted
+      // dimension. assert_true rides a FILTER (the connPoolState form)
+      // so Catalyst cannot prune the gate.
+      .filter(assert_true(
+        col("cur_from").isNull || col("ts") > col("cur_from"),
+        concat(lit("scd2Upsert fold-identity violation: batch event at "),
+          col("ts").cast("string"),
+          lit(" for user "), col("user_id").cast("string"),
+          lit(" does not follow the current version opened at "),
+          col("cur_from").cast("string"),
+          lit(" — rebuild the dimension or re-range the batch")))
+        .isNull)
       .withColumn("prev_attr", lag(col("attr"), 1).over(w))
       .withColumn("prev_eid", lag(col("event_id"), 1).over(w))
       .filter(
@@ -2711,18 +2729,24 @@ object Relational {
     * the moment one shard's shape moves (the training-vs-serving drift
     * monitor, run per ingest source). Same integer-domain ECDF
     * doctrine: the supremum is max |ca·n_b − cb·n_a| over the VALUE
-    * grid (one row per distinct length — bounded by the length domain,
-    * never doc count); the grid × source matrix is dense by
-    * construction (a source missing a length still carries its
-    * cumulative there — skipping it would miss suprema between its own
-    * values), built from two bounded relations, cumulated by one
-    * per-source window pass + one grid-wide pass; ONE IEEE division
-    * per source at the end.
+    * grid, where the grid is the BIT-LENGTH of n_chars (round 15: the
+    * Kendall doctrine — a length is an int64, so the grid is ≤ 64
+    * rows UNCONDITIONALLY; the raw distinct-length grid was
+    * data-shaped on a corpus with pathological length diversity, and
+    * |S| × distinct-lengths densification is exactly the cross
+    * product the grid bound exists to cap). Log-scale buckets are the
+    * honest monitor granularity for lengths anyway — a re-chunked
+    * feed or truncating scraper moves mass across octaves. The grid ×
+    * source matrix is dense by construction (a source missing a
+    * bucket still carries its cumulative there), built from two
+    * bounded relations, cumulated by one per-source window pass + one
+    * grid-wide pass; ONE IEEE division per source at the end.
     *
     * Output: (source, n_docs, n_rest, d_scaled, d), ordered. */
   def lengthDriftBySource(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cnt = docs.groupBy(col("source"), col("n_chars").as("v"))
+    val cnt = docs.groupBy(col("source"),
+        expr("CAST(length(bin(greatest(n_chars, 1L))) AS BIGINT)").as("v"))
       .agg(count(lit(1)).as("cn"))
     val mat = cnt.select(col("source")).distinct()
       .crossJoin(cnt.select(col("v")).distinct())
@@ -3541,22 +3565,32 @@ object Relational {
     * is decided by BIGINT cross-multiplication (num_a·den_b vs
     * num_b·den_a — dens positive), and the LOWER MEDIAN (rank
     * ⌈m/2⌉ = (m+1) div 2) is selected by counting: a representation r
-    * is the median iff c_lt(r) < rank ≤ c_lt(r) + c_eq(r). Among the
-    * (rationally equal) representations satisfying that, the (den,
-    * num)-minimal one surfaces — deterministic on both engines. Days
-    * with no events are REAL zero observations on the calendar grid
-    * (the round-13 gap-fill doctrine), not missing points.
+    * is the median iff c_lt(r) < rank ≤ c_lt(r) + c_eq(r). Slopes are
+    * CANONICALIZED to reduced fractions first (round 15, advisor):
+    * each (num, den) divides by gcd(|num|, den) — a fixed-depth
+    * unrolled Euclid (40 steps covers any 64-bit pair; den is
+    * span-bounded anyway) so rationally equal slopes COLLAPSE to one
+    * representation with a multiplicity, the counting join runs over
+    * the distinct-slope grid weighted by those counts (O(distinct²)
+    * instead of O(reps × pairs) — the raw form is quartic in span
+    * length: ~365 days is billions of intermediate rows per type),
+    * and equality needs no cross-multiplication at all (canonical
+    * forms are equal iff structurally equal, so c_eq is the rep's own
+    * multiplicity). Exactly one canonical rep per type satisfies the
+    * rank condition (cumulative counts partition the ranks), so the
+    * median surfaces with no tie-break window. Days with no events
+    * are REAL zero observations on the calendar grid (the round-13
+    * gap-fill doctrine), not missing points.
     *
-    * Scale shape: the series is CALENDAR-BOUNDED (days in span), so the
-    * O(n²) pair relation and the O(pairs²) counting join are bounded by
-    * the time window, not data volume — the only full-data pass is the
-    * daily aggregation. All joins are keyed by event_type.
+    * Scale shape: the series is CALENDAR-BOUNDED (days in span), so
+    * the O(n²) pair relation and the O(distinct²) counting join are
+    * bounded by the time window, not data volume — the only full-data
+    * pass is the daily aggregation. All joins are keyed by event_type.
     *
     * Output: (event_type, n_days, n_pairs, med_num, med_den,
-    * slope_ppm), ordered by type. slope_ppm = sign-split
-    * (num·10⁶) div den. */
+    * slope_ppm), ordered by type. (med_num, med_den) is the REDUCED
+    * fraction; slope_ppm = sign-split (num·10⁶) div den. */
   def theilSen(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = events
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
@@ -3574,25 +3608,35 @@ object Relational {
     val slopes = a.join(b, "event_type").filter(col("xa") < col("xb"))
       .select(col("event_type"), (col("yb") - col("ya")).as("num"),
         (col("xb") - col("xa")).as("den"))
-    val reps = slopes.distinct()
-      .select(col("event_type"), col("num").as("rnum"), col("den").as("rden"))
-    val counted = reps.join(slopes, "event_type")
+    // canonical form: divide by gcd(|num|, den) (den > 0 stays > 0;
+    // num = 0 reduces to 0/1); Euclid as a fixed-depth fold — both
+    // divisions are exact, so truncating div is safe on negatives
+    val slopesG = slopes
+      .withColumn("g", expr(
+        "aggregate(sequence(1, 40), named_struct('a', abs(num), 'b', den), " +
+          "(acc, i) -> IF(acc.b = 0L, acc, " +
+          "named_struct('a', acc.b, 'b', acc.a % acc.b)), acc -> acc.a)"))
+      .select(col("event_type"), expr("num div g").as("gnum"),
+        expr("den div g").as("gden"))
+      .groupBy(col("event_type"), col("gnum"), col("gden"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = slopesG.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_pairs"))
+    val counted = slopesG
+      .select(col("event_type"), col("gnum").as("rnum"),
+        col("gden").as("rden"), col("cnt").as("own_cnt"))
+      .join(slopesG, "event_type")
       .groupBy(col("event_type"), col("rnum"), col("rden"))
       .agg(
-        sum(when(col("num") * col("rden") < col("rnum") * col("den"), 1L)
-          .otherwise(0L)).as("c_lt"),
-        sum(when(col("num") * col("rden") === col("rnum") * col("den"), 1L)
-          .otherwise(0L)).as("c_eq"),
-        count(lit(1)).as("n_pairs"))
+        sum(when(col("gnum") * col("rden") < col("rnum") * col("gden"),
+          col("cnt")).otherwise(0L)).as("c_lt"),
+        max(col("own_cnt")).as("c_eq"))
     val nDays = series.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"))
-    val medW = Window.partitionBy(col("event_type"))
-      .orderBy(col("rden"), col("rnum"))
     counted
+      .join(broadcast(totals), "event_type")
       .filter(expr("c_lt < (n_pairs + 1) div 2") &&
         expr("(n_pairs + 1) div 2 <= c_lt + c_eq"))
-      .withColumn("rn", row_number().over(medW))
-      .filter(col("rn") === 1)
       .join(broadcast(nDays), "event_type")
       .select(col("event_type"), col("n_days"), col("n_pairs"),
         col("rnum").as("med_num"), col("rden").as("med_den"),

@@ -136,48 +136,69 @@ object StreamingDedup {
     *      A near-dup arriving more than a horizon after its twin
     *      re-emits — the same documented trade as [[withinWatermark]].
     *
-    * The store itself is versioned (`v=N` written per batch, batch N
-    * reads the largest v < N): a replayed batch reads the same input
-    * version it read before the crash and overwrites its own output —
-    * exactly-once without read-modify-write on a single directory.
-    * After v=N commits, versions older than N-1 are garbage-collected
-    * (N-1 is kept so batch N itself can still replay), so store DISK is
-    * bounded at two horizon-sized versions, not linear in batch count.
+    * STORE LAYOUT (round 15 — append-only log + versioned manifest;
+    * VERDICT r14 item 3): each batch writes ONLY its own survivors as
+    * an immutable segment `seg=N/{bands,sigs}` — per-batch write volume
+    * is O(batch), where the previous whole-store rewrite was O(store)
+    * (horizon-sized) every batch. A tiny manifest `manifest/v=N` (one
+    * row per live segment: seg id, max event time, effective cutoff)
+    * is the committed store state: batch N reads the largest manifest
+    * v < N and unions the listed segments, each filtered to
+    * `ts > eff_cutoff(seg)`. The per-segment RUNNING-MAX cutoff
+    * reproduces the rewrite semantics bit-for-bit ("once pruned, gone
+    * forever" even under event-time regression across batches): every
+    * batch raises each live segment's eff_cutoff to
+    * max(prev, maxTs(batch) − horizon), exactly the filter chain the
+    * old rewrite applied physically. The horizon COMPACTING the store
+    * is now free where it bites hardest — a segment whose max_ts ≤ its
+    * eff_cutoff is fully expired and simply leaves the manifest (no
+    * IO); a physical rewrite (all live rows → one segment) runs only
+    * when the live-segment count exceeds `maxSegments`, bounding read
+    * fan-in and dead-row disk at a constant factor while keeping write
+    * amplification O(1) amortized.
+    *
+    * Replay (exactly-once): a replayed batch N re-reads manifest
+    * v=N−1 — its original input state — and idempotently overwrites
+    * seg=N + manifest v=N. GC keeps every segment referenced by the
+    * last two manifests and deletes the rest, so a crash between the
+    * segment write and the checkpoint commit never orphans state the
+    * replay needs.
     *
     * 100 TB shape: everything is equi-joins on (band, bucket) plus
-    * narrow signature maps; the store is a bounded partitioned table.
+    * narrow signature maps; the store is a bounded set of immutable
+    * parquet segments behind a bounded manifest.
     */
   def nearDupGate(stream: DataFrame, storeDir: String, outDir: String,
                   checkpointDir: String,
                   threshold: Double = 0.5,
                   horizonSec: Long = 600L,
                   numHashes: Int = 64, rowsPerBand: Int = 4, n: Int = 3,
-                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  maxSegments: Int = 16): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDupGateBatch(batch, batchId, storeDir, outDir, threshold,
-          horizonSec, numHashes, rowsPerBand, n)
+          horizonSec, numHashes, rowsPerBand, n, maxSegments)
       }
       .start()
 
   /** One micro-batch of the near-dup gate (exposed for direct testing —
     * same reason StreamingExport.writeBatch is). The store is SPLIT
-    * (round 13) into `v=N/bands` (doc_id, ts, band, bucket) and
-    * `v=N/sigs` (doc_id, ts, sig): the old single table duplicated
-    * each survivor's numHashes-long signature across its 16 band rows
-    * — ~16× write amplification on a store that is REWRITTEN every
-    * batch, the kind of constant that decides feasibility at 100 TB.
-    * Bucket matching now joins the narrow band table and fetches the
-    * candidate's signature once per matched doc; commit/replay
-    * semantics are unchanged (both halves land inside v=N before the
-    * checkpoint commits, so a crash between them replays the whole
-    * version). */
+    * (round 13) into per-segment `bands` (doc_id, ts, band, bucket)
+    * and `sigs` (doc_id, ts, sig): a single table would duplicate
+    * each survivor's numHashes-long signature across its 16 band rows.
+    * Bucket matching joins the narrow band table and fetches the
+    * candidate's signature once per matched doc. Segment + manifest
+    * land inside seg=N / manifest/v=N before the checkpoint commits,
+    * so a crash between them replays the whole batch idempotently
+    * (see the append-only layout note on [[nearDupGate]]). */
   def nearDupGateBatch(batch: DataFrame, batchId: Long,
                        storeDir: String, outDir: String,
                        threshold: Double, horizonSec: Long,
-                       numHashes: Int, rowsPerBand: Int, n: Int): Unit = {
+                       numHashes: Int, rowsPerBand: Int, n: Int,
+                       maxSegments: Int = 16): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val sigs = Dedup.minHashSignatures(batch, n, numHashes)
@@ -186,7 +207,8 @@ object StreamingDedup {
       .join(batch.select(col("doc_id"), col("ts")), "doc_id")
       .select(col("doc_id"), col("ts"), col("sig"), col("band"), col("bucket"))
       .persist()
-    val (storeBands, storeSigs) = readStore(spark, storeDir, batchId)
+    val manifest = readManifest(spark, storeDir, batchId)
+    val (storeBands, storeSigs) = readStore(spark, storeDir, manifest)
 
     // estimated Jaccard between two signatures: fraction of agreeing
     // minhash entries (exact arithmetic; deterministic)
@@ -232,61 +254,126 @@ object StreamingDedup {
       .join(storeHits.union(inBatchHits).distinct(), Seq("doc_id"), "left_anti")
     survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
-    // next store version: previous survivors + this batch's, pruned to
-    // the horizon behind the batch's max event time — bands and sigs
-    // land as separate narrow tables (see the split-store note above)
+    // append-only commit (round 15): THIS batch's survivors land as an
+    // immutable segment — O(batch) write, never O(store); bands and
+    // sigs stay separate narrow tables (split-store note above)
     val survBands = bands.join(survivors.select("doc_id"), "doc_id")
     val maxTs = obs.get("max_ts").asInstanceOf[java.sql.Timestamp]
     val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonSec * 1000L)
-    storeBands.unionByName(
-        survBands.select(col("doc_id"), col("ts"), col("band"), col("bucket")))
-      .filter(col("ts") > cutoff)
-      .write.mode("overwrite").parquet(s"$storeDir/v=$batchId/bands")
+    // every live segment's effective cutoff rises to this batch's —
+    // the running max reproduces the old whole-store rewrite's filter
+    // chain exactly ("once pruned, gone forever", even when event time
+    // regresses across batches); a segment whose max_ts fell behind its
+    // cutoff is fully expired and leaves the manifest with ZERO IO —
+    // the horizon biting IS the cheap compaction
+    val raised = manifest.map { s =>
+      val eff = new java.sql.Timestamp(
+        math.max(s.effCutoff.getTime, cutoff.getTime))
+      s.copy(effCutoff = eff)
+    }.filter(s => s.maxTs.after(s.effCutoff))
+    val segBands =
+      survBands.select(col("doc_id"), col("ts"), col("band"), col("bucket"))
+        .filter(col("ts") > cutoff)
     // one signature row per surviving doc, read from the PERSISTED
     // bands frame (every band row of a doc carries the identical sig —
     // re-deriving from minHashSignatures would recompute the shingle +
     // 64-hash pass a second time per batch)
-    storeSigs.unionByName(
-        survBands.select(col("doc_id"), col("ts"), col("sig"))
-          .dropDuplicates("doc_id"))
-      .filter(col("ts") > cutoff)
-      .write.mode("overwrite").parquet(s"$storeDir/v=$batchId/sigs")
+    val segSigs = survBands.select(col("doc_id"), col("ts"), col("sig"))
+      .dropDuplicates("doc_id").filter(col("ts") > cutoff)
+    val newManifest =
+      if (raised.size + 1 > maxSegments) {
+        // physical compaction (rare): all live rows fold into seg=N —
+        // bounds read fan-in at maxSegments and dead-row disk at a
+        // constant factor; amortized write stays O(batch)
+        liveBands(spark, storeDir, raised).unionByName(segBands)
+          .write.mode("overwrite").parquet(s"$storeDir/seg=$batchId/bands")
+        liveSigs(spark, storeDir, raised).unionByName(segSigs)
+          .write.mode("overwrite").parquet(s"$storeDir/seg=$batchId/sigs")
+        Seq(StoreSegment(batchId,
+          raised.map(_.maxTs.getTime).foldLeft(maxTs.getTime)(math.max)
+            |> (t => new java.sql.Timestamp(t)), cutoff))
+      } else {
+        segBands.write.mode("overwrite")
+          .parquet(s"$storeDir/seg=$batchId/bands")
+        segSigs.write.mode("overwrite")
+          .parquet(s"$storeDir/seg=$batchId/sigs")
+        raised :+ StoreSegment(batchId, maxTs, cutoff)
+      }
+    writeManifest(spark, storeDir, batchId, newManifest)
     bands.unpersist()
 
-    // GC: with v=batchId durable, versions older than batchId-1 can never
-    // be read again (a replayed batch N reads the largest v < N, and the
-    // smallest batch id that can still replay is batchId itself, which
-    // reads v=batchId-1). Keeping exactly one prior version bounds store
-    // disk at 2 versions forever instead of growing per batch.
-    pruneStoreVersions(spark, storeDir, keepFrom = batchId - 1)
+    // GC: batch N+1 reads manifest v=N; a replayed batch N re-reads
+    // v=N-1 — so every segment referenced by the last two manifests
+    // must stay, and nothing else can ever be read again. Manifests
+    // older than N-1 are dropped with them.
+    pruneStore(spark, storeDir, batchId)
   }
 
-  /** Delete store versions strictly below `keepFrom` (see GC note in
-    * [[nearDupGateBatch]]). Deletion failures are non-fatal: a leftover
-    * old version is never read, only re-collected next batch. */
-  private def pruneStoreVersions(spark: SparkSession, storeDir: String,
-                                 keepFrom: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val nm = st.getPath.getName
-      // foreign entries (v=<non-numeric>, unrelated files) are ignored
-      // like any other GC failure — never fail the micro-batch over them
-      val ver = if (nm.startsWith("v="))
-        scala.util.Try(nm.drop(2).toLong).toOption else None
-      if (ver.exists(_ < keepFrom))
-        try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () }
-    }
+  /** One live-segment row of the store manifest: the segment's id, its
+    * max event time (expiry check), and its effective cutoff (the
+    * running max of every horizon cutoff applied since it committed —
+    * rows at or before it are dead). */
+  private[streaming] case class StoreSegment(seg: Long,
+                                             maxTs: java.sql.Timestamp,
+                                             effCutoff: java.sql.Timestamp)
+
+  /** Tiny pipe-forward helper for the compaction fold above. */
+  implicit private class Pipe[A](private val a: A) {
+    def |>[B](f: A => B): B = f(a)
   }
 
-  /** Largest committed store version strictly below `batchId` (a
-    * replayed batch must re-read its original input state), or an empty
-    * store when none exists yet. Returns the split (bands, sigs) pair
-    * — see the layout note on [[nearDupGateBatch]]. */
-  private def readStore(spark: SparkSession, storeDir: String,
-                        batchId: Long): (DataFrame, DataFrame) = {
+  private def segPaths(storeDir: String, segs: Seq[StoreSegment],
+                       half: String): Seq[(String, StoreSegment)] =
+    segs.map(s => (s"$storeDir/seg=${s.seg}/$half", s))
+
+  /** Union of the live segments' band rows, each filtered to its OWN
+    * effective cutoff (per-segment running max — see the layout note
+    * on [[nearDupGate]]). */
+  private def liveBands(spark: SparkSession, storeDir: String,
+                        segs: Seq[StoreSegment]): DataFrame =
+    segPaths(storeDir, segs, "bands").map { case (p, s) =>
+      spark.read.parquet(p).filter(col("ts") > lit(s.effCutoff))
+    }.reduceOption(_ unionByName _).getOrElse(emptyBands(spark))
+
+  private def liveSigs(spark: SparkSession, storeDir: String,
+                       segs: Seq[StoreSegment]): DataFrame =
+    segPaths(storeDir, segs, "sigs").map { case (p, s) =>
+      spark.read.parquet(p).filter(col("ts") > lit(s.effCutoff))
+    }.reduceOption(_ unionByName _).getOrElse(emptySigs(spark))
+
+  private def emptyBands(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
-    val root = new org.apache.hadoop.fs.Path(storeDir)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("band", IntegerType),
+        StructField("bucket", StringType))))
+  }
+
+  private def emptySigs(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("sig", ArrayType(LongType)))))
+  }
+
+  /** The store state batch `batchId` must read: the live (bands, sigs)
+    * union behind the largest manifest v < batchId (a replayed batch
+    * re-reads its original input state), or empty frames when no
+    * manifest exists yet. */
+  private def readStore(spark: SparkSession, storeDir: String,
+                        manifest: Seq[StoreSegment]): (DataFrame, DataFrame) =
+    (liveBands(spark, storeDir, manifest),
+      liveSigs(spark, storeDir, manifest))
+
+  /** Live segments of the largest committed manifest strictly below
+    * `batchId`; empty when the store has no usable manifest yet. */
+  private[streaming] def readManifest(spark: SparkSession, storeDir: String,
+                                      batchId: Long): Seq[StoreSegment] = {
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/manifest")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions =
       if (!fs.exists(root)) Array.empty[Long]
@@ -294,20 +381,61 @@ object StreamingDedup {
         .flatMap(s => if (s.startsWith("v="))
           scala.util.Try(s.drop(2).toLong).toOption else None)
         .filter(_ < batchId)
-    def empty(fields: StructField*) =
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(fields))
-    if (versions.isEmpty)
-      (empty(StructField("doc_id", LongType),
-          StructField("ts", TimestampType),
-          StructField("band", IntegerType),
-          StructField("bucket", StringType)),
-        empty(StructField("doc_id", LongType),
-          StructField("ts", TimestampType),
-          StructField("sig", ArrayType(LongType))))
-    else
-      (spark.read.parquet(s"$storeDir/v=${versions.max}/bands"),
-        spark.read.parquet(s"$storeDir/v=${versions.max}/sigs"))
+    if (versions.isEmpty) Seq.empty
+    else spark.read.parquet(s"$storeDir/manifest/v=${versions.max}")
+      .select(col("seg"), col("max_ts"), col("eff_cutoff"))
+      .collect()
+      .map(r => StoreSegment(r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2)))
+      .toSeq.sortBy(_.seg)
   }
+
+  private def writeManifest(spark: SparkSession, storeDir: String,
+                            batchId: Long,
+                            segs: Seq[StoreSegment]): Unit = {
+    import spark.implicits._
+    segs.map(s => (s.seg, s.maxTs, s.effCutoff))
+      .toDF("seg", "max_ts", "eff_cutoff")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$storeDir/manifest/v=$batchId")
+  }
+
+  /** GC after manifest v=`batchId` commits: keep segments referenced by
+    * the last two manifests (v=batchId serves batch N+1; v=batchId-1
+    * serves a replay of batch N) and those two manifests; delete the
+    * rest. Deletion failures and foreign entries are non-fatal — a
+    * leftover is never read, only re-collected next batch. */
+  private def pruneStore(spark: SparkSession, storeDir: String,
+                         batchId: Long): Unit = {
+    val keep: Set[Long] =
+      (readManifest(spark, storeDir, batchId + 1) ++
+        readManifest(spark, storeDir, batchId)).map(_.seg).toSet
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rm(p: org.apache.hadoop.fs.Path): Unit =
+      try { fs.delete(p, true); () }
+      catch { case _: java.io.IOException => () }
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("seg=")) {
+        // foreign entries (seg=<non-numeric>, unrelated files) are
+        // ignored like any other GC failure — never fail the batch
+        val seg = scala.util.Try(nm.drop(4).toLong).toOption
+        if (seg.exists(s => !keep.contains(s))) rm(st.getPath)
+      }
+    }
+    val mroot = new org.apache.hadoop.fs.Path(s"$storeDir/manifest")
+    if (fs.exists(mroot)) fs.listStatus(mroot).foreach { st =>
+      val nm = st.getPath.getName
+      val ver = if (nm.startsWith("v="))
+        scala.util.Try(nm.drop(2).toLong).toOption else None
+      if (ver.exists(_ < batchId - 1)) rm(st.getPath)
+    }
+  }
+
+  /** The CURRENT live store contents (latest manifest) — the spec's
+    * window into state boundedness; not used by the gate itself. */
+  private[streaming] def storeContents(spark: SparkSession,
+                                       storeDir: String): (DataFrame, DataFrame) =
+    readStore(spark, storeDir, readManifest(spark, storeDir, Long.MaxValue))
 }

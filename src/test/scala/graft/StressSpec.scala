@@ -552,13 +552,13 @@ class StressSpec extends SparkSpec {
       // abort, not a graceful ~10x of its marginal sf0.1 cost; keys
       // under 30 s absolute are never a cliff (micro-batch and
       // scheduling overhead dominates their ratio, not data volume).
-      // The memo BUILDS get a wider bar: the triangle wedge join is
-      // shuffle-spill-amplified at local[4] and its measured ratio
-      // ranges 20x (idle dedicated run) to 33x (after 18 min of prior
-      // stress churn) — honest variance around spill, far from the
-      // ~100x a quadratic would read; the 32-core probe pegs the true
-      // marginal at ~6x/copy (BASELINE.md round-14 section)
-      val bar = if (k.startsWith("memo:")) 50.0 else 30.0
+      // Round 15 restored the memo bar to the uniform 30x: the
+      // triangle enumeration's wedge materialization (round 14's
+      // 20-33x local[4] spill, the reason the bar was once 50x) was
+      // replaced by the edge-iterator adjacency intersection with
+      // data-scaled partitions — nothing wider than the edge relation
+      // shuffles any more (measured ratios in BASELINE.md round-15)
+      val bar = 30.0
       assert(at10(k) < 30.0 || r < bar,
         f"$k scaled ${base(k)}%.1f s -> ${at10(k)}%.1f s ($r%.0fx) at " +
           "10x data — hidden-constant scale cliff")
