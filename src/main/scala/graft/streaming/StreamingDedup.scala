@@ -313,7 +313,7 @@ object StreamingDedup {
     * max event time (expiry check), and its effective cutoff (the
     * running max of every horizon cutoff applied since it committed —
     * rows at or before it are dead). */
-  private[streaming] case class StoreSegment(seg: Long,
+  private[graft] case class StoreSegment(seg: Long,
                                              maxTs: java.sql.Timestamp,
                                              effCutoff: java.sql.Timestamp)
 
@@ -371,7 +371,7 @@ object StreamingDedup {
 
   /** Live segments of the largest committed manifest strictly below
     * `batchId`; empty when the store has no usable manifest yet. */
-  private[streaming] def readManifest(spark: SparkSession, storeDir: String,
+  private[graft] def readManifest(spark: SparkSession, storeDir: String,
                                       batchId: Long): Seq[StoreSegment] = {
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/manifest")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -435,7 +435,7 @@ object StreamingDedup {
 
   /** The CURRENT live store contents (latest manifest) — the spec's
     * window into state boundedness; not used by the gate itself. */
-  private[streaming] def storeContents(spark: SparkSession,
+  private[graft] def storeContents(spark: SparkSession,
                                        storeDir: String): (DataFrame, DataFrame) =
     readStore(spark, storeDir, readManifest(spark, storeDir, Long.MaxValue))
 }

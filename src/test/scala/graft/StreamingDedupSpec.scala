@@ -95,13 +95,14 @@ class StreamingDedupSpec extends SparkSpec {
       // batch 2 advances event time far past the horizon → store prunes
       mem.addData(Doc(6L, ts("2024-01-01 12:00:00"), third))
       q.processAllAvailable()
-      // state boundedness: the store's latest version holds ONLY doc 6
-      // in both halves (16 narrow band rows + 1 signature row), every
-      // pre-horizon entry pruned
-      val latestBands = spark.read.parquet(s"$store/v=2/bands")
-      assert(latestBands.select("doc_id").distinct().as[Long].collect().toSeq == Seq(6L))
-      val latestSigs = spark.read.parquet(s"$store/v=2/sigs")
-      assert(latestSigs.select("doc_id").as[Long].collect().toSeq == Seq(6L))
+      // state boundedness: the LIVE store (latest manifest, per-segment
+      // cutoffs applied) holds ONLY doc 6 in both halves (16 narrow
+      // band rows + 1 signature row) — every pre-horizon segment left
+      // the manifest when the horizon bit
+      val (liveBands, liveSigs) =
+        graft.streaming.StreamingDedup.storeContents(spark, store)
+      assert(liveBands.select("doc_id").distinct().as[Long].collect().toSeq == Seq(6L))
+      assert(liveSigs.select("doc_id").as[Long].collect().toSeq == Seq(6L))
 
       // batch 3: a near-dup of doc 1 past the horizon → re-emits (the
       // same bounded-state trade as dropDuplicatesWithinWatermark)
@@ -112,11 +113,16 @@ class StreamingDedupSpec extends SparkSpec {
       assert(all.map(_.doc_id).sorted.toSeq == Seq(1L, 3L, 5L, 6L, 7L),
         s"got ${all.map(_.doc_id).sorted.toSeq}")
 
-      // store GC: only the current version and its predecessor stay on
-      // disk — batch count does not grow store disk usage
-      val vs = new java.io.File(store).listFiles()
+      // store GC: only segments referenced by the last two manifests
+      // stay on disk (batch 2 pruned segments 0-1 from its manifest,
+      // so after batch 3 only seg=2 and seg=3 survive), and only
+      // manifests v=2, v=3 — batch count does not grow store disk
+      val segs = new java.io.File(store).listFiles()
+        .map(_.getName).filter(_.startsWith("seg=")).toSet
+      assert(segs == Set("seg=2", "seg=3"), s"store segments on disk: $segs")
+      val ms = new java.io.File(store, "manifest").listFiles()
         .map(_.getName).filter(_.startsWith("v=")).toSet
-      assert(vs == Set("v=2", "v=3"), s"store versions on disk: $vs")
+      assert(ms == Set("v=2", "v=3"), s"manifests on disk: $ms")
     } finally q.stop()
   }
 
@@ -159,10 +165,10 @@ class StreamingDedupSpec extends SparkSpec {
     StreamingDedup.nearDupGateBatch(
       Seq(Doc(1L, ts("2024-01-01 00:00:00"), a)).toDF(),
       0L, store, out, 0.5, 600L, 64, 4, 3)
-    // a foreign entry under the store root (v=<non-numeric>) must be
-    // ignored by version GC like any other unremovable file — never a
+    // a foreign entry under the store root (seg=<non-numeric>) must be
+    // ignored by segment GC like any other unremovable file — never a
     // NumberFormatException failing the micro-batch
-    assert(new java.io.File(store, "v=stray").mkdir())
+    assert(new java.io.File(store, "seg=stray").mkdir())
     StreamingDedup.nearDupGateBatch(
       Seq(Doc(2L, ts("2024-01-01 00:01:00"), b),
         Doc(3L, ts("2024-01-01 00:02:00"), c)).toDF(),
@@ -269,5 +275,45 @@ class StreamingDedupSpec extends SparkSpec {
       }
       rm(new java.io.File(base))
     }
+  }
+
+  test("append-only store: per-batch write volume is O(batch), not " +
+    "O(store); compaction folds the manifest when the segment cap bites") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("graft_ndg_ao_store_").toString
+    val out = Files.createTempDirectory("graft_ndg_ao_out_").toString
+    // 8 batches of ONE distinct doc each (no shared shingles), horizon
+    // far past the span so nothing expires — the store grows to 8 docs
+    def doc(i: Int) =
+      Doc(i.toLong, ts(f"2024-01-01 00:0$i:00"),
+        (0 until 30).map(j => s"b${i}w$j").mkString(" "))
+    def segBytes(i: Int): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(store, s"seg=$i"))
+    }
+    for (i <- 0 until 8)
+      StreamingDedup.nearDupGateBatch(Seq(doc(i)).toDF(), i.toLong,
+        store, out, 0.5, 100000L, 64, 4, 3, maxSegments = 16)
+    // O(batch) writes: the LAST segment (store holds 7 prior docs) is
+    // the same size as an early one (store held 1) — a whole-store
+    // rewrite would read ~7x here (r14's measured ~16x amplification)
+    val early = segBytes(2).toDouble
+    val late = segBytes(7).toDouble
+    assert(late < early * 2.0,
+      s"segment write grew with store size: seg=2 $early B, seg=7 $late B")
+    // all 8 docs live (nothing expired), manifest carries 8 segments
+    val (liveBands, _) = StreamingDedup.storeContents(spark, store)
+    assert(liveBands.select("doc_id").distinct().count() == 8L)
+    // cap bites: batch 8 with maxSegments=4 folds everything into one
+    // compacted segment; live contents unchanged (9 docs now)
+    StreamingDedup.nearDupGateBatch(Seq(doc(8)).toDF(), 8L,
+      store, out, 0.5, 100000L, 64, 4, 3, maxSegments = 4)
+    val m = StreamingDedup.readManifest(spark, store, Long.MaxValue)
+    assert(m.map(_.seg) == Seq(8L), s"expected one compacted segment: $m")
+    val (after, afterSigs) = StreamingDedup.storeContents(spark, store)
+    assert(after.select("doc_id").distinct().count() == 9L)
+    assert(afterSigs.count() == 9L)
   }
 }
