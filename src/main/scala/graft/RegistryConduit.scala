@@ -287,6 +287,19 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
         nFiles = 5)
     }),
 
+    // exactly-once under forced redelivery (round 15): batch 1's
+    // foreachBatch body re-runs from its original input file after the
+    // stream drains — the reference's at-least-once duplicate block,
+    // absorbed by idempotent per-batch_id overwrite; the no-failure
+    // oracle is shared verbatim (see exportExactlyOnceReplay's
+    // scaladoc).
+    "stream_export_exactly_once" -> ((s, d) => {
+      val base = scratchDir("graft_stream_export_eo_")
+      graft.streaming.StreamingExport.exportExactlyOnceReplay(
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 5, replayBatch = 1L)
+    }),
+
     // A14b sink_catalog_orc: the reference's true sink contract — a
     // partitioned ORC METASTORE table (README.md:77 requires ORC) written
     // via saveAsTable/insertInto, read back through the catalog. Same
@@ -595,6 +608,13 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     // exactly-once across batch commits + byte-identical payload
     // encoding — the shared statement IS the conduit parity claim
     "stream_export_parity" ->
+      (s"SELECT event_type, COUNT(*) AS n_rows, MIN(j) AS first_payload " +
+        s"FROM (SELECT ${sqlSentinel("event_type")} AS event_type, $sqlEventsPayload AS j FROM events) " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    // the no-failure run's counts ARE the exactly-once claim: a
+    // duplicated (appended) redelivery would double batch 1's rows
+    "stream_export_exactly_once" ->
       (s"SELECT event_type, COUNT(*) AS n_rows, MIN(j) AS first_payload " +
         s"FROM (SELECT ${sqlSentinel("event_type")} AS event_type, $sqlEventsPayload AS j FROM events) " +
         "GROUP BY event_type ORDER BY event_type"),

@@ -221,6 +221,27 @@ class PipelineSpec extends SparkSpec {
     assert(healed.count() == 2, s"expected healed batch, got ${healed.count()}")
   }
 
+  test("exactly-once export replay: a forced batch redelivery lands zero " +
+    "duplicate rows (stream_export_exactly_once's claim)") {
+    val base = Files.createTempDirectory("graft_eo_").toString
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = StreamingExport.exportExactlyOnceReplay(events,
+      s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 5,
+      replayBatch = 1L)
+    val nIn = events.count()
+    // redelivered batch 1 must not append: total landed rows == input
+    val landed = spark.read.option("basePath", s"$base/out")
+      .parquet(s"$base/out/batch_id=*")
+    assert(landed.count() == nIn,
+      s"duplicates after redelivery: landed ${landed.count()} of $nIn")
+    // and per batch_id, every row is unique (overwrite, not append)
+    val dup = landed.groupBy(col("batch_id"), col("payload_json"))
+      .count().filter(col("count") > 1).count()
+    assert(dup == 0L, s"$dup duplicated (batch, payload) rows")
+    // summary equals the batch-side truth
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == nIn)
+  }
+
   test("streaming exact dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
