@@ -670,4 +670,86 @@ class PlanInvariantsSpec extends SparkSpec {
         s"$q window is unpartitioned — a global sort at scale"))
     }
   }
+
+  /** The FINAL plan AQE commits to (round 15, VERDICT r14 item 5):
+    * production clusters run AQE on, and every assertion above targets
+    * the static plan — so the load-bearing invariants are re-proven
+    * here against the adaptive executedPlan AFTER execution (the
+    * AdaptiveSparkPlan finalizes only once the query runs). */
+  private def adaptivePlanOf(name: String): String = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // sf0.01, not sf0.001: several keys return zero rows at the
+      // smallest factor and AQE's EmptyRelation propagation collapses
+      // the whole plan — nothing left to assert against
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      val rows = df.collect() // finalize the adaptive plan
+      assert(rows.nonEmpty,
+        s"$name returned no rows — EmptyRelation would vacuate the plan")
+      val full = df.queryExecution.executedPlan.toString
+      // if AQE wrapped the plan at all, we must be reading its FINAL
+      // form — asserting against isFinalPlan=false is asserting the
+      // static plan with extra steps
+      assert(!full.contains("isFinalPlan=false"),
+        s"$name: adaptive plan not finalized after collect():\n${full.take(500)}")
+      // the adaptive toString prints BOTH "== Final Plan ==" and
+      // "== Initial Plan ==" — keep only the final section or every
+      // pattern count doubles
+      val cut = full.indexOf("== Initial Plan ==")
+      if (cut >= 0) full.substring(0, cut) else full
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      SparkEntry.harnessScope.release()
+    }
+  }
+
+  test("AQE-on invariants: the finalized adaptive plans keep every " +
+    "load-bearing property — broadcast sides, no cartesians, partial " +
+    "aggregation, bounded-bucket dedup, salted shapes (r14 item 5)") {
+    // broadcast dim joins survive adaptive re-planning (AQE may only
+    // IMPROVE a sort-merge into a broadcast, never the reverse)
+    Seq("q7_volume_shipping", "q17_small_qty_revenue", "q18_top_buyers",
+      "freq_cms").foreach { q =>
+      val p = adaptivePlanOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcasts (AQE)")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q sort-merges under AQE:\n$p")
+    }
+    // q1: map-side partial aggregation and the single group exchange
+    val q1 = adaptivePlanOf("q1_pricing_summary")
+    assert(q1.contains("partial_sum"), "q1 lost partial aggregation (AQE)")
+    assert("Exchange hashpartitioning".r.findAllIn(q1).length == 1,
+      s"q1 hash-exchange count changed under AQE:\n$q1")
+    // join_enrich: the fact side still never hash-shuffles
+    val enrich = adaptivePlanOf("join_enrich")
+    assert(!enrich.contains("Exchange hashpartitioning"),
+      s"join_enrich shuffles the fact side under AQE:\n$enrich")
+    // map-side partial top-k and the bloom mask fold survive
+    assert(adaptivePlanOf("sim_topk").contains("partial_topkbyscore"),
+      "sim_topk lost the map-side partial top-k under AQE")
+    val bloom = adaptivePlanOf("contamination_bloom")
+    assert(bloom.contains("partial_bloommask") &&
+      bloom.contains("BroadcastNestedLoopJoin") &&
+      !bloom.contains("SortMergeJoin"),
+      s"contamination_bloom plan shape regressed under AQE:\n$bloom")
+    // bounded-bucket candidate enumeration (never a banded self-join)
+    val mh = adaptivePlanOf("dedup_minhash")
+    assert(mh.contains("boundedlonglist") && !mh.contains("SortMergeJoin"),
+      s"dedup_minhash lost the bounded bucket guard under AQE:\n$mh")
+    // interval overlap stays a grid-cell equi join
+    val io = adaptivePlanOf("join_interval_overlap")
+    assert(!io.contains("CartesianProduct") &&
+      !io.contains("BroadcastNestedLoopJoin"),
+      s"join_interval_overlap degenerated under AQE:\n$io")
+    // salted shapes: the salt rides the aggregate keys / join keys so
+    // hot keys fan across reducers — AQE must not optimize it away
+    val sa = adaptivePlanOf("agg_salted")
+    assert(sa.contains("__salt"),
+      s"agg_salted lost its salt stage under AQE:\n$sa")
+    val sj = adaptivePlanOf("join_skew_salted")
+    assert(sj.contains("__salt") && sj.contains("__dsalt") &&
+      !sj.contains("CartesianProduct"),
+      s"join_skew_salted lost the salted equi shape under AQE:\n$sj")
+  }
 }
