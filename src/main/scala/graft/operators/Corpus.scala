@@ -838,4 +838,48 @@ object Corpus {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** HAPAX RATIO per source (round 15) — the share of each shard's
+    * vocabulary that occurs EXACTLY ONCE in it: the
+    * lexical-richness/noise scalar a corpus review reads next to
+    * [[vocabulary]] (natural prose runs ~40–60% hapax by Zipf; far
+    * below smells template flood, far above smells OCR noise or ID
+    * spray — either way, the shard needs a look before training).
+    * Whitespace tokens (the [[vocabulary]] convention); exact integer
+    * counts: (source, token) term frequencies, then per-source vocab /
+    * hapax counts, ratio in ppm.
+    *
+    * Output: (source, n_tokens, vocab, hapax, hapax_ppm), ordered. */
+  def hapaxRatio(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("f"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("(hapax * 1000000) div nullif(vocab, 0L)").as("hapax_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** LANGUAGE × SOURCE mix (round 15) — the corpus composition matrix
+    * every multilingual-training plan starts from: per (source, lang),
+    * the doc count, the CHARACTER volume (chars is what a token budget
+    * actually buys), and each cell's ppm share of its source — the
+    * readout that catches a feed whose language mix silently shifted
+    * ([[Relational.lengthDriftBySource]]'s categorical sibling). One
+    * bounded grid aggregation + a per-source total attach; exact
+    * integers.
+    *
+    * Output: (source, lang, n_docs, n_chars, share_ppm), ordered. */
+  def langMix(docs: DataFrame): DataFrame = {
+    val cnt = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("n_docs")).as("t"))
+    cnt.join(broadcast(tot), "source")
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        expr("(n_docs * 1000000) div nullif(t, 0L)").as("share_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

@@ -769,4 +769,95 @@ object Graph {
       .orderBy(col("n_triangles").desc, col("part"))
       .limit(k)
   }
+
+  /** ADAMIC–ADAR link scores, bit-length form (round 15) — the
+    * degree-discounted sibling of [[neighborJaccard]]: a common
+    * neighbor that is itself a hub says little about affinity, so each
+    * common neighbor z of edge (a, b) contributes 1/log(deg z) rather
+    * than 1. The weight here is the EXACT integer surrogate
+    * `1000000 div bitlen(deg z)` (bit length ≈ log₂ on a 64-bit-bounded
+    * grid — the Kendall/TV-drift doctrine: transcendental log() is not
+    * bit-portable across engines, the bit-length staircase is). Common
+    * neighbors come free from the shared triangle enumeration (each
+    * triangle donates its third vertex to each of its edges); the
+    * degree attach is one broadcast node-bounded join; the score is a
+    * map-side-combinable integer SUM. Top `k` by (score DESC, a, b).
+    *
+    * Output: (a, b, cn, aa_score_ppm), ordered by rank. */
+  def adamicAdar(lineitem: DataFrame, k: Int = 20,
+                 scope: CacheScope = CacheScope.off,
+                 edges0: Option[DataFrame] = None,
+                 tri0: Option[DataFrame] = None): DataFrame = {
+    val e = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
+      .select(col("a"), col("b"))
+    val tri = tri0.getOrElse(orientedTriangles(e))
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // each triangle (x, y, z) donates: z to edge (x,y), y to (x,z), x
+    // to (y,z) — endpoints normalized a < b (part keys, not the
+    // degree order)
+    val donations = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"), col("z").as("cnb")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b"), col("y").as("cnb")),
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b"), col("x").as("cnb"))))
+        .as("d"))
+      .select(col("d.a").as("a"), col("d.b").as("b"), col("d.cnb").as("cnb"))
+    donations
+      .join(broadcast(deg.select(col("n").as("cnb"), col("deg"))), Seq("cnb"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div CAST(length(bin(deg)) AS BIGINT)"))
+          .as("aa_score_ppm"))
+      .orderBy(col("aa_score_ppm").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** RICH-CLUB coefficients (round 15) — does the high-degree core
+    * wire to itself? φ(kmin) = |edges with both endpoints of degree >
+    * kmin| / C(n_k, 2), evaluated on the bit-length degree grid
+    * (thresholds 2^t − 1, t = 1..max — the bounded-grid doctrine: a
+    * per-integer-k curve is degree-domain-shaped, the octave curve is
+    * ≤ 64 rows unconditionally). Exact integers: node degrees, edge
+    * survivals per threshold (each edge contributes to every octave
+    * below min(bitlen(da), bitlen(db)) — one bounded explode), pair
+    * denominators in DECIMAL; ratio in ppm. A rising φ with k is the
+    * "rich club" — hubs preferentially interconnected, the structural
+    * fact that decides whether hub-sampling biases a crawl.
+    *
+    * Output: (t, kmin, n_nodes, n_edges, phi_ppm), ordered by t. */
+  def richClub(lineitem: DataFrame,
+               edges0: Option[DataFrame] = None): DataFrame = {
+    val e = edges0.getOrElse(coOrderEdges(lineitem)).select(col("a"), col("b"))
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val degB = deg.withColumn("t", expr("CAST(length(bin(deg)) AS BIGINT)"))
+    // node survives threshold t iff deg > 2^t - 1 iff bitlen(deg) > t:
+    // nodes per octave threshold (bounded explode over t = 1..bitlen-1)
+    val nodesAt = degB
+      // guard t > 1: sequence(1, 0) runs DESCENDING in Spark — a
+      // degree-1 node survives no octave threshold
+      .filter(col("t") > 1L)
+      .select(explode(sequence(lit(1L), col("t") - 1)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_nodes"))
+    val edgesAt = e
+      .join(broadcast(deg.select(col("n").as("a"), col("deg").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("n").as("b"), col("deg").as("db"))),
+        Seq("b"))
+      .select(least(expr("CAST(length(bin(da)) AS BIGINT)"),
+        expr("CAST(length(bin(db)) AS BIGINT)")).as("tmin"))
+      .filter(col("tmin") > 1L)
+      .select(explode(sequence(lit(1L), col("tmin") - 1)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_edges"))
+    nodesAt.join(edgesAt, Seq("t"), "left")
+      .select(col("t"), expr("shiftleft(1L, CAST(t AS INT)) - 1L")
+          .as("kmin"),
+        col("n_nodes"), coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        expr("(coalesce(n_edges, 0L) * 2000000) div " +
+          "nullif(n_nodes * (n_nodes - 1), 0L)").as("phi_ppm"))
+      .orderBy(col("t"))
+  }
 }

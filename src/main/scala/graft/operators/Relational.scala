@@ -4215,4 +4215,208 @@ object Relational {
             (sqrt(d(col("n0_x2") - col("t_x2"))) *
               sqrt(d(col("n0_x2") - col("t_y2"))))).as("tau_b"))
   }
+
+  /** CRAMÉR'S V (round 15) — the [0, 1] EFFECT SIZE the raw χ² lacks:
+    * χ² grows with n, so "is the dependence big" needs
+    * V = sqrt(χ² / (n·(min(r,c)−1))), comparable across table sizes —
+    * the statistic an experimentation dashboard prints next to the
+    * p-gate. Same contingency front as [[chiSquare]] (type × arm with
+    * structural zero cells); χ² folds in SORTED cell order (the
+    * stats_chi2 doctrine — double addition is not associative) and the
+    * tail is one fixed expression: sqrt is correctly rounded under
+    * IEEE 754 so the full tree replays bit-for-bit (the Kendall
+    * precedent). Integer degrees come off the bounded grid.
+    *
+    * Output (one row): n, n_rows, n_cols, chi2, cramers_v. */
+  def cramersV(events: DataFrame): DataFrame = {
+    val observed = events
+      .select(col("event_type"), (col("user_id") % 2).as("arm"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("o"))
+    val cells = observed.select(col("event_type")).distinct()
+      .crossJoin(observed.select(col("arm")).distinct())
+      .join(observed, Seq("event_type", "arm"), "left")
+      .select(col("event_type"), col("arm"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val cols0 = cells.groupBy(col("arm")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("n_rows"),
+      countDistinct(col("arm")).as("n_cols"))
+    val terms = cells
+      .join(broadcast(rows), Seq("event_type"))
+      .join(broadcast(cols0), Seq("arm"))
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        ((col("o") * col("n") - col("r") * col("c")).cast("double") *
+          (col("o") * col("n") - col("r") * col("c")).cast("double")) /
+          (col("r") * col("c") * col("n")).cast("double"))
+    terms
+      .groupBy(col("n"), col("n_rows"), col("n_cols"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("event_type"), col("arm"),
+          col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("chi2"),
+        when(col("n") === 0L || least(col("n_rows"), col("n_cols")) <= 1L,
+          lit(null).cast("double"))
+          .otherwise(sqrt(col("chi2") /
+            (col("n") * (least(col("n_rows"), col("n_cols")) - 1L))
+              .cast("double"))).as("cramers_v"))
+  }
+
+  /** HIGHER MOMENTS per event type (round 15) — skewness and excess
+    * kurtosis, the distribution-shape scalars between
+    * [[dispersionByType]]'s spread and [[ksTest]]'s full-shape test
+    * (a revenue distribution that grew a right tail moves skewness
+    * long before the mean shifts). All POWER SUMS are exact: cents in
+    * DECIMAL(38,0), Σc² likewise, Σc³/Σc⁴ in DECIMAL(38,0) (a 10⁵-cent
+    * value to the 4th is 10²⁰; 10¹⁸ rows of those still fit 38
+    * digits). The tail is one fixed-order double expression over the
+    * exact central moments via the via-string bridge: m_k = (power-sum
+    * expansion)/n, skew = m3/m2^1.5, kurt = m4/m2² − 3 — sqrt/divide
+    * only, bit-replayable.
+    *
+    * Output: (event_type, n, mean_cents_ppm, skewness, ex_kurtosis),
+    * ordered. */
+  def momentsByType(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val c = (dec2(col("value")) * 100).cast("long")
+    def ds(x: Column) = x.cast("string").cast("double")
+    val agg = events.filter(col("event_type").isNotNull)
+      .select(col("event_type"), c.as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("s1"),
+        sum((col("c").cast(dec) * col("c"))).as("s2"),
+        sum((col("c").cast(dec) * col("c") * col("c"))).as("s3"),
+        sum((col("c").cast(dec) * col("c") * col("c") * col("c"))).as("s4"))
+    // central moments from raw power sums, numerators kept EXACT in
+    // decimal: n²·m2 = n·s2 − s1², n³·m3 = n²·s3 − 3n·s1·s2 + 2·s1³,
+    // n⁴·m4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3·s1⁴ — one double each
+    agg
+      .withColumn("m2x", col("n") * col("s2") - col("s1") * col("s1"))
+      .withColumn("m3x", col("n") * col("n") * col("s3")
+        - lit(3) * col("n") * col("s1") * col("s2")
+        + lit(2) * col("s1") * col("s1") * col("s1"))
+      .withColumn("m4x", col("n") * col("n") * col("n") * col("s4")
+        - lit(4) * col("n") * col("n") * col("s1") * col("s3")
+        + lit(6) * col("n") * col("s1") * col("s1") * col("s2")
+        - lit(3) * col("s1") * col("s1") * col("s1") * col("s1"))
+      .select(col("event_type"), col("n"),
+        expr("CAST((s1 * 1000000) div nullif(CAST(n AS DECIMAL(38,0)), 0) " +
+          "AS BIGINT)").as("mean_cents_ppm"),
+        // skew = m3 / m2^1.5 with m2^1.5 = m2·sqrt(m2): sqrt is
+        // correctly rounded under IEEE 754 where pow() is NOT — the
+        // no-transcendentals doctrine applied to the exponent
+        when(col("m2x") <= 0, lit(null).cast("double"))
+          .otherwise((ds(col("m3x")) / ds(col("n")) / ds(col("n")) /
+            ds(col("n"))) /
+            ((ds(col("m2x")) / ds(col("n")) / ds(col("n"))) *
+              sqrt(ds(col("m2x")) / ds(col("n")) / ds(col("n")))))
+          .as("skewness"),
+        when(col("m2x") <= 0, lit(null).cast("double"))
+          .otherwise((ds(col("m4x")) / ds(col("n")) / ds(col("n")) /
+            ds(col("n")) / ds(col("n"))) /
+            ((ds(col("m2x")) / ds(col("n")) / ds(col("n"))) *
+              (ds(col("m2x")) / ds(col("n")) / ds(col("n")))) - 3.0)
+          .as("ex_kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
+  /** REORDER RATE per brand (round 15) — the repeat-purchase signal a
+    * merchandising review reads next to [[abcClassification]]: of the
+    * (customer, part) pairs that ever bought a brand, what share
+    * bought it in MORE THAN ONE distinct order? Exact integers end to
+    * end: distinct order counts per (customer, part) off one orders ⋈
+    * lineitem equi-join (orderkey), the pair relation aggregated once,
+    * rate in ppm. The brand attach is a broadcast part-dim join.
+    *
+    * Output: (p_brand, n_pairs, n_reordered, reorder_ppm), ordered. */
+  def reorderRate(orders: DataFrame, lineitem: DataFrame,
+                  part: DataFrame): DataFrame = {
+    val pairs = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("n_orders") > 1L, 1L).otherwise(0L)).as("n_reordered"))
+      .select(col("p_brand"), col("n_pairs"), col("n_reordered"),
+        expr("(n_reordered * 1000000) div nullif(n_pairs, 0L)")
+          .as("reorder_ppm"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** ORDER-PRIORITY MIX per month (round 15) — the order-intake
+    * composition monitor ([[orderSeasonality]]'s categorical sibling):
+    * per calendar month, the count and ppm share of each
+    * o_orderpriority — the drift a fulfillment planner watches (a
+    * rising URGENT share re-sizes the expedite lane). One bounded
+    * month × priority aggregation + a per-month total attach; exact
+    * integers throughout.
+    *
+    * Output: (month, o_orderpriority, n_orders, share_ppm), ordered. */
+  def priorityMix(orders: DataFrame): DataFrame = {
+    val m = date_trunc("month", col("o_orderdate")).cast("date")
+    val cnt = orders.select(m.as("month"), col("o_orderpriority"))
+      .groupBy(col("month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    val tot = cnt.groupBy(col("month")).agg(sum(col("n_orders")).as("t"))
+    cnt.join(broadcast(tot), "month")
+      .select(col("month"), col("o_orderpriority"), col("n_orders"),
+        expr("(n_orders * 1000000) div nullif(t, 0L)").as("share_ppm"))
+      .orderBy(col("month"), col("o_orderpriority"))
+  }
+
+  /** EVENT-TYPE DIVERSITY histogram (round 15) — how many users touch
+    * 1, 2, …, k distinct event types: the engagement-breadth readout
+    * between [[dauMau]]'s intensity and the funnel's ordered depth (a
+    * product where everyone fires one event type has a discovery
+    * problem no volume metric shows). Two map-side-combinable
+    * aggregations; the histogram is bounded by the type-domain size.
+    * NULL types are excluded (not a behavior).
+    *
+    * Output: (n_types, n_users, share_ppm), ordered. */
+  def typeDiversityHist(events: DataFrame): DataFrame = {
+    val perUser = events.filter(col("event_type").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"))
+    val hist = perUser.groupBy(col("n_types"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = hist.agg(sum(col("n_users")).as("t"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("n_types"), col("n_users"),
+        expr("(n_users * 1000000) div nullif(t, 0L)").as("share_ppm"))
+      .orderBy(col("n_types"))
+  }
+
+  /** EXACT-DUPLICATE RATE per source (round 15) — the per-shard
+    * duplication scorecard `dedup_exact` (global winners) and
+    * `dedup_rate_report` (near-dup funnel) bracket but never print:
+    * per ingest source, how many docs, how many DISTINCT texts, and
+    * the redundant share in ppm — the first number a crawl-feed
+    * review asks for, and the one that decides whether a shard even
+    * enters the expensive near-dup pass. One (source, hash) aggregate
+    * then a per-source rollup — map-side combinable, exact integers.
+    *
+    * Output: (source, n_docs, n_distinct, n_redundant, dup_ppm),
+    * ordered. */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    val perText = docs
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("m"))
+    perText.groupBy(col("source"))
+      .agg(sum(col("m")).as("n_docs"), count(lit(1)).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_redundant"),
+        expr("((n_docs - n_distinct) * 1000000) div nullif(n_docs, 0L)")
+          .as("dup_ppm"))
+      .orderBy(col("source"))
+  }
 }

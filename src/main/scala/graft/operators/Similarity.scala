@@ -1910,4 +1910,73 @@ object Similarity {
           .as("corr"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** NORM PROFILE per label (round 15) — the first embedding-quality
+    * readout a class-conditioned corpus gets: per label, the vector
+    * count and the min / max / mean of the quantized squared norm (an
+    * embedding family whose norms collapse toward 0 for one class is a
+    * broken encoder run; norms tell before any similarity does). All
+    * integers in the ×1000-quantized domain; the mean ships as an
+    * exact div in ppm-of-quantized-units and the SUM rides
+    * DECIMAL(38,0) (norm sums overflow int64 at corpus scale) via the
+    * string bridge. One map-side-combinable aggregation; NULL vectors
+    * are excluded (undefined norm — the [[prepared]] contract).
+    *
+    * Output: (label, n_vecs, min_nrm, max_nrm, sum_nrm, mean_nrm),
+    * ordered. */
+  def normByLabel(emb: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    prepared(emb.filter(col("embedding").isNotNull))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_nrm"), max(col("nrm")).as("max_nrm"),
+        sum(col("nrm").cast(dec)).as("sum_dec"))
+      .select(col("label"), col("n_vecs"), col("min_nrm"), col("max_nrm"),
+        col("sum_dec").cast("string").as("sum_nrm"),
+        expr("CAST(sum_dec div nullif(CAST(n_vecs AS DECIMAL(38,0)), 0) " +
+          "AS BIGINT)").as("mean_nrm"))
+      .orderBy(col("label"))
+  }
+
+  /** LABEL-CENTROID COSINE MATRIX (round 15) — the class-separation
+    * scorecard over the embedding space: pairwise cosine between every
+    * label's mean vector (two classes whose centroids read cos ≈ 1
+    * are indistinguishable to any downstream classifier — the check
+    * that runs before anyone trains on the labels). EXACT by the
+    * n-cancellation: cos(s_i/n_i, s_j/n_j) = cos(s_i, s_j), so the
+    * matrix is computed on the integer SUM vectors — per-(label, dim)
+    * sums in DECIMAL(38,0) (one bounded grid), dots and norms as
+    * decimal products over the ≤ labels²·dim pair grid, ONE sqrt/div
+    * tail per cell via the string bridge. Nothing wider than the
+    * label × dim grid ever shuffles.
+    *
+    * Output: (label_a, label_b, n_a, n_b, dot, cos), ordered. */
+  def centroidCosMatrix(emb: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sums = emb.filter(col("embedding").isNotNull)
+      .select(col("label"),
+        posexplode(quantize(col("embedding"))).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+    val norms = sums.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("nn"), max(col("n")).as("n_vecs"))
+    val a = sums.select(col("label").as("label_a"), col("d"),
+      col("s").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("d"),
+      col("s").as("sb"))
+    a.join(b, "d").filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("sa") * col("sb")).as("dot_dec"))
+      .join(broadcast(norms.select(col("label").as("label_a"),
+        col("nn").as("nna"), col("n_vecs").as("n_a"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"),
+        col("nn").as("nnb"), col("n_vecs").as("n_b"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot_dec").cast("string").as("dot"),
+        when(col("nna") <= 0 || col("nnb") <= 0, lit(null).cast("double"))
+          .otherwise(col("dot_dec").cast("string").cast("double") /
+            (sqrt(col("nna").cast("string").cast("double")) *
+              sqrt(col("nnb").cast("string").cast("double")))).as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

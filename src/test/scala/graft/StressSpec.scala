@@ -488,6 +488,110 @@ class StressSpec extends SparkSpec {
     d
   }
 
+  /** Mutated-near-dup ×10 corpus (round 15, VERDICT r14 item 2) — the
+    * NON-adversarial docs/embeddings scale shape the sf1 probe left
+    * out: copy 0 is the original; copies 1–9 are TOKEN-EDITED at a 5%
+    * rate (deterministic xxhash coin per (doc, copy, token) — ~0.95⁶ ≈
+    * 0.74 shingle agreement, 3-gram Jaccard ≈ 0.58 between co-copies,
+    * comfortably over the 0.5 gates, so the true near-pair relation is
+    * the ~C(10,2) in-group pairs per doc, LINEAR in corpus size) and
+    * embeddings are jittered ±0.5% per element. Unlike the verbatim
+    * ×10 duplication stress (which exists to trip the cap policies),
+    * every copy is DISTINCT — the shape a real crawl snapshot has. */
+  private lazy val mut10Dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_mut10_").toString
+    def w(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(Tables.path(d, name))
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      w(spark.read.parquet(s"$sfStress/$t.parquet"), t)
+    }
+    w(Tables.events(spark, sfStress), "events")
+    val docs = Tables.documents(spark, sfStress)
+    val D = 10000000L
+    val nCharsType = docs.schema("n_chars").dataType
+    w((0 until 10).map { i =>
+      if (i == 0) docs
+      else docs.withColumn("doc_id", col("doc_id") + lit(i * D))
+        .withColumn("text", expr(
+          "array_join(transform(split(text, ' '), (tok, j) -> " +
+            s"IF(pmod(xxhash64(doc_id, $i, j), 20) = 0, " +
+            s"concat(tok, 'x$i'), tok)), ' ')"))
+        .withColumn("n_chars", length(col("text")).cast(nCharsType))
+    }.reduce(_ unionByName _), "documents")
+    val emb = Tables.embeddings(spark, sfStress)
+    val V = 10000000L
+    w((0 until 10).map { i =>
+      if (i == 0) emb
+      else emb.withColumn("vec_id", col("vec_id") + lit(i * V))
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, j) -> CAST(x * (1.0 + " +
+            s"(pmod(xxhash64(vec_id, $i, j), 100) - 50) / 10000.0) " +
+            "AS FLOAT))"))
+    }.reduce(_ unionByName _), "embeddings")
+    d
+  }
+
+  test("mutated-near-dup 10x probe: the 10 heaviest dedup/ANN/corpus/" +
+    "text keys complete unmodified with no scale cliff, and the minhash " +
+    "candidate volume tracks the true (linear) near-pair relation") {
+    gated()
+    val keys = Seq("dedup_minhash", "dedup_fuzzy", "dedup_winnow",
+      "corpus_pipeline", "contamination_check", "sim_ann_lsh",
+      "sim_ann_ivfpq_residual", "dedup_semantic", "text_lm_perplexity",
+      "tokenizer_wordpiece")
+    val builds: Seq[(String, (String) => Long)] = Seq(
+      ("memo:near_dup_pairs",
+        dd => SparkEntry.nearDupPairsShared(spark, dd).count()))
+    def pass(dir: String, parts: String): Map[String, Double] = {
+      SparkEntry.benchMemos.foreach(_._3())
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+        builds.foreach { case (name, f) =>
+          val t0 = System.nanoTime()
+          f(dir)
+          out(name) = (System.nanoTime() - t0) / 1e9
+        }
+        keys.foreach { k =>
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(k)(spark, dir).count()
+          SparkEntry.harnessScope.release()
+          out(k) = (System.nanoTime() - t0) / 1e9
+          assert(n > 0, s"$k returned no rows against $dir")
+        }
+        out.toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // candidate-volume shape first (cheap): the banded enumeration's
+    // OUTPUT at 10x mutated is the in-group relation — linear in docs,
+    // nowhere near the (10n)²/2 an unbounded blocking would emit, and
+    // non-vacuous (the 5% edit rate keeps co-copies over the gate)
+    val nDocs = Tables.documents(spark, sfStress).count()
+    val pairs = graft.operators.Dedup
+      .minHashNearDupPairs(Tables.documents(spark, mut10Dir),
+        scope = SparkEntry.harnessScope).count()
+    SparkEntry.harnessScope.release()
+    info(f"mut10 minhash pairs: $pairs%d over ${nDocs * 10}%d docs " +
+      f"(${pairs.toDouble / nDocs}%.1f per original doc)")
+    assert(pairs >= nDocs,
+      s"mutation rate gated out the near-pair relation: $pairs pairs")
+    assert(pairs <= 60L * nDocs,
+      s"candidate volume is super-linear: $pairs pairs for $nDocs docs")
+    // the self-calibrating ratio protocol of the sf1 probe: sf0.1 in
+    // the same JVM is the unit; partitions scale with the data
+    val base = pass(sfStress, "32")
+    val at10 = pass(mut10Dir, "256")
+    (builds.map(_._1) ++ keys).foreach { k =>
+      val r = at10(k) / base(k)
+      info(f"$k%-26s ${base(k)}%7.2f s -> ${at10(k)}%8.2f s  ($r%5.1fx)")
+      assert(at10(k) < 30.0 || r < 30.0,
+        f"$k scaled ${base(k)}%.1f s -> ${at10(k)}%.1f s ($r%.0fx) at " +
+          "10x mutated data — hidden-constant scale cliff")
+    }
+  }
+
   test("sf1-equivalent probe: the 20 heaviest relational/event/graph " +
     "keys complete at 10x sf0.1 with no hidden-constant cliff") {
     gated()
