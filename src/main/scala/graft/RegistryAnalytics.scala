@@ -227,6 +227,54 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_chi2" -> ((s, d) =>
       Relational.chiSquare(Tables.events(s, d))),
 
+    // Cramér's V (round 15): the [0,1] effect size over the same
+    // type × arm contingency — sorted-fold χ², one sqrt tail (see
+    // cramersV's scaladoc).
+    "stats_cramers_v" -> ((s, d) =>
+      Relational.cramersV(Tables.events(s, d))),
+
+    // Higher moments (round 15): skewness + excess kurtosis per type
+    // from exact decimal power sums, fixed-order double combination
+    // (see momentsByType's scaladoc).
+    "stats_moments" -> ((s, d) =>
+      Relational.momentsByType(Tables.events(s, d))),
+
+    // Reorder rate (round 15): share of (customer, part) pairs with
+    // >1 distinct order, per brand (see reorderRate's scaladoc).
+    "order_reorder_rate" -> ((s, d) =>
+      Relational.reorderRate(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.part(s, d))),
+
+    // Priority mix per month (round 15): order-intake composition +
+    // ppm shares (see priorityMix's scaladoc).
+    "order_priority_mix" -> ((s, d) =>
+      Relational.priorityMix(Tables.orders(s, d))),
+
+    // Type-diversity histogram (round 15): users by distinct-event-type
+    // count (see typeDiversityHist's scaladoc).
+    "event_type_diversity" -> ((s, d) =>
+      Relational.typeDiversityHist(Tables.events(s, d))),
+
+    // Exact-duplicate rate per source (round 15): docs vs distinct
+    // texts per shard, redundancy in ppm (see dupRateBySource's
+    // scaladoc).
+    "quality_dup_rate" -> ((s, d) =>
+      Relational.dupRateBySource(Tables.documents(s, d))),
+
+    // Adamic–Adar link scores (round 15): degree-discounted common
+    // neighbors in the exact bit-length form, off the shared triangle
+    // memo (see adamicAdar's scaladoc).
+    "graph_adamic_adar" -> ((s, d) =>
+      Graph.adamicAdar(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        tri0 = Some(trianglesShared(s, d)))),
+
+    // Rich-club coefficients (round 15): φ over the octave degree grid
+    // off the shared edge memo (see richClub's scaladoc).
+    "graph_rich_club" -> ((s, d) =>
+      Graph.richClub(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // A/B Welch's t (round 11): deterministic parity arms, exact integer
     // moment sums in one conditional-aggregation pass, identical IEEE
     // operation tree for the statistic.
@@ -1646,6 +1694,148 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(a, b) -> a + b) AS chi2 FROM t) " +
         "SELECT t.event_type, t.arm, t.o, t.expected, t.term, s.chi2 " +
         "FROM t, s ORDER BY t.event_type, t.arm"),
+
+    // Cramér's V replay: the χ² CTEs verbatim + the sqrt tail (sqrt is
+    // correctly rounded — the Kendall precedent)
+    "stats_cramers_v" ->
+      ("WITH obs AS (SELECT event_type, user_id % 2 AS arm, " +
+        "CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1, 2), " +
+        "cells AS (SELECT g.event_type, g.arm, COALESCE(obs.o, 0) AS o FROM " +
+        "(SELECT et.event_type, ar.arm FROM " +
+        "(SELECT DISTINCT event_type FROM obs) et, " +
+        "(SELECT DISTINCT arm FROM obs) ar) g " +
+        "LEFT JOIN obs ON g.event_type = obs.event_type AND g.arm = obs.arm), " +
+        "r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+        "c AS (SELECT arm, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
+        "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n, " +
+        "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT arm) AS BIGINT) AS n_cols FROM cells), " +
+        "t AS (SELECT cells.event_type, cells.arm, " +
+        "(CAST(cells.o * nn.n - r.r * c.c AS DOUBLE) * " +
+        "CAST(cells.o * nn.n - r.r * c.c AS DOUBLE)) / " +
+        "CAST(r.r * c.c * nn.n AS DOUBLE) AS term " +
+        "FROM cells JOIN r USING (event_type) JOIN c USING (arm), nn), " +
+        "s AS (SELECT list_reduce(list(term ORDER BY event_type, arm), " +
+        "(a, b) -> a + b) AS chi2 FROM t) " +
+        "SELECT nn.n, nn.n_rows, nn.n_cols, s.chi2, " +
+        "CASE WHEN nn.n = 0 OR least(nn.n_rows, nn.n_cols) <= 1 THEN NULL " +
+        "ELSE sqrt(s.chi2 / CAST(nn.n * (least(nn.n_rows, nn.n_cols) - 1) " +
+        "AS DOUBLE)) END AS cramers_v FROM nn, s"),
+
+    // higher-moments replay: exact decimal power sums, the identical
+    // fixed-order double combination via the string bridge, HUGEINT
+    // exact division for the mean
+    "stats_moments" ->
+      ("WITH v AS (SELECT event_type, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c " +
+        "FROM events WHERE event_type IS NOT NULL), " +
+        "a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(CAST(c AS DECIMAL(38,0))) AS s1, " +
+        "SUM(CAST(c AS DECIMAL(38,0)) * c) AS s2, " +
+        "SUM(CAST(c AS DECIMAL(38,0)) * c * c) AS s3, " +
+        "SUM(CAST(c AS DECIMAL(38,0)) * c * c * c) AS s4 FROM v GROUP BY 1), " +
+        "m AS (SELECT event_type, n, s1, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d, " +
+        "CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d, " +
+        "CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3d, " +
+        "CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS s4d FROM a), " +
+        "x AS (SELECT event_type, n, s1, nd, " +
+        "nd * s2d - s1d * s1d AS m2x, " +
+        "nd * nd * s3d - 3.0 * nd * s1d * s2d + 2.0 * s1d * s1d * s1d AS m3x, " +
+        "nd * nd * nd * s4d - 4.0 * nd * nd * s1d * s3d " +
+        "+ 6.0 * nd * s1d * s1d * s2d - 3.0 * s1d * s1d * s1d * s1d AS m4x " +
+        "FROM m) " +
+        "SELECT event_type, n, " +
+        "CAST(CAST(s1 * 1000000 AS HUGEINT) // nullif(n, 0) AS BIGINT) " +
+        "AS mean_cents_ppm, " +
+        "CASE WHEN m2x <= 0.0 THEN NULL ELSE (m3x / nd / nd / nd) / " +
+        "((m2x / nd / nd) * sqrt(m2x / nd / nd)) END AS skewness, " +
+        "CASE WHEN m2x <= 0.0 THEN NULL ELSE (m4x / nd / nd / nd / nd) / " +
+        "((m2x / nd / nd) * (m2x / nd / nd)) - 3.0 END AS ex_kurtosis " +
+        "FROM x ORDER BY event_type"),
+
+    // reorder-rate replay: distinct order counts per (customer, part),
+    // brand rollup, exact ppm
+    "order_reorder_rate" ->
+      ("WITH pr AS (SELECT o_custkey, l_partkey, " +
+        "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+        "b AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_reordered FROM pr JOIN part ON l_partkey = p_partkey GROUP BY 1) " +
+        "SELECT p_brand, n_pairs, n_reordered, " +
+        "(n_reordered * 1000000) // nullif(n_pairs, 0) AS reorder_ppm " +
+        "FROM b ORDER BY p_brand"),
+
+    // priority-mix replay: month × priority counts + per-month shares
+    "order_priority_mix" ->
+      ("WITH c AS (SELECT date_trunc('month', o_orderdate) " +
+        "AS month, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders " +
+        "FROM orders GROUP BY 1, 2), " +
+        "t AS (SELECT month, CAST(SUM(n_orders) AS BIGINT) AS t FROM c GROUP BY 1) " +
+        "SELECT c.month, c.o_orderpriority, c.n_orders, " +
+        "(c.n_orders * 1000000) // nullif(t.t, 0) AS share_ppm " +
+        "FROM c JOIN t USING (month) ORDER BY 1, 2"),
+
+    // type-diversity replay: per-(user, day) distinct types — the day
+    // grain keeps the histogram non-degenerate (lifetime collapses to
+    // the full type domain)
+    "event_type_diversity" ->
+      ("WITH u AS (SELECT user_id, date_trunc('day', ts) AS day, " +
+        "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types " +
+        "FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), " +
+        "h AS (SELECT n_types, CAST(COUNT(*) AS BIGINT) AS n_user_days FROM u GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n_user_days) AS BIGINT) AS t FROM h) " +
+        "SELECT n_types, n_user_days, (n_user_days * 1000000) // nullif(t, 0) " +
+        "AS share_ppm FROM h, t ORDER BY n_types"),
+
+    // dup-rate replay: (source, md5) multiplicities, per-source rollup
+    "quality_dup_rate" ->
+      ("WITH pt AS (SELECT source, md5(text) AS h, " +
+        "CAST(COUNT(*) AS BIGINT) AS m FROM documents GROUP BY 1, 2), " +
+        "g AS (SELECT source, CAST(SUM(m) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct FROM pt GROUP BY 1) " +
+        "SELECT source, n_docs, n_distinct, " +
+        "n_docs - n_distinct AS n_redundant, " +
+        "((n_docs - n_distinct) * 1000000) // nullif(n_docs, 0) AS dup_ppm " +
+        "FROM g ORDER BY source"),
+
+    // Adamic–Adar replay: id-ordered triangle enumeration (per-pair
+    // donations are orientation-invariant), bit-length weights
+    "graph_adamic_adar" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+        "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+        "(SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) GROUP BY 1), " +
+        "tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z FROM und ab " +
+        "JOIN und bc ON ab.b = bc.a " +
+        "JOIN und ac ON ac.a = ab.a AND ac.b = bc.b), " +
+        "don AS (SELECT x AS a, y AS b, z AS cnb FROM tri " +
+        "UNION ALL SELECT x, z, y FROM tri UNION ALL SELECT y, z, x FROM tri) " +
+        "SELECT don.a, don.b, CAST(COUNT(*) AS BIGINT) AS cn, " +
+        "CAST(SUM(1000000 // CAST(length(bin(deg.deg)) AS BIGINT)) AS BIGINT) " +
+        "AS aa_score_ppm " +
+        "FROM don JOIN deg ON don.cnb = deg.n GROUP BY 1, 2 " +
+        "ORDER BY aa_score_ppm DESC, a, b LIMIT 20"),
+
+    // rich-club replay: octave thresholds off bit lengths, exact φ ppm
+    "graph_rich_club" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+        "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+        "(SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) GROUP BY 1), " +
+        "degb AS (SELECT n, CAST(length(bin(deg)) AS BIGINT) AS t FROM deg), " +
+        "nx AS (SELECT unnest(range(1, t)) AS t FROM degb WHERE t > 1), " +
+        "nodesAt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nx GROUP BY 1), " +
+        "eg AS (SELECT least(da.t, db.t) AS tmin FROM und " +
+        "JOIN degb da ON und.a = da.n JOIN degb db ON und.b = db.n), " +
+        "ex AS (SELECT unnest(range(1, tmin)) AS t FROM eg WHERE tmin > 1), " +
+        "edgesAt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_edges FROM ex GROUP BY 1) " +
+        "SELECT n.t, CAST((1::BIGINT << t) - 1 AS BIGINT) AS kmin, " +
+        "n.n_nodes, CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges, " +
+        "(COALESCE(e.n_edges, 0) * 2000000) // " +
+        "nullif(n.n_nodes * (n.n_nodes - 1), 0) AS phi_ppm " +
+        "FROM nodesAt n LEFT JOIN edgesAt e USING (t) ORDER BY n.t"),
 
     // OLS replay: exact moments, same slope/intercept tree
     "stats_regression" ->

@@ -235,6 +235,18 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "sink_jsonl_roundtrip" -> ((s, d) =>
       graft.sources.TextSources.jsonlSinkRoundTrip(s, Tables.events(s, d))),
 
+    // CSV sink round-trip (round 15): headered CSV write → explicit-
+    // schema read-back, money as exact cents (see csvSinkRoundTrip's
+    // scaladoc).
+    "sink_csv_roundtrip" -> ((s, d) =>
+      graft.sources.TextSources.csvSinkRoundTrip(s, Tables.events(s, d))),
+
+    // Binary-file source (round 15): one blob per doc via the
+    // binaryFile format — the opaque-media ingest leg; md5/byte-length
+    // re-derived from raw bytes (see binaryFilesRead's scaladoc).
+    "source_binary_files" -> ((s, d) =>
+      graft.sources.TextSources.binaryFilesRead(s, Tables.documents(s, d))),
+
     // Hive-partitioned layout + partition pruning (round 14): the
     // partition column round-trips through the directory name and the
     // filter becomes a PartitionFilter — 2 of 5 directories ever
@@ -505,6 +517,21 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum, " +
         "MIN(event_id) AS first_id, MAX(event_id) AS last_id " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // CSV round-trip: write→parse→read loses nothing — the landed
+    // summary equals the source relation's, money in exact cents
+    "sink_csv_roundtrip" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS cents_sum " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // binary-file replay: the blob is text + one trailing newline (the
+    // text writer's contract) — byte length and md5 re-derived
+    "source_binary_files" ->
+      ("SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS n_bytes, " +
+        "md5(text || chr(10)) AS h FROM documents ORDER BY doc_id"),
 
     // ORC replay: round-trip fidelity — the summary equals the
     // original relation's, nested hop included

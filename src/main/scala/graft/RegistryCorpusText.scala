@@ -112,6 +112,18 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "corpus_vocab" -> ((s, d) =>
       Corpus.vocabulary(Tables.documents(s, d))),
 
+    // Hapax ratio per source (round 15): share of each shard's vocab
+    // occurring exactly once — lexical richness/noise scalar (see
+    // hapaxRatio's scaladoc).
+    "text_hapax_ratio" -> ((s, d) =>
+      Corpus.hapaxRatio(Tables.documents(s, d))),
+
+    // Language × source mix (round 15): the corpus composition matrix
+    // with char volume and per-source ppm shares (see langMix's
+    // scaladoc).
+    "corpus_lang_mix" -> ((s, d) =>
+      Corpus.langMix(Tables.documents(s, d))),
+
     // Per-language top-10 bigrams by document frequency (WindowGroupLimit
     // top-k — never a full sort of the bigram vocabulary).
     "ngram_topk" -> ((s, d) =>
@@ -819,6 +831,29 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared " +
         "FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b"),
+
+    // hapax replay: per-(source, token) tf, per-source vocab rollup
+    "text_hapax_ratio" ->
+      ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "f AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f " +
+        "FROM tk GROUP BY 1, 2), " +
+        "g AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS vocab, " +
+        "CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax " +
+        "FROM f GROUP BY 1) " +
+        "SELECT source, n_tokens, vocab, hapax, " +
+        "(hapax * 1000000) // nullif(vocab, 0) AS hapax_ppm " +
+        "FROM g ORDER BY source"),
+
+    // lang-mix replay: bounded grid + per-source shares
+    "corpus_lang_mix" ->
+      ("WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS t FROM c GROUP BY 1) " +
+        "SELECT c.source, c.lang, c.n_docs, c.n_chars, " +
+        "(c.n_docs * 1000000) // nullif(t.t, 0) AS share_ppm " +
+        "FROM c JOIN t USING (source) ORDER BY 1, 2"),
 
     "corpus_vocab" ->
       ("SELECT token, COUNT(*) AS freq FROM " +

@@ -330,6 +330,18 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Similarity.ivfpqResidualTopK(Tables.embeddings(s, d),
         scope = harnessScope)),
 
+    // Norm profile per label (round 15): count/min/max/mean of the
+    // quantized squared norm — the broken-encoder tell (see
+    // normByLabel's scaladoc).
+    "embed_norm_by_label" -> ((s, d) =>
+      Similarity.normByLabel(Tables.embeddings(s, d))),
+
+    // Label-centroid cosine matrix (round 15): exact class-separation
+    // scorecard via the n-cancellation on integer sum vectors (see
+    // centroidCosMatrix's scaladoc).
+    "embed_centroid_cosmatrix" -> ((s, d) =>
+      Similarity.centroidCosMatrix(Tables.embeddings(s, d))),
+
     "embed_meanpool" -> ((s, d) => {
       val mp = Similarity.meanPoolEmbeddings(Tables.embeddings(s, d))
       mp.select(col("doc_key").as("label"), col("n_chunks"),
@@ -751,6 +763,47 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated, " +
         "CAST(SUM(abs(qi - recon)) AS BIGINT) AS total_abs_err " +
         "FROM r GROUP BY 1, 2, 3, 4 ORDER BY vec_id"),
+
+    // norm-profile replay: quantized squared norms, HUGEINT sum via
+    // the string bridge, exact integer mean
+    "embed_norm_by_label" ->
+      ("WITH q AS (SELECT label, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v " +
+        "FROM embeddings WHERE embedding IS NOT NULL), " +
+        "n AS (SELECT label, CAST(list_sum(list_transform(v, x -> x*x)) " +
+        "AS BIGINT) AS nrm FROM q), " +
+        "g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "MIN(nrm) AS min_nrm, MAX(nrm) AS max_nrm, " +
+        "SUM(CAST(nrm AS HUGEINT)) AS sum_h FROM n GROUP BY 1) " +
+        "SELECT label, n_vecs, min_nrm, max_nrm, " +
+        "CAST(sum_h AS VARCHAR) AS sum_nrm, " +
+        "CAST(sum_h // nullif(n_vecs, 0) AS BIGINT) AS mean_nrm " +
+        "FROM g ORDER BY label"),
+
+    // centroid-cosine replay: integer sum vectors (the n-cancellation),
+    // HUGEINT dots/norms, one sqrt/div tail via the string bridge
+    "embed_centroid_cosmatrix" ->
+      ("WITH q AS (SELECT label, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v " +
+        "FROM embeddings WHERE embedding IS NOT NULL), " +
+        "e AS (SELECT q.label, t.pos - 1 AS d, q.v[t.pos] AS x FROM q, " +
+        "(SELECT unnest(generate_series(1, 64)) AS pos) t " +
+        "WHERE len(q.v) = 64), " +
+        "s AS (SELECT label, d, SUM(CAST(x AS HUGEINT)) AS s, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), " +
+        "nr AS (SELECT label, SUM(s * s) AS nn, " +
+        "CAST(MAX(n) AS BIGINT) AS n_vecs FROM s GROUP BY 1), " +
+        "dt AS (SELECT a.label AS label_a, b.label AS label_b, " +
+        "SUM(a.s * b.s) AS dot_h FROM s a JOIN s b " +
+        "ON a.d = b.d AND a.label < b.label GROUP BY 1, 2) " +
+        "SELECT dt.label_a, dt.label_b, na.n_vecs AS n_a, nb.n_vecs AS n_b, " +
+        "CAST(dt.dot_h AS VARCHAR) AS dot, " +
+        "CASE WHEN na.nn <= 0 OR nb.nn <= 0 THEN NULL " +
+        "ELSE CAST(CAST(dt.dot_h AS VARCHAR) AS DOUBLE) / " +
+        "(sqrt(CAST(CAST(na.nn AS VARCHAR) AS DOUBLE)) * " +
+        "sqrt(CAST(CAST(nb.nn AS VARCHAR) AS DOUBLE))) END AS cos " +
+        "FROM dt JOIN nr na ON dt.label_a = na.label " +
+        "JOIN nr nb ON dt.label_b = nb.label ORDER BY 1, 2"),
 
     "embed_meanpool" ->
       ("WITH q AS (SELECT label, list_transform(embedding, " +

@@ -4272,10 +4272,14 @@ object Relational {
     * long before the mean shifts). All POWER SUMS are exact: cents in
     * DECIMAL(38,0), Σc² likewise, Σc³/Σc⁴ in DECIMAL(38,0) (a 10⁵-cent
     * value to the 4th is 10²⁰; 10¹⁸ rows of those still fit 38
-    * digits). The tail is one fixed-order double expression over the
-    * exact central moments via the via-string bridge: m_k = (power-sum
-    * expansion)/n, skew = m3/m2^1.5, kurt = m4/m2² − 3 — sqrt/divide
-    * only, bit-replayable.
+    * digits). The moment COMBINATION runs as one fixed-order double
+    * tree over the exact sums via the via-string bridge — an exact
+    * DECIMAL expansion of n³·s4 would overflow 38 digits at (n·c)⁴ >
+    * 10³⁸, a hidden scale cliff; the double tree has no cliff, and
+    * determinism holds because both engines replay the IDENTICAL
+    * operation text on identically-rounded inputs. m2^1.5 is
+    * m2·sqrt(m2) (sqrt is correctly rounded under IEEE 754 where
+    * pow() is not — the no-transcendentals doctrine).
     *
     * Output: (event_type, n, mean_cents_ppm, skewness, ex_kurtosis),
     * ordered. */
@@ -4291,35 +4295,29 @@ object Relational {
         sum((col("c").cast(dec) * col("c"))).as("s2"),
         sum((col("c").cast(dec) * col("c") * col("c"))).as("s3"),
         sum((col("c").cast(dec) * col("c") * col("c") * col("c"))).as("s4"))
-    // central moments from raw power sums, numerators kept EXACT in
-    // decimal: n²·m2 = n·s2 − s1², n³·m3 = n²·s3 − 3n·s1·s2 + 2·s1³,
-    // n⁴·m4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3·s1⁴ — one double each
+    val nD = col("n").cast("double")
+    // n²·m2 = n·s2 − s1²; n³·m3 = n²·s3 − 3n·s1·s2 + 2·s1³;
+    // n⁴·m4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3·s1⁴
     agg
-      .withColumn("m2x", col("n") * col("s2") - col("s1") * col("s1"))
-      .withColumn("m3x", col("n") * col("n") * col("s3")
-        - lit(3) * col("n") * col("s1") * col("s2")
-        + lit(2) * col("s1") * col("s1") * col("s1"))
-      .withColumn("m4x", col("n") * col("n") * col("n") * col("s4")
-        - lit(4) * col("n") * col("n") * col("s1") * col("s3")
-        + lit(6) * col("n") * col("s1") * col("s1") * col("s2")
-        - lit(3) * col("s1") * col("s1") * col("s1") * col("s1"))
+      .withColumn("m2x", nD * ds(col("s2")) - ds(col("s1")) * ds(col("s1")))
+      .withColumn("m3x", nD * nD * ds(col("s3"))
+        - lit(3.0) * nD * ds(col("s1")) * ds(col("s2"))
+        + lit(2.0) * ds(col("s1")) * ds(col("s1")) * ds(col("s1")))
+      .withColumn("m4x", nD * nD * nD * ds(col("s4"))
+        - lit(4.0) * nD * nD * ds(col("s1")) * ds(col("s3"))
+        + lit(6.0) * nD * ds(col("s1")) * ds(col("s1")) * ds(col("s2"))
+        - lit(3.0) * ds(col("s1")) * ds(col("s1")) * ds(col("s1"))
+          * ds(col("s1")))
       .select(col("event_type"), col("n"),
         expr("CAST((s1 * 1000000) div nullif(CAST(n AS DECIMAL(38,0)), 0) " +
           "AS BIGINT)").as("mean_cents_ppm"),
-        // skew = m3 / m2^1.5 with m2^1.5 = m2·sqrt(m2): sqrt is
-        // correctly rounded under IEEE 754 where pow() is NOT — the
-        // no-transcendentals doctrine applied to the exponent
-        when(col("m2x") <= 0, lit(null).cast("double"))
-          .otherwise((ds(col("m3x")) / ds(col("n")) / ds(col("n")) /
-            ds(col("n"))) /
-            ((ds(col("m2x")) / ds(col("n")) / ds(col("n"))) *
-              sqrt(ds(col("m2x")) / ds(col("n")) / ds(col("n")))))
+        when(col("m2x") <= 0.0, lit(null).cast("double"))
+          .otherwise((col("m3x") / nD / nD / nD) /
+            ((col("m2x") / nD / nD) * sqrt(col("m2x") / nD / nD)))
           .as("skewness"),
-        when(col("m2x") <= 0, lit(null).cast("double"))
-          .otherwise((ds(col("m4x")) / ds(col("n")) / ds(col("n")) /
-            ds(col("n")) / ds(col("n"))) /
-            ((ds(col("m2x")) / ds(col("n")) / ds(col("n"))) *
-              (ds(col("m2x")) / ds(col("n")) / ds(col("n")))) - 3.0)
+        when(col("m2x") <= 0.0, lit(null).cast("double"))
+          .otherwise((col("m4x") / nD / nD / nD / nD) /
+            ((col("m2x") / nD / nD) * (col("m2x") / nD / nD)) - 3.0)
           .as("ex_kurtosis"))
       .orderBy(col("event_type"))
   }
@@ -4362,7 +4360,10 @@ object Relational {
     *
     * Output: (month, o_orderpriority, n_orders, share_ppm), ordered. */
   def priorityMix(orders: DataFrame): DataFrame = {
-    val m = date_trunc("month", col("o_orderdate")).cast("date")
+    // month stays TIMESTAMP (the order_monthly_growth precedent:
+    // parity reads timestamps as datetime64 on both engines; a DATE
+    // surfaces as python objects on the DuckDB side)
+    val m = date_trunc("month", col("o_orderdate"))
     val cnt = orders.select(m.as("month"), col("o_orderpriority"))
       .groupBy(col("month"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
@@ -4373,25 +4374,29 @@ object Relational {
       .orderBy(col("month"), col("o_orderpriority"))
   }
 
-  /** EVENT-TYPE DIVERSITY histogram (round 15) — how many users touch
-    * 1, 2, …, k distinct event types: the engagement-breadth readout
-    * between [[dauMau]]'s intensity and the funnel's ordered depth (a
-    * product where everyone fires one event type has a discovery
-    * problem no volume metric shows). Two map-side-combinable
+  /** EVENT-TYPE DIVERSITY histogram (round 15) — how many (user, day)
+    * sessions touch 1, 2, …, k distinct event types: the
+    * engagement-breadth readout between [[dauMau]]'s intensity and the
+    * funnel's ordered depth (a product where every active day fires
+    * one event type has a discovery problem no volume metric shows).
+    * DAY grain, not lifetime: over a long window every user
+    * trivially reaches the full type domain and the histogram
+    * collapses to one bucket — the degenerate fixture the round-13
+    * non-vacuity rule exists to catch. Two map-side-combinable
     * aggregations; the histogram is bounded by the type-domain size.
     * NULL types are excluded (not a behavior).
     *
-    * Output: (n_types, n_users, share_ppm), ordered. */
+    * Output: (n_types, n_user_days, share_ppm), ordered. */
   def typeDiversityHist(events: DataFrame): DataFrame = {
-    val perUser = events.filter(col("event_type").isNotNull)
-      .groupBy(col("user_id"))
+    val perUserDay = events.filter(col("event_type").isNotNull)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(countDistinct(col("event_type")).as("n_types"))
-    val hist = perUser.groupBy(col("n_types"))
-      .agg(count(lit(1)).as("n_users"))
-    val tot = hist.agg(sum(col("n_users")).as("t"))
+    val hist = perUserDay.groupBy(col("n_types"))
+      .agg(count(lit(1)).as("n_user_days"))
+    val tot = hist.agg(sum(col("n_user_days")).as("t"))
     hist.crossJoin(broadcast(tot))
-      .select(col("n_types"), col("n_users"),
-        expr("(n_users * 1000000) div nullif(t, 0L)").as("share_ppm"))
+      .select(col("n_types"), col("n_user_days"),
+        expr("(n_user_days * 1000000) div nullif(t, 0L)").as("share_ppm"))
       .orderBy(col("n_types"))
   }
 

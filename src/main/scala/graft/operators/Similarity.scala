@@ -1925,7 +1925,7 @@ object Similarity {
     * Output: (label, n_vecs, min_nrm, max_nrm, sum_nrm, mean_nrm),
     * ordered. */
   def normByLabel(emb: DataFrame): DataFrame = {
-    val dec = DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     prepared(emb.filter(col("embedding").isNotNull))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -1952,7 +1952,7 @@ object Similarity {
     *
     * Output: (label_a, label_b, n_a, n_b, dot, cos), ordered. */
   def centroidCosMatrix(emb: DataFrame): DataFrame = {
-    val dec = DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val sums = emb.filter(col("embedding").isNotNull)
       .select(col("label"),
         posexplode(quantize(col("embedding"))).as(Seq("d", "x")))

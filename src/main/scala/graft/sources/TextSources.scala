@@ -343,4 +343,76 @@ object TextSources {
         max(col("event_id")).as("last_id"))
       .orderBy(col("event_type"))
   }
+
+  /** CSV SINK ROUND-TRIP (round 15) — the remaining columnar-text leg
+    * next to [[jsonlSinkRoundTrip]]: the analytics summary lands as
+    * headered CSV (the interchange format every downstream spreadsheet
+    * and loader still speaks) and is read back with an EXPLICIT schema
+    * (inference on a re-read is a silent-type-drift trap — a BIGINT
+    * column of small values infers INT and the hash compare catches
+    * it). Money crosses as exact cents (a CSV double would re-parse
+    * with last-ulp drift); the oracle proves write→parse→read loses
+    * nothing. CSV is splittable when unquoted-single-line, which this
+    * summary is by construction.
+    *
+    * Output: (event_type, n_rows, n_users, cents_sum), ordered. */
+  def csvSinkRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/csv_sink-${java.util.UUID.randomUUID()}"
+    val summary = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum((col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+          .as("cents_sum"))
+    summary.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.schema(summary.schema).option("header", "true").csv(out)
+      .orderBy(col("event_type"))
+  }
+
+  /** BINARY-FILE SOURCE (round 15) — Spark's `binaryFile` format as
+    * the opaque-blob ingest leg of the multimodal story: documents
+    * land as one raw .txt blob each (the shape scraped corpora and
+    * image/audio dumps arrive in — a directory of files, not a
+    * table), are read back as (path, content: binary) rows, and the
+    * re-derived (doc_id from the file name, md5 of the bytes, byte
+    * length) must match the source table — proving the blob column
+    * plumbing end to end. Caveat documented: binaryFile is
+    * NON-splittable per file (one task per blob — right for media
+    * blobs, wrong for a 100 GB tar: unpack first). The write is one
+    * partitionBy(doc_id) text pass, not a driver loop.
+    *
+    * Output: (doc_id, n_bytes, h), ordered. */
+  def binaryFilesRead(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/binfiles-${java.util.UUID.randomUUID()}"
+    // one file per doc via partitionBy: doc_id becomes the directory
+    // name, the text payload the single line (newline-free by corpus
+    // construction; length asserted against n_chars downstream)
+    docs.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").partitionBy("doc_id").text(out)
+    // empty corpus: the partitioned text write lands no directories and
+    // a binaryFile load over an unmatched glob THROWS — the structural
+    // answer is the empty blob table (the empty-write doctrine)
+    if (!new java.io.File(out).listFiles().exists(_.getName.startsWith("doc_id=")))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_bytes",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType))))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(s"$out/doc_id=*")
+      .select(
+        regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long")
+          .as("doc_id"),
+        // the text writer appends one trailing newline per line — the
+        // byte payload is text + '\n'
+        length(col("content")).as("n_bytes"),
+        md5(col("content")).as("h"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1812,4 +1812,26 @@ class DedupSimilaritySpec extends SparkSpec {
       graft.operators.Similarity.covarianceMatrix(emb).collect()
         .map(_.toSeq).toSet)
   }
+
+  test("normByLabel + centroidCosMatrix: hand vectors — exact norms, " +
+    "cos 1 for parallel centroids, 0 for orthogonal") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // label 0: (1,0) and (3,0) — centroid along x; label 1: (0,2) —
+    // along y; label 2: (2,0) — parallel to label 0
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(3.0f, 0.0f), 0),
+      (3L, Array(0.0f, 2.0f), 1), (4L, Array(2.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val norms = Similarity.normByLabel(emb).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // label 0: norms 1e6 and 9e6 -> min 1e6, max 9e6, sum 1e7, mean 5e6
+    assert(norms(0).getLong(1) == 2L)
+    assert(norms(0).getLong(2) == 1000000L && norms(0).getLong(3) == 9000000L)
+    assert(norms(0).getString(4) == "10000000" && norms(0).getLong(5) == 5000000L)
+    val cos = Similarity.centroidCosMatrix(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(5)).toMap
+    assert(cos((0, 2)) == 1.0, s"parallel centroids: ${cos((0, 2))}")
+    assert(cos((0, 1)) == 0.0 && cos((1, 2)) == 0.0)
+  }
 }

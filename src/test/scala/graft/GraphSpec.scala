@@ -321,4 +321,45 @@ class GraphSpec extends SparkSpec {
     val rw = Graph.closenessFromSeeds(weak).collect().head
     assert(rw.getLong(1) == 0L && rw.isNullAt(3), rw)
   }
+
+  test("adamicAdar: each common neighbor contributes 1e6 div bitlen(deg) " +
+    "— K4's edges score 2x the K3-with-pendant's single donation") {
+    // K4 on {1,2,3,4}: every edge has 2 common neighbors of degree 3
+    // (bitlen 2) -> aa = 2 * (1e6 div 2) = 1000000, cn = 2
+    val k4 = Graph.adamicAdar(li(1L -> Seq(1L, 2L, 3L, 4L)), k = 10)
+      .collect()
+    assert(k4.length == 6)
+    assert(k4.forall(r => r.getLong(2) == 2L && r.getLong(3) == 1000000L),
+      k4.mkString("\n"))
+    // K3 {1,2,3} + pendant 4 on node 1: edge (2,3)'s common neighbor 1
+    // has degree 3 (bitlen 2) -> 500000; edges (1,2)/(1,3) donate a
+    // degree-2 neighbor (bitlen 2) -> 500000 as well, cn = 1 each
+    val p = Graph.adamicAdar(li(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 4L)),
+      k = 10).collect()
+    assert(p.length == 3)
+    assert(p.forall(r => r.getLong(2) == 1L && r.getLong(3) == 500000L),
+      p.mkString("\n"))
+  }
+
+  test("richClub: a clique core plus pendants reads phi = 1 at the top " +
+    "octave; a star graph has no rich club at all") {
+    // K4 {1,2,3,4} via one order, plus a pendant on each clique node
+    // (orders 2-5): clique degrees 4 (bitlen 3), pendant degrees 1
+    // (bitlen 1). t=1: nodes deg>1 = the 4 clique nodes, edges among
+    // them = 6 -> phi = 12/12 = 1M ppm; t=2: nodes deg>3 = same 4 ->
+    // phi = 1M again.
+    val rc = Graph.richClub(li(1L -> Seq(1L, 2L, 3L, 4L),
+      2L -> Seq(1L, 11L), 3L -> Seq(2L, 12L), 4L -> Seq(3L, 13L),
+      5L -> Seq(4L, 14L))).collect()
+    assert(rc.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 1L, 4L, 6L, 1000000L), (2L, 3L, 4L, 6L, 1000000L)),
+      rc.mkString("\n"))
+    // star: hub degree 5 (bitlen 3), leaves 1 -> t=1,2 keep only the
+    // hub; one node forms no pair -> phi NULL (0/0 guarded)
+    val star = Graph.richClub(li(1L -> Seq(0L, 1L), 2L -> Seq(0L, 2L),
+      3L -> Seq(0L, 3L), 4L -> Seq(0L, 4L), 5L -> Seq(0L, 5L))).collect()
+    assert(star.forall(r => r.getLong(2) == 1L && r.getLong(3) == 0L &&
+      r.isNullAt(4)), star.mkString("\n"))
+  }
 }

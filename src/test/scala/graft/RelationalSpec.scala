@@ -2413,4 +2413,78 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.toSeq == Seq("a", "b", 5L, 5L, 5L, 9L, 1800000L),
       out.head)
   }
+
+  test("momentsByType: a symmetric distribution reads skew 0 and the " +
+    "two-point kurtosis identity holds; constant values go NULL") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(ty: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (i.toLong, t0, i.toLong, ty, v, "")
+    }
+    // sym: {1, 2, 3} — skew exactly 0; twopoint: {0, 2} — kurtosis of a
+    // symmetric two-point mass is -2 exactly; const: zero variance
+    val df = (ev("sym", Seq(1.0, 2.0, 3.0)) ++
+      ev("twopoint", Seq(0.0, 2.0)) ++ ev("const", Seq(5.0, 5.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.momentsByType(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("sym").getDouble(3) == 0.0)
+    assert(out("sym").getLong(2) == 200000000L) // mean 200 cents in ppm
+    assert(out("twopoint").getDouble(4) == -2.0)
+    assert(out("const").isNullAt(3) && out("const").isNullAt(4))
+  }
+
+  test("typeDiversityHist: day-grain distinct types, shares sum to 1M") {
+    def e(id: Long, u: Long, day: Int, ty: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"),
+        u, ty, 1.0, "")
+    // day 1: user 1 fires a+b (2 types), user 2 fires a (1); day 2:
+    // user 1 fires a (1) -> hist: 1 type x2 user-days, 2 types x1
+    val df = Seq(e(1, 1, 1, "a"), e(2, 1, 1, "b"), e(3, 2, 1, "a"),
+      e(4, 1, 2, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.typeDiversityHist(df).collect()
+    assert(out.map(_.toSeq).toSeq == Seq(
+      Seq(1L, 2L, 666666L), Seq(2L, 1L, 333333L)))
+  }
+
+  test("dupRateBySource: verbatim duplicates counted per shard") {
+    val docs = Seq(
+      (1L, "same", "en", "s1", 4L), (2L, "same", "en", "s1", 4L),
+      (3L, "other", "en", "s1", 5L), (4L, "unique", "en", "s2", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Relational.dupRateBySource(docs).collect()
+    assert(out.map(_.toSeq).toSeq == Seq(
+      Seq("s1", 3L, 2L, 1L, 333333L), Seq("s2", 1L, 1L, 0L, 0L)))
+  }
+
+  test("reorderRate: a pair spanning two orders counts as reordered") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val orders = Seq((10L, 1L, "O", 1.0, t, "1-URGENT"),
+      (11L, 1L, "O", 1.0, t, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    def li(ok: Long, pk: Long) = (ok, pk, 1L, 1, 1.0, 1.0, 0.0, 0.0,
+      "N", "O", t)
+    val lineitem = Seq(li(10L, 100L), li(11L, 100L), li(10L, 200L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val part = Seq((100L, "B1"), (200L, "B1"))
+      .toDF("p_partkey", "p_brand")
+    val out = Relational.reorderRate(orders, lineitem, part).collect()
+    // B1: pairs (cust1, p100) in 2 orders + (cust1, p200) in 1 -> 1/2
+    assert(out.map(_.toSeq).toSeq == Seq(Seq("B1", 2L, 1L, 500000L)))
+  }
+
+  test("cramersV: a perfectly dependent 2x2 table reads V = 1") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // arm = user_id % 2; type 'a' only on arm 0, 'b' only on arm 1 —
+    // perfect association, V exactly 1
+    val df = (0 until 8).map { i =>
+      (i.toLong, t0, i.toLong, if (i % 2 == 0) "a" else "b", 1.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.cramersV(df).collect().head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-14, r)
+  }
 }

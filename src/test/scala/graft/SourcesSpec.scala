@@ -302,4 +302,33 @@ class SourcesSpec extends SparkSpec {
       .orderBy(col("event_type")).collect().map(_.toSeq)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("csvSinkRoundTrip: the landed summary equals the source's, cents " +
+    "exact across the text hop") {
+    val events = Tables.events(spark, sf0)
+    val got = TextSources.csvSinkRoundTrip(spark, events)
+      .collect().map(_.toSeq)
+    val want = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          * 100).cast("long")).as("cents_sum"))
+      .orderBy(col("event_type")).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("binaryFilesRead: one blob per doc, bytes = text + newline, md5 " +
+    "re-derived from raw bytes; empty corpus yields the empty table") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0).limit(25)
+    val out = TextSources.binaryFilesRead(spark, docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val want = docs.select(col("doc_id"),
+        (length(col("text")) + 1).as("nb"),
+        md5(concat(col("text"), lit("\n"))).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out == want)
+    val empty = TextSources.binaryFilesRead(spark, docs.limit(0))
+    assert(empty.count() == 0L)
+  }
 }
