@@ -239,6 +239,21 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_moments" -> ((s, d) =>
       Relational.momentsByType(Tables.events(s, d))),
 
+    // Cohen's d (round 15): standardized arm effect size from exact
+    // moment sums (see cohensD's scaladoc).
+    "stats_cohens_d" -> ((s, d) =>
+      Relational.cohensD(Tables.events(s, d))),
+
+    // Exact trimmed mean (round 15): k = n div 10 off each tail via
+    // value-grouped order statistics (see trimmedMean's scaladoc).
+    "stats_trimmed_mean" -> ((s, d) =>
+      Relational.trimmedMean(Tables.events(s, d))),
+
+    // Numeric band join (round 15): grid-cell equi pairing, never a
+    // nested loop (see bandJoin's scaladoc).
+    "join_band" -> ((s, d) =>
+      Relational.bandJoin(Tables.events(s, d))),
+
     // Reorder rate (round 15): share of (customer, part) pairs with
     // >1 distinct order, per brand (see reorderRate's scaladoc).
     "order_reorder_rate" -> ((s, d) =>
@@ -1753,6 +1768,70 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CASE WHEN m2x <= 0.0 THEN NULL ELSE (m4x / nd / nd / nd / nd) / " +
         "((m2x / nd / nd) * (m2x / nd / nd)) - 3.0 END AS ex_kurtosis " +
         "FROM x ORDER BY event_type"),
+
+    // Cohen's d replay: exact moment sums, the identical fixed-order
+    // double tree for pooled variance and the effect size
+    "stats_cohens_d" ->
+      ("WITH v AS (SELECT event_type, user_id % 2 AS arm, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c " +
+        "FROM events WHERE event_type IS NOT NULL), " +
+        "a AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "COALESCE(SUM(CASE WHEN arm = 0 THEN CAST(c AS DECIMAL(38,0)) END), 0) AS s0, " +
+        "COALESCE(SUM(CASE WHEN arm = 0 THEN CAST(c AS DECIMAL(38,0)) * c END), 0) AS q0, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "COALESCE(SUM(CASE WHEN arm = 1 THEN CAST(c AS DECIMAL(38,0)) END), 0) AS s1, " +
+        "COALESCE(SUM(CASE WHEN arm = 1 THEN CAST(c AS DECIMAL(38,0)) * c END), 0) AS q1 " +
+        "FROM v GROUP BY 1), " +
+        "dd AS (SELECT event_type, n0, n1, " +
+        "CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d, " +
+        "CAST(CAST(s0 AS VARCHAR) AS DOUBLE) AS s0d, " +
+        "CAST(CAST(q0 AS VARCHAR) AS DOUBLE) AS q0d, " +
+        "CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d, " +
+        "CAST(CAST(q1 AS VARCHAR) AS DOUBLE) AS q1d FROM a) " +
+        "SELECT event_type, n0, n1, " +
+        "CASE WHEN n0 < 2 OR n1 < 2 THEN NULL " +
+        "WHEN ((q0d - s0d * s0d / n0d) + (q1d - s1d * s1d / n1d)) / " +
+        "(n0d + n1d - 2.0) <= 0.0 THEN NULL " +
+        "ELSE (s1d / n1d - s0d / n0d) / " +
+        "sqrt(((q0d - s0d * s0d / n0d) + (q1d - s1d * s1d / n1d)) / " +
+        "(n0d + n1d - 2.0)) END AS cohens_d " +
+        "FROM dd ORDER BY event_type"),
+
+    // trimmed-mean replay: value-grouped cumulative ranks, clipped
+    // group contributions, HUGEINT exact division
+    "stats_trimmed_mean" ->
+      ("WITH v AS (SELECT event_type, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c " +
+        "FROM events WHERE event_type IS NOT NULL), " +
+        "g AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS m FROM v GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, c, m, CAST(SUM(m) OVER (PARTITION BY event_type " +
+        "ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM g), " +
+        "t AS (SELECT event_type, CAST(SUM(m) AS BIGINT) AS n FROM g GROUP BY 1), " +
+        "x AS (SELECT w.event_type, c, m, cum, t.n, t.n // 10 AS k " +
+        "FROM w JOIN t USING (event_type)), " +
+        "y AS (SELECT event_type, n, k, c, " +
+        "m - greatest(0, least(m, k - (cum - m))) " +
+        "- greatest(0, least(m, k - (n - cum))) AS keep FROM x), " +
+        "z AS (SELECT event_type, n, k, " +
+        "SUM(CAST(c AS DECIMAL(38,0)) * keep) AS tsum FROM y GROUP BY 1, 2, 3) " +
+        "SELECT event_type, n, k AS k_trim, n - 2 * k AS trimmed_n, " +
+        "CAST(CAST(tsum * 1000000 AS HUGEINT) // nullif(n - 2 * k, 0) " +
+        "AS BIGINT) AS trimmed_mean_ppm FROM z ORDER BY event_type"),
+
+    // band-join replay: the naive inequality join IS the oracle (the
+    // engine side must never plan it) — same band, same counts
+    "join_band" ->
+      ("WITH a AS (SELECT event_id AS a_id, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS ca " +
+        "FROM events WHERE event_type = 'click'), " +
+        "b AS (SELECT event_id AS b_id, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cb " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT (ca // 50) * 50 AS band_lo_cents, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+        "FROM a JOIN b ON abs(ca - cb) <= 50 " +
+        "GROUP BY 1 ORDER BY 1"),
 
     // reorder-rate replay: distinct order counts per (customer, part),
     // brand rollup, exact ppm

@@ -241,6 +241,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "sink_csv_roundtrip" -> ((s, d) =>
       graft.sources.TextSources.csvSinkRoundTrip(s, Tables.events(s, d))),
 
+    // Gzip CSV round-trip (round 15): the compressed interchange leg —
+    // non-splittable codec documented, losslessness oracle-proved (see
+    // csvGzipRoundTrip's scaladoc).
+    "sink_csv_gzip" -> ((s, d) =>
+      graft.sources.TextSources.csvGzipRoundTrip(s, Tables.events(s, d))),
+
     // Binary-file source (round 15): one blob per doc via the
     // binaryFile format — the opaque-media ingest leg; md5/byte-length
     // re-derived from raw bytes (see binaryFilesRead's scaladoc).
@@ -524,6 +530,14 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
       ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
         "CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS cents_sum " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // gzip CSV: same lossless-summary statement as the plain CSV leg
+    "sink_csv_gzip" ->
+      (s"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        s"CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
         "AS BIGINT) AS cents_sum " +
         "FROM events GROUP BY 1 ORDER BY 1"),
 

@@ -112,6 +112,17 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "corpus_vocab" -> ((s, d) =>
       Corpus.vocabulary(Tables.documents(s, d))),
 
+    // Cross-source duplicate matrix (round 15): shard pairs sharing
+    // first-8-token prefix fingerprints — the mirror/shared-template
+    // detector (see crossSourceDupMatrix's scaladoc).
+    "dedup_cross_source" -> ((s, d) =>
+      Corpus.crossSourceDupMatrix(Tables.documents(s, d))),
+
+    // Word-length histogram per language (round 15): the tokenizer-
+    // sizing curve, clamped 17+ (see wordLenHist's scaladoc).
+    "text_word_len_hist" -> ((s, d) =>
+      Corpus.wordLenHist(Tables.documents(s, d))),
+
     // Hapax ratio per source (round 15): share of each shard's vocab
     // occurring exactly once — lexical richness/noise scalar (see
     // hapaxRatio's scaladoc).
@@ -831,6 +842,29 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared " +
         "FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b"),
+
+    // cross-source dup replay: distinct (source, hash) self-join
+    "dedup_cross_source" ->
+      ("WITH h AS (SELECT DISTINCT source, " +
+        "md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h " +
+        "FROM documents) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM h a JOIN h b ON a.h = b.h AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // word-length histogram replay: clamped grid + per-lang shares
+    "text_word_len_hist" ->
+      ("WITH w0 AS (SELECT lang, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "c AS (SELECT lang, least(CAST(length(w) AS BIGINT), 17) AS wlen " +
+        "FROM w0 WHERE length(w) > 0), " +
+        "h AS (SELECT lang, wlen, CAST(COUNT(*) AS BIGINT) AS n_words " +
+        "FROM c GROUP BY 1, 2), " +
+        "t AS (SELECT lang, CAST(SUM(n_words) AS BIGINT) AS t FROM h GROUP BY 1) " +
+        "SELECT h.lang, h.wlen, h.n_words, " +
+        "(h.n_words * 1000000) // nullif(t.t, 0) AS share_ppm " +
+        "FROM h JOIN t USING (lang) ORDER BY 1, 2"),
 
     // hapax replay: per-(source, token) tf, per-source vocab rollup
     "text_hapax_ratio" ->

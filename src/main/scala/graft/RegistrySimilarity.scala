@@ -330,6 +330,11 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Similarity.ivfpqResidualTopK(Tables.embeddings(s, d),
         scope = harnessScope)),
 
+    // Per-dimension drift between corpus halves (round 15): exact
+    // rational mean shift per dim (see dimDrift's scaladoc).
+    "embed_dim_drift" -> ((s, d) =>
+      Similarity.dimDrift(Tables.embeddings(s, d))),
+
     // Norm profile per label (round 15): count/min/max/mean of the
     // quantized squared norm — the broken-encoder tell (see
     // normByLabel's scaladoc).
@@ -763,6 +768,29 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated, " +
         "CAST(SUM(abs(qi - recon)) AS BIGINT) AS total_abs_err " +
         "FROM r GROUP BY 1, 2, 3, 4 ORDER BY vec_id"),
+
+    // dim-drift replay: half split on (max+1)//2, HUGEINT exact
+    // rational shift with the sign-split division
+    "embed_dim_drift" ->
+      ("WITH mx AS (SELECT (MAX(vec_id) + 1) // 2 AS m FROM embeddings), " +
+        "q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v " +
+        "FROM embeddings WHERE embedding IS NOT NULL), " +
+        "e AS (SELECT q.vec_id < mx.m AS lo, t.pos - 1 AS d, q.v[t.pos] AS x " +
+        "FROM q, mx, (SELECT unnest(generate_series(1, 64)) AS pos) t " +
+        "WHERE len(q.v) = 64), " +
+        "a AS (SELECT d, " +
+        "CAST(SUM(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo, " +
+        "COALESCE(SUM(CASE WHEN lo THEN CAST(x AS HUGEINT) END), 0) AS s_lo, " +
+        "CAST(SUM(CASE WHEN NOT lo THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, " +
+        "COALESCE(SUM(CASE WHEN NOT lo THEN CAST(x AS HUGEINT) END), 0) AS s_hi " +
+        "FROM e GROUP BY 1) " +
+        "SELECT CAST(d AS BIGINT) AS dim, n_lo, n_hi, " +
+        "CAST(CASE WHEN n_lo = 0 OR n_hi = 0 THEN NULL " +
+        "WHEN s_hi * n_lo - s_lo * n_hi < 0 " +
+        "THEN -((-(s_hi * n_lo - s_lo * n_hi) * 1000000) // (n_lo * n_hi)) " +
+        "ELSE ((s_hi * n_lo - s_lo * n_hi) * 1000000) // (n_lo * n_hi) END " +
+        "AS BIGINT) AS shift_ppm FROM a ORDER BY dim"),
 
     // norm-profile replay: quantized squared norms, HUGEINT sum via
     // the string bridge, exact integer mean

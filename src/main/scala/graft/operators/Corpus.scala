@@ -863,6 +863,58 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** CROSS-SOURCE DUPLICATE MATRIX (round 15) — which shard pairs
+    * share the same document OPENINGS: per (source_a < source_b), the
+    * count of distinct first-8-token prefix fingerprints present in
+    * both — the mirror-site / shared-template / re-crawl detector that
+    * `quality_dup_rate` (within-shard) cannot see, and the input to a
+    * dedup plan's source-priority order. Prefix fingerprints rather
+    * than whole-text md5 deliberately: mirrored corpora mutate
+    * trailing boilerplate while openings survive, so the prefix key
+    * catches leakage an exact-text key misses entirely. One distinct
+    * (source, fingerprint) relation self-joined on the hash — per-key
+    * fan-out is bounded by the SOURCE domain (≤ |S| rows per hash), so
+    * the join never goes quadratic in docs.
+    *
+    * Output: (source_a, source_b, n_shared), pairs with ≥ 1 shared
+    * prefix, ordered. */
+  def crossSourceDupMatrix(docs: DataFrame): DataFrame = {
+    val h = docs
+      .select(col("source"),
+        md5(array_join(slice(split(col("text"), " "), 1, 8), " ")).as("h"))
+      .distinct()
+    h.select(col("source").as("source_a"), col("h"))
+      .join(h.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** WORD-LENGTH HISTOGRAM per language (round 15) — the
+    * tokenizer-sizing diagnostic beside [[vocabulary]]: the
+    * distribution of whitespace-token lengths per language (clamped
+    * at 17+ — the grid-bound doctrine), with per-language ppm shares.
+    * Subword tokenizers budget by exactly this curve; a language
+    * whose curve shifts long smells concatenation/boilerplate noise.
+    * Empty tokens (consecutive spaces) are excluded — not words.
+    *
+    * Output: (lang, wlen, n_words, share_ppm), ordered. */
+  def wordLenHist(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("lang"),
+        least(length(col("w")).cast("long"), lit(17L)).as("wlen"))
+      .groupBy(col("lang"), col("wlen"))
+      .agg(count(lit(1)).as("n_words"))
+    val tot = cnt.groupBy(col("lang")).agg(sum(col("n_words")).as("t"))
+    cnt.join(broadcast(tot), "lang")
+      .select(col("lang"), col("wlen"), col("n_words"),
+        expr("(n_words * 1000000) div nullif(t, 0L)").as("share_ppm"))
+      .orderBy(col("lang"), col("wlen"))
+  }
+
   /** LANGUAGE × SOURCE mix (round 15) — the corpus composition matrix
     * every multilingual-training plan starts from: per (source, lang),
     * the doc count, the CHARACTER volume (chars is what a token budget

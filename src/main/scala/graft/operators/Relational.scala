@@ -4400,6 +4400,126 @@ object Relational {
       .orderBy(col("n_types"))
   }
 
+  /** COHEN'S d per event type (round 15) — the standardized
+    * arm-difference effect size next to [[abTestWelch]]'s t (a
+    * significant t with a negligible d is the classic
+    * big-sample-tiny-effect read): d = (mean₁ − mean₀) / s_pooled with
+    * the pooled variance from EXACT integer moment sums (n, Σc, Σc²
+    * per arm in one conditional-aggregation pass — the Welch front),
+    * the statistic one fixed-order double tree via the string bridge;
+    * sqrt only (correctly rounded). NULL when either arm has < 2
+    * observations or the pooled variance is 0.
+    *
+    * Output: (event_type, n0, n1, cohens_d), ordered. */
+  def cohensD(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val c = (dec2(col("value")) * 100).cast("long")
+    def ds(x: Column) = x.cast("string").cast("double")
+    val arm = (col("user_id") % 2).cast("int")
+    val agg = events.filter(col("event_type").isNotNull)
+      .select(col("event_type"), arm.as("arm"), c.as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        coalesce(sum(when(col("arm") === 0, col("c").cast(dec))),
+          lit(0).cast(dec)).as("s0"),
+        coalesce(sum(when(col("arm") === 0, col("c").cast(dec) * col("c"))),
+          lit(0).cast(dec)).as("q0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        coalesce(sum(when(col("arm") === 1, col("c").cast(dec))),
+          lit(0).cast(dec)).as("s1"),
+        coalesce(sum(when(col("arm") === 1, col("c").cast(dec) * col("c"))),
+          lit(0).cast(dec)).as("q1"))
+    // sp² = ((q0 − s0²/n0) + (q1 − s1²/n1)) / (n0 + n1 − 2), all via
+    // the bridge in ONE fixed operand order shared with the oracle
+    val sp2 = ((ds(col("q0")) - ds(col("s0")) * ds(col("s0")) / ds(col("n0")))
+      + (ds(col("q1")) - ds(col("s1")) * ds(col("s1")) / ds(col("n1")))) /
+      (ds(col("n0")) + ds(col("n1")) - 2.0)
+    agg.select(col("event_type"), col("n0"), col("n1"),
+        when(col("n0") < 2L || col("n1") < 2L, lit(null).cast("double"))
+          .otherwise(when(sp2 <= 0.0, lit(null).cast("double"))
+            .otherwise((ds(col("s1")) / ds(col("n1")) -
+              ds(col("s0")) / ds(col("n0"))) / sqrt(sp2))).as("cohens_d"))
+      .orderBy(col("event_type"))
+  }
+
+  /** EXACT TRIMMED MEAN per type (round 15) — the robust location
+    * estimate between the mean (outlier-dragged) and the median
+    * ([[madOutliers]]' reservoir): drop the k = n div 10 lowest and
+    * highest observations and average the rest, computed EXACTLY from
+    * the value-grouped order statistics (the mannwhitney/KS front):
+    * per distinct cent value its multiplicity and cumulative rank,
+    * each group's clipped contribution `m − clip_low − clip_high`
+    * where clip_low = max(0, min(m, k − ranks_below)) (and mirrored
+    * above) — no row-level sort, the window runs over the bounded
+    * value grid. Integer sums in DECIMAL; ONE exact div tail. NULL
+    * when n − 2k = 0.
+    *
+    * Output: (event_type, n, k_trim, trimmed_n, trimmed_mean_ppm),
+    * ordered. */
+  def trimmedMean(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val c = (dec2(col("value")) * 100).cast("long")
+    val g = events.filter(col("event_type").isNotNull)
+      .select(col("event_type"), c.as("c"))
+      .groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g.groupBy(col("event_type")).agg(sum(col("m")).as("n"))
+    g.withColumn("cum", sum(col("m")).over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("k", expr("n div 10"))
+      .withColumn("below", col("cum") - col("m"))
+      .withColumn("clip_lo",
+        greatest(lit(0L), least(col("m"), col("k") - col("below"))))
+      .withColumn("clip_hi",
+        greatest(lit(0L), least(col("m"), col("k") - (col("n") - col("cum")))))
+      .groupBy(col("event_type"), col("n"), col("k"))
+      .agg(sum((col("c").cast(dec)) *
+        (col("m") - col("clip_lo") - col("clip_hi"))).as("tsum"))
+      .select(col("event_type"), col("n"), col("k").as("k_trim"),
+        (col("n") - col("k") * 2).as("trimmed_n"),
+        expr("CAST((tsum * 1000000) div " +
+          "nullif(CAST(n - 2 * k AS DECIMAL(38,0)), 0) AS BIGINT)")
+          .as("trimmed_mean_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** NUMERIC BAND JOIN (round 15) — the |x_a − x_b| ≤ δ pairing
+    * between two event populations ([[Sessionize.intervalOverlap]]'s
+    * 1-D value sibling): clicks meet purchases whose cent values land
+    * within `deltaCents`. NEVER an inequality join (a naive |a−b| ≤ δ
+    * predicate plans a nested loop): values bucket into δ-width grid
+    * cells, the probe side replicates to its cell ± 1 (any in-band
+    * partner is in one of those three cells — the interval-overlap
+    * grid doctrine), the join is EQUI on the cell, and the exact band
+    * filter runs as a residual. Each true pair matches EXACTLY once
+    * (the three probe cells are distinct). Output is the per-band
+    * pair-count profile — bounded by the value grid.
+    *
+    * Output: (band_lo_cents, n_pairs), ordered. */
+  def bandJoin(events: DataFrame, typeA: String = "click",
+               typeB: String = "purchase",
+               deltaCents: Long = 50L): DataFrame = {
+    require(deltaCents > 0, s"deltaCents must be positive: $deltaCents")
+    val c = (dec2(col("value")) * 100).cast("long")
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("event_id").as("a_id"), c.as("ca"))
+      .withColumn("cell", expr(s"ca div $deltaCents"))
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("event_id").as("b_id"), c.as("cb"))
+      .withColumn("cell",
+        explode(array(expr(s"cb div $deltaCents - 1"),
+          expr(s"cb div $deltaCents"), expr(s"cb div $deltaCents + 1"))))
+    a.join(b, "cell")
+      .filter(abs(col("ca") - col("cb")) <= deltaCents)
+      .groupBy((col("cell") * deltaCents).as("band_lo_cents"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("band_lo_cents"))
+  }
+
   /** EXACT-DUPLICATE RATE per source (round 15) — the per-shard
     * duplication scorecard `dedup_exact` (global winners) and
     * `dedup_rate_report` (near-dup funnel) bracket but never print:

@@ -1938,6 +1938,43 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** PER-DIMENSION DRIFT between corpus halves (round 15) — the
+    * encoder-drift monitor: the embedding stream's first half
+    * (vec_id < mid) vs its second, per dimension, exact mean shift in
+    * ppm of a quantized unit — a dimension whose mean walked between
+    * ingest epochs means the encoder (or its input mix) changed
+    * mid-corpus, and every downstream index mixes two geometries.
+    * Shift is the EXACT rational (s_hi·n_lo − s_lo·n_hi)·10⁶ /
+    * (n_lo·n_hi) in DECIMAL — no per-half division before the
+    * difference. One posexplode + a ≤ dim-bounded aggregation.
+    *
+    * Output: (dim, n_lo, n_hi, shift_ppm), ordered by dim. */
+  def dimDrift(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mid = emb.agg((max(col("vec_id")) + 1L).as("m")).head
+    val m = if (mid.isNullAt(0)) 0L else mid.getLong(0) / 2L
+    emb.filter(col("embedding").isNotNull)
+      .select((col("vec_id") < m).as("lo"),
+        posexplode(quantize(col("embedding"))).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        coalesce(sum(when(col("lo"), col("x").cast(dec))),
+          lit(0).cast(dec)).as("s_lo"),
+        sum(when(!col("lo"), 1L).otherwise(0L)).as("n_hi"),
+        coalesce(sum(when(!col("lo"), col("x").cast(dec))),
+          lit(0).cast(dec)).as("s_hi"))
+      .select(col("d").cast("long").as("dim"), col("n_lo"), col("n_hi"),
+        expr("CAST(CASE WHEN n_lo = 0 OR n_hi = 0 THEN NULL " +
+          "WHEN s_hi * n_lo - s_lo * n_hi < 0 " +
+          "THEN -((-(s_hi * n_lo - s_lo * n_hi) * 1000000) div " +
+          "CAST(n_lo * n_hi AS DECIMAL(38,0))) " +
+          "ELSE ((s_hi * n_lo - s_lo * n_hi) * 1000000) div " +
+          "CAST(n_lo * n_hi AS DECIMAL(38,0)) END AS BIGINT)")
+          .as("shift_ppm"))
+      .orderBy(col("dim"))
+  }
+
   /** LABEL-CENTROID COSINE MATRIX (round 15) — the class-separation
     * scorecard over the embedding space: pairwise cosine between every
     * label's mean vector (two classes whose centroids read cos ≈ 1

@@ -369,6 +369,30 @@ object TextSources {
       .orderBy(col("event_type"))
   }
 
+  /** GZIP CSV ROUND-TRIP (round 15) — [[csvSinkRoundTrip]] through a
+    * compression codec: at 100 TB the text interchange leg is always
+    * compressed, and gzip is the non-splittable worst case worth
+    * proving (one task per .gz file on read — the write sizes files
+    * accordingly; bzip2/zstd split, gzip does not — documented here
+    * rather than discovered in production). Same explicit-schema
+    * read-back and exact-cents discipline; the oracle proves the
+    * codec hop is lossless.
+    *
+    * Output: (event_type, n_rows, n_users, cents_sum), ordered. */
+  def csvGzipRoundTrip(spark: SparkSession, events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/csv_gzip-${java.util.UUID.randomUUID()}"
+    val summary = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum((col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+          .as("cents_sum"))
+    summary.write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(out)
+    spark.read.schema(summary.schema).option("header", "true").csv(out)
+      .orderBy(col("event_type"))
+  }
+
   /** BINARY-FILE SOURCE (round 15) — Spark's `binaryFile` format as
     * the opaque-blob ingest leg of the multimodal story: documents
     * land as one raw .txt blob each (the shape scraped corpora and

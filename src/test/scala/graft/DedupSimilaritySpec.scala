@@ -1834,4 +1834,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cos((0, 2)) == 1.0, s"parallel centroids: ${cos((0, 2))}")
     assert(cos((0, 1)) == 0.0 && cos((1, 2)) == 0.0)
   }
+
+  test("dimDrift: a dimension whose mean walks between halves reads the " +
+    "exact rational shift; a stable one reads 0") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // ids 0,1 = first half (mid = (3+1)/2 = 2); ids 2,3 = second
+    val emb = Seq(
+      (0L, Array(1.0f, 5.0f), 0), (1L, Array(1.0f, 5.0f), 0),
+      (2L, Array(2.0f, 5.0f), 0), (3L, Array(2.0f, 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.dimDrift(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // dim 0: means 1000 -> 2000 quantized => shift 1000 * 1e6 / ... =
+    // (4000*2 - 2000*2) * 1e6 div 4 = 1000000000; dim 1 stable -> 0
+    assert(out(0L) == 1000000000L && out(1L) == 0L, out)
+  }
+
+  test("crossSourceDupMatrix / wordLenHist / hapaxRatio / langMix: " +
+    "hand corpus — shared twins counted once, clamp and ppm exact") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "same text", "en", "s1", 9L),
+      (2L, "same text", "en", "s2", 9L),     // cross-source twin
+      (3L, "same text", "en", "s2", 9L),     // in-source dup: still ONE distinct
+      (4L, "aa bb aa", "en", "s1", 8L),
+      (5L, "supercalifragilisticexpialidocious", "de", "s1", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val x = Corpus.crossSourceDupMatrix(docs).collect()
+    assert(x.map(_.toSeq).toSeq == Seq(Seq("s1", "s2", 1L)), x.mkString(";"))
+    val wl = Corpus.wordLenHist(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // en: 'same'(4) x3, 'text'(4) x3, 'aa'(2) x2, 'bb'(2) x1 -> len 4 -> 6, len 2 -> 3
+    assert(wl(("en", 4L)) == 6L && wl(("en", 2L)) == 3L)
+    // de: the 34-char word clamps to 17
+    assert(wl(("de", 17L)) == 1L)
+    val hx = Corpus.hapaxRatio(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // s2: tokens same/text x2 each -> vocab 2, hapax 0
+    assert(hx("s2").getLong(2) == 2L && hx("s2").getLong(3) == 0L)
+    val lm = Corpus.langMix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    // s1: 2 en of 3 docs -> 666666 ppm; 1 de -> 333333
+    assert(lm(("s1", "en")) == 666666L && lm(("s1", "de")) == 333333L)
+  }
 }

@@ -240,8 +240,11 @@ class RelationalSpec extends SparkSpec {
     "identical distributions score 0") {
     def docs(rows: (String, Long)*) =
       rows.toDF("source", "n_chars")
+    // ranges disjoint in BIT-LENGTH-BUCKET space (buckets {1,2} vs
+    // {7,8}) — the round-15 grid bound compares bucketed CDFs, so
+    // same-bucket lengths are indistinguishable by design
     val disjoint = Relational.lengthDriftBySource(
-        docs("a" -> 1L, "a" -> 2L, "b" -> 3L, "b" -> 4L))
+        docs("a" -> 1L, "a" -> 2L, "b" -> 100L, "b" -> 200L))
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(disjoint == Map("a" -> 1.0, "b" -> 1.0), s"got $disjoint")
     val same = Relational.lengthDriftBySource(
@@ -2105,13 +2108,14 @@ class RelationalSpec extends SparkSpec {
       java.sql.Timestamp.valueOf(f"2024-03-$d%02d 0$i:00:00")
     // daily counts [3, GAP->0, 3, 6]: slopes -3/1, 0/2, 3/3, 3/1,
     // 3/2, 3/1 — sorted rationals -3 < 0 < 1 < 3/2 < 3 = 3; lower
-    // median rank (6+1) div 2 = 3 -> value 1, sole representation (3,3)
+    // median rank (6+1) div 2 = 3 -> value 1, reported as the
+    // gcd-canonical fraction (1,1) since round 15's slope dedup
     val ev = (Seq.fill(3)(1) ++ Seq.fill(3)(3) ++ Seq.fill(6)(4))
       .zipWithIndex.map { case (d, i) => (ts(d, i % 8), "t") }
       .toDF("ts", "event_type")
     val r = Relational.theilSen(ev).collect()
     assert(r.length == 1)
-    assert(r.head.toSeq == Seq("t", 4L, 6L, 3L, 3L, 1000000L), r.head)
+    assert(r.head.toSeq == Seq("t", 4L, 6L, 1L, 1L, 1000000L), r.head)
     // repartition-invariant (rank counting has no order dependence)
     val r2 = Relational.theilSen(ev.repartition(5)).collect()
     assert(r.head.toSeq == r2.head.toSeq)
@@ -2486,5 +2490,53 @@ class RelationalSpec extends SparkSpec {
     val r = Relational.cramersV(df).collect().head
     assert(r.getLong(0) == 8L && r.getLong(1) == 2L && r.getLong(2) == 2L)
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-14, r)
+  }
+
+  test("cohensD: hand arms — pooled sd exact, effect size replays") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // arm 0 (even user ids): {1.00, 2.00}; arm 1 (odd): {3.00, 4.00}
+    val df = Seq(
+      (1L, t0, 0L, "t", 1.0, ""), (2L, t0, 2L, "t", 2.0, ""),
+      (3L, t0, 1L, "t", 3.0, ""), (4L, t0, 3L, "t", 4.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.cohensD(df).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    // sp2 = ((50000 - 300^2/2) + (250000 - 700^2/2)) / 2 = 5000/2 + 5000... 
+    // q0 = 100^2+200^2 = 50000; s0 = 300; q0 - s0^2/n0 = 5000; same arm1
+    // sp2 = (5000 + 5000) / 2 = 5000; d = (350-150)/sqrt(5000)
+    assert(math.abs(r.getDouble(3) - 200.0 / math.sqrt(5000.0)) < 1e-12, r)
+  }
+
+  test("trimmedMean: k = n div 10 clips exactly one value off each " +
+    "tail; duplicates split across the clip boundary") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val vals = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, t0, i.toLong, "t", v, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.trimmedMean(df).collect().head
+    // n=10, k=1: drop 0.00 and 100.00 -> mean of 100..800 cents = 450
+    assert(r.getLong(1) == 10L && r.getLong(2) == 1L && r.getLong(3) == 8L)
+    assert(r.getLong(4) == 450000000L, r)
+    // boundary duplicates: {5 x 1.00, 5 x 2.00}, k=1 -> clip one 100
+    // and one 200 -> (4*100 + 4*200)/8 = 150 cents
+    val dup = (0 until 10).map { i =>
+      (i.toLong, t0, i.toLong, "t", if (i < 5) 1.0 else 2.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rd = Relational.trimmedMean(dup).collect().head
+    assert(rd.getLong(4) == 150000000L, rd)
+  }
+
+  test("bandJoin: only pairs within the cent band match, exactly once") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, t0, 1L, "click", 1.00, ""),    // 100 cents
+      (2L, t0, 2L, "purchase", 1.20, ""), // 120: in band (|20| <= 50)
+      (3L, t0, 3L, "purchase", 2.00, ""), // 200: out (|100| > 50)
+      (4L, t0, 4L, "purchase", 0.50, "")) // 50: in band, cell boundary
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.bandJoin(df).collect()
+    // click at 100 (cell 2, band_lo 100) pairs with 120 and 50 -> 2
+    assert(out.map(_.toSeq).toSeq == Seq(Seq(100L, 2L)), out.mkString(";"))
   }
 }
