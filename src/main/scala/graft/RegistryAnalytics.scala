@@ -871,6 +871,24 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "order_forecast_holt" -> ((s, d) =>
       Relational.holtForecast(Tables.orders(s, d))),
 
+    // Holt-Winters additive forecast (round 15): level+trend+DOW
+    // season over the daily grid, integer halving smoothing, one HOF
+    // fold (see holtWintersForecast's scaladoc).
+    "order_forecast_hw" -> ((s, d) =>
+      Relational.holtWintersForecast(Tables.orders(s, d))),
+
+    // Weekly OHLC resample (round 15): open/high/low/close over the
+    // gap-filled daily revenue grid, min/max-of-struct open/close —
+    // no window (see weeklyOhlc's scaladoc).
+    "window_ohlc_weekly" -> ((s, d) =>
+      Relational.weeklyOhlc(Tables.orders(s, d))),
+
+    // QQ decile table click vs purchase (round 15): exact nearest-rank
+    // order statistics per arm off the value grid (see qqDeciles's
+    // scaladoc).
+    "stats_qq_deciles" -> ((s, d) =>
+      Relational.qqDeciles(Tables.events(s, d))),
+
     // Month-of-year seasonality (round 13): revenue share per calendar
     // month pooled across years, 12 structural rows, integer ppm (see
     // orderSeasonality's scaladoc).
@@ -2356,6 +2374,80 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT month, x AS rev_cents, fc AS forecast_cents, " +
         "x - fc AS err_cents FROM f ORDER BY month"
     },
+
+    // Holt-Winters replay: recursive CTE carrying the 7-slot season
+    // LIST, same sign-split halves, dayofweek+1 (DuckDB 0=Sunday)
+    "order_forecast_hw" -> {
+      def h(v: String) =
+        s"CASE WHEN ($v) < 0 THEN -((-($v)) // 2) ELSE ($v) // 2 END"
+      val sd = "f.sv[s.dw]"
+      val lNew = h(s"s.x - $sd + f.l + f.t")
+      val sNew = h(s"s.x - ($lNew) + $sd")
+      "WITH RECURSIVE d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "s AS (SELECT ROW_NUMBER() OVER (ORDER BY g.day) AS i, g.day AS day, " +
+        "CAST(COALESCE(rev, 0) AS BIGINT) AS x, " +
+        "CAST(dayofweek(g.day) + 1 AS INT) AS dw FROM grid g LEFT JOIN d USING (day)), " +
+        "f AS (SELECT i, day, x, dw, CAST(NULL AS BIGINT) AS fc, x AS l, " +
+        "CAST(0 AS BIGINT) AS t, " +
+        "[CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS sv FROM s WHERE i = 1 " +
+        "UNION ALL SELECT s.i, s.day, s.x, s.dw, " +
+        s"f.l + f.t + $sd AS fc, " +
+        s"CAST($lNew AS BIGINT) AS l, " +
+        s"CAST(${h(s"($lNew) - f.l + f.t")} AS BIGINT) AS t, " +
+        s"f.sv[1:s.dw-1] || [CAST($sNew AS BIGINT)] || f.sv[s.dw+1:7] AS sv " +
+        "FROM f JOIN s ON s.i = f.i + 1) " +
+        "SELECT day, x AS rev_cents, fc AS forecast_cents, " +
+        "x - fc AS err_cents FROM f ORDER BY day"
+    },
+
+    // Weekly OHLC replay: same gap-filled grid, arg_min/arg_max
+    // open/close, week cast back to TIMESTAMP (DuckDB trunc → DATE)
+    "window_ohlc_weekly" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day AS day, CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)) " +
+        "SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(arg_min(x, day) AS BIGINT) AS open_cents, " +
+        "CAST(MAX(x) AS BIGINT) AS high_cents, " +
+        "CAST(MIN(x) AS BIGINT) AS low_cents, " +
+        "CAST(arg_max(x, day) AS BIGINT) AS close_cents " +
+        "FROM series GROUP BY 1 ORDER BY 1"),
+
+    // QQ decile replay: same value-grouped rank brackets, nearest-rank
+    // low k = ((n-1)·i) div 10 + 1 (nonneg → // ≡ div)
+    "stats_qq_deciles" ->
+      ("WITH base AS (SELECT CASE WHEN event_type = 'click' THEN 'a' " +
+        "ELSE 'b' END AS arm, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "counts AS (SELECT arm, v, COUNT(*) AS cnt FROM base GROUP BY 1, 2), " +
+        "cum AS (SELECT arm, v, " +
+        "SUM(cnt) OVER (PARTITION BY arm ORDER BY v) AS hi_rank, " +
+        "SUM(cnt) OVER (PARTITION BY arm ORDER BY v) - cnt + 1 AS lo_rank " +
+        "FROM counts), " +
+        "nn AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1), " +
+        "ranks AS (SELECT arm, n, CAST(decile AS INT) AS decile, " +
+        "((n - 1) * decile) // 10 + 1 AS k " +
+        "FROM nn, (SELECT unnest(range(1, 10)) AS decile)), " +
+        "q AS (SELECT r.decile, r.arm, r.n, c.v FROM ranks r JOIN cum c " +
+        "ON c.arm = r.arm AND r.k BETWEEN c.lo_rank AND c.hi_rank) " +
+        "SELECT decile, " +
+        "MAX(CASE WHEN arm = 'a' THEN n END) AS n_a, " +
+        "MAX(CASE WHEN arm = 'b' THEN n END) AS n_b, " +
+        "MAX(CASE WHEN arm = 'a' THEN v END) AS qa_cents, " +
+        "MAX(CASE WHEN arm = 'b' THEN v END) AS qb_cents, " +
+        "MAX(CASE WHEN arm = 'a' THEN v END) - " +
+        "MAX(CASE WHEN arm = 'b' THEN v END) AS diff_cents " +
+        "FROM q GROUP BY 1 ORDER BY 1"),
 
     // Seasonality replay: same 12-row structural grid + ppm shares
     "order_seasonality" ->

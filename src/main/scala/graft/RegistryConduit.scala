@@ -335,6 +335,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "sink_compact" -> ((s, d) =>
       SinkOps.compactRoundTrip(s, Tables.events(s, d))),
 
+    // Delete-vector (merge-on-read) lifecycle (round 15): base +
+    // tombstones, anti-join MoR view, compaction — lossless end state
+    // (see deleteVectorRoundTrip's scaladoc).
+    "sink_delete_vectors" -> ((s, d) =>
+      SinkOps.deleteVectorRoundTrip(s, Tables.events(s, d))),
+
     // Z-order layout cells (round 9): min/max-normalized bit interleave
     // of (custkey, orderdate) → per-cell skipping index — the
     // multi-dimensional clustering sink_compact's single-column sortBy
@@ -727,6 +733,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "sink_compact" ->
       (s"SELECT event_id, user_id, ${sqlSentinel("event_type")} AS event_type, " +
         "value FROM events ORDER BY event_id"),
+
+    // delete-vector end state: the base minus the tombstoned keys —
+    // the whole MoR + compaction lifecycle must be exactly this
+    "sink_delete_vectors" ->
+      (s"SELECT event_id, user_id, ${sqlSentinel("event_type")} AS event_type, " +
+        "value FROM events WHERE event_id % 7 != 3 ORDER BY event_id"),
 
     // CAST(ts AS TIMESTAMP) mirrors the engine's µs truncation (the
     // parquet ts is nanos): without it, two same-user events inside one

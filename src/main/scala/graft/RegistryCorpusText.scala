@@ -118,6 +118,24 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "dedup_cross_source" -> ((s, d) =>
       Corpus.crossSourceDupMatrix(Tables.documents(s, d))),
 
+    // Keep-best resolution of the cross-source dup groups (round 15):
+    // one survivor per prefix fingerprint by (source, doc_id) priority,
+    // per-source kept/yielded census (see keepBestDedup's scaladoc).
+    "dedup_keep_best" -> ((s, d) =>
+      Corpus.keepBestDedup(Tables.documents(s, d))),
+
+    // Interpolated Kneser-Ney bigram cost (round 15): continuation-
+    // probability smoothing as exact rationals, bit-length log2
+    // surrogate (see lmKneserNey's scaladoc).
+    "text_lm_kneser_ney" -> ((s, d) =>
+      TextAnalysis.lmKneserNey(Tables.documents(s, d))),
+
+    // Linear counting (round 15): m-bit occupancy bitmap distinct
+    // estimate, the deterministic 8-term series ln (see linearCount's
+    // scaladoc).
+    "sketch_linear_count" -> ((s, d) =>
+      Sketches.linearCount(Tables.lineitem(s, d))),
+
     // Word-length histogram per language (round 15): the tokenizer-
     // sizing curve, clamped 17+ (see wordLenHist's scaladoc).
     "text_word_len_hist" -> ((s, d) =>
@@ -1264,6 +1282,61 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // length (no leading zeros in either engine), exact-long harmonic
     // sum with absent registers at 2^19, fixed-order IEEE estimate —
     // identical literal arithmetic on identical exact inputs
+    // keep-best replay: same prefix fingerprint, window rank by
+    // (source, doc_id), per-source census
+    "dedup_keep_best" ->
+      ("WITH k AS (SELECT source, doc_id, " +
+        "md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h " +
+        "FROM documents), " +
+        "b AS (SELECT source, doc_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY h ORDER BY source, doc_id) AS rn " +
+        "FROM k) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_yielded FROM b GROUP BY 1 ORDER BY 1"),
+
+    // KN replay: same bigram relation, the exact-rational num/den and
+    // bit-length surrogate text, broadcast-model join by bigram
+    "text_lm_kneser_ney" ->
+      ("WITH t AS (SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS t FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> substring(t, CAST(i AS INT), 2))) AS bg " +
+        "FROM t WHERE len(t) >= 2), " +
+        "cb AS (SELECT bg, substring(bg, 1, 1) AS u, substring(bg, 2, 1) AS v, " +
+        "CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2, 3), " +
+        "cu AS (SELECT u, CAST(SUM(cb) AS BIGINT) AS cu, " +
+        "CAST(COUNT(*) AS BIGINT) AS nfollow FROM cb GROUP BY 1), " +
+        "cv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nprec FROM cb GROUP BY 1), " +
+        "tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM cb), " +
+        "m AS (SELECT cb.bg, CAST(length(bin(4 * cu.cu * tt.tt)) - " +
+        "length(bin(tt.tt * greatest(4 * cb.cb - 3, 0) + 3 * cu.nfollow * cv.nprec)) " +
+        "AS BIGINT) AS cost " +
+        "FROM cb JOIN cu USING (u) JOIN cv USING (v) CROSS JOIN tt) " +
+        "SELECT bg.doc_id, COUNT(*) AS n_bigrams, " +
+        "CAST(SUM(m.cost) AS BIGINT) AS kn_cost, " +
+        "(1000 * CAST(SUM(m.cost) AS BIGINT)) // COUNT(*) AS cost_milli " +
+        "FROM bg JOIN m USING (bg) GROUP BY 1 ORDER BY 1"),
+
+    // linear-counting replay: same md5 bucket hash, distinct occupancy,
+    // the identical 8-term truncated-series text in HUGEINT
+    "sketch_linear_count" -> {
+      val series = (1 to 8).map { k =>
+        val den = BigInt(1024) pow (k - 1)
+        val fk = (1 to k).map(_ => "CAST(filled AS HUGEINT)").mkString(" * ")
+        s"(($fk) * 1000) // ($k * CAST('$den' AS HUGEINT))"
+      }.mkString(" + ")
+      "WITH k AS (SELECT l_returnflag, " +
+        "CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 7)) AS BIGINT) % 1024 AS bucket " +
+        "FROM lineitem), " +
+        "occ AS (SELECT l_returnflag, CAST(COUNT(DISTINCT bucket) AS BIGINT) AS filled FROM k GROUP BY 1), " +
+        "ex AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) " +
+        "AS exact_distinct FROM lineitem GROUP BY 1) " +
+        "SELECT occ.l_returnflag, CAST(1024 AS BIGINT) AS m, filled, " +
+        "1024 - filled AS zero_buckets, exact_distinct, " +
+        s"CAST($series AS BIGINT) AS est_milli " +
+        "FROM occ JOIN ex USING (l_returnflag) ORDER BY 1"
+    },
+
     "sketch_hll_distinct" ->
       ("WITH k AS (SELECT l_returnflag, l_partkey, " +
         "CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h " +

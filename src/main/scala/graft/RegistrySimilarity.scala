@@ -520,6 +520,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.imageEntropy(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Otsu binarization threshold (round 15): exact integer
+    // between-class-variance argmax over the decoded gray histogram,
+    // lowest-t tie break (see imageOtsu's scaladoc).
+    "multimodal_otsu" -> ((s, d) =>
+      Multimodal.imageOtsu(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Histogram equalization (round 14): per-image CDF remap with the
     // classic integer formula, real-decoded pixels, position-weighted
     // digests (see imageHistEq's scaladoc).
@@ -1526,6 +1533,31 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(COUNT(*) AS BIGINT) AS n_grays, CAST(MAX(c) AS BIGINT) AS max_count, " +
         "CAST(SUM(c * (length(bin(n // c)) - 1)) AS BIGINT) AS ent_surrogate " +
         "FROM hc GROUP BY doc_id, n ORDER BY doc_id"),
+
+    // Otsu replay: analytic gray histogram, cumulative (w0, s0) over
+    // the per-doc gray grid, the identical ×1024 integer score,
+    // (score DESC, t ASC) window pick
+    "multimodal_otsu" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w * h AS n, unnest(range(0, w * h)) AS i FROM dims), " +
+        "hc AS (SELECT doc_id, n, (doc_id*31 + i*7) % 256 AS g, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM px GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, CAST(SUM(g * c) AS BIGINT) AS s FROM hc GROUP BY 1), " +
+        "cum AS (SELECT doc_id, n, g, " +
+        "CAST(SUM(c) OVER (PARTITION BY doc_id ORDER BY g) AS BIGINT) AS w0, " +
+        "CAST(SUM(g * c) OVER (PARTITION BY doc_id ORDER BY g) AS BIGINT) AS s0 " +
+        "FROM hc), " +
+        "sc AS (SELECT c.doc_id, c.n, c.g AS t, c.w0, c.s0, " +
+        "((c.s0 * c.n - c.w0 * tot.s) * (c.s0 * c.n - c.w0 * tot.s) * 1024) " +
+        "// (c.w0 * (c.n - c.w0)) AS score " +
+        "FROM cum c JOIN tot USING (doc_id) " +
+        "WHERE c.g < 255 AND c.w0 > 0 AND c.w0 < c.n), " +
+        "best AS (SELECT doc_id, n, t, w0, s0, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rn " +
+        "FROM sc) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_pixels, CAST(t AS BIGINT) AS otsu_t, " +
+        "w0 AS n_below, s0 AS sum_below FROM best WHERE rn = 1 ORDER BY doc_id"),
 
     // patchify replay: analytic pixels grouped by even-cropped 2×2
     // patch coordinates, integer means, patch-index digests

@@ -891,6 +891,36 @@ object Corpus {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** KEEP-BEST CROSS-SOURCE DEDUP (round 15) — the RESOLUTION step
+    * [[crossSourceDupMatrix]] diagnoses: collapse each prefix-
+    * fingerprint duplicate group to ONE survivor, chosen by source
+    * priority (alphabetical source, then lowest doc_id — the
+    * deterministic total order every keep-best dedup needs, or two
+    * runs disagree). The group key is the same first-8-token md5 as
+    * the matrix; selection is min-of-struct per group (one map-side-
+    * combinable aggregation, no window over the corpus) joined back as
+    * a semi-filter. Output is the per-source census a curation review
+    * reads: docs in, survivors kept, duplicates yielded to a
+    * higher-priority source.
+    *
+    * Output: (source, n_docs, n_kept, n_yielded), ordered. */
+  def keepBestDedup(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("source"), col("doc_id"),
+      md5(array_join(slice(split(col("text"), " "), 1, 8), " ")).as("h"))
+    val best = keyed.groupBy(col("h"))
+      .agg(min(struct(col("source"), col("doc_id"))).as("b"))
+      .select(col("h"), col("b.source").as("bsource"),
+        col("b.doc_id").as("bdoc"))
+    keyed.join(best, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source") === col("bsource") &&
+          col("doc_id") === col("bdoc"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_yielded"))
+      .orderBy(col("source"))
+  }
+
   /** WORD-LENGTH HISTOGRAM per language (round 15) — the
     * tokenizer-sizing diagnostic beside [[vocabulary]]: the
     * distribution of whitespace-token lengths per language (clamped

@@ -348,6 +348,72 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** OTSU THRESHOLD (round 15) — the classic automatic binarization
+    * every document-scan pipeline runs before OCR: pick the gray
+    * threshold maximizing between-class variance
+    * ω₀ω₁(μ₀−μ₁)² = (s₀N − w₀S)² / (w₀(N−w₀)) · 1/N² — the argmax is
+    * invariant to the 1/N², so the score is the EXACT integer
+    * (s₀N − w₀S)²·1024 div (w₀(N−w₀)) over cumulative count w₀ and
+    * cumulative gray-sum s₀ at each candidate t (fixed ×1024 scaling,
+    * identical truncation both engines; ties break to the LOWEST t —
+    * deterministic). Operands stay well inside int64 for the fixture
+    * geometry (≤160 px: |s₀N − w₀S| ≤ 6.6e6, squared·1024 ≈ 4.4e16).
+    * Decode is the same real-ImageIO per-partition loop as
+    * [[imageEntropy]]; the 256-entry histogram scan is per-row work —
+    * embarrassingly parallel, no shuffle before the final ordering.
+    *
+    * Output: (doc_id, n_pixels, otsu_t, n_below, sum_below),
+    * ordered. */
+  def imageOtsu(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pixels", LongType),
+      StructField("otsu_t", LongType), StructField("n_below", LongType),
+      StructField("sum_below", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val hist = new Array[Long](256)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              hist((img.getRGB(x, y) >> 16) & 0xff) += 1; x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var s = 0L
+          var g = 0
+          while (g < 256) { s += g.toLong * hist(g); g += 1 }
+          var w0 = 0L; var s0 = 0L
+          var bestT = 0L; var bestScore = -1L
+          var t = 0
+          while (t < 255) {
+            w0 += hist(t); s0 += t.toLong * hist(t)
+            if (w0 > 0L && w0 < n) {
+              val d = s0 * n - w0 * s
+              val score = d * d * 1024L / (w0 * (n - w0))
+              if (score > bestScore) { bestScore = score; bestT = t.toLong }
+            }
+            t += 1
+          }
+          // re-derive the winning prefix sums for the output columns
+          var nb = 0L; var sb = 0L
+          t = 0
+          while (t <= bestT) { nb += hist(t); sb += t.toLong * hist(t); t += 1 }
+          Row(r.getAs[Long]("doc_id"), n, bestT, nb, sb)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** DATASET NORMALIZATION CONSTANTS (round 13) — the per-corpus-shard
     * mean/std every vision training pipeline computes BEFORE training
     * (the `transforms.Normalize(mean, std)` numbers), grouped by

@@ -2584,6 +2584,152 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** HOLT-WINTERS ADDITIVE FORECAST (round 15) — [[holtForecast]]
+    * plus a DAY-OF-WEEK seasonal component over the DAILY revenue
+    * series: the forecast a weekly-cyclic business actually needs
+    * (Holt alone chases the Monday dip every single week). Additive
+    * triple smoothing with α = β = γ = 1/2 so every update is one
+    * truncating integer halve (the portable [[halveSql]] sign split —
+    * no float state): level l' = ½(deseasonalized x + l + t), trend
+    * t' = ½(l' − l + t), season s'[dow] = ½(x − l' + s[dow]); the
+    * 7-slot season vector starts at zeros and converges within two
+    * weeks. One-step-ahead fc = l + t + s[dow] BEFORE the update —
+    * the honest forecast, never peeking at x. The whole series folds
+    * in ONE `aggregate` HOF over the sorted gap-filled calendar grid
+    * (state bounded by days, never rows — the [[holtForecast]]
+    * doctrine); the oracle replays it as a recursive CTE carrying the
+    * season LIST. Day-of-week is computed as Spark `dayofweek` (1 =
+    * Sunday); the oracle adds 1 to DuckDB's 0 = Sunday.
+    *
+    * Output: (day, rev_cents, forecast_cents, err_cents), ordered. */
+  def holtWintersForecast(orders: DataFrame): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val daily = orders
+      .select(date_trunc("day", col("o_orderdate")).as("day"),
+        cents.as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val grid = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val series = grid.join(broadcast(daily), Seq("day"), "left")
+      .select(col("day"), coalesce(col("rev"), lit(0L)).as("x"),
+        dayofweek(col("day")).cast("int").as("dw"))
+    val sd = "element_at(acc.s, e.dw)"
+    val lNew = halveSql(s"e.x - $sd + acc.l + acc.t")
+    val sNew = halveSql(s"e.x - ($lNew) + $sd")
+    val fold =
+      "aggregate(" +
+        "sort_array(collect_list(struct(day, x, dw))), " +
+        "named_struct('l', 0L, 't', 0L, " +
+        "'s', array_repeat(0L, 7), 'first', true, " +
+        "'out', CAST(array() AS " +
+        "ARRAY<STRUCT<day: TIMESTAMP, x: BIGINT, fc: BIGINT>>)), " +
+        "(acc, e) -> CASE WHEN acc.first THEN named_struct(" +
+        "'l', e.x, 't', 0L, 's', acc.s, 'first', false, " +
+        "'out', array(named_struct('day', e.day, 'x', e.x, " +
+        "'fc', CAST(NULL AS BIGINT)))) " +
+        s"ELSE named_struct('l', $lNew, " +
+        s"'t', ${halveSql(s"($lNew) - acc.l + acc.t")}, " +
+        s"'s', transform(acc.s, (v, i) -> " +
+        s"IF(i = e.dw - 1, $sNew, v)), 'first', false, " +
+        s"'out', concat(acc.out, array(named_struct('day', e.day, " +
+        s"'x', e.x, 'fc', acc.l + acc.t + $sd)))) END)"
+    series
+      .agg(expr(fold).as("st"))
+      .select(explode(col("st.out")).as("r"))
+      .select(col("r.day").as("day"), col("r.x").as("rev_cents"),
+        col("r.fc").as("forecast_cents"),
+        (col("r.x") - col("r.fc")).as("err_cents"))
+      .orderBy(col("day"))
+  }
+
+  /** WEEKLY OHLC RESAMPLE (round 15) — the open/high/low/close
+    * downsample every time-series store offers, over the shared
+    * gap-filled DAILY revenue grid (a skipped day is a 0-revenue day,
+    * not a missing sample — so a week's low reads 0 when trade
+    * stopped, exactly what the chart should show). Weeks are
+    * `date_trunc('week')` (Monday-start on both engines); open/close
+    * are the first/last day's value BY CALENDAR ORDER via a single
+    * min/max-of-struct pair — no window, no second shuffle: one
+    * aggregation over the calendar-bounded grid.
+    *
+    * Output: (week, n_days, open_cents, high_cents, low_cents,
+    * close_cents), ordered. */
+  def weeklyOhlc(orders: DataFrame): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val daily = orders
+      .select(date_trunc("day", col("o_orderdate")).as("day"),
+        cents.as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val grid = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    grid.join(broadcast(daily), Seq("day"), "left")
+      .select(date_trunc("week", col("day")).as("week"), col("day"),
+        coalesce(col("rev"), lit(0L)).as("x"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"),
+        min(struct(col("day"), col("x"))).as("o"),
+        max(col("x")).as("high_cents"),
+        min(col("x")).as("low_cents"),
+        max(struct(col("day"), col("x"))).as("c"))
+      .select(col("week"), col("n_days"), col("o.x").as("open_cents"),
+        col("high_cents"), col("low_cents"), col("c.x").as("close_cents"))
+      .orderBy(col("week"))
+  }
+
+  /** QQ DECILE TABLE between two arms (round 15) — the
+    * distribution-vs-distribution read the scalar tests compress away
+    * ([[welchT2]] compares means, [[ksStatistic]] reports one
+    * supremum; the QQ table shows WHERE the distributions diverge):
+    * for deciles 1..9, each arm's exact nearest-rank-low order
+    * statistic (rank ((n−1)·i) div 10 + 1 — the engine-portable
+    * integer convention, no interpolation) over the value-grouped
+    * cent grid, selected by a broadcast rank-bracket join against the
+    * per-arm cumulative counts — never a row-level sort. The paired
+    * columns and their gap land in one 9-row relation.
+    *
+    * Output: (decile, n_a, n_b, qa_cents, qb_cents, diff_cents),
+    * ordered. */
+  def qqDeciles(events: DataFrame, typeA: String = "click",
+                typeB: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val c = (dec2(col("value")) * 100).cast("long")
+    val base = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(when(col("event_type") === typeA, "a").otherwise("b")
+        .as("arm"), c.as("v"))
+    val counts = base.groupBy(col("arm"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("arm")).orderBy(col("v"))
+    val cum = counts
+      .withColumn("hi_rank", sum(col("cnt")).over(w))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt") + lit(1))
+    val deciles = (1 to 9).toDF("decile")
+    val ranks = base.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      .crossJoin(deciles)
+      .select(col("arm").as("rarm"), col("decile"), col("n"),
+        (expr("((n - 1) * decile) div 10") + 1L).as("k"))
+    val qs = cum.join(broadcast(ranks),
+        col("arm") === col("rarm") &&
+          col("k") >= col("lo_rank") && col("k") <= col("hi_rank"))
+      .groupBy(col("decile"))
+      .agg(max(when(col("arm") === "a", col("n"))).as("n_a"),
+        max(when(col("arm") === "b", col("n"))).as("n_b"),
+        max(when(col("arm") === "a", col("v"))).as("qa_cents"),
+        max(when(col("arm") === "b", col("v"))).as("qb_cents"))
+    qs.select(col("decile"), col("n_a"), col("n_b"),
+        col("qa_cents"), col("qb_cents"),
+        (col("qa_cents") - col("qb_cents")).as("diff_cents"))
+      .orderBy(col("decile"))
+  }
+
   /** 7-DAY ROLLING MEDIAN (round 13) — the robust smoother over the
     * daily revenue series: where [[dailyEwma]]'s mean-based smoothing
     * follows a one-day spike, the rolling median IGNORES it until it

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import java.nio.file.Files
 
 /** A12-A16, A18 — the reference's sink-side machinery re-expressed as
@@ -48,7 +49,7 @@ object SinkOps {
   /** One scratch root per JVM for sink round-trips, removed on exit —
     * repeated bench/verify invocations overwrite the same subdirectory
     * instead of leaking a fresh temp dir per call. */
-  private lazy val scratchRoot: java.nio.file.Path = {
+  private[graft] lazy val scratchRoot: java.nio.file.Path = {
     val p = Files.createTempDirectory("graft_sink_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -131,6 +132,57 @@ object SinkOps {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
+
+  /** DELETE-VECTOR (merge-on-read) ROUND TRIP (round 15) — the
+    * lakehouse delete pattern at 100 TB: a delete never rewrites the
+    * base files at commit time; it lands as a tiny TOMBSTONE relation
+    * (here: the deleted keys) and every read applies it as an
+    * anti-join until a compaction folds it in. This operator proves
+    * the full lifecycle lossless: write the base, write the tombstones
+    * (event_id ≡ 3 mod 7 — deterministic, ~14%), read BOTH back under
+    * explicit schemas (the empty-write doctrine), serve the
+    * merge-on-read view (left_anti on the key — a key-partitioned
+    * shuffle join; real delete vectors are per-file bitmaps, the
+    * relation-level anti-join is the engine-portable equivalent with
+    * the same plan shape), then COMPACT (apply the vector once,
+    * rewrite) and re-read. The returned relation is the compacted
+    * read; PipelineSpec asserts the MoR view and the compacted
+    * read are row-identical — the invariant that makes compaction
+    * safe to run lazily.
+    *
+    * Output: (event_id, user_id, event_type, value) live rows,
+    * ordered. */
+  def deleteVectorRoundTrip(spark: SparkSession,
+                            events: DataFrame): DataFrame = {
+    val base = s"$scratchRoot/dv_base"
+    val dels = s"$scratchRoot/dv_tomb"
+    val comp = s"$scratchRoot/dv_compact"
+    val written = events
+      .select(col("event_id"), col("user_id"),
+        ExportOps.nullSentinel(col("event_type")).as("event_type"),
+        col("value"))
+    written.repartition(8).write.mode("overwrite").parquet(base)
+    written.filter(pmod(col("event_id"), lit(7L)) === 3L)
+      .select(col("event_id"))
+      .repartition(1).write.mode("overwrite").parquet(dels)
+    val tombSchema = StructType(Seq(StructField("event_id", LongType)))
+    val morView = morRead(spark, base, dels, written.schema, tombSchema)
+    morView.repartition(4).write.mode("overwrite").parquet(comp)
+    spark.read.schema(written.schema).parquet(comp)
+      .orderBy(col("event_id"))
+  }
+
+  /** The merge-on-read view: base files minus tombstoned keys. Shared
+    * by [[deleteVectorRoundTrip]] and PipelineSpec's
+    * MoR-equals-compacted assertion. */
+  private[graft] def morRead(spark: SparkSession, baseDir: String,
+                             tombDir: String,
+                             baseSchema: org.apache.spark.sql.types.StructType,
+                             tombSchema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.read.schema(baseSchema).parquet(baseDir)
+      .join(spark.read.schema(tombSchema).parquet(tombDir),
+        Seq("event_id"), "left_anti")
 
   /** A15 conn_pool — LRU(max)+TTL cache semantics over endpoints: an
     * endpoint's last access is its newest event; it stays cached iff it is

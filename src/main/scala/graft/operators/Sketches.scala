@@ -242,6 +242,49 @@ object Sketches {
       .orderBy(col("l_returnflag"))
   }
 
+  /** LINEAR COUNTING (round 15) — the low-range distinct estimator
+    * HLL itself falls back to when most registers are empty
+    * (Whang et al.): hash each key into an m-bit bitmap and estimate
+    * n̂ = −m·ln(1 − filled/m) from the occupancy alone. The bitmap is
+    * the sketch: per group it is the SET of occupied buckets (a
+    * distinct-aggregation, map-side combinable, mergeable by union —
+    * the distributed property, same as [[hllDistinct]]'s max-merge).
+    * The ln is NOT a libm call (cross-engine double drift — the
+    * bit-length doctrine applies): −ln(1−ρ) expands as Σ ρᵏ/k, and
+    * with ρ = filled/m every term is the exact rational fᵏ/(k·mᵏ⁻¹),
+    * so the estimate is the DETERMINISTIC 8-term integer series
+    * est_milli = Σₖ (1000·fᵏ) div (k·mᵏ⁻¹) in DECIMAL(38,0) —
+    * identical truncation on both engines (documented estimator
+    * variant; the truncated tail matters only as ρ → 1, where LC is
+    * out of its regime anyway and [[hllDistinct]] takes over). Same
+    * md5-derived bucket hash as HLL.
+    *
+    * Output: (l_returnflag, m, filled, zero_buckets, exact_distinct,
+    * est_milli), ordered. */
+  def linearCount(lineitem: DataFrame, b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val m = 1L << b
+    val occupied = lineitem
+      .select(col("l_returnflag"),
+        (conv(substring(md5(col("l_partkey").cast("string")), 1, 7), 16, 10)
+          .cast("long") % m).as("bucket"))
+      .distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("filled"))
+    val series = (1 to 8).map { k =>
+      val den = BigInt(m) pow (k - 1)
+      val fk = (1 to k).map(_ => "CAST(filled AS DECIMAL(38,0))")
+        .mkString(" * ")
+      s"(($fk) * 1000) div (${k}L * CAST('$den' AS DECIMAL(38,0)))"
+    }.mkString(" + ")
+    val exact = lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    occupied.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), lit(m).as("m"), col("filled"),
+        (lit(m) - col("filled")).as("zero_buckets"), col("exact_distinct"),
+        expr(series).cast("long").as("est_milli"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** HLL MERGEABILITY AUDIT (round 13) — the property that makes a
     * sketch DISTRIBUTED: registers built independently per shard and
     * max-merged must equal the single-pass global registers, bucket

@@ -657,6 +657,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** INTERPOLATED KNESER-NEY BIGRAM COST (round 15) — the smoothing
+    * upgrade over [[lmPerplexity]]'s raw MLE: KN backs off an unseen-
+    * context's mass to the CONTINUATION probability (how many distinct
+    * contexts a character follows — "Francisco" is frequent but only
+    * ever follows "San", so its unigram back-off weight is tiny). With
+    * discount D = 3/4, P(v|u) over character bigrams is the exact
+    * rational  (T·max(4c(uv)−3, 0) + 3·N1+(u·)·N1+(·v)) / (4·T·c(u))
+    * where N1+(u·)/N1+(·v) are the distinct-follower/context counts
+    * and T the distinct-bigram-type total — ALL BIGINTs, so the
+    * per-bigram cost uses the integer bit-length log2 surrogate
+    * (bitlen(den) − bitlen(num), the [[lmPerplexity]]/[[zipfFit]]
+    * doctrine) and the whole model replays exactly on any engine. The
+    * model is corpus-level (three aggregations over the bounded
+    * char-bigram domain, broadcast back); scoring is one broadcast
+    * join — no shuffle of the corpus beyond the per-doc rollup.
+    *
+    * Output: (doc_id, n_bigrams, kn_cost, cost_milli), ordered. */
+  def lmKneserNey(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val bigrams = docs.select(col("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("bg"))
+    val cb = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .withColumn("u", substring(col("bg"), 1, 1))
+      .withColumn("v", substring(col("bg"), 2, 1))
+    val cu = cb.groupBy(col("u"))
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("nfollow"))
+    val cv = cb.groupBy(col("v")).agg(count(lit(1)).as("nprec"))
+    val t = cb.agg(count(lit(1)).as("tt"))
+    val model = cb.join(cu, "u").join(cv, "v").crossJoin(broadcast(t))
+      .select(col("bg"),
+        (length(bin(lit(4L) * col("cu") * col("tt"))) -
+          length(bin(col("tt") * greatest(lit(4L) * col("cb") - 3L, lit(0L))
+            + lit(3L) * col("nfollow") * col("nprec"))))
+          .cast("long").as("cost"))
+    bigrams.join(broadcast(model), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("kn_cost"))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_cost"),
+        expr("(1000 * kn_cost) div n_bigrams").as("cost_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ZIPF RANK-FREQUENCY FIT (round 12) — the corpus-health audit that
     * catches template spam and synthetic filler: natural language obeys
     * f(r) ∝ r^-α with α ≈ 1, so the least-squares slope of

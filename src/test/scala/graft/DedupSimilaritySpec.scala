@@ -1879,4 +1879,49 @@ class DedupSimilaritySpec extends SparkSpec {
     // s1: 2 en of 3 docs -> 666666 ppm; 1 de -> 333333
     assert(lm(("s1", "en")) == 666666L && lm(("s1", "de")) == 333333L)
   }
+
+  test("keepBestDedup: one survivor per prefix group by (source, doc_id) " +
+    "priority; within-source dups also yield; Σkept = #groups") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val docs = Seq(
+      (5L, "same text", "en", "s2", 9L),   // group A, loses to s1
+      (9L, "same text", "en", "s1", 9L),   // group A winner (source < s2)
+      (1L, "same text", "en", "s1", 9L),   // group A: s1 within-dup — doc 1 < 9 wins
+      (7L, "only here", "en", "s3", 9L))   // singleton group B
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.keepBestDedup(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // group A winner is (s1, doc 1): s1 keeps 1 of 2, s2 yields its 1
+    assert(out("s1") == ((2L, 1L, 1L)), s"s1 ${out("s1")}")
+    assert(out("s2") == ((1L, 0L, 1L)), s"s2 ${out("s2")}")
+    assert(out("s3") == ((1L, 1L, 0L)), s"s3 ${out("s3")}")
+    assert(out.values.map(_._2).sum == 2L, "Σkept must equal #groups")
+  }
+
+  test("lmKneserNey: continuation weighting is real — a frequent bigram " +
+    "costs less than a hapax, and the unseen-context share rides " +
+    "N1+ counts, all exact integers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab"), (2L, "abab"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.lmKneserNey(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // bigrams: doc1/doc2 = ab,ba,ab ×2 docs → c(ab)=4 c(ba)=2; doc3: xy c=1
+    // model: T=3 types. u='a': cu=4, nfollow=1; u='b': cu=2 nf=1; u='x': 1,1
+    // v='b': nprec=1; v='a': 1; v='y': 1
+    // cost(ab) = bitlen(4·4·3) − bitlen(3·max(16−3,0)+3·1·1)
+    //          = bitlen(48) − bitlen(42) = 6 − 6 = 0
+    // cost(ba) = bitlen(4·2·3) − bitlen(3·5+3) = bitlen(24)−bitlen(18) = 5−5=0
+    // cost(xy) = bitlen(4·1·3) − bitlen(3·1+3) = bitlen(12)−bitlen(6) = 4−3=1
+    assert(out(1L) == ((3L, 0L)), s"doc1 ${out(1L)}")
+    assert(out(3L) == ((1L, 1L)), s"doc3 ${out(3L)}")
+    // a rarer bigram must never cost less than a more frequent one with
+    // the same context mass — monotonicity sanity on the real corpus
+    val real = graft.operators.TextAnalysis.lmKneserNey(Tables.documents(spark, sf0))
+      .collect()
+    assert(real.nonEmpty && real.forall(_.getLong(2) >= 0L))
+  }
 }

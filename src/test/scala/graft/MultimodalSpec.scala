@@ -953,4 +953,40 @@ class MultimodalSpec extends SparkSpec {
     // no double counting
     assert(out(2L) == ((4L, 4L, 4L, 0L, 4L, 0L)), s"flat ${out(2L)}")
   }
+
+  test("imageOtsu: threshold matches an exhaustive analytic replay and " +
+    "splits the mass exactly where the prefix sums say") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(n => (n, "o" * n.toInt, n))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.imageOtsu(spark, Multimodal.ingestBmp(docs))
+      .collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val w = (docId % 13 + 4).toInt; val h = (docId % 7 + 4).toInt
+      val n = w.toLong * h
+      val hist = new Array[Long](256)
+      for (i <- 0 until (w * h)) hist(((docId * 31 + i * 7) % 256).toInt) += 1
+      val s = (0 until 256).map(g => g.toLong * hist(g)).sum
+      var w0 = 0L; var s0 = 0L; var bestT = 0L; var bestScore = -1L
+      for (t <- 0 until 255) {
+        w0 += hist(t); s0 += t.toLong * hist(t)
+        if (w0 > 0 && w0 < n) {
+          val d = s0 * n - w0 * s
+          val score = d * d * 1024L / (w0 * (n - w0))
+          if (score > bestScore) { bestScore = score; bestT = t.toLong }
+        }
+      }
+      assert(r.getAs[Long]("n_pixels") == n)
+      assert(r.getAs[Long]("otsu_t") == bestT,
+        s"doc=$docId expected t=$bestT got ${r.getAs[Long]("otsu_t")}")
+      val nb = (0 to bestT.toInt).map(hist(_)).sum
+      val sb = (0 to bestT.toInt).map(g => g.toLong * hist(g)).sum
+      assert(r.getAs[Long]("n_below") == nb &&
+        r.getAs[Long]("sum_below") == sb)
+      // the split is real: both classes populated
+      assert(nb > 0 && nb < n, s"degenerate split for doc=$docId")
+    }
+  }
 }

@@ -374,4 +374,31 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == graft.operators.ExportPipeline
       .hilbertCells(orders.repartition(13)).collect().toSeq)
   }
+
+  test("deleteVectorRoundTrip: the merge-on-read view equals the " +
+    "compacted read row-for-row, and every tombstoned key is gone") {
+    val events = Tables.events(spark, sf0)
+    val compacted = graft.operators.SinkOps
+      .deleteVectorRoundTrip(spark, events).collect()
+    // no tombstoned key survives; live count is exactly the complement
+    assert(compacted.forall(r => r.getAs[Long]("event_id") % 7 != 3))
+    val expectLive = events
+      .filter(pmod(col("event_id"), lit(7L)) =!= 3L).count()
+    assert(compacted.length.toLong == expectLive)
+    // MoR (base ⟕̸ tombstones, pre-compaction) ≡ compacted read: the
+    // invariant that makes compaction safe to defer indefinitely
+    val written = events.select(col("event_id"), col("user_id"),
+      graft.operators.ExportOps.nullSentinel(col("event_type"))
+        .as("event_type"), col("value"))
+    val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    val mor = graft.operators.SinkOps.morRead(spark,
+        s"${graft.operators.SinkOps.scratchRoot}/dv_base",
+        s"${graft.operators.SinkOps.scratchRoot}/dv_tomb",
+        written.schema, tombSchema)
+      .orderBy(col("event_id")).collect()
+    assert(mor.map(_.toSeq).toSeq == compacted.map(_.toSeq).toSeq,
+      "merge-on-read view diverged from the compacted read")
+  }
 }

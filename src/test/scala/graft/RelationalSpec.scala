@@ -2539,4 +2539,77 @@ class RelationalSpec extends SparkSpec {
     // click at 100 (cell 2, band_lo 100) pairs with 120 and 50 -> 2
     assert(out.map(_.toSeq).toSeq == Seq(Seq(100L, 2L)), out.mkString(";"))
   }
+
+  test("holtWintersForecast: hand 9-day series — day-2 forecast is pure " +
+    "level (zero season), and the season slot learned on day 2 feeds " +
+    "day 9's forecast one week later") {
+    val orders = Seq(
+      ("2024-03-04", 10.00), ("2024-03-05", 20.00), ("2024-03-06", 30.00),
+      ("2024-03-07", 10.00), ("2024-03-08", 10.00), ("2024-03-09", 10.00),
+      ("2024-03-10", 10.00), ("2024-03-11", 10.00), ("2024-03-12", 40.00))
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.holtWintersForecast(orders).collect().toSeq
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // hand fold (α=β=γ=1/2, halve = sign-split div 2):
+    // day1 x=1000: l=1000 t=0 s=0s, fc NULL
+    // day2 x=2000 dw(Tue)=3: fc=1000+0+0=1000; l=h(2000+1000)=1500,
+    //   t=h(500)=250, s[3]=h(2000-1500)=250
+    assert(out.head == (1000L, None), s"got ${out.head}")
+    assert(out(1) == (2000L, Some(1000L)), s"got ${out(1)}")
+    // day 9 (next Tuesday, x=4000): its fc must include day-2's
+    // learned s[3] — recompute the full fold in Scala and compare
+    def h(v: Long) = if (v < 0) -((-v) / 2) else v / 2
+    var l = 1000L; var t = 0L; val s = Array.fill(8)(0L)
+    val xs = Seq((2000L, 3), (3000L, 4), (1000L, 5), (1000L, 6),
+      (1000L, 7), (1000L, 1), (1000L, 2), (4000L, 3))
+    val fcs = xs.map { case (x, dw) =>
+      val fc = l + t + s(dw)
+      val lN = h(x - s(dw) + l + t)
+      val tN = h(lN - l + t); val sN = h(x - lN + s(dw))
+      l = lN; t = tN; s(dw) = sN
+      fc
+    }
+    assert(out.drop(1).map(_._2.get) == fcs, s"got ${out.drop(1)}")
+    // season participated: day-9 fc differs from the Holt-only path
+    assert(s(3) != 0L)
+  }
+
+  test("weeklyOhlc: gap day is a 0 low; open/close follow calendar " +
+    "order, not value order") {
+    val orders = Seq(
+      // week of Mon 2024-03-04: Tue 30, Wed gap (0), Thu 10
+      ("2024-03-05", 30.00), ("2024-03-07", 10.00),
+      // week of Mon 2024-03-11: Mon only
+      ("2024-03-11", 50.00))
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.weeklyOhlc(orders).collect().toSeq
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // grid spans Tue 03-05 .. Mon 03-11: week1 has 6 days
+    // (Tue..Sun), open=3000 (Tue), high=3000, low=0 (gap days),
+    // close=0 (Sun); week2 is the single Monday
+    assert(out == Seq(
+      (6L, 3000L, 3000L, 0L, 0L),
+      (1L, 5000L, 5000L, 5000L, 5000L)), s"got $out")
+  }
+
+  test("qqDeciles: hand arms — nearest-rank-low deciles off the value " +
+    "grid, diff exact") {
+    val ev = ((1 to 10).map(i => ("click", i.toDouble)) ++
+      (1 to 5).map(i => ("purchase", i * 2.0)))
+      .zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+    val out = Relational.qqDeciles(ev).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // n_a=10: k = (9·i) div 10 + 1 → values 100·(k)
+    // n_b=5:  k = (4·i) div 10 + 1 → values 200·(k)
+    val exp = (1 to 9).map { i =>
+      val ka = (9 * i) / 10 + 1; val kb = (4 * i) / 10 + 1
+      (i, ka * 100L, kb * 200L, ka * 100L - kb * 200L)
+    }
+    assert(out == exp, s"got $out")
+  }
 }

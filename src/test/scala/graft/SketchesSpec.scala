@@ -290,4 +290,26 @@ class SketchesSpec extends SparkSpec {
       .collect().head
     assert(out.toSeq == out2.toSeq, "AMS not repartition-invariant")
   }
+
+  test("linearCount: occupancy is exactly the distinct bucket count, " +
+    "the series estimate tracks exact within LC's regime, and the " +
+    "bitmap is repartition-invariant") {
+    val li = Tables.lineitem(spark, sf0)
+    val rows = Sketches.linearCount(li).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getLong(1); val filled = r.getLong(2)
+      val exact = r.getLong(4); val estMilli = r.getLong(5)
+      assert(r.getLong(3) == m - filled)
+      assert(filled <= exact, "occupancy cannot exceed exact distinct")
+      // sf0.001 distinct ≈ hundreds vs m=1024: LC's sweet spot —
+      // the estimate must land within ±15% of exact
+      val est = estMilli / 1000.0
+      assert(est > exact * 0.85 && est < exact * 1.15,
+        s"LC estimate $est vs exact $exact outside the regime band")
+    }
+    val again = Sketches.linearCount(li.repartition(13)).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "linear counting not repartition-invariant")
+  }
 }
