@@ -415,6 +415,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "corpus_token_budget" -> ((s, d) =>
       Corpus.tokenBudgetPrefix(Tables.documents(s, d))),
 
+    // Training-shard plan (round 15): sequential-fill sharding per
+    // source — shard = running total BEFORE the doc div budget (see
+    // shardPlan's scaladoc).
+    "corpus_shard_plan" -> ((s, d) =>
+      Corpus.shardPlan(Tables.documents(s, d))),
+
     // Vocab coverage (round 11): per-source occurrence coverage of the
     // global top-32 vocab + OOV type counts — the tokenizer card's
     // first table.
@@ -775,6 +781,18 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "quality_freshness" -> ((s, d) =>
       Relational.freshness(Tables.events(s, d))),
 
+    // Null/blank/zero census (round 15): the three missing-value
+    // flavors per audited column in one aggregation pass (see
+    // nullCensus' scaladoc).
+    "quality_null_census" -> ((s, d) =>
+      Relational.nullCensus(Tables.events(s, d))),
+
+    // Permutation test (round 15): assumption-free p for the arm gap,
+    // deterministic md5 label shuffles, integer-domain comparison (see
+    // permutationTest's scaladoc).
+    "stats_perm_test" -> ((s, d) =>
+      Relational.permutationTest(Tables.events(s, d))),
+
     // Edge-weight histogram (round 14): the distribution that sizes
     // the strong-tie minWeight constant — the graph twin of
     // dedup_df_histogram (see weightHistogram's scaladoc).
@@ -1070,6 +1088,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // (see bfsLayers' scaladoc). Reads the shared memoized edges.
     "graph_bfs_layers" -> ((s, d) =>
       Graph.bfsLayers(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
+    // Two-hop reach from the md5 seed set (round 15): friend-of-friend
+    // audience per seed on the strong-tie subgraph (see twoHopReach's
+    // scaladoc). Reads the shared memoized edges.
+    "graph_two_hop_reach" -> ((s, d) =>
+      Graph.twoHopReach(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
     // Degree assortativity (round 12): the hub-mixing audit as an
@@ -2116,6 +2141,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(2000 AS BIGINT) AS budget, " +
         "CAST(SUM(CASE WHEN cum <= 2000 THEN n_tok ELSE 0 END) AS DOUBLE) / 2000 AS fill " +
         "FROM c GROUP BY source ORDER BY source"),
+
+    // shard-plan replay: doc_id-order running total, first-fit shard
+    // = (cum − n_tok) // budget, per-(source, shard) rollup
+    "corpus_shard_plan" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tok, SUM(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT source, CAST((cum - n_tok) // 2000 AS BIGINT) AS shard_id, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens, " +
+        "CAST(MIN(doc_id) AS BIGINT) AS first_doc, " +
+        "CAST(MAX(doc_id) AS BIGINT) AS last_doc " +
+        "FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // bit-length idf surrogate: bitlen(N div df) - 1, zero at df = N
     "text_tfidf_keywords" ->
@@ -3319,6 +3357,28 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // seeds over the strong-tie (w >= 2) graph, capped at the engine's
     // round count; unreached nodes keep their structural -1 row via
     // the universe left join
+    // two-hop reach replay: same inline edge build + md5 seeds, two
+    // expansion joins, distinct union, seed excluded
+    "graph_two_hop_reach" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "wt AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS w FROM it a " +
+        "JOIN it b ON a.o = b.o AND a.p != b.p GROUP BY 1, 2), " +
+        "und AS (SELECT a, b FROM wt WHERE w >= 2), " +
+        "seeds AS (SELECT DISTINCT p AS seed FROM it " +
+        "WHERE substring(md5(CAST(p AS VARCHAR)), 1, 2) = '00'), " +
+        "one AS (SELECT DISTINCT s.seed, e.b AS node FROM seeds s " +
+        "JOIN und e ON e.a = s.seed), " +
+        "two AS (SELECT o.seed, e.b AS node FROM one o JOIN und e ON e.a = o.node), " +
+        "reach AS (SELECT DISTINCT seed, node FROM " +
+        "(SELECT seed, node FROM one UNION ALL SELECT seed, node FROM two) z " +
+        "WHERE node != seed), " +
+        "oc AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_one_hop " +
+        "FROM one WHERE node != seed GROUP BY 1) " +
+        "SELECT r.seed AS node, CAST(COALESCE(oc.n_one_hop, 0) AS BIGINT) AS n_one_hop, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_two_hop_reach " +
+        "FROM reach r LEFT JOIN oc ON oc.seed = r.seed " +
+        "GROUP BY 1, 2 ORDER BY 1"),
+
     "graph_bfs_layers" ->
       ("WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
         "wt AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS w FROM it a " +
@@ -3471,6 +3531,57 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000 // " +
         s"nullif(COUNT(*), 0)) > $b AS over_budget " +
         "FROM events GROUP BY 1 ORDER BY 1")
+    },
+
+    // null census replay: the same conditional sums, unpivoted via a
+    // UNION-driven constant table
+    "quality_null_census" ->
+      ("WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COALESCE(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS et_null, " +
+        "CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL AND trim(event_type) = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS et_blank, " +
+        "CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_null, " +
+        "CAST(COALESCE(SUM(CASE WHEN value = 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_zero, " +
+        "CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS u_null, " +
+        "CAST(COALESCE(SUM(CASE WHEN user_id = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS u_zero, " +
+        "CAST(COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS p_null, " +
+        "CAST(COALESCE(SUM(CASE WHEN props IS NOT NULL AND trim(props) = '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS p_blank " +
+        "FROM events), " +
+        "u AS (SELECT 'event_type' AS \"column\", et_null AS n_null, " +
+        "et_blank AS n_blank, CAST(NULL AS BIGINT) AS n_zero, n FROM a " +
+        "UNION ALL SELECT 'props', p_null, p_blank, CAST(NULL AS BIGINT), n FROM a " +
+        "UNION ALL SELECT 'user_id', u_null, CAST(NULL AS BIGINT), u_zero, n FROM a " +
+        "UNION ALL SELECT 'value', v_null, CAST(NULL AS BIGINT), v_zero, n FROM a) " +
+        "SELECT \"column\", n AS n_rows, n_null, n_blank, n_zero, " +
+        "CAST((n_null * 1000000) // nullif(n, 0) AS BIGINT) AS null_ppm " +
+        "FROM u ORDER BY \"column\""),
+
+    // permutation replay: same md5 arm redraws, the identical
+    // cross-multiplied comparison in HUGEINT, (n_ge+1)/(B+1) milli
+    "stats_perm_test" -> {
+      val b = graft.operators.Relational.PermB
+      "WITH k AS (SELECT event_id, CAST(user_id % 2 AS INT) AS arm, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "obs AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0o, " +
+        "CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN CAST(c AS HUGEINT) END), 0) AS HUGEINT) AS s0o, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1o, " +
+        "CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN CAST(c AS HUGEINT) END), 0) AS HUGEINT) AS s1o FROM k), " +
+        "p AS (SELECT k.c, rb.rb, CAST(CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rb.rb AS VARCHAR)), 1, 7)) AS BIGINT) % 2 AS INT) AS parm " +
+        s"FROM k, (SELECT unnest(range(0, $b)) AS rb) rb), " +
+        "pr AS (SELECT rb, CAST(SUM(CASE WHEN parm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(COALESCE(SUM(CASE WHEN parm = 0 THEN CAST(c AS HUGEINT) END), 0) AS HUGEINT) AS s0, " +
+        "CAST(SUM(CASE WHEN parm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(COALESCE(SUM(CASE WHEN parm = 1 THEN CAST(c AS HUGEINT) END), 0) AS HUGEINT) AS s1 " +
+        "FROM p GROUP BY 1), " +
+        "ge AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_perms, " +
+        "CAST(SUM(CASE WHEN pr.n0 = 0 OR pr.n1 = 0 THEN 1 " +
+        "WHEN abs(pr.s1 * pr.n0 - pr.s0 * pr.n1) * (CAST(obs.n0o AS HUGEINT) * obs.n1o) >= " +
+        "abs(obs.s1o * obs.n0o - obs.s0o * obs.n1o) * (CAST(pr.n0 AS HUGEINT) * pr.n1) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_ge FROM pr, obs) " +
+        "SELECT 'purchase' AS event_type, obs.n0o AS n0, obs.n1o AS n1, " +
+        "ge.n_perms, ge.n_ge, " +
+        s"CAST(((ge.n_ge + 1) * 1000) // ${b + 1} AS BIGINT) AS p_milli " +
+        "FROM ge, obs"
     },
 
     // freshness replay: same per-type max, exact µs lag, same rank

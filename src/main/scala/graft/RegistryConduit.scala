@@ -247,6 +247,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "sink_csv_gzip" -> ((s, d) =>
       graft.sources.TextSources.csvGzipRoundTrip(s, Tables.events(s, d))),
 
+    // Multi-char-delimiter CSV round-trip (round 15): the `||`
+    // mainframe-extract dialect, explicit schema both ways (see
+    // csvMultiDelimRoundTrip's scaladoc).
+    "source_csv_multichar_delim" -> ((s, d) =>
+      graft.sources.TextSources.csvMultiDelimRoundTrip(s, Tables.events(s, d))),
+
     // Binary-file source (round 15): one blob per doc via the
     // binaryFile format — the opaque-media ingest leg; md5/byte-length
     // re-derived from raw bytes (see binaryFilesRead's scaladoc).
@@ -541,6 +547,14 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
 
     // gzip CSV: same lossless-summary statement as the plain CSV leg
     "sink_csv_gzip" ->
+      (s"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        s"CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS cents_sum " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // multi-delim round-trip must be lossless: same summary relation
+    "source_csv_multichar_delim" ->
       (s"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         s"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
         s"CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +

@@ -71,6 +71,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "sim_knn_join" -> ((s, d) =>
       Similarity.knnJoinLsh(Tables.embeddings(s, d))),
 
+    // kNN label-probe accuracy (round 15): majority vote of the LSH
+    // kNN neighbors vs the true label, no-candidate vectors reported
+    // not dropped (see knnLabelAccuracy's scaladoc).
+    "embed_knn_label_acc" -> ((s, d) =>
+      Similarity.knnLabelAccuracy(Tables.embeddings(s, d))),
+
     // IVF (inverted-file) ANN top-k: TRAINED coarse quantizer (2
     // deterministic Lloyd's iterations), nprobe-list candidate lookup,
     // exact rerank. Full DuckDB oracle since round 9: the fixed
@@ -1004,6 +1010,31 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "sim_ann_ivfpq_residual" -> sqlIvfPqResidual,
 
     "embed_random_projection" -> sqlRandomProjection,
+
+    // label-probe replay: the sim_knn_join chain + label attach,
+    // (votes DESC, label ASC) vote pick, left-join census
+    "embed_knn_label_acc" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id FROM bk a " +
+        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id), " +
+        s"s AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        "FROM s WHERE NOT isnan(cos)), " +
+        "knn AS (SELECT q_id, n_id FROM r WHERE rank <= 5), " +
+        "lb AS (SELECT vec_id, label FROM embeddings), " +
+        "vt AS (SELECT knn.q_id, lb.label AS n_label, CAST(COUNT(*) AS BIGINT) AS votes " +
+        "FROM knn JOIN lb ON lb.vec_id = knn.n_id GROUP BY 1, 2), " +
+        "pd AS (SELECT q_id AS vec_id, n_label AS pred FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id " +
+        "ORDER BY votes DESC, n_label ASC) AS rn FROM vt) WHERE rn = 1) " +
+        "SELECT lb.label, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "CAST(SUM(CASE WHEN pd.pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred, " +
+        "CAST(SUM(CASE WHEN pd.pred IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nopred, " +
+        "CAST(SUM(CASE WHEN pd.pred = lb.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+        "CAST((SUM(CASE WHEN pd.pred = lb.label THEN 1 ELSE 0 END) * 1000000) // " +
+        "nullif(SUM(CASE WHEN pd.pred IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS acc_ppm " +
+        "FROM lb LEFT JOIN pd USING (vec_id) GROUP BY 1 ORDER BY 1"),
 
     // the k-NN self-join replays with the same bucket CTE — every
     // vector is a query

@@ -243,7 +243,8 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       "graph_components", "order_affinity_rules", "graph_label_prop",
       "graph_modularity", "graph_assortativity", "graph_bfs_layers",
       "graph_closeness", "graph_degree_gini", "graph_kcore",
-      "graph_weight_hist", "graph_adamic_adar", "graph_rich_club"),
+      "graph_weight_hist", "graph_adamic_adar", "graph_rich_club",
+      "graph_two_hop_reach"),
     "memo:triangles" -> Seq("graph_triangles", "graph_link_jaccard",
       "graph_cluster_coeff", "graph_adamic_adar"),
     "memo:lpa_labels" -> Seq("graph_label_prop", "graph_modularity"),

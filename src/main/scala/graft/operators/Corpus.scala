@@ -613,6 +613,35 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** TRAINING-SHARD PLAN (round 15) — the sequential-fill sharding a
+    * pretraining data loader consumes: within each source, walk docs
+    * in doc_id order and open a new shard every time the RUNNING token
+    * total crosses `budgetPerShard` — shard = (cum − n_tok) div budget,
+    * the first-fit rule where a straddling doc lands in the shard its
+    * FIRST token falls in (shards overfill by at most one doc, never
+    * underfill — the loader-friendly invariant, vs [[tokenBudgetPrefix]]
+    * which CUTS at the budget). The cumulative window is partitioned
+    * by source (the sessionize discipline — never a global sort); the
+    * summary is one bounded per-(source, shard) rollup.
+    *
+    * Output: (source, shard_id, n_docs, tokens, first_doc, last_doc),
+    * ordered. */
+  def shardPlan(docs: DataFrame,
+                budgetPerShard: Long = 2000L): DataFrame = {
+    require(budgetPerShard > 0, "budget must be positive")
+    val toks = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("source"), toks.as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("shard_id",
+        expr(s"(cum - n_tok) div ${budgetPerShard}L"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
   /** Corpus-relative token-frequency score — the FREQUENCY FILTER of a
     * web-corpus pipeline, complementing [[TextAnalysis]]'s doc-local
     * quality gates: a document dominated by tokens the corpus has never

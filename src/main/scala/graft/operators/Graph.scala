@@ -598,6 +598,46 @@ object Graph {
       .orderBy(col("depth"))
   }
 
+  /** TWO-HOP REACH from md5 seeds (round 15) — the friend-of-friend
+    * audience size per seed node, the number an advertising/recall
+    * estimate reads before any diffusion model: |{nodes within ≤ 2
+    * hops}| on the strong-tie (w ≥ `minWeight`) subgraph, excluding
+    * the seed itself. Seeds are the [[bfsLayers]] md5-prefix sample
+    * (deterministic ~1/256 of nodes — NEVER all nodes: all-pairs
+    * 2-hop is the wedge explosion [[orientedTriangles]] orients away
+    * from; seeding bounds the frontier fan-out to |seeds|·deg²
+    * worst-case, and the strong-tie filter bounds deg). Two semi-join
+    * expansion rounds + one distinct — the bfs machinery without the
+    * iteration loop.
+    *
+    * Output: (node, n_one_hop, n_two_hop_reach), ordered by node —
+    * n_two_hop_reach counts BOTH rings (≤ 2 hops). */
+  def twoHopReach(lineitem: DataFrame, minWeight: Long = 2L,
+                  edges0: Option[DataFrame] = None): DataFrame = {
+    val e0 = edges0.getOrElse(coOrderEdges(lineitem))
+      .filter(col("w") >= minWeight).select(col("a"), col("b"))
+    val und = e0.unionByName(
+      e0.select(col("b").as("a"), col("a").as("b")))
+    val seeds = lineitem.select(col("l_partkey").as("seed")).distinct()
+      .filter(substring(md5(col("seed").cast("string")), 1, 2) === "00")
+    val one = und.join(seeds.withColumnRenamed("seed", "a"),
+        Seq("a"), "left_semi")
+      .select(col("a").as("seed"), col("b").as("node")).distinct()
+    val two = one.withColumnRenamed("node", "a")
+      .join(und, Seq("a"))
+      .select(col("seed"), col("b").as("node"))
+    val reach = one.unionByName(two).distinct()
+      .filter(col("node") =!= col("seed"))
+    val oneCnt = one.filter(col("node") =!= col("seed"))
+      .groupBy(col("seed")).agg(count(lit(1)).as("n_one_hop"))
+    reach.groupBy(col("seed")).agg(count(lit(1)).as("n_two_hop_reach"))
+      .join(oneCnt, Seq("seed"), "left")
+      .select(col("seed").as("node"),
+        coalesce(col("n_one_hop"), lit(0L)).as("n_one_hop"),
+        col("n_two_hop_reach"))
+      .orderBy(col("node"))
+  }
+
   /** DEGREE GINI (round 14) — inequality of the co-order degree
     * distribution: the hub-concentration number that decides whether
     * the graph family's per-node work is balanced (Gini ≈ 0: degrees

@@ -2346,6 +2346,70 @@ object Relational {
         col("ci_hi"), col("m_min"), col("m_max"))
   }
 
+  /** Permutation count for [[permutationTest]], shared with the oracle
+    * generator (shared-constants doctrine). */
+  val PermB: Int = 32
+
+  /** PERMUTATION TEST (round 15) — the assumption-free significance
+    * readout beside [[welchT2]] (whose t assumes near-normal tails):
+    * under H₀ the arm labels are exchangeable, so re-draw them B times
+    * (deterministic md5(event_id:b) % 2 — the [[bootstrapCi]] resample
+    * doctrine, no RNG state) and count permuted |mean gaps| at least
+    * the observed one. The comparison happens ENTIRELY in the integer
+    * domain: |s₁n₀ − s₀n₁| · (n₀ᵒn₁ᵒ) ≥ |s₁ᵒn₀ᵒ − s₀ᵒn₁ᵒ| · (n₀n₁)
+    * cross-multiplied in DECIMAL(38,0) — no division, no doubles, no
+    * ulp ambiguity at the ≥ boundary. p uses the permutation
+    * convention (n_ge + 1)/(B + 1) in exact milli. Scale shape: one
+    * narrow B-way fan-out + a B-group map-side-combinable aggregate +
+    * a broadcast of the 1-row observed statistic.
+    *
+    * Output: one row (event_type, n0, n1, n_perms, n_ge, p_milli). */
+  def permutationTest(events: DataFrame, eventType: String = "purchase",
+                      b: Int = PermB): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val c = (dec2(col("value")) * 100).cast("long")
+    val keyed = events.filter(col("event_type") === eventType)
+      .select(col("event_id"), (col("user_id") % 2).cast("int").as("arm"),
+        c.as("c"))
+    def armAgg(df: DataFrame, armCol: Column, grp: Seq[Column]) = {
+      val base = df.groupBy(grp: _*)
+      base.agg(
+        sum(when(armCol === 0, 1L).otherwise(0L)).as("n0"),
+        coalesce(sum(when(armCol === 0, col("c").cast(dec))),
+          lit(0).cast(dec)).as("s0"),
+        sum(when(armCol === 1, 1L).otherwise(0L)).as("n1"),
+        coalesce(sum(when(armCol === 1, col("c").cast(dec))),
+          lit(0).cast(dec)).as("s1"))
+    }
+    val gap = expr("abs(s1 * CAST(n0 AS DECIMAL(38,0)) - " +
+      "s0 * CAST(n1 AS DECIMAL(38,0)))")
+    val obs = armAgg(keyed, col("arm"), Seq.empty)
+      .select(col("n0").as("n0o"), col("n1").as("n1o"), gap.as("gapo"))
+    val perms = keyed
+      .select(col("c"), explode(sequence(lit(0), lit(b - 1))).as("rb"),
+        (conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":"), col("rb").cast("string"))), 1, 7), 16, 10)
+          .cast("long") % 2).cast("int").as("parm"))
+    val perRb = armAgg(perms, col("parm"), Seq(col("rb")))
+      .select(col("rb"), col("n0"), col("n1"), gap.as("gapb"))
+    perRb.crossJoin(broadcast(obs))
+      // cross-multiplied exact comparison; a permutation that lands an
+      // empty arm (n0·n1 = 0) counts as ≥ by convention (its gap is
+      // maximal in the normalized sense) — both engines identically
+      .select(when(col("n0") === 0L || col("n1") === 0L, 1L)
+        .otherwise(when(
+          col("gapb") * expr("CAST(n0o AS DECIMAL(38,0)) * n1o") >=
+            col("gapo") * expr("CAST(n0 AS DECIMAL(38,0)) * n1"),
+          1L).otherwise(0L)).as("ge"),
+        col("n0"), col("n1"))
+      .agg(count(lit(1)).as("n_perms"), sum(col("ge")).as("n_ge"))
+      .crossJoin(broadcast(armAgg(keyed, col("arm"), Seq.empty)
+        .select(col("n0"), col("n1"))))
+      .select(lit(eventType).as("event_type"), col("n0"), col("n1"),
+        col("n_perms"), col("n_ge"),
+        expr(s"((n_ge + 1) * 1000) div ${b + 1}L").as("p_milli"))
+  }
+
   /** WELCH'S TWO-SAMPLE t² (round 12) — "are these two value
     * distributions actually different": the A/B readout that, unlike
     * `event_ab_test`'s effect summary, carries its own significance
@@ -3943,6 +4007,46 @@ object Relational {
           .as("err_ppm"))
       .withColumn("over_budget", col("err_ppm") > ErrorBudgetPpm)
       .orderBy(col("day"))
+
+  /** NULL/BLANK/ZERO CENSUS (round 15) — the completeness profile a
+    * data contract audits first: per audited column, how many values
+    * are NULL, how many are blank-after-trim (string columns), how
+    * many are exactly zero (numeric columns) — three different
+    * "missing" flavors upstream producers conflate, each a different
+    * bug (a NULL event_type is a decoder drop, a blank one a trim bug,
+    * a zero value a default-initialized field). ONE full-data
+    * aggregation computing all columns' counters as conditional sums
+    * (no per-column pass), unpivoted to the fixed 4-row census via a
+    * constant-table stack — structurally bounded output.
+    *
+    * Output: (column, n_rows, n_null, n_blank, n_zero, null_ppm),
+    * ordered by column. */
+  def nullCensus(events: DataFrame): DataFrame = {
+    val agg = events.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("event_type").isNull, 1L).otherwise(0L)), lit(0L)).as("et_null"),
+      coalesce(sum(when(col("event_type").isNotNull &&
+        trim(col("event_type")) === "", 1L).otherwise(0L)), lit(0L)).as("et_blank"),
+      coalesce(sum(when(col("value").isNull, 1L).otherwise(0L)), lit(0L)).as("v_null"),
+      coalesce(sum(when(col("value") === 0.0, 1L).otherwise(0L)), lit(0L)).as("v_zero"),
+      coalesce(sum(when(col("user_id").isNull, 1L).otherwise(0L)), lit(0L)).as("u_null"),
+      coalesce(sum(when(col("user_id") === 0L, 1L).otherwise(0L)), lit(0L)).as("u_zero"),
+      coalesce(sum(when(col("props").isNull, 1L).otherwise(0L)), lit(0L)).as("p_null"),
+      coalesce(sum(when(col("props").isNotNull &&
+        trim(col("props")) === "", 1L).otherwise(0L)), lit(0L)).as("p_blank"))
+    agg.select(expr(
+      "stack(4, " +
+        "'event_type', et_null, et_blank, CAST(NULL AS BIGINT), " +
+        "'props', p_null, p_blank, CAST(NULL AS BIGINT), " +
+        "'user_id', u_null, CAST(NULL AS BIGINT), u_zero, " +
+        "'value', v_null, CAST(NULL AS BIGINT), v_zero) " +
+        "AS (column, n_null, n_blank, n_zero)"), col("n").as("n_rows"))
+      .select(col("column"), col("n_rows"), col("n_null"), col("n_blank"),
+        col("n_zero"),
+        expr("CAST((n_null * 1000000) div nullif(n_rows, 0L) AS BIGINT)")
+          .as("null_ppm"))
+      .orderBy(col("column"))
+  }
 
   /** DATA FRESHNESS AUDIT (round 14) — the staleness report a
     * data-platform monitor reads before anything else: per event

@@ -1628,6 +1628,50 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** kNN LABEL-PROBE ACCURACY (round 15) — the standard intrinsic
+    * embedding-quality eval (a kNN probe): predict each vector's label
+    * by majority vote of its [[knnJoinLsh]] top-k neighbors and score
+    * the vote against the true label, per label. Vote ties break by
+    * (votes DESC, label ASC) — deterministic; vectors whose LSH
+    * buckets yield NO candidates get no prediction and are reported in
+    * `n_nopred` rather than silently dropped (an encoder whose vectors
+    * hash alone is itself a finding). Rides the bounded-bucket kNN
+    * join unchanged — the accuracy layer adds one broadcast label
+    * attach, a per-(query, label) vote rollup (≤ |labels| rows per
+    * query) and a bounded vote window.
+    *
+    * Output: (label, n_vecs, n_pred, n_nopred, n_correct, acc_ppm),
+    * ordered by label — acc_ppm is over predicted vectors. */
+  def knnLabelAccuracy(emb: DataFrame, k: Int = 5,
+                       tables: Int = 16, bitsPerTable: Int = 4,
+                       maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val knn = knnJoinLsh(emb, k, tables, bitsPerTable, maxBucket)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val votes = knn
+      .join(lbl.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+        "n_id")
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("n_label").as("pred"))
+    val scored = lbl.join(pred, Seq("vec_id"), "left")
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred").isNotNull, 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("pred").isNull, 1L).otherwise(0L)).as("n_nopred"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_pred"), col("n_nopred"),
+        col("n_correct"),
+        expr("CAST((n_correct * 1000000) div nullif(n_pred, 0L) AS BIGINT)")
+          .as("acc_ppm"))
+      .orderBy(col("label"))
+  }
+
   /** SEMANTIC deduplication (SemDeDup-lineage, round 10) — the
     * embedding-cluster dedup family: cluster the corpus with the
     * deterministic seed-centroid coarse quantizer (the

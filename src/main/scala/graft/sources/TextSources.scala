@@ -393,6 +393,33 @@ object TextSources {
       .orderBy(col("event_type"))
   }
 
+  /** MULTI-CHAR-DELIMITER CSV ROUND-TRIP (round 15) — the ingest edge
+    * legacy feeds actually ship: a "CSV" whose separator is a
+    * multi-character token (here `||` — common in mainframe/ERP
+    * extracts precisely because it never appears in the data, chosen
+    * INSTEAD of quoting). Spark 3+ reads and writes multi-char `sep`
+    * natively; this proves the hop lossless under an explicit schema
+    * (inference over an exotic delimiter is double type drift). The
+    * summary payload includes the event_type STRING column so the
+    * delimiter actually borders text fields, not just numbers.
+    *
+    * Output: (event_type, n_rows, n_users, cents_sum), ordered. */
+  def csvMultiDelimRoundTrip(spark: SparkSession,
+                             events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/csv_mdelim-${java.util.UUID.randomUUID()}"
+    val summary = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum((col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+          .as("cents_sum"))
+    summary.write.mode("overwrite").option("header", "true")
+      .option("sep", "||").csv(out)
+    spark.read.schema(summary.schema).option("header", "true")
+      .option("sep", "||").csv(out)
+      .orderBy(col("event_type"))
+  }
+
   /** BINARY-FILE SOURCE (round 15) — Spark's `binaryFile` format as
     * the opaque-blob ingest leg of the multimodal story: documents
     * land as one raw .txt blob each (the shape scraped corpora and

@@ -970,6 +970,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(qids.size > 10, s"self-join covered only ${qids.size} queries")
   }
 
+  test("knnLabelAccuracy: tight per-label clusters score near-perfect; " +
+    "census columns reconcile and no vector is dropped") {
+    import spark.implicits._
+    // two well-separated clusters of 8: label 0 near +e1, label 1 near
+    // +e2 — every neighbor vote is same-label
+    val vecs = (0 until 16).map { i =>
+      val lbl = i / 8
+      val base = if (lbl == 0) Array(10f, 0f, 0.1f * i) else Array(0f, 10f, 0.1f * i)
+      (i.toLong, base, lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAccuracy(vecs, k = 3).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val (nv, np, nn, nc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nv == 8L && np + nn == nv, r.toSeq.toString)
+      // every PREDICTED vector votes within its own tight cluster
+      assert(nc == np, s"cluster vote leaked: ${r.toSeq}")
+    }
+  }
+
+  test("shardPlan: first-fit shards — a straddling doc lands in the " +
+    "shard its first token falls in; shards overfill, never underfill") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // source s: docs of 1500, 800, 900, 1900 tokens, budget 2000:
+    // cum-before = 0, 1500, 2300, 3200 → shards 0, 0, 1, 1
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(1500), "s"), (2L, words(800), "s"),
+      (3L, words(900), "s"), (4L, words(1900), "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.shardPlan(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2300L, 1L, 2L),
+      (1L, 2L, 2800L, 3L, 4L)), out.mkString(";"))
+  }
+
   test("contamination_ngram catches a planted verbatim passage the " +
     "whole-doc Jaccard misses") {
     import spark.implicits._

@@ -80,7 +80,10 @@ class EmptyInputSpec extends SparkSpec {
       "order_seasonality", "quality_fk_orphans",
       // round 14: the funnel's 5 structural stage rows (all-zero
       // counts); the PK audit's 8 structural entity rows
-      "corpus_funnel_report", "quality_pk_audit")
+      "corpus_funnel_report", "quality_pk_audit",
+      // round 15: the null census's 4 audited-column rows (all-zero
+      // counters — the census of nothing is still a census)
+      "quality_null_census")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

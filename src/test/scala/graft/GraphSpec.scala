@@ -362,4 +362,22 @@ class GraphSpec extends SparkSpec {
     assert(star.forall(r => r.getLong(2) == 1L && r.getLong(3) == 0L &&
       r.isNullAt(4)), star.mkString("\n"))
   }
+
+  test("twoHopReach: hand path graph — ring counts exact, the weak tie " +
+    "is invisible, non-seed nodes absent") {
+    // 168 is an md5-'00' seed (the bfs sample rule); chain
+    // 168—1—2—3 with strong ties (w≥2 = two shared orders) plus a
+    // WEAK 168—9 tie (one order) that must not count
+    val fx = li(
+      1L -> Seq(168L, 1L), 2L -> Seq(168L, 1L),   // 168-1 strong
+      3L -> Seq(1L, 2L), 4L -> Seq(1L, 2L),       // 1-2 strong
+      5L -> Seq(2L, 3L), 6L -> Seq(2L, 3L),       // 2-3 strong (3 hops out)
+      7L -> Seq(168L, 9L))                        // weak tie
+    val out = Graph.twoHopReach(fx).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    // one hop: {1}; two hops: {1, 2} — node 3 is three hops, 9 weak
+    assert(r.getLong(0) == 168L && r.getLong(1) == 1L &&
+      r.getLong(2) == 2L, r.toSeq.toString)
+  }
 }

@@ -2540,6 +2540,39 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == Seq(Seq(100L, 2L)), out.mkString(";"))
   }
 
+  test("permutationTest: a massive real arm gap yields a small p; the " +
+    "n0/n1 census is exact and the count is B") {
+    // arm = user_id % 2: evens get tiny values, odds get huge ones —
+    // a real effect almost no label shuffle reproduces
+    val ev = (1 to 40).map(i =>
+      (i.toLong, i.toLong, "purchase", if (i % 2 == 0) 1.0 else 1000.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = Relational.permutationTest(ev).collect().head
+    assert(r.getString(0) == "purchase")
+    assert(r.getLong(1) == 20L && r.getLong(2) == 20L) // n0, n1
+    assert(r.getLong(3) == 32L)                        // n_perms = B
+    // p_milli = (n_ge+1)*1000 div 33 — with a gap this extreme the
+    // permutation distribution almost never reaches it
+    assert(r.getLong(5) <= 200L, s"p unexpectedly large: ${r.toSeq}")
+    // determinism: identical rerun, repartitioned input
+    val r2 = Relational.permutationTest(ev.repartition(7)).collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
+
+  test("nullCensus: each missing flavor lands in its own counter") {
+    val ev = Seq(
+      (1L, 10L, "click", 5.0, "{}"),
+      (2L, 0L, null.asInstanceOf[String], 0.0, "  "),
+      (3L, 20L, "   ", 5.0, null.asInstanceOf[String]))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+    val out = Relational.nullCensus(ev).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(out("event_type") == Seq(3L, 1L, 1L, null, 333333L))
+    assert(out("props") == Seq(3L, 1L, 1L, null, 333333L))
+    assert(out("user_id") == Seq(3L, 0L, null, 1L, 0L))
+    assert(out("value") == Seq(3L, 0L, null, 1L, 0L))
+  }
+
   test("holtWintersForecast: hand 9-day series — day-2 forecast is pure " +
     "level (zero season), and the season slot learned on day 2 feeds " +
     "day 9's forecast one week later") {

@@ -317,6 +317,21 @@ class SourcesSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("csvMultiDelimRoundTrip: `||` delimiter survives commas and " +
+    "single pipes INSIDE field values — the whole point of the dialect") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, "a,b", 1.25), (2L, 11L, "a,b", 2.00),
+      (3L, 12L, "p|q", 3.50), (4L, 12L, "plain", 0.75))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val got = TextSources.csvMultiDelimRoundTrip(spark, events)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == Seq(
+      Seq("a,b", 2L, 2L, 325L),
+      Seq("plain", 1L, 1L, 75L),
+      Seq("p|q", 1L, 1L, 350L)), got.mkString(";"))
+  }
+
   test("binaryFilesRead: one blob per doc, bytes = text + newline, md5 " +
     "re-derived from raw bytes; empty corpus yields the empty table") {
     import spark.implicits._
