@@ -793,6 +793,18 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_perm_test" -> ((s, d) =>
       Relational.permutationTest(Tables.events(s, d))),
 
+    // Wilcoxon signed-rank (round 15): paired day-vs-day−7 revenue,
+    // doubled average ranks on the |d| grid (see wilcoxonSignedRank's
+    // scaladoc).
+    "stats_wilcoxon" -> ((s, d) =>
+      Relational.wilcoxonSignedRank(Tables.orders(s, d))),
+
+    // Rolling 7-day active users (round 15): WAU-by-day via deduped
+    // (user, day) contribution fan-out — distinct counts don't slide
+    // (see rollingWau's scaladoc).
+    "event_rolling_wau" -> ((s, d) =>
+      Relational.rollingWau(Tables.events(s, d))),
+
     // Edge-weight histogram (round 14): the distribution that sizes
     // the strong-tie minWeight constant — the graph twin of
     // dedup_df_histogram (see weightHistogram's scaladoc).
@@ -3554,6 +3566,45 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT \"column\", n AS n_rows, n_null, n_blank, n_zero, " +
         "CAST((n_null * 1000000) // nullif(n, 0) AS BIGINT) AS null_ppm " +
         "FROM u ORDER BY \"column\""),
+
+    // Wilcoxon replay: gap-filled grid, LAG 7, zero-diffs dropped,
+    // doubled average ranks over the |d| value groups
+    "stats_wilcoxon" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day AS day, CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)), " +
+        "df AS (SELECT x - lag(x, 7) OVER (ORDER BY day) AS dd FROM series), " +
+        "nz AS (SELECT abs(dd) AS ad, dd > 0 AS pos FROM df " +
+        "WHERE dd IS NOT NULL AND dd != 0), " +
+        "grp AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS m, " +
+        "CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS mpos FROM nz GROUP BY 1), " +
+        "rk AS (SELECT m, mpos, " +
+        "(SUM(m) OVER (ORDER BY ad) - m) * 2 + m + 1 AS dr FROM grp), " +
+        "st AS (SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_nonzero, " +
+        "CAST(COALESCE(SUM(mpos * dr), 0) AS BIGINT) AS w_plus_doubled, " +
+        "CAST(COALESCE(SUM((m - mpos) * dr), 0) AS BIGINT) AS w_minus_doubled FROM rk), " +
+        "cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM series), " +
+        "np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM df WHERE dd IS NOT NULL) " +
+        "SELECT cn.n_days, np.n_pairs, st.n_nonzero, st.w_plus_doubled, " +
+        "st.w_minus_doubled FROM cn, np, st"),
+
+    // rolling-WAU replay: deduped (user, day), 7-day contribution
+    // fan-out clipped at the observed max, distinct count per day
+    "event_rolling_wau" ->
+      ("WITH p AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM p), " +
+        "c AS (SELECT p.user_id, p.day + INTERVAL (o.o) DAY AS day " +
+        "FROM p, (SELECT unnest(range(0, 7)) AS o) o, b " +
+        "WHERE p.day + INTERVAL (o.o) DAY <= b.hi), " +
+        "w AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7 FROM c GROUP BY 1), " +
+        "da AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY 1) " +
+        "SELECT w.day, CAST(COALESCE(da.dau, 0) AS BIGINT) AS dau, w.wau7, " +
+        "w.day >= b.lo + INTERVAL 6 DAY AS full_window " +
+        "FROM w LEFT JOIN da USING (day) CROSS JOIN b ORDER BY w.day"),
 
     // permutation replay: same md5 arm redraws, the identical
     // cross-multiplied comparison in HUGEINT, (n_ge+1)/(B+1) milli

@@ -77,6 +77,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "embed_knn_label_acc" -> ((s, d) =>
       Similarity.knnLabelAccuracy(Tables.embeddings(s, d))),
 
+    // Sign-bit Hamming histogram (round 15): 63-bit sign signatures,
+    // xor + bit_count over the LSH-bucketed pairs (see
+    // signHammingHist's scaladoc).
+    "embed_sign_hamming" -> ((s, d) =>
+      Similarity.signHammingHist(Tables.embeddings(s, d))),
+
     // IVF (inverted-file) ANN top-k: TRAINED coarse quantizer (2
     // deterministic Lloyd's iterations), nprobe-list candidate lookup,
     // exact rerank. Full DuckDB oracle since round 9: the fixed
@@ -460,6 +466,20 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // modular add corrupts (see wavMixOverlay's scaladoc).
     "multimodal_audio_mix" -> ((s, d) =>
       Multimodal.wavMixOverlay(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
+    // Clipping detector (round 15): rail-band samples, longest run,
+    // clip ppm — the source-signal QA gate (see wavClipDetect's
+    // scaladoc).
+    "multimodal_audio_clip" -> ((s, d) =>
+      Multimodal.wavClipDetect(s,
+        Multimodal.ingestWav(Tables.documents(s, d)))),
+
+    // Linear fade in/out (round 15): boundary gain ramps, exact
+    // truncating integer gains, overlap rule for short clips (see
+    // wavFade's scaladoc).
+    "multimodal_audio_fade" -> ((s, d) =>
+      Multimodal.wavFade(s,
         Multimodal.ingestWav(Tables.documents(s, d)))),
 
     // Energy-gate VAD (round 14): voiced windows at the shared
@@ -1010,6 +1030,55 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "sim_ann_ivfpq_residual" -> sqlIvfPqResidual,
 
     "embed_random_projection" -> sqlRandomProjection,
+
+    // sign-hamming replay: 63-bit sign signatures off the quantized
+    // lists, same bucket CTE pairs (a<b distinct), xor + bit_count
+    "embed_sign_hamming" ->
+      (s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "sig AS (SELECT vec_id, CAST(list_sum(list_transform(" +
+        "range(0, least(len(v), 63)), d -> CASE WHEN v[CAST(d + 1 AS INT)] > 0 " +
+        "THEN (CAST(1 AS BIGINT) << CAST(d AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM n), " +
+        "und AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db FROM bk a " +
+        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "h AS (SELECT CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS ham " +
+        "FROM und JOIN sig sa ON sa.vec_id = und.da " +
+        "JOIN sig sb ON sb.vec_id = und.db) " +
+        "SELECT ham // 4 AS ham_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(MIN(ham) AS BIGINT) AS min_ham, CAST(MAX(ham) AS BIGINT) AS max_ham " +
+        "FROM h GROUP BY 1 ORDER BY 1"),
+
+    // clip-detect replay: analytic samples, gaps-and-islands runs
+    "multimodal_audio_clip" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents), " +
+        "sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims), " +
+        "sv AS (SELECT doc_id, n, i, (doc_id*37 + i*11) % 65536 - 32768 AS s FROM sm), " +
+        "cl AS (SELECT doc_id, i FROM sv WHERE abs(s) >= 32700), " +
+        "isl AS (SELECT doc_id, i, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM cl), " +
+        "runs AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run FROM isl GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_clipped, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_runs, CAST(MAX(run) AS BIGINT) AS longest_run " +
+        "FROM runs GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples, " +
+        "CAST(COALESCE(a.n_clipped, 0) AS BIGINT) AS n_clipped, " +
+        "CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs, " +
+        "CAST(COALESCE(a.longest_run, 0) AS BIGINT) AS longest_run, " +
+        "CAST((COALESCE(a.n_clipped, 0) * 1000000) // nullif(d.n, 0) AS BIGINT) AS clip_ppm " +
+        "FROM dims d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"),
+
+    // fade replay: analytic samples, min(i+1, F, n−i) gain, sign-split
+    // truncating divide, head/tail |v| sums
+    "multimodal_audio_fade" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 50) + 20 AS n FROM documents), " +
+        "sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims), " +
+        "sv AS (SELECT doc_id, n, i, (doc_id*37 + i*11) % 65536 - 32768 AS s FROM sm), " +
+        "fv AS (SELECT doc_id, n, i, CASE WHEN s * least(least(i + 1, 16), n - i) < 0 " +
+        "THEN -((-(s * least(least(i + 1, 16), n - i))) // 16) " +
+        "ELSE (s * least(least(i + 1, 16), n - i)) // 16 END AS v FROM sv) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(SUM(v) AS BIGINT) AS fade_sum, CAST(SUM(i * v) AS BIGINT) AS fade_posw, " +
+        "CAST(SUM(CASE WHEN i < 16 THEN abs(v) ELSE 0 END) AS BIGINT) AS head_abs, " +
+        "CAST(SUM(CASE WHEN i >= n - 16 THEN abs(v) ELSE 0 END) AS BIGINT) AS tail_abs " +
+        "FROM fv GROUP BY doc_id, n ORDER BY doc_id"),
 
     // label-probe replay: the sim_knn_join chain + label attach,
     // (votes DESC, label ASC) vote pick, left-join census

@@ -1149,6 +1149,123 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** Clipping threshold for [[wavClipDetect]], shared with the oracle
+    * (|s| ≥ this counts as clipped — a headroom of 67 LSBs under
+    * int16 full scale, the practical "hit the rail" band). */
+  val ClipThresh: Long = 32700L
+
+  /** CLIPPING DETECTOR (round 15) — the source-signal QA gate a
+    * speech-ingest pipeline runs BEFORE any augmentation: samples at
+    * |s| ≥ [[ClipThresh]] (the rail band), their longest consecutive
+    * RUN (one railed sample is a transient; a run is a flat-topped
+    * waveform — real distortion), run count, and the clip rate in ppm.
+    * The run-length scan is the [[wavVadSegments]] machinery applied
+    * per-sample. Same one-codec-per-partition harness; per-row work,
+    * no shuffle before the final ordering.
+    *
+    * Output: (doc_id, n_samples, n_clipped, n_runs, longest_run,
+    * clip_ppm), ordered. */
+  def wavClipDetect(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_samples", LongType),
+      StructField("n_clipped", LongType), StructField("n_runs", LongType),
+      StructField("longest_run", LongType), StructField("clip_ppm", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
+          val data = ais.readAllBytes(); ais.close()
+          val n = data.length / 2
+          var clipped = 0L; var runs = 0L; var longest = 0L
+          var run = 0L; var prev = false
+          var i = 0
+          while (i < n) {
+            val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
+              .toShort.toLong
+            val c = math.abs(s) >= ClipThresh
+            if (c) {
+              clipped += 1
+              run = if (prev) run + 1 else { runs += 1; 1L }
+              if (run > longest) longest = run
+            } else run = 0L
+            prev = c
+            i += 1
+          }
+          Row(r.getAs[Long]("doc_id"), n.toLong, clipped, runs, longest,
+            if (n == 0) 0L else clipped * 1000000L / n)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
+  /** Fade ramp length for [[wavFade]], shared with the oracle. */
+  val FadeLen: Long = 16L
+
+  /** LINEAR FADE IN/OUT (round 15) — the edit every audio-chunking
+    * pipeline applies at segment boundaries so concatenated clips
+    * don't click (a hard cut is a step discontinuity — a broadband
+    * pop): gain ramps linearly over the first and last [[FadeLen]]
+    * samples, v = s·min(i+1, F, n−i) div F with truncating sign-split
+    * division — EXACT integers end to end, and on a clip shorter than
+    * 2F the two ramps compose through the single min (the documented
+    * overlap rule, not two multiplications). Digest outputs
+    * (sum, position-weighted, head/tail zeros) make a reversed or
+    * off-by-one ramp unmistakable.
+    *
+    * Output: (doc_id, n_samples, fade_sum, fade_posw, head_abs,
+    * tail_abs), ordered — head_abs/tail_abs are Σ|v| over the first/
+    * last F samples (strictly less than the unfaded Σ|s| unless the
+    * signal is zero there). */
+  def wavFade(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val f = FadeLen
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_samples", LongType),
+      StructField("fade_sum", LongType), StructField("fade_posw", LongType),
+      StructField("head_abs", LongType), StructField("tail_abs", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1 &&
+            fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"expected 16-bit little-endian mono signed PCM, got $fmt")
+          val data = ais.readAllBytes(); ais.close()
+          val n = data.length / 2
+          var sum = 0L; var posw = 0L; var headAbs = 0L; var tailAbs = 0L
+          var i = 0
+          while (i < n) {
+            val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
+              .toShort.toLong
+            val g = math.min(math.min(i + 1L, f), n.toLong - i)
+            // JVM long division truncates toward zero — the sign split
+            // the oracle spells as CASE
+            val v = s * g / f
+            sum += v; posw += i * v
+            if (i < f) headAbs += math.abs(v)
+            if (i >= n - f) tailAbs += math.abs(v)
+            i += 1
+          }
+          Row(r.getAs[Long]("doc_id"), n.toLong, sum, posw, headAbs, tailAbs)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** OVERLAY MIX WITH SATURATION (round 14) — the audio-augmentation
     * primitive every speech-training pipeline runs (noise/music-bed
     * overlay at reduced gain): decode the WAV, add a deterministic

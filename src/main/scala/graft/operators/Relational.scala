@@ -2350,6 +2350,98 @@ object Relational {
     * generator (shared-constants doctrine). */
   val PermB: Int = 32
 
+  /** WILCOXON SIGNED-RANK (round 15) — the PAIRED nonparametric test
+    * the unpaired [[mannWhitney]] cannot run: is this week's daily
+    * revenue shifted against the SAME weekday last week? Pairs are
+    * (day, day−7) over the gap-filled calendar grid (lag 7 over the
+    * calendar — bounded, the autocorr discipline); zero differences
+    * drop (the standard convention); |d| ranks with ties at their
+    * AVERAGE rank via the DOUBLED-rank trick (2·c_lt + m + 1 per value
+    * group — stays BIGINT, no halving division, the mannwhitney
+    * doctrine), computed on the value-grouped |d| grid, never a
+    * row-level sort. W⁺ + W⁻ = n(n+1) doubled — the identity the spec
+    * pins.
+    *
+    * Output: one row (n_days, n_pairs, n_nonzero, w_plus_doubled,
+    * w_minus_doubled). */
+  def wilcoxonSignedRank(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val daily = orders
+      .select(date_trunc("day", col("o_orderdate")).as("day"),
+        cents.as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val grid = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val series = grid.join(broadcast(daily), Seq("day"), "left")
+      .select(col("day"), coalesce(col("rev"), lit(0L)).as("x"))
+    val wd = Window.orderBy(col("day"))
+    val diffs = series
+      .withColumn("prev", lag(col("x"), 7).over(wd))
+      .filter(col("prev").isNotNull)
+      .select((col("x") - col("prev")).as("d"))
+    val nonzero = diffs.filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("ad"), (col("d") > 0L).as("pos"))
+    val groups = nonzero.groupBy(col("ad"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("mpos"))
+    val wv = Window.orderBy(col("ad"))
+    val ranked = groups
+      .withColumn("cum", sum(col("m")).over(wv))
+      .withColumn("clt", col("cum") - col("m"))
+      // average rank of the tie group, doubled: 2·c_lt + m + 1
+      .withColumn("dr", col("clt") * 2 + col("m") + 1L)
+    val stats = ranked.agg(
+      coalesce(sum(col("m")), lit(0L)).as("n_nonzero"),
+      coalesce(sum(col("mpos") * col("dr")), lit(0L)).as("w_plus_doubled"),
+      coalesce(sum((col("m") - col("mpos")) * col("dr")), lit(0L))
+        .as("w_minus_doubled"))
+    val counts = series.agg(count(lit(1)).as("n_days"))
+      .crossJoin(diffs.agg(count(lit(1)).as("n_pairs")))
+    counts.crossJoin(broadcast(stats))
+      .select(col("n_days"), col("n_pairs"), col("n_nonzero"),
+        col("w_plus_doubled"), col("w_minus_doubled"))
+  }
+
+  /** ROLLING 7-DAY ACTIVE USERS (round 15) — the WAU-by-day curve
+    * between [[dauMau]]'s two fixed grains: per calendar day, the
+    * count of DISTINCT users active in the trailing 7 days. Distinct
+    * counts don't slide (a window can't subtract a user who is still
+    * inside it), so the scalable form is contribution fan-out: dedupe
+    * to (user, day) pairs first (the big shuffle, map-side
+    * combinable), fan each pair out to the ≤ 7 calendar days it keeps
+    * the user active for (a NARROW 7× multiply of the already-deduped
+    * relation — never of raw events), and count distinct per day.
+    * Days beyond the observed max are clipped; the first 6 days read
+    * a partial (growing) window — the honest convention, flagged by
+    * `full_window`.
+    *
+    * Output: (day, dau, wau7, full_window), ordered. */
+  def rollingWau(events: DataFrame): DataFrame = {
+    val pairs = events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val bounds = pairs.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val contrib = pairs
+      .select(col("user_id"), explode(sequence(col("day"),
+        expr("day + interval 6 day"), expr("interval 1 day"))).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("hi"))
+    val wau = contrib.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    val dau = pairs.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau7"),
+        (col("day") >= expr("lo + interval 6 day")).as("full_window"))
+      .orderBy(col("day"))
+  }
+
   /** PERMUTATION TEST (round 15) — the assumption-free significance
     * readout beside [[welchT2]] (whose t assumes near-normal tails):
     * under H₀ the arm labels are exchangeable, so re-draw them B times

@@ -1628,6 +1628,44 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** SIGN-BIT HAMMING HISTOGRAM (round 15) — the binary-embedding
+    * (ITQ-lineage) compression audit: collapse each vector to a 63-bit
+    * sign signature (bit d set iff quantized component d > 0; 63 bits
+    * keeps the signature a positive BIGINT) and histogram the Hamming
+    * distances over the LSH-bucketed candidate pairs — the curve that
+    * says whether 8 bytes/vector preserve the neighborhood structure
+    * (near pairs should concentrate in the low-Hamming buckets; a flat
+    * curve means sign bits destroyed the geometry and binary recall
+    * will be noise). Pairs come from the SAME bounded-bucket relation
+    * as [[knnJoinLsh]] — never all-pairs; the xor + bit_count is
+    * codegen'd integer work; the histogram is ≤ 16 structural rows.
+    *
+    * Output: (ham_bucket, n_pairs, min_ham, max_ham), bucket =
+    * hamming div 4, ordered. */
+  def signHammingHist(emb: DataFrame, tables: Int = 16,
+                      bitsPerTable: Int = 4,
+                      maxBucket: Int = 1024): DataFrame = {
+    val p = prepared(emb)
+    val sig = p.select(col("vec_id"), expr(
+      "aggregate(sequence(0, CAST(least(size(qv), 63) - 1 AS INT)), 0L, " +
+        "(acc, d) -> acc + IF(element_at(qv, CAST(d + 1 AS INT)) > 0, " +
+        "shiftleft(1L, CAST(d AS INT)), 0L))").as("sig"))
+    val und = Dedup.boundedCandidatePairs(
+      lshBuckets(p, tables, bitsPerTable)
+        .select(col("vec_id"), col("tbl"), col("bucket")),
+      "vec_id", Seq("tbl", "bucket"), maxBucket, BucketOverflow.Fail,
+      "signHammingHist")
+    und.join(sig.select(col("vec_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sig.select(col("vec_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .select(expr("bit_count(sig_a ^ sig_b)").cast("long").as("ham"))
+      .groupBy(expr("ham div 4").as("ham_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("ham")).as("min_ham"),
+        max(col("ham")).as("max_ham"))
+      .orderBy(col("ham_bucket"))
+  }
+
   /** kNN LABEL-PROBE ACCURACY (round 15) — the standard intrinsic
     * embedding-quality eval (a kNN probe): predict each vector's label
     * by majority vote of its [[knnJoinLsh]] top-k neighbors and score

@@ -991,6 +991,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("signHammingHist: co-bucketed twins land in the zero bucket, " +
+    "sign-flipped vectors land at max Hamming, buckets partition the " +
+    "pair count") {
+    import spark.implicits._
+    // 4 identical vectors (ham 0 pairs) + 4 exact sign-flips of them
+    // (ham = 63 against the originals when co-bucketed)
+    val base = Array.tabulate(64)(d => if (d % 2 == 0) 1f else -1f)
+    val vecs = ((0 until 4).map(i => (i.toLong, base, 0)) ++
+      (4 until 8).map(i => (i.toLong, base.map(-_), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.signHammingHist(vecs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // identical pairs: hamming 0 → bucket 0 with min=max=0
+    assert(out.contains(0L) && out(0L)._2 == 0L && out(0L)._3 == 0L,
+      s"got $out")
+    // any cross-sign pair that shares a bucket reads hamming 63
+    out.keys.filter(_ > 0L).foreach { b =>
+      assert(out(b)._2 == 63L && out(b)._3 == 63L, s"got $out")
+    }
+    val totalPairs = out.values.map(_._1).sum
+    assert(totalPairs >= 12L, s"twin groups must co-bucket: $out")
+  }
+
   test("shardPlan: first-fit shards — a straddling doc lands in the " +
     "shard its first token falls in; shards overfill, never underfill") {
     import spark.implicits._

@@ -954,6 +954,51 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((4L, 4L, 4L, 0L, 4L, 0L)), s"flat ${out(2L)}")
   }
 
+  test("wavClipDetect / wavFade: decoded results equal the analytic " +
+    "replay exactly — runs, gains and digests") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(n => (n, "w" * n.toInt, n))
+      .toDF("doc_id", "text", "n_chars")
+    def samples(docId: Long): Array[Long] = {
+      val n = (docId % 50 + 20).toInt
+      Array.tabulate(n)(i => (docId * 37 + i * 11) % 65536 - 32768)
+    }
+    val clip = Multimodal.wavClipDetect(spark, Multimodal.ingestWav(docs))
+      .collect()
+    assert(clip.length == 30)
+    var anyClipped = false
+    clip.foreach { r =>
+      val s = samples(r.getAs[Long]("doc_id"))
+      val flags = s.map(v => math.abs(v) >= Multimodal.ClipThresh)
+      val runs = flags.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(r.getAs[Long]("n_clipped") == flags.count(identity))
+      assert(r.getAs[Long]("n_runs") == runs.size)
+      assert(r.getAs[Long]("longest_run") ==
+        (if (runs.isEmpty) 0L else runs.max.toLong))
+      if (flags.exists(identity)) anyClipped = true
+    }
+    assert(anyClipped, "fixture never clips — threshold vacuous")
+    val fade = Multimodal.wavFade(spark, Multimodal.ingestWav(docs))
+      .collect()
+    fade.foreach { r =>
+      val s = samples(r.getAs[Long]("doc_id")); val n = s.length
+      val v = s.zipWithIndex.map { case (x, i) =>
+        x * math.min(math.min(i + 1L, 16L), n.toLong - i) / 16L }
+      assert(r.getAs[Long]("fade_sum") == v.sum)
+      assert(r.getAs[Long]("fade_posw") ==
+        v.zipWithIndex.map { case (x, i) => i * x }.sum)
+      val headAbs = v.take(16).map(math.abs).sum
+      val rawHead = s.take(16).map(math.abs).sum
+      assert(r.getAs[Long]("head_abs") == headAbs)
+      // the ramp really attenuates (unless the head is silent)
+      if (rawHead > 0) assert(headAbs < rawHead)
+    }
+  }
+
   test("imageOtsu: threshold matches an exhaustive analytic replay and " +
     "splits the mass exactly where the prefix sums say") {
     import spark.implicits._

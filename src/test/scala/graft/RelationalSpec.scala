@@ -2559,6 +2559,45 @@ class RelationalSpec extends SparkSpec {
     assert(r.toSeq == r2.toSeq)
   }
 
+  test("wilcoxonSignedRank: hand 14-day series — zero diffs drop, tie " +
+    "group gets the doubled average rank, W⁺+W⁻ = n(n+1)") {
+    // week 1: 10,20,30,40,50,60,70; week 2: 10,25,40,40,45,60,90 —
+    // diffs vs day−7: 0, +5, +10, 0, −5, 0, +20 → nonzero {+5,+10,−5,+20}
+    // |d| groups: 5×2 (ranks 1,2 → doubled avg 3), 10 (doubled 5... )
+    val vals = Seq(10, 20, 30, 40, 50, 60, 70, 10, 25, 40, 40, 45, 60, 90)
+    val orders = vals.zipWithIndex.map { case (v, i) =>
+      (f"2024-03-${i + 1}%02d", v.toDouble) }
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val r = Relational.wilcoxonSignedRank(orders).collect().head
+    assert(r.getLong(0) == 14L && r.getLong(1) == 7L && r.getLong(2) == 4L)
+    // |d| cents sorted: 500, 500, 1000, 2000 → average ranks
+    // 1.5, 1.5, 3, 4 → doubled 3, 3, 6, 8 (group dr = 2·c_lt + m + 1:
+    // 500 → 3, 1000 → 6, 2000 → 8)
+    // W⁺ = 3(+500) + 6(+1000) + 8(+2000) = 17; W⁻ = 3(−500)
+    assert(r.getLong(3) + r.getLong(4) == 4L * 5L,
+      s"rank identity broken: ${r.toSeq}")
+    assert(r.getLong(3) == 17L && r.getLong(4) == 3L, r.toSeq.toString)
+  }
+
+  test("rollingWau: hand users — a user counts once per window even " +
+    "with repeat activity, windows expire after 7 days, fan-out clips " +
+    "at the observed max day") {
+    val ts = (d: Int, u: Long) =>
+      (u, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00"))
+    // u1 active day 1 (twice) and day 5; u2 day 1 only; u3 day 9
+    val ev = Seq(ts(1, 1L), ts(1, 1L), ts(1, 2L), ts(5, 1L), ts(9, 3L))
+      .toDF("user_id", "ts")
+    val out = Relational.rollingWau(ev).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == 9, s"got ${out.keys.toSeq.sorted}")
+    assert(out("2024-03-01") == ((2L, 2L, false)))  // dau 2, wau {u1,u2}
+    assert(out("2024-03-05") == ((1L, 2L, false)))  // u1 dupe-window once
+    assert(out("2024-03-08") == ((0L, 1L, true)))   // day-1 pairs expired
+    assert(out("2024-03-09") == ((1L, 2L, true)))   // {u1 (d5), u3}
+  }
+
   test("nullCensus: each missing flavor lands in its own counter") {
     val ev = Seq(
       (1L, 10L, "click", 5.0, "{}"),
