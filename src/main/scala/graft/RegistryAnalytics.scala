@@ -799,6 +799,21 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_wilcoxon" -> ((s, d) =>
       Relational.wilcoxonSignedRank(Tables.orders(s, d))),
 
+    // Friedman k-related-samples test (round 15): weekday effect with
+    // weeks as blocks, doubled in-block ranks, integer χ²_F (see
+    // friedmanTest's scaladoc).
+    "stats_friedman" -> ((s, d) =>
+      Relational.friedmanTest(Tables.orders(s, d))),
+
+    // Streaming rolling-WAU parity (round 15): exactly-once pair
+    // extraction across micro-batches + the shared batch tail (see
+    // StreamingWindows.wauParityReplay's scaladoc).
+    "stream_wau_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_wau_")
+      graft.streaming.StreamingWindows.wauParityReplay(
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt")
+    }),
+
     // Rolling 7-day active users (round 15): WAU-by-day via deduped
     // (user, day) contribution fan-out — distinct counts don't slide
     // (see rollingWau's scaladoc).
@@ -3591,6 +3606,46 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM df WHERE dd IS NOT NULL) " +
         "SELECT cn.n_days, np.n_pairs, st.n_nonzero, st.w_plus_doubled, " +
         "st.w_minus_doubled FROM cn, np, st"),
+
+    // Friedman replay: complete Monday-start weeks, per-block doubled
+    // ranks on the (week, value) grid, same integer χ²_F text
+    "stats_friedman" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT date_trunc('week', g.day) AS week, " +
+        "CAST(dayofweek(g.day) + 1 AS BIGINT) AS dow, " +
+        "CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)), " +
+        "cw AS (SELECT week FROM series GROUP BY 1 HAVING COUNT(*) = 7), " +
+        "blk AS (SELECT s.* FROM series s SEMI JOIN cw ON s.week = cw.week), " +
+        "grp AS (SELECT week, x, CAST(COUNT(*) AS BIGINT) AS m FROM blk GROUP BY 1, 2), " +
+        "dr AS (SELECT week, x, " +
+        "(SUM(m) OVER (PARTITION BY week ORDER BY x) - m) * 2 + m + 1 AS dr FROM grp), " +
+        "rk AS (SELECT blk.dow, blk.week, dr.dr FROM blk JOIN dr USING (week, x)), " +
+        "sums AS (SELECT dow, CAST(COUNT(DISTINCT week) AS BIGINT) AS n_blocks, " +
+        "CAST(SUM(dr) AS BIGINT) AS r_sum_doubled FROM rk GROUP BY 1), " +
+        "chi AS (SELECT CAST(CASE WHEN MAX(n_blocks) = 0 THEN NULL ELSE " +
+        "(3000 * SUM(r_sum_doubled * r_sum_doubled)) // (MAX(n_blocks) * 7 * 8) " +
+        "- 3000 * MAX(n_blocks) * 8 END AS BIGINT) AS chi2f_milli FROM sums) " +
+        "SELECT sums.dow, sums.n_blocks, sums.r_sum_doubled, chi.chi2f_milli " +
+        "FROM sums CROSS JOIN chi ORDER BY sums.dow"),
+
+    // WAU streaming parity: the batch relation IS the oracle — the
+    // streaming leg must reproduce it exactly
+    "stream_wau_parity" ->
+      ("WITH p AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM p), " +
+        "c AS (SELECT p.user_id, p.day + o.o * INTERVAL 1 DAY AS day " +
+        "FROM p, (SELECT unnest(range(0, 7)) AS o) o, b " +
+        "WHERE p.day + o.o * INTERVAL 1 DAY <= b.hi), " +
+        "w AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7 FROM c GROUP BY 1), " +
+        "da AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY 1) " +
+        "SELECT w.day, CAST(COALESCE(da.dau, 0) AS BIGINT) AS dau, w.wau7, " +
+        "w.day >= b.lo + INTERVAL 6 DAY AS full_window " +
+        "FROM w LEFT JOIN da USING (day) CROSS JOIN b ORDER BY w.day"),
 
     // rolling-WAU replay: deduped (user, day), 7-day contribution
     // fan-out clipped at the observed max, distinct count per day

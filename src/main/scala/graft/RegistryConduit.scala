@@ -347,6 +347,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "sink_delete_vectors" -> ((s, d) =>
       SinkOps.deleteVectorRoundTrip(s, Tables.events(s, d))),
 
+    // Partition-layout migration (round 15): flat gen-1 + partitioned
+    // gen-2 served as one relation, union BY NAME (see
+    // partitionMigrateRoundTrip's scaladoc).
+    "sink_partition_migrate" -> ((s, d) =>
+      SinkOps.partitionMigrateRoundTrip(s, Tables.events(s, d))),
+
     // Z-order layout cells (round 9): min/max-normalized bit interleave
     // of (custkey, orderdate) → per-cell skipping index — the
     // multi-dimensional clustering sink_compact's single-column sortBy
@@ -753,6 +759,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "sink_delete_vectors" ->
       (s"SELECT event_id, user_id, ${sqlSentinel("event_type")} AS event_type, " +
         "value FROM events WHERE event_id % 7 != 3 ORDER BY event_id"),
+
+    // layout migration must be lossless: both generations together are
+    // exactly the source relation
+    "sink_partition_migrate" ->
+      (s"SELECT event_id, user_id, ${sqlSentinel("event_type")} AS event_type, " +
+        "value FROM events ORDER BY event_id"),
 
     // CAST(ts AS TIMESTAMP) mirrors the engine's µs truncation (the
     // parquet ts is nanos): without it, two same-user events inside one

@@ -83,6 +83,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "embed_sign_hamming" -> ((s, d) =>
       Similarity.signHammingHist(Tables.embeddings(s, d))),
 
+    // Binary-recall curve (round 15): Hamming ranking vs exact cosine
+    // ground truth at 16/32/63-bit budgets (see signHammingRecall's
+    // scaladoc).
+    "embed_recall_vs_bits" -> ((s, d) =>
+      Similarity.signHammingRecall(Tables.embeddings(s, d))),
+
     // IVF (inverted-file) ANN top-k: TRAINED coarse quantizer (2
     // deterministic Lloyd's iterations), nprobe-list candidate lookup,
     // exact rerank. Full DuckDB oracle since round 9: the fixed
@@ -1046,6 +1052,39 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "SELECT ham // 4 AS ham_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
         "CAST(MIN(ham) AS BIGINT) AS min_ham, CAST(MAX(ham) AS BIGINT) AS max_ham " +
         "FROM h GROUP BY 1 ORDER BY 1"),
+
+    // binary-recall replay: masked 63-bit signatures ranked by
+    // (hamming ASC, n_id) vs the brute-force cosine ground truth
+    "embed_recall_vs_bits" ->
+      (s"WITH $sqlQuantCte, " +
+        "sig AS (SELECT vec_id, CAST(list_sum(list_transform(" +
+        "range(0, least(len(v), 63)), d -> CASE WHEN v[CAST(d + 1 AS INT)] > 0 " +
+        "THEN (CAST(1 AS BIGINT) << CAST(d AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM n), " +
+        "bu AS (SELECT CAST(unnest([16, 32, 63]) AS INT) AS bits), " +
+        s"qs AS (SELECT vec_id AS q_id, sig AS q_sig FROM sig WHERE vec_id < ${Similarity.LshNQueries}), " +
+        "sc AS (SELECT bu.bits, qs.q_id, s2.vec_id AS n_id, " +
+        "CAST(bit_count(xor(qs.q_sig & (CASE WHEN bu.bits >= 63 THEN 9223372036854775807 " +
+        "ELSE (CAST(1 AS BIGINT) << bu.bits) - 1 END), " +
+        "s2.sig & (CASE WHEN bu.bits >= 63 THEN 9223372036854775807 " +
+        "ELSE (CAST(1 AS BIGINT) << bu.bits) - 1 END))) AS BIGINT) AS ham " +
+        "FROM qs, bu, sig s2 WHERE s2.vec_id != qs.q_id), " +
+        "tk AS (SELECT bits, q_id, n_id FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY bits, q_id ORDER BY ham, n_id) AS rn FROM sc) " +
+        s"WHERE rn <= ${Similarity.LshK}), " +
+        "bfs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        s"${sqlCosFrag("q", "c")} AS cos " +
+        s"FROM n q JOIN n c ON q.vec_id < ${Similarity.LshNQueries} AND c.vec_id != q.vec_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        s"FROM bfs WHERE NOT isnan(cos)) WHERE rank <= ${Similarity.LshK}), " +
+        "g AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_possible FROM bf), " +
+        "h AS (SELECT bits, CAST(COUNT(*) AS BIGINT) AS n_hits FROM tk " +
+        "JOIN bf USING (q_id, n_id) GROUP BY 1) " +
+        "SELECT bu.bits, g.n_queries, g.n_possible, " +
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "CAST((COALESCE(h.n_hits, 0) * 1000000) // nullif(g.n_possible, 0) AS BIGINT) AS recall_ppm " +
+        "FROM bu CROSS JOIN g LEFT JOIN h USING (bits) ORDER BY bu.bits"),
 
     // clip-detect replay: analytic samples, gaps-and-islands runs
     "multimodal_audio_clip" ->

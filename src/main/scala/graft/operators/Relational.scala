@@ -2406,6 +2406,66 @@ object Relational {
         col("w_plus_doubled"), col("w_minus_doubled"))
   }
 
+  /** FRIEDMAN TEST (round 15) — the k-related-samples rank test
+    * completing the nonparametric family ([[mannWhitney]] two
+    * unpaired, [[wilcoxonSignedRank]] two paired, Friedman k paired):
+    * do the 7 weekdays carry systematically different revenue, with
+    * each WEEK as its own block so trend and level shifts cancel?
+    * Complete Monday-start weeks only (a partial block would bias its
+    * ranks); within each block the 7 daily revenues rank with ties at
+    * their average via the DOUBLED-rank trick (2·c_lt + m + 1 per
+    * (week, value) group — BIGINT end to end); per-dow rank sums stay
+    * doubled, and the χ²_F statistic lands as one deterministic
+    * integer division: with ΣR²_true = ΣR²_doubled/4,
+    * χ²_F·1000 = (3000·ΣR²_d) div (n·k·(k+1)) − 3000·n·(k+1).
+    * Blocks are calendar-bounded; every window runs per-week over ≤ 7
+    * value groups.
+    *
+    * Output: (dow, n_blocks, r_sum_doubled, chi2f_milli), 7 rows,
+    * ordered by dow (Spark dayofweek, 1 = Sunday). */
+  def friedmanTest(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val daily = orders
+      .select(date_trunc("day", col("o_orderdate")).as("day"),
+        cents.as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    val grid = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val series = grid.join(broadcast(daily), Seq("day"), "left")
+      .select(date_trunc("week", col("day")).as("week"),
+        dayofweek(col("day")).cast("long").as("dow"),
+        coalesce(col("rev"), lit(0L)).as("x"))
+    val complete = series.groupBy(col("week"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") === 7L)
+      .select(col("week"))
+    val blocks = series.join(broadcast(complete), Seq("week"), "left_semi")
+    val groups = blocks.groupBy(col("week"), col("x"))
+      .agg(count(lit(1)).as("m"))
+    val wv = Window.partitionBy(col("week")).orderBy(col("x"))
+    val dr = groups
+      .withColumn("cum", sum(col("m")).over(wv))
+      .select(col("week"), col("x"),
+        ((col("cum") - col("m")) * 2 + col("m") + 1L).as("dr"))
+    val ranked = blocks.join(dr, Seq("week", "x"))
+    val sums = ranked.groupBy(col("dow"))
+      .agg(countDistinct(col("week")).as("n_blocks"),
+        sum(col("dr")).as("r_sum_doubled"))
+    val chi = sums.agg(
+        max(col("n_blocks")).as("n"),
+        sum(col("r_sum_doubled") * col("r_sum_doubled")).as("ssq"))
+      .select(expr("CAST(CASE WHEN n = 0 THEN NULL ELSE " +
+        "(3000 * ssq) div (n * 7 * 8) - 3000 * n * 8 END AS BIGINT)")
+        .as("chi2f_milli"))
+    sums.crossJoin(broadcast(chi))
+      .select(col("dow"), col("n_blocks"), col("r_sum_doubled"),
+        col("chi2f_milli"))
+      .orderBy(col("dow"))
+  }
+
   /** ROLLING 7-DAY ACTIVE USERS (round 15) — the WAU-by-day curve
     * between [[dauMau]]'s two fixed grains: per calendar day, the
     * count of DISTINCT users active in the trailing 7 days. Distinct
@@ -2420,10 +2480,16 @@ object Relational {
     * `full_window`.
     *
     * Output: (day, dau, wau7, full_window), ordered. */
-  def rollingWau(events: DataFrame): DataFrame = {
-    val pairs = events
+  def rollingWau(events: DataFrame): DataFrame =
+    rollingWauFromPairs(events
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      .distinct()
+      .distinct())
+
+  /** The aggregation tail of [[rollingWau]] over an already-distinct
+    * (day, user_id) pair relation — shared with the streaming parity
+    * replay, whose exactly-once pair extraction IS the part under
+    * test. */
+  private[graft] def rollingWauFromPairs(pairs: DataFrame): DataFrame = {
     val bounds = pairs.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     val contrib = pairs
       .select(col("user_id"), explode(sequence(col("day"),

@@ -1646,10 +1646,7 @@ object Similarity {
                       bitsPerTable: Int = 4,
                       maxBucket: Int = 1024): DataFrame = {
     val p = prepared(emb)
-    val sig = p.select(col("vec_id"), expr(
-      "aggregate(sequence(0, CAST(least(size(qv), 63) - 1 AS INT)), 0L, " +
-        "(acc, d) -> acc + IF(element_at(qv, CAST(d + 1 AS INT)) > 0, " +
-        "shiftleft(1L, CAST(d AS INT)), 0L))").as("sig"))
+    val sig = p.select(col("vec_id"), signSig.as("sig"))
     val und = Dedup.boundedCandidatePairs(
       lshBuckets(p, tables, bitsPerTable)
         .select(col("vec_id"), col("tbl"), col("bucket")),
@@ -1664,6 +1661,63 @@ object Similarity {
       .agg(count(lit(1)).as("n_pairs"), min(col("ham")).as("min_ham"),
         max(col("ham")).as("max_ham"))
       .orderBy(col("ham_bucket"))
+  }
+
+  /** The 63-bit sign-signature expression shared by
+    * [[signHammingHist]] and [[signHammingRecall]]. */
+  private def signSig: Column = expr(
+    "aggregate(sequence(0, CAST(least(size(qv), 63) - 1 AS INT)), 0L, " +
+      "(acc, d) -> acc + IF(element_at(qv, CAST(d + 1 AS INT)) > 0, " +
+      "shiftleft(1L, CAST(d AS INT)), 0L))")
+
+  /** BINARY-RECALL CURVE (round 15) — the decision table
+    * [[signHammingHist]]'s shape hints at, measured: recall@k of
+    * brute-force HAMMING ranking against exact cosine ground truth at
+    * bit budgets 16 / 32 / 63 (mask the signature's low b bits — the
+    * memory-vs-recall dial a binary first-pass rerank is sized by;
+    * full-scan of 8-byte codes IS the design point of binary
+    * rerankers, so the corpus side streams while queries × budgets —
+    * ≤ 30 rows — broadcast). Ranking ties break (hamming ASC, n_id
+    * ASC) via the shared partial-top-k aggregator (score = −hamming),
+    * so the whole curve replays exactly.
+    *
+    * Output: (bits, n_queries, n_possible, n_hits, recall_ppm),
+    * ordered by bits. */
+  def signHammingRecall(emb: DataFrame, nQueries: Int = LshNQueries,
+                        k: Int = LshK): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb)
+    val sigs = p.select(col("vec_id"), signSig.as("sig"))
+    val gt = bruteForceTopK(emb, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val budgets = Seq(16, 32, 63).toDF("bits")
+    val queries = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
+      .crossJoin(budgets)
+    val mask = expr("CASE WHEN bits >= 63 THEN 9223372036854775807L " +
+      "ELSE shiftleft(1L, bits) - 1L END")
+    val scored = sigs
+      .select(col("vec_id").as("n_id"), col("sig").as("n_sig"))
+      .join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("m", mask)
+      .withColumn("cos",
+        -expr("bit_count((q_sig & m) ^ (n_sig & m))").cast("double"))
+    val top = scored.groupBy(col("bits"), col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("cos"), col("n_id")).as("tk"))
+      .select(col("bits"), col("q_id"), explode(col("tk")).as("e"))
+      .select(col("bits"), col("q_id"), col("e._2").as("n_id"))
+    val denom = gt.agg(countDistinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_possible"))
+    val hits = top.join(gt, Seq("q_id", "n_id"))
+      .groupBy(col("bits")).agg(count(lit(1)).as("n_hits"))
+    budgets.join(hits, Seq("bits"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("bits"), col("n_queries"), col("n_possible"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("CAST((coalesce(n_hits, 0L) * 1000000) div " +
+          "nullif(n_possible, 0L) AS BIGINT)").as("recall_ppm"))
+      .orderBy(col("bits"))
   }
 
   /** kNN LABEL-PROBE ACCURACY (round 15) — the standard intrinsic

@@ -133,6 +133,43 @@ object SinkOps {
       .orderBy(col("event_id"))
   }
 
+  /** PARTITION-LAYOUT MIGRATION (round 15) — the lake transition every
+    * maturing dataset goes through: generation 1 was written FLAT
+    * (partition column as a plain data column — the cheap day-one
+    * layout), generation 2 is written partitionBy (the layout pruning
+    * needs), and until a backfill rewrites gen-1 the table IS both
+    * generations served as one relation. This proves that serve
+    * lossless: rows split deterministically (event_id parity), gen-1
+    * lands flat, gen-2 lands partitioned (sentineled values — the
+    * dynamic-partition writer maps blanks/nulls to the default dir),
+    * both read back under the SAME explicit schema and union BY NAME
+    * (the partition column re-enters gen-2 rows from directory names
+    * at a different column position — positional union would silently
+    * swap columns).
+    *
+    * Output: (event_id, user_id, event_type, value), all rows,
+    * ordered. */
+  def partitionMigrateRoundTrip(spark: SparkSession,
+                                events: DataFrame): DataFrame = {
+    val gen1 = s"$scratchRoot/pm_gen1"
+    val gen2 = s"$scratchRoot/pm_gen2"
+    val written = events
+      .select(col("event_id"), col("user_id"),
+        ExportOps.nullSentinel(col("event_type")).as("event_type"),
+        col("value"))
+    written.filter(pmod(col("event_id"), lit(2L)) === 0L)
+      .repartition(4).write.mode("overwrite").parquet(gen1)
+    written.filter(pmod(col("event_id"), lit(2L)) === 1L)
+      .repartition(4).write.mode("overwrite")
+      .partitionBy("event_type").parquet(gen2)
+    val a = spark.read.schema(written.schema).parquet(gen1)
+    val b = spark.read.schema(written.schema).parquet(gen2)
+    a.unionByName(b)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** DELETE-VECTOR (merge-on-read) ROUND TRIP (round 15) — the
     * lakehouse delete pattern at 100 TB: a delete never rewrites the
     * base files at commit time; it lands as a tiny TOMBSTONE relation

@@ -104,4 +104,58 @@ object StreamingWindows {
     spark.read.parquet(outDir)
       .orderBy(col("win_start"), col("event_type"))
   }
+
+  /** STREAMING ROLLING-WAU PARITY (round 15) — the batch
+    * `event_rolling_wau` re-derived from a replayed stream. The part
+    * that is genuinely streaming is the EXACTLY-ONCE (user, day) pair
+    * extraction: dropDuplicates state across micro-batches must emit
+    * each pair in exactly one commit (a state miss double-commits a
+    * pair; dropping the idempotent per-batch_id overwrite would
+    * double-count on replay) — the [[graft.streaming.StreamingDedup]]
+    * exact-dedup contract on a composite key. The WAU fan-out and
+    * distinct counts then run as the SHARED batch tail over the
+    * committed pair log ([[graft.operators.Relational
+    * .rollingWauFromPairs]]) — one code path, two ingestion modes, so
+    * a hash mismatch can only come from the streaming leg. Pair state
+    * is (users × days)-bounded.
+    *
+    * Output: identical to `event_rolling_wau`. */
+  def wauParityReplay(events: DataFrame, srcDir: String, outDir: String,
+                      checkpointDir: String, nFiles: Int = 5): DataFrame = {
+    require(nFiles >= 2, s"need >= 2 files for a multi-batch replay: $nFiles")
+    val spark = events.sparkSession
+    events.select(col("event_id"), col("ts"), col("user_id"))
+      .repartitionByRange(nFiles, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val pairs = stream.select(
+      date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamingDedup.exactGlobal(pairs, Seq("day", "user_id"))
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
+        }.start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val out = new java.io.File(outDir)
+    val committed =
+      if (!out.exists())
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("day",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(outDir).select(col("day"), col("user_id"))
+    graft.operators.Relational.rollingWauFromPairs(committed)
+  }
 }

@@ -1015,6 +1015,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(totalPairs >= 12L, s"twin groups must co-bucket: $out")
   }
 
+  test("signHammingRecall: planted exact twins are recovered at the " +
+    "full bit budget — binary rank 1 and cosine rank 1 agree — and " +
+    "the curve's denominator is queries × k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // queries 0..9; 10..19 are exact copies (cos 1, ham 0); 30 fillers
+    val qs = (0 until 10).map(i =>
+      Array.tabulate(64)(_ => rnd.nextFloat() * 2f - 1f))
+    val vecs = (qs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) } ++
+      qs.zipWithIndex.map { case (v, i) => ((i + 10).toLong, v, 1) } ++
+      (20 until 50).map(i =>
+        (i.toLong + 10L, Array.tabulate(64)(_ => rnd.nextFloat() * 2f - 1f), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.signHammingRecall(vecs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(16, 32, 63))
+    out.values.foreach { case (nq, np, nh) =>
+      assert(nq == 10L && np == 100L && nh >= 10L && nh <= 100L,
+        s"got $out")
+    }
+    // every query's twin is in BOTH top-k lists → at least the 10
+    // twin hits at every budget (a twin is identical even at 16 bits)
+  }
+
   test("shardPlan: first-fit shards — a straddling doc lands in the " +
     "shard its first token falls in; shards overfill, never underfill") {
     import spark.implicits._

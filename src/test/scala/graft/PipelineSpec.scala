@@ -375,6 +375,26 @@ class PipelineSpec extends SparkSpec {
       .hilbertCells(orders.repartition(13)).collect().toSeq)
   }
 
+  test("partitionMigrateRoundTrip: flat gen-1 + partitioned gen-2 " +
+    "serve as exactly the source relation; both layouts really exist") {
+    val events = Tables.events(spark, sf0)
+    val back = graft.operators.SinkOps
+      .partitionMigrateRoundTrip(spark, events).collect()
+    val want = events.select(col("event_id"), col("user_id"),
+        graft.operators.ExportOps.nullSentinel(col("event_type"))
+          .as("event_type"), col("value"))
+      .orderBy(col("event_id")).collect()
+    assert(back.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // layout proof: gen-2 has hive partition dirs, gen-1 does not
+    val root = graft.operators.SinkOps.scratchRoot
+    val g2dirs = new java.io.File(s"$root/pm_gen2").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("event_type="))
+    assert(g2dirs >= 2, s"gen-2 not actually partitioned: $g2dirs dirs")
+    val g1dirs = Option(new java.io.File(s"$root/pm_gen1").listFiles())
+      .get.count(f => f.isDirectory && f.getName.startsWith("event_type="))
+    assert(g1dirs == 0, "gen-1 unexpectedly partitioned")
+  }
+
   test("deleteVectorRoundTrip: the merge-on-read view equals the " +
     "compacted read row-for-row, and every tombstoned key is gone") {
     val events = Tables.events(spark, sf0)

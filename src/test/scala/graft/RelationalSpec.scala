@@ -2580,6 +2580,28 @@ class RelationalSpec extends SparkSpec {
     assert(r.getLong(3) == 17L && r.getLong(4) == 3L, r.toSeq.toString)
   }
 
+  test("friedmanTest: two complete weeks with identical dow ordering — " +
+    "rank sums exact, partial week dropped, χ²_F at the k−1 ceiling " +
+    "shape") {
+    // 16 days: Mon 03-04 .. Tue 03-19. Complete Monday weeks: 03-04
+    // and 03-11 (the trailing Mon+Tue form a partial block → dropped).
+    // Within each week revenue strictly increases Mon→Sun, so dow j's
+    // rank is identical in both blocks — the maximal-consistency case.
+    val orders = (0 until 16).map { i =>
+      (f"2024-03-${4 + i}%02d", 100.0 + (i % 7) * 10.0) }
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.friedmanTest(orders).collect()
+    assert(out.length == 7)
+    out.foreach(r => assert(r.getLong(1) == 2L, s"blocks: ${r.toSeq}"))
+    // Mon(dow 2) is rank 1 in both weeks → doubled sum 2·(2·1) = 4;
+    // Sun(dow 1) is rank 7 → 2·(2·7) = 28
+    val sums = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sums(2L) == 4L && sums(1L) == 28L, s"got $sums")
+    // χ²_F for perfectly consistent blocks = n(k−1) = 2·6 → 12000 milli
+    assert(out.head.getLong(3) == 12000L, out.head.toSeq.toString)
+  }
+
   test("rollingWau: hand users — a user counts once per window even " +
     "with repeat activity, windows expire after 7 days, fan-out clips " +
     "at the observed max day") {

@@ -159,6 +159,36 @@ class StatefulSessionsSpec extends SparkSpec {
     }
   }
 
+  test("WAU parity replay equals the batch rolling WAU and committed " +
+    "each (user, day) pair in exactly one micro-batch") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_wau_").toString
+    try {
+      val events = Tables.events(spark, sf0)
+      val out = graft.streaming.StreamingWindows.wauParityReplay(
+        events, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      val batch = graft.operators.Relational.rollingWau(events)
+      assert(out.collect().toSeq.map(_.toSeq) ==
+        batch.collect().toSeq.map(_.toSeq),
+        "streaming WAU diverged from the batch aggregation")
+      // exactly-once across batches: the committed pair log carries no
+      // duplicate (day, user) even though users repeat across batches
+      val pairs = spark.read.parquet(s"$base/out")
+        .select(org.apache.spark.sql.functions.col("day"),
+          org.apache.spark.sql.functions.col("user_id"))
+      assert(pairs.count() == pairs.distinct().count(),
+        "a (user, day) pair committed twice — dedup state missed")
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 3, s"expected a multi-batch replay, got $commits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("watermarked hopping windows: overlapping windows each emit once, " +
     "closed only, with the width/slide overlap factor") {
     implicit val sqlCtx = spark.sqlContext
