@@ -787,6 +787,13 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "quality_null_census" -> ((s, d) =>
       Relational.nullCensus(Tables.events(s, d))),
 
+    // Timestamp-granularity collision audit (round 15): events made
+    // indistinguishable per truncation grain — the downcast question
+    // the reference's second-granular ODBC format poses (see
+    // tsCollisionAudit's scaladoc).
+    "quality_ts_collisions" -> ((s, d) =>
+      Relational.tsCollisionAudit(Tables.events(s, d))),
+
     // Permutation test (round 15): assumption-free p for the arm gap,
     // deterministic md5 label shuffles, integer-domain comparison (see
     // permutationTest's scaladoc).
@@ -3606,6 +3613,25 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM df WHERE dd IS NOT NULL) " +
         "SELECT cn.n_days, np.n_pairs, st.n_nonzero, st.w_plus_doubled, " +
         "st.w_minus_doubled FROM cn, np, st"),
+
+    // ts-collision replay: same four truncation grains over the µs
+    // timestamp (nanos CAST to TIMESTAMP first — the engine's read)
+    "quality_ts_collisions" -> {
+      def row(name: String, t: String) =
+        s"SELECT '$name' AS grain, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+          s"CAST(COUNT(DISTINCT $t) AS BIGINT) AS n_distinct FROM e"
+      "WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "u AS (" + Seq(
+          row("1_microsecond", "ts"),
+          row("2_millisecond", "date_trunc('millisecond', ts)"),
+          row("3_second", "date_trunc('second', ts)"),
+          row("4_minute", "date_trunc('minute', ts)"))
+          .mkString(" UNION ALL ") + ") " +
+        "SELECT grain, n_events, n_distinct, " +
+        "n_events - n_distinct AS n_collisions, " +
+        "CAST(((n_events - n_distinct) * 1000000) // nullif(n_events, 0) " +
+        "AS BIGINT) AS collision_ppm FROM u ORDER BY grain"
+    },
 
     // Friedman replay: complete Monday-start weeks, per-block doubled
     // ranks on the (week, value) grid, same integer χ²_F text

@@ -136,6 +136,18 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "sketch_linear_count" -> ((s, d) =>
       Sketches.linearCount(Tables.lineitem(s, d))),
 
+    // Bloom mergeability audit (round 15): shard masks OR-merge to
+    // exactly the global mask, unpacked to position arithmetic (see
+    // bloomMergeAudit's scaladoc).
+    "sketch_bloom_merge" -> ((s, d) =>
+      Sketches.bloomMergeAudit(Tables.documents(s, d))),
+
+    // Source total-variation matrix (round 15): pairwise TV over the
+    // top-32 vocab + OOV grid in exact ppm (see sourceTvMatrix's
+    // scaladoc).
+    "text_source_tv_matrix" -> ((s, d) =>
+      Corpus.sourceTvMatrix(Tables.documents(s, d))),
+
     // Word-length histogram per language (round 15): the tokenizer-
     // sizing curve, clamped 17+ (see wordLenHist's scaladoc).
     "text_word_len_hist" -> ((s, d) =>
@@ -1232,6 +1244,55 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
 
     // FPR replay: gram-level membership test by position sets (the
     // contamination_bloom doctrine), ground truth via fp semi-join
+    // bloom-merge replay: per-shard distinct gram fps → position sets;
+    // global = merged = the union — the mask path must land exactly here
+    "sketch_bloom_merge" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks " +
+        "FROM documents), " +
+        "fps AS (SELECT doc_id % 4 AS shard, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(toks) - 12, 0) + 1), " +
+        "i -> substring(md5(array_to_string(toks[i:i+12], ' ')), 1, 8)))) AS fp FROM t), " +
+        "sp AS (SELECT DISTINCT shard, fp FROM fps), " +
+        "pos AS (SELECT DISTINCT shard, " +
+        "CAST(('0x' || substring(md5(fp || ':' || CAST(r.i AS VARCHAR)), 1, 7)) AS BIGINT) " +
+        "% 131072 AS pos FROM sp, range(5) r(i)), " +
+        "gpos AS (SELECT DISTINCT pos FROM pos), " +
+        "gk AS (SELECT CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_keys FROM sp), " +
+        "sk AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_keys FROM sp GROUP BY 1), " +
+        "ss AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_set_bits, " +
+        "CAST(SUM(pos) AS BIGINT) AS pos_sum FROM pos GROUP BY 1), " +
+        "srows AS (SELECT 'shard_' || CAST(sk.shard AS VARCHAR) AS scope, " +
+        "sk.n_keys, ss.n_set_bits, ss.pos_sum FROM sk JOIN ss USING (shard)), " +
+        "gs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_set_bits, " +
+        "CAST(SUM(pos) AS BIGINT) AS pos_sum FROM gpos), " +
+        "grows AS (SELECT u.scope, gk.n_keys, gs.n_set_bits, gs.pos_sum " +
+        "FROM (SELECT unnest(['zz_global', 'zz_merged']) AS scope) u, gk, gs) " +
+        "SELECT * FROM (SELECT * FROM srows UNION ALL SELECT * FROM grows) z " +
+        "ORDER BY scope"),
+
+    // TV-matrix replay: same top-32 + OOV cells, truncated ppm shares,
+    // constant pair × cell grid
+    "text_source_tv_matrix" ->
+      ("WITH tk AS (SELECT source, tok FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents) z WHERE tok != ''), " +
+        "vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS f FROM tk " +
+        "GROUP BY 1 ORDER BY f DESC, tok LIMIT 32) v), " +
+        "cnt AS (SELECT source, CASE WHEN v.tok IS NOT NULL THEN tk.tok " +
+        "ELSE '__OOV__' END AS cell, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM tk LEFT JOIN vocab v ON tk.tok = v.tok GROUP BY 1, 2), " +
+        "tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1), " +
+        "p AS (SELECT cnt.source, cell, (c * 1000000) // nullif(t, 0) AS ppm " +
+        "FROM cnt JOIN tot USING (source)), " +
+        "cells AS (SELECT tok AS cell FROM vocab UNION ALL SELECT '__OOV__'), " +
+        "grid AS (SELECT a.source AS source_a, b.source AS source_b, cells.cell " +
+        "FROM tot a, tot b, cells WHERE a.source < b.source) " +
+        "SELECT source_a, source_b, " +
+        "CAST(SUM(abs(COALESCE(pa.ppm, 0) - COALESCE(pb.ppm, 0))) // 2 AS BIGINT) AS tv_ppm " +
+        "FROM grid LEFT JOIN p pa ON pa.source = grid.source_a AND pa.cell = grid.cell " +
+        "LEFT JOIN p pb ON pb.source = grid.source_b AND pb.cell = grid.cell " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
     "sketch_bloom_fpr" ->
       ("WITH t AS (SELECT doc_id, " +
         "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test, " +

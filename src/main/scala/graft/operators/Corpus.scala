@@ -920,6 +920,55 @@ object Corpus {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** SOURCE TOTAL-VARIATION MATRIX (round 15) — how differently two
+    * shards USE language, as one number per pair: total-variation
+    * distance between per-source unigram distributions over the global
+    * top-`topN` vocabulary + one OOV bucket (the grid-bound doctrine —
+    * the cell set is CONSTANT, so the pair grid is |S|²·(topN+1),
+    * never vocabulary-shaped). TV = ½Σ|p−q| with per-cell shares in
+    * exact truncated ppm — identical truncation both engines, so the
+    * matrix replays bit-for-bit. The mixture-planning complement of
+    * [[crossSourceDupMatrix]]: that finds shards sharing DOCUMENTS,
+    * this finds shards sharing (or not) a REGISTER.
+    *
+    * Output: (source_a, source_b, tv_ppm), a < b, ordered. */
+  def sourceTvMatrix(docs: DataFrame, topN: Int = 32): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(topN)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    val cnt = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("source"),
+        when(col("in_vocab"), col("tok")).otherwise(lit("__OOV__"))
+          .as("cell"))
+      .groupBy(col("source"), col("cell")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val p = cnt.join(broadcast(tot), "source")
+      .select(col("source"), col("cell"),
+        expr("(c * 1000000) div nullif(t, 0L)").as("ppm"))
+    val cells = vocab.select(col("tok").as("cell"))
+      .unionByName(toks.sparkSession.range(1)
+        .select(lit("__OOV__").as("cell")))
+    val srcs = tot.select(col("source"))
+    val grid = srcs.select(col("source").as("source_a"))
+      .crossJoin(broadcast(srcs.select(col("source").as("source_b"))))
+      .filter(col("source_a") < col("source_b"))
+      .crossJoin(broadcast(cells))
+    grid
+      .join(p.select(col("source").as("source_a"), col("cell"),
+        col("ppm").as("pa")), Seq("source_a", "cell"), "left")
+      .join(p.select(col("source").as("source_b"), col("cell"),
+        col("ppm").as("pb")), Seq("source_b", "cell"), "left")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(abs(coalesce(col("pa"), lit(0L)) -
+        coalesce(col("pb"), lit(0L)))).as("s"))
+      .select(col("source_a"), col("source_b"),
+        expr("s div 2").as("tv_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** KEEP-BEST CROSS-SOURCE DEDUP (round 15) — the RESOLUTION step
     * [[crossSourceDupMatrix]] diagnoses: collapse each prefix-
     * fingerprint duplicate group to ONE survivor, chosen by source

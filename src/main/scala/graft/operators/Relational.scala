@@ -4206,6 +4206,40 @@ object Relational {
       .orderBy(col("column"))
   }
 
+  /** TIMESTAMP-GRANULARITY COLLISION AUDIT (round 15) — "can this
+    * timestamp column survive a coarser encoding?": per truncation
+    * grain (µs / ms / second / minute), how many events become
+    * INDISTINGUISHABLE from another event — exactly the question the
+    * reference's second-granular ODBC text format
+    * (hive/HiveExportClient.java:74-77, `ts_format`) poses, and the
+    * question every asof-join / dedup key built on a timestamp must
+    * answer before a storage migration downcasts the column. A
+    * collision is an event sharing its truncated instant with ≥ 1
+    * other: n_collisions = n − distinct(trunc(ts)). Four grains, one
+    * count-distinct aggregation each over the same scan — structurally
+    * 4 rows.
+    *
+    * Output: (grain, n_events, n_distinct, n_collisions,
+    * collision_ppm), ordered by grain name. */
+  def tsCollisionAudit(events: DataFrame): DataFrame = {
+    val grains = Seq(
+      ("1_microsecond", col("ts")),
+      ("2_millisecond", date_trunc("millisecond", col("ts"))),
+      ("3_second", date_trunc("second", col("ts"))),
+      ("4_minute", date_trunc("minute", col("ts"))))
+    val aggs = grains.map { case (name, c) =>
+      events.agg(count(lit(1)).as("n_events"),
+          countDistinct(c).as("n_distinct"))
+        .select(lit(name).as("grain"), col("n_events"), col("n_distinct"))
+    }
+    aggs.reduce(_ unionByName _)
+      .select(col("grain"), col("n_events"), col("n_distinct"),
+        (col("n_events") - col("n_distinct")).as("n_collisions"),
+        expr("CAST(((n_events - n_distinct) * 1000000) div " +
+          "nullif(n_events, 0L) AS BIGINT)").as("collision_ppm"))
+      .orderBy(col("grain"))
+  }
+
   /** DATA FRESHNESS AUDIT (round 14) — the staleness report a
     * data-platform monitor reads before anything else: per event
     * type, the LAST event time, its exact µs lag behind the

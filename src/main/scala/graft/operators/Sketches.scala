@@ -242,6 +242,66 @@ object Sketches {
       .orderBy(col("l_returnflag"))
   }
 
+  /** BLOOM MERGEABILITY AUDIT (round 15) — the [[hllMerge]] property
+    * for the Bloom mask: masks built independently per shard and
+    * OR-merged word-for-word must equal the single-pass global mask —
+    * the identity that lets 1000 executors build the decontamination
+    * gate without ever shuffling grams to one place. Shards are
+    * DETERMINISTIC (doc_id mod nShards, never physical partitions);
+    * the merge is an element-wise `zip_with(_, _, |)` fold over the
+    * word arrays — the real mask path, then UNPACKED back to positions
+    * (bit_count per word for the set-bit census, 64·wi + b for the
+    * position sum) so the oracle's position-set arithmetic checks the
+    * packing itself, not just set algebra. The merged and global rows
+    * must be identical — that equality riding the hash compare IS the
+    * audit.
+    *
+    * Output: (scope, n_keys, n_set_bits, pos_sum) for shard_0..3,
+    * zz_global, zz_merged; ordered by scope. */
+  def bloomMergeAudit(docs: DataFrame, k: Int = 13, mBits: Int = 131072,
+                      nHash: Int = 5, nShards: Int = 4): DataFrame = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    val w = mBits / 64
+    val sharded = gramFps(docs, k)
+      .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        col("fp"))
+      .distinct()
+    val pos = sharded.select(col("shard"),
+      explode(bloomPositions(col("fp"), nHash, mBits)).as("pos"))
+    val shardMasks = pos.groupBy(col("shard"))
+      .agg(graft.functions.BloomAgg.mask(w)(col("pos")).as("mask"))
+    val merged = shardMasks
+      .agg(expr(s"aggregate(collect_list(mask), array_repeat(0L, $w), " +
+        "(a, m) -> zip_with(a, m, (x, y) -> x | y))").as("mask"))
+      .select(lit("zz_merged").as("scope"), col("mask"))
+    val global = pos
+      .agg(graft.functions.BloomAgg.mask(w)(col("pos")).as("mask"))
+      .select(lit("zz_global").as("scope"), col("mask"))
+    val masks = shardMasks
+      .select(concat(lit("shard_"), col("shard")).as("scope"), col("mask"))
+      .unionByName(merged).unionByName(global)
+    // unpack: census via bit_count, position sum via explicit bit walk
+    val unpacked = masks.select(col("scope"),
+      expr("aggregate(mask, 0L, (acc, x) -> acc + bit_count(x))")
+        .as("n_set_bits"),
+      expr("aggregate(transform(mask, (x, wi) -> " +
+        "aggregate(filter(sequence(0, 63), b -> " +
+        "bit_get(x, CAST(b AS INT)) = 1), 0L, " +
+        "(a, b) -> a + CAST(wi AS BIGINT) * 64 + b)), 0L, " +
+        "(a, s) -> a + s)").as("pos_sum"))
+    val keyCounts = sharded
+      .groupBy(concat(lit("shard_"), col("shard")).as("scope"))
+      .agg(count(lit(1)).as("n_keys"))
+      .unionByName(sharded.select(col("fp")).distinct()
+        .agg(count(lit(1)).as("nk"))
+        .select(explode(array(lit("zz_merged"), lit("zz_global")))
+          .as("scope"), col("nk").as("n_keys")))
+    unpacked.join(keyCounts, Seq("scope"))
+      .select(col("scope"), col("n_keys"), col("n_set_bits"),
+        col("pos_sum"))
+      .orderBy(col("scope"))
+  }
+
   /** LINEAR COUNTING (round 15) — the low-range distinct estimator
     * HLL itself falls back to when most registers are empty
     * (Whang et al.): hash each key into an m-bit bitmap and estimate

@@ -1969,6 +1969,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lm(("s1", "en")) == 666666L && lm(("s1", "de")) == 333333L)
   }
 
+  test("sourceTvMatrix: identical shards read TV 0, disjoint registers " +
+    "read ~1e6, the OOV bucket absorbs tail mass") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "aa aa bb", "s1"), (2L, "aa aa bb", "s2"),   // identical mix
+      (3L, "zz zz zz", "s3"))                           // disjoint register
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.sourceTvMatrix(docs, topN = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("s1", "s2")) == 0L, s"identical mixes must read 0: $out")
+    // s1 vs s3: p(s1) = {aa: 666666, bb: 333333}; s3 all mass on zz —
+    // zz is IN the top-2 vocab (freq 3 beats bb's 2): TV =
+    // (666666 + 333333 + 1000000) div 2
+    assert(out(("s1", "s3")) == 999999L, s"got $out")
+  }
+
   test("keepBestDedup: one survivor per prefix group by (source, doc_id) " +
     "priority; within-source dups also yield; Σkept = #groups") {
     import spark.implicits._

@@ -82,8 +82,9 @@ class EmptyInputSpec extends SparkSpec {
       // counts); the PK audit's 8 structural entity rows
       "corpus_funnel_report", "quality_pk_audit",
       // round 15: the null census's 4 audited-column rows (all-zero
-      // counters — the census of nothing is still a census)
-      "quality_null_census")
+      // counters — the census of nothing is still a census); the
+      // ts-collision audit's 4 structural grain rows
+      "quality_null_census", "quality_ts_collisions")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

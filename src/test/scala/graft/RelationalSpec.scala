@@ -2620,6 +2620,20 @@ class RelationalSpec extends SparkSpec {
     assert(out("2024-03-09") == ((1L, 2L, true)))   // {u1 (d5), u3}
   }
 
+  test("tsCollisionAudit: collisions appear exactly at the grain that " +
+    "merges them — µs distinct, second merges the pair, minute all") {
+    val ev = Seq(
+      "2024-03-01 10:00:00.000001", "2024-03-01 10:00:00.000002",
+      "2024-03-01 10:00:59.500000")
+      .map(java.sql.Timestamp.valueOf).map(Tuple1(_)).toDF("ts")
+    val out = Relational.tsCollisionAudit(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out("1_microsecond") == ((3L, 0L)))
+    assert(out("2_millisecond") == ((2L, 1L)))  // 1µs-apart pair merges
+    assert(out("3_second") == ((2L, 1L)))
+    assert(out("4_minute") == ((1L, 2L)))  // all three in minute 10:00
+  }
+
   test("nullCensus: each missing flavor lands in its own counter") {
     val ev = Seq(
       (1L, 10L, "click", 5.0, "{}"),

@@ -291,6 +291,28 @@ class SketchesSpec extends SparkSpec {
     assert(out.toSeq == out2.toSeq, "AMS not repartition-invariant")
   }
 
+  test("bloomMergeAudit: shard masks OR-merge to EXACTLY the global " +
+    "mask — censuses and position sums identical — and shards are " +
+    "key-derived, not physical") {
+    val out = Sketches.bloomMergeAudit(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("shard_0", "shard_1", "shard_2", "shard_3",
+      "zz_global", "zz_merged"))
+    assert(out("zz_merged") == out("zz_global"),
+      s"OR-merge diverged from the single pass: $out")
+    // every shard contributes and no shard is the whole corpus
+    (0 to 3).foreach { s =>
+      val (nk, bits, _) = out(s"shard_$s")
+      assert(nk > 0L && bits > 0L && bits < out("zz_global")._2)
+    }
+    // physical-layout invariance: repartitioned input, identical rows
+    val again = Sketches.bloomMergeAudit(docs.repartition(11)).collect()
+      .map(r => r.toSeq).toSeq
+    assert(again == Sketches.bloomMergeAudit(docs).collect()
+      .map(r => r.toSeq).toSeq)
+  }
+
   test("linearCount: occupancy is exactly the distinct bucket count, " +
     "the series estimate tracks exact within LC's regime, and the " +
     "bitmap is repartition-invariant") {
