@@ -369,6 +369,13 @@ object StreamingDedup {
     (liveBands(spark, storeDir, manifest),
       liveSigs(spark, storeDir, manifest))
 
+  /** The live band rows of the store state batch `batchId` would read
+    * (largest manifest strictly below it, per-segment cutoffs applied)
+    * — the ops/spec surface for "what did batch N actually consult". */
+  private[graft] def storeStateFor(spark: SparkSession, storeDir: String,
+                                   batchId: Long): DataFrame =
+    liveBands(spark, storeDir, readManifest(spark, storeDir, batchId))
+
   /** Live segments of the largest committed manifest strictly below
     * `batchId`; empty when the store has no usable manifest yet. */
   private[graft] def readManifest(spark: SparkSession, storeDir: String,

@@ -84,7 +84,10 @@ class EmptyInputSpec extends SparkSpec {
       // round 15: the null census's 4 audited-column rows (all-zero
       // counters — the census of nothing is still a census); the
       // ts-collision audit's 4 structural grain rows
-      "quality_null_census", "quality_ts_collisions")
+      "quality_null_census", "quality_ts_collisions",
+      // the binary-recall curve's 3 bit-budget rows; the bloom-merge
+      // audit's structural zz_global/zz_merged rows (empty masks)
+      "embed_recall_vs_bits", "sketch_bloom_merge")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

@@ -129,8 +129,11 @@ class StreamingCorpusSpec extends SparkSpec {
         q.processAllAvailable()
         val b1 = spark.read.parquet(s"$out/batch_id=1")
           .select(col("doc_id")).as[Long].collect().sorted.toSeq
-        val storeDocs = spark.read.parquet(s"$store/v=0/bands")
-          .select(col("doc_id")).as[Long].collect().toSet
+        // the state batch 1 consulted (round-15 append-only layout:
+        // manifest v=0's live segments, per-segment cutoffs applied)
+        val storeDocs = graft.streaming.StreamingDedup
+          .storeStateFor(spark, store, 1L)
+          .select(col("doc_id")).distinct().as[Long].collect().toSet
         (b1, storeDocs)
       } finally { q.stop(); bench.close() }
     }
