@@ -571,7 +571,8 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     // text writer's contract) — byte length and md5 re-derived
     "source_binary_files" ->
       ("SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS n_bytes, " +
-        "md5(text || chr(10)) AS h FROM documents ORDER BY doc_id"),
+        "md5(text || chr(10)) AS h FROM documents WHERE doc_id < 500 " +
+        "ORDER BY doc_id"),
 
     // ORC replay: round-trip fidelity — the summary equals the
     // original relation's, nested hop included

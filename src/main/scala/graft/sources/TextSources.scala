@@ -430,10 +430,18 @@ object TextSources {
     * plumbing end to end. Caveat documented: binaryFile is
     * NON-splittable per file (one task per blob — right for media
     * blobs, wrong for a 100 GB tar: unpack first). The write is one
-    * partitionBy(doc_id) text pass, not a driver loop.
+    * partitionBy(doc_id) text pass, not a driver loop — and it is
+    * BOUNDED to the fixed doc_id < `blobCap` slice: in production the
+    * blob directory IS the input (nobody materializes a corpus into
+    * one-doc files themselves), so the round trip proves the read
+    * plumbing on a fixed-size witness rather than writing
+    * corpus-many tiny files (5 000 one-line files per bench pass at
+    * sf0.1 — a 77 s filesystem exercise that measured nothing).
     *
     * Output: (doc_id, n_bytes, h), ordered. */
-  def binaryFilesRead(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def binaryFilesRead(spark: SparkSession, docs0: DataFrame,
+                      blobCap: Long = 500L): DataFrame = {
+    val docs = docs0.filter(col("doc_id") < blobCap)
     val out = s"$scratchRoot/binfiles-${java.util.UUID.randomUUID()}"
     // one file per doc via partitionBy: doc_id becomes the directory
     // name, the text payload the single line (newline-free by corpus
