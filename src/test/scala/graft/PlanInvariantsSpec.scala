@@ -488,6 +488,35 @@ class PlanInvariantsSpec extends SparkSpec {
       s"pair dedup re-appeared as an aggregation:\n$plan")
   }
 
+  test("round-15 scale invariants: band join is grid-cell EQUI (no " +
+    "nested loop), rolling WAU dedupes BEFORE its 7x fan-out, the " +
+    "sign-Hamming pairing rides the bounded-bucket equi join, the " +
+    "binary-recall scan partial-top-ks before any exchange, and " +
+    "keep-best dedup aggregates instead of windowing the corpus") {
+    val band = planOf("join_band")
+    assert(!band.contains("CartesianProduct") &&
+      !band.contains("BroadcastNestedLoopJoin"),
+      s"join_band degenerated to a nested loop:\n$band")
+    val wau = planOf("event_rolling_wau")
+    // the explode (Generate) must consume the DEDUPED pair relation:
+    // an aggregate appears below the generate in the plan text
+    assert(wau.contains("Generate explode") &&
+      wau.indexOf("HashAggregate", wau.indexOf("Generate explode")) > 0,
+      s"rolling WAU fanned out before the (user, day) dedup:\n$wau")
+    val ham = planOf("embed_sign_hamming")
+    assert(!ham.contains("CartesianProduct") &&
+      !ham.contains("BroadcastNestedLoopJoin"),
+      s"sign-Hamming pairing left the bounded-bucket equi join:\n$ham")
+    // recall curve: corpus side streams against broadcast queries and
+    // reduces to k rows per (bits, query) map-side
+    val rec = planOf("embed_recall_vs_bits")
+    assert(rec.contains("partial_topkbyscore"),
+      s"binary recall shuffles all scored rows:\n$rec")
+    val kb = planOf("dedup_keep_best")
+    assert(!kb.contains("Window") && kb.contains("partial_min"),
+      s"keep-best lost its min-of-struct aggregation shape:\n$kb")
+  }
+
   test("multimodal_dhash: the decode side stays narrow — the only wide " +
     "operations are the fingerprint groupBy and its join back") {
     val plan = planOf("multimodal_dhash")
