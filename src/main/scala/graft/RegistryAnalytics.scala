@@ -3664,28 +3664,34 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stream_wau_parity" ->
       ("WITH p AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events), " +
         "b AS (SELECT min(day) AS lo, max(day) AS hi FROM p), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
         "c AS (SELECT p.user_id, p.day + o.o * INTERVAL 1 DAY AS day " +
         "FROM p, (SELECT unnest(range(0, 7)) AS o) o, b " +
         "WHERE p.day + o.o * INTERVAL 1 DAY <= b.hi), " +
         "w AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7 FROM c GROUP BY 1), " +
         "da AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY 1) " +
-        "SELECT w.day, CAST(COALESCE(da.dau, 0) AS BIGINT) AS dau, w.wau7, " +
-        "w.day >= b.lo + INTERVAL 6 DAY AS full_window " +
-        "FROM w LEFT JOIN da USING (day) CROSS JOIN b ORDER BY w.day"),
+        "SELECT grid.day, CAST(COALESCE(da.dau, 0) AS BIGINT) AS dau, " +
+        "CAST(COALESCE(w.wau7, 0) AS BIGINT) AS wau7, " +
+        "grid.day >= b.lo + INTERVAL 6 DAY AS full_window " +
+        "FROM grid LEFT JOIN w USING (day) LEFT JOIN da USING (day) " +
+        "CROSS JOIN b ORDER BY grid.day"),
 
     // rolling-WAU replay: deduped (user, day), 7-day contribution
     // fan-out clipped at the observed max, distinct count per day
     "event_rolling_wau" ->
       ("WITH p AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events), " +
         "b AS (SELECT min(day) AS lo, max(day) AS hi FROM p), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
         "c AS (SELECT p.user_id, p.day + INTERVAL (o.o) DAY AS day " +
         "FROM p, (SELECT unnest(range(0, 7)) AS o) o, b " +
         "WHERE p.day + INTERVAL (o.o) DAY <= b.hi), " +
         "w AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7 FROM c GROUP BY 1), " +
         "da AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM p GROUP BY 1) " +
-        "SELECT w.day, CAST(COALESCE(da.dau, 0) AS BIGINT) AS dau, w.wau7, " +
-        "w.day >= b.lo + INTERVAL 6 DAY AS full_window " +
-        "FROM w LEFT JOIN da USING (day) CROSS JOIN b ORDER BY w.day"),
+        "SELECT grid.day, CAST(COALESCE(da.dau, 0) AS BIGINT) AS dau, " +
+        "CAST(COALESCE(w.wau7, 0) AS BIGINT) AS wau7, " +
+        "grid.day >= b.lo + INTERVAL 6 DAY AS full_window " +
+        "FROM grid LEFT JOIN w USING (day) LEFT JOIN da USING (day) " +
+        "CROSS JOIN b ORDER BY grid.day"),
 
     // permutation replay: same md5 arm redraws, the identical
     // cross-multiplied comparison in HUGEINT, (n_ge+1)/(B+1) milli

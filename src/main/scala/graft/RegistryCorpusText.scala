@@ -140,7 +140,8 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // exactly the global mask, unpacked to position arithmetic (see
     // bloomMergeAudit's scaladoc).
     "sketch_bloom_merge" -> ((s, d) =>
-      Sketches.bloomMergeAudit(Tables.documents(s, d))),
+      Sketches.bloomMergeAudit(Tables.documents(s, d),
+        cache = harnessScope)),
 
     // Source total-variation matrix (round 15): pairwise TV over the
     // top-32 vocab + OOV grid in exact ppm (see sourceTvMatrix's

@@ -356,8 +356,12 @@ object Multimodal {
     * (s₀N − w₀S)²·1024 div (w₀(N−w₀)) over cumulative count w₀ and
     * cumulative gray-sum s₀ at each candidate t (fixed ×1024 scaling,
     * identical truncation both engines; ties break to the LOWEST t —
-    * deterministic). Operands stay well inside int64 for the fixture
-    * geometry (≤160 px: |s₀N − w₀S| ≤ 6.6e6, squared·1024 ≈ 4.4e16).
+    * deterministic). The score is computed in EXACT BigInt arithmetic
+    * (round 16, advisor): the int64 form d²·1024 wraps silently once
+    * |s₀N − w₀S| passes ~3e6 (a megapixel scan is far beyond it) and a
+    * wrapped score picks a wrong threshold with no error; 256 BigInt
+    * ops per image is noise next to the decode. The score never leaves
+    * the executor — only the argmax t and its int64-safe prefix sums do.
     * Decode is the same real-ImageIO per-partition loop as
     * [[imageEntropy]]; the 256-entry histogram scan is per-row work —
     * embarrassingly parallel, no shuffle before the final ordering.
@@ -394,13 +398,13 @@ object Multimodal {
           var g = 0
           while (g < 256) { s += g.toLong * hist(g); g += 1 }
           var w0 = 0L; var s0 = 0L
-          var bestT = 0L; var bestScore = -1L
+          var bestT = 0L; var bestScore = BigInt(-1)
           var t = 0
           while (t < 255) {
             w0 += hist(t); s0 += t.toLong * hist(t)
             if (w0 > 0L && w0 < n) {
-              val d = s0 * n - w0 * s
-              val score = d * d * 1024L / (w0 * (n - w0))
+              val d = BigInt(s0) * n - BigInt(w0) * s
+              val score = d * d * 1024 / (BigInt(w0) * (n - w0))
               if (score > bestScore) { bestScore = score; bestT = t.toLong }
             }
             t += 1

@@ -2477,7 +2477,10 @@ object Relational {
     * relation — never of raw events), and count distinct per day.
     * Days beyond the observed max are clipped; the first 6 days read
     * a partial (growing) window — the honest convention, flagged by
-    * `full_window`.
+    * `full_window`. The curve covers EVERY calendar day in lo..hi
+    * (round 16, advisor): a day whose trailing 7 days saw zero
+    * activity reads wau7 = 0 explicitly — the repo-wide gap-fill
+    * doctrine (a dead week is a finding, not a missing row).
     *
     * Output: (day, dau, wau7, full_window), ordered. */
   def rollingWau(events: DataFrame): DataFrame =
@@ -2500,10 +2503,16 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("wau7"))
     val dau = pairs.groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
-    wau.join(dau, Seq("day"), "left")
+    // full calendar grid lo..hi (calendar-bounded, broadcastable):
+    // a dead day joins nothing and surfaces as an explicit zero row
+    val grid = bounds.filter(col("lo").isNotNull)
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    grid.join(broadcast(wau), Seq("day"), "left")
+      .join(broadcast(dau), Seq("day"), "left")
       .crossJoin(broadcast(bounds))
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
-        col("wau7"),
+        coalesce(col("wau7"), lit(0L)).as("wau7"),
         (col("day") >= expr("lo + interval 6 day")).as("full_window"))
       .orderBy(col("day"))
   }
@@ -3936,8 +3945,10 @@ object Relational {
     * is the median iff c_lt(r) < rank ≤ c_lt(r) + c_eq(r). Slopes are
     * CANONICALIZED to reduced fractions first (round 15, advisor):
     * each (num, den) divides by gcd(|num|, den) — a fixed-depth
-    * unrolled Euclid (40 steps covers any 64-bit pair; den is
-    * span-bounded anyway) so rationally equal slopes COLLAPSE to one
+    * unrolled Euclid (92 steps: the true 64-bit worst case is ~91
+    * steps on consecutive Fibonacci pairs, and the finisher asserts
+    * convergence — round 16, advisor) so rationally equal slopes
+    * COLLAPSE to one
     * representation with a multiplicity, the counting join runs over
     * the distinct-slope grid weighted by those counts (O(distinct²)
     * instead of O(reps × pairs) — the raw form is quartic in span
@@ -3978,12 +3989,20 @@ object Relational {
         (col("xb") - col("xa")).as("den"))
     // canonical form: divide by gcd(|num|, den) (den > 0 stays > 0;
     // num = 0 reduces to 0/1); Euclid as a fixed-depth fold — both
-    // divisions are exact, so truncating div is safe on negatives
+    // divisions are exact, so truncating div is safe on negatives.
+    // Depth 92 covers ANY 64-bit pair (Euclid's worst case is
+    // consecutive Fibonacci numbers: F(92) is the largest below 2^63,
+    // so ≤ 91 steps always reach b = 0); the finisher still ASSERTS
+    // convergence so a future depth edit fails loudly instead of
+    // silently dividing by a non-gcd and truncating the median wrong
     val slopesG = slopes
       .withColumn("g", expr(
-        "aggregate(sequence(1, 40), named_struct('a', abs(num), 'b', den), " +
+        "aggregate(sequence(1, 92), named_struct('a', abs(num), 'b', den), " +
           "(acc, i) -> IF(acc.b = 0L, acc, " +
-          "named_struct('a', acc.b, 'b', acc.a % acc.b)), acc -> acc.a)"))
+          "named_struct('a', acc.b, 'b', acc.a % acc.b)), " +
+          "acc -> CASE WHEN acc.b = 0L THEN acc.a ELSE " +
+          "CAST(assert_true(false, 'theilSen: gcd fold did not converge') " +
+          "AS BIGINT) END)"))
       .select(col("event_type"), expr("num div g").as("gnum"),
         expr("den div g").as("gden"))
       .groupBy(col("event_type"), col("gnum"), col("gden"))

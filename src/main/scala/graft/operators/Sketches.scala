@@ -257,15 +257,23 @@ object Sketches {
     * audit.
     *
     * Output: (scope, n_keys, n_set_bits, pos_sum) for shard_0..3,
-    * zz_global, zz_merged; ordered by scope. */
+    * zz_global, zz_merged; ordered by scope.
+    *
+    * The deduped (shard, fp) relation feeds FOUR consumers (shard masks,
+    * the independent global mask, per-shard key counts, the global
+    * distinct count); `cache` persists it for the call so the 13-gram
+    * explosion + distinct shuffle runs once — the global mask stays a
+    * second aggregation over the SAME positions, which is the audit's
+    * point. */
   def bloomMergeAudit(docs: DataFrame, k: Int = 13, mBits: Int = 131072,
-                      nHash: Int = 5, nShards: Int = 4): DataFrame = {
+                      nHash: Int = 5, nShards: Int = 4,
+                      cache: CacheScope = CacheScope.off): DataFrame = {
     require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
     val w = mBits / 64
-    val sharded = gramFps(docs, k)
+    val sharded = cache.track(gramFps(docs, k)
       .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         col("fp"))
-      .distinct()
+      .distinct())
     val pos = sharded.select(col("shard"),
       explode(bloomPositions(col("fp"), nHash, mBits)).as("pos"))
     val shardMasks = pos.groupBy(col("shard"))
@@ -322,7 +330,12 @@ object Sketches {
     * Output: (l_returnflag, m, filled, zero_buckets, exact_distinct,
     * est_milli), ordered. */
   def linearCount(lineitem: DataFrame, b: Int = 10): DataFrame = {
-    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    // upper bound 13, not 16: the 8th series term computes filled^8 ≤
+    // m^8 = 2^(8b); at b=14+ a fully-occupied bitmap overflows both
+    // DECIMAL(38,0) (Spark nulls the estimate) and DuckDB's HUGEINT
+    // (errors) — exactly where the engines would diverge. 2^(8·13) =
+    // 2^104 < 10^38 keeps every intermediate exact on both engines.
+    require(b >= 4 && b <= 13, s"b must be in [4,13], got $b")
     val m = 1L << b
     val occupied = lineitem
       .select(col("l_returnflag"),

@@ -228,11 +228,18 @@ object StreamingCorpus {
       // stream-side observe sees each row exactly ONCE (a limit(1)
       // probe before the cache re-executes the scan and inflates n_in)
       if (pinned.count() == 0L) return
+      // the contamination join's OUTPUT is persisted too (round 16):
+      // the dedup gate consumes its batch ~3× (signature build, ts
+      // join, survivor anti-join) and each consumption would re-run
+      // the 13-gram explosion + broadcast join against the benchmark
+      // set — a fixed per-batch constant with no scale payoff
       val clean = StreamingContamination.gateBatch(pinned, bench)
         .filter(!col("contaminated"))
         .drop("n_shared", "contaminated")
-      StreamingDedup.nearDupGateBatch(clean, batchId, storeDir, outDir,
+        .persist()
+      try StreamingDedup.nearDupGateBatch(clean, batchId, storeDir, outDir,
         threshold, horizonSec, numHashes, rowsPerBand, n)
+      finally { clean.unpersist(blocking = false); () }
     } finally {
       pinned.unpersist(blocking = false); ()
     }

@@ -249,9 +249,13 @@ object StreamingDedup {
     // so the metric is complete and costs no extra driver job (the old
     // form ran a separate agg(max).head() job per micro-batch)
     val obs = org.apache.spark.sql.Observation(s"neardup_gate_$batchId")
+    // the suppressed doc_id set is tiny (≤ batch cardinality) but its
+    // SUBPLAN reads the store segments — persist it so the survivors
+    // write and the segment build don't each re-scan the store
+    val suppressed = storeHits.union(inBatchHits).distinct().persist()
     val survivors = batch
       .observe(obs, max(col("ts")).as("max_ts"))
-      .join(storeHits.union(inBatchHits).distinct(), Seq("doc_id"), "left_anti")
+      .join(suppressed, Seq("doc_id"), "left_anti")
     survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
     // append-only commit (round 15): THIS batch's survivors land as an
@@ -301,6 +305,7 @@ object StreamingDedup {
       }
     writeManifest(spark, storeDir, batchId, newManifest)
     bands.unpersist()
+    suppressed.unpersist(blocking = false)
 
     // GC: batch N+1 reads manifest v=N; a replayed batch N re-reads
     // v=N-1 — so every segment referenced by the last two manifests
@@ -377,7 +382,13 @@ object StreamingDedup {
     liveBands(spark, storeDir, readManifest(spark, storeDir, batchId))
 
   /** Live segments of the largest committed manifest strictly below
-    * `batchId`; empty when the store has no usable manifest yet. */
+    * `batchId`; empty when the store has no usable manifest yet.
+    *
+    * The manifest is ≤ maxSegments rows — it is read and written
+    * DRIVER-SIDE as a single tab-separated file (round 16; a Spark job
+    * per manifest read/write was a fixed per-micro-batch cost that
+    * dominated at small batches and buys nothing at any scale: the
+    * manifest is bounded by `maxSegments`, never by data volume). */
   private[graft] def readManifest(spark: SparkSession, storeDir: String,
                                       batchId: Long): Seq[StoreSegment] = {
     val root = new org.apache.hadoop.fs.Path(s"$storeDir/manifest")
@@ -389,39 +400,76 @@ object StreamingDedup {
           scala.util.Try(s.drop(2).toLong).toOption else None)
         .filter(_ < batchId)
     if (versions.isEmpty) Seq.empty
-    else spark.read.parquet(s"$storeDir/manifest/v=${versions.max}")
-      .select(col("seg"), col("max_ts"), col("eff_cutoff"))
-      .collect()
-      .map(r => StoreSegment(r.getLong(0), r.getTimestamp(1),
-        r.getTimestamp(2)))
-      .toSeq.sortBy(_.seg)
+    else {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$storeDir/manifest/v=${versions.max}")
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      lines.filter(_.nonEmpty).map { ln =>
+        val f = ln.split('\t')
+        StoreSegment(f(0).toLong,
+          new java.sql.Timestamp(f(1).toLong),
+          new java.sql.Timestamp(f(2).toLong))
+      }.sortBy(_.seg)
+    }
   }
 
+  /** Driver-side single-file manifest commit: write to a dot-prefixed
+    * temp (invisible to the `v=` listing) then rename into place, so a
+    * reader never sees a torn manifest. */
   private def writeManifest(spark: SparkSession, storeDir: String,
                             batchId: Long,
                             segs: Seq[StoreSegment]): Unit = {
-    import spark.implicits._
-    segs.map(s => (s.seg, s.maxTs, s.effCutoff))
-      .toDF("seg", "max_ts", "eff_cutoff")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$storeDir/manifest/v=$batchId")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$storeDir/manifest/.v=$batchId.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$storeDir/manifest/v=$batchId")
+    val out = fs.create(tmp, true)
+    try out.write(segs.map(s =>
+        s"${s.seg}\t${s.maxTs.getTime}\t${s.effCutoff.getTime}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, true)
+    fs.rename(tmp, dst)
+    ()
   }
 
   /** GC after manifest v=`batchId` commits: keep segments referenced by
-    * the last two manifests (v=batchId serves batch N+1; v=batchId-1
-    * serves a replay of batch N) and those two manifests; delete the
-    * rest. Deletion failures and foreign entries are non-fatal — a
-    * leftover is never read, only re-collected next batch. */
+    * the two manifests that can still be read (v=batchId serves batch
+    * N+1; the manifest `readManifest(batchId)` RESOLVES — the largest
+    * v < batchId — serves a replay of batch N) and those two manifests;
+    * delete the rest. The replay-input version is resolved, NOT assumed
+    * to be batchId−1: an empty micro-batch is skipped without writing a
+    * manifest, so version gaps are normal and a numeric batchId−1 rule
+    * would delete the very manifest a crash-replay of batch N needs
+    * (re-admitting duplicates). Deletion failures and foreign entries
+    * are non-fatal — a leftover is never read, only re-collected next
+    * batch. */
   private def pruneStore(spark: SparkSession, storeDir: String,
                          batchId: Long): Unit = {
-    val keep: Set[Long] =
-      (readManifest(spark, storeDir, batchId + 1) ++
-        readManifest(spark, storeDir, batchId)).map(_.seg).toSet
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def rm(p: org.apache.hadoop.fs.Path): Unit =
       try { fs.delete(p, true); () }
       catch { case _: java.io.IOException => () }
+    // the replay-input manifest version, resolved the same way
+    // readManifest resolves it (largest committed v strictly below N)
+    val replayVer: Option[Long] = {
+      val mroot = new org.apache.hadoop.fs.Path(s"$storeDir/manifest")
+      if (!fs.exists(mroot)) None
+      else fs.listStatus(mroot).map(_.getPath.getName)
+        .flatMap(s => if (s.startsWith("v="))
+          scala.util.Try(s.drop(2).toLong).toOption else None)
+        .filter(_ < batchId)
+        .reduceOption((a: Long, b: Long) => math.max(a, b))
+    }
+    val keepVers: Set[Long] = Set(batchId) ++ replayVer
+    val keep: Set[Long] =
+      (readManifest(spark, storeDir, batchId + 1) ++
+        readManifest(spark, storeDir, batchId)).map(_.seg).toSet
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val nm = st.getPath.getName
       if (nm.startsWith("seg=")) {
@@ -436,7 +484,7 @@ object StreamingDedup {
       val nm = st.getPath.getName
       val ver = if (nm.startsWith("v="))
         scala.util.Try(nm.drop(2).toLong).toOption else None
-      if (ver.exists(_ < batchId - 1)) rm(st.getPath)
+      if (ver.exists(v => !keepVers.contains(v))) rm(st.getPath)
     }
   }
 
