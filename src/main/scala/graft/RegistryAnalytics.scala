@@ -812,6 +812,17 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_friedman" -> ((s, d) =>
       Relational.friedmanTest(Tables.orders(s, d))),
 
+    // Nemenyi post-hoc rank gaps (round 16): pairwise weekday mean-rank
+    // gaps vs the α=0.05 critical difference, graded crit-ratio in ppm
+    // (see nemenyiPairs' scaladoc).
+    "stats_nemenyi" -> ((s, d) =>
+      Relational.nemenyiPairs(Tables.orders(s, d))),
+
+    // Page trend test (round 16): ordered-alternative L statistic over
+    // the Friedman blocks, exact integer z² (see pageTrend's scaladoc).
+    "stats_page_trend" -> ((s, d) =>
+      Relational.pageTrend(Tables.orders(s, d))),
+
     // Streaming rolling-WAU parity (round 15): exactly-once pair
     // extraction across micro-batches + the shared batch tail (see
     // StreamingWindows.wauParityReplay's scaladoc).
@@ -1263,6 +1274,28 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_retention" -> ((s, d) =>
       Sessionize.retention(Tables.events(s, d))),
   )
+
+  /** The Friedman block-design ranks (complete Monday-start weeks ×
+    * weekday, doubled in-block average ranks on the gap-filled daily
+    * revenue grid), shared by `stats_friedman` and its post-hoc
+    * consumers `stats_nemenyi` / `stats_page_trend` — ends at the
+    * `rk(dow, week, dr)` CTE. */
+  private val sqlFriedmanRanks: String =
+    "d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+      "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+      "FROM orders GROUP BY 1), " +
+      "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+      "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+      "series AS (SELECT date_trunc('week', g.day) AS week, " +
+      "CAST(dayofweek(g.day) + 1 AS BIGINT) AS dow, " +
+      "CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+      "FROM grid g LEFT JOIN d USING (day)), " +
+      "cw AS (SELECT week FROM series GROUP BY 1 HAVING COUNT(*) = 7), " +
+      "blk AS (SELECT s.* FROM series s SEMI JOIN cw ON s.week = cw.week), " +
+      "grp AS (SELECT week, x, CAST(COUNT(*) AS BIGINT) AS m FROM blk GROUP BY 1, 2), " +
+      "dr AS (SELECT week, x, " +
+      "(SUM(m) OVER (PARTITION BY week ORDER BY x) - m) * 2 + m + 1 AS dr FROM grp), " +
+      "rk AS (SELECT blk.dow, blk.week, dr.dr FROM blk JOIN dr USING (week, x))"
 
   /** Enrichment replay shared by `join_enrich` (batch) and
     * `stream_enrich_parity` (its stream-static replay twin). */
@@ -3636,21 +3669,7 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // Friedman replay: complete Monday-start weeks, per-block doubled
     // ranks on the (week, value) grid, same integer χ²_F text
     "stats_friedman" ->
-      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
-        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
-        "FROM orders GROUP BY 1), " +
-        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
-        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
-        "series AS (SELECT date_trunc('week', g.day) AS week, " +
-        "CAST(dayofweek(g.day) + 1 AS BIGINT) AS dow, " +
-        "CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
-        "FROM grid g LEFT JOIN d USING (day)), " +
-        "cw AS (SELECT week FROM series GROUP BY 1 HAVING COUNT(*) = 7), " +
-        "blk AS (SELECT s.* FROM series s SEMI JOIN cw ON s.week = cw.week), " +
-        "grp AS (SELECT week, x, CAST(COUNT(*) AS BIGINT) AS m FROM blk GROUP BY 1, 2), " +
-        "dr AS (SELECT week, x, " +
-        "(SUM(m) OVER (PARTITION BY week ORDER BY x) - m) * 2 + m + 1 AS dr FROM grp), " +
-        "rk AS (SELECT blk.dow, blk.week, dr.dr FROM blk JOIN dr USING (week, x)), " +
+      (s"WITH $sqlFriedmanRanks, " +
         "sums AS (SELECT dow, CAST(COUNT(DISTINCT week) AS BIGINT) AS n_blocks, " +
         "CAST(SUM(dr) AS BIGINT) AS r_sum_doubled FROM rk GROUP BY 1), " +
         "chi AS (SELECT CAST(CASE WHEN MAX(n_blocks) = 0 THEN NULL ELSE " +
@@ -3658,6 +3677,33 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "- 3000 * MAX(n_blocks) * 8 END AS BIGINT) AS chi2f_milli FROM sums) " +
         "SELECT sums.dow, sums.n_blocks, sums.r_sum_doubled, chi.chi2f_milli " +
         "FROM sums CROSS JOIN chi ORDER BY sums.dow"),
+
+    // Nemenyi post-hoc replay: same ranked blocks, 21-pair self-join,
+    // identical crit-ratio integer text (q²·10⁶ = 8696601, k(k+1)=56)
+    "stats_nemenyi" ->
+      (s"WITH $sqlFriedmanRanks, " +
+        "sums AS (SELECT dow, CAST(COUNT(DISTINCT week) AS BIGINT) AS n, " +
+        "CAST(SUM(dr) AS BIGINT) AS r FROM rk GROUP BY 1) " +
+        "SELECT a.dow AS dow_a, b.dow AS dow_b, a.n AS n_blocks, " +
+        "abs(a.r - b.r) AS gap_doubled, " +
+        "CAST((abs(a.r - b.r) * 500) // nullif(a.n, 0) AS BIGINT) AS gap_mean_milli, " +
+        "CAST((CAST(abs(a.r - b.r) AS HUGEINT) * abs(a.r - b.r) " +
+        "* 6000000 * 1000000) // (8696601 * 224 * nullif(a.n, 0)) AS BIGINT) " +
+        "AS crit_ratio_ppm " +
+        "FROM sums a JOIN sums b ON a.dow < b.dow ORDER BY 1, 2"),
+
+    // Page trend replay: Σ dow·dr over the same ranks, the identical
+    // untied-variance z² integer text
+    "stats_page_trend" ->
+      (s"WITH $sqlFriedmanRanks, " +
+        "agg AS (SELECT CAST(COUNT(DISTINCT week) AS BIGINT) AS n_blocks, " +
+        "CAST(SUM(dow * dr) AS BIGINT) AS l_doubled FROM rk) " +
+        "SELECT n_blocks, l_doubled, n_blocks * 224 AS e_l_doubled, " +
+        "CAST(CASE WHEN l_doubled > n_blocks * 224 THEN 1 " +
+        "WHEN l_doubled < n_blocks * 224 THEN -1 ELSE 0 END AS BIGINT) AS trend_sign, " +
+        "CAST((CAST(l_doubled - n_blocks * 224 AS HUGEINT) * " +
+        "(l_doubled - n_blocks * 224) * 3000) // (1568 * nullif(n_blocks, 0)) " +
+        "AS BIGINT) AS z2_milli FROM agg"),
 
     // WAU streaming parity: the batch relation IS the oracle — the
     // streaming leg must reproduce it exactly

@@ -2424,6 +2424,28 @@ object Relational {
     * Output: (dow, n_blocks, r_sum_doubled, chi2f_milli), 7 rows,
     * ordered by dow (Spark dayofweek, 1 = Sunday). */
   def friedmanTest(orders: DataFrame): DataFrame = {
+    val sums = friedmanRanks(orders).groupBy(col("dow"))
+      .agg(countDistinct(col("week")).as("n_blocks"),
+        sum(col("dr")).as("r_sum_doubled"))
+    val chi = sums.agg(
+        max(col("n_blocks")).as("n"),
+        sum(col("r_sum_doubled") * col("r_sum_doubled")).as("ssq"))
+      .select(expr("CAST(CASE WHEN n = 0 THEN NULL ELSE " +
+        "(3000 * ssq) div (n * 7 * 8) - 3000 * n * 8 END AS BIGINT)")
+        .as("chi2f_milli"))
+    sums.crossJoin(broadcast(chi))
+      .select(col("dow"), col("n_blocks"), col("r_sum_doubled"),
+        col("chi2f_milli"))
+      .orderBy(col("dow"))
+  }
+
+  /** Doubled average ranks of daily revenue within complete calendar
+    * weeks — the [[friedmanTest]] block design factored out so its
+    * post-hoc consumers ([[nemenyiPairs]], [[pageTrend]]) rank once:
+    * gap-filled daily grid, complete (7-day) weeks only, per-week
+    * value-grouped average ranks doubled so ties stay BIGINT.
+    * Returns (week, dow, dr). */
+  private def friedmanRanks(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
       .cast("long")
@@ -2450,20 +2472,69 @@ object Relational {
       .withColumn("cum", sum(col("m")).over(wv))
       .select(col("week"), col("x"),
         ((col("cum") - col("m")) * 2 + col("m") + 1L).as("dr"))
-    val ranked = blocks.join(dr, Seq("week", "x"))
-    val sums = ranked.groupBy(col("dow"))
-      .agg(countDistinct(col("week")).as("n_blocks"),
-        sum(col("dr")).as("r_sum_doubled"))
-    val chi = sums.agg(
-        max(col("n_blocks")).as("n"),
-        sum(col("r_sum_doubled") * col("r_sum_doubled")).as("ssq"))
-      .select(expr("CAST(CASE WHEN n = 0 THEN NULL ELSE " +
-        "(3000 * ssq) div (n * 7 * 8) - 3000 * n * 8 END AS BIGINT)")
-        .as("chi2f_milli"))
-    sums.crossJoin(broadcast(chi))
-      .select(col("dow"), col("n_blocks"), col("r_sum_doubled"),
-        col("chi2f_milli"))
-      .orderBy(col("dow"))
+    blocks.join(dr, Seq("week", "x"))
+      .select(col("week"), col("dow"), col("dr"))
+  }
+
+  /** NEMENYI POST-HOC RANK GAPS (round 16) — the pairwise readout that
+    * follows [[friedmanTest]]'s omnibus answer: WHICH weekday pairs
+    * differ, and by how much relative to the critical difference. Per
+    * dow pair (a < b), the doubled-rank-sum gap, the mean-rank gap in
+    * exact milli, and `crit_ratio_ppm` — the squared gap over the
+    * squared Nemenyi critical difference at α = 0.05 (Demšar's
+    * q₇ = 2.949, carried as the exact rational q²·10⁶ = 8696601) in
+    * ppm: ≥ 10⁶ means the pair clears CD. GRADED, not a flag — on a
+    * calendar-uniform warehouse every pair sits far below 10⁶ (the
+    * honest answer), and the spec proves the ≥ 10⁶ branch on a
+    * seasonal hand fixture. Identity: mean-rank gap = gap_doubled/2n,
+    * CD² = q²k(k+1)/(6n) ⇒ ratio = gap²·6·10⁶·10⁶ div (q²µ·4·k(k+1)·n)
+    * — all DECIMAL(38,0)-exact, one ≤ 7-row rollup then a 21-row
+    * self-join, nothing data-scale-shaped after the daily aggregation.
+    *
+    * Output: (dow_a, dow_b, n_blocks, gap_doubled, gap_mean_milli,
+    * crit_ratio_ppm), 21 rows ordered by (dow_a, dow_b). */
+  def nemenyiPairs(orders: DataFrame): DataFrame = {
+    val sums = friedmanRanks(orders).groupBy(col("dow"))
+      .agg(countDistinct(col("week")).as("n"), sum(col("dr")).as("r"))
+    val a = sums.select(col("dow").as("dow_a"), col("n"), col("r").as("ra"))
+    val b = sums.select(col("dow").as("dow_b"), col("r").as("rb"))
+    a.join(b, col("dow_a") < col("dow_b"))
+      .select(col("dow_a"), col("dow_b"), col("n").as("n_blocks"),
+        abs(col("ra") - col("rb")).as("gap_doubled"))
+      .select(col("dow_a"), col("dow_b"), col("n_blocks"),
+        col("gap_doubled"),
+        expr("(gap_doubled * 500) div nullif(n_blocks, 0L)")
+          .as("gap_mean_milli"),
+        expr("CAST((CAST(gap_doubled AS DECIMAL(38,0)) * gap_doubled " +
+          "* 6000000 * 1000000) div " +
+          "(8696601L * 224 * nullif(n_blocks, 0L)) AS BIGINT)")
+          .as("crit_ratio_ppm"))
+      .orderBy(col("dow_a"), col("dow_b"))
+  }
+
+  /** PAGE TREND TEST (round 16) — the ordered-alternative sibling of
+    * [[friedmanTest]]: is revenue MONOTONE across the week (Mon→Sun),
+    * not merely different somewhere? L = Σ position·R̄(dow) over the
+    * same complete-week doubled ranks (position = Spark dow, 1=Sunday);
+    * under H₀, E[L₂ₓ] = n·k(k+1)²/2 = 224n and Var[L₂ₓ] =
+    * 4·n·k²(k+1)(k²−1)/144 = 1568n/3 (the classic untied-variance
+    * convention — the deterministic reference constant; ties make it
+    * conservative, documented). z²·1000 = ((L₂ₓ−224n)²·3000) div
+    * (1568·n) — exact integers end-to-end, one 7-row rollup.
+    *
+    * Output: one row (n_blocks, l_doubled, e_l_doubled, trend_sign,
+    * z2_milli). */
+  def pageTrend(orders: DataFrame): DataFrame = {
+    friedmanRanks(orders)
+      .agg((countDistinct(col("week"))).as("n_blocks"),
+        sum(col("dow") * col("dr")).as("l_doubled"))
+      .select(col("n_blocks"), col("l_doubled"),
+        (col("n_blocks") * 224L).as("e_l_doubled"),
+        signum((col("l_doubled") - col("n_blocks") * 224L).cast("double"))
+          .cast("long").as("trend_sign"),
+        expr("CAST((CAST(l_doubled - n_blocks * 224 AS DECIMAL(38,0)) * " +
+          "(l_doubled - n_blocks * 224) * 3000) div " +
+          "(1568L * nullif(n_blocks, 0L)) AS BIGINT)").as("z2_milli"))
   }
 
   /** ROLLING 7-DAY ACTIVE USERS (round 15) — the WAU-by-day curve

@@ -2602,6 +2602,48 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getLong(3) == 12000L, out.head.toSeq.toString)
   }
 
+  test("nemenyiPairs: 4 perfectly-consistent weeks — extreme dow pair " +
+    "clears the a=0.05 critical difference (ratio >= 1e6), adjacent " +
+    "pair does not; mean-rank gaps exact") {
+    // 28 days = 4 complete Monday weeks (03-04 Mon .. 03-31 Sun),
+    // revenue = 100·dayofweek → dow d's in-block rank is d every week,
+    // so r(d) = n·2d = 8d and gap_doubled(a,b) = 8|a−b|
+    val orders = (0 until 28).map { i =>
+      val d = java.time.LocalDate.of(2024, 3, 4).plusDays(i)
+      (d.toString, 100.0 * (d.getDayOfWeek.getValue % 7 + 1)) }
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.nemenyiPairs(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size == 21)
+    // Sunday(1) vs Saturday(7): ranks 1 vs 7 → gap_doubled 48,
+    // mean-rank gap 6.000, ratio 48²·6e12 div (8696601·224·4) = 1774092
+    assert(out((1L, 7L)) == ((48L, 6000L, 1774092L)),
+      s"extreme pair: ${out((1L, 7L))}")
+    // adjacent pair: gap_doubled 8, mean gap 1.000, far below CD
+    val adj = out((1L, 2L))
+    assert(adj._1 == 8L && adj._2 == 1000L && adj._3 < 1000000L,
+      s"adjacent pair: $adj")
+    assert(out((1L, 7L))._3 >= 1000000L && adj._3 < 1000000L,
+      "both CD branches must bite on this fixture")
+  }
+
+  test("pageTrend: revenue monotone in dow order — L at its maximum, " +
+    "positive trend, exact z²") {
+    val orders = (0 until 28).map { i =>
+      val d = java.time.LocalDate.of(2024, 3, 4).plusDays(i)
+      (d.toString, 100.0 * (d.getDayOfWeek.getValue % 7 + 1)) }
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val r = Relational.pageTrend(orders).collect().head
+    // r(d) = 8d → L₂ₓ = Σ d·8d = 8·140 = 1120; E = 224·4 = 896;
+    // z²·1000 = 224²·3000 div (1568·4) = 24000
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1120L &&
+      r.getLong(2) == 896L && r.getLong(3) == 1L &&
+      r.getLong(4) == 24000L, r.toSeq.toString)
+  }
+
   test("rollingWau: hand users — a user counts once per window even " +
     "with repeat activity, windows expire after 7 days, fan-out clips " +
     "at the observed max day") {
