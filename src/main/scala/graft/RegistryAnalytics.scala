@@ -290,6 +290,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       Graph.richClub(Tables.lineitem(s, d),
         edges0 = Some(coOrderEdgesShared(s, d)))),
 
+    // Eccentricity at horizon (round 16): per-seed longest shortest
+    // path within the round cap — the diameter-side companion of
+    // graph_closeness off the same seed BFS (see
+    // eccentricityFromSeeds' scaladoc).
+    "graph_ecc_seeds" -> ((s, d) =>
+      Graph.eccentricityFromSeeds(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
+    // Resource-allocation link scores (round 16): 1/deg common-neighbor
+    // weights — AA's exact-rational sibling, off the shared triangle
+    // memo (see resourceAllocation's scaladoc).
+    "graph_resource_alloc" -> ((s, d) =>
+      Graph.resourceAllocation(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        tri0 = Some(trianglesShared(s, d)))),
+
     // A/B Welch's t (round 11): deterministic parity arms, exact integer
     // moment sums in one conditional-aggregation pass, identical IEEE
     // operation tree for the statistic.
@@ -2006,6 +2022,41 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "AS aa_score_ppm " +
         "FROM don JOIN deg ON don.cnb = deg.n GROUP BY 1, 2 " +
         "ORDER BY aa_score_ppm DESC, a, b LIMIT 20"),
+
+    // RA replay: the AA donation shape with the exact 1/deg ppm weight
+    "graph_resource_alloc" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+        "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+        "(SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) GROUP BY 1), " +
+        "tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z FROM und ab " +
+        "JOIN und bc ON ab.b = bc.a " +
+        "JOIN und ac ON ac.a = ab.a AND ac.b = bc.b), " +
+        "don AS (SELECT x AS a, y AS b, z AS cnb FROM tri " +
+        "UNION ALL SELECT x, z, y FROM tri UNION ALL SELECT y, z, x FROM tri) " +
+        "SELECT don.a, don.b, CAST(COUNT(*) AS BIGINT) AS cn, " +
+        "CAST(SUM(1000000 // deg.deg) AS BIGINT) AS ra_score_ppm " +
+        "FROM don JOIN deg ON don.cnb = deg.n GROUP BY 1, 2 " +
+        "ORDER BY ra_score_ppm DESC, a, b LIMIT 20"),
+
+    // eccentricity replay: the closeness recursion with MAX(min-depth)
+    // per seed instead of the sum
+    "graph_ecc_seeds" ->
+      ("WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "wt AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS w FROM it a " +
+        "JOIN it b ON a.o = b.o AND a.p != b.p GROUP BY 1, 2), " +
+        "und AS (SELECT a, b FROM wt WHERE w >= 2), " +
+        "reach(seed, node, depth) AS (" +
+        "SELECT p, p, CAST(0 AS BIGINT) FROM (SELECT DISTINCT p FROM it) " +
+        "WHERE substring(md5(CAST(p AS VARCHAR)), 1, 2) = '00' " +
+        "UNION " +
+        "SELECT r.seed, e.b, r.depth + 1 FROM reach r JOIN und e ON e.a = r.node " +
+        "WHERE r.depth < 4), " +
+        "md AS (SELECT seed, node, MIN(depth) AS depth FROM reach GROUP BY 1, 2) " +
+        "SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached, " +
+        "CAST(MAX(depth) AS BIGINT) AS ecc, " +
+        "MAX(depth) = 4 AS at_horizon " +
+        "FROM md GROUP BY seed ORDER BY seed"),
 
     // rich-club replay: octave thresholds off bit lengths, exact φ ppm
     "graph_rich_club" ->

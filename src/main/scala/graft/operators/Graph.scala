@@ -722,7 +722,24 @@ object Graph {
     * seed; closeness_ppm NULL for an isolated seed (nothing reached). */
   def closenessFromSeeds(lineitem: DataFrame, rounds: Int = 4,
                          minWeight: Long = 2L,
-                         edges0: Option[DataFrame] = None): DataFrame = {
+                         edges0: Option[DataFrame] = None): DataFrame =
+    seedBfsVisited(lineitem, rounds, minWeight, edges0)
+      .groupBy(col("seed"))
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum(col("depth")).as("sum_depth"))
+      .select(col("seed"), col("n_reached"), col("sum_depth"),
+        expr("CAST((n_reached * 1000000) div nullif(sum_depth, 0L) " +
+          "AS BIGINT)").as("closeness_ppm"))
+      .orderBy(col("seed"))
+
+  /** The per-seed round-capped BFS both [[closenessFromSeeds]] and
+    * [[eccentricityFromSeeds]] aggregate over: (seed, node, min-depth)
+    * for every node within `rounds` hops of an md5-'00' seed on the
+    * strong-tie subgraph — one frontier-edge equi-join + one visited
+    * anti-join per round, localCheckpoint keeping the chain linear. */
+  private def seedBfsVisited(lineitem: DataFrame, rounds: Int,
+                             minWeight: Long,
+                             edges0: Option[DataFrame]): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"bad rounds=$rounds")
     val e0 = edges0.getOrElse(coOrderEdges(lineitem))
       .filter(col("w") >= minWeight).select(col("a"), col("b"))
@@ -744,13 +761,68 @@ object Graph {
       visited = visited.unionByName(next).localCheckpoint()
       frontier = next.select(col("seed"), col("node"))
     }
-    visited.groupBy(col("seed"))
+    visited
+  }
+
+  /** ECCENTRICITY AT HORIZON from md5 seeds (round 16) — the diameter-
+    * side companion of [[closenessFromSeeds]]' centrality: per seed,
+    * the LONGEST shortest path observed within the round cap (exact
+    * eccentricity needs all-pairs shortest paths — never at 100 TB;
+    * the horizon-capped form is what a topology monitor actually
+    * tracks, and ecc = `rounds` reads as "≥ rounds", flagged by
+    * `at_horizon`). Same seed sample, same per-seed BFS state shape
+    * and cost as closeness — one extra ≤|seeds| aggregation.
+    *
+    * Output: (seed, n_reached, ecc, at_horizon), ordered by seed;
+    * ecc = 0 for an isolated seed. */
+  def eccentricityFromSeeds(lineitem: DataFrame, rounds: Int = 4,
+                            minWeight: Long = 2L,
+                            edges0: Option[DataFrame] = None): DataFrame =
+    seedBfsVisited(lineitem, rounds, minWeight, edges0)
+      .groupBy(col("seed"))
       .agg((count(lit(1)) - 1).as("n_reached"),
-        sum(col("depth")).as("sum_depth"))
-      .select(col("seed"), col("n_reached"), col("sum_depth"),
-        expr("CAST((n_reached * 1000000) div nullif(sum_depth, 0L) " +
-          "AS BIGINT)").as("closeness_ppm"))
+        max(col("depth")).as("ecc"))
+      .select(col("seed"), col("n_reached"), col("ecc"),
+        (col("ecc") === rounds.toLong).as("at_horizon"))
       .orderBy(col("seed"))
+
+  /** RESOURCE-ALLOCATION link scores (round 16) — the EXACT-rational
+    * sibling of [[adamicAdar]]: each common neighbor z of edge (a, b)
+    * contributes 1/deg(z) (Zhou–Lü–Zhang), which unlike AA's 1/log
+    * needs NO transcendental surrogate — the per-neighbor weight is
+    * the exact integer `1000000 div deg(z)` and the score a
+    * map-side-combinable SUM of exact terms (term-order-free: integer
+    * addition commutes, the via-string doctrine's trivial case).
+    * Same donation shape as AA: common neighbors ride the shared
+    * triangle enumeration, degrees attach by one broadcast join.
+    * Top `k` by (score DESC, a, b).
+    *
+    * Output: (a, b, cn, ra_score_ppm), ordered by rank. */
+  def resourceAllocation(lineitem: DataFrame, k: Int = 20,
+                         scope: CacheScope = CacheScope.off,
+                         edges0: Option[DataFrame] = None,
+                         tri0: Option[DataFrame] = None): DataFrame = {
+    val e = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
+      .select(col("a"), col("b"))
+    val tri = tri0.getOrElse(orientedTriangles(e))
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val donations = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"), col("z").as("cnb")),
+        struct(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b"), col("y").as("cnb")),
+        struct(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b"), col("x").as("cnb"))))
+        .as("d"))
+      .select(col("d.a").as("a"), col("d.b").as("b"), col("d.cnb").as("cnb"))
+    donations
+      .join(broadcast(deg.select(col("n").as("cnb"), col("deg"))), Seq("cnb"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div deg")).as("ra_score_ppm"))
+      .orderBy(col("ra_score_ppm").desc, col("a"), col("b"))
+      .limit(k)
   }
 
   private[graft] def degreeOriented(e: DataFrame): DataFrame = {

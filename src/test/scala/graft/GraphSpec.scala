@@ -322,6 +322,51 @@ class GraphSpec extends SparkSpec {
     assert(rw.getLong(1) == 0L && rw.isNullAt(3), rw)
   }
 
+  test("eccentricityFromSeeds: hand chain — ecc is the longest " +
+    "shortest path, the horizon flag bites only at the round cap, an " +
+    "isolated seed reads ecc 0") {
+    // strong-tie chain 168—1—2 (seed rule: 168 has md5 prefix '00')
+    val chain = li(
+      1L -> Seq(168L, 1L), 2L -> Seq(168L, 1L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L, 2L))
+    val r = Graph.eccentricityFromSeeds(chain).collect()
+    assert(r.length == 1 &&
+      r.head.toSeq == Seq(168L, 2L, 2L, false), r.head)
+    // 5-node chain 168—1—2—3—4 at rounds=4: ecc reaches the cap and
+    // the at_horizon flag reads "≥ rounds"
+    val long = li(
+      1L -> Seq(168L, 1L), 2L -> Seq(168L, 1L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L, 2L),
+      5L -> Seq(2L, 3L), 6L -> Seq(2L, 3L),
+      7L -> Seq(3L, 4L), 8L -> Seq(3L, 4L))
+    val rl = Graph.eccentricityFromSeeds(long).collect().head
+    assert(rl.toSeq == Seq(168L, 4L, 4L, true), rl)
+    // every edge weak: isolated seed, ecc 0
+    val weak = li(1L -> Seq(168L, 1L), 2L -> Seq(1L, 2L))
+    val rw = Graph.eccentricityFromSeeds(weak).collect().head
+    assert(rw.toSeq == Seq(168L, 0L, 0L, false), rw)
+  }
+
+  test("resourceAllocation: each common neighbor contributes exactly " +
+    "1e6 div deg — no bit-length staircase, K4 vs K3-pendant split") {
+    // K4: every edge has 2 common neighbors of degree 3 →
+    // ra = 2·(1e6 div 3) = 666666, cn = 2
+    val k4 = Graph.resourceAllocation(li(1L -> Seq(1L, 2L, 3L, 4L)),
+      k = 10).collect()
+    assert(k4.length == 6)
+    assert(k4.forall(r => r.getLong(2) == 2L && r.getLong(3) == 666666L),
+      k4.mkString("\n"))
+    // K3 {1,2,3} + pendant 4 on node 1: edge (2,3)'s common neighbor 1
+    // has degree 3 → 333333; edges (1,2)/(1,3) donate a degree-2
+    // neighbor → 500000 — the 1/deg weight SEPARATES what AA's
+    // bit-length staircase collapsed (both read 500000 there)
+    val p = Graph.resourceAllocation(
+      li(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 4L)), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(p((2L, 3L)) == 333333L && p((1L, 2L)) == 500000L &&
+      p((1L, 3L)) == 500000L, p.toString)
+  }
+
   test("adamicAdar: each common neighbor contributes 1e6 div bitlen(deg) " +
     "— K4's edges score 2x the K3-with-pendant's single donation") {
     // K4 on {1,2,3,4}: every edge has 2 common neighbors of degree 3
