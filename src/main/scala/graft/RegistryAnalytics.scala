@@ -727,6 +727,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_theil_sen" -> ((s, d) =>
       Relational.theilSen(Tables.events(s, d))),
 
+    // User-participation gini (round 16): inequality of per-user event
+    // counts — the 90-9-1 readout on the bounded count grid (see
+    // userActivityGini's scaladoc).
+    "event_user_gini" -> ((s, d) =>
+      Relational.userActivityGini(Tables.events(s, d))),
+
     // Kendall's τ-b (round 14): doubled exact pair counts over the
     // bit-length contingency grid, one fixed IEEE tree (see
     // kendallTau's scaladoc).
@@ -2664,6 +2670,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     },
 
     // Gini replay: same grouped prefix-sum fold, BIGINT to the end
+    // user-gini replay: per-user counts, the order_gini value-grouped
+    // doubled-rank fold on the activity grid
+    "event_user_gini" ->
+      ("WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS v " +
+        "FROM events GROUP BY 1), " +
+        "g AS (SELECT v, COUNT(*) AS cnt FROM per GROUP BY 1), " +
+        "r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt FROM g), " +
+        "s AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_users, " +
+        "CAST(COALESCE(SUM(v * cnt), 0) AS BIGINT) AS n_events, " +
+        "CAST(COALESCE(SUM(v * (cnt * clt + (cnt * (cnt + 1)) // 2)), 0) AS BIGINT) AS rw FROM r) " +
+        "SELECT n_users, n_events, " +
+        "CAST(2 * rw - (n_users + 1) * n_events AS BIGINT) AS gini_num, " +
+        "CAST(2 * rw - (n_users + 1) * n_events AS DOUBLE) / nullif(n_users * n_events, 0) AS gini " +
+        "FROM s"),
+
     "order_gini" ->
       ("WITH g AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v, " +
         "COUNT(*) AS cnt FROM orders GROUP BY 1), " +

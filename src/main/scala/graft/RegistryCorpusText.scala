@@ -160,6 +160,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "text_hapax_ratio" -> ((s, d) =>
       Corpus.hapaxRatio(Tables.documents(s, d))),
 
+    // Yule's K per source (round 16): the length-invariant repeat-rate
+    // constant off the same tf relation — the token-grain duplication
+    // smell (see yuleK's scaladoc).
+    "text_yule_k" -> ((s, d) =>
+      Corpus.yuleK(Tables.documents(s, d))),
+
     // Language × source mix (round 15): the corpus composition matrix
     // with char volume and per-source ppm shares (see langMix's
     // scaladoc).
@@ -413,6 +419,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // summaries — the set-expression sketch HLL can't provide. One
     // map-side-combined distinct + bounded-state partial aggregation;
     // even the estimation error replays in the oracle.
+    // Theta A-NOT-B (round 16): the set-difference estimator from two
+    // bounded sketches, both directions with exact audits (see
+    // thetaAnotB's scaladoc).
+    "sketch_theta_anotb" -> ((s, d) =>
+      Sketches.thetaAnotB(Tables.events(s, d))),
+
     "sketch_theta" -> ((s, d) =>
       Sketches.thetaSketch(Tables.events(s, d))),
 
@@ -896,6 +908,20 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "SELECT h.lang, h.wlen, h.n_words, " +
         "(h.n_words * 1000000) // nullif(t.t, 0) AS share_ppm " +
         "FROM h JOIN t USING (lang) ORDER BY 1, 2"),
+
+    // Yule's K replay: same tf spectrum, HUGEINT M2/M1², exact milli
+    "text_yule_k" ->
+      ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "f AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f " +
+        "FROM tk GROUP BY 1, 2), " +
+        "g AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS vocab, " +
+        "SUM(CAST(f AS HUGEINT) * f) AS m2 FROM f GROUP BY 1) " +
+        "SELECT source, n_tokens, vocab, " +
+        "CAST(((m2 - n_tokens) * 10000000) // " +
+        "nullif(CAST(n_tokens AS HUGEINT) * n_tokens, 0) AS BIGINT) " +
+        "AS yule_k_milli FROM g ORDER BY source"),
 
     // hapax replay: per-(source, token) tf, per-source vocab rollup
     "text_hapax_ratio" ->
@@ -1519,6 +1545,41 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "CAST(abs(sel.f2_est_h - ex.f2_exact) * 1000000 // " +
         "nullif(ex.f2_exact, 0) AS BIGINT) AS err_ppm " +
         "FROM ex, sel"),
+
+    // theta A-NOT-B replay: per-side k-row sketches, θ = min(θa, θb),
+    // retained = below-θ hashes absent from the other sketch, exact
+    // per-direction audits from the same distinct relation
+    "sketch_theta_anotb" ->
+      ("WITH du AS (SELECT DISTINCT event_type, " +
+        "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h " +
+        "FROM events), " +
+        "rk AS (SELECT event_type, h, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM du), " +
+        "sk AS (SELECT event_type, h FROM rk WHERE rn <= 64), " +
+        "ua AS (SELECT h FROM sk WHERE event_type = 'click'), " +
+        "ub AS (SELECT h FROM sk WHERE event_type = 'purchase'), " +
+        "tha AS (SELECT CASE WHEN (SELECT COUNT(*) FROM ua) >= 64 " +
+        "THEN (SELECT MAX(h) FROM ua) ELSE CAST(281474976710656 AS BIGINT) END AS t), " +
+        "thb AS (SELECT CASE WHEN (SELECT COUNT(*) FROM ub) >= 64 " +
+        "THEN (SELECT MAX(h) FROM ub) ELSE CAST(281474976710656 AS BIGINT) END AS t), " +
+        "th AS (SELECT least(tha.t, thb.t) AS theta FROM tha, thb), " +
+        "dab AS (SELECT COUNT(*) AS nr FROM ua, th WHERE ua.h < th.theta " +
+        "AND ua.h NOT IN (SELECT h FROM ub)), " +
+        "dba AS (SELECT COUNT(*) AS nr FROM ub, th WHERE ub.h < th.theta " +
+        "AND ub.h NOT IN (SELECT h FROM ua)), " +
+        "exd AS (SELECT h, MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ia, " +
+        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ib " +
+        "FROM du WHERE event_type IN ('click', 'purchase') GROUP BY h), " +
+        "exs AS (SELECT CAST(COALESCE(SUM(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS ex_ab, " +
+        "CAST(COALESCE(SUM(CASE WHEN ib = 1 AND ia = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS ex_ba FROM exd) " +
+        "SELECT 'click_not_purchase' AS scope, exs.ex_ab AS n_exact, " +
+        "CAST(dab.nr AS BIGINT) AS n_retained, th.theta AS theta, " +
+        "CAST(dab.nr AS DOUBLE) * 281474976710656.0 / CAST(th.theta AS DOUBLE) AS est " +
+        "FROM exs, dab, th " +
+        "UNION ALL SELECT 'purchase_not_click', exs.ex_ba, " +
+        "CAST(dba.nr AS BIGINT), th.theta, " +
+        "CAST(dba.nr AS DOUBLE) * 281474976710656.0 / CAST(th.theta AS DOUBLE) " +
+        "FROM exs, dba, th ORDER BY scope"),
 
     "sketch_theta" ->
       ("WITH du AS (SELECT DISTINCT event_type, " +

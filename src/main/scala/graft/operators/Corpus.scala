@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-preparation operators — the steps between raw documents and
   * training batches in a large-scale pipeline: vocabulary building,
@@ -889,6 +890,35 @@ object Corpus {
         sum(when(col("f") === 1L, 1L).otherwise(0L)).as("hapax"))
       .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
         expr("(hapax * 1000000) div nullif(vocab, 0L)").as("hapax_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** YULE'S K per source (round 16) — the classic repeat-rate
+    * characteristic beside [[hapaxRatio]]'s once-only share: K =
+    * 10⁴·(M₂ − M₁)/M₁² over the term-frequency spectrum (M₁ = token
+    * count, M₂ = Σf²), Yule's length-invariant "how repetitive is this
+    * text" constant (natural prose ~100–200; template/boilerplate
+    * floods read far higher — the duplication smell at the TOKEN grain
+    * where dedup works at the document grain). EXACT-RATIONAL
+    * throughout: M₂ and M₁² in DECIMAL(38,0) (squared warehouse-scale
+    * token counts overflow int64), K in exact milli via one integral
+    * division — M₂ ≥ M₁ always, so the non-negative `div` ≡ `//`.
+    * Same (source, token) tf relation as hapax — map-side combinable.
+    *
+    * Output: (source, n_tokens, vocab, yule_k_milli), ordered. */
+  def yuleK(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("f"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("f").cast(dec) * col("f")).as("m2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("CAST(((m2 - n_tokens) * 10000000) div " +
+          "nullif(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens, 0) " +
+          "AS BIGINT)").as("yule_k_milli"))
       .orderBy(col("source"))
   }
 

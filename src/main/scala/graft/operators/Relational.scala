@@ -3094,6 +3094,36 @@ object Relational {
           expr("nullif(n_orders * sum_cents, 0)")).as("gini"))
   }
 
+  /** USER-PARTICIPATION GINI (round 16) — inequality of the per-user
+    * event-count distribution: the 90-9-1 readout that decides whether
+    * "active users" is a community or three bots ([[orderGini]]'s
+    * machinery pointed at engagement instead of spend, and the events
+    * twin of `graph_degree_gini`). Per-user counts first (map-side
+    * combinable), then the value-grouped doubled-rank fold over the
+    * BOUNDED count grid — one row per distinct activity level, so the
+    * ordered window never sees user-scale data — and ONE IEEE division
+    * at the end.
+    *
+    * Output (one row): n_users, n_events, gini_num, gini. */
+  def userActivityGini(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+    val g = per.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("clt", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_users"),
+        coalesce(sum(col("v") * col("cnt")), lit(0L)).as("n_events"),
+        coalesce(sum(col("v") * (col("cnt") * col("clt") +
+          expr("(cnt * (cnt + 1)) div 2"))), lit(0L)).as("rw"))
+      .select(col("n_users"), col("n_events"),
+        (lit(2L) * col("rw") - (col("n_users") + 1L) * col("n_events"))
+          .as("gini_num"))
+      .select(col("n_users"), col("n_events"), col("gini_num"),
+        (col("gini_num").cast("double") /
+          expr("nullif(n_users * n_events, 0)")).as("gini"))
+  }
+
   /** MANN-WHITNEY U (round 13) — the RANK-based two-sample test next
     * to [[welchT2]]'s parametric one: robust to the heavy-tailed value
     * distributions real event streams have, where a mean-based t² is

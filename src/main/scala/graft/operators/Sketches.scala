@@ -502,6 +502,72 @@ object Sketches {
     perType.unionByName(inter).orderBy(col("scope"))
   }
 
+  /** THETA A-NOT-B (round 16) — the set-DIFFERENCE estimator
+    * completing [[thetaSketch]]'s family (DataSketches' third theta
+    * operation beside union and intersection): "users who clicked but
+    * never purchased" from two bounded k-row sketches, never from the
+    * raw sets. Semantics follow the standard theta rule: θ =
+    * min(θ_A, θ_B) (each side's θ is its k-th smallest hash, or the
+    * full space 2^48 when the sketch holds the whole set), result =
+    * A's retained hashes below θ and absent from B's sketch, est =
+    * |result|·2^48/θ — the same deterministic md5 hash space as
+    * [[thetaSketch]], so the estimate (INCLUDING its error) replays
+    * bit-for-bit in the oracle. Both directions surface, each with the
+    * exact difference cardinality as the audit column; both rows are
+    * STRUCTURAL (1-row global aggregates per side — the thetaSketch
+    * empty-side doctrine).
+    *
+    * Scale shape: identical to [[thetaSketch]] — one map-side-combined
+    * distinct + BottomKAgg; everything downstream is k-row arrays in
+    * 1×1 gate frames.
+    *
+    * Output: (scope, n_exact, n_retained, theta, est) for
+    * `<a>_not_<b>` and `<b>_not_<a>`, ordered by scope. */
+  def thetaAnotB(events: DataFrame, k: Int = 64,
+                 typeA: String = "click", typeB: String = "purchase"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val Space = 1L << 48
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val du = events.select(col("event_type"), h.as("h")).distinct()
+    val sk = du.groupBy(col("event_type"))
+      .agg(graft.functions.BottomKAgg.bottomK(k)(col("h"), col("h"))
+        .as("samp"))
+    def sideSketch(t: String, out: String): DataFrame =
+      sk.filter(col("event_type") === t)
+        .agg(coalesce(first(transform(col("samp"), s => s.getField("_1"))),
+          typedLit(Array.empty[Long])).as(out))
+    val ha = sideSketch(typeA, "ha")
+    val hb = sideSketch(typeB, "hb")
+    // exact per-direction difference cardinalities in ONE pass over
+    // the (h, membership) relation
+    val exact = du.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("h"))
+      .agg(max(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ia"),
+        max(when(col("event_type") === typeB, 1L).otherwise(0L)).as("ib"))
+      .agg(coalesce(sum(when(col("ia") === 1L && col("ib") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("ex_ab"),
+        coalesce(sum(when(col("ib") === 1L && col("ia") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("ex_ba"))
+    val base = ha.crossJoin(broadcast(hb)).crossJoin(broadcast(exact))
+      .withColumn("tha", when(size(col("ha")) >= k,
+        element_at(col("ha"), k)).otherwise(lit(Space)))
+      .withColumn("thb", when(size(col("hb")) >= k,
+        element_at(col("hb"), k)).otherwise(lit(Space)))
+      .withColumn("theta", least(col("tha"), col("thb")))
+    def direction(x: String, y: String, exCol: String, scope: String) =
+      base.withColumn("dd", filter(col(x),
+          v => v < col("theta") && !array_contains(col(y), v)))
+        .select(lit(scope).as("scope"), col(exCol).as("n_exact"),
+          size(col("dd")).cast("long").as("n_retained"),
+          col("theta"),
+          (size(col("dd")).cast("double") * lit(Space.toDouble) /
+            col("theta").cast("double")).as("est"))
+    direction("ha", "hb", "ex_ab", s"${typeA}_not_$typeB")
+      .unionByName(direction("hb", "ha", "ex_ba", s"${typeB}_not_$typeA"))
+      .orderBy(col("scope"))
+  }
+
   /** QUANTILE sketch (round 11) — the fourth deterministic sketch next
     * to Bloom / CMS / HLL, and the one a data-quality dashboard reads
     * first: per-group percentiles of a measure from BOUNDED state. An

@@ -1969,6 +1969,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lm(("s1", "en")) == 666666L && lm(("s1", "de")) == 333333L)
   }
 
+  test("yuleK: hand tf spectra — repetition reads a positive K, an " +
+    "all-hapax doc reads exactly 0") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "x x x y", "en", "rep", 7L),      // f: x=3, y=1 → M1=4, M2=10
+      (2L, "a b c", "en", "flat", 5L))       // all hapax → M2 = M1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.yuleK(docs).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // K_milli = 10⁷·(10−4) div 16 = 3750000 (classic K = 3750·... /1000)
+    assert(out("rep") == Seq(4L, 2L, 3750000L), out.toString)
+    assert(out("flat") == Seq(3L, 3L, 0L), out.toString)
+  }
+
   test("sourceTvMatrix: identical shards read TV 0, disjoint registers " +
     "read ~1e6, the OOV bucket absorbs tail mass") {
     import spark.implicits._

@@ -87,7 +87,10 @@ class EmptyInputSpec extends SparkSpec {
       "quality_null_census", "quality_ts_collisions",
       // the binary-recall curve's 3 bit-budget rows; the bloom-merge
       // audit's structural zz_global/zz_merged rows (empty masks)
-      "embed_recall_vs_bits", "sketch_bloom_merge")
+      "embed_recall_vs_bits", "sketch_bloom_merge",
+      // round 16: theta A-NOT-B's two structural direction rows
+      // (empty sketches under the degenerate full-space theta)
+      "sketch_theta_anotb")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

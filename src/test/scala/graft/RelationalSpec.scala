@@ -2602,6 +2602,22 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getLong(3) == 12000L, out.head.toSeq.toString)
   }
 
+  test("userActivityGini: hand counts (1,1,2) — exact doubled-rank " +
+    "numerator, uniform activity reads 0") {
+    val ev = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 30L))
+      .toDF("event_id", "user_id")
+    val r = Relational.userActivityGini(ev).collect().head
+    // counts {10→1, 20→1, 30→2}: sorted 1,1,2; Σi·x = 1+2+6 = 9,
+    // num = 2·9 − 4·4 = 2, gini = 2/12
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L &&
+      r.getLong(2) == 2L && math.abs(r.getDouble(3) - 2.0 / 12) < 1e-12,
+      r.toSeq.toString)
+    val uniform = Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("event_id", "user_id")
+    val u = Relational.userActivityGini(uniform).collect().head
+    assert(u.getLong(2) == 0L && u.getDouble(3) == 0.0, u.toSeq.toString)
+  }
+
   test("nemenyiPairs: 4 perfectly-consistent weeks — extreme dow pair " +
     "clears the a=0.05 critical difference (ratio >= 1e6), adjacent " +
     "pair does not; mean-rank gaps exact") {

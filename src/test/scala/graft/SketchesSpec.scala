@@ -214,6 +214,31 @@ class SketchesSpec extends SparkSpec {
     assert(out("click_x_purchase") == ((0L, 0L, 1L << 48, 0.0)))
   }
 
+  test("thetaAnotB: underfull sketches report the exact differences " +
+    "both ways; duplicates fold; a full A side estimates (k-1)/theta " +
+    "against an empty B") {
+    // clicks {1,2,3}, purchases {2,3,4}: A\B = {1}, B\A = {4};
+    // everything underfull → theta = 2^48 and est IS the exact count
+    val out = Sketches.thetaAnotB(evFix(
+        ("click", 1L), ("click", 2L), ("click", 3L), ("click", 2L),
+        ("purchase", 2L), ("purchase", 3L), ("purchase", 4L)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("click_not_purchase") == ((1L, 1L, 1L << 48, 1.0)), out)
+    assert(out("purchase_not_click") == ((1L, 1L, 1L << 48, 1.0)), out)
+    // k=2, 4 click users, zero purchases: theta = A's 2nd-smallest
+    // hash, retained = the 1 hash strictly below it, est = Space/theta
+    val full = Sketches.thetaAnotB(evFix(
+        ("click", 1L), ("click", 2L), ("click", 3L), ("click", 4L)), k = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val ab = full("click_not_purchase")
+    assert(ab._1 == 4L && ab._2 == 1L && ab._3 < (1L << 48) &&
+      ab._4 == (1L << 48).toDouble / ab._3, ab)
+    assert(full("purchase_not_click") == ((0L, 0L, ab._3, 0.0)),
+      "empty A side must read structural zeros under the shared theta")
+  }
+
   test("theta sketch on the corpus: full sketches estimate within the " +
     "KMV error envelope, and the whole report is repartition-invariant") {
     val ev = Tables.events(spark, sf0)
