@@ -559,6 +559,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.imageOtsu(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Otsu-binarized mask digest (round 16): the threshold consumer —
+    // foreground census + position-weighted geometry digest (see
+    // imageOtsuBinarize's scaladoc).
+    "multimodal_otsu_binarize" -> ((s, d) =>
+      Multimodal.imageOtsuBinarize(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Histogram equalization (round 14): per-image CDF remap with the
     // classic integer formula, real-decoded pixels, position-weighted
     // digests (see imageHistEq's scaladoc).
@@ -1697,6 +1704,36 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "FROM sc) " +
         "SELECT doc_id, CAST(n AS BIGINT) AS n_pixels, CAST(t AS BIGINT) AS otsu_t, " +
         "w0 AS n_below, s0 AS sum_below FROM best WHERE rn = 1 ORDER BY doc_id"),
+
+    // Otsu-binarize replay: the otsu CTEs pick t, then the foreground
+    // census + position-weighted digest over the analytic pixel grid
+    "multimodal_otsu_binarize" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w * h AS n, unnest(range(0, w * h)) AS i FROM dims), " +
+        "pt AS (SELECT doc_id, n, i, (doc_id*31 + i*7) % 256 AS g FROM px), " +
+        "hc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM pt GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, CAST(SUM(g * c) AS BIGINT) AS s FROM hc GROUP BY 1), " +
+        "cum AS (SELECT doc_id, n, g, " +
+        "CAST(SUM(c) OVER (PARTITION BY doc_id ORDER BY g) AS BIGINT) AS w0, " +
+        "CAST(SUM(g * c) OVER (PARTITION BY doc_id ORDER BY g) AS BIGINT) AS s0 " +
+        "FROM hc), " +
+        "sc AS (SELECT c.doc_id, c.n, c.g AS t, " +
+        "((c.s0 * c.n - c.w0 * tot.s) * (c.s0 * c.n - c.w0 * tot.s) * 1024) " +
+        "// (c.w0 * (c.n - c.w0)) AS score " +
+        "FROM cum c JOIN tot USING (doc_id) " +
+        "WHERE c.g < 255 AND c.w0 > 0 AND c.w0 < c.n), " +
+        "best AS (SELECT doc_id, n, t, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rn " +
+        "FROM sc) " +
+        "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_pixels, " +
+        "CAST(b.t AS BIGINT) AS otsu_t, " +
+        "CAST(COALESCE(SUM(CASE WHEN pt.g > b.t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fg, " +
+        "CAST(COALESCE(SUM(CASE WHEN pt.g > b.t THEN pt.g ELSE 0 END), 0) AS BIGINT) AS fg_sum_gray, " +
+        "CAST(COALESCE(SUM(CASE WHEN pt.g > b.t THEN pt.i ELSE 0 END), 0) AS BIGINT) AS fg_posw " +
+        "FROM best b JOIN pt ON pt.doc_id = b.doc_id " +
+        "WHERE b.rn = 1 GROUP BY 1, 2, 3 ORDER BY b.doc_id"),
 
     // patchify replay: analytic pixels grouped by even-cropped 2×2
     // patch coordinates, integer means, patch-index digests

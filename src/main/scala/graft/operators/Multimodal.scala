@@ -418,6 +418,75 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** OTSU BINARIZATION — the downstream consumer (round 16): apply the
+    * [[imageOtsu]] threshold and digest the resulting BINARY MASK, the
+    * step an OCR/document pipeline actually feeds forward (the
+    * threshold alone is a statistic; the mask is the artifact). Per
+    * image: foreground = pixels with gray > t; the digest is the
+    * foreground census (count, gray sum) plus the POSITION-WEIGHTED
+    * sum Σ(y·w + x) over foreground pixels — the [[imagePatchify]]
+    * posw doctrine, pinning the mask's GEOMETRY (two masks with equal
+    * counts but different layouts digest differently), so the oracle
+    * checks where the foreground sits, not just how much there is.
+    * Same real-ImageIO per-partition decode; one extra O(pixels) pass
+    * per image, no shuffle before the final ordering.
+    *
+    * Output: (doc_id, n_pixels, otsu_t, n_fg, fg_sum_gray, fg_posw),
+    * ordered. */
+  def imageOtsuBinarize(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pixels", LongType),
+      StructField("otsu_t", LongType), StructField("n_fg", LongType),
+      StructField("fg_sum_gray", LongType), StructField("fg_posw", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val n = w.toLong * h
+          val hist = new Array[Long](256)
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = (img.getRGB(x, y) >> 16) & 0xff
+              gray(y * w + x) = g; hist(g) += 1; x += 1
+            }
+            y += 1
+          }
+          var s = 0L; var g = 0
+          while (g < 256) { s += g.toLong * hist(g); g += 1 }
+          // the imageOtsu argmax verbatim (exact BigInt score)
+          var w0 = 0L; var s0 = 0L
+          var bestT = 0L; var bestScore = BigInt(-1)
+          var t = 0
+          while (t < 255) {
+            w0 += hist(t); s0 += t.toLong * hist(t)
+            if (w0 > 0L && w0 < n) {
+              val d = BigInt(s0) * n - BigInt(w0) * s
+              val score = d * d * 1024 / (BigInt(w0) * (n - w0))
+              if (score > bestScore) { bestScore = score; bestT = t.toLong }
+            }
+            t += 1
+          }
+          var nf = 0L; var fs = 0L; var fp = 0L
+          var i = 0
+          while (i < gray.length) {
+            if (gray(i) > bestT) { nf += 1; fs += gray(i); fp += i }
+            i += 1
+          }
+          Row(r.getAs[Long]("doc_id"), n, bestT, nf, fs, fp)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** DATASET NORMALIZATION CONSTANTS (round 13) — the per-corpus-shard
     * mean/std every vision training pipeline computes BEFORE training
     * (the `transforms.Normalize(mean, std)` numbers), grouped by

@@ -1034,4 +1034,39 @@ class MultimodalSpec extends SparkSpec {
       assert(nb > 0 && nb < n, s"degenerate split for doc=$docId")
     }
   }
+
+  test("imageOtsuBinarize: foreground census and position digest match " +
+    "the analytic pixel replay pixel-for-pixel") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(n => (n, "o" * n.toInt, n))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Multimodal
+      .imageOtsuBinarize(spark, Multimodal.ingestBmp(docs)).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val w = (docId % 13 + 4).toInt; val h = (docId % 7 + 4).toInt
+      val n = w.toLong * h
+      val gray = (0 until (w * h)).map(i => ((docId * 31 + i * 7) % 256).toInt)
+      val hist = new Array[Long](256)
+      gray.foreach(hist(_) += 1)
+      val s = (0 until 256).map(g => g.toLong * hist(g)).sum
+      var w0 = 0L; var s0 = 0L; var bestT = 0L; var bestScore = BigInt(-1)
+      for (t <- 0 until 255) {
+        w0 += hist(t); s0 += t.toLong * hist(t)
+        if (w0 > 0 && w0 < n) {
+          val d = BigInt(s0) * n - BigInt(w0) * s
+          val score = d * d * 1024 / (BigInt(w0) * (n - w0))
+          if (score > bestScore) { bestScore = score; bestT = t.toLong }
+        }
+      }
+      val fg = gray.zipWithIndex.filter(_._1 > bestT)
+      assert(r.getAs[Long]("otsu_t") == bestT && r.getAs[Long]("n_pixels") == n)
+      assert(r.getAs[Long]("n_fg") == fg.length.toLong, s"doc=$docId")
+      assert(r.getAs[Long]("fg_sum_gray") == fg.map(_._1.toLong).sum)
+      // the posw digest pins WHERE the foreground sits, not just size
+      assert(r.getAs[Long]("fg_posw") == fg.map(_._2.toLong).sum,
+        s"doc=$docId mask geometry digest diverged")
+    }
+  }
 }
