@@ -860,6 +860,15 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "event_rolling_wau" -> ((s, d) =>
       Relational.rollingWau(Tables.events(s, d))),
 
+    // Streaming weekly-OHLC parity (round 16): cross-batch daily cent
+    // aggregation in complete mode + the shared gap-fill/resample tail
+    // (see StreamingWindows.ohlcParityReplay's scaladoc).
+    "stream_ohlc_parity" -> ((s, d) => {
+      val base = scratchDir("graft_stream_ohlc_")
+      graft.streaming.StreamingWindows.ohlcParityReplay(
+        Tables.orders(s, d), s"$base/src", s"$base/out", s"$base/ckpt")
+    }),
+
     // Edge-weight histogram (round 14): the distribution that sizes
     // the strong-tie minWeight constant — the graph twin of
     // dedup_df_histogram (see weightHistogram's scaladoc).
@@ -2565,6 +2574,24 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT day, x AS rev_cents, fc AS forecast_cents, " +
         "x - fc AS err_cents FROM f ORDER BY day"
     },
+
+    // OHLC streaming parity: the batch weekly resample IS the oracle —
+    // the streaming leg's cross-batch daily sums must reproduce it
+    "stream_ohlc_parity" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day AS day, CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)) " +
+        "SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(arg_min(x, day) AS BIGINT) AS open_cents, " +
+        "CAST(MAX(x) AS BIGINT) AS high_cents, " +
+        "CAST(MIN(x) AS BIGINT) AS low_cents, " +
+        "CAST(arg_max(x, day) AS BIGINT) AS close_cents " +
+        "FROM series GROUP BY 1 ORDER BY 1"),
 
     // Weekly OHLC replay: same gap-filled grid, arg_min/arg_max
     // open/close, week cast back to TIMESTAMP (DuckDB trunc → DATE)

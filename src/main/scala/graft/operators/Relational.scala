@@ -2966,6 +2966,15 @@ object Relational {
       .select(date_trunc("day", col("o_orderdate")).as("day"),
         cents.as("c"))
       .groupBy(col("day")).agg(sum(col("c")).as("rev"))
+    weeklyOhlcFromDaily(daily)
+  }
+
+  /** The gap-fill + resample tail of [[weeklyOhlc]] over an
+    * already-aggregated (day, rev) daily relation — shared with the
+    * streaming parity replay, whose cross-batch daily aggregation IS
+    * the part under test (one code path, two ingestion modes, the
+    * [[rollingWauFromPairs]] pattern). */
+  private[graft] def weeklyOhlcFromDaily(daily: DataFrame): DataFrame = {
     val grid = daily
       .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),

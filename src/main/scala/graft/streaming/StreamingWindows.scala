@@ -158,4 +158,63 @@ object StreamingWindows {
       else spark.read.parquet(outDir).select(col("day"), col("user_id"))
     graft.operators.Relational.rollingWauFromPairs(committed)
   }
+
+  /** STREAMING WEEKLY-OHLC PARITY (round 16) — the batch
+    * `window_ohlc_weekly` re-derived from a replayed orders stream.
+    * The genuinely streaming part is the CROSS-BATCH daily revenue
+    * aggregation: orders for one calendar day arrive across
+    * micro-batches (time-ranged files split mid-day), so the
+    * complete-mode aggregate's state must accumulate a day's cents
+    * across batches — exactly [[tumblingParityReplay]]'s contract at
+    * the daily grain, on exact BIGINT cent sums (associative, any
+    * merge order). The gap-fill + OHLC resample then runs as the
+    * SHARED batch tail over the final committed daily table
+    * ([[graft.operators.Relational.weeklyOhlcFromDaily]]) — one code
+    * path, two ingestion modes, so a hash mismatch can only come from
+    * the streaming aggregation.
+    *
+    * Output: identical to `window_ohlc_weekly`. */
+  def ohlcParityReplay(orders: DataFrame, srcDir: String, outDir: String,
+                       checkpointDir: String, nFiles: Int = 6): DataFrame = {
+    require(nFiles >= 2, s"need >= 2 files for a multi-batch replay: $nFiles")
+    val spark = orders.sparkSession
+    orders.select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .repartitionByRange(nFiles, col("o_orderkey"))
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // split by ORDER KEY, not date: every micro-batch carries orders
+    // from across the whole span, so (almost) every day's sum is
+    // genuinely assembled from multi-batch state — a date-ranged split
+    // would let each day close within one batch and prove nothing
+    val daily = stream
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("long")).as("rev"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = daily.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outDir); ()
+        }.start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val out = new java.io.File(outDir)
+    val committed =
+      if (!out.exists())
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("day",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("rev",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(outDir)
+    graft.operators.Relational.weeklyOhlcFromDaily(committed)
+  }
 }

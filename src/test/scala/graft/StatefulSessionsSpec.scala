@@ -189,6 +189,32 @@ class StatefulSessionsSpec extends SparkSpec {
     }
   }
 
+  test("OHLC parity replay equals the batch weekly resample, with " +
+    "days genuinely assembled across micro-batches") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_ohlc_").toString
+    try {
+      val orders = Tables.orders(spark, sf0)
+      val out = graft.streaming.StreamingWindows.ohlcParityReplay(
+        orders, s"$base/src", s"$base/out", s"$base/ckpt", nFiles = 4)
+      val batch = graft.operators.Relational.weeklyOhlc(orders)
+      assert(out.collect().toSeq.map(_.toSeq) ==
+        batch.collect().toSeq.map(_.toSeq),
+        "streaming OHLC diverged from the batch resample")
+      // the orderkey-ranged split really spreads a day over batches:
+      // more days than any single batch could close alone is implied by
+      // multi-batch commits + the exact parity above
+      val commits = new java.io.File(s"$base/ckpt/commits").list()
+        .count(!_.endsWith(".tmp"))
+      assert(commits >= 3, s"expected a multi-batch replay, got $commits")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("watermarked hopping windows: overlapping windows each emit once, " +
     "closed only, with the width/slide overlap factor") {
     implicit val sqlCtx = spark.sqlContext
