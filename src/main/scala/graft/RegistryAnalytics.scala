@@ -47,6 +47,14 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // (PlanInvariantsSpec), output ≡ the plain parquet join (the oracle).
     // The bucketed WRITE is inside the timed query: the bench measures
     // the full pay-shuffle-at-write-time trade.
+    // Bucketed layout under schema evolution (round 16): per-generation
+    // bucketed tables, join-then-union keeps both branches
+    // exchange-free, gen-1 NULL back-fill surfaced as a sentinel (see
+    // bucketedEvolutionJoin's scaladoc).
+    "sink_bucketed_evolution" -> ((s, d) =>
+      Relational.bucketedEvolutionJoin(Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+
     "join_bucketed" -> ((s, d) =>
       Relational.bucketedJoin(Tables.orders(s, d), Tables.lineitem(s, d))
         .orderBy(col("orderkey"), col("linenumber"))),
@@ -1449,6 +1457,20 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "COUNT(*) AS count_order " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+
+    // bucketed-evolution replay from the ORIGINAL relations + the
+    // orderkey-parity split: a reader that loses a generation, invents
+    // a back-filled value, or drops joined rows breaks a count or sum
+    "sink_bucketed_evolution" ->
+      ("WITH j AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen, " +
+        "CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority " +
+        "ELSE '<backfill>' END AS priority, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey) " +
+        "SELECT CAST(gen AS BIGINT) AS gen, priority, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "CAST(SUM(cents) AS BIGINT) AS rev_cents " +
+        "FROM j GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // the bucketed join's oracle IS the plain join — co-location must
     // not change a single row

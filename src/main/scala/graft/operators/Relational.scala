@@ -184,6 +184,55 @@ object Relational {
         col("l_extendedprice").as("extendedprice"))
   }
 
+  /** BUCKETED LAYOUT UNDER SCHEMA EVOLUTION (round 16) — the lake
+    * lifecycle [[bucketedJoin]] meets `source_schema_evolve`: a
+    * long-lived bucketed fact accretes a column across writer
+    * GENERATIONS (gen 2 adds `o_orderpriority`), each generation its
+    * own table bucketed on the SAME key with the SAME bucket count —
+    * the layout contract that keeps every generation join-ready
+    * forever. The query joins EACH generation to the bucketed lineitem
+    * separately and unions the joined branches (union-then-join would
+    * discard the co-location; join-then-union keeps both branches
+    * exchange-free — BucketingSpec asserts it with broadcast off), and
+    * gen 1's missing column surfaces as the explicit `<backfill>`
+    * sentinel: a reader inventing values, losing a generation, or
+    * shuffling a bucketed side breaks a count, a sum, or the plan
+    * assert. Write cost is inside the query, the [[bucketedJoin]]
+    * pay-at-write trade.
+    *
+    * Output: (gen, priority, n_lines, rev_cents), ordered. */
+  def bucketedEvolutionJoin(orders: DataFrame, lineitem: DataFrame,
+                            buckets: Int = 32): DataFrame = {
+    val spark = orders.sparkSession
+    val tag = spark.sparkContext.applicationId
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val g1T = s"graft_bev_g1_$tag"
+    val g2T = s"graft_bev_g2_$tag"
+    val liT = s"graft_bev_lineitem_$tag"
+    writeBucketed(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_totalprice")),
+      g1T, "o_orderkey", buckets)
+    writeBucketed(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")),
+      g2T, "o_orderkey", buckets)
+    writeBucketed(lineitem
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
+      liT, "o_orderkey", buckets)
+    val li = spark.table(liT)
+    def branch(t: DataFrame, gen: Long) = t.join(li, Seq("o_orderkey"))
+      .select(lit(gen).as("gen"),
+        coalesce(col("o_orderpriority"), lit("<backfill>")).as("priority"),
+        (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+    val g1 = spark.table(g1T)
+      .withColumn("o_orderpriority", lit(null).cast("string"))
+    branch(g1, 1L).unionByName(branch(spark.table(g2T), 2L))
+      .groupBy(col("gen"), col("priority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("rev_cents"))
+      .orderBy(col("gen"), col("priority"))
+  }
+
   /** Orders enriched with customer → nation → region. The dimension side
     * (customer/nation/region) is broadcast, so the fact side (orders, the
     * 100 TB table) never shuffles — the whole join tree is one codegen

@@ -40,4 +40,35 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("bucketed evolution: both generation branches join exchange-free " +
+    "and gen 1 reads the explicit back-fill sentinel") {
+    val orders = Tables.orders(spark, sf0)
+    val lineitem = Tables.lineitem(spark, sf0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Relational.bucketedEvolutionJoin(orders, lineitem, buckets = 8)
+      val plan = out.queryExecution.executedPlan.toString
+      // two generation branches → two SMJs, zero shuffles before the
+      // final ≤(gens × priorities) aggregation's own exchange
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val joinRegion = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinRegion.contains("Exchange hashpartitioning(o_orderkey"),
+        s"a bucketed generation branch shuffled on the join key:\n$plan")
+      val rows = out.collect()
+      val g1 = rows.filter(_.getLong(0) == 1L)
+      assert(g1.length == 1 && g1.head.getString(1) == "<backfill>",
+        s"gen-1 must be one back-fill row: ${rows.mkString(";")}")
+      assert(rows.filter(_.getLong(0) == 2L)
+        .forall(_.getString(1) != "<backfill>"),
+        "gen-2 rows must carry their real priorities")
+      // content parity with the plain (unbucketed) relations
+      val expected = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey")).count()
+      assert(rows.map(_.getLong(2)).sum == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
