@@ -836,6 +836,17 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_wilcoxon" -> ((s, d) =>
       Relational.wilcoxonSignedRank(Tables.orders(s, d))),
 
+    // Sign test (round 16): same lag-7 pairs, only the difference
+    // signs — the assumption-minimal paired readout (see signTest's
+    // scaladoc).
+    "stats_sign_test" -> ((s, d) =>
+      Relational.signTest(Tables.orders(s, d))),
+
+    // Running-peak drawdown (round 16): cumulative max + gap over the
+    // gap-filled daily revenue grid (see drawdownSeries' scaladoc).
+    "window_drawdown" -> ((s, d) =>
+      Relational.drawdownSeries(Tables.orders(s, d))),
+
     // Friedman k-related-samples test (round 15): weekday effect with
     // weeks as blocks, doubled in-block ranks, integer χ²_F (see
     // friedmanTest's scaladoc).
@@ -3787,6 +3798,39 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(((n_events - n_distinct) * 1000000) // nullif(n_events, 0) " +
         "AS BIGINT) AS collision_ppm FROM u ORDER BY grain"
     },
+
+    // sign-test replay: same gap-filled lag-7 pairs, sign census, the
+    // identical z² integer text
+    "stats_sign_test" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day, CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)), " +
+        "df AS (SELECT x - LAG(x, 7) OVER (ORDER BY day) AS dd FROM series), " +
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(COALESCE(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pos, " +
+        "CAST(COALESCE(SUM(CASE WHEN dd < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_neg " +
+        "FROM df WHERE dd IS NOT NULL) " +
+        "SELECT n_pairs, n_pos + n_neg AS n_nonzero, n_pos, n_neg, " +
+        "CAST(((n_pos - n_neg) * (n_pos - n_neg) * 1000) // " +
+        "nullif(n_pos + n_neg, 0) AS BIGINT) AS z2_milli FROM agg"),
+
+    // drawdown replay: same grid, cumulative-max window, exact cents
+    "window_drawdown" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day, CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)) " +
+        "SELECT day, x AS rev_cents, " +
+        "CAST(MAX(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_cents, " +
+        "CAST(MAX(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - x AS BIGINT) AS drawdown_cents " +
+        "FROM series ORDER BY day"),
 
     // Friedman replay: complete Monday-start weeks, per-block doubled
     // ranks on the (week, value) grid, same integer χ²_F text

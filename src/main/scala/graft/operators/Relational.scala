@@ -2399,6 +2399,37 @@ object Relational {
     * generator (shared-constants doctrine). */
   val PermB: Int = 32
 
+  /** SIGN TEST (round 16) — the assumption-minimal paired test under
+    * [[wilcoxonSignedRank]]: same (day, day−7) pairs over the
+    * gap-filled calendar, but only the SIGN of each difference counts
+    * (no rank structure at all — immune even to the heavy-tail
+    * asymmetry Wilcoxon's symmetric-distribution assumption trips on).
+    * Zero differences drop (the standard convention); the statistic is
+    * the exact integer z²·1000 = (n₊ − n₋)²·1000 div (n₊ + n₋) — the
+    * square of the normal-approximation z with no continuity
+    * correction (documented deterministic convention; B(n, ½) is
+    * symmetric so z² is the two-sided readout). One daily aggregation
+    * + a calendar-bounded lag — nothing row-scale after the scan.
+    *
+    * Output: one row (n_pairs, n_nonzero, n_pos, n_neg, z2_milli). */
+  def signTest(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.orderBy(col("day"))
+    val diffs = dailyRevenueSeries(orders)
+      .withColumn("prev", lag(col("x"), 7).over(wd))
+      .filter(col("prev").isNotNull)
+      .select((col("x") - col("prev")).as("d"))
+    diffs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("d") > 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n_pos"),
+        coalesce(sum(when(col("d") < 0L, 1L).otherwise(0L)), lit(0L))
+          .as("n_neg"))
+      .select(col("n_pairs"), (col("n_pos") + col("n_neg")).as("n_nonzero"),
+        col("n_pos"), col("n_neg"),
+        expr("((n_pos - n_neg) * (n_pos - n_neg) * 1000) div " +
+          "nullif(n_pos + n_neg, 0L)").as("z2_milli"))
+  }
+
   /** WILCOXON SIGNED-RANK (round 15) — the PAIRED nonparametric test
     * the unpaired [[mannWhitney]] cannot run: is this week's daily
     * revenue shifted against the SAME weekday last week? Pairs are
@@ -3113,6 +3144,28 @@ object Relational {
         size(col("arr")).cast("long").as("n_window"),
         expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))")
           .as("median7"))
+      .orderBy(col("day"))
+  }
+
+  /** RUNNING-PEAK DRAWDOWN (round 16) — the max-drawdown curve every
+    * time-series monitor draws beside [[rollingMedian]]'s smoother and
+    * [[weeklyOhlc]]'s resample: per calendar day, the running peak of
+    * daily revenue so far and the drawdown (peak − today) — the
+    * worst-regression-from-best readout whose maximum IS the classic
+    * max drawdown. Over the shared gap-filled daily grid (a dead day
+    * is a REAL full-depth drawdown day, not a missing sample); all
+    * exact BIGINT cents; one calendar-bounded cumulative-max window —
+    * never data-sized.
+    *
+    * Output: (day, rev_cents, peak_cents, drawdown_cents), ordered. */
+  def drawdownSeries(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dailyRevenueSeries(orders)
+      .withColumn("peak_cents", max(col("x")).over(w))
+      .select(col("day"), col("x").as("rev_cents"), col("peak_cents"),
+        (col("peak_cents") - col("x")).as("drawdown_cents"))
       .orderBy(col("day"))
   }
 

@@ -2602,6 +2602,36 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getLong(3) == 12000L, out.head.toSeq.toString)
   }
 
+  test("signTest: hand 14-day series — signs counted, zeros dropped, " +
+    "exact z²") {
+    // week 1 revenue 100/day, week 2: 3 days up, 2 down, 2 equal
+    val vals = Seq.fill(7)(100.0) ++
+      Seq(150.0, 150.0, 150.0, 50.0, 50.0, 100.0, 100.0)
+    val orders = vals.zipWithIndex.map { case (v, i) =>
+      (java.time.LocalDate.of(2024, 3, 4).plusDays(i).toString, v) }
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val r = Relational.signTest(orders).collect().head
+    // 7 pairs, 3 pos, 2 neg, 2 zero → z²·1000 = (1·1·1000) div 5 = 200
+    assert(r.toSeq == Seq(7L, 5L, 3L, 2L, 200L), r.toSeq.toString)
+  }
+
+  test("drawdownSeries: running peak holds through a dip and a dead " +
+    "gap day reads a full-depth drawdown") {
+    val orders = Seq(("2024-03-04", 100.0), ("2024-03-05", 300.0),
+      ("2024-03-07", 200.0))  // 03-06 is a dead calendar day
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.drawdownSeries(orders).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.toSeq.drop(1))
+      .toMap
+    assert(out.size == 4)
+    assert(out("2024-03-05") == Seq(30000L, 30000L, 0L))
+    assert(out("2024-03-06") == Seq(0L, 30000L, 30000L),
+      "dead day must read the full-depth drawdown")
+    assert(out("2024-03-07") == Seq(20000L, 30000L, 10000L))
+  }
+
   test("userActivityGini: hand counts (1,1,2) — exact doubled-rank " +
     "numerator, uniform activity reads 0") {
     val ev = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 30L))
