@@ -1051,8 +1051,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "sig AS (SELECT vec_id, CAST(list_sum(list_transform(" +
         "range(0, least(len(v), 63)), d -> CASE WHEN v[CAST(d + 1 AS INT)] > 0 " +
         "THEN (CAST(1 AS BIGINT) << CAST(d AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM n), " +
-        "und AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db FROM bk a " +
-        "JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        // Drop-policy mirror: buckets over the 1024 cap contribute no
+        // pairs (the documented diagnostic truncation)
+        "bc AS (SELECT tbl, bucket FROM bk GROUP BY 1, 2 HAVING COUNT(*) <= 1024), " +
+        "bkk AS (SELECT bk.* FROM bk SEMI JOIN bc ON bk.tbl = bc.tbl AND bk.bucket = bc.bucket), " +
+        "und AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db FROM bkk a " +
+        "JOIN bkk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
         "h AS (SELECT CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS ham " +
         "FROM und JOIN sig sa ON sa.vec_id = und.da " +
         "JOIN sig sb ON sb.vec_id = und.db) " +

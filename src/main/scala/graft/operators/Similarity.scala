@@ -1640,6 +1640,16 @@ object Similarity {
     * as [[knnJoinLsh]] — never all-pairs; the xor + bit_count is
     * codegen'd integer work; the histogram is ≤ 16 structural rows.
     *
+    * Overflow policy is DROP, not Fail (round 16, scale probe): this
+    * is a DIAGNOSTIC histogram, and at crawl scale a popular sign
+    * region (near-dup embeddings all co-bucket) will exceed any fixed
+    * cap — the honest behavior is the documented truncation (over-cap
+    * buckets contribute no pairs; the curve reads the sampled
+    * neighborhood structure), not an abort of the audit that would
+    * tell you about exactly that corpus. The serving-path keys
+    * ([[knnJoinLsh]]) keep Fail — a recall contract can't silently
+    * drop candidates.
+    *
     * Output: (ham_bucket, n_pairs, min_ham, max_ham), bucket =
     * hamming div 4, ordered. */
   def signHammingHist(emb: DataFrame, tables: Int = 16,
@@ -1650,7 +1660,7 @@ object Similarity {
     val und = Dedup.boundedCandidatePairs(
       lshBuckets(p, tables, bitsPerTable)
         .select(col("vec_id"), col("tbl"), col("bucket")),
-      "vec_id", Seq("tbl", "bucket"), maxBucket, BucketOverflow.Fail,
+      "vec_id", Seq("tbl", "bucket"), maxBucket, BucketOverflow.Drop,
       "signHammingHist")
     und.join(sig.select(col("vec_id").as("doc_a"), col("sig").as("sig_a")),
         Seq("doc_a"))

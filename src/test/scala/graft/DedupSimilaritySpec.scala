@@ -1015,6 +1015,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(totalPairs >= 12L, s"twin groups must co-bucket: $out")
   }
 
+  test("signHammingHist: an over-cap sign region drops out of the " +
+    "histogram instead of aborting it (the diagnostic Drop policy)") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(d => if (d % 2 == 0) 1f else -1f)
+    // 8 identical vectors: every bucket they share holds all 8
+    val vecs = (0 until 8).map(i => (i.toLong, base, 0))
+      .toDF("vec_id", "embedding", "label")
+    // cap 4 < 8: every bucket is over-cap → histogram legitimately
+    // empties (truncation, not an exception — the round-15 Fail policy
+    // aborted the audit on exactly the corpus it should describe)
+    val dropped = Similarity.signHammingHist(vecs, maxBucket = 4).collect()
+    assert(dropped.isEmpty, s"over-cap buckets must drop: " +
+      dropped.mkString(";"))
+    // cap 8: under the cap, the zero-bucket pairs come back
+    val kept = Similarity.signHammingHist(vecs, maxBucket = 8).collect()
+    assert(kept.nonEmpty && kept.head.getLong(0) == 0L,
+      s"under-cap buckets must survive: ${kept.mkString(";")}")
+  }
+
   test("signHammingRecall: planted exact twins are recovered at the " +
     "full bit budget — binary rank 1 and cosine rank 1 agree — and " +
     "the curve's denominator is queries × k") {

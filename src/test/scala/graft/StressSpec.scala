@@ -592,6 +592,46 @@ class StressSpec extends SparkSpec {
     }
   }
 
+  test("round-15/16 cohort probe: the scale-sensitive new keys complete " +
+    "at 10x with no hidden-constant cliff (verdict r15 item 4)") {
+    gated()
+    // relational/event keys scale on the FK-consistent ×10 dataset;
+    // document/embedding keys on the mutated-near-dup ×10 corpus (the
+    // non-adversarial shape — every copy distinct)
+    val relKeys = Seq("join_band", "event_rolling_wau", "stream_wau_parity")
+    val docKeys = Seq("sketch_bloom_merge", "text_source_tv_matrix",
+      "dedup_cross_source", "embed_sign_hamming", "embed_recall_vs_bits")
+    def pass(dir: String, parts: String,
+             keys: Seq[String]): Map[String, Double] = {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+        keys.foreach { k =>
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(k)(spark, dir).count()
+          SparkEntry.harnessScope.release()
+          out(k) = (System.nanoTime() - t0) / 1e9
+          assert(n > 0, s"$k returned no rows against $dir")
+        }
+        out.toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // self-calibrating ratio protocol (see the sf1 probe note): the
+    // sf0.1 pass in the SAME JVM is the unit; partitions scale with
+    // the data; sub-30 s absolute is never a cliff
+    val base = pass(sfStress, "32", relKeys ++ docKeys)
+    val scaled = pass(sf1EqDir, "256", relKeys) ++
+      pass(mut10Dir, "256", docKeys)
+    (relKeys ++ docKeys).foreach { k =>
+      val r = scaled(k) / base(k)
+      info(f"$k%-26s ${base(k)}%7.2f s -> ${scaled(k)}%8.2f s  ($r%5.1fx)")
+      assert(scaled(k) < 30.0 || r < 30.0,
+        f"$k scaled ${base(k)}%.1f s -> ${scaled(k)}%.1f s ($r%.0fx) at " +
+          "10x data — hidden-constant scale cliff")
+    }
+  }
+
   test("sf1-equivalent probe: the 20 heaviest relational/event/graph " +
     "keys complete at 10x sf0.1 with no hidden-constant cliff") {
     gated()
