@@ -923,6 +923,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // Month-over-month revenue growth (round 13): exact cents, lag
     // over the calendar grid, sign-split ppm (see orderMonthlyGrowth's
     // scaladoc).
+    // Revenue waterfall per ship-month (round 16): gross → discount →
+    // net → tax → charged, exact sums at their own scales, one
+    // truncation per group (see revenueWaterfall's scaladoc).
+    "order_revenue_waterfall" -> ((s, d) =>
+      Relational.revenueWaterfall(Tables.lineitem(s, d))),
+
     "order_monthly_growth" -> ((s, d) =>
       Relational.orderMonthlyGrowth(Tables.orders(s, d))),
 
@@ -2427,6 +2433,28 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     // growth replay: same grid, lag, explicit sign-split ppm (Spark
     // div truncates; DuckDB // floors)
+    // waterfall replay: same per-line scaled integers, HUGEINT sums,
+    // one floor-div per group (non-negative domain → // ≡ div)
+    "order_revenue_waterfall" ->
+      ("WITH l AS (SELECT date_trunc('month', l_shipdate) AS month, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, " +
+        "CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS d, " +
+        "CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS t " +
+        "FROM lineitem), " +
+        "g AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "CAST(SUM(c) AS BIGINT) AS gross_cents, " +
+        "SUM(CAST(c AS HUGEINT) * d) AS disc4, " +
+        "SUM(CAST(c AS HUGEINT) * (100 - d)) AS net4, " +
+        "SUM(CAST(c AS HUGEINT) * (100 - d) * t) AS tax6, " +
+        "SUM(CAST(c AS HUGEINT) * (100 - d) * (100 + t)) AS charged6 " +
+        "FROM l GROUP BY 1) " +
+        "SELECT month, n_lines, gross_cents, " +
+        "CAST(disc4 // 100 AS BIGINT) AS disc_cents, " +
+        "CAST(net4 // 100 AS BIGINT) AS net_cents, " +
+        "CAST(tax6 // 10000 AS BIGINT) AS tax_cents, " +
+        "CAST(charged6 // 10000 AS BIGINT) AS charged_cents " +
+        "FROM g ORDER BY month"),
+
     "order_monthly_growth" ->
       ("WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, " +
         "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents " +

@@ -524,6 +524,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "dedup_rate_report" -> ((s, d) =>
       Dedup.dedupRateReport(Tables.documents(s, d), nearDupPairsShared(s, d))),
 
+    // Dedup threshold sensitivity curve (round 16): pair/dup-doc yield
+    // at each candidate Jaccard gate, exact-rational compares, off the
+    // shared pair memo (see thresholdCurve's scaladoc).
+    "dedup_threshold_curve" -> ((s, d) =>
+      Dedup.thresholdCurve(Tables.documents(s, d), nearDupPairsShared(s, d))),
+
     // N-gram novelty curve (round 11): novel = first-carrier via ONE
     // min-per-shingle aggregation — marginal content per doc, no
     // pairwise work.
@@ -1713,6 +1719,31 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
 
     // per-source audit over the SAME pair relation: suppressed doc_b
     // set, within/cross pair split, one IEEE division per source
+    // threshold-curve replay: the rate report's capped pair CTEs, the
+    // identical integer threshold compare, structural 5-row grid
+    "dedup_threshold_curve" ->
+      (s"WITH $sqlShingleCte, " +
+        "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN (" +
+        "SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100" +
+        ") keep ON sh.shingle = keep.shingle), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common " +
+        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pc AS (SELECT doc_b, CAST(n_common AS BIGINT) AS n_common, " +
+        "CAST(sa.sz + sb.sz - n_common AS BIGINT) AS n_union FROM inter " +
+        "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id), " +
+        "grid AS (SELECT CAST(unnest([500, 600, 700, 800, 900]) AS BIGINT) AS thresh_milli), " +
+        "f AS (SELECT g.thresh_milli, pc.doc_b FROM pc JOIN grid g " +
+        "ON pc.n_common * 1000 >= g.thresh_milli * pc.n_union), " +
+        "st AS (SELECT thresh_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dup_docs FROM f GROUP BY 1), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) " +
+        "SELECT g.thresh_milli, CAST(COALESCE(st.n_pairs, 0) AS BIGINT) AS n_pairs, " +
+        "CAST(COALESCE(st.n_dup_docs, 0) AS BIGINT) AS n_dup_docs, " +
+        "CAST((COALESCE(st.n_dup_docs, 0) * 1000000) // nullif(tot.n_docs, 0) AS BIGINT) AS dup_ppm " +
+        "FROM grid g LEFT JOIN st USING (thresh_milli) CROSS JOIN tot " +
+        "ORDER BY g.thresh_milli"),
+
     "dedup_rate_report" ->
       (s"WITH $sqlShingleCte, " +
         "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN (" +

@@ -65,6 +65,27 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
           Similarity.loadCentroids(s, dir))))
     }),
 
+    // IVF probe-count sizing curve (round 16): the served-IVF recall
+    // audit at nprobe 1/2/4 over the SAME persisted quantizer — the
+    // latency-vs-recall dial an IVF deployment is sized by (the
+    // embed_recall_vs_bits pattern pointed at the coarse index).
+    "sim_recall_probe_curve" -> ((s, d) => {
+      val dir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivf_centroids_")
+        Similarity.saveCentroids(
+          Similarity.trainCentroids(
+            Similarity.prepared(Tables.embeddings(s, d)), nlist = 16,
+            iters = 2), tmp)
+        tmp
+      })
+      val emb = Tables.embeddings(s, d)
+      val cent = Similarity.loadCentroids(s, dir)
+      Similarity.recallRows(emb, Seq(
+        "ivf_p1" -> Similarity.ivfTopKWith(emb, cent, nprobe = 1),
+        "ivf_p2" -> Similarity.ivfTopKWith(emb, cent, nprobe = 2),
+        "ivf_p4" -> Similarity.ivfTopKWith(emb, cent, nprobe = 4)))
+    }),
+
     // k-NN SELF-join (round 8): every vector's k nearest via the LSH
     // bucket scheme — bounded-bucket candidates, both orientations,
     // shuffle equi-joins, partial top-k. Nothing broadcasts the corpus.
@@ -1190,6 +1211,39 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // trained-index recall replay: brute force + the FULL unrolled-
     // training IVF statement as a scoped subquery (its WITH chain
     // shadows locally)
+    // probe-curve replay: the trained-IVF front ONCE, three candidate
+    // chains re-filtering the same ranked probes at pr <= 1/2/4
+    "sim_recall_probe_curve" -> {
+      def leg(np: Int): String =
+        s"pcand$np AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id FROM probes p " +
+          s"JOIN asg a ON p.cent_id = a.cent_id AND a.vec_id != p.q_id " +
+          s"WHERE p.pr <= $np), " +
+          s"psc$np AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+          s"FROM pcand$np c JOIN n q ON c.q_id = q.vec_id " +
+          s"JOIN n x ON c.n_id = x.vec_id), " +
+          s"prk$np AS (SELECT q_id, n_id FROM (SELECT *, " +
+          "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+          s"FROM psc$np WHERE NOT isnan(cos)) WHERE rank <= 10), " +
+          s"ph$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits " +
+          s"FROM prk$np JOIN bf USING (q_id, n_id))"
+      def row(np: Int): String =
+        s"SELECT 'ivf_p$np' AS method, g.n_queries, g.n_possible, " +
+          s"ph$np.n_hits, CAST(ph$np.n_hits * 1000000 // " +
+          s"nullif(g.n_possible, 0) AS BIGINT) AS recall_ppm FROM g, ph$np"
+      "WITH " + sqlIvfFrontCtesFrom("n") + ", " +
+        "bfs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        s"${sqlCosFrag("q", "c")} AS cos " +
+        s"FROM n q JOIN n c ON q.vec_id < ${Similarity.LshNQueries} AND c.vec_id != q.vec_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
+        s"FROM bfs WHERE NOT isnan(cos)) WHERE rank <= ${Similarity.LshK}), " +
+        leg(1) + ", " + leg(2) + ", " + leg(4) + ", " +
+        "g AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_possible FROM bf) " +
+        row(1) + " UNION ALL " + row(2) + " UNION ALL " + row(4) +
+        " ORDER BY method"
+    },
+
     "sim_recall_report_ivf" ->
       (s"WITH $sqlQuantCte, " +
         "bfs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +

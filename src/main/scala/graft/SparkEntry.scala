@@ -232,7 +232,8 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
   // MEMO-DEPS-BEGIN (parsed by tools/gen_board_appendix.py)
   val memoDeps: Seq[(String, Seq[String])] = Seq(
     "memo:near_dup_pairs" -> Seq("dedup_cluster", "dedup_fuzzy",
-      "dedup_rate_report", "dedup_cluster_sizes"),
+      "dedup_rate_report", "dedup_cluster_sizes",
+      "dedup_threshold_curve"),
     // the full measured read set (MemoDepsSpec recorder) — the hand
     // list this replaced was missing SEVEN keys (the 6 round-13/14
     // graph audits below from assortativity on, plus bpe_encode): each
@@ -244,9 +245,9 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       "graph_modularity", "graph_assortativity", "graph_bfs_layers",
       "graph_closeness", "graph_degree_gini", "graph_kcore",
       "graph_weight_hist", "graph_adamic_adar", "graph_rich_club",
-      "graph_two_hop_reach"),
+      "graph_two_hop_reach", "graph_ecc_seeds", "graph_resource_alloc"),
     "memo:triangles" -> Seq("graph_triangles", "graph_link_jaccard",
-      "graph_cluster_coeff", "graph_adamic_adar"),
+      "graph_cluster_coeff", "graph_adamic_adar", "graph_resource_alloc"),
     "memo:lpa_labels" -> Seq("graph_label_prop", "graph_modularity"),
     "memo:unigram_model" -> Seq("tokenizer_unigram",
       "tokenizer_unigram_encode"),
@@ -827,7 +828,10 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       "asg AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ac) " +
       "WHERE rn = 1), " +
-      "probes AS (SELECT q_id, cent_id FROM (SELECT vec_id AS q_id, cent_id, " +
+      // pr rides along (round 16): the probe-curve oracle re-filters
+      // the SAME ranked probes at pr <= 1/2/4; existing consumers
+      // project it away
+      "probes AS (SELECT q_id, cent_id, pr FROM (SELECT vec_id AS q_id, cent_id, " +
       "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS pr " +
       "FROM ac WHERE vec_id < 10) WHERE pr <= 4)"
 

@@ -212,6 +212,50 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DEDUP THRESHOLD SENSITIVITY CURVE (round 16) — how the near-dup
+    * gate's yield moves with the Jaccard threshold: for each candidate
+    * threshold ≥ the pair relation's base 0.5, the surviving pair
+    * count, the duplicate-document count (distinct doc_b — the
+    * keep-smaller-id convention at the pair grain) and the removal
+    * rate in ppm of the corpus — the sizing table an operator reads
+    * BEFORE committing a threshold to a 100 TB dedup pass (every
+    * downstream `threshold = 0.5` constant in this file is provisioned
+    * off exactly this curve). Threshold comparison is EXACT-RATIONAL:
+    * jaccard ≥ t/1000 ⟺ n_common·1000 ≥ t·n_union in BIGINT — a
+    * double compare against 0.6/0.7/… misclassifies ratios inside one
+    * ulp of the literal; the integer form cannot. Rides the SHARED
+    * memoized pair relation (already ≥ 0.5, so the curve is complete
+    * for every listed threshold); one bounded ≤5× fan-out of the pair
+    * relation, all 5 rows STRUCTURAL from the grid.
+    *
+    * Output: (thresh_milli, n_pairs, n_dup_docs, dup_ppm), ordered. */
+  def thresholdCurve(docs: DataFrame, pairs: DataFrame,
+                     thresholds: Seq[Int] = Seq(500, 600, 700, 800, 900))
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 500),
+      s"curve thresholds must sit at or above the pair relation's " +
+        s"base 0.5: $thresholds")
+    val grid = thresholds.toDF("thresh_milli")
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val stats = pairs
+      .select(col("doc_b"), col("n_common"), col("n_union"))
+      .crossJoin(broadcast(grid))
+      .filter(col("n_common") * 1000L >= col("thresh_milli") * col("n_union"))
+      .groupBy(col("thresh_milli"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_dup_docs"))
+    grid.join(broadcast(stats), Seq("thresh_milli"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("thresh_milli").cast("long").as("thresh_milli"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        expr("CAST((coalesce(n_dup_docs, 0L) * 1000000) div " +
+          "nullif(n_docs, 0L) AS BIGINT)").as("dup_ppm"))
+      .orderBy(col("thresh_milli"))
+  }
+
   /** Near-duplicate CLUSTERS — connected components over the
     * [[ngramJaccardPairs]] graph, the step that turns a PAIR relation
     * into keep-one-per-group: every doc is labeled with the smallest

@@ -2799,6 +2799,48 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** REVENUE WATERFALL per ship-month (round 16) — the finance
+    * decomposition every revenue dashboard draws before any trend:
+    * gross book price → discount given → net → tax collected →
+    * charged, each an EXACT integer at its own scale (the q14/q8
+    * multiply-away-the-scale doctrine): gross in cents,
+    * discount/net as cents·(d·100) sums (scale 10⁴), charged as
+    * cents·(100−d100)·(100+t100) (scale 10⁶) — all BIGINT-safe sums,
+    * each surfaced as truncated cents by ONE non-negative `div` per
+    * group AFTER the sum (never per row — per-row truncation
+    * accumulates error both engines would have to replicate term by
+    * term). One map-side-combinable aggregation over the scan;
+    * observed ship-months (the [[orderMonthlyGrowth]] grain).
+    *
+    * Output: (month, n_lines, gross_cents, disc_cents, net_cents,
+    * tax_cents, charged_cents), ordered. */
+  def revenueWaterfall(lineitem: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val d100 = (col("l_discount").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val t100 = (col("l_tax").cast(DecimalType(12, 2)) * 100).cast("long")
+    lineitem
+      .select(date_trunc("month", col("l_shipdate")).as("month"),
+        cents.as("c"), d100.as("d"), t100.as("t"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("c")).as("gross_cents"),
+        sum(col("c").cast(dec) * col("d")).as("disc4"),
+        sum(col("c").cast(dec) * (lit(100L) - col("d"))).as("net4"),
+        sum(col("c").cast(dec) * (lit(100L) - col("d")) * col("t"))
+          .as("tax6"),
+        sum(col("c").cast(dec) * (lit(100L) - col("d")) *
+          (lit(100L) + col("t"))).as("charged6"))
+      .select(col("month"), col("n_lines"), col("gross_cents"),
+        expr("CAST(disc4 div 100 AS BIGINT)").as("disc_cents"),
+        expr("CAST(net4 div 100 AS BIGINT)").as("net_cents"),
+        expr("CAST(tax6 div 10000 AS BIGINT)").as("tax_cents"),
+        expr("CAST(charged6 div 10000 AS BIGINT)").as("charged_cents"))
+      .orderBy(col("month"))
+  }
+
   /** SPEARMAN RANK CORRELATION (round 13) — [[groupedCorrelation]]'s
     * robust sibling: Pearson on RANKS, so a monotone-but-nonlinear
     * relation (price vs quantity under tiered pricing) still scores,

@@ -1015,6 +1015,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(totalPairs >= 12L, s"twin groups must co-bucket: $out")
   }
 
+  test("thresholdCurve: hand pairs at J=1.0 and J=0.5 — the 0.5 row " +
+    "sees all pairs, rows above 0.5 keep only the exact twin, the " +
+    "compare is exact-rational") {
+    import spark.implicits._
+    import graft.operators.{Dedup, CacheScope}
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),   // J = 1.0 twin
+      (3L, "a b c d x"))                      // J = 0.5 vs both
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5,
+      maxDf = Some(100), scope = CacheScope.off)
+    val out = Dedup.thresholdCurve(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keys.toSeq.sorted == Seq(500L, 600L, 700L, 800L, 900L))
+    assert(out(500L) == ((3L, 2L, 666666L)), out.toString)
+    Seq(600L, 700L, 800L, 900L).foreach { t =>
+      assert(out(t) == ((1L, 1L, 333333L)), s"t=$t: ${out(t)}")
+    }
+  }
+
+  test("sim_recall_probe_curve: recall is monotone in nprobe and the " +
+    "full-probe leg matches the served-IVF audit") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0)
+    val cent = Similarity.trainCentroids(Similarity.prepared(emb),
+      nlist = 16, iters = 2)
+    val out = Similarity.recallRows(emb, Seq(
+        "ivf_p1" -> Similarity.ivfTopKWith(emb, cent, nprobe = 1),
+        "ivf_p2" -> Similarity.ivfTopKWith(emb, cent, nprobe = 2),
+        "ivf_p4" -> Similarity.ivfTopKWith(emb, cent, nprobe = 4)))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out("ivf_p1") <= out("ivf_p2") &&
+      out("ivf_p2") <= out("ivf_p4"),
+      s"recall must be monotone in nprobe: $out")
+    val served = Similarity.recallRows(emb,
+      Seq("x" -> Similarity.ivfTopKWith(emb, cent, nprobe = 4)))
+      .collect().head.getLong(4)
+    assert(out("ivf_p4") == served,
+      "the 4-probe leg must equal the served-IVF recall")
+  }
+
   test("signHammingHist: an over-cap sign region drops out of the " +
     "histogram instead of aborting it (the diagnostic Drop policy)") {
     import spark.implicits._

@@ -89,8 +89,11 @@ class EmptyInputSpec extends SparkSpec {
       // audit's structural zz_global/zz_merged rows (empty masks)
       "embed_recall_vs_bits", "sketch_bloom_merge",
       // round 16: theta A-NOT-B's two structural direction rows
-      // (empty sketches under the degenerate full-space theta)
-      "sketch_theta_anotb")
+      // (empty sketches under the degenerate full-space theta); the
+      // dedup threshold curve's 5-row grid; the IVF probe curve's
+      // 3 structural method rows
+      "sketch_theta_anotb", "dedup_threshold_curve",
+      "sim_recall_probe_curve")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

@@ -2602,6 +2602,31 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getLong(3) == 12000L, out.head.toSeq.toString)
   }
 
+  test("revenueWaterfall: hand lines — exact scaled sums, truncation " +
+    "AFTER the group sum, charged = net + tax") {
+    val li = Seq(
+      ("2024-03-01", 20.10, 0.05, 0.03),
+      ("2024-03-01", 20.10, 0.05, 0.03),
+      ("2024-04-01", 100.00, 0.10, 0.05))
+      .toDF("d", "l_extendedprice", "l_discount", "l_tax")
+      .select(to_date(col("d")).as("l_shipdate"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+    val out = Relational.revenueWaterfall(li).collect()
+      .map(r => r.getTimestamp(0).toString.take(7) -> r.toSeq.drop(1))
+      .toMap
+    // March: two 2010¢ lines at 5%: disc4 = 2·10050 = 20100 → 201¢ —
+    // per-row truncation would read 100 + 100 = 200
+    assert(out("2024-03") == Seq(2L, 4020L, 201L, 3819L, 114L, 3933L),
+      out("2024-03").toString)
+    // April: 10000¢, 10%, 5%: 1000 / 9000 / 450 / 9450 exact
+    assert(out("2024-04") == Seq(1L, 10000L, 1000L, 9000L, 450L, 9450L),
+      out("2024-04").toString)
+    // waterfall identity where no truncation bites
+    assert(out("2024-04")(4).asInstanceOf[Long] +
+      out("2024-04")(3).asInstanceOf[Long] ==
+      out("2024-04")(5).asInstanceOf[Long])
+  }
+
   test("signTest: hand 14-day series — signs counted, zeros dropped, " +
     "exact z²") {
     // week 1 revenue 100/day, week 2: 3 days up, 2 down, 2 equal
