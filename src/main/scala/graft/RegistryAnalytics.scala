@@ -847,6 +847,22 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "window_drawdown" -> ((s, d) =>
       Relational.drawdownSeries(Tables.orders(s, d))),
 
+    // Mann–Kendall trend test (round 16): calendar-bounded pair census
+    // with tie-corrected variance, exact integer z² (see mannKendall's
+    // scaladoc).
+    "stats_mann_kendall" -> ((s, d) =>
+      Relational.mannKendall(Tables.orders(s, d))),
+
+    // Day-over-day growth in bps (round 16): sign-split integer
+    // division over the gap-filled grid (see dodChangeBps' scaladoc).
+    "window_pct_change" -> ((s, d) =>
+      Relational.dodChangeBps(Tables.orders(s, d))),
+
+    // Strict local-maximum days (round 16): the alerting shortlist
+    // over gap-filled daily event counts (see peakDays' scaladoc).
+    "event_peak_days" -> ((s, d) =>
+      Relational.peakDays(Tables.events(s, d))),
+
     // Friedman k-related-samples test (round 15): weekday effect with
     // weeks as blocks, doubled in-block ranks, integer χ²_F (see
     // friedmanTest's scaladoc).
@@ -3845,6 +3861,65 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT n_pairs, n_pos + n_neg AS n_nonzero, n_pos, n_neg, " +
         "CAST(((n_pos - n_neg) * (n_pos - n_neg) * 1000) // " +
         "nullif(n_pos + n_neg, 0) AS BIGINT) AS z2_milli FROM agg"),
+
+    // Mann–Kendall replay: same gap-filled grid, indexed self-join
+    // pair census, tie-corrected var18, identical z² integer text
+    "stats_mann_kendall" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day, CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)), " +
+        "s AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, x FROM series), " +
+        "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(COALESCE(SUM(CASE WHEN pb.x > pa.x THEN 1 " +
+        "WHEN pb.x < pa.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat " +
+        "FROM s pa JOIN s pb ON pa.i < pb.i), " +
+        "t AS (SELECT CAST(COALESCE(SUM(m * (m - 1) * (m * 2 + 5)), 0) AS BIGINT) AS tie_term, " +
+        "CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_days " +
+        "FROM (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s GROUP BY x)), " +
+        "v AS (SELECT t.n_days, p.n_pairs, p.s_stat, " +
+        "t.n_days * (t.n_days - 1) * (t.n_days * 2 + 5) - t.tie_term AS var18 " +
+        "FROM t, p) " +
+        "SELECT n_days, n_pairs, s_stat, var18, " +
+        "CAST(CASE WHEN s_stat = 0 THEN 0 ELSE " +
+        "((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000) // " +
+        "nullif(var18, 0) END AS BIGINT) AS z2_milli FROM v"),
+
+    // DoD-change replay: same grid, LAG 1, identical sign-split text
+    "window_pct_change" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day, CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)), " +
+        "lg AS (SELECT day, x, LAG(x, 1) OVER (ORDER BY day) AS prev_cents FROM series) " +
+        "SELECT day, x AS rev_cents, prev_cents, " +
+        "CAST(CASE WHEN x >= prev_cents THEN " +
+        "((x - prev_cents) * 10000) // nullif(prev_cents, 0) " +
+        "ELSE -(((prev_cents - x) * 10000) // nullif(prev_cents, 0)) " +
+        "END AS BIGINT) AS chg_bps " +
+        "FROM lg WHERE prev_cents IS NOT NULL ORDER BY day"),
+
+    // peak-days replay: gap-filled daily counts, strict two-sided
+    // local maxima, endpoints excluded
+    "event_peak_days" ->
+      ("WITH d AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day, CAST(COALESCE(cnt, 0) AS BIGINT) AS n_events " +
+        "FROM grid g LEFT JOIN d USING (day)), " +
+        "lg AS (SELECT day, n_events, " +
+        "LAG(n_events, 1) OVER (ORDER BY day) AS prev_cnt, " +
+        "LEAD(n_events, 1) OVER (ORDER BY day) AS next_cnt FROM series) " +
+        "SELECT day, n_events, prev_cnt, next_cnt FROM lg " +
+        "WHERE prev_cnt IS NOT NULL AND next_cnt IS NOT NULL " +
+        "AND n_events > prev_cnt AND n_events > next_cnt ORDER BY day"),
 
     // drawdown replay: same grid, cumulative-max window, exact cents
     "window_drawdown" ->

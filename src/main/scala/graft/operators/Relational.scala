@@ -3211,6 +3211,108 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** MANN–KENDALL TREND TEST (round 16) — the nonparametric monotone-
+    * trend detector completing the trend family ([[theilSen]] gives
+    * the slope, MK gives the significance): S = Σ_{i<j} sign(x_j −
+    * x_i) over the gap-filled daily revenue series, with the
+    * tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_t m(m−1)
+    * (2m+5). ENGINE-EXACT end to end: the pair space is CALENDAR-
+    * bounded (grid² over the day span — never row-scale; the daily
+    * aggregation happens BEFORE the quadratic step, so 100 TB of
+    * orders still reduces to ≤ ~2.6k grid rows), the self-join
+    * broadcasts, and every statistic is BIGINT. z² uses the standard
+    * continuity correction (|S|−1)² and lands as one deterministic
+    * integer division: z2_milli = 18000·(|S|−1)² div var18 (0 when
+    * S = 0 — the convention the scaladoc documents, matching the
+    * correction's removal of the half-step at the origin).
+    *
+    * Output: one row (n_days, n_pairs, s_stat, var18, z2_milli). */
+  def mannKendall(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+    val s = dailyRevenueSeries(orders)
+      .select(row_number().over(w).cast("long").as("i"), col("x"))
+    val a = s.select(col("i").as("ia"), col("x").as("xa"))
+    val b = s.select(col("i").as("ib"), col("x").as("xb"))
+    val st = a.join(broadcast(b), col("ia") < col("ib"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("xb") > col("xa"), 1L)
+          .when(col("xb") < col("xa"), -1L).otherwise(0L)), lit(0L))
+          .as("s_stat"))
+    val ties = s.groupBy(col("x")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1L) * (m * 2L + 5L)")), lit(0L))
+        .as("tie_term"),
+        coalesce(sum(col("m")), lit(0L)).as("n_days"))
+    ties.crossJoin(broadcast(st))
+      .select(col("n_days"), col("n_pairs"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1L) * (col("n_days") * 2L + 5L)
+          - col("tie_term")).as("var18"))
+      .select(col("n_days"), col("n_pairs"), col("s_stat"), col("var18"),
+        expr("CAST(CASE WHEN s_stat = 0 THEN 0 ELSE " +
+          "((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000) div " +
+          "nullif(var18, 0L) END AS BIGINT)").as("z2_milli"))
+  }
+
+  /** DAY-OVER-DAY CHANGE in basis points (round 16) — the growth-rate
+    * face of the daily revenue series beside [[drawdownSeries]]'
+    * regression-from-peak: per calendar day, yesterday's exact cents
+    * and the change in bps via the SIGN-SPLIT integer division
+    * doctrine (Spark `div` truncates toward zero while DuckDB `//`
+    * floors — they agree only on non-negative operands, so the
+    * negative branch divides the POSITIVE gap and negates). A dead
+    * yesterday (zero revenue) reads NULL bps — an infinite growth
+    * rate is not a number, and nullif keeps ANSI mode from throwing.
+    * One calendar-bounded lag after the daily aggregation.
+    *
+    * Output: (day, rev_cents, prev_cents, chg_bps), ordered. */
+  def dodChangeBps(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+    dailyRevenueSeries(orders)
+      .withColumn("prev_cents", lag(col("x"), 1).over(w))
+      .filter(col("prev_cents").isNotNull)
+      .select(col("day"), col("x").as("rev_cents"), col("prev_cents"),
+        expr("CASE WHEN x >= prev_cents THEN " +
+          "((x - prev_cents) * 10000) div nullif(prev_cents, 0L) " +
+          "ELSE -(((prev_cents - x) * 10000) div nullif(prev_cents, 0L)) " +
+          "END").as("chg_bps"))
+      .orderBy(col("day"))
+  }
+
+  /** LOCAL-MAXIMUM DAYS (round 16) — strict single-day peaks in the
+    * gap-filled daily event-count series: a day whose count exceeds
+    * BOTH calendar neighbors (the change-point shortlist an alerting
+    * pipeline feeds to [[eventAnomaly]]'s z-scores — a peak day is
+    * where "what happened on X?" questions start). Strictness on both
+    * sides makes the readout deterministic under ties (a plateau has
+    * no peak), and the gap-filled grid means a burst day flanked by
+    * dead days still reads as a peak. Endpoints are excluded (no
+    * neighbor, no claim). Everything after the daily count is
+    * calendar-bounded.
+    *
+    * Output: (day, n_events, prev_cnt, next_cnt) for peaks, ordered. */
+  def peakDays(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .filter(col("lo").isNotNull)
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val series = grid.join(broadcast(daily), Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n_events"))
+    val w = Window.orderBy(col("day"))
+    series
+      .withColumn("prev_cnt", lag(col("n_events"), 1).over(w))
+      .withColumn("next_cnt", lead(col("n_events"), 1).over(w))
+      .filter(col("prev_cnt").isNotNull && col("next_cnt").isNotNull &&
+        col("n_events") > col("prev_cnt") &&
+        col("n_events") > col("next_cnt"))
+      .select(col("day"), col("n_events"), col("prev_cnt"), col("next_cnt"))
+      .orderBy(col("day"))
+  }
+
   /** GINI COEFFICIENT of revenue concentration (round 13) — the
     * single-number inequality metric beside [[paretoConcentration]]'s
     * top-share curve: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the

@@ -2657,6 +2657,48 @@ class RelationalSpec extends SparkSpec {
     assert(out("2024-03-07") == Seq(20000L, 30000L, 10000L))
   }
 
+  test("mannKendall: hand 4-day series with a tie — exact S, " +
+    "tie-corrected var18, continuity-corrected z²") {
+    val orders = Seq(("2024-03-04", 100.0), ("2024-03-05", 200.0),
+      ("2024-03-06", 200.0), ("2024-03-07", 300.0))
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val r = Relational.mannKendall(orders).collect().head
+    // 6 pairs: 5 concordant, 1 tie → S = 5; tie group m=2 → 18;
+    // var18 = 4·3·13 − 18 = 138; z² = 16·18000 div 138 = 2086
+    assert(r.toSeq == Seq(4L, 6L, 5L, 138L, 2086L), r.toSeq.toString)
+  }
+
+  test("dodChangeBps: sign-split truncation both ways, dead-day " +
+    "prev reads NULL bps") {
+    val orders = Seq(("2024-03-04", 100.0), ("2024-03-05", 150.0),
+      ("2024-03-07", 50.0))  // 03-06 dead: rev 0
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.dodChangeBps(orders).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out.size == 3)  // first day has no prev
+    assert(out("2024-03-05") == Some(5000L))   // +50%
+    assert(out("2024-03-06") == Some(-10000L)) // to zero: −100%
+    assert(out("2024-03-07") == None)          // off a dead day: NULL
+  }
+
+  test("peakDays: strict two-sided maxima only — plateaus and " +
+    "endpoints never qualify") {
+    val mk = (d: Int, n: Int) => Seq.fill(n)(
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00"))
+    // daily counts: 1, 3, 2, 2, 5, 1
+    val ev = (mk(1, 1) ++ mk(2, 3) ++ mk(3, 2) ++ mk(4, 2) ++
+      mk(5, 5) ++ mk(6, 1)).toDF("ts")
+    val out = Relational.peakDays(ev).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(out.toSeq == Seq(
+      "2024-03-02" -> ((3L, 1L, 2L)),
+      "2024-03-05" -> ((5L, 2L, 1L))), out.mkString(", "))
+  }
+
   test("userActivityGini: hand counts (1,1,2) — exact doubled-rank " +
     "numerator, uniform activity reads 0") {
     val ev = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 30L))
