@@ -858,6 +858,16 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "window_pct_change" -> ((s, d) =>
       Relational.dodChangeBps(Tables.orders(s, d))),
 
+    // Kruskal–Wallis H (round 16): k-group rank ANOVA on the quantity
+    // grid, sorted-fold H (see kruskalWallis' scaladoc).
+    "stats_kruskal" -> ((s, d) =>
+      Relational.kruskalWallis(Tables.lineitem(s, d))),
+
+    // Cliff's delta (round 16): exact ordinal effect size from the
+    // value-grouped pair census (see cliffsDelta's scaladoc).
+    "stats_cliffs_delta" -> ((s, d) =>
+      Relational.cliffsDelta(Tables.events(s, d))),
+
     // Strict local-maximum days (round 16): the alerting shortlist
     // over gap-filled daily event counts (see peakDays' scaladoc).
     "event_peak_days" -> ((s, d) =>
@@ -3887,6 +3897,48 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(CASE WHEN s_stat = 0 THEN 0 ELSE " +
         "((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000) // " +
         "nullif(var18, 0) END AS BIGINT) AS z2_milli FROM v"),
+
+    // Kruskal–Wallis replay: doubled average ranks on the quantity
+    // grid, per-group IEEE terms, sorted list_reduce fold, fixed H tree
+    "stats_kruskal" ->
+      ("WITH g AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2), " +
+        "m AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS m FROM g GROUP BY 1), " +
+        "dr AS (SELECT v, (SUM(m) OVER (ORDER BY v) - m) * 2 + m + 1 AS dr FROM m), " +
+        "sums AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n, " +
+        "CAST(SUM(cnt * dr.dr) AS BIGINT) AS r_sum_doubled " +
+        "FROM g JOIN dr USING (v) GROUP BY 1), " +
+        "t AS (SELECT grp, n, r_sum_doubled, " +
+        "(CAST(r_sum_doubled AS DOUBLE) * CAST(r_sum_doubled AS DOUBLE)) / " +
+        "CAST(n * 4 AS DOUBLE) AS term FROM sums), " +
+        "ties AS (SELECT CAST(COALESCE(SUM(m * m * m - m), 0) AS BIGINT) AS tie_cubes FROM m), " +
+        "h AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, " +
+        "list_reduce(list(term ORDER BY grp), (a, b) -> a + b) AS sumterm FROM t) " +
+        "SELECT t.grp AS l_returnflag, t.n, t.r_sum_doubled, ties.tie_cubes, " +
+        "12.0 / (CAST(h.nn AS DOUBLE) * (CAST(h.nn AS DOUBLE) + 1.0)) * h.sumterm " +
+        "- 3.0 * (CAST(h.nn AS DOUBLE) + 1.0) AS h " +
+        "FROM t, ties, h ORDER BY l_returnflag"),
+
+    // Cliff's delta replay: cumulative pair census on the cents grid,
+    // HUGEINT-headroom ppm division
+    "stats_cliffs_delta" ->
+      ("WITH g AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb " +
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "cum AS (SELECT na, nb, " +
+        "COALESCE(SUM(nb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cblt, " +
+        "SUM(nb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cble, " +
+        "SUM(nb) OVER () AS nbtot FROM g), " +
+        "a AS (SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_a, " +
+        "CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_b, " +
+        "CAST(COALESCE(SUM(na * cblt), 0) AS BIGINT) AS n_gt, " +
+        "CAST(COALESCE(SUM(na * (nbtot - cble)), 0) AS BIGINT) AS n_lt FROM cum) " +
+        "SELECT n_a, n_b, n_gt, n_lt, n_a * n_b - n_gt - n_lt AS n_tie, " +
+        "CAST(CASE WHEN n_gt >= n_lt THEN " +
+        "(CAST(n_gt - n_lt AS HUGEINT) * 1000000) // nullif(CAST(n_a AS HUGEINT) * n_b, 0) " +
+        "ELSE -((CAST(n_lt - n_gt AS HUGEINT) * 1000000) // nullif(CAST(n_a AS HUGEINT) * n_b, 0)) " +
+        "END AS BIGINT) AS delta_ppm FROM a"),
 
     // DoD-change replay: same grid, LAG 1, identical sign-split text
     "window_pct_change" ->

@@ -3253,6 +3253,111 @@ object Relational {
           "nullif(var18, 0L) END AS BIGINT)").as("z2_milli"))
   }
 
+  /** KRUSKAL–WALLIS H (round 16) — the k-group one-way rank ANOVA
+    * completing [[mannWhitneyU]]'s family upward (MW is its k = 2
+    * case): do the return-flag populations carry systematically
+    * different quantities? Ranks come from the VALUE-GROUPED quantity
+    * grid (≤ 50 rows — never a row-level sort) with ties at their
+    * average rank via the doubled-rank trick (2·c_lt + m + 1, BIGINT
+    * end to end). The H statistic needs Σ R²_g/n_g — a sum of
+    * divisions, so the exact-integer road ends and the [[chiSquare]]
+    * doctrine takes over: per-group terms are single IEEE divisions
+    * of exact BIGINTs, summed by a SORTED bounded-list fold (double
+    * addition is not associative; the fold order is pinned by group
+    * key), and the closing H tree is a fixed scalar expression both
+    * engines evaluate identically. The tie-correction census
+    * Σ(m³ − m) rides along exact.
+    *
+    * Output: (l_returnflag, n, r_sum_doubled, tie_cubes, h), one row
+    * per group, ordered; h and tie_cubes repeat per row (the
+    * [[friedmanTest]] shape). */
+  def kruskalWallis(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = lineitem
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+    val m = g.groupBy(col("v")).agg(sum(col("cnt")).as("m"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dr = m
+      .withColumn("clt", coalesce(sum(col("m")).over(w), lit(0L)))
+      .select(col("v"), (col("clt") * 2 + col("m") + 1L).as("dr"))
+    val sums = g.join(broadcast(dr), Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("dr")).as("r_sum_doubled"))
+      // R_g = r_sum_doubled/2 → R²_g/n_g = r²/(4n): one IEEE division
+      // of exact longs per group (r² via double·double — an int64
+      // square would overflow at warehouse scale)
+      .withColumn("term",
+        (col("r_sum_doubled").cast("double") *
+          col("r_sum_doubled").cast("double")) /
+          (col("n") * 4L).cast("double"))
+    val ties = m.agg(coalesce(sum(expr("m * m * m - m")), lit(0L))
+      .as("tie_cubes"))
+    val h = sums.agg(
+        coalesce(sum(col("n")), lit(0L)).as("nn"),
+        aggregate(
+          array_sort(collect_list(struct(col("grp"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("sumterm"))
+      .select(col("nn"),
+        (lit(12.0) / (col("nn").cast("double") *
+          (col("nn").cast("double") + 1.0)) * col("sumterm") -
+          (col("nn").cast("double") + 1.0) * 3.0).as("h"))
+    sums.select(col("grp").as("l_returnflag"), col("n"),
+        col("r_sum_doubled"))
+      .crossJoin(broadcast(ties))
+      .crossJoin(broadcast(h.select(col("h"))))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** CLIFF'S DELTA (round 16) — the ordinal effect size beside
+    * [[mannWhitneyU]]'s significance (a p-value says "different", δ
+    * says "by how much, distribution-free"): δ = (#(a > b) −
+    * #(a < b)) / (n_a·n_b) over all cross pairs of the click and
+    * purchase value distributions. ENGINE-EXACT: the pair census
+    * comes from the value-grouped cents grid via cumulative counts
+    * (rows at value v beat cb_lt(v) b-rows and lose to n_b −
+    * cb_le(v)) — never a materialized cross join; the ppm readout is
+    * one truncating division with DECIMAL(38,0) headroom (n_gt·10⁶
+    * overflows int64 exactly at warehouse pair counts).
+    *
+    * Output: one row (n_a, n_b, n_gt, n_lt, n_tie, delta_ppm). */
+  def cliffsDelta(events: DataFrame, typeA: String = "click",
+                  typeB: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val t = col("event_type")
+    val g = events.filter(t === typeA || t === typeB)
+      .select(t.as("ty"), cents.as("c"))
+      .groupBy(col("c"))
+      .agg(sum(when(col("ty") === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("ty") === typeB, 1L).otherwise(0L)).as("nb"))
+    val wLt = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLe = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("cbLt", coalesce(sum(col("nb")).over(wLt), lit(0L)))
+      .withColumn("cbLe", sum(col("nb")).over(wLe))
+      .withColumn("nbTot", sum(col("nb")).over(wAll))
+      .agg(coalesce(sum(col("na")), lit(0L)).as("n_a"),
+        coalesce(sum(col("nb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("na") * col("cbLt")), lit(0L)).as("n_gt"),
+        coalesce(sum(col("na") * (col("nbTot") - col("cbLe"))), lit(0L))
+          .as("n_lt"))
+      .select(col("n_a"), col("n_b"), col("n_gt"), col("n_lt"),
+        (col("n_a") * col("n_b") - col("n_gt") - col("n_lt")).as("n_tie"),
+        expr("CAST(CASE WHEN n_gt >= n_lt THEN " +
+          "(CAST(n_gt - n_lt AS DECIMAL(38,0)) * 1000000) div " +
+          "nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0) " +
+          "ELSE -((CAST(n_lt - n_gt AS DECIMAL(38,0)) * 1000000) div " +
+          "nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0)) END AS BIGINT)")
+          .as("delta_ppm"))
+  }
+
   /** DAY-OVER-DAY CHANGE in basis points (round 16) — the growth-rate
     * face of the daily revenue series beside [[drawdownSeries]]'
     * regression-from-peak: per calendar day, yesterday's exact cents

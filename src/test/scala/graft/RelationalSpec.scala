@@ -2699,6 +2699,31 @@ class RelationalSpec extends SparkSpec {
       "2024-03-05" -> ((5L, 2L, 1L))), out.mkString(", "))
   }
 
+  test("kruskalWallis: hand 2-group fixture with a cross-group tie — " +
+    "doubled ranks, exact components, fixed H tree") {
+    // A = [1, 2], B = [2, 3]: ranks 1, 2.5, 2.5, 4 → R_A = 3.5 (7
+    // doubled), R_B = 6.5 (13 doubled); H = 0.6·(49/8 + 169/8) − 15
+    val li = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0))
+      .toDF("l_returnflag", "l_quantity")
+    val out = Relational.kruskalWallis(li).collect()
+    assert(out.length == 2)
+    val byG = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(byG("A")._1 == 2L && byG("A")._2 == 7L)
+    assert(byG("B")._1 == 2L && byG("B")._2 == 13L)
+    assert(byG("A")._3 == 6L, "tie census m=2 -> m^3 - m = 6")
+    assert(math.abs(byG("A")._4 - 1.35) < 1e-12, s"H = ${byG("A")._4}")
+  }
+
+  test("cliffsDelta: hand cross pairs — census from cumulative " +
+    "counts, sign-split ppm") {
+    val ev = Seq(("click", 1.0), ("click", 2.0),
+      ("purchase", 1.0), ("purchase", 3.0)).toDF("event_type", "value")
+    val r = Relational.cliffsDelta(ev).collect().head
+    // pairs: (1,1) tie, (1,3) lt, (2,1) gt, (2,3) lt
+    assert(r.toSeq == Seq(2L, 2L, 1L, 2L, 1L, -250000L), r.toSeq.toString)
+  }
+
   test("userActivityGini: hand counts (1,1,2) — exact doubled-rank " +
     "numerator, uniform activity reads 0") {
     val ev = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 30L))
