@@ -314,6 +314,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         edges0 = Some(coOrderEdgesShared(s, d)),
         tri0 = Some(trianglesShared(s, d)))),
 
+    // Harmonic centrality at horizon (round 16): Σ lcm/d off the same
+    // seed BFS as closeness/ecc — exact, disconnection-proof (see
+    // harmonicFromSeeds' scaladoc).
+    "graph_harmonic_seeds" -> ((s, d) =>
+      Graph.harmonicFromSeeds(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
+    // Katz centrality β=1/2 horizon 4 (round 16): bit-shift geometric
+    // decay over exact walk counts (see katzWalks' scaladoc).
+    "graph_katz" -> ((s, d) =>
+      Graph.katzWalks(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)))),
+
     // A/B Welch's t (round 11): deterministic parity arms, exact integer
     // moment sums in one conditional-aggregation pass, identical IEEE
     // operation tree for the statistic.
@@ -857,6 +870,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // division over the gap-filled grid (see dodChangeBps' scaladoc).
     "window_pct_change" -> ((s, d) =>
       Relational.dodChangeBps(Tables.orders(s, d))),
+
+    // Hodges–Lehmann estimator (round 16): median Walsh sum over the
+    // lag-7 diffs — the robust shift size beside the Wilcoxon/sign
+    // significance (see hodgesLehmann's scaladoc).
+    "stats_hodges_lehmann" -> ((s, d) =>
+      Relational.hodgesLehmann(Tables.orders(s, d))),
 
     // Kruskal–Wallis H (round 16): k-group rank ANOVA on the quantity
     // grid, sorted-fold H (see kruskalWallis' scaladoc).
@@ -2137,6 +2156,45 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(MAX(depth) AS BIGINT) AS ecc, " +
         "MAX(depth) = 4 AS at_horizon " +
         "FROM md GROUP BY seed ORDER BY seed"),
+
+    // harmonic replay: the ecc recursion with Σ 12//d per seed
+    "graph_harmonic_seeds" ->
+      ("WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "wt AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS w FROM it a " +
+        "JOIN it b ON a.o = b.o AND a.p != b.p GROUP BY 1, 2), " +
+        "und AS (SELECT a, b FROM wt WHERE w >= 2), " +
+        "reach(seed, node, depth) AS (" +
+        "SELECT p, p, CAST(0 AS BIGINT) FROM (SELECT DISTINCT p FROM it) " +
+        "WHERE substring(md5(CAST(p AS VARCHAR)), 1, 2) = '00' " +
+        "UNION " +
+        "SELECT r.seed, e.b, r.depth + 1 FROM reach r JOIN und e ON e.a = r.node " +
+        "WHERE r.depth < 4), " +
+        "md AS (SELECT seed, node, MIN(depth) AS depth FROM reach GROUP BY 1, 2) " +
+        "SELECT seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached, " +
+        "CAST(COALESCE(SUM(CASE WHEN depth > 0 THEN 12 // depth ELSE 0 END), 0) AS BIGINT) " +
+        "AS harmonic_x12 " +
+        "FROM md GROUP BY seed ORDER BY seed"),
+
+    // Katz replay: 4 unrolled sparse matvecs over the strong-tie
+    // subgraph, bit-shift decay weights, top-30
+    "graph_katz" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "wt AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS w FROM it a " +
+        "JOIN it b ON a.o = b.o AND a.p != b.p GROUP BY 1, 2), " +
+        "und AS (SELECT a, b FROM wt WHERE w >= 2), " +
+        "c1 AS (SELECT b AS node, CAST(COUNT(*) AS BIGINT) AS cnt FROM und GROUP BY 1), " +
+        "c2 AS (SELECT e.b AS node, CAST(SUM(c1.cnt) AS BIGINT) AS cnt " +
+        "FROM und e JOIN c1 ON e.a = c1.node GROUP BY 1), " +
+        "c3 AS (SELECT e.b AS node, CAST(SUM(c2.cnt) AS BIGINT) AS cnt " +
+        "FROM und e JOIN c2 ON e.a = c2.node GROUP BY 1), " +
+        "c4 AS (SELECT e.b AS node, CAST(SUM(c3.cnt) AS BIGINT) AS cnt " +
+        "FROM und e JOIN c3 ON e.a = c3.node GROUP BY 1), " +
+        "sc AS (SELECT node, CAST(SUM(s) AS BIGINT) AS katz_x16 FROM (" +
+        "SELECT node, cnt * 8 AS s FROM c1 " +
+        "UNION ALL SELECT node, cnt * 4 FROM c2 " +
+        "UNION ALL SELECT node, cnt * 2 FROM c3 " +
+        "UNION ALL SELECT node, cnt FROM c4) GROUP BY 1) " +
+        "SELECT node, katz_x16 FROM sc ORDER BY katz_x16 DESC, node LIMIT 30"),
 
     // rich-club replay: octave thresholds off bit lengths, exact φ ppm
     "graph_rich_club" ->
@@ -3871,6 +3929,29 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT n_pairs, n_pos + n_neg AS n_nonzero, n_pos, n_neg, " +
         "CAST(((n_pos - n_neg) * (n_pos - n_neg) * 1000) // " +
         "nullif(n_pos + n_neg, 0) AS BIGINT) AS z2_milli FROM agg"),
+
+    // Hodges–Lehmann replay: same lag-7 diffs (zeros kept), Walsh
+    // self-join i<=j, k-th order statistic via cumulative counts
+    "stats_hodges_lehmann" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day, CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)), " +
+        "df AS (SELECT day, x - LAG(x, 7) OVER (ORDER BY day) AS dd FROM series), " +
+        "ix AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, dd AS d " +
+        "FROM df WHERE dd IS NOT NULL), " +
+        "walsh AS (SELECT wa.d + wb.d AS w FROM ix wa JOIN ix wb ON wa.i <= wb.i), " +
+        "cum AS (SELECT w, SUM(CAST(m AS BIGINT)) OVER (ORDER BY w) AS cum FROM " +
+        "(SELECT w, COUNT(*) AS m FROM walsh GROUP BY 1)), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_walsh FROM walsh), " +
+        "sel AS (SELECT MIN(CASE WHEN cum >= (n_walsh + 1) // 2 THEN w END) AS w1, " +
+        "MIN(CASE WHEN cum >= n_walsh // 2 + 1 THEN w END) AS w2 FROM cum, tot), " +
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_diffs FROM ix) " +
+        "SELECT nd.n_diffs, tot.n_walsh, CAST(sel.w1 + sel.w2 AS BIGINT) AS hl_x4 " +
+        "FROM nd, tot, sel"),
 
     // Mann–Kendall replay: same gap-filled grid, indexed self-join
     // pair census, tie-corrected var18, identical z² integer text

@@ -786,6 +786,75 @@ object Graph {
         (col("ecc") === rounds.toLong).as("at_horizon"))
       .orderBy(col("seed"))
 
+  /** HARMONIC CENTRALITY AT HORIZON from md5 seeds (round 16) — the
+    * third readout off the shared seed BFS ([[closenessFromSeeds]]
+    * sums depths, [[eccentricityFromSeeds]] maxes them, harmonic sums
+    * RECIPROCALS): H(s) = Σ 1/d(s, v), the centrality that handles
+    * disconnected graphs gracefully (an unreachable node contributes
+    * 0, not an undefined term — the reason Boldi–Vigna recommend it
+    * over closeness on web-scale graphs). EXACT because the horizon
+    * caps depths at `rounds` = 4 and lcm(1..4) = 12: harmonic_x12 =
+    * Σ 12 div d is an integer sum with zero truncation. Same BFS
+    * state and cost as its two siblings — one extra ≤|seeds|
+    * aggregation.
+    *
+    * Output: (seed, n_reached, harmonic_x12), ordered by seed;
+    * an isolated seed reads (0, 0). */
+  def harmonicFromSeeds(lineitem: DataFrame, rounds: Int = 4,
+                        minWeight: Long = 2L,
+                        edges0: Option[DataFrame] = None): DataFrame = {
+    require(rounds == 4, "harmonic_x12 scaling is pinned to lcm(1..4)")
+    seedBfsVisited(lineitem, rounds, minWeight, edges0)
+      .groupBy(col("seed"))
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        coalesce(sum(when(col("depth") > 0L,
+          expr("12 div depth")).otherwise(0L)), lit(0L))
+          .as("harmonic_x12"))
+      .orderBy(col("seed"))
+  }
+
+  /** KATZ CENTRALITY, β = 1/2, horizon 4 (round 16) — the walk-count
+    * centrality between [[degreeDistribution]]'s local readout and
+    * [[pageRank]]'s stationary one: score(v) = Σ_k β^k·walks_k(v),
+    * counting ALL walks (not paths — revisits included, the standard
+    * Katz definition) of length ≤ 4 ending at v on the strong-tie
+    * subgraph. ENGINE-EXACT by construction: β = 1/2 with the horizon
+    * at 4 makes 16·score = 8·w₁ + 4·w₂ + 2·w₃ + w₄ a pure BIGINT —
+    * no damping-factor floats anywhere (the geometric decay is a
+    * bit-shift). Each iteration is one sparse matvec (edge join +
+    * sum), the [[pageRank]] shape; walk counts grow as d̄^k, so the
+    * horizon doubles as the overflow guard (documented headroom:
+    * d̄ ≤ 10⁴ keeps w₄·8 under int64).
+    *
+    * Output: top `k` (node, katz_x16), ordered (katz DESC, node). */
+  def katzWalks(lineitem: DataFrame, rounds: Int = 4, k: Int = 30,
+                minWeight: Long = 2L,
+                edges0: Option[DataFrame] = None): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"bad rounds=$rounds")
+    val e0 = edges0.getOrElse(coOrderEdges(lineitem))
+      .filter(col("w") >= minWeight).select(col("a"), col("b"))
+    val und = e0.unionByName(
+      e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var c = und.select(col("a").as("node")).distinct()
+      .withColumn("cnt", lit(1L))
+    var score: DataFrame = null
+    for (step <- 1 to rounds) {
+      val next = und
+        .join(c.select(col("node").as("a"), col("cnt").as("pc")), Seq("a"))
+        .groupBy(col("b")).agg(sum(col("pc")).as("cnt"))
+        .select(col("b").as("node"), col("cnt")).localCheckpoint()
+      c = next
+      val contrib = next.select(col("node"),
+        (col("cnt") * (1L << (rounds - step))).as("s"))
+      score = if (score == null) contrib else score.unionByName(contrib)
+    }
+    score.groupBy(col("node"))
+      .agg(sum(col("s")).as("katz_x16"))
+      .orderBy(col("katz_x16").desc, col("node"))
+      .limit(k)
+  }
+
   /** RESOURCE-ALLOCATION link scores (round 16) — the EXACT-rational
     * sibling of [[adamicAdar]]: each common neighbor z of edge (a, b)
     * contributes 1/deg(z) (Zhou–Lü–Zhang), which unlike AA's 1/log

@@ -3253,6 +3253,48 @@ object Relational {
           "nullif(var18, 0L) END AS BIGINT)").as("z2_milli"))
   }
 
+  /** HODGES–LEHMANN ESTIMATOR (round 16) — the robust LOCATION
+    * companion of [[wilcoxonSignedRank]]'s significance: the median
+    * of all Walsh sums (d_i + d_j, i ≤ j) over the same lag-7 daily
+    * revenue differences. Where the sign/Wilcoxon tests say "shifted",
+    * HL says BY HOW MUCH with a 29% breakdown point. Zeros stay (HL
+    * is an estimator, not a test — dropping them would bias the
+    * location). ENGINE-EXACT: the Walsh space is calendar-bounded
+    * (grid²/2 — the [[mannKendall]] bound), the median comes from
+    * k-th-order-statistic selection on the value-grouped Walsh grid
+    * (cumulative counts, no row-level sort), and the even/odd split
+    * stays integer via the ×4 convention: each Walsh sum is already
+    * 2·(Walsh average), and hl_x4 = w_(⌈W/2⌉) + w_(⌊W/2⌋+1) doubles
+    * again so the even-count midpoint needs no halving.
+    *
+    * Output: one row (n_diffs, n_walsh, hl_x4). */
+  def hodgesLehmann(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.orderBy(col("day"))
+    val diffs = dailyRevenueSeries(orders)
+      .withColumn("prev", lag(col("x"), 7).over(wd))
+      .filter(col("prev").isNotNull)
+      .select(row_number().over(wd).cast("long").as("i"),
+        (col("x") - col("prev")).as("d"))
+    val a = diffs.select(col("i").as("ia"), col("d").as("da"))
+    val b = diffs.select(col("i").as("ib"), col("d").as("db"))
+    val walsh = a.join(broadcast(b), col("ia") <= col("ib"))
+      .select((col("da") + col("db")).as("w"))
+    val cum = walsh.groupBy(col("w")).agg(count(lit(1)).as("m"))
+      .withColumn("cum", sum(col("m")).over(Window.orderBy(col("w"))))
+    val tot = walsh.agg(count(lit(1)).as("n_walsh"))
+    val sel = cum.crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") >= expr("(n_walsh + 1) div 2"), col("w")))
+          .as("w1"),
+        min(when(col("cum") >= expr("n_walsh div 2 + 1"), col("w")))
+          .as("w2"))
+    diffs.agg(count(lit(1)).as("n_diffs"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(sel))
+      .select(col("n_diffs"), col("n_walsh"),
+        (col("w1") + col("w2")).as("hl_x4"))
+  }
+
   /** KRUSKAL–WALLIS H (round 16) — the k-group one-way rank ANOVA
     * completing [[mannWhitneyU]]'s family upward (MW is its k = 2
     * case): do the return-flag populations carry systematically

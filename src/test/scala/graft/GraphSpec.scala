@@ -347,6 +347,34 @@ class GraphSpec extends SparkSpec {
     assert(rw.toSeq == Seq(168L, 0L, 0L, false), rw)
   }
 
+  test("harmonicFromSeeds: 5-node chain — Σ 12/d exact at every " +
+    "depth, isolated seed reads zero") {
+    val long = li(
+      1L -> Seq(168L, 1L), 2L -> Seq(168L, 1L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L, 2L),
+      5L -> Seq(2L, 3L), 6L -> Seq(2L, 3L),
+      7L -> Seq(3L, 4L), 8L -> Seq(3L, 4L))
+    val r = Graph.harmonicFromSeeds(long).collect().head
+    // depths 1..4 → 12 + 6 + 4 + 3 = 25
+    assert(r.toSeq == Seq(168L, 4L, 25L), r)
+    val weak = li(1L -> Seq(168L, 1L), 2L -> Seq(1L, 2L))
+    val rw = Graph.harmonicFromSeeds(weak).collect().head
+    assert(rw.toSeq == Seq(168L, 0L, 0L), rw)
+  }
+
+  test("katzWalks: strong path 168—1—2 — exact walk counts with " +
+    "revisits, bit-shift decay, (score, node) tie-break") {
+    val chain = li(
+      1L -> Seq(168L, 1L), 2L -> Seq(168L, 1L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L, 2L))
+    val out = Graph.katzWalks(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // w-vectors: w1=(1,2,1), w2=(2,2,2), w3=(2,4,2), w4=(4,4,4) for
+    // (168, 1, 2) → 16·katz = (24, 36, 24); ties order by node
+    assert(out.toSeq == Seq((1L, 36L), (2L, 24L), (168L, 24L)),
+      out.mkString(", "))
+  }
+
   test("resourceAllocation: each common neighbor contributes exactly " +
     "1e6 div deg — no bit-length staircase, K4 vs K3-pendant split") {
     // K4: every edge has 2 common neighbors of degree 3 →

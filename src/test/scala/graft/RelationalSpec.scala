@@ -2699,6 +2699,21 @@ class RelationalSpec extends SparkSpec {
       "2024-03-05" -> ((5L, 2L, 1L))), out.mkString(", "))
   }
 
+  test("hodgesLehmann: hand 14-day series — Walsh census over i<=j, " +
+    "even-count median via the x4 convention, zeros kept") {
+    // week 1 flat 100; week 2: +50,+50,+50,−50,−50,+100,+100
+    val vals = Seq.fill(7)(100.0) ++
+      Seq(150.0, 150.0, 150.0, 50.0, 50.0, 200.0, 200.0)
+    val orders = vals.zipWithIndex.map { case (v, i) =>
+      (java.time.LocalDate.of(2024, 3, 4).plusDays(i).toString, v) }
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val r = Relational.hodgesLehmann(orders).collect().head
+    // 7 diffs → 28 Walsh sums; cum hits 14 and 15 at value 10000
+    // (cents) → hl_x4 = 20000 = 4·HL, HL = 50.00
+    assert(r.toSeq == Seq(7L, 28L, 20000L), r.toSeq.toString)
+  }
+
   test("kruskalWallis: hand 2-group fixture with a cross-group tie — " +
     "doubled ranks, exact components, fixed H tree") {
     // A = [1, 2], B = [2, 3]: ranks 1, 2.5, 2.5, 4 → R_A = 3.5 (7
