@@ -375,6 +375,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "embed_top_eigvec" -> ((s, d) =>
       Similarity.topEigvec(Tables.embeddings(s, d))),
 
+    // Isotropy profile (round 16): λ₁/trace spectral-collapse share —
+    // exact trace, one IEEE division past the eigvec Rayleigh (see
+    // isotropyProfile's scaladoc).
+    "embed_isotropy" -> ((s, d) =>
+      Similarity.isotropyProfile(Tables.embeddings(s, d))),
+
     // JL random projection audit (round 11): 16 deterministic integer
     // hyperplanes, per-vector norm-preservation ratio.
     "embed_random_projection" -> ((s, d) =>
@@ -1885,6 +1891,35 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT CAST(x2.j AS BIGINT) AS comp, x2.x AS x_val, " +
         "num.num / CAST(den.den AS DOUBLE) AS rayleigh " +
         "FROM x2, num, den ORDER BY comp"),
+
+    // isotropy replay: the eigvec CTEs + exact Σ‖v‖² trace, one
+    // further IEEE division for the λ₁ share
+    "embed_isotropy" ->
+      (s"WITH $sqlQuantCte, " +
+        "nf AS (SELECT vec_id, v FROM n WHERE len(v) = 64), " +
+        "tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+        "CAST(COALESCE(SUM(list_sum(list_transform(v, x -> x*x))), 0) AS BIGINT) AS trace FROM nf), " +
+        "g AS (SELECT ii.i AS i, jj.j AS j, " +
+        "CAST(SUM(v[ii.i + 1] * v[jj.j + 1]) AS BIGINT) AS gij " +
+        "FROM nf, range(0, 64) ii(i), range(0, 64) jj(j) GROUP BY 1, 2), " +
+        "x0 AS (SELECT unnest(range(0, 64)) AS j, CAST(1 AS BIGINT) AS x), " +
+        "y1 AS (SELECT g.i, CAST(SUM(g.gij * x0.x) AS BIGINT) AS y " +
+        "FROM g JOIN x0 ON g.j = x0.j GROUP BY 1), " +
+        "m1 AS (SELECT MAX(ABS(y)) AS m FROM y1), " +
+        "x1 AS (SELECT y1.i AS j, CAST((CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END) * " +
+        "((ABS(y) * 256) // GREATEST(m, 1)) AS BIGINT) AS x FROM y1, m1), " +
+        "y2 AS (SELECT g.i, CAST(SUM(g.gij * x1.x) AS BIGINT) AS y " +
+        "FROM g JOIN x1 ON g.j = x1.j GROUP BY 1), " +
+        "m2 AS (SELECT MAX(ABS(y)) AS m FROM y2), " +
+        "x2 AS (SELECT y2.i AS j, CAST((CASE WHEN y < 0 THEN -1 WHEN y > 0 THEN 1 ELSE 0 END) * " +
+        "((ABS(y) * 256) // GREATEST(m, 1)) AS BIGINT) AS x FROM y2, m2), " +
+        "num AS (SELECT CAST(SUM(CAST(g.gij AS HUGEINT) * xi.x * xj.x) AS DOUBLE) AS num " +
+        "FROM g JOIN x2 xi ON g.i = xi.j JOIN x2 xj ON g.j = xj.j), " +
+        "den AS (SELECT CAST(SUM(x * x) AS BIGINT) AS den FROM x2) " +
+        "SELECT tr.n_vecs, tr.trace, " +
+        "num.num / CAST(den.den AS DOUBLE) AS rayleigh, " +
+        "(num.num / CAST(den.den AS DOUBLE)) / CAST(tr.trace AS DOUBLE) AS top_share " +
+        "FROM tr, num, den"),
 
     // exact-integer norm bins, priceHistogram replay shape
     // per-dim replay: 1-indexed list subscripts over the shared

@@ -587,6 +587,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.imageOtsuBinarize(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Run-length digest of the binarized mask (round 16): scanline
+    // run census — n_runs, max_run, Σ len² (see imageOtsuRle's
+    // scaladoc).
+    "multimodal_rle" -> ((s, d) =>
+      Multimodal.imageOtsuRle(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Histogram equalization (round 14): per-image CDF remap with the
     // classic integer formula, real-decoded pixels, position-weighted
     // digests (see imageHistEq's scaladoc).
@@ -1792,6 +1799,46 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(COALESCE(SUM(CASE WHEN pt.g > b.t THEN pt.i ELSE 0 END), 0) AS BIGINT) AS fg_posw " +
         "FROM best b JOIN pt ON pt.doc_id = b.doc_id " +
         "WHERE b.rn = 1 GROUP BY 1, 2, 3 ORDER BY b.doc_id"),
+
+    // RLE replay: the otsu CTEs pick t, then gaps-and-islands runs
+    // per scanline (grp = x − row_number over fg pixels of the row)
+    "multimodal_rle" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, w * h AS n, unnest(range(0, w * h)) AS i FROM dims), " +
+        "pt AS (SELECT doc_id, w, n, i, i % w AS x, i // w AS y, " +
+        "(doc_id*31 + i*7) % 256 AS g FROM px), " +
+        "hc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM pt GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, CAST(SUM(g * c) AS BIGINT) AS s FROM hc GROUP BY 1), " +
+        "cum AS (SELECT doc_id, n, g, " +
+        "CAST(SUM(c) OVER (PARTITION BY doc_id ORDER BY g) AS BIGINT) AS w0, " +
+        "CAST(SUM(g * c) OVER (PARTITION BY doc_id ORDER BY g) AS BIGINT) AS s0 " +
+        "FROM hc), " +
+        "sc AS (SELECT c.doc_id, c.n, c.g AS t, " +
+        "((c.s0 * c.n - c.w0 * tot.s) * (c.s0 * c.n - c.w0 * tot.s) * 1024) " +
+        "// (c.w0 * (c.n - c.w0)) AS score " +
+        "FROM cum c JOIN tot USING (doc_id) " +
+        "WHERE c.g < 255 AND c.w0 > 0 AND c.w0 < c.n), " +
+        "best AS (SELECT doc_id, n, t, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rn " +
+        "FROM sc), " +
+        "fg AS (SELECT pt.doc_id, pt.y, pt.x, " +
+        "ROW_NUMBER() OVER (PARTITION BY pt.doc_id, pt.y ORDER BY pt.x) AS rn " +
+        "FROM pt JOIN best b ON pt.doc_id = b.doc_id " +
+        "WHERE b.rn = 1 AND pt.g > b.t), " +
+        "runs AS (SELECT doc_id, y, x - rn AS grp, CAST(COUNT(*) AS BIGINT) AS len " +
+        "FROM fg GROUP BY 1, 2, 3), " +
+        "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs, " +
+        "CAST(MAX(len) AS BIGINT) AS max_run, " +
+        "CAST(SUM(len * len) AS BIGINT) AS run_sq_sum FROM runs GROUP BY 1) " +
+        "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_pixels, " +
+        "CAST(b.t AS BIGINT) AS otsu_t, " +
+        "CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs, " +
+        "CAST(COALESCE(a.max_run, 0) AS BIGINT) AS max_run, " +
+        "CAST(COALESCE(a.run_sq_sum, 0) AS BIGINT) AS run_sq_sum " +
+        "FROM best b LEFT JOIN agg a USING (doc_id) " +
+        "WHERE b.rn = 1 ORDER BY b.doc_id"),
 
     // patchify replay: analytic pixels grouped by even-cropped 2×2
     // patch coordinates, integer means, patch-index digests

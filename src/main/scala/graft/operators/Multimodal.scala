@@ -487,6 +487,86 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** BINARY-MASK RUN-LENGTH DIGEST (round 16) — the compression-side
+    * consumer of [[imageOtsuBinarize]]'s mask: per image, the
+    * horizontal run-length census of the foreground (count of maximal
+    * same-row runs, the longest run, and Σ len² — the quadratic term
+    * that separates "speckle noise" from "solid strokes" at equal
+    * foreground count, and the exact size driver of an RLE/CCITT-
+    * style mask encoding). Runs never cross row boundaries (the
+    * scanline convention every RLE codec uses). Same per-partition
+    * real-decode harness; one extra O(pixels) scan per image, digests
+    * are plain BIGINTs.
+    *
+    * Output: (doc_id, n_pixels, otsu_t, n_runs, max_run, run_sq_sum),
+    * ordered. */
+  def imageOtsuRle(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pixels", LongType),
+      StructField("otsu_t", LongType), StructField("n_runs", LongType),
+      StructField("max_run", LongType), StructField("run_sq_sum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val n = w.toLong * h
+          val hist = new Array[Long](256)
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = (img.getRGB(x, y) >> 16) & 0xff
+              gray(y * w + x) = g; hist(g) += 1; x += 1
+            }
+            y += 1
+          }
+          var s = 0L; var g = 0
+          while (g < 256) { s += g.toLong * hist(g); g += 1 }
+          // the imageOtsu argmax verbatim (exact BigInt score)
+          var w0 = 0L; var s0 = 0L
+          var bestT = 0L; var bestScore = BigInt(-1)
+          var t = 0
+          while (t < 255) {
+            w0 += hist(t); s0 += t.toLong * hist(t)
+            if (w0 > 0L && w0 < n) {
+              val d = BigInt(s0) * n - BigInt(w0) * s
+              val score = d * d * 1024 / (BigInt(w0) * (n - w0))
+              if (score > bestScore) { bestScore = score; bestT = t.toLong }
+            }
+            t += 1
+          }
+          var nRuns = 0L; var maxRun = 0L; var sqSum = 0L
+          y = 0
+          while (y < h) {
+            var cur = 0L
+            var x = 0
+            while (x < w) {
+              if (gray(y * w + x) > bestT) cur += 1
+              else if (cur > 0L) {
+                nRuns += 1; if (cur > maxRun) maxRun = cur
+                sqSum += cur * cur; cur = 0L
+              }
+              x += 1
+            }
+            if (cur > 0L) {
+              nRuns += 1; if (cur > maxRun) maxRun = cur
+              sqSum += cur * cur
+            }
+            y += 1
+          }
+          Row(r.getAs[Long]("doc_id"), n, bestT, nRuns, maxRun, sqSum)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** DATASET NORMALIZATION CONSTANTS (round 13) — the per-corpus-shard
     * mean/std every vision training pipeline computes BEFORE training
     * (the `transforms.Normalize(mean, std)` numbers), grouped by

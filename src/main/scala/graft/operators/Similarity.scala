@@ -1277,6 +1277,32 @@ object Similarity {
       .orderBy(col("comp"))
   }
 
+  /** EMBEDDING ISOTROPY PROFILE (round 16) — the one-number spectral-
+    * collapse readout on top of [[topEigvec]]: top_share = λ₁ / tr(G),
+    * the fraction of total variance the first principal direction
+    * carries (isotropic embeddings → 1/dim ≈ 0.016 at dim 64; a
+    * collapsed space → 1 — the anisotropy monitor run before cosine
+    * similarity is trusted, cf. Mu & Viswanath's all-but-the-top).
+    * The TRACE is exact BIGINT for free — tr(G) = Σ‖v‖², the `nrm`
+    * column [[prepared]] already carries, one narrow corpus pass with
+    * no Gram join; λ₁ is [[topEigvec]]'s Rayleigh quotient (fixed
+    * IEEE tree over exact integers), and top_share is ONE further
+    * IEEE division.
+    *
+    * Output: one row (n_vecs, trace, rayleigh, top_share). */
+  def isotropyProfile(emb: DataFrame, dim: Int = 64, iters: Int = 2,
+                      rescale: Long = 256L): DataFrame = {
+    val tr = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(col("nrm")), lit(0L)).as("trace"))
+    val rq = topEigvec(emb, dim, iters, rescale)
+      .agg(min(col("rayleigh")).as("rayleigh"))
+    tr.crossJoin(broadcast(rq))
+      .select(col("n_vecs"), col("trace"), col("rayleigh"),
+        (col("rayleigh") / col("trace").cast("double")).as("top_share"))
+  }
+
   private val DecimalType38 =
     org.apache.spark.sql.types.DecimalType(38, 0)
 

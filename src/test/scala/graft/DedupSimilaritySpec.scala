@@ -1377,6 +1377,31 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.topEigvec(emb.repartition(7)).collect().toSeq)
   }
 
+  test("isotropyProfile: hand Gram — exact trace, top_share is the " +
+    "Rayleigh over the trace; collapsed fixture reads near 1") {
+    import spark.implicits._
+    // same G = [[5,0],[0,1]] fixture as topEigvec: trace = 6,
+    // rayleigh = 327780/65636 ≈ 4.994 → top_share ≈ 0.832
+    val fix = Seq((1L, Array(0.002f, 0.0f), 0),
+      (2L, Array(0.001f, 0.0f), 0), (3L, Array(0.0f, 0.001f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.isotropyProfile(fix, dim = 2).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L, r.toSeq.toString)
+    assert(r.getDouble(3) == (327780.0 / 65636.0) / 6.0,
+      s"top_share ${r.getDouble(3)}")
+    // a rank-1 (fully collapsed) cloud concentrates all variance on
+    // the top direction: top_share → 1
+    val collapsed = Seq((1L, Array(0.001f, 0.001f), 0),
+      (2L, Array(0.002f, 0.002f), 0), (3L, Array(0.003f, 0.003f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rc = Similarity.isotropyProfile(collapsed, dim = 2).collect().head
+    assert(rc.getDouble(3) > 0.99, s"collapsed share ${rc.getDouble(3)}")
+    // the real corpus sits strictly between isotropic and collapsed
+    val re = Similarity.isotropyProfile(emb).collect().head
+    assert(re.getDouble(3) > 1.0 / 64.0 && re.getDouble(3) <= 1.0,
+      s"corpus share ${re.getDouble(3)}")
+  }
+
   test("normHistogram: extremes land in the first and last bucket, " +
     "bins tile the corpus, repartition-invariant") {
     import spark.implicits._

@@ -1035,6 +1035,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageOtsuRle: scanline run census matches the analytic replay " +
+    "run-for-run — runs never cross row boundaries") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(n => (n, "o" * n.toInt, n))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Multimodal
+      .imageOtsuRle(spark, Multimodal.ingestBmp(docs)).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val w = (docId % 13 + 4).toInt; val h = (docId % 7 + 4).toInt
+      val n = w.toLong * h
+      val gray = (0 until (w * h)).map(i => ((docId * 31 + i * 7) % 256).toInt)
+      val hist = new Array[Long](256)
+      gray.foreach(hist(_) += 1)
+      val s = (0 until 256).map(g => g.toLong * hist(g)).sum
+      var w0 = 0L; var s0 = 0L; var bestT = 0L; var bestScore = BigInt(-1)
+      for (t <- 0 until 255) {
+        w0 += hist(t); s0 += t.toLong * hist(t)
+        if (w0 > 0 && w0 < n) {
+          val d = BigInt(s0) * n - BigInt(w0) * s
+          val score = d * d * 1024 / (BigInt(w0) * (n - w0))
+          if (score > bestScore) { bestScore = score; bestT = t.toLong }
+        }
+      }
+      val runs = (0 until h).flatMap { y =>
+        val row = (0 until w).map(x => gray(y * w + x) > bestT)
+        // split the scanline into maximal foreground runs
+        row.foldLeft(List.empty[Long]) {
+          case (acc, true) if acc.nonEmpty && acc.head > 0 =>
+            (acc.head + 1) :: acc.tail
+          case (acc, true) => 1L :: acc
+          case (acc, false) if acc.nonEmpty && acc.head > 0 => 0L :: acc
+          case (acc, false) => acc
+        }.filter(_ > 0)
+      }
+      assert(r.getAs[Long]("otsu_t") == bestT && r.getAs[Long]("n_pixels") == n)
+      assert(r.getAs[Long]("n_runs") == runs.length.toLong, s"doc=$docId")
+      assert(r.getAs[Long]("max_run") ==
+        (if (runs.isEmpty) 0L else runs.max), s"doc=$docId")
+      assert(r.getAs[Long]("run_sq_sum") == runs.map(l => l * l).sum,
+        s"doc=$docId")
+    }
+  }
+
   test("imageOtsuBinarize: foreground census and position digest match " +
     "the analytic pixel replay pixel-for-pixel") {
     import spark.implicits._
