@@ -833,6 +833,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // Null/blank/zero census (round 15): the three missing-value
     // flavors per audited column in one aggregation pass (see
     // nullCensus' scaladoc).
+    // Value-domain range audit (round 16): observed min/max + counts
+    // outside the documented domain per measure (see valueRangeAudit's
+    // scaladoc).
+    "quality_value_ranges" -> ((s, d) =>
+      Relational.valueRangeAudit(Tables.lineitem(s, d))),
+
     "quality_null_census" -> ((s, d) =>
       Relational.nullCensus(Tables.events(s, d))),
 
@@ -3882,6 +3888,28 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
 
     // null census replay: the same conditional sums, unpivoted via a
     // UNION-driven constant table
+    // range-audit replay: one aggregation + the three-column stack
+    "quality_value_ranges" ->
+      ("WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_min, " +
+        "CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_max, " +
+        "CAST(COALESCE(SUM(CASE WHEN CAST(l_quantity AS BIGINT) < 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q_lo, " +
+        "CAST(COALESCE(SUM(CASE WHEN CAST(l_quantity AS BIGINT) > 50 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q_hi, " +
+        "CAST(MIN(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS d_min, " +
+        "CAST(MAX(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS d_max, " +
+        "CAST(COALESCE(SUM(CASE WHEN CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d_lo, " +
+        "CAST(COALESCE(SUM(CASE WHEN CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) > 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS d_hi, " +
+        "CAST(MIN(CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS t_min, " +
+        "CAST(MAX(CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS t_max, " +
+        "CAST(COALESCE(SUM(CASE WHEN CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_lo, " +
+        "CAST(COALESCE(SUM(CASE WHEN CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) > 8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_hi " +
+        "FROM lineitem), " +
+        "u AS (SELECT 'l_discount_hund' AS \"column\", n, d_min AS min_val, d_max AS max_val, d_lo AS n_below, d_hi AS n_above FROM a " +
+        "UNION ALL SELECT 'l_quantity', n, q_min, q_max, q_lo, q_hi FROM a " +
+        "UNION ALL SELECT 'l_tax_hund', n, t_min, t_max, t_lo, t_hi FROM a) " +
+        "SELECT \"column\", n AS n_rows, min_val, max_val, n_below, n_above " +
+        "FROM u ORDER BY \"column\""),
+
     "quality_null_census" ->
       ("WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
         "CAST(COALESCE(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS et_null, " +

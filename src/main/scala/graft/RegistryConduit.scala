@@ -180,6 +180,12 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     "source_jsonl_quarantine" -> ((s, d) =>
       graft.sources.TextSources.jsonlQuarantineRoundTrip(s, Tables.events(s, d))),
 
+    // Null-sentinel CSV round trip (round 16): the NA token honored on
+    // both ends, real null lane carved by an oracle-expressible rule
+    // (see csvNullLiteralRoundTrip's scaladoc).
+    "source_csv_null_literals" -> ((s, d) =>
+      graft.sources.TextSources.csvNullLiteralRoundTrip(s, Tables.events(s, d))),
+
     // Nested-JSON source (round 13): two-level envelope, explicit
     // nested schema, dotted-path flatten — structure, not just parsing
     // (see jsonNestedRoundTrip's scaladoc).
@@ -512,6 +518,15 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
         "MIN(event_id) AS first_id, MAX(event_id) AS last_id FROM events GROUP BY 1 " +
         "UNION ALL SELECT '__quarantined__', 3, CAST(NULL AS DOUBLE), " +
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)) ORDER BY event_type"),
+
+    // null-literal replay: the NA lane recomputed from parquet — a
+    // sentinel dropped on either end shifts n_na and cents_sum
+    "source_csv_null_literals" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_na, " +
+        "CAST(SUM(CASE WHEN user_id % 7 = 0 THEN 0 ELSE " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS BIGINT) AS cents_sum " +
+        "FROM events GROUP BY 1 ORDER BY event_type"),
 
     "source_jsonl_quarantine" ->
       (s"SELECT event_type, n_rows, value_sum, first_id, last_id FROM (" +

@@ -456,6 +456,12 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "text_zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d))),
 
+    // Token burstiness (round 16): Fano factor of per-doc counts over
+    // the frequency head — content/function-word and template-flood
+    // separator (see burstiness' scaladoc).
+    "text_burstiness" -> ((s, d) =>
+      TextAnalysis.burstiness(Tables.documents(s, d))),
+
     // Collocation mining (round 14): exact-rational lift over adjacent
     // bigrams, support-floored, global top-k via TakeOrdered (see
     // collocations' scaladoc).
@@ -1228,6 +1234,23 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "CAST(SUM(freq) AS BIGINT) AS sum_freq, " +
         "CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_freq " +
         "FROM t JOIN v USING (tok) GROUP BY doc_id ORDER BY doc_id"),
+
+    // burstiness replay: per-doc counts, HUGEINT moment arithmetic,
+    // one IEEE division for the Fano factor, frequency-head top-k
+    "text_burstiness" ->
+      ("WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "st AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs_with, " +
+        "CAST(SUM(c) AS BIGINT) AS total_cnt, " +
+        "CAST(SUM(c * c) AS BIGINT) AS sum_sq FROM tf GROUP BY 1), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) " +
+        "SELECT tok AS token, nn.n_docs, n_docs_with, total_cnt, sum_sq, " +
+        "CAST(CAST(nn.n_docs AS HUGEINT) * sum_sq - " +
+        "CAST(total_cnt AS HUGEINT) * total_cnt AS DOUBLE) / " +
+        "CAST(CAST(nn.n_docs AS HUGEINT) * total_cnt AS DOUBLE) AS fano " +
+        "FROM st, nn ORDER BY total_cnt DESC, token LIMIT " +
+        graft.operators.TextAnalysis.BurstTopK),
 
     // collocation replay: same adjacent-bigram/unigram counts, HUGEINT
     // lift product, identical support floor and (lift, a, b) head

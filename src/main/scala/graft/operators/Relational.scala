@@ -4701,6 +4701,46 @@ object Relational {
     *
     * Output: (column, n_rows, n_null, n_blank, n_zero, null_ppm),
     * ordered by column. */
+  /** VALUE-DOMAIN RANGE AUDIT (round 16) — the [[nullCensus]]
+    * companion for columns whose DOMAIN is part of the contract:
+    * per audited lineitem measure, the observed min/max plus counts
+    * OUTSIDE the documented domain (quantity ∈ [1, 50], discount ∈
+    * [0, 10] hundredths, tax ∈ [0, 8] hundredths — the TPC-H
+    * generation contract standing in for any feed-level range SLA).
+    * Zero violations is the healthy production reading; min/max still
+    * carry signal (a domain quietly narrowing — a vanished discount
+    * tier — is visible before any violation exists). One aggregation
+    * pass over the scan, stacked to the per-column audit shape —
+    * structurally 3 rows (the [[nullCensus]] stack idiom).
+    *
+    * Output: (column, n_rows, min_val, max_val, n_below, n_above),
+    * ordered by column. */
+  def valueRangeAudit(lineitem: DataFrame): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val dHund = (col("l_discount").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val tHund = (col("l_tax").cast(DecimalType(12, 2)) * 100).cast("long")
+    def lanes(c: Column, p: String, lo: Long, hi: Long) = Seq(
+      min(c).as(s"${p}_min"), max(c).as(s"${p}_max"),
+      coalesce(sum(when(c < lo, 1L).otherwise(0L)), lit(0L))
+        .as(s"${p}_lo"),
+      coalesce(sum(when(c > hi, 1L).otherwise(0L)), lit(0L))
+        .as(s"${p}_hi"))
+    val cols = lanes(q, "q", 1L, 50L) ++ lanes(dHund, "d", 0L, 10L) ++
+      lanes(tHund, "t", 0L, 8L)
+    val agg = lineitem.agg(count(lit(1)).as("n"), cols: _*)
+    agg.select(expr(
+      "stack(3, " +
+        "'l_discount_hund', d_min, d_max, d_lo, d_hi, " +
+        "'l_quantity', q_min, q_max, q_lo, q_hi, " +
+        "'l_tax_hund', t_min, t_max, t_lo, t_hi) " +
+        "AS (column, min_val, max_val, n_below, n_above)"),
+      col("n").as("n_rows"))
+      .select(col("column"), col("n_rows"), col("min_val"),
+        col("max_val"), col("n_below"), col("n_above"))
+      .orderBy(col("column"))
+  }
+
   def nullCensus(events: DataFrame): DataFrame = {
     val agg = events.agg(
       count(lit(1)).as("n"),

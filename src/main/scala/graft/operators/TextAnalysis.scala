@@ -796,4 +796,42 @@ object TextAnalysis {
       .orderBy(col("lift_ppm").desc, col("a"), col("b"))
       .limit(CollocTopK)
   }
+
+  val BurstTopK: Int = 20
+
+  /** TOKEN BURSTINESS (round 16) — Church–Gale's observation made a
+    * monitor: content words CLUMP (one document mentions them many
+    * times, most never) while function words spread evenly, so the
+    * Fano factor F = Var/Mean of the per-document count separates the
+    * two at equal total frequency — the corpus-health readout that
+    * catches template floods (a boilerplate token reads F ≈ its
+    * per-copy count) where raw frequency ([[zipfFit]]'s axis) cannot.
+    * Moments are over ALL N documents with zeros included (only the
+    * nonzero rows are materialized; the zero mass enters through N):
+    * F = (N·Σc² − (Σc)²) / (N·Σc) — exact integer num/den in
+    * DECIMAL(38,0) (corpus-scale squares overflow int64), ONE IEEE
+    * division. Top [[BurstTopK]] tokens by (total count DESC, token)
+    * via TakeOrdered.
+    *
+    * Output: (token, n_docs, n_docs_with, total_cnt, sum_sq, fano). */
+  def burstiness(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val stats = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_docs_with"),
+        sum(col("c")).as("total_cnt"),
+        sum(col("c") * col("c")).as("sum_sq"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(n))
+      .select(col("tok").as("token"), col("n_docs"), col("n_docs_with"),
+        col("total_cnt"), col("sum_sq"),
+        (expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * sum_sq - " +
+          "CAST(total_cnt AS DECIMAL(38,0)) * total_cnt AS STRING)")
+          .cast("double") /
+          expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * total_cnt AS STRING)")
+            .cast("double")).as("fano"))
+      .orderBy(col("total_cnt").desc, col("token"))
+      .limit(BurstTopK)
+  }
 }

@@ -393,6 +393,36 @@ object TextSources {
       .orderBy(col("event_type"))
   }
 
+  /** NULL-SENTINEL CSV ROUND-TRIP (round 16) — the lossy hop every
+    * legacy feed hides: CSV has no native NULL, so pipelines agree on
+    * a sentinel token (here `NA` — the R/statistics convention) and
+    * both ends must honor it. The fixture carves a REAL null lane
+    * (value nulled for user_id % 7 = 0 — an oracle-expressible rule)
+    * so the sentinel is exercised in data, not just config: a writer
+    * that emits empty-string instead of NA, or a reader that keeps NA
+    * as a string, shifts n_na and cents_sum against the parquet-side
+    * oracle. Explicit schema on re-read (inference + sentinels is
+    * double type drift).
+    *
+    * Output: (event_type, n_rows, n_na, cents_sum), ordered. */
+  def csvNullLiteralRoundTrip(spark: SparkSession,
+                              events: DataFrame): DataFrame = {
+    val out = s"$scratchRoot/csv_nulllit-${java.util.UUID.randomUUID()}"
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val masked = events.select(col("event_type"), col("user_id"),
+      when(col("user_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(cents).as("cents"))
+    masked.write.mode("overwrite").option("header", "true")
+      .option("nullValue", "NA").csv(out)
+    spark.read.schema(masked.schema).option("header", "true")
+      .option("nullValue", "NA").csv(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_na"),
+        sum(coalesce(col("cents"), lit(0L))).as("cents_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** MULTI-CHAR-DELIMITER CSV ROUND-TRIP (round 15) — the ingest edge
     * legacy feeds actually ship: a "CSV" whose separator is a
     * multi-character token (here `||` — common in mainframe/ERP

@@ -93,7 +93,10 @@ class EmptyInputSpec extends SparkSpec {
       // dedup threshold curve's 5-row grid; the IVF probe curve's
       // 3 structural method rows
       "sketch_theta_anotb", "dedup_threshold_curve",
-      "sim_recall_probe_curve")
+      "sim_recall_probe_curve",
+      // the range audit's 3 structural measure rows (null min/max,
+      // zero violation counters on empty input)
+      "quality_value_ranges")
 
   test("every registered query yields an empty (or constant) result on " +
     "empty inputs — no query throws") {

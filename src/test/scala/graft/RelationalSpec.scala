@@ -2699,6 +2699,37 @@ class RelationalSpec extends SparkSpec {
       "2024-03-05" -> ((5L, 2L, 1L))), out.mkString(", "))
   }
 
+  test("valueRangeAudit: violations counted on both sides, min/max " +
+    "exact, clean domain reads zero violations") {
+    val li = Seq((0.0, 0.05, 0.02), (5.0, 0.05, 0.02), (60.0, 0.11, 0.02))
+      .toDF("l_quantity", "l_discount", "l_tax")
+    val out = Relational.valueRangeAudit(li).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(out("l_quantity") == Seq(3L, 0L, 60L, 1L, 1L),
+      out("l_quantity").toString)
+    assert(out("l_discount_hund") == Seq(3L, 5L, 11L, 0L, 1L))
+    assert(out("l_tax_hund") == Seq(3L, 2L, 2L, 0L, 0L),
+      "a clean domain must read zero violations with live min/max")
+  }
+
+  test("burstiness: a clumped token reads Fano > 1, an evenly spread " +
+    "one < 1 — zeros enter through N") {
+    val docs = Seq((1L, "a a a"), (2L, "b"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.burstiness(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))))
+    // order: a (total 3) before b (total 2)
+    assert(out.map(_._1).toSeq == Seq("a", "b"))
+    val a = out.toMap.apply("a")
+    // a: one doc with c=3 of N=3 → F = (3·9 − 9)/(3·3) = 2
+    assert(a == ((3L, 1L, 3L, 9L, 2.0)), a.toString)
+    val b = out.toMap.apply("b")
+    // b: two docs with c=1 of N=3 → F = (3·2 − 4)/(3·2) = 1/3
+    assert(b == ((3L, 2L, 2L, 2L, 2.0 / 6.0)), b.toString)
+  }
+
   test("hodgesLehmann: hand 14-day series — Walsh census over i<=j, " +
     "even-count median via the x4 convention, zeros kept") {
     // week 1 flat 100; week 2: +50,+50,+50,−50,−50,+100,+100

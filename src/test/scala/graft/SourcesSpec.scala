@@ -332,6 +332,22 @@ class SourcesSpec extends SparkSpec {
       Seq("p|q", 1L, 1L, 350L)), got.mkString(";"))
   }
 
+  test("csvNullLiteralRoundTrip: the NA sentinel survives the hop — " +
+    "null lane counted, sum excludes the nulled cents") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 7L, "click", 1.25),   // user 7: the null lane
+      (2L, 14L, "click", 2.00),  // user 14: also % 7 == 0
+      (3L, 3L, "click", 3.50),
+      (4L, 5L, "buy", 0.75))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val got = TextSources.csvNullLiteralRoundTrip(spark, events)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == Seq(
+      Seq("buy", 1L, 0L, 75L),
+      Seq("click", 3L, 2L, 350L)), got.mkString(";"))
+  }
+
   test("binaryFilesRead: one blob per doc, bytes = text + newline, md5 " +
     "re-derived from raw bytes; empty corpus yields the empty table") {
     import spark.implicits._
