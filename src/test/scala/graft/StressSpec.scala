@@ -598,9 +598,16 @@ class StressSpec extends SparkSpec {
     // relational/event keys scale on the FK-consistent ×10 dataset;
     // document/embedding keys on the mutated-near-dup ×10 corpus (the
     // non-adversarial shape — every copy distinct)
-    val relKeys = Seq("join_band", "event_rolling_wau", "stream_wau_parity")
+    val relKeys = Seq("join_band", "event_rolling_wau", "stream_wau_parity",
+      // round-16 session-2 cohort: calendar-bounded pair censuses must
+      // stay grid-bounded as the row count under them grows 10x, and
+      // the Katz matvecs must stay linear in edges
+      "stats_mann_kendall", "stats_hodges_lehmann", "graph_katz")
     val docKeys = Seq("sketch_bloom_merge", "text_source_tv_matrix",
-      "dedup_cross_source", "embed_sign_hamming", "embed_recall_vs_bits")
+      "dedup_cross_source", "embed_sign_hamming", "embed_recall_vs_bits",
+      // round-16 session-2 cohort: corpus-scale moment sums, the Gram
+      // pass behind the isotropy share, 10x of tiny real-BMP decodes
+      "text_burstiness", "embed_isotropy", "multimodal_rle")
     def pass(dir: String, parts: String,
              keys: Seq[String]): Map[String, Double] = {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
