@@ -899,6 +899,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_cliffs_delta" -> ((s, d) =>
       Relational.cliffsDelta(Tables.events(s, d))),
 
+    // Jonckheere–Terpstra (round 16): ordered-alternative k-group test
+    // on the dense priority × quantity grid, tie-corrected z (see
+    // jonckheereTerpstra's scaladoc).
+    "stats_jonckheere" -> ((s, d) =>
+      Relational.jonckheereTerpstra(Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+
+    // 2-D skyline (round 16): the Pareto frontier via the grid-bounded
+    // running max — no n² dominance anti-join (see skyline2d's
+    // scaladoc).
+    "agg_skyline_2d" -> ((s, d) =>
+      Relational.skyline2d(Tables.part(s, d))),
+
     // Strict local-maximum days (round 16): the alerting shortlist
     // over gap-filled daily event counts (see peakDays' scaladoc).
     "event_peak_days" -> ((s, d) =>
@@ -3992,6 +4005,59 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT n_pairs, n_pos + n_neg AS n_nonzero, n_pos, n_neg, " +
         "CAST(((n_pos - n_neg) * (n_pos - n_neg) * 1000) // " +
         "nullif(n_pos + n_neg, 0) AS BIGINT) AS z2_milli FROM agg"),
+
+    // J–T replay: dense grid, per-group prefix counts, ordered-pair
+    // doubled U sum, HUGEINT tie components, identical z tree
+    "stats_jonckheere" ->
+      ("WITH xs AS (SELECT o.o_orderpriority AS g, CAST(l.l_quantity AS BIGINT) AS v " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
+        "cnt AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM xs GROUP BY 1, 2), " +
+        "mat AS (SELECT gg.g, vv.v, CAST(COALESCE(cnt.cnt, 0) AS BIGINT) AS c FROM " +
+        "(SELECT DISTINCT g FROM cnt) gg CROSS JOIN (SELECT DISTINCT v FROM cnt) vv " +
+        "LEFT JOIN cnt ON cnt.g = gg.g AND cnt.v = vv.v), " +
+        "m AS (SELECT g, v, c, COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt FROM mat), " +
+        "j2 AS (SELECT CAST(COALESCE(SUM(mj.c * (mi.clt * 2 + mi.c)), 0) AS BIGINT) AS j_x2 " +
+        "FROM m mi JOIN m mj ON mi.v = mj.v AND mi.g < mj.g), " +
+        "ng AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM cnt GROUP BY 1), " +
+        "gs AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups, CAST(SUM(n) AS BIGINT) AS nn, " +
+        "CAST(SUM(n * n) AS BIGINT) AS sum_n2, " +
+        "SUM(CAST(n AS HUGEINT) * (n - 1) * (n * 2 + 5)) AS g_a, " +
+        "SUM(CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS g_b, " +
+        "SUM(CAST(n AS HUGEINT) * (n - 1)) AS g_d FROM ng), " +
+        "tv0 AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS t FROM cnt GROUP BY 1), " +
+        "tsx AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)) AS t_a, " +
+        "SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS t_c, " +
+        "SUM(CAST(t AS HUGEINT) * (t - 1)) AS t_e FROM tv0), " +
+        "vr AS (SELECT CAST(CAST(gs.nn AS HUGEINT) * (gs.nn - 1) * (gs.nn * 2 + 5) " +
+        "- gs.g_a - tsx.t_a AS DOUBLE) AS var_a, " +
+        "CAST(gs.g_b AS DOUBLE) * CAST(tsx.t_c AS DOUBLE) AS var_bc, " +
+        "CAST(gs.g_d AS DOUBLE) * CAST(tsx.t_e AS DOUBLE) AS var_de FROM gs, tsx) " +
+        "SELECT gs.nn AS n_rows, gs.k_groups, j2.j_x2, " +
+        "gs.nn * gs.nn - gs.sum_n2 AS e_x4, " +
+        "(CAST(j2.j_x2 AS DOUBLE) / 2.0 - " +
+        "CAST(gs.nn * gs.nn - gs.sum_n2 AS DOUBLE) / 4.0) / " +
+        "sqrt(vr.var_a / 72.0 + vr.var_bc / (36.0 * CAST(gs.nn AS DOUBLE) * " +
+        "(CAST(gs.nn AS DOUBLE) - 1.0) * (CAST(gs.nn AS DOUBLE) - 2.0)) + " +
+        "vr.var_de / (8.0 * CAST(gs.nn AS DOUBLE) * " +
+        "(CAST(gs.nn AS DOUBLE) - 1.0))) AS z " +
+        "FROM gs, j2, vr"),
+
+    // skyline replay: per-size best price, running max over larger
+    // sizes, strict-dominance filter, multiplicity join
+    "agg_skyline_2d" ->
+      ("WITH g AS (SELECT CAST(p_size AS BIGINT) AS size, " +
+        "CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price FROM part), " +
+        "bs AS (SELECT size, CAST(MAX(price) AS BIGINT) AS best_price_cents FROM g GROUP BY 1), " +
+        "sky AS (SELECT size, best_price_cents, " +
+        "MAX(best_price_cents) OVER (ORDER BY size DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax FROM bs), " +
+        "a AS (SELECT size, price AS best_price_cents, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_at_point FROM g GROUP BY 1, 2) " +
+        "SELECT s.size, s.best_price_cents, a.n_at_point " +
+        "FROM sky s JOIN a USING (size, best_price_cents) " +
+        "WHERE s.rmax IS NULL OR s.best_price_cents > s.rmax " +
+        "ORDER BY s.size DESC"),
 
     // Hodges–Lehmann replay: same lag-7 diffs (zeros kept), Walsh
     // self-join i<=j, k-th order statistic via cumulative counts

@@ -594,6 +594,12 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
       Multimodal.imageOtsuRle(s,
         Multimodal.ingestBmp(Tables.documents(s, d)))),
 
+    // Foreground bounding box (round 16): crop-to-content box + exact
+    // ppm fill ratio off the Otsu mask (see imageFgBbox's scaladoc).
+    "multimodal_fg_bbox" -> ((s, d) =>
+      Multimodal.imageFgBbox(s,
+        Multimodal.ingestBmp(Tables.documents(s, d)))),
+
     // Histogram equalization (round 14): per-image CDF remap with the
     // classic integer formula, real-decoded pixels, position-weighted
     // digests (see imageHistEq's scaladoc).
@@ -1799,6 +1805,40 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "CAST(COALESCE(SUM(CASE WHEN pt.g > b.t THEN pt.i ELSE 0 END), 0) AS BIGINT) AS fg_posw " +
         "FROM best b JOIN pt ON pt.doc_id = b.doc_id " +
         "WHERE b.rn = 1 GROUP BY 1, 2, 3 ORDER BY b.doc_id"),
+
+    // fg-bbox replay: the otsu CTEs pick t, min/max fg coordinates,
+    // exact ppm fill over the box area
+    "multimodal_fg_bbox" ->
+      ("WITH dims AS (SELECT doc_id, (n_chars % 13) + 4 AS w, " +
+        "(n_chars % 7) + 4 AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, w * h AS n, unnest(range(0, w * h)) AS i FROM dims), " +
+        "pt AS (SELECT doc_id, n, i % w AS x, i // w AS y, " +
+        "(doc_id*31 + i*7) % 256 AS g FROM px), " +
+        "hc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM pt GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, CAST(SUM(g * c) AS BIGINT) AS s FROM hc GROUP BY 1), " +
+        "cum AS (SELECT doc_id, n, g, " +
+        "CAST(SUM(c) OVER (PARTITION BY doc_id ORDER BY g) AS BIGINT) AS w0, " +
+        "CAST(SUM(g * c) OVER (PARTITION BY doc_id ORDER BY g) AS BIGINT) AS s0 " +
+        "FROM hc), " +
+        "sc AS (SELECT c.doc_id, c.n, c.g AS t, " +
+        "((c.s0 * c.n - c.w0 * tot.s) * (c.s0 * c.n - c.w0 * tot.s) * 1024) " +
+        "// (c.w0 * (c.n - c.w0)) AS score " +
+        "FROM cum c JOIN tot USING (doc_id) " +
+        "WHERE c.g < 255 AND c.w0 > 0 AND c.w0 < c.n), " +
+        "best AS (SELECT doc_id, n, t, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rn " +
+        "FROM sc), " +
+        "fg AS (SELECT b.doc_id, b.n, b.t, " +
+        "CAST(MIN(pt.x) AS BIGINT) AS min_x, CAST(MIN(pt.y) AS BIGINT) AS min_y, " +
+        "CAST(MAX(pt.x) AS BIGINT) AS max_x, CAST(MAX(pt.y) AS BIGINT) AS max_y, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_fg " +
+        "FROM best b JOIN pt ON pt.doc_id = b.doc_id " +
+        "WHERE b.rn = 1 AND pt.g > b.t GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_pixels, CAST(t AS BIGINT) AS otsu_t, " +
+        "min_x, min_y, max_x, max_y, n_fg, " +
+        "CAST((n_fg * 1000000) // ((max_x - min_x + 1) * (max_y - min_y + 1)) AS BIGINT) AS fill_ppm " +
+        "FROM fg ORDER BY doc_id"),
 
     // RLE replay: the otsu CTEs pick t, then gaps-and-islands runs
     // per scanline (grp = x − row_number over fg pixels of the row)

@@ -567,6 +567,87 @@ object Multimodal {
       }(enc).toDF().orderBy(col("doc_id"))
   }
 
+  /** FOREGROUND BOUNDING BOX (round 16) — the crop-to-content consumer
+    * of [[imageOtsuBinarize]]'s mask: the tight axis-aligned box
+    * around the foreground (the auto-crop every scanned-document and
+    * thumbnail pipeline runs before resizing — whitespace margins are
+    * wasted pixels at training time) plus the FILL RATIO (foreground
+    * over box area, in exact ppm) that separates "solid block" from
+    * "sparse scatter" at equal box size. The Otsu construction
+    * guarantees ≥ 1 foreground pixel, so the box is always defined.
+    * Same per-partition real-decode harness, one O(pixels) pass.
+    *
+    * Output: (doc_id, n_pixels, otsu_t, min_x, min_y, max_x, max_y,
+    * n_fg, fill_ppm), ordered. */
+  def imageFgBbox(spark: SparkSession, ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pixels", LongType),
+      StructField("otsu_t", LongType), StructField("min_x", LongType),
+      StructField("min_y", LongType), StructField("max_x", LongType),
+      StructField("max_y", LongType), StructField("n_fg", LongType),
+      StructField("fill_ppm", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    ingested.select(col("doc_id"), col("media_bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("media_bytes")))
+          require(img != null, "undecodable media payload")
+          val w = img.getWidth; val h = img.getHeight
+          val n = w.toLong * h
+          val hist = new Array[Long](256)
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = (img.getRGB(x, y) >> 16) & 0xff
+              gray(y * w + x) = g; hist(g) += 1; x += 1
+            }
+            y += 1
+          }
+          var s = 0L; var g = 0
+          while (g < 256) { s += g.toLong * hist(g); g += 1 }
+          // the imageOtsu argmax verbatim (exact BigInt score)
+          var w0 = 0L; var s0 = 0L
+          var bestT = 0L; var bestScore = BigInt(-1)
+          var t = 0
+          while (t < 255) {
+            w0 += hist(t); s0 += t.toLong * hist(t)
+            if (w0 > 0L && w0 < n) {
+              val d = BigInt(s0) * n - BigInt(w0) * s
+              val score = d * d * 1024 / (BigInt(w0) * (n - w0))
+              if (score > bestScore) { bestScore = score; bestT = t.toLong }
+            }
+            t += 1
+          }
+          var minX = Long.MaxValue; var minY = Long.MaxValue
+          var maxX = -1L; var maxY = -1L; var nf = 0L
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              if (gray(y * w + x) > bestT) {
+                nf += 1
+                if (x < minX) minX = x
+                if (x > maxX) maxX = x
+                if (y < minY) minY = y
+                if (y > maxY) maxY = y
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val area = (maxX - minX + 1) * (maxY - minY + 1)
+          Row(r.getAs[Long]("doc_id"), n, bestT, minX, minY, maxX, maxY,
+            nf, nf * 1000000L / area)
+        }
+      }(enc).toDF().orderBy(col("doc_id"))
+  }
+
   /** DATASET NORMALIZATION CONSTANTS (round 13) — the per-corpus-shard
     * mean/std every vision training pipeline computes BEFORE training
     * (the `transforms.Normalize(mean, std)` numbers), grouped by

@@ -3253,6 +3253,117 @@ object Relational {
           "nullif(var18, 0L) END AS BIGINT)").as("z2_milli"))
   }
 
+  /** JONCKHEERE–TERPSTRA TEST (round 16) — the ORDERED-alternative
+    * k-group test [[kruskalWallis]] cannot run: KW asks "any group
+    * different?", J–T asks "does quantity RISE with order priority?"
+    * (groups carry a natural order — the lexical priority rank). J is
+    * the sum of pairwise Mann–Whitney counts over ordered group pairs
+    * (i < j), doubled so ties stay BIGINT: J·2 = Σ_{i<j} Σ_v
+    * c_j(v)·(2·c_i(<v) + c_i(v)). Everything runs on the DENSE
+    * (group × value) grid (k·|grid| rows — priorities × the ≤ 50
+    * quantity grid, never row-scale); the Hollander–Wolfe
+    * tie-corrected variance's three components are exact
+    * DECIMAL(38,0) sums (cubic-in-N terms overflow int64 at sf ≥ 1)
+    * folded into ONE fixed IEEE tree with the via-string bridge —
+    * sqrt is correctly rounded, so z replays bit-for-bit.
+    *
+    * Output: one row (n_rows, k_groups, j_x2, e_x4, z) where e_x4 =
+    * 4·E[J] = N² − Σn_g². */
+  def jonckheereTerpstra(orders: DataFrame,
+                         lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val xs = lineitem
+      .select(col("l_orderkey").as("ok"),
+        col("l_quantity").cast("long").as("v"))
+      .join(orders.select(col("o_orderkey").as("ok"),
+        col("o_orderpriority").as("g")), Seq("ok"))
+      .select(col("g"), col("v"))
+    val cnt = xs.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val mat = cnt.select(col("g")).distinct()
+      .crossJoin(cnt.select(col("v")).distinct())
+      .join(cnt, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("cnt"), lit(0L)).as("c"))
+    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = mat.withColumn("clt", coalesce(sum(col("c")).over(wG), lit(0L)))
+      .localCheckpoint()
+    val j2 = m.as("mi").join(m.as("mj"),
+        col("mi.v") === col("mj.v") && col("mi.g") < col("mj.g"))
+      .agg(coalesce(sum(col("mj.c") *
+        (col("mi.clt") * 2 + col("mi.c"))), lit(0L)).as("j_x2"))
+    val gs = cnt.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .agg(count(lit(1)).as("k_groups"),
+        coalesce(sum(col("n")), lit(0L)).as("nn"),
+        coalesce(sum(col("n") * col("n")), lit(0L)).as("sum_n2"),
+        coalesce(sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1) * (n * 2 + 5)")),
+          lit(0).cast(dec)).as("g_a"),
+        coalesce(sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1) * (n - 2)")),
+          lit(0).cast(dec)).as("g_b"),
+        coalesce(sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1)")),
+          lit(0).cast(dec)).as("g_d"))
+    val ts = cnt.groupBy(col("v")).agg(sum(col("cnt")).as("t"))
+      .agg(coalesce(sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1) * (t * 2 + 5)")),
+          lit(0).cast(dec)).as("t_a"),
+        coalesce(sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2)")),
+          lit(0).cast(dec)).as("t_c"),
+        coalesce(sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1)")),
+          lit(0).cast(dec)).as("t_e"))
+    gs.crossJoin(broadcast(ts)).crossJoin(broadcast(j2))
+      .withColumn("var_a", expr(
+        "CAST(CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn * 2 + 5) " +
+          "- g_a - t_a AS STRING)").cast("double"))
+      .withColumn("var_bc", expr("CAST(g_b AS STRING)").cast("double") *
+        expr("CAST(t_c AS STRING)").cast("double"))
+      .withColumn("var_de", expr("CAST(g_d AS STRING)").cast("double") *
+        expr("CAST(t_e AS STRING)").cast("double"))
+      .select(col("nn").as("n_rows"), col("k_groups"), col("j_x2"),
+        (col("nn") * col("nn") - col("sum_n2")).as("e_x4"),
+        expr("(CAST(j_x2 AS DOUBLE) / 2.0 - " +
+          "CAST(nn * nn - sum_n2 AS DOUBLE) / 4.0) / " +
+          "sqrt(var_a / 72.0 + var_bc / (36.0 * CAST(nn AS DOUBLE) * " +
+          "(CAST(nn AS DOUBLE) - 1.0) * (CAST(nn AS DOUBLE) - 2.0)) + " +
+          "var_de / (8.0 * CAST(nn AS DOUBLE) * " +
+          "(CAST(nn AS DOUBLE) - 1.0)))").as("z"))
+  }
+
+  /** 2-D SKYLINE (round 16) — the Pareto-frontier operator (Börzsönyi
+    * et al.'s SKYLINE OF): parts maximal under the (size ≥, price ≥,
+    * one strict) dominance order — "largest size at the best price"
+    * with no point beaten on both axes. For TWO dimensions the
+    * quadratic dominance anti-join collapses to a GRID-BOUNDED
+    * running max: reduce to per-size best price (the only skyline
+    * candidates), then a point survives iff its price strictly
+    * exceeds the running max over all LARGER sizes — one window over
+    * ≤ |size grid| rows, O(n) scan + O(grid) window at any scale
+    * (the n² anti-join a naive skyline would shuffle is exactly what
+    * this shape avoids). Equal (size, price) ties collapse into one
+    * skyline point with its multiplicity.
+    *
+    * Output: (size, best_price_cents, n_at_point), ordered size DESC
+    * (the frontier read left-to-right). */
+  def skyline2d(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    val g = part.select(col("p_size").cast("long").as("size"),
+      cents.as("price"))
+    val bySize = g.groupBy(col("size"))
+      .agg(max(col("price")).as("best_price_cents"))
+    val w = Window.orderBy(col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = bySize
+      .withColumn("rmax", max(col("best_price_cents")).over(w))
+      .filter(col("rmax").isNull ||
+        col("best_price_cents") > col("rmax"))
+    val at = g.groupBy(col("size"), col("price"))
+      .agg(count(lit(1)).as("n_at_point"))
+      .withColumnRenamed("price", "best_price_cents")
+    sky.join(at, Seq("size", "best_price_cents"))
+      .select(col("size"), col("best_price_cents"), col("n_at_point"))
+      .orderBy(col("size").desc)
+  }
+
   /** HODGES–LEHMANN ESTIMATOR (round 16) — the robust LOCATION
     * companion of [[wilcoxonSignedRank]]'s significance: the median
     * of all Walsh sums (d_i + d_j, i ≤ j) over the same lag-7 daily

@@ -1080,6 +1080,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageFgBbox: tight box around the analytic foreground, exact " +
+    "ppm fill ratio") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(n => (n, "o" * n.toInt, n))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Multimodal
+      .imageFgBbox(spark, Multimodal.ingestBmp(docs)).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val w = (docId % 13 + 4).toInt; val h = (docId % 7 + 4).toInt
+      val n = w.toLong * h
+      val gray = (0 until (w * h)).map(i => ((docId * 31 + i * 7) % 256).toInt)
+      val hist = new Array[Long](256)
+      gray.foreach(hist(_) += 1)
+      val s = (0 until 256).map(g => g.toLong * hist(g)).sum
+      var w0 = 0L; var s0 = 0L; var bestT = 0L; var bestScore = BigInt(-1)
+      for (t <- 0 until 255) {
+        w0 += hist(t); s0 += t.toLong * hist(t)
+        if (w0 > 0 && w0 < n) {
+          val d = BigInt(s0) * n - BigInt(w0) * s
+          val score = d * d * 1024 / (BigInt(w0) * (n - w0))
+          if (score > bestScore) { bestScore = score; bestT = t.toLong }
+        }
+      }
+      val fg = gray.zipWithIndex.filter(_._1 > bestT).map(_._2)
+      val xs = fg.map(_ % w); val ys = fg.map(_ / w)
+      val area = (xs.max - xs.min + 1).toLong * (ys.max - ys.min + 1)
+      assert(r.getAs[Long]("otsu_t") == bestT)
+      assert(r.getAs[Long]("min_x") == xs.min.toLong &&
+        r.getAs[Long]("max_x") == xs.max.toLong, s"doc=$docId x")
+      assert(r.getAs[Long]("min_y") == ys.min.toLong &&
+        r.getAs[Long]("max_y") == ys.max.toLong, s"doc=$docId y")
+      assert(r.getAs[Long]("n_fg") == fg.length.toLong)
+      assert(r.getAs[Long]("fill_ppm") == fg.length.toLong * 1000000L / area,
+        s"doc=$docId fill")
+    }
+  }
+
   test("imageOtsuBinarize: foreground census and position digest match " +
     "the analytic pixel replay pixel-for-pixel") {
     import spark.implicits._

@@ -2699,6 +2699,34 @@ class RelationalSpec extends SparkSpec {
       "2024-03-05" -> ((5L, 2L, 1L))), out.mkString(", "))
   }
 
+  test("jonckheereTerpstra: hand 2-group fixture with a cross-group " +
+    "tie — doubled J, exact expectation, tie-corrected z") {
+    val orders = Seq((1L, "1-URGENT"), (2L, "1-URGENT"),
+      (3L, "2-HIGH"), (4L, "2-HIGH"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val li = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 3.0))
+      .toDF("l_orderkey", "l_quantity")
+    val r = Relational.jonckheereTerpstra(orders, li).collect().head
+    // J = 3 wins + 1 tie/2 = 3.5 → j_x2 = 7; E[J]·4 = 16 − 8 = 8;
+    // Var = 102/72 + (4·2)/(8·4·3) = 1.5 → z = 1.5/√1.5 = √1.5
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 7L && r.getLong(3) == 8L, r.toSeq.toString)
+    assert(math.abs(r.getDouble(4) - math.sqrt(1.5)) < 1e-12,
+      s"z = ${r.getDouble(4)}")
+  }
+
+  test("skyline2d: strict dominance — a lower-price smaller size " +
+    "falls, an equal-price smaller size falls, ties carry multiplicity") {
+    val part = Seq((1, 5.0), (2, 3.0), (3, 4.0), (3, 4.0), (3, 1.0),
+      (4, 4.0))
+      .toDF("p_size", "p_retailprice")
+    val out = Relational.skyline2d(part).collect().map(_.toSeq)
+    // size 4 @400 leads; size 3 @400 is dominated (equal price, smaller
+    // size); size 2 @300 dominated; size 1 @500 survives
+    assert(out.toSeq == Seq(Seq(4L, 400L, 1L), Seq(1L, 500L, 1L)),
+      out.mkString(";"))
+  }
+
   test("valueRangeAudit: violations counted on both sides, min/max " +
     "exact, clean domain reads zero violations") {
     val li = Seq((0.0, 0.05, 0.02), (5.0, 0.05, 0.02), (60.0, 0.11, 0.02))
