@@ -899,6 +899,18 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stats_cliffs_delta" -> ((s, d) =>
       Relational.cliffsDelta(Tables.events(s, d))),
 
+    // Calendar gap census (round 16): maximal dead-day runs as rows —
+    // the outage audit behind the gap-fill doctrine (see gapCensus'
+    // scaladoc).
+    "window_gap_census" -> ((s, d) =>
+      Relational.gapCensus(Tables.orders(s, d))),
+
+    // One-sample KS vs uniform weekdays (round 16): integer-domain
+    // ECDF supremum on the dense dow grid (see ksUniformDow's
+    // scaladoc).
+    "stats_ks_uniform" -> ((s, d) =>
+      Relational.ksUniformDow(Tables.orders(s, d))),
+
     // Jonckheere–Terpstra (round 16): ordered-alternative k-group test
     // on the dense priority × quantity grid, tie-corrected z (see
     // jonckheereTerpstra's scaladoc).
@@ -4005,6 +4017,37 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT n_pairs, n_pos + n_neg AS n_nonzero, n_pos, n_neg, " +
         "CAST(((n_pos - n_neg) * (n_pos - n_neg) * 1000) // " +
         "nullif(n_pos + n_neg, 0) AS BIGINT) AS z2_milli FROM agg"),
+
+    // gap-census replay: same grid/series text, epoch-day − row_number
+    // islands over the zero days
+    "window_gap_census" ->
+      ("WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, " +
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), " +
+        "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), " +
+        "series AS (SELECT g.day, CAST(COALESCE(rev, 0) AS BIGINT) AS x " +
+        "FROM grid g LEFT JOIN d USING (day)), " +
+        "z AS (SELECT day FROM series WHERE x = 0), " +
+        "gi AS (SELECT day, datediff('day', DATE '1970-01-01', day) " +
+        "- ROW_NUMBER() OVER (ORDER BY day) AS grp FROM z) " +
+        "SELECT MIN(day) AS gap_start, CAST(COUNT(*) AS BIGINT) AS gap_days " +
+        "FROM gi GROUP BY grp ORDER BY gap_start"),
+
+    // KS-vs-uniform replay: dense 1..7 dow grid (DuckDB dayofweek is
+    // 0=Sunday → +1), integer supremum, one IEEE division
+    "stats_ks_uniform" ->
+      ("WITH cnt AS (SELECT dayofweek(o_orderdate) + 1 AS dw, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1), " +
+        "dense AS (SELECT g.dw, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(range(1, 8)) AS dw) g LEFT JOIN cnt ON cnt.dw = g.dw), " +
+        "n AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_orders FROM dense), " +
+        "cum AS (SELECT dw, SUM(c) OVER (ORDER BY dw) AS cum FROM dense) " +
+        "SELECT n.n_orders, " +
+        "CAST(COALESCE(MAX(ABS(cum.cum * 7 - n.n_orders * cum.dw)), 0) AS BIGINT) AS d_scaled, " +
+        "CAST(COALESCE(MAX(ABS(cum.cum * 7 - n.n_orders * cum.dw)), 0) AS DOUBLE) / " +
+        "nullif(n.n_orders * 7, 0) AS d " +
+        "FROM cum, n GROUP BY n.n_orders"),
 
     // J–T replay: dense grid, per-group prefix counts, ordered-pair
     // doubled U sum, HUGEINT tie components, identical z tree

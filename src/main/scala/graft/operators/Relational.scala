@@ -3253,6 +3253,63 @@ object Relational {
           "nullif(var18, 0L) END AS BIGINT)").as("z2_milli"))
   }
 
+  /** CALENDAR GAP CENSUS (round 16) — the gaps-and-islands face of
+    * the gap-fill doctrine: every maximal run of DEAD calendar days
+    * (zero daily revenue) as its own row. The other daily operators
+    * fill gaps with zeros and move on; this one REPORTS them — the
+    * "did the feed stop?" audit where a 1-day gap is a quiet day but
+    * a 5-day gap is an outage. Islands group by the classic
+    * epoch-day − row_number key (consecutive dead days share it);
+    * everything after the daily aggregation is calendar-bounded.
+    *
+    * Output: (gap_start, gap_days), one row per gap, ordered. */
+  def gapCensus(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day"))
+    dailyRevenueSeries(orders).filter(col("x") === 0L)
+      .select(col("day"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("grp",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long") -
+          col("rn"))
+      .groupBy(col("grp"))
+      .agg(min(col("day")).as("gap_start"), count(lit(1)).as("gap_days"))
+      .select(col("gap_start"), col("gap_days"))
+      .orderBy(col("gap_start"))
+  }
+
+  /** ONE-SAMPLE KS AGAINST UNIFORM (round 16) — the goodness-of-fit
+    * twin of the two-sample [[ksTest]]: is order volume uniform
+    * across the 7 weekdays? The ECDF supremum runs entirely in the
+    * integer domain over the DENSE 1..7 grid (a dow with zero orders
+    * still advances the null CDF): D·7n = max |7·cum(d) − n·d|, one
+    * division into the double D at the end. The weekday grid is the
+    * natural uniformity null for operational load (staffing, batch
+    * windows); month-length artifacts make day-of-month a dishonest
+    * null.
+    *
+    * Output: one row (n_orders, d_scaled, d). */
+  def ksUniformDow(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = orders
+      .select(dayofweek(col("o_orderdate")).cast("long").as("dw"))
+      .groupBy(col("dw")).agg(count(lit(1)).as("c"))
+    val dense = orders.sparkSession.range(1, 8)
+      .select(col("id").as("dw"))
+      .join(broadcast(cnt), Seq("dw"), "left")
+      .select(col("dw"), coalesce(col("c"), lit(0L)).as("c"))
+    val n = dense.agg(coalesce(sum(col("c")), lit(0L)).as("n_orders"))
+    val w = Window.orderBy(col("dw"))
+    dense.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(n))
+      .agg(min(col("n_orders")).as("n_orders"),
+        coalesce(max(abs(col("cum") * 7L - col("n_orders") * col("dw"))),
+          lit(0L)).as("d_scaled"))
+      .select(col("n_orders"), col("d_scaled"),
+        (col("d_scaled").cast("double") /
+          expr("nullif(n_orders * 7, 0)")).as("d"))
+  }
+
   /** JONCKHEERE–TERPSTRA TEST (round 16) — the ORDERED-alternative
     * k-group test [[kruskalWallis]] cannot run: KW asks "any group
     * different?", J–T asks "does quantity RISE with order priority?"

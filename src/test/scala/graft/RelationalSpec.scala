@@ -2699,6 +2699,29 @@ class RelationalSpec extends SparkSpec {
       "2024-03-05" -> ((5L, 2L, 1L))), out.mkString(", "))
   }
 
+  test("gapCensus: maximal dead-day runs become rows — adjacent gaps " +
+    "never merge across a live day") {
+    val orders = Seq(("2024-03-04", 100.0), ("2024-03-08", 100.0),
+      ("2024-03-11", 100.0))
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Relational.gapCensus(orders).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1))
+    assert(out.toSeq == Seq("2024-03-05" -> 3L, "2024-03-09" -> 2L),
+      out.mkString(", "))
+  }
+
+  test("ksUniformDow: all mass on one weekday — exact integer " +
+    "supremum over the dense grid, zero-count dows advance the null") {
+    val orders = Seq.fill(4)(("2024-03-04", 100.0))  // a Monday (dw 2)
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val r = Relational.ksUniformDow(orders).collect().head
+    // cum = (0,4,4,4,4,4,4): max |7·cum − 4·dw| = |28 − 8| = 20
+    assert(r.toSeq.take(2) == Seq(4L, 20L), r.toSeq.toString)
+    assert(r.getDouble(2) == 20.0 / 28.0)
+  }
+
   test("jonckheereTerpstra: hand 2-group fixture with a cross-group " +
     "tie — doubled J, exact expectation, tie-corrected z") {
     val orders = Seq((1L, "1-URGENT"), (2L, "1-URGENT"),
