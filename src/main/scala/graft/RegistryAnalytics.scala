@@ -375,6 +375,12 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "embed_top_eigvec" -> ((s, d) =>
       Similarity.topEigvec(Tables.embeddings(s, d))),
 
+    // Sign-bit balance (round 16): per-dimension pos/neg/zero census —
+    // the informativeness audit under sign-LSH (see signBalance's
+    // scaladoc).
+    "embed_sign_balance" -> ((s, d) =>
+      Similarity.signBalance(Tables.embeddings(s, d))),
+
     // Isotropy profile (round 16): λ₁/trace spectral-collapse share —
     // exact trace, one IEEE division past the eigvec Rayleigh (see
     // isotropyProfile's scaladoc).
@@ -1922,6 +1928,21 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "SELECT CAST(x2.j AS BIGINT) AS comp, x2.x AS x_val, " +
         "num.num / CAST(den.den AS DOUBLE) AS rayleigh " +
         "FROM x2, num, den ORDER BY comp"),
+
+    // sign-balance replay: the quantized grid unnested per dimension,
+    // exact censuses, truncating ppm
+    "embed_sign_balance" ->
+      (s"WITH $sqlQuantCte, " +
+        "nf AS (SELECT vec_id, v FROM n WHERE len(v) = 64), " +
+        "px AS (SELECT dd.i AS dim, v[dd.i + 1] AS x " +
+        "FROM nf, range(0, 64) dd(i)) " +
+        "SELECT CAST(dim AS BIGINT) AS dim, " +
+        "CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg, " +
+        "CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, " +
+        "CAST((SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) * 1000000) // " +
+        "nullif(COUNT(*), 0) AS BIGINT) AS pos_ppm " +
+        "FROM px GROUP BY 1 ORDER BY dim"),
 
     // isotropy replay: the eigvec CTEs + exact Σ‖v‖² trace, one
     // further IEEE division for the λ₁ share

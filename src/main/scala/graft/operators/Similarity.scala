@@ -1277,6 +1277,31 @@ object Similarity {
       .orderBy(col("comp"))
   }
 
+  /** SIGN-BIT BALANCE (round 16) — the per-dimension health check
+    * under every sign-LSH structure (`embed_sign_hamming`, the
+    * SimHash family): bit i of the signature is informative only if
+    * dimension i splits the corpus near 50/50 — a dimension that is
+    * almost-always-positive contributes a constant bit, silently
+    * shrinking the effective code length and densifying every bucket.
+    * Exact integer censuses per dimension (positive / negative /
+    * zero over the quantized grid), balance as one truncating ppm
+    * division; ≤ dim rows out of one map-side-combinable pass.
+    *
+    * Output: (dim, n_pos, n_neg, n_zero, pos_ppm), ordered by dim. */
+  def signBalance(emb: DataFrame, dim: Int = 64): DataFrame = {
+    prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+      .select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(when(col("v") > 0L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("v") < 0L, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("v") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n_pos"), col("n_neg"), col("n_zero"),
+        expr("CAST((n_pos * 1000000) div " +
+          "nullif(n_pos + n_neg + n_zero, 0L) AS BIGINT)").as("pos_ppm"))
+      .orderBy(col("dim"))
+  }
+
   /** EMBEDDING ISOTROPY PROFILE (round 16) — the one-number spectral-
     * collapse readout on top of [[topEigvec]]: top_share = λ₁ / tr(G),
     * the fraction of total variance the first principal direction

@@ -1377,6 +1377,24 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.topEigvec(emb.repartition(7)).collect().toSeq)
   }
 
+  test("signBalance: per-dim pos/neg/zero census with truncating ppm — " +
+    "a constant-sign dim reads as uninformative") {
+    import spark.implicits._
+    val fix = Seq((1L, Array(0.001f, -0.001f), 0),
+      (2L, Array(0.002f, 0.0f), 0), (3L, Array(-0.001f, 0.003f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.signBalance(fix, dim = 2).collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq(0L, 2L, 1L, 0L, 666666L),
+      Seq(1L, 1L, 1L, 1L, 333333L)), out.mkString(";"))
+    // corpus: every dim splits somewhere strictly inside (0, 1) —
+    // no constant bit in the real embedding table
+    val re = Similarity.signBalance(emb).collect()
+    assert(re.length == 64)
+    assert(re.forall(r => r.getLong(4) > 0L && r.getLong(4) < 1000000L),
+      "a degenerate constant-sign dimension appeared")
+  }
+
   test("isotropyProfile: hand Gram — exact trace, top_share is the " +
     "Rayleigh over the trace; collapsed fixture reads near 1") {
     import spark.implicits._
