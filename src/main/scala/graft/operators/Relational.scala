@@ -3345,7 +3345,9 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, -1)
     val m = mat.withColumn("clt", coalesce(sum(col("c")).over(wG), lit(0L)))
       .localCheckpoint()
-    val j2 = m.as("mi").join(m.as("mj"),
+    // the dense grid is k·|values| rows (≤ a few hundred) — broadcast
+    // one side so the pair census never sort-merges
+    val j2 = m.as("mi").join(broadcast(m.as("mj")),
         col("mi.v") === col("mj.v") && col("mi.g") < col("mj.g"))
       .agg(coalesce(sum(col("mj.c") *
         (col("mi.clt") * 2 + col("mi.c"))), lit(0L)).as("j_x2"))

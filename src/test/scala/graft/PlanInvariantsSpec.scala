@@ -781,4 +781,53 @@ class PlanInvariantsSpec extends SparkSpec {
       !sj.contains("CartesianProduct"),
       s"join_skew_salted lost the salted equi shape under AQE:\n$sj")
   }
+
+  test("round-16 closing scale shapes: calendar pair censuses ride a " +
+    "broadcast NLJ, skyline plans no dominance join, rank grids and " +
+    "censuses never sort-merge") {
+    // Mann–Kendall / Hodges–Lehmann: the quadratic step is over the
+    // CALENDAR-bounded indexed series — the non-equi self-join must be
+    // a BroadcastNestedLoopJoin on a broadcast series, never a
+    // shuffled cartesian (the grid must not shuffle like data)
+    Seq("stats_mann_kendall", "stats_hodges_lehmann").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$q lost the broadcast pair join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a shuffled cartesian:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q sort-merges its bounded grid:\n$plan")
+    }
+    // Kruskal–Wallis / Jonckheere: ranks come from the VALUE-GROUPED
+    // grid — aggregation happens before every window/join, and no
+    // join may sort-merge (grid sides broadcast)
+    Seq("stats_kruskal", "stats_jonckheere").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q sort-merges its bounded rank grid:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a cartesian:\n$plan")
+    }
+    // skyline: the Pareto frontier is a running max over the size
+    // grid + one bounded equi-join for multiplicity — any non-equi
+    // join means the n² dominance anti-join crept back
+    val sky = planOf("agg_skyline_2d")
+    assert(!sky.contains("BroadcastNestedLoopJoin") &&
+      !sky.contains("CartesianProduct"),
+      s"agg_skyline_2d planned a dominance join:\n$sky")
+    assert(!sky.contains("SortMergeJoin"),
+      s"agg_skyline_2d sort-merges its bounded grid:\n$sky")
+    // sign balance / cliff's delta / KS-uniform: single-pass censuses —
+    // hash aggregation present, no join of any kind at data scale
+    // (ksUniformDow joins only the broadcast 7-row dow grid)
+    val sb = planOf("embed_sign_balance")
+    assert(sb.contains("HashAggregate") && !sb.contains("Join"),
+      s"embed_sign_balance stopped being a single aggregation pass:\n$sb")
+    Seq("stats_cliffs_delta", "stats_ks_uniform").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q shuffles its bounded grid:\n$plan")
+    }
+  }
 }
