@@ -314,6 +314,19 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         edges0 = Some(coOrderEdgesShared(s, d)),
         tri0 = Some(trianglesShared(s, d)))),
 
+    // Global transitivity (round 16): 3·triangles/wedges off both
+    // shared memos — the hub-weighted closure ratio beside the local
+    // coefficient (see transitivity's scaladoc).
+    "graph_transitivity" -> ((s, d) =>
+      Graph.transitivity(Tables.lineitem(s, d),
+        edges0 = Some(coOrderEdgesShared(s, d)),
+        tri0 = Some(trianglesShared(s, d)))),
+
+    // Mood's median test (round 16): k-group above/≤-grand-median
+    // table under the chi² doctrine (see moodMedian's scaladoc).
+    "stats_mood_median" -> ((s, d) =>
+      Relational.moodMedian(Tables.lineitem(s, d))),
+
     // Harmonic centrality at horizon (round 16): Σ lcm/d off the same
     // seed BFS as closeness/ecc — exact, disconnection-proof (see
     // harmonicFromSeeds' scaladoc).
@@ -2243,6 +2256,53 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
         "CAST(MAX(depth) AS BIGINT) AS ecc, " +
         "MAX(depth) = 4 AS at_horizon " +
         "FROM md GROUP BY seed ORDER BY seed"),
+
+    // transitivity replay: the AA edge/degree/triangle CTEs + two
+    // bounded aggregates, exact ppm closure ratio
+    "graph_transitivity" ->
+      ("WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "und AS (SELECT DISTINCT a.p AS a, b.p AS b FROM it a JOIN it b ON a.o = b.o AND a.p < b.p), " +
+        "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+        "(SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) GROUP BY 1), " +
+        "tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z FROM und ab " +
+        "JOIN und bc ON ab.b = bc.a " +
+        "JOIN und ac ON ac.a = ab.a AND ac.b = bc.b), " +
+        "w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+        "CAST(COALESCE(SUM((deg * (deg - 1)) // 2), 0) AS BIGINT) AS n_wedges FROM deg), " +
+        "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und), " +
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri) " +
+        "SELECT w.n_nodes, ne.n_edges, w.n_wedges, nt.n_triangles, " +
+        "CAST((nt.n_triangles * 3000000) // nullif(w.n_wedges, 0) AS BIGINT) " +
+        "AS transitivity_ppm FROM w, ne, nt"),
+
+    // Mood's-median replay: k-th order statistic for the grand median,
+    // then the chi² CTE doctrine over the k×2 table (HUGEINT residual
+    // headroom — row·col·n overflows int64 at sf ≥ 1 line counts)
+    "stats_mood_median" ->
+      ("WITH g AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2), " +
+        "m AS (SELECT v, SUM(SUM(cnt)) OVER (ORDER BY v) AS cum FROM g GROUP BY v), " +
+        "tot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM g), " +
+        "med AS (SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med FROM m, tot), " +
+        "cells0 AS (SELECT grp, " +
+        "CAST(COALESCE(SUM(CASE WHEN v > med THEN cnt ELSE 0 END), 0) AS BIGINT) AS oabove, " +
+        "CAST(COALESCE(SUM(CASE WHEN v <= med THEN cnt ELSE 0 END), 0) AS BIGINT) AS ole " +
+        "FROM g, med GROUP BY grp), " +
+        "cells AS (SELECT grp, '1_above' AS side, oabove AS o FROM cells0 " +
+        "UNION ALL SELECT grp, '2_le', ole FROM cells0), " +
+        "r AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+        "c AS (SELECT side, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
+        "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells), " +
+        "t AS (SELECT cells.grp, cells.side, cells.o, " +
+        "CAST(r.r * c.c AS DOUBLE) / nn.n AS expected, " +
+        "(CAST(CAST(cells.o AS HUGEINT) * nn.n - CAST(r.r AS HUGEINT) * c.c AS DOUBLE) * " +
+        "CAST(CAST(cells.o AS HUGEINT) * nn.n - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)) / " +
+        "CAST(CAST(r.r AS HUGEINT) * c.c * nn.n AS DOUBLE) AS term " +
+        "FROM cells JOIN r USING (grp) JOIN c USING (side), nn), " +
+        "s AS (SELECT list_reduce(list(term ORDER BY grp, side), " +
+        "(a, b) -> a + b) AS chi2 FROM t) " +
+        "SELECT t.grp AS l_returnflag, t.side, t.o, t.expected, t.term, " +
+        "s.chi2 FROM t, s ORDER BY t.grp, t.side"),
 
     // harmonic replay: the ecc recursion with Σ 12//d per seed
     "graph_harmonic_seeds" ->

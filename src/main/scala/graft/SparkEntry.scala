@@ -246,9 +246,10 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
       "graph_closeness", "graph_degree_gini", "graph_kcore",
       "graph_weight_hist", "graph_adamic_adar", "graph_rich_club",
       "graph_two_hop_reach", "graph_ecc_seeds", "graph_resource_alloc",
-      "graph_harmonic_seeds", "graph_katz"),
+      "graph_harmonic_seeds", "graph_katz", "graph_transitivity"),
     "memo:triangles" -> Seq("graph_triangles", "graph_link_jaccard",
-      "graph_cluster_coeff", "graph_adamic_adar", "graph_resource_alloc"),
+      "graph_cluster_coeff", "graph_adamic_adar", "graph_resource_alloc",
+      "graph_transitivity"),
     "memo:lpa_labels" -> Seq("graph_label_prop", "graph_modularity"),
     "memo:unigram_model" -> Seq("tokenizer_unigram",
       "tokenizer_unigram_encode"),

@@ -894,6 +894,40 @@ object Graph {
       .limit(k)
   }
 
+  /** GLOBAL TRANSITIVITY (round 16) — the one-number closure ratio
+    * beside [[clusteringCoeff]]'s per-node readout: C = 3·triangles /
+    * wedges (a wedge is an unordered path of length 2 — deg·(deg−1)/2
+    * per center node; each triangle closes exactly 3 of them). The
+    * per-node local coefficient averages small-degree noise in; the
+    * GLOBAL ratio weights hubs by their wedge count — the two
+    * disagree exactly when the graph has degree skew, which is why
+    * monitors track both. Rides the shared edge + triangle memos:
+    * the marginal cost is two bounded aggregations (the deg·(deg−1)
+    * product is exact — div 2 never truncates, the product is even).
+    *
+    * Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
+    * transitivity_ppm = 3·10⁶·triangles div wedges). */
+  def transitivity(lineitem: DataFrame,
+                   edges0: Option[DataFrame] = None,
+                   tri0: Option[DataFrame] = None): DataFrame = {
+    val e = edges0.getOrElse(coOrderEdges(lineitem))
+      .select(col("a"), col("b"))
+    val tri = tri0.getOrElse(orientedTriangles(e))
+    val degAgg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(expr("(deg * (deg - 1L)) div 2")), lit(0L))
+          .as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nt = tri.agg(count(lit(1)).as("n_triangles"))
+    degAgg.crossJoin(broadcast(ne)).crossJoin(broadcast(nt))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("CAST((n_triangles * 3000000) div nullif(n_wedges, 0L) " +
+          "AS BIGINT)").as("transitivity_ppm"))
+  }
+
   private[graft] def degreeOriented(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

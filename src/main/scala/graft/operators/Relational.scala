@@ -3386,6 +3386,67 @@ object Relational {
           "(CAST(nn AS DOUBLE) - 1.0)))").as("z"))
   }
 
+  /** MOOD'S MEDIAN TEST (round 16) — the k-group location test that
+    * survives what breaks [[kruskalWallis]]: gross outliers and wildly
+    * unequal variances (only the side of the GRAND median counts, so
+    * one corrupted shard cannot drag the statistic). Grand median via
+    * k-th order-statistic selection on the value-grouped grid (the
+    * [[hodgesLehmann]] machinery — no row-level sort); the k×2
+    * above/≤ table then replays [[chiSquare]]'s doctrine verbatim:
+    * structural cells, integer cross-multiplied residuals, per-cell
+    * IEEE terms summed by the SORTED bounded-list fold.
+    *
+    * Output: (l_returnflag, side, o, expected, term, chi2), 2k rows,
+    * ordered; median ties go to '2_le' (v > median is 'above' — the
+    * standard convention). */
+  def moodMedian(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = lineitem
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+    val m = g.groupBy(col("v")).agg(sum(col("cnt")).as("m"))
+      .withColumn("cum", sum(col("m")).over(Window.orderBy(col("v"))))
+    val tot = g.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    val med = m.crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
+        .as("med"))
+    val cells = g.crossJoin(broadcast(med))
+      .groupBy(col("grp"))
+      .agg(coalesce(sum(when(col("v") > col("med"), col("cnt"))
+          .otherwise(0L)), lit(0L)).as("oAbove"),
+        coalesce(sum(when(col("v") <= col("med"), col("cnt"))
+          .otherwise(0L)), lit(0L)).as("oLe"))
+      .select(col("grp"), expr(
+        "stack(2, '1_above', oAbove, '2_le', oLe) AS (side, o)"))
+    val rows = cells.groupBy(col("grp")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("side")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val terms = cells
+      .join(broadcast(rows), Seq("grp"))
+      .join(broadcast(cols), Seq("side"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        (col("r") * col("c")).cast("double") / col("n"))
+      // residual and denominator in DECIMAL(38,0) via the string
+      // bridge — o·n and r·c·n overflow int64 at sf ≥ 1 line counts
+      .withColumn("res",
+        expr("CAST(CAST(o AS DECIMAL(38,0)) * n - " +
+          "CAST(r AS DECIMAL(38,0)) * c AS STRING)").cast("double"))
+      .withColumn("term", (col("res") * col("res")) /
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * c * n AS STRING)")
+          .cast("double"))
+    val stat = terms
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("grp"), col("side"),
+          col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
+    terms.select(col("grp").as("l_returnflag"), col("side"), col("o"),
+        col("expected"), col("term"))
+      .crossJoin(broadcast(stat))
+      .orderBy(col("l_returnflag"), col("side"))
+  }
+
   /** 2-D SKYLINE (round 16) — the Pareto-frontier operator (Börzsönyi
     * et al.'s SKYLINE OF): parts maximal under the (size ≥, price ≥,
     * one strict) dominance order — "largest size at the best price"

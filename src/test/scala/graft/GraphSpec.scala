@@ -347,6 +347,18 @@ class GraphSpec extends SparkSpec {
     assert(rw.toSeq == Seq(168L, 0L, 0L, false), rw)
   }
 
+  test("transitivity: K4 closes every wedge (ppm 1e6); a pendant " +
+    "adds open wedges and dilutes the global ratio") {
+    val k4 = Graph.transitivity(li(1L -> Seq(1L, 2L, 3L, 4L)))
+      .collect().head
+    // 4 nodes, 6 edges, 12 wedges, 4 triangles → C = 1
+    assert(k4.toSeq == Seq(4L, 6L, 12L, 4L, 1000000L), k4.toSeq.toString)
+    // K3 {1,2,3} + pendant 4 on 1: wedges 3+1+1 = 5, one triangle
+    val p = Graph.transitivity(
+      li(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 4L))).collect().head
+    assert(p.toSeq == Seq(4L, 4L, 5L, 1L, 600000L), p.toSeq.toString)
+  }
+
   test("harmonicFromSeeds: 5-node chain — Σ 12/d exact at every " +
     "depth, isolated seed reads zero") {
     val long = li(

@@ -2699,6 +2699,22 @@ class RelationalSpec extends SparkSpec {
       "2024-03-05" -> ((5L, 2L, 1L))), out.mkString(", "))
   }
 
+  test("moodMedian: perfectly separated groups — grand median at the " +
+    "k-th order statistic, uniform expecteds, chi2 = N") {
+    val li = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("l_returnflag", "l_quantity")
+    val out = Relational.moodMedian(li).collect()
+    assert(out.length == 4)
+    val byCell = out.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // median = 2 (cum hits (4+1) div 2 = 2 at v = 2); A fully ≤, B >
+    assert(byCell(("A", "1_above")) == ((0L, 1.0, 1.0)))
+    assert(byCell(("A", "2_le")) == ((2L, 1.0, 1.0)))
+    assert(byCell(("B", "1_above")) == ((2L, 1.0, 1.0)))
+    assert(byCell(("B", "2_le")) == ((0L, 1.0, 1.0)))
+    assert(out.head.getDouble(5) == 4.0, s"chi2 ${out.head.getDouble(5)}")
+  }
+
   test("gapCensus: maximal dead-day runs become rows — adjacent gaps " +
     "never merge across a live day") {
     val orders = Seq(("2024-03-04", 100.0), ("2024-03-08", 100.0),
