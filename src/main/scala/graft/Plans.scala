@@ -38,6 +38,7 @@ object Plans {
         println(s"$name FAILED: ${e.getMessage}")
       }
       SparkEntry.harnessScope.release()
+      SparkEntry.drainTransientScratch()
     }
     spark.stop()
   }

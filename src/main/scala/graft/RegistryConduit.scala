@@ -210,7 +210,7 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     // streaming parser, landed per batch, summarized with the shared
     // fidelity reduction (see ingestParityReplay's scaladoc).
     "stream_ingest_parity" -> ((s, d) => {
-      val base = scratchDir("graft_stream_ingest_")
+      val base = scratchDirTransient("graft_stream_ingest_")
       graft.streaming.StreamingIngest.ingestParityReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
         nFiles = 4)
@@ -311,7 +311,7 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     // under sink_txn_batch's oracle (see exportParityReplay's
     // scaladoc).
     "stream_export_parity" -> ((s, d) => {
-      val base = scratchDir("graft_stream_export_")
+      val base = scratchDirTransient("graft_stream_export_")
       graft.streaming.StreamingExport.exportParityReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
         nFiles = 5)
@@ -324,7 +324,7 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
     // oracle is shared verbatim (see exportExactlyOnceReplay's
     // scaladoc).
     "stream_export_exactly_once" -> ((s, d) => {
-      val base = scratchDir("graft_stream_export_eo_")
+      val base = scratchDirTransient("graft_stream_export_eo_")
       graft.streaming.StreamingExport.exportExactlyOnceReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
         nFiles = 5, replayBatch = 1L)

@@ -326,7 +326,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // stateless streaming face under the full oracle (see
     // contaminationParityReplay's scaladoc).
     "stream_contamination_parity" -> ((s, d) => {
-      val base = scratchDir("graft_stream_contam_")
+      val base = scratchDirTransient("graft_stream_contam_")
       graft.streaming.StreamingContamination.contaminationParityReplay(
         Tables.documents(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
         nFiles = 5)
@@ -340,7 +340,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // (see corpusParityReplay's scaladoc). Closes the last spec-only
     // streaming module.
     "stream_corpus_parity" -> ((s, d) => {
-      val base = scratchDir("graft_stream_corpus_")
+      val base = scratchDirTransient("graft_stream_corpus_")
       graft.streaming.StreamingCorpus.corpusParityReplay(
         Tables.documents(s, d), s"$base/src", s"$base/store",
         s"$base/out", s"$base/ckpt", nFiles = 4)
@@ -353,7 +353,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // drops nothing it shouldn't; the horizon-bites direction is
     // spec-tested (see corpusCompactReplay's scaladoc).
     "stream_corpus_compact" -> ((s, d) => {
-      val base = scratchDir("graft_stream_compact_")
+      val base = scratchDirTransient("graft_stream_compact_")
       graft.streaming.StreamingCorpus.corpusCompactReplay(
         Tables.documents(s, d), s"$base/src", s"$base/store",
         s"$base/out", s"$base/ckpt", nFiles = 4)
@@ -414,6 +414,13 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     "sketch_quantiles" -> ((s, d) =>
       Sketches.quantileSketch(Tables.lineitem(s, d))),
 
+    // Quantile-sketch MERGE audit (round 17): bottom-k by (hash, value)
+    // is a monoid — per-shard samples re-ranked equal the global
+    // sample exactly (n_mismatch = 0 is the law), percentiles served
+    // from the merged state (see quantileMergeAudit's scaladoc).
+    "sketch_quantile_merge" -> ((s, d) =>
+      Sketches.quantileMergeAudit(Tables.lineitem(s, d))),
+
     // KMV/theta sketch (round 11): per-event-type distinct users AND the
     // click∩purchase audience overlap from two 64-row bottom-k
     // summaries — the set-expression sketch HLL can't provide. One
@@ -439,7 +446,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // scope vs the batch bottom-k replay (see kmvParityReplay's
     // scaladoc) — order-insensitive state pinned to the oracle.
     "stream_sketch_parity" -> ((s, d) => {
-      val base = scratchDir("graft_stream_kmv_")
+      val base = scratchDirTransient("graft_stream_kmv_")
       graft.streaming.StreamingSketches.kmvParityReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
         nFiles = 5)
@@ -1531,6 +1538,35 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "MAX(CASE WHEN vr = (90*n+99)//100 THEN v END) AS p90 FROM s2 GROUP BY 1) " +
         "SELECT q.grp, nn.n_rows, q.n_sample, q.p25, q.p50, q.p75, q.p90 " +
         "FROM q JOIN nn USING (grp) ORDER BY grp"),
+
+    // merge-law replay: per-shard window-rank bottom-256 → union →
+    // re-rank vs the direct global bottom-256, elementwise mismatch
+    // over the rank join, percentiles from the MERGED sample
+    "sketch_quantile_merge" ->
+      ("WITH keyed AS (SELECT l_returnflag || ':' || l_linestatus AS shard, " +
+        "CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR)), 1, 7)) AS BIGINT) AS h, " +
+        "CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), " +
+        "ssamp AS (SELECT shard, h, v FROM (SELECT shard, h, v, " +
+        "row_number() OVER (PARTITION BY shard ORDER BY h, v) AS rn " +
+        "FROM keyed) t WHERE rn <= 256), " +
+        "merged AS (SELECT h, v, rk FROM (SELECT h, v, " +
+        "row_number() OVER (ORDER BY h, v) AS rk FROM ssamp) t WHERE rk <= 256), " +
+        "direct AS (SELECT h, v, rk FROM (SELECT h, v, " +
+        "row_number() OVER (ORDER BY h, v) AS rk FROM keyed) t WHERE rk <= 256), " +
+        "ns AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards FROM keyed), " +
+        "nsamp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM direct), " +
+        "mm AS (SELECT CAST(COALESCE(SUM(CASE WHEN m.h = d.h AND m.v = d.v " +
+        "THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_mismatch " +
+        "FROM merged m FULL OUTER JOIN direct d USING (rk)), " +
+        "s2 AS (SELECT v, row_number() OVER (ORDER BY v) AS vr, " +
+        "COUNT(*) OVER () AS n FROM merged), " +
+        "q AS (SELECT MAX(CASE WHEN vr = (25*n+99)//100 THEN v END) AS p25, " +
+        "MAX(CASE WHEN vr = (50*n+99)//100 THEN v END) AS p50, " +
+        "MAX(CASE WHEN vr = (75*n+99)//100 THEN v END) AS p75, " +
+        "MAX(CASE WHEN vr = (90*n+99)//100 THEN v END) AS p90 FROM s2) " +
+        "SELECT n_shards, n_sample, n_mismatch, p25, p50, p75, p90 " +
+        "FROM ns CROSS JOIN nsamp CROSS JOIN mm CROSS JOIN q"),
 
     // KMV/theta replay: the window-rank bottom-64 per type selects the
     // same distinct-hash sets the engine's BottomKAgg keeps; θ, the

@@ -219,7 +219,7 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // neighbor-list ORDER is deliberately out of contract (beam
     // results never depend on it; search explores whole lists).
     "sim_ann_hnsw_build" -> ((s, d) => {
-      val dir = scratchDir("graft_hnsw_build_") + "/idx"
+      val dir = scratchDirTransient("graft_hnsw_build_") + "/idx"
       GraphAnn.buildHnswIndex(
         Tables.embeddings(s, d).filter(col("vec_id") < 40).coalesce(1),
         dir, m = 4, efConstruction = 48, maxLevel = 6)
@@ -241,7 +241,7 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     // replays (the same unrolled 40-node CTE as sim_ann_hnsw_build).
     // See upsertHnswIndex's scaladoc for the fold identity.
     "sim_ann_hnsw_upsert" -> ((s, d) => {
-      val base = scratchDir("graft_hnsw_upsert_")
+      val base = scratchDirTransient("graft_hnsw_upsert_")
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 40)
       GraphAnn.buildHnswIndex(emb.filter(col("vec_id") < 30).coalesce(1),
         s"$base/idx", m = 4, efConstruction = 48, maxLevel = 6)

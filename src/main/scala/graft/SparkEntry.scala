@@ -72,6 +72,38 @@ object SparkEntry extends RegistryConduit with RegistryAnalytics
     p.toString
   }
 
+  /** Transient per-query scratch (round 17): the stream replays and
+    * index-build parities allocate src/store/out/ckpt dirs whose
+    * lifetime is ONE query evaluation — nothing reads them after the
+    * query's frame materializes. [[scratchDir]]'s exit-hook cleanup let
+    * a full 2-pass bench accumulate every replay's files for the whole
+    * run (2 × 15 replay keys of parquet + checkpoint state on the
+    * harness tmp volume); these register in a drain queue instead, and
+    * Bench/Verify call [[drainTransientScratch]] after each query so
+    * peak scratch is ONE query's footprint. A single exit hook still
+    * covers consumers that never drain (specs, ad-hoc use). */
+  private val transientScratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    sys.addShutdownHook { drainTransientScratch() }
+    ()
+  }
+  private[graft] def scratchDirTransient(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    transientScratch.add(p)
+    p.toString
+  }
+  /** Delete every transient scratch dir allocated since the last drain.
+    * Safe mid-run by the transient contract: callers drain only at
+    * query boundaries, after the query's result has materialized. */
+  def drainTransientScratch(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    var p = transientScratch.poll()
+    while (p != null) { rm(p.toFile); p = transientScratch.poll() }
+  }
+
   /** Session-scoped memo of the capped near-dup PAIR relation (threshold
     * 0.5, n=3, maxDf=100) per (session, data dir): `dedup_fuzzy` and
     * `dedup_cluster` consume the SAME relation, so the harness

@@ -191,6 +191,21 @@ object PortableHash {
   def md5Prefix28(digest: Array[Byte]): Long =
     ((digest(0) & 0xffL) << 20) | ((digest(1) & 0xffL) << 12) |
       ((digest(2) & 0xffL) << 4) | ((digest(3) & 0xffL) >>> 4)
+
+  /** Integer value of the first `nChars` lowercase-hex chars of an md5
+    * digest — the general form of [[md5Prefix28]], byte-identical to
+    * `conv(substring(md5(s), 1, nChars), 16, 10)` for nChars ≤ 15
+    * (bounded so the value fits a non-negative long). */
+  def hexPrefixVal(digest: Array[Byte], nChars: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < nChars) {
+      val b = digest(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
 }
 
 /** MinHash signature of a shingle set in one pass: base = the 28-bit
@@ -253,6 +268,94 @@ case class MinHashSig(child: Expression, k: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Integer value of the first `nChars` hex chars of md5(s) — the
+  * deterministic-draw primitive behind the md5 Poisson bootstrap, the
+  * permutation test, the theta/KMV sketches and the holdout split.
+  * Drop-in for the composable `conv(substring(md5(s), 1, nChars), 16,
+  * 10)` chain, which per row formats a 32-char hex UTF8String, slices
+  * it, and re-parses it through NumberConverter; here the digest bytes
+  * feed [[PortableHash.hexPrefixVal]] directly (shared per-thread
+  * digest memo — Zipf-repeated keys like user_id/l_partkey hit the
+  * cache). Value is byte-identical, so every DuckDB oracle that
+  * replays the conv-substring form is unaffected. nChars ≤ 15 keeps
+  * the value in a non-negative long (the conv chain itself is only
+  * used ≤ 12 chars). */
+case class Md5HexPrefix(child: Expression, nChars: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nChars > 0 && nChars <= 15, s"nChars out of range: $nChars")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hex_prefix"
+
+  def value(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    PortableHash.hexPrefixVal(PortableHash.md5Memo.get().digest(s), nChars)
+
+  override def nullSafeEval(v: Any): Any =
+    value(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("md5HexPrefix", this,
+        classOf[Md5HexPrefix].getName)
+      s"${ev.value} = $ref.value($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5HexPrefix =
+    copy(child = newChild)
+}
+
+/** The `n` md5 percent/residue draws of one key in a single tight
+  * loop: element i = first-7-hex-chars value of md5(key || ":" || i)
+  * mod `mod` — byte-identical to the unrolled
+  * `conv(substring(md5(concat(key, ':', i)), 1, 7), 16, 10) % mod`
+  * the DuckDB oracles replay. Replaces the explode(sequence(0, n-1))
+  * → per-row concat → md5-hex → conv pipeline of the bootstrap /
+  * permutation resamplers, which pushed n separate string-format +
+  * parse chains per input row; here the key's bytes are fetched once
+  * and the n digests run back-to-back on the per-thread digest with
+  * precomputed ":i" suffix bytes. Consume with posexplode (pos = the
+  * resample index i, col = the draw). */
+case class Md5SuffixDraws(child: Expression, n: Int, mod: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  require(n > 0, s"n must be positive: $n")
+  require(mod > 0, s"mod must be positive: $mod")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_suffix_draws"
+
+  private lazy val suffixes: Array[Array[Byte]] =
+    Array.tabulate(n)(i => (":" + i).getBytes("UTF-8"))
+
+  def draws(key: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val md = PortableHash.md5.get()
+    val kb = key.getBytes
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(kb)
+      md.update(suffixes(i))
+      out(i) = PortableHash.hexPrefixVal(md.digest(), 7) % mod
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    draws(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("md5SuffixDraws", this,
+        classOf[Md5SuffixDraws].getName)
+      s"${ev.value} = $ref.draws($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SuffixDraws =
     copy(child = newChild)
 }
 
@@ -702,4 +805,14 @@ object VectorFunctions {
   /** Column API for [[QmScore]]. */
   def qmScore(text: Column, buckets: Long): Column =
     GraftColumnBridge.column(QmScore(GraftColumnBridge.expression(text), buckets))
+
+  /** Column API for [[Md5HexPrefix]]. */
+  def md5HexPrefix(s: Column, nChars: Int): Column =
+    GraftColumnBridge.column(Md5HexPrefix(
+      GraftColumnBridge.expression(s), nChars))
+
+  /** Column API for [[Md5SuffixDraws]]. */
+  def md5SuffixDraws(key: Column, n: Int, mod: Int): Column =
+    GraftColumnBridge.column(Md5SuffixDraws(
+      GraftColumnBridge.expression(key), n, mod))
 }

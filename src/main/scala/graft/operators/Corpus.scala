@@ -777,8 +777,8 @@ object Corpus {
   def sampleWeighted(docs: DataFrame, denom: Int = 400): DataFrame = {
     require(denom > 0, s"denom must be positive, got $denom")
     val nTokens = size(split(col("text"), " ")).cast("long")
-    val hash28 = conv(substring(md5(col("doc_id").cast("string")), 1, 7),
-      16, 10).cast("long")
+    val hash28 = graft.functions.VectorFunctions
+      .md5HexPrefix(col("doc_id").cast("string"), 7)
     docs.select(col("doc_id"), nTokens.as("n_tokens"), hash28.as("h"))
       .filter(col("h") * denom < (col("n_tokens") * (1L << 28)))
       .select(col("doc_id"), col("n_tokens"),

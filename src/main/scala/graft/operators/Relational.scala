@@ -1634,8 +1634,8 @@ object Relational {
     * ordered. */
   def madOutliers(events: DataFrame, r: Int = 256): DataFrame = {
     val cents = (dec2(col("value")) * 100).cast("long")
-    val h = conv(substring(md5(concat(col("event_id").cast("string"))),
-      1, 7), 16, 10).cast("long")
+    val h = graft.functions.VectorFunctions
+      .md5HexPrefix(col("event_id").cast("string"), 7)
     val keyed = events.select(col("event_type"), col("event_id"),
       cents.as("c")).withColumn("h", h)
     def med(df: DataFrame, vc: Column): DataFrame =
@@ -2363,13 +2363,15 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val cents = (dec2(col("o_totalprice")) * 100).cast("long")
     val keyed = orders.select(col("o_orderkey"), cents.as("c"))
+    // draws come from the native Md5SuffixDraws loop (one key-byte
+    // fetch + b back-to-back digests per row) — byte-identical to the
+    // conv(substring(md5(concat(key, ':', rb)), 1, 7), 16, 10) % 100
+    // chain the oracle replays, without the per-(row, rb) string
+    // format/parse pipeline behind explode(sequence(...))
     val resamples = keyed
-      .select(col("o_orderkey"), col("c"),
-        explode(sequence(lit(0), lit(b - 1))).as("rb"))
-      .withColumn("pct",
-        conv(substring(md5(concat(col("o_orderkey").cast("string"),
-          lit(":"), col("rb").cast("string"))), 1, 7), 16, 10)
-          .cast("long") % 100)
+      .select(col("c"), posexplode(graft.functions.VectorFunctions
+          .md5SuffixDraws(col("o_orderkey").cast("string"), b, 100))
+        .as(Seq("rb", "pct")))
       .withColumn("w",
         BootstrapW.foldRight(lit(0)) { case ((hi, wgt), els) =>
           when(col("pct") < hi, lit(wgt)).otherwise(els)
@@ -2704,10 +2706,10 @@ object Relational {
     val obs = armAgg(keyed, col("arm"), Seq.empty)
       .select(col("n0").as("n0o"), col("n1").as("n1o"), gap.as("gapo"))
     val perms = keyed
-      .select(col("c"), explode(sequence(lit(0), lit(b - 1))).as("rb"),
-        (conv(substring(md5(concat(col("event_id").cast("string"),
-          lit(":"), col("rb").cast("string"))), 1, 7), 16, 10)
-          .cast("long") % 2).cast("int").as("parm"))
+      .select(col("c"), posexplode(graft.functions.VectorFunctions
+          .md5SuffixDraws(col("event_id").cast("string"), b, 2))
+        .as(Seq("rb", "d")))
+      .select(col("c"), col("rb"), col("d").cast("int").as("parm"))
     val perRb = armAgg(perms, col("parm"), Seq(col("rb")))
       .select(col("rb"), col("n0"), col("n1"), gap.as("gapb"))
     perRb.crossJoin(broadcast(obs))

@@ -24,7 +24,7 @@ object Sketches {
     * .md5Prefix28]]) reduced mod `mod` — in SQL:
     * `CAST('0x' || substring(md5(s), 1, 7) AS BIGINT) % mod`. */
   private def md5Pos(s: Column, mod: Int): Column =
-    conv(substring(md5(s), 1, 7), 16, 10).cast("long") % mod
+    graft.functions.VectorFunctions.md5HexPrefix(s, 7) % mod
 
   /** Distinct 13-gram fingerprints per document — EXACTLY the
     * `contamination_ngram` gram contract (winnowFps at w=1: every
@@ -215,9 +215,8 @@ object Sketches {
     val rMax = 28 - b + 1
     val keyed = lineitem
       .select(col("l_returnflag"), col("l_partkey"))
-      .withColumn("h",
-        conv(substring(md5(col("l_partkey").cast("string")), 1, 7), 16, 10)
-          .cast("long"))
+      .withColumn("h", graft.functions.VectorFunctions
+        .md5HexPrefix(col("l_partkey").cast("string"), 7))
       .withColumn("bucket", col("h") % m)
       .withColumn("v", expr(s"h div $m"))
       .withColumn("rho", when(col("v") === 0, lit(rMax.toLong))
@@ -339,8 +338,8 @@ object Sketches {
     val m = 1L << b
     val occupied = lineitem
       .select(col("l_returnflag"),
-        (conv(substring(md5(col("l_partkey").cast("string")), 1, 7), 16, 10)
-          .cast("long") % m).as("bucket"))
+        (graft.functions.VectorFunctions
+          .md5HexPrefix(col("l_partkey").cast("string"), 7) % m).as("bucket"))
       .distinct()
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("filled"))
     val series = (1 to 8).map { k =>
@@ -380,9 +379,8 @@ object Sketches {
     val keyed = lineitem
       .select(concat(col("l_returnflag"), lit(":"), col("l_linestatus"))
         .as("shard"), col("l_partkey"))
-      .withColumn("h",
-        conv(substring(md5(col("l_partkey").cast("string")), 1, 7), 16, 10)
-          .cast("long"))
+      .withColumn("h", graft.functions.VectorFunctions
+        .md5HexPrefix(col("l_partkey").cast("string"), 7))
       .withColumn("bucket", col("h") % m)
       .withColumn("v", expr(s"h div $m"))
       .withColumn("rho", when(col("v") === 0, lit(rMax.toLong))
@@ -453,8 +451,8 @@ object Sketches {
                   typeA: String = "click", typeB: String = "purchase"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val Space = 1L << 48
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
-      .cast("long")
+    val h = graft.functions.VectorFunctions
+      .md5HexPrefix(col("user_id").cast("string"), 12)
     val du = events.select(col("event_type"), h.as("h")).distinct()
     val sk = du.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_exact"),
@@ -527,8 +525,8 @@ object Sketches {
                  typeA: String = "click", typeB: String = "purchase"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val Space = 1L << 48
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
-      .cast("long")
+    val h = graft.functions.VectorFunctions
+      .md5HexPrefix(col("user_id").cast("string"), 12)
     val du = events.select(col("event_type"), h.as("h")).distinct()
     val sk = du.groupBy(col("event_type"))
       .agg(graft.functions.BottomKAgg.bottomK(k)(col("h"), col("h"))
@@ -597,9 +595,9 @@ object Sketches {
     require(r >= 1, "sample size must be positive")
     // row key: (orderkey, linenumber) is the relation's primary key, so
     // the 28-bit md5 prefix is a deterministic uniform draw per row
-    val hash = conv(substring(md5(concat(
-        col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string"))), 1, 7), 16, 10).cast("long")
+    val hash = graft.functions.VectorFunctions.md5HexPrefix(
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")), 7)
     val agg = lineitem
       .groupBy(col("l_returnflag").as("grp"))
       .agg(count(lit(1)).as("n_rows"),
@@ -614,6 +612,64 @@ object Sketches {
     agg.select(col("grp"), col("n_rows"), n.as("n_sample"),
         q(25).as("p25"), q(50).as("p50"), q(75).as("p75"), q(90).as("p90"))
       .orderBy(col("grp"))
+  }
+
+  /** QUANTILE-SKETCH MERGEABILITY AUDIT (round 17) — the merge law
+    * the other sketch merges already pin (bloom OR, HLL register max,
+    * theta bottom-k union) proven for the quantile reservoir:
+    * bottom-k by (hash, value) is a MONOID — re-ranking the union of
+    * per-shard bottom-k samples yields exactly the global bottom-k
+    * sample, because any pair in the global bottom-k is necessarily
+    * in its own shard's bottom-k. A 100 TB deployment therefore
+    * computes per-shard samples map-side, merges r-sized states at
+    * the coordinator, and serves global percentiles with NO second
+    * data pass; this key audits merged-vs-direct elementwise
+    * (n_mismatch = 0 IS the law; zip_with pads a length mismatch with
+    * nulls, which count as mismatches like the oracle's full-outer
+    * rank join) and surfaces the percentiles FROM the merged sample
+    * (the state a coordinator would actually serve).
+    *
+    * Scale shape: one bounded-state partial aggregation per shard
+    * (map-side combine), a ≤ shards·r-row exploded union re-ranked in
+    * one r-bounded aggregate, and the direct global sample for the
+    * audit. Nothing row-scale leaves the first aggregation.
+    *
+    * Output: ONE row (n_shards, n_sample, n_mismatch, p25, p50, p75,
+    * p90). */
+  def quantileMergeAudit(lineitem: DataFrame, r: Int = 256): DataFrame = {
+    require(r >= 1, "sample size must be positive")
+    val hash = graft.functions.VectorFunctions.md5HexPrefix(
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")), 7)
+    val keyed = lineitem.select(
+      concat(col("l_returnflag"), lit(":"), col("l_linestatus"))
+        .as("shard"),
+      hash.as("h"), col("l_extendedprice").cast("double").as("v"))
+    val shardSamp = keyed.groupBy(col("shard"))
+      .agg(graft.functions.BottomKAgg.bottomK(r)(col("h"), col("v"))
+        .as("samp"))
+    val nShards = shardSamp.agg(count(lit(1)).as("n_shards"))
+    val merged = shardSamp
+      .select(explode(col("samp")).as("s"))
+      .select(col("s._1").as("h"), col("s._2").as("v"))
+      .agg(graft.functions.BottomKAgg.bottomK(r)(col("h"), col("v"))
+        .as("msamp"))
+    val direct = keyed
+      .agg(graft.functions.BottomKAgg.bottomK(r)(col("h"), col("v"))
+        .as("dsamp"))
+    val vals = sort_array(transform(col("msamp"), s => s("_2")))
+    def q(p: Int): Column =
+      when(size(col("msamp")) === 0, lit(null).cast("double"))
+        .otherwise(element_at(vals,
+          expr(s"CAST(($p * size(msamp) + 99) div 100 AS INT)")))
+    merged.crossJoin(broadcast(direct)).crossJoin(broadcast(nShards))
+      .select(col("n_shards"),
+        size(col("dsamp")).cast("long").as("n_sample"),
+        aggregate(
+          zip_with(col("msamp"), col("dsamp"),
+            (m, d) => when(m === d, 0L).otherwise(1L)),
+          lit(0L), (acc, x) => acc + x).as("n_mismatch"),
+        q(25).as("p25"), q(50).as("p50"), q(75).as("p75"), q(90).as("p90"))
   }
 
   /** AMS F₂ / TUG-OF-WAR SKETCH (round 14) — the second-frequency-
@@ -647,8 +703,9 @@ object Sketches {
       count(lit(1)).as("n_keys"),
       sum(col("c").cast(dec) * col("c")).as("f2_exact"))
     val sign = when(
-      conv(substring(md5(concat(col("j").cast("string"), lit(":"),
-        col("key").cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 0,
+      graft.functions.VectorFunctions.md5HexPrefix(
+        concat(col("j").cast("string"), lit(":"),
+          col("key").cast("string")), 1) % 2 === 0,
       lit(1L)).otherwise(lit(-1L))
     val med = counts
       .select(col("key"), col("c"),

@@ -830,4 +830,35 @@ class PlanInvariantsSpec extends SparkSpec {
         s"$q shuffles its bounded grid:\n$plan")
     }
   }
+
+  test("round-16 closing cohort: transitivity aggregates the memo edge " +
+    "list (scalar attaches broadcast), Mood's median grid never " +
+    "sort-merges, gap census windows only the bounded calendar") {
+    // transitivity: three bounded aggregates over the memoized edge /
+    // triangle relations, stitched by broadcast scalar attaches — a
+    // SortMergeJoin or shuffled cartesian means a 1-row frame started
+    // shuffling like data
+    val tr = planOf("graph_transitivity")
+    assert(tr.contains("HashAggregate"),
+      s"graph_transitivity lost its aggregation:\n$tr")
+    assert(!tr.contains("SortMergeJoin") && !tr.contains("CartesianProduct"),
+      s"graph_transitivity shuffles a bounded side:\n$tr")
+    // Mood's median: everything after the (grp, v) value-grouping is
+    // grid-sized (groups × distinct quantities); the median attach,
+    // the margin joins and the chi² attach must all broadcast
+    val mm = planOf("stats_mood_median")
+    assert(!mm.contains("SortMergeJoin") && !mm.contains("CartesianProduct"),
+      s"stats_mood_median shuffles its contingency grid:\n$mm")
+    assert(mm.contains("BroadcastHashJoin") ||
+      mm.contains("BroadcastNestedLoopJoin"),
+      s"stats_mood_median lost its broadcast attaches:\n$mm")
+    // gap census: one daily aggregation, then islands-and-gaps over
+    // the BOUNDED calendar domain — the only window is the cap-gated
+    // calendar frame and no join may appear at data scale
+    val gc = planOf("window_gap_census")
+    assert(gc.contains("HashAggregate"),
+      s"window_gap_census lost the daily pre-aggregation:\n$gc")
+    assert(!gc.contains("SortMergeJoin") && !gc.contains("CartesianProduct"),
+      s"window_gap_census shuffles its calendar grid:\n$gc")
+  }
 }

@@ -156,6 +156,41 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantileMergeAudit: bottom-k is a monoid — 0 mismatches on a " +
+    "multi-shard fixture with r binding, merged percentiles replay an " +
+    "independent driver-side bottom-k") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => (if (i % 2 == 0) "A" else "B",
+      if (i % 3 == 0) "X" else "Y", i.toLong, 1L, i.toDouble * 10))
+    val li = rows.toDF("l_returnflag", "l_linestatus", "l_orderkey",
+      "l_linenumber", "l_extendedprice")
+    val r = Sketches.quantileMergeAudit(li, r = 8).collect().head
+    assert(r.getLong(0) == 4L, "4 shards expected (A/B x X/Y)")
+    assert(r.getLong(1) == 8L, "direct sample must cap at r")
+    assert(r.getLong(2) == 0L, "merge law violated: merged != direct")
+    // independent replay of the global bottom-8 with the same hash
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(ok: Long, ln: Long): Long = {
+      md.reset()
+      graft.functions.PortableHash.hexPrefixVal(
+        md.digest(s"$ok:$ln".getBytes("UTF-8")), 7)
+    }
+    val samp = rows.map { case (_, _, ok, ln, v) => (h(ok, ln), v) }
+      .sorted.take(8).map(_._2).sorted
+    def nr(p: Int): Double = samp((p * 8 + 99) / 100 - 1)
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      == ((nr(25), nr(50), nr(75), nr(90))))
+  }
+
+  test("quantileMergeAudit on the corpus: the law holds at full r and " +
+    "the audit is repartition-invariant") {
+    val li = Tables.lineitem(spark, sf0)
+    val a = Sketches.quantileMergeAudit(li).collect().toSeq
+    val b = Sketches.quantileMergeAudit(li.repartition(13)).collect().toSeq
+    assert(a == b, "audit changed under repartitioning")
+    assert(a.head.getLong(2) == 0L, "merge law violated on the corpus")
+  }
+
   test("quantile sketch rank error stays within the binomial envelope " +
     "of a 256-sample against the exact distribution") {
     val li = Tables.lineitem(spark, sf0)
