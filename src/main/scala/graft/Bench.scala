@@ -170,10 +170,13 @@ object Bench {
     // floor → by magnitude), bounded by the remaining wall budget.
     // Each re-run takes the min of its samples, exactly like the old
     // full pass 2 but spending time where noise actually matters.
-    // Sweep 1 covers every key that ran; sweeps 2–3 revisit only keys
-    // still >1.5× their floor (the round-16 "weak" pair were exactly
-    // min-of-many floors vs a 2-sample run — extra samples on the
-    // outliers re-floor them in the same artifact).
+    // Sweep 1 covers every key that ran except those pass 1 already
+    // measured at ≤1.15× floor (a second sample there can neither
+    // move the 2× gate nor flag anything — skipping them trims ~1 min
+    // of quiet-host wall); sweeps 2–3 revisit only keys still >1.5×
+    // their floor (the round-16 "weak" pair were exactly min-of-many
+    // floors vs a 2-sample run — extra samples on the outliers
+    // re-floor them in the same artifact).
     val fnByName = names.toMap
     def suspicion(n: String, t: Double): Double = floors.get(n) match {
       case Some(f) if f > 0.01 => t / f
@@ -194,7 +197,8 @@ object Bench {
       val candidates = best.toSeq
         .filter { case (_, (_, ok)) => ok }
         .map { case (n, (t, _)) => (n, t, suspicion(n, t)) }
-        .filter { case (_, _, susp) => sweep == 1 || susp > 1.5 }
+        .filter { case (_, _, susp) =>
+          if (sweep == 1) susp > 1.15 else susp > 1.5 }
         .sortBy { case (_, _, susp) => -susp }
       candidates.foreach { case (name, t1, _) =>
         // leave headroom: a re-run costs ~t1 again (plus slack for a

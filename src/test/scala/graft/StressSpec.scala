@@ -715,4 +715,61 @@ class StressSpec extends SparkSpec {
           "10x data — hidden-constant scale cliff")
     }
   }
+
+  test("10x orders: md5-Poisson bootstrap stays linear-class with the " +
+    "native draw loop; the observed mean is clone-exact") {
+    gated()
+    val orders = Tables.orders(spark, sfStress)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val o10 = (0 until 10).map(i => orders.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    val t1 = System.nanoTime()
+    val r1 = graft.operators.Relational.bootstrapCi(orders).collect().head
+    val w1 = (System.nanoTime() - t1) / 1e9
+    val t10 = System.nanoTime()
+    val r10 = graft.operators.Relational.bootstrapCi(o10).collect().head
+    val w10 = (System.nanoTime() - t10) / 1e9
+    // cloning multiplies the exact cents sum and the count by the same
+    // factor, so the one closing IEEE division rounds identically —
+    // mean_obs is BIT-equal while every resample draw is fresh (new
+    // orderkeys => new md5 streams)
+    assert(r10.getDouble(1) == r1.getDouble(1),
+      s"clone-exact mean broke: ${r10.getDouble(1)} vs ${r1.getDouble(1)}")
+    assert(r10.getLong(0) == 64L && r10.getDouble(2) <= r10.getDouble(3),
+      s"degenerate CI at 10x: ${r10.toSeq}")
+    val ratio = w10 / math.max(w1, 0.05)
+    assert(ratio < 30.0 || w10 < 30.0,
+      f"bootstrap scaled $w1%.1f s -> $w10%.1f s ($ratio%.0fx) at 10x " +
+        "data — hidden-constant scale cliff")
+    info(f"10x bootstrap (B=64 native draws over ${10 * 150} k orders): " +
+      f"$w1%.1f s -> $w10%.1f s ($ratio%.1fx)")
+  }
+
+  test("10x lineitem: the quantile-sample merge law is scale-invariant " +
+    "(0 mismatches on the cloned corpus) and the audit stays bounded") {
+    gated()
+    val li = Tables.lineitem(spark, sfStress)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+    val li10 = (0 until 10).map(i => li.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    val t1 = System.nanoTime()
+    val r1 = graft.operators.Sketches.quantileMergeAudit(li).collect().head
+    val w1 = (System.nanoTime() - t1) / 1e9
+    val t10 = System.nanoTime()
+    val r10 = graft.operators.Sketches.quantileMergeAudit(li10)
+      .collect().head
+    val w10 = (System.nanoTime() - t10) / 1e9
+    assert(r1.getLong(2) == 0L && r10.getLong(2) == 0L,
+      s"merge law violated: 1x=${r1.getLong(2)} 10x=${r10.getLong(2)}")
+    assert(r10.getLong(1) == 256L, s"sample must cap at r: ${r10.toSeq}")
+    val ratio = w10 / math.max(w1, 0.05)
+    assert(ratio < 30.0 || w10 < 30.0,
+      f"quantile merge audit scaled $w1%.1f s -> $w10%.1f s ($ratio%.0fx)" +
+        " at 10x data — hidden-constant scale cliff")
+    info(f"10x quantile merge audit: $w1%.1f s -> $w10%.1f s " +
+      f"($ratio%.1fx), law holds at both scales")
+  }
 }
