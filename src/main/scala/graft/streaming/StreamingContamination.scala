@@ -97,16 +97,18 @@ object StreamingContamination {
       val stream = spark.readStream
         .schema(spark.read.parquet(srcDir).schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      val q = stream.writeStream
-        .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          gateBatch(b, bench)
-            .select(col("doc_id"), col("n_shared"), col("contaminated"))
-            .write.mode("append").parquet(outDir)
-          ()
-        }.start()
-      q.awaitTermination()
+      ReplayConf.withReplayPartitions(spark) {
+        val q = stream.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            gateBatch(b, bench)
+              .select(col("doc_id"), col("n_shared"), col("contaminated"))
+              .write.mode("append").parquet(outDir)
+            ()
+          }.start()
+        q.awaitTermination()
+      }
     } finally bench.close()
     spark.read.parquet(outDir).orderBy(col("doc_id"))
   }

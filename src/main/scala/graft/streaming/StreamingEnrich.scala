@@ -62,14 +62,16 @@ object StreamingEnrich {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("c_name"), col("c_mktsegment"),
         col("nation"), col("region"))
-    val q = out.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
-      }.start()
-    q.awaitTermination()
+    ReplayConf.withReplayPartitions(spark) {
+      val q = out.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
+        }.start()
+      q.awaitTermination()
+    }
     val dir = new java.io.File(outDir)
     if (!dir.exists())
       spark.createDataFrame(

@@ -77,8 +77,10 @@ object StreamingExport {
     // throws (the txnBatchRoundTrip lesson, both read sites)
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val q = exportStream(stream, Seq("event_type"), outDir, checkpointDir)
-    q.awaitTermination()
+    ReplayConf.withReplayPartitions(spark) {
+      val q = exportStream(stream, Seq("event_type"), outDir, checkpointDir)
+      q.awaitTermination()
+    }
     val dir = new java.io.File(outDir)
     val landedSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("payload_json",
@@ -144,8 +146,10 @@ object StreamingExport {
     }
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val q = exportStream(stream, Seq("event_type"), outDir, checkpointDir)
-    q.awaitTermination()
+    ReplayConf.withReplayPartitions(spark) {
+      val q = exportStream(stream, Seq("event_type"), outDir, checkpointDir)
+      q.awaitTermination()
+    }
     // inject the duplicate delivery: batch `replayBatch`'s body re-runs
     // from its original input — at-least-once made visible
     if (parts.nonEmpty && replayBatch < parts.length) {

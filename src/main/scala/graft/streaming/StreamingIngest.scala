@@ -107,14 +107,16 @@ object StreamingIngest {
     val parsed = parseJsonLines(lines)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("_corrupt"))
-    val q = parsed.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
-      }.start()
-    q.awaitTermination()
+    ReplayConf.withReplayPartitions(spark) {
+      val q = parsed.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
+        }.start()
+      q.awaitTermination()
+    }
     summarizeBatch(
       spark.read.parquet(outDir)
         .select(col("event_id"), col("user_id"), col("event_type"),
