@@ -48,6 +48,13 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
     "sim_recall_report" -> ((s, d) =>
       Similarity.recallReport(Tables.embeddings(s, d))),
 
+    // Rank-biased overlap audit (round 17): ORDER-aware ANN quality —
+    // truncated RBO@10 (p = 0.9) of the LSH list against the exact
+    // list, per query; recall counts set hits, RBO discounts by depth
+    // (see rboAudit's scaladoc).
+    "sim_rbo_audit" -> ((s, d) =>
+      Similarity.rboAudit(Tables.embeddings(s, d))),
+
     // Trained-index recall (round 12): the SAME audit over the SERVED
     // IVF plan — the memoized persisted quantizer, so the measured
     // recall is exactly what production serves.
@@ -1329,6 +1336,42 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank " +
         "FROM s WHERE NOT isnan(cos)) " +
         "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+
+    // RBO replay: the exact-top-10 CTE (sqlBruteForceTopK front) and
+    // the LSH-top-10 CTE (sim_ann_lsh front) joined on item; each
+    // common item contributes the Scala-computed per-rank weight of
+    // GREATEST(ra, rb) (identical literals both sides), per-query sum
+    // as an n_id-ordered list_reduce fold (chiSquare double doctrine)
+    "sim_rbo_audit" -> {
+      val ws = graft.operators.Similarity.rboWeights(10,
+        graft.operators.Similarity.RboPersistence)
+      val caseW = (1 to 10).map(m => s"WHEN ${m} THEN ${ws(m - 1)}")
+        .mkString("CASE GREATEST(ra, rb) ", " ", " END")
+      s"WITH $sqlQuantCte, $sqlLshBucketCte, " +
+        "ex0 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        s"${sqlCosFrag("q", "c")} AS cos " +
+        "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id), " +
+        "exr AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, n_id) AS ra FROM ex0 WHERE NOT isnan(cos)), " +
+        "ex AS (SELECT q_id, n_id, ra FROM exr WHERE ra <= 10), " +
+        "qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bk WHERE vec_id < 10), " +
+        "cand AS (SELECT DISTINCT qb.q_id, b.vec_id AS n_id FROM qb " +
+        "JOIN bk b ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND b.vec_id != qb.q_id), " +
+        s"an0 AS (SELECT c.q_id, c.n_id, ${sqlCosFrag("q", "x")} AS cos " +
+        "FROM cand c JOIN n q ON c.q_id = q.vec_id JOIN n x ON c.n_id = x.vec_id), " +
+        "anr AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, n_id) AS rb FROM an0 WHERE NOT isnan(cos)), " +
+        "an AS (SELECT q_id, n_id, rb FROM anr WHERE rb <= 10), " +
+        s"com AS (SELECT ex.q_id, ex.n_id, $caseW AS w " +
+        "FROM ex JOIN an ON ex.q_id = an.q_id AND ex.n_id = an.n_id), " +
+        "agg AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_common, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY n_id)), " +
+        "(a, b) -> a + b) AS rbo FROM com GROUP BY 1), " +
+        "qs AS (SELECT DISTINCT q_id FROM ex) " +
+        "SELECT qs.q_id, COALESCE(agg.n_common, 0) AS n_common, " +
+        "COALESCE(agg.rbo, 0.0) AS rbo FROM qs LEFT JOIN agg USING (q_id) " +
+        "ORDER BY qs.q_id"
+    },
 
     // radius-search replay: identical bucket/candidate/cosine CTEs, the
     // tail aggregates with the NaN gate; left join from the query set

@@ -663,6 +663,80 @@ object Similarity {
     * corpus-sized work is the legs themselves. */
   def recallReport(emb: DataFrame, nQueries: Int = LshNQueries,
                    k: Int = LshK): DataFrame =
+    recallReportImpl(emb, nQueries, k)
+
+  /** Persistence parameter of [[rboAudit]] (Webber et al. 2010's p):
+    * 0.9 weights the top of the list ~86% into the first 10 ranks —
+    * the standard serving-quality setting. Shared with the oracle
+    * generator (the per-rank weights are inlined as literals on both
+    * sides, so the closing double sums are bit-identical). */
+  val RboPersistence: Double = 0.9
+
+  /** Truncated-RBO weight of a common item whose worse rank is m:
+    * (1−p)·Σ_{d=m..k} p^(d−1)/d — an item in both prefixes from depth
+    * m contributes 1/d to every prefix-agreement term from there on.
+    * Computed once on the driver; the SAME doubles are inlined into
+    * the DuckDB oracle text (shared-constants doctrine), so both
+    * engines fold identical addends. */
+  def rboWeights(k: Int, p: Double): IndexedSeq[Double] =
+    (1 to k).map(m =>
+      (1 - p) * (m to k).map(d => math.pow(p, d - 1) / d).sum)
+
+  /** RANK-BIASED OVERLAP AUDIT (round 17, Webber et al. 2010 — the
+    * TRUNCATED prefix form, no extrapolation) — the order-aware ANN
+    * quality readout the recall keys cannot give: recall@k counts set
+    * hits, so an ANN list with the right 10 items in scrambled order
+    * scores 1.0; RBO@k discounts agreement geometrically by depth
+    * (persistence [[RboPersistence]]), so getting the TOP ranks right
+    * is what scores. Per query: join the exact cosine top-k
+    * ([[bruteForceTopK]], the gated baseline) with the production LSH
+    * top-k ([[annTopK]]) on item; a common item contributes the
+    * closed-form per-rank weight of max(rank_exact, rank_ann); the
+    * per-query sum folds a SORTED bounded list (≤ k items, pinned by
+    * n_id — the chiSquare double-fold doctrine). Queries whose lists
+    * share nothing still emit (rbo = 0) via the left join from the
+    * exact query set.
+    *
+    * Scale shape: both legs are their production plans (bounded query
+    * side broadcast, corpus streamed); everything after them is
+    * nQueries·k-row arithmetic.
+    *
+    * Output: (q_id, n_common, rbo), one row per query, ordered. */
+  def rboAudit(emb: DataFrame, nQueries: Int = LshNQueries,
+               k: Int = LshK, p: Double = RboPersistence): DataFrame =
+    rboFromRanked(
+      bruteForceTopK(emb, nQueries, k)
+        .select(col("q_id"), col("n_id"), col("rank").as("ra")),
+      annTopK(emb, nQueries, k)
+        .select(col("q_id"), col("n_id"), col("rank").as("rb")),
+      k, p)
+
+  /** [[rboAudit]]'s arithmetic over two already-ranked lists
+    * ((q_id, n_id, ra) / (q_id, n_id, rb), ranks 1-based ≤ k) —
+    * exposed for direct spec fixtures. */
+  private[graft] def rboFromRanked(exact: DataFrame, ann: DataFrame,
+                                       k: Int, p: Double): DataFrame = {
+    val ws = rboWeights(k, p)
+    val wcol = (1 to k).foldRight(lit(0.0)) { (m, els) =>
+      when(greatest(col("ra"), col("rb")) === m, lit(ws(m - 1)))
+        .otherwise(els)
+    }
+    val agg = exact.join(ann, Seq("q_id", "n_id"))
+      .select(col("q_id"), col("n_id"), wcol.as("w"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_common"),
+        aggregate(array_sort(collect_list(struct(col("n_id"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("rbo"))
+    exact.select(col("q_id")).distinct()
+      .join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+      .orderBy(col("q_id"))
+  }
+
+  private def recallReportImpl(emb: DataFrame, nQueries: Int,
+                               k: Int): DataFrame =
     recallRows(emb, Seq(
       "lsh" -> annTopK(emb, nQueries, k),
       "lsh_multiprobe" -> annTopKMultiProbe(emb, nQueries, k)),

@@ -2149,4 +2149,50 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect()
     assert(real.nonEmpty && real.forall(_.getLong(2) >= 0L))
   }
+
+  test("rboAudit: identical lists score the full truncated mass " +
+    "1 - p^k, a reversal scores the closed-form scramble value, " +
+    "disjoint lists score 0 but still emit the query row") {
+    import spark.implicits._
+    val k = 10
+    val p = Similarity.RboPersistence
+    val ws = Similarity.rboWeights(k, p)
+    def ranked(q: Long, items: Seq[Long], col3: String) =
+      items.zipWithIndex.map { case (n, i) => (q, n, (i + 1).toLong) }
+        .toDF("q_id", "n_id", col3)
+    val exact = ranked(0L, 1L to 10L, "ra")
+      .union(ranked(1L, 1L to 10L, "ra"))
+      .union(ranked(2L, 1L to 10L, "ra"))
+    val ann = ranked(0L, 1L to 10L, "rb")                  // identical
+      .union(ranked(1L, (1L to 10L).reverse, "rb"))        // reversed
+      .union(ranked(2L, 11L to 20L, "rb"))                 // disjoint
+    val out = Similarity.rboFromRanked(exact, ann, k, p).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // identical: sum of all k weights telescopes to 1 - p^k
+    assert(math.abs(out(0L)._2 - (1 - math.pow(p, k))) < 1e-12,
+      s"identical-list RBO: ${out(0L)}")
+    assert(out(0L)._1 == 10L)
+    // reversed: item at exact rank i sits at ann rank k+1-i, so each
+    // contributes w(max(i, k+1-i)) — strictly below the identical mass
+    val rev = (1 to k).map(i => ws(math.max(i, k + 1 - i) - 1)).sum
+    assert(math.abs(out(1L)._2 - rev) < 1e-12, s"reversed RBO: ${out(1L)}")
+    assert(out(1L)._2 < out(0L)._2)
+    // disjoint: no common item, query still emits a structural zero
+    assert(out(2L) == ((0L, 0.0)))
+  }
+
+  test("rboAudit on the corpus: every query emits, scores sit in " +
+    "[0, 1 - p^k], and order-awareness lower-bounds by the recall " +
+    "overlap ratio") {
+    val out = Similarity.rboAudit(emb).collect()
+    assert(out.length == 10)
+    val cap = 1 - math.pow(Similarity.RboPersistence, 10)
+    out.foreach { r =>
+      val (nc, rbo) = (r.getLong(1), r.getDouble(2))
+      assert(rbo >= 0.0 && rbo <= cap + 1e-12, s"out of range: $r")
+      // zero common items iff zero score
+      assert((nc == 0L) == (rbo == 0.0), s"inconsistent: $r")
+    }
+  }
 }
