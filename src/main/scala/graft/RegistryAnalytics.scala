@@ -73,7 +73,7 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_join_")
       graft.streaming.StreamingJoin.intervalParityReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5)
+        nFiles = 3)
     }),
 
     // STREAM-STATIC-join parity (round 12): orders replayed as a
@@ -85,7 +85,7 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       graft.streaming.StreamingEnrich.enrichParityReplay(
         Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d),
         Tables.region(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5)
+        nFiles = 3)
     }),
 
     // B1 dedup_exact: deterministic exact dedup of documents on text.
@@ -102,7 +102,7 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_dedup_")
       graft.streaming.StreamingDedup.exactParityReplay(
         Tables.documents(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5)
+        nFiles = 3)
     }),
 
     // STREAMING CDC parity (round 14): the versioned change feed folded
@@ -113,7 +113,7 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_cdc_")
       graft.streaming.StreamingCdc.cdcParityReplay(
         Tables.orders(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5)
+        nFiles = 3)
     }),
 
     // CDC upsert: apply a deterministic change set (price bumps on keys
@@ -971,7 +971,8 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stream_wau_parity" -> ((s, d) => {
       val base = scratchDirTransient("graft_stream_wau_")
       graft.streaming.StreamingWindows.wauParityReplay(
-        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt")
+        Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 3)
     }),
 
     // Rolling 7-day active users (round 15): WAU-by-day via deduped
@@ -986,7 +987,8 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     "stream_ohlc_parity" -> ((s, d) => {
       val base = scratchDirTransient("graft_stream_ohlc_")
       graft.streaming.StreamingWindows.ohlcParityReplay(
-        Tables.orders(s, d), s"$base/src", s"$base/out", s"$base/ckpt")
+        Tables.orders(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
+        nFiles = 3)
     }),
 
     // Edge-weight histogram (round 14): the distribution that sizes
@@ -1361,13 +1363,14 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
     // scaladoc for the complete-vs-append reasoning).
     "stream_window_parity" -> ((s, d) => {
       val base = scratchDirTransient("graft_stream_win_")
-      // nFiles = 5: each micro-batch carries fixed scheduler +
-      // state-commit overhead, so the replay cost is ~linear in batch
-      // count — 5 data batches keep the cross-batch property while
-      // trimming the fixed cost (the spec exercises its own split)
+      // nFiles = 3 (r18, VERDICT item 1): each micro-batch carries
+      // fixed scheduler + state-commit overhead, so the replay cost is
+      // ~linear in batch count — 3 data batches keep the cross-batch
+      // property (state survives two boundaries) at the minimum fixed
+      // cost; the spec exercises its own split
       graft.streaming.StreamingWindows.tumblingParityReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5)
+        nFiles = 3)
     }),
 
     // SLIDING windows (round 11): 15-min windows every 5 min — each
@@ -1393,7 +1396,7 @@ private[graft] trait RegistryAnalytics { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_sess_")
       graft.streaming.StatefulSessions.sessionizeParityReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5)
+        nFiles = 3)
     }),
 
     // Ordered conversion funnel: deepest signup → view → purchase stage

@@ -213,7 +213,7 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_ingest_")
       graft.streaming.StreamingIngest.ingestParityReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 4)
+        nFiles = 3)
     }),
 
     // Fixed-width source (round 11): the third legacy wire format —
@@ -314,7 +314,7 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_export_")
       graft.streaming.StreamingExport.exportParityReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5)
+        nFiles = 3)
     }),
 
     // exactly-once under forced redelivery (round 15): batch 1's
@@ -327,7 +327,7 @@ private[graft] trait RegistryConduit { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_export_eo_")
       graft.streaming.StreamingExport.exportExactlyOnceReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5, replayBatch = 1L)
+        nFiles = 3, replayBatch = 1L)
     }),
 
     // A14b sink_catalog_orc: the reference's true sink contract — a

@@ -329,7 +329,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_contam_")
       graft.streaming.StreamingContamination.contaminationParityReplay(
         Tables.documents(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5)
+        nFiles = 3)
     }),
 
     // COMPOSED-PIPELINE parity (round 13): the full streaming corpus
@@ -343,7 +343,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_corpus_")
       graft.streaming.StreamingCorpus.corpusParityReplay(
         Tables.documents(s, d), s"$base/src", s"$base/store",
-        s"$base/out", s"$base/ckpt", nFiles = 4)
+        s"$base/out", s"$base/ckpt", nFiles = 3)
     }),
 
     // Compacting replay (round 14): the SAME composed ingest with the
@@ -356,7 +356,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_compact_")
       graft.streaming.StreamingCorpus.corpusCompactReplay(
         Tables.documents(s, d), s"$base/src", s"$base/store",
-        s"$base/out", s"$base/ckpt", nFiles = 4)
+        s"$base/out", s"$base/ckpt", nFiles = 3)
     }),
 
     // Token-level (13-gram) decontamination — the whole-doc check's
@@ -449,7 +449,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
       val base = scratchDirTransient("graft_stream_kmv_")
       graft.streaming.StreamingSketches.kmvParityReplay(
         Tables.events(s, d), s"$base/src", s"$base/out", s"$base/ckpt",
-        nFiles = 5)
+        nFiles = 3)
     }),
 
     // Corpus-relative token-frequency score (round 8): the web-pipeline
@@ -1698,11 +1698,11 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
         "FROM t d LEFT JOIN hits h USING (doc_id) WHERE NOT d.is_test " +
         "ORDER BY doc_id"),
 
-    "stream_corpus_parity" -> sqlStreamCorpusParity(4),
+    "stream_corpus_parity" -> sqlStreamCorpusParity(3),
 
     // compacting replay: pruning is inert by construction (horizon =
     // event-time span), so the unpruned fold IS the oracle
-    "stream_corpus_compact" -> sqlStreamCorpusParity(4),
+    "stream_corpus_compact" -> sqlStreamCorpusParity(3),
 
     "contamination_ngram" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -287,6 +287,12 @@ case class Md5HexPrefix(child: Expression, nChars: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(nChars > 0 && nChars <= 15, s"nChars out of range: $nChars")
 
+  // analysis-time type check (ADVICE r17): a non-string child fails in
+  // CheckAnalysis like the conv/substring chain it replaced would, not
+  // with a runtime ClassCastException mid-job (AbstractDataType is
+  // private[sql] in Spark 4, so the check is direct, not ExpectsInputTypes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_hex_prefix"
 
@@ -324,6 +330,9 @@ case class Md5SuffixDraws(child: Expression, n: Int, mod: Int)
   require(n > 0, s"n must be positive: $n")
   require(mod > 0, s"mod must be positive: $mod")
 
+  // analysis-time type check (ADVICE r17), matching Md5HexPrefix
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_suffix_draws"
 
@@ -815,4 +824,19 @@ object VectorFunctions {
   def md5SuffixDraws(key: Column, n: Int, mod: Int): Column =
     GraftColumnBridge.column(Md5SuffixDraws(
       GraftColumnBridge.expression(key), n, mod))
+}
+
+/** Shared analysis-time input checks for the native expressions
+  * (ADVICE r17): Spark 4's AbstractDataType/ExpectsInputTypes are
+  * private[sql], so expressions outside that package implement
+  * checkInputDataTypes() via these helpers instead. */
+private[graft] object GraftExprChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def requireString(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires a string child, got ${other.catalogString}")
+    }
 }

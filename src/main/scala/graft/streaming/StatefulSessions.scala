@@ -192,12 +192,10 @@ object StatefulSessions {
     // state-store partition count is pinned by the FIRST batch's
     // shuffle-partitions conf for the checkpoint's lifetime; each batch
     // then pays per-partition state commit + task overhead × batches.
-    // The per-user session state is |users|-scale — 8 partitions hold
-    // it comfortably here; a deployment sizes this to its cluster, and
-    // the conf is restored right after the bounded replay
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // The per-user session state is |users|-scale — the replay pin
+    // holds it comfortably here; a deployment sizes this to its cluster,
+    // and the conf is restored right after the bounded replay
+    ReplayConf.withReplayPartitions(spark) {
       val q = sessionize(stream, gapMs, watermark)
         .filter(col("user_id") >= 0L)
         .writeStream
@@ -209,7 +207,7 @@ object StatefulSessions {
             b.write.mode("append").parquet(outDir); ()
         }.start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.read.parquet(outDir)
       .select(col("user_id"), col("sess_start"), col("sess_end"),
         col("n_events"))

@@ -90,9 +90,7 @@ object StreamingCdc {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    ReplayConf.withReplayPartitions(spark) {
       val q = latestWins(stream).toDF().writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("update")
@@ -101,7 +99,7 @@ object StreamingCdc {
           b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
         }.start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val dir = new java.io.File(outDir)
     if (!dir.exists())
       return spark.createDataFrame(

@@ -153,17 +153,15 @@ object StreamingCorpus {
       val stream = spark.readStream
         .schema(spark.read.parquet(srcDir).schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      // batch state is document-table scale — 8 shuffle partitions cut
-      // the per-micro-batch task overhead (the exactParityReplay
-      // pinning note); restored right after the bounded replay
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // batch state is document-table scale — the replay pin cuts the
+      // per-micro-batch task overhead (the exactParityReplay pinning
+      // note); restored right after the bounded replay
+      ReplayConf.withReplayPartitions(spark) {
         val q = ingest(stream, bench, storeDir, outDir, checkpointDir,
           minQuality = 0.5, threshold = 0.5,
           horizonSec = horizonSec)
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     } finally bench.close()
     val out = new java.io.File(outDir)
     if (!out.exists())

@@ -83,12 +83,10 @@ object StreamingDedup {
     val keyed = stream.select(
       md5(col("text")).as("h"),
       length(col("text")).as("n_chars"))
-    // distinct-hash state is small — 8 state partitions hold it; conf
+    // distinct-hash state is small — the replay pin holds it; conf
     // restored after the bounded replay (state-partition pinning note
     // in the sessionize replay)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    ReplayConf.withReplayPartitions(spark) {
       val q = exactGlobal(keyed, Seq("h")).writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("append")
@@ -97,7 +95,7 @@ object StreamingDedup {
           b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
         }.start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     // empty corpus: zero batches commit, outDir never materializes —
     // the structural answer is the empty distinct-key table
     val out = new java.io.File(outDir)

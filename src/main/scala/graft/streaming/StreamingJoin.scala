@@ -98,9 +98,7 @@ object StreamingJoin {
         lowerSec = 0L, upperSec = upperSec, watermark = watermark)
       .select(col("user_id"), col("l_ts"), col("l_event_id"),
         col("r_ts"), col("r_event_id"))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    ReplayConf.withReplayPartitions(spark) {
       val q = joined.writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("append")
@@ -109,7 +107,7 @@ object StreamingJoin {
           b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
         }.start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val dir = new java.io.File(outDir)
     if (!dir.exists())
       spark.createDataFrame(

@@ -112,9 +112,7 @@ object StreamingSketches {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    ReplayConf.withReplayPartitions(spark) {
       val q = kmvPerType(stream, k).toDF().writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("update")
@@ -123,7 +121,7 @@ object StreamingSketches {
           b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
         }.start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val dir = new java.io.File(outDir)
     if (!dir.exists())
       return spark.createDataFrame(

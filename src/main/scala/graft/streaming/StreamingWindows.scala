@@ -86,12 +86,10 @@ object StreamingWindows {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    // (windows × types) state is tiny — 8 state partitions hold it;
-    // conf restored after the bounded replay (see the sessionize
-    // replay's note on state-partition pinning)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // (windows × types) state is tiny — the replay pin holds it; conf
+    // restored after the bounded replay (see the sessionize replay's
+    // note on state-partition pinning)
+    ReplayConf.withReplayPartitions(spark) {
       val q = tumbling(stream, width, watermark).writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("complete")
@@ -100,7 +98,7 @@ object StreamingWindows {
           b.write.mode("overwrite").parquet(outDir); ()
         }.start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.read.parquet(outDir)
       .orderBy(col("win_start"), col("event_type"))
   }
@@ -132,9 +130,7 @@ object StreamingWindows {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val pairs = stream.select(
       date_trunc("day", col("ts")).as("day"), col("user_id"))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    ReplayConf.withReplayPartitions(spark) {
       val q = StreamingDedup.exactGlobal(pairs, Seq("day", "user_id"))
         .writeStream
         .option("checkpointLocation", checkpointDir)
@@ -144,7 +140,7 @@ object StreamingWindows {
           b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
         }.start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val out = new java.io.File(outDir)
     val committed =
       if (!out.exists())
@@ -192,9 +188,7 @@ object StreamingWindows {
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
         .cast("long")).as("rev"))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    ReplayConf.withReplayPartitions(spark) {
       val q = daily.writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("complete")
@@ -203,7 +197,7 @@ object StreamingWindows {
           b.write.mode("overwrite").parquet(outDir); ()
         }.start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val out = new java.io.File(outDir)
     val committed =
       if (!out.exists())
