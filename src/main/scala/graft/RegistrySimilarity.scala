@@ -368,13 +368,38 @@ private[graft] trait RegistrySimilarity { this: SparkEntry.type =>
         codebook0 = Some(s.read.parquet(cdir)))
     }),
 
-    // RESIDUAL-coded IVF-PQ (round 12): the FAISS default — codes
-    // quantize v − c(v) against the assigned coarse centroid; the ADC
-    // table goes per-(query, probed list). In-session training (the
-    // sim_ann_ivf form); the full composite replays in the oracle.
-    "sim_ann_ivfpq_residual" -> ((s, d) =>
+    // RESIDUAL-coded IVF-PQ (round 12; SERVED round 18): the FAISS
+    // default — codes quantize v − c(v) against the assigned coarse
+    // centroid; the ADC table goes per-(query, probed list). Both
+    // training artifacts are memoized per (process, dataset) — the
+    // shared coarse quantizer (ivfQuantizerDirs) and the residual
+    // codebook (ivfPqResidualCbDirs) — so the measured plan is the
+    // deployed serve shape: encode + ADC + rerank, zero training jobs
+    // (sim_ann_ivf_served doctrine). Training determinism keeps the
+    // served output bit-identical to the in-session form
+    // (spec-asserted), so the full composite still replays in the
+    // unrolled-training oracle.
+    "sim_ann_ivfpq_residual" -> ((s, d) => {
+      val qdir = ivfQuantizerDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivf_centroids_")
+        Similarity.saveCentroids(
+          Similarity.trainCentroids(
+            Similarity.prepared(Tables.embeddings(s, d)), nlist = 16,
+            iters = 2), tmp)
+        tmp
+      })
+      val cdir = ivfPqResidualCbDirs.computeIfAbsent(d, _ => {
+        val tmp = scratchDir("graft_ivfpq_residual_cb_")
+        Similarity.saveCodebook(
+          Similarity.trainResidualPqCodebook(Tables.embeddings(s, d),
+            Similarity.loadCentroids(s, qdir)), tmp)
+        tmp
+      })
       Similarity.ivfpqResidualTopK(Tables.embeddings(s, d),
-        scope = harnessScope)),
+        scope = harnessScope,
+        centroids0 = Some(Similarity.loadCentroids(s, qdir)),
+        residualCodebook0 = Some(s.read.parquet(cdir)))
+    }),
 
     // Per-dimension drift between corpus halves (round 15): exact
     // rational mean shift per dim (see dimDrift's scaladoc).

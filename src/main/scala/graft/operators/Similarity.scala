@@ -1038,6 +1038,35 @@ object Similarity {
         .filter(col("qv").isNotNull && size(col("qv")) === dim),
       dim, m, kCodes, pqIters, trainCap)
 
+  /** Train the RESIDUAL IVFPQ codebook against a given coarse quantizer
+    * (a [[trainCentroids]] / loaded [[saveCentroids]] table) for
+    * [[saveCodebook]] — the exact `pqTrain(v − c(v))` the in-session
+    * [[ivfpqResidualTopK]] runs, extracted so a deployment trains it
+    * once beside the quantizer and serves both from disk (VERDICT r17
+    * item 4). Assignment uses the same (c_cos, −cent_id) argmax as the
+    * serve path, so base vectors residualize identically. */
+  def trainResidualPqCodebook(emb: DataFrame, centroids: DataFrame,
+                              dim: Int = 64, m: Int = PqSubspaces,
+                              kCodes: Int = IvfPqCodes,
+                              pqIters: Int = PqIters,
+                              trainCap: Int = PqTrainCap): DataFrame = {
+    val p = prepared(emb)
+      .filter(col("qv").isNotNull && size(col("qv")) === dim)
+    val cent = broadcast(centroids
+      .select(col("cent_id"), col("c_qv"), col("c_nrm")))
+    val assigned = p.join(cent)
+      .withColumn("c_cos",
+        cosine(dotQ(col("qv"), col("c_qv")), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("c_cos"), -col("cent_id")))
+        .as("cent_id"))
+    val rvs = p.join(assigned, Seq("vec_id"))
+      .join(cent.select(col("cent_id"), col("c_qv")), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("qv"), col("c_qv"), (a, b) => a - b).as("qv"))
+    pqTrain(rvs, dim, m, kCodes, pqIters, trainCap)
+  }
+
   /** [[ivfpqTopK]] over a PRE-TRAINED coarse quantizer — the serve
     * form: the SAME persisted quantizer that serves `sim_ann_ivf_served`
     * (identical training contract) drops in here, so one trained
@@ -1154,20 +1183,33 @@ object Similarity {
     * shortlist, rerank) replays in the DuckDB oracle.
     *
     * Output: (q_id, rank, n_id, adc, cos), ordered — the
-    * [[ivfpqTopK]] contract. */
+    * [[ivfpqTopK]] contract.
+    *
+    * SERVE form (round 18, VERDICT r17 item 4): pass `centroids0` (a
+    * loaded [[saveCentroids]] table — the SAME persisted quantizer
+    * that serves `sim_ann_ivf_served`) to skip coarse training, and
+    * `residualCodebook0` (a loaded [[saveCodebook]] table trained by
+    * [[trainResidualPqCodebook]]) to skip PQ training — the deployed
+    * shape where both artifacts train once and queries pay only the
+    * encode + ADC + rerank. Training determinism makes the served
+    * output bit-identical to the in-session form (spec-asserted), so
+    * the unrolled-training oracle is shared verbatim. */
   def ivfpqResidualTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 10,
                         dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
                         trainIters: Int = 2, m: Int = PqSubspaces,
                         kCodes: Int = IvfPqCodes, pqIters: Int = PqIters,
                         trainCap: Int = PqTrainCap,
                         rerank: Int = IvfPqRerank,
-                        scope: CacheScope = CacheScope.off): DataFrame = {
+                        scope: CacheScope = CacheScope.off,
+                        centroids0: Option[DataFrame] = None,
+                        residualCodebook0: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, s"rerank shortlist ($rerank) must cover k ($k)")
     require(m >= 1 && dim % m == 0, s"dim ($dim) must divide into $m subspaces")
     val subLen = dim / m
     val p = prepared(emb)
       .filter(col("qv").isNotNull && size(col("qv")) === dim)
-    val centroids = trainCentroids(prepared(emb), nlist, trainIters)
+    val centroids = centroids0.getOrElse(
+      trainCentroids(prepared(emb), nlist, trainIters))
     val cent = broadcast(centroids
       .select(col("cent_id"), col("c_qv"), col("c_nrm")))
     // the assignment (nlist dot products per vector) feeds THREE
@@ -1194,7 +1236,15 @@ object Similarity {
       .join(cent.select(col("cent_id"), col("c_qv")), Seq("cent_id"))
       .select(col("vec_id"), col("cent_id"),
         zip_with(col("qv"), col("c_qv"), (a, b) => a - b).as("qv"))
-    val cb = pqTrain(rvs, dim, m, kCodes, pqIters, trainCap)
+    val cb = residualCodebook0 match {
+      case Some(loaded) =>
+        val needCb = Seq("sub_id", "code", "cv", "cn")
+        require(needCb.forall(loaded.columns.contains),
+          s"codebook must carry ${needCb.mkString(", ")} — got " +
+            loaded.columns.mkString(", "))
+        broadcast(loaded.select(needCb.map(col): _*))
+      case None => pqTrain(rvs, dim, m, kCodes, pqIters, trainCap)
+    }
     val codes = pqAssign(pqSubSlices(rvs, m, subLen), cb)
       .select(col("vec_id").as("n_id"), col("sub_id"), col("code"))
     // per-(query, probed list) residual distance table: the query's

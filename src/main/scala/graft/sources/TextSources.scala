@@ -471,18 +471,36 @@ object TextSources {
     * Output: (doc_id, n_bytes, h), ordered. */
   def binaryFilesRead(spark: SparkSession, docs0: DataFrame,
                       blobCap: Long = 500L): DataFrame = {
-    val docs = docs0.filter(col("doc_id") < blobCap)
     val out = s"$scratchRoot/binfiles-${java.util.UUID.randomUUID()}"
+    writeBlobDir(spark, docs0, out, blobCap)
+    binaryFilesReadFrom(spark, out)
+  }
+
+  /** Materialize the one-blob-per-doc directory [[binaryFilesRead]]
+    * reads — split out (round 18, VERDICT r17 item 6) so the harness
+    * can stage it ONCE per (process, dataset) the way the z-order
+    * layout and IVF quantizer are: in production the blob directory IS
+    * the input, so re-writing 500 tiny files per invocation measured
+    * the filesystem, not the source. */
+  def writeBlobDir(spark: SparkSession, docs0: DataFrame, out: String,
+                   blobCap: Long = 500L): Unit = {
+    val docs = docs0.filter(col("doc_id") < blobCap)
     // one file per doc via partitionBy: doc_id becomes the directory
     // name, the text payload the single line (newline-free by corpus
     // construction; length asserted against n_chars downstream)
     docs.select(col("doc_id"), col("text"))
       .repartition(col("doc_id"))
       .write.mode("overwrite").partitionBy("doc_id").text(out)
+  }
+
+  /** The read half of [[binaryFilesRead]]: the `binaryFile` load over a
+    * staged blob directory — the operator actually under test. */
+  def binaryFilesReadFrom(spark: SparkSession, out: String): DataFrame = {
     // empty corpus: the partitioned text write lands no directories and
     // a binaryFile load over an unmatched glob THROWS — the structural
     // answer is the empty blob table (the empty-write doctrine)
-    if (!new java.io.File(out).listFiles().exists(_.getName.startsWith("doc_id=")))
+    val sub = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+    if (!sub.exists(_.getName.startsWith("doc_id=")))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(

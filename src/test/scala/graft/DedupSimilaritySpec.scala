@@ -691,6 +691,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("cent_id"))
   }
 
+  test("persisted residual IVF-PQ artifacts: serve path bit-identical " +
+    "to in-session training, and plans no training jobs") {
+    val p = Similarity.prepared(emb)
+    val qdir = java.nio.file.Files.createTempDirectory("graft_ivfr_cent_").toString
+    Similarity.saveCentroids(
+      Similarity.trainCentroids(p, nlist = 16, iters = 2), qdir)
+    val cdir = java.nio.file.Files.createTempDirectory("graft_ivfr_cb_").toString
+    Similarity.saveCodebook(
+      Similarity.trainResidualPqCodebook(emb,
+        Similarity.loadCentroids(spark, qdir)), cdir)
+    val served = Similarity.ivfpqResidualTopK(emb,
+      centroids0 = Some(Similarity.loadCentroids(spark, qdir)),
+      residualCodebook0 = Some(spark.read.parquet(cdir)))
+    // no training jobs in the serve plan: the md5-keyed deterministic
+    // sampling exists ONLY in the coarse/PQ train paths
+    assert(!served.queryExecution.optimizedPlan.toString.contains("md5"),
+      "serve plan still contains a training sample")
+    val fresh = Similarity.ivfpqResidualTopK(emb).collect()
+    assert(served.collect().toSeq == fresh.toSeq)
+    // codebook schema contract is enforced up front
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfpqResidualTopK(emb, residualCodebook0 = Some(emb))
+    }
+    assert(e.getMessage.contains("sub_id"))
+  }
+
   test("trained IVF quantizer beats the flat one on clustered data") {
     import spark.implicits._
     // deterministic clustered fixture: 4 well-separated centers (disjoint

@@ -861,4 +861,45 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!gc.contains("SortMergeJoin") && !gc.contains("CartesianProduct"),
       s"window_gap_census shuffles its calendar grid:\n$gc")
   }
+
+  test("round-17 cohort: md5-native draw expressions stay in the plan " +
+    "(no hex-parse regression), quantile merge keeps bounded bottom-k " +
+    "partial aggregation, RBO audit never goes cartesian") {
+    // the 15 round-17 conversions replaced every
+    // conv(substring(md5(...))) chain with the native Md5HexPrefix /
+    // Md5SuffixDraws expressions — a refactor that re-introduced the
+    // per-row hex format/parse chain would keep the oracle green while
+    // silently costing ~3x on the draw-heavy keys, so the NATIVE
+    // expression must be what the plan evaluates
+    Seq("stats_bootstrap_ci" -> "md5_suffix_draws",
+      "stats_perm_test" -> "md5_suffix_draws",
+      "sketch_quantile_merge" -> "md5_hex_prefix",
+      "sketch_quantiles" -> "md5_hex_prefix",
+      "sketch_theta" -> "md5_hex_prefix",
+      "sketch_hll_merge" -> "md5_hex_prefix").foreach { case (q, fn) =>
+      val plan = planOf(q)
+      assert(plan.contains(s"$fn("),
+        s"$q no longer evaluates the native $fn:\n${plan.take(2000)}")
+      assert(!plan.contains("conv("),
+        s"$q regressed to the hex-parse conv chain:\n${plan.take(2000)}")
+    }
+    // sketch_quantile_merge: the per-shard sample must come from the
+    // BOUNDED bottom-k aggregator (map-side partial state of r rows),
+    // never a rank-window over the corpus
+    val qm = planOf("sketch_quantile_merge")
+    assert(qm.toLowerCase.contains("bottomkbyhash"),
+      s"sketch_quantile_merge lost the bounded bottom-k aggregator:\n$qm")
+    assert(!qm.contains("SortMergeJoin") && !qm.contains("CartesianProduct"),
+      s"sketch_quantile_merge shuffles a bounded side:\n$qm")
+    // sim_rbo_audit: both ranked lists are nQueries-bounded — the
+    // overlap join and the per-query fold must stay off cartesian /
+    // sort-merge shapes (the ground-truth leg broadcasts its bounded
+    // query side like sim_topk does)
+    val rbo = planOf("sim_rbo_audit")
+    assert(!rbo.contains("CartesianProduct"),
+      s"sim_rbo_audit plans a cartesian product:\n$rbo")
+    assert(rbo.contains("HashAggregate") ||
+      rbo.contains("ObjectHashAggregate"),
+      s"sim_rbo_audit lost its per-query fold aggregation:\n$rbo")
+  }
 }

@@ -772,4 +772,61 @@ class StressSpec extends SparkSpec {
     info(f"10x quantile merge audit: $w1%.1f s -> $w10%.1f s " +
       f"($ratio%.1fx), law holds at both scales")
   }
+
+  test("10x arrival volume: the near-dup survivor store stays bounded " +
+    "by arrival-rate x horizon, not stream length (VERDICT r17 item 7)") {
+    gated()
+    // 50k docs at 1 doc/sec event time — 10x the sf0.1 documents
+    // corpus — with md5-token texts so no pair is a near-dup (every
+    // doc survives; suppression would understate the store bound being
+    // probed). Horizon = 2000 s over a 50 000 s stream: the §2-B claim
+    // is live state ~ horizon x arrival rate (2 000 rows), never the
+    // 50 000 the stream carried.
+    val n = 50000L
+    val horizon = 2000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      timestamp_seconds(col("id")).as("ts"),
+      concat_ws(" ", (0 until 12).map(i =>
+        substring(md5(concat(col("id"), lit(s":$i"))), 1, 8)): _*)
+        .as("text"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_store10x_").toString
+    val srcDir = s"$base/src"
+    docs.repartitionByRange(10, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val now = System.currentTimeMillis()
+    new java.io.File(srcDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(now + i * 2000L) }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val t0 = System.nanoTime()
+    graft.streaming.ReplayConf.withReplayPartitions(spark) {
+      val q = graft.streaming.StreamingDedup.nearDupGate(stream,
+        s"$base/store", s"$base/out", s"$base/ckpt",
+        threshold = 0.5, horizonSec = horizon)
+      q.awaitTermination()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val emitted = spark.read.parquet(s"$base/out").count()
+    assert(emitted == n, s"expected every distinct doc emitted: $emitted")
+    val (liveBands, liveSigs) = graft.streaming.StreamingDedup
+      .storeContents(spark, s"$base/store")
+    val live = liveSigs.select("doc_id").distinct().count()
+    // exact bound: survivors with ts > maxTs - horizon = the last
+    // `horizon` seconds of a 1-row/sec stream (+1 fencepost); slack
+    // covers nothing — the prune law is deterministic here
+    assert(live <= horizon + 1,
+      s"live store $live exceeds horizon x arrival rate ($horizon)")
+    assert(live >= horizon / 2,
+      s"live store $live suspiciously small — probe vacuous?")
+    val bandRows = liveBands.count()
+    assert(bandRows <= (horizon + 1) * 16,
+      s"live band rows $bandRows exceed 16 bands x bound")
+    info(f"10x arrival store probe: $n docs / horizon $horizon s -> " +
+      f"$live live survivors (${bandRows} band rows), $wall%.1f s wall")
+  }
 }
