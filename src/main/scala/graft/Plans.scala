@@ -8,17 +8,20 @@ import java.nio.file.{Files, Paths}
   * nested-loop joins, whole-stage-codegen coverage, pushed filters) to
   * stdout. Dev-loop tool — the "would this plan survive 100×?" check.
   *
-  * Usage: runMain graft.Plans <sfDir> <outDir>
+  * Usage: runMain graft.Plans <sfDir> <outDir> [key1 key2 ...]
+  * (trailing keys scope the audit — same convention as graft.Verify)
   */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), keys) = args.splitAt(2)
     // fixed 4 cores for a stable audit; AQE off — its pre-execution
     // AdaptiveSparkPlan hides codegen stages and final join strategies
     val spark = LocalSpark.session(cpus = "4", aqe = Some(false))
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keys.isEmpty || keys.contains(name) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val phys = df.queryExecution.executedPlan.toString

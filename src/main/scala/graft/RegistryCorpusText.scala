@@ -335,7 +335,7 @@ private[graft] trait RegistryCorpusText { this: SparkEntry.type =>
     // COMPOSED-PIPELINE parity (round 13): the full streaming corpus
     // ingest — quality gate → decontamination → banded-MinHash
     // near-dup gate with its cross-batch survivor store — over a
-    // 4-batch deterministic replay (batch = doc_id % 4), under one
+    // 3-batch deterministic replay (batch = doc_id % 3), under one
     // oracle that folds the batch sequence as an unrolled CTE chain
     // (see corpusParityReplay's scaladoc). Closes the last spec-only
     // streaming module.
