@@ -42,6 +42,9 @@ object GraftFunctions {
     "long_array_dot" -> (args => {
       val a = arity("long_array_dot", args, 2); LongArrayDot(a(0), a(1))
     }),
+    "long_array_agree" -> (args => {
+      val a = arity("long_array_agree", args, 2); LongArrayAgree(a(0), a(1))
+    }),
     "word_shingles" -> (args => {
       val a = arity("word_shingles", args, 2)
       WordShingles(a(0), intArg(a(1), "n"))

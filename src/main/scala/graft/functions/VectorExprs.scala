@@ -56,6 +56,51 @@ case class LongArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two array<long> columns agree — the MinHash
+  * signature-agreement kernel of the near-dup gate's candidate filters
+  * and the estimator audit (round 18). The composable form —
+  * `aggregate(zip_with(a, b, (x, y) => if(x = y) 1 else 0), 0, _+_)` —
+  * is an interpreted HOF chain evaluated once per CANDIDATE PAIR inside
+  * a join filter; this is [[LongArrayDot]]'s tight codegen loop with
+  * `==` in place of `*`. Value-identical exact integer (overlapping
+  * positions only, like zip_with's null-padded tail contributing 0), so
+  * every DuckDB oracle replaying the agreement count is unaffected. */
+case class LongArrayAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_array_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) s += 1L; i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $s++;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayAgree =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct word n-gram shingles of a single-space-separated string, in
   * first-occurrence order — one JVM loop instead of the
   * `array_distinct(transform(sequence(...), concat_ws(get(...))))` HOF
@@ -775,6 +820,11 @@ object VectorFunctions {
   /** Column API for [[LongArrayDot]]. */
   def longArrayDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(LongArrayDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API for [[LongArrayAgree]]. */
+  def longArrayAgree(a: Column, b: Column): Column =
+    GraftColumnBridge.column(LongArrayAgree(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Column API for [[WordShingles]]. */

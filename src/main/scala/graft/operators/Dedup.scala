@@ -633,9 +633,10 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).as("n_agree"))
+        // native codegen'd agreement count (round 18) — value-identical
+        // to the zip_with fold, evaluated once per candidate pair
+        graft.functions.VectorFunctions.longArrayAgree(
+          col("sig_a"), col("sig_b")).as("n_agree"))
     val pairs = est
       // a pure bucket-key collision can share zero shingles — the
       // estimator audit must still count it (exact = 0)

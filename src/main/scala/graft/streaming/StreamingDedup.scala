@@ -209,10 +209,12 @@ object StreamingDedup {
     val (storeBands, storeSigs) = readStore(spark, storeDir, manifest)
 
     // estimated Jaccard between two signatures: fraction of agreeing
-    // minhash entries (exact arithmetic; deterministic)
+    // minhash entries (exact arithmetic; deterministic). Native
+    // codegen'd agreement count (round 18) — the HOF fold it replaces
+    // ran interpreted once per candidate pair inside the join filters
     def sigAgree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / numHashes
+      graft.functions.VectorFunctions.longArrayAgree(a, b)
+        .cast("double") / numHashes
 
     // cross-batch hits: share a bucket with a stored survivor (narrow
     // band-table join), then fetch that survivor's signature and

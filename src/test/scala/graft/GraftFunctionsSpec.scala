@@ -45,6 +45,18 @@ class GraftFunctionsSpec extends SparkSpec {
         |       marker_counts('the cat and the hat', 'en:the|and,de:der|die') AS mc
         |""".stripMargin).collect().head
     assert(r.getAs[Long]("dot") == 32L)
+    // long_array_agree: value-identical to the zip_with fold it
+    // replaced (overlapping positions only; null child -> null)
+    val ag = spark.sql(
+      """SELECT long_array_agree(array(1L, 2L, 3L), array(1L, 5L, 3L)) AS a,
+        |       long_array_agree(array(1L, 2L), array(1L, 2L, 9L)) AS b,
+        |       long_array_agree(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS c,
+        |       long_array_agree(array(), array()) AS d
+        |""".stripMargin).collect().head
+    assert(ag.getAs[Long]("a") == 2L)
+    assert(ag.getAs[Long]("b") == 2L)
+    assert(ag.isNullAt(2))
+    assert(ag.getAs[Long]("d") == 0L)
     assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq == Seq("a b c", "b c d"))
     assert(r.getAs[Long]("fp") != 0L)
     assert(r.getAs[Int]("sig_len") == 16)

@@ -901,5 +901,14 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(rbo.contains("HashAggregate") ||
       rbo.contains("ObjectHashAggregate"),
       s"sim_rbo_audit lost its per-query fold aggregation:\n$rbo")
+    // round 18: the MinHash agreement count is the NATIVE codegen'd
+    // kernel, not the interpreted zip_with/aggregate HOF fold it
+    // replaced (evaluated once per candidate pair)
+    val est = planOf("dedup_minhash_est_error")
+    assert(est.contains("long_array_agree("),
+      s"dedup_minhash_est_error lost the native agreement kernel:\n" +
+        est.take(2000))
+    assert(!est.contains("zip_with"),
+      s"dedup_minhash_est_error regressed to the HOF fold:\n${est.take(2000)}")
   }
 }
