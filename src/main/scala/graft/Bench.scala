@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver bench contract: run every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, print the full per-query JSON line followed by a
@@ -79,8 +79,19 @@ import org.apache.spark.sql.SparkSession
   * checkpoint state never accumulates across the run.
   */
 object Bench {
+  /** 1-minute system load average (VERDICT r18 item 4): stamped into the
+    * artifact at start/pass-1-end/end so a contended run is machine-
+    * distinguishable from a regressed one without cross-referencing
+    * other files. -1.0 where the platform has no load notion. */
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
+    val wallEpochStart = System.currentTimeMillis() / 1000L
+    val loadStart = loadAvg()
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
       .map(_.toDouble).getOrElse(2700.0)
@@ -104,9 +115,26 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Family-round-robin pass-1 order (VERDICT r18 item 3): the r18
+    // partial run skipped an alphabetical 72-key tail — whole families
+    // (stream_*, window_*, text_* tail) lost wholesale. Interleaving
+    // one key per family per round means a budget skip costs ≤1–2 keys
+    // per family instead of entire families; within a family the order
+    // stays alphabetical, so a full run times the same work as before.
+    val sortedNames = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val memoFed = SparkEntry.memoFedQueries.filter(q => names.exists(_._1 == q))
+    val names: Seq[(String, (SparkSession, String) => DataFrame)] = {
+      val fams = sortedNames.groupBy(_._1.takeWhile(_ != '_')).toSeq
+        .sortBy(_._1).map(_._2)
+      val rounds = if (fams.isEmpty) 0 else fams.map(_.size).max
+      (0 until rounds).flatMap(i => fams.flatMap(_.lift(i)))
+    }
+    // memo anchors key off ITERATION order now, not alphabetical order:
+    // each memo must build inside the timed entry immediately before
+    // its FIRST consumer in the round-robin sequence, or an earlier
+    // consumer would pay the build cost (bench misattribution)
+    val orderIdx: Map[String, Int] = names.map(_._1).zipWithIndex.toMap
+    val memoFed = SparkEntry.memoFedQueries.filter(q => orderIdx.contains(q))
     val floors = readFloors()
 
     def timed(work: () => Unit): (Double, Boolean) = {
@@ -130,18 +158,22 @@ object Bench {
     // from ordering). Budget check between queries: a pathologically
     // slow host skips the tail instead of dying at the external cap.
     val inScope = SparkEntry.benchMemos.filter {
-      case (_, fed, _, _) => fed.exists(q => names.exists(_._1 == q))
+      case (_, fed, _, _) => fed.exists(orderIdx.contains)
     }
     inScope.foreach { case (_, _, clear, _) => clear() }
     val anchor: Map[String, Seq[(String, (SparkSession, String) => Unit)]] =
       inScope.map { case (entry, fed, _, build) =>
-        (fed.filter(q => names.exists(_._1 == q)).min, (entry, build))
+        (fed.filter(orderIdx.contains).minBy(orderIdx), (entry, build))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val memoBuilds: Map[String, (() => Unit, (SparkSession, String) => Unit)] =
       SparkEntry.benchMemos.map { case (e, _, c, b) => (e, (c, b)) }.toMap
 
     val p1 = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    // per-key completion offset (sec since bench start) of the key's
+    // LAST sample — with the load-average stamps this makes a contended
+    // window inside one run locatable from the artifact alone
+    val tOff = scala.collection.mutable.LinkedHashMap[String, Double]()
     var sinceCheckpoint = 0
     names.foreach { case (name, fn) =>
       if (elapsed() > budget) skipped += name
@@ -149,28 +181,34 @@ object Bench {
         anchor.getOrElse(name, Nil).foreach { case (entry, build) =>
           val (t, ok) = timed(() => build(spark, sfDir))
           p1 += ((entry, t, ok))
+          tOff(entry) = elapsed()
         }
         val (t, ok) = timed(() =>
           fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         if (!ok) System.err.println(s"[bench] query was: $name")
         p1 += ((name, t, ok))
+        tOff(name) = elapsed()
         sinceCheckpoint += 1
         if (sinceCheckpoint >= 60) {
           sinceCheckpoint = 0
           emit(p1.map { case (n, tt, okk) => (n, (tt, okk)) }.toSeq,
             Nil, memoFed, only, sfDir, firstPass = p1.map(_._2).sum,
             repassed = 0, budget = budget, partial = true, mirror = false,
+            loadStart = loadStart, epochStart = wallEpochStart, tOff = tOff,
             compactOnly = true)
         }
       }
     }
+    val loadP1End = loadAvg()
 
     // best-so-far per entry; re-sampling lowers these in place
     val best = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
     p1.foreach { case (n, t, ok) => best(n) = (t, ok) }
     emit(best.toSeq, skipped.toSeq, memoFed, only, sfDir,
       firstPass = p1.map(_._2).sum, repassed = 0, budget = budget,
-      partial = true, mirror = false)
+      partial = true, mirror = false,
+      loadStart = loadStart, loadP1 = loadP1End, epochStart = wallEpochStart,
+      tOff = tOff)
 
     // ---- selective re-sample: suspicion order (t/floor desc; no
     // floor → by magnitude), bounded by the remaining wall budget.
@@ -213,6 +251,7 @@ object Bench {
           val (t2, ok2) = rerun(name)
           val (tb, okb) = best(name)
           best(name) = (math.min(tb, t2), okb && ok2)
+          tOff(name) = elapsed()
           repassed += 1
         }
       }
@@ -220,7 +259,9 @@ object Bench {
 
     emit(best.toSeq, skipped.toSeq, memoFed, only, sfDir,
       firstPass = p1.map(_._2).sum, repassed = repassed, budget = budget,
-      partial = skipped.nonEmpty, mirror = true)
+      partial = skipped.nonEmpty, mirror = true,
+      loadStart = loadStart, loadP1 = loadP1End, epochStart = wallEpochStart,
+      tOff = tOff)
     spark.stop()
   }
 
@@ -234,8 +275,19 @@ object Bench {
                    only: Option[Set[String]], sfDir: String,
                    firstPass: Double, repassed: Int, budget: Double,
                    partial: Boolean, mirror: Boolean,
+                   loadStart: Double = -1.0, loadP1: Double = -1.0,
+                   epochStart: Long = 0L,
+                   tOff: collection.Map[String, Double] = Map.empty,
                    compactOnly: Boolean = false): Unit = {
     val total = results.map(_._2._1).sum
+    // self-adjudicating host-load stamps (VERDICT r18 item 4); bounded
+    // (~100 chars), so they ride the compact line too — adjudication
+    // rule documented in BASELINE.md §host-load
+    def f2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val loadJson = s""""load_avg":{"start":${f2(loadStart)},""" +
+      s""""p1_end":${f2(loadP1)},"now":${f2(loadAvg())}},""" +
+      s""""wall_epoch_start":$epochStart,"cpus":${Runtime.getRuntime.availableProcessors()}"""
     val failed = results.filter(!_._2._2).map(_._1)
     // failures are machine-visible: a broken query must not silently
     // pass the bench gate on a near-zero wall time
@@ -247,10 +299,15 @@ object Bench {
     if (!compactOnly) {
       val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // per-key completion offsets (sec since start, 2dp): full line /
+      // mirror only — unbounded by key count, so never on the compact
+      val offJson = tOff.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+        .mkString("{", ",", "}")
       val head = s""""metric":"total","value":$total,"unit":"sec","runs":1,""" +
         s""""agg":"min_selective","value_first_pass":$firstPass,""" +
-        s""""n_repassed":$repassed,"budget_sec":$budget,"partial":$partial"""
-      val line = s"""{$head,"memo_fed":$memoFedJson$onlyJson,"queries":$qs,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"n_skipped":${skipped.size},"skipped":$skippedJson}"""
+        s""""n_repassed":$repassed,"budget_sec":$budget,"partial":$partial,""" +
+        loadJson
+      val line = s"""{$head,"memo_fed":$memoFedJson$onlyJson,"queries":$qs,"t_offsets":$offJson,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"n_skipped":${skipped.size},"skipped":$skippedJson}"""
       println(line)
       if (mirror && only.isEmpty) {
         // always land the run mirror; promote to BENCH_LATEST.json (the
@@ -275,7 +332,7 @@ object Bench {
       .mkString("[", ",", "]")
     val skippedBounded = skipped.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${fx(total)},"unit":"sec","runs":1,"agg":"min_selective","value_first_pass":${fx(firstPass)},"n_repassed":$repassed,"partial":$partial,"n_queries":${results.size}$onlyJson,"queries_slowest":$slowest,"queries_full":"BENCH_LATEST.json","sf":"$sfDir","n_failed":${failed.size},"failed":$failedBounded,"n_skipped":${skipped.size},"skipped":$skippedBounded}"""
+    val compact = s"""{"metric":"total","value":${fx(total)},"unit":"sec","runs":1,"agg":"min_selective","value_first_pass":${fx(firstPass)},"n_repassed":$repassed,"partial":$partial,$loadJson,"n_queries":${results.size}$onlyJson,"queries_slowest":$slowest,"queries_full":"BENCH_LATEST.json","sf":"$sfDir","n_failed":${failed.size},"failed":$failedBounded,"n_skipped":${skipped.size},"skipped":$skippedBounded}"""
     println(compact)
   }
 
@@ -308,8 +365,11 @@ object Bench {
       // also carries numeric metadata (runs, total, n_query_keys, …)
       // that the flat entry regex would otherwise sweep into the floors
       val start = all.indexOf("\"queries\"")
-      val txt = if (start < 0) all else {
-        val open = all.indexOf('{', start)
+      val open = if (start < 0) -1 else all.indexOf('{', start)
+      // open < 0 guard BEFORE the scan loop (ADVICE r18): starting at
+      // i = -1 threw StringIndexOutOfBounds and the blanket catch
+      // silently degraded re-sample prioritization to an empty map
+      val txt = if (start < 0 || open < 0) all else {
         var depth = 0; var i = open; var end = -1
         while (i < all.length && end < 0) {
           all.charAt(i) match {
@@ -319,7 +379,7 @@ object Bench {
           }
           i += 1
         }
-        if (open < 0 || end < 0) all else all.substring(open, end + 1)
+        if (end < 0) all else all.substring(open, end + 1)
       }
       val entry = """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
       entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)

@@ -23,6 +23,10 @@ import org.apache.spark.sql.types._
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // analysis-time type check (ADVICE r18, same hazard as LongArrayAgree)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftExprChecks.requireLongArray(prettyName, left, right)
+
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_dot"
 
@@ -71,13 +75,28 @@ case class LongArrayAgree(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_agree"
 
+  // analysis-time type check (ADVICE r18): int-packed ArrayData would
+  // make getLong misread silently; fail analysis like the HOF fold would
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftExprChecks.requireLongArray(prettyName, left, right)
+
+  /** Null ELEMENTS contribute 0 agreement (ADVICE r18) — identical to
+    * the zip_with fold this replaced, where `if(null = x, 1, 0)` takes
+    * the else branch. MinHash signatures are containsNull=false so the
+    * board never hits this path; the guard keeps a future nullable-array
+    * caller from getting silently inflated counts (getLong on a null
+    * slot reads 0, so null==null would have counted as agreement). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
     var s = 0L
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) s += 1L; i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        s += 1L
+      i += 1
+    }
     s
   }
 
@@ -90,7 +109,8 @@ case class LongArrayAgree(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $s++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) $s++;
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -889,4 +909,22 @@ private[graft] object GraftExprChecks {
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name requires a string child, got ${other.catalogString}")
     }
+
+  /** Both children must be array<bigint> (ADVICE r18): ArrayData.getLong
+    * on an int-packed array misreads silently, so a long_array_agree /
+    * long_array_dot call over array<int> must fail analysis, not return
+    * wrong counts. NullType elements (the empty `array()` literal) are
+    * admitted — a zero-length array has no elements to misread. */
+  def requireLongArray(name: String, left: Expression,
+                       right: Expression): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case ArrayType(NullType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<bigint> children, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 }
