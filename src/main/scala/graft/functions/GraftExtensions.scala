@@ -86,7 +86,11 @@ object GraftFunctions {
       MarkerCounts(a(0), markers)
     }),
     "top_token_count" -> (args =>
-      TopTokenCount(arity("top_token_count", args, 1).head)))
+      TopTokenCount(arity("top_token_count", args, 1).head)),
+    "char_bigrams" -> (args =>
+      CharBigrams(arity("char_bigrams", args, 1).head)),
+    "tri_upper_products" -> (args =>
+      TriUpperProducts(arity("tri_upper_products", args, 1).head)))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

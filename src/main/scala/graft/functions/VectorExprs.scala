@@ -836,6 +836,124 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** The character bigrams of a string in position order (round 19) — one
+  * tight byte-walk instead of the interpreted
+  * `transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))` HOF
+  * chain the LM quality filters (`text_lm_perplexity`,
+  * `text_lm_kneser_ney`) evaluated per character of the corpus.
+  * Value-identical ON THE OPERATOR DOMAIN (length ≥ 2, the filter both
+  * LM keys apply before the explode): SQL substring semantics are
+  * code-point based, and the walk slices at UTF-8 char boundaries, so
+  * every DuckDB oracle replaying the substring form is unaffected.
+  * Below 2 chars the HOF's sequence(1, len-1) degenerates to a
+  * DESCENDING sequence ([1, 0] → two copies of the whole string) —
+  * an artifact the operators never evaluate; this form returns the
+  * sane empty array there. */
+case class CharBigrams(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_bigrams"
+
+  def bigrams(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val nb = b.length
+    // char-start byte offsets (one extra slot for the end sentinel)
+    val offs = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(b(i))
+      c += 1
+    }
+    offs(c) = nb
+    val nBg = math.max(c - 1, 0)
+    val out = new Array[Any](nBg)
+    var k = 0
+    while (k < nBg) {
+      out(k) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(b, offs(k), offs(math.min(k + 2, c))))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    bigrams(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("charBigrams", this,
+        classOf[CharBigrams].getName)
+      s"${ev.value} = $ref.bigrams($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigrams =
+    copy(child = newChild)
+}
+
+/** Upper-triangle outer products of a quantized vector (round 19): one
+  * (d1, d2, xy = q[d1]·q[d2]) struct per pair d1 ≤ d2, ordered by
+  * (d1, d2) — one JVM loop instead of the nested-transform HOF
+  * `flatten(transform(q, (xi, i) -> transform(slice(q, i + 1, ...), ...)))`
+  * that `embed_covariance` evaluated interpreted (d(d+1)/2 lambda frames
+  * per row). Value- and type-identical to the HOF form (d1/d2 are the
+  * INT lambda indices, xy the exact long product), so the DuckDB oracle
+  * replaying the list_transform form is unaffected. Elements are
+  * assumed non-null (the ×1000 quantization never produces null
+  * elements from a non-null vector). */
+case class TriUpperProducts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftExprChecks.requireLongArray(prettyName, child, child)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d1", IntegerType, nullable = false),
+    StructField("d2", IntegerType, nullable = false),
+    StructField("xy", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "tri_upper_products"
+
+  def tri(arr: ArrayData): ArrayData = {
+    val d = arr.numElements()
+    val vals = new Array[Long](d)
+    var i = 0
+    while (i < d) { vals(i) = arr.getLong(i); i += 1 }
+    val out = new Array[Any](d * (d + 1) / 2)
+    var k = 0
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(k) = new GenericInternalRow(
+          Array[Any](i, j, vals(i) * vals(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = tri(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("triUpperProducts", this,
+        classOf[TriUpperProducts].getName)
+      s"${ev.value} = $ref.tri($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TriUpperProducts =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[LongArrayDot]]. */
   def longArrayDot(a: Column, b: Column): Column =
@@ -894,6 +1012,14 @@ object VectorFunctions {
   def md5SuffixDraws(key: Column, n: Int, mod: Int): Column =
     GraftColumnBridge.column(Md5SuffixDraws(
       GraftColumnBridge.expression(key), n, mod))
+
+  /** Column API for [[CharBigrams]]. */
+  def charBigrams(text: Column): Column =
+    GraftColumnBridge.column(CharBigrams(GraftColumnBridge.expression(text)))
+
+  /** Column API for [[TriUpperProducts]]. */
+  def triUpperProducts(q: Column): Column =
+    GraftColumnBridge.column(TriUpperProducts(GraftColumnBridge.expression(q)))
 }
 
 /** Shared analysis-time input checks for the native expressions

@@ -2205,10 +2205,13 @@ object Similarity {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def d(c: Column) = c.cast("string").cast("double")
     val q = emb.select(quantize(col("embedding")).as("q"))
-    val tri = q.select(explode(expr(
-      "flatten(transform(q, (xi, i) -> " +
-        "transform(slice(q, i + 1, size(q) - i), (xj, j) -> " +
-        "named_struct('d1', i, 'd2', i + j, 'xy', xi * xj))))")).as("p"))
+    // round 19: the per-row upper-triangle products are a native JVM
+    // loop (tri_upper_products) instead of the interpreted
+    // nested-transform HOF chain — d(d+1)/2 lambda frames per vector
+    // was the key's dominant cost; value/type-identical structs, so the
+    // oracle's list_transform replay is unaffected (guide §4).
+    val tri = q.select(explode(
+      graft.functions.VectorFunctions.triUpperProducts(col("q"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.xy").as("xy"))
       .groupBy(col("d1"), col("d2"))
       .agg(sum(col("xy").cast(dec)).as("sxy"), count(lit(1)).as("n_vecs"))

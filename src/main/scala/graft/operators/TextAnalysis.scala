@@ -635,13 +635,23 @@ object TextAnalysis {
     * Output: (doc_id, n_bigrams, lm_cost, cost_milli = 1000·cost div n)
     * — cost_milli is the length-normalized figure a threshold reads. */
   def lmPerplexity(docs: DataFrame): DataFrame = {
+    // round 19: ONE corpus explode instead of two. The (doc_id, bg)
+    // count relation below is the shared front of both the model build
+    // and the per-doc scoring rollup — the two consumers read the SAME
+    // exchange (ReuseExchange dedups the scan + explode + partial agg),
+    // where the old shape re-ran the scan and an interpreted
+    // transform(sequence(...)) HOF once per consumer. char_bigrams is
+    // the native byte-walk drop-in for that HOF (value-identical, so
+    // the oracle's substring replay is unaffected). Counts fold exactly:
+    // cb = Σ cnt, n_bigrams = Σ cnt, lm_cost = Σ cost·cnt.
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
-    val bigrams = docs.select(col("doc_id"), norm.as("t"))
+    val docBg = docs.select(col("doc_id"), norm.as("t"))
       .filter(length(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
-        .as("bg"))
-    val cb = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.charBigrams(col("t")))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val cb = docBg.groupBy(col("bg")).agg(sum(col("cnt")).as("cb"))
     val cu = cb.groupBy(substring(col("bg"), 1, 1).as("u"))
       .agg(sum(col("cb")).as("cu"))
     val model = cb.withColumn("u", substring(col("bg"), 1, 1))
@@ -649,9 +659,10 @@ object TextAnalysis {
       .select(col("bg"),
         (length(bin(col("cu"))) - length(bin(col("cb"))))
           .cast("long").as("cost"))
-    bigrams.join(broadcast(model), "bg")
+    docBg.join(broadcast(model), "bg")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("lm_cost"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cost") * col("cnt")).as("lm_cost"))
       .select(col("doc_id"), col("n_bigrams"), col("lm_cost"),
         expr("(1000 * lm_cost) div n_bigrams").as("cost_milli"))
       .orderBy(col("doc_id"))
@@ -675,13 +686,18 @@ object TextAnalysis {
     *
     * Output: (doc_id, n_bigrams, kn_cost, cost_milli), ordered. */
   def lmKneserNey(docs: DataFrame): DataFrame = {
+    // round 19: same single-explode restructure as [[lmPerplexity]] —
+    // one shared (doc_id, bg) count relation feeds the KN model stats
+    // and the scoring rollup through a reused exchange; char_bigrams
+    // replaces the interpreted transform(sequence(...)) HOF.
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
-    val bigrams = docs.select(col("doc_id"), norm.as("t"))
+    val docBg = docs.select(col("doc_id"), norm.as("t"))
       .filter(length(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
-        .as("bg"))
-    val cb = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.charBigrams(col("t")))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val cb = docBg.groupBy(col("bg")).agg(sum(col("cnt")).as("cb"))
       .withColumn("u", substring(col("bg"), 1, 1))
       .withColumn("v", substring(col("bg"), 2, 1))
     val cu = cb.groupBy(col("u"))
@@ -694,9 +710,10 @@ object TextAnalysis {
           length(bin(col("tt") * greatest(lit(4L) * col("cb") - 3L, lit(0L))
             + lit(3L) * col("nfollow") * col("nprec"))))
           .cast("long").as("cost"))
-    bigrams.join(broadcast(model), "bg")
+    docBg.join(broadcast(model), "bg")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost")).as("kn_cost"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cost") * col("cnt")).as("kn_cost"))
       .select(col("doc_id"), col("n_bigrams"), col("kn_cost"),
         expr("(1000 * kn_cost) div n_bigrams").as("cost_milli"))
       .orderBy(col("doc_id"))

@@ -124,6 +124,54 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(m("big").length == 6)
   }
 
+  test("char_bigrams: value-identical to the transform(sequence) HOF " +
+    "it replaced, incl. multi-byte chars; non-string fails analysis") {
+    GraftFunctions.register(spark)
+    // the exact composable form the LM keys used before round 19
+    val hof = "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"
+    // domain = length(t) >= 2, the filter both LM keys apply before the
+    // explode (below 2 chars the HOF's sequence(1, len-1) degenerates
+    // to a DESCENDING sequence — an artifact the operators never
+    // evaluate; the native form returns the sane empty array there)
+    val rows = spark.sql(
+      s"""SELECT t, char_bigrams(t) AS native, $hof AS hof FROM VALUES
+         |  ('abcd'), ('café über'), ('éé'), ('ab')
+         |  AS v(t)""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("native") ==
+        r.getAs[scala.collection.Seq[String]]("hof"),
+        s"mismatch for '${r.getString(0)}'")
+    }
+    // null in → null out (matches the HOF's null propagation)
+    assert(spark.sql("SELECT char_bigrams(CAST(NULL AS STRING)) AS n")
+      .head().isNullAt(0))
+    // analysis-time rejection of non-string children
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_bigrams(42)").collect()
+    }
+  }
+
+  test("tri_upper_products: value/type-identical to the nested-transform " +
+    "HOF embed_covariance replaced; non-bigint array fails analysis") {
+    GraftFunctions.register(spark)
+    val hof = "flatten(transform(q, (xi, i) -> " +
+      "transform(slice(q, i + 1, size(q) - i), (xj, j) -> " +
+      "named_struct('d1', i, 'd2', i + j, 'xy', xi * xj))))"
+    val r = spark.sql(
+      s"""SELECT tri_upper_products(q) AS native, $hof AS hof
+         |FROM VALUES (array(3L, -2L, 7L)), (array(5L)) AS v(q)""".stripMargin)
+      .collect()
+    r.foreach { row =>
+      val native = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("native")
+      val viaHof = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hof")
+      assert(native.map(x => (x.getInt(0), x.getInt(1), x.getLong(2))) ==
+        viaHof.map(x => (x.getInt(0), x.getInt(1), x.getLong(2))))
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT tri_upper_products(array(1, 2, 3))").collect()
+    }
+  }
+
   test("SQL and Column API agree") {
     GraftFunctions.register(spark)
     import spark.implicits._
