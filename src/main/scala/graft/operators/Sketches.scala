@@ -39,9 +39,14 @@ object Sketches {
   /** The `nHash` Bloom positions of a gram fingerprint: position i is
     * md5(fp ":" i) reduced into the bit space. Returned as an array so
     * build and probe share one derivation. */
+  /** The `nHash` bloom bit positions of one fingerprint — the native
+    * batched-draw expression (round 19): element i =
+    * md5(fp || ":" || i) prefix-7 value mod mBits, byte-identical to
+    * the transform(sequence(...)) HOF it replaces (which ran
+    * interpreted per gram, formatting and hashing a fresh concat string
+    * per probe). */
   private def bloomPositions(fp: Column, nHash: Int, mBits: Int): Column =
-    transform(sequence(lit(0), lit(nHash - 1)),
-      i => md5Pos(concat(fp, lit(":"), i.cast("string")), mBits))
+    graft.functions.VectorFunctions.md5SuffixDraws(fp, nHash, mBits)
 
   /** Bloom-filter decontamination PRE-GATE — the scale front end of
     * [[Corpus.contaminationNgrams]]: instead of equi-joining the full
@@ -80,10 +85,14 @@ object Sketches {
     // standard gate-frame shape); each of the nHash probes is two array
     // ops — word = mask[pos >> 6], bit = word >> (pos & 63) — unrolled
     // statically so the whole gate stays inside codegen
+    // round 19: all nHash probe positions come from ONE native
+    // md5_suffix_draws evaluation (codegen subexpression elimination
+    // shares the identical subtree across the unrolled probes) instead
+    // of nHash separate concat+md5 chains per gram; values identical
     val probed = grams.filter(!col("is_test"))
       .crossJoin(broadcast(mask))
       .withColumn("maybe", (0 until nHash).map { i =>
-        val p = md5Pos(concat(col("fp"), lit(s":$i")), mBits)
+        val p = element_at(bloomPositions(col("fp"), nHash, mBits), i + 1)
         val word = element_at(col("mask"), (shiftright(p, 6) + 1).cast("int"))
         call_function("bit_get", word, (p % 64).cast("int")) === 1
       }.reduce(_ && _))
@@ -121,9 +130,11 @@ object Sketches {
       .select(explode(bloomPositions(col("fp"), nHash, mBits)).as("pos"))
       .distinct()
       .agg(graft.functions.BloomAgg.mask(mBits / 64)(col("pos")).as("mask"))
+    // round 19: single native draws evaluation per probe row (see
+    // bloomDecontaminate's probe note); values identical
     val probed = probes.crossJoin(broadcast(mask))
       .withColumn("maybe", (0 until nHash).map { i =>
-        val p = md5Pos(concat(col("fp"), lit(s":$i")), mBits)
+        val p = element_at(bloomPositions(col("fp"), nHash, mBits), i + 1)
         val word = element_at(col("mask"), (shiftright(p, 6) + 1).cast("int"))
         call_function("bit_get", word, (p % 64).cast("int")) === 1
       }.reduce(_ && _))
@@ -273,8 +284,12 @@ object Sketches {
       .select(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         col("fp"))
       .distinct())
-    val pos = sharded.select(col("shard"),
-      explode(bloomPositions(col("fp"), nHash, mBits)).as("pos"))
+    // round 19: the position relation is tracked too — the shard-mask
+    // and global-mask folds BOTH read it (the audit's independence is
+    // in the two aggregation paths, not in re-deriving the positions),
+    // so the gram explode + native draws run once instead of twice
+    val pos = cache.track(sharded.select(col("shard"),
+      explode(bloomPositions(col("fp"), nHash, mBits)).as("pos")))
     val shardMasks = pos.groupBy(col("shard"))
       .agg(graft.functions.BloomAgg.mask(w)(col("pos")).as("mask"))
     val merged = shardMasks
