@@ -2864,10 +2864,26 @@ object Relational {
       (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
         .as("y"))
     def rankTable(c: String) = {
-      val w = Window.orderBy(col(c))
+      // round 19, two-level bucketed cumulative (the hodgesLehmann
+      // selection doctrine): the price grid has ~|rows| distinct cents
+      // values, and the old global ORDER BY window computed the
+      // strictly-less count in ONE task over the whole grid (guide
+      // §2.5 straggler). Values bucket by the monotone arithmetic
+      // shift (floor division by 2^16), the cumulative window runs
+      // over the bucket rollup, and the per-value windows partition BY
+      // BUCKET — parallel, each task grid/|buckets| rows. clt (and so
+      // the doubled tied rank) is bit-identical.
+      val grid = rows.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val byB = grid.withColumn("bkt", shiftright(col(c), 16))
+      val perB = byB.groupBy(col("bkt")).agg(sum(col("cnt")).as("bc"))
+      val cumB = perB
+        .withColumn("cum_hi", sum(col("bc")).over(Window.orderBy(col("bkt"))))
+        .select(col("bkt"), (col("cum_hi") - col("bc")).as("cum_lo"))
+      val win = Window.partitionBy(col("bkt")).orderBy(col(c))
         .rowsBetween(Window.unboundedPreceding, -1)
-      rows.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-        .withColumn("clt", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      byB.join(broadcast(cumB), "bkt")
+        .withColumn("clt",
+          col("cum_lo") + coalesce(sum(col("cnt")).over(win), lit(0L)))
         .select(col(c),
           (col("clt") * 2L + col("cnt") + 1L).as(s"r_$c"))
     }
@@ -3504,23 +3520,53 @@ object Relational {
   def hodgesLehmann(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wd = Window.orderBy(col("day"))
+    // round 19: the lag-7 diff series is CALENDAR-BOUNDED (one row per
+    // grid day) and referenced four times below (both Walsh legs, the
+    // n_walsh count, the n_diffs count); materialize it once — the old
+    // plan re-ran the orders scan + daily rollup + two windows per
+    // reference (2 scans / 10 Window nodes / 5 BNLJ at sf0.01, see
+    // plans/r19/stats_hodges_lehmann_before.txt). Values unchanged.
     val diffs = dailyRevenueSeries(orders)
       .withColumn("prev", lag(col("x"), 7).over(wd))
       .filter(col("prev").isNotNull)
       .select(row_number().over(wd).cast("long").as("i"),
         (col("x") - col("prev")).as("d"))
+      .localCheckpoint()
     val a = diffs.select(col("i").as("ia"), col("d").as("da"))
     val b = diffs.select(col("i").as("ib"), col("d").as("db"))
     val walsh = a.join(broadcast(b), col("ia") <= col("ib"))
       .select((col("da") + col("db")).as("w"))
-    val cum = walsh.groupBy(col("w")).agg(count(lit(1)).as("m"))
-      .withColumn("cum", sum(col("m")).over(Window.orderBy(col("w"))))
-    val tot = walsh.agg(count(lit(1)).as("n_walsh"))
-    val sel = cum.crossJoin(broadcast(tot))
-      .agg(min(when(col("cum") >= expr("(n_walsh + 1) div 2"), col("w")))
-          .as("w1"),
-        min(when(col("cum") >= expr("n_walsh div 2 + 1"), col("w")))
-          .as("w2"))
+    // round 19, two-level order-statistic selection: the old global
+    // `sum(m) over (order by w)` window ran in ONE task over the full
+    // value-grouped Walsh grid (grid²/2 values — the plan's straggler
+    // at any scale; guide §2.5). Values bucket by the MONOTONE
+    // arithmetic shift w >> 20 (floor division by 2^20, negatives
+    // included — every value in bucket b precedes every value in
+    // b+1), the cumulative window runs over the BUCKET rollup (tiny),
+    // and the within-bucket windows touch only the ≤2 buckets that
+    // contain the two target ranks. Selected w1/w2 are bit-identical
+    // to the single-window form.
+    val grouped = walsh.groupBy(col("w")).agg(count(lit(1)).as("m"))
+    val byBkt = grouped.withColumn("bkt", shiftright(col("w"), 20))
+    val perB = byBkt.groupBy(col("bkt")).agg(sum(col("m")).as("bm"))
+    val cumB = perB
+      .withColumn("cum_hi", sum(col("bm")).over(Window.orderBy(col("bkt"))))
+      .withColumn("cum_lo", col("cum_hi") - col("bm"))
+    // n_walsh from the value groups (ReuseExchange shares the grouped
+    // aggregate with byBkt — the pair enumeration runs once)
+    val tot = grouped.agg(coalesce(sum(col("m")), lit(0L)).as("n_walsh"))
+    val ks = tot.select(expr(
+      "stack(2, 'w1', (n_walsh + 1) div 2, 'w2', n_walsh div 2 + 1) " +
+        "AS (which, k)"))
+    val hit = ks.join(broadcast(cumB),
+      col("k") > col("cum_lo") && col("k") <= col("cum_hi"))
+      .select(col("which"), col("k"), col("bkt"), col("cum_lo"))
+    val wv = Window.partitionBy(col("which")).orderBy(col("w"))
+    val sel = byBkt.join(broadcast(hit), Seq("bkt"))
+      .withColumn("cum", col("cum_lo") + sum(col("m")).over(wv))
+      .filter(col("cum") >= col("k"))
+      .agg(min(when(col("which") === "w1", col("w"))).as("w1"),
+        min(when(col("which") === "w2", col("w"))).as("w2"))
     diffs.agg(count(lit(1)).as("n_diffs"))
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(sel))
