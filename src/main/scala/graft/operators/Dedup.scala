@@ -393,6 +393,12 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
+      // round 19 (guide §2.4): every propagation round joins this
+      // relation on src — cache it already hash-partitioned by src
+      // (InMemoryRelation preserves outputPartitioning), so each
+      // round's neighbor-min join re-shuffles only the label frame,
+      // not the edges
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // label-frame parallelism: by default AQE sizes the per-round

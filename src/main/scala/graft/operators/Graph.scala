@@ -99,9 +99,16 @@ object Graph {
     // deployed shape: one edge table, many graph consumers) — the
     // caller owns its lifecycle, so it is not re-tracked here.
     val und = edges0.getOrElse(scope.track(coOrderEdges(lineitem)))
-    // directed both ways for contribution routing
+    // directed both ways for contribution routing. Round 19 (guide
+    // §2.4): the degree rollup AND every unrolled iteration key this
+    // relation by src — materialize it once already hash-partitioned
+    // by src (localCheckpoint preserves outputPartitioning), so the
+    // degree aggregation and the per-iteration contribution joins all
+    // reuse one exchange instead of re-shuffling the edges each time.
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // The node universe feeds the teleport-denominator count, the rank
     // seed AND every iteration's contrib branch — and the fold
@@ -365,8 +372,16 @@ object Graph {
   private[graft] def labelPropLabels(lineitem: DataFrame,
       und: DataFrame, iters: Int = LabelPropIters): DataFrame = {
     require(iters >= 1 && iters <= 4, s"iters must be 1..4, got $iters")
+    // round 19 (guide §2.4): every iteration joins the directed edge
+    // relation on src — materializing it ONCE already hash-partitioned
+    // by src (localCheckpoint preserves outputPartitioning) removes the
+    // per-iteration edge exchange; only the (small) label frame
+    // shuffles per superstep. One eager build job replaces `iters`
+    // full-edge exchanges.
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
     // universe = part universe ∪ edge endpoints: in production the
     // endpoints are a subset of the parts (no change), but a caller
     // supplying a standalone edge relation (the stress specs do) must
