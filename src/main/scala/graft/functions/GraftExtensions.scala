@@ -89,6 +89,8 @@ object GraftFunctions {
       TopTokenCount(arity("top_token_count", args, 1).head)),
     "char_bigrams" -> (args =>
       CharBigrams(arity("char_bigrams", args, 1).head)),
+    "word_bigram_pairs" -> (args =>
+      WordBigramPairs(arity("word_bigram_pairs", args, 1).head)),
     "tri_upper_products" -> (args =>
       TriUpperProducts(arity("tri_upper_products", args, 1).head)))
 

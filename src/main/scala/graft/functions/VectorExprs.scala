@@ -389,7 +389,8 @@ case class Md5HexPrefix(child: Expression, nChars: Int)
   * and the n digests run back-to-back on the per-thread digest with
   * precomputed ":i" suffix bytes. Consume with posexplode (pos = the
   * resample index i, col = the draw). */
-case class Md5SuffixDraws(child: Expression, n: Int, mod: Int)
+case class Md5SuffixDraws(child: Expression, n: Int, mod: Int,
+                          sep: String = ":")
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   require(n > 0, s"n must be positive: $n")
@@ -401,8 +402,11 @@ case class Md5SuffixDraws(child: Expression, n: Int, mod: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_suffix_draws"
 
+  // sep parameterized (round 19): the CMS cell draws use "#" where the
+  // bootstrap/bloom families use ":" — element i is the first-7-hex
+  // value of md5(key || sep || i) mod `mod` either way
   private lazy val suffixes: Array[Array[Byte]] =
-    Array.tabulate(n)(i => (":" + i).getBytes("UTF-8"))
+    Array.tabulate(n)(i => (sep + i).getBytes("UTF-8"))
 
   def draws(key: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val md = PortableHash.md5.get()
@@ -430,6 +434,72 @@ case class Md5SuffixDraws(child: Expression, n: Int, mod: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): Md5SuffixDraws =
+    copy(child = newChild)
+}
+
+/** Adjacent word pairs of a single-space-separated string (round 19):
+  * one (a, b) struct per position — the collocation-mining fan-out —
+  * in one byte-walk instead of the interpreted
+  * `transform(slice(split(text, ' '), ...), (w, i) ->
+  * named_struct('a', w, 'b', element_at(split(text, ' '), i + 2)))`
+  * HOF chain, which re-evaluated the split inside the lambda per
+  * token. Split semantics mirror Spark's `split(text, ' ')` with
+  * limit -1 exactly: every single space is a boundary, consecutive
+  * spaces produce empty tokens, and leading/trailing empties are KEPT.
+  * n tokens → n−1 pairs; fewer than 2 tokens → empty array. */
+case class WordBigramPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftExprChecks.requireString(prettyName, child)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = false),
+    StructField("b", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "word_bigram_pairs"
+
+  def pairs(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val nb = b.length
+    var spaces = 0
+    var i = 0
+    while (i < nb) { if (b(i) == ' ') spaces += 1; i += 1 }
+    val n = spaces + 1
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](n)
+    var t = 0
+    var st = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || b(i) == ' ') {
+        toks(t) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, st, i))
+        t += 1
+        st = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](n - 1)
+    var k = 0
+    while (k < n - 1) {
+      out(k) = new GenericInternalRow(Array[Any](toks(k), toks(k + 1)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    pairs(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("wordBigramPairs", this,
+        classOf[WordBigramPairs].getName)
+      s"${ev.value} = $ref.pairs($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigramPairs =
     copy(child = newChild)
 }
 
@@ -1009,9 +1079,15 @@ object VectorFunctions {
       GraftColumnBridge.expression(s), nChars))
 
   /** Column API for [[Md5SuffixDraws]]. */
-  def md5SuffixDraws(key: Column, n: Int, mod: Int): Column =
+  def md5SuffixDraws(key: Column, n: Int, mod: Int,
+                     sep: String = ":"): Column =
     GraftColumnBridge.column(Md5SuffixDraws(
-      GraftColumnBridge.expression(key), n, mod))
+      GraftColumnBridge.expression(key), n, mod, sep))
+
+  /** Column API for [[WordBigramPairs]]. */
+  def wordBigramPairs(text: Column): Column =
+    GraftColumnBridge.column(WordBigramPairs(
+      GraftColumnBridge.expression(text)))
 
   /** Column API for [[CharBigrams]]. */
   def charBigrams(text: Column): Column =

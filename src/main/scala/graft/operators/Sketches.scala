@@ -175,9 +175,12 @@ object Sketches {
   def cmsHeavyHitters(docs: DataFrame, topK: Int = 20,
                       depth: Int = 4, width: Int = 1024): DataFrame = {
     val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    // round 19 (guide §4): all `depth` cell draws in one native digest
+    // loop (md5_suffix_draws with the CMS "#" separator) instead of an
+    // interpreted transform + per-row concat/md5 chain per token;
+    // cell positions are byte-identical
     def cellsOf(tok: Column): Column =
-      transform(sequence(lit(0), lit(depth - 1)),
-        r => md5Pos(concat(tok, lit("#"), r.cast("string")), width))
+      graft.functions.VectorFunctions.md5SuffixDraws(tok, depth, width, "#")
     val sketch = toks
       .select(posexplode(cellsOf(col("tok"))))
       .groupBy(col("pos").as("r"), col("col").as("cell"))

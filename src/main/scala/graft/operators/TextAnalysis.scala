@@ -789,10 +789,13 @@ object TextAnalysis {
     * top-k. Output: (a, b, c_a, c_b, c_ab, n_bigrams, lift_ppm). */
   def collocations(docs: DataFrame): DataFrame = {
     val ws = tokens(col("text"))
+    // round 19 (guide §4): native adjacent-pair struct walk — the HOF
+    // form ran interpreted and re-evaluated split(text) inside the
+    // lambda per token; pairs are value-identical (split semantics
+    // mirrored exactly, unit-test-pinned)
     val bigrams = docs
-      .select(explode(expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
-          "(w, i) -> named_struct('a', w, 'b', element_at(split(text, ' '), i + 2)))"))
+      .select(explode(
+        graft.functions.VectorFunctions.wordBigramPairs(col("text")))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))

@@ -151,6 +151,49 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("word_bigram_pairs: value-identical to the slice/element_at HOF " +
+    "it replaced, incl. empty tokens from repeated/trailing spaces") {
+    GraftFunctions.register(spark)
+    val hof = "transform(slice(split(t, ' '), 1, size(split(t, ' ')) - 1), " +
+      "(w, i) -> named_struct('a', w, 'b', element_at(split(t, ' '), i + 2)))"
+    val rows = spark.sql(
+      s"""SELECT t, word_bigram_pairs(t) AS native, $hof AS hof FROM VALUES
+         |  ('the cat sat'), ('a  b'), (' lead'), ('trail '), ('one'), ('')
+         |  AS v(t)""".stripMargin).collect()
+    rows.foreach { r =>
+      val n = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("native")
+        .map(x => (x.getString(0), x.getString(1)))
+      val h = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hof")
+        .map(x => (x.getString(0), x.getString(1)))
+      assert(n == h, s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("md5_suffix_draws with '#' separator matches the CMS concat+md5 " +
+    "chain it replaced") {
+    GraftFunctions.register(spark)
+    // the composable CMS cell form: integer of md5's first 7 hex chars
+    // of (tok || '#' || r), mod width
+    val r = spark.sql(
+      """SELECT tok,
+        |  transform(sequence(0, 3), r ->
+        |    CAST(conv(substring(md5(concat(tok, '#', CAST(r AS STRING))), 1, 7), 16, 10) AS BIGINT) % 1024) AS hof
+        |FROM VALUES ('the'), ('zipf'), ('') AS v(tok)""".stripMargin)
+      .collect()
+    val native = spark.sql(
+      """SELECT tok FROM VALUES ('the'), ('zipf'), ('') AS v(tok)""")
+      .select(org.apache.spark.sql.functions.col("tok"),
+        graft.functions.VectorFunctions
+          .md5SuffixDraws(org.apache.spark.sql.functions.col("tok"), 4, 1024, "#")
+          .as("native"))
+      .collect()
+    r.zip(native).foreach { case (a, b) =>
+      assert(a.getAs[scala.collection.Seq[Long]]("hof") ==
+        b.getAs[scala.collection.Seq[Long]]("native"),
+        s"mismatch for '${a.getString(0)}'")
+    }
+  }
+
   test("tri_upper_products: value/type-identical to the nested-transform " +
     "HOF embed_covariance replaced; non-bigint array fails analysis") {
     GraftFunctions.register(spark)
