@@ -147,7 +147,31 @@ object Relational {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+    // JVM-exit cleanup (round 19 housekeeping): the table names carry a
+    // per-JVM applicationId suffix, so a finished harness process left
+    // its bucketed warehouse directories behind FOREVER — one set per
+    // bench/verify run accreting under spark-warehouse/. Register each
+    // graft-owned location for deletion at exit (hadoop conf copied NOW
+    // — the hook must not touch a stopped SparkContext).
+    if (table.startsWith("graft_") &&
+        bucketedCleanupHooked.add(table.toLowerCase)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val hconf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      sys.addShutdownHook {
+        try { loc.getFileSystem(hconf).delete(loc, true); () }
+        catch { case _: Throwable => () }
+      }
+      ()
+    }
   }
+
+  /** Bucketed-table locations already registered for JVM-exit cleanup
+    * (one shutdown hook per table, however many times it is rewritten
+    * within the process). */
+  private val bucketedCleanupHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The [[writeBucketed]] contract as a REGISTERED end-to-end query:
     * write orders and lineitem bucketed on the order key, join the
