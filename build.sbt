@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify artifact contract (round 20): the driver's bench parser
+// reads a bounded stdout TAIL and has parsed nothing since round 15
+// because (a) forked run output rides sbt's "[info] " logger prefix and
+// (b) the "[success] Total time" banner trails the final JSON line.
+// Route forked run output straight to stdout and drop the banner so the
+// compact JSON line Bench prints last IS the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

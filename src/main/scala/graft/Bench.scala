@@ -88,6 +88,17 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
 
+  /** Configured master parallelism (VERDICT r19 item 3): the artifact's
+    * `cpus` previously reported availableProcessors(), which LIES under
+    * a reduced-core `local[N]` run (the driver's 8-core scaling run was
+    * stamped 32) and mis-fires the load-adjudication rule. `cpus` now
+    * records what the session actually runs with ($SPARK_GRAFT_CPUS,
+    * the LocalSpark master width); the host's processor count moves to
+    * `host_procs` alongside. */
+  private def configuredCpus(): Int =
+    try sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim.toInt
+    catch { case _: Throwable => Runtime.getRuntime.availableProcessors() }
+
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     val wallEpochStart = System.currentTimeMillis() / 1000L
@@ -257,12 +268,17 @@ object Bench {
       }
     }
 
-    emit(best.toSeq, skipped.toSeq, memoFed, only, sfDir,
-      firstPass = p1.map(_._2).sum, repassed = repassed, budget = budget,
-      partial = skipped.nonEmpty, mirror = true,
-      loadStart = loadStart, loadP1 = loadP1End, epochStart = wallEpochStart,
-      tOff = tOff)
+    val finalCompact =
+      emit(best.toSeq, skipped.toSeq, memoFed, only, sfDir,
+        firstPass = p1.map(_._2).sum, repassed = repassed, budget = budget,
+        partial = skipped.nonEmpty, mirror = true,
+        loadStart = loadStart, loadP1 = loadP1End, epochStart = wallEpochStart,
+        tOff = tOff)
     spark.stop()
+    // re-print the compact line AFTER session shutdown so it is the
+    // process's final stdout line even if stop() logs anything — the
+    // driver's tail parser reads bottom-up (VERDICT r19 item 2)
+    println(finalCompact)
   }
 
   /** Print the full per-query JSON line + the bounded compact summary
@@ -278,7 +294,7 @@ object Bench {
                    loadStart: Double = -1.0, loadP1: Double = -1.0,
                    epochStart: Long = 0L,
                    tOff: collection.Map[String, Double] = Map.empty,
-                   compactOnly: Boolean = false): Unit = {
+                   compactOnly: Boolean = false): String = {
     val total = results.map(_._2._1).sum
     // self-adjudicating host-load stamps (VERDICT r18 item 4); bounded
     // (~100 chars), so they ride the compact line too — adjudication
@@ -287,7 +303,8 @@ object Bench {
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val loadJson = s""""load_avg":{"start":${f2(loadStart)},""" +
       s""""p1_end":${f2(loadP1)},"now":${f2(loadAvg())}},""" +
-      s""""wall_epoch_start":$epochStart,"cpus":${Runtime.getRuntime.availableProcessors()}"""
+      s""""wall_epoch_start":$epochStart,"cpus":${configuredCpus()},""" +
+      s""""host_procs":${Runtime.getRuntime.availableProcessors()}"""
     val failed = results.filter(!_._2._2).map(_._1)
     // failures are machine-visible: a broken query must not silently
     // pass the bench gate on a near-zero wall time
@@ -333,7 +350,19 @@ object Bench {
     val skippedBounded = skipped.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${fx(total)},"unit":"sec","runs":1,"agg":"min_selective","value_first_pass":${fx(firstPass)},"n_repassed":$repassed,"partial":$partial,$loadJson,"n_queries":${results.size}$onlyJson,"queries_slowest":$slowest,"queries_full":"BENCH_LATEST.json","sf":"$sfDir","n_failed":${failed.size},"failed":$failedBounded,"n_skipped":${skipped.size},"skipped":$skippedBounded}"""
+    // FIXED-PATH compact mirror (VERDICT r19 item 2): every BENCH_r*.json
+    // since r15 has parsed:null because the compact stdout line rides
+    // sbt's [info] prefix and a multi-line full dump precedes it inside
+    // the driver's bounded tail. The compact line (structurally < ~1 KB,
+    // no t_offsets) is therefore ALSO written to BENCH_COMPACT.json on
+    // every emit — interim partials included, so even an external kill
+    // leaves the latest parseable state at a fixed path. Scoped
+    // (SPARK_GRAFT_ONLY) runs never clobber it.
+    if (only.isEmpty)
+      writeAtomic(sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPACT_JSON",
+        "BENCH_COMPACT.json"), compact + "\n")
     println(compact)
+    compact
   }
 
   private def writeAtomic(path: String, content: String): Unit =

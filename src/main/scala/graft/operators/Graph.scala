@@ -372,16 +372,19 @@ object Graph {
   private[graft] def labelPropLabels(lineitem: DataFrame,
       und: DataFrame, iters: Int = LabelPropIters): DataFrame = {
     require(iters >= 1 && iters <= 4, s"iters must be 1..4, got $iters")
-    // round 19 (guide §2.4): every iteration joins the directed edge
-    // relation on src — materializing it ONCE already hash-partitioned
-    // by src (localCheckpoint preserves outputPartitioning) removes the
-    // per-iteration edge exchange; only the (small) label frame
-    // shuffles per superstep. One eager build job replaces `iters`
-    // full-edge exchanges.
+    // round 20 (VERDICT r19 item 1): round 19 materialized this
+    // relation EAGERLY (repartition + localCheckpoint) — an extra
+    // build job whose shuffle+write cost more than the per-superstep
+    // edge exchanges it saved (memo:lpa_labels regressed 5.7 → 7.2 s).
+    // The whole `iters`-superstep fold is ONE lazy plan (the memo
+    // wrapper's single checkpoint action evaluates it), so an explicit
+    // hash-repartition by src is enough: every superstep's edge join
+    // keys on the identical exchange subtree and ReuseExchange dedupes
+    // it — the edges shuffle ONCE per build, inside the consuming job,
+    // with no eager materialization pass (guide §2.4).
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint()
     // universe = part universe ∪ edge endpoints: in production the
     // endpoints are a subset of the parts (no change), but a caller
     // supplying a standalone edge relation (the stress specs do) must
@@ -391,9 +394,19 @@ object Graph {
       .unionByName(und.select(col("b").as("node")))
       .distinct()
     val l0 = nodes.select(col("node"), col("node").as("lbl"))
-    (1 to iters).foldLeft(l0) { (l, _) =>
-      val best = edges
-        .join(l.select(col("node").as("src"), col("lbl").as("nlbl")), "src")
+    (1 to iters).foldLeft(l0) { (l, step) =>
+      // round 20 (guide §2.4): superstep 1's edge×label join is a pure
+      // RENAME — the initial labels are the identity map over a node
+      // universe that contains every edge endpoint by construction
+      // (three lines up), so nlbl = src for every joined row. Skipping
+      // the join drops one full-edge-width join from the build; later
+      // supersteps (labels no longer identity) join as before.
+      val neigh =
+        if (step == 1) edges.select(col("dst"), col("src").as("nlbl"))
+        else edges
+          .join(l.select(col("node").as("src"), col("lbl").as("nlbl")), "src")
+          .select(col("dst"), col("nlbl"))
+      val best = neigh
         .groupBy(col("dst"), col("nlbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
         .agg(max_by(col("nlbl"), struct(col("c"), -col("nlbl"))).as("plbl"))
@@ -589,11 +602,24 @@ object Graph {
     require(rounds >= 1 && rounds <= 16, s"bad rounds=$rounds")
     val e0 = edges0.getOrElse(coOrderEdges(lineitem))
       .filter(col("w") >= minWeight).select(col("a"), col("b"))
+    // round 20 (guide §2.4 + §5, VERDICT r19 item 4): materialize the
+    // strong-tie directed relation ONCE, hash-partitioned by the
+    // frontier-join key (localCheckpoint preserves outputPartitioning —
+    // the pageRank r19 pattern), instead of re-deriving it from the
+    // edge memo every round; at scale, where the frontier is too big to
+    // broadcast, each round's semi-join then shuffles only the frontier.
     val und = e0.unionByName(
       e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .localCheckpoint()
     val nodes = lineitem.select(col("l_partkey").as("node")).distinct()
     val seeds = nodes.filter(
       substring(md5(col("node").cast("string")), 1, 2) === "00")
+    // round 20 (guide §5): ONE materialization job per round, not two —
+    // each round checkpoints only its NEW layer; the visited set the
+    // anti-join reads is the lazy union of the ≤ rounds checkpointed
+    // layer frames (cheap LogicalRDD scans), so the old per-round
+    // re-materialization of the whole visited prefix is gone.
     var visited = seeds.select(col("node"), lit(0L).as("depth"))
       .localCheckpoint()
     var frontier = visited.select(col("node"))
@@ -604,7 +630,7 @@ object Graph {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(d.toLong).as("depth"))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      visited = visited.unionByName(next)
       frontier = next.select(col("node"))
     }
     nodes.join(visited, Seq("node"), "left")
@@ -758,8 +784,15 @@ object Graph {
     require(rounds >= 1 && rounds <= 16, s"bad rounds=$rounds")
     val e0 = edges0.getOrElse(coOrderEdges(lineitem))
       .filter(col("w") >= minWeight).select(col("a"), col("b"))
+    // round 20: same §2.4/§5 restructure as [[bfsLayers]] — the
+    // strong-tie relation materializes once hash-partitioned by the
+    // per-round join key, and each round checkpoints only its new
+    // (seed, node) layer; the visited anti-join reads the lazy union
+    // of the checkpointed layers.
     val und = e0.unionByName(
       e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .localCheckpoint()
     val seeds = lineitem.select(col("l_partkey").as("node")).distinct()
       .filter(substring(md5(col("node").cast("string")), 1, 2) === "00")
     var visited = seeds.select(col("node").as("seed"), col("node"),
@@ -773,7 +806,7 @@ object Graph {
           Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(d.toLong).as("depth"))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      visited = visited.unionByName(next)
       frontier = next.select(col("seed"), col("node"))
     }
     visited
@@ -848,8 +881,14 @@ object Graph {
     require(rounds >= 1 && rounds <= 8, s"bad rounds=$rounds")
     val e0 = edges0.getOrElse(coOrderEdges(lineitem))
       .filter(col("w") >= minWeight).select(col("a"), col("b"))
+    // round 20 (guide §2.4): the walk relation was already materialized
+    // once, but UNPARTITIONED — each of the `rounds` matvec joins on
+    // "a" re-exchanged it. Hash-partition it in the same build job
+    // (localCheckpoint preserves outputPartitioning) so the per-step
+    // join shuffles only the count frame.
     val und = e0.unionByName(
       e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
       .localCheckpoint()
     var c = und.select(col("a").as("node")).distinct()
       .withColumn("cnt", lit(1L))
